@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Tuned for local[32] testing but with settings that scale to a real
+  * cluster: AQE (runtime re-plan + skew-join splitting), partition
+  * coalescing, and a broadcast threshold sized for TPC-H-ratio dims.
+  */
+object GraftSession {
+
+  /** Apply graft's standard config to an existing builder. */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = tune(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Load a named table from an sf directory (TESTDATA.md layout). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

@@ -1,13 +1,245 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every implemented operator appears in `queries`; SQL-expressible ones
+  * also appear in `oracleSql` with IDENTICAL output column names and a
+  * deterministic ORDER BY on both sides (see SURVEY.md §6).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.A source/connector layer
+    "src_schema_scan"            -> Relational.srcSchemaScan _,
+    "src_typed_partition_values" -> Relational.srcTypedPartitionValues _,
+    "src_partition_prune"        -> Relational.srcPartitionPrune _,
+    "src_projection_pushdown"    -> Relational.srcProjectionPushdown _,
+    "src_predicate_pushdown"     -> Relational.srcPredicatePushdown _,
+    "src_snapshot_union"         -> Relational.srcSnapshotUnion _,
+    // §2.B relational core
+    "q1_pricing_summary"         -> Relational.q1PricingSummary _,
+    "q6_forecast_revenue"        -> Relational.q6ForecastRevenue _,
+    "q3_shipping_priority"       -> Relational.q3ShippingPriority _,
+    "q5_local_supplier_volume"   -> Relational.q5LocalSupplierVolume _,
+    "q4_order_priority"          -> Relational.q4OrderPriority _,
+    "q_anti_customers_no_orders" -> Relational.qAntiCustomersNoOrders _,
+    "q_outer_customer_orders"    -> Relational.qOuterCustomerOrders _,
+    "q_topk_revenue_orders"      -> Relational.qTopkRevenueOrders _,
+    "q_distinct_ship_modes"      -> Relational.qDistinctFlagStatus _,
+    "q_union_high_value_parties" -> Relational.qUnionHighValueParties _,
+    "q_window_top_parts_per_supplier" -> Relational.qWindowTopPartsPerSupplier _,
+    "q_rollup_nation_region"     -> Relational.qRollupNationRegion _,
+    "q_countd_customers_per_segment" -> Relational.qCountdCustomersPerSegment _,
+    "q_approx_countd_parts"      -> Relational.qApproxCountdParts _,
+    "q_groupagg_priorities_per_status" -> Relational.qGroupaggPrioritiesPerStatus _,
+    "q10_returned_items"         -> Relational.q10ReturnedItems _,
+    "q17_small_qty_revenue"      -> Relational.q17SmallQtyRevenue _,
+    "q_pivot_status_by_priority" -> Relational.qPivotStatusByPriority _,
+  )
+
+  /** DuckDB-runnable oracle SQL per query (omitted → rows-only check). */
+  def oracleSql: Map[String, String] = Map(
+    "src_schema_scan" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+
+    "src_typed_partition_values" -> """
+      SELECT n_nationkey, n_name,
+             CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END AS part_value
+      FROM nation ORDER BY n_nationkey""",
+
+    "src_partition_prune" -> """
+      SELECT count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "src_projection_pushdown" -> """
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "src_predicate_pushdown" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_quantity > 45
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "src_snapshot_union" -> """
+      WITH v AS (SELECT * FROM orders WHERE o_orderstatus = 'O')
+      SELECT * FROM (
+        SELECT 'by_year' AS part, CAST(year(o_orderdate) AS VARCHAR) AS key,
+               count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+        FROM v GROUP BY 2
+        UNION ALL
+        SELECT 'by_priority' AS part, o_orderpriority AS key,
+               count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+        FROM v GROUP BY 2)
+      ORDER BY part, key""",
+
+    "q1_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_base_price,
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc_price,
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_charge,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q6_forecast_revenue" -> """
+      SELECT round(coalesce(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE), 0), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24""",
+
+    "q3_shipping_priority" -> """
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+      GROUP BY 1, 2
+      ORDER BY revenue DESC, order_date, l_orderkey
+      LIMIT 10""",
+
+    "q5_local_supplier_volume" -> """
+      SELECT n_name, round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""",
+
+    "q4_order_priority" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q_anti_customers_no_orders" -> """
+      SELECT c_mktsegment, count(*) AS n
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q_outer_customer_orders" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_orders,
+             round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 0), 2) AS spend
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey""",
+
+    "q_topk_revenue_orders" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20""",
+
+    "q_distinct_ship_modes" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q_union_high_value_parties" -> """
+      SELECT * FROM (
+        SELECT c_name AS name, c_acctbal AS bal, 'customer' AS kind
+        FROM customer WHERE c_acctbal > 9000
+        UNION ALL
+        SELECT s_name AS name, s_acctbal AS bal, 'supplier' AS kind
+        FROM supplier WHERE s_acctbal > 9000)
+      ORDER BY kind, name""",
+
+    "q_window_top_parts_per_supplier" -> """
+      WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS rev
+        FROM lineitem GROUP BY 1, 2)
+      SELECT l_suppkey, l_partkey, rev, rnk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY l_suppkey
+                       ORDER BY rev DESC, l_partkey) AS INT) AS rnk
+        FROM sp)
+      WHERE rnk <= 3
+      ORDER BY l_suppkey, rnk""",
+
+    "q_rollup_nation_region" -> """
+      SELECT coalesce(r_name, 'ALL') AS r, coalesce(n_name, 'ALL') AS n,
+             count(*) AS n_cust, round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 2) AS bal
+      FROM nation
+      JOIN region   ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r, n""",
+
+    "q_countd_customers_per_segment" -> """
+      SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q_groupagg_priorities_per_status" -> """
+      SELECT o_orderstatus,
+             string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "q10_returned_items" -> """
+      SELECT c_custkey, c_name, n_name,
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+      FROM customer
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""",
+
+    "q17_small_qty_revenue" -> """
+      SELECT round(coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 0) / 7.0, 2) AS avg_yearly
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#12'
+        AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+
+    "q_pivot_status_by_priority" -> """
+      SELECT o_orderstatus,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+             CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             CAST(sum(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             count(*) AS n
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+  )
 }

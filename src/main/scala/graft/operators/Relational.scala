@@ -1,0 +1,331 @@
+package graft.operators
+
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.A source/connector queries + §2.B MapReduce-replacement
+  * relational core, expressed as declarative DataFrame programs so
+  * Catalyst handles pushdown, pruning, join strategy and AQE.
+  *
+  * Scale notes (100 TB):
+  *  - every groupBy/agg here gets automatic map-side partial
+  *    aggregation (HashAggregate partial→final);
+  *  - dim tables (region/nation/supplier/part at TPC-H ratios) stay
+  *    far below the broadcast threshold → broadcast hash joins, no
+  *    shuffle of the fact table for star joins;
+  *  - top-k uses orderBy+limit → TakeOrderedAndProject (per-partition
+  *    heaps, no global sort);
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once;
+  *    AQE splits skewed partitions at runtime.
+  */
+object Relational {
+
+  private def cat(s: SparkSession, dir: String) = new GraftCatalog(s, dir)
+
+  private def ts(v: String) = to_timestamp(lit(v))
+
+  /** Discounted revenue expression used across TPC-H-style queries. */
+  private def revenueExpr = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Exact-decimal sum of a "money" double column, returned as double.
+    *
+    * The raw inputs carry ≤2 decimals and products of them ≤6, so
+    * casting each term to DECIMAL(28,6) recovers the exact decimal
+    * value; the decimal sum is then order-independent and identical in
+    * any engine — a plain double sum is order-dependent in its last
+    * bits and flips round(x,2) at half-cent boundaries.
+    */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast("double")
+
+  private def dsumr(c: Column, scale: Int = 2): Column = round(dsum(c), scale)
+
+  private def davg(c: Column, scale: Int = 6): Column = round(dsum(c) / count(c), scale)
+
+  // ───────────────────────────── §2.A source layer ─────────────────────────────
+
+  /** A1: schema discovery + full typed scan (MetaUtils.getTableInfo analog). */
+  def srcSchemaScan(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    // Discovery must happen without a data read; then scan in schema order.
+    val fields = c.tableSchema("customer").fieldNames
+    c.table("customer").select(fields.map(col).toIndexedSeq: _*).orderBy("c_custkey")
+  }
+
+  /** A2: partition-define string → typed column round-trip, incl. the
+    * Hive default-partition sentinel → NULL
+    * (reference ArgodbMapreduceRecordReader.java:182-201).
+    */
+  def srcTypedPartitionValues(s: SparkSession, dir: String): DataFrame = {
+    val n = cat(s, dir).table("nation")
+    // Synthesize the partition-define exactly as the reference sees it:
+    // "col=value", with every 5th row carrying the null sentinel.
+    val define = when(col("n_nationkey") % 5 === 0,
+        lit(s"n_regionkey=${GraftCatalog.DefaultPartitionName}"))
+      .otherwise(concat(lit("n_regionkey="), col("n_regionkey").cast("string")))
+    n.withColumn("part_define", define)
+      .withColumn("part_raw", substring_index(col("part_define"), "=", -1))
+      .select(
+        col("n_nationkey"), col("n_name"),
+        when(col("part_raw") === GraftCatalog.DefaultPartitionName, lit(null))
+          .otherwise(col("part_raw")).cast("int").as("part_value"))
+      .orderBy("n_nationkey")
+  }
+
+  /** A3: single-value partition filter prunes the scan
+    * (partitionFilter analog, ArgodbMapreduceInputFormat.java:208-255).
+    */
+  def srcPartitionPrune(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).scan("orders", "o_orderpriority=1-URGENT")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+
+  /** A4: projection pushdown — only 2 of 11 lineitem columns read. */
+  def srcProjectionPushdown(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("lineitem")
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** A5: predicate pushdown to the parquet scan. */
+  def srcPredicatePushdown(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+             col("l_shipdate") <  ts("1997-01-01 00:00:00") &&
+             col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_ts"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** A6: one snapshot feeding two readers (the reference's shared
+    * read-only transaction, ArgodbMapreduceInputFormat.java:52-102).
+    */
+  def srcSnapshotUnion(s: SparkSession, dir: String): DataFrame = {
+    val v = cat(s, dir).table("orders").where(col("o_orderstatus") === "O")
+    val byYear = v.groupBy(year(col("o_orderdate")).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .select(lit("by_year").as("part"), col("key"), col("n"), col("total"))
+    val byPriority = v.groupBy(col("o_orderpriority").as("key"))
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .select(lit("by_priority").as("part"), col("key"), col("n"), col("total"))
+    byYear.unionAll(byPriority).orderBy("part", "key")
+  }
+
+  // ─────────────────────── §2.B relational core ───────────────────────
+
+  /** B1: TPC-H Q1 pricing summary — map+combine+reduce aggregation. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("lineitem")
+      .where(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsumr(col("l_quantity")).as("sum_qty"),
+        dsumr(col("l_extendedprice")).as("sum_base_price"),
+        dsumr(revenueExpr).as("sum_disc_price"),
+        dsumr(revenueExpr * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** B2: TPC-H Q6 forecast revenue — pushdown filter + single agg. */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+             col("l_shipdate") <  ts("1997-01-01 00:00:00") &&
+             col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+             col("l_quantity") < 24)
+      .agg(round(coalesce(dsum(col("l_extendedprice") * col("l_discount")), lit(0.0)), 2).as("revenue"))
+
+  /** B3: TPC-H Q3 shipping priority — join + agg + top-k. */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    c.table("customer").where(col("c_mktsegment") === "BUILDING")
+      .join(c.table("orders"), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") < ts("1996-03-15 00:00:00"))
+      .join(c.table("lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > ts("1996-03-15 00:00:00"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(dsumr(revenueExpr).as("revenue"))
+      .orderBy(col("revenue").desc, col("order_date"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** B4: TPC-H Q5 local supplier volume — star-schema broadcast joins. */
+  def q5LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    c.table("lineitem")
+      .join(c.table("orders"), col("l_orderkey") === col("o_orderkey"))
+      .where(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+             col("o_orderdate") <  ts("1997-01-01 00:00:00"))
+      .join(c.table("customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(c.table("supplier")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(c.table("nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(c.table("region")), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(dsumr(revenueExpr).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** B5: TPC-H Q4 order priority — EXISTS via left-semi join. */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val o = c.table("orders")
+      .where(col("o_orderdate") >= ts("1996-07-01 00:00:00") &&
+             col("o_orderdate") <  ts("1996-10-01 00:00:00"))
+    o.join(c.table("lineitem"),
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** B6: NOT EXISTS via left-anti join — customers with no orders. */
+  def qAntiCustomersNoOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    c.table("customer")
+      .join(c.table("orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** B7: left outer join with null-tolerant aggregation. */
+  def qOuterCustomerOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    c.table("customer")
+      .join(c.table("orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(dsum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** B8: global top-k — TakeOrderedAndProject, no full sort. */
+  def qTopkRevenueOrders(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** B9: distinct — shuffle dedup with partial aggregation. */
+  def qDistinctFlagStatus(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** B10: union of conformed schemas. */
+  def qUnionHighValueParties(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val cust = c.table("customer").where(col("c_acctbal") > 9000)
+      .select(col("c_name").as("name"), col("c_acctbal").as("bal"), lit("customer").as("kind"))
+    val supp = c.table("supplier").where(col("s_acctbal") > 9000)
+      .select(col("s_name").as("name"), col("s_acctbal").as("bal"), lit("supplier").as("kind"))
+    cust.unionAll(supp).orderBy("kind", "name")
+  }
+
+  /** B11: window functions — top-3 parts per supplier by revenue. */
+  def qWindowTopPartsPerSupplier(s: SparkSession, dir: String): DataFrame = {
+    val sp = cat(s, dir).table("lineitem")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(dsumr(revenueExpr).as("rev"))
+    val w = Window.partitionBy("l_suppkey").orderBy(col("rev").desc, col("l_partkey"))
+    sp.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .orderBy("l_suppkey", "rnk")
+  }
+
+  /** B12: rollup — hierarchical region→nation aggregation. */
+  def qRollupNationRegion(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    // rollup().agg() on a joined Dataset trips Spark's ambiguous-self-join
+    // false positive (Expand duplicates the grouping attrs), so the rollup
+    // goes through the SQL path on a temp view — same plan, no dataset-id
+    // metadata.
+    c.table("nation")
+      .join(broadcast(c.table("region")), col("n_regionkey") === col("r_regionkey"))
+      .join(c.table("customer"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("r_name"), col("n_name"), col("c_acctbal"))
+      .createOrReplaceTempView("graft_rollup_base")
+    s.sql("""
+      SELECT coalesce(r_name, 'ALL') AS r, coalesce(n_name, 'ALL') AS n,
+             count(*) AS n_cust,
+             round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 2) AS bal
+      FROM graft_rollup_base
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r, n""")
+  }
+
+  /** B13: exact count-distinct (expand + 2-phase shuffle in Spark). */
+  def qCountdCustomersPerSegment(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("customer")
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"), count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  /** B14: approximate count-distinct — HLL sketch (rows-only check:
+    * sketch estimates are engine-specific).
+    */
+  def qApproxCountdParts(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("lineitem")
+      .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"),
+           count(lit(1)).as("n"))
+
+  /** B15: grouped collection — distinct values gathered per group. */
+  def qGroupaggPrioritiesPerStatus(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("orders")
+      .groupBy("o_orderstatus")
+      .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"))
+      .orderBy("o_orderstatus")
+
+  /** B16: TPC-H Q10 returned items — 4-way join + agg + top-k. */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    c.table("customer")
+      .join(c.table("orders"), col("o_custkey") === col("c_custkey"))
+      .where(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+             col("o_orderdate") <  ts("1996-07-01 00:00:00"))
+      .join(c.table("lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_returnflag") === "R")
+      .join(broadcast(c.table("nation")), col("n_nationkey") === col("c_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(dsumr(revenueExpr).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** B17: TPC-H Q17 small-quantity revenue — per-part average as the
+    * decorrelated threshold join.
+    */
+  def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val li = c.table("lineitem")
+    val thresh = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((avg("l_quantity") * 0.2).as("qty_thresh"))
+    li.join(broadcast(c.table("part").where(col("p_brand") === "Brand#12")),
+        col("l_partkey") === col("p_partkey"))
+      .join(thresh, col("l_partkey") === col("t_partkey"))
+      .where(col("l_quantity") < col("qty_thresh"))
+      .agg(round(coalesce(dsum(col("l_extendedprice")), lit(0.0)) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** B18: conditional aggregation — CASE-WHEN pivot by priority. */
+  def qPivotStatusByPriority(s: SparkSession, dir: String): DataFrame = {
+    def flag(p: String) = sum(when(col("o_orderpriority") === p, 1).otherwise(0)).cast("long")
+    cat(s, dir).table("orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        flag("1-URGENT").as("n_urgent"),
+        flag("2-HIGH").as("n_high"),
+        flag("5-LOW").as("n_low"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+}
