@@ -18,6 +18,9 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
+    // testdata events.parquet carries TIMESTAMP(NANOS) which Spark 4
+    // refuses by default; read as long ns and convert explicitly.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.ui.enabled", "false")
 

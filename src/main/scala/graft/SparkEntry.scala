@@ -43,6 +43,28 @@ object SparkEntry {
     "q10_returned_items"         -> Relational.q10ReturnedItems _,
     "q17_small_qty_revenue"      -> Relational.q17SmallQtyRevenue _,
     "q_pivot_status_by_priority" -> Relational.qPivotStatusByPriority _,
+    // §2.C deduplication
+    "dedup_exact"                -> Dedup.exactDedup _,
+    "dedup_minhash_lsh"          -> Dedup.minhashLsh _,
+    "dedup_simhash"              -> Dedup.simhash _,
+    "dedup_ngram_jaccard"        -> Dedup.ngramJaccard _,
+    "dedup_embedding_cosine"     -> Dedup.embeddingCosine _,
+    // §2.D similarity search
+    "sim_bruteforce_topk"        -> Similarity.bruteForceTopk _,
+    "sim_ivf_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfTopk(s, d)),
+    "sim_lsh_topk"               -> Similarity.lshTopk _,
+    // §2.E text analysis
+    "text_langid"                -> TextAnalysis.langId _,
+    "text_quality"               -> TextAnalysis.quality _,
+    "text_tokens"                -> TextAnalysis.tokens _,
+    "text_fingerprint"           -> TextAnalysis.fingerprint _,
+    // §2.F multimodal
+    "mm_binary_meta"             -> Multimodal.binaryMeta _,
+    "mm_feature_extract"         -> Multimodal.featureExtract _,
+    "mm_frame_sample"            -> Multimodal.frameSample _,
+    // §2.G streaming (batch-equivalent forms; streaming paths in specs)
+    "stream_windowed_counts"     -> graft.streaming.Events.windowedCountsBatch _,
+    "stream_sessionize"          -> graft.streaming.Events.sessionizeBatch _,
   )
 
   /** DuckDB-runnable oracle SQL per query (omitted → rows-only check). */
@@ -241,5 +263,78 @@ object SparkEntry {
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
+
+    "dedup_exact" -> """
+      SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY doc_id""",
+
+    "sim_bruteforce_topk" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+                 FROM embeddings WHERE vec_id < 5),
+           e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+      SELECT query_id, neighbor_id, cos FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(q.q_emb, e.emb) /
+                     (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.emb, e.emb))), 4) AS cos,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.q_emb, e.emb) /
+                          (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.emb, e.emb))) DESC,
+                          e.vec_id) AS rn
+        FROM q, e WHERE e.vec_id <> q.query_id)
+      WHERE rn <= 10
+      ORDER BY query_id, neighbor_id""",
+
+    "text_quality" -> """
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars_m,
+        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        CAST(length(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS n_distinct_tokens,
+        CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+        CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+        CAST(length(list_filter(regexp_extract_all(lower(text), '\S+'),
+             t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stopwords,
+        round(CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+              / greatest(CAST(length(text) AS BIGINT), 1), 6) AS punct_ratio,
+        round(CAST(length(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS DOUBLE)
+              / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT), 1), 6) AS distinct_ratio,
+        round(CAST(length(list_filter(regexp_extract_all(lower(text), '\S+'),
+              t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+              / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT), 1), 6) AS stopword_ratio
+      FROM documents ORDER BY doc_id""",
+
+    "text_tokens" -> """
+      SELECT doc_id,
+        CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+        CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_tokens
+      FROM documents ORDER BY doc_id""",
+
+    "mm_binary_meta" -> """
+      WITH m AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents)
+      SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+      FROM m GROUP BY kind ORDER BY kind""",
+
+    "stream_windowed_counts" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+             count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "stream_sessionize" -> """
+      WITH t AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events)
+      SELECT user_id,
+             CAST(sum(CASE WHEN prev_ts IS NULL
+                           OR ts > prev_ts + INTERVAL 1800 SECOND
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+      FROM t GROUP BY user_id ORDER BY user_id""",
   )
 }

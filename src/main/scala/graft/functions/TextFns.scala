@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-pipeline operators, built from
+  * codegen-friendly `functions._` compositions (no Scala UDFs in hot
+  * paths — every expression here stays inside Catalyst).
+  *
+  * Determinism: all hash lanes derive from xxhash64 plus fixed odd
+  * affine constants, so results are stable across runs and partitions.
+  */
+object TextFns {
+
+  /** Non-whitespace token array. */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** Lower-cased token array. */
+  def tokensLower(text: Column): Column = tokens(lower(text))
+
+  /** k-word shingles as strings ("w1 w2 w3"). Empty array when the
+    * document has fewer than k tokens.
+    */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** xxhash64 of every shingle — the single string-hash pass; all
+    * minhash lanes are cheap affine transforms of these.
+    */
+  def shingleHashes(shingles: Column): Column = transform(shingles, s => xxhash64(s))
+
+  /** n-lane minhash signature: lane i = min over shingles of
+    * xxhash64(i, h). One string hash per shingle, then n native
+    * long-hash mixes — O(n·|shingles|) cheap ops, map-side, and no
+    * long overflow under ANSI mode (an affine a*h+b lane would throw).
+    */
+  def minhashSignature(hashes: Column, n: Int): Column =
+    array((0 until n).map { i =>
+      coalesce(
+        array_min(transform(hashes, h => xxhash64(lit(i), h))),
+        lit(Long.MaxValue))
+    }: _*)
+
+  /** LSH banding: split an n-lane signature into `bands` bands and
+    * hash each band to a single long. Returns array of band hashes
+    * (index in the array = band id).
+    */
+  def bandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      aggregate(
+        slice(signature, b * rowsPerBand + 1, rowsPerBand),
+        lit(1125899906842597L),
+        (acc, x) => xxhash64(acc, x))
+    }: _*)
+
+  /** Estimated Jaccard from two equal-length minhash signatures:
+    * fraction of agreeing lanes.
+    */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
+
+  /** Exact Jaccard over two shingle-set arrays. */
+  def exactJaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** 64-bit SimHash from token hashes: bit i is set when more than
+    * half the tokens have bit i set in their hash. Weightless variant;
+    * O(64·|tokens|) cheap ops, map-side.
+    */
+  def simhash64(hashes: Column): Column =
+    (0 until 64).map { i =>
+      val ones = aggregate(hashes, lit(0),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)).cast("int"))
+      when(ones * 2 > size(hashes), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Split a 64-bit signature into 4 16-bit sub-keys (for hamming-
+    * bucketed candidate generation: distance ≤ 3 ⇒ at least one
+    * sub-key matches exactly).
+    */
+  def simhashBands(sig: Column): Column =
+    array((0 until 4).map(b => shiftrightunsigned(sig, b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+
+  /** Winnowing fingerprint: k-char shingle rolling hashes → sliding
+    * window of w → per-window minimum → distinct sorted mins.
+    * (Schleimer et al., SIGMOD 2003 winnowing scheme.)
+    */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+    val grams = when(length(text) >= k,
+      transform(sequence(lit(0), length(text) - k),
+        i => xxhash64(text.substr(i + 1, lit(k)))))
+      .otherwise(array(xxhash64(text)))
+    val mins = when(size(grams) >= w,
+      transform(sequence(lit(0), size(grams) - w),
+        i => array_min(slice(grams, i + 1, lit(w)))))
+      .otherwise(array(array_min(grams)))
+    array_sort(array_distinct(mins))
+  }
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic (tiny, public common-word lists).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for", "with", "as", "his", "on", "be"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "des", "im", "nicht", "ein", "eine", "auf"),
+    "es" -> Seq("de", "la", "que", "el", "en", "y", "los", "del", "se", "las", "por", "un", "con", "una", "para"),
+    "fr" -> Seq("de", "la", "le", "et", "les", "des", "en", "un", "du", "une", "que", "est", "dans", "qui", "par"),
+    "zh" -> Seq("的", "了", "在", "是", "我", "有", "和", "就", "不", "人", "都", "一", "一个", "上", "也"))
+
+  /** Language-ID: per-language stopword hit counts over lower-cased
+    * tokens; prediction = argmax (ties broken by language code order
+    * via struct comparison). Returns struct(pred, score).
+    */
+  def langIdScores(toks: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+      struct(hits.as("score"), lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*))
+  }
+}

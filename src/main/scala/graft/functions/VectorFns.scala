@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over `array<float>` embedding columns, computed
+  * in double precision via codegen-friendly higher-order functions.
+  */
+object VectorFns {
+
+  /** Cast an array<float> to array<double> for stable double math. */
+  def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (inputs already double arrays). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane component (no RNG state:
+    * derived from a splitmix64-style integer mix so every engine/run
+    * agrees).
+    */
+  private def planeComponent(plane: Int, d: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (Math.floorMod(z, 2000001L) - 1000000L) / 1000000.0
+  }
+
+  /** Fixed random-hyperplane set: `nPlanes` x `dim` doubles. */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)(planeComponent)
+
+  /** Random-hyperplane LSH signature: bit j = sign(v · plane_j).
+    * Returns an int bucket id in [0, 2^nPlanes).
+    */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val proj = aggregate(
+        zip_with(v, typedLit(p.toSeq), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_.bitwiseOR(_))
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.functions.{TextFns, VectorFns}
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.C deduplication operators over the `documents` / `embeddings`
+  * tables.
+  *
+  * Scale design (100 TB): every variant is
+  *   map-side signature → one shuffle on the bucket key →
+  *   bounded within-bucket pair join → verification.
+  * Signatures (minhash lanes, simhash bits, LSH buckets) are computed
+  * in a single pass with codegen-friendly expressions, so the only
+  * wide exchange is the bucket join; candidate pairs are deduped
+  * before any expensive verification.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    new GraftCatalog(s, dir).table("documents")
+
+  /** C1: exact dedup — hash-groupBy on full text, keep min doc_id.
+    * (At 100 TB: group on xxhash64(text)+length first, verify text
+    * equality within hash groups; here text fits the group key.)
+    */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  /** Signature table shared by the minhash pipeline: doc_id, shingle
+    * set, 64-lane minhash, 16 band hashes.
+    */
+  private[operators] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextFns.wordShingles(TextFns.tokensLower(col("text")), 3)
+    // cache(): CollapseProject would otherwise inline the whole
+    // text→shingles→64-lane pipeline into EVERY downstream reference —
+    // each candidate pair would re-tokenize both documents. At scale
+    // this materialization is the signature table you would persist.
+    docs(s, dir)
+      .select(col("doc_id"), sh.as("shingles"))
+      .withColumn("sig", TextFns.minhashSignature(TextFns.shingleHashes(col("shingles")), 64))
+      .withColumn("bands", TextFns.bandHashes(col("sig"), 16, 4))
+      .cache()
+  }
+
+  /** C2: MinHash+LSH near-dup: shingle → 64-lane minhash → 16 bands ×
+    * 4 rows → bucket self-join → estimated-Jaccard ranking.
+    * Top-200 candidate pairs by estimated Jaccard (deterministic order).
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(s, dir)
+    val exploded = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val a = exploded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = exploded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    // dedup candidate pairs BEFORE the (comparatively) expensive
+    // signature comparison — a pair colliding in k bands must be
+    // scored once, not k times.
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        TextFns.estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(200)
+  }
+
+  /** C3: SimHash near-dup: 64-bit signature, 4×16-bit band buckets
+    * (hamming ≤ 3 ⇒ some band collides), pairs ranked by hamming.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = docs(s, dir)
+      .select(col("doc_id"),
+        TextFns.simhash64(
+          TextFns.shingleHashes(TextFns.tokensLower(col("text")))).as("sig"))
+      .withColumn("bands", TextFns.simhashBands(col("sig")))
+      .cache()
+    val exploded = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val a = exploded.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = exploded.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band_idx", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        TextFns.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(200)
+  }
+
+  /** C4: exact n-gram Jaccard verification join on candidate pairs
+    * (candidates from the LSH band buckets, verified against the full
+    * shingle sets — the verify step of the C2 pipeline).
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(s, dir)
+    val candidates = {
+      val exploded = sigs.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      val a = exploded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+      val b = exploded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("band_idx", "band_hash"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }
+    val sh = sigs.select(col("doc_id"), col("shingles"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(TextFns.exactJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(200)
+  }
+
+  /** C5: embedding-cosine near-dup: random-hyperplane LSH buckets →
+    * within-bucket exact cosine → top pairs.
+    */
+  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val planes = VectorFns.hyperplanes(8, 64)
+    val e = new GraftCatalog(s, dir).table("embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
+      .withColumn("bucket", VectorFns.lshBucket(col("emb"), planes))
+      .cache()
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorFns.cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(200)
+  }
+}

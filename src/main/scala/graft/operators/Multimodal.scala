@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.F multimodal columns: opaque `binary` payloads + typed metadata,
+  * with decode/feature-extract/frame-sample plumbing.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub (byte-level statistics standing
+  * in for pixel/sample decoding). Everything around it — schema,
+  * batched per-partition processing, explode fan-out — is the real
+  * Spark plumbing a codec-backed implementation would use (on PySpark
+  * this layer is `mapInPandas`; the Scala-native equivalent is
+  * `mapPartitions` over row batches).
+  */
+object Multimodal {
+
+  /** Synthesize the multimodal table: payload bytes from the document
+    * text (deterministic), kind from doc_id, plus typed metadata.
+    */
+  private[operators] def mmTable(s: SparkSession, dir: String): DataFrame =
+    new GraftCatalog(s, dir).table("documents")
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"))
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("kind").as("media_type")))
+
+  /** F1: binary payload + metadata aggregation (oracle-able). */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame =
+    mmTable(s, dir)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), sum(col("meta.n_bytes")).as("total_bytes"))
+      .orderBy("kind")
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("kind", StringType),
+    StructField("n_bytes", LongType),
+    StructField("byte_mean", DoubleType),
+    StructField("byte_hist", ArrayType(LongType))))
+
+  /** F2: batched per-partition "decode + feature extraction". The
+    * decode stub computes byte statistics; a real build would swap in
+    * a codec here and keep the identical batch shape.
+    */
+  def featureExtract(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
+    val in = mmTable(s, dir).select("doc_id", "kind", "payload")
+    val out = in.mapPartitions { rows =>
+      // Process in fixed-size batches, mirroring a vectorized decode
+      // (mapInPandas batch shape): the stub is per-batch so batch
+      // boundaries are observable in a real codec swap-in.
+      rows.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val kind = r.getString(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          // STUB DECODE: byte-level statistics in place of a codec.
+          val hist = new Array[Long](8)
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val u = bytes(i) & 0xFF
+            hist(u >> 5) += 1
+            sum += u
+            i += 1
+          }
+          val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+          Row(id, kind, bytes.length.toLong, math.rint(mean * 1e6) / 1e6, hist.toSeq)
+        }
+      }
+    }(enc)
+    out.orderBy("doc_id")
+  }
+
+  /** F3: frame sampling — one video payload fans out to N frame rows
+    * (N deterministic from payload size), each frame a byte slice.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val vids = mmTable(s, dir).where(col("kind") === "video")
+    val nFrames = (col("meta.n_bytes") % 5 + 1).cast("int")
+    vids
+      .select(col("doc_id"), col("payload"), col("meta.n_bytes").as("n_bytes"),
+        posexplode(sequence(lit(0), nFrames - 1)).as(Seq("frame_idx", "frame_no")))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        // STUB FRAME DECODE: a 16-byte slice stands in for a decoded frame.
+        col("payload").substr((col("frame_idx") * 16 + 1).cast("int"), lit(16)).as("frame_bytes"),
+        col("n_bytes"))
+      .withColumn("frame_len", length(col("frame_bytes")).cast("long"))
+      .orderBy("doc_id", "frame_idx")
+  }
+}

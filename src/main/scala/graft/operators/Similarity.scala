@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.D similarity search over the `embeddings` table.
+  *
+  * Scale design (100 TB): the query set is tiny and broadcast; the
+  * corpus scan is a single pass. Brute force is the exactness
+  * baseline (per-partition top-k heaps via window row_number after a
+  * broadcast nested-loop join); IVF prunes the scan to the probed
+  * centroid lists; hyperplane LSH prunes to matching buckets.
+  */
+object Similarity {
+
+  private val K = 10
+  private val NQueries = 5
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    new GraftCatalog(s, dir).table("embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
+
+  /** D1: brute-force cosine top-k for the first NQueries vectors. */
+  def bruteForceTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFns.cosine(col("q_emb"), col("emb")).as("cos_raw"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= K)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos_raw"), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** D2: IVF-style ANN — fixed centroid sample, nearest-centroid
+    * assignment (inverted lists), queries probe the top-`nprobe`
+    * centroid lists, exact cosine within. At scale the corpus is
+    * pre-partitioned by centroid so a probe touches nprobe/nlist of
+    * the data.
+    */
+  def ivfTopk(s: SparkSession, dir: String, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = emb(s, dir)
+    // Deterministic centroid choice: the first nCentroids vectors
+    // (k-means would refine these; selection is round-2 work).
+    val centroids = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("int").as("centroid_id"), col("emb").as("c_emb"))
+
+    // Assignment: argmax cosine over broadcast centroids.
+    val assigned = e.join(broadcast(centroids), expr("true"))
+      .select(col("vec_id"), col("emb"), col("centroid_id"),
+        VectorFns.cosine(col("emb"), col("c_emb")).as("c_cos"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id"))
+    val lists = assigned.withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("centroid_id"))
+
+    // Queries probe their nProbe nearest centroids.
+    val q = emb(s, dir).where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val probes = q.join(broadcast(centroids), expr("true"))
+      .select(col("query_id"), col("q_emb"), col("centroid_id"),
+        VectorFns.cosine(col("q_emb"), col("c_emb")).as("c_cos"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("c_cos").desc, col("centroid_id"))
+    val probed = probes.withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+
+    // Exact cosine within probed lists only.
+    val scored = probed.join(lists, Seq("centroid_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFns.cosine(col("q_emb"), col("emb")).as("cos_raw"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= K)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos_raw"), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** D3: random-hyperplane LSH ANN — 8-bit signatures (256 buckets);
+    * queries search only their own bucket.
+    */
+  def lshTopk(s: SparkSession, dir: String): DataFrame = {
+    val planes = VectorFns.hyperplanes(8, 64)
+    val e = emb(s, dir).withColumn("bucket", VectorFns.lshBucket(col("emb"), planes))
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFns.cosine(col("q_emb"), col("emb")).as("cos_raw"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= K)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos_raw"), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.functions.TextFns
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.E text analysis over the `documents` table. All metrics are
+  * single-pass, map-only expressions (no shuffle except the output
+  * ordering), so throughput scales linearly with input splits.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    new GraftCatalog(s, dir).table("documents")
+
+  /** E1: language ID via per-language stopword scoring (rows-only:
+    * the heuristic itself has no SQL oracle; accuracy is spec-tested).
+    */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("pick", TextFns.langIdScores(TextFns.tokensLower(col("text"))))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        col("pick.lang").as("pred_lang"), col("pick.score").as("stopword_hits"))
+      .orderBy("doc_id")
+
+  /** E2: quality scoring — exact integer counts + deterministic ratios. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val toksLower = TextFns.tokensLower(col("text"))
+    val nTokens = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toksLower)).cast("long")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast("long")
+    val nDigits = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("long")
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is")
+    val nStop = size(filter(toksLower, t => t.isin(stop.map(_.asInstanceOf[Any]): _*))).cast("long")
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      nTokens.as("n_tokens"),
+      nDistinct.as("n_distinct_tokens"),
+      nPunct.as("n_punct"),
+      nDigits.as("n_digits"),
+      nStop.as("n_stopwords"),
+      round(nPunct.cast("double") / greatest(length(col("text")).cast("long"), lit(1L)), 6).as("punct_ratio"),
+      round(nDistinct.cast("double") / greatest(nTokens, lit(1L)), 6).as("distinct_ratio"),
+      round(nStop.cast("double") / greatest(nTokens, lit(1L)), 6).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** E3: token counting — whitespace, BPE-ish regex, chars/4 estimate. */
+  def tokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_tokens"),
+      ceil(length(col("text")) / lit(4.0)).cast("long").as("approx_tokens"))
+      .orderBy("doc_id")
+
+  /** E4: winnowing document fingerprints (k=8 chars, window=4) —
+    * rows-only (xxhash64 is engine-specific); stability spec-tested.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("fp", TextFns.winnowingFingerprints(col("text"), 8, 4))
+      .select(col("doc_id"), size(col("fp")).cast("long").as("n_fingerprints"),
+        col("fp").getItem(0).as("min_fingerprint"))
+      .orderBy("doc_id")
+}

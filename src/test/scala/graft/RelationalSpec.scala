@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Relational
+import graft.sources.{GraftCatalog, HiveTypeMapping}
+import org.apache.spark.sql.types._
+
+class RelationalSpec extends SparkSpecBase {
+
+  test("q1 pricing summary groups all flag/status combos") {
+    val rows = Relational.q1PricingSummary(spark, sfDir).collect()
+    assert(rows.length === 6)
+    val expected = new GraftCatalog(spark, sfDir).table("lineitem")
+      .where("l_shipdate <= timestamp'1998-09-02 00:00:00'").count()
+    assert(rows.map(_.getLong(9)).sum === expected) // count_order covers the filtered lines
+  }
+
+  test("q6 revenue is a single positive scalar") {
+    val r = Relational.q6ForecastRevenue(spark, sfDir).collect()
+    assert(r.length === 1 && r(0).getDouble(0) > 0)
+  }
+
+  test("top-k plan uses TakeOrderedAndProject (no global sort)") {
+    val plan = Relational.qTopkRevenueOrders(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("q5 star join broadcasts the dims") {
+    val plan = Relational.q5LocalSupplierVolume(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val plan = Relational.srcPredicatePushdown(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("l_quantity"), plan.take(800))
+  }
+
+  test("projection pushdown prunes the read schema") {
+    val plan = Relational.srcProjectionPushdown(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"), plan.take(800))
+  }
+
+  test("anti join + outer join row accounting agree") {
+    val nCustomers = new GraftCatalog(spark, sfDir).table("customer").count()
+    val noOrders = Relational.qAntiCustomersNoOrders(spark, sfDir)
+      .collect().map(_.getLong(1)).sum
+    val outer = Relational.qOuterCustomerOrders(spark, sfDir).collect()
+    assert(outer.length === nCustomers)
+    assert(outer.count(_.getLong(1) == 0L) === noOrders)
+  }
+
+  test("catalog partition filter equals typed where-clause") {
+    val c = new GraftCatalog(spark, sfDir)
+    val viaFilter = c.scan("orders", "o_orderpriority=1-URGENT").count()
+    val viaWhere = c.table("orders").where("o_orderpriority = '1-URGENT'").count()
+    assert(viaFilter === viaWhere && viaFilter > 0)
+  }
+
+  test("catalog rejects bad filters like the reference") {
+    val c = new GraftCatalog(spark, sfDir)
+    assertThrows[IllegalArgumentException](c.scan("orders", "nope=1").count())
+    assertThrows[IllegalArgumentException](c.scan("orders", "no_equals").count())
+  }
+
+  test("hive type mapping round-trips the reference's type surface") {
+    val types = Seq("boolean", "tinyint", "smallint", "int", "bigint",
+      "float", "double", "decimal(10,2)", "string", "binary", "date", "timestamp")
+    types.foreach { t =>
+      val dt = HiveTypeMapping.toSparkType(t)
+      assert(HiveTypeMapping.toSparkType(HiveTypeMapping.toHiveName(dt)) === dt, t)
+    }
+    assertThrows[IllegalArgumentException](HiveTypeMapping.toSparkType("map<int,int>"))
+  }
+
+  test("default-partition sentinel becomes null") {
+    import org.apache.spark.sql.functions.col
+    val out = Relational.srcTypedPartitionValues(spark, sfDir)
+      .where(col("n_nationkey") % 5 === 0).collect()
+    assert(out.nonEmpty && out.forall(_.isNullAt(2)))
+  }
+}

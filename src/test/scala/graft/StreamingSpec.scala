@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.Events
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming windowed counts match the batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("click", ts("2024-01-01 10:05:00"), 1.0),
+      ("click", ts("2024-01-01 10:45:00"), 2.0),
+      ("view",  ts("2024-01-01 10:50:00"), 3.0),
+      ("click", ts("2024-01-01 11:05:00"), 4.0))
+    val stream = MemoryStream[(String, Timestamp, Double)]
+    stream.addData(rows: _*)
+    val df = stream.toDF.toDF("event_type", "ts", "value")
+    val q = Events.windowedCountsStream(df)
+      .writeStream.format("memory").queryName("wc_out")
+      .outputMode(OutputMode.Update).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wc_out")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === Set(
+      ("2024-01-01 10:00:00", "click", 2L, 3.0),
+      ("2024-01-01 10:00:00", "view", 1L, 3.0),
+      ("2024-01-01 11:00:00", "click", 1L, 4.0)))
+  }
+
+  test("stateful sessionization counts gap-separated sessions per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Events.Ev]
+    stream.addData(
+      Events.Ev(1L, ts("2024-01-01 10:00:00")),
+      Events.Ev(1L, ts("2024-01-01 10:10:00")), // same session (10 min gap)
+      Events.Ev(1L, ts("2024-01-01 11:00:00")), // new session (50 min gap)
+      Events.Ev(2L, ts("2024-01-01 09:00:00")))
+    val q = Events.sessionizeStream(stream.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Update).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === (2L, 3L))
+    assert(got(2L) === (1L, 1L))
+  }
+
+  test("incremental batches keep session state across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Events.Ev]
+    val q = Events.sessionizeStream(stream.toDS())
+      .writeStream.format("memory").queryName("sess_inc")
+      .outputMode(OutputMode.Update).start()
+    stream.addData(Events.Ev(5L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    stream.addData(Events.Ev(5L, ts("2024-01-01 10:05:00"))) // same session
+    stream.addData(Events.Ev(5L, ts("2024-01-01 12:00:00"))) // new session
+    q.processAllAvailable()
+    q.stop()
+    // last update for user 5 reflects all three events / two sessions
+    val last = spark.table("sess_inc").collect()
+      .filter(_.getLong(0) == 5L).last
+    assert((last.getLong(1), last.getLong(2)) === (2L, 3L))
+  }
+
+  test("batch sessionize on sf0.001 events is consistent") {
+    val out = Events.sessionizeBatch(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(2))
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.TextFns
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpecBase {
+
+  test("quality metrics exact on a crafted document") {
+    import spark.implicits._
+    val df = Seq((1L, "The cat, the dog; and 42 birds!")).toDF("doc_id", "text")
+    val toks = TextFns.tokens(col("text"))
+    val out = df.select(
+      size(toks).as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).as("n_punct"),
+      size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).as("n_digits"),
+      size(filter(TextFns.tokensLower(col("text")),
+        t => t.isin("the", "a", "of", "and", "in", "to", "is"))).as("n_stop"))
+      .collect()(0)
+    assert(out.getInt(0) === 7)   // The cat, the dog; and 42 birds!
+    assert(out.getInt(1) === 3)   // , ; !
+    assert(out.getInt(2) === 2)   // 4 2
+    assert(out.getInt(3) === 3)   // the, the, and
+  }
+
+  test("langid picks the language whose stopwords dominate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat of the house and the dog"),
+      (2L, "der hund und die katze mit der maus"),
+      (3L, "la casa de la playa y los perros"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextFns.langIdScores(TextFns.tokensLower(col("text"))).getField("lang").as("pred"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "es")
+  }
+
+  test("winnowing fingerprints overlap heavily for shared substrings") {
+    import spark.implicits._
+    val shared = "common shared substring that is long enough to fingerprint reliably"
+    val df = Seq(
+      (1L, s"$shared with suffix one"),
+      (2L, s"$shared with suffix two"),
+      (3L, "completely different text that shares nothing at all with others"))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+      TextFns.winnowingFingerprints(col("text"), 8, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val sim12 = (fp(1L) intersect fp(2L)).size.toDouble / (fp(1L) union fp(2L)).size
+    val sim13 = (fp(1L) intersect fp(3L)).size.toDouble / (fp(1L) union fp(3L)).size
+    assert(sim12 > 0.5, s"sim12=$sim12")
+    assert(sim13 < 0.2, s"sim13=$sim13")
+  }
+
+  test("token operators run on sf0.001 and agree on whitespace counts") {
+    val q = TextAnalysis.quality(spark, sfDir).collect()
+    val t = TextAnalysis.tokens(spark, sfDir).collect()
+    assert(q.length === t.length)
+    val qTokens = q.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    t.foreach(r => assert(r.getLong(1) === qTokens(r.getLong(0))))
+  }
+}
