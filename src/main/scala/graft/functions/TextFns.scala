@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** Text primitives for the LLM-pipeline operators, built from
   * codegen-friendly `functions._` compositions (no Scala UDFs in hot
@@ -32,17 +33,20 @@ object TextFns {
     */
   def shingleHashes(shingles: Column): Column = transform(shingles, s => xxhash64(s))
 
+  /** Native k-token shingle hashing with no shingle-string
+    * materialization (see WordShingleHashesExpr); k=1 gives plain
+    * token hashes.
+    */
+  def wordShingleHashes(toks: Column, k: Int): Column =
+    Bridge.column(WordShingleHashesExpr(Bridge.expression(toks), k))
+
   /** n-lane minhash signature: lane i = min over shingles of
-    * xxhash64(i, h). One string hash per shingle, then n native
-    * long-hash mixes — O(n·|shingles|) cheap ops, map-side, and no
-    * long overflow under ANSI mode (an affine a*h+b lane would throw).
+    * XXH64(h, seed_i) — a native single-pass Catalyst expression (the
+    * HOF formulation allocates a lane-sized array per lane and boxes
+    * every lambda call; see expressions.scala).
     */
   def minhashSignature(hashes: Column, n: Int): Column =
-    array((0 until n).map { i =>
-      coalesce(
-        array_min(transform(hashes, h => xxhash64(lit(i), h))),
-        lit(Long.MaxValue))
-    }: _*)
+    Bridge.column(MinHashSignatureExpr(Bridge.expression(hashes), n))
 
   /** LSH banding: split an n-lane signature into `bands` bands and
     * hash each band to a single long. Returns array of band hashes
@@ -75,11 +79,7 @@ object TextFns {
     * O(64·|tokens|) cheap ops, map-side.
     */
   def simhash64(hashes: Column): Column =
-    (0 until 64).map { i =>
-      val ones = aggregate(hashes, lit(0),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)).cast("int"))
-      when(ones * 2 > size(hashes), lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    Bridge.column(SimHash64Expr(Bridge.expression(hashes)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

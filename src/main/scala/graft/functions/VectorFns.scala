@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** Vector primitives over `array<float>` embedding columns, computed
   * in double precision via codegen-friendly higher-order functions.
@@ -16,8 +17,12 @@ object VectorFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity (inputs already double arrays). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity (inputs already double arrays) — native
+    * single-pass expression; bit-identical to
+    * dot(a,b)/(norm(a)*norm(b)) with sequential accumulation.
+    */
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarityExpr(Bridge.expression(a), Bridge.expression(b)))
 
   /** Deterministic pseudo-random hyperplane component (no RNG state:
     * derived from a splitmix64-style integer mix so every engine/run
@@ -39,10 +44,5 @@ object VectorFns {
     * Returns an int bucket id in [0, 2^nPlanes).
     */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      val proj = aggregate(
-        zip_with(v, typedLit(p.toSeq), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_.bitwiseOR(_))
+    Bridge.column(HyperplaneLshExpr(Bridge.expression(v), planes))
 }

@@ -36,14 +36,14 @@ object Dedup {
     * set, 64-lane minhash, 16 band hashes.
     */
   private[operators] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = TextFns.wordShingles(TextFns.tokensLower(col("text")), 3)
+    val sh = TextFns.tokensLower(col("text"))
     // cache(): CollapseProject would otherwise inline the whole
     // text→shingles→64-lane pipeline into EVERY downstream reference —
     // each candidate pair would re-tokenize both documents. At scale
     // this materialization is the signature table you would persist.
     docs(s, dir)
-      .select(col("doc_id"), sh.as("shingles"))
-      .withColumn("sig", TextFns.minhashSignature(TextFns.shingleHashes(col("shingles")), 64))
+      .select(col("doc_id"), array_distinct(TextFns.wordShingleHashes(sh, 3)).as("hashes"))
+      .withColumn("sig", TextFns.minhashSignature(col("hashes"), 64))
       .withColumn("bands", TextFns.bandHashes(col("sig"), 16, 4))
       .cache()
   }
@@ -77,10 +77,14 @@ object Dedup {
     * (hamming ≤ 3 ⇒ some band collides), pairs ranked by hamming.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = docs(s, dir)
+    // materialize token hashes first: the 64 bit-count aggregates each
+    // reference the cached array instead of re-tokenizing the text 64x.
+    val hashes = docs(s, dir)
       .select(col("doc_id"),
-        TextFns.simhash64(
-          TextFns.shingleHashes(TextFns.tokensLower(col("text")))).as("sig"))
+        TextFns.wordShingleHashes(TextFns.tokensLower(col("text")), 1).as("hashes"))
+      .cache()
+    val sigs = hashes
+      .select(col("doc_id"), TextFns.simhash64(col("hashes")).as("sig"))
       .withColumn("bands", TextFns.simhashBands(col("sig")))
       .cache()
     val exploded = sigs.select(col("doc_id"),
@@ -114,10 +118,13 @@ object Dedup {
         .where(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
     }
-    val sh = sigs.select(col("doc_id"), col("shingles"))
+    // verify on the distinct shingle-hash sets: set-Jaccard over longs,
+    // ~10x cheaper per pair than string-array intersection (hash
+    // collisions at 64 bits are negligible).
+    val sh = sigs.select(col("doc_id"), col("hashes"))
     candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("hashes").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("hashes").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(TextFns.exactJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
