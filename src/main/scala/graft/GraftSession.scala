@@ -21,6 +21,9 @@ object GraftSession {
     // testdata events.parquet carries TIMESTAMP(NANOS) which Spark 4
     // refuses by default; read as long ns and convert explicitly.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.warehouse.dir",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_warehouse/spark")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.ui.enabled", "false")
 

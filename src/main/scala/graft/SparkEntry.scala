@@ -24,6 +24,8 @@ object SparkEntry {
     "src_projection_pushdown"    -> Relational.srcProjectionPushdown _,
     "src_predicate_pushdown"     -> Relational.srcPredicatePushdown _,
     "src_snapshot_union"         -> Relational.srcSnapshotUnion _,
+    "src_partitioned_sink"       -> Relational.srcPartitionedSink _,
+    "src_bucketed_join"          -> Relational.srcBucketedJoin _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
     "q6_forecast_revenue"        -> Relational.q6ForecastRevenue _,
@@ -43,6 +45,16 @@ object SparkEntry {
     "q10_returned_items"         -> Relational.q10ReturnedItems _,
     "q17_small_qty_revenue"      -> Relational.q17SmallQtyRevenue _,
     "q_pivot_status_by_priority" -> Relational.qPivotStatusByPriority _,
+    "q7_volume_shipping"         -> Analytic.q7VolumeShipping _,
+    "q8_market_share"            -> Analytic.q8MarketShare _,
+    "q9_product_profit"          -> Analytic.q9ProductProfit _,
+    "q_argmax_customer_per_nation" -> Analytic.qArgmaxCustomerPerNation _,
+    "q_cube_status_priority"     -> Analytic.qCubeStatusPriority _,
+    "q_grouping_sets"            -> Analytic.qGroupingSets _,
+    "q_percentile_quantity"      -> Analytic.qPercentileQuantity _,
+    "q_asof_event_order"         -> Analytic.qAsofEventOrder _,
+    "q_salted_join_revenue"      -> Analytic.qSaltedJoinRevenue _,
+    "q1_sql"                     -> Analytic.q1Sql _,
     // §2.C deduplication
     "dedup_exact"                -> Dedup.exactDedup _,
     "dedup_minhash_lsh"          -> Dedup.minhashLsh _,
@@ -263,6 +275,119 @@ object SparkEntry {
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
+
+    "src_partitioned_sink" -> """
+      SELECT count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "src_bucketed_join" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q7_volume_shipping" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS yr,
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q8_market_share" -> """
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+                        ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 6) AS mkt_share
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA'
+      GROUP BY 1 ORDER BY 1""",
+
+    "q9_product_profit" -> """
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS yr,
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 - p_retailprice * 0.1 * l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS profit
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_type LIKE '%PROMO%'
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_argmax_customer_per_nation" -> """
+      SELECT n_name, c_custkey, c_name, c_acctbal FROM (
+        SELECT n_name, c_custkey, c_name, c_acctbal,
+               row_number() OVER (PARTITION BY n_name
+                 ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      WHERE rn = 1 ORDER BY n_name""",
+
+    "q_cube_status_priority" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
+
+    "q_grouping_sets" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+             count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+      ORDER BY status, yr""",
+
+    "q_percentile_quantity" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+             round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+             count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_asof_event_order" -> """
+      WITH m AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      SELECT event_id, user_id, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      FROM m WHERE rn = 1 ORDER BY event_id""",
+
+    "q_salted_join_revenue" -> """
+      SELECT o_orderpriority,
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""",
+
+    "q1_sql" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
 
     "dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** §2.B extension: multi-nation joins, cube/grouping-sets, exact
+  * percentiles, argmax-per-group, as-of join, salted skew join, and
+  * the SQL-text surface. Same Spark-first rules as Relational.
+  */
+object Analytic {
+
+  private def cat(s: SparkSession, dir: String) = new GraftCatalog(s, dir)
+
+  private def ts(v: String) = to_timestamp(lit(v))
+
+  private def revenueExpr = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast("double")
+
+  private def dsumr(c: Column, scale: Int = 2): Column = round(dsum(c), scale)
+
+  /** B19 (TPC-H Q7): volume shipping between two nations, by year and
+    * direction. Nation dims broadcast twice under different aliases.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val n1 = c.table("nation").select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = c.table("nation").select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    c.table("lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+             col("l_shipdate") <  ts("1998-01-01 00:00:00"))
+      .join(c.table("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(c.table("customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(c.table("supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+             (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("yr"))
+      .agg(dsumr(revenueExpr).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "yr")
+  }
+
+  /** B20 (TPC-H Q8): market share of NATION_3 suppliers among ASIA
+    * customers, by order year — conditional share of exact sums.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val suppNation = c.table("nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val base = c.table("lineitem")
+      .join(c.table("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(c.table("customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(c.table("nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(c.table("region")), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .join(broadcast(c.table("supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+    base
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(
+        dsum(when(col("supp_nation") === "NATION_3", revenueExpr).otherwise(0.0)).as("target_rev"),
+        dsum(revenueExpr).as("all_rev"))
+      .select(col("yr"), round(col("target_rev") / col("all_rev"), 6).as("mkt_share"))
+      .orderBy("yr")
+  }
+
+  /** B21 (TPC-H Q9): pseudo-profit (revenue − 10% retail cost) for
+    * PROMO parts by supplier nation and year.
+    */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val amount = revenueExpr - col("p_retailprice") * 0.1 * col("l_quantity")
+    c.table("lineitem")
+      .join(broadcast(c.table("part").where(col("p_type").like("%PROMO%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(c.table("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c.table("supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c.table("nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("yr"))
+      .agg(dsumr(amount).as("profit"))
+      .orderBy("nation", "yr")
+  }
+
+  /** B22: argmax per group — wealthiest customer per nation (window
+    * rank over broadcast-joined dims, deterministic tie-break).
+    */
+  def qArgmaxCustomerPerNation(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val w = Window.partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.table("customer")
+      .join(broadcast(c.table("nation")), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("n_name"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("n_name")
+  }
+
+  /** B23: cube — all aggregation combinations over status × priority. */
+  def qCubeStatusPriority(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** B24: grouping sets — chosen aggregation levels in one pass
+    * (SQL-text path; the reference's MapReduce consumer would run one
+    * job per level).
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    cat(s, dir).table("orders").createOrReplaceTempView("graft_gs_orders")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(CAST(year(o_orderdate) AS STRING), 'ALL') AS yr,
+             count(*) AS n
+      FROM graft_gs_orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+      ORDER BY status, yr""")
+  }
+
+  /** B25: exact percentiles (distributed sort-based) over integer-
+    * valued quantities — interpolation stays exact in both engines.
+    */
+  def qPercentileQuantity(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** B26: as-of join — each event matched to the user's most recent
+    * order at event time (composed join + window; a dedicated
+    * SparkPlan would replace this if the probe side outgrew it).
+    */
+  def qAsofEventOrder(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val ev = graft.streaming.Events.eventsTable(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val w = Window.partitionBy("event_id").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    ev.join(c.table("orders"),
+        col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy("event_id")
+  }
+
+  /** B27: salted skew join — the fact side carries a deterministic
+    * salt, the build side is exploded ×8, so one hot key spreads over
+    * 8 shuffle partitions. Result identical to the unsalted join.
+    */
+  def qSaltedJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val salted = c.table("lineitem")
+      .withColumn("salt", pmod(col("l_linenumber"), lit(8)))
+    val ordersExploded = c.table("orders")
+      .withColumn("salt", explode(sequence(lit(0), lit(7))))
+    salted.join(ordersExploded,
+        col("l_orderkey") === col("o_orderkey") && salted("salt") === ordersExploded("salt"))
+      .groupBy("o_orderpriority")
+      .agg(dsumr(revenueExpr).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** B28: the SQL-text surface — TPC-H Q1 executed via spark.sql on
+    * registered views (same oracle as the DataFrame form).
+    */
+  def q1Sql(s: SparkSession, dir: String): DataFrame = {
+    cat(s, dir).table("lineitem").createOrReplaceTempView("graft_sql_lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc_price,
+             count(*) AS count_order
+      FROM graft_sql_lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  }
+}

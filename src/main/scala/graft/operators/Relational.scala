@@ -111,6 +111,34 @@ object Relational {
     byYear.unionAll(byPriority).orderBy("part", "key")
   }
 
+  /** A7: partitioned sink + pruned read-back — hive-style layout is
+    * the write-side of the reference's single-value partitioning; the
+    * read prunes to one directory (PartitionFilters in the scan).
+    */
+  def srcPartitionedSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GraftSink
+    GraftSink.writePartitioned(cat(s, dir).table("orders"), "orders_by_priority", Seq("o_orderpriority"))
+    GraftSink.readPartitioned(s, "orders_by_priority")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+  }
+
+  /** A8: bucketed tables + shuffle-free sort-merge join — the
+    * section/tablet bucketing analog: both sides pre-shuffled at write
+    * time, the repeated join plans with zero Exchange.
+    */
+  def srcBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GraftSink
+    val c = cat(s, dir)
+    GraftSink.writeBucketed(c.table("orders"), "graft_orders_b", "o_custkey")
+    GraftSink.writeBucketed(c.table("customer"), "graft_customer_b", "c_custkey")
+    s.table("graft_orders_b").hint("merge")
+      .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
   // ─────────────────────── §2.B relational core ───────────────────────
 
   /** B1: TPC-H Q1 pricing summary — map+combine+reduce aggregation. */

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Analytic, Relational}
+import org.apache.spark.sql.functions._
+
+class AnalyticSpec extends SparkSpecBase {
+
+  test("bucketed join plans without a shuffle exchange on the join keys") {
+    val df = Relational.srcBucketedJoin(spark, sfDir)
+    // the join itself must not re-shuffle bucketed inputs; the final
+    // groupBy(c_mktsegment) exchange is expected — so check the join
+    // subtree only.
+    val plan = df.queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, plan.take(400))
+    val joinSubtree = plan.substring(joinIdx)
+    assert(!joinSubtree.contains("Exchange hashpartitioning(o_custkey"),
+      joinSubtree.take(600))
+  }
+
+  test("partitioned sink read-back prunes partitions in the scan") {
+    Relational.srcPartitionedSink(spark, sfDir).collect() // writes + reads
+    import graft.sources.GraftSink
+    val plan = GraftSink.readPartitioned(spark, "orders_by_priority")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"), plan.take(800))
+  }
+
+  test("graft SQL functions are registered through extensions") {
+    val r = spark.sql(
+      "SELECT round(graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c, " +
+        "graft_simhash(array(1L, 1L, 1L)) AS s, " +
+        "size(graft_minhash(array(7L), 16)) AS m, " +
+        "size(graft_shingle_hashes(array('a','b','c'), 2)) AS g").collect()(0)
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getLong(1) === 1L) // all tokens identical → their bits win
+    assert(r.getInt(2) === 16)
+    assert(r.getInt(3) === 2)
+  }
+
+  test("salted join equals the plain join") {
+    val salted = Analytic.qSaltedJoinRevenue(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val plain = {
+      val c = new graft.sources.GraftCatalog(spark, sfDir)
+      c.table("lineitem").join(c.table("orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,6)")).cast("double"), 2).as("revenue"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    assert(salted === plain)
+  }
+
+  test("as-of join picks the latest order at or before the event") {
+    import spark.implicits._
+    val out = Analytic.qAsofEventOrder(spark, sfDir)
+    val sample = out.limit(5).collect()
+    assert(sample.nonEmpty)
+    // every matched order date must be <= some event ts for that user
+    val withTs = graft.streaming.Events.eventsTable(spark, sfDir)
+      .select(col("event_id"), col("ts"))
+    val joined = out.join(withTs, "event_id")
+      .where(to_date(col("order_date")) > col("ts"))
+    assert(joined.count() === 0)
+  }
+
+  test("cube emits every grouping combination") {
+    val rows = Analytic.qCubeStatusPriority(spark, sfDir).collect()
+    val combos = rows.map(r => (r.getString(0) == "ALL", r.getString(1) == "ALL")).toSet
+    assert(combos === Set((false, false), (false, true), (true, false), (true, true)))
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length === 1 && grand(0).getLong(2) === 1500L)
+  }
+}
