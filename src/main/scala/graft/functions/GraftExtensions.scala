@@ -15,13 +15,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   import GraftExtensions._
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

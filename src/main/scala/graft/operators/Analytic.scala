@@ -145,6 +145,24 @@ object Analytic {
     val c = cat(s, dir)
     val ev = graft.streaming.Events.eventsTable(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOf.join(
+        ev, c.table("orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightTieBreaks = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy("event_id")
+  }
+
+  /** B26 (composed form kept for cross-checking the native operator in
+    * specs): join + window materializes all (event, earlier-order)
+    * pairs, then ranks.
+    */
+  def qAsofEventOrderComposed(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val ev = graft.streaming.Events.eventsTable(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
     val w = Window.partitionBy("event_id").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     ev.join(c.table("orders"),
         col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))

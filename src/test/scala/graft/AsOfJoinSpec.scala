@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Analytic
+import graft.plans.AsOf
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("native as-of join matches hand-computed matches on edge cases") {
+    import spark.implicits._
+    val quotes = Seq(
+      // key, time, value — includes a tie on time (ids 2,3) and a key with no quotes
+      (1L, ts("2024-01-01 10:00:00"), 100),
+      (1L, ts("2024-01-01 11:00:00"), 101),
+      (2L, ts("2024-01-01 10:30:00"), 200),
+      (2L, ts("2024-01-01 10:30:00"), 201))
+      .toDF("q_key", "q_ts", "q_id")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00")), // → 100
+      (1L, ts("2024-01-01 11:00:00")), // → 101 (inclusive)
+      (1L, ts("2024-01-01 09:00:00")), // → no match
+      (2L, ts("2024-01-01 12:00:00")), // → 201 (tie broken by larger q_id)
+      (3L, ts("2024-01-01 12:00:00"))) // key with no right rows
+      .toDF("t_key", "t_ts")
+    val out = AsOf.join(trades, quotes,
+        leftKey = "t_key", rightKey = "q_key",
+        leftTime = "t_ts", rightTime = "q_ts",
+        rightTieBreaks = Seq("q_id"))
+      .select("t_key", "t_ts", "q_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(2)))
+      .toSet
+    assert(out === Set(
+      (1L, "2024-01-01 10:30:00.0", 100),
+      (1L, "2024-01-01 11:00:00.0", 101),
+      (2L, "2024-01-01 12:00:00.0", 201)))
+  }
+
+  test("native as-of equals the composed join+window form on real data") {
+    val native = Analytic.qAsofEventOrder(spark, sfDir).collect().map(_.toString)
+    val composed = Analytic.qAsofEventOrderComposed(spark, sfDir).collect().map(_.toString)
+    assert(native.length === composed.length)
+    assert(native.toSeq === composed.toSeq)
+  }
+
+  test("as-of plan contains the custom exec node") {
+    val plan = Analytic.qAsofEventOrder(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(600))
+  }
+
+  test("unknown column names fail fast") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("k", "t")
+    assertThrows[IllegalArgumentException](
+      AsOf.join(df, df, "nope", "k", "t", "t"))
+  }
+}
