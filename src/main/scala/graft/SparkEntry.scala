@@ -55,12 +55,14 @@ object SparkEntry {
     "q_asof_event_order"         -> Analytic.qAsofEventOrder _,
     "q_salted_join_revenue"      -> Analytic.qSaltedJoinRevenue _,
     "q1_sql"                     -> Analytic.q1Sql _,
+    "q_sample_hash"              -> Analytic.qSampleHash _,
     // §2.C deduplication
     "dedup_exact"                -> Dedup.exactDedup _,
     "dedup_minhash_lsh"          -> Dedup.minhashLsh _,
     "dedup_simhash"              -> Dedup.simhash _,
     "dedup_ngram_jaccard"        -> Dedup.ngramJaccard _,
     "dedup_embedding_cosine"     -> Dedup.embeddingCosine _,
+    "dedup_clusters"             -> Dedup.nearDupClusters _,
     // §2.D similarity search
     "sim_bruteforce_topk"        -> Similarity.bruteForceTopk _,
     "sim_ivf_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfTopk(s, d)),
@@ -70,6 +72,7 @@ object SparkEntry {
     "text_quality"               -> TextAnalysis.quality _,
     "text_tokens"                -> TextAnalysis.tokens _,
     "text_fingerprint"           -> TextAnalysis.fingerprint _,
+    "text_redact"                -> TextAnalysis.redact _,
     // §2.F multimodal
     "mm_binary_meta"             -> Multimodal.binaryMeta _,
     "mm_feature_extract"         -> Multimodal.featureExtract _,
@@ -77,6 +80,7 @@ object SparkEntry {
     // §2.G streaming (batch-equivalent forms; streaming paths in specs)
     "stream_windowed_counts"     -> graft.streaming.Events.windowedCountsBatch _,
     "stream_sessionize"          -> graft.streaming.Events.sessionizeBatch _,
+    "stream_enriched_counts"     -> graft.streaming.Events.enrichedCountsBatch _,
   )
 
   /** DuckDB-runnable oracle SQL per query (omitted → rows-only check). */
@@ -388,6 +392,34 @@ object SparkEntry {
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
+
+    "text_redact" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    WHEN doc_id % 7 = 0 THEN text || ' call 555-123-4567'
+                    ELSE text END AS text2
+        FROM documents)
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(length(regexp_extract_all(text2, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+             CAST(length(regexp_replace(regexp_replace(text2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                  '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g')) AS BIGINT) AS redacted_len
+      FROM t ORDER BY doc_id""",
+
+    "q_sample_hash" -> """
+      SELECT count(*) AS n,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM lineitem
+      WHERE (l_orderkey * 2654435761) % 1000 < 100""",
+
+    "stream_enriched_counts" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -190,6 +190,16 @@ object Analytic {
       .orderBy("o_orderpriority")
   }
 
+  /** B29: deterministic hash sampling — a ~10% sample selected by key
+    * hash, reproducible across engines and runs (no RNG state), the
+    * scalable alternative to reservoir/Bernoulli sampling for
+    * pipeline-stable subsets.
+    */
+  def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("lineitem")
+      .where(pmod(col("l_orderkey") * 2654435761L, lit(1000)) < 100)
+      .agg(count(lit(1)).as("n"), dsumr(col("l_extendedprice")).as("total"))
+
   /** B28: the SQL-text surface — TPC-H Q1 executed via spark.sql on
     * registered views (same oracle as the DataFrame form).
     */

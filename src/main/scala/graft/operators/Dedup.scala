@@ -131,6 +131,50 @@ object Dedup {
       .limit(200)
   }
 
+  /** C6: near-dup clusters — candidate edges (estimated Jaccard ≥
+    * 0.25) fed to iterative min-label propagation (5 bounded rounds of
+    * join + groupBy-min, each a single shuffle; the distributed
+    * connected-components recipe). Cluster id = smallest doc_id in the
+    * component.
+    */
+  def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(s, dir)
+    val exploded = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val a = exploded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = exploded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    val edges = a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .where(TextFns.estJaccard(col("sig_a"), col("sig_b")) >= 0.25)
+      .select("doc_a", "doc_b")
+    val bidir = edges.unionAll(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+    // only edge-connected nodes can ever change labels — iterate over
+    // that (much smaller) active set and attach isolated docs at the
+    // end with identity labels.
+    // localCheckpoint (not cache) between rounds: the union+join embeds
+    // the previous round's plan twice, so without lineage truncation
+    // the logical plan — and planning time — doubles every iteration.
+    val bidirCp = bidir.localCheckpoint()
+    val active = bidirCp.select(col("doc_a").as("doc_id")).distinct()
+    var labels = active.withColumn("label", col("doc_id")).localCheckpoint()
+    for (_ <- 0 until 5) {
+      val viaNeighbor = bidirCp
+        .join(labels.select(col("doc_id").as("doc_b"), col("label")), Seq("doc_b"))
+        .select(col("doc_a").as("doc_id"), col("label"))
+      labels = labels.unionAll(viaNeighbor)
+        .groupBy("doc_id").agg(min("label").as("label")).localCheckpoint()
+    }
+    val isolated = sigs.select(col("doc_id"))
+      .join(active, Seq("doc_id"), "left_anti")
+      .withColumn("label", col("doc_id"))
+    labels.unionAll(isolated)
+      .select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+  }
+
   /** C5: embedding-cosine near-dup: random-hyperplane LSH buckets →
     * within-bucket exact cosine → top pairs.
     */

@@ -38,21 +38,52 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
-  /** D2: IVF-style ANN — fixed centroid sample, nearest-centroid
-    * assignment (inverted lists), queries probe the top-`nprobe`
-    * centroid lists, exact cosine within. At scale the corpus is
-    * pre-partitioned by centroid so a probe touches nprobe/nlist of
-    * the data.
+  /** Lloyd's k-means over the embedding table: deterministic init
+    * (first k vectors), `iters` assignment+mean rounds. Centroids are
+    * collected to the driver each round — k×dim doubles, the classic
+    * broadcast-able artifact.
+    */
+  private[operators] def kmeansCentroids(
+      e: DataFrame, k: Int, iters: Int): Array[(Int, Seq[Double])] = {
+    import e.sparkSession.implicits._
+    var centroids = e.where(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("centroid_id"), col("emb"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    for (_ <- 0 until iters) {
+      val cDf = e.sparkSession.createDataFrame(
+        centroids.toIndexedSeq.map { case (id, v) => (id, v) })
+        .toDF("centroid_id", "c_emb")
+      val assigned = e.join(broadcast(cDf), expr("true"))
+        .select(col("vec_id"), col("emb"), col("centroid_id"),
+          VectorFns.cosine(col("emb"), col("c_emb")).as("c_cos"))
+      val wA = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id"))
+      centroids = assigned.withColumn("rn", row_number().over(wA))
+        .where(col("rn") === 1)
+        // mean per dimension: posexplode + groupBy(centroid, dim)
+        .select(col("centroid_id"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy("centroid_id", "dim").agg(avg("v").as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
+        .select(col("centroid_id"), expr("transform(dims, d -> d.m)").as("c_emb"))
+        .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    }
+    centroids
+  }
+
+  /** D2: IVF ANN — k-means centroids (2 Lloyd rounds), nearest-
+    * centroid assignment (inverted lists), queries probe the
+    * top-`nprobe` centroid lists, exact cosine within. At scale the
+    * corpus is pre-partitioned by centroid so a probe touches
+    * nprobe/nlist of the data.
     */
   def ivfTopk(s: SparkSession, dir: String, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val e = emb(s, dir)
-    // Deterministic centroid choice: the first nCentroids vectors
-    // (k-means would refine these; selection is round-2 work).
-    val centroids = e.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").cast("int").as("centroid_id"), col("emb").as("c_emb"))
+    val e = emb(s, dir).cache()
+    val trained = kmeansCentroids(e, nCentroids, iters = 2)
+    val centroids = broadcast(
+      s.createDataFrame(trained.toIndexedSeq).toDF("centroid_id", "c_emb"))
 
     // Assignment: argmax cosine over broadcast centroids.
-    val assigned = e.join(broadcast(centroids), expr("true"))
+    val assigned = e.join(centroids, expr("true"))
       .select(col("vec_id"), col("emb"), col("centroid_id"),
         VectorFns.cosine(col("emb"), col("c_emb")).as("c_cos"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id"))
@@ -63,7 +94,7 @@ object Similarity {
     // Queries probe their nProbe nearest centroids.
     val q = emb(s, dir).where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val probes = q.join(broadcast(centroids), expr("true"))
+    val probes = q.join(centroids, expr("true"))
       .select(col("query_id"), col("q_emb"), col("centroid_id"),
         VectorFns.cosine(col("q_emb"), col("c_emb")).as("c_cos"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("c_cos").desc, col("centroid_id"))

@@ -58,6 +58,27 @@ object TextAnalysis {
       ceil(length(col("text")) / lit(4.0)).cast("long").as("approx_tokens"))
       .orderBy("doc_id")
 
+  /** E5: PII redaction — emails/phones injected deterministically
+    * (the corpus has none), then counted and replaced; single-pass,
+    * map-only.
+    */
+  def redact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+    val withPii = docs(s, dir).withColumn("text2",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"), lit("@example.com")))
+        .when(col("doc_id") % 7 === 0, concat(col("text"), lit(" call 555-123-4567")))
+        .otherwise(col("text")))
+    withPii.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text2"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text2"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+      length(regexp_replace(regexp_replace(col("text2"), emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]")).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
   /** E4: winnowing document fingerprints (k=8 chars, window=4) —
     * rows-only (xxhash64 is engine-specific); stability spec-tested.
     */

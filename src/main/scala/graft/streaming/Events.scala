@@ -54,6 +54,34 @@ object Events {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total"))
 
+  // ── G3: stream-static enrichment join ──
+
+  /** Batch-equivalent: events enriched with the static customer dim. */
+  def enrichedCountsBatch(s: SparkSession, dir: String): DataFrame =
+    eventsTable(s, dir)
+      .join(new GraftCatalog(s, dir).table("customer"),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(28,6)")).cast("double"), 2).as("total"))
+      .orderBy("c_mktsegment")
+
+  /** Streaming form: stream-static join (dim broadcast per micro-
+    * batch) + running counts per segment.
+    */
+  def enrichedCountsStream(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(customers, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(28,6)")).cast("double"), 2).as("total"))
+
+  /** Streaming dedup: first occurrence per event_id within the
+    * watermark horizon.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+
   // ── G2: sessionization (30-minute inactivity gap) ──
 
   val GapSeconds = 1800L

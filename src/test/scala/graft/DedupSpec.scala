@@ -78,4 +78,25 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.ngramJaccard(spark, sfDir).count() > 0)
     assert(Dedup.embeddingCosine(spark, sfDir).count() > 0)
   }
+
+  test("label propagation groups a planted 3-chain into one cluster") {
+    import spark.implicits._
+    // a->b and b->c near-dups (a,c differ more) => one component {a,b,c}
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val mid = (1 to 30).map(i => if (i == 30) "x" else s"w$i").mkString(" ")
+    val far = (1 to 30).map(i => if (i >= 29) s"y$i" else s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, mid), (3L, far)) ++
+      (10L until 40L).map(i => (i, (1 to 30).map(j => s"other${i}_$j").mkString(" ")))
+    // run the full operator against a temp parquet dir
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clu").toString
+    docs.toDF("doc_id", "text").withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.Dedup.nearDupClusters(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L,
+      s"expected chain collapse, got ${out.view.filterKeys(_ <= 3).toMap}")
+    assert(out(10L) === 10L)
+  }
 }

@@ -81,4 +81,41 @@ class StreamingSpec extends SparkSpecBase {
       assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(2))
     }
   }
+
+  test("stream-static join enriches events with the customer dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val customers = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    stream.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 2.0),
+      (2L, ts("2024-01-01 10:00:00"), 5.0))
+    val df = stream.toDF.toDF("user_id", "ts", "value")
+    val q = graft.streaming.Events.enrichedCountsStream(df, customers)
+      .writeStream.format("memory").queryName("enr_out")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enr_out").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === Map("BUILDING" -> (2L, 3.0), "MACHINERY" -> (1L, 5.0)))
+  }
+
+  test("streaming dedup keeps the first occurrence per event_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    stream.addData(
+      (10L, ts("2024-01-01 10:00:00"), 1.0),
+      (10L, ts("2024-01-01 10:01:00"), 2.0),
+      (11L, ts("2024-01-01 10:02:00"), 3.0))
+    val df = stream.toDF.toDF("event_id", "ts", "value")
+    val q = graft.streaming.Events.dedupStream(df)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(10L, 11L))
+  }
 }
