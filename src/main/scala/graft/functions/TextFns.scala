@@ -40,6 +40,12 @@ object TextFns {
   def wordShingleHashes(toks: Column, k: Int): Column =
     Bridge.column(WordShingleHashesExpr(Bridge.expression(toks), k))
 
+  /** One-pass lowercase+tokenize+shingle-hash from raw text (see
+    * TextShingleHashesExpr) — the dedup signature scan path.
+    */
+  def textShingleHashes(text: Column, k: Int): Column =
+    Bridge.column(TextShingleHashesExpr(Bridge.expression(text), k))
+
   /** n-lane minhash signature: lane i = min over shingles of
     * XXH64(h, seed_i) — a native single-pass Catalyst expression (the
     * HOF formulation allocates a lane-sized array per lane and boxes

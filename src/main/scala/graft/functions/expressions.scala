@@ -182,3 +182,51 @@ case class WordShingleHashesExpr(child: Expression, k: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Lower-cases the text, tokenizes on whitespace, and emits k-token
+  * shingle hashes — all in one pass over the UTF-8 bytes, with no
+  * token/shingle strings materialized (the tokenize-then-shingle
+  * composition costs a regex pass + two array materializations).
+  * Whitespace set matches java.util regex \s: space \t \n \x0B \f \r.
+  */
+case class TextShingleHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "text_shingle_hashes"
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toLowerCase
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      val start = i
+      while (i < len && !isWs(org.apache.spark.unsafe.Platform.getByte(base, off + i))) i += 1
+      if (i > start) {
+        tokenHashes += XXH64.hashUnsafeBytes(base, off + start, i - start, 42L)
+      }
+    }
+    val n = tokenHashes.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var s = 0
+    while (s < out.length) {
+      var h = 42L
+      var w = 0
+      while (w < k) { h = XXH64.hashLong(tokenHashes(s + w), h); w += 1 }
+      out(s) = h
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -36,13 +36,12 @@ object Dedup {
     * set, 64-lane minhash, 16 band hashes.
     */
   private[operators] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sh = TextFns.tokensLower(col("text"))
     // cache(): CollapseProject would otherwise inline the whole
     // text→shingles→64-lane pipeline into EVERY downstream reference —
     // each candidate pair would re-tokenize both documents. At scale
     // this materialization is the signature table you would persist.
     docs(s, dir)
-      .select(col("doc_id"), array_distinct(TextFns.wordShingleHashes(sh, 3)).as("hashes"))
+      .select(col("doc_id"), array_distinct(TextFns.textShingleHashes(col("text"), 3)).as("hashes"))
       .withColumn("sig", TextFns.minhashSignature(col("hashes"), 64))
       .withColumn("bands", TextFns.bandHashes(col("sig"), 16, 4))
       .cache()
@@ -80,8 +79,7 @@ object Dedup {
     // materialize token hashes first: the 64 bit-count aggregates each
     // reference the cached array instead of re-tokenizing the text 64x.
     val hashes = docs(s, dir)
-      .select(col("doc_id"),
-        TextFns.wordShingleHashes(TextFns.tokensLower(col("text")), 1).as("hashes"))
+      .select(col("doc_id"), TextFns.textShingleHashes(col("text"), 1).as("hashes"))
       .cache()
     val sigs = hashes
       .select(col("doc_id"), TextFns.simhash64(col("hashes")).as("sig"))
