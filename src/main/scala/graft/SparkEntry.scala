@@ -26,6 +26,7 @@ object SparkEntry {
     "src_snapshot_union"         -> Relational.srcSnapshotUnion _,
     "src_partitioned_sink"       -> Relational.srcPartitionedSink _,
     "src_bucketed_join"          -> Relational.srcBucketedJoin _,
+    "src_v2_inputformat_scan"    -> Relational.srcV2InputFormatScan _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
     "q6_forecast_revenue"        -> Relational.q6ForecastRevenue _,
@@ -392,6 +393,11 @@ object SparkEntry {
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
+
+    "src_v2_inputformat_scan" -> """
+      SELECT count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_totalprice > 200000""",
 
     "text_redact" -> """
       WITH t AS (

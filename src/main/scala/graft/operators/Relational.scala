@@ -139,6 +139,14 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** A9: the DataSource V2 connector (InputFormat analog — row-group
+    * splits, footer-stats pruning, column pruning) driven end to end.
+    */
+  def srcV2InputFormatScan(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft").load(s"$dir/orders.parquet")
+      .where(col("o_totalprice") > 200000.0)
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+
   // ─────────────────────── §2.B relational core ───────────────────────
 
   /** B1: TPC-H Q1 pricing summary — map+combine+reduce aggregation. */

@@ -1,0 +1,279 @@
+package graft.sources.v2
+
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.HadoopReadOptions
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.BlockMetaData
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 connector — the Spark-native re-expression of the
+  * reference's MapReduce `InputFormat` chain
+  * (reference: ArgodbMapreduceInputFormat.java:104-199 getSplits →
+  * planInputPartitions; ArgodbMapreduceRecordReader.java:74-219 →
+  * PartitionReader; MetaUtils schema discovery → inferSchema):
+  *
+  *   spark.read.format("graft").load("/path/table.parquet")
+  *
+  * Splits are parquet row groups (the rowset-group analog —
+  * ArgodbMapreduceInputFormat.java:149-188 builds one split per
+  * RowSetsGroup); pushed filters prune whole row groups from the scan
+  * via footer min/max statistics (the partition/section pruning
+  * analog), and Spark re-evaluates every filter on the surviving rows
+  * so pruning is purely an optimization. Primitive columns only — the
+  * engine's primary path stays `GraftCatalog` (Spark's own vectorized
+  * parquet reader); this connector demonstrates the InputFormat
+  * machinery Spark-natively.
+  */
+class GraftTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftV2.readSchema(GraftV2.pathOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    GraftTable(properties.get("path"), schema)
+}
+
+case class GraftTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, tableSchema)
+}
+
+class GraftScanBuilder(path: String, fullSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Keep every filter for row-group stats pruning, and hand every
+    * filter back to Spark for exact row-level evaluation (stats
+    * pruning is conservative, never exact).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = GraftScan(path, required, pushed)
+}
+
+case class GraftScan(path: String, required: StructType, filters: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft parquet row-group scan, pushed=[${filters.mkString(",")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val footer = GraftV2.withReader(path)(_.getFooter)
+    val blocks = footer.getBlocks.asScala.toArray
+    blocks.zipWithIndex
+      .filterNot { case (b, _) => GraftV2.canSkipRowGroup(b, filters) }
+      .map { case (_, i) => GraftInputPartition(path, i): InputPartition }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(required)
+}
+
+case class GraftInputPartition(path: String, rowGroup: Int) extends InputPartition
+
+case class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p.path, p.rowGroup, required)
+  }
+}
+
+/** The RecordReader analog: one parquet row group → InternalRows with
+  * only the required columns materialized.
+  */
+class GraftPartitionReader(path: String, rowGroup: Int, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val reader = ParquetFileReader.open(
+    HadoopInputFile.fromPath(new Path(path), new Configuration()),
+    HadoopReadOptions.builder(new Configuration()).build())
+
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  private val requestedTypes: Array[Type] =
+    required.fieldNames.map(n => fileSchema.getType(Seq(n): _*))
+  private val requested = new MessageType(fileSchema.getName, requestedTypes: _*)
+  reader.setRequestedSchema(requested)
+
+  (0 until rowGroup).foreach(_ => reader.skipNextRowGroup())
+  private val store = reader.readNextRowGroup()
+  private val recordReader = new ColumnIOFactory().getColumnIO(requested)
+    .getRecordReader(store, new GroupRecordConverter(requested))
+  private var remaining = store.getRowCount
+  private var current: InternalRow = _
+
+  private val converters: Array[Group => Any] =
+    required.fields.zipWithIndex.map { case (f, i) =>
+      GraftV2.valueConverter(requestedTypes(i).asPrimitiveType(), f.dataType, i)
+    }
+
+  override def next(): Boolean = {
+    if (remaining <= 0) return false
+    remaining -= 1
+    val g = recordReader.read()
+    val row = new GenericInternalRow(converters.length)
+    var i = 0
+    while (i < converters.length) {
+      row.update(i, if (g.getFieldRepetitionCount(i) == 0) null else converters(i)(g))
+      i += 1
+    }
+    current = row
+    true
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = reader.close()
+}
+
+object GraftV2 {
+
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("[GRAFT] v2 source requires a path"))
+    p
+  }
+
+  def withReader[T](path: String)(f: ParquetFileReader => T): T = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), new Configuration()),
+      HadoopReadOptions.builder(new Configuration()).build())
+    try f(r) finally r.close()
+  }
+
+  /** MessageType → StructType over the reference's primitive surface
+    * (ArgodbSerdeUtils.java:71-102 enumerates the same types).
+    */
+  def readSchema(path: String): StructType =
+    StructType(withReader(path)(_.getFooter.getFileMetaData.getSchema)
+      .getFields.asScala.map(toField).toArray)
+
+  private def toField(t: Type): StructField = {
+    require(t.isPrimitive, s"[GRAFT] v2 connector supports primitive columns only, got $t")
+    val p = t.asPrimitiveType()
+    val dt = p.getPrimitiveTypeName match {
+      case BOOLEAN => BooleanType
+      case INT32 =>
+        if (t.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation])
+          DateType
+        else IntegerType
+      case INT64 => t.getLogicalTypeAnnotation match {
+        case _: TimestampLogicalTypeAnnotation => TimestampNTZType
+        case _ => LongType
+      }
+      case FLOAT => FloatType
+      case DOUBLE => DoubleType
+      case BINARY =>
+        if (t.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation])
+          StringType
+        else BinaryType
+      case other => throw new IllegalArgumentException(s"[GRAFT] Unsupported parquet type: $other")
+    }
+    StructField(t.getName, dt, nullable = true)
+  }
+
+  /** Per-field Group → Catalyst value converter. */
+  def valueConverter(p: PrimitiveType, dt: DataType, idx: Int): Group => Any = dt match {
+    case BooleanType => g => g.getBoolean(idx, 0)
+    case IntegerType | DateType => g => g.getInteger(idx, 0)
+    case LongType => g => g.getLong(idx, 0)
+    case FloatType => g => g.getFloat(idx, 0)
+    case DoubleType => g => g.getDouble(idx, 0)
+    case StringType => g => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+    case BinaryType => g => g.getBinary(idx, 0).getBytes
+    case TimestampNTZType | TimestampType =>
+      val unit = p.getLogicalTypeAnnotation
+        .asInstanceOf[TimestampLogicalTypeAnnotation].getUnit
+      unit match {
+        case TimeUnit.MILLIS => g => g.getLong(idx, 0) * 1000L
+        case TimeUnit.MICROS => g => g.getLong(idx, 0)
+        case TimeUnit.NANOS => g => Math.floorDiv(g.getLong(idx, 0), 1000L)
+      }
+    case other => throw new IllegalArgumentException(s"[GRAFT] Unsupported read type: $other")
+  }
+
+  /** Row-group elimination from footer statistics: skip when the
+    * pushed filter provably matches nothing in [min, max]. Conservative
+    * (unknown types/stats → keep).
+    */
+  def canSkipRowGroup(block: BlockMetaData, filters: Array[Filter]): Boolean =
+    filters.exists(f => canSkip(block, f))
+
+  private def canSkip(block: BlockMetaData, filter: Filter): Boolean = {
+    def bounds(col: String): Option[(Any, Any)] =
+      block.getColumns.asScala
+        .find(_.getPath.toDotString == col)
+        .flatMap { c =>
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) None
+          else Some((st.genericGetMin, st.genericGetMax))
+        }
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: java.lang.Number, y: java.lang.Number)
+          if x.isInstanceOf[java.lang.Integer] || x.isInstanceOf[java.lang.Long] =>
+        Some(java.lang.Long.compare(x.longValue(), y match {
+          case n: java.lang.Number => n.longValue()
+          case _ => return None
+        }))
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+      case (x: org.apache.parquet.io.api.Binary, y: String) =>
+        Some(x.toStringUsingUTF8.compareTo(y))
+      case _ => None
+    }
+    filter match {
+      case EqualTo(c, v) => bounds(c).exists { case (mn, mx) =>
+        cmp(mn, v).exists(_ > 0) || cmp(mx, v).exists(_ < 0) }
+      case GreaterThan(c, v) => bounds(c).exists { case (_, mx) =>
+        cmp(mx, v).exists(_ <= 0) }
+      case GreaterThanOrEqual(c, v) => bounds(c).exists { case (_, mx) =>
+        cmp(mx, v).exists(_ < 0) }
+      case LessThan(c, v) => bounds(c).exists { case (mn, _) =>
+        cmp(mn, v).exists(_ >= 0) }
+      case LessThanOrEqual(c, v) => bounds(c).exists { case (mn, _) =>
+        cmp(mn, v).exists(_ > 0) }
+      case _ => false
+    }
+  }
+}
