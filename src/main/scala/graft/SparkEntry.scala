@@ -57,6 +57,7 @@ object SparkEntry {
     "q_salted_join_revenue"      -> Analytic.qSaltedJoinRevenue _,
     "q1_sql"                     -> Analytic.q1Sql _,
     "q_sample_hash"              -> Analytic.qSampleHash _,
+    "q_range_join_events_orders" -> Analytic.qRangeJoinEventsOrders _,
     // §2.C deduplication
     "dedup_exact"                -> Dedup.exactDedup _,
     "dedup_minhash_lsh"          -> Dedup.minhashLsh _,
@@ -420,6 +421,15 @@ object SparkEntry {
              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM lineitem
       WHERE (l_orderkey * 2654435761) % 1000 < 100""",
+
+    "q_range_join_events_orders" -> """
+      SELECT o_orderpriority, count(*) AS n_pairs
+      FROM orders JOIN events
+        ON user_id = o_custkey
+       AND ts >= o_orderdate
+       AND ts <  o_orderdate + INTERVAL 7 DAY
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
 
     "stream_enriched_counts" -> """
       SELECT c_mktsegment, count(*) AS n,

@@ -200,6 +200,31 @@ object Analytic {
       .where(pmod(col("l_orderkey") * 2654435761L, lit(1000)) < 100)
       .agg(count(lit(1)).as("n"), dsumr(col("l_extendedprice")).as("total"))
 
+  /** B30: range (interval) join — events landing within 7 days after
+    * their user's order. A naive time-inequality join is a per-key
+    * cross product; bucketing both sides by day makes it an equi-join
+    * on (key, day) with an exact refinement predicate — each pair
+    * falls in exactly one bucket (the event's day), so no dedup pass
+    * is needed. This is the scale-out recipe for interval joins.
+    */
+  def qRangeJoinEventsOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val ev = graft.streaming.Events.eventsTable(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), to_date(col("ts")).as("day"))
+    val orderDays = c.table("orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      .withColumn("day", explode(sequence(
+        to_date(col("o_orderdate")), date_add(to_date(col("o_orderdate")), 7))))
+    orderDays.join(ev,
+        orderDays("day") === ev("day") &&
+        col("user_id") === col("o_custkey") &&
+        col("ts") >= col("o_orderdate") &&
+        col("ts") < col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("o_orderpriority")
+  }
+
   /** B28: the SQL-text surface — TPC-H Q1 executed via spark.sql on
     * registered views (same oracle as the DataFrame form).
     */

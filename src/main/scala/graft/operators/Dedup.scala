@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB): every variant is
   *   map-side signature → one shuffle on the bucket key →
   *   bounded within-bucket pair join → verification.
+  * Algorithms: MinHash resemblance (Broder, 1997), SimHash
+  * (Charikar, STOC 2002), LSH banding (Leskovec/Rajaraman/Ullman,
+  * Mining of Massive Datasets ch.3), set-similarity join staging per
+  * V-SMART-Join (Metwally & Faloutsos, VLDB 2012 — see PAPERS.md).
   * Signatures (minhash lanes, simhash bits, LSH buckets) are computed
   * in a single pass with codegen-friendly expressions, so the only
   * wide exchange is the bucket join; candidate pairs are deduped

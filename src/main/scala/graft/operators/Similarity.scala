@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
 /** §2.D similarity search over the `embeddings` table.
   *
   * Scale design (100 TB): the query set is tiny and broadcast; the
-  * corpus scan is a single pass. Brute force is the exactness
+  * corpus scan is a single pass. The IVF design follows the
+  * inverted-file ANN lineage (Sivic & Zisserman 2003; Jégou et al.,
+  * TPAMI 2011); hyperplane LSH follows Charikar (STOC 2002).
+  * Brute force is the exactness
   * baseline (per-partition top-k heaps via window row_number after a
   * broadcast nested-loop join); IVF prunes the scan to the probed
   * centroid lists; hyperplane LSH prunes to matching buckets.

@@ -82,6 +82,22 @@ object Events {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
+  // ── G4: streaming sink — foreachBatch into a partitioned layout ──
+
+  /** Stream → hive-partitioned parquet via foreachBatch: each micro-
+    * batch appends to the same partitioned layout the batch sink uses,
+    * so downstream partition-pruned readers see streaming output
+    * identically.
+    */
+  def streamToPartitionedSink(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.withColumn("day", to_date(col("ts")))
+          .write.mode("append").partitionBy("event_type").parquet(path)
+      }
+      .start()
+
   // ── G2: sessionization (30-minute inactivity gap) ──
 
   val GapSeconds = 1800L

@@ -118,4 +118,24 @@ class StreamingSpec extends SparkSpecBase {
     val got = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
     assert(got.toSeq === Seq(10L, 11L))
   }
+
+  test("foreachBatch sink writes a partitioned layout readable with pruning") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    stream.addData(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (2L, ts("2024-01-01 10:05:00"), "view", 2.0),
+      (3L, ts("2024-01-01 11:00:00"), "click", 3.0))
+    val df = stream.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = graft.streaming.Events.streamToPartitionedSink(df, tmp)
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.parquet(tmp)
+    assert(back.count() === 3)
+    val clicks = back.where($"event_type" === "click")
+    assert(clicks.count() === 2)
+    val plan = clicks.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(600))
+  }
 }
