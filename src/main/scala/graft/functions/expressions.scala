@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -21,12 +21,35 @@ import org.apache.spark.sql.types._
   * input → Long.MaxValue lanes (matches the HOF formulation).
   */
 case class MinHashSignatureExpr(child: Expression, numLanes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  @transient private lazy val seeds: Array[Long] =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+        long[] $out = new long[$numLanes];
+        java.util.Arrays.fill($out, Long.MAX_VALUE);
+        for (int $j = 0; $j < $arr.numElements(); $j++) {
+          long $h = $arr.getLong($j);
+          for (int $i = 0; $i < $numLanes; $i++) {
+            long $v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, $seedsRef[$i]);
+            if ($v < $out[$i]) $out[$i] = $v;
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+  }
+
+  private lazy val seeds: Array[Long] =
     Array.tabulate(numLanes)(i => XXH64.hashLong(i.toLong, 42L))
 
   override def nullSafeEval(input: Any): Any = {
@@ -54,10 +77,33 @@ case class MinHashSignatureExpr(child: Expression, numLanes: Int)
   * more than half the tokens have bit i set.
   */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val counts = ctx.freshName("counts")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+        int $n = $arr.numElements();
+        int[] $counts = new int[64];
+        for (int $j = 0; $j < $n; $j++) {
+          long $h = $arr.getLong($j);
+          for (int $i = 0; $i < 64; $i++) {
+            $counts[$i] += (int) (($h >>> $i) & 1L);
+          }
+        }
+        ${ev.value} = 0L;
+        for (int $i = 0; $i < 64; $i++) {
+          if ($counts[$i] * 2 > $n) ${ev.value} |= (1L << $i);
+        }
+      """
+    })
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -90,10 +136,30 @@ case class SimHash64Expr(child: Expression)
   * bit-identical to the sequential three-pass formulation).
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xv = $a.getDouble($i); double $yv = $b.getDouble($i);
+          $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+      """
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
