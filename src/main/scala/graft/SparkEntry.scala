@@ -58,6 +58,7 @@ object SparkEntry {
     "q1_sql"                     -> Analytic.q1Sql _,
     "q_sample_hash"              -> Analytic.qSampleHash _,
     "q_range_join_events_orders" -> Analytic.qRangeJoinEventsOrders _,
+    "q18_large_volume_orders"    -> Analytic.q18LargeVolumeOrders _,
     // §2.C deduplication
     "dedup_exact"                -> Dedup.exactDedup _,
     "dedup_minhash_lsh"          -> Dedup.minhashLsh _,
@@ -400,6 +401,23 @@ object SparkEntry {
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM orders WHERE o_totalprice > 200000""",
 
+    "text_langid" -> """
+      WITH t AS (
+        SELECT doc_id, lang, regexp_extract_all(lower(text), '\S+') AS toks
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang,
+               list_sort([
+                 struct_pack(score := CAST(length(list_filter(toks, t -> t IN ('der','die','und','das','von','zu','den','mit','ist','des','im','nicht','ein','eine','auf'))) AS INT), lang := 'de'),
+                 struct_pack(score := CAST(length(list_filter(toks, t -> t IN ('the','of','and','to','in','is','that','it','was','for','with','as','his','on','be'))) AS INT), lang := 'en'),
+                 struct_pack(score := CAST(length(list_filter(toks, t -> t IN ('de','la','que','el','en','y','los','del','se','las','por','un','con','una','para'))) AS INT), lang := 'es'),
+                 struct_pack(score := CAST(length(list_filter(toks, t -> t IN ('de','la','le','et','les','des','en','un','du','une','que','est','dans','qui','par'))) AS INT), lang := 'fr'),
+                 struct_pack(score := CAST(length(list_filter(toks, t -> t IN ('的','了','在','是','我','有','和','就','不','人','都','一','一个','上','也'))) AS INT), lang := 'zh')])[5] AS best
+        FROM t)
+      SELECT doc_id, lang AS labeled_lang,
+             best.lang AS pred_lang, best.score AS stopword_hits
+      FROM scored ORDER BY doc_id""",
+
     "text_redact" -> """
       WITH t AS (
         SELECT doc_id,
@@ -421,6 +439,13 @@ object SparkEntry {
              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM lineitem
       WHERE (l_orderkey * 2654435761) % 1000 < 100""",
+
+    "q18_large_volume_orders" -> """
+      SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS total
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      ORDER BY c_custkey, o_orderkey""",
 
     "q_range_join_events_orders" -> """
       SELECT o_orderpriority, count(*) AS n_pairs

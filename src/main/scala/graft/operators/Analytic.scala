@@ -190,6 +190,24 @@ object Analytic {
       .orderBy("o_orderpriority")
   }
 
+  /** B31 (TPC-H Q18): large-volume orders — IN-subquery over a
+    * HAVING-filtered aggregate, decorrelated to a semi join.
+    */
+  def q18LargeVolumeOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val big = c.table("lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .where(col("sum_qty") > 300)
+      .select(col("l_orderkey").as("big_orderkey"))
+    c.table("customer")
+      .join(c.table("orders"), col("o_custkey") === col("c_custkey"))
+      .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
   /** B29: deterministic hash sampling — a ~10% sample selected by key
     * hash, reproducible across engines and runs (no RNG state), the
     * scalable alternative to reservoir/Bernoulli sampling for
