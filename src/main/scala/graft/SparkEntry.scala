@@ -59,6 +59,8 @@ object SparkEntry {
     "q_sample_hash"              -> Analytic.qSampleHash _,
     "q_range_join_events_orders" -> Analytic.qRangeJoinEventsOrders _,
     "q18_large_volume_orders"    -> Analytic.q18LargeVolumeOrders _,
+    "q_wordcount"                -> Analytic.qWordcount _,
+    "q_pivot_api"                -> Analytic.qPivotApi _,
     // §2.C deduplication
     "dedup_exact"                -> Dedup.exactDedup _,
     "dedup_minhash_lsh"          -> Dedup.minhashLsh _,
@@ -439,6 +441,23 @@ object SparkEntry {
              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM lineitem
       WHERE (l_orderkey * 2654435761) % 1000 < 100""",
+
+    "q_wordcount" -> """
+      SELECT token, count(*) AS n FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        FROM documents)
+      GROUP BY token
+      ORDER BY n DESC, token
+      LIMIT 20""",
+
+    "q_pivot_api" -> """
+      SELECT o_orderstatus,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+             CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+             CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+             CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+             CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q18_large_volume_orders" -> """
       SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS total

@@ -208,6 +208,31 @@ object Analytic {
       .orderBy("c_custkey", "o_orderkey")
   }
 
+  /** B32: word count — THE canonical MapReduce job: tokenize → explode
+    * → count, with map-side partial aggregation replacing the combiner.
+    */
+  def qWordcount(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("documents")
+      .select(explode(graft.functions.TextFns.tokensLower(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  /** B33: pivot API — priorities spread into columns (declared value
+    * list keeps the schema static, as a scale deployment requires).
+    */
+  def qPivotApi(s: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val pivoted = cat(s, dir).table("orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+    pivoted.select(col("o_orderstatus") +:
+        priorities.map(p => coalesce(col(s"`$p`"), lit(0L)).as(p)): _*)
+      .orderBy("o_orderstatus")
+  }
+
   /** B29: deterministic hash sampling — a ~10% sample selected by key
     * hash, reproducible across engines and runs (no RNG state), the
     * scalable alternative to reservoir/Bernoulli sampling for
