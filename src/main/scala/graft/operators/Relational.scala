@@ -267,9 +267,14 @@ object Relational {
     cust.unionAll(supp).orderBy("kind", "name")
   }
 
-  /** B11: window functions — top-3 parts per supplier by revenue. */
+  /** B11: window functions — top-3 parts per supplier by revenue.
+    * One shuffle serves both stages: hash-partitioning on l_suppkey
+    * alone satisfies the groupBy's (l_suppkey, l_partkey) clustering
+    * AND the window's l_suppkey clustering, so neither re-shuffles.
+    */
   def qWindowTopPartsPerSupplier(s: SparkSession, dir: String): DataFrame = {
     val sp = cat(s, dir).table("lineitem")
+      .repartition(col("l_suppkey"))
       .groupBy("l_suppkey", "l_partkey")
       .agg(dsumr(revenueExpr).as("rev"))
     val w = Window.partitionBy("l_suppkey").orderBy(col("rev").desc, col("l_partkey"))
