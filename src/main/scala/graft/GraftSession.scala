@@ -25,6 +25,10 @@ object GraftSession {
     .config("spark.sql.warehouse.dir",
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_warehouse/spark")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    // runtime row-level join pruning: a bloom filter built from the
+    // filtered build side prunes the probe-side scan before the shuffle
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "false")
     .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -61,6 +61,7 @@ object SparkEntry {
     "q18_large_volume_orders"    -> Analytic.q18LargeVolumeOrders _,
     "q_wordcount"                -> Analytic.qWordcount _,
     "q_pivot_api"                -> Analytic.qPivotApi _,
+    "q_approx_percentile"        -> Analytic.qApproxPercentile _,
     // §2.C deduplication
     "dedup_exact"                -> Dedup.exactDedup _,
     "dedup_minhash_lsh"          -> Dedup.minhashLsh _,

@@ -137,6 +137,21 @@ object Analytic {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** B34: sketch percentiles — approx_percentile (Greenwald-Khanna
+    * style summary, mergeable across partitions); rows-only: sketch
+    * estimates are engine-specific.
+    */
+  def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("apx"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("apx").getItem(0).as("apx_p50"),
+        col("apx").getItem(1).as("apx_p95"), col("n"))
+      .orderBy("l_returnflag")
+
   /** B26: as-of join — each event matched to the user's most recent
     * order at event time (composed join + window; a dedicated
     * SparkPlan would replace this if the probe side outgrew it).

@@ -86,6 +86,13 @@ object GraftCatalog {
     * predicate that Catalyst can push down to the scan.
     */
   def compileFilter(filter: String, schema: StructType): Column = {
+    // the reference rejects multi-column partition filters outright
+    // (ArgodbMapreduceInputFormat.java:236-238); "/" separates parts in
+    // a partition-define, so its presence means a multi-column filter.
+    if (filter.contains("/")) {
+      throw new IllegalArgumentException(
+        "[GRAFT] Filter is not supported for multi-columns-single-value-partition table.")
+    }
     val colName = filterColumn(filter)
     val field = schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse {
       throw new IllegalArgumentException(

@@ -63,6 +63,10 @@ class RelationalSpec extends SparkSpecBase {
     val c = new GraftCatalog(spark, sfDir)
     assertThrows[IllegalArgumentException](c.scan("orders", "nope=1").count())
     assertThrows[IllegalArgumentException](c.scan("orders", "no_equals").count())
+    // multi-column filters are rejected like the reference
+    // (ArgodbMapreduceInputFormat.java:236-238)
+    assertThrows[IllegalArgumentException](
+      c.scan("orders", "o_orderstatus=O/o_orderpriority=1-URGENT").count())
   }
 
   test("hive type mapping round-trips the reference's type surface") {
