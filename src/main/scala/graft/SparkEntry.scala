@@ -27,6 +27,7 @@ object SparkEntry {
     "src_partitioned_sink"       -> Relational.srcPartitionedSink _,
     "src_bucketed_join"          -> Relational.srcBucketedJoin _,
     "src_v2_inputformat_scan"    -> Relational.srcV2InputFormatScan _,
+    "src_csv_roundtrip"          -> Relational.srcCsvRoundtrip _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
     "q6_forecast_revenue"        -> Relational.q6ForecastRevenue _,
@@ -398,6 +399,11 @@ object SparkEntry {
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
+
+    "src_csv_roundtrip" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "src_v2_inputformat_scan" -> """
       SELECT count(*) AS n,

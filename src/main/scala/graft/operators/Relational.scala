@@ -147,6 +147,25 @@ object Relational {
       .where(col("o_totalprice") > 200000.0)
       .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
 
+  /** A10: multi-format source — CSV round trip: write a table to CSV
+    * in the scratch warehouse, read it back with an explicit schema
+    * (header on; Java double toString round-trips exactly), aggregate.
+    */
+  def srcCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val path = graft.sources.GraftSink.scratchDir + "/orders_csv"
+    val orders = c.table("orders")
+    orders.write.mode("overwrite")
+      .option("header", "true").option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+    s.read.schema(orders.schema)
+      .option("header", "true").option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   // ─────────────────────── §2.B relational core ───────────────────────
 
   /** B1: TPC-H Q1 pricing summary — map+combine+reduce aggregation. */
