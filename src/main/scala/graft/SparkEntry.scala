@@ -74,6 +74,7 @@ object SparkEntry {
     "sim_bruteforce_topk"        -> Similarity.bruteForceTopk _,
     "sim_ivf_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfTopk(s, d)),
     "sim_lsh_topk"               -> Similarity.lshTopk _,
+    "sim_quantize_int8"          -> Similarity.quantizeInt8 _,
     // §2.E text analysis
     "text_langid"                -> TextAnalysis.langId _,
     "text_quality"               -> TextAnalysis.quality _,
@@ -409,6 +410,17 @@ object SparkEntry {
       SELECT count(*) AS n,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM orders WHERE o_totalprice > 200000""",
+
+    "sim_quantize_int8" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      sc AS (SELECT vec_id, emb,
+                    list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+             FROM e)
+      SELECT vec_id,
+             CAST(floor(scale * 1e6) AS BIGINT) AS scale_micro,
+             CAST(floor(list_max(list_transform(emb,
+                  x -> abs(floor(x / scale + 0.5) * scale - x))) * 1e6) AS BIGINT) AS max_err_micro
+      FROM sc ORDER BY vec_id""",
 
     "text_langid" -> """
       WITH t AS (

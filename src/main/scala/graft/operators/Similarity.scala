@@ -117,6 +117,27 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** D4: int8 symmetric quantization of embeddings (per-vector scale
+    * = max|x|/127) with dequantization-error accounting — the 4x
+    * storage/bandwidth reduction step of a large embedding store.
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val scale = array_max(transform(col("emb"), x => abs(x))) / 127.0
+    // floor-based arithmetic only: Spark round() goes through
+    // BigDecimal.valueOf (shortest decimal repr) while other engines
+    // round the binary double — floor(x+0.5) and floor(x*1e6) are
+    // bit-identical everywhere.
+    e.withColumn("scale", scale)
+      .select(
+        col("vec_id"),
+        floor(col("scale") * 1e6).cast("long").as("scale_micro"),
+        floor(array_max(transform(col("emb"),
+          x => abs(floor(x / col("scale") + 0.5) * col("scale") - x))) * 1e6)
+          .cast("long").as("max_err_micro"))
+      .orderBy("vec_id")
+  }
+
   /** D3: random-hyperplane LSH ANN — 8-bit signatures (256 buckets);
     * queries search only their own bucket.
     */
