@@ -63,6 +63,8 @@ object SparkEntry {
     "q_wordcount"                -> Analytic.qWordcount _,
     "q_pivot_api"                -> Analytic.qPivotApi _,
     "q_approx_percentile"        -> Analytic.qApproxPercentile _,
+    "q13_customer_distribution"  -> Analytic.q13CustomerDistribution _,
+    "q_histogram_totalprice"     -> Analytic.qHistogramTotalprice _,
     // §2.C deduplication
     "dedup_exact"                -> Dedup.exactDedup _,
     "dedup_minhash_lsh"          -> Dedup.minhashLsh _,
@@ -460,6 +462,18 @@ object SparkEntry {
              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM lineitem
       WHERE (l_orderkey * 2654435761) % 1000 < 100""",
+
+    "q13_customer_distribution" -> """
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
+
+    "q_histogram_totalprice" -> """
+      SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin, count(*) AS n
+      FROM orders GROUP BY 1 ORDER BY bin""",
 
     "q_wordcount" -> """
       SELECT token, count(*) AS n FROM (

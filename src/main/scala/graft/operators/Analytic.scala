@@ -223,6 +223,31 @@ object Analytic {
       .orderBy("c_custkey", "o_orderkey")
   }
 
+  /** B35 (TPC-H Q13): customer order-count distribution — an
+    * aggregate of an aggregate (outer-join count per customer, then a
+    * histogram over those counts).
+    */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    c.table("customer")
+      .join(c.table("orders"), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** B36: histogram binning — fixed-width buckets over order totals
+    * (floor-based bin ids, engine-agnostic).
+    */
+  def qHistogramTotalprice(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("orders")
+      .select(floor(col("o_totalprice") / 50000.0).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
   /** B32: word count — THE canonical MapReduce job: tokenize → explode
     * → count, with map-side partial aggregation replacing the combiner.
     */

@@ -82,6 +82,21 @@ object Events {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
+  // ── G5: stream-stream join ──
+
+  /** Watermarked stream-stream inner join: purchases matched to the
+    * same user's click within the preceding hour. Both sides buffer
+    * bounded state (watermark + time-range condition lets Spark evict).
+    */
+  def clickToPurchaseStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "2 hours")
+    val p = purchases.withWatermark("purchase_ts", "2 hours")
+    c.join(p,
+      col("click_user") === col("purchase_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   // ── G4: streaming sink — foreachBatch into a partitioned layout ──
 
   /** Stream → hive-partitioned parquet via foreachBatch: each micro-

@@ -138,4 +138,26 @@ class StreamingSpec extends SparkSpecBase {
     val plan = clicks.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(600))
   }
+
+  test("watermarked stream-stream join matches purchases to prior clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp)]
+    clicks.addData(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:00:00")))
+    purchases.addData(
+      (1L, ts("2024-01-01 10:30:00")),  // within the hour -> joined
+      (2L, ts("2024-01-01 12:30:00")),  // too late -> dropped
+      (3L, ts("2024-01-01 10:15:00")))  // no click -> dropped
+    val out = graft.streaming.Events.clickToPurchaseStream(
+      clicks.toDF.toDF("click_user", "click_ts"),
+      purchases.toDF.toDF("purchase_user", "purchase_ts"))
+    val q = out.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ss_join").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L))
+  }
 }
