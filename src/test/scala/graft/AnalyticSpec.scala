@@ -73,4 +73,21 @@ class AnalyticSpec extends SparkSpecBase {
     val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
     assert(grand.length === 1 && grand(0).getLong(2) === 1500L)
   }
+
+  test("partitioned sink writes null partition values as the Hive sentinel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Some("A")), (2L, None), (3L, Some("B")))
+      .toDF("id", "part")
+    val path = graft.sources.GraftSink.writePartitioned(df, "sentinel_rt", Seq("part"))
+    // the directory name carries the reference's null sentinel
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("part="))
+    assert(dirs.contains(s"part=${graft.sources.GraftCatalog.DefaultPartitionName}"), dirs.toSeq)
+    // read-back restores null, and the catalog's sentinel filter selects it
+    val back = graft.sources.GraftSink.readPartitioned(spark, "sentinel_rt")
+    assert(back.where(col("part").isNull).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    val viaFilter = back.where(graft.sources.GraftCatalog.compileFilter(
+      s"part=${graft.sources.GraftCatalog.DefaultPartitionName}", back.schema))
+    assert(viaFilter.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
 }
