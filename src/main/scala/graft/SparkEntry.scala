@@ -559,6 +559,47 @@ object SparkEntry {
         CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_tokens
       FROM documents ORDER BY doc_id""",
 
+    "mm_feature_extract" -> """
+      WITH m AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents),
+      b AS (
+        SELECT doc_id, kind, nb,
+               list_transform(range(1, nb + 1),
+                 i -> (strpos('0123456789ABCDEF', hx[2*i-1]) - 1) * 16
+                    + (strpos('0123456789ABCDEF', hx[2*i]) - 1)) AS bytes
+        FROM m)
+      SELECT doc_id, kind, CAST(nb AS BIGINT) AS n_bytes,
+             CAST(CASE WHEN nb = 0 THEN 0
+                  ELSE floor(CAST(list_sum(bytes) AS DOUBLE) / nb * 1e6) END AS BIGINT) AS byte_mean_micro,
+             CAST(len(list_filter(bytes, x -> x // 32 = 0)) AS BIGINT) AS h0,
+             CAST(len(list_filter(bytes, x -> x // 32 = 1)) AS BIGINT) AS h1,
+             CAST(len(list_filter(bytes, x -> x // 32 = 2)) AS BIGINT) AS h2,
+             CAST(len(list_filter(bytes, x -> x // 32 = 3)) AS BIGINT) AS h3,
+             CAST(len(list_filter(bytes, x -> x // 32 = 4)) AS BIGINT) AS h4,
+             CAST(len(list_filter(bytes, x -> x // 32 = 5)) AS BIGINT) AS h5,
+             CAST(len(list_filter(bytes, x -> x // 32 = 6)) AS BIGINT) AS h6,
+             CAST(len(list_filter(bytes, x -> x // 32 = 7)) AS BIGINT) AS h7
+      FROM b ORDER BY doc_id""",
+
+    "mm_frame_sample" -> """
+      WITH v AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+      f AS (
+        SELECT doc_id, CAST(unnest(range(nb % 5 + 1)) AS INT) AS frame_idx, hx, nb
+        FROM v)
+      SELECT doc_id, frame_idx,
+             substring(hx, frame_idx * 32 + 1, 32) AS frame_hex,
+             CAST(nb AS BIGINT) AS n_bytes,
+             CAST(length(substring(hx, frame_idx * 32 + 1, 32)) // 2 AS BIGINT) AS frame_len
+      FROM f ORDER BY doc_id, frame_idx""",
+
     "mm_binary_meta" -> """
       WITH m AS (
         SELECT doc_id,

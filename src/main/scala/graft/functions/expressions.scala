@@ -183,13 +183,17 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   * one pass (bit j = sign(v · plane_j)).
   */
 case class HyperplaneLshExpr(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hyperplane_lsh"
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Primitive kernel shared by interpreted eval and codegen — the
+    * generated code calls it through a monomorphic reference, so the
+    * projection stays inside WholeStageCodegen (an int per row, no
+    * boxing, no fallback to InternalRow eval).
+    */
+  def compute(v: ArrayData): Int = {
     val dim = v.numElements()
     var bucket = 0
     var j = 0
@@ -202,8 +206,16 @@ case class HyperplaneLshExpr(child: Expression, planes: Array[Array[Double]])
       if (dot > 0) bucket |= (1 << j)
       j += 1
     }
-    java.lang.Integer.valueOf(bucket)
+    bucket
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("lshExpr", this, classOf[HyperplaneLshExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.compute($arr);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(compute(input.asInstanceOf[ArrayData]))
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -215,14 +227,24 @@ case class HyperplaneLshExpr(child: Expression, planes: Array[Array[Double]])
   * Fewer than k tokens → empty array (matches wordShingles).
   */
 case class WordShingleHashesExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_shingle_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingleExpr", this, classOf[WordShingleHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($arr);")
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  /** Kernel shared by interpreted eval and generated code (see
+    * HyperplaneLshExpr.compute for why this keeps WSCG intact).
+    */
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
     val tokenHash = new Array[Long](n)

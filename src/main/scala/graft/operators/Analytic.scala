@@ -194,8 +194,11 @@ object Analytic {
     */
   def qSaltedJoinRevenue(s: SparkSession, dir: String): DataFrame = {
     val c = cat(s, dir)
+    // hash-based salt: l_linenumber alone is 1..7, which starves salt
+    // lane 0 and spreads a hot key over only 7 of the 8 sub-keys;
+    // hashing (orderkey, linenumber) uses all 8 lanes uniformly.
     val salted = c.table("lineitem")
-      .withColumn("salt", pmod(col("l_linenumber"), lit(8)))
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(8)))
     val ordersExploded = c.table("orders")
       .withColumn("salt", explode(sequence(lit(0), lit(7))))
     salted.join(ordersExploded,

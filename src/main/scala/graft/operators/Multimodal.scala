@@ -15,6 +15,12 @@ import org.apache.spark.sql.types._
   * Spark plumbing a codec-backed implementation would use (on PySpark
   * this layer is `mapInPandas`; the Scala-native equivalent is
   * `mapPartitions` over row batches).
+  *
+  * Output portability: every driver-checked column is a scalar
+  * (longs / strings) — the histogram lanes are eight scalar columns
+  * and frame slices are hex strings, so the result is hashable and
+  * byte-identical across engines. The raw array/binary forms live in
+  * MultimodalSpec.
   */
 object Multimodal {
 
@@ -39,16 +45,21 @@ object Multimodal {
       .agg(count(lit(1)).as("n"), sum(col("meta.n_bytes")).as("total_bytes"))
       .orderBy("kind")
 
-  private val featureSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("kind", StringType),
-    StructField("n_bytes", LongType),
-    StructField("byte_mean", DoubleType),
-    StructField("byte_hist", ArrayType(LongType))))
+  private val featureSchema = StructType(
+    Seq(
+      StructField("doc_id", LongType),
+      StructField("kind", StringType),
+      StructField("n_bytes", LongType),
+      // floor(mean * 1e6): floor-based micro-units are bit-identical
+      // across engines; round()/rint on a double ratio is not.
+      StructField("byte_mean_micro", LongType)) ++
+    (0 until 8).map(i => StructField(s"h$i", LongType)))
 
   /** F2: batched per-partition "decode + feature extraction". The
     * decode stub computes byte statistics; a real build would swap in
-    * a codec here and keep the identical batch shape.
+    * a codec here and keep the identical batch shape. The 8 histogram
+    * lanes are emitted as scalar columns (h0..h7) so the result is a
+    * flat, hashable table.
     */
   def featureExtract(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
@@ -72,8 +83,10 @@ object Multimodal {
             sum += u
             i += 1
           }
-          val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
-          Row(id, kind, bytes.length.toLong, math.rint(mean * 1e6) / 1e6, hist.toSeq)
+          val meanMicro =
+            if (bytes.length == 0) 0L
+            else math.floor(sum.toDouble / bytes.length * 1e6).toLong
+          Row.fromSeq(Seq(id, kind, bytes.length.toLong, meanMicro) ++ hist)
         }
       }
     }(enc)
@@ -81,7 +94,8 @@ object Multimodal {
   }
 
   /** F3: frame sampling — one video payload fans out to N frame rows
-    * (N deterministic from payload size), each frame a byte slice.
+    * (N deterministic from payload size), each frame a 16-byte slice
+    * emitted as uppercase hex (portable; the binary form is spec'd).
     */
   def frameSample(s: SparkSession, dir: String): DataFrame = {
     val vids = mmTable(s, dir).where(col("kind") === "video")
@@ -92,9 +106,9 @@ object Multimodal {
       .select(
         col("doc_id"), col("frame_idx"),
         // STUB FRAME DECODE: a 16-byte slice stands in for a decoded frame.
-        col("payload").substr((col("frame_idx") * 16 + 1).cast("int"), lit(16)).as("frame_bytes"),
+        hex(col("payload").substr((col("frame_idx") * 16 + 1).cast("int"), lit(16))).as("frame_hex"),
         col("n_bytes"))
-      .withColumn("frame_len", length(col("frame_bytes")).cast("long"))
+      .withColumn("frame_len", (length(col("frame_hex")) / 2).cast("long"))
       .orderBy("doc_id", "frame_idx")
   }
 }

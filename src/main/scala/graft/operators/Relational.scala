@@ -366,11 +366,19 @@ object Relational {
     */
   def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
     val c = cat(s, dir)
-    val li = c.table("lineitem")
-    val thresh = li.groupBy(col("l_partkey").as("t_partkey"))
+    // Prune lineitem to the Brand#12 parts BEFORE the per-partkey
+    // average: p_partkey is the part table's key, so restricting the
+    // threshold aggregation to the brand's partkeys leaves every
+    // per-partkey avg unchanged while shrinking the aggregate's input
+    // by ~brand-selectivity (1/25 of parts here, ~1/1000 at real brand
+    // cardinality). Catalyst can't push the brand predicate through
+    // the aggregate on its own — the semi-join has to be stated.
+    val brandLi = c.table("lineitem")
+      .join(broadcast(c.table("part").where(col("p_brand") === "Brand#12")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+    val thresh = brandLi.groupBy(col("l_partkey").as("t_partkey"))
       .agg((avg("l_quantity") * 0.2).as("qty_thresh"))
-    li.join(broadcast(c.table("part").where(col("p_brand") === "Brand#12")),
-        col("l_partkey") === col("p_partkey"))
+    brandLi
       .join(thresh, col("l_partkey") === col("t_partkey"))
       .where(col("l_quantity") < col("qty_thresh"))
       .agg(round(coalesce(dsum(col("l_extendedprice")), lit(0.0)) / 7.0, 2).as("avg_yearly"))

@@ -116,7 +116,14 @@ case class AsOfJoinExec(
                   rNext = advanceRight()
                 } else if (cmp == 0) {
                   val rt = rTime.eval(rNext)
-                  if (rt != null && timeOrd.compare(rt, t) <= 0) {
+                  if (rt == null) {
+                    // Null right-times sort FIRST within the key
+                    // (Ascending = NULLS FIRST) and can never match an
+                    // as-of predicate: skip them — stopping here would
+                    // park the cursor and hide every later right row
+                    // for this key.
+                    rNext = advanceRight()
+                  } else if (timeOrd.compare(rt, t) <= 0) {
                     candidate = rNext
                     candidateKey = rk
                     rNext = advanceRight()

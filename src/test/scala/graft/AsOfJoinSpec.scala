@@ -38,6 +38,32 @@ class AsOfJoinSpec extends SparkSpecBase {
       (2L, "2024-01-01 12:00:00.0", 201)))
   }
 
+  test("null right-times never block later rows for the same key") {
+    import spark.implicits._
+    // Nulls sort FIRST within the key under Ascending ordering; the
+    // merge cursor must skip them or every non-null quote for key 1
+    // becomes unreachable.
+    val quotes = Seq(
+      (1L, null.asInstanceOf[Timestamp], 900),
+      (1L, null.asInstanceOf[Timestamp], 901),
+      (1L, ts("2024-01-01 10:00:00"), 100),
+      (2L, null.asInstanceOf[Timestamp], 902))
+      .toDF("q_key", "q_ts", "q_id")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:30:00")), // → 100, despite leading nulls
+      (2L, ts("2024-01-01 12:00:00"))) // only null quotes → no match
+      .toDF("t_key", "t_ts")
+    val out = AsOf.join(trades, quotes,
+        leftKey = "t_key", rightKey = "q_key",
+        leftTime = "t_ts", rightTime = "q_ts",
+        rightTieBreaks = Seq("q_id"))
+      .select("t_key", "q_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .toSet
+    assert(out === Set((1L, 100)))
+  }
+
   test("native as-of equals the composed join+window form on real data") {
     val native = Analytic.qAsofEventOrder(spark, sfDir).collect().map(_.toString)
     val composed = Analytic.qAsofEventOrderComposed(spark, sfDir).collect().map(_.toString)

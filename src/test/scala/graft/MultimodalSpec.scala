@@ -15,9 +15,24 @@ class MultimodalSpec extends SparkSpecBase {
     val b = Multimodal.featureExtract(spark, sfDir).collect()
     assert(a.length === 500)
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
-    // histogram buckets sum to payload length
+    // the 8 scalar histogram lanes sum to payload length
     a.foreach { r =>
-      assert(r.getSeq[Long](4).sum === r.getLong(2), s"doc ${r.getLong(0)}")
+      assert((4 to 11).map(r.getLong).sum === r.getLong(2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("scalar histogram lanes match the array-form byte histogram") {
+    import org.apache.spark.sql.functions._
+    // the array form the decode stub stands in for: recompute the
+    // 8-bin histogram from the raw payload bytes and compare lanes
+    val payloads = Multimodal.mmTable(spark, sfDir)
+      .select(col("doc_id"), col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val out = Multimodal.featureExtract(spark, sfDir).collect()
+    out.take(50).foreach { r =>
+      val hist = new Array[Long](8)
+      payloads(r.getLong(0)).foreach(b => hist((b & 0xFF) >> 5) += 1)
+      assert((4 to 11).map(r.getLong) === hist.toSeq, s"doc ${r.getLong(0)}")
     }
   }
 
@@ -26,7 +41,12 @@ class MultimodalSpec extends SparkSpecBase {
     val perDoc = out.groupBy(_.getLong(0))
     perDoc.foreach { case (_, frames) =>
       assert(frames.length >= 1 && frames.length <= 5)
-      frames.foreach(f => assert(f.getLong(4) <= 16))
+      frames.foreach { f =>
+        assert(f.getLong(4) <= 16)
+        // frame_hex is the hex image of a payload byte slice
+        assert(f.getString(2).length === 2 * f.getLong(4))
+        assert(f.getString(2).forall(c => c.isDigit || ('A' to 'F').contains(c)))
+      }
     }
   }
 }
