@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -235,8 +235,7 @@ case class WordShingleHashesExpr(child: Expression, k: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("shingleExpr", this, classOf[WordShingleHashesExpr].getName)
-    nullSafeCodeGen(ctx, ev, arr =>
-      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($arr);")
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.compute($arr);")
   }
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
@@ -278,7 +277,7 @@ case class WordShingleHashesExpr(child: Expression, k: Int)
   * Whitespace set matches java.util regex \s: space \t \n \x0B \f \r.
   */
 case class TextShingleHashesExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -287,8 +286,19 @@ case class TextShingleHashesExpr(child: Expression, k: Int)
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toLowerCase
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("textShingleExpr", this, classOf[TextShingleHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, str => s"${ev.value} = $self.compute($str);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  /** Kernel shared by interpreted eval and generated code (see
+    * HyperplaneLshExpr.compute for why this keeps WSCG intact).
+    */
+  def compute(raw: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val text = raw.toLowerCase
     val base = text.getBaseObject
     val off = text.getBaseOffset
     val len = text.numBytes

@@ -25,6 +25,48 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     new GraftCatalog(s, dir).table("documents")
 
+  /** Default within-bucket membership bound for the banding join. */
+  private[graft] val DefaultBucketCap = 64
+
+  /** Candidate pairs from an exploded band table (band_idx, band_hash,
+    * doc_id) with a DEGENERATE-BUCKET GUARD: a bucket holding n
+    * near-identical docs (boilerplate-heavy corpora) would emit n²/2
+    * pairs from the naive self-join. Buckets at or under `cap` members
+    * get the exact all-pairs join; oversized buckets degrade to STAR
+    * pairing — every member pairs with the bucket's min doc_id — which
+    * is n-1 pairs instead of n²/2, keeps every doc attached to its
+    * duplicate cluster (connectivity is what dedup consumes), and is
+    * deterministic. The number of capped buckets is counted and logged
+    * — no silent truncation. The count is one extra aggregate over the
+    * (cached) signature table.
+    */
+  private[graft] def bandCandidates(exploded: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band_idx", "band_hash")
+    val sized = exploded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min("doc_id").over(w))
+    val degenerate = sized.where(col("bsz") > cap)
+      .select("band_idx", "band_hash").distinct().count()
+    if (degenerate > 0) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"[GRAFT] LSH banding: $degenerate bucket(s) over cap=$cap " +
+          "degraded from all-pairs to star pairing (connectivity preserved)")
+    }
+    val small = sized.where(col("bsz") <= cap)
+    val a = small.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = small.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    val allPairs = a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val starPairs = sized.where(col("bsz") > cap && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    // dedup candidate pairs BEFORE the (comparatively) expensive
+    // signature comparison — a pair colliding in k bands must be
+    // scored once, not k times.
+    allPairs.unionAll(starPairs).distinct()
+  }
+
   /** C1: exact dedup — hash-groupBy on full text, keep min doc_id.
     * (At 100 TB: group on xxhash64(text)+length first, verify text
     * equality within hash groups; here text fits the group key.)
@@ -59,14 +101,7 @@ object Dedup {
     val sigs = minhashSignatures(s, dir)
     val exploded = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val a = exploded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = exploded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
-    // dedup candidate pairs BEFORE the (comparatively) expensive
-    // signature comparison — a pair colliding in k bands must be
-    // scored once, not k times.
-    val candidates = a.join(b, Seq("band_idx", "band_hash"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val candidates = bandCandidates(exploded)
     candidates
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
@@ -90,12 +125,8 @@ object Dedup {
       .withColumn("bands", TextFns.simhashBands(col("sig")))
       .cache()
     val exploded = sigs.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-    val a = exploded.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
-    val b = exploded.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("band_idx", "band_key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val candidates = bandCandidates(exploded)
     candidates
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
@@ -111,15 +142,9 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(s, dir)
-    val candidates = {
-      val exploded = sigs.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-      val a = exploded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-      val b = exploded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
-      a.join(b, Seq("band_idx", "band_hash"))
-        .where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-    }
+    val candidates = bandCandidates(
+      sigs.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash"))))
     // verify on the distinct shingle-hash sets: set-Jaccard over longs,
     // ~10x cheaper per pair than string-array intersection (hash
     // collisions at 64 bits are negligible).
@@ -141,13 +166,9 @@ object Dedup {
     */
   def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(s, dir)
-    val exploded = sigs.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val a = exploded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = exploded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
-    val edges = a.join(b, Seq("band_idx", "band_hash"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val edges = bandCandidates(
+      sigs.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash"))))
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .where(TextFns.estJaccard(col("sig_a"), col("sig_b")) >= 0.25)

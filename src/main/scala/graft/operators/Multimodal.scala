@@ -27,7 +27,7 @@ object Multimodal {
   /** Synthesize the multimodal table: payload bytes from the document
     * text (deterministic), kind from doc_id, plus typed metadata.
     */
-  private[operators] def mmTable(s: SparkSession, dir: String): DataFrame =
+  private[graft] def mmTable(s: SparkSession, dir: String): DataFrame =
     new GraftCatalog(s, dir).table("documents")
       .select(
         col("doc_id"),

@@ -41,17 +41,28 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
-  /** Lloyd's k-means over the embedding table: deterministic init
-    * (first k vectors), `iters` assignment+mean rounds. Centroids are
-    * collected to the driver each round — k×dim doubles, the classic
-    * broadcast-able artifact.
+  /** Deterministic ~10%% hash-sample of the corpus used to TRAIN
+    * k-means — the B29 sampling predicate (Analytic.qSampleHash)
+    * applied to vec_id. Training cost scales with the sample, not the
+    * corpus: at 100 TB the Lloyd rounds touch ~10 TB once each instead
+    * of 6 full-corpus passes, and the resulting centroids are
+    * statistically equivalent (k-means only needs a representative
+    * sample of the density).
     */
-  private[operators] def kmeansCentroids(
+  private[graft] def trainingSample(e: DataFrame): DataFrame =
+    e.where(pmod(col("vec_id") * 2654435761L, lit(1000)) < 100)
+
+  /** Lloyd's k-means over a (sampled) embedding table: deterministic
+    * init (k lowest vec_ids present in the input), `iters`
+    * assignment+mean rounds. Centroids are collected to the driver
+    * each round — k×dim doubles, the classic broadcast-able artifact.
+    */
+  private[graft] def kmeansCentroids(
       e: DataFrame, k: Int, iters: Int): Array[(Int, Seq[Double])] = {
     import e.sparkSession.implicits._
-    var centroids = e.where(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("centroid_id"), col("emb"))
-      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    var centroids = e.orderBy("vec_id").limit(k)
+      .select(col("emb")).as[Seq[Double]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v) }
     for (_ <- 0 until iters) {
       val cDf = e.sparkSession.createDataFrame(
         centroids.toIndexedSeq.map { case (id, v) => (id, v) })
@@ -73,15 +84,17 @@ object Similarity {
     centroids
   }
 
-  /** D2: IVF ANN — k-means centroids (2 Lloyd rounds), nearest-
-    * centroid assignment (inverted lists), queries probe the
-    * top-`nprobe` centroid lists, exact cosine within. At scale the
-    * corpus is pre-partitioned by centroid so a probe touches
-    * nprobe/nlist of the data.
+  /** D2: IVF ANN — k-means centroids trained on the deterministic
+    * hash-sample (2 Lloyd rounds), nearest-centroid assignment over
+    * the FULL corpus (inverted lists), queries probe the top-`nprobe`
+    * centroid lists, exact cosine within. At scale the corpus is
+    * pre-partitioned by centroid so a probe touches nprobe/nlist of
+    * the data, and the trained centroids are persisted/broadcast —
+    * training never rescans the corpus.
     */
   def ivfTopk(s: SparkSession, dir: String, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = emb(s, dir).cache()
-    val trained = kmeansCentroids(e, nCentroids, iters = 2)
+    val trained = kmeansCentroids(trainingSample(e), nCentroids, iters = 2)
     val centroids = broadcast(
       s.createDataFrame(trained.toIndexedSeq).toDF("centroid_id", "c_emb"))
 

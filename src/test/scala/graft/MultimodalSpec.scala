@@ -29,7 +29,7 @@ class MultimodalSpec extends SparkSpecBase {
       .select(col("doc_id"), col("payload"))
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
     val out = Multimodal.featureExtract(spark, sfDir).collect()
-    out.take(50).foreach { r =>
+    out.foreach { r =>
       val hist = new Array[Long](8)
       payloads(r.getLong(0)).foreach(b => hist((b & 0xFF) >> 5) += 1)
       assert((4 to 11).map(r.getLong) === hist.toSeq, s"doc ${r.getLong(0)}")

@@ -39,4 +39,21 @@ class SimilaritySpec extends SparkSpecBase {
     val out = Similarity.ivfTopk(spark, sfDir).collect()
     assert(out.forall(r => r.getLong(0) != r.getLong(1)))
   }
+
+  test("IVF k-means trains on the deterministic hash-sample, not the corpus") {
+    import graft.sources.GraftCatalog
+    val e = new GraftCatalog(spark, sfDir).table("embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
+    val total = e.count()
+    val sample = Similarity.trainingSample(e)
+    val sampled = sample.count()
+    // ~10% hash-sample: strictly smaller than the corpus, non-empty,
+    // and reproducible (no RNG state).
+    assert(sampled > 0 && sampled < total / 5, s"sampled=$sampled of $total")
+    assert(sampled === Similarity.trainingSample(e).count())
+    // centroids trained on the sample are well-formed: k ids, full dim
+    val cents = Similarity.kmeansCentroids(sample, k = 8, iters = 1)
+    assert(cents.length === 8)
+    assert(cents.forall(_._2.nonEmpty))
+  }
 }
