@@ -28,43 +28,92 @@ object Dedup {
   /** Default within-bucket membership bound for the banding join. */
   private[graft] val DefaultBucketCap = 64
 
+  /** Monotonic suffix so the observed-metric name stays unique even if
+    * two candidate stages ever land in one query plan.
+    */
+  private val guardSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Observed-metric name prefix for the degenerate-bucket guard. */
+  private[graft] val GuardMetricPrefix = "graft_lsh_guard"
+
+  /** Per-session registration of the guard-metric logger (weak keys so
+    * dropped sessions don't pin the map).
+    */
+  private val guardLoggerSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Log capped-bucket chain edges as a side effect of the main job —
+    * a `QueryExecutionListener` over the `observe()` metric below, so
+    * the guard costs zero extra Spark jobs (the previous design ran an
+    * eager count() per call site).
+    */
+  private def ensureGuardLogger(s: SparkSession): Unit = guardLoggerSessions.synchronized {
+    if (guardLoggerSessions.add(s)) {
+      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, m) =>
+            if (name.startsWith(GuardMetricPrefix)) {
+              val capped = Option(m.getAs[java.lang.Long]("capped_chain_edges"))
+                .map(_.longValue).getOrElse(0L)
+              if (capped > 0L)
+                org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+                  s"[GRAFT] LSH banding: $capped chain edge(s) from buckets over cap — " +
+                    "all-pairs degraded to chain pairing (no silent truncation)")
+            }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      })
+    }
+  }
+
   /** Candidate pairs from an exploded band table (band_idx, band_hash,
     * doc_id) with a DEGENERATE-BUCKET GUARD: a bucket holding n
     * near-identical docs (boilerplate-heavy corpora) would emit n²/2
     * pairs from the naive self-join. Buckets at or under `cap` members
-    * get the exact all-pairs join; oversized buckets degrade to STAR
-    * pairing — every member pairs with the bucket's min doc_id — which
-    * is n-1 pairs instead of n²/2, keeps every doc attached to its
-    * duplicate cluster (connectivity is what dedup consumes), and is
-    * deterministic. The number of capped buckets is counted and logged
-    * — no silent truncation. The count is one extra aggregate over the
-    * (cached) signature table.
+    * get the exact all-pairs join; oversized buckets degrade to CHAIN
+    * pairing — consecutive members by doc_id pair up — which is n-1
+    * pairs instead of n²/2 and deterministic. Chain (not star)
+    * pairing because connectivity must survive downstream
+    * VERIFICATION: in the degenerate case the bucket's members are
+    * near-identical, so every consecutive pair verifies; and if one
+    * member is a false-positive collider, only its own two edges fail
+    * — the chain splits at that doc instead of the whole bucket
+    * fragmenting (a star loses every edge when the hub is the
+    * false positive). Post-verification connectivity remains
+    * best-effort: each false positive in a capped bucket cuts the
+    * chain once. The number of capped chain edges is observed on the
+    * main job (no extra Spark action) and logged — no silent
+    * truncation.
     */
   private[graft] def bandCandidates(exploded: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    ensureGuardLogger(exploded.sparkSession)
     val w = Window.partitionBy("band_idx", "band_hash")
+    val wOrd = w.orderBy("doc_id")
+    // both windows share the partition key, so they share one exchange;
+    // the three downstream branches reuse it (ReuseExchange).
     val sized = exploded
       .withColumn("bsz", count(lit(1)).over(w))
-      .withColumn("bmin", min("doc_id").over(w))
-    val degenerate = sized.where(col("bsz") > cap)
-      .select("band_idx", "band_hash").distinct().count()
-    if (degenerate > 0) {
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"[GRAFT] LSH banding: $degenerate bucket(s) over cap=$cap " +
-          "degraded from all-pairs to star pairing (connectivity preserved)")
-    }
+      .withColumn("prev", lag("doc_id", 1).over(wOrd))
     val small = sized.where(col("bsz") <= cap)
     val a = small.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = small.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     val allPairs = a.join(b, Seq("band_idx", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-    val starPairs = sized.where(col("bsz") > cap && col("doc_id") =!= col("bmin"))
-      .select(col("bmin").as("doc_a"), col("doc_id").as("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("capped"))
+    val chainPairs = sized.where(col("bsz") > cap && col("prev").isNotNull)
+      .select(col("prev").as("doc_a"), col("doc_id").as("doc_b"), lit(1L).as("capped"))
     // dedup candidate pairs BEFORE the (comparatively) expensive
     // signature comparison — a pair colliding in k bands must be
     // scored once, not k times.
-    allPairs.unionAll(starPairs).distinct()
+    allPairs.unionAll(chainPairs)
+      .observe(s"${GuardMetricPrefix}_${guardSeq.incrementAndGet()}",
+        sum("capped").as("capped_chain_edges"),
+        count(lit(1)).as("candidate_edges"))
+      .select("doc_a", "doc_b").distinct()
   }
 
   /** C1: exact dedup — hash-groupBy on full text, keep min doc_id.
@@ -159,10 +208,17 @@ object Dedup {
   }
 
   /** C6: near-dup clusters — candidate edges (estimated Jaccard ≥
-    * 0.25) fed to iterative min-label propagation (5 bounded rounds of
-    * join + groupBy-min, each a single shuffle; the distributed
-    * connected-components recipe). Cluster id = smallest doc_id in the
-    * component.
+    * 0.25) fed to min-label propagation WITH POINTER JUMPING
+    * (label := label(label) after each propagate round, the
+    * hash-to-min trick of Rastogi et al., "Finding Connected
+    * Components in MapReduce"): covered diameter doubles per round,
+    * so convergence is O(log diameter) shuffles of the small label
+    * table, not O(diameter). That matters because the degenerate-
+    * bucket guard emits CHAINS (diameter n-1) for oversized buckets —
+    * plain per-hop propagation would need n rounds for a boilerplate
+    * cluster. Rounds run until a no-change fixpoint (cheap count on a
+    * checkpointed label table), capped at 20 ≈ diameter 10⁶.
+    * Cluster id = smallest doc_id in the component.
     */
   def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(s, dir)
@@ -184,12 +240,26 @@ object Dedup {
     val bidirCp = bidir.localCheckpoint()
     val active = bidirCp.select(col("doc_a").as("doc_id")).distinct()
     var labels = active.withColumn("label", col("doc_id")).localCheckpoint()
-    for (_ <- 0 until 5) {
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 20) {
       val viaNeighbor = bidirCp
         .join(labels.select(col("doc_id").as("doc_b"), col("label")), Seq("doc_b"))
         .select(col("doc_a").as("doc_id"), col("label"))
-      labels = labels.unionAll(viaNeighbor)
-        .groupBy("doc_id").agg(min("label").as("label")).localCheckpoint()
+      val propagated = labels.unionAll(viaNeighbor)
+        .groupBy("doc_id").agg(min("label").as("label"))
+      // pointer jump: follow the label one more hop (labels are always
+      // doc_ids of active nodes, so the self-join is total).
+      val jumped = propagated
+        .join(propagated.select(col("doc_id").as("label"), col("label").as("jump")),
+          Seq("label"), "left")
+        .select(col("doc_id"), coalesce(col("jump"), col("label")).as("label"))
+        .localCheckpoint()
+      changed = jumped
+        .join(labels.withColumnRenamed("label", "old_label"), Seq("doc_id"))
+        .where(col("label") =!= col("old_label")).count()
+      labels = jumped
+      round += 1
     }
     val isolated = sigs.select(col("doc_id"))
       .join(active, Seq("doc_id"), "left_anti")

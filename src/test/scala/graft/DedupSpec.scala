@@ -79,6 +79,47 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.embeddingCosine(spark, sfDir).count() > 0)
   }
 
+  test("oversized LSH buckets degrade to chain pairing, not n^2 all-pairs") {
+    import spark.implicits._
+    // one bucket of 12 members with cap=4, plus one small bucket of 3
+    val exploded = ((0L until 12L).map(i => (0, 42L, i)) ++
+        Seq((1, 7L, 20L), (1, 7L, 21L), (1, 7L, 22L)))
+      .toDF("band_idx", "band_hash", "doc_id")
+    val out = Dedup.bandCandidates(exploded, cap = 4)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chain = (0L until 11L).map(i => (i, i + 1)).toSet
+    val smallAllPairs = Set((20L, 21L), (20L, 22L), (21L, 22L))
+    assert(pairs === chain ++ smallAllPairs,
+      s"expected 11 chain edges + 3 all-pairs, got ${pairs.size}: $pairs")
+    // the guard metric reports the capped edges on the main job
+    val metric = out.queryExecution.observedMetrics.collectFirst {
+      case (name, row) if name.startsWith(Dedup.GuardMetricPrefix) => row
+    }.getOrElse(fail("guard metric missing from observedMetrics"))
+    assert(metric.getAs[Long]("capped_chain_edges") === 11L)
+    assert(metric.getAs[Long]("candidate_edges") === 14L)
+  }
+
+  test("over-cap bucket of identical docs stays one cluster through verification") {
+    import spark.implicits._
+    // 80 identical docs collide in every band -> every bucket is over
+    // the default cap of 64 -> chain pairing everywhere. All chain
+    // edges verify (estJaccard = 1.0 >= 0.25), so the component must
+    // survive intact into nearDupClusters output.
+    val same = (1 to 25).map(i => s"boilerplate$i").mkString(" ")
+    val docs = (0L until 80L).map(i => (i, same)) ++
+      (100L until 110L).map(i => (i, (1 to 25).map(j => s"uniq${i}_$j").mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.Dedup.nearDupClusters(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 80L).forall(out(_) === 0L),
+      s"expected one cluster rooted at 0, got ${out.view.filterKeys(_ < 80).toMap.values.toSet}")
+    assert((100L until 110L).forall(i => out(i) === i))
+  }
+
   test("label propagation groups a planted 3-chain into one cluster") {
     import spark.implicits._
     // a->b and b->c near-dups (a,c differ more) => one component {a,b,c}
