@@ -26,6 +26,20 @@ final class GraftCatalog(spark: SparkSession, root: String) {
 
   import GraftCatalog._
 
+  /** Pinned per-table file listings (path, length), captured at the
+    * FIRST read of each table through this catalog and reused for
+    * every subsequent read — the Spark-native analog of the
+    * reference's job-spanning read-only transaction
+    * (ArgodbMapreduceInputFormat.java:80-99 begins one transaction and
+    * serializes its token into every split; :257-279 releases it).
+    * Parquet files are immutable once committed, so pinning the
+    * listing IS the snapshot: a file landing in the directory
+    * mid-job is invisible to this catalog, and two readers of the
+    * same table through one catalog see identical data.
+    */
+  private val pinnedListings =
+    scala.collection.concurrent.TrieMap.empty[String, PinnedTable]
+
   /** Schema discovery without reading data (MetaUtils.getTableInfo analog). */
   def tableSchema(name: String): StructType = table(name).schema
 
@@ -33,9 +47,27 @@ final class GraftCatalog(spark: SparkSession, root: String) {
   def describeTable(name: String): Seq[(String, String)] =
     tableSchema(name).fields.toSeq.map(f => f.name -> HiveTypeMapping.toHiveName(f.dataType))
 
-  /** Full-table scan. */
-  def table(name: String): DataFrame =
-    spark.read.parquet(s"$root/$name.parquet")
+  private def pinned(name: String): PinnedTable =
+    pinnedListings.getOrElseUpdate(name, listDataFiles(spark, s"$root/$name.parquet"))
+
+  /** The (path, length) snapshot this catalog has pinned for a table —
+    * pins it on first call.
+    */
+  def snapshotFiles(name: String): Seq[(String, Long)] = pinned(name).files
+
+  /** Full-table scan against the pinned snapshot: the read names the
+    * pinned files explicitly instead of re-listing the directory, so
+    * Catalyst's FileIndex never sees later arrivals. `basePath` keeps
+    * hive-style partition discovery working on partitioned layouts
+    * (only legal when the table root is a directory).
+    */
+  def table(name: String): DataFrame = {
+    val pin = pinned(name)
+    require(pin.files.nonEmpty, s"[GRAFT] Table [$name] has no data files under $root")
+    val reader = spark.read
+    if (pin.rootIsDir) reader.option("basePath", s"$root/$name.parquet")
+    reader.parquet(pin.files.map(_._1): _*)
+  }
 
   /** Scan with the reference's partition-filter semantics:
     *  - blank filter → full scan (ArgodbMapreduceInputFormat.java:213-227);
@@ -55,6 +87,33 @@ final class GraftCatalog(spark: SparkSession, root: String) {
 }
 
 object GraftCatalog {
+
+  /** One table's pinned snapshot: its data files (path, length) and
+    * whether the table root is a directory (single-file tables can't
+    * take a `basePath`).
+    */
+  private[sources] final case class PinnedTable(rootIsDir: Boolean, files: Seq[(String, Long)])
+
+  /** Recursive data-file listing of a table root: (path, length) per
+    * file, skipping Spark/Hadoop bookkeeping (`_SUCCESS`, `_metadata`,
+    * dotfiles). One listing per table per catalog — at 100 TB this is
+    * the only namenode/object-store round trip the snapshot costs.
+    */
+  private[sources] def listDataFiles(spark: SparkSession, dir: String): PinnedTable = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return PinnedTable(rootIsDir = false, Seq.empty)
+    val status = fs.getFileStatus(path)
+    if (status.isFile) return PinnedTable(rootIsDir = false, Seq((path.toString, status.getLen)))
+    val out = Seq.newBuilder[(String, Long)]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) out += ((f.getPath.toString, f.getLen))
+    }
+    PinnedTable(rootIsDir = true, out.result())
+  }
 
   /** Hive's sentinel for a null partition value. */
   val DefaultPartitionName = "__HIVE_DEFAULT_PARTITION__"

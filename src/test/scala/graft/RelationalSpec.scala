@@ -52,6 +52,32 @@ class RelationalSpec extends SparkSpecBase {
     assert(outer.count(_.getLong(1) == 0L) === noOrders)
   }
 
+  test("catalog pins the file listing: a file landing mid-snapshot is invisible") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp/t.parquet")
+    val catalog = new GraftCatalog(spark, tmp)
+    assert(catalog.table("t").count() === 2L)
+    val filesBefore = catalog.snapshotFiles("t")
+    // a writer lands a new file in the directory mid-"transaction"
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(s"$tmp/t.parquet")
+    // the pinned catalog still sees the snapshot; a fresh catalog sees 3
+    assert(catalog.table("t").count() === 2L, "pinned snapshot leaked a later file")
+    assert(catalog.snapshotFiles("t") === filesBefore)
+    assert(new GraftCatalog(spark, tmp).table("t").count() === 3L)
+  }
+
+  test("catalog snapshot read preserves hive partition columns via basePath") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snap_part").toString
+    Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("id", "v", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(s"$tmp/t.parquet")
+    val df = new GraftCatalog(spark, tmp).table("t")
+    assert(df.columns.toSet === Set("id", "v", "part"))
+    assert(df.where(org.apache.spark.sql.functions.col("part") === "p2").count() === 1L)
+  }
+
   test("catalog partition filter equals typed where-clause") {
     val c = new GraftCatalog(spark, sfDir)
     val viaFilter = c.scan("orders", "o_orderpriority=1-URGENT").count()
