@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL surface for the native graft expressions: registered through
   * `SparkSessionExtensions` (set `spark.sql.extensions=
@@ -28,18 +28,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def litInt(e: Expression, default: Int): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => other.eval().asInstanceOf[Int]
+  /** A foldable integral argument (e.g. the lane/shingle count).
+    * Accepts any integral literal width; anything non-foldable or
+    * non-integral is a clear error instead of a raw
+    * ClassCastException from a blind asInstanceOf.
+    */
+  private def litInt(e: Expression, what: String): Int = {
+    val v = if (e.foldable) e.eval() else null
+    v match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long if l.longValue().isValidInt => l.intValue()
+      case s: java.lang.Short => s.intValue()
+      case b: java.lang.Byte => b.intValue()
+      case _ => throw new IllegalArgumentException(
+        s"[GRAFT] $what must be an integer literal, got: ${e.sql}")
+    }
   }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash" -> { es =>
-      MinHashSignatureExpr(es.head, if (es.length > 1) litInt(es(1), 64) else 64)
+      MinHashSignatureExpr(es.head,
+        if (es.length > 1) litInt(es(1), "graft_minhash lane count") else 64)
     },
     "graft_simhash" -> { es => SimHash64Expr(es.head) },
     "graft_cosine" -> { es => CosineSimilarityExpr(es(0), es(1)) },
     "graft_shingle_hashes" -> { es =>
-      WordShingleHashesExpr(es.head, if (es.length > 1) litInt(es(1), 1) else 1)
+      WordShingleHashesExpr(es.head,
+        if (es.length > 1) litInt(es(1), "graft_shingle_hashes k") else 1)
     })
 }

@@ -160,6 +160,15 @@ object GraftCatalog {
     filterValue(filter) match {
       case DefaultPartitionName  => col(field.name).isNull
       case DefaultPartitionEmpty if field.dataType == StringType => col(field.name) === lit("")
+      case DefaultPartitionEmpty =>
+        // the empty-string sentinel only makes sense for string columns
+        // (reference ArgodbMapreduceRecordReader.java:191-192 writes ""
+        // into the row); anything else is a caller error — fail with a
+        // clear message instead of the NumberFormatException parseValue
+        // would throw.
+        throw new IllegalArgumentException(
+          s"[GRAFT] $DefaultPartitionEmpty is only valid for string partition columns; " +
+            s"[${field.name}] is ${field.dataType.simpleString}.")
       case raw =>
         col(field.name) === typedLit(raw, field.dataType)
     }

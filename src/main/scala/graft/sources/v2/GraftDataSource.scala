@@ -18,7 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -90,7 +90,22 @@ class GraftScanBuilder(path: String, fullSchema: StructType) extends ScanBuilder
 }
 
 case class GraftScan(path: String, required: StructType, filters: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
+
+  /** Filters Spark hands over at RUNTIME (dynamic partition pruning /
+    * runtime row-group filtering from a completed build side), on top
+    * of the compile-time pushed ones. The reference's split pruning is
+    * static only (ArgodbMapreduceInputFormat.java:208-255); this is
+    * the Spark-native upgrade: an `In(join_key, values)` arriving
+    * after the dim side materializes prunes row groups by footer
+    * stats before any task launches.
+    */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = { runtimeFilters = filters }
 
   override def readSchema(): StructType = required
 
@@ -102,16 +117,34 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter])
   override def planInputPartitions(): Array[InputPartition] = {
     val footer = GraftV2.withReader(path)(_.getFooter)
     val blocks = footer.getBlocks.asScala.toArray
+    val all = filters ++ runtimeFilters
+    // locality: hosts holding each row group's byte range, the analog
+    // of the reference's ArgodbMapreduceInputSplit.java:49-60
+    // getLocations(). Spark's scheduler uses these for NODE_LOCAL
+    // placement on a real cluster; on local FS the listing is empty
+    // or localhost and is simply ignored.
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val status = fs.getFileStatus(p)
     blocks.zipWithIndex
-      .filterNot { case (b, _) => GraftV2.canSkipRowGroup(b, filters) }
-      .map { case (_, i) => GraftInputPartition(path, i): InputPartition }
+      .filterNot { case (b, _) => GraftV2.canSkipRowGroup(b, all) }
+      .map { case (b, i) =>
+        val hosts =
+          try fs.getFileBlockLocations(status, b.getStartingPos, b.getCompressedSize)
+            .flatMap(_.getHosts).distinct
+          catch { case _: java.io.IOException => Array.empty[String] }
+        GraftInputPartition(path, i, hosts): InputPartition
+      }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(required)
 }
 
-case class GraftInputPartition(path: String, rowGroup: Int) extends InputPartition
+case class GraftInputPartition(path: String, rowGroup: Int,
+    hosts: Array[String] = Array.empty) extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts
+}
 
 case class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -249,15 +282,17 @@ object GraftV2 {
           if (st == null || !st.hasNonNullValue) None
           else Some((st.genericGetMin, st.genericGetMax))
         }
+    // exact decimal comparison regardless of the stat/filter type mix:
+    // a fractional filter value (l_quantity > 45.5) against integral
+    // stats must NOT be truncated to 45 (a latent wrong prune), and
+    // int64 stats above 2^53 must not round through double. BigDecimal
+    // over the decimal string repr is exact for every JVM number type;
+    // non-finite doubles (NaN/Inf) decline to compare (→ keep the
+    // row group, pruning stays conservative).
     def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-      case (x: java.lang.Number, y: java.lang.Number)
-          if x.isInstanceOf[java.lang.Integer] || x.isInstanceOf[java.lang.Long] =>
-        Some(java.lang.Long.compare(x.longValue(), y match {
-          case n: java.lang.Number => n.longValue()
-          case _ => return None
-        }))
       case (x: java.lang.Number, y: java.lang.Number) =>
-        Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+        try Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
+        catch { case _: NumberFormatException => None }
       case (x: org.apache.parquet.io.api.Binary, y: String) =>
         Some(x.toStringUsingUTF8.compareTo(y))
       case _ => None
@@ -273,6 +308,10 @@ object GraftV2 {
         cmp(mn, v).exists(_ >= 0) }
       case LessThanOrEqual(c, v) => bounds(c).exists { case (mn, _) =>
         cmp(mn, v).exists(_ > 0) }
+      // runtime row-group pruning: the In-set a dynamic filter carries
+      // — skip when every value falls outside [min, max].
+      case In(c, vs) => bounds(c).exists { case (mn, mx) =>
+        vs.forall(v => cmp(mn, v).exists(_ > 0) || cmp(mx, v).exists(_ < 0)) }
       case _ => false
     }
   }

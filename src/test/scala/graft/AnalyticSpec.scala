@@ -39,6 +39,16 @@ class AnalyticSpec extends SparkSpecBase {
     assert(r.getInt(3) === 2)
   }
 
+  test("non-integer lane count in graft SQL functions is a clear error") {
+    // BIGINT literal widths are accepted
+    assert(spark.sql("SELECT size(graft_minhash(array(7L), 8L)) AS m")
+      .collect()(0).getInt(0) === 8)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(7L), 'sixteen')").collect()
+    }
+    assert(e.getMessage.contains("[GRAFT]"), e.getMessage)
+  }
+
   test("salted join equals the plain join") {
     val salted = Analytic.qSaltedJoinRevenue(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -95,6 +95,14 @@ class RelationalSpec extends SparkSpecBase {
       c.scan("orders", "o_orderstatus=O/o_orderpriority=1-URGENT").count())
   }
 
+  test("EMPTYSTR sentinel on a non-string column is a clear error") {
+    val schema = StructType(Seq(StructField("p", IntegerType)))
+    val e = intercept[IllegalArgumentException] {
+      GraftCatalog.compileFilter(s"p=${GraftCatalog.DefaultPartitionEmpty}", schema)
+    }
+    assert(e.getMessage.contains("[GRAFT]") && e.getMessage.contains("string"), e.getMessage)
+  }
+
   test("hive type mapping round-trips the reference's type surface") {
     val types = Seq("boolean", "tinyint", "smallint", "int", "bigint",
       "float", "double", "decimal(10,2)", "string", "binary", "date", "timestamp")

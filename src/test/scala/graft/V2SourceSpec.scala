@@ -57,6 +57,60 @@ class V2SourceSpec extends SparkSpecBase {
     assert(!GraftV2.canSkipRowGroup(block, Array(EqualTo("nope", 1))))
   }
 
+  test("runtime In-filter prunes row groups from a re-planned scan") {
+    import graft.sources.v2.GraftScan
+    import org.apache.spark.sql.sources.In
+    import org.apache.spark.sql.types._
+    // a multi-row-group file with a sorted key: write 4 sorted files'
+    // worth via maxRecordsPerFile so footer stats partition the key space
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rtf").toString
+    import spark.implicits._
+    (0L until 40000L).map(i => (i, i % 97)).toDF("k", "v")
+      .orderBy("k").coalesce(1)
+      .write.option("parquet.block.size", "65536").mode("overwrite")
+      .parquet(tmp)
+    val file = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get.getAbsolutePath
+    val scan = GraftScan(file, StructType(Seq(StructField("k", LongType))), Array.empty)
+    val before = scan.planInputPartitions().length
+    assume(before > 1, s"need multiple row groups, got $before")
+    // Spark delivers the materialized dim keys at runtime
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("k", Array(5L, 10L))))
+    val after = scan.planInputPartitions().length
+    assert(after < before, s"runtime filter did not prune: $before -> $after")
+    assert(after >= 1)
+  }
+
+  test("row-group splits carry preferred locations plumbing") {
+    import graft.sources.v2.{GraftInputPartition, GraftScan}
+    import org.apache.spark.sql.types._
+    val path = s"$sfDir/orders.parquet"
+    val scan = GraftScan(path, StructType(Seq(StructField("o_orderkey", LongType))), Array.empty)
+    val parts = scan.planInputPartitions()
+    assert(parts.nonEmpty)
+    // on local FS the host list may be empty or localhost — the
+    // contract under test is that the array is present and non-null
+    parts.foreach { p =>
+      assert(p.asInstanceOf[GraftInputPartition].preferredLocations() != null)
+    }
+  }
+
+  test("fractional filter values against integral stats compare exactly") {
+    import org.apache.parquet.hadoop.metadata.BlockMetaData
+    // orders has integral o_orderkey stats; a fractional bound must not
+    // truncate (45.5 pruned as 45 was the latent bug)
+    val path = s"$sfDir/orders.parquet"
+    val block: BlockMetaData = GraftV2.withReader(path)(_.getFooter.getBlocks.get(0))
+    val mx = GraftV2.withReader(path)(_.getFooter.getBlocks.get(0))
+      .getColumns.get(0).getStatistics.genericGetMax.asInstanceOf[Number].longValue()
+    // filter: key > max + 0.5 → provably empty → skip; with the old
+    // longValue() truncation this compared against max + 0 and kept it
+    assert(GraftV2.canSkipRowGroup(block, Array(GreaterThan("o_orderkey", mx + 0.5))))
+    assert(!GraftV2.canSkipRowGroup(block, Array(GreaterThan("o_orderkey", mx - 0.5))))
+    // NaN declines to compare → conservative keep
+    assert(!GraftV2.canSkipRowGroup(block, Array(GreaterThan("o_orderkey", Double.NaN))))
+  }
+
   test("v2 timestamp columns round-trip (events, nanos)") {
     val got = v2("events").select("event_id", "ts").orderBy("event_id")
       .limit(5).collect().map(r => (r.getLong(0), r.get(1).toString))
