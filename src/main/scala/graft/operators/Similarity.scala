@@ -56,6 +56,11 @@ object Similarity {
     * init (k lowest vec_ids present in the input), `iters`
     * assignment+mean rounds. Centroids are collected to the driver
     * each round — k×dim doubles, the classic broadcast-able artifact.
+    *
+    * Always returns exactly min(k, input rows) centroids: k is
+    * clamped when the input is smaller than k, and a cluster that
+    * receives zero assignments in a round keeps its previous centroid
+    * instead of vanishing from the groupBy result.
     */
   private[graft] def kmeansCentroids(
       e: DataFrame, k: Int, iters: Int): Array[(Int, Seq[Double])] = {
@@ -71,7 +76,7 @@ object Similarity {
         .select(col("vec_id"), col("emb"), col("centroid_id"),
           VectorFns.cosine(col("emb"), col("c_emb")).as("c_cos"))
       val wA = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id"))
-      centroids = assigned.withColumn("rn", row_number().over(wA))
+      val updated = assigned.withColumn("rn", row_number().over(wA))
         .where(col("rn") === 1)
         // mean per dimension: posexplode + groupBy(centroid, dim)
         .select(col("centroid_id"), posexplode(col("emb")).as(Seq("dim", "v")))
@@ -79,7 +84,8 @@ object Similarity {
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
         .select(col("centroid_id"), expr("transform(dims, d -> d.m)").as("c_emb"))
-        .as[(Int, Seq[Double])].collect().sortBy(_._1)
+        .as[(Int, Seq[Double])].collect().toMap
+      centroids = centroids.map { case (id, prev) => (id, updated.getOrElse(id, prev)) }
     }
     centroids
   }

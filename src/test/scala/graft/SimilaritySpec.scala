@@ -47,13 +47,34 @@ class SimilaritySpec extends SparkSpecBase {
     val total = e.count()
     val sample = Similarity.trainingSample(e)
     val sampled = sample.count()
-    // ~10% hash-sample: strictly smaller than the corpus, non-empty,
-    // and reproducible (no RNG state).
-    assert(sampled > 0 && sampled < total / 5, s"sampled=$sampled of $total")
+    // ~10% hash-sample: a two-sided rate band (2%..20%) expresses the
+    // intent and stays stable across corpus sizes; reproducible (no
+    // RNG state).
+    val rate = sampled.toDouble / total
+    assert(rate > 0.02 && rate < 0.2, s"sampled=$sampled of $total (rate=$rate)")
     assert(sampled === Similarity.trainingSample(e).count())
     // centroids trained on the sample are well-formed: k ids, full dim
     val cents = Similarity.kmeansCentroids(sample, k = 8, iters = 1)
     assert(cents.length === 8)
     assert(cents.forall(_._2.nonEmpty))
+  }
+
+  test("kmeans returns exactly min(k, rows) centroids; empty clusters carry forward") {
+    import spark.implicits._
+    // 3 rows < k=5: clamped to 3 centroids, none empty.
+    val tiny = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 1.0)))
+      .toDF("vec_id", "emb")
+    val cents = Similarity.kmeansCentroids(tiny, k = 5, iters = 2)
+    assert(cents.length === 3)
+    assert(cents.forall(_._2.length === 2))
+    // Duplicated vectors: some centroids get zero assignments after
+    // round 1 (all rows snap to one winner) — previous centroid must
+    // carry forward, keeping the id set intact.
+    val dup = Seq.tabulate(6)(i => (i.toLong, Seq(1.0, 0.0)))
+      .toDF("vec_id", "emb")
+    val dupCents = Similarity.kmeansCentroids(dup, k = 4, iters = 2)
+    assert(dupCents.length === 4)
+    assert(dupCents.map(_._1).sorted.toSeq === Seq(0, 1, 2, 3))
   }
 }
