@@ -69,7 +69,8 @@ object SparkEntry {
     "dedup_exact"                -> Dedup.exactDedup _,
     "dedup_minhash_lsh"          -> Dedup.minhashLsh _,
     "dedup_simhash"              -> Dedup.simhash _,
-    "dedup_ngram_jaccard"        -> Dedup.ngramJaccard _,
+    "dedup_ngram_jaccard"        -> Dedup.ngramJaccardExact _,
+    "dedup_ngram_jaccard_lsh"    -> Dedup.ngramJaccard _,
     "dedup_embedding_cosine"     -> Dedup.embeddingCosine _,
     "dedup_clusters"             -> Dedup.nearDupClusters _,
     // §2.D similarity search
@@ -517,6 +518,28 @@ object SparkEntry {
     "dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       FROM documents GROUP BY text ORDER BY doc_id""",
+
+    // Same sampled string-shingle pipeline as Dedup.ngramJaccardExact:
+    // 1-indexed DuckDB range(1, len-1) == Spark's 0-indexed
+    // sequence(0, size-3); floor-micro Jaccard is bit-identical (int
+    // ratio through IEEE double).
+    "dedup_ngram_jaccard" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+        WHERE mod(doc_id * 2654435761, 1000) < 100
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks WHERE len(t) >= 3
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(floor(len(list_intersect(a.s, b.s)) * 1000000.0 /
+                  len(list_distinct(a.s || b.s))) AS BIGINT) AS jaccard_micro
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ORDER BY jaccard_micro DESC, doc_a, doc_b
+      LIMIT 200""",
 
     "sim_bruteforce_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb

@@ -207,6 +207,35 @@ object Dedup {
       .limit(200)
   }
 
+  /** C4 (oracle-portable form): exact n-gram Jaccard over STRING
+    * 3-shingles on the deterministic ~10% hash-sample (B29 predicate on
+    * doc_id), all sampled pairs verified. String shingles (not XXH64
+    * hashes) make the whole computation expressible in any ANSI-ish
+    * engine, so this form is value-checked end to end against the
+    * DuckDB oracle; `ngramJaccard` above is the scale form (LSH
+    * candidates + 64-bit hash sets) of the same verify join.
+    * Jaccard is emitted as floor(j*1e6) — the ratio of two exact ints
+    * divided in IEEE double then floored is bit-identical across
+    * engines, where round() is not (see SURVEY.md §6).
+    */
+  def ngramJaccardExact(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .where(pmod(col("doc_id") * 2654435761L, lit(1000)) < 100)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val sh = toks.where(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
+      .cache() // tiny (sampled); reused as both join sides
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(size(array_intersect(col("sh_a"), col("sh_b"))) * 1000000.0 /
+              size(array_union(col("sh_a"), col("sh_b")))).cast("long").as("jaccard_micro"))
+      .orderBy(col("jaccard_micro").desc, col("doc_a"), col("doc_b"))
+      .limit(200)
+  }
+
   /** C6: near-dup clusters — candidate edges (estimated Jaccard ≥
     * 0.25) fed to min-label propagation WITH POINTER JUMPING
     * (label := label(label) after each propagate round, the

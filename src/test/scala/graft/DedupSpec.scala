@@ -140,4 +140,25 @@ class DedupSpec extends SparkSpecBase {
       s"expected chain collapse, got ${out.view.filterKeys(_ <= 3).toMap}")
     assert(out(10L) === 10L)
   }
+
+  test("exact ngram jaccard: sampled pairs, identical docs score 1000000 micro") {
+    import spark.implicits._
+    // doc_ids 0, 4, 8 pass the hash-sample predicate
+    // (id*2654435761 mod 1000 < 100); 1 and 2 do not.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (4L, "alpha beta gamma delta epsilon"), // identical to 0 -> j=1.0
+      (8L, "zeta eta theta iota kappa"),      // disjoint -> j=0
+      (1L, "alpha beta gamma delta epsilon"), // excluded by sampling
+      (2L, "tiny"))                           // excluded (also <3 tokens)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_njx").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.ngramJaccardExact(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((0L, 4L) -> 1000000L, (0L, 8L) -> 0L, (4L, 8L) -> 0L),
+      s"got $out")
+  }
 }
