@@ -91,6 +91,7 @@ object SparkEntry {
     // §2.G streaming (batch-equivalent forms; streaming paths in specs)
     "stream_windowed_counts"     -> graft.streaming.Events.windowedCountsBatch _,
     "stream_sessionize"          -> graft.streaming.Events.sessionizeBatch _,
+    "stream_session_window"      -> graft.streaming.Events.sessionWindowBatch _,
     "stream_enriched_counts"     -> graft.streaming.Events.enrichedCountsBatch _,
   )
 
@@ -650,5 +651,29 @@ object SparkEntry {
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
              count(*) AS n_events
       FROM t GROUP BY user_id ORDER BY user_id""",
+
+    // Gaps-and-islands twin of Spark's session_window: a gap of
+    // EXACTLY GapSeconds starts a new session ([ts, ts+gap) intervals
+    // are end-exclusive), hence `>=` here vs `>` in stream_sessionize;
+    // session end = last event + gap.
+    "stream_session_window" -> """
+      WITH t AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      s AS (
+        SELECT user_id, ts,
+               sum(CASE WHEN prev_ts IS NULL
+                        OR ts >= prev_ts + INTERVAL 1800 SECOND
+                   THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM t)
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts) + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
   )
 }

@@ -132,6 +132,40 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** G2 (native form): Spark's built-in `session_window` — one row per
+    * (user, session) with the window bounds. Boundary semantics differ
+    * from the lag-based form by one instant: session_window merges
+    * events whose [ts, ts+gap) intervals OVERLAP, so a gap of exactly
+    * `GapSeconds` starts a new session (end-exclusive), where the
+    * lag form keeps it (`>` test). The oracle mirrors the
+    * session_window semantics (`>=` on the gap test).
+    */
+  def sessionWindowBatch(s: SparkSession, dir: String): DataFrame =
+    eventsTable(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$GapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** Streaming form of the native session window: watermark bounds the
+    * open-session state; Spark emits a session once the watermark
+    * passes its end (append mode). This is the declarative twin of
+    * `sessionizeStream` — no user state class, merge logic inside the
+    * engine's session-window exec.
+    */
+  def sessionWindowStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$GapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
   case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long, nSessions: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -139,6 +139,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(600))
   }
 
+  test("native session_window stream emits watermark-closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    stream.addData(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")), // same session (10 min gap)
+      (1L, ts("2024-01-01 11:00:00")), // new session (50 min gap)
+      (2L, ts("2024-01-01 09:00:00")))
+    val df = stream.toDF.toDF("user_id", "ts")
+    val q = Events.sessionWindowStream(df)
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // advance the watermark (2h delay) past every session end so the
+    // engine closes and emits them; the flush user's own session stays
+    // open and must NOT appear.
+    stream.addData((99L, ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sw_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", 2L),
+      (1L, "2024-01-01 11:00:00.0", "2024-01-01 11:30:00.0", 1L),
+      (2L, "2024-01-01 09:00:00.0", "2024-01-01 09:30:00.0", 1L)), got.toString)
+  }
+
+  test("session_window batch agrees with lag-based sessionize on the corpus") {
+    val lagBased = Events.sessionizeBatch(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val native = Events.sessionWindowBatch(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) => u -> (rows.length.toLong, rows.map(_.getLong(3)).sum) }
+    // boundary semantics differ only at a gap of exactly GapSeconds
+    // (session_window is end-exclusive) — absent on this corpus, so
+    // per-user (n_sessions, n_events) must agree exactly.
+    assert(native === lagBased)
+  }
+
   test("watermarked stream-stream join matches purchases to prior clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
