@@ -71,7 +71,8 @@ object SparkEntry {
     "dedup_simhash"              -> Dedup.simhash _,
     "dedup_ngram_jaccard"        -> Dedup.ngramJaccardExact _,
     "dedup_ngram_jaccard_lsh"    -> Dedup.ngramJaccard _,
-    "dedup_embedding_cosine"     -> Dedup.embeddingCosine _,
+    "dedup_embedding_cosine"     -> Dedup.embeddingCosineExact _,
+    "dedup_embedding_cosine_lsh" -> Dedup.embeddingCosine _,
     "dedup_clusters"             -> Dedup.nearDupClusters _,
     // §2.D similarity search
     "sim_bruteforce_topk"        -> Similarity.bruteForceTopk _,
@@ -540,6 +541,20 @@ object SparkEntry {
                   len(list_distinct(a.s || b.s))) AS BIGINT) AS jaccard_micro
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       ORDER BY jaccard_micro DESC, doc_a, doc_b
+      LIMIT 200""",
+
+    // Same sampled exact-cosine pipeline as Dedup.embeddingCosineExact;
+    // floor-micro keeps identical double bits identical after trunc.
+    "dedup_embedding_cosine" -> """
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        WHERE mod(vec_id * 2654435761, 1000) < 100)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(floor(list_dot_product(a.emb, b.emb) /
+                  (sqrt(list_dot_product(a.emb, a.emb)) *
+                   sqrt(list_dot_product(b.emb, b.emb))) * 1000000.0) AS BIGINT) AS cos_micro
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      ORDER BY cos_micro DESC, vec_a, vec_b
       LIMIT 200""",
 
     "sim_bruteforce_topk" -> """

@@ -297,6 +297,30 @@ object Dedup {
       .select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
   }
 
+  /** C5 (oracle-portable form): exact pairwise cosine over the
+    * deterministic ~10% hash-sample of the embeddings table — every
+    * sampled pair scored, no LSH bucketing, so the whole computation
+    * is reproducible in any engine with a sequential dot product.
+    * Cosine is emitted as floor(cos*1e6): identical input bits give
+    * an identical floor, where decimal round() is engine-dependent
+    * (SURVEY.md §6). `embeddingCosine` below is the scale form
+    * (hyperplane-LSH buckets) of the same near-dup pairing.
+    */
+  def embeddingCosineExact(s: SparkSession, dir: String): DataFrame = {
+    val e = new GraftCatalog(s, dir).table("embeddings")
+      .where(pmod(col("vec_id") * 2654435761L, lit(1000)) < 100)
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
+      .cache() // tiny (sampled); reused as both join sides
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        floor(VectorFns.cosine(col("emb_a"), col("emb_b")) * 1e6)
+          .cast("long").as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("vec_a"), col("vec_b"))
+      .limit(200)
+  }
+
   /** C5: embedding-cosine near-dup: random-hyperplane LSH buckets →
     * within-bucket exact cosine → top pairs.
     */

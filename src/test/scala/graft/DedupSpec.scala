@@ -161,4 +161,21 @@ class DedupSpec extends SparkSpecBase {
     assert(out === Map((0L, 4L) -> 1000000L, (0L, 8L) -> 0L, (4L, 8L) -> 0L),
       s"got $out")
   }
+
+  test("exact embedding cosine: sampled pairs, identical vectors score 1000000 micro") {
+    import spark.implicits._
+    // vec_ids 0, 4, 8 pass the hash-sample predicate; 1 does not.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (4L, Seq(2.0f, 0.0f, 0.0f)),  // same direction as 0 -> cos=1
+      (8L, Seq(0.0f, 3.0f, 0.0f)),  // orthogonal -> cos=0
+      (1L, Seq(1.0f, 0.0f, 0.0f)))  // excluded by sampling
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ecx").toString
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Dedup.embeddingCosineExact(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((0L, 4L) -> 1000000L, (0L, 8L) -> 0L, (4L, 8L) -> 0L),
+      s"got $out")
+  }
 }
