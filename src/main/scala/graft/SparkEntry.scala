@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_embedding_cosine"     -> Dedup.embeddingCosineExact _,
     "dedup_embedding_cosine_lsh" -> Dedup.embeddingCosine _,
     "dedup_clusters"             -> Dedup.nearDupClusters _,
+    "dedup_clusters_exact"       -> Dedup.nearDupClustersExact _,
     // §2.D similarity search
     "sim_bruteforce_topk"        -> Similarity.bruteForceTopk _,
     "sim_ivf_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfTopk(s, d)),
@@ -542,6 +543,41 @@ object SparkEntry {
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       ORDER BY jaccard_micro DESC, doc_a, doc_b
       LIMIT 200""",
+
+    // Same portable pipeline as Dedup.nearDupClustersExact: lex-min
+    // shingle blocking keys -> candidate pairs -> integer Jaccard
+    // edge test (2*|A∩B| >= |A∪B|, no floats) -> connected
+    // components, closed here by a recursive CTE enumerating
+    // reachability (min reached id = cluster id).
+    "dedup_clusters_exact" -> """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks WHERE len(t) >= 3
+      ), ks AS (
+        SELECT doc_id, unnest(list_sort(s)[1:4]) AS k FROM sh
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ks a JOIN ks b ON a.k = b.k AND a.doc_id < b.doc_id
+      ), e0 AS (
+        SELECT doc_a, doc_b FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE 2 * len(list_intersect(sa.s, sb.s)) >= len(list_distinct(sa.s || sb.s))
+      ), e AS (
+        SELECT doc_a, doc_b FROM e0
+        UNION ALL SELECT doc_b, doc_a FROM e0
+      ), cc AS (
+        SELECT doc_id, doc_id AS reach FROM documents
+        UNION
+        SELECT cc.doc_id, e.doc_b AS reach FROM cc JOIN e ON e.doc_a = cc.reach
+      )
+      SELECT doc_id, CAST(min(reach) AS BIGINT) AS cluster
+      FROM cc GROUP BY doc_id ORDER BY doc_id""",
 
     // Same sampled exact-cosine pipeline as Dedup.embeddingCosineExact;
     // floor-micro keeps identical double bits identical after trunc.

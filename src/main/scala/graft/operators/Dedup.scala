@@ -258,6 +258,16 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .where(TextFns.estJaccard(col("sig_a"), col("sig_b")) >= 0.25)
       .select("doc_a", "doc_b")
+    connectedComponents(sigs.select(col("doc_id")), edges)
+  }
+
+  /** Connected components over an undirected edge list: min-label
+    * propagation with pointer jumping (see `nearDupClusters` doc).
+    * `allIds` (one `doc_id` column) supplies the universe — nodes
+    * with no edges come back as singleton clusters. Cluster id =
+    * smallest doc_id in the component.
+    */
+  private[graft] def connectedComponents(allIds: DataFrame, edges: DataFrame): DataFrame = {
     val bidir = edges.unionAll(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
     // only edge-connected nodes can ever change labels — iterate over
@@ -290,11 +300,48 @@ object Dedup {
       labels = jumped
       round += 1
     }
-    val isolated = sigs.select(col("doc_id"))
+    val isolated = allIds
       .join(active, Seq("doc_id"), "left_anti")
       .withColumn("label", col("doc_id"))
     labels.unionAll(isolated)
       .select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+  }
+
+  /** C6 (oracle-portable form): near-dup clustering over the FULL
+    * corpus with an engine-portable candidate generator — for each
+    * document the 4 lexicographically smallest string 3-shingles are
+    * its blocking keys (a derandomized MinHash: two sets with Jaccard
+    * j share their global minimum with probability j, and the top-4
+    * mins give four such chances), documents sharing a key become
+    * candidate pairs, and a pair is an edge iff its exact shingle-set
+    * Jaccard is ≥ 0.5, tested in pure integers (2·|A∩B| ≥ |A∪B|) so
+    * no floating point can diverge between engines. Components are
+    * closed by the same pointer-jumping label propagation as
+    * `nearDupClusters`; the DuckDB oracle closes them with a
+    * recursive CTE over the identical edge list. Scale shape is the
+    * LSH pipeline's: map-side keys → one shuffle on the blocking key
+    * → bounded within-bucket pairs → verify join — never all-pairs.
+    */
+  def nearDupClustersExact(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val sh = toks.where(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
+      .cache() // shingle table reused for keys and both verify sides
+    val keys = sh.select(col("doc_id"),
+      explode(slice(array_sort(col("sh")), 1, 4)).as("k"))
+    val cand = keys.select(col("k"), col("doc_id").as("doc_a"))
+      .join(keys.select(col("k"), col("doc_id").as("doc_b")), Seq("k"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val edges = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .where(size(array_intersect(col("sh_a"), col("sh_b"))) * 2 >=
+             size(array_union(col("sh_a"), col("sh_b"))))
+      .select("doc_a", "doc_b")
+    connectedComponents(docs(s, dir).select(col("doc_id")), edges)
   }
 
   /** C5 (oracle-portable form): exact pairwise cosine over the

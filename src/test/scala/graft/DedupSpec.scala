@@ -162,6 +162,27 @@ class DedupSpec extends SparkSpecBase {
       s"got $out")
   }
 
+  test("portable clustering: transitive chain forms one cluster, others stay singleton") {
+    import spark.implicits._
+    // a~b and b~c each share >50% of shingles, a~c does not — the
+    // cluster must still close transitively. d is unrelated.
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 x9 x10"   // shares 6/12 3-shingles with a
+    val c = "x5 x6 w3 w4 w5 w6 w7 w8 x9 x10"   // shares most with b, little with a
+    val d = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ccx").toString
+    Seq((0L, a), (1L, b), (2L, c), (9L, d)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.nearDupClustersExact(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === 0L && out(1L) === 0L && out(9L) === 9L, s"got $out")
+    // transitivity: c lands in a's cluster iff b~c verified; with the
+    // shingle overlap above it must.
+    assert(out(2L) === 0L, s"got $out")
+  }
+
   test("exact embedding cosine: sampled pairs, identical vectors score 1000000 micro") {
     import spark.implicits._
     // vec_ids 0, 4, 8 pass the hash-sample predicate; 1 does not.
