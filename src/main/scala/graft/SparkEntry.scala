@@ -85,6 +85,7 @@ object SparkEntry {
     "text_quality"               -> TextAnalysis.quality _,
     "text_tokens"                -> TextAnalysis.tokens _,
     "text_fingerprint"           -> TextAnalysis.fingerprint _,
+    "text_fingerprint_exact"     -> TextAnalysis.fingerprintExact _,
     "text_redact"                -> TextAnalysis.redact _,
     // §2.F multimodal
     "mm_binary_meta"             -> Multimodal.binaryMeta _,
@@ -95,6 +96,7 @@ object SparkEntry {
     "stream_sessionize"          -> graft.streaming.Events.sessionizeBatch _,
     "stream_session_window"      -> graft.streaming.Events.sessionWindowBatch _,
     "stream_enriched_counts"     -> graft.streaming.Events.enrichedCountsBatch _,
+    "stream_click_purchase_join" -> graft.streaming.Events.clickToPurchaseBatch _,
   )
 
   /** DuckDB-runnable oracle SQL per query (omitted → rows-only check). */
@@ -634,6 +636,32 @@ object SparkEntry {
         CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_tokens
       FROM documents ORDER BY doc_id""",
 
+    // Same portable winnowing pipeline as TextAnalysis.fingerprintExact:
+    // 5-gram polynomial hash in exact BIGINT (max ~1.1e12, no modulus),
+    // window-4 min selection, distinct fingerprint set summarized as
+    // (count, min, max). DuckDB range(1,N) is exclusive == Spark
+    // sequence(1,N-1) inclusive.
+    "text_fingerprint_exact" -> """
+      WITH h AS (
+        SELECT doc_id,
+          list_transform(range(1, greatest(length(text) - 3, 1)), p ->
+            ord(substr(text, p, 1)) * 4362470401 +
+            ord(substr(text, p + 1, 1)) * 16974593 +
+            ord(substr(text, p + 2, 1)) * 66049 +
+            ord(substr(text, p + 3, 1)) * 257 +
+            ord(substr(text, p + 4, 1))) AS hs
+        FROM documents
+      ), w AS (
+        SELECT doc_id, list_distinct(
+          list_transform(range(1, greatest(len(hs) - 2, 1)),
+            j -> list_min(hs[j:j+3]))) AS fp
+        FROM h
+      )
+      SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+             CAST(list_min(fp) AS BIGINT) AS min_fp,
+             CAST(list_max(fp) AS BIGINT) AS max_fp
+      FROM w ORDER BY doc_id""",
+
     "mm_feature_extract" -> """
       WITH m AS (
         SELECT doc_id,
@@ -726,5 +754,17 @@ object SparkEntry {
              count(*) AS n_events
       FROM s GROUP BY user_id, sid
       ORDER BY user_id, session_start""",
+
+    // Batch twin of the G5 watermarked stream-stream join: purchases
+    // matched to same-user clicks within the preceding hour.
+    "stream_click_purchase_join" -> """
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time
+      FROM events c JOIN events p
+        ON c.event_type = 'click' AND p.event_type = 'purchase'
+       AND c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id""",
   )
 }

@@ -88,4 +88,35 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("fp")).cast("long").as("n_fingerprints"),
         col("fp").getItem(0).as("min_fingerprint"))
       .orderBy("doc_id")
+
+  /** E4 (oracle-portable form): winnowing with an exactly-portable
+    * k-gram hash — the polynomial Σ code(cᵢ)·257^(k-1-i) over k=5
+    * chars is at most ~1.1e12, so it fits a 64-bit integer EXACTLY
+    * (no modulus, no overflow, no engine-specific hashing), and the
+    * window-min selection (w=4) is pure integer comparison. The
+    * fingerprint SET per document is therefore bit-identical in any
+    * engine; we emit its size and min/max as the checkable summary.
+    * `fingerprint` above is the scale form (native single-pass
+    * rolling-hash expression); this form trades one substring per
+    * (position, offset) for portability and is oracle-checked.
+    */
+  def fingerprintExact(s: SparkSession, dir: String): DataFrame = {
+    val hs = when(length(col("text")) >= 5, expr(
+      """transform(sequence(1, length(text) - 4), p ->
+           cast(ascii(substring(text, p, 1)) as bigint) * 4362470401 +
+           ascii(substring(text, p + 1, 1)) * 16974593 +
+           ascii(substring(text, p + 2, 1)) * 66049 +
+           ascii(substring(text, p + 3, 1)) * 257 +
+           ascii(substring(text, p + 4, 1)))"""))
+      .otherwise(expr("cast(array() as array<bigint>)"))
+    val fp = when(size(col("hs")) >= 4, expr(
+      "array_distinct(transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4))))"))
+      .otherwise(expr("cast(array() as array<bigint>)"))
+    docs(s, dir)
+      .withColumn("hs", hs)
+      .withColumn("fp", fp)
+      .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+        array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
+      .orderBy("doc_id")
+  }
 }

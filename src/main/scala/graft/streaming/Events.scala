@@ -97,6 +97,28 @@ object Events {
       col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** Batch-equivalent of the G5 stream-stream join, over the events
+    * table itself: purchases matched to the same user's clicks in the
+    * preceding hour. Plans as a hash join keyed on user_id with the
+    * time range as a residual filter — the same shape the streaming
+    * form's state matching uses, and the scale-correct plan (equi-key
+    * shuffle, never a cross product).
+    */
+  def clickToPurchaseBatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTable(s, dir)
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+    c.join(p, Seq("user_id"))
+      .where(col("purchase_ts") >= col("click_ts") &&
+             col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   // ── G4: streaming sink — foreachBatch into a partitioned layout ──
 
   /** Stream → hive-partitioned parquet via foreachBatch: each micro-

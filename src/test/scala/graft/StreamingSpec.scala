@@ -201,4 +201,35 @@ class StreamingSpec extends SparkSpecBase {
     val got = spark.table("ss_join").collect().map(_.getLong(0)).sorted
     assert(got.toSeq === Seq(1L))
   }
+
+  test("stream-stream join batch twin agrees with the streaming form on the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ev = graft.streaming.Events.eventsTable(spark, sfDir)
+    val clicksRows = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .as[(Long, Long, Timestamp)].collect().toSeq
+    val purchRows = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .as[(Long, Long, Timestamp)].collect().toSeq
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    clicks.addData(clicksRows)
+    purchases.addData(purchRows)
+    val out = graft.streaming.Events.clickToPurchaseStream(
+      clicks.toDF.toDF("click_id", "click_user", "click_ts"),
+      purchases.toDF.toDF("purchase_id", "purchase_user", "purchase_ts"))
+    val q = out.writeStream.format("memory").queryName("ss_join_corpus")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ss_join_corpus")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.streaming.Events.clickToPurchaseBatch(spark, sfDir)
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
 }

@@ -55,6 +55,32 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(sim13 < 0.2, s"sim13=$sim13")
   }
 
+  test("portable fingerprint matches a plain-Scala winnowing reference") {
+    import spark.implicits._
+    def poly(s: String): Long =
+      s.foldLeft(0L)((acc, c) => acc * 257L + c.toLong)
+    def ref(text: String): Seq[Long] = {
+      val hs = (0 to text.length - 5).map(p => poly(text.substring(p, p + 5)))
+      if (hs.length < 4) Seq.empty
+      else (0 to hs.length - 4).map(j => hs.slice(j, j + 4).min).distinct
+    }
+    val texts = Seq((0L, "abcdefghij klm nop qrs"), (1L, "tiny"),
+      (2L, "aaaaaaaaaaaaaaaa"), (3L, "the quick brown fox jumps over"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fpx").toString
+    texts.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.fingerprintExact(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    texts.foreach { case (id, t) =>
+      val fp = ref(t)
+      assert(out(id).getLong(1) === fp.size.toLong, s"doc $id n_fp")
+      if (fp.nonEmpty) {
+        assert(out(id).getLong(2) === fp.min, s"doc $id min_fp")
+        assert(out(id).getLong(3) === fp.max, s"doc $id max_fp")
+      } else assert(out(id).isNullAt(2) && out(id).isNullAt(3))
+    }
+  }
+
   test("token operators run on sf0.001 and agree on whitespace counts") {
     val q = TextAnalysis.quality(spark, sfDir).collect()
     val t = TextAnalysis.tokens(spark, sfDir).collect()
