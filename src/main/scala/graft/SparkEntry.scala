@@ -58,6 +58,8 @@ object SparkEntry {
     "q_salted_join_revenue"      -> Analytic.qSaltedJoinRevenue _,
     "q1_sql"                     -> Analytic.q1Sql _,
     "q_sample_hash"              -> Analytic.qSampleHash _,
+    "q_stratified_sample"        -> Profiling.stratifiedSample _,
+    "prof_orders_columns"        -> Profiling.profileOrders _,
     "q_range_join_events_orders" -> Analytic.qRangeJoinEventsOrders _,
     "q18_large_volume_orders"    -> Analytic.q18LargeVolumeOrders _,
     "q_wordcount"                -> Analytic.qWordcount _,
@@ -86,6 +88,7 @@ object SparkEntry {
     "text_tokens"                -> TextAnalysis.tokens _,
     "text_fingerprint"           -> TextAnalysis.fingerprint _,
     "text_fingerprint_exact"     -> TextAnalysis.fingerprintExact _,
+    "text_tfidf_top_terms"       -> TextAnalysis.tfidfTopTerms _,
     "text_redact"                -> TextAnalysis.redact _,
     // §2.F multimodal
     "mm_binary_meta"             -> Multimodal.binaryMeta _,
@@ -469,6 +472,66 @@ object SparkEntry {
       FROM lineitem
       WHERE (l_orderkey * 2654435761) % 1000 < 100""",
 
+    // Same stratified-rate predicate as Profiling.stratifiedSample:
+    // per-status permille rate, multiplicative-hash selection.
+    "q_stratified_sample" -> """
+      WITH t AS (
+        SELECT o_orderstatus, o_totalprice,
+               (o_orderkey * 2654435761) % 1000 <
+                 CASE o_orderstatus WHEN 'F' THEN 50
+                                    WHEN 'O' THEN 100 ELSE 200 END AS picked
+        FROM orders)
+      SELECT o_orderstatus, count(*) AS n_total,
+             CAST(sum(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+             CAST(floor(sum(CASE WHEN picked THEN 1 ELSE 0 END) * 1000000.0
+                  / count(*)) AS BIGINT) AS rate_micro,
+             round(CAST(sum(CAST(CASE WHEN picked THEN o_totalprice ELSE 0.0 END
+                  AS DECIMAL(28,6))) AS DOUBLE), 2) AS sampled_revenue
+      FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // Same per-column statistics as Profiling.profileOrders, one
+    // SELECT per column union'd (the oracle need not be one-pass).
+    "prof_orders_columns" -> """
+      SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+             CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+             CAST(min(o_custkey) AS VARCHAR) AS min_s,
+             CAST(max(o_custkey) AS VARCHAR) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', count(*),
+             CAST(count(*) - count(o_orderdate) AS BIGINT),
+             CAST(count(DISTINCT o_orderdate) AS BIGINT),
+             strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+             strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', count(*),
+             CAST(count(*) - count(o_orderkey) AS BIGINT),
+             CAST(count(DISTINCT o_orderkey) AS BIGINT),
+             CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*),
+             CAST(count(*) - count(o_orderpriority) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*),
+             CAST(count(*) - count(o_orderstatus) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(*),
+             CAST(count(*) - count(o_totalprice) AS BIGINT),
+             CAST(count(DISTINCT o_totalprice) AS BIGINT),
+             CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+             CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+      FROM orders
+      ORDER BY col_name""",
+
     "q13_customer_distribution" -> """
       SELECT c_count, count(*) AS custdist FROM (
         SELECT c_custkey, count(o_orderkey) AS c_count
@@ -661,6 +724,31 @@ object SparkEntry {
              CAST(list_min(fp) AS BIGINT) AS min_fp,
              CAST(list_max(fp) AS BIGINT) AS max_fp
       FROM w ORDER BY doc_id""",
+
+    // Same TF-IDF pipeline as TextAnalysis.tfidfTopTerms: smoothed
+    // idf, floor-micro score, top-3 per doc by (score desc, term).
+    "text_tfidf_top_terms" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+      ), dfreq AS (
+        SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks)
+        GROUP BY term
+      ), n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(floor(tf.tf * ln((n.n_docs + 1) * 1.0 / (dfreq.df + 1)) * 1000000.0) AS BIGINT)
+                 AS tfidf_micro
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      ), ranked AS (
+        SELECT doc_id, term, tfidf_micro,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf_micro DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf_micro
+      FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "mm_feature_extract" -> """
       WITH m AS (

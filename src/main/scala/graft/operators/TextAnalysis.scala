@@ -58,6 +58,37 @@ object TextAnalysis {
       ceil(length(col("text")) / lit(4.0)).cast("long").as("approx_tokens"))
       .orderBy("doc_id")
 
+  /** E6: TF-IDF top terms per document — the classic two-shuffle
+    * MapReduce job, Spark-shaped: term frequencies via
+    * groupBy(doc, term) (map-side partial agg), document frequencies
+    * via distinct + groupBy(term), corpus size as a broadcast
+    * single-row aggregate (never a driver-side count at plan time).
+    * Smoothed idf = ln((N+1)/(df+1)); the score is emitted as
+    * floor(tf·idf·1e6) so the double→int truncation is identical
+    * across engines (SURVEY.md §6). Top-3 terms per doc by
+    * (score desc, term asc) through one per-doc window.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_micro",
+        floor(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)) * 1e6)
+          .cast("long"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_micro").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tfidf_micro"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** E5: PII redaction — emails/phones injected deterministically
     * (the corpus has none), then counted and replaced; single-pass,
     * map-only.

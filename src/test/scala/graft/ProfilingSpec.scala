@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Profiling
+import org.apache.spark.sql.functions._
+
+class ProfilingSpec extends SparkSpecBase {
+
+  private def writeOrders(rows: Seq[(java.lang.Long, java.lang.Long, String, java.lang.Double, java.sql.Timestamp, String)]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prof").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    tmp
+  }
+
+  test("profile counts nulls and distincts per column in one pass") {
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val tmp = writeOrders(Seq(
+      (1L, 10L, "F", Double.box(100.5), ts, "1-URGENT"),
+      (2L, null, "O", Double.box(200.25), ts, "1-URGENT"),
+      (3L, 10L, "F", null, ts, "2-HIGH")))
+    val out = Profiling.profileOrders(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("o_custkey").getLong(1) === 3L)   // n_rows
+    assert(out("o_custkey").getLong(2) === 1L)   // n_nulls
+    assert(out("o_custkey").getLong(3) === 1L)   // n_distinct (non-null)
+    assert(out("o_totalprice").getLong(2) === 1L)
+    assert(out("o_totalprice").getString(4) === "100.50") // decimal-formatted
+    assert(out("o_totalprice").getString(5) === "200.25")
+    assert(out("o_orderdate").getString(4) === "2024-03-01 00:00:00")
+    assert(out("o_orderstatus").getLong(3) === 2L)
+  }
+
+  test("stratified sample applies the per-stratum rate deterministically") {
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    // keys 0..999 cover the full hash range; per-status thresholds
+    // 50/100/200 permille must select ~5%/10%/20%.
+    val rows = (0L until 1000L).map { k =>
+      val st = (k % 3) match { case 0 => "F"; case 1 => "O"; case _ => "P" }
+      (Long.box(k), Long.box(k), st, Double.box(10.0), ts, "1-URGENT")
+    }
+    val tmp = writeOrders(rows)
+    val out = Profiling.stratifiedSample(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // each stratum has ~333 rows; achieved rate must sit near its target
+    val (fTot, fSamp, fRate) = out("F")
+    val (_, _, oRate) = out("O")
+    val (_, _, pRate) = out("P")
+    assert(fTot === 334L && fSamp >= 5L)
+    assert(fRate < oRate && oRate < pRate,
+      s"rates must order with thresholds: $fRate, $oRate, $pRate")
+    // deterministic: a second run returns bit-identical accounting
+    val again = Profiling.stratifiedSample(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again === out)
+  }
+}

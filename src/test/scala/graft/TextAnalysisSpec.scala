@@ -81,6 +81,29 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("tfidf ranks rare repeated terms first; ties break by term") {
+    import spark.implicits._
+    val texts = Seq(
+      (0L, "apple apple banana"),
+      (1L, "banana cherry"),
+      (2L, "cherry cherry cherry"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
+    texts.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.tfidfTopTerms(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    def micro(tf: Long, df: Long): Long =
+      math.floor(tf * math.log(4.0 / (df + 1)) * 1e6).toLong
+    // doc 0: apple (tf=2, df=1) beats banana (tf=1, df=2)
+    assert(out((0L, 1L)) === ("apple", micro(2, 1)))
+    assert(out((0L, 2L)) === ("banana", micro(1, 2)))
+    // doc 1: banana and cherry tie on score -> term asc
+    assert(out((1L, 1L)) === ("banana", micro(1, 2)))
+    assert(out((1L, 2L)) === ("cherry", micro(1, 2)))
+    // doc 2: cherry tf=3
+    assert(out((2L, 1L)) === ("cherry", micro(3, 2)))
+  }
+
   test("token operators run on sf0.001 and agree on whitespace counts") {
     val q = TextAnalysis.quality(spark, sfDir).collect()
     val t = TextAnalysis.tokens(spark, sfDir).collect()
