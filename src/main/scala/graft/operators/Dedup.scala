@@ -279,9 +279,20 @@ object Dedup {
     val bidirCp = bidir.localCheckpoint()
     val active = bidirCp.select(col("doc_a").as("doc_id")).distinct()
     var labels = active.withColumn("label", col("doc_id")).localCheckpoint()
-    var changed = 1L
+    // Convergence detection via a MONOTONE invariant: labels only ever
+    // decrease (min-propagation), so the label table is at fixpoint
+    // iff sum(label) is unchanged — one cheap scan of the checkpointed
+    // table per round instead of a join-with-previous + count (a full
+    // extra shuffle per round at scale). decimal(38,0) so the sum
+    // cannot overflow at any corpus size.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
+    var converged = false
     var round = 0
-    while (changed > 0 && round < 20) {
+    while (!converged && round < 20) {
       val viaNeighbor = bidirCp
         .join(labels.select(col("doc_id").as("doc_b"), col("label")), Seq("doc_b"))
         .select(col("doc_a").as("doc_id"), col("label"))
@@ -294,9 +305,9 @@ object Dedup {
           Seq("label"), "left")
         .select(col("doc_id"), coalesce(col("jump"), col("label")).as("label"))
         .localCheckpoint()
-      changed = jumped
-        .join(labels.withColumnRenamed("label", "old_label"), Seq("doc_id"))
-        .where(col("label") =!= col("old_label")).count()
+      val s = labelSum(jumped)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = jumped
       round += 1
     }
