@@ -80,6 +80,7 @@ object SparkEntry {
     // §2.D similarity search
     "sim_bruteforce_topk"        -> Similarity.bruteForceTopk _,
     "sim_ivf_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfTopk(s, d)),
+    "sim_ivf_persisted"          -> ((s: SparkSession, d: String) => Similarity.ivfPersistedTopk(s, d)),
     "sim_lsh_topk"               -> Similarity.lshTopk _,
     "sim_quantize_int8"          -> Similarity.quantizeInt8 _,
     // §2.E text analysis

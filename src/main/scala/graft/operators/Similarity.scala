@@ -136,6 +136,70 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Builds the persisted IVF index: trains centroids on the hash-
+    * sample, assigns every vector to its nearest centroid, and writes
+    * the corpus PARTITIONED BY centroid_id (hive layout). Returns the
+    * index path and the broadcast-able centroid table. This is the
+    * "index build" job a production ANN store runs once; probes then
+    * read `nprobe/nlist` of the data via partition pruning instead of
+    * scanning the corpus.
+    */
+  private[graft] def buildIvfIndex(s: SparkSession, dir: String,
+      nCentroids: Int, indexPath: String): DataFrame = {
+    val e = emb(s, dir).cache()
+    val trained = kmeansCentroids(trainingSample(e), nCentroids, iters = 2)
+    val centroids = broadcast(
+      s.createDataFrame(trained.toIndexedSeq).toDF("centroid_id", "c_emb"))
+    val assigned = e.join(centroids, expr("true"))
+      .select(col("vec_id"), col("emb"), col("centroid_id"),
+        VectorFns.cosine(col("emb"), col("c_emb")).as("c_cos"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id"))
+    assigned.withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(indexPath)
+    centroids
+  }
+
+  /** D2 (persisted-index form): same IVF search as `ivfTopk`, but the
+    * inverted lists are PERSISTED partitioned by centroid_id and the
+    * probe reads only the probed partitions — `.where(centroid_id IN
+    * probed)` compiles to hive-partition pruning, so the probe scan
+    * touches nprobe/nlist of the stored corpus (asserted in the
+    * plan spec). The probed-centroid id set is a ≤ NQueries×nprobe
+    * int collect — the classic tiny broadcast-able artifact. Results
+    * are identical to `ivfTopk` (same deterministic training).
+    */
+  def ivfPersistedTopk(s: SparkSession, dir: String,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      indexPath: Option[String] = None): DataFrame = {
+    val idx = indexPath.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString)
+    val centroids = buildIvfIndex(s, dir, nCentroids, idx)
+    val q = emb(s, dir).where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val probes = q.join(centroids, expr("true"))
+      .select(col("query_id"), col("q_emb"), col("centroid_id"),
+        VectorFns.cosine(col("q_emb"), col("c_emb")).as("c_cos"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("c_cos").desc, col("centroid_id"))
+    val probed = probes.withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+    val probedIds = probed.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = s.read.parquet(idx)
+      .where(col("centroid_id").isin(probedIds.map(Int.box): _*))
+    val scored = probed.join(lists, Seq("centroid_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFns.cosine(col("q_emb"), col("emb")).as("cos_raw"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= K)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos_raw"), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** D4: int8 symmetric quantization of embeddings (per-vector scale
     * = max|x|/127) with dequantization-error accounting — the 4x
     * storage/bandwidth reduction step of a large embedding store.

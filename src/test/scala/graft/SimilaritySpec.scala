@@ -35,6 +35,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(lsh.nonEmpty)
   }
 
+  test("persisted IVF equals in-memory IVF and prunes index partitions on probe") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    val persisted = Similarity.ivfPersistedTopk(spark, sfDir, indexPath = Some(idx))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inMem = Similarity.ivfTopk(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(persisted === inMem)
+    // the index is a hive layout partitioned by centroid_id, and an
+    // IN-filtered read touches only the probed partitions' files.
+    val all = spark.read.parquet(idx)
+    val nPartitions = all.select("centroid_id").distinct().count()
+    assert(nPartitions > 4, s"expected >4 centroid partitions, got $nPartitions")
+    val pruned = all.where(col("centroid_id").isin(0, 1))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    pruned.count() // populate scan metrics
+    val scannedFiles = scan.metrics("numFiles").value
+    assert(scannedFiles < all.inputFiles.length,
+      s"scanned=$scannedFiles all=${all.inputFiles.length}")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+  }
+
   test("IVF results are a subset of valid neighbors (no self matches)") {
     val out = Similarity.ivfTopk(spark, sfDir).collect()
     assert(out.forall(r => r.getLong(0) != r.getLong(1)))
