@@ -61,6 +61,7 @@ object SparkEntry {
     "q_stratified_sample"        -> Profiling.stratifiedSample _,
     "prof_orders_columns"        -> Profiling.profileOrders _,
     "q_range_join_events_orders" -> Analytic.qRangeJoinEventsOrders _,
+    "q_range_join_native"        -> Analytic.qRangeJoinNative _,
     "q18_large_volume_orders"    -> Analytic.q18LargeVolumeOrders _,
     "q_wordcount"                -> Analytic.qWordcount _,
     "q_pivot_api"                -> Analytic.qPivotApi _,
@@ -569,14 +570,29 @@ object SparkEntry {
                            GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
       ORDER BY c_custkey, o_orderkey""",
 
+    // Purchases in same-user click intervals [click_ts, click_ts+1h),
+    // end-exclusive; shared by the composed (hour-bucket) and native
+    // (IntervalJoinExec) forms.
     "q_range_join_events_orders" -> """
-      SELECT o_orderpriority, count(*) AS n_pairs
-      FROM orders JOIN events
-        ON user_id = o_custkey
-       AND ts >= o_orderdate
-       AND ts <  o_orderdate + INTERVAL 7 DAY
-      GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time
+      FROM events c JOIN events p
+        ON c.event_type = 'click' AND p.event_type = 'purchase'
+       AND c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id""",
+
+    // Native interval-join form — same semantics, same oracle shape.
+    "q_range_join_native" -> """
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time
+      FROM events c JOIN events p
+        ON c.event_type = 'click' AND p.event_type = 'purchase'
+       AND c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id""",
 
     "stream_enriched_counts" -> """
       SELECT c_mktsegment, count(*) AS n,

@@ -286,29 +286,59 @@ object Analytic {
       .where(pmod(col("l_orderkey") * 2654435761L, lit(1000)) < 100)
       .agg(count(lit(1)).as("n"), dsumr(col("l_extendedprice")).as("total"))
 
-  /** B30: range (interval) join — events landing within 7 days after
-    * their user's order. A naive time-inequality join is a per-key
-    * cross product; bucketing both sides by day makes it an equi-join
-    * on (key, day) with an exact refinement predicate — each pair
-    * falls in exactly one bucket (the event's day), so no dedup pass
-    * is needed. This is the scale-out recipe for interval joins.
+  /** B30: range (interval) join — purchases matched to same-user
+    * clicks in the preceding hour, end-exclusive ([click_ts,
+    * click_ts+1h)). The key (user_id) is coarse, so the interval
+    * predicate does the real work: a naive time-inequality join is a
+    * per-key cross product; bucketing both sides by HOUR makes it an
+    * equi-join on (user, hour) with an exact refinement predicate.
+    * Each click interval covers at most 2 hour buckets
+    * (array_distinct collapses the within-one-hour case), so the
+    * explode factor is a constant 2 — this is the scale-out recipe
+    * for interval joins when no native operator exists.
+    * (`qRangeJoinNative` runs the identical semantics through the
+    * custom IntervalJoin operator; both share one oracle.)
     */
   def qRangeJoinEventsOrders(s: SparkSession, dir: String): DataFrame = {
-    val c = cat(s, dir)
     val ev = graft.streaming.Events.eventsTable(s, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), to_date(col("ts")).as("day"))
-    val orderDays = c.table("orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
-      .withColumn("day", explode(sequence(
-        to_date(col("o_orderdate")), date_add(to_date(col("o_orderdate")), 7))))
-    orderDays.join(ev,
-        orderDays("day") === ev("day") &&
-        col("user_id") === col("o_custkey") &&
-        col("ts") >= col("o_orderdate") &&
-        col("ts") < col("o_orderdate") + expr("INTERVAL 7 DAYS"))
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("o_orderpriority")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withColumn("hb", explode(array_distinct(array(
+        date_trunc("hour", col("click_ts")),
+        date_trunc("hour", col("click_ts") + expr("INTERVAL 1 HOUR"))))))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withColumn("hb", date_trunc("hour", col("purchase_ts")))
+    clicks.join(purchases, Seq("user_id", "hb"))
+      .where(col("purchase_ts") >= col("click_ts") &&
+             col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** B30 (native-operator form): the same purchase-to-click interval
+    * join through [[graft.plans.IntervalJoinPlan]] — a per-partition
+    * interval sweep (O(n+m+matches)) instead of the hour-bucket
+    * explode. Same output and oracle as `qRangeJoinEventsOrders`.
+    */
+  def qRangeJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.Events.eventsTable(s, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withColumn("click_end", col("click_ts") + expr("INTERVAL 1 HOUR"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    graft.plans.IntervalJoin.join(purchases, clicks,
+        "user_id", "click_user", "purchase_ts", "click_ts", "click_end")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
+      .orderBy("click_id", "purchase_id")
   }
 
   /** B28: the SQL-text surface — TPC-H Q1 executed via spark.sql on

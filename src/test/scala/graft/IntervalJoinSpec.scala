@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Analytic
+import graft.plans.IntervalJoin
+import java.sql.Timestamp
+
+class IntervalJoinSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("native interval join matches hand-computed matches on edge cases") {
+    import spark.implicits._
+    val intervals = Seq(
+      // key, start, end, id — overlapping intervals for key 1
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 10),
+      (1L, ts("2024-01-01 10:30:00"), ts("2024-01-01 11:30:00"), 11),
+      (2L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:30:00"), 20),
+      (3L, ts("2024-01-01 00:00:00"), null.asInstanceOf[Timestamp], 30))
+      .toDF("r_key", "r_start", "r_end", "r_id")
+    val points = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 100), // → only interval 10
+      (1L, ts("2024-01-01 10:45:00"), 101), // → both 10 and 11 (overlap)
+      (1L, ts("2024-01-01 11:00:00"), 102), // → only 11 (end-exclusive for 10)
+      (2L, ts("2024-01-01 09:30:00"), 200), // → none (end-exclusive)
+      (2L, ts("2024-01-01 09:00:00"), 201), // → 20 (start-inclusive)
+      (3L, ts("2024-01-01 23:00:00"), 300), // → 30 (null end = unbounded)
+      (4L, ts("2024-01-01 10:00:00"), 400)) // key with no intervals
+      .toDF("p_key", "p_ts", "p_id")
+    val out = IntervalJoin.join(points, intervals,
+        leftKey = "p_key", rightKey = "r_key",
+        leftTime = "p_ts", rightStart = "r_start", rightEnd = "r_end")
+      .select("p_id", "r_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(out === Set(
+      (100, 10), (101, 10), (101, 11), (102, 11), (201, 20), (300, 30)))
+  }
+
+  test("null keys and times on either side never match or block") {
+    import spark.implicits._
+    val intervals = Seq(
+      (java.lang.Long.valueOf(1L), ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 10),
+      (null.asInstanceOf[java.lang.Long], ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 99),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[Timestamp], ts("2024-01-01 11:00:00"), 98))
+      .toDF("r_key", "r_start", "r_end", "r_id")
+    val points = Seq(
+      (java.lang.Long.valueOf(1L), ts("2024-01-01 10:30:00"), 100),
+      (null.asInstanceOf[java.lang.Long], ts("2024-01-01 10:30:00"), 101),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[Timestamp], 102))
+      .toDF("p_key", "p_ts", "p_id")
+    val out = IntervalJoin.join(points, intervals,
+        "p_key", "r_key", "p_ts", "r_start", "r_end")
+      .select("p_id", "r_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(out === Set((100, 10)))
+  }
+
+  test("native form agrees with the composed hour-bucket form on the corpus") {
+    val composed = Analytic.qRangeJoinEventsOrders(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val native = Analytic.qRangeJoinNative(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(native === composed)
+    assert(native.nonEmpty, "corpus parity check must not be vacuous")
+  }
+
+  test("interval join plans with hash-clustered exchange, not a cross product") {
+    import spark.implicits._
+    val intervals = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 10))
+      .toDF("r_key", "r_start", "r_end", "r_id")
+    val points = Seq((1L, ts("2024-01-01 10:15:00"), 100)).toDF("p_key", "p_ts", "p_id")
+    val plan = IntervalJoin.join(points, intervals,
+        "p_key", "r_key", "p_ts", "r_start", "r_end")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalJoin"), plan.take(500))
+    assert(plan.contains("Exchange hashpartitioning"), plan.take(500))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(500))
+  }
+}
