@@ -62,6 +62,9 @@ object SparkEntry {
     "prof_orders_columns"        -> Profiling.profileOrders _,
     "q_range_join_events_orders" -> Analytic.qRangeJoinEventsOrders _,
     "q_range_join_native"        -> Analytic.qRangeJoinNative _,
+    "q_json_props"               -> Analytic.qJsonProps _,
+    "q_except_intersect"         -> Analytic.qExceptIntersect _,
+    "q_heavy_hitters"            -> Analytic.qHeavyHitters _,
     "q18_large_volume_orders"    -> Analytic.q18LargeVolumeOrders _,
     "q_wordcount"                -> Analytic.qWordcount _,
     "q_pivot_api"                -> Analytic.qPivotApi _,
@@ -594,6 +597,30 @@ object SparkEntry {
        AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
       ORDER BY click_id, purchase_id""",
 
+    "q_json_props" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+             CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_except_intersect" -> """
+      SELECT 'both' AS op, o_custkey FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      UNION ALL
+      SELECT 'f_only' AS op, o_custkey FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      ORDER BY op, o_custkey""",
+
+    "q_heavy_hitters" -> """
+      SELECT l_suppkey, count(*) AS n
+      FROM lineitem GROUP BY l_suppkey
+      ORDER BY n DESC, l_suppkey LIMIT 10""",
+
     "stream_enriched_counts" -> """
       SELECT c_mktsegment, count(*) AS n,
              round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
@@ -642,9 +669,18 @@ object SparkEntry {
         FROM toks WHERE len(t) >= 3
       ), ks AS (
         SELECT doc_id, unnest(list_sort(s)[1:4]) AS k FROM sh
+      ), ks2 AS (
+        SELECT doc_id, k,
+               count(*) OVER (PARTITION BY k) AS bsz,
+               lag(doc_id) OVER (PARTITION BY k ORDER BY doc_id) AS prev
+        FROM ks
       ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM ks a JOIN ks b ON a.k = b.k AND a.doc_id < b.doc_id
+        FROM ks2 a JOIN ks2 b
+          ON a.k = b.k AND a.doc_id < b.doc_id AND a.bsz <= 64 AND b.bsz <= 64
+        UNION
+        SELECT DISTINCT prev AS doc_a, doc_id AS doc_b
+        FROM ks2 WHERE bsz > 64 AND prev IS NOT NULL
       ), e0 AS (
         SELECT doc_a, doc_b FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a

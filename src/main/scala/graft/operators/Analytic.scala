@@ -356,4 +356,49 @@ object Analytic {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""")
   }
+
+  /** B40: semi-structured extraction — the events `props` column is a
+    * JSON document; `get_json_object` pulls a typed field out in the
+    * scan projection (map-only, stays inside whole-stage codegen)
+    * and the result aggregates like any other column. The ingest
+    * pattern for logs/telemetry at 100 TB: extract-then-aggregate,
+    * never materialize the parsed blob.
+    */
+  def qJsonProps(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Events.eventsTable(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** B39: set operations — customer keys ordering in BOTH priority
+    * classes (INTERSECT) and in 'F' only (EXCEPT). Spark plans both
+    * as hash aggregates + joins — one shuffle each on the compared
+    * key, never a sort of the whole input.
+    */
+  def qExceptIntersect(s: SparkSession, dir: String): DataFrame = {
+    val orders = cat(s, dir).table("orders")
+    val f = orders.where(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).distinct()
+    val o = orders.where(col("o_orderstatus") === "O")
+      .select(col("o_custkey")).distinct()
+    f.intersect(o).withColumn("op", lit("both"))
+      .unionAll(f.except(o).withColumn("op", lit("f_only")))
+      .select(col("op"), col("o_custkey"))
+      .orderBy("op", "o_custkey")
+  }
+
+  /** B41: exact heavy hitters — the top-10 most frequent suppliers in
+    * lineitem. groupBy + TakeOrderedAndProject: per-partition partial
+    * counts, one shuffle, per-partition top-k heaps merged on the
+    * driver — no global sort at any scale.
+    */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("lineitem")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_suppkey"))
+      .limit(10)
 }

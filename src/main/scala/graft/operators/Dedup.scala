@@ -342,10 +342,25 @@ object Dedup {
       .cache() // shingle table reused for keys and both verify sides
     val keys = sh.select(col("doc_id"),
       explode(slice(array_sort(col("sh")), 1, 4)).as("k"))
-    val cand = keys.select(col("k"), col("doc_id").as("doc_a"))
-      .join(keys.select(col("k"), col("doc_id").as("doc_b")), Seq("k"))
+    // Degenerate-block guard, PORTABLY (the oracle mirrors it):
+    // blocks over DefaultBucketCap members degrade from all-pairs to
+    // chain pairing by doc_id — n-1 edges instead of n²/2, and for a
+    // boilerplate block (near-identical members) every consecutive
+    // pair still verifies, so connectivity survives.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k")
+    val sized = keys
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("prev", lag("doc_id", 1).over(w.orderBy("doc_id")))
+    val small = sized.where(col("bsz") <= DefaultBucketCap)
+    val allPairs = small.select(col("k"), col("doc_id").as("doc_a"))
+      .join(small.select(col("k"), col("doc_id").as("doc_b")), Seq("k"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
+    val chainPairs = sized
+      .where(col("bsz") > DefaultBucketCap && col("prev").isNotNull)
+      .select(col("prev").as("doc_a"), col("doc_id").as("doc_b"))
+    val cand = allPairs.unionAll(chainPairs).distinct()
     val edges = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

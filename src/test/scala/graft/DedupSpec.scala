@@ -183,6 +183,23 @@ class DedupSpec extends SparkSpecBase {
     assert(out(2L) === 0L, s"got $out")
   }
 
+  test("portable clustering: an over-cap block of identical docs stays one cluster") {
+    import spark.implicits._
+    // 70 identical docs share all blocking keys -> one block of 70 >
+    // cap 64 -> chain pairing; every chain edge verifies (identical
+    // texts), so the component must close into a single cluster
+    // without the n²/2 candidate blowup.
+    val text = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val docs = (0L until 70L).map(i => (i, text)) :+ (500L, "u1 u2 u3 u4 u5 u6")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ccg").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.nearDupClustersExact(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 70L).foreach(i => assert(out(i) === 0L, s"doc $i -> ${out(i)}"))
+    assert(out(500L) === 500L)
+  }
+
   test("exact embedding cosine: sampled pairs, identical vectors score 1000000 micro") {
     import spark.implicits._
     // vec_ids 0, 4, 8 pass the hash-sample predicate; 1 does not.
