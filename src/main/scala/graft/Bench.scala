@@ -27,8 +27,10 @@ object Bench {
     "q8_market_share", "q9_product_profit", "q13_customer_distribution",
     "q18_large_volume_orders", "q_window_top_parts_per_supplier",
     "q_salted_join_revenue", "q_cube_status_priority", "q_asof_event_order",
+    "q_range_join_native", "q_heavy_hitters",
     "src_bucketed_join", "dedup_minhash_lsh", "dedup_clusters",
-    "sim_ivf_topk", "text_tokens", "mm_feature_extract")
+    "dedup_clusters_exact", "sim_ivf_topk", "text_tokens",
+    "text_tfidf_top_terms", "prof_orders_columns", "mm_feature_extract")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -12,41 +12,44 @@ object Profiling {
   private def orders(s: SparkSession, dir: String): DataFrame =
     new GraftCatalog(s, dir).table("orders")
 
-  /** B38: one-pass column profile of the orders table — per column:
-    * row count, null count, exact distinct count, min/max rendered to
-    * strings with type-aware, engine-portable formatting (doubles via
+  /** B38: column profile of the orders table — per column: row count,
+    * null count, exact distinct count, min/max rendered to strings
+    * with type-aware, engine-portable formatting (doubles via
     * DECIMAL(18,2), timestamps via date_format — raw double→string
-    * diverges between engines). All statistics come from a SINGLE
-    * aggregate (Spark plans the multi-distinct via one Expand +
-    * shuffle), then the 1-row result is unpivoted with inline() —
-    * never one job per column. At 100 TB swap the exact distinct
-    * counts for approx_count_distinct and the plan loses the Expand.
+    * diverges between engines).
+    *
+    * Plan shape: one NARROW aggregate per column, union'd. The
+    * tempting one-pass alternative (all count_distincts in a single
+    * agg) makes Spark plan an Expand that replicates every row once
+    * per distinct-column before the shuffle — at 100 TB that shuffles
+    * 7× the table. The union form shuffles only each column's
+    * distinct values (the partial aggregate collapses the rest
+    * map-side) and each branch's scan prunes to a single column;
+    * the branches run as independent stages of one job.
     */
   def profileOrders(s: SparkSession, dir: String): DataFrame = {
-    def minMaxS(c: Column): (Column, Column) = (min(c).cast("string"), max(c).cast("string"))
-    val cols: Seq[(String, Column, (Column, Column))] = Seq(
-      ("o_orderkey", col("o_orderkey"), minMaxS(col("o_orderkey"))),
-      ("o_custkey", col("o_custkey"), minMaxS(col("o_custkey"))),
-      ("o_orderstatus", col("o_orderstatus"), minMaxS(col("o_orderstatus"))),
-      ("o_totalprice", col("o_totalprice"),
-        minMaxS(col("o_totalprice").cast("decimal(18,2)"))),
-      ("o_orderdate", col("o_orderdate"),
-        (date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss"),
-         date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss"))),
-      ("o_orderpriority", col("o_orderpriority"), minMaxS(col("o_orderpriority"))))
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, c, (mn, mx)) =>
-      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
-        count_distinct(c).as(s"${n}__distinct"),
-        mn.as(s"${n}__min"), mx.as(s"${n}__max"))
-    }
-    val one = orders(s, dir).agg(aggs.head, aggs.tail: _*)
-    val rows = array(cols.map { case (n, _, _) =>
-      struct(lit(n).as("col_name"), col("n_rows"),
-        col(s"${n}__nulls").as("n_nulls"),
-        col(s"${n}__distinct").as("n_distinct"),
-        col(s"${n}__min").as("min_s"), col(s"${n}__max").as("max_s"))
-    }: _*)
-    one.select(inline(rows)).orderBy("col_name")
+    def profile(name: String, mn: Column, mx: Column): DataFrame =
+      orders(s, dir).select(col(name))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(name).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          count_distinct(col(name)).as("n_distinct"),
+          mn.as("min_s"), mx.as("max_s"))
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    def plain(name: String): DataFrame =
+      profile(name, min(col(name)).cast("string"), max(col(name)).cast("string"))
+    val parts = Seq(
+      plain("o_orderkey"),
+      plain("o_custkey"),
+      plain("o_orderstatus"),
+      profile("o_totalprice",
+        min(col("o_totalprice")).cast("decimal(18,2)").cast("string"),
+        max(col("o_totalprice")).cast("decimal(18,2)").cast("string")),
+      profile("o_orderdate",
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")),
+      plain("o_orderpriority"))
+    parts.reduce(_.unionAll(_)).orderBy("col_name")
   }
 
   /** B37: stratified deterministic sampling — a different sampling
