@@ -63,6 +63,10 @@ object SparkEntry {
     "q_range_join_events_orders" -> Analytic.qRangeJoinEventsOrders _,
     "q_range_join_native"        -> Analytic.qRangeJoinNative _,
     "q_json_props"               -> Analytic.qJsonProps _,
+    "q14_promo_revenue"          -> Relational.q14PromoRevenue _,
+    "q15_top_supplier"           -> Relational.q15TopSupplier _,
+    "q19_disjunctive_quals"      -> Relational.q19DisjunctiveQuals _,
+    "q22_idle_customers"         -> Relational.q22IdleCustomers _,
     "q_except_intersect"         -> Analytic.qExceptIntersect _,
     "q_heavy_hitters"            -> Analytic.qHeavyHitters _,
     "q18_large_volume_orders"    -> Analytic.q18LargeVolumeOrders _,
@@ -210,7 +214,8 @@ object SparkEntry {
     "q_anti_customers_no_orders" -> """
       SELECT c_mktsegment, count(*) AS n
       FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
 
@@ -603,6 +608,56 @@ object SparkEntry {
              CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
              CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q14_promo_revenue" -> """
+      SELECT CAST(floor(
+               CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                    AS DECIMAL(28,6))) AS DOUBLE) * 1000000.0 /
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(28,6))) AS DOUBLE)) AS BIGINT) AS promo_share_micro,
+             count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'""",
+
+    "q15_top_supplier" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      ORDER BY s_suppkey""",
+
+    "q19_disjunctive_quals" -> """
+      SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 20 AND 40)""",
+
+    "q22_idle_customers" -> """
+      SELECT c_mktsegment, count(*) AS n_customers,
+             round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_bal
+      FROM customer
+      WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(count(*) AS BIGINT)
+          FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q_except_intersect" -> """
       SELECT 'both' AS op, o_custkey FROM (

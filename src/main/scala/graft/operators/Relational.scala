@@ -240,11 +240,16 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** B6: NOT EXISTS via left-anti join — customers with no orders. */
+  /** B6: NOT EXISTS via left-anti join — customers with no FINALIZED
+    * ('F') orders. (On this corpus every customer has *some* order,
+    * so the unfiltered form would be vacuously empty and prove
+    * nothing; the status filter leaves a real ~5% survivor set.)
+    */
   def qAntiCustomersNoOrders(s: SparkSession, dir: String): DataFrame = {
     val c = cat(s, dir)
     c.table("customer")
-      .join(c.table("orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(c.table("orders").where(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
@@ -395,5 +400,80 @@ object Relational {
         flag("5-LOW").as("n_low"),
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
+  }
+
+  /** B42 (TPC-H Q14): promo revenue share in one ship-month — a
+    * broadcast dim join where the measure is a conditional share of
+    * total. Ratio of two exact-decimal sums, floored at micro.
+    */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    c.table("lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01") &&
+             col("l_shipdate") < lit("1997-02-01"))
+      .join(broadcast(c.table("part")), col("l_partkey") === col("p_partkey"))
+      .agg(floor(dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+             * 1000000.0 / dsum(rev)).cast("long").as("promo_share_micro"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** B43 (TPC-H Q19): disjunctive multi-attribute quals — an OR of
+    * AND-blocks across the join. The join key is the only conjunct
+    * pulled above the OR, so the plan stays one broadcast hash join
+    * with the residual disjunction evaluated in codegen, not a union
+    * of three scans.
+    */
+  def q19DisjunctiveQuals(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val j = c.table("lineitem")
+      .join(broadcast(c.table("part")), col("l_partkey") === col("p_partkey"))
+    val q1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 20)
+    val q2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+      col("l_quantity").between(10, 30)
+    val q3 = col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+      col("l_quantity").between(20, 40)
+    j.where(q1 || q2 || q3)
+      .agg(dsumr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** B44 (TPC-H Q15): top supplier(s) by quarter revenue — a derived
+    * revenue view compared against its own max (scalar subquery).
+    * Both sides reuse the one aggregated view; the max is a 1-row
+    * broadcast, not a recompute per row.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val rev = c.table("lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01") &&
+             col("l_shipdate") < lit("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(dsumr(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+    val mx = rev.agg(max("total_revenue").as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(broadcast(c.table("supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** B45 (TPC-H Q22-style): idle wealthy customers — balance above
+    * the average positive balance (scalar aggregate broadcast back)
+    * and no finalized ('F') orders (anti join; the unfiltered form is
+    * vacuous on this corpus, see B6).
+    */
+  def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val cust = c.table("customer")
+    val avgBal = cust.where(col("c_acctbal") > 0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(c.table("orders").where(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), dsumr(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
   }
 }

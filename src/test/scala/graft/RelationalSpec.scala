@@ -44,12 +44,19 @@ class RelationalSpec extends SparkSpecBase {
   }
 
   test("anti join + outer join row accounting agree") {
-    val nCustomers = new GraftCatalog(spark, sfDir).table("customer").count()
-    val noOrders = Relational.qAntiCustomersNoOrders(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val catalog = new GraftCatalog(spark, sfDir)
+    val nCustomers = catalog.table("customer").count()
+    // independent formulation of "no finalized orders": total customers
+    // minus the distinct custkeys appearing on an 'F' order.
+    val withF = catalog.table("orders").where(col("o_orderstatus") === "F")
+      .select("o_custkey").distinct().count()
+    val noF = Relational.qAntiCustomersNoOrders(spark, sfDir)
       .collect().map(_.getLong(1)).sum
+    assert(noF === nCustomers - withF)
+    assert(noF > 0, "anti join must not be vacuous on the corpus")
     val outer = Relational.qOuterCustomerOrders(spark, sfDir).collect()
     assert(outer.length === nCustomers)
-    assert(outer.count(_.getLong(1) == 0L) === noOrders)
   }
 
   test("catalog pins the file listing: a file landing mid-snapshot is invisible") {
