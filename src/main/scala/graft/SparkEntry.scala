@@ -103,6 +103,7 @@ object SparkEntry {
     "mm_binary_meta"             -> Multimodal.binaryMeta _,
     "mm_feature_extract"         -> Multimodal.featureExtract _,
     "mm_frame_sample"            -> Multimodal.frameSample _,
+    "mm_resize"                  -> Multimodal.resize _,
     // §2.G streaming (batch-equivalent forms; streaming paths in specs)
     "stream_windowed_counts"     -> graft.streaming.Events.windowedCountsBatch _,
     "stream_sessionize"          -> graft.streaming.Events.sessionizeBatch _,
@@ -884,6 +885,30 @@ object SparkEntry {
              CAST(len(list_filter(bytes, x -> x // 32 = 6)) AS BIGINT) AS h6,
              CAST(len(list_filter(bytes, x -> x // 32 = 7)) AS BIGINT) AS h7
       FROM b ORDER BY doc_id""",
+
+    // Same every-4th-byte downsample as Multimodal.resize; byte values
+    // recomputed from the BLOB hex, mean floored at micro.
+    "mm_resize" -> """
+      WITH m AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents),
+      r AS (
+        SELECT doc_id, kind, nb, hx, range(1, nb + 1, 4) AS pos,
+               list_transform(range(1, nb + 1, 4),
+                 p -> (strpos('0123456789ABCDEF', hx[2*p-1]) - 1) * 16
+                    + (strpos('0123456789ABCDEF', hx[2*p]) - 1)) AS rb
+        FROM m WHERE nb > 0)
+      SELECT doc_id, kind, CAST(nb AS BIGINT) AS n_bytes,
+             CAST(len(rb) AS BIGINT) AS n_resized,
+             list_aggregate(list_transform(pos[1:24],
+               p -> hx[2*p-1] || hx[2*p]), 'string_agg', '') AS resized_hex24,
+             CAST(floor(CAST(list_sum(rb) AS DOUBLE) * 1000000.0 / len(rb)) AS BIGINT)
+               AS resized_mean_micro
+      FROM r ORDER BY doc_id""",
 
     "mm_frame_sample" -> """
       WITH v AS (

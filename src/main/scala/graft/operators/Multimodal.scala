@@ -93,6 +93,31 @@ object Multimodal {
     out.orderBy("doc_id")
   }
 
+  /** F4: resize plumbing — every 4th byte of the payload survives
+    * (the byte-domain stand-in for image downsampling; a real build
+    * swaps a codec into the same shape). Entirely declarative: the
+    * positions are a codegen'd `sequence`, each surviving byte is
+    * read with substr+hex+conv, and the summary (count, first-24-byte
+    * hex prefix, floor-micro mean) is exactly reproducible in any
+    * engine with blob→hex math — oracle-checked like F2/F3.
+    */
+  def resize(s: SparkSession, dir: String): DataFrame = {
+    val nb = col("meta.n_bytes").cast("int")
+    mmTable(s, dir)
+      .where(col("meta.n_bytes") > 0)
+      .withColumn("pos", sequence(lit(1), nb, lit(4)))
+      .withColumn("rbytes", expr(
+        "transform(pos, p -> cast(conv(hex(substring(payload, p, 1)), 16, 10) as bigint))"))
+      .select(
+        col("doc_id"), col("kind"), col("meta.n_bytes").as("n_bytes"),
+        size(col("rbytes")).cast("long").as("n_resized"),
+        expr("concat_ws('', transform(slice(pos, 1, 24), p -> hex(substring(payload, p, 1))))")
+          .as("resized_hex24"),
+        floor(expr("aggregate(rbytes, 0L, (acc, x) -> acc + x)") * 1000000.0 /
+          size(col("rbytes"))).cast("long").as("resized_mean_micro"))
+      .orderBy("doc_id")
+  }
+
   /** F3: frame sampling — one video payload fans out to N frame rows
     * (N deterministic from payload size), each frame a 16-byte slice
     * emitted as uppercase hex (portable; the binary form is spec'd).

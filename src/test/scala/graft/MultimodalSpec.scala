@@ -36,6 +36,24 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("resize keeps every 4th byte with an exact hand-computed summary") {
+    import org.apache.spark.sql.functions.col
+    val payloads = Multimodal.mmTable(spark, sfDir)
+      .select(col("doc_id"), col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val out = Multimodal.resize(spark, sfDir).collect()
+    assert(out.length === payloads.size)
+    out.foreach { r =>
+      val bytes = payloads(r.getLong(0))
+      val resized = bytes.indices.collect { case i if i % 4 == 0 => bytes(i) & 0xFF }
+      assert(r.getLong(3) === resized.length.toLong, s"doc ${r.getLong(0)} count")
+      val hex24 = resized.take(24).map(b => f"$b%02X").mkString
+      assert(r.getString(4) === hex24, s"doc ${r.getLong(0)} hex")
+      val mean = math.floor(resized.map(_.toLong).sum * 1e6 / resized.length).toLong
+      assert(r.getLong(5) === mean, s"doc ${r.getLong(0)} mean")
+    }
+  }
+
   test("frame sampling fans out 1..5 frames per video with bounded slices") {
     val out = Multimodal.frameSample(spark, sfDir).collect()
     val perDoc = out.groupBy(_.getLong(0))
