@@ -73,7 +73,10 @@ object TextAnalysis {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // df derives from tf (each tf row is one distinct (doc, term)) —
+    // the same aggregate subtree on both sides, so ReuseExchange
+    // tokenizes and shuffles the corpus ONCE instead of twice.
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
