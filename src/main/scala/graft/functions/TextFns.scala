@@ -101,6 +101,12 @@ object TextFns {
     * window of w → per-window minimum → distinct sorted mins.
     * (Schleimer et al., SIGMOD 2003 winnowing scheme.)
     */
+  /** HOF winnowing over a single Column — convenience form for small
+    * inputs/specs ONLY. The nested lambda re-evaluates the gram array
+    * per window position in interpreted eval (HOFs don't codegen), so
+    * this is O(n²) per document; the operators use the relational
+    * explode+window formulation in TextAnalysis.fingerprint instead.
+    */
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
     val grams = when(length(text) >= k,
       transform(sequence(lit(0), length(text) - k),

@@ -116,12 +116,36 @@ object TextAnalysis {
   /** E4: winnowing document fingerprints (k=8 chars, window=4) —
     * rows-only (xxhash64 is engine-specific); stability spec-tested.
     */
-  def fingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("fp", TextFns.winnowingFingerprints(col("text"), 8, 4))
-      .select(col("doc_id"), size(col("fp")).cast("long").as("n_fingerprints"),
-        col("fp").getItem(0).as("min_fingerprint"))
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8; val w = 4
+    // Relational winnowing: explode k-gram positions, hash each gram
+    // ONCE in codegen, take the w-window min with a window frame, keep
+    // one window per legal start. The array/HOF formulation
+    // (transform over slice(grams,…)) re-evaluates the whole gram
+    // array per window position in interpreted eval — O(n²) per doc
+    // (measured: minutes at sf0.1); this shape is O(n) and whole-
+    // stage-codegen end to end. Short docs (< k chars) degrade to one
+    // gram over the clipped text; docs with fewer than w grams emit
+    // the min of what they have (pos 0's frame clips at partition
+    // end) — byte-identical to the array formulation's fallbacks.
+    val hashed = docs(s, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), greatest(length(col("text")) - k, lit(0)))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("text").substr(col("pos") + 1, lit(k))).as("gram"))
+    val byDoc = Window.partitionBy("doc_id")
+    val frame = byDoc.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    hashed
+      .withColumn("n_grams", count(lit(1)).over(byDoc))
+      .withColumn("wmin", min(col("gram")).over(frame))
+      .where(col("pos") <= greatest(col("n_grams") - w, lit(0)))
+      .select(col("doc_id"), col("wmin")).distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"), min("wmin").as("min_fingerprint"))
       .orderBy("doc_id")
+  }
 
   /** E4 (oracle-portable form): winnowing with an exactly-portable
     * k-gram hash — the polynomial Σ code(cᵢ)·257^(k-1-i) over k=5
@@ -135,22 +159,38 @@ object TextAnalysis {
     * (position, offset) for portability and is oracle-checked.
     */
   def fingerprintExact(s: SparkSession, dir: String): DataFrame = {
-    val hs = when(length(col("text")) >= 5, expr(
-      """transform(sequence(1, length(text) - 4), p ->
-           cast(ascii(substring(text, p, 1)) as bigint) * 4362470401 +
+    import org.apache.spark.sql.expressions.Window
+    val w = 4
+    // Same relational shape as `fingerprint` (see the O(n²) note
+    // there): explode positions, one codegen'd polynomial hash per
+    // row, w-window min, distinct, aggregate. Docs too short for any
+    // window (len < 5 or fewer than w hashes) come back via the left
+    // join with n_fp = 0 and null min/max — identical to the
+    // empty-array fallback of the HOF formulation and to the oracle.
+    val hashed = docs(s, dir)
+      .where(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 4)).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"), expr(
+        """cast(ascii(substring(text, p, 1)) as bigint) * 4362470401 +
            ascii(substring(text, p + 1, 1)) * 16974593 +
            ascii(substring(text, p + 2, 1)) * 66049 +
            ascii(substring(text, p + 3, 1)) * 257 +
-           ascii(substring(text, p + 4, 1)))"""))
-      .otherwise(expr("cast(array() as array<bigint>)"))
-    val fp = when(size(col("hs")) >= 4, expr(
-      "array_distinct(transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4))))"))
-      .otherwise(expr("cast(array() as array<bigint>)"))
-    docs(s, dir)
-      .withColumn("hs", hs)
-      .withColumn("fp", fp)
-      .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
-        array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))
+           ascii(substring(text, p + 4, 1))""").as("h"))
+    val byDoc = Window.partitionBy("doc_id")
+    val frame = byDoc.orderBy("p").rowsBetween(Window.currentRow, w - 1)
+    val agg = hashed
+      .withColumn("n_hs", count(lit(1)).over(byDoc))
+      .withColumn("wmin", min(col("h")).over(frame))
+      .where(col("n_hs") >= w && col("p") <= col("n_hs") - (w - 1))
+      .select(col("doc_id"), col("wmin")).distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nf"), min("wmin").as("min_fp"), max("wmin").as("max_fp"))
+    docs(s, dir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nf"), lit(0L)).as("n_fp"),
+        col("min_fp"), col("max_fp"))
       .orderBy("doc_id")
   }
 }
