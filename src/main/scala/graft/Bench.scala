@@ -30,7 +30,8 @@ object Bench {
     "q_range_join_native", "q_heavy_hitters",
     "src_bucketed_join", "dedup_minhash_lsh", "dedup_clusters",
     "dedup_clusters_exact", "sim_ivf_topk", "text_tokens",
-    "text_tfidf_top_terms", "prof_orders_columns", "mm_feature_extract")
+    "text_tfidf_top_terms", "text_fingerprint", "prof_orders_columns",
+    "mm_feature_extract", "mm_resize")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
