@@ -73,12 +73,15 @@ object TextAnalysis {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df derives from tf (each tf row is one distinct (doc, term)) —
-    // the same aggregate subtree on both sides, so ReuseExchange
-    // tokenizes and shuffles the corpus ONCE instead of twice.
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df as a window count over the tf table (each tf row is one
+    // distinct (doc, term)): the corpus is tokenized and aggregated
+    // ONCE, and df costs one shuffle on term — referencing a second
+    // tf-derived aggregate instead would column-prune into a
+    // different subtree and re-tokenize (no exchange reuse; measured).
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
     val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, Seq("term"))
+    val scored = withDf
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf_micro",
         floor(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)) * 1e6)

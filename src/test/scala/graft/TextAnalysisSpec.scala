@@ -104,6 +104,20 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out((2L, 1L)) === ("cherry", micro(3, 2)))
   }
 
+  test("tfidf tokenizes once and fingerprint plans window-min, not nested HOFs") {
+    // regression guards for two measured perf bugs: df must derive
+    // from the tf aggregate (a second explode = second corpus
+    // tokenize), and winnowing must be the explode+window form (the
+    // nested-HOF form is O(n²) per doc in interpreted eval).
+    val tfidfPlan = TextAnalysis.tfidfTopTerms(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Generate explode".r.findAllIn(tfidfPlan).size === 1, "one tokenize pass")
+    val fpPlan = TextAnalysis.fingerprint(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(fpPlan.contains("Window"), fpPlan.take(300))
+    assert(!fpPlan.contains("slice("), "no per-position array slicing")
+  }
+
   test("token operators run on sf0.001 and agree on whitespace counts") {
     val q = TextAnalysis.quality(spark, sfDir).collect()
     val t = TextAnalysis.tokens(spark, sfDir).collect()
