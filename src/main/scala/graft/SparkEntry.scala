@@ -28,6 +28,7 @@ object SparkEntry {
     "src_bucketed_join"          -> Relational.srcBucketedJoin _,
     "src_v2_inputformat_scan"    -> Relational.srcV2InputFormatScan _,
     "src_csv_roundtrip"          -> Relational.srcCsvRoundtrip _,
+    "src_orc_roundtrip"          -> Relational.srcOrcRoundtrip _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
     "q6_forecast_revenue"        -> Relational.q6ForecastRevenue _,
@@ -427,6 +428,14 @@ object SparkEntry {
       SELECT o_orderstatus, count(*) AS n,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // Oracle computes the same aggregate from the ORIGINAL parquet —
+    // equality proves the ORC write/read round trip is lossless.
+    "src_orc_roundtrip" -> """
+      SELECT l_returnflag, count(*) AS n,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "src_v2_inputformat_scan" -> """
       SELECT count(*) AS n,

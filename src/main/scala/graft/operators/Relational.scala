@@ -166,6 +166,27 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A11: ORC sink + typed read-back round trip — the third storage
+    * format of the source layer (parquet native, CSV text, ORC
+    * columnar). The aggregate of the read-back must equal the same
+    * aggregate over the original parquet (that equality IS the
+    * oracle: DuckDB computes it from parquet, so any ORC write/read
+    * type mangling breaks the hash).
+    */
+  def srcOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val path = graft.sources.GraftSink.scratchDir + "/lineitem_orc"
+    c.table("lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsumr(col("l_quantity")).as("sum_qty"),
+        dsumr(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
   // ─────────────────────── §2.B relational core ───────────────────────
 
   /** B1: TPC-H Q1 pricing summary — map+combine+reduce aggregation. */
