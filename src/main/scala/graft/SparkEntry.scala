@@ -29,6 +29,7 @@ object SparkEntry {
     "src_v2_inputformat_scan"    -> Relational.srcV2InputFormatScan _,
     "src_csv_roundtrip"          -> Relational.srcCsvRoundtrip _,
     "src_orc_roundtrip"          -> Relational.srcOrcRoundtrip _,
+    "src_json_roundtrip"         -> Relational.srcJsonRoundtrip _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
     "q6_forecast_revenue"        -> Relational.q6ForecastRevenue _,
@@ -436,6 +437,12 @@ object SparkEntry {
              round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "src_json_roundtrip" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_bal,
+             CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "src_v2_inputformat_scan" -> """
       SELECT count(*) AS n,

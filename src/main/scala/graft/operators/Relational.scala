@@ -187,6 +187,23 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** A12: JSON-lines sink + schema'd read-back round trip — the text
+    * format for interchange. Timestamps round-trip through an explicit
+    * NTZ format; the oracle aggregates the original parquet, so the
+    * hash match proves losslessness (same trick as A11).
+    */
+  def srcJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val path = graft.sources.GraftSink.scratchDir + "/customer_json"
+    val customer = c.table("customer")
+    customer.write.mode("overwrite").json(path)
+    s.read.schema(customer.schema).json(path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsumr(col("c_acctbal")).as("total_bal"),
+        count_distinct(col("c_nationkey")).as("n_nations"))
+      .orderBy("c_mktsegment")
+  }
+
   // ─────────────────────── §2.B relational core ───────────────────────
 
   /** B1: TPC-H Q1 pricing summary — map+combine+reduce aggregation. */

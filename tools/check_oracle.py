@@ -49,7 +49,11 @@ def main(sf_dir, out_dir):
             print(f"ROWCNT {name}: spark={len(g)} oracle={len(e)}"); n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
-            print(f"PASS  {name} ({len(g)} rows)"); n_pass += 1
+            # a 0==0 row match proves nothing — flag it so vacuous
+            # queries (e.g. joins whose date ranges never overlap)
+            # get noticed instead of silently "passing"
+            tag = "PASS  " if len(g) > 0 else "VACUO "
+            print(f"{tag}{name} ({len(g)} rows)"); n_pass += 1
         except AssertionError as ex:
             try:
                 pd.testing.assert_frame_equal(g, e, check_dtype=False, rtol=1e-9)
