@@ -30,6 +30,7 @@ object SparkEntry {
     "src_csv_roundtrip"          -> Relational.srcCsvRoundtrip _,
     "src_orc_roundtrip"          -> Relational.srcOrcRoundtrip _,
     "src_json_roundtrip"         -> Relational.srcJsonRoundtrip _,
+    "src_schema_evolution"       -> Relational.srcSchemaEvolution _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
     "q6_forecast_revenue"        -> Relational.q6ForecastRevenue _,
@@ -443,6 +444,23 @@ object SparkEntry {
              round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_bal,
              CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // The evolved view = union_by_name of the two epochs' projections
+    // (old files surface the added column as NULL).
+    "src_schema_evolution" -> """
+      WITH evolved AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               NULL AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL BY NAME
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1)
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pre_evolution,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM evolved GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "src_v2_inputformat_scan" -> """
       SELECT count(*) AS n,

@@ -204,6 +204,35 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** A13: schema evolution — a partitioned table whose later files
+    * carry an added column. `mergeSchema` unifies the layouts (old
+    * files surface the new column as null), the analog of a
+    * connector tolerating live table evolution mid-read. The split
+    * is deterministic (orderkey parity), so the DuckDB oracle
+    * reproduces the evolved view with union_by_name over the same
+    * two projections of the original parquet.
+    */
+  def srcSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val path = graft.sources.GraftSink.scratchDir + "/orders_evolved"
+    val orders = c.table("orders")
+    // epoch 1: original schema (even orderkeys); epoch 2 adds a column
+    orders.where(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$path/epoch=1")
+    orders.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$path/epoch=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("n_pre_evolution"),
+        count_distinct(col("o_orderpriority")).as("n_priorities"),
+        dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   // ─────────────────────── §2.B relational core ───────────────────────
 
   /** B1: TPC-H Q1 pricing summary — map+combine+reduce aggregation. */
