@@ -12,8 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the end-to-end corpus-curation pass (quality gate +
+    * near-dup representative selection + per-source accounting) —
+    * the composite workflow the engine exists to run.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    Dedup.curateCorpus(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -88,6 +92,7 @@ object SparkEntry {
     "dedup_embedding_cosine_lsh" -> Dedup.embeddingCosine _,
     "dedup_clusters"             -> Dedup.nearDupClusters _,
     "dedup_clusters_exact"       -> Dedup.nearDupClustersExact _,
+    "pipeline_curate_corpus"     -> Dedup.curateCorpus _,
     // §2.D similarity search
     "sim_bruteforce_topk"        -> Similarity.bruteForceTopk _,
     "sim_ivf_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfTopk(s, d)),
@@ -748,6 +753,60 @@ object SparkEntry {
     // edge test (2*|A∩B| >= |A∪B|, no floats) -> connected
     // components, closed here by a recursive CTE enumerating
     // reachability (min reached id = cluster id).
+    // Composite curation pass: quality gate + cluster representatives
+    // (same CTE pipeline as dedup_clusters_exact) + per-source totals.
+    "pipeline_curate_corpus" -> """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks WHERE len(t) >= 3
+      ), ks AS (
+        SELECT doc_id, unnest(list_sort(s)[1:4]) AS k FROM sh
+      ), ks2 AS (
+        SELECT doc_id, k,
+               count(*) OVER (PARTITION BY k) AS bsz,
+               lag(doc_id) OVER (PARTITION BY k ORDER BY doc_id) AS prev
+        FROM ks
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ks2 a JOIN ks2 b
+          ON a.k = b.k AND a.doc_id < b.doc_id AND a.bsz <= 64 AND b.bsz <= 64
+        UNION
+        SELECT DISTINCT prev AS doc_a, doc_id AS doc_b
+        FROM ks2 WHERE bsz > 64 AND prev IS NOT NULL
+      ), e0 AS (
+        SELECT doc_a, doc_b FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE 2 * len(list_intersect(sa.s, sb.s)) >= len(list_distinct(sa.s || sb.s))
+      ), e AS (
+        SELECT doc_a, doc_b FROM e0
+        UNION ALL SELECT doc_b, doc_a FROM e0
+      ), cc AS (
+        SELECT doc_id, doc_id AS reach FROM documents
+        UNION
+        SELECT cc.doc_id, e.doc_b AS reach FROM cc JOIN e ON e.doc_a = cc.reach
+      ), clusters AS (
+        SELECT doc_id, CAST(min(reach) AS BIGINT) AS cluster
+        FROM cc GROUP BY doc_id
+      ), q AS (
+        SELECT d.doc_id, d.source, d.n_chars,
+               len(string_split_regex(trim(d.text), '\s+')) AS n_toks,
+               len(list_distinct(string_split_regex(trim(d.text), '\s+'))) AS n_distinct
+        FROM documents d
+      ), kept AS (
+        SELECT q.* FROM q
+        JOIN clusters c ON q.doc_id = c.doc_id AND q.doc_id = c.cluster
+        WHERE q.n_toks >= 10 AND q.n_distinct * 10 >= q.n_toks * 3)
+      SELECT source, count(*) AS n_kept,
+             CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+             CAST(sum(n_toks) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY source ORDER BY source""",
+
     "dedup_clusters_exact" -> """
       WITH RECURSIVE toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

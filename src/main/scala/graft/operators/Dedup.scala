@@ -370,6 +370,35 @@ object Dedup {
     connectedComponents(docs(s, dir).select(col("doc_id")), edges)
   }
 
+  /** C7: end-to-end corpus curation — the composite pass a training-
+    * data pipeline runs before tokenization, assembled from the
+    * oracle-portable pieces so the WHOLE pipeline is hash-checked:
+    *  1. quality gate: ≥ 10 whitespace tokens and ≥ 30% distinct
+    *     tokens (drops degenerate/repetitive docs);
+    *  2. near-dup removal: keep only each cluster's representative
+    *     (min doc_id) from `nearDupClustersExact`;
+    *  3. per-source accounting of the surviving corpus.
+    * Scale shape: the quality gate is map-only; clustering is the
+    * blocked near-dup pipeline (one shuffle per stage); the final
+    * accounting is one grouped aggregate.
+    */
+  def curateCorpus(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val quality = docs(s, dir)
+      .withColumn("n_toks", size(toks))
+      .withColumn("n_distinct", size(array_distinct(toks)))
+      .where(col("n_toks") >= 10 &&
+             col("n_distinct") * 10 >= col("n_toks") * 3)
+    val reps = nearDupClustersExact(s, dir)
+      .where(col("doc_id") === col("cluster")).select("doc_id")
+    quality.join(reps, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"),
+        sum(col("n_toks").cast("long")).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   /** C5 (oracle-portable form): exact pairwise cosine over the
     * deterministic ~10% hash-sample of the embeddings table — every
     * sampled pair scored, no LSH bucketing, so the whole computation

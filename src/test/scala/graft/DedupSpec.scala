@@ -200,6 +200,26 @@ class DedupSpec extends SparkSpecBase {
     assert(out(500L) === 500L)
   }
 
+  test("curation drops low-quality docs and non-representative near-dups") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val dupe = good.replace("today", "tonight")          // near-dup of `good`
+    val short = "too few tokens here"                    // < 10 tokens -> dropped
+    val repetitive = Seq.fill(20)("spam").mkString(" ")  // distinct ratio 1/20 -> dropped
+    val docs = Seq((0L, good, "a"), (1L, dupe, "a"), (2L, short, "b"),
+      (3L, repetitive, "b"), (4L, "another perfectly fine document with plenty of distinct tokens in it", "b"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cur").toString
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.curateCorpus(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // source a: doc 0 survives (representative), doc 1 deduped away;
+    // source b: only doc 4 passes the quality gate.
+    assert(out === Map("a" -> 1L, "b" -> 1L), s"got $out")
+  }
+
   test("exact embedding cosine: sampled pairs, identical vectors score 1000000 micro") {
     import spark.implicits._
     // vec_ids 0, 4, 8 pass the hash-sample predicate; 1 does not.
