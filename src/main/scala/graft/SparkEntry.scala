@@ -35,6 +35,7 @@ object SparkEntry {
     "src_orc_roundtrip"          -> Relational.srcOrcRoundtrip _,
     "src_json_roundtrip"         -> Relational.srcJsonRoundtrip _,
     "src_schema_evolution"       -> Relational.srcSchemaEvolution _,
+    "src_compaction"             -> Relational.srcCompaction _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
     "q6_forecast_revenue"        -> Relational.q6ForecastRevenue _,
@@ -466,6 +467,12 @@ object SparkEntry {
              CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM evolved GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // Oracle over the ORIGINAL parquet: compaction must be lossless.
+    "src_compaction" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "src_v2_inputformat_scan" -> """
       SELECT count(*) AS n,

@@ -233,6 +233,37 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A14: small-file compaction — the maintenance job every streamed-
+    * into table needs: a fragmented partitioned layout (many tiny
+    * files per partition, here forced with repartition(16) before the
+    * write) is rewritten with one file per partition directory. The
+    * returned accounting proves both sides of the contract: file
+    * counts collapse (16× fewer, spec-asserted) and the data is
+    * untouched — the oracle recomputes the same aggregate from the
+    * ORIGINAL parquet, so any row lost in the rewrite breaks the
+    * hash. At 100 TB this is `repartition(target)` per partition
+    * window; the mechanics are identical.
+    */
+  def srcCompaction(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.sources.GraftSink.scratchDir
+    val fragmented = s"$base/orders_fragmented"
+    val compacted = s"$base/orders_compacted"
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders.repartition(16)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(fragmented)
+    // hash-repartition on the partition column: each status lands in
+    // exactly one task → one file per directory, statuses written in
+    // parallel (repartition(1) would serialize the whole rewrite).
+    s.read.parquet(fragmented)
+      .repartition(col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(compacted)
+    s.read.parquet(compacted)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   // ─────────────────────── §2.B relational core ───────────────────────
 
   /** B1: TPC-H Q1 pricing summary — map+combine+reduce aggregation. */

@@ -43,6 +43,26 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"), plan.take(800))
   }
 
+  test("compaction collapses the fragmented layout to one file per partition") {
+    Relational.srcCompaction(spark, sfDir).collect() // runs both writes
+    val base = graft.sources.GraftSink.scratchDir
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val frag = parquetFiles(s"$base/orders_fragmented")
+    val comp = parquetFiles(s"$base/orders_compacted")
+    assert(comp < frag, s"compacted=$comp fragmented=$frag")
+    val dirs = new java.io.File(s"$base/orders_compacted").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("o_orderstatus="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"${d.getName} has $n files")
+    }
+  }
+
   test("anti join + outer join row accounting agree") {
     import org.apache.spark.sql.functions.col
     val catalog = new GraftCatalog(spark, sfDir)
