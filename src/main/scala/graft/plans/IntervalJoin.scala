@@ -109,6 +109,16 @@ case class IntervalJoinExec(
         private def advanceRight(): InternalRow =
           if (rIter.hasNext) rIter.next().copy() else null
 
+        /** Values eval'd from the LEFT row may point into its reused
+          * UnsafeRow buffer (UTF8String keys do) — storing one across
+          * iterations without a copy silently mutates when the
+          * iterator advances, breaking key-change detection.
+          */
+        private def stable(v: Any): Any = v match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+          case other => other
+        }
+
         /** Fills `pending` with the matches of the next matching left
           * row; false when the partition is exhausted.
           */
@@ -120,7 +130,7 @@ case class IntervalJoinExec(
             if (k != null && t != null) {
               if (!haveKey || keyOrd.compare(curKey, k) != 0) {
                 active.clear()
-                curKey = k
+                curKey = stable(k)
                 haveKey = true
               }
               // buffer every right interval of this key starting ≤ t;

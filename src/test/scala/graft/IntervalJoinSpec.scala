@@ -63,6 +63,38 @@ class IntervalJoinSpec extends SparkSpecBase {
     assert(native.nonEmpty, "corpus parity check must not be vacuous")
   }
 
+  test("string keys survive the left iterator's buffer reuse") {
+    import spark.implicits._
+    // Many rows per string key through the sort+exchange pipeline:
+    // Spark's iterator contract says a row is only valid until the
+    // next next(), so a UTF8String key held across iterations must be
+    // defensively copied (IntervalJoinExec.stable). Parity with the
+    // declarative join guards the whole string-key path.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ij_str").toString
+    val keys = Seq("alpha", "beta", "gamma", "delta")
+    val intervals = keys.zipWithIndex.flatMap { case (k, i) =>
+      (0 until 5).map(j => (k,
+        ts(f"2024-01-01 ${8 + j}%02d:00:00"), ts(f"2024-01-01 ${9 + j}%02d:00:00"), i * 10 + j))
+    }
+    val points = keys.zipWithIndex.flatMap { case (k, i) =>
+      (0 until 40).map(j => (k,
+        ts(f"2024-01-01 ${8 + j % 6}%02d:${(j * 7) % 60}%02d:00"), i * 100 + j))
+    }
+    intervals.toDF("r_key", "r_start", "r_end", "r_id")
+      .write.mode("overwrite").parquet(s"$tmp/iv.parquet")
+    points.toDF("p_key", "p_ts", "p_id")
+      .write.mode("overwrite").parquet(s"$tmp/pt.parquet")
+    val iv = spark.read.parquet(s"$tmp/iv.parquet")
+    val pt = spark.read.parquet(s"$tmp/pt.parquet")
+    val native = IntervalJoin.join(pt, iv, "p_key", "r_key", "p_ts", "r_start", "r_end")
+      .select("p_id", "r_id").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val reference = pt.join(iv,
+        pt("p_key") === iv("r_key") && pt("p_ts") >= iv("r_start") && pt("p_ts") < iv("r_end"))
+      .select("p_id", "r_id").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(native === reference)
+    assert(native.nonEmpty)
+  }
+
   test("interval join plans with hash-clustered exchange, not a cross product") {
     import spark.implicits._
     val intervals = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 10))
