@@ -36,6 +36,7 @@ object SparkEntry {
     "src_json_roundtrip"         -> Relational.srcJsonRoundtrip _,
     "src_schema_evolution"       -> Relational.srcSchemaEvolution _,
     "src_compaction"             -> Relational.srcCompaction _,
+    "src_zorder_scan"            -> Relational.srcZorderScan _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
     "q6_forecast_revenue"        -> Relational.q6ForecastRevenue _,
@@ -467,6 +468,14 @@ object SparkEntry {
              CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM evolved GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // Oracle over the ORIGINAL parquet: the z-order rewrite must be
+    // lossless for any predicate.
+    "src_zorder_scan" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_custkey BETWEEN 100 AND 199
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // Oracle over the ORIGINAL parquet: compaction must be lossless.
     "src_compaction" -> """

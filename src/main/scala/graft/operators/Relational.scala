@@ -264,6 +264,64 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Morton (Z-order) code: the low 16 bits of two keys interleaved —
+    * key-a bits on odd positions, key-b on even. Pure integer
+    * arithmetic (codegen'd aggregate over a 16-element sequence).
+    */
+  private[graft] def zorder16(a: String, b: String) = expr(
+    s"""aggregate(sequence(0, 15), 0L, (acc, i) ->
+          acc + shiftleft((shiftright($a, i) & 1), 2 * i + 1)
+              + shiftleft((shiftright($b, i) & 1), 2 * i))""")
+
+  /** A15: Z-ordered layout — orders rewritten sorted by the Morton
+    * interleave of (o_custkey, o_orderkey), so parquet row-group
+    * footer stats become narrow on BOTH keys at once and a filter on
+    * EITHER dimension prunes row groups (a single-column sort can
+    * only serve its own column). The V2SourceSpec asserts the pruning
+    * through GraftScan's footer-stats path; this query proves the
+    * rewrite lossless — the band aggregate over the z-layout must
+    * hash-match the oracle's aggregate over the ORIGINAL parquet.
+    */
+  def srcZorderScan(s: SparkSession, dir: String): DataFrame = {
+    val path = writeZordered(s, dir)
+    s.read.parquet(path)
+      .where(col("o_custkey").between(100, 199))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Writes the z-ordered orders layout (single file, small row
+    * groups so footer stats partition the key space) and returns its
+    * file path. Shared by the query above and the pruning spec.
+    */
+  private[graft] def writeZordered(s: SparkSession, dir: String): String = {
+    val path = graft.sources.GraftSink.scratchDir + "/orders_zorder"
+    val orders = cat(s, dir).table("orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    // Min-max scale both keys to the FULL 16-bit range before
+    // interleaving: with raw keys of unequal width (custkey < 2^11,
+    // orderkey < 2^14 here) the wider key's high bits dominate the
+    // Morton code and the layout degrades to a single-column sort
+    // (measured: zero custkey pruning). The two scalar bounds are a
+    // write-time driver artifact, same class as IVF centroids.
+    val b = orders.agg(
+      min("o_custkey"), max("o_custkey"), min("o_orderkey"), max("o_orderkey"))
+      .first()
+    def scaled(c: String, lo: Long, hi: Long) =
+      ((col(c) - lo) * 65535L / math.max(hi - lo, 1L)).cast("long")
+    orders
+      .withColumn("zc", scaled("o_custkey", b.getLong(0), b.getLong(1)))
+      .withColumn("zo", scaled("o_orderkey", b.getLong(2), b.getLong(3)))
+      .withColumn("z", zorder16("zc", "zo"))
+      .orderBy("z").drop("z", "zc", "zo")
+      .coalesce(1)
+      .write.option("parquet.block.size", "65536").mode("overwrite").parquet(path)
+    new java.io.File(path).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+  }
+
   // ─────────────────────── §2.B relational core ───────────────────────
 
   /** B1: TPC-H Q1 pricing summary — map+combine+reduce aggregation. */

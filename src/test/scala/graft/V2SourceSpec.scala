@@ -81,6 +81,25 @@ class V2SourceSpec extends SparkSpecBase {
     assert(after >= 1)
   }
 
+  test("z-ordered layout prunes row groups on BOTH interleaved keys") {
+    import graft.sources.v2.GraftScan
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    import org.apache.spark.sql.types._
+    val zFile = graft.operators.Relational.writeZordered(spark, "/root/testdata/sf0.01")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType)))
+    def parts(filters: Array[org.apache.spark.sql.sources.Filter]): Int =
+      GraftScan(zFile, schema, filters).planInputPartitions().length
+    val total = parts(Array.empty)
+    assume(total > 3, s"need multiple row groups, got $total")
+    val byCust = parts(Array(
+      GreaterThanOrEqual("o_custkey", 100L), LessThanOrEqual("o_custkey", 120L)))
+    val byOrder = parts(Array(
+      GreaterThanOrEqual("o_orderkey", 100L), LessThanOrEqual("o_orderkey", 200L)))
+    assert(byCust < total, s"custkey band must prune: $byCust of $total")
+    assert(byOrder < total, s"orderkey band must prune: $byOrder of $total")
+  }
+
   test("row-group splits carry preferred locations plumbing") {
     import graft.sources.v2.{GraftInputPartition, GraftScan}
     import org.apache.spark.sql.types._
