@@ -11,10 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  /** Flagship: the end-to-end corpus-curation pass (quality gate +
-    * near-dup representative selection + per-source accounting) —
-    * the composite workflow the engine exists to run.
+  /** Flagship (driver smoke-checks rows>0 on sf0.001): the end-to-end
+    * corpus-curation pass (quality gate + near-dup representative
+    * selection + per-source accounting) — the composite workflow the
+    * engine exists to run.
     */
   def entry(spark: SparkSession): DataFrame =
     Dedup.curateCorpus(spark, "/root/testdata/sf0.001")
@@ -123,6 +123,19 @@ object SparkEntry {
   )
 
   /** DuckDB-runnable oracle SQL per query (omitted → rows-only check). */
+  /** Single oracle text for both range-join forms (see the map entry
+    * comment below).
+    */
+  private val RangeJoinOracle = """
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time
+      FROM events c JOIN events p
+        ON c.event_type = 'click' AND p.event_type = 'purchase'
+       AND c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id"""
+
   def oracleSql: Map[String, String] = Map(
     "src_schema_scan" ->
       "SELECT * FROM customer ORDER BY c_custkey",
@@ -635,28 +648,12 @@ object SparkEntry {
       ORDER BY c_custkey, o_orderkey""",
 
     // Purchases in same-user click intervals [click_ts, click_ts+1h),
-    // end-exclusive; shared by the composed (hour-bucket) and native
-    // (IntervalJoinExec) forms.
-    "q_range_join_events_orders" -> """
-      SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id,
-             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
-             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time
-      FROM events c JOIN events p
-        ON c.event_type = 'click' AND p.event_type = 'purchase'
-       AND c.user_id = p.user_id
-       AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
-      ORDER BY click_id, purchase_id""",
-
-    // Native interval-join form — same semantics, same oracle shape.
-    "q_range_join_native" -> """
-      SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id,
-             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
-             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time
-      FROM events c JOIN events p
-        ON c.event_type = 'click' AND p.event_type = 'purchase'
-       AND c.user_id = p.user_id
-       AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
-      ORDER BY click_id, purchase_id""",
+    // end-exclusive; ONE string shared by the composed (hour-bucket)
+    // and native (IntervalJoinExec) forms — the shared-oracle contract
+    // is the point, so it must be impossible to edit one and miss the
+    // other.
+    "q_range_join_events_orders" -> RangeJoinOracle,
+    "q_range_join_native" -> RangeJoinOracle,
 
     "q_json_props" -> """
       SELECT event_type, count(*) AS n,
@@ -814,10 +811,15 @@ object SparkEntry {
                len(string_split_regex(trim(d.text), '\s+')) AS n_toks,
                len(list_distinct(string_split_regex(trim(d.text), '\s+'))) AS n_distinct
         FROM documents d
+      ), survivors AS (
+        SELECT q.*, c.cluster FROM q
+        JOIN clusters c ON q.doc_id = c.doc_id
+        WHERE q.n_toks >= 10 AND q.n_distinct * 10 >= q.n_toks * 3
       ), kept AS (
-        SELECT q.* FROM q
-        JOIN clusters c ON q.doc_id = c.doc_id AND q.doc_id = c.cluster
-        WHERE q.n_toks >= 10 AND q.n_distinct * 10 >= q.n_toks * 3)
+        SELECT * FROM (
+          SELECT s.*, min(doc_id) OVER (PARTITION BY cluster) AS rep
+          FROM survivors s)
+        WHERE doc_id = rep)
       SELECT source, count(*) AS n_kept,
              CAST(sum(n_chars) AS BIGINT) AS kept_chars,
              CAST(sum(n_toks) AS BIGINT) AS kept_tokens
@@ -926,11 +928,11 @@ object SparkEntry {
       WITH h AS (
         SELECT doc_id,
           list_transform(range(1, greatest(length(text) - 3, 1)), p ->
-            ord(substr(text, p, 1)) * 4362470401 +
-            ord(substr(text, p + 1, 1)) * 16974593 +
-            ord(substr(text, p + 2, 1)) * 66049 +
-            ord(substr(text, p + 3, 1)) * 257 +
-            ord(substr(text, p + 4, 1))) AS hs
+            CAST(ord(substr(text, p, 1)) AS BIGINT) * 4362470401 +
+            CAST(ord(substr(text, p + 1, 1)) AS BIGINT) * 16974593 +
+            CAST(ord(substr(text, p + 2, 1)) AS BIGINT) * 66049 +
+            CAST(ord(substr(text, p + 3, 1)) AS BIGINT) * 257 +
+            CAST(ord(substr(text, p + 4, 1)) AS BIGINT)) AS hs
         FROM documents
       ), w AS (
         SELECT doc_id, list_distinct(

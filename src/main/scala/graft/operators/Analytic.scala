@@ -292,10 +292,10 @@ object Analytic {
     * predicate does the real work: a naive time-inequality join is a
     * per-key cross product; bucketing both sides by HOUR makes it an
     * equi-join on (user, hour) with an exact refinement predicate.
-    * Each click interval covers at most 2 hour buckets
-    * (array_distinct collapses the within-one-hour case), so the
-    * explode factor is a constant 2 — this is the scale-out recipe
-    * for interval joins when no native operator exists.
+    * Each click interval [ts, ts+1h) spans exactly the 2 hour buckets
+    * of its endpoints (they always differ), so the explode factor is
+    * a constant 2 — this is the scale-out recipe for interval joins
+    * when no native operator exists.
     * (`qRangeJoinNative` runs the identical semantics through the
     * custom IntervalJoin operator; both share one oracle.)
     */
@@ -303,9 +303,9 @@ object Analytic {
     val ev = graft.streaming.Events.eventsTable(s, dir)
     val clicks = ev.where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-      .withColumn("hb", explode(array_distinct(array(
+      .withColumn("hb", explode(array(
         date_trunc("hour", col("click_ts")),
-        date_trunc("hour", col("click_ts") + expr("INTERVAL 1 HOUR"))))))
+        date_trunc("hour", col("click_ts") + expr("INTERVAL 1 HOUR")))))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"))

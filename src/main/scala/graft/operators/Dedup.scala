@@ -375,23 +375,30 @@ object Dedup {
     * oracle-portable pieces so the WHOLE pipeline is hash-checked:
     *  1. quality gate: ≥ 10 whitespace tokens and ≥ 30% distinct
     *     tokens (drops degenerate/repetitive docs);
-    *  2. near-dup removal: keep only each cluster's representative
-    *     (min doc_id) from `nearDupClustersExact`;
+    *  2. near-dup removal: keep one representative per
+    *     `nearDupClustersExact` cluster, chosen AMONG the quality
+    *     survivors (min surviving doc_id) — choosing the global
+    *     cluster minimum would silently drop an entire cluster
+    *     whenever its smallest member happens to fail the gate;
     *  3. per-source accounting of the surviving corpus.
     * Scale shape: the quality gate is map-only; clustering is the
-    * blocked near-dup pipeline (one shuffle per stage); the final
-    * accounting is one grouped aggregate.
+    * blocked near-dup pipeline (one shuffle per stage); the
+    * representative choice and accounting are one window + one
+    * grouped aggregate.
     */
   def curateCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = split(trim(col("text")), "\\s+")
     val quality = docs(s, dir)
       .withColumn("n_toks", size(toks))
       .withColumn("n_distinct", size(array_distinct(toks)))
       .where(col("n_toks") >= 10 &&
              col("n_distinct") * 10 >= col("n_toks") * 3)
-    val reps = nearDupClustersExact(s, dir)
-      .where(col("doc_id") === col("cluster")).select("doc_id")
-    quality.join(reps, Seq("doc_id"))
+    val clusters = nearDupClustersExact(s, dir)
+    val wCluster = Window.partitionBy("cluster")
+    quality.join(clusters, Seq("doc_id"))
+      .withColumn("rep", min("doc_id").over(wCluster))
+      .where(col("doc_id") === col("rep"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_chars")).as("kept_chars"),

@@ -158,6 +158,10 @@ object Similarity {
       .where(col("rn") === 1)
       .select(col("vec_id"), col("emb"), col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(indexPath)
+    // the write above is a synchronous action — the cache has served
+    // its two consumers (training + assignment); release it so a
+    // multi-query session doesn't accumulate storage memory.
+    e.unpersist()
     centroids
   }
 

@@ -175,12 +175,16 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - 4)).as("p"),
         col("text"))
+      // every term widened to bigint BEFORE the multiply: ascii() is
+      // 32-bit, and codepoint*16974593 overflows int for any
+      // codepoint >= 127 (max codepoint 0x10FFFF keeps the 5-term
+      // bigint sum under 2.4e16 — well inside exact long range).
       .select(col("doc_id"), col("p"), expr(
         """cast(ascii(substring(text, p, 1)) as bigint) * 4362470401 +
-           ascii(substring(text, p + 1, 1)) * 16974593 +
-           ascii(substring(text, p + 2, 1)) * 66049 +
-           ascii(substring(text, p + 3, 1)) * 257 +
-           ascii(substring(text, p + 4, 1))""").as("h"))
+           cast(ascii(substring(text, p + 1, 1)) as bigint) * 16974593 +
+           cast(ascii(substring(text, p + 2, 1)) as bigint) * 66049 +
+           cast(ascii(substring(text, p + 3, 1)) as bigint) * 257 +
+           cast(ascii(substring(text, p + 4, 1)) as bigint)""").as("h"))
     val byDoc = Window.partitionBy("doc_id")
     val frame = byDoc.orderBy("p").rowsBetween(Window.currentRow, w - 1)
     val agg = hashed

@@ -220,6 +220,24 @@ class DedupSpec extends SparkSpecBase {
     assert(out === Map("a" -> 1L, "b" -> 1L), s"got $out")
   }
 
+  test("curation keeps a good doc whose cluster's min member fails the quality gate") {
+    import spark.implicits._
+    // doc 0 is a 9-token prefix of doc 1: near-dup (shares most
+    // shingles) but FAILS the >= 10 tokens gate. The representative
+    // must be chosen among quality survivors — picking the global
+    // cluster min would drop the whole cluster.
+    val full = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val prefix = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curq").toString
+    Seq((0L, prefix, "a"), (1L, full, "a")).toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.curateCorpus(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 1L), s"got $out")
+  }
+
   test("exact embedding cosine: sampled pairs, identical vectors score 1000000 micro") {
     import spark.implicits._
     // vec_ids 0, 4, 8 pass the hash-sample predicate; 1 does not.

@@ -65,7 +65,9 @@ class TextAnalysisSpec extends SparkSpecBase {
       else (0 to hs.length - 4).map(j => hs.slice(j, j + 4).min).distinct
     }
     val texts = Seq((0L, "abcdefghij klm nop qrs"), (1L, "tiny"),
-      (2L, "aaaaaaaaaaaaaaaa"), (3L, "the quick brown fox jumps over"))
+      (2L, "aaaaaaaaaaaaaaaa"), (3L, "the quick brown fox jumps over"),
+      // codepoints >= 127: é=233 would overflow a 32-bit ascii()*coef
+      (4L, "café résumé naïve déjà vu encore"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_fpx").toString
     texts.toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
