@@ -69,43 +69,44 @@ object Dedup {
     }
   }
 
-  /** Candidate pairs from an exploded band table (band_idx, band_hash,
-    * doc_id) with a DEGENERATE-BUCKET GUARD: a bucket holding n
-    * near-identical docs (boilerplate-heavy corpora) would emit n²/2
-    * pairs from the naive self-join. Buckets at or under `cap` members
-    * get the exact all-pairs join; oversized buckets degrade to CHAIN
-    * pairing — consecutive members by doc_id pair up — which is n-1
-    * pairs instead of n²/2 and deterministic. Chain (not star)
-    * pairing because connectivity must survive downstream
-    * VERIFICATION: in the degenerate case the bucket's members are
-    * near-identical, so every consecutive pair verifies; and if one
-    * member is a false-positive collider, only its own two edges fail
-    * — the chain splits at that doc instead of the whole bucket
-    * fragmenting (a star loses every edge when the hub is the
-    * false positive). Post-verification connectivity remains
+  /** Candidate pairs from a (bucket-key columns, id) table with a
+    * DEGENERATE-BUCKET GUARD: a bucket holding n near-identical
+    * members (boilerplate-heavy corpora, hard-clustered embeddings)
+    * would emit n²/2 pairs from the naive self-join. Buckets at or
+    * under `cap` members get the exact all-pairs join; oversized
+    * buckets degrade to CHAIN pairing — consecutive members by id
+    * pair up — which is n-1 pairs instead of n²/2 and deterministic.
+    * Chain (not star) pairing because connectivity must survive
+    * downstream VERIFICATION: in the degenerate case the bucket's
+    * members are near-identical, so every consecutive pair verifies;
+    * and if one member is a false-positive collider, only its own two
+    * edges fail — the chain splits at that member instead of the
+    * whole bucket fragmenting (a star loses every edge when the hub
+    * is the false positive). Post-verification connectivity remains
     * best-effort: each false positive in a capped bucket cuts the
     * chain once. The number of capped chain edges is observed on the
     * main job (no extra Spark action) and logged — no silent
-    * truncation.
+    * truncation. Returns distinct (id_a, id_b) pairs, id_a < id_b.
     */
-  private[graft] def bandCandidates(exploded: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
+  private[graft] def cappedBucketPairs(buckets: DataFrame, bucketCols: Seq[String],
+      idCol: String, cap: Int = DefaultBucketCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    ensureGuardLogger(exploded.sparkSession)
-    val w = Window.partitionBy("band_idx", "band_hash")
-    val wOrd = w.orderBy("doc_id")
+    ensureGuardLogger(buckets.sparkSession)
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    val wOrd = w.orderBy(idCol)
     // both windows share the partition key, so they share one exchange;
     // the three downstream branches reuse it (ReuseExchange).
-    val sized = exploded
+    val sized = buckets
       .withColumn("bsz", count(lit(1)).over(w))
-      .withColumn("prev", lag("doc_id", 1).over(wOrd))
+      .withColumn("prev", lag(idCol, 1).over(wOrd))
     val small = sized.where(col("bsz") <= cap)
-    val a = small.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = small.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
-    val allPairs = a.join(b, Seq("band_idx", "band_hash"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lit(0L).as("capped"))
+    val a = small.select(bucketCols.map(col) :+ col(idCol).as("id_a"): _*)
+    val b = small.select(bucketCols.map(col) :+ col(idCol).as("id_b"): _*)
+    val allPairs = a.join(b, bucketCols)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("capped"))
     val chainPairs = sized.where(col("bsz") > cap && col("prev").isNotNull)
-      .select(col("prev").as("doc_a"), col("doc_id").as("doc_b"), lit(1L).as("capped"))
+      .select(col("prev").as("id_a"), col(idCol).as("id_b"), lit(1L).as("capped"))
     // dedup candidate pairs BEFORE the (comparatively) expensive
     // signature comparison — a pair colliding in k bands must be
     // scored once, not k times.
@@ -113,8 +114,16 @@ object Dedup {
       .observe(s"${GuardMetricPrefix}_${guardSeq.incrementAndGet()}",
         sum("capped").as("capped_chain_edges"),
         count(lit(1)).as("candidate_edges"))
-      .select("doc_a", "doc_b").distinct()
+      .select("id_a", "id_b").distinct()
   }
+
+  /** `cappedBucketPairs` over the exploded minhash/simhash band table
+    * (band_idx, band_hash, doc_id) — the banding-join entry point of
+    * the C2/C3/C4/C6 pipelines.
+    */
+  private[graft] def bandCandidates(exploded: DataFrame, cap: Int = DefaultBucketCap): DataFrame =
+    cappedBucketPairs(exploded, Seq("band_idx", "band_hash"), "doc_id", cap)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
 
   /** C1: exact dedup — hash-groupBy on full text, keep min doc_id.
     * (At 100 TB: group on xxhash64(text)+length first, verify text
@@ -311,6 +320,12 @@ object Dedup {
       labels = jumped
       round += 1
     }
+    // same no-silent-truncation philosophy as the bucket guard: a
+    // capped-out loop means labels may still be moving — say so.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+        s"[GRAFT] connectedComponents: round cap ($round) hit before the label fixpoint — " +
+          "returned clusters may be under-merged (component diameter > ~10^6)")
     val isolated = allIds
       .join(active, Seq("doc_id"), "left_anti")
       .withColumn("label", col("doc_id"))
@@ -431,7 +446,13 @@ object Dedup {
   }
 
   /** C5: embedding-cosine near-dup: random-hyperplane LSH buckets →
-    * within-bucket exact cosine → top pairs.
+    * within-bucket candidate pairs THROUGH THE DEGENERATE-BUCKET GUARD
+    * (`cappedBucketPairs`) → exact cosine verification → top pairs.
+    * The guard matters more here than in the minhash path: normalized
+    * embeddings cluster hard in practice, so with only 256 buckets a
+    * skewed corpus can put a large fraction of all vectors into one
+    * bucket — the unguarded self-join would go quadratic on exactly
+    * the corpora this operator targets.
     */
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     val planes = VectorFns.hyperplanes(8, 64)
@@ -439,10 +460,11 @@ object Dedup {
       .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
       .withColumn("bucket", VectorFns.lshBucket(col("emb"), planes))
       .cache()
-    val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("emb").as("emb_a"))
-    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("emb").as("emb_b"))
-    a.join(b, Seq("bucket"))
-      .where(col("vec_a") < col("vec_b"))
+    val cand = cappedBucketPairs(e.select(col("bucket"), col("vec_id")), Seq("bucket"), "vec_id")
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(VectorFns.cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))

@@ -52,6 +52,26 @@ object Similarity {
   private[graft] def trainingSample(e: DataFrame): DataFrame =
     e.where(pmod(col("vec_id") * 2654435761L, lit(1000)) < 100)
 
+  /** Map-side nearest-centroid assignment: the k×dim centroid table
+    * is tiny, so it ships as a LITERAL array into one codegen'd
+    * projection — per-row argmax(cosine) with ZERO shuffle and zero
+    * row explosion. (The previous shape crossJoined every row with
+    * the k centroids and took `row_number` over
+    * `Window.partitionBy(vec_id)`: a full shuffle of a k×-exploded
+    * corpus for a per-row reduction — at 100 TB that shuffle IS the
+    * job.) Ties break to the smallest centroid id via
+    * max(struct(cos, -id)), matching the former window order
+    * (c_cos DESC, centroid_id ASC). Adds `centroid_id` to `e`.
+    */
+  private[graft] def assignCentroids(
+      e: DataFrame, centroids: Array[(Int, Seq[Double])]): DataFrame = {
+    val cArr = typedlit(centroids.toSeq)
+    val best = array_max(transform(cArr, c =>
+      struct(VectorFns.cosine(col("emb"), c.getField("_2")).as("cos"),
+        (-c.getField("_1")).as("nid"))))
+    e.withColumn("centroid_id", (-best.getField("nid")).cast("int"))
+  }
+
   /** Lloyd's k-means over a (sampled) embedding table: deterministic
     * init (k lowest vec_ids present in the input), `iters`
     * assignment+mean rounds. Centroids are collected to the driver
@@ -69,15 +89,7 @@ object Similarity {
       .select(col("emb")).as[Seq[Double]].collect()
       .zipWithIndex.map { case (v, i) => (i, v) }
     for (_ <- 0 until iters) {
-      val cDf = e.sparkSession.createDataFrame(
-        centroids.toIndexedSeq.map { case (id, v) => (id, v) })
-        .toDF("centroid_id", "c_emb")
-      val assigned = e.join(broadcast(cDf), expr("true"))
-        .select(col("vec_id"), col("emb"), col("centroid_id"),
-          VectorFns.cosine(col("emb"), col("c_emb")).as("c_cos"))
-      val wA = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id"))
-      val updated = assigned.withColumn("rn", row_number().over(wA))
-        .where(col("rn") === 1)
+      val updated = assignCentroids(e, centroids)
         // mean per dimension: posexplode + groupBy(centroid, dim)
         .select(col("centroid_id"), posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy("centroid_id", "dim").agg(avg("v").as("m"))
@@ -104,13 +116,9 @@ object Similarity {
     val centroids = broadcast(
       s.createDataFrame(trained.toIndexedSeq).toDF("centroid_id", "c_emb"))
 
-    // Assignment: argmax cosine over broadcast centroids.
-    val assigned = e.join(centroids, expr("true"))
-      .select(col("vec_id"), col("emb"), col("centroid_id"),
-        VectorFns.cosine(col("emb"), col("c_emb")).as("c_cos"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id"))
-    val lists = assigned.withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
+    // Assignment: map-side argmax over the literal centroid array —
+    // no crossJoin explosion, no shuffle (see assignCentroids).
+    val lists = assignCentroids(e, trained)
       .select(col("vec_id"), col("emb"), col("centroid_id"))
 
     // Queries probe their nProbe nearest centroids.
@@ -150,12 +158,7 @@ object Similarity {
     val trained = kmeansCentroids(trainingSample(e), nCentroids, iters = 2)
     val centroids = broadcast(
       s.createDataFrame(trained.toIndexedSeq).toDF("centroid_id", "c_emb"))
-    val assigned = e.join(centroids, expr("true"))
-      .select(col("vec_id"), col("emb"), col("centroid_id"),
-        VectorFns.cosine(col("emb"), col("c_emb")).as("c_cos"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("centroid_id"))
-    assigned.withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
+    assignCentroids(e, trained)
       .select(col("vec_id"), col("emb"), col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(indexPath)
     // the write above is a synchronous action — the cache has served
@@ -177,8 +180,10 @@ object Similarity {
   def ivfPersistedTopk(s: SparkSession, dir: String,
       nCentroids: Int = 16, nProbe: Int = 4,
       indexPath: Option[String] = None): DataFrame = {
-    val idx = indexPath.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString)
+    // deterministic scratch path (mode=overwrite in the build), so a
+    // long-lived session re-running the query reuses one index
+    // location instead of leaking a fresh temp copy per invocation.
+    val idx = indexPath.getOrElse(graft.sources.GraftSink.scratchDir + "/ivf_index")
     val centroids = buildIvfIndex(s, dir, nCentroids, idx)
     val q = emb(s, dir).where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))

@@ -99,6 +99,25 @@ class DedupSpec extends SparkSpecBase {
     assert(metric.getAs[Long]("candidate_edges") === 14L)
   }
 
+  test("embedding-LSH hot bucket degrades to chain pairing via the shared guard") {
+    import spark.implicits._
+    // a skewed embedding distribution: 100 vectors in one hyperplane
+    // bucket (cap=8), 3 in another. The single-bucket-key form of the
+    // guard must emit 99 chain edges instead of 4950 all-pairs.
+    val buckets = ((0L until 100L).map(i => (17, i)) ++ Seq((3, 200L), (3, 201L), (3, 202L)))
+      .toDF("bucket", "vec_id")
+    val out = Dedup.cappedBucketPairs(buckets, Seq("bucket"), "vec_id", cap = 8)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chain = (0L until 99L).map(i => (i, i + 1)).toSet
+    val smallAllPairs = Set((200L, 201L), (200L, 202L), (201L, 202L))
+    assert(pairs === chain ++ smallAllPairs,
+      s"expected 99 chain edges + 3 all-pairs, got ${pairs.size}")
+    val metric = out.queryExecution.observedMetrics.collectFirst {
+      case (name, row) if name.startsWith(Dedup.GuardMetricPrefix) => row
+    }.getOrElse(fail("guard metric missing from observedMetrics"))
+    assert(metric.getAs[Long]("capped_chain_edges") === 99L)
+  }
+
   test("over-cap bucket of identical docs stays one cluster through verification") {
     import spark.implicits._
     // 80 identical docs collide in every band -> every bucket is over

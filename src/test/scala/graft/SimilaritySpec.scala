@@ -83,6 +83,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(cents.forall(_._2.nonEmpty))
   }
 
+  test("centroid assignment is map-side: no exchange, no window, no row explosion") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "emb")
+    val cents = Array((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)), (2, Seq(-1.0, 0.1)))
+    val assigned = Similarity.assignCentroids(e, cents)
+    // argmax by cosine: well-separated, so assignment is unambiguous
+    val got = assigned.select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 2))
+    // scale shape: one codegen'd projection — the plan must contain no
+    // shuffle, no window, no join (the old crossJoin+row_number shape
+    // shuffled a kx-exploded corpus for a per-row reduction).
+    val plan = assigned.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    assert(plan.collect { case x: ShuffleExchangeExec => x }.isEmpty, plan.toString.take(600))
+    assert(plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
+    assert(plan.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty)
+  }
+
+  test("map-side assignment ties break to the smallest centroid id") {
+    import spark.implicits._
+    val e = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "emb")
+    // two identical centroids: cosine ties exactly; former window order
+    // (cos DESC, centroid_id ASC) picked the smaller id.
+    val cents = Array((3, Seq(1.0, 0.0)), (1, Seq(1.0, 0.0)))
+    val got = Similarity.assignCentroids(e, cents).select("centroid_id").head().getInt(0)
+    assert(got === 1)
+  }
+
   test("kmeans returns exactly min(k, rows) centroids; empty clusters carry forward") {
     import spark.implicits._
     // 3 rows < k=5: clamped to 3 centroids, none empty.
