@@ -19,8 +19,9 @@ object Bench {
     * the emitted JSON line overflow the harness's output tail buffer
     * (BENCH_r03 recorded `parsed: null` with the line truncated) and
     * spent 6 timed executions on sub-200ms lookups that say nothing
-    * about scale. ~17 representative queries keep the line compact
-    * and the signal per second high.
+    * about scale. The two dozen representative queries below keep the
+    * line compact and the signal per second high (the emitted JSON
+    * reports the actual count as `n_queries`).
     */
   private val Headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",

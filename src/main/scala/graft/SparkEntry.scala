@@ -31,6 +31,7 @@ object SparkEntry {
     "src_partitioned_sink"       -> Relational.srcPartitionedSink _,
     "src_bucketed_join"          -> Relational.srcBucketedJoin _,
     "src_v2_inputformat_scan"    -> Relational.srcV2InputFormatScan _,
+    "src_v2_decimal_scan"        -> Relational.srcV2DecimalScan _,
     "src_csv_roundtrip"          -> Relational.srcCsvRoundtrip _,
     "src_orc_roundtrip"          -> Relational.srcOrcRoundtrip _,
     "src_json_roundtrip"         -> Relational.srcJsonRoundtrip _,
@@ -500,6 +501,13 @@ object SparkEntry {
       SELECT count(*) AS n,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM orders WHERE o_totalprice > 200000""",
+
+    "src_v2_decimal_scan" -> """
+      SELECT l_returnflag, count(*) AS n,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE), 2) AS sum_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "sim_quantize_int8" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

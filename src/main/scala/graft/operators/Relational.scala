@@ -140,12 +140,45 @@ object Relational {
   }
 
   /** A9: the DataSource V2 connector (InputFormat analog — row-group
-    * splits, footer-stats pruning, column pruning) driven end to end.
+    * splits, footer-stats pruning, column pruning) driven end to end
+    * against a MULTI-FILE table directory: the connector enumerates
+    * every data file and emits one split per (file, row group), the
+    * analog of the reference's per-section rowset-group enumeration
+    * (ArgodbMapreduceInputFormat.java:104-199).
     */
-  def srcV2InputFormatScan(s: SparkSession, dir: String): DataFrame =
-    s.read.format("graft").load(s"$dir/orders.parquet")
+  def srcV2InputFormatScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GraftSink
+    val path = GraftSink.scratchDir + "/v2_orders_multi"
+    cat(s, dir).table("orders").repartition(4).write.mode("overwrite").parquet(path)
+    s.read.format("graft").load(path)
       .where(col("o_totalprice") > 200000.0)
       .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+  }
+
+  /** A9 (type surface): DECIMAL columns through the v2 connector —
+    * all three parquet physical backings in one table (INT32 for
+    * precision <= 9, INT64 for <= 18, FIXED_LEN_BYTE_ARRAY above),
+    * read back via `format("graft")` and aggregated exactly. The
+    * reference reads the same decimal surface through its serde
+    * (ArgodbSerdeUtils.java:71-102).
+    */
+  def srcV2DecimalScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GraftSink
+    val path = GraftSink.scratchDir + "/v2_lineitem_decimal"
+    cat(s, dir).table("lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(9, 2)).as("qty_dec"),        // INT32-backed
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("price_dec"), // INT64-backed
+        col("l_discount").cast(DecimalType(25, 6)).as("disc_dec"))       // FLBA-backed
+      .write.mode("overwrite").parquet(path)
+    s.read.format("graft").load(path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("qty_dec")).cast("double"), 2).as("sum_qty"),
+        round(sum(col("price_dec")).cast("double"), 2).as("sum_price"),
+        round(sum(col("disc_dec")).cast("double"), 6).as("sum_disc"))
+      .orderBy("l_returnflag")
+  }
 
   /** A10: multi-format source — CSV round trip: write a table to CSV
     * in the scratch warehouse, read it back with an explicit schema

@@ -14,7 +14,12 @@ import org.apache.spark.sql.graft.Bridge
 
 /** Native interval (range) join: every left row pairs with the right
   * rows that share its key and whose interval contains the left time —
-  * rightStart ≤ leftTime < rightEnd (inner semantics).
+  * rightStart ≤ leftTime < rightEnd (inner semantics). The
+  * end-EXCLUSIVE bound is intentional and per-operator: half-open
+  * intervals are the natural tiling form (adjacent intervals never
+  * double-match a boundary point). The G5 stream twin
+  * (Events.clickToPurchase*) is deliberately end-INCLUSIVE (≤ +1h) —
+  * each form matches its own oracle; do not "unify" them.
   *
   * Second instance of the whole-operator path ((c) in the build
   * rules), sibling of [[AsOfJoinPlan]]: LogicalPlan node → Strategy
@@ -194,9 +199,17 @@ object IntervalJoin {
       plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
         throw new IllegalArgumentException(
           s"[GRAFT] interval-join column [$name] not in ${plan.output.map(_.name).mkString(",")}"))
-    Bridge.ofRows(spark, IntervalJoinPlan(
-      lPlan, rPlan,
-      resolve(lPlan, leftKey), resolve(rPlan, rightKey),
-      resolve(lPlan, leftTime), resolve(rPlan, rightStart), resolve(rPlan, rightEnd)))
+    val (lk, rk) = (resolve(lPlan, leftKey), resolve(rPlan, rightKey))
+    val (lt, rs, re) = (resolve(lPlan, leftTime), resolve(rPlan, rightStart), resolve(rPlan, rightEnd))
+    // analysis-time type validation: a mismatched key (int vs bigint)
+    // or time (date vs timestamp) pair would otherwise surface as a
+    // ClassCastException / wrong ordering deep inside the exec.
+    require(lk.dataType == rk.dataType,
+      s"[GRAFT] interval-join key types differ: [$leftKey] is ${lk.dataType.simpleString}, " +
+        s"[$rightKey] is ${rk.dataType.simpleString}")
+    require(lt.dataType == rs.dataType && lt.dataType == re.dataType,
+      s"[GRAFT] interval-join time types differ: [$leftTime] is ${lt.dataType.simpleString}, " +
+        s"[$rightStart] is ${rs.dataType.simpleString}, [$rightEnd] is ${re.dataType.simpleString}")
+    Bridge.ofRows(spark, IntervalJoinPlan(lPlan, rPlan, lk, rk, lt, rs, re))
   }
 }

@@ -40,6 +40,31 @@ final class GraftCatalog(spark: SparkSession, root: String) {
   private val pinnedListings =
     scala.collection.concurrent.TrieMap.empty[String, PinnedTable]
 
+  /** Eagerly pin EVERY table currently under the root, making this
+    * catalog's view of N tables ATOMIC — the analog of the
+    * reference's job-spanning transaction, which locks all tables +
+    * sections once at job submit (ArgodbMapreduceInputFormat.java:
+    * 52-102) rather than per table at first access. Without this, two
+    * tables first-read at different times could straddle a writer
+    * committing between them. Runs at construction; a table created
+    * under the root AFTER construction is still pinned lazily at its
+    * first read (scratch-table flows).
+    */
+  def pinAll(): Unit = tableNames().foreach(pinned)
+
+  /** Tables currently present under the root (`<name>.parquet` file
+    * or directory entries).
+    */
+  def tableNames(): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
+  }
+
+  pinAll()
+
   /** Schema discovery without reading data (MetaUtils.getTableInfo analog). */
   def tableSchema(name: String): StructType = table(name).schema
 

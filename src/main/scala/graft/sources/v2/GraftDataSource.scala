@@ -11,8 +11,9 @@ import org.apache.parquet.hadoop.metadata.BlockMetaData
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.ColumnIOFactory
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type}
-import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DecimalLogicalTypeAnnotation, TimestampLogicalTypeAnnotation, TimeUnit}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -22,6 +23,7 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOr
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 import scala.jdk.CollectionConverters._
 
 /** DataSource V2 connector — the Spark-native re-expression of the
@@ -50,7 +52,7 @@ class GraftTableProvider extends TableProvider
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftV2.readSchema(GraftV2.pathOf(options))
+    GraftV2.readSchema(GraftV2.pathOf(options), GraftV2.sessionConf().value)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -89,7 +91,8 @@ class GraftScanBuilder(path: String, fullSchema: StructType) extends ScanBuilder
   override def build(): Scan = GraftScan(path, required, pushed)
 }
 
-case class GraftScan(path: String, required: StructType, filters: Array[Filter])
+case class GraftScan(path: String, required: StructType, filters: Array[Filter],
+    conf: SerializableConfiguration = GraftV2.sessionConf())
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   /** Filters Spark hands over at RUNTIME (dynamic partition pruning /
@@ -114,31 +117,41 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter])
 
   override def toBatch: Batch = this
 
+  /** One split per surviving (file, row group): the table path may be
+    * a single parquet file or a whole directory — the directory case
+    * enumerates every data file, mirroring the reference's per-section
+    * rowset-group enumeration (ArgodbMapreduceInputFormat.java:104-199
+    * walks sections and emits one split per RowSetsGroup). Row groups
+    * whose footer stats provably exclude every pushed/runtime filter
+    * are dropped before any task launches.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
-    val footer = GraftV2.withReader(path)(_.getFooter)
-    val blocks = footer.getBlocks.asScala.toArray
     val all = filters ++ runtimeFilters
-    // locality: hosts holding each row group's byte range, the analog
-    // of the reference's ArgodbMapreduceInputSplit.java:49-60
-    // getLocations(). Spark's scheduler uses these for NODE_LOCAL
-    // placement on a real cluster; on local FS the listing is empty
-    // or localhost and is simply ignored.
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    val status = fs.getFileStatus(p)
-    blocks.zipWithIndex
-      .filterNot { case (b, _) => GraftV2.canSkipRowGroup(b, all) }
-      .map { case (b, i) =>
-        val hosts =
-          try fs.getFileBlockLocations(status, b.getStartingPos, b.getCompressedSize)
-            .flatMap(_.getHosts).distinct
-          catch { case _: java.io.IOException => Array.empty[String] }
-        GraftInputPartition(path, i, hosts): InputPartition
-      }
+    GraftV2.dataFiles(path, conf.value).flatMap { file =>
+      val footer = GraftV2.withReader(file, conf.value)(_.getFooter)
+      val blocks = footer.getBlocks.asScala.toArray
+      // locality: hosts holding each row group's byte range, the analog
+      // of the reference's ArgodbMapreduceInputSplit.java:49-60
+      // getLocations(). Spark's scheduler uses these for NODE_LOCAL
+      // placement on a real cluster; on local FS the listing is empty
+      // or localhost and is simply ignored.
+      val p = new Path(file)
+      val fs = p.getFileSystem(conf.value)
+      val status = fs.getFileStatus(p)
+      blocks.zipWithIndex
+        .filterNot { case (b, _) => GraftV2.canSkipRowGroup(b, all) }
+        .map { case (b, i) =>
+          val hosts =
+            try fs.getFileBlockLocations(status, b.getStartingPos, b.getCompressedSize)
+              .flatMap(_.getHosts).distinct
+            catch { case _: java.io.IOException => Array.empty[String] }
+          GraftInputPartition(file, i, hosts): InputPartition
+        }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(required)
+    GraftReaderFactory(required, conf)
 }
 
 case class GraftInputPartition(path: String, rowGroup: Int,
@@ -146,22 +159,23 @@ case class GraftInputPartition(path: String, rowGroup: Int,
   override def preferredLocations(): Array[String] = hosts
 }
 
-case class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
+case class GraftReaderFactory(required: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.path, p.rowGroup, required)
+    new GraftPartitionReader(p.path, p.rowGroup, required, conf.value)
   }
 }
 
 /** The RecordReader analog: one parquet row group → InternalRows with
   * only the required columns materialized.
   */
-class GraftPartitionReader(path: String, rowGroup: Int, required: StructType)
-    extends PartitionReader[InternalRow] {
+class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
+    hadoopConf: Configuration) extends PartitionReader[InternalRow] {
 
   private val reader = ParquetFileReader.open(
-    HadoopInputFile.fromPath(new Path(path), new Configuration()),
-    HadoopReadOptions.builder(new Configuration()).build())
+    HadoopInputFile.fromPath(new Path(path), hadoopConf),
+    HadoopReadOptions.builder(hadoopConf).build())
 
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val requestedTypes: Array[Type] =
@@ -208,39 +222,96 @@ object GraftV2 {
     p
   }
 
-  def withReader[T](path: String)(f: ParquetFileReader => T): T = {
+  /** The session's Hadoop conf wrapped for executor shipping — so a
+    * store needing configured credentials (spark.hadoop.fs.s3a.* etc.)
+    * works through this connector exactly as it does through
+    * GraftCatalog. Falls back to a bare Configuration when no session
+    * is active (driver-less unit use).
+    */
+  def sessionConf(): SerializableConfiguration =
+    new SerializableConfiguration(
+      SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration()))
+
+  /** Data files of a table path: the path itself when it is a single
+    * parquet file, else every non-bookkeeping file under the directory
+    * (recursive, `_SUCCESS`/dotfiles skipped), sorted for a
+    * deterministic split order — the analog of the reference's
+    * table-wide section enumeration
+    * (ArgodbMapreduceInputFormat.java:104-147).
+    */
+  def dataFiles(path: String, conf: Configuration): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    if (st.isFile) Seq(path)
+    else {
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".") && f.getLen > 0)
+          out += f.getPath.toString
+      }
+      out.result().sorted
+    }
+  }
+
+  def withReader[T](path: String, conf: Configuration = new Configuration())(
+      f: ParquetFileReader => T): T = {
     val r = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(path), new Configuration()),
-      HadoopReadOptions.builder(new Configuration()).build())
+      HadoopInputFile.fromPath(new Path(path), conf),
+      HadoopReadOptions.builder(conf).build())
     try f(r) finally r.close()
   }
 
   /** MessageType → StructType over the reference's primitive surface
     * (ArgodbSerdeUtils.java:71-102 enumerates the same types).
+    * Directory tables take the schema of their first data file (one
+    * writer, one schema — evolution goes through the engine path's
+    * mergeSchema, not this connector).
     */
-  def readSchema(path: String): StructType =
-    StructType(withReader(path)(_.getFooter.getFileMetaData.getSchema)
+  def readSchema(path: String, conf: Configuration = new Configuration()): StructType = {
+    val files = dataFiles(path, conf)
+    require(files.nonEmpty, s"[GRAFT] no parquet data files under $path")
+    StructType(withReader(files.head, conf)(_.getFooter.getFileMetaData.getSchema)
       .getFields.asScala.map(toField).toArray)
+  }
 
   private def toField(t: Type): StructField = {
     require(t.isPrimitive, s"[GRAFT] v2 connector supports primitive columns only, got $t")
     val p = t.asPrimitiveType()
+    // DECIMAL can ride on INT32 (precision <= 9), INT64 (<= 18),
+    // FIXED_LEN_BYTE_ARRAY or BINARY (two's-complement unscaled) —
+    // the reference reads the same surface via its serde
+    // (ArgodbSerdeUtils.java:71-102 lists DECIMAL alongside the
+    // primitives; CHAR/VARCHAR arrive as STRING-annotated BINARY and
+    // land in StringType below).
     val dt = p.getPrimitiveTypeName match {
       case BOOLEAN => BooleanType
-      case INT32 =>
-        if (t.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation])
-          DateType
-        else IntegerType
+      case INT32 => t.getLogicalTypeAnnotation match {
+        case d: DecimalLogicalTypeAnnotation => DecimalType(d.getPrecision, d.getScale)
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => DateType
+        case _ => IntegerType
+      }
       case INT64 => t.getLogicalTypeAnnotation match {
+        case d: DecimalLogicalTypeAnnotation => DecimalType(d.getPrecision, d.getScale)
         case _: TimestampLogicalTypeAnnotation => TimestampNTZType
         case _ => LongType
       }
       case FLOAT => FloatType
       case DOUBLE => DoubleType
-      case BINARY =>
-        if (t.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation])
-          StringType
-        else BinaryType
+      case FIXED_LEN_BYTE_ARRAY => t.getLogicalTypeAnnotation match {
+        case d: DecimalLogicalTypeAnnotation => DecimalType(d.getPrecision, d.getScale)
+        case other => throw new IllegalArgumentException(
+          s"[GRAFT] Unsupported FIXED_LEN_BYTE_ARRAY annotation: $other")
+      }
+      case BINARY => t.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => StringType
+        case d: DecimalLogicalTypeAnnotation => DecimalType(d.getPrecision, d.getScale)
+        case _ => BinaryType
+      }
       case other => throw new IllegalArgumentException(s"[GRAFT] Unsupported parquet type: $other")
     }
     StructField(t.getName, dt, nullable = true)
@@ -255,6 +326,13 @@ object GraftV2 {
     case DoubleType => g => g.getDouble(idx, 0)
     case StringType => g => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
     case BinaryType => g => g.getBinary(idx, 0).getBytes
+    case d: DecimalType => p.getPrimitiveTypeName match {
+      case INT32 => g => Decimal(g.getInteger(idx, 0).toLong, d.precision, d.scale)
+      case INT64 => g => Decimal(g.getLong(idx, 0), d.precision, d.scale)
+      // FLBA / BINARY: big-endian two's-complement unscaled value
+      case _ => g => Decimal(new java.math.BigDecimal(
+        new java.math.BigInteger(g.getBinary(idx, 0).getBytes), d.scale), d.precision, d.scale)
+    }
     case TimestampNTZType | TimestampType =>
       val unit = p.getLogicalTypeAnnotation
         .asInstanceOf[TimestampLogicalTypeAnnotation].getUnit
@@ -280,7 +358,22 @@ object GraftV2 {
         .flatMap { c =>
           val st = c.getStatistics
           if (st == null || !st.hasNonNullValue) None
-          else Some((st.genericGetMin, st.genericGetMax))
+          else c.getPrimitiveType.getLogicalTypeAnnotation match {
+            // decimal stats are UNSCALED (int32/int64/binary two's
+            // complement); comparing them raw against the filter's
+            // scaled BigDecimal would mis-prune by 10^scale — rescale
+            // here so cmp sees true values.
+            case d: DecimalLogicalTypeAnnotation =>
+              def scaled(v: Any): Any = v match {
+                case n: java.lang.Integer => java.math.BigDecimal.valueOf(n.longValue, d.getScale)
+                case n: java.lang.Long => java.math.BigDecimal.valueOf(n.longValue, d.getScale)
+                case b: org.apache.parquet.io.api.Binary =>
+                  new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.getScale)
+                case other => other
+              }
+              Some((scaled(st.genericGetMin), scaled(st.genericGetMax)))
+            case _ => Some((st.genericGetMin, st.genericGetMax))
+          }
         }
     // exact decimal comparison regardless of the stat/filter type mix:
     // a fractional filter value (l_quantity > 45.5) against integral

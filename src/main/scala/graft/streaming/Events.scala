@@ -91,6 +91,10 @@ object Events {
   def clickToPurchaseStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
     val c = clicks.withWatermark("click_ts", "2 hours")
     val p = purchases.withWatermark("purchase_ts", "2 hours")
+    // end-INCLUSIVE window (<= +1h) is intentional for this operator
+    // (and its batch twin below): "within the hour" attribution counts
+    // a purchase landing exactly on the boundary. B30's interval join
+    // is half-open (< end) by design — the two are NOT meant to agree.
     c.join(p,
       col("click_user") === col("purchase_user") &&
       col("purchase_ts") >= col("click_ts") &&

@@ -8,6 +8,20 @@ class IntervalJoinSpec extends SparkSpecBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("mismatched key/time types fail at analysis with a clear message") {
+    import spark.implicits._
+    val iv = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("r_key", "r_start", "r_end")
+    val ptIntKey = Seq((1, ts("2024-01-01 10:15:00"))).toDF("p_key", "p_ts")
+    val e1 = intercept[IllegalArgumentException](
+      IntervalJoin.join(ptIntKey, iv, "p_key", "r_key", "p_ts", "r_start", "r_end"))
+    assert(e1.getMessage.contains("key types differ"))
+    val ptLongTime = Seq((1L, 42L)).toDF("p_key", "p_ts")
+    val e2 = intercept[IllegalArgumentException](
+      IntervalJoin.join(ptLongTime, iv, "p_key", "r_key", "p_ts", "r_start", "r_end"))
+    assert(e2.getMessage.contains("time types differ"))
+  }
+
   test("native interval join matches hand-computed matches on edge cases") {
     import spark.implicits._
     val intervals = Seq(

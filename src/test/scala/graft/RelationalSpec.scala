@@ -95,6 +95,21 @@ class RelationalSpec extends SparkSpecBase {
     assert(new GraftCatalog(spark, tmp).table("t").count() === 3L)
   }
 
+  test("catalog pins ALL tables at construction: cross-table snapshot is atomic") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snap_all").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$tmp/t.parquet")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.parquet(s"$tmp/u.parquet")
+    val catalog = new GraftCatalog(spark, tmp)
+    // touch only t; a writer then lands in u BEFORE u's first read —
+    // the reference's job-spanning transaction makes that invisible
+    assert(catalog.table("t").count() === 1L)
+    Seq((3L, "z")).toDF("id", "v").write.mode("append").parquet(s"$tmp/u.parquet")
+    assert(catalog.table("u").count() === 2L,
+      "cross-table snapshot leaked a write landing after catalog construction")
+    assert(new GraftCatalog(spark, tmp).table("u").count() === 3L)
+  }
+
   test("catalog snapshot read preserves hive partition columns via basePath") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_snap_part").toString

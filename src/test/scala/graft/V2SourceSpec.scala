@@ -130,6 +130,67 @@ class V2SourceSpec extends SparkSpecBase {
     assert(!GraftV2.canSkipRowGroup(block, Array(GreaterThan("o_orderkey", Double.NaN))))
   }
 
+  test("v2 decimal columns round-trip on all three physical backings") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_v2_dec").toString
+    Seq((1L, "12.34", "123456.78", "0.123456"), (2L, "-5.50", "-9999999999.99", "-0.000001"))
+      .toDF("id", "a", "b", "c")
+      .select(col("id"),
+        col("a").cast(DecimalType(9, 2)).as("a"),    // INT32-backed
+        col("b").cast(DecimalType(18, 2)).as("b"),   // INT64-backed
+        col("c").cast(DecimalType(25, 6)).as("c"))   // FIXED_LEN_BYTE_ARRAY-backed
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val got = spark.read.format("graft").load(tmp)
+    val exp = spark.read.parquet(tmp)
+    assert(got.schema.map(f => f.name -> f.dataType) ===
+      exp.schema.map(f => f.name -> f.dataType))
+    assert(got.orderBy("id").collect().map(_.toString).toSeq ===
+      exp.orderBy("id").collect().map(_.toString).toSeq)
+  }
+
+  test("v2 directory table: one split per (file, row group), values equal native") {
+    import spark.implicits._
+    import graft.sources.v2.GraftScan
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_v2_dir").toString
+    (0L until 3000L).map(i => (i, i % 7)).toDF("k", "v")
+      .repartition(3).write.mode("overwrite").parquet(tmp)
+    val files = graft.sources.v2.GraftV2.dataFiles(tmp, spark.sessionState.newHadoopConf())
+    assert(files.length === 3, s"expected 3 data files, got $files")
+    val totalRowGroups = files.map(f =>
+      GraftV2.withReader(f)(_.getFooter.getBlocks.size())).sum
+    val scan = GraftScan(tmp, StructType(Seq(StructField("k", LongType))), Array.empty)
+    assert(scan.planInputPartitions().length === totalRowGroups)
+    val got = spark.read.format("graft").load(tmp)
+    assert(got.count() === 3000L)
+    assert(got.agg(sum("k")).head().getLong(0) ===
+      spark.read.parquet(tmp).agg(sum("k")).head().getLong(0))
+  }
+
+  test("decimal row-group stats prune with scaled (not unscaled) bounds") {
+    import spark.implicits._
+    import org.apache.parquet.hadoop.metadata.BlockMetaData
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_v2_decstat").toString
+    (1 to 100).map(i => BigDecimal(i) / 100).toDF("d")
+      .select(col("d").cast(DecimalType(9, 2)).as("d"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val file = graft.sources.v2.GraftV2
+      .dataFiles(tmp, spark.sessionState.newHadoopConf()).head
+    val block: BlockMetaData = GraftV2.withReader(file)(_.getFooter.getBlocks.get(0))
+    // values span [0.01, 1.00]; unscaled int32 stats span [1, 100] —
+    // a filter d > 2 must prune ONLY if bounds are rescaled (unscaled
+    // 100 > 2 would wrongly keep... and unscaled comparison of
+    // d > 0.005 vs min=1 would wrongly prune the whole group)
+    assert(GraftV2.canSkipRowGroup(block,
+      Array(GreaterThan("d", new java.math.BigDecimal("2")))))
+    assert(!GraftV2.canSkipRowGroup(block,
+      Array(GreaterThan("d", new java.math.BigDecimal("0.005")))))
+    assert(!GraftV2.canSkipRowGroup(block,
+      Array(LessThan("d", new java.math.BigDecimal("0.5")))))
+  }
+
   test("v2 timestamp columns round-trip (events, nanos)") {
     val got = v2("events").select("event_id", "ts").orderBy("event_id")
       .limit(5).collect().map(r => (r.getLong(0), r.get(1).toString))
