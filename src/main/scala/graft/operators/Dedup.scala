@@ -270,22 +270,89 @@ object Dedup {
     connectedComponents(sigs.select(col("doc_id")), edges)
   }
 
-  /** Connected components over an undirected edge list: min-label
-    * propagation with pointer jumping (see `nearDupClusters` doc).
-    * `allIds` (one `doc_id` column) supplies the universe — nodes
-    * with no edges come back as singleton clusters. Cluster id =
-    * smallest doc_id in the component.
+  /** Edge-count threshold below which `connectedComponents` collects
+    * the edge list and runs union-find on the driver: 2M edges is
+    * ~32 MB collected — trivially driver-safe — while the distributed
+    * loop's fixed cost (3 shuffles + a checkpoint + a fixpoint scan
+    * PER ROUND) is pure overhead at that size.
     */
-  private[graft] def connectedComponents(allIds: DataFrame, edges: DataFrame): DataFrame = {
-    val bidir = edges.unionAll(
-      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-    // only edge-connected nodes can ever change labels — iterate over
-    // that (much smaller) active set and attach isolated docs at the
-    // end with identity labels.
-    // localCheckpoint (not cache) between rounds: the union+join embeds
-    // the previous round's plan twice, so without lineage truncation
-    // the logical plan — and planning time — doubles every iteration.
-    val bidirCp = bidir.localCheckpoint()
+  private[graft] val DriverCcMaxEdges = 2L * 1000 * 1000
+
+  /** Connected components over an undirected edge list. `allIds` (one
+    * `doc_id` column) supplies the universe — nodes with no edges come
+    * back as singleton clusters. Cluster id = smallest doc_id in the
+    * component.
+    *
+    * ADAPTIVE by materialized edge count, the way production CC
+    * implementations are:
+    *  - small graphs (≤ `driverMaxEdges`, known exactly because the
+    *    edge list is checkpointed first) collect to the driver and run
+    *    union-find with path halving — O(E α(E)), no per-round
+    *    shuffles. Near-dup edge lists are usually tiny relative to the
+    *    corpus (the LSH guard bounds them), so this is the common case
+    *    even at large SF.
+    *  - larger graphs run min-label propagation WITH POINTER JUMPING
+    *    (label := label(label) after each propagate round, the
+    *    hash-to-min trick of Rastogi et al., "Finding Connected
+    *    Components in MapReduce"): covered diameter doubles per round,
+    *    so convergence is O(log diameter) shuffles of the label table.
+    *    That matters because the degenerate-bucket guard emits CHAINS
+    *    (diameter n-1) for oversized buckets — plain per-hop
+    *    propagation would need n rounds for a boilerplate cluster.
+    * Both paths produce identical labels (spec-asserted).
+    */
+  private[graft] def connectedComponents(allIds: DataFrame, edges: DataFrame,
+      driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
+    // materialize the (comparatively tiny) edge list once: truncates
+    // the upstream LSH lineage out of every loop iteration AND yields
+    // an exact count to pick the path with — not a guess.
+    val edgeCp = edges.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .localCheckpoint()
+    val labels =
+      if (edgeCp.count() <= driverMaxEdges) driverUnionFind(edgeCp)
+      else distributedLabelProp(edgeCp)
+    val isolated = allIds.select(col("doc_id").cast("long"))
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("label", col("doc_id"))
+    labels.unionAll(isolated)
+      .select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+  }
+
+  /** Small-graph path: union-find with path halving, smaller root
+    * wins — so each component's final root IS its minimum member,
+    * matching the distributed min-label semantics exactly.
+    */
+  private def driverUnionFind(edgeCp: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edgeCp.collect().foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val spark = edgeCp.sparkSession
+    import spark.implicits._
+    parent.keys.toSeq.map(n => (n, find(n))).toDF("doc_id", "label")
+  }
+
+  /** At-scale path: min-label propagation with pointer jumping (see
+    * `connectedComponents` doc).
+    * localCheckpoint (not cache) between rounds: the union+join embeds
+    * the previous round's plan twice, so without lineage truncation
+    * the logical plan — and planning time — doubles every iteration.
+    */
+  private def distributedLabelProp(edgeCp: DataFrame): DataFrame = {
+    val bidirCp = edgeCp.unionAll(
+      edgeCp.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).localCheckpoint()
     val active = bidirCp.select(col("doc_a").as("doc_id")).distinct()
     var labels = active.withColumn("label", col("doc_id")).localCheckpoint()
     // Convergence detection via a MONOTONE invariant: labels only ever
@@ -326,11 +393,7 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
         s"[GRAFT] connectedComponents: round cap ($round) hit before the label fixpoint — " +
           "returned clusters may be under-merged (component diameter > ~10^6)")
-    val isolated = allIds
-      .join(active, Seq("doc_id"), "left_anti")
-      .withColumn("label", col("doc_id"))
-    labels.unionAll(isolated)
-      .select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+    labels
   }
 
   /** C6 (oracle-portable form): near-dup clustering over the FULL

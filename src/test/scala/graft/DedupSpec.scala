@@ -118,6 +118,27 @@ class DedupSpec extends SparkSpecBase {
     assert(metric.getAs[Long]("capped_chain_edges") === 99L)
   }
 
+  test("driver union-find and distributed label propagation label identically") {
+    import spark.implicits._
+    // chain (diameter > 1, exercises pointer jumping), triangle with a
+    // cross edge, and isolated nodes from the universe
+    val edges = Seq((5L, 3L), (3L, 9L), (9L, 7L), // chain -> min 3
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 11L), // triangle + tail -> min 11
+      (40L, 40L)) // self-loop stays a singleton
+      .toDF("doc_a", "doc_b")
+    val all = (Seq(3L, 5L, 7L, 9L, 11L, 20L, 21L, 22L, 40L) ++ Seq(100L, 101L)).toDF("doc_id")
+    def got(maxEdges: Long) =
+      Dedup.connectedComponents(all, edges, driverMaxEdges = maxEdges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaDriver = got(Long.MaxValue)
+    val viaDistributed = got(-1L)
+    assert(viaDriver === viaDistributed)
+    val m = viaDriver.toMap
+    assert(Seq(3L, 5L, 7L, 9L).forall(m(_) === 3L))
+    assert(Seq(11L, 20L, 21L, 22L).forall(m(_) === 11L))
+    assert(m(40L) === 40L && m(100L) === 100L && m(101L) === 101L)
+  }
+
   test("over-cap bucket of identical docs stays one cluster through verification") {
     import spark.implicits._
     // 80 identical docs collide in every band -> every bucket is over
