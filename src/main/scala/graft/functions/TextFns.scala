@@ -107,6 +107,20 @@ object TextFns {
     * this is O(n²) per document; the operators use the relational
     * explode+window formulation in TextAnalysis.fingerprint instead.
     */
+  /** Character k-gram XXH64 hashes in one pass (native expression) —
+    * byte-identical to `xxhash64(substring(text, pos+1, k))` per
+    * position, incl. the clipped short-text fallback.
+    */
+  def gramHashes(text: Column, k: Int): Column =
+    Bridge.column(GramHashesExpr(Bridge.expression(text), k, poly = false))
+
+  /** Exactly-portable polynomial k-gram hashes in one pass (native
+    * expression) — bit-identical to the Σ ascii(substring)·257^j SQL
+    * formulation that the DuckDB oracle mirrors.
+    */
+  def polyGramHashes(text: Column, k: Int): Column =
+    Bridge.column(GramHashesExpr(Bridge.expression(text), k, poly = true))
+
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
     val grams = when(length(text) >= k,
       transform(sequence(lit(0), length(text) - k),

@@ -270,6 +270,98 @@ case class WordShingleHashesExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Character k-gram hashes for the winnowing fingerprint pipelines —
+  * the gram enumeration that `fingerprint` (scale form) and
+  * `fingerprintExact` (oracle-portable form) share, so both run one
+  * pass over the text instead of one substring per exploded position.
+  *
+  *  - `poly = false`: XXH64 (seed 42, Spark's `xxhash64` default) over
+  *    each gram's UTF-8 bytes — byte-identical to
+  *    `xxhash64(substring(text, pos+1, k))`, including the short-text
+  *    fallback (fewer than k chars → ONE hash of the whole text).
+  *  - `poly = true`: the exactly-portable polynomial
+  *    Σ codepoint(cᵢ)·257^(k-1-i) per gram, bit-identical to the
+  *    `ascii(substring(...))` SQL formulation and to any engine's
+  *    integer math (max value for k=5 stays well inside exact long
+  *    range); fewer than k chars → empty array.
+  */
+case class GramHashesExpr(child: Expression, k: Int, poly: Boolean)
+    extends UnaryExpression {
+  require(k >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = if (poly) "poly_gram_hashes" else "gram_hashes"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("gramHashExpr", this, classOf[GramHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, str => s"${ev.value} = $self.compute($str);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  /** Kernel shared by interpreted eval and generated code (see
+    * HyperplaneLshExpr.compute for why this keeps WSCG intact).
+    */
+  def compute(raw: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+    if (poly) computePoly(raw.toString) else computeXxh(raw)
+
+  private lazy val powers: Array[Long] = {
+    val p = new Array[Long](k)
+    p(k - 1) = 1L
+    var i = k - 2
+    while (i >= 0) { p(i) = p(i + 1) * 257L; i -= 1 }
+    p
+  }
+
+  private def computePoly(s: String): ArrayData = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i < out.length) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h += cps(i + j).toLong * powers(j); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def computeXxh(raw: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val base = raw.getBaseObject
+    val off = raw.getBaseOffset
+    val len = raw.numBytes
+    // byte offset of each character start (+ end sentinel): UTF-8 code
+    // points are self-delimiting, so char k-grams are byte subranges
+    val charOff = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    while (i < len) {
+      charOff += i
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+    }
+    charOff += len
+    val nChars = charOff.length - 1
+    // substr clips past the end, so texts shorter than k chars emit
+    // exactly one gram over the whole (clipped) text
+    val nGrams = math.max(nChars - k + 1, 1)
+    val out = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val start = charOff(g)
+      val end = charOff(math.min(g + k, nChars))
+      out(g) = XXH64.hashUnsafeBytes(base, off + start, end - start, 42L)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Lower-cases the text, tokenizes on whitespace, and emits k-token
   * shingle hashes — all in one pass over the UTF-8 bytes, with no
   * token/shingle strings materialized (the tokenize-then-shingle

@@ -122,22 +122,20 @@ object TextAnalysis {
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 8; val w = 4
-    // Relational winnowing: explode k-gram positions, hash each gram
-    // ONCE in codegen, take the w-window min with a window frame, keep
-    // one window per legal start. The array/HOF formulation
-    // (transform over slice(grams,…)) re-evaluates the whole gram
-    // array per window position in interpreted eval — O(n²) per doc
-    // (measured: minutes at sf0.1); this shape is O(n) and whole-
-    // stage-codegen end to end. Short docs (< k chars) degrade to one
-    // gram over the clipped text; docs with fewer than w grams emit
-    // the min of what they have (pos 0's frame clips at partition
-    // end) — byte-identical to the array formulation's fallbacks.
+    // Relational winnowing: ONE pass of the native gram-hash
+    // expression per document (posexplode of its array), then the
+    // w-window min with a window frame, one window per legal start.
+    // The array/HOF formulation (transform over slice(grams,…))
+    // re-evaluates the whole gram array per window position in
+    // interpreted eval — O(n²) per doc (measured: minutes at sf0.1);
+    // this shape is O(n) and whole-stage-codegen end to end. Short
+    // docs (< k chars) degrade to one gram over the clipped text;
+    // docs with fewer than w grams emit the min of what they have
+    // (pos 0's frame clips at partition end) — byte-identical to the
+    // array formulation's fallbacks.
     val hashed = docs(s, dir)
       .select(col("doc_id"),
-        explode(sequence(lit(0), greatest(length(col("text")) - k, lit(0)))).as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(col("text").substr(col("pos") + 1, lit(k))).as("gram"))
+        posexplode(TextFns.gramHashes(col("text"), k)).as(Seq("pos", "gram")))
     val byDoc = Window.partitionBy("doc_id")
     val frame = byDoc.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
     hashed
@@ -164,27 +162,20 @@ object TextAnalysis {
   def fingerprintExact(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = 4
-    // Same relational shape as `fingerprint` (see the O(n²) note
-    // there): explode positions, one codegen'd polynomial hash per
-    // row, w-window min, distinct, aggregate. Docs too short for any
-    // window (len < 5 or fewer than w hashes) come back via the left
-    // join with n_fp = 0 and null min/max — identical to the
-    // empty-array fallback of the HOF formulation and to the oracle.
+    // Same relational shape as `fingerprint` — and since r5 the SAME
+    // native gram-hash expression (poly mode): one pass per document,
+    // posexplode, w-window min, distinct, aggregate. The expression is
+    // bit-identical to the Σ ascii(substring)·257^j SQL the oracle
+    // mirrors (terms widened to long before the multiply; max
+    // codepoint 0x10FFFF keeps the 5-term sum under 2.4e16 — well
+    // inside exact long range; spec-asserted against the expr()
+    // formulation). Docs too short for any window (len < 5 → empty
+    // gram array, or fewer than w hashes) come back via the left join
+    // with n_fp = 0 and null min/max — identical to the oracle.
     val hashed = docs(s, dir)
-      .where(length(col("text")) >= 5)
       .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - 4)).as("p"),
-        col("text"))
-      // every term widened to bigint BEFORE the multiply: ascii() is
-      // 32-bit, and codepoint*16974593 overflows int for any
-      // codepoint >= 127 (max codepoint 0x10FFFF keeps the 5-term
-      // bigint sum under 2.4e16 — well inside exact long range).
-      .select(col("doc_id"), col("p"), expr(
-        """cast(ascii(substring(text, p, 1)) as bigint) * 4362470401 +
-           cast(ascii(substring(text, p + 1, 1)) as bigint) * 16974593 +
-           cast(ascii(substring(text, p + 2, 1)) as bigint) * 66049 +
-           cast(ascii(substring(text, p + 3, 1)) as bigint) * 257 +
-           cast(ascii(substring(text, p + 4, 1)) as bigint)""").as("h"))
+        posexplode(TextFns.polyGramHashes(col("text"), 5)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
     val byDoc = Window.partitionBy("doc_id")
     val frame = byDoc.orderBy("p").rowsBetween(Window.currentRow, w - 1)
     val agg = hashed

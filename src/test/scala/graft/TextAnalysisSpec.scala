@@ -55,6 +55,41 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(sim13 < 0.2, s"sim13=$sim13")
   }
 
+  test("native gram-hash expression matches the per-position SQL formulations") {
+    import spark.implicits._
+    val texts = Seq("abcdefghijklm", "tiny", "exactly8", "sev7", "",
+      "café résumé naïve déjà vu", "spaces  and\ttabs here").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    // xxh64 mode (k=8) vs xxhash64(substring) with the clipped fallback
+    val viaExpr = df.select(col("doc_id"),
+      explode(sequence(lit(0), greatest(length(col("text")) - 8, lit(0)))).as("pos"),
+      col("text"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("text").substr(col("pos") + 1, lit(8))).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaNative = df.select(col("doc_id"),
+      posexplode(TextFns.gramHashes(col("text"), 8)).as(Seq("pos", "gram")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaNative === viaExpr)
+    // poly mode (k=5) vs the widened ascii(substring) polynomial
+    val polyExpr = df.where(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 4)).as("p"), col("text"))
+      .select(col("doc_id"), col("p"), expr(
+        """cast(ascii(substring(text, p, 1)) as bigint) * 4362470401 +
+           cast(ascii(substring(text, p + 1, 1)) as bigint) * 16974593 +
+           cast(ascii(substring(text, p + 2, 1)) as bigint) * 66049 +
+           cast(ascii(substring(text, p + 3, 1)) as bigint) * 257 +
+           cast(ascii(substring(text, p + 4, 1)) as bigint)""").as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val polyNative = df.select(col("doc_id"),
+      posexplode(TextFns.polyGramHashes(col("text"), 5)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(polyNative === polyExpr)
+  }
+
   test("portable fingerprint matches a plain-Scala winnowing reference") {
     import spark.implicits._
     def poly(s: String): Long =
