@@ -85,6 +85,12 @@ object SparkEntry {
     "q_approx_percentile"        -> Analytic.qApproxPercentile _,
     "q13_customer_distribution"  -> Analytic.q13CustomerDistribution _,
     "q_histogram_totalprice"     -> Analytic.qHistogramTotalprice _,
+    "q2_min_cost_supplier"       -> TpchPatterns.q2MinCostSupplier _,
+    "q11_important_parts"        -> TpchPatterns.q11ImportantParts _,
+    "q12_priority_by_flag"       -> TpchPatterns.q12PriorityByFlag _,
+    "q16_supplier_cnt"           -> TpchPatterns.q16SupplierCnt _,
+    "q20_excess_suppliers"       -> TpchPatterns.q20ExcessSuppliers _,
+    "q21_waiting_suppliers"      -> TpchPatterns.q21WaitingSuppliers _,
     // §2.C deduplication
     "dedup_exact"                -> Dedup.exactDedup _,
     "dedup_minhash_lsh"          -> Dedup.minhashLsh _,
@@ -110,6 +116,7 @@ object SparkEntry {
     "text_fingerprint_exact"     -> TextAnalysis.fingerprintExact _,
     "text_tfidf_top_terms"       -> TextAnalysis.tfidfTopTerms _,
     "text_redact"                -> TextAnalysis.redact _,
+    "text_repetition"            -> TextAnalysis.repetition _,
     // §2.F multimodal
     "mm_binary_meta"             -> Multimodal.binaryMeta _,
     "mm_feature_extract"         -> Multimodal.featureExtract _,
@@ -553,6 +560,41 @@ object SparkEntry {
                   '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g')) AS BIGINT) AS redacted_len
       FROM t ORDER BY doc_id""",
 
+    // E7: the sorted-fold top count / run length / n-gram dup
+    // fractions mirror as plain unnest+window SQL; micro ratios are
+    // floor()ed identically on both sides.
+    "text_repetition" -> """
+      WITH base AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words FROM documents),
+      flat AS (
+        SELECT doc_id, unnest(words) AS word, generate_subscripts(words, 1) AS pos FROM base),
+      counts AS (
+        SELECT doc_id, word, count(*) AS c FROM flat GROUP BY 1, 2),
+      top AS (SELECT doc_id, max(c) AS top_cnt FROM counts GROUP BY 1),
+      runs AS (
+        SELECT doc_id, word,
+               pos - row_number() OVER (PARTITION BY doc_id, word ORDER BY pos) AS grp
+        FROM flat),
+      runlen AS (
+        SELECT doc_id, max(cnt) AS max_run FROM (
+          SELECT doc_id, count(*) AS cnt FROM runs GROUP BY doc_id, word, grp)
+        GROUP BY doc_id),
+      grams AS (
+        SELECT doc_id, len(words) AS n_words,
+               [words[i] || ' ' || words[i+1] FOR i IN range(1, len(words))] AS g2,
+               [words[i] || ' ' || words[i+1] || ' ' || words[i+2] FOR i IN range(1, len(words)-1)] AS g3
+        FROM base)
+      SELECT g.doc_id,
+             CAST(g.n_words AS BIGINT) AS n_words,
+             CAST(t.top_cnt AS BIGINT) AS top_word_cnt,
+             CAST(r.max_run AS BIGINT) AS max_run_len,
+             CAST(floor(CAST(t.top_cnt AS DOUBLE) * 1000000.0 / g.n_words) AS BIGINT) AS top_word_micro,
+             CAST(floor((len(g.g2) - len(list_distinct(g.g2))) * 1000000.0 / greatest(len(g.g2), 1)) AS BIGINT) AS dup_2gram_micro,
+             CAST(floor((len(g.g3) - len(list_distinct(g.g3))) * 1000000.0 / greatest(len(g.g3), 1)) AS BIGINT) AS dup_3gram_micro
+      FROM grams g JOIN top t ON t.doc_id = g.doc_id
+                   JOIN runlen r ON r.doc_id = g.doc_id
+      ORDER BY g.doc_id""",
+
     "q_sample_hash" -> """
       SELECT count(*) AS n,
              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
@@ -719,6 +761,99 @@ object SparkEntry {
         AND NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // B46-B51: the remaining six TPC-H topologies (see TpchPatterns).
+    // Shared derived relation: supply cost in integer micros per
+    // (partkey, suppkey) — integer so the Q2 min-equality is exact.
+    "q2_min_cost_supplier" -> """
+      WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) * 1000000.0
+                    / CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)) AS BIGINT) AS supply_cost_micro
+        FROM lineitem GROUP BY 1, 2),
+      cand AS (
+        SELECT p_partkey, p_name, supply_cost_micro, s_name, s_acctbal, n_name
+        FROM part
+        JOIN ps ON ps_partkey = p_partkey
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size <= 10)
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost_micro
+      FROM cand
+      WHERE supply_cost_micro = (SELECT min(supply_cost_micro) FROM cand c2
+                                 WHERE c2.p_partkey = cand.p_partkey)
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+
+    "q11_important_parts" -> """
+      WITH val AS (
+        SELECT l_partkey,
+               CAST(floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS value_cents
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name IN ('NATION_7', 'NATION_12')
+        GROUP BY l_partkey)
+      SELECT l_partkey, value_cents FROM val
+      WHERE value_cents > (SELECT CAST(sum(value_cents) AS DOUBLE) * 0.0005 FROM val)
+      ORDER BY value_cents DESC, l_partkey""",
+
+    "q12_priority_by_flag" -> """
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q16_supplier_cnt" -> """
+      SELECT p_brand, p_type, p_size,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        AND p_size IN (1, 14, 23, 45, 9, 19, 36, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "q20_excess_suppliers" -> """
+      WITH pair AS (
+        SELECT l_suppkey, l_partkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS pair_qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey)
+      SELECT s_name, s_acctbal
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA'
+        AND s_suppkey IN (
+          SELECT l_suppkey FROM pair
+          WHERE pair_qty > (SELECT CAST(sum(CAST(pair_qty AS DECIMAL(28,6))) AS DOUBLE) * 0.5
+                                   / count(*) FROM pair))
+      ORDER BY s_name""",
+
+    "q21_waiting_suppliers" -> """
+      WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM late l1
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey)
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
 
     "q_except_intersect" -> """
       SELECT 'both' AS op, o_custkey FROM (

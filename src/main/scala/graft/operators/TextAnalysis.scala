@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFns
 import graft.sources.GraftCatalog
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2.E text analysis over the `documents` table. All metrics are
@@ -113,6 +113,57 @@ object TextAnalysis {
       size(regexp_extract_all(col("text2"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
       length(regexp_replace(regexp_replace(col("text2"), emailRe, "[EMAIL]"),
         phoneRe, "[PHONE]")).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
+  /** E7: Gopher-style repetition metrics (Rae et al. 2021, §A1.1:
+    * repetitious documents are low-quality training data). Per doc:
+    * top-word frequency fraction, duplicate 2-gram / 3-gram fraction,
+    * and the longest consecutive same-word run. All four are computed
+    * map-only from the token array — the per-doc word counting that
+    * would naively be a groupBy(doc, word) shuffle is a fold over the
+    * SORTED array (top count = longest run in sorted order), so the
+    * operator stays embarrassingly parallel at 100 TB. Ratios are
+    * emitted as floor-micro integers (SURVEY.md §6: no round() on
+    * arbitrary doubles).
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    // longest run of equal adjacent elements in `arr` — O(n) fold;
+    // on array_sort(words) this equals the top word's count
+    def maxRun(arr: String): String =
+      s"""aggregate($arr,
+            named_struct('prev', '', 'run', cast(0 as bigint), 'mx', cast(0 as bigint)),
+            (acc, x) -> named_struct(
+              'prev', x,
+              'run', if(x = acc.prev, acc.run + 1, cast(1 as bigint)),
+              'mx', greatest(acc.mx, if(x = acc.prev, acc.run + 1, cast(1 as bigint)))),
+            acc -> acc.mx)"""
+    val words = split(trim(lower(col("text"))), "\\s+")
+    val n = size(col("words"))
+    val pair = (a: Column, b: Column) => concat(a, lit(" "), b)
+    val g2 = zip_with(
+      slice(col("words"), lit(1), greatest(n - 1, lit(0))),
+      slice(col("words"), lit(2), greatest(n - 1, lit(0))), pair)
+    val g3 = zip_with(
+      slice(col("words"), lit(1), greatest(n - 2, lit(0))),
+      zip_with(
+        slice(col("words"), lit(2), greatest(n - 2, lit(0))),
+        slice(col("words"), lit(3), greatest(n - 2, lit(0))), pair),
+      pair)
+    def dupMicro(g: Column): Column =
+      floor((size(g) - size(array_distinct(g))).cast("double") * 1000000.0 /
+            greatest(size(g), lit(1))).cast("long")
+    docs(s, dir)
+      .withColumn("words", words)
+      .select(
+        col("doc_id"),
+        n.cast("long").as("n_words"),
+        expr(maxRun("array_sort(words)")).as("top_word_cnt"),
+        expr(maxRun("words")).as("max_run_len"),
+        floor(expr(maxRun("array_sort(words)")).cast("double") * 1000000.0 / n)
+          .cast("long").as("top_word_micro"),
+        dupMicro(g2).as("dup_2gram_micro"),
+        dupMicro(g3).as("dup_3gram_micro"))
       .orderBy("doc_id")
   }
 

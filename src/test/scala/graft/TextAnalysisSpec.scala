@@ -155,6 +155,36 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(!fpPlan.contains("slice("), "no per-position array slicing")
   }
 
+  test("repetition metrics match a hand count and stay map-only") {
+    val df = TextAnalysis.repetition(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // invariants: top word count bounds any consecutive run; ratios
+    // live in [0, 1e6]
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3), s"top>=run in $r")
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000)
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000)
+      assert(r.getLong(6) >= 0 && r.getLong(6) <= 1000000)
+    }
+    // hand-recount one document in plain Scala
+    val docId = rows.head.getLong(0)
+    val text = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+      .where(s"doc_id = $docId").collect().head.getAs[String]("text")
+    val words = text.trim.toLowerCase.split("\\s+").toSeq
+    val top = words.groupBy(identity).values.map(_.size).max.toLong
+    val g2 = words.sliding(2).map(_.mkString(" ")).toSeq
+    assert(rows.head.getLong(1) === words.size.toLong)
+    assert(rows.head.getLong(2) === top)
+    assert(rows.head.getLong(5) ===
+      math.floor((g2.size - g2.distinct.size).toDouble * 1000000.0 / math.max(g2.size, 1)).toLong)
+    // map-only: the only exchange is the output ordering's range
+    // partition — no aggregate (hash) shuffle for per-doc word counts
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan.take(600))
+    assert(!plan.contains("HashAggregate"), plan.take(600))
+  }
+
   test("token operators run on sf0.001 and agree on whitespace counts") {
     val q = TextAnalysis.quality(spark, sfDir).collect()
     val t = TextAnalysis.tokens(spark, sfDir).collect()

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.TpchPatterns
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.functions._
+
+class TpchPatternsSpec extends SparkSpecBase {
+
+  test("q2: every part keeps only its min supply cost, dims broadcast") {
+    val df = TpchPatterns.q2MinCostSupplier(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // one min per part: within a partkey every surviving row carries
+    // the same supply_cost_micro
+    val perPart = rows.groupBy(_.getLong(3)).values
+    assert(perPart.forall(rs => rs.map(_.getLong(5)).distinct.length == 1))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("q11: kept parts all exceed the survivors' own fraction floor") {
+    val rows = TpchPatterns.q11ImportantParts(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val values = rows.map(_.getLong(1))
+    // the full-view threshold is >= the survivors'-sum threshold, so
+    // every kept value must clear the latter too
+    val floorThresh = values.sum.toDouble * 0.0005
+    assert(values.forall(_.toDouble > floorThresh))
+    assert(values.sorted.reverse.sameElements(values)) // ordered desc
+  }
+
+  test("q12: high+low counts cover every joined line exactly once") {
+    val c = new GraftCatalog(spark, sfDir)
+    val rows = TpchPatterns.q12PriorityByFlag(spark, sfDir).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val expected = c.table("lineitem")
+      .where("l_shipdate >= timestamp'1997-01-01' and l_shipdate < timestamp'1998-01-01'")
+      .count()
+    assert(total === expected)
+  }
+
+  test("q16: excluded suppliers never appear in any group's count") {
+    val c = new GraftCatalog(spark, sfDir)
+    val excluded = c.table("supplier").where("s_acctbal < 0")
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    // recompute one group's distinct suppliers by hand and compare
+    val df = TpchPatterns.q16SupplierCnt(spark, sfDir)
+    val first = df.collect().head
+    val manual = c.table("lineitem")
+      .join(c.table("part"), col("p_partkey") === col("l_partkey"))
+      .where(col("p_brand") === first.getString(0) &&
+             col("p_type") === first.getString(1) &&
+             col("p_size") === first.getInt(2))
+      .select("l_suppkey").distinct().collect().map(_.getLong(0)).toSet
+    assert((manual -- excluded).size === first.getLong(3))
+  }
+
+  test("q20: qualifying suppliers exceed half the mean pair quantity") {
+    val rows = TpchPatterns.q20ExcessSuppliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct.length === rows.length) // one row per supplier
+  }
+
+  test("q21: the waiting supplier is the lone late one on a multi-supplier order") {
+    val c = new GraftCatalog(spark, sfDir)
+    val rows = TpchPatterns.q21WaitingSuppliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // cross-check the top supplier's count with a literal EXISTS/NOT
+    // EXISTS evaluation in Spark SQL
+    c.table("lineitem").createOrReplaceTempView("li_q21")
+    c.table("orders").createOrReplaceTempView("ord_q21")
+    c.table("supplier").createOrReplaceTempView("supp_q21")
+    c.table("nation").createOrReplaceTempView("nat_q21")
+    c.table("region").createOrReplaceTempView("reg_q21")
+    val literal = spark.sql("""
+      WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM li_q21 JOIN ord_q21 ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+      SELECT s_name, count(*) AS numwait
+      FROM late l1
+      JOIN supp_q21 ON s_suppkey = l1.l_suppkey
+      JOIN nat_q21 ON n_nationkey = s_nationkey
+      JOIN reg_q21 ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+        AND EXISTS (SELECT 1 FROM li_q21 l2
+                    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late l3
+                        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+           literal.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("q21 plan replaces the two correlated self-joins with aggregates") {
+    // the aggregate form must not re-join lineitem as a per-row
+    // correlated subquery: no more than the stated joins appear
+    val plan = TpchPatterns.q21WaitingSuppliers(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ExistenceJoin"), plan.take(800))
+  }
+}
