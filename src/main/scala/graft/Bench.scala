@@ -68,6 +68,14 @@ object Bench {
       val warm = once()
       val runs = if (warm < 0) Seq.empty[Double]
                  else Seq.fill(Runs)(once()).filter(_ >= 0)
+      // Queries that .cache() intermediates (dedup/sim families) leave
+      // them resident forever; 24 queries x 6 runs fills the storage
+      // pool and late queries pay eviction + GC (BENCH_r05:
+      // text_fingerprint median 4.0s vs min 1.0s, 21st of 24 in run
+      // order). Dropping the pool between QUERIES (not between runs, so
+      // run-to-run cache reuse stays comparable with earlier rounds)
+      // isolates each query's measurement from its predecessors.
+      spark.sharedState.cacheManager.clearCache()
       name -> runs
     }
     val failed = timings.collect { case (n, rs) if rs.isEmpty => n }.sorted
