@@ -128,6 +128,7 @@ object SparkEntry {
     "stream_session_window"      -> graft.streaming.Events.sessionWindowBatch _,
     "stream_enriched_counts"     -> graft.streaming.Events.enrichedCountsBatch _,
     "stream_click_purchase_join" -> graft.streaming.Events.clickToPurchaseBatch _,
+    "stream_dedup_first"         -> graft.streaming.Events.dedupFirstBatch _,
   )
 
   /** DuckDB-runnable oracle SQL per query (omitted → rows-only check). */
@@ -1193,6 +1194,21 @@ object SparkEntry {
              count(*) AS n,
              round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    // G6: first event per (user, type, hour) — the ingestion dedup's
+    // batch twin; the streaming form (dropDuplicatesWithinWatermark)
+    // is spec-exercised with injected duplicates.
+    "stream_dedup_first" -> """
+      WITH t AS (
+        SELECT user_id, event_type, date_trunc('hour', ts) AS hr, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)) AS n_in_group
+        FROM events)
+      SELECT user_id, event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+             event_id AS kept_event_id, CAST(n_in_group AS BIGINT) AS n_in_group
+      FROM t WHERE rn = 1
+      ORDER BY user_id, event_type, hour""",
 
     "stream_sessionize" -> """
       WITH t AS (

@@ -82,6 +82,42 @@ object Events {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
+  // ── G6: ingestion dedup (at-most-one event per user/type/hour) ──
+
+  /** Batch-equivalent: the telemetry-style collapse rule — keep the
+    * FIRST event (earliest ts, event_id tie-break) per (user_id,
+    * event_type, hour). One window shuffle on the dedup key; at scale
+    * this is the standard pre-ingestion pass before sessionization.
+    */
+  def dedupFirstBatch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"), date_trunc("hour", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    eventsTable(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_in_group", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("event_type"), date_trunc("hour", col("ts")))))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_id").as("kept_event_id"), col("n_in_group").cast("long").as("n_in_group"))
+      .orderBy("user_id", "event_type", "hour")
+  }
+
+  /** Streaming form: `dropDuplicatesWithinWatermark` on the same key —
+    * unlike plain dropDuplicates (whose key state lives forever), the
+    * within-watermark variant evicts each key's state once the
+    * watermark passes it, so state size tracks the horizon, not the
+    * stream length. First-arrival wins within the horizon, matching
+    * the batch rule whenever each key's duplicates arrive inside one
+    * watermark window.
+    */
+  def dedupFirstStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
+
   // ── G5: stream-stream join ──
 
   /** Watermarked stream-stream inner join: purchases matched to the

@@ -119,6 +119,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.toSeq === Seq(10L, 11L))
   }
 
+  test("within-watermark dedup collapses duplicates across triggers, batch twin agrees") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    // duplicates of (user 1, click, hour 10) split ACROSS two triggers
+    // — state must survive the batch boundary within the watermark
+    stream.addData(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click"),
+      (2L, ts("2024-01-01 10:06:00"), 1L, "click")) // dup of key, later ts
+    val df = stream.toDF.toDF("event_id", "ts", "user_id", "event_type")
+    val q = Events.dedupFirstStream(df)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    stream.addData(
+      (3L, ts("2024-01-01 10:30:00"), 1L, "click"),  // dup again, trigger 2
+      (4L, ts("2024-01-01 11:05:00"), 1L, "click"))  // new hour -> kept
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L), s"first arrival per (user,type,hour) wins: $kept")
+
+    // batch twin on the corpus: output keys unique, group sizes cover
+    // the full table
+    val twin = Events.dedupFirstBatch(spark, sfDir).collect()
+    val keys = twin.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(keys.distinct.length === keys.length)
+    val total = twin.map(_.getLong(4)).sum
+    assert(total === Events.eventsTable(spark, sfDir).count())
+  }
+
   test("foreachBatch sink writes a partitioned layout readable with pruning") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
