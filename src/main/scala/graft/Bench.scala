@@ -32,7 +32,10 @@ object Bench {
     "src_bucketed_join", "dedup_minhash_lsh", "dedup_clusters",
     "dedup_clusters_exact", "sim_ivf_topk", "text_tokens",
     "text_tfidf_top_terms", "text_fingerprint", "prof_orders_columns",
-    "mm_feature_extract", "mm_resize")
+    "mm_feature_extract", "mm_resize",
+    // round-6 additions: the two heaviest of the new TPC-H topologies
+    // and the map-only repetition pass
+    "q2_min_cost_supplier", "q21_waiting_suppliers", "text_repetition")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

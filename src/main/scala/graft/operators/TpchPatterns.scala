@@ -67,10 +67,19 @@ object TpchPatterns {
       .join(c.table("region").where(col("r_name") === "EUROPE"),
         col("r_regionkey") === col("n_regionkey"))
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    val cand = c.table("part")
+    val parts = c.table("part")
       .where(col("p_type") === "STANDARD" && col("p_size") <= 10)
       .select("p_partkey", "p_name")
-      .join(supplyCosts(c.table("lineitem")), col("ps_partkey") === col("p_partkey"))
+    // Prune lineitem to the qualifying parts BEFORE the per-pair
+    // aggregation (q17's trick): each surviving pair's supply cost is
+    // unchanged, but the aggregate's input shrinks by the part
+    // filter's selectivity (~1/30 here) — Catalyst can't push the
+    // predicate through the aggregate on its own.
+    val prunedLi = c.table("lineitem")
+      .join(broadcast(parts.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+    val cand = parts
+      .join(supplyCosts(prunedLi), col("ps_partkey") === col("p_partkey"))
       .join(broadcast(europeSupp), col("s_suppkey") === col("ps_suppkey"))
     val minCost = min(col("supply_cost_micro")).over(Window.partitionBy("p_partkey"))
     cand.withColumn("min_cost", minCost)
