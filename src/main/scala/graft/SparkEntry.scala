@@ -38,6 +38,8 @@ object SparkEntry {
     "src_schema_evolution"       -> Relational.srcSchemaEvolution _,
     "src_compaction"             -> Relational.srcCompaction _,
     "src_zorder_scan"            -> Relational.srcZorderScan _,
+    "src_snapshot_diff"          -> Relational.srcSnapshotDiff _,
+    "src_dynamic_overwrite"      -> Relational.srcDynamicOverwrite _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
     "q6_forecast_revenue"        -> Relational.q6ForecastRevenue _,
@@ -504,6 +506,20 @@ object SparkEntry {
       SELECT o_orderstatus, count(*) AS n,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A16: the increment is exactly the epoch-2 writer's rows
+    "src_snapshot_diff" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A17: untouched partitions + the re-derived 'F' partition
+    "src_dynamic_overwrite" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderstatus <> 'F' OR o_totalprice > 100
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "src_v2_inputformat_scan" -> """
       SELECT count(*) AS n,

@@ -297,6 +297,59 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A16: incremental snapshot-diff read — the "process only what
+    * arrived since the last run" pass every periodic 100 TB job
+    * needs. Epoch 1 lands, a catalog pins it; epoch 2 is appended by
+    * a writer; a fresh catalog's `diffTable` against the old one
+    * reads EXACTLY the new files (parquet immutability makes the
+    * file-set difference the data difference). The aggregate over the
+    * increment must hash-match the oracle's epoch-2 predicate over
+    * the source table — proving the diff caught all of epoch 2 and
+    * none of epoch 1.
+    */
+  def srcSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.GraftSink.scratchDir + "/incdemo"
+    val tbl = s"$root/orders.parquet"
+    val orders = cat(s, dir).table("orders")
+    // epoch 1: open orders (overwrite → clean, idempotent re-runs)
+    orders.where(col("o_orderstatus") === "O")
+      .write.mode("overwrite").parquet(tbl)
+    val catOld = new GraftCatalog(s, root)
+    // a writer commits epoch 2 mid-flight: finalized orders append
+    orders.where(col("o_orderstatus") === "F")
+      .write.mode("append").parquet(tbl)
+    val catNew = new GraftCatalog(s, root)
+    catNew.diffTable("orders", catOld)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** A17: dynamic partition overwrite — the idempotent backfill: one
+    * partition is rewritten in place (here the 'F' partition,
+    * re-derived with a quality predicate) while sibling partitions
+    * stay byte-identical. Static overwrite mode would TRUNCATE the
+    * whole table first; `partitionOverwriteMode=dynamic` replaces
+    * only partitions present in the incoming data — at 100 TB the
+    * difference between a backfill touching one day and rewriting
+    * the archive. The read-back aggregate hash-matches an oracle
+    * combining untouched partitions with the re-derived one.
+    */
+  def srcDynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.GraftSink.scratchDir + "/orders_backfill"
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    orders.where(col("o_orderstatus") === "F" && col("o_totalprice") > 100)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(path)
+    s.read.parquet(path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Morton (Z-order) code: the low 16 bits of two keys interleaved —
     * key-a bits on odd positions, key-b on even. Pure integer
     * arithmetic (codegen'd aggregate over a 16-element sequence).

@@ -161,4 +161,49 @@ class RelationalSpec extends SparkSpecBase {
       .where(col("n_nationkey") % 5 === 0).collect()
     assert(out.nonEmpty && out.forall(_.isNullAt(2)))
   }
+
+  test("snapshot diff reads only the new epoch; old catalog stays pinned; self-diff is empty") {
+    import org.apache.spark.sql.functions.col
+    val root = graft.sources.GraftSink.scratchDir + "/incdemo_spec"
+    val tbl = s"$root/orders.parquet"
+    val orders = new GraftCatalog(spark, sfDir).table("orders")
+    orders.where(col("o_orderstatus") === "O").write.mode("overwrite").parquet(tbl)
+    val catOld = new GraftCatalog(spark, root)
+    val nEpoch1 = catOld.table("orders").count()
+    orders.where(col("o_orderstatus") === "F").write.mode("append").parquet(tbl)
+    val catNew = new GraftCatalog(spark, root)
+    // increment = exactly the appended F rows
+    val inc = catNew.diffTable("orders", catOld)
+    assert(inc.count() === orders.where(col("o_orderstatus") === "F").count())
+    assert(inc.where(col("o_orderstatus") =!= "F").count() === 0)
+    // the OLD catalog still sees only epoch 1 after the append
+    assert(catOld.table("orders").count() === nEpoch1)
+    // diff against an identical snapshot is empty (schema intact)
+    val selfDiff = catNew.diffTable("orders", catNew)
+    assert(selfDiff.count() === 0 && selfDiff.columns.contains("o_orderstatus"))
+  }
+
+  test("dynamic overwrite rewrites one partition, siblings byte-identical") {
+    import org.apache.spark.sql.functions.col
+    val path = graft.sources.GraftSink.scratchDir + "/orders_backfill_spec"
+    val orders = new GraftCatalog(spark, sfDir).table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    // inputFiles IGNORES pushed filters (SURVEY.md §6) — select the
+    // sibling partitions' files by their directory names instead
+    def nonF(files: Array[String]) = files.filterNot(_.contains("o_orderstatus=F")).toSet
+    val beforeNonF = nonF(spark.read.parquet(path).inputFiles)
+    orders.where(col("o_orderstatus") === "F" && col("o_totalprice") > 100)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(path)
+    val after = spark.read.parquet(path)
+    // sibling partitions: same physical files, not rewritten copies
+    assert(nonF(after.inputFiles) === beforeNonF)
+    // the F partition carries only the re-derived rows
+    assert(after.where(col("o_orderstatus") === "F").count() ===
+           orders.where(col("o_orderstatus") === "F" && col("o_totalprice") > 100).count())
+    assert(after.count() ===
+           orders.where(col("o_orderstatus") =!= "F" || col("o_totalprice") > 100).count())
+  }
 }
