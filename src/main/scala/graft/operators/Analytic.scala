@@ -401,4 +401,23 @@ object Analytic {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("l_suppkey"))
       .limit(10)
+
+  /** B52: MERGEABLE distinct-count sketches — per-segment HLL
+    * sketches built independently (the per-partition/per-day summary
+    * a 1000-executor job materializes), then combined with
+    * `hll_union_agg` into the global estimate WITHOUT touching the
+    * raw data again. This two-phase shape is the entire point of
+    * sketches at 100 TB: the union runs over K sketch blobs, not
+    * N rows. Rows-only (estimates are engine-specific); the 5%-band
+    * and union-consistency properties are spec-asserted.
+    */
+  def qHllUnion(s: SparkSession, dir: String): DataFrame = {
+    val perSegment = cat(s, dir).table("orders")
+      .groupBy("o_orderpriority")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"), count(lit(1)).as("n_rows"))
+    perSegment.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("apx_customers"),
+      sum(col("n_rows")).as("n_rows"),
+      count(lit(1)).as("n_sketches"))
+  }
 }

@@ -20,6 +20,22 @@ class SketchSpec extends SparkSpecBase {
     assert(rel < 0.05, s"approx=$apx exact=$exact rel=$rel")
   }
 
+  test("unioned HLL sketches land within 5% of exact and agree with the direct sketch") {
+    val row = Analytic.qHllUnion(spark, sfDir).collect()(0)
+    val apx = row.getLong(0)
+    val orders = new GraftCatalog(spark, sfDir).table("orders")
+    val exact = orders.agg(count_distinct(col("o_custkey"))).collect()(0).getLong(0)
+    val rel = math.abs(apx - exact).toDouble / exact
+    assert(rel < 0.05, s"union-of-sketches=$apx exact=$exact rel=$rel")
+    // mergeability: union of per-group sketches = one direct sketch
+    // over the same rows (identical default lgK), estimate-equal
+    val direct = orders
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))))
+      .collect()(0).getLong(0)
+    assert(apx === direct, s"union=$apx direct=$direct")
+    assert(row.getLong(2) > 1, "more than one sketch merged")
+  }
+
   test("approx percentiles land within 2% of exact per group") {
     val apx = Analytic.qApproxPercentile(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
