@@ -86,6 +86,7 @@ object SparkEntry {
     "q_pivot_api"                -> Analytic.qPivotApi _,
     "q_approx_percentile"        -> Analytic.qApproxPercentile _,
     "q_hll_union"                -> Analytic.qHllUnion _,
+    "q_theta_overlap"            -> Analytic.qThetaOverlap _,
     "q13_customer_distribution"  -> Analytic.q13CustomerDistribution _,
     "q_histogram_totalprice"     -> Analytic.qHistogramTotalprice _,
     "q2_min_cost_supplier"       -> TpchPatterns.q2MinCostSupplier _,

@@ -420,4 +420,25 @@ object Analytic {
       sum(col("n_rows")).as("n_rows"),
       count(lit(1)).as("n_sketches"))
   }
+
+  /** B53: Theta-sketch SET OPERATIONS — audience overlap without a
+    * join. Two conditional sketches built in ONE pass over orders
+    * (finalized vs open customers), then intersection / union /
+    * difference estimated on the sketch blobs. HLL can only union;
+    * Theta's intersect/difference answer "customers in BOTH cohorts"
+    * at 100 TB with no shuffle-join of the cohorts — the exact form
+    * of this question is B39's INTERSECT/EXCEPT (`q_except_intersect`),
+    * which the spec compares against. Rows-only (estimates are
+    * engine-specific; below the sketch's nominal-entries threshold
+    * they are exact, which the spec exploits).
+    */
+  def qThetaOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sk = cat(s, dir).table("orders").agg(
+      theta_sketch_agg(when(col("o_orderstatus") === "F", col("o_custkey"))).as("sk_f"),
+      theta_sketch_agg(when(col("o_orderstatus") === "O", col("o_custkey"))).as("sk_o"))
+    sk.select(
+      theta_sketch_estimate(theta_intersection(col("sk_f"), col("sk_o"))).as("apx_both"),
+      theta_sketch_estimate(theta_union(col("sk_f"), col("sk_o"))).as("apx_either"),
+      theta_sketch_estimate(theta_difference(col("sk_f"), col("sk_o"))).as("apx_f_only"))
+  }
 }

@@ -36,6 +36,22 @@ class SketchSpec extends SparkSpecBase {
     assert(row.getLong(2) > 1, "more than one sketch merged")
   }
 
+  test("theta set-op estimates match the exact INTERSECT/EXCEPT/UNION cardinalities") {
+    val row = Analytic.qThetaOverlap(spark, sfDir).collect()(0)
+    val orders = new GraftCatalog(spark, sfDir).table("orders")
+    def cohort(st: String) = orders.where(col("o_orderstatus") === st)
+      .select("o_custkey").distinct()
+    val f = cohort("F").collect().map(_.getLong(0)).toSet
+    val o = cohort("O").collect().map(_.getLong(0)).toSet
+    // below the sketch's nominal entries the estimates are exact
+    def band(apx: Long, exact: Int, what: String): Unit =
+      assert(math.abs(apx - exact).toDouble / math.max(exact, 1) < 0.05,
+        s"$what: $apx vs $exact")
+    band(row.getLong(0), (f & o).size, "both")
+    band(row.getLong(1), (f | o).size, "either")
+    band(row.getLong(2), (f -- o).size, "f_only")
+  }
+
   test("approx percentiles land within 2% of exact per group") {
     val apx = Analytic.qApproxPercentile(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
