@@ -112,6 +112,7 @@ object SparkEntry {
     "sim_ivf_persisted"          -> ((s: SparkSession, d: String) => Similarity.ivfPersistedTopk(s, d)),
     "sim_lsh_topk"               -> Similarity.lshTopk _,
     "sim_quantize_int8"          -> Similarity.quantizeInt8 _,
+    "sim_label_centroids"        -> Similarity.labelCentroids _,
     // §2.E text analysis
     "text_langid"                -> TextAnalysis.langId _,
     "text_quality"               -> TextAnalysis.quality _,
@@ -545,6 +546,26 @@ object SparkEntry {
              CAST(floor(list_max(list_transform(emb,
                   x -> abs(floor(x / scale + 0.5) * scale - x))) * 1e6) AS BIGINT) AS max_err_micro
       FROM sc ORDER BY vec_id""",
+
+    // D5: fixed-point micro quantization makes the elementwise mean
+    // exact-integer on both engines; pos alignment is 1-based
+    "sim_label_centroids" -> """
+      WITH flat AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xm
+        FROM embeddings),
+      per_dim AS (
+        SELECT label, pos, count(*) AS n,
+               CAST(floor(CAST(sum(xm) AS DOUBLE) / count(*)) AS BIGINT) AS c_micro
+        FROM flat GROUP BY label, pos)
+      SELECT label,
+             CAST(max(n) AS BIGINT) AS n_vecs,
+             CAST(sum(c_micro * c_micro) AS BIGINT) AS norm2_micro2,
+             min(c_micro) AS min_dim,
+             max(c_micro) AS max_dim,
+             max(CASE WHEN pos = 1 THEN c_micro END) AS dim1_micro
+      FROM per_dim GROUP BY label ORDER BY label""",
 
     "text_langid" -> """
       WITH t AS (

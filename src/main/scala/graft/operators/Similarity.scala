@@ -230,6 +230,35 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** D5: per-label embedding centroids (mean pooling) — the
+    * class-centroid / prototype computation a curation pipeline runs
+    * for cluster seeding and drift checks. Elementwise float mean
+    * across rows is order-dependent in IEEE double, so the vectors
+    * are first fixed-point quantized (micro ints, exact float→double
+    * widening) and summed as BIGINTs — bit-identical on any engine
+    * and partition layout. Shape: posexplode → partial-agg on
+    * (label, dim) → label summary; the shuffle carries labels×dims
+    * rows regardless of corpus size.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val flat = new GraftCatalog(s, dir).table("embeddings")
+      .select(col("label"), posexplode(VectorFns.toDoubleArray(col("embedding"))).as(Seq("pos", "x")))
+      .select(col("label"), (col("pos") + 1).as("pos"),
+        floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("xm"))
+    val perDim = flat.groupBy("label", "pos")
+      .agg(sum(col("xm")).as("sm"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), col("n"),
+        floor(col("sm").cast("double") / col("n")).cast("long").as("c_micro"))
+    perDim.groupBy("label")
+      .agg(
+        max(col("n")).as("n_vecs"),
+        sum(col("c_micro") * col("c_micro")).as("norm2_micro2"),
+        min(col("c_micro")).as("min_dim"),
+        max(col("c_micro")).as("max_dim"),
+        max(when(col("pos") === 1, col("c_micro"))).as("dim1_micro"))
+      .orderBy("label")
+  }
+
   /** D3: random-hyperplane LSH ANN — 8-bit signatures (256 buckets);
     * queries search only their own bucket.
     */

@@ -114,6 +114,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got === 1)
   }
 
+  test("label centroids are exact integers and invariant to partition layout") {
+    val base = Similarity.labelCentroids(spark, sfDir).collect()
+    assert(base.length === 10) // labels 0-9
+    // n_vecs per label sums to the corpus size
+    val total = new graft.sources.GraftCatalog(spark, sfDir).table("embeddings").count()
+    assert(base.map(_.getLong(1)).sum === total)
+    // hand-check one label's dim-1 mean in plain Scala
+    val rows = new graft.sources.GraftCatalog(spark, sfDir).table("embeddings")
+      .where(org.apache.spark.sql.functions.col("label") === 0)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).head.toDouble)
+    val expected = math.floor(
+      rows.map(x => math.floor(x * 1e6 + 0.5)).sum / rows.length).toLong
+    assert(base.find(_.getInt(0) == 0).get.getLong(5) === expected)
+  }
+
   test("kmeans returns exactly min(k, rows) centroids; empty clusters carry forward") {
     import spark.implicits._
     // 3 rows < k=5: clamped to 3 centroids, none empty.
