@@ -67,6 +67,7 @@ object SparkEntry {
     "q_grouping_sets"            -> Analytic.qGroupingSets _,
     "q_percentile_quantity"      -> Analytic.qPercentileQuantity _,
     "q_asof_event_order"         -> Analytic.qAsofEventOrder _,
+    "q_asof_event_order_outer"   -> Analytic.qAsofEventOrderOuter _,
     "q_salted_join_revenue"      -> Analytic.qSaltedJoinRevenue _,
     "q1_sql"                     -> Analytic.q1Sql _,
     "q_sample_hash"              -> Analytic.qSampleHash _,
@@ -440,6 +441,19 @@ object SparkEntry {
                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         FROM events e JOIN orders o
           ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      SELECT event_id, user_id, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      FROM m WHERE rn = 1 ORDER BY event_id""",
+
+    // B26 outer: LEFT JOIN keeps unmatched events with null order cols
+    "q_asof_event_order_outer" -> """
+      WITH m AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         AND o.o_orderstatus = 'F')
       SELECT event_id, user_id, o_orderkey,
              strftime(o_orderdate, '%Y-%m-%d') AS order_date
       FROM m WHERE rn = 1 ORDER BY event_id""",

@@ -170,6 +170,27 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  /** B26 (outer form): every event kept, nulls where the user has no
+    * finalized order at event time — "latest state if any", the lookup
+    * shape enrichment pipelines actually run (restricting the right
+    * side to 'F' orders makes ~4% of events unmatched on this corpus;
+    * against ALL orders the outer form would be vacuously inner).
+    */
+  def qAsofEventOrderOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val ev = graft.streaming.Events.eventsTable(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOf.join(
+        ev, c.table("orders").where(col("o_orderstatus") === "F"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightTieBreaks = Seq("o_orderkey"),
+        outer = true)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy("event_id")
+  }
+
   /** B26 (composed form kept for cross-checking the native operator in
     * specs): join + window materializes all (event, earlier-order)
     * pairs, then ranks.

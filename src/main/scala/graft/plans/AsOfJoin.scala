@@ -11,8 +11,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graft.Bridge
 
 /** Native as-of join: for every left row, the single right row with the
-  * same key and the greatest right-time ≤ left-time (inner semantics —
-  * unmatched left rows are dropped).
+  * same key and the greatest right-time ≤ left-time. Inner semantics
+  * drop unmatched left rows; `outer = true` keeps them with nulls for
+  * the right side (the "latest state if any" lookup).
   *
   * This is the whole-operator path ((c) in the build rules): a
   * LogicalPlan node, a planner Strategy (injected via GraftExtensions),
@@ -33,9 +34,12 @@ case class AsOfJoinPlan(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreaks: Seq[Expression]) extends BinaryNode {
+    rightTieBreaks: Seq[Expression],
+    outer: Boolean = false) extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (outer) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
     copy(left = l, right = r)
@@ -44,8 +48,8 @@ case class AsOfJoinPlan(
 /** Planner rule: AsOfJoinPlan → AsOfJoinExec. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, outer) :: Nil
     case _ => Nil
   }
 }
@@ -57,9 +61,12 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    rightTieBreaks: Seq[Expression]) extends BinaryExecNode {
+    rightTieBreaks: Seq[Expression],
+    outer: Boolean = false) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (outer) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
@@ -82,9 +89,14 @@ case class AsOfJoinExec(
       .asInstanceOf[Ordering[Any]]
     val outputAttrs = output
 
+    val rightArity = right.output.size
+    val isOuter = outer
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)
       val joined = new JoinedRow
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rightArity)
 
       new Iterator[InternalRow] {
         // Right-side cursor state: the lookahead row and the current
@@ -135,6 +147,10 @@ case class AsOfJoinExec(
                   keyOrd.compare(candidateKey, k) == 0) {
                 return resultProj(joined(lRow, candidate))
               }
+              if (isOuter) return resultProj(joined(lRow, nullRight))
+            } else if (isOuter) {
+              // null key/time can never match; outer still emits the row
+              return resultProj(joined(lRow, nullRight))
             }
           }
           null
@@ -171,7 +187,8 @@ object AsOf {
       rightDf: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightTieBreaks: Seq[String] = Nil): DataFrame = {
+      rightTieBreaks: Seq[String] = Nil,
+      outer: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed
@@ -183,6 +200,7 @@ object AsOf {
       lPlan, rPlan,
       resolve(lPlan, leftKey), resolve(rPlan, rightKey),
       resolve(lPlan, leftTime), resolve(rPlan, rightTime),
-      rightTieBreaks.map(resolve(rPlan, _))))
+      rightTieBreaks.map(resolve(rPlan, _)),
+      outer = outer))
   }
 }

@@ -71,6 +71,26 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(native.toSeq === composed.toSeq)
   }
 
+  test("outer as-of keeps every left row; matched subset equals the inner form") {
+    import org.apache.spark.sql.functions.col
+    val outer = Analytic.qAsofEventOrderOuter(spark, sfDir)
+    val rows = outer.collect()
+    val nEvents = graft.streaming.Events.eventsTable(spark, sfDir).count()
+    assert(rows.length.toLong === nEvents, "no left row dropped")
+    val unmatched = rows.count(_.isNullAt(2))
+    assert(unmatched > 0, "corpus must exercise the null path")
+    // matched rows = the inner native join against the same right side
+    val c = new graft.sources.GraftCatalog(spark, sfDir)
+    val ev = graft.streaming.Events.eventsTable(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val inner = graft.plans.AsOf.join(
+        ev, c.table("orders").where(col("o_orderstatus") === "F"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightTieBreaks = Seq("o_orderkey"))
+    assert(rows.length - unmatched === inner.count())
+  }
+
   test("as-of plan contains the custom exec node") {
     val plan = Analytic.qAsofEventOrder(spark, sfDir)
       .queryExecution.executedPlan.toString
