@@ -88,6 +88,7 @@ object SparkEntry {
     "q_approx_percentile"        -> Analytic.qApproxPercentile _,
     "q_hll_union"                -> Analytic.qHllUnion _,
     "q_theta_overlap"            -> Analytic.qThetaOverlap _,
+    "q_rolling_revenue"          -> Analytic.qRollingRevenue _,
     "q13_customer_distribution"  -> Analytic.q13CustomerDistribution _,
     "q_histogram_totalprice"     -> Analytic.qHistogramTotalprice _,
     "q2_min_cost_supplier"       -> TpchPatterns.q2MinCostSupplier _,
@@ -444,6 +445,21 @@ object SparkEntry {
       SELECT event_id, user_id, o_orderkey,
              strftime(o_orderdate, '%Y-%m-%d') AS order_date
       FROM m WHERE rn = 1 ORDER BY event_id""",
+
+    // B54: RANGE frame boundaries are inclusive on both sides in both
+    // engines; decimal window sum is accumulation-order independent
+    "q_rolling_revenue" -> """
+      SELECT o_orderkey, o_custkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+               AS rolling_total,
+             CAST(count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_in_window
+      FROM orders ORDER BY o_orderkey""",
 
     // B26 outer: LEFT JOIN keeps unmatched events with null order cols
     "q_asof_event_order_outer" -> """

