@@ -93,6 +93,20 @@ class TpchPatternsSpec extends SparkSpecBase {
            literal.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("q2 prunes the supply-cost aggregation with a semi join below the agg") {
+    // the part filter must reach the aggregate's INPUT (q17's trick):
+    // a LeftSemi join sits under the (partkey, suppkey) aggregate
+    val plan = TpchPatterns.q2MinCostSupplier(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(800))
+  }
+
+  test("q12 pushes the ship-date year down to the lineitem scan") {
+    val plan = TpchPatterns.q12PriorityByFlag(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), plan.take(800))
+  }
+
   test("q21 plan replaces the two correlated self-joins with aggregates") {
     // the aggregate form must not re-join lineitem as a per-row
     // correlated subquery: no more than the stated joins appear
