@@ -40,6 +40,7 @@ object SparkEntry {
     "src_zorder_scan"            -> Relational.srcZorderScan _,
     "src_snapshot_diff"          -> Relational.srcSnapshotDiff _,
     "src_dynamic_overwrite"      -> Relational.srcDynamicOverwrite _,
+    "src_merge_upsert"           -> Relational.srcMergeUpsert _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
     "q6_forecast_revenue"        -> Relational.q6ForecastRevenue _,
@@ -91,6 +92,9 @@ object SparkEntry {
     "q_rolling_revenue"          -> Analytic.qRollingRevenue _,
     "q13_customer_distribution"  -> Analytic.q13CustomerDistribution _,
     "q_histogram_totalprice"     -> Analytic.qHistogramTotalprice _,
+    "q_funnel_conversion"        -> Behavioral.qFunnelConversion _,
+    "q_cohort_retention"         -> Behavioral.qCohortRetention _,
+    "q_scd2_user_status"         -> Behavioral.qScd2UserStatus _,
     "q2_min_cost_supplier"       -> TpchPatterns.q2MinCostSupplier _,
     "q11_important_parts"        -> TpchPatterns.q11ImportantParts _,
     "q12_priority_by_flag"       -> TpchPatterns.q12PriorityByFlag _,
@@ -553,6 +557,75 @@ object SparkEntry {
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM orders WHERE o_orderstatus <> 'F' OR o_totalprice > 100
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A18: merged table = base with the same update/move/insert
+    // mutation applied in SQL (keys ≡ 0 mod 100 of 'F' bumped,
+    // keys ≡ 50 mod 100 of 'O' re-statused, 3 inserts)
+    "src_merge_upsert" -> """
+      WITH merged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'O' AND o_orderkey % 100 = 50
+                    THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderstatus = 'F' AND o_orderkey % 100 = 0
+                    THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT 900000000 + range, 'F', 42.5 FROM range(3))
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // B58: greedy earliest-anchor funnel — t2/t3 minima conditioned
+    // on the anchor exactly as the Spark window chain computes them
+    "q_funnel_conversion" -> """
+      WITH u1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM events GROUP BY user_id),
+      u2 AS (
+        SELECT e.user_id, min(u1.t1) AS t1,
+               min(CASE WHEN e.event_type = 'click' AND e.ts >= u1.t1
+                         AND e.ts <= u1.t1 + INTERVAL 24 HOUR THEN e.ts END) AS t2
+        FROM events e JOIN u1 USING (user_id) GROUP BY e.user_id),
+      u3 AS (
+        SELECT e.user_id, min(u2.t1) AS t1, min(u2.t2) AS t2,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts >= u2.t2
+                         AND e.ts <= u2.t1 + INTERVAL 24 HOUR THEN e.ts END) AS t3
+        FROM events e JOIN u2 USING (user_id) GROUP BY e.user_id)
+      SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                       WHEN t2 IS NOT NULL THEN 2
+                       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_level,
+             count(*) AS users
+      FROM u3 GROUP BY 1 ORDER BY funnel_level""",
+
+    // B59: day-exact week arithmetic (no engine week-truncation)
+    "q_cohort_retention" -> """
+      WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_d
+        FROM events)
+      SELECT CAST(floor(date_diff('day', DATE '2024-01-01', cohort_d) / 7.0) AS INT) AS cohort_week,
+             CAST(floor(date_diff('day', cohort_d, d) / 7.0) AS INT) AS week_offset,
+             count(DISTINCT user_id) AS active_users
+      FROM d GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+
+    // B60: SCD2 intervals; lead() runs AFTER the change filter so an
+    // interval closes at the next CHANGE, not the next raw event
+    "q_scd2_user_status" -> """
+      WITH ch AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      kept AS (
+        SELECT user_id, event_type, ts, event_id FROM ch
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT user_id, event_type AS status,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+             CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  AS INT) AS is_current
+      FROM kept ORDER BY user_id, valid_from""",
 
     "src_v2_inputformat_scan" -> """
       SELECT count(*) AS n,

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.streaming.Events
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.B extension: behavioral / event-sequence analytics over the
+  * `events` stream table — the funnel / retention / slowly-changing-
+  * dimension passes an event-log consumer of the reference's scan
+  * layer (ArgodbMapreduceRecordReader.java feeding rows into a
+  * MapReduce job) would hand-write as chained MR stages. Here each is
+  * a single declarative plan whose only wide exchange is the
+  * per-user hash partition, reused across every window/aggregate
+  * step (one shuffle of the event log, however many analysis steps).
+  *
+  * Scale notes (100 TB event log):
+  *  - Everything below partitions by `user_id` exactly once; window
+  *    functions with the same partitioning reuse the Exchange, and
+  *    the per-user groupBy that follows is shuffle-free.
+  *  - No collect_list: funnel state is computed with partition-
+  *    constant window minima (codegen'd), so per-user memory is O(1),
+  *    not O(events-per-user) — a hot user cannot OOM an executor.
+  *  - Final outputs are tiny aggregates (levels / cohort cells), so
+  *    the second exchange moves kilobytes.
+  */
+object Behavioral {
+
+  /** B58: 3-step conversion funnel (view → click → purchase) within a
+    * 24-hour window anchored at the user's FIRST view — greedy
+    * earliest-anchor semantics, deterministic and oracle-expressible:
+    *   t1 = min ts of 'view'
+    *   t2 = min ts of 'click'    with t1 <= t2 <= t1+24h
+    *   t3 = min ts of 'purchase' with t2 <= t3 <= t1+24h
+    * funnel_level = highest step reached (0 = never viewed).
+    *
+    * Three chained unbounded window minima over the same
+    * `partitionBy(user_id)` spec: one Exchange, no per-user state
+    * beyond three timestamps, whole-stage codegen throughout.
+    */
+  def qFunnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val horizon = col("t1") + expr("INTERVAL 24 HOURS")
+    Events.eventsTable(s, dir)
+      .select("user_id", "event_type", "ts")
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") >= col("t1") && col("ts") <= horizon, col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") >= col("t2") && col("ts") <= horizon, col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(min("t1").as("u1"), min("t2").as("u2"), min("t3").as("u3"))
+      .select(when(col("u3").isNotNull, 3)
+        .when(col("u2").isNotNull, 2)
+        .when(col("u1").isNotNull, 1)
+        .otherwise(0).as("funnel_level"))
+      .groupBy("funnel_level")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("funnel_level")
+  }
+
+  /** B59: weekly cohort retention — users bucketed by the week of
+    * their first activity (day-exact arithmetic, no engine-specific
+    * week-truncation semantics), counted distinct in each later week
+    * offset. The classic triangular retention matrix.
+    */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Events.eventsTable(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .withColumn("cohort_d", min(col("d")).over(w))
+      .select(
+        floor(datediff(col("cohort_d"), lit("2024-01-01").cast("date")) / 7)
+          .cast("int").as("cohort_week"),
+        floor(datediff(col("d"), col("cohort_d")) / 7)
+          .cast("int").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** B60: slowly-changing-dimension (type 2) build from the event
+    * log — per user, collapse consecutive repeats of `event_type`
+    * into status intervals [valid_from, valid_to) with an is_current
+    * flag on the open interval. lag() finds change points, lead()
+    * AFTER the change filter closes each interval at the next
+    * change (not the next raw event). Both windows share one
+    * partitioning+ordering → a single Exchange+Sort.
+    * (event_id breaks timestamp ties deterministically.)
+    */
+  def qScd2UserStatus(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    Events.eventsTable(s, dir)
+      .select("user_id", "event_type", "ts", "event_id")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(wOrd))
+      .select(
+        col("user_id"),
+        col("event_type").as("status"),
+        date_format(col("ts"), fmt).as("valid_from"),
+        date_format(col("valid_to_ts"), fmt).as("valid_to"),
+        col("valid_to_ts").isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+}

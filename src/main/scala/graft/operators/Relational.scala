@@ -350,6 +350,41 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A18: copy-on-write MERGE (upsert) — key-level mutation of a
+    * partitioned table via GraftSink.mergeUpsert. The batch carries
+    * all three merge shapes at once: in-place updates (price bump on
+    * 'F' keys ≡ 0 mod 100), partition MOVES ('O' keys ≡ 50 mod 100
+    * re-statused to 'F' — the stale 'O' copy must vanish), and
+    * inserts (three fresh keys). The read-back aggregate must
+    * hash-match an oracle that applies the same mutation in SQL —
+    * proving update/move/insert all landed and nothing else changed.
+    * The untouched-partition file-identity claim is spec-asserted.
+    */
+  def srcMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.GraftSink.scratchDir + "/orders_merge"
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    val priceBumps = orders
+      .where(col("o_orderstatus") === "F" && col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+    val moves = orders
+      .where(col("o_orderstatus") === "O" && col("o_orderkey") % 100 === 50)
+      .withColumn("o_orderstatus", lit("F"))
+    val inserts = s.range(3).select(
+      (col("id") + 900000000L).as("o_orderkey"),
+      lit(1L).as("o_custkey"),
+      lit("F").as("o_orderstatus"),
+      lit(42.5).as("o_totalprice"))
+    graft.sources.GraftSink.mergeUpsert(
+      s, path, priceBumps.unionByName(moves).unionByName(inserts),
+      Seq("o_orderkey"), "o_orderstatus")
+    s.read.parquet(path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Morton (Z-order) code: the low 16 bits of two keys interleaved —
     * key-a bits on odd positions, key-b on even. Pure integer
     * arithmetic (codegen'd aggregate over a 16-element sequence).

@@ -33,6 +33,52 @@ object GraftSink {
   def readPartitioned(s: SparkSession, name: String): DataFrame =
     s.read.parquet(s"$scratchDir/$name")
 
+  /** Copy-on-write MERGE (upsert) into a hive-partitioned parquet
+    * table — the key-level analog of the partition-level dynamic
+    * overwrite backfill. `updates` rows carry the full target schema;
+    * a key match replaces the target row (including a changed
+    * partition value — the stale copy in the OLD partition is
+    * dropped), a non-match inserts.
+    *
+    * Scale shape (100 TB target, small update batch — the common
+    * case):
+    *  - `updates` is broadcast; the target is scanned once with a
+    *    broadcast semi-join to find which partitions hold matched
+    *    rows — no shuffle of the target, and the scan reads only the
+    *    key + partition columns (column pruning).
+    *  - Only AFFECTED partitions are rewritten (anti-join out the
+    *    matched keys, union the updates, `partitionOverwriteMode=
+    *    dynamic`); untouched partitions keep their files byte-for-
+    *    byte — at 100 TB the difference between rewriting one day
+    *    and rewriting the archive.
+    *  - The affected-partition list is a driver artifact the size of
+    *    the partition-value set (same class as the IVF centroid
+    *    list). The rewrite is staged through an eager
+    *    localCheckpoint so the plan no longer reads the path it is
+    *    about to overwrite (a production impl would stage new files
+    *    and swap a manifest, as the reference's section-file commit
+    *    does — this is the same two-phase idea at partition grain).
+    */
+  def mergeUpsert(s: SparkSession, targetPath: String, updates: DataFrame,
+                  keyCols: Seq[String], partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val target = s.read.parquet(targetPath)
+    val keys = updates.select(keyCols.map(col): _*)
+    val affected = target
+      .join(broadcast(keys), keyCols, "left_semi")
+      .select(partitionCol)
+      .union(updates.select(partitionCol))
+      .distinct().collect().map(_.get(0))
+    val survivors = target
+      .where(col(partitionCol).isin(affected: _*))
+      .join(broadcast(keys), keyCols, "left_anti")
+    survivors.unionByName(updates)
+      .localCheckpoint(true)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(targetPath)
+  }
+
   /** Bucketed + sorted managed table: both sides of a repeated join
     * pre-shuffled once at write time; subsequent joins on the bucket
     * key plan with zero Exchange.

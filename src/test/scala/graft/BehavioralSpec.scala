@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{Behavioral, Relational}
+import graft.sources.GraftSink
+import org.apache.spark.sql.functions._
+
+class BehavioralSpec extends SparkSpecBase {
+
+  test("funnel levels partition all active users and are monotone") {
+    val rows = Behavioral.qFunnelConversion(spark, sfDir).collect()
+    val byLevel = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nUsers = graft.streaming.Events.eventsTable(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(byLevel.values.sum == nUsers,
+      s"funnel levels must partition the $nUsers active users: $byLevel")
+    assert(byLevel.keys.forall(l => l >= 0 && l <= 3))
+  }
+
+  test("funnel plan shuffles the event log exactly once") {
+    val plan = Behavioral.qFunnelConversion(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(userExchanges == 1,
+      s"expected ONE user_id exchange reused by all 3 windows + the groupBy, got $userExchanges\n" + plan.take(1500))
+  }
+
+  test("funnel level ordering is consistent with its step times") {
+    // reconstruct per-user anchors independently with a driver scan
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    val ev = graft.streaming.Events.eventsTable(spark, sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), micros(r.getTimestamp(2))))
+    val w = 24L * 3600 * 1000000L
+    val expected = ev.groupBy(_._1).values.map { es =>
+      val t1 = es.filter(_._2 == "view").map(_._3).sorted.headOption
+      val t2 = t1.flatMap(a => es.filter(e => e._2 == "click" &&
+        e._3 >= a && e._3 <= a + w).map(_._3).sorted.headOption)
+      val t3 = t2.flatMap(b => es.filter(e => e._2 == "purchase" &&
+        e._3 >= b && e._3 <= t1.get + w).map(_._3).sorted.headOption)
+      if (t3.isDefined) 3 else if (t2.isDefined) 2 else if (t1.isDefined) 1 else 0
+    }.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    val got = Behavioral.qFunnelConversion(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("cohort retention: week-0 cell equals the cohort size") {
+    val rows = Behavioral.qCohortRetention(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // every user is active in their own first week by definition, so
+    // offset-0 must be the max cell of each cohort row
+    rows.groupBy(_._1).foreach { case (cw, cells) =>
+      val zero = cells.find(_._2 == 0)
+      assert(zero.isDefined, s"cohort $cw missing offset-0 cell")
+      assert(cells.forall(_._3 <= zero.get._3),
+        s"cohort $cw: offset-0 must dominate: $cells")
+    }
+  }
+
+  test("scd2 intervals tile each user's event span without gaps") {
+    val rows = Behavioral.qScd2UserStatus(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getInt(4)))
+    rows.groupBy(_._1).foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(_._3)
+      // exactly one open (current) interval per user, and it is last
+      assert(sorted.count(_._5 == 1) == 1, s"user $u open intervals != 1")
+      assert(sorted.last._5 == 1 && sorted.last._4.isEmpty)
+      // each interval's end = next interval's start (half-open tiling)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $u gap: ${a._4} -> ${b._3}")
+          assert(a._2 != b._2, s"user $u consecutive equal status not collapsed")
+        case _ =>
+      }
+    }
+  }
+
+  test("merge upsert rewrites only affected partitions (file identity)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    Relational.srcMergeUpsert(spark, sfDir).collect() // full write+merge
+    val root = Paths.get(GraftSink.scratchDir + "/orders_merge")
+    def listing(part: String) =
+      Files.list(root.resolve(s"o_orderstatus=$part")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toSet
+
+    val pBefore = listing("P")
+    // re-run ONLY the merge step against the already-merged table with
+    // an empty-effect update (no matches, no inserts) → nothing rewritten?
+    // Stronger check: capture P's listing, re-run the whole query (which
+    // rewrites the base + merges), and assert the merge phase itself
+    // left P alone by comparing against a fresh base write.
+    val orders = new graft.sources.GraftCatalog(spark, sfDir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val updates = orders
+      .where(col("o_orderstatus") === "F" && col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    GraftSink.mergeUpsert(spark, root.toString, updates,
+      Seq("o_orderkey"), "o_orderstatus")
+    assert(listing("P") == pBefore,
+      "merge touching only 'F' must leave partition P byte-identical")
+
+    // the moved key must exist once, in 'F', and be gone from 'O'
+    val merged = spark.read.parquet(root.toString)
+    val movedKeys = merged.where(col("o_orderkey") % 100 === 50 &&
+      col("o_orderstatus") === "O").count()
+    assert(movedKeys == 0, "stale copies left in the source partition of a move")
+    val inserted = merged.where(col("o_orderkey") >= 900000000L).count()
+    assert(inserted == 3)
+  }
+}
