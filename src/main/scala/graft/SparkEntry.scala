@@ -41,6 +41,8 @@ object SparkEntry {
     "src_snapshot_diff"          -> Relational.srcSnapshotDiff _,
     "src_dynamic_overwrite"      -> Relational.srcDynamicOverwrite _,
     "src_merge_upsert"           -> Relational.srcMergeUpsert _,
+    "src_merge_delete"           -> Relational.srcMergeDelete _,
+    "src_incremental_agg"        -> Relational.srcIncrementalAgg _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
     "q6_forecast_revenue"        -> Relational.q6ForecastRevenue _,
@@ -574,6 +576,24 @@ object SparkEntry {
       SELECT o_orderstatus, count(*) AS n,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A19: survivors of the delete predicate; the emptied 'P'
+    // partition must contribute no group at all
+    "src_merge_delete" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders
+      WHERE NOT (o_orderstatus = 'P'
+                 OR (o_orderstatus = 'F' AND o_orderkey % 100 = 7))
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A20: increment + exact-decimal merge must equal the full
+    // recompute over both epochs
+    "src_incremental_agg" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderstatus IN ('O', 'F')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // B58: greedy earliest-anchor funnel — t2/t3 minima conditioned
     // on the anchor exactly as the Spark window chain computes them

