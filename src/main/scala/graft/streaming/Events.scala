@@ -236,6 +236,54 @@ object Events {
     * Emits the running (n_sessions, n_events) per user on every
     * trigger; state is one small struct per active user.
     */
+  case class FunnelEv(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class UserFunnel(user_id: Long, funnel_level: Int)
+
+  /** G6: streaming twin of Behavioral.qFunnelConversion — per-user
+    * greedy earliest-anchor funnel state (three timestamps) advanced
+    * by mapGroupsWithState. Emits the user's current funnel level on
+    * every trigger (Update mode). State is O(1) per active user —
+    * a hot user cannot grow it. Within a micro-batch, events sort by
+    * (ts, step precedence) so same-instant step pairs resolve exactly
+    * as the batch form's window minima do; across batches the greedy
+    * scan matches the batch result when triggers arrive in event-time
+    * order (the in-order replay case; out-of-order arrivals can only
+    * under-count, never corrupt state — transitions are monotone).
+    */
+  def funnelStream(events: Dataset[FunnelEv]): Dataset[UserFunnel] = {
+    import events.sparkSession.implicits._
+    val W = 24L * 3600 * 1000000L
+    val unset = Long.MinValue
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    val stepRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, UserFunnel](GroupStateTimeout.NoTimeout) {
+        (userId, evs, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+          evs.toSeq
+            .filter(e => stepRank.contains(e.event_type))
+            .sortBy(e => (micros(e.ts), stepRank(e.event_type)))
+            .foreach { e =>
+              val t = micros(e.ts)
+              if (e.event_type == "view" && st.t1 == unset)
+                st = st.copy(t1 = t)
+              else if (e.event_type == "click" && st.t1 != unset &&
+                       st.t2 == unset && t >= st.t1 && t <= st.t1 + W)
+                st = st.copy(t2 = t)
+              else if (e.event_type == "purchase" && st.t2 != unset &&
+                       st.t3 == unset && t >= st.t2 && t <= st.t1 + W)
+                st = st.copy(t3 = t)
+            }
+          state.update(st)
+          UserFunnel(userId,
+            if (st.t3 != unset) 3 else if (st.t2 != unset) 2
+            else if (st.t1 != unset) 1 else 0)
+      }
+  }
+
   def sessionizeStream(events: Dataset[Ev]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events

@@ -74,6 +74,50 @@ class StreamingSpec extends SparkSpecBase {
     assert((last.getLong(1), last.getLong(2)) === (2L, 3L))
   }
 
+  test("streaming funnel replay matches the batch funnel levels") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replay the whole sf0.001 event log in event-time order
+    val evs = Events.eventsTable(spark, sfDir)
+      .select("user_id", "event_type", "ts")
+      .orderBy("ts", "event_type")
+      .as[Events.FunnelEv].collect()
+    val stream = MemoryStream[Events.FunnelEv]
+    stream.addData(evs.toIndexedSeq)
+    val q = Events.funnelStream(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Update).start()
+    q.processAllAvailable()
+    q.stop()
+    // last emission per user = final level; compare level histogram
+    val got = spark.table("funnel_out").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap // last write wins per key
+      .values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    val batch = graft.operators.Behavioral.qFunnelConversion(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+  }
+
+  test("streaming funnel state advances greedily across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Events.FunnelEv]
+    val q = Events.funnelStream(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_inc")
+      .outputMode(OutputMode.Update).start()
+    stream.addData(Events.FunnelEv(9L, "view", ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    stream.addData(Events.FunnelEv(9L, "click", ts("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    // purchase OUTSIDE the 24h anchor window must not level up
+    stream.addData(Events.FunnelEv(9L, "purchase", ts("2024-01-03 10:00:01")))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("funnel_inc").collect()
+      .filter(_.getLong(0) == 9L).last
+    assert(last.getInt(1) == 2, "late purchase must not complete the funnel")
+  }
+
   test("batch sessionize on sf0.001 events is consistent") {
     val out = Events.sessionizeBatch(spark, sfDir).collect()
     assert(out.nonEmpty)
