@@ -119,6 +119,7 @@ object SparkEntry {
     "sim_ivf_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfTopk(s, d)),
     "sim_ivf_persisted"          -> ((s: SparkSession, d: String) => Similarity.ivfPersistedTopk(s, d)),
     "sim_lsh_topk"               -> Similarity.lshTopk _,
+    "sim_pq_topk"                -> ((s: SparkSession, d: String) => Similarity.pqTopk(s, d)),
     "sim_quantize_int8"          -> Similarity.quantizeInt8 _,
     "sim_label_centroids"        -> Similarity.labelCentroids _,
     // §2.E text analysis

@@ -17,6 +17,10 @@ object VectorFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Squared L2 distance — single fused pass over both arrays. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
   /** Cosine similarity (inputs already double arrays) — native
     * single-pass expression; bit-identical to
     * dot(a,b)/(norm(a)*norm(b)) with sequential accumulation.

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFns
 import graft.sources.GraftCatalog
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,13 +64,21 @@ object Similarity {
     * (c_cos DESC, centroid_id ASC). Adds `centroid_id` to `e`.
     */
   private[graft] def assignCentroids(
-      e: DataFrame, centroids: Array[(Int, Seq[Double])]): DataFrame = {
+      e: DataFrame, centroids: Array[(Int, Seq[Double])],
+      score: (Column, Column) => Column = VectorFns.cosine(_, _)): DataFrame = {
     val cArr = typedlit(centroids.toSeq)
     val best = array_max(transform(cArr, c =>
-      struct(VectorFns.cosine(col("emb"), c.getField("_2")).as("cos"),
+      struct(score(col("emb"), c.getField("_2")).as("cos"),
         (-c.getField("_1")).as("nid"))))
     e.withColumn("centroid_id", (-best.getField("nid")).cast("int"))
   }
+
+  /** L2 flavor of the map-side argmax (PQ subspace codebooks): same
+    * zero-shuffle shape, maximizing the NEGATED squared distance.
+    */
+  private[graft] def assignCentroidsL2(
+      e: DataFrame, centroids: Array[(Int, Seq[Double])]): DataFrame =
+    assignCentroids(e, centroids, (a, b) => -VectorFns.l2sq(a, b))
 
   /** Lloyd's k-means over a (sampled) embedding table: deterministic
     * init (k lowest vec_ids present in the input), `iters`
@@ -83,13 +91,15 @@ object Similarity {
     * instead of vanishing from the groupBy result.
     */
   private[graft] def kmeansCentroids(
-      e: DataFrame, k: Int, iters: Int): Array[(Int, Seq[Double])] = {
+      e: DataFrame, k: Int, iters: Int,
+      assign: (DataFrame, Array[(Int, Seq[Double])]) => DataFrame =
+        assignCentroids(_, _)): Array[(Int, Seq[Double])] = {
     import e.sparkSession.implicits._
     var centroids = e.orderBy("vec_id").limit(k)
       .select(col("emb")).as[Seq[Double]].collect()
       .zipWithIndex.map { case (v, i) => (i, v) }
     for (_ <- 0 until iters) {
-      val updated = assignCentroids(e, centroids)
+      val updated = assign(e, centroids)
         // mean per dimension: posexplode + groupBy(centroid, dim)
         .select(col("centroid_id"), posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy("centroid_id", "dim").agg(avg("v").as("m"))
@@ -257,6 +267,81 @@ object Similarity {
         max(col("c_micro")).as("max_dim"),
         max(when(col("pos") === 1, col("c_micro"))).as("dim1_micro"))
       .orderBy("label")
+  }
+
+  /** D6: product-quantization ANN (the PQ of Jégou et al., TPAMI
+    * 2011, adapted to cosine by normalizing first): each unit vector
+    * splits into M=4 16-dim subvectors, each subspace gets its own
+    * 16-entry L2 codebook trained on the deterministic hash sample →
+    * the corpus is a 4-nibble code per vector (128× smaller than the
+    * double array). A query scores codes through an ADC lookup table
+    * (M×16 partial dot products per query — a driver artifact like
+    * the IVF centroids), so the scan side is a map-only aggregate
+    * over tiny codes with ZERO shuffle before the per-query top-k
+    * heap; the ADC shortlist (10×K) is then reranked with exact
+    * cosine — the production shape (compressed scan, exact rerank on
+    * a sliver).
+    *
+    * Scale: at 100 TB the PQ codes for 10^11 vectors fit in ~0.4 TB —
+    * scannable where the raw vectors are not; training and codebooks
+    * never touch the full corpus (hash sample only).
+    */
+  def pqTopk(s: SparkSession, dir: String,
+             m: Int = 4, ksub: Int = 16, shortlist: Int = 10 * K): DataFrame = {
+    val subDim = 64 / m
+    val e = emb(s, dir)
+      .withColumn("nemb", transform(col("emb"),
+        x => x / VectorFns.norm(col("emb"))))
+      .cache()
+    // per-subspace L2 codebooks, trained on the ~10% hash sample
+    val books: Array[Array[(Int, Seq[Double])]] = (0 until m).toArray.map { mi =>
+      val sub = trainingSample(e)
+        .select(col("vec_id"), slice(col("nemb"), mi * subDim + 1, subDim).as("emb"))
+      kmeansCentroids(sub, ksub, iters = 3, assignCentroidsL2)
+    }
+    // encode: M map-side argmins → a tiny code array per vector
+    val coded = (0 until m).foldLeft(e) { (df, mi) =>
+      assignCentroidsL2(
+        df.withColumn("emb", slice(col("nemb"), mi * subDim + 1, subDim)),
+        books(mi)).withColumnRenamed("centroid_id", s"code_$mi")
+    }.select(col("vec_id"), col("nemb"),
+      array((0 until m).map(mi => col(s"code_$mi")): _*).as("codes"))
+    // ADC tables: per query, per subspace, dot(query_sub, centroid_j)
+    import s.implicits._
+    val qRows = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("nemb")).as[(Long, Seq[Double])].collect()
+    val adc = qRows.toSeq.map { case (qid, q) =>
+      val tables = (0 until m).map { mi =>
+        val qs = q.slice(mi * subDim, (mi + 1) * subDim)
+        books(mi).sortBy(_._1).map { case (_, c) =>
+          qs.zip(c).map { case (a, b) => a * b }.sum
+        }.toSeq
+      }
+      (qid, q, tables)
+    }
+    val queries = adc.toDF("query_id", "q_emb", "adc")
+    // codebooks + ADC tables are built (all driver-side consumers of
+    // the cache have run); release it — the final scan recomputes the
+    // normalize projection in one pass, which is cheaper than holding
+    // corpus-sized storage memory across a multi-query session.
+    e.unpersist()
+    val scored = coded.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("adc_score",
+        aggregate(zip_with(col("adc"), col("codes"),
+          (t, c) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x))
+    // ADC shortlist, then exact-cosine rerank
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(wAdc))
+      .where(col("rn") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFns.dot(col("q_emb"), col("nemb")).as("cos_raw"))
+      .withColumn("rk", row_number().over(wExact))
+      .where(col("rk") <= K)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos_raw"), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id")
   }
 
   /** D3: random-hyperplane LSH ANN — 8-bit signatures (256 buckets);

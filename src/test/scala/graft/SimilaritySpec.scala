@@ -148,4 +148,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(dupCents.length === 4)
     assert(dupCents.map(_._1).sorted.toSeq === Seq(0, 1, 2, 3))
   }
+
+  test("PQ with exact rerank recalls most brute-force neighbors") {
+    val exact = Similarity.bruteForceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // 4x16 codebooks on 64-dim with a 5xK shortlist + exact rerank:
+    // every surviving neighbor has a TRUE cosine, so precision of the
+    // reported cos values is exact; recall depends on ADC shortlist
+    // quality. Require a solid majority.
+    assert(recall > 0.5, s"pq recall=$recall")
+    // reranked scores are exact cosines: any neighbor shared with
+    // brute force must carry the same rounded cos value
+    val exactScores = Similarity.bruteForceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.pqTopk(spark, sfDir).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactScores.get(key).foreach(c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-9, s"score drift at $key"))
+    }
+  }
+
+  test("PQ encode stage is map-only (no exchange before the top-k)") {
+    val plan = Similarity.pqTopk(spark, sfDir).queryExecution.executedPlan.toString
+    // exactly the two per-query top-k windows may shuffle (ADC
+    // shortlist + exact rerank, both tiny); the code-assignment side
+    // must contribute none.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 window exchanges, got $exchanges\n" + plan.take(1200))
+  }
 }
