@@ -33,9 +33,12 @@ object Bench {
     "dedup_clusters_exact", "sim_ivf_topk", "text_tokens",
     "text_tfidf_top_terms", "text_fingerprint", "prof_orders_columns",
     "mm_feature_extract", "mm_resize",
-    // round-6 additions: the two heaviest of the new TPC-H topologies
-    // and the map-only repetition pass
-    "q2_min_cost_supplier", "q21_waiting_suppliers", "text_repetition")
+    // round-6 additions: the two heaviest of the new TPC-H topologies,
+    // the map-only repetition pass, the behavioral event-log passes,
+    // the copy-on-write merge, and the PQ compressed-scan ANN
+    "q2_min_cost_supplier", "q21_waiting_suppliers", "text_repetition",
+    "q_funnel_conversion", "q_scd2_user_status", "src_merge_upsert",
+    "sim_pq_topk")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

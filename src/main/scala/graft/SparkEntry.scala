@@ -596,7 +596,7 @@ object SparkEntry {
       FROM orders WHERE o_orderstatus IN ('O', 'F')
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
-    // B58: greedy earliest-anchor funnel — t2/t3 minima conditioned
+    // B55: greedy earliest-anchor funnel — t2/t3 minima conditioned
     // on the anchor exactly as the Spark window chain computes them
     "q_funnel_conversion" -> """
       WITH u1 AS (
@@ -619,7 +619,7 @@ object SparkEntry {
              count(*) AS users
       FROM u3 GROUP BY 1 ORDER BY funnel_level""",
 
-    // B59: day-exact week arithmetic (no engine week-truncation)
+    // B56: day-exact week arithmetic (no engine week-truncation)
     "q_cohort_retention" -> """
       WITH d AS (
         SELECT user_id, CAST(ts AS DATE) AS d,
@@ -630,7 +630,7 @@ object SparkEntry {
              count(DISTINCT user_id) AS active_users
       FROM d GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
 
-    // B60: SCD2 intervals; lead() runs AFTER the change filter so an
+    // B57: SCD2 intervals; lead() runs AFTER the change filter so an
     // interval closes at the next CHANGE, not the next raw event
     "q_scd2_user_status" -> """
       WITH ch AS (

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object Behavioral {
 
-  /** B58: 3-step conversion funnel (view → click → purchase) within a
+  /** B55: 3-step conversion funnel (view → click → purchase) within a
     * 24-hour window anchored at the user's FIRST view — greedy
     * earliest-anchor semantics, deterministic and oracle-expressible:
     *   t1 = min ts of 'view'
@@ -59,7 +59,7 @@ object Behavioral {
       .orderBy("funnel_level")
   }
 
-  /** B59: weekly cohort retention — users bucketed by the week of
+  /** B56: weekly cohort retention — users bucketed by the week of
     * their first activity (day-exact arithmetic, no engine-specific
     * week-truncation semantics), counted distinct in each later week
     * offset. The classic triangular retention matrix.
@@ -80,7 +80,7 @@ object Behavioral {
       .orderBy("cohort_week", "week_offset")
   }
 
-  /** B60: slowly-changing-dimension (type 2) build from the event
+  /** B57: slowly-changing-dimension (type 2) build from the event
     * log — per user, collapse consecutive repeats of `event_type`
     * into status intervals [valid_from, valid_to) with an is_current
     * flag on the open interval. lag() finds change points, lead()

@@ -286,6 +286,57 @@ object Similarity {
     * scannable where the raw vectors are not; training and codebooks
     * never touch the full corpus (hash sample only).
     */
+  /** Trains the M per-subspace PQ codebooks JOINTLY: the training
+    * sample explodes once to (vec_id, sub, subvector) and each Lloyd
+    * round assigns every row against its own subspace's codebook — a
+    * literal array-of-codebooks indexed by `sub`, still the map-side
+    * argmin shape — then re-means per (sub, centroid, dim) in one
+    * shuffle. One job per round for ALL subspaces. Deterministic
+    * init (k lowest sample vec_ids seed every subspace, same rule as
+    * kmeansCentroids); an empty cluster keeps its previous centroid.
+    */
+  private[graft] def trainSubspaceCodebooks(e: DataFrame, m: Int, subDim: Int,
+      ksub: Int, iters: Int): Array[Array[(Int, Seq[Double])]] = {
+    import e.sparkSession.implicits._
+    val sub = trainingSample(e).select(col("vec_id"),
+      explode(array((0 until m).map(mi =>
+        struct(lit(mi).as("sub"),
+          slice(col("nemb"), mi * subDim + 1, subDim).as("emb"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.emb").as("emb"))
+      .localCheckpoint() // sample-sized; keeps the normalize lineage out of every round
+    try {
+      // every vec_id contributes exactly m rows, so the first ksub×m
+      // rows in (vec_id, sub) order seed all m codebooks in one job
+      val seed = sub.orderBy("vec_id", "sub").limit(ksub * m)
+        .select(col("sub"), col("vec_id"), col("emb"))
+        .as[(Int, Long, Seq[Double])].collect()
+      var books: Array[Array[(Int, Seq[Double])]] = (0 until m).toArray.map { mi =>
+        seed.filter(_._1 == mi).sortBy(_._2).zipWithIndex
+          .map { case ((_, _, v), i) => (i, v) }
+      }
+      for (_ <- 0 until iters) {
+        val bookArr = typedlit(books.map(_.toSeq).toSeq)
+        val best = array_max(transform(element_at(bookArr, col("sub") + 1), c =>
+          struct((-VectorFns.l2sq(col("emb"), c.getField("_2"))).as("nd"),
+            (-c.getField("_1")).as("nid"))))
+        val updated = sub
+          .withColumn("code", (-best.getField("nid")).cast("int"))
+          .select(col("sub"), col("code"), posexplode(col("emb")).as(Seq("dim", "v")))
+          .groupBy("sub", "code", "dim").agg(avg("v").as("mn"))
+          .groupBy("sub", "code")
+          .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("dims"))
+          .select(col("sub"), col("code"), expr("transform(dims, d -> d.mn)").as("c_emb"))
+          .as[(Int, Int, Seq[Double])].collect()
+          .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+        books = books.zipWithIndex.map { case (book, mi) =>
+          val up = updated.getOrElse(mi, Map.empty[Int, Seq[Double]])
+          book.map { case (id, prev) => (id, up.getOrElse(id, prev)) }
+        }
+      }
+      books
+    } finally sub.unpersist()
+  }
+
   def pqTopk(s: SparkSession, dir: String,
              m: Int = 4, ksub: Int = 16, shortlist: Int = 10 * K): DataFrame = {
     val subDim = 64 / m
@@ -293,12 +344,15 @@ object Similarity {
       .withColumn("nemb", transform(col("emb"),
         x => x / VectorFns.norm(col("emb"))))
       .cache()
-    // per-subspace L2 codebooks, trained on the ~10% hash sample
-    val books: Array[Array[(Int, Seq[Double])]] = (0 until m).toArray.map { mi =>
-      val sub = trainingSample(e)
-        .select(col("vec_id"), slice(col("nemb"), mi * subDim + 1, subDim).as("emb"))
-      kmeansCentroids(sub, ksub, iters = 3, assignCentroidsL2)
-    }
+    // per-subspace L2 codebooks, trained on the ~10% hash sample —
+    // ALL subspaces per Lloyd round in ONE job (rows exploded to
+    // (vec_id, sub, subvector), codebook looked up per-row from a
+    // literal array-of-codebooks): 1 init + `iters` jobs total
+    // instead of m×(1+iters) sequential tiny jobs, which at 31-query
+    // bench granularity is the difference between a ~1s and a ~5s
+    // training phase.
+    val books: Array[Array[(Int, Seq[Double])]] =
+      trainSubspaceCodebooks(e, m, subDim, ksub, iters = 3)
     // encode: M map-side argmins → a tiny code array per vector
     val coded = (0 until m).foldLeft(e) { (df, mi) =>
       assignCentroidsL2(

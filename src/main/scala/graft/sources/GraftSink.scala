@@ -72,11 +72,11 @@ object GraftSink {
     val survivors = target
       .where(col(partitionCol).isin(affected: _*))
       .join(broadcast(keys), keyCols, "left_anti")
-    survivors.unionByName(updates)
-      .localCheckpoint(true)
-      .write.mode(SaveMode.Overwrite)
+    val staged = survivors.unionByName(updates).localCheckpoint(true)
+    try staged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol).parquet(targetPath)
+    finally staged.unpersist() // free the staged blocks once committed
   }
 
   /** Copy-on-write key DELETE — the GDPR / retention-purge pass. Same
@@ -101,18 +101,20 @@ object GraftSink {
         .where(col(partitionCol).isin(affected: _*))
         .join(broadcast(keys), keyCols, "left_anti")
         .localCheckpoint(true)
-      val stillThere = survivors.select(partitionCol).distinct()
-        .collect().map(_.get(0)).toSet
-      survivors
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionCol).parquet(targetPath)
-      val fs = new org.apache.hadoop.fs.Path(targetPath)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      affected.filterNot(stillThere).foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$targetPath/$partitionCol=$v"), true)
-      }
+      try {
+        val stillThere = survivors.select(partitionCol).distinct()
+          .collect().map(_.get(0)).toSet
+        survivors
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol).parquet(targetPath)
+        val fs = new org.apache.hadoop.fs.Path(targetPath)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        affected.filterNot(stillThere).foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$targetPath/$partitionCol=$v"), true)
+        }
+      } finally survivors.unpersist() // free the staged blocks
     }
   }
 

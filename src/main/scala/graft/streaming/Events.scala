@@ -240,7 +240,7 @@ object Events {
   case class FunnelState(t1: Long, t2: Long, t3: Long)
   case class UserFunnel(user_id: Long, funnel_level: Int)
 
-  /** G6: streaming twin of Behavioral.qFunnelConversion — per-user
+  /** G7: streaming twin of Behavioral.qFunnelConversion — per-user
     * greedy earliest-anchor funnel state (three timestamps) advanced
     * by mapGroupsWithState. Emits the user's current funnel level on
     * every trigger (Update mode). State is O(1) per active user —
