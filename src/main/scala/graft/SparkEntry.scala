@@ -94,6 +94,8 @@ object SparkEntry {
     "q_rolling_revenue"          -> Analytic.qRollingRevenue _,
     "q13_customer_distribution"  -> Analytic.q13CustomerDistribution _,
     "q_histogram_totalprice"     -> Analytic.qHistogramTotalprice _,
+    "q_histogram_equidepth"      -> Analytic.qHistogramEquidepth _,
+    "q_constraint_report"        -> Profiling.constraintReport _,
     "q_funnel_conversion"        -> Behavioral.qFunnelConversion _,
     "q_cohort_retention"         -> Behavioral.qCohortRetention _,
     "q_scd2_user_status"         -> Behavioral.qScd2UserStatus _,
@@ -595,6 +597,42 @@ object SparkEntry {
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM orders WHERE o_orderstatus IN ('O', 'F')
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // B58: ntile ties ordered by o_orderkey so both engines assign
+    // identically; bounds as floor-cents (round() on arbitrary
+    // doubles diverges at half-cent boundaries)
+    "q_histogram_equidepth" -> """
+      WITH t AS (
+        SELECT o_totalprice,
+               CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS bucket
+        FROM orders)
+      SELECT bucket, count(*) AS n,
+             CAST(floor(min(o_totalprice) * 100) AS BIGINT) AS lo_cents,
+             CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS hi_cents
+      FROM t GROUP BY bucket ORDER BY bucket""",
+
+    // B59: each constraint is one narrow aggregate; a clean corpus
+    // reports zero violations on all four rules
+    "q_constraint_report" -> """
+      WITH r AS (
+        SELECT 'orderkey_unique' AS rule,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'custkey_in_customer',
+               CAST(count(*) AS BIGINT)
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'status_in_domain',
+               CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'totalprice_positive',
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders)
+      SELECT rule, violations, CAST(violations = 0 AS INT) AS pass
+      FROM r ORDER BY rule""",
 
     // B55: greedy earliest-anchor funnel — t2/t3 minima conditioned
     // on the anchor exactly as the Spark window chain computes them

@@ -272,6 +272,29 @@ object Analytic {
       .agg(count(lit(1)).as("n"))
       .orderBy("bin")
 
+  /** B58: equi-depth histogram — ntile over the global price order
+    * puts the same row COUNT in every bucket (equi-width B36 puts the
+    * same value RANGE). The exact form costs a global sort
+    * (RangePartitioning — Spark samples boundaries, so the "global"
+    * sort is per-range-partition parallel work, not a single-node
+    * sort); at 100 TB the cheaper route is approximate boundaries
+    * (B34's approx_percentile) when ±ε depth is acceptable. Ties are
+    * ordered by o_orderkey so both engines assign identically.
+    */
+  def qHistogramEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    cat(s, dir).table("orders")
+      .select(col("o_totalprice"), ntile(8).over(w).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        // floor-cents, not round(x,2): bucket bounds are ARBITRARY
+        // doubles and round() diverges across engines at half-cent
+        // boundaries (SURVEY §6)
+        floor(min(col("o_totalprice")) * 100).cast("long").as("lo_cents"),
+        floor(max(col("o_totalprice")) * 100).cast("long").as("hi_cents"))
+      .orderBy("bucket")
+  }
+
   /** B32: word count — THE canonical MapReduce job: tokenize → explode
     * → count, with map-side partial aggregation replacing the combiner.
     */

@@ -76,4 +76,34 @@ object Profiling {
           .cast("decimal(28,6)")).cast("double"), 2).as("sampled_revenue"))
       .orderBy("o_orderstatus")
   }
+
+  /** B59: data-quality constraint report — the dbt-test/Deequ-style
+    * gate a 100 TB ingest runs before publishing a table: uniqueness,
+    * referential integrity, domain membership, and a range rule, each
+    * as one narrow aggregate (never a row-level materialization of
+    * violations — the report is O(constraints), not O(rows)).
+    * Uniqueness collapses map-side via partial distinct; the FK check
+    * is a broadcast anti-join that only counts. A violating row is
+    * counted once per constraint it breaks.
+    */
+  def constraintReport(s: SparkSession, dir: String): DataFrame = {
+    val c = new graft.sources.GraftCatalog(s, dir)
+    val o = c.table("orders")
+    def row(name: String, agg: DataFrame) =
+      agg.select(lit(name).as("rule"), col("violations"))
+    val uniq = row("orderkey_unique", o.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations")))
+    val fk = row("custkey_in_customer", o
+      .join(broadcast(c.table("customer").select("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations")))
+    val domain = row("status_in_domain", o.agg(
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("violations")))
+    val range = row("totalprice_positive", o.agg(
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("violations")))
+    uniq.unionByName(fk).unionByName(domain).unionByName(range)
+      .withColumn("pass", (col("violations") === 0).cast("int"))
+      .orderBy("rule")
+  }
 }

@@ -55,4 +55,50 @@ class ProfilingSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(again === out)
   }
+
+  test("constraint report: clean corpus passes; planted violations are counted") {
+    import org.apache.spark.sql.functions._
+    val clean = Profiling.constraintReport(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(clean.size == 4 && clean.values.forall(_ == (0L, 1)),
+      s"driver corpus must be clean: $clean")
+
+    // corrupt a copy: 2 duplicate keys, 1 orphan custkey, 1 bad
+    // status, 1 negative price — each breaks exactly one rule
+    val root = graft.sources.GraftSink.scratchDir + "/constraint_bad"
+    val cat = new graft.sources.GraftCatalog(spark, sfDir)
+    val o = cat.table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val bad = o.limit(4).collect()
+    val extra = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(bad(0).getLong(0), bad(0).getLong(1), "O", 10.0),
+        org.apache.spark.sql.Row(bad(1).getLong(0), bad(1).getLong(1), "F", 10.0),
+        org.apache.spark.sql.Row(777777770L, 999999999L, "O", 10.0),
+        org.apache.spark.sql.Row(777777771L, bad(2).getLong(1), "X", 10.0),
+        org.apache.spark.sql.Row(777777772L, bad(3).getLong(1), "P", -5.0)),
+      o.schema)
+    o.unionByName(extra).write.mode("overwrite").parquet(s"$root/orders.parquet")
+    cat.table("customer").write.mode("overwrite").parquet(s"$root/customer.parquet")
+    val dirty = Profiling.constraintReport(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(dirty("orderkey_unique") == (2L, 0))
+    assert(dirty("custkey_in_customer") == (1L, 0))
+    assert(dirty("status_in_domain") == (1L, 0))
+    assert(dirty("totalprice_positive") == (1L, 0))
+  }
+
+  test("equi-depth buckets hold near-equal row counts covering the table") {
+    val rows = graft.operators.Analytic.qHistogramEquidepth(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 8)
+    val counts = rows.map(_._2)
+    assert(counts.max - counts.min <= 1, s"equi-depth: $counts")
+    // bucket bounds are non-decreasing across buckets
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 <= b._3 || a._4 <= b._4, s"bounds must order: $a then $b")
+      case _ =>
+    }
+  }
 }
