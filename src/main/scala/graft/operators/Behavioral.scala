@@ -38,10 +38,18 @@ object Behavioral {
     * `partitionBy(user_id)` spec: one Exchange, no per-user state
     * beyond three timestamps, whole-stage codegen throughout.
     */
-  def qFunnelConversion(s: SparkSession, dir: String): DataFrame = {
+  def qFunnelConversion(s: SparkSession, dir: String): DataFrame =
+    funnelLevels(Events.eventsTable(s, dir))
+
+  /** The funnel over an arbitrary event frame (user_id, event_type,
+    * ts). Over a table BUCKETED by user_id the whole computation
+    * plans with zero Exchange (spec-asserted) — at 100 TB, bucketing
+    * the event log once pays for every behavioral pass after it.
+    */
+  private[graft] def funnelLevels(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
     val horizon = col("t1") + expr("INTERVAL 24 HOURS")
-    Events.eventsTable(s, dir)
+    events
       .select("user_id", "event_type", "ts")
       .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
       .withColumn("t2", min(when(col("event_type") === "click" &&

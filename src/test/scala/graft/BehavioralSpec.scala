@@ -25,6 +25,26 @@ class BehavioralSpec extends SparkSpecBase {
       s"expected ONE user_id exchange reused by all 3 windows + the groupBy, got $userExchanges\n" + plan.take(1500))
   }
 
+  test("funnel over a user-bucketed event table plans ZERO exchange") {
+    import graft.streaming.Events
+    // bucket the event log by user_id once (the A8 layout applied to
+    // the behavioral workload) — every per-user pass after it should
+    // read pre-partitioned data and never shuffle
+    val ev = Events.eventsTable(spark, sfDir)
+      .select("user_id", "event_type", "ts")
+    GraftSink.writeBucketed(ev, "events_by_user", "user_id")
+    val bucketed = spark.table("events_by_user")
+    val df = graft.operators.Behavioral.funnelLevels(bucketed)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(user_id"),
+      "bucketed funnel must not shuffle the event log:\n" + plan.take(1500))
+    // and the result matches the unbucketed run
+    val a = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b = graft.operators.Behavioral.qFunnelConversion(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a == b, s"bucketed $a vs scan $b")
+  }
+
   test("funnel level ordering is consistent with its step times") {
     // reconstruct per-user anchors independently with a driver scan
     def micros(t: java.sql.Timestamp): Long =
