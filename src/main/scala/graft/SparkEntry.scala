@@ -95,6 +95,7 @@ object SparkEntry {
     "q13_customer_distribution"  -> Analytic.q13CustomerDistribution _,
     "q_histogram_totalprice"     -> Analytic.qHistogramTotalprice _,
     "q_histogram_equidepth"      -> Analytic.qHistogramEquidepth _,
+    "q_percent_rank_balance"     -> Analytic.qPercentRankBalance _,
     "q_constraint_report"        -> Profiling.constraintReport _,
     "q_funnel_conversion"        -> Behavioral.qFunnelConversion _,
     "q_cohort_retention"         -> Behavioral.qCohortRetention _,
@@ -144,6 +145,7 @@ object SparkEntry {
     "stream_session_window"      -> graft.streaming.Events.sessionWindowBatch _,
     "stream_enriched_counts"     -> graft.streaming.Events.enrichedCountsBatch _,
     "stream_click_purchase_join" -> graft.streaming.Events.clickToPurchaseBatch _,
+    "stream_click_purchase_outer" -> graft.streaming.Events.clickToPurchaseOuterBatch _,
     "stream_dedup_first"         -> graft.streaming.Events.dedupFirstBatch _,
   )
 
@@ -1458,5 +1460,29 @@ object SparkEntry {
        AND c.user_id = p.user_id
        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       ORDER BY click_id, purchase_id""",
+
+    // G5 outer: the range condition must live in the ON clause — a
+    // WHERE would drop null-padded rows and fold this to the inner form
+    "stream_click_purchase_outer" -> """
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id AS user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id""",
+
+    // B60: integer-ratio window doubles are bit-identical across
+    // engines — compared unrounded
+    "q_percent_rank_balance" -> """
+      SELECT c_custkey, CAST(c_nationkey AS INT) AS nation_key, c_acctbal,
+             percent_rank() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c_custkey) AS pct_rank,
+             cume_dist() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c_custkey) AS cume,
+             CAST(ntile(4) OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+      FROM customer ORDER BY c_custkey""",
   )
 }

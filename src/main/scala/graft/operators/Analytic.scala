@@ -295,6 +295,24 @@ object Analytic {
       .orderBy("bucket")
   }
 
+  /** B60: relative-standing window functions — percent_rank,
+    * cume_dist, and quartile (ntile) of each customer's balance
+    * WITHIN their nation. One partition-and-sort; all three functions
+    * share the frame. Values are integer-ratio doubles ((rank-1)/
+    * (n-1), rows≤/n) that both engines compute as the same IEEE
+    * division, so the compare is exact with no rounding.
+    */
+  def qPercentRankBalance(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal"), col("c_custkey"))
+    cat(s, dir).table("customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("int").as("nation_key"),
+        col("c_acctbal"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("c_custkey")
+  }
+
   /** B32: word count — THE canonical MapReduce job: tokenize → explode
     * → count, with map-side partial aggregation replacing the combiner.
     */

@@ -137,6 +137,45 @@ object Events {
       col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
   }
 
+  /** G5 (LEFT OUTER form): clicks that never convert within the hour
+    * must still emit, with null purchase columns. Streaming outer
+    * joins only emit the null-padded row once the WATERMARK passes
+    * the click's join window (state eviction proves no match can
+    * arrive) — so results trail the watermark by design; the spec
+    * advances event time to flush them.
+    */
+  def clickToPurchaseStreamOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("click_ts", "2 hours")
+    val p = purchases.withWatermark("purchase_ts", "2 hours")
+    c.join(p,
+      col("click_user") === col("purchase_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+  }
+
+  /** Batch twin of the LEFT OUTER form — the time-range condition
+    * lives in the join ON clause (a WHERE would silently drop the
+    * null-padded rows and turn it back into an inner join).
+    */
+  def clickToPurchaseOuterBatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTable(s, dir)
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** Batch-equivalent of the G5 stream-stream join, over the events
     * table itself: purchases matched to the same user's clicks in the
     * preceding hour. Plans as a hash join keyed on user_id with the

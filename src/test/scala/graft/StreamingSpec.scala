@@ -118,6 +118,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(last.getInt(1) == 2, "late purchase must not complete the funnel")
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched clicks after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val q = Events.clickToPurchaseStreamOuter(
+        clicks.toDF.toDF("click_id", "click_user", "click_ts"),
+        purchases.toDF.toDF("purchase_id", "purchase_user", "purchase_ts"))
+      .writeStream.format("memory").queryName("cp_outer")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData((1L, 7L, ts("2024-01-01 10:00:00")))  // converts
+    clicks.addData((2L, 8L, ts("2024-01-01 10:00:00")))  // never converts
+    purchases.addData((100L, 7L, ts("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    // advance both watermarks far past click+1h+2h so the unmatched
+    // click's state is evicted and the null-padded row emits
+    clicks.addData((99L, 1L, ts("2024-01-02 10:00:00")))
+    purchases.addData((999L, 1L, ts("2024-01-02 10:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cp_outer").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_ => r.getLong(3))))
+    assert(rows.contains((1L, Some(100L))), s"converted click must match: ${rows.toSeq}")
+    assert(rows.contains((2L, None)), s"unconverted click must null-pad: ${rows.toSeq}")
+  }
+
   test("batch sessionize on sf0.001 events is consistent") {
     val out = Events.sessionizeBatch(spark, sfDir).collect()
     assert(out.nonEmpty)
