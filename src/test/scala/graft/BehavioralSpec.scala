@@ -66,6 +66,14 @@ class BehavioralSpec extends SparkSpecBase {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("scd2 windows share one user_id exchange (lag + lead, one shuffle)") {
+    val plan = Behavioral.qScd2UserStatus(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(n == 1,
+      s"lag and post-filter lead must reuse ONE user_id exchange, got $n\n" + plan.take(1200))
+  }
+
   test("cohort retention: week-0 cell equals the cohort size") {
     val rows = Behavioral.qCohortRetention(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
