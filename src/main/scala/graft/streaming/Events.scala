@@ -214,6 +214,57 @@ object Events {
       }
       .start()
 
+  // ── G8: exactly-once incremental summary via foreachBatch ──
+
+  /** Stream → persisted per-type summary maintained incrementally:
+    * each micro-batch's PARTIAL aggregate merges into the summary
+    * under A20's mergeability rule (unrounded DECIMAL partials, so
+    * merge order never matters), and an applied-batch ledger makes
+    * the merge IDEMPOTENT: foreachBatch is at-least-once after
+    * recovery, and a replayed batchId is detected and skipped, so the
+    * summary carries exactly-once semantics. (The summary write and
+    * the ledger append are two files here — a production sink makes
+    * them one atomic commit, e.g. staged dir + rename; the replay
+    * window between them is the only non-atomicity left.)
+    */
+  def incrementalSummarySink(events: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applySummaryBatch(batch, batchId, root)
+      }
+      .start()
+
+  /** One micro-batch's merge step (factored out so the idempotence is
+    * directly testable: calling it twice with one batchId is a no-op).
+    */
+  private[graft] def applySummaryBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long, root: String): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val sumPath = s"$root/summary.parquet"
+    val ledgerPath = s"$root/applied_batches.parquet"
+    val conf = s.sessionState.newHadoopConf()
+    def exists(p: String) =
+      new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+        .exists(new org.apache.hadoop.fs.Path(p))
+    if (exists(ledgerPath) &&
+        s.read.parquet(ledgerPath).where(col("batch_id") === batchId).limit(1)
+          .count() > 0) return // replayed batch: already applied
+    val partial = batch
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).as("total_d"))
+    val merged =
+      (if (exists(sumPath)) s.read.parquet(sumPath).unionByName(partial) else partial)
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"), sum(col("total_d")).cast("decimal(28,6)").as("total_d"))
+        .localCheckpoint(true) // about to overwrite the path it reads
+    try merged.write.mode("overwrite").parquet(sumPath)
+    finally merged.unpersist()
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerPath)
+  }
+
   // ── G2: sessionization (30-minute inactivity gap) ──
 
   val GapSeconds = 1800L

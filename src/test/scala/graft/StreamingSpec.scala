@@ -144,6 +144,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.contains((2L, None)), s"unconverted click must null-pad: ${rows.toSeq}")
   }
 
+  test("foreachBatch summary merges partials exactly once across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = graft.sources.GraftSink.scratchDir + "/stream_summary"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val stream = MemoryStream[(String, Double, Timestamp)]
+    val q = Events.incrementalSummarySink(
+      stream.toDF.toDF("event_type", "value", "ts"), root)
+    stream.addData(("click", 1.5, ts("2024-01-01 10:00:00")),
+      ("view", 2.0, ts("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    stream.addData(("click", 3.5, ts("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    def summary() = spark.read.parquet(s"$root/summary.parquet").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    val after = summary()
+    assert(after("click") == (2L, 5.0) && after("view") == (1L, 2.0), s"$after")
+    // at-least-once replay: re-apply an already-applied batchId → no-op
+    val replay = Seq(("click", 99.0)).toDF("event_type", "value")
+    Events.applySummaryBatch(replay.toDF, 0L, root)
+    assert(summary() == after, "replayed batch must not double-apply")
+    // a NEW batch id with the same data does apply
+    Events.applySummaryBatch(replay.toDF, 7L, root)
+    assert(summary()("click") == (3L, 104.0))
+  }
+
   test("batch sessionize on sf0.001 events is consistent") {
     val out = Events.sessionizeBatch(spark, sfDir).collect()
     assert(out.nonEmpty)
