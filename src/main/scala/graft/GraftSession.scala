@@ -45,4 +45,17 @@ object GraftSession {
   /** Load a named table from an sf directory (TESTDATA.md layout). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Frees the storage blocks behind a localCheckpoint'd Dataset.
+    * `Dataset.unpersist` only clears CacheManager entries and is a
+    * NO-OP for checkpoints (verified on this Spark build): the blocks
+    * belong to the materialized RDD inside the plan's LogicalRDD
+    * leaf, so that RDD must be unpersisted directly. Call ONLY on a
+    * checkpoint no live plan will read again — its lineage is
+    * truncated, so dropped blocks cannot be recomputed.
+    */
+  def releaseCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 }

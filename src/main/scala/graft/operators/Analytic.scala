@@ -274,11 +274,13 @@ object Analytic {
 
   /** B58: equi-depth histogram — ntile over the global price order
     * puts the same row COUNT in every bucket (equi-width B36 puts the
-    * same value RANGE). The exact form costs a global sort
-    * (RangePartitioning — Spark samples boundaries, so the "global"
-    * sort is per-range-partition parallel work, not a single-node
-    * sort); at 100 TB the cheaper route is approximate boundaries
-    * (B34's approx_percentile) when ±ε depth is acceptable. Ties are
+    * same value RANGE). An unpartitioned window plans `Exchange
+    * SinglePartition`: ALL rows flow through one task — fine at
+    * test scale, the wrong shape at 100 TB. The scale route is
+    * two-phase: exact/approximate percentile BOUNDARIES first (B25/
+    * B34 — distributed), then a map-side bucket lookup against the
+    * broadcast boundary array; this query keeps the one-pass ntile
+    * form because its oracle needs exactly-equal depths. Ties are
     * ordered by o_orderkey so both engines assign identically.
     */
   def qHistogramEquidepth(s: SparkSession, dir: String): DataFrame = {

@@ -313,7 +313,7 @@ object Dedup {
       else distributedLabelProp(edgeCp)
     // both paths have materialized what they need (driver map / their
     // own checkpoints) — the edge snapshot's blocks can go.
-    edgeCp.unpersist()
+    graft.GraftSession.releaseCheckpoint(edgeCp)
     val isolated = allIds.select(col("doc_id").cast("long"))
       .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
       .withColumn("label", col("doc_id"))
@@ -387,11 +387,11 @@ object Dedup {
       val s = labelSum(jumped)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist() // superseded round's checkpoint blocks
+      graft.GraftSession.releaseCheckpoint(labels) // superseded round
       labels = jumped
       round += 1
     }
-    bidirCp.unpersist() // final labels are checkpointed; edges done
+    graft.GraftSession.releaseCheckpoint(bidirCp) // final labels are checkpointed; edges done
     // same no-silent-truncation philosophy as the bucket guard: a
     // capped-out loop means labels may still be moving — say so.
     if (!converged)

@@ -334,7 +334,7 @@ object Similarity {
         }
       }
       books
-    } finally sub.unpersist()
+    } finally graft.GraftSession.releaseCheckpoint(sub)
   }
 
   def pqTopk(s: SparkSession, dir: String,

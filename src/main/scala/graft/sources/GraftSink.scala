@@ -73,20 +73,50 @@ object GraftSink {
       .where(col(partitionCol).isin(affected: _*))
       .join(broadcast(keys), keyCols, "left_anti")
     val staged = survivors.unionByName(updates).localCheckpoint(true)
-    try staged.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol).parquet(targetPath)
-    finally staged.unpersist() // free the staged blocks once committed
+    try {
+      // a partition can be DRAINED by a merge that moves every one of
+      // its rows elsewhere: no survivors, no update rows carry its
+      // value, so dynamic overwrite writes nothing for it and its
+      // stale files would survive — same pitfall as a full-partition
+      // delete. Drop affected-minus-written explicitly.
+      val written = staged.select(partitionCol).distinct()
+        .collect().map(_.get(0)).toSet
+      staged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol).parquet(targetPath)
+      dropDrainedPartitions(s, targetPath, partitionCol,
+        affected.filterNot(written).toSeq)
+    } finally graft.GraftSession.releaseCheckpoint(staged) // free staged blocks
+  }
+
+  /** Removes partition directories whose every row a merge/delete
+    * eliminated — `partitionOverwriteMode=dynamic` only replaces
+    * partitions PRESENT in the written data, so an absent partition's
+    * old files survive unless dropped here. Values are escaped
+    * exactly as Spark's writer escapes them (spaces, colons, '%', '='
+    * become %XX; null becomes the Hive default-partition sentinel) so
+    * the path names the real directory.
+    */
+  private def dropDrainedPartitions(s: SparkSession, targetPath: String,
+      partitionCol: String, values: Seq[Any]): Unit = if (values.nonEmpty) {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val fs = new org.apache.hadoop.fs.Path(targetPath)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    values.foreach { v =>
+      val escaped =
+        if (v == null) "__HIVE_DEFAULT_PARTITION__"
+        else ExternalCatalogUtils.escapePathName(String.valueOf(v))
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$targetPath/$partitionCol=$escaped"), true)
+    }
   }
 
   /** Copy-on-write key DELETE — the GDPR / retention-purge pass. Same
     * affected-partition discovery as mergeUpsert (broadcast semi-join,
-    * no shuffle of the target), with one pitfall mergeUpsert cannot
-    * hit: `partitionOverwriteMode=dynamic` replaces only partitions
-    * PRESENT in the written data, so a partition whose every row is
-    * deleted produces no output rows and would silently survive.
-    * Emptied partitions are therefore removed explicitly through the
-    * session's FileSystem after the rewrite.
+    * no shuffle of the target) and the same drained-partition
+    * handling: a partition whose every row is deleted produces no
+    * output rows, dynamic overwrite writes nothing for it, and its
+    * directory must be removed explicitly.
     */
   def mergeDelete(s: SparkSession, targetPath: String, deleteKeys: DataFrame,
                   keyCols: Seq[String], partitionCol: String): Unit = {
@@ -108,13 +138,9 @@ object GraftSink {
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy(partitionCol).parquet(targetPath)
-        val fs = new org.apache.hadoop.fs.Path(targetPath)
-          .getFileSystem(s.sessionState.newHadoopConf())
-        affected.filterNot(stillThere).foreach { v =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$targetPath/$partitionCol=$v"), true)
-        }
-      } finally survivors.unpersist() // free the staged blocks
+        dropDrainedPartitions(s, targetPath, partitionCol,
+          affected.filterNot(stillThere).toSeq)
+      } finally graft.GraftSession.releaseCheckpoint(survivors) // free staged blocks
     }
   }
 

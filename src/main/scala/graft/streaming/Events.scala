@@ -158,7 +158,25 @@ object Events {
     * lives in the join ON clause (a WHERE would silently drop the
     * null-padded rows and turn it back into an inner join).
     */
-  def clickToPurchaseOuterBatch(s: SparkSession, dir: String): DataFrame = {
+  def clickToPurchaseOuterBatch(s: SparkSession, dir: String): DataFrame =
+    clickPurchaseBatch(s, dir, "left_outer")
+
+  /** Batch-equivalent of the G5 stream-stream join, over the events
+    * table itself: purchases matched to the same user's clicks in the
+    * preceding hour. Plans as a hash join keyed on user_id with the
+    * time range as a residual filter — the same shape the streaming
+    * form's state matching uses, and the scale-correct plan (equi-key
+    * shuffle, never a cross product).
+    */
+  def clickToPurchaseBatch(s: SparkSession, dir: String): DataFrame =
+    clickPurchaseBatch(s, dir, "inner")
+
+  /** Shared body of the inner/outer batch twins: ONE definition of
+    * the click/purchase sub-selects and the user + end-inclusive
+    * hour-window condition, so the two forms cannot drift apart.
+    */
+  private def clickPurchaseBatch(s: SparkSession, dir: String,
+      joinType: String): DataFrame = {
     val ev = eventsTable(s, dir)
     val c = ev.where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
@@ -169,29 +187,7 @@ object Events {
         col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-        "left_outer")
-      .select(col("click_id"), col("purchase_id"), col("user_id"),
-        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
-        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
-      .orderBy("click_id", "purchase_id")
-  }
-
-  /** Batch-equivalent of the G5 stream-stream join, over the events
-    * table itself: purchases matched to the same user's clicks in the
-    * preceding hour. Plans as a hash join keyed on user_id with the
-    * time range as a residual filter — the same shape the streaming
-    * form's state matching uses, and the scale-correct plan (equi-key
-    * shuffle, never a cross product).
-    */
-  def clickToPurchaseBatch(s: SparkSession, dir: String): DataFrame = {
-    val ev = eventsTable(s, dir)
-    val c = ev.where(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-    val p = ev.where(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
-    c.join(p, Seq("user_id"))
-      .where(col("purchase_ts") >= col("click_ts") &&
-             col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        joinType)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_time"),
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
@@ -221,11 +217,14 @@ object Events {
     * under A20's mergeability rule (unrounded DECIMAL partials, so
     * merge order never matters), and an applied-batch ledger makes
     * the merge IDEMPOTENT: foreachBatch is at-least-once after
-    * recovery, and a replayed batchId is detected and skipped, so the
-    * summary carries exactly-once semantics. (The summary write and
-    * the ledger append are two files here — a production sink makes
-    * them one atomic commit, e.g. staged dir + rename; the replay
-    * window between them is the only non-atomicity left.)
+    * recovery, and batchIds are monotone per query, so a single
+    * max-applied marker (one tiny file, overwritten per batch — O(1)
+    * per trigger, never a growing ledger) detects a replayed batchId
+    * and skips it; the summary carries exactly-once semantics. (The
+    * summary write and the marker write are two files here — a
+    * production sink makes them one atomic commit, e.g. staged dir +
+    * rename; the replay window between them is the only
+    * non-atomicity left.)
     */
   def incrementalSummarySink(events: DataFrame, root: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -241,16 +240,17 @@ object Events {
   private[graft] def applySummaryBatch(
       batch: Dataset[org.apache.spark.sql.Row], batchId: Long, root: String): Unit = {
     val s = batch.sparkSession
-    import s.implicits._
     val sumPath = s"$root/summary.parquet"
-    val ledgerPath = s"$root/applied_batches.parquet"
-    val conf = s.sessionState.newHadoopConf()
-    def exists(p: String) =
-      new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
-        .exists(new org.apache.hadoop.fs.Path(p))
-    if (exists(ledgerPath) &&
-        s.read.parquet(ledgerPath).where(col("batch_id") === batchId).limit(1)
-          .count() > 0) return // replayed batch: already applied
+    val markerPath = new org.apache.hadoop.fs.Path(s"$root/_max_applied_batch")
+    val fs = markerPath.getFileSystem(s.sessionState.newHadoopConf())
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val maxApplied: Long =
+      if (!fs.exists(markerPath)) -1L
+      else {
+        val in = fs.open(markerPath)
+        try in.readLong() finally in.close()
+      }
+    if (batchId <= maxApplied) return // replayed batch: already applied
     val partial = batch
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -261,8 +261,9 @@ object Events {
         .agg(sum(col("n")).as("n"), sum(col("total_d")).cast("decimal(28,6)").as("total_d"))
         .localCheckpoint(true) // about to overwrite the path it reads
     try merged.write.mode("overwrite").parquet(sumPath)
-    finally merged.unpersist()
-    Seq(batchId).toDF("batch_id").write.mode("append").parquet(ledgerPath)
+    finally graft.GraftSession.releaseCheckpoint(merged)
+    val out = fs.create(markerPath, true)
+    try out.writeLong(batchId) finally out.close()
   }
 
   // ── G2: sessionization (30-minute inactivity gap) ──

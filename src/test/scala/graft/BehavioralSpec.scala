@@ -137,6 +137,44 @@ class BehavioralSpec extends SparkSpecBase {
     assert(epoch1Files.nonEmpty)
   }
 
+  test("merge upsert drops a partition drained by moves (no stale copies)") {
+    import java.nio.file.{Files, Paths}
+    val root = GraftSink.scratchDir + "/orders_drain"
+    val orders = new graft.sources.GraftCatalog(spark, sfDir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(root)
+    // move EVERY 'P' row to 'F': partition P drains to zero survivors
+    val moves = orders.where(col("o_orderstatus") === "P")
+      .withColumn("o_orderstatus", lit("F"))
+    GraftSink.mergeUpsert(spark, root, moves, Seq("o_orderkey"), "o_orderstatus")
+    assert(!Files.exists(Paths.get(root, "o_orderstatus=P")),
+      "drained partition dir must be dropped")
+    val merged = spark.read.parquet(root)
+    assert(merged.where(col("o_orderstatus") === "P").count() == 0)
+    // every moved key exists exactly once (no stale duplicate)
+    val dups = merged.groupBy("o_orderkey").count().where(col("count") > 1).count()
+    assert(dups == 0, "moved keys must not be duplicated by stale copies")
+    assert(merged.count() == orders.count())
+  }
+
+  test("releaseCheckpoint actually frees localCheckpoint storage blocks") {
+    // delta-based so leftovers from other suites (shared session)
+    // don't pollute the assertion
+    val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    val df = new graft.sources.GraftCatalog(spark, sfDir).table("orders")
+      .localCheckpoint(true)
+    def newlyCached() = spark.sparkContext.getRDDStorageInfo
+      .filter(i => !before(i.id) && i.numCachedPartitions > 0)
+    assert(newlyCached().nonEmpty, "checkpoint must appear in storage")
+    df.unpersist(true) // documented no-op for checkpoints
+    assert(newlyCached().nonEmpty,
+      "Dataset.unpersist on a checkpoint is expected to be a no-op " +
+        "(if this fails, Spark fixed it and releaseCheckpoint can go)")
+    graft.GraftSession.releaseCheckpoint(df)
+    assert(newlyCached().isEmpty,
+      "releaseCheckpoint must drop the checkpoint's cached partitions")
+  }
+
   test("merge upsert rewrites only affected partitions (file identity)") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

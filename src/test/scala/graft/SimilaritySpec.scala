@@ -155,7 +155,7 @@ class SimilaritySpec extends SparkSpecBase {
     val pq = Similarity.pqTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect pq).size.toDouble / exact.size
-    // 4x16 codebooks on 64-dim with a 5xK shortlist + exact rerank:
+    // 4x16 codebooks on 64-dim with a 10xK shortlist + exact rerank:
     // every surviving neighbor has a TRUE cosine, so precision of the
     // reported cos values is exact; recall depends on ADC shortlist
     // quality. Require a solid majority.
