@@ -95,6 +95,7 @@ object SparkEntry {
     "q13_customer_distribution"  -> Analytic.q13CustomerDistribution _,
     "q_histogram_totalprice"     -> Analytic.qHistogramTotalprice _,
     "q_histogram_equidepth"      -> Analytic.qHistogramEquidepth _,
+    "q_histogram_equidepth_scalable" -> Analytic.qHistogramEquidepthScalable _,
     "q_percent_rank_balance"     -> Analytic.qPercentRankBalance _,
     "q_constraint_report"        -> Profiling.constraintReport _,
     "q_funnel_conversion"        -> Behavioral.qFunnelConversion _,
@@ -612,6 +613,29 @@ object SparkEntry {
              CAST(floor(min(o_totalprice) * 100) AS BIGINT) AS lo_cents,
              CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS hi_cents
       FROM t GROUP BY bucket ORDER BY bucket""",
+
+    // B58 scale form: quantile_cont matches Spark's percentile
+    // interpolation (established by B25); bucket = 1 + #boundaries
+    // strictly below the price
+    "q_histogram_equidepth_scalable" -> """
+      WITH b AS (
+        SELECT quantile_cont(o_totalprice, 0.125) AS q1,
+               quantile_cont(o_totalprice, 0.25)  AS q2,
+               quantile_cont(o_totalprice, 0.375) AS q3,
+               quantile_cont(o_totalprice, 0.5)   AS q4,
+               quantile_cont(o_totalprice, 0.625) AS q5,
+               quantile_cont(o_totalprice, 0.75)  AS q6,
+               quantile_cont(o_totalprice, 0.875) AS q7
+        FROM orders)
+      SELECT CAST(1 + (o.o_totalprice > b.q1)::INT + (o.o_totalprice > b.q2)::INT
+                    + (o.o_totalprice > b.q3)::INT + (o.o_totalprice > b.q4)::INT
+                    + (o.o_totalprice > b.q5)::INT + (o.o_totalprice > b.q6)::INT
+                    + (o.o_totalprice > b.q7)::INT AS INT) AS bucket,
+             count(*) AS n,
+             CAST(floor(min(o.o_totalprice) * 100) AS BIGINT) AS lo_cents,
+             CAST(floor(max(o.o_totalprice) * 100) AS BIGINT) AS hi_cents
+      FROM orders o CROSS JOIN b
+      GROUP BY 1 ORDER BY bucket""",
 
     // B59: each constraint is one narrow aggregate; a clean corpus
     // reports zero violations on all four rules

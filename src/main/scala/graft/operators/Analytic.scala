@@ -315,6 +315,31 @@ object Analytic {
       .orderBy("c_custkey")
   }
 
+  /** B58 (scale form): the two-phase equi-depth shape the ntile form's
+    * doc promises — phase 1 computes the 7 octile BOUNDARIES with the
+    * distributed exact-percentile aggregate (a 7-double driver
+    * artifact, same class as IVF centroids); phase 2 buckets map-side
+    * by counting boundaries strictly below each price (codegen'd sum
+    * of comparisons, zero shuffle before the 8-group aggregate). No
+    * SinglePartition window anywhere (plan-spec'd). Depths are
+    * near-equal rather than exactly equal — boundary ties all land in
+    * one bucket — which is the standard trade at scale.
+    */
+  def qHistogramEquidepthScalable(s: SparkSession, dir: String): DataFrame = {
+    val o = cat(s, dir).table("orders")
+    val ps = (1 to 7).map(i => i / 8.0)
+    val bs = o.agg(expr(s"percentile(o_totalprice, array(${ps.mkString(", ")}))"))
+      .first().getSeq[Double](0)
+    val bucket = bs.map(b => when(col("o_totalprice") > b, 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    o.select(bucket.cast("int").as("bucket"), col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        floor(min(col("o_totalprice")) * 100).cast("long").as("lo_cents"),
+        floor(max(col("o_totalprice")) * 100).cast("long").as("hi_cents"))
+      .orderBy("bucket")
+  }
+
   /** B32: word count — THE canonical MapReduce job: tokenize → explode
     * → count, with map-side partial aggregation replacing the combiner.
     */

@@ -101,4 +101,18 @@ class ProfilingSpec extends SparkSpecBase {
       case _ =>
     }
   }
+
+  test("scalable equi-depth buckets map-side: no single-partition window") {
+    val df = graft.operators.Analytic.qHistogramEquidepthScalable(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("Window"),
+      "two-phase form must not funnel rows through one task:\n" + plan.take(1200))
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.length == 8)
+    val counts = rows.map(_._2)
+    val n = counts.sum.toDouble
+    // near-equal depths (boundary ties collapse into one bucket)
+    assert(counts.forall(c => math.abs(c - n / 8) <= n / 80 + 2),
+      s"depths should be within ~10% of n/8: ${counts.toSeq}")
+  }
 }
