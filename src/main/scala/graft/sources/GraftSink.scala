@@ -38,7 +38,10 @@ object GraftSink {
     * overwrite backfill. `updates` rows carry the full target schema;
     * a key match replaces the target row (including a changed
     * partition value — the stale copy in the OLD partition is
-    * dropped), a non-match inserts.
+    * dropped), a non-match inserts. As in SQL MERGE, `updates` must
+    * carry at most one row per key — duplicate update keys would
+    * both survive the union (the standard multiple-matches error
+    * case, left to the caller's contract).
     *
     * Scale shape (100 TB target, small update batch — the common
     * case):

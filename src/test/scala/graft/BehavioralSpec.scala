@@ -175,6 +175,22 @@ class BehavioralSpec extends SparkSpecBase {
       "releaseCheckpoint must drop the checkpoint's cached partitions")
   }
 
+  test("merge upsert with an empty update batch touches nothing") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = GraftSink.scratchDir + "/orders_noop"
+    val orders = new graft.sources.GraftCatalog(spark, sfDir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(root)
+    def allFiles() = Files.walk(Paths.get(root)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toSet
+    val before = allFiles()
+    GraftSink.mergeUpsert(spark, root, orders.limit(0),
+      Seq("o_orderkey"), "o_orderstatus")
+    assert(allFiles() == before, "empty merge must leave every file untouched")
+  }
+
   test("merge upsert rewrites only affected partitions (file identity)") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
