@@ -299,11 +299,11 @@ object SparkEntry {
     "q_window_top_parts_per_supplier" -> """
       WITH sp AS (
         SELECT l_suppkey, l_partkey,
-               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS rev
+               CAST(floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS rev_cents
         FROM lineitem GROUP BY 1, 2)
-      SELECT l_suppkey, l_partkey, rev, rnk FROM (
+      SELECT l_suppkey, l_partkey, rev_cents, rnk FROM (
         SELECT *, CAST(row_number() OVER (PARTITION BY l_suppkey
-                       ORDER BY rev DESC, l_partkey) AS INT) AS rnk
+                       ORDER BY rev_cents DESC, l_partkey) AS INT) AS rnk
         FROM sp)
       WHERE rnk <= 3
       ORDER BY l_suppkey, rnk""",
@@ -1023,7 +1023,8 @@ object SparkEntry {
         WHERE n_name IN ('NATION_7', 'NATION_12')
         GROUP BY l_partkey)
       SELECT l_partkey, value_cents FROM val
-      WHERE value_cents > (SELECT CAST(sum(value_cents) AS DOUBLE) * 0.0005 FROM val)
+      WHERE value_cents > (SELECT CAST(sum(value_cents) AS DOUBLE)
+                                  * (0.05 / (SELECT count(*) FROM supplier)) FROM val)
       ORDER BY value_cents DESC, l_partkey""",
 
     "q12_priority_by_flag" -> """

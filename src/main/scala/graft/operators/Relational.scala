@@ -636,11 +636,15 @@ object Relational {
     * AND the window's l_suppkey clustering, so neither re-shuffles.
     */
   def qWindowTopPartsPerSupplier(s: SparkSession, dir: String): DataFrame = {
+    // integer cents, not round(x, 2): at sf0.1 a half-cent revenue sum
+    // reaches the top-3 and Spark/DuckDB double rounding disagree
+    // there — floor(x*100+0.5) is bit-identical on both (same fix as
+    // Q11's value_cents)
     val sp = cat(s, dir).table("lineitem")
       .repartition(col("l_suppkey"))
       .groupBy("l_suppkey", "l_partkey")
-      .agg(dsumr(revenueExpr).as("rev"))
-    val w = Window.partitionBy("l_suppkey").orderBy(col("rev").desc, col("l_partkey"))
+      .agg(floor(dsum(revenueExpr) * 100.0 + 0.5).cast("long").as("rev_cents"))
+    val w = Window.partitionBy("l_suppkey").orderBy(col("rev_cents").desc, col("l_partkey"))
     sp.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 3)
       .orderBy("l_suppkey", "rnk")

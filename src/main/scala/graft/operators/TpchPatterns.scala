@@ -110,7 +110,14 @@ object TpchPatterns {
       .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
       .groupBy("l_partkey")
       .agg(floor(dsum(revenueExpr) * 100.0 + 0.5).cast("long").as("value_cents"))
-    val thresh = value.agg((sum(col("value_cents")).cast("double") * 0.0005).as("thresh"))
+    // TPC-H's Q11 threshold fraction is 0.0001/SF — fixed fractions go
+    // VACUOUS as the corpus grows (observed: 0 rows at sf0.1). Scale it
+    // off the supplier count (∝ SF): 0.05/|supplier| = 0.0005 at
+    // sf0.01, keeping the sf0.01 gate identical while staying
+    // non-degenerate at any scale.
+    val nSupp = c.table("supplier").count()
+    val thresh = value.agg(
+      (sum(col("value_cents")).cast("double") * (0.05 / nSupp)).as("thresh"))
     value.crossJoin(broadcast(thresh))
       .where(col("value_cents") > col("thresh"))
       .select("l_partkey", "value_cents")
