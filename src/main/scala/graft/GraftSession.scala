@@ -53,9 +53,19 @@ object GraftSession {
     * leaf, so that RDD must be unpersisted directly. Call ONLY on a
     * checkpoint no live plan will read again — its lineage is
     * truncated, so dropped blocks cannot be recomputed.
+    *
+    * Accepts ONLY the checkpoint Dataset itself (analyzed plan = one
+    * bare LogicalRDD leaf). A derived plan is rejected: it may join or
+    * union OTHER still-live LogicalRDD leaves, and unpersisting every
+    * leaf found would free those checkpoints' blocks too — later reads
+    * then fail with missing blocks rather than recomputing, because
+    * checkpoint lineage is truncated.
     */
-  def releaseCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(false))
+  def releaseCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit = {
+    val plan = df.queryExecution.analyzed
+    require(plan.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      "[GRAFT] releaseCheckpoint takes the localCheckpoint Dataset itself " +
+        s"(a bare LogicalRDD plan), not a derived plan: ${plan.nodeName}")
+    plan.asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd.unpersist(false)
+  }
 }

@@ -32,6 +32,7 @@ object SparkEntry {
     "src_bucketed_join"          -> Relational.srcBucketedJoin _,
     "src_v2_inputformat_scan"    -> Relational.srcV2InputFormatScan _,
     "src_v2_decimal_scan"        -> Relational.srcV2DecimalScan _,
+    "src_catalog_sql_scan"       -> Relational.srcCatalogSqlScan _,
     "src_csv_roundtrip"          -> Relational.srcCsvRoundtrip _,
     "src_orc_roundtrip"          -> Relational.srcOrcRoundtrip _,
     "src_json_roundtrip"         -> Relational.srcJsonRoundtrip _,
@@ -723,6 +724,19 @@ object SparkEntry {
              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
              round(CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_disc
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Identical SQL text to the Spark side modulo the catalog-qualified
+    // table name (graft.<db>.orders → orders): the catalog plugin must
+    // be a pure naming layer over the same rows.
+    "src_catalog_sql_scan" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                        * 100.0 + 0.5) AS BIGINT) AS total_cents
+      FROM orders
+      WHERE o_orderkey % 3 = 0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
 
     "sim_quantize_int8" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -180,6 +180,30 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** A21: SQL-visible catalog — the table is opened BY NAME through
+    * the DSv2 `TableCatalog` plugin (`graft.<db>.orders`), the analog
+    * of the reference's metastore entry point (MetaUtils.java:25-82
+    * opens `database.table` from job conf). The read routes through
+    * the existing v2 GraftScan (row-group splits + footer-stats
+    * pruning) against the namespace's pinned file-listing snapshot,
+    * and the filter/aggregate run as ordinary Catalyst over it — the
+    * whole query is one SQL string, as a metastore user would write
+    * it.
+    */
+  def srcCatalogSqlScan(s: SparkSession, dir: String): DataFrame = {
+    val f = new java.io.File(dir)
+    graft.sources.v2.GraftTableCatalog.register(s, f.getParent)
+    s.sql(s"""
+      SELECT o_orderstatus, count(*) AS n,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                        * 100.0 + 0.5) AS BIGINT) AS total_cents
+      FROM graft.`${f.getName}`.orders
+      WHERE o_orderkey % 3 = 0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")
+  }
+
   /** A10: multi-format source — CSV round trip: write a table to CSV
     * in the scratch warehouse, read it back with an explicit schema
     * (header on; Java double toString round-trips exactly), aggregate.

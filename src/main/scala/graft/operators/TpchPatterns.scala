@@ -114,10 +114,15 @@ object TpchPatterns {
     // VACUOUS as the corpus grows (observed: 0 rows at sf0.1). Scale it
     // off the supplier count (∝ SF): 0.05/|supplier| = 0.0005 at
     // sf0.01, keeping the sf0.01 gate identical while staying
-    // non-degenerate at any scale.
-    val nSupp = c.table("supplier").count()
-    val thresh = value.agg(
-      (sum(col("value_cents")).cast("double") * (0.05 / nSupp)).as("thresh"))
+    // non-degenerate at any scale. The count rides INSIDE the plan as a
+    // 1-row aggregate crossJoined into the threshold (an eager .count()
+    // here would run a Spark job at query-CONSTRUCTION time — the one
+    // place the codebase broke the "a query is one lazy plan" rule).
+    // Same double expression shape as the oracle: sum * (0.05 / n).
+    val nSupp = c.table("supplier").agg(count(lit(1)).as("n_supp"))
+    val thresh = value.agg(sum(col("value_cents")).cast("double").as("total_cents"))
+      .crossJoin(broadcast(nSupp))
+      .select((col("total_cents") * (lit(0.05) / col("n_supp"))).as("thresh"))
     value.crossJoin(broadcast(thresh))
       .where(col("value_cents") > col("thresh"))
       .select("l_partkey", "value_cents")

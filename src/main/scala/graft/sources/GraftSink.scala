@@ -73,7 +73,7 @@ object GraftSink {
       .union(updates.select(partitionCol))
       .distinct().collect().map(_.get(0))
     val survivors = target
-      .where(col(partitionCol).isin(affected: _*))
+      .where(partitionIn(partitionCol, affected.toSeq))
       .join(broadcast(keys), keyCols, "left_anti")
     val staged = survivors.unionByName(updates).localCheckpoint(true)
     try {
@@ -90,6 +90,21 @@ object GraftSink {
       dropDrainedPartitions(s, targetPath, partitionCol,
         affected.filterNot(written).toSeq)
     } finally graft.GraftSession.releaseCheckpoint(staged) // free staged blocks
+  }
+
+  /** Null-safe membership test on the partition column. A plain
+    * `isin(affected)` never matches NULL (SQL IN three-valued logic),
+    * so when a null-partition row is affected its SURVIVORS would be
+    * excluded from the rewrite while dropDrainedPartitions (which does
+    * support null via the Hive sentinel) deletes the null partition's
+    * directory — silent loss of the surviving rows. An OR-chain of
+    * `<=>` keeps every value, null included, in the survivor scan.
+    */
+  private def partitionIn(partitionCol: String, values: Seq[Any])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    values.map(v => col(partitionCol) <=> lit(v))
+      .reduceOption(_ || _).getOrElse(lit(false))
   }
 
   /** Removes partition directories whose every row a merge/delete
@@ -131,7 +146,7 @@ object GraftSink {
       .select(partitionCol).distinct().collect().map(_.get(0))
     if (affected.nonEmpty) {
       val survivors = target
-        .where(col(partitionCol).isin(affected: _*))
+        .where(partitionIn(partitionCol, affected.toSeq))
         .join(broadcast(keys), keyCols, "left_anti")
         .localCheckpoint(true)
       try {

@@ -59,16 +59,24 @@ class GraftTableProvider extends TableProvider
     GraftTable(properties.get("path"), schema)
 }
 
-case class GraftTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+/** `pinnedFiles` (when non-empty) fixes the exact data-file set the
+  * scan reads instead of re-listing the path at plan time — the
+  * SQL-catalog route passes the namespace's pinned snapshot through
+  * here so a file landing mid-session is invisible (the GraftCatalog
+  * snapshot semantics, carried into `SELECT ... FROM graft.ns.tbl`).
+  */
+case class GraftTable(path: String, tableSchema: StructType,
+    pinnedFiles: Seq[String] = Seq.empty) extends Table with SupportsRead {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, tableSchema)
+    new GraftScanBuilder(path, tableSchema, pinnedFiles)
 }
 
-class GraftScanBuilder(path: String, fullSchema: StructType) extends ScanBuilder
+class GraftScanBuilder(path: String, fullSchema: StructType,
+    pinnedFiles: Seq[String] = Seq.empty) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -88,11 +96,13 @@ class GraftScanBuilder(path: String, fullSchema: StructType) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = GraftScan(path, required, pushed)
+  override def build(): Scan = GraftScan(path, required, pushed,
+    pinnedFiles = pinnedFiles)
 }
 
 case class GraftScan(path: String, required: StructType, filters: Array[Filter],
-    conf: SerializableConfiguration = GraftV2.sessionConf())
+    conf: SerializableConfiguration = GraftV2.sessionConf(),
+    pinnedFiles: Seq[String] = Seq.empty)
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   /** Filters Spark hands over at RUNTIME (dynamic partition pruning /
@@ -127,7 +137,9 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val all = filters ++ runtimeFilters
-    GraftV2.dataFiles(path, conf.value).flatMap { file =>
+    val fileSet =
+      if (pinnedFiles.nonEmpty) pinnedFiles else GraftV2.dataFiles(path, conf.value)
+    fileSet.flatMap { file =>
       val footer = GraftV2.withReader(file, conf.value)(_.getFooter)
       val blocks = footer.getBlocks.asScala.toArray
       // locality: hosts holding each row group's byte range, the analog
@@ -297,7 +309,14 @@ object GraftV2 {
       }
       case INT64 => t.getLogicalTypeAnnotation match {
         case d: DecimalLogicalTypeAnnotation => DecimalType(d.getPrecision, d.getScale)
-        case _: TimestampLogicalTypeAnnotation => TimestampNTZType
+        // isAdjustedToUTC=true marks an instant (UTC-normalized) →
+        // session-TZ TimestampType; false is a wall-clock local
+        // timestamp → TimestampNTZType. Mapping both to NTZ would be
+        // silently offset by the session zone for UTC-adjusted files.
+        // The reference's serde carries the one Hive TIMESTAMP surface
+        // through the same distinction (ArgodbSerdeUtils.java:71-102).
+        case ts: TimestampLogicalTypeAnnotation =>
+          if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
         case _ => LongType
       }
       case FLOAT => FloatType

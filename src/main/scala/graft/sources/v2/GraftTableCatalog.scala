@@ -1,0 +1,156 @@
+package graft.sources.v2
+
+import java.util
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** DSv2 `TableCatalog` plugin — graft tables become SQL-VISIBLE by
+  * name, the Spark-native analog of the reference's metastore entry
+  * point (MetaUtils.java:25-82 opens `database.table` from job conf;
+  * Configs.java holds the url/db/table keys). Register once:
+  *
+  *   spark.sql.catalog.graft       = graft.sources.v2.GraftTableCatalog
+  *   spark.sql.catalog.graft.root  = /data/warehouse
+  *
+  * then `SELECT ... FROM graft.<dir>.<table>` and
+  * `SHOW TABLES IN graft.<dir>` work directly — namespace = a
+  * directory under the root (the "database"), table = a
+  * `<name>.parquet` file or directory under it (the MetaUtils
+  * database/table naming, directory-shaped).
+  *
+  * Reads route through the existing v2 scan (GraftScan: (file,
+  * row-group) splits, footer-stats + runtime row-group pruning,
+  * column pruning, locality) against the namespace's PINNED listing:
+  * each namespace lazily constructs one `GraftCatalog`, so every SQL
+  * read through this plugin sees the same file-set snapshot the
+  * programmatic API sees (the reference's job-spanning read
+  * transaction, at SQL grain). The catalog is READ-ONLY, as the
+  * reference connector is — DDL/DML throw.
+  */
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  /** One pinned GraftCatalog per namespace — the snapshot holder. */
+  private val pinned = TrieMap.empty[String, GraftCatalog]
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"[GRAFT] catalog '$name' requires spark.sql.catalog.$name.root=<warehouse dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+
+  private def hadoopFs = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def nsDir(ns: Array[String]): String = (root +: ns.toSeq).mkString("/")
+
+  private def nsExists(ns: Array[String]): Boolean = ns.length == 1 && {
+    val p = new org.apache.hadoop.fs.Path(nsDir(ns))
+    hadoopFs.exists(p) && hadoopFs.getFileStatus(p).isDirectory
+  }
+
+  private def catalogFor(ns: Array[String]): GraftCatalog = {
+    if (!nsExists(ns)) throw new NoSuchNamespaceException(ns)
+    pinned.getOrElseUpdate(ns.mkString("/"), new GraftCatalog(spark, nsDir(ns)))
+  }
+
+  // ── TableCatalog ──
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    catalogFor(namespace).tableNames()
+      .map(t => Identifier.of(namespace, t)).toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val files = catalogFor(ident.namespace).snapshotFiles(ident.name).map(_._1)
+    if (files.isEmpty) throw new NoSuchTableException(ident)
+    val tablePath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
+    // schema from the pinned snapshot's first file (one writer, one
+    // schema — the v2 connector's contract), typed by the same
+    // mapping the v2 reader uses
+    GraftTable(tablePath,
+      GraftV2.readSchema(files.head, spark.sessionState.newHadoopConf()), files)
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"[GRAFT] catalog '$catalogName' is read-only (the reference is a read " +
+        s"connector); $op is not supported — write through GraftSink/parquet paths.")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+
+  // ── SupportsNamespaces ──
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!hadoopFs.exists(p)) Array.empty
+    else hadoopFs.listStatus(p).filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName)).sortBy(_.head)
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!nsExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Array.empty // single-level namespaces: a dir of tables has no children
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!nsExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsDir(namespace)).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = readOnly("CREATE NAMESPACE")
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = readOnly("ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    readOnly("DROP NAMESPACE")
+}
+
+object GraftTableCatalog {
+
+  /** Idempotently register a graft catalog named `name` over `root` on
+    * the session. Catalog instances are cached per session at first
+    * resolution, so the root is fixed from then on — re-registering
+    * the same (name, root) is a no-op; a different root for an
+    * already-resolved name is an error rather than a silent stale
+    * read.
+    */
+  def register(s: SparkSession, root: String, name: String = "graft"): Unit = {
+    val key = s"spark.sql.catalog.$name"
+    s.conf.getOption(s"$key.root") match {
+      case Some(existing) if existing != root =>
+        throw new IllegalArgumentException(
+          s"[GRAFT] catalog '$name' already bound to root=$existing " +
+            s"(catalog instances cache per session); register a differently " +
+            s"named catalog for $root")
+      case _ =>
+        s.conf.set(key, classOf[GraftTableCatalog].getName)
+        s.conf.set(s"$key.root", root)
+    }
+  }
+}

@@ -220,11 +220,11 @@ object Events {
     * recovery, and batchIds are monotone per query, so a single
     * max-applied marker (one tiny file, overwritten per batch — O(1)
     * per trigger, never a growing ledger) detects a replayed batchId
-    * and skips it; the summary carries exactly-once semantics. (The
-    * summary write and the marker write are two files here — a
-    * production sink makes them one atomic commit, e.g. staged dir +
-    * rename; the replay window between them is the only
-    * non-atomicity left.)
+    * and skips it; the summary carries exactly-once semantics. The
+    * marker lives INSIDE the summary directory and the whole directory
+    * commits via stage-then-rename, so summary and marker can never be
+    * observed out of step (see applySummaryBatch for the crash-window
+    * analysis).
     */
   def incrementalSummarySink(events: DataFrame, root: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -236,18 +236,41 @@ object Events {
 
   /** One micro-batch's merge step (factored out so the idempotence is
     * directly testable: calling it twice with one batchId is a no-op).
+    *
+    * Commit protocol (two-phase at directory grain — a naive
+    * `overwrite` of the summary path is itself delete-then-write, so a
+    * crash mid-overwrite would destroy the WHOLE accumulated summary
+    * and the next replayed batch would silently seed a fresh one):
+    *  1. write the merged summary to a STAGING directory;
+    *  2. write the applied-batchId marker INSIDE the staging dir (its
+    *     presence certifies the staged parquet write completed, and it
+    *     travels with the data — summary and marker can never be
+    *     observed out of step);
+    *  3. swap: delete the live dir, rename staging over it.
+    * The delete→rename pair is the one non-atomic step left on a raw
+    * filesystem; a crash between them leaves no live dir and a FULLY
+    * COMMITTED staging dir, which the adoption step at the top of the
+    * next call renames into place before reading — no history is lost
+    * at any crash point.
     */
   private[graft] def applySummaryBatch(
       batch: Dataset[org.apache.spark.sql.Row], batchId: Long, root: String): Unit = {
     val s = batch.sparkSession
     val sumPath = s"$root/summary.parquet"
-    val markerPath = new org.apache.hadoop.fs.Path(s"$root/_max_applied_batch")
-    val fs = markerPath.getFileSystem(s.sessionState.newHadoopConf())
-    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val stagePath = s"$root/summary.staging"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def path(p: String) = new org.apache.hadoop.fs.Path(p)
+    def marker(dir: String) = path(s"$dir/_applied_batch")
+    def exists(p: String) = fs.exists(path(p))
+    // crash recovery: a committed staging dir (marker present) with no
+    // live dir means the previous swap died between delete and rename —
+    // finish it before reading.
+    if (!exists(sumPath) && fs.exists(marker(stagePath))) fs.rename(path(stagePath), path(sumPath))
     val maxApplied: Long =
-      if (!fs.exists(markerPath)) -1L
+      if (!fs.exists(marker(sumPath))) -1L
       else {
-        val in = fs.open(markerPath)
+        val in = fs.open(marker(sumPath))
         try in.readLong() finally in.close()
       }
     if (batchId <= maxApplied) return // replayed batch: already applied
@@ -259,11 +282,14 @@ object Events {
       (if (exists(sumPath)) s.read.parquet(sumPath).unionByName(partial) else partial)
         .groupBy("event_type")
         .agg(sum(col("n")).as("n"), sum(col("total_d")).cast("decimal(28,6)").as("total_d"))
-        .localCheckpoint(true) // about to overwrite the path it reads
-    try merged.write.mode("overwrite").parquet(sumPath)
-    finally graft.GraftSession.releaseCheckpoint(merged)
-    val out = fs.create(markerPath, true)
-    try out.writeLong(batchId) finally out.close()
+        .localCheckpoint(true) // the swap deletes the path it reads
+    try {
+      merged.write.mode("overwrite").parquet(stagePath)
+      val out = fs.create(marker(stagePath), true)
+      try out.writeLong(batchId) finally out.close()
+      fs.delete(path(sumPath), true)
+      fs.rename(path(stagePath), path(sumPath))
+    } finally graft.GraftSession.releaseCheckpoint(merged)
   }
 
   // ── G2: sessionization (30-minute inactivity gap) ──

@@ -175,6 +175,39 @@ class BehavioralSpec extends SparkSpecBase {
       "releaseCheckpoint must drop the checkpoint's cached partitions")
   }
 
+  test("merge upsert/delete keep survivors in a NULL partition (null-safe filter)") {
+    import spark.implicits._
+    val root = GraftSink.scratchDir + "/null_part_merge"
+    // the null partition holds keys 1 and 2; a merge touching only key 1
+    // must NOT lose key 2 (a plain isin(affected) never matches NULL, so
+    // the survivor scan would exclude it while dropDrainedPartitions
+    // deletes the sentinel directory — silent data loss)
+    Seq((1L, "x", null.asInstanceOf[String]), (2L, "y", null.asInstanceOf[String]),
+        (3L, "z", "a"))
+      .toDF("k", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(root)
+    GraftSink.mergeUpsert(spark, root,
+      Seq((1L, "x2", null.asInstanceOf[String])).toDF("k", "v", "p"), Seq("k"), "p")
+    def snapshot() = spark.read.parquet(root).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(snapshot() === Set((1L, "x2", null), (2L, "y", null), (3L, "z", "a")),
+      "null-partition survivors must be rewritten, not dropped")
+    GraftSink.mergeDelete(spark, root, Seq(Tuple1(1L)).toDF("k"), Seq("k"), "p")
+    assert(snapshot() === Set((2L, "y", null), (3L, "z", "a")),
+      "deleting one null-partition key must keep the other")
+  }
+
+  test("releaseCheckpoint rejects derived plans (protects sibling checkpoints)") {
+    val cp = new graft.sources.GraftCatalog(spark, sfDir).table("nation")
+      .localCheckpoint(true)
+    try {
+      intercept[IllegalArgumentException] {
+        graft.GraftSession.releaseCheckpoint(cp.select("n_nationkey"))
+      }
+    } finally graft.GraftSession.releaseCheckpoint(cp)
+  }
+
   test("merge upsert with an empty update batch touches nothing") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

@@ -171,6 +171,18 @@ class StreamingSpec extends SparkSpecBase {
     // a NEW batch id with the same data does apply
     Events.applySummaryBatch(replay.toDF, 7L, root)
     assert(summary()("click") == (3L, 104.0))
+
+    // crash-window recovery: simulate the swap dying between delete and
+    // rename (live dir gone, staging dir FULLY committed — marker
+    // inside). The next call must adopt the staging dir, see the
+    // already-applied batchId, and no-op — no history lost, no
+    // double-apply.
+    val expected = summary()
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/summary.parquet"),
+      new org.apache.hadoop.fs.Path(s"$root/summary.staging"))
+    Events.applySummaryBatch(replay.toDF, 7L, root)
+    assert(summary() == expected,
+      "recovery must adopt the committed staging dir and skip the replayed batch")
   }
 
   test("batch sessionize on sf0.001 events is consistent") {

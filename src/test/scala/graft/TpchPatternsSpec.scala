@@ -18,6 +18,31 @@ class TpchPatternsSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
   }
 
+  test("q11 construction launches no eager action job (one lazy plan)") {
+    val sc = spark.sparkContext
+    // spark.read.parquet runs small footer/schema-inference jobs
+    // ("parquet at ..." call sites) — those are intrinsic to any read.
+    // The defect being guarded was an eager `.count()` ACTION at
+    // construction time; assert no action call site fires.
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        js.stageInfos.foreach(si => sites.add(si.name))
+    }
+    sc.addSparkListener(listener)
+    try {
+      val df = TpchPatterns.q11ImportantParts(spark, sfDir)
+      org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(sc)
+      import scala.jdk.CollectionConverters._
+      val actions = sites.asScala.filterNot(_.startsWith("parquet at"))
+      assert(actions.isEmpty,
+        s"building the q11 plan must not run an action job (the supplier " +
+          s"count rides inside the plan, not an eager .count()): $actions")
+      assert(df.count() > 0) // and the folded-in threshold still executes
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("q11: kept parts all exceed the survivors' own fraction floor") {
     val rows = TpchPatterns.q11ImportantParts(spark, sfDir).collect()
     assert(rows.nonEmpty)

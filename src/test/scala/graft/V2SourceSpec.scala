@@ -191,6 +191,89 @@ class V2SourceSpec extends SparkSpecBase {
       Array(LessThan("d", new java.math.BigDecimal("0.5")))))
   }
 
+  test("SQL catalog: SHOW NAMESPACES / SHOW TABLES / SELECT by name route through GraftScan") {
+    graft.sources.v2.GraftTableCatalog.register(spark, "/root/testdata")
+    // names with dots come back backtick-quoted
+    val nss = spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0).stripPrefix("`").stripSuffix("`")).toSet
+    assert(nss.contains("sf0.001"), s"namespaces: $nss")
+    val tables = spark.sql("SHOW TABLES IN graft.`sf0.001`")
+      .collect().map(_.getString(1)).toSet
+    assert(Set("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents").subsetOf(tables), s"tables: $tables")
+    // SELECT by metastore-style name: values equal the path API
+    val viaSql = spark.sql(
+      "SELECT count(*) AS n FROM graft.`sf0.001`.nation").head().getLong(0)
+    val viaApi = new graft.sources.GraftCatalog(spark, sfDir).table("nation").count()
+    assert(viaSql === viaApi)
+    // the read plans through the v2 GraftScan with the filter pushed
+    val df = spark.sql(
+      "SELECT o_orderkey FROM graft.`sf0.001`.orders WHERE o_orderkey < 100")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft parquet row-group scan"), plan.take(800))
+    assert(plan.contains("LessThan(o_orderkey"), "filter must reach the scan: " + plan.take(800))
+    assert(df.count() > 0)
+  }
+
+  test("SQL catalog is read-only and names missing tables/namespaces clearly") {
+    graft.sources.v2.GraftTableCatalog.register(spark, "/root/testdata")
+    val e = intercept[Exception] {
+      spark.sql("DROP TABLE graft.`sf0.001`.orders")
+    }
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+    assert(intercept[Exception] {
+      spark.sql("SELECT * FROM graft.`sf0.001`.no_such_table").collect()
+    }.getMessage.toLowerCase.contains("table"),
+      "missing table must raise a table-not-found analysis error")
+    // re-registering the same root is a no-op; a different root errors
+    graft.sources.v2.GraftTableCatalog.register(spark, "/root/testdata")
+    intercept[IllegalArgumentException] {
+      graft.sources.v2.GraftTableCatalog.register(spark, "/somewhere/else")
+    }
+  }
+
+  test("SQL catalog reads are snapshot-pinned (mid-session arrivals invisible)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqlcat").toString
+    spark.range(5).toDF("k").write.parquet(s"$wh/db1/t.parquet")
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftsnap")
+    def n() = spark.sql("SELECT count(*) AS n FROM graftsnap.db1.t").head().getLong(0)
+    assert(n() === 5)
+    // a file landing AFTER the first read must be invisible to the
+    // pinned namespace snapshot
+    spark.range(7).toDF("k").write.mode("append").parquet(s"$wh/db1/t.parquet")
+    assert(n() === 5, "SQL reads must see the pinned snapshot, not later arrivals")
+  }
+
+  test("v2 maps UTC-adjusted timestamps to TimestampType, wall-clock to NTZ") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_v2_tsutc").toString
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS") // TimestampType → INT64 adjusted=true
+    try {
+      Seq((1L, "2024-03-01 10:30:00"), (2L, "2024-03-02 23:59:59"))
+        .toDF("id", "t")
+        .select(col("id"), col("t").cast("timestamp").as("t_utc"),
+          col("t").cast("timestamp_ntz").as("t_wall"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val got = spark.read.format("graft").load(tmp)
+      assert(got.schema("t_utc").dataType === TimestampType,
+        "isAdjustedToUTC=true must land as session-TZ TimestampType")
+      assert(got.schema("t_wall").dataType === TimestampNTZType,
+        "isAdjustedToUTC=false must stay wall-clock NTZ")
+      val exp = spark.read.parquet(tmp)
+      assert(got.schema.map(f => f.name -> f.dataType) ===
+        exp.schema.map(f => f.name -> f.dataType))
+      assert(got.orderBy("id").collect().map(_.toString).toSeq ===
+        exp.orderBy("id").collect().map(_.toString).toSeq)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("v2 timestamp columns round-trip (events, nanos)") {
     val got = v2("events").select("event_id", "ts").orderBy("event_id")
       .limit(5).collect().map(r => (r.getLong(0), r.get(1).toString))
