@@ -349,6 +349,11 @@ object Events {
   case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long, nSessions: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+  /** Watermark delay shared by the stateful per-user operators: how
+    * long after its event time a record may still arrive.
+    */
+  val StateWatermarkDelay = "2 hours"
+
   /** Streaming form: per-user session state via mapGroupsWithState.
     * Emits the running (n_sessions, n_events) per user on every
     * trigger; state is one small struct per active user.
@@ -357,69 +362,163 @@ object Events {
   case class FunnelState(t1: Long, t2: Long, t3: Long)
   case class UserFunnel(user_id: Long, funnel_level: Int)
 
+  private val FunnelWindowMicros = 24L * 3600 * 1000000L
+  private val FunnelUnset = Long.MinValue
+  private val FunnelStepRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+
+  private def funnelLevel(st: FunnelState): Int =
+    if (st.t3 != FunnelUnset) 3 else if (st.t2 != FunnelUnset) 2
+    else if (st.t1 != FunnelUnset) 1 else 0
+
+  /** Advance one user's greedy funnel state by a batch of events
+    * (shared by the Update-mode and the append-only final forms so the
+    * two cannot drift).
+    */
+  private def advanceFunnel(st0: FunnelState, evs: Iterator[FunnelEv]): FunnelState = {
+    var st = st0
+    evs.toSeq
+      .filter(e => FunnelStepRank.contains(e.event_type))
+      .sortBy(e => (micros(e.ts), FunnelStepRank(e.event_type)))
+      .foreach { e =>
+        val t = micros(e.ts)
+        if (e.event_type == "view" && st.t1 == FunnelUnset)
+          st = st.copy(t1 = t)
+        else if (e.event_type == "click" && st.t1 != FunnelUnset &&
+                 st.t2 == FunnelUnset && t >= st.t1 && t <= st.t1 + FunnelWindowMicros)
+          st = st.copy(t2 = t)
+        else if (e.event_type == "purchase" && st.t2 != FunnelUnset &&
+                 st.t3 == FunnelUnset && t >= st.t2 && t <= st.t1 + FunnelWindowMicros)
+          st = st.copy(t3 = t)
+      }
+    st
+  }
+
+  /** State-eviction deadline for a funnel state: once the WATERMARK
+    * passes the anchor's 24h window the state can never change again
+    * (every transition requires t <= t1+24h), so it is final — emit
+    * and drop. An un-anchored state (events but no view yet) gets the
+    * same horizon measured from the current watermark so it cannot
+    * linger forever. `max(_, wm+1)` keeps the timestamp legal when the
+    * anchor's window already closed behind the watermark.
+    */
+  private def funnelDeadlineMs(st: FunnelState, wmMs: Long): Long = {
+    val base = if (st.t1 != FunnelUnset) st.t1 / 1000 else wmMs
+    math.max(base + FunnelWindowMicros / 1000, wmMs + 1)
+  }
+
   /** G7: streaming twin of Behavioral.qFunnelConversion — per-user
     * greedy earliest-anchor funnel state (three timestamps) advanced
     * by mapGroupsWithState. Emits the user's current funnel level on
-    * every trigger (Update mode). State is O(1) per active user —
-    * a hot user cannot grow it. Within a micro-batch, events sort by
-    * (ts, step precedence) so same-instant step pairs resolve exactly
-    * as the batch form's window minima do; across batches the greedy
-    * scan matches the batch result when triggers arrive in event-time
-    * order (the in-order replay case; out-of-order arrivals can only
-    * under-count, never corrupt state — transitions are monotone).
+    * every trigger (Update mode). State is O(1) per active user AND
+    * bounded in COUNT: with `EventTimeTimeout`, a state whose 24h
+    * anchor window has passed the watermark is emitted one final time
+    * and dropped — on a continuous stream the store holds only users
+    * whose windows are still open, not every user ever seen. After
+    * eviction a returning user starts a NEW funnel journey (the
+    * batch twin measures the first journey only; full-replay parity
+    * holds whenever the replay arrives within one watermark horizon,
+    * which the parity spec exercises). Within a micro-batch, events
+    * sort by (ts, step precedence) so same-instant step pairs resolve
+    * exactly as the batch form's window minima do; out-of-order
+    * arrivals can only under-count, never corrupt state — transitions
+    * are monotone.
     */
   def funnelStream(events: Dataset[FunnelEv]): Dataset[UserFunnel] = {
     import events.sparkSession.implicits._
-    val W = 24L * 3600 * 1000000L
-    val unset = Long.MinValue
-    def micros(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
-    val stepRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
     events
+      .withWatermark("ts", StateWatermarkDelay)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelState, UserFunnel](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[FunnelState, UserFunnel](GroupStateTimeout.EventTimeTimeout) {
         (userId, evs, state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(unset, unset, unset))
-          evs.toSeq
-            .filter(e => stepRank.contains(e.event_type))
-            .sortBy(e => (micros(e.ts), stepRank(e.event_type)))
-            .foreach { e =>
-              val t = micros(e.ts)
-              if (e.event_type == "view" && st.t1 == unset)
-                st = st.copy(t1 = t)
-              else if (e.event_type == "click" && st.t1 != unset &&
-                       st.t2 == unset && t >= st.t1 && t <= st.t1 + W)
-                st = st.copy(t2 = t)
-              else if (e.event_type == "purchase" && st.t2 != unset &&
-                       st.t3 == unset && t >= st.t2 && t <= st.t1 + W)
-                st = st.copy(t3 = t)
-            }
-          state.update(st)
-          UserFunnel(userId,
-            if (st.t3 != unset) 3 else if (st.t2 != unset) 2
-            else if (st.t1 != unset) 1 else 0)
+          if (state.hasTimedOut) {
+            val level = funnelLevel(state.get)
+            state.remove() // final: the 24h window is behind the watermark
+            UserFunnel(userId, level)
+          } else {
+            val st = advanceFunnel(
+              state.getOption.getOrElse(FunnelState(FunnelUnset, FunnelUnset, FunnelUnset)), evs)
+            state.update(st)
+            state.setTimeoutTimestamp(funnelDeadlineMs(st, state.getCurrentWatermarkMs()))
+            UserFunnel(userId, funnelLevel(st))
+          }
       }
   }
 
-  def sessionizeStream(events: Dataset[Ev]): Dataset[UserSessions] = {
+  /** G7 (append-only final form — the production shape): emits each
+    * user's funnel level exactly ONCE, when the watermark proves the
+    * journey final, via flatMapGroupsWithState in Append mode (data
+    * triggers only advance state and emit nothing). The output is a
+    * plain append stream of (user_id, funnel_level) facts, so the same
+    * `groupBy(funnel_level).count()` the batch funnel (B55) ends with
+    * runs downstream without Update-mode merge logic — and the state
+    * store shrinks as journeys close.
+    */
+  def funnelFinalStream(events: Dataset[FunnelEv]): Dataset[UserFunnel] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", StateWatermarkDelay)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
-        (userId, evs, state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            val newSession = st.lastTs == Long.MinValue || t - st.lastTs > GapSeconds * 1000
-            st = SessionState(
-              if (newSession) t else st.sessionStart,
-              math.max(t, st.lastTs),
-              st.nEvents + 1,
-              st.nSessions + (if (newSession) 1 else 0))
+      .flatMapGroupsWithState[FunnelState, UserFunnel](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, evs, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val level = funnelLevel(state.get)
+            state.remove()
+            Iterator.single(UserFunnel(userId, level))
+          } else {
+            val st = advanceFunnel(
+              state.getOption.getOrElse(FunnelState(FunnelUnset, FunnelUnset, FunnelUnset)), evs)
+            state.update(st)
+            state.setTimeoutTimestamp(funnelDeadlineMs(st, state.getCurrentWatermarkMs()))
+            Iterator.empty
           }
-          state.update(st)
-          UserSessions(userId, st.nSessions, st.nEvents)
+      }
+  }
+
+  /** G2 (state form): per-user session counts via mapGroupsWithState
+    * with `EventTimeTimeout` eviction: once the watermark passes
+    * lastTs+gap no event can extend the user's current session (any
+    * later arrival is > gap away in event time, i.e. a NEW session by
+    * definition), so the accumulated counts are final — emitted once
+    * more, then dropped. The eviction boundary therefore coincides
+    * exactly with a session boundary: a returning user starts a fresh
+    * counting epoch, and per-user TOTALS are the SUM of epoch-final
+    * emissions (plus the last open-epoch row) — which is what a
+    * downstream consumer aggregates at 100 TB, instead of the state
+    * store holding every user ever seen.
+    */
+  def sessionizeStream(events: Dataset[Ev]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapMs = GapSeconds * 1000
+    events
+      .withWatermark("ts", StateWatermarkDelay)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.EventTimeTimeout) {
+        (userId, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove() // epoch final: watermark passed lastTs+gap
+            UserSessions(userId, st.nSessions, st.nEvents)
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val newSession = st.lastTs == Long.MinValue || t - st.lastTs > gapMs
+              st = SessionState(
+                if (newSession) t else st.sessionStart,
+                math.max(t, st.lastTs),
+                st.nEvents + 1,
+                st.nSessions + (if (newSession) 1 else 0))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            UserSessions(userId, st.nSessions, st.nEvents)
+          }
       }
   }
 }

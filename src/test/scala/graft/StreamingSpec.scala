@@ -74,6 +74,107 @@ class StreamingSpec extends SparkSpecBase {
     assert((last.getLong(1), last.getLong(2)) === (2L, 3L))
   }
 
+  private def lastStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+
+  test("session state evicts after the watermark passes lastTs+gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Events.Ev]
+    val q = Events.sessionizeStream(stream.toDS())
+      .writeStream.format("memory").queryName("sess_evict")
+      .outputMode(OutputMode.Update).start()
+    stream.addData(
+      Events.Ev(1L, ts("2024-01-01 10:00:00")),
+      Events.Ev(1L, ts("2024-01-01 10:10:00")),
+      Events.Ev(2L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    assert(lastStateRows(q) === 2L, "both users hold open state")
+    // a far-future sentinel advances the watermark past both users'
+    // lastTs+gap horizons → their states finalize and drop
+    stream.addData(Events.Ev(99L, ts("2024-01-02 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(lastStateRows(q) === 1L,
+      "users 1 and 2 must be evicted; only the sentinel's state remains")
+    // the epoch-final emission carries the full totals
+    val finals = spark.table("sess_evict").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(finals(1L) === (1L, 2L) && finals(2L) === (1L, 1L))
+  }
+
+  test("sessionize full-corpus replay matches the batch twin per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Events.eventsTable(spark, sfDir)
+      .select("user_id", "ts").orderBy("ts")
+      .as[Events.Ev].collect()
+    val stream = MemoryStream[Events.Ev]
+    stream.addData(evs.toIndexedSeq)
+    val q = Events.sessionizeStream(stream.toDS())
+      .writeStream.format("memory").queryName("sess_replay")
+      .outputMode(OutputMode.Update).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_replay").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap // last wins
+    val batch = Events.sessionizeBatch(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === batch, s"per-user (sessions, events) must match the batch twin")
+  }
+
+  test("funnel state evicts once the anchor window passes the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Events.FunnelEv]
+    val q = Events.funnelStream(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode(OutputMode.Update).start()
+    stream.addData(
+      Events.FunnelEv(1L, "view", ts("2024-01-01 10:00:00")),
+      Events.FunnelEv(1L, "click", ts("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    assert(lastStateRows(q) === 1L)
+    // sentinel 4 days out: watermark passes t1+24h → state finalizes
+    stream.addData(Events.FunnelEv(7L, "view", ts("2024-01-05 10:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(lastStateRows(q) === 1L,
+      "user 1's closed journey must be evicted; only the sentinel remains")
+    val lastForUser1 = spark.table("funnel_evict").collect()
+      .filter(_.getLong(0) == 1L).last.getInt(1)
+    assert(lastForUser1 === 2, "final emission carries the journey's level")
+  }
+
+  test("append-only final funnel levels match the batch funnel counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Events.eventsTable(spark, sfDir)
+    val evs = events.select("user_id", "event_type", "ts").orderBy("ts", "event_type")
+      .as[Events.FunnelEv].collect()
+    val maxTs = events.agg(org.apache.spark.sql.functions.max("ts"))
+      .head().getTimestamp(0)
+    val stream = MemoryStream[Events.FunnelEv]
+    val q = Events.funnelFinalStream(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_final")
+      .outputMode(OutputMode.Append).start()
+    stream.addData(evs.toIndexedSeq)
+    q.processAllAvailable()
+    // sentinel far enough out that every journey (anchored: t1+24h;
+    // un-anchored: watermark+24h) is behind the new watermark
+    stream.addData(Events.FunnelEv(-1L, "view",
+      new Timestamp(maxTs.getTime + 5L * 24 * 3600 * 1000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel_final").collect()
+      .filter(_.getLong(0) != -1L)
+      .map(_.getInt(1)).groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    val batch = graft.operators.Behavioral.qFunnelConversion(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === batch,
+      s"append-only finals must partition users exactly as the batch funnel: $got vs $batch")
+  }
+
   test("streaming funnel replay matches the batch funnel levels") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
