@@ -38,7 +38,10 @@ object Bench {
     // the copy-on-write merge, and the PQ compressed-scan ANN
     "q2_min_cost_supplier", "q21_waiting_suppliers", "text_repetition",
     "q_funnel_conversion", "q_scd2_user_status", "src_merge_upsert",
-    "sim_pq_topk")
+    "sim_pq_topk",
+    // round-7 additions: substring-level dedup (native span-hash scan +
+    // one count-distinct shuffle) and the decontamination semi join
+    "dedup_substring", "text_decontaminate")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -118,6 +118,9 @@ object SparkEntry {
     "dedup_embedding_cosine_lsh" -> Dedup.embeddingCosine _,
     "dedup_clusters"             -> Dedup.nearDupClusters _,
     "dedup_clusters_exact"       -> Dedup.nearDupClustersExact _,
+    "dedup_substring"            -> Dedup.substringDedup _,
+    "dedup_substring_removal"    -> Dedup.substringRemoval _,
+    "text_decontaminate"         -> Dedup.decontaminate _,
     "pipeline_curate_corpus"     -> Dedup.curateCorpus _,
     // §2.D similarity search
     "sim_bruteforce_topk"        -> Similarity.bruteForceTopk _,
@@ -164,6 +167,34 @@ object SparkEntry {
        AND c.user_id = p.user_id
        AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
       ORDER BY click_id, purchase_id"""
+
+  /** Shared oracle CTE for the substring-dedup family (C8/C9): word
+    * 4-gram span hashes, bit-identical to Dedup.wordGramHashes — the
+    * two-level stepwise mod-P polynomial keeps every intermediate
+    * exact in BIGINT in both engines (no wraparound anywhere).
+    * Defines `w`(doc_id, ws), `h`(doc_id, wh), `g`(doc_id, p, gh).
+    */
+  private val spanHashCte = """
+      WITH w AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                   x -> length(x) > 0) AS ws
+        FROM documents
+      ), h AS (
+        SELECT doc_id, list_transform(ws, ww -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(ww) + 1),
+                     i -> CAST(ord(substr(ww, CAST(i AS INT), 1)) AS BIGINT))),
+                 (acc, c) -> (acc * 257 + c) % 1000000007)) AS wh
+        FROM w
+      ), g AS (
+        SELECT gdoc AS doc_id, u['p'] AS p, u['gh'] AS gh FROM (
+          SELECT doc_id AS gdoc, unnest(list_transform(range(1, greatest(len(wh) - 2, 1)),
+            p -> {'p': p, 'gh':
+              ((((((wh[p] * 1000003 + wh[p+1]) % 1000000007)
+                  * 1000003 + wh[p+2]) % 1000000007)
+                  * 1000003 + wh[p+3]) % 1000000007)})) AS u
+          FROM h)
+      )"""
 
   def oracleSql: Map[String, String] = Map(
     "src_schema_scan" ->
@@ -1125,6 +1156,58 @@ object SparkEntry {
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       FROM documents GROUP BY text ORDER BY doc_id""",
 
+    "dedup_substring" -> (spanHashCte + """, rep AS (
+        SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1
+      ), stats AS (
+        SELECT doc_id AS sdoc, count(*) AS n_spans,
+               sum(CASE WHEN gh IN (SELECT gh FROM rep) THEN 1 ELSE 0 END) AS n_dup
+        FROM g GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(s.n_dup, 0) AS BIGINT) AS n_dup_spans,
+             CAST(floor(coalesce(s.n_dup, 0) * 1000000.0
+                        / greatest(coalesce(s.n_spans, 0), 1)) AS BIGINT) AS dup_micro
+      FROM documents d LEFT JOIN stats s ON d.doc_id = s.sdoc
+      ORDER BY d.doc_id"""),
+
+    "dedup_substring_removal" -> (spanHashCte + """, rep AS (
+        SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1
+      ), cov AS (
+        SELECT DISTINCT doc_id AS cdoc, p + off AS idx
+        FROM g CROSS JOIN (SELECT unnest(range(0, 4)) AS off)
+        WHERE gh IN (SELECT gh FROM rep)
+      ), covlist AS (
+        SELECT cdoc, list_sort(list(idx)) AS cv FROM cov GROUP BY cdoc
+      )
+      SELECT w.doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(coalesce(len(c.cv), 0) AS BIGINT) AS n_removed,
+             coalesce(array_to_string(
+               [ws[i] FOR i IN range(1, len(ws) + 1)
+                IF NOT list_contains(coalesce(c.cv, []), i)], ' '), '') AS cleaned_text
+      FROM w LEFT JOIN covlist c ON w.doc_id = c.cdoc
+      ORDER BY w.doc_id"""),
+
+    "text_decontaminate" -> (spanHashCte + """, benchspans AS (
+        SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0
+      ), t AS (
+        SELECT doc_id AS tdoc, count(*) AS n_spans,
+               sum(CASE WHEN gh IN (SELECT gh FROM benchspans) THEN 1 ELSE 0 END) AS n_overlap
+        FROM g WHERE doc_id % 97 <> 0 GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             CAST(coalesce(t.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(t.n_overlap, 0) AS BIGINT) AS n_overlap,
+             CAST(floor(coalesce(t.n_overlap, 0) * 1000000.0
+                        / greatest(coalesce(t.n_spans, 0), 1)) AS BIGINT) AS overlap_micro,
+             CAST(CASE WHEN coalesce(t.n_spans, 0) > 0
+                        AND coalesce(t.n_overlap, 0) * 10 >= t.n_spans
+                  THEN 1 ELSE 0 END AS INT) AS contaminated
+      FROM documents d LEFT JOIN t ON d.doc_id = t.tdoc
+      WHERE d.doc_id % 97 <> 0
+      ORDER BY d.doc_id"""),
+
     // Same sampled string-shingle pipeline as Dedup.ngramJaccardExact:
     // 1-indexed DuckDB range(1, len-1) == Spark's 0-indexed
     // sequence(0, size-3); floor-micro Jaccard is bit-identical (int
@@ -1154,6 +1237,9 @@ object SparkEntry {
     // reachability (min reached id = cluster id).
     // Composite curation pass: quality gate + cluster representatives
     // (same CTE pipeline as dedup_clusters_exact) + per-source totals.
+    // Stage 2 (decontamination) mirrors text_decontaminate's gate: the
+    // span-hash CTEs are inlined because this oracle's WITH chain is
+    // RECURSIVE (the connected-components fixpoint below).
     "pipeline_curate_corpus" -> """
       WITH RECURSIVE toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -1192,6 +1278,35 @@ object SparkEntry {
       ), clusters AS (
         SELECT doc_id, CAST(min(reach) AS BIGINT) AS cluster
         FROM cc GROUP BY doc_id
+      ), spw AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                   x -> length(x) > 0) AS ws
+        FROM documents
+      ), sph AS (
+        SELECT doc_id, list_transform(ws, ww -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(ww) + 1),
+                     i -> CAST(ord(substr(ww, CAST(i AS INT), 1)) AS BIGINT))),
+                 (acc, c) -> (acc * 257 + c) % 1000000007)) AS wh
+        FROM spw
+      ), spg AS (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(wh) - 2, 1)),
+          p -> ((((((wh[p] * 1000003 + wh[p+1]) % 1000000007)
+                   * 1000003 + wh[p+2]) % 1000000007)
+                   * 1000003 + wh[p+3]) % 1000000007))) AS gh
+        FROM sph
+      ), benchspans AS (
+        SELECT DISTINCT gh FROM spg WHERE doc_id % 97 = 0
+      ), contam AS (
+        SELECT doc_id, count(*) AS n_spans,
+               sum(CASE WHEN gh IN (SELECT gh FROM benchspans) THEN 1 ELSE 0 END) AS n_overlap
+        FROM spg WHERE doc_id % 97 <> 0 GROUP BY doc_id
+      ), clean AS (
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN contam t ON d.doc_id = t.doc_id
+        WHERE d.doc_id % 97 <> 0
+          AND NOT (coalesce(t.n_spans, 0) > 0
+                   AND coalesce(t.n_overlap, 0) * 10 >= t.n_spans)
       ), q AS (
         SELECT d.doc_id, d.source, d.n_chars,
                len(string_split_regex(trim(d.text), '\s+')) AS n_toks,
@@ -1200,6 +1315,7 @@ object SparkEntry {
       ), survivors AS (
         SELECT q.*, c.cluster FROM q
         JOIN clusters c ON q.doc_id = c.doc_id
+        JOIN clean cl ON q.doc_id = cl.doc_id
         WHERE q.n_toks >= 10 AND q.n_distinct * 10 >= q.n_toks * 3
       ), kept AS (
         SELECT * FROM (

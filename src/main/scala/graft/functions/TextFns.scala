@@ -121,6 +121,13 @@ object TextFns {
   def polyGramHashes(text: Column, k: Int): Column =
     Bridge.column(GramHashesExpr(Bridge.expression(text), k, poly = true))
 
+  /** Portable word k-gram span hashes in one pass (native expression) —
+    * bit-identical to the two-level mod-P HOF formulation the DuckDB
+    * oracle mirrors (spec-asserted in DedupSpec).
+    */
+  def wordSpanHashes(words: Column, k: Int): Column =
+    Bridge.column(WordSpanHashesExpr(Bridge.expression(words), k))
+
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
     val grams = when(length(text) >= k,
       transform(sequence(lit(0), length(text) - k),

@@ -420,3 +420,73 @@ case class TextShingleHashesExpr(child: Expression, k: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Constants of the exactly-portable span hash shared by the C8/C9
+  * substring-dedup family and its DuckDB oracle: stepwise
+  * (acc·B + x) % P keeps every intermediate below P·B + P ≈ 1e15 —
+  * exact 64-bit integer math in ANY engine (Java wraps silently,
+  * DuckDB errors loudly; staying far under 2^63 sidesteps both).
+  */
+object SpanHash {
+  val P = 1000000007L
+  val B = 1000003L
+}
+
+/** Word k-gram span hashes over an array<string> of words, in ONE
+  * primitive pass — bit-identical to the portable two-level HOF
+  * formulation (word → fold of codepoints mod P; span → fold of its
+  * word hashes mod P) that the DuckDB oracle mirrors, but without the
+  * per-character interpreted lambda calls (measured ~20× on the
+  * corpus scan). Fewer than k words → empty array; null words hash
+  * to 0 like the HOF's ascii(null) path.
+  */
+case class WordSpanHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_span_hashes"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("spanHashExpr", this, classOf[WordSpanHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.compute($arr);")
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): ArrayData = {
+    import SpanHash.{B, P}
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val wh = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val t = arr.getUTF8String(j)
+      var h = 0L
+      if (t != null) {
+        // fold CODEPOINTS (what ascii()/ord() see per split('') char)
+        val s = t.toString
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          h = (h * 257 + cp) % P
+          i += Character.charCount(cp)
+        }
+      }
+      wh(j) = h
+      j += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i < out.length) {
+      var h = wh(i)
+      var w = 1
+      while (w < k) { h = (h * B + wh(i + w)) % P; w += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

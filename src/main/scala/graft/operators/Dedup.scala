@@ -458,30 +458,196 @@ object Dedup {
     connectedComponents(docs(s, dir).select(col("doc_id")), edges)
   }
 
+  /** Words per span for substring dedup / decontamination. */
+  private[graft] val SpanWords = 4
+
+  /** C8/C9 shared machinery: one row per word 4-gram — (doc_id, p
+    * [1-based start word], gh [portable span hash]). The hash is a
+    * two-level polynomial: word → (fold of char codes, stepwise
+    * mod-P) and span → stepwise mod-P fold of its word hashes, every
+    * step exact in BIGINT — so DuckDB reproduces the hashes
+    * BIT-IDENTICALLY and the whole substring-dedup family is
+    * oracle-checkable, unlike the engine-specific xxhash shingles of
+    * the C2 family. Computed by the native one-pass
+    * `WordSpanHashesExpr` (the per-character HOF formulation it
+    * matches bit-for-bit — spec-asserted — interprets two nested
+    * lambdas per char and measured ~20× slower); map-only until the
+    * caller aggregates, tokenized once per document.
+    */
+  private[graft] def wordGramHashes(s: SparkSession, dir: String): DataFrame =
+    wordGramHashesOf(docs(s, dir))
+
+  private[graft] def wordGramHashesOf(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("words", expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)"))
+      .withColumn("ghs", TextFns.wordSpanHashes(col("words"), SpanWords))
+      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("gh"))
+
+  /** The interpreted HOF twin of `WordSpanHashesExpr`, kept ONLY as
+    * the bit-identity reference for the spec (it IS the SQL the
+    * oracle runs, expressed in Spark HOFs).
+    */
+  private[graft] def wordGramHashesHof(documents: DataFrame): DataFrame = {
+    val P = graft.functions.SpanHash.P; val B = graft.functions.SpanHash.B
+    documents
+      .withColumn("words", expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)"))
+      .withColumn("wh", expr(
+        s"transform(words, w -> aggregate(split(w, ''), cast(0 as bigint), " +
+          s"(acc, c) -> (acc * 257 + ascii(c)) % $P))"))
+      .withColumn("ghs",
+        when(size(col("wh")) < SpanWords, expr("cast(array() as array<bigint>)"))
+          .otherwise(expr(
+            s"""transform(sequence(1, size(wh) - ${SpanWords - 1}), p ->
+                  ((((((element_at(wh, p) * $B + element_at(wh, p + 1)) % $P)
+                      * $B + element_at(wh, p + 2)) % $P)
+                      * $B + element_at(wh, p + 3)) % $P))""")))
+      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("p0", "gh")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("gh"))
+  }
+
+  /** C8: substring-level exact dedup — the cross-document repeated-SPAN
+    * pass of the public dedup literature (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": exact substring
+    * matching removes boilerplate the document-level C1-C6 family keeps,
+    * because two documents sharing one licence paragraph are not
+    * near-dups). A span (word 4-gram) is DUPLICATED when it occurs in
+    * more than one document; each document reports its duplicated-span
+    * fraction. Scale shape: map-side span hashing (8-byte keys, never
+    * strings, through the shuffle), one groupBy(gh) to find repeats, one
+    * semi join back, two per-doc aggregates — no pairwise comparison
+    * anywhere, so cost is O(total spans), not O(docs²).
+    */
+  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val g = wordGramHashes(s, dir).cache() // reused: repeat set + both aggs
+    val rep = g.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1).select("gh")
+    val totals = g.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dups = g.join(rep, Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    docs(s, dir).select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        floor(coalesce(col("n_dup_spans"), lit(0L)).cast("double") * 1000000.0 /
+              greatest(coalesce(col("n_spans"), lit(0L)), lit(1L)))
+          .cast("long").as("dup_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** C8 (removal form): rewrite each document WITHOUT its cross-doc
+    * duplicated spans — every word covered by any repeated 4-gram is
+    * dropped and the survivors re-joined. Coverage is computed
+    * relationally (dup span starts → explode the 4 covered indices →
+    * distinct → per-doc sorted index list), so the rewrite stays one
+    * pass over the corpus plus the same O(total spans) span joins as
+    * the stats form; the per-doc covered list is bounded by document
+    * length, the same class as the document itself.
+    */
+  def substringRemoval(s: SparkSession, dir: String): DataFrame = {
+    val g = wordGramHashes(s, dir).cache()
+    val rep = g.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1).select("gh")
+    val covered = g.join(rep, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(p, p + ${SpanWords - 1})")).as("idx"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_list("idx")).as("cov"))
+    docs(s, dir)
+      .withColumn("words", expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr("cast(array() as array<bigint>)")))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        size(col("cov")).cast("long").as("n_removed"),
+        expr("concat_ws(' ', filter(words, (w, i) -> NOT array_contains(cov, i + 1)))")
+          .as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stand-in for the held-out benchmark/eval table the
+    * decontamination gate protects (the corpus ships no eval set):
+    * every 97th document. Callers treat it as the small trusted side.
+    */
+  private[graft] def isBenchDoc = pmod(col("doc_id"), lit(97)) === 0
+
+  /** C9: benchmark decontamination — the standard curation gate: flag
+    * training documents whose spans overlap a (small) eval set, so
+    * benchmark text never leaks into training data (the n-gram overlap
+    * rule of the public eval-decontamination literature, e.g. GPT-3
+    * appendix C / PaLM's 13-gram rule, shrunk to this corpus's 4-gram
+    * spans). The eval side's distinct span hashes are a broadcast-
+    * sized artifact (|eval docs| ~ corpus/97); the training side takes
+    * ONE map-side broadcast semi join + a per-doc aggregate — at
+    * 100 TB the corpus is read once, shuffled only by doc_id partial
+    * aggs, never joined wide. A doc is contaminated when ≥ 10% of its
+    * spans appear in the eval set.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateOf(wordGramHashes(s, dir), docs(s, dir))
+
+  private[graft] def decontaminateOf(grams: DataFrame, documents: DataFrame): DataFrame = {
+    val g = grams.cache()
+    val benchSpans = g.where(isBenchDoc).select("gh").distinct()
+    val train = g.where(!isBenchDoc)
+    val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val overlaps = train.join(broadcast(benchSpans), Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    documents.where(!isBenchDoc).select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        floor(coalesce(col("n_overlap"), lit(0L)).cast("double") * 1000000.0 /
+              greatest(coalesce(col("n_spans"), lit(0L)), lit(1L)))
+          .cast("long").as("overlap_micro"),
+        // a doc with no spans at all (< 4 words) is trivially clean —
+        // without the n_spans > 0 guard, 0 >= 0 would flag it
+        (coalesce(col("n_spans"), lit(0L)) > 0 &&
+          coalesce(col("n_overlap"), lit(0L)) * 10 >=
+            coalesce(col("n_spans"), lit(0L))).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** C7: end-to-end corpus curation — the composite pass a training-
     * data pipeline runs before tokenization, assembled from the
     * oracle-portable pieces so the WHOLE pipeline is hash-checked:
     *  1. quality gate: ≥ 10 whitespace tokens and ≥ 30% distinct
     *     tokens (drops degenerate/repetitive docs);
-    *  2. near-dup removal: keep one representative per
-    *     `nearDupClustersExact` cluster, chosen AMONG the quality
-    *     survivors (min surviving doc_id) — choosing the global
+    *  2. decontamination gate (C9): drop the held-out eval docs
+    *     themselves AND any training doc whose span overlap with the
+    *     eval set crosses the contamination threshold — benchmark
+    *     text must never reach the curated corpus;
+    *  3. near-dup removal: keep one representative per
+    *     `nearDupClustersExact` cluster, chosen AMONG the surviving
+    *     docs (min surviving doc_id) — choosing the global
     *     cluster minimum would silently drop an entire cluster
-    *     whenever its smallest member happens to fail the gate;
-    *  3. per-source accounting of the surviving corpus.
-    * Scale shape: the quality gate is map-only; clustering is the
-    * blocked near-dup pipeline (one shuffle per stage); the
-    * representative choice and accounting are one window + one
-    * grouped aggregate.
+    *     whenever its smallest member happens to fail a gate;
+    *  4. per-source accounting of the surviving corpus.
+    * Scale shape: the quality gate is map-only; decontamination is a
+    * broadcast semi join; clustering is the blocked near-dup pipeline
+    * (one shuffle per stage); the representative choice and
+    * accounting are one window + one grouped aggregate.
     */
   def curateCorpus(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(trim(col("text")), "\\s+")
+    val clean = decontaminate(s, dir)
+      .where(col("contaminated") === 0).select("doc_id")
     val quality = docs(s, dir)
       .withColumn("n_toks", size(toks))
       .withColumn("n_distinct", size(array_distinct(toks)))
       .where(col("n_toks") >= 10 &&
              col("n_distinct") * 10 >= col("n_toks") * 3)
+      .join(clean, Seq("doc_id"), "left_semi")
     val clusters = nearDupClustersExact(s, dir)
     val wCluster = Window.partitionBy("cluster")
     quality.join(clusters, Seq("doc_id"))

@@ -246,8 +246,11 @@ class DedupSpec extends SparkSpecBase {
     val dupe = good.replace("today", "tonight")          // near-dup of `good`
     val short = "too few tokens here"                    // < 10 tokens -> dropped
     val repetitive = Seq.fill(20)("spam").mkString(" ")  // distinct ratio 1/20 -> dropped
-    val docs = Seq((0L, good, "a"), (1L, dupe, "a"), (2L, short, "b"),
-      (3L, repetitive, "b"), (4L, "another perfectly fine document with plenty of distinct tokens in it", "b"))
+    // ids avoid doc_id % 97 == 0: doc 0 would be an eval/bench doc and
+    // the decontamination stage would (correctly) drop it AND its
+    // near-dup as contaminated -- this spec targets the dedup stage
+    val docs = Seq((10L, good, "a"), (11L, dupe, "a"), (12L, short, "b"),
+      (13L, repetitive, "b"), (14L, "another perfectly fine document with plenty of distinct tokens in it", "b"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_cur").toString
     docs.toDF("doc_id", "text", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -255,27 +258,89 @@ class DedupSpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val out = Dedup.curateCorpus(spark, tmp).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // source a: doc 0 survives (representative), doc 1 deduped away;
-    // source b: only doc 4 passes the quality gate.
+    // source a: doc 10 survives (representative), doc 11 deduped away;
+    // source b: only doc 14 passes the quality gate.
     assert(out === Map("a" -> 1L, "b" -> 1L), s"got $out")
   }
 
   test("curation keeps a good doc whose cluster's min member fails the quality gate") {
     import spark.implicits._
-    // doc 0 is a 9-token prefix of doc 1: near-dup (shares most
+    // doc 10 is a 9-token prefix of doc 11 (non-bench ids; see above):
+    // near-dup (shares most
     // shingles) but FAILS the >= 10 tokens gate. The representative
     // must be chosen among quality survivors — picking the global
     // cluster min would drop the whole cluster.
     val full = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
     val prefix = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
     val tmp = java.nio.file.Files.createTempDirectory("graft_curq").toString
-    Seq((0L, prefix, "a"), (1L, full, "a")).toDF("doc_id", "text", "source")
+    Seq((10L, prefix, "a"), (11L, full, "a")).toDF("doc_id", "text", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("lang", lit("en"))
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val out = Dedup.curateCorpus(spark, tmp).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out === Map("a" -> 1L), s"got $out")
+  }
+
+  test("native span hashes are bit-identical to the portable HOF/oracle formulation") {
+    val documents = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+    val native = Dedup.wordGramHashesOf(documents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val hof = Dedup.wordGramHashesHof(documents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(native.nonEmpty && native === hof,
+      s"native=${native.size} hof=${hof.size}; diff=${(native -- hof).take(3)}")
+  }
+
+  test("substring dedup finds a planted cross-doc span; removal strips exactly it") {
+    import spark.implicits._
+    val boiler = "this license text is repeated verbatim across documents"  // 8 words
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sub").toString
+    Seq(
+      (10L, s"unique opening words here $boiler and unique closing words", "a"),
+      (11L, s"different lead in tokens $boiler with other trailing content", "a"),
+      (12L, "completely unrelated text with no shared span at all okay", "b"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val stats = Dedup.substringDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 10/11 share the 8-word boilerplate -> its 5 word-4-grams are
+    // cross-doc duplicated in both; doc 12 shares nothing
+    assert(stats(10L)._2 === 5L, s"got $stats")
+    assert(stats(11L)._2 === 5L, s"got $stats")
+    assert(stats(12L)._2 === 0L, s"got $stats")
+    val removed = Dedup.substringRemoval(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // the 5 dup spans cover exactly the 8 boilerplate words
+    assert(removed(10L)._1 === 8L, s"got $removed")
+    assert(removed(10L)._2 === "unique opening words here and unique closing words")
+    assert(removed(12L) === ((0L, "completely unrelated text with no shared span at all okay")))
+  }
+
+  test("decontamination flags a planted benchmark leak; curation drops it") {
+    import spark.implicits._
+    val evalText = "what is the capital of france answer paris of course"
+    val cleanTxt = "a perfectly ordinary training document with many distinct tokens inside"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    Seq(
+      (97L, evalText, "eval"),            // bench doc (97 % 97 == 0)
+      (20L, evalText + " with tiny suffix", "web"), // leaked: most spans overlap
+      (21L, cleanTxt, "web"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val flags = Dedup.decontaminate(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(4))).toMap
+    assert(!flags.contains(97L), "bench docs are not part of the training view")
+    assert(flags(20L)._2 === 1, s"leaked doc must be flagged: $flags")
+    assert(flags(21L)._2 === 0, s"clean doc must not be flagged: $flags")
+    val curated = Dedup.curateCorpus(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(curated === Map("web" -> 1L),
+      s"curation must keep only the clean web doc (no eval, no leak): $curated")
   }
 
   test("exact embedding cosine: sampled pairs, identical vectors score 1000000 micro") {
