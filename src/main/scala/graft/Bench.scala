@@ -14,6 +14,16 @@ object Bench {
 
   private val Runs = 5
 
+  /** Noise guard: a query whose median/min exceeds this across its
+    * timed runs was almost certainly disturbed by co-tenant load (a
+    * query does not legitimately vary 3× across back-to-back runs of
+    * identical code — observed up to 12.6× under heavy load, which
+    * corrupted one round's recorded bench); its batch is re-run once
+    * and the quieter batch kept. The emitted JSON carries the residual
+    * worst ratio as `noise` so the run's quality is visible.
+    */
+  private val NoiseRatio = 3.0
+
   /** Headline queries only (one per operator family, weighted toward
     * the expensive plans). Benching all ~65 registered queries made
     * the emitted JSON line overflow the harness's output tail buffer
@@ -75,8 +85,16 @@ object Bench {
       // warm-up run pays codegen/JIT and page cache, then Runs timed
       // runs; a failing warm-up short-circuits (no point retrying 5x).
       val warm = once()
-      val runs = if (warm < 0) Seq.empty[Double]
-                 else Seq.fill(Runs)(once()).filter(_ >= 0)
+      val first = if (warm < 0) Seq.empty[Double]
+                  else Seq.fill(Runs)(once()).filter(_ >= 0)
+      val runs =
+        if (first.nonEmpty && median(first) > first.min * NoiseRatio) {
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[bench] %s noisy (med/min %.1fx); re-running its batch once",
+            name, Double.box(median(first) / first.min)))
+          val second = Seq.fill(Runs)(once()).filter(_ >= 0)
+          if (second.nonEmpty && median(second) < median(first)) second else first
+        } else first
       // Queries that .cache() intermediates (dedup/sim families) leave
       // them resident forever; 24 queries x 6 runs fills the storage
       // pool and late queries pay eviction + GC (BENCH_r05:
@@ -93,9 +111,13 @@ object Bench {
       ok.map { case (k, rs) => "\"" + k + "\":" + fmt(f(rs)) }.mkString("{", ",", "}")
     val total = ok.map { case (_, rs) => median(rs) }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // residual run quality AFTER the noise guard: worst med/min ratio
+    val noise = if (ok.isEmpty) 0.0
+                else ok.map { case (_, rs) => median(rs) / rs.min }.max
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":${jmap(median)},"queries_min":${jmap(_.min)},""" +
       s""""failed":${failed.size},"failed_queries":$failedJson,""" +
+      s""""noise":${fmt(noise)},""" +
       s""""sf":"$sfDir","runs_per_query":$Runs,"agg":"median",""" +
       s""""headline_only":true,"n_queries":${bench.size}}""")
     spark.stop()

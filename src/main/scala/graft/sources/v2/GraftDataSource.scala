@@ -204,7 +204,7 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
 
   private val converters: Array[Group => Any] =
     required.fields.zipWithIndex.map { case (f, i) =>
-      GraftV2.valueConverter(requestedTypes(i).asPrimitiveType(), f.dataType, i)
+      GraftV2.valueConverter(requestedTypes(i), f.dataType, i)
     }
 
   override def next(): Boolean = {
@@ -292,15 +292,36 @@ object GraftV2 {
   }
 
   private def toField(t: Type): StructField = {
-    require(t.isPrimitive, s"[GRAFT] v2 connector supports primitive columns only, got $t")
-    val p = t.asPrimitiveType()
+    if (!t.isPrimitive) {
+      // the one nested shape this connector reads: a standard 3-level
+      // parquet LIST of primitives (`optional group c (LIST) {
+      // repeated group list { optional <prim> element } }`) — the
+      // embeddings table's array<float> layout. Deeper nesting stays
+      // unsupported (the engine path reads it via Spark's own reader).
+      t.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+          val elem = t.asGroupType().getType(0).asGroupType().getType(0)
+          require(elem.isPrimitive,
+            s"[GRAFT] v2 connector supports lists of primitives only, got $t")
+          return StructField(t.getName,
+            ArrayType(primitiveDataType(elem.asPrimitiveType()), containsNull = true),
+            nullable = true)
+        case other => throw new IllegalArgumentException(
+          s"[GRAFT] v2 connector supports primitive and LIST columns only, got $t ($other)")
+      }
+    }
+    StructField(t.getName, primitiveDataType(t.asPrimitiveType()), nullable = true)
+  }
+
+  private def primitiveDataType(p: PrimitiveType): DataType = {
+    val t: Type = p
     // DECIMAL can ride on INT32 (precision <= 9), INT64 (<= 18),
     // FIXED_LEN_BYTE_ARRAY or BINARY (two's-complement unscaled) —
     // the reference reads the same surface via its serde
     // (ArgodbSerdeUtils.java:71-102 lists DECIMAL alongside the
     // primitives; CHAR/VARCHAR arrive as STRING-annotated BINARY and
     // land in StringType below).
-    val dt = p.getPrimitiveTypeName match {
+    p.getPrimitiveTypeName match {
       case BOOLEAN => BooleanType
       case INT32 => t.getLogicalTypeAnnotation match {
         case d: DecimalLogicalTypeAnnotation => DecimalType(d.getPrecision, d.getScale)
@@ -333,11 +354,47 @@ object GraftV2 {
       }
       case other => throw new IllegalArgumentException(s"[GRAFT] Unsupported parquet type: $other")
     }
-    StructField(t.getName, dt, nullable = true)
   }
 
   /** Per-field Group → Catalyst value converter. */
-  def valueConverter(p: PrimitiveType, dt: DataType, idx: Int): Group => Any = dt match {
+  def valueConverter(t: Type, dt: DataType, idx: Int): Group => Any = dt match {
+    case ArrayType(et, _) =>
+      // 3-level LIST: field idx holds the LIST group; its single
+      // repeated child repeats once per element; each repetition holds
+      // an optional primitive (absent repetition count 0 = null elem).
+      val elemPrim = t.asGroupType().getType(0).asGroupType().getType(0).asPrimitiveType()
+      val readElem = elementConverter(elemPrim, et)
+      g => {
+        val lst = g.getGroup(idx, 0)
+        val n = lst.getFieldRepetitionCount(0)
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          val entry = lst.getGroup(0, i)
+          out(i) = if (entry.getFieldRepetitionCount(0) == 0) null else readElem(entry)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      }
+    case _ => scalarConverter(t.asPrimitiveType(), dt, idx)
+  }
+
+  /** Reader for one LIST element group (the primitive sits at field 0,
+    * repetition 0 of each entry).
+    */
+  private def elementConverter(p: PrimitiveType, dt: DataType): Group => Any = dt match {
+    case BooleanType => g => g.getBoolean(0, 0)
+    case IntegerType | DateType => g => g.getInteger(0, 0)
+    case LongType => g => g.getLong(0, 0)
+    case FloatType => g => g.getFloat(0, 0)
+    case DoubleType => g => g.getDouble(0, 0)
+    case StringType => g => UTF8String.fromBytes(g.getBinary(0, 0).getBytes)
+    case BinaryType => g => g.getBinary(0, 0).getBytes
+    case other => throw new IllegalArgumentException(
+      s"[GRAFT] Unsupported LIST element type: $other")
+  }
+
+  private def scalarConverter(p: PrimitiveType, dt: DataType, idx: Int): Group => Any = dt match {
     case BooleanType => g => g.getBoolean(idx, 0)
     case IntegerType | DateType => g => g.getInteger(idx, 0)
     case LongType => g => g.getLong(idx, 0)

@@ -245,6 +245,27 @@ class V2SourceSpec extends SparkSpecBase {
     assert(n() === 5, "SQL reads must see the pinned snapshot, not later arrivals")
   }
 
+  test("v2 reads LIST columns: embeddings array<float> equals the native reader") {
+    val got = v2("embeddings")
+    assert(got.schema("embedding").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val exp = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assert(got.count() === exp.count())
+    // element-exact: per-vector float sums match bit-for-bit
+    def sums(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("vec_id",
+        "aggregate(embedding, cast(0.0 as double), (a, x) -> a + x) AS s")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sums(got) === sums(exp))
+    // and the SQL catalog can open it by name now
+    graft.sources.v2.GraftTableCatalog.register(spark, "/root/testdata")
+    val viaSql = spark.sql(
+      "SELECT count(*) AS n, sum(size(embedding)) AS dims FROM graft.`sf0.001`.embeddings")
+      .head()
+    assert(viaSql.getLong(0) === exp.count())
+    assert(viaSql.getLong(1) === exp.count() * 64)
+  }
+
   test("v2 maps UTC-adjusted timestamps to TimestampType, wall-clock to NTZ") {
     import spark.implicits._
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
