@@ -118,6 +118,8 @@ object SparkEntry {
     "dedup_embedding_cosine_lsh" -> Dedup.embeddingCosine _,
     "dedup_clusters"             -> Dedup.nearDupClusters _,
     "dedup_clusters_exact"       -> Dedup.nearDupClustersExact _,
+    "pipeline_pack_sequences"    -> Assembly.packSequences _,
+    "pipeline_mixture_sample"    -> Assembly.mixtureSample _,
     "dedup_substring"            -> Dedup.substringDedup _,
     "dedup_substring_removal"    -> Dedup.substringRemoval _,
     "text_decontaminate"         -> Dedup.decontaminate _,
@@ -1155,6 +1157,42 @@ object SparkEntry {
     "dedup_exact" -> """
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       FROM documents GROUP BY text ORDER BY doc_id""",
+
+    // Same token regex as text_tokens' bpe count (hash-matched there),
+    // same contiguous-fill rule: a doc's sequence = its preceding
+    // cumulative token count div 2048, within (source, doc-bucket).
+    "pipeline_pack_sequences" -> """
+      WITH t AS (
+        SELECT doc_id, source, doc_id // 1000 AS bucket,
+               CAST(length(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens
+        FROM documents
+      ), r AS (
+        SELECT source, bucket, doc_id, tokens,
+               sum(tokens) OVER (PARTITION BY source, bucket ORDER BY doc_id) AS running
+        FROM t
+      )
+      SELECT source, CAST(bucket AS BIGINT) AS bucket,
+             (running - tokens) // 2048 AS seq_no,
+             count(*) AS n_docs,
+             CAST(sum(tokens) AS BIGINT) AS seq_tokens
+      FROM r GROUP BY source, bucket, (running - tokens) // 2048
+      ORDER BY source, bucket, seq_no""",
+
+    "pipeline_mixture_sample" -> """
+      WITH t AS (
+        SELECT source,
+               100000 + (CAST(substr(source, 4) AS BIGINT) % 5) * 200000 AS weight_micro,
+               CASE WHEN (doc_id * 1048573 + 11) % 1000000
+                         < 100000 + (CAST(substr(source, 4) AS BIGINT) % 5) * 200000
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents
+      )
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(kept) AS BIGINT) AS n_kept,
+             CAST(first(weight_micro) AS BIGINT) AS weight_micro,
+             CAST(floor(sum(kept) * 1000000.0 / count(*)) AS BIGINT) AS achieved_micro
+      FROM t GROUP BY source ORDER BY source""",
 
     "dedup_substring" -> (spanHashCte + """, rep AS (
         SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1

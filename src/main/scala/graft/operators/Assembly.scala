@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.H training-set assembly: the passes that turn a CURATED corpus
+  * into model-ready training data — sequence packing (documents
+  * concatenated into fixed-length context windows) and mixture
+  * sampling (per-source rates hitting a target data mixture). Both
+  * are deterministic integer/window arithmetic, so both are
+  * oracle-exact cross-engine.
+  */
+object Assembly {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    new GraftCatalog(s, dir).table("documents")
+
+  /** Context-window length (tokens) for packing. */
+  val SeqLen = 2048L
+
+  /** Docs per packing bucket — the parallelism unit. */
+  val PackBucket = 1000L
+
+  /** H1: sequence packing — the standard pre-tokenization pass that
+    * concatenates documents into fixed-length training sequences
+    * (GPT-style causal-LM batching: docs are packed head-to-tail into
+    * `SeqLen`-token windows; a document starts in the window its
+    * preceding cumulative token count falls into). Packing is
+    * CONTIGUOUS per (source, doc-bucket): a running token sum over a
+    * window PARTITIONED by (source, bucket) — never a global
+    * SinglePartition window — assigns each doc its starting sequence
+    * as `(running - tokens) div SeqLen`. At 100 TB each bucket packs
+    * independently in parallel and the result is byte-deterministic
+    * (pure integer math over the doc_id order), which is what makes
+    * training-data builds reproducible.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(
+      col("doc_id"), col("source"),
+      expr(s"doc_id div $PackBucket").as("bucket"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("tokens"))
+    val w = Window.partitionBy("source", "bucket").orderBy("doc_id")
+    toks
+      .withColumn("running", sum("tokens").over(w))
+      .withColumn("seq_no", expr(s"(running - tokens) div $SeqLen"))
+      .groupBy("source", "bucket", "seq_no")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("seq_tokens"))
+      .orderBy("source", "bucket", "seq_no")
+  }
+
+  /** H2: mixture sampling — downsample each source to a target mixture
+    * weight (the "data mixing" stage of every public LLM data recipe:
+    * per-source sampling rates chosen so the training distribution
+    * matches a target, not the crawl distribution). The keep rule is
+    * the engine's deterministic hash sample (multiplicative hash mod
+    * 1e6 against the source's weight), so the SAME documents are kept
+    * on every run and in every engine — reproducible mixtures, no RNG.
+    * Map-only scan + one per-source aggregate; the achieved rate is
+    * reported against the target so drift is visible.
+    */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    // target weight per source, derived from its numeric suffix:
+    // 0.1/0.3/0.5/0.7/0.9 cycling — a deterministic stand-in for the
+    // user-supplied mixture table
+    val weightMicro = (lit(100000L) +
+      (substring(col("source"), 4, 10).cast("long") % 5) * 200000L).as("weight_micro")
+    val kept = pmod(col("doc_id") * 1048573L + 11L, lit(1000000L)) < col("weight_micro")
+    docs(s, dir)
+      .withColumn("weight_micro", weightMicro)
+      .withColumn("kept", kept.cast("int"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("kept").cast("long").as("n_kept"),
+        first("weight_micro").as("weight_micro"),
+        floor(sum("kept").cast("double") * 1000000.0 / count(lit(1)))
+          .cast("long").as("achieved_micro"))
+      .orderBy("source")
+  }
+}

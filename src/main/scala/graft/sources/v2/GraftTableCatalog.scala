@@ -42,6 +42,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   /** One pinned GraftCatalog per namespace — the snapshot holder. */
   private val pinned = TrieMap.empty[String, GraftCatalog]
 
+  /** Memoized loadTable results: within one catalog instance a table's
+    * file set is pinned and parquet files are immutable, so its schema
+    * and Table object never change — rebuilding them per query would
+    * re-read a footer on every SELECT.
+    */
+  private val tables = TrieMap.empty[(String, String), Table]
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
@@ -73,16 +80,17 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     catalogFor(namespace).tableNames()
       .map(t => Identifier.of(namespace, t)).toArray
 
-  override def loadTable(ident: Identifier): Table = {
-    val files = catalogFor(ident.namespace).snapshotFiles(ident.name).map(_._1)
-    if (files.isEmpty) throw new NoSuchTableException(ident)
-    val tablePath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
-    // schema from the pinned snapshot's first file (one writer, one
-    // schema — the v2 connector's contract), typed by the same
-    // mapping the v2 reader uses
-    GraftTable(tablePath,
-      GraftV2.readSchema(files.head, spark.sessionState.newHadoopConf()), files)
-  }
+  override def loadTable(ident: Identifier): Table =
+    tables.getOrElseUpdate((ident.namespace.mkString("/"), ident.name), {
+      val files = catalogFor(ident.namespace).snapshotFiles(ident.name).map(_._1)
+      if (files.isEmpty) throw new NoSuchTableException(ident)
+      val tablePath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
+      // schema from the pinned snapshot's first file (one writer, one
+      // schema — the v2 connector's contract), typed by the same
+      // mapping the v2 reader uses
+      GraftTable(tablePath,
+        GraftV2.readSchema(files.head, spark.sessionState.newHadoopConf()), files)
+    })
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Assembly
+import org.apache.spark.sql.functions._
+
+class AssemblySpec extends SparkSpecBase {
+
+  test("sequence packing conserves every token and fills windows in order") {
+    val seqs = Assembly.packSequences(spark, sfDir)
+    val rows = seqs.collect()
+    assert(rows.nonEmpty)
+    // token conservation: packed totals equal the corpus token count
+    val packed = rows.map(_.getLong(4)).sum
+    val corpus = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+      .select(size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(packed === corpus, s"packed $packed of $corpus tokens")
+    // within each (source, bucket), sequences number 0..max contiguously
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (k, rs) =>
+      val ns = rs.map(_.getLong(2)).sorted
+      assert(ns.head === 0L && ns === (0L until ns.length).toArray.toSeq.sorted,
+        s"non-contiguous sequence numbers in $k: ${ns.toSeq}")
+    }
+    // contiguous fill: every sequence but the bucket-last holds at
+    // least a full window's START (its docs' running count crosses the
+    // boundary), so only the last can be under-full by construction —
+    // checkable as: per group, all but the final seq have
+    // seq_tokens >= SeqLen - (max doc tokens); weak bound, main value
+    // is the oracle hash match.
+  }
+
+  test("packing splits a bucket into multiple windows when tokens exceed SeqLen") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pack").toString
+    // 30 docs x 100 single-letter tokens = 3000 tokens > 2048 -> 2 seqs
+    val txt = Seq.fill(100)("a").mkString(" ")
+    (0L until 30L).map(i => (i, txt, "srcX"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Assembly.packSequences(spark, tmp).collect()
+      .map(r => r.getLong(2) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet === Set(0L, 1L), s"got $out")
+    // window 0 holds the docs whose cumulative start is < 2048:
+    // docs 0..20 start at 0,100,...,2000 -> 21 docs, 2100 tokens
+    assert(out(0L) === ((21L, 2100L)), s"got $out")
+    assert(out(1L) === ((9L, 900L)), s"got $out")
+  }
+
+  test("mixture sampling is deterministic and tracks the target weights") {
+    val a = Assembly.mixtureSample(spark, sfDir).collect()
+    val b = Assembly.mixtureSample(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq, "must be deterministic")
+    a.foreach { r =>
+      val (n, kept, w) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept <= n)
+      assert(Set(100000L, 300000L, 500000L, 700000L, 900000L).contains(w))
+    }
+    // high-weight sources must keep more (in aggregate) than low-weight
+    val byW = a.groupBy(_.getLong(3)).view
+      .mapValues(rs => rs.map(_.getLong(2)).sum.toDouble / rs.map(_.getLong(1)).sum)
+    assert(byW(900000L) > byW(100000L),
+      s"0.9-weight sources must keep a larger fraction: $byW")
+  }
+}
