@@ -49,6 +49,16 @@ class AssemblySpec extends SparkSpecBase {
     assert(out(1L) === ((9L, 900L)), s"got $out")
   }
 
+  test("packing plans ONE exchange: window and aggregate share the bucket partitioning") {
+    val plan = Assembly.packSequences(spark, sfDir).queryExecution.executedPlan.toString
+    // hash-partitioning by (source, bucket) for the window already
+    // clusters (source, bucket, seq_no), so the groupBy must NOT add a
+    // second hash exchange; the only other exchange is the output sort
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1,
+      s"expected 1 hash exchange (shared by window+agg), got $hashExchanges:\n${plan.take(1200)}")
+  }
+
   test("mixture sampling is deterministic and tracks the target weights") {
     val a = Assembly.mixtureSample(spark, sfDir).collect()
     val b = Assembly.mixtureSample(spark, sfDir).collect()

@@ -319,6 +319,12 @@ class DedupSpec extends SparkSpecBase {
     assert(removed(12L) === ((0L, "completely unrelated text with no shared span at all okay")))
   }
 
+  test("decontamination joins the eval spans by BROADCAST (no wide shuffle)") {
+    val plan = Dedup.decontaminate(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "the eval-span set must broadcast into a semi join: " + plan.take(1000))
+  }
+
   test("decontamination flags a planted benchmark leak; curation drops it") {
     import spark.implicits._
     val evalText = "what is the capital of france answer paris of course"
