@@ -120,6 +120,7 @@ object SparkEntry {
     "dedup_clusters_exact"       -> Dedup.nearDupClustersExact _,
     "pipeline_pack_sequences"    -> Assembly.packSequences _,
     "pipeline_mixture_sample"    -> Assembly.mixtureSample _,
+    "pipeline_assemble_corpus"   -> Assembly.assembleCorpus _,
     "dedup_substring"            -> Dedup.substringDedup _,
     "dedup_substring_removal"    -> Dedup.substringRemoval _,
     "text_decontaminate"         -> Dedup.decontaminate _,
@@ -197,6 +198,96 @@ object SparkEntry {
                   * 1000003 + wh[p+3]) % 1000000007)})) AS u
           FROM h)
       )"""
+
+  /** C7's full curated-document chain (shingles → guarded blocking →
+    * recursive-CTE connected components → quality + decontamination
+    * gates → cluster representative), ending in `kept`(doc_id,
+    * source, n_chars, n_toks, ...). Shared by the C7 accounting and
+    * the H3 whole-build oracle.
+    */
+  private val curatedDocsCte = """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks WHERE len(t) >= 3
+      ), ks AS (
+        SELECT doc_id, unnest(list_sort(s)[1:4]) AS k FROM sh
+      ), ks2 AS (
+        SELECT doc_id, k,
+               count(*) OVER (PARTITION BY k) AS bsz,
+               lag(doc_id) OVER (PARTITION BY k ORDER BY doc_id) AS prev
+        FROM ks
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ks2 a JOIN ks2 b
+          ON a.k = b.k AND a.doc_id < b.doc_id AND a.bsz <= 64 AND b.bsz <= 64
+        UNION
+        SELECT DISTINCT prev AS doc_a, doc_id AS doc_b
+        FROM ks2 WHERE bsz > 64 AND prev IS NOT NULL
+      ), e0 AS (
+        SELECT doc_a, doc_b FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE 2 * len(list_intersect(sa.s, sb.s)) >= len(list_distinct(sa.s || sb.s))
+      ), e AS (
+        SELECT doc_a, doc_b FROM e0
+        UNION ALL SELECT doc_b, doc_a FROM e0
+      ), cc AS (
+        SELECT doc_id, doc_id AS reach FROM documents
+        UNION
+        SELECT cc.doc_id, e.doc_b AS reach FROM cc JOIN e ON e.doc_a = cc.reach
+      ), clusters AS (
+        SELECT doc_id, CAST(min(reach) AS BIGINT) AS cluster
+        FROM cc GROUP BY doc_id
+      ), spw AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                   x -> length(x) > 0) AS ws
+        FROM documents
+      ), sph AS (
+        SELECT doc_id, list_transform(ws, ww -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(ww) + 1),
+                     i -> CAST(ord(substr(ww, CAST(i AS INT), 1)) AS BIGINT))),
+                 (acc, c) -> (acc * 257 + c) % 1000000007)) AS wh
+        FROM spw
+      ), spg AS (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(wh) - 2, 1)),
+          p -> ((((((wh[p] * 1000003 + wh[p+1]) % 1000000007)
+                   * 1000003 + wh[p+2]) % 1000000007)
+                   * 1000003 + wh[p+3]) % 1000000007))) AS gh
+        FROM sph
+      ), benchspans AS (
+        SELECT DISTINCT gh FROM spg WHERE doc_id % 97 = 0
+      ), contam AS (
+        SELECT doc_id, count(*) AS n_spans,
+               sum(CASE WHEN gh IN (SELECT gh FROM benchspans) THEN 1 ELSE 0 END) AS n_overlap
+        FROM spg WHERE doc_id % 97 <> 0 GROUP BY doc_id
+      ), clean AS (
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN contam t ON d.doc_id = t.doc_id
+        WHERE d.doc_id % 97 <> 0
+          AND NOT (coalesce(t.n_spans, 0) > 0
+                   AND coalesce(t.n_overlap, 0) * 10 >= t.n_spans)
+      ), q AS (
+        SELECT d.doc_id, d.source, d.n_chars,
+               len(string_split_regex(trim(d.text), '\s+')) AS n_toks,
+               len(list_distinct(string_split_regex(trim(d.text), '\s+'))) AS n_distinct
+        FROM documents d
+      ), survivors AS (
+        SELECT q.*, c.cluster FROM q
+        JOIN clusters c ON q.doc_id = c.doc_id
+        JOIN clean cl ON q.doc_id = cl.doc_id
+        WHERE q.n_toks >= 10 AND q.n_distinct * 10 >= q.n_toks * 3
+      ), kept AS (
+        SELECT * FROM (
+          SELECT s.*, min(doc_id) OVER (PARTITION BY cluster) AS rep
+          FROM survivors s)
+        WHERE doc_id = rep)
+"""
 
   def oracleSql: Map[String, String] = Map(
     "src_schema_scan" ->
@@ -1278,92 +1369,30 @@ object SparkEntry {
     // Stage 2 (decontamination) mirrors text_decontaminate's gate: the
     // span-hash CTEs are inlined because this oracle's WITH chain is
     // RECURSIVE (the connected-components fixpoint below).
-    "pipeline_curate_corpus" -> """
-      WITH RECURSIVE toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        FROM documents
-      ), sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(t) - 1),
-                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        FROM toks WHERE len(t) >= 3
-      ), ks AS (
-        SELECT doc_id, unnest(list_sort(s)[1:4]) AS k FROM sh
-      ), ks2 AS (
-        SELECT doc_id, k,
-               count(*) OVER (PARTITION BY k) AS bsz,
-               lag(doc_id) OVER (PARTITION BY k ORDER BY doc_id) AS prev
-        FROM ks
-      ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM ks2 a JOIN ks2 b
-          ON a.k = b.k AND a.doc_id < b.doc_id AND a.bsz <= 64 AND b.bsz <= 64
-        UNION
-        SELECT DISTINCT prev AS doc_a, doc_id AS doc_b
-        FROM ks2 WHERE bsz > 64 AND prev IS NOT NULL
-      ), e0 AS (
-        SELECT doc_a, doc_b FROM cand c
-        JOIN sh sa ON sa.doc_id = c.doc_a
-        JOIN sh sb ON sb.doc_id = c.doc_b
-        WHERE 2 * len(list_intersect(sa.s, sb.s)) >= len(list_distinct(sa.s || sb.s))
-      ), e AS (
-        SELECT doc_a, doc_b FROM e0
-        UNION ALL SELECT doc_b, doc_a FROM e0
-      ), cc AS (
-        SELECT doc_id, doc_id AS reach FROM documents
-        UNION
-        SELECT cc.doc_id, e.doc_b AS reach FROM cc JOIN e ON e.doc_a = cc.reach
-      ), clusters AS (
-        SELECT doc_id, CAST(min(reach) AS BIGINT) AS cluster
-        FROM cc GROUP BY doc_id
-      ), spw AS (
-        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                                   x -> length(x) > 0) AS ws
-        FROM documents
-      ), sph AS (
-        SELECT doc_id, list_transform(ws, ww -> list_reduce(
-                 list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, length(ww) + 1),
-                     i -> CAST(ord(substr(ww, CAST(i AS INT), 1)) AS BIGINT))),
-                 (acc, c) -> (acc * 257 + c) % 1000000007)) AS wh
-        FROM spw
-      ), spg AS (
-        SELECT doc_id, unnest(list_transform(range(1, greatest(len(wh) - 2, 1)),
-          p -> ((((((wh[p] * 1000003 + wh[p+1]) % 1000000007)
-                   * 1000003 + wh[p+2]) % 1000000007)
-                   * 1000003 + wh[p+3]) % 1000000007))) AS gh
-        FROM sph
-      ), benchspans AS (
-        SELECT DISTINCT gh FROM spg WHERE doc_id % 97 = 0
-      ), contam AS (
-        SELECT doc_id, count(*) AS n_spans,
-               sum(CASE WHEN gh IN (SELECT gh FROM benchspans) THEN 1 ELSE 0 END) AS n_overlap
-        FROM spg WHERE doc_id % 97 <> 0 GROUP BY doc_id
-      ), clean AS (
-        SELECT d.doc_id FROM documents d
-        LEFT JOIN contam t ON d.doc_id = t.doc_id
-        WHERE d.doc_id % 97 <> 0
-          AND NOT (coalesce(t.n_spans, 0) > 0
-                   AND coalesce(t.n_overlap, 0) * 10 >= t.n_spans)
-      ), q AS (
-        SELECT d.doc_id, d.source, d.n_chars,
-               len(string_split_regex(trim(d.text), '\s+')) AS n_toks,
-               len(list_distinct(string_split_regex(trim(d.text), '\s+'))) AS n_distinct
-        FROM documents d
-      ), survivors AS (
-        SELECT q.*, c.cluster FROM q
-        JOIN clusters c ON q.doc_id = c.doc_id
-        JOIN clean cl ON q.doc_id = cl.doc_id
-        WHERE q.n_toks >= 10 AND q.n_distinct * 10 >= q.n_toks * 3
-      ), kept AS (
-        SELECT * FROM (
-          SELECT s.*, min(doc_id) OVER (PARTITION BY cluster) AS rep
-          FROM survivors s)
-        WHERE doc_id = rep)
+    "pipeline_curate_corpus" -> (curatedDocsCte + """
       SELECT source, count(*) AS n_kept,
              CAST(sum(n_chars) AS BIGINT) AS kept_chars,
              CAST(sum(n_toks) AS BIGINT) AS kept_tokens
-      FROM kept GROUP BY source ORDER BY source""",
+      FROM kept GROUP BY source ORDER BY source"""),
+
+    // H3: the whole build — curated docs (C7's chain) → mixture keep
+    // rule (H2) → contiguous packing (H1, over the curated whitespace
+    // token counts) — per-source sequence accounting.
+    "pipeline_assemble_corpus" -> (curatedDocsCte + """, mix AS (
+        SELECT doc_id, source, doc_id // 1000 AS bucket,
+               CAST(n_toks AS BIGINT) AS tokens
+        FROM kept
+        WHERE (doc_id * 1048573 + 11) % 1000000 <
+              100000 + (CAST(substr(source, 4) AS BIGINT) % 5) * 200000
+      ), packed AS (
+        SELECT source, bucket, tokens,
+               sum(tokens) OVER (PARTITION BY source, bucket ORDER BY doc_id) AS running
+        FROM mix
+      )
+      SELECT source, count(*) AS n_docs,
+             CAST(count(DISTINCT (bucket, (running - tokens) // 2048)) AS BIGINT) AS n_seqs,
+             CAST(sum(tokens) AS BIGINT) AS total_tokens
+      FROM packed GROUP BY source ORDER BY source"""),
 
     "dedup_clusters_exact" -> """
       WITH RECURSIVE toks AS (

@@ -61,16 +61,24 @@ object Assembly {
     * Map-only scan + one per-source aggregate; the achieved rate is
     * reported against the target so drift is visible.
     */
+  /** Target weight per source, derived from its numeric suffix:
+    * 0.1/0.3/0.5/0.7/0.9 cycling — a deterministic stand-in for the
+    * user-supplied mixture table.
+    */
+  private[graft] def weightMicro: org.apache.spark.sql.Column =
+    lit(100000L) + (substring(col("source"), 4, 10).cast("long") % 5) * 200000L
+
+  /** The deterministic keep rule: multiplicative hash of doc_id mod
+    * 1e6 against the source's weight — same docs kept in every run
+    * and every engine.
+    */
+  private[graft] def keepRule: org.apache.spark.sql.Column =
+    pmod(col("doc_id") * 1048573L + 11L, lit(1000000L)) < weightMicro
+
   def mixtureSample(s: SparkSession, dir: String): DataFrame = {
-    // target weight per source, derived from its numeric suffix:
-    // 0.1/0.3/0.5/0.7/0.9 cycling — a deterministic stand-in for the
-    // user-supplied mixture table
-    val weightMicro = (lit(100000L) +
-      (substring(col("source"), 4, 10).cast("long") % 5) * 200000L).as("weight_micro")
-    val kept = pmod(col("doc_id") * 1048573L + 11L, lit(1000000L)) < col("weight_micro")
     docs(s, dir)
       .withColumn("weight_micro", weightMicro)
-      .withColumn("kept", kept.cast("int"))
+      .withColumn("kept", keepRule.cast("int"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -78,6 +86,34 @@ object Assembly {
         first("weight_micro").as("weight_micro"),
         floor(sum("kept").cast("double") * 1000000.0 / count(lit(1)))
           .cast("long").as("achieved_micro"))
+      .orderBy("source")
+  }
+
+  /** H3 (flagship composite): the WHOLE training-set build, end to
+    * end — C7's curated document set (quality gate → decontamination
+    * gate → near-dup representative) → H2's mixture sampling → H1's
+    * contiguous sequence packing — summarized per source as (docs
+    * sampled, sequences produced, total tokens). Every stage is
+    * portable integer/window arithmetic, so the ENTIRE pipeline —
+    * five operator families composed — is hash-checked against the
+    * oracle in one query. This is the end state the engine exists
+    * for: raw crawl in, reproducible packed training mixture out.
+    */
+  def assembleCorpus(s: SparkSession, dir: String): DataFrame = {
+    val kept = Dedup.curatedDocs(s, dir)
+    val sampled = kept.where(keepRule)
+      .select(col("doc_id"), col("source"),
+        expr(s"doc_id div $PackBucket").as("bucket"),
+        col("n_toks").cast("long").as("tokens"))
+    val w = Window.partitionBy("source", "bucket").orderBy("doc_id")
+    sampled
+      .withColumn("running", sum("tokens").over(w))
+      .withColumn("seq_no", expr(s"(running - tokens) div $SeqLen"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("bucket"), col("seq_no")).as("n_seqs"),
+        sum("tokens").as("total_tokens"))
       .orderBy("source")
   }
 }

@@ -637,7 +637,18 @@ object Dedup {
     * (one shuffle per stage); the representative choice and
     * accounting are one window + one grouped aggregate.
     */
-  def curateCorpus(s: SparkSession, dir: String): DataFrame = {
+  def curateCorpus(s: SparkSession, dir: String): DataFrame =
+    curatedDocs(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"),
+        sum(col("n_toks").cast("long")).as("kept_tokens"))
+      .orderBy("source")
+
+  /** The curated DOCUMENT set C7 aggregates (and H3's assembly input):
+    * one row per surviving doc with (doc_id, source, n_chars, n_toks).
+    */
+  private[graft] def curatedDocs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(trim(col("text")), "\\s+")
     val clean = decontaminate(s, dir)
@@ -653,11 +664,7 @@ object Dedup {
     quality.join(clusters, Seq("doc_id"))
       .withColumn("rep", min("doc_id").over(wCluster))
       .where(col("doc_id") === col("rep"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_kept"),
-        sum(col("n_chars")).as("kept_chars"),
-        sum(col("n_toks").cast("long")).as("kept_tokens"))
-      .orderBy("source")
+      .select("doc_id", "source", "n_chars", "n_toks")
   }
 
   /** C5 (oracle-portable form): exact pairwise cosine over the

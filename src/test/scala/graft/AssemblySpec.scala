@@ -59,6 +59,20 @@ class AssemblySpec extends SparkSpecBase {
       s"expected 1 hash exchange (shared by window+agg), got $hashExchanges:\n${plan.take(1200)}")
   }
 
+  test("assembled corpus is a packed subset of the curated corpus") {
+    val assembled = Assembly.assembleCorpus(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(assembled.nonEmpty)
+    val curated = graft.operators.Dedup.curateCorpus(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap // n_kept, kept_tokens
+    assembled.foreach { case (src, (nDocs, nSeqs, totalToks)) =>
+      val (nKept, keptToks) = curated(src)
+      assert(nDocs <= nKept, s"$src: sampled $nDocs of $nKept")
+      assert(totalToks <= keptToks, s"$src: packed $totalToks of $keptToks tokens")
+      assert(nSeqs >= 1 && nSeqs <= nDocs, s"$src: $nSeqs seqs for $nDocs docs")
+    }
+  }
+
   test("mixture sampling is deterministic and tracks the target weights") {
     val a = Assembly.mixtureSample(spark, sfDir).collect()
     val b = Assembly.mixtureSample(spark, sfDir).collect()
