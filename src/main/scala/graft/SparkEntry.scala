@@ -33,6 +33,7 @@ object SparkEntry {
     "src_v2_inputformat_scan"    -> Relational.srcV2InputFormatScan _,
     "src_v2_decimal_scan"        -> Relational.srcV2DecimalScan _,
     "src_catalog_sql_scan"       -> Relational.srcCatalogSqlScan _,
+    "src_catalog_partitioned_scan" -> Relational.srcCatalogPartitionedScan _,
     "src_csv_roundtrip"          -> Relational.srcCsvRoundtrip _,
     "src_orc_roundtrip"          -> Relational.srcOrcRoundtrip _,
     "src_json_roundtrip"         -> Relational.srcJsonRoundtrip _,
@@ -859,6 +860,15 @@ object SparkEntry {
                         * 100.0 + 0.5) AS BIGINT) AS total_cents
       FROM orders
       WHERE o_orderkey % 3 = 0
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "src_catalog_partitioned_scan" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                        * 100.0 + 0.5) AS BIGINT) AS total_cents
+      FROM orders
+      WHERE o_orderstatus IN ('F', 'O')
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
 

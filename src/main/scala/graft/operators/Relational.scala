@@ -204,6 +204,33 @@ object Relational {
       ORDER BY o_orderstatus""")
   }
 
+  /** A21 (partitioned form): a hive-partitioned table opened BY NAME
+    * through the SQL catalog — partition values re-attached per split
+    * (the reference RecordReader's partition-define re-attachment,
+    * ArgodbMapreduceRecordReader.java:182-201) and the partition
+    * filter pruning whole files at plan time (the section-pruning
+    * analog). The rewrite-then-read flow goes through `REFRESH TABLE`
+    * exactly as it would against a metastore: the catalog drops the
+    * table's pinned listing and re-pins the current files.
+    */
+  def srcCatalogPartitionedScan(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.sources.GraftSink.scratchDir + "/sqlwh"
+    cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(s"$wh/db/orders_part.parquet")
+    graft.sources.v2.GraftTableCatalog.register(s, wh, "graftwh")
+    s.sql("REFRESH TABLE graftwh.db.orders_part")
+    s.sql("""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                        * 100.0 + 0.5) AS BIGINT) AS total_cents
+      FROM graftwh.db.orders_part
+      WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")
+  }
+
   /** A10: multi-format source — CSV round trip: write a table to CSV
     * in the scratch warehouse, read it back with an explicit schema
     * (header on; Java double toString round-trips exactly), aggregate.

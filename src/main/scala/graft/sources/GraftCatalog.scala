@@ -80,6 +80,13 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     */
   def snapshotFiles(name: String): Seq[(String, Long)] = pinned(name).files
 
+  /** Drop ONE table's pinned listing so its next read re-pins the
+    * current files — the explicit REFRESH escape hatch for a table
+    * that was legitimately rewritten mid-session. Other tables'
+    * snapshots are untouched.
+    */
+  def invalidate(name: String): Unit = pinnedListings.remove(name)
+
   /** Full-table scan against the pinned snapshot: the read names the
     * pinned files explicitly instead of re-listing the directory, so
     * Catalyst's FileIndex never sees later arrivals. `basePath` keeps

@@ -19,7 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -51,12 +51,24 @@ class GraftTableProvider extends TableProvider
 
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftV2.readSchema(GraftV2.pathOf(options), GraftV2.sessionConf().value)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = GraftV2.pathOf(options)
+    val conf = GraftV2.sessionConf().value
+    val fileSchema = GraftV2.readSchema(path, conf)
+    // hive-layout partition columns (col=value directories) are part
+    // of the table schema, re-attached per split like the reference's
+    // partition define (ArgodbMapreduceRecordReader.java:182-201)
+    StructType(fileSchema.fields ++
+      GraftV2.partitionSchema(path, GraftV2.dataFiles(path, conf)).fields)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    GraftTable(properties.get("path"), schema)
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    GraftTable(path, schema,
+      partSchema = GraftV2.partitionSchema(path,
+        GraftV2.dataFiles(path, GraftV2.sessionConf().value)))
+  }
 }
 
 /** `pinnedFiles` (when non-empty) fixes the exact data-file set the
@@ -66,17 +78,19 @@ class GraftTableProvider extends TableProvider
   * snapshot semantics, carried into `SELECT ... FROM graft.ns.tbl`).
   */
 case class GraftTable(path: String, tableSchema: StructType,
-    pinnedFiles: Seq[String] = Seq.empty) extends Table with SupportsRead {
+    pinnedFiles: Seq[String] = Seq.empty,
+    partSchema: StructType = new StructType()) extends Table with SupportsRead {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, tableSchema, pinnedFiles)
+    new GraftScanBuilder(path, tableSchema, pinnedFiles, partSchema)
 }
 
 class GraftScanBuilder(path: String, fullSchema: StructType,
-    pinnedFiles: Seq[String] = Seq.empty) extends ScanBuilder
+    pinnedFiles: Seq[String] = Seq.empty,
+    partSchema: StructType = new StructType()) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = fullSchema
@@ -97,12 +111,13 @@ class GraftScanBuilder(path: String, fullSchema: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = GraftScan(path, required, pushed,
-    pinnedFiles = pinnedFiles)
+    pinnedFiles = pinnedFiles, partSchema = partSchema)
 }
 
 case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     conf: SerializableConfiguration = GraftV2.sessionConf(),
-    pinnedFiles: Seq[String] = Seq.empty)
+    pinnedFiles: Seq[String] = Seq.empty,
+    partSchema: StructType = new StructType())
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   /** Filters Spark hands over at RUNTIME (dynamic partition pruning /
@@ -140,25 +155,36 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     val fileSet =
       if (pinnedFiles.nonEmpty) pinnedFiles else GraftV2.dataFiles(path, conf.value)
     fileSet.flatMap { file =>
-      val footer = GraftV2.withReader(file, conf.value)(_.getFooter)
-      val blocks = footer.getBlocks.asScala.toArray
-      // locality: hosts holding each row group's byte range, the analog
-      // of the reference's ArgodbMapreduceInputSplit.java:49-60
-      // getLocations(). Spark's scheduler uses these for NODE_LOCAL
-      // placement on a real cluster; on local FS the listing is empty
-      // or localhost and is simply ignored.
-      val p = new Path(file)
-      val fs = p.getFileSystem(conf.value)
-      val status = fs.getFileStatus(p)
-      blocks.zipWithIndex
-        .filterNot { case (b, _) => GraftV2.canSkipRowGroup(b, all) }
-        .map { case (b, i) =>
-          val hosts =
-            try fs.getFileBlockLocations(status, b.getStartingPos, b.getCompressedSize)
-              .flatMap(_.getHosts).distinct
-            catch { case _: java.io.IOException => Array.empty[String] }
-          GraftInputPartition(file, i, hosts): InputPartition
-        }
+      // hive-layout partition values of THIS file (empty for flat
+      // tables) — evaluated against the pushed/runtime filters BEFORE
+      // the footer is even opened: a `col=value` filter on a
+      // partitioned table skips whole directories' files, the
+      // reference's section pruning
+      // (ArgodbMapreduceInputFormat.java:208-255), and the surviving
+      // values ride on each split like its partition define.
+      val partValues = GraftV2.partitionValues(path, file, partSchema)
+      if (partValues.nonEmpty && GraftV2.excludedByPartition(partValues, all)) Nil
+      else {
+        val footer = GraftV2.withReader(file, conf.value)(_.getFooter)
+        val blocks = footer.getBlocks.asScala.toArray
+        // locality: hosts holding each row group's byte range, the analog
+        // of the reference's ArgodbMapreduceInputSplit.java:49-60
+        // getLocations(). Spark's scheduler uses these for NODE_LOCAL
+        // placement on a real cluster; on local FS the listing is empty
+        // or localhost and is simply ignored.
+        val p = new Path(file)
+        val fs = p.getFileSystem(conf.value)
+        val status = fs.getFileStatus(p)
+        blocks.zipWithIndex
+          .filterNot { case (b, _) => GraftV2.canSkipRowGroup(b, all) }
+          .map { case (b, i) =>
+            val hosts =
+              try fs.getFileBlockLocations(status, b.getStartingPos, b.getCompressedSize)
+                .flatMap(_.getHosts).distinct
+              catch { case _: java.io.IOException => Array.empty[String] }
+            GraftInputPartition(file, i, hosts, partValues): InputPartition
+          }.toSeq
+      }
     }.toArray
   }
 
@@ -167,7 +193,8 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
 }
 
 case class GraftInputPartition(path: String, rowGroup: Int,
-    hosts: Array[String] = Array.empty) extends InputPartition {
+    hosts: Array[String] = Array.empty,
+    partValues: Map[String, Any] = Map.empty) extends InputPartition {
   override def preferredLocations(): Array[String] = hosts
 }
 
@@ -175,23 +202,48 @@ case class GraftReaderFactory(required: StructType,
     conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.path, p.rowGroup, required, conf.value)
+    new GraftPartitionReader(p.path, p.rowGroup, required, conf.value, p.partValues)
   }
 }
 
 /** The RecordReader analog: one parquet row group → InternalRows with
-  * only the required columns materialized.
+  * only the required columns materialized. Partition columns are not
+  * in the file — they are re-attached as per-split constants from the
+  * split's partition values, exactly as the reference's RecordReader
+  * re-attaches the partition define
+  * (ArgodbMapreduceRecordReader.java:182-201).
   */
 class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
-    hadoopConf: Configuration) extends PartitionReader[InternalRow] {
+    hadoopConf: Configuration,
+    partValues: Map[String, Any] = Map.empty) extends PartitionReader[InternalRow] {
 
   private val reader = ParquetFileReader.open(
     HadoopInputFile.fromPath(new Path(path), hadoopConf),
     HadoopReadOptions.builder(hadoopConf).build())
 
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+
+  /** Required fields that live in the FILE (everything that is not a
+    * partition column), with their position in the output row.
+    */
+  private val fileFields: Array[(org.apache.spark.sql.types.StructField, Int)] =
+    required.fields.zipWithIndex.filterNot { case (f, _) => partValues.contains(f.name) }
+
+  /** Per-split constants for partition fields, pre-converted to
+    * Catalyst values; positions not in the map read from the file.
+    */
+  private val constants: Map[Int, Any] = required.fields.zipWithIndex.collect {
+    case (f, i) if partValues.contains(f.name) =>
+      i -> GraftV2.toCatalystConstant(partValues(f.name), f.dataType)
+  }.toMap
+
+  // a projection of ONLY partition columns still has to iterate the
+  // row group's rows: request the first file column as a row cursor
+  // (its values are never read into the output)
+  private val cursorOnly = fileFields.isEmpty
   private val requestedTypes: Array[Type] =
-    required.fieldNames.map(n => fileSchema.getType(Seq(n): _*))
+    if (cursorOnly) Array(fileSchema.getType(Seq(fileSchema.getFields.asScala.head.getName): _*))
+    else fileFields.map { case (f, _) => fileSchema.getType(Seq(f.name): _*) }
   private val requested = new MessageType(fileSchema.getName, requestedTypes: _*)
   reader.setRequestedSchema(requested)
 
@@ -202,20 +254,23 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
   private var remaining = store.getRowCount
   private var current: InternalRow = _
 
-  private val converters: Array[Group => Any] =
-    required.fields.zipWithIndex.map { case (f, i) =>
-      GraftV2.valueConverter(requestedTypes(i), f.dataType, i)
+  /** (converter over the file-subset group position, output position) */
+  private val converters: Array[(Group => Any, Int)] =
+    fileFields.zipWithIndex.map { case ((f, outPos), groupPos) =>
+      (GraftV2.valueConverter(requestedTypes(groupPos), f.dataType, groupPos), outPos)
     }
 
   override def next(): Boolean = {
     if (remaining <= 0) return false
     remaining -= 1
     val g = recordReader.read()
-    val row = new GenericInternalRow(converters.length)
-    var i = 0
-    while (i < converters.length) {
-      row.update(i, if (g.getFieldRepetitionCount(i) == 0) null else converters(i)(g))
-      i += 1
+    val row = new GenericInternalRow(required.fields.length)
+    constants.foreach { case (pos, v) => row.update(pos, v) }
+    var j = 0
+    while (j < converters.length) {
+      val (conv, outPos) = converters(j)
+      row.update(outPos, if (g.getFieldRepetitionCount(j) == 0) null else conv(g))
+      j += 1
     }
     current = row
     true
@@ -418,6 +473,110 @@ object GraftV2 {
         case TimeUnit.NANOS => g => Math.floorDiv(g.getLong(idx, 0), 1000L)
       }
     case other => throw new IllegalArgumentException(s"[GRAFT] Unsupported read type: $other")
+  }
+
+  /** Hive-layout partition columns of a file set: `col=value` path
+    * segments between the table root and the file name. Types are
+    * inferred from the value strings (all-long → LongType, all-double
+    * → DoubleType, else StringType — the reference's string→typed
+    * partition-value parse surface, ArgodbSerdeUtils.java:35-67);
+    * `__HIVE_DEFAULT_PARTITION__` is the null sentinel. Empty for
+    * flat tables. Layout must be consistent across files.
+    */
+  def partitionSchema(tablePath: String, files: Seq[String]): StructType = {
+    val segs = files.map(partitionSegments(tablePath, _))
+    val names = segs.headOption.getOrElse(Seq.empty).map(_._1)
+    if (names.isEmpty) return new StructType()
+    require(segs.forall(_.map(_._1) == names),
+      s"[GRAFT] inconsistent partition layout under $tablePath: " +
+        segs.map(_.map(_._1)).distinct.mkString(" vs "))
+    val dts = names.indices.map { i =>
+      val vs = segs.flatMap(s => Option(s(i)._2)) // nulls excluded
+      if (vs.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
+      else if (vs.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
+      else StringType
+    }
+    StructType(names.zip(dts).map { case (n, t) => StructField(n, t, nullable = true) })
+  }
+
+  /** One file's partition values, JVM-typed per the inferred schema
+    * (Long / Double / String / null). Empty map for flat tables.
+    */
+  def partitionValues(tablePath: String, file: String,
+      schema: StructType): Map[String, Any] = {
+    if (schema.isEmpty) return Map.empty
+    partitionSegments(tablePath, file).map { case (name, raw) =>
+      val dt = schema(name).dataType
+      name -> (raw match {
+        case null => null
+        case v => dt match {
+          case LongType => java.lang.Long.valueOf(v.toLong)
+          case DoubleType => java.lang.Double.valueOf(v.toDouble)
+          case _ => v
+        }
+      })
+    }.toMap
+  }
+
+  /** `col=value` segments of a file's path relative to the table root
+    * (unescaped; null sentinel → null value).
+    */
+  private def partitionSegments(tablePath: String, file: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val root = new Path(tablePath).toUri.getPath
+    val f = new Path(file).toUri.getPath
+    val rel = f.stripPrefix(root).stripPrefix("/")
+    rel.split('/').dropWhile(_.isEmpty).dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val v = ExternalCatalogUtils.unescapePathName(seg.substring(i + 1))
+        Some(seg.substring(0, i) ->
+          (if (v == "__HIVE_DEFAULT_PARTITION__") null else v))
+      }
+    }
+  }
+
+  /** File-level partition pruning: does some pushed filter provably
+    * exclude a file with these partition values? Conservative —
+    * unknown filter shapes keep the file; Spark re-evaluates every
+    * filter on the rows anyway.
+    */
+  def excludedByPartition(values: Map[String, Any], filters: Array[Filter]): Boolean = {
+    def cmpv(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        try Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
+        catch { case _: NumberFormatException => None }
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
+    }
+    filters.exists {
+      case EqualTo(c, v) if values.contains(c) =>
+        values(c) == null || cmpv(values(c), v).exists(_ != 0)
+      case In(c, vs) if values.contains(c) =>
+        values(c) == null || vs.forall(v => cmpv(values(c), v).exists(_ != 0))
+      case GreaterThan(c, v) if values.contains(c) =>
+        values(c) == null || cmpv(values(c), v).exists(_ <= 0)
+      case GreaterThanOrEqual(c, v) if values.contains(c) =>
+        values(c) == null || cmpv(values(c), v).exists(_ < 0)
+      case LessThan(c, v) if values.contains(c) =>
+        values(c) == null || cmpv(values(c), v).exists(_ >= 0)
+      case LessThanOrEqual(c, v) if values.contains(c) =>
+        values(c) == null || cmpv(values(c), v).exists(_ > 0)
+      case IsNull(c) if values.contains(c) => values(c) != null
+      case IsNotNull(c) if values.contains(c) => values(c) == null
+      case _ => false
+    }
+  }
+
+  /** JVM partition value → Catalyst constant for the output row. */
+  def toCatalystConstant(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: String, StringType) => UTF8String.fromString(s)
+    case (n: java.lang.Long, LongType) => n.longValue
+    case (n: java.lang.Double, DoubleType) => n.doubleValue
+    case (other, t) => throw new IllegalArgumentException(
+      s"[GRAFT] Unsupported partition constant $other for type $t")
   }
 
   /** Row-group elimination from footer statistics: skip when the

@@ -87,10 +87,26 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       val tablePath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
       // schema from the pinned snapshot's first file (one writer, one
       // schema — the v2 connector's contract), typed by the same
-      // mapping the v2 reader uses
+      // mapping the v2 reader uses; hive-layout partition columns are
+      // appended and re-attached per split (the reference's partition
+      // define), so partitioned tables are whole through SQL too
+      val fileSchema = GraftV2.readSchema(files.head, spark.sessionState.newHadoopConf())
+      val partSchema = GraftV2.partitionSchema(tablePath, files)
       GraftTable(tablePath,
-        GraftV2.readSchema(files.head, spark.sessionState.newHadoopConf()), files)
+        org.apache.spark.sql.types.StructType(fileSchema.fields ++ partSchema.fields),
+        files, partSchema)
     })
+
+  /** `REFRESH TABLE graft.db.t` lands here: drop the memoized Table
+    * and the table's pinned file listing so the next read re-pins the
+    * CURRENT files — the explicit escape hatch for a table rewritten
+    * mid-session (scratch/backfill flows). Other tables keep their
+    * snapshots.
+    */
+  override def invalidateTable(ident: Identifier): Unit = {
+    tables.remove((ident.namespace.mkString("/"), ident.name))
+    pinned.get(ident.namespace.mkString("/")).foreach(_.invalidate(ident.name))
+  }
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

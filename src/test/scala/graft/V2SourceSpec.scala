@@ -245,6 +245,60 @@ class V2SourceSpec extends SparkSpecBase {
     assert(n() === 5, "SQL reads must see the pinned snapshot, not later arrivals")
   }
 
+  test("v2 reads hive-partitioned layouts: values re-attached, files pruned by filter") {
+    import spark.implicits._
+    import graft.sources.v2.GraftScan
+    import org.apache.spark.sql.types._
+    val wh = java.nio.file.Files.createTempDirectory("graft_v2_part").toString
+    Seq((1L, "x", "F"), (2L, "y", "F"), (3L, "z", "O"),
+        (4L, "w", null.asInstanceOf[String]))
+      .toDF("k", "v", "status")
+      .write.partitionBy("status").parquet(s"$wh/db/t.parquet")
+    // path API: partition column present, typed, values correct
+    val df = spark.read.format("graft").load(s"$wh/db/t.parquet")
+    assert(df.schema("status").dataType === StringType)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(rows === Set((1L, "F"), (2L, "F"), (3L, "O"), (4L, null)))
+    // filter on the partition column prunes whole FILES at plan time
+    val allFiles = GraftV2.dataFiles(s"$wh/db/t.parquet", spark.sessionState.newHadoopConf())
+    val partSchema = GraftV2.partitionSchema(s"$wh/db/t.parquet", allFiles)
+    val scan = GraftScan(s"$wh/db/t.parquet",
+      StructType(Seq(StructField("k", LongType), StructField("status", StringType))),
+      Array(org.apache.spark.sql.sources.EqualTo("status", "F")),
+      pinnedFiles = allFiles, partSchema = partSchema)
+    val survivors = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.v2.GraftInputPartition].path)
+    assert(survivors.nonEmpty && survivors.length < allFiles.length &&
+      survivors.forall(_.contains("status=F")),
+      s"only F-partition files may survive: ${survivors.toSeq}")
+    assert(df.where(col("status") === "F").count() === 2)
+    assert(df.where(col("status").isNull).select("k").head().getLong(0) === 4L)
+    // SQL catalog over the same warehouse: partitioned table is whole
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftpart")
+    val viaSql = spark.sql(
+      "SELECT k, status FROM graftpart.db.t WHERE status = 'F' ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaSql === Seq((1L, "F"), (2L, "F")))
+    // numeric partition values infer a numeric type
+    spark.range(6).toDF("id").withColumn("day", col("id") % 3)
+      .write.partitionBy("day").parquet(s"$wh/db/n.parquet")
+    val n = spark.read.format("graft").load(s"$wh/db/n.parquet")
+    assert(n.schema("day").dataType === LongType)
+    assert(n.where(col("day") === 2L).count() === 2)
+  }
+
+  test("REFRESH TABLE re-pins a rewritten table (partitioned scan is re-runnable)") {
+    // the query rewrites its scratch table then REFRESHes: a second
+    // invocation in the same session must re-pin the new files instead
+    // of reading the deleted ones
+    val first = graft.operators.Relational.srcCatalogPartitionedScan(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val second = graft.operators.Relational.srcCatalogPartitionedScan(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(first.nonEmpty && first === second)
+  }
+
   test("v2 reads LIST columns: embeddings array<float> equals the native reader") {
     val got = v2("embeddings")
     assert(got.schema("embedding").dataType ===
