@@ -128,6 +128,12 @@ object TextFns {
   def wordSpanHashes(words: Column, k: Int): Column =
     Bridge.column(WordSpanHashesExpr(Bridge.expression(words), k))
 
+  /** How many of `spans`' elements appear in `set` (sorted internally;
+    * binary-search probe per element, map-side, stateless).
+    */
+  def spanOverlapCount(spans: Column, set: Array[Long]): Column =
+    Bridge.column(ArrayOverlapCountExpr(Bridge.expression(spans), set.sorted))
+
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
     val grams = when(length(text) >= k,
       transform(sequence(lit(0), length(text) - k),

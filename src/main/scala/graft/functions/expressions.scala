@@ -490,3 +490,38 @@ case class WordSpanHashesExpr(child: Expression, k: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Count of array<long> elements present in a (small) reference set,
+  * carried as a sorted array + binary search — the map-side membership
+  * probe for ingestion-time decontamination: the eval-set span hashes
+  * ship with the plan (a driver artifact the size of the eval set,
+  * same class as broadcast centroids), so a STREAM can be gated with
+  * zero state and zero shuffle where the batch path's semi join would
+  * need a watermarked aggregation.
+  */
+case class ArrayOverlapCountExpr(child: Expression, sortedSet: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "array_overlap_count"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("overlapExpr", this, classOf[ArrayOverlapCountExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.compute($arr);")
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sortedSet, arr.getLong(i)) >= 0) c += 1L
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

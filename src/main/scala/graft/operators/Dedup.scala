@@ -578,6 +578,14 @@ object Dedup {
     */
   private[graft] def isBenchDoc = pmod(col("doc_id"), lit(97)) === 0
 
+  /** The eval set's distinct span hashes as a driver artifact for the
+    * streaming gate (G9) — O(|eval set|), the same class as broadcast
+    * centroids.
+    */
+  def evalSpanHashes(s: SparkSession, dir: String): Array[Long] =
+    wordGramHashes(s, dir).where(isBenchDoc)
+      .select("gh").distinct().collect().map(_.getLong(0))
+
   /** C9: benchmark decontamination — the standard curation gate: flag
     * training documents whose spans overlap a (small) eval set, so
     * benchmark text never leaks into training data (the n-gram overlap

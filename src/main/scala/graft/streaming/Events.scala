@@ -292,6 +292,38 @@ object Events {
     } finally graft.GraftSession.releaseCheckpoint(merged)
   }
 
+  // ── G9: ingestion-time curation gate (quality + decontamination) ──
+
+  /** The C7 quality + C9 decontamination gates applied to a DOCUMENT
+    * STREAM at ingestion — entirely MAP-SIDE: quality metrics are
+    * per-row expressions, and the eval-set membership probe runs
+    * against a broadcast sorted span-hash array inside a native
+    * expression (`ArrayOverlapCountExpr`), so the gate needs NO
+    * watermark, NO state store, and NO shuffle — the only shape that
+    * keeps an ingestion pipeline at line rate. (The batch path's
+    * broadcast semi join is the scale form for huge eval sets; an
+    * eval set is by nature small — the same class of driver artifact
+    * as k-means centroids.) Gates mirror the batch pipeline exactly:
+    * ≥10 tokens, ≥30% distinct, and <10% span overlap with the eval
+    * set — an eval doc itself streams in at 100% overlap and is
+    * dropped, matching the batch pipeline's exclusion of bench docs.
+    */
+  def curationGateStream(docs: DataFrame, evalSpanHashes: Array[Long]): DataFrame = {
+    import graft.functions.TextFns
+    val qToks = split(trim(col("text")), "\\s+")
+    docs
+      .withColumn("n_toks", size(qToks))
+      .withColumn("n_distinct", size(array_distinct(qToks)))
+      .where(col("n_toks") >= 10 && col("n_distinct") * 10 >= col("n_toks") * 3)
+      .withColumn("ghs", TextFns.wordSpanHashes(
+        expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)"),
+        graft.operators.Dedup.SpanWords))
+      .withColumn("n_spans", size(col("ghs")).cast("long"))
+      .withColumn("n_overlap", TextFns.spanOverlapCount(col("ghs"), evalSpanHashes))
+      .where(!(col("n_spans") > 0 && col("n_overlap") * 10 >= col("n_spans")))
+      .drop("ghs", "n_distinct")
+  }
+
   // ── G2: sessionization (30-minute inactivity gap) ──
 
   val GapSeconds = 1800L

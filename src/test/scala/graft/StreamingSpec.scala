@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.Events
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -173,6 +174,64 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got === batch,
       s"append-only finals must partition users exactly as the batch funnel: $got vs $batch")
+  }
+
+  test("ingestion curation gate is stateless and matches the batch gates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalHashes = graft.operators.Dedup.evalSpanHashes(spark, sfDir)
+    val documents = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(documents.select("doc_id", "text").as[(Long, String)]
+      .collect().toIndexedSeq)
+    val q = Events.curationGateStream(stream.toDF.toDF("doc_id", "text"), evalHashes)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+      "the gate must run stateless — no state store operators")
+    q.stop()
+    val kept = spark.table("gate_out").collect().map(_.getLong(0)).toSet
+    // batch expectation: quality gate AND not contaminated (eval docs
+    // themselves stream in at 100% overlap and drop, matching the
+    // batch pipeline's exclusion of them)
+    val toks = split(trim(col("text")), "\\s+")
+    val quality = documents
+      .withColumn("n_toks", size(toks))
+      .withColumn("n_distinct", size(array_distinct(toks)))
+      .where(col("n_toks") >= 10 && col("n_distinct") * 10 >= col("n_toks") * 3)
+      .select("doc_id")
+    val clean = graft.operators.Dedup.decontaminate(spark, sfDir)
+      .where(col("contaminated") === 0).select("doc_id")
+    val expected = quality.join(clean, Seq("doc_id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === expected,
+      s"stream kept ${kept.size} docs, batch gates keep ${expected.size}")
+  }
+
+  test("ingestion gate drops a planted leak and a low-quality doc mid-stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = "what is the capital of france answer paris of course"
+    val evalHashes = {
+      import org.apache.spark.sql.functions.{col => c}
+      graft.operators.Dedup.wordGramHashesOf(
+        Seq((97L, evalText)).toDF("doc_id", "text"))
+        .select("gh").collect().map(_.getLong(0))
+    }
+    val stream = MemoryStream[(Long, String)]
+    val q = Events.curationGateStream(stream.toDF.toDF("doc_id", "text"), evalHashes)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("gate_plant")
+      .outputMode(OutputMode.Append).start()
+    stream.addData(
+      (1L, evalText + " with a tiny suffix appended"),            // leak -> dropped
+      (2L, "short doc"),                                           // quality -> dropped
+      (3L, "a perfectly ordinary training document with many distinct tokens inside"))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("gate_plant").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L), s"got $kept")
   }
 
   test("streaming funnel replay matches the batch funnel levels") {
