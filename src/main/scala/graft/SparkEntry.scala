@@ -1276,7 +1276,8 @@ object SparkEntry {
       SELECT source, CAST(bucket AS BIGINT) AS bucket,
              (running - tokens) // 2048 AS seq_no,
              count(*) AS n_docs,
-             CAST(sum(tokens) AS BIGINT) AS seq_tokens
+             CAST(sum(tokens) AS BIGINT) AS seq_tokens,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs_csv
       FROM r GROUP BY source, bucket, (running - tokens) // 2048
       ORDER BY source, bucket, seq_no""",
 

@@ -47,7 +47,11 @@ object Assembly {
       .withColumn("running", sum("tokens").over(w))
       .withColumn("seq_no", expr(s"(running - tokens) div $SeqLen"))
       .groupBy("source", "bucket", "seq_no")
-      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("seq_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("seq_tokens"),
+        // the sequence MANIFEST a training job consumes: which docs,
+        // in order, fill this window (bounded by docs-per-window)
+        concat_ws(",", sort_array(collect_list(col("doc_id"))))
+          .as("docs_csv"))
       .orderBy("source", "bucket", "seq_no")
   }
 
