@@ -598,17 +598,30 @@ object Dedup {
     * aggs, never joined wide. A doc is contaminated when ≥ 10% of its
     * spans appear in the eval set.
     */
-  def decontaminate(s: SparkSession, dir: String): DataFrame =
-    decontaminateOf(wordGramHashes(s, dir), docs(s, dir))
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val g = wordGramHashes(s, dir).cache()
+    decontaminateSpans(g.where(!isBenchDoc), g.where(isBenchDoc).select("gh"),
+      docs(s, dir).where(!isBenchDoc))
+  }
 
-  private[graft] def decontaminateOf(grams: DataFrame, documents: DataFrame): DataFrame = {
-    val g = grams.cache()
-    val benchSpans = g.where(isBenchDoc).select("gh").distinct()
-    val train = g.where(!isBenchDoc)
+  /** General form: gate an arbitrary TRAINING corpus against an
+    * arbitrary EVAL document table (both with doc_id + text columns) —
+    * the API a user calls with their real benchmark suite; the
+    * `text_decontaminate` query is this with the deterministic
+    * doc_id%97 eval stand-in.
+    */
+  def decontaminateAgainst(train: DataFrame, evalDocs: DataFrame): DataFrame =
+    decontaminateSpans(wordGramHashesOf(train),
+      wordGramHashesOf(evalDocs).select("gh"), train)
+
+  private def decontaminateSpans(trainGrams: DataFrame, evalGrams: DataFrame,
+      trainDocs: DataFrame): DataFrame = {
+    val train = trainGrams
+    val benchSpans = evalGrams.distinct()
     val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
     val overlaps = train.join(broadcast(benchSpans), Seq("gh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    documents.where(!isBenchDoc).select("doc_id")
+    trainDocs.select("doc_id")
       .join(totals, Seq("doc_id"), "left")
       .join(overlaps, Seq("doc_id"), "left")
       .select(col("doc_id"),

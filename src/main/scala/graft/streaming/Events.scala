@@ -210,6 +210,33 @@ object Events {
       }
       .start()
 
+  /** G4 (exactly-once form): each micro-batch commits its rows under
+    * an isolated `batch_id=N` directory with OVERWRITE semantics, so
+    * an at-least-once REPLAY of a batch rewrites its own directory
+    * instead of appending duplicates — the file-sink twin of G8's
+    * applied-batch ledger, with no ledger needed: the batch id IS the
+    * partition. Readers see `batch_id` as one more partition column
+    * over the same prune-readable layout (event_type subdirs), and a
+    * downstream compaction (A14) can fold batch dirs together once a
+    * retention window closes.
+    */
+  def streamToIdempotentPartitionedSink(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyPartitionedBatch(batch, batchId, path)
+      }
+      .start()
+
+  /** One micro-batch's commit (factored out so idempotence is directly
+    * testable: re-applying a batchId leaves the table identical).
+    */
+  private[graft] def applyPartitionedBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long, path: String): Unit =
+    batch.withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$path/batch_id=$batchId")
+
   // ── G8: exactly-once incremental summary via foreachBatch ──
 
   /** Stream → persisted per-type summary maintained incrementally:

@@ -325,6 +325,20 @@ class DedupSpec extends SparkSpecBase {
       "the eval-span set must broadcast into a semi join: " + plan.take(1000))
   }
 
+  test("decontaminateAgainst gates a corpus against an arbitrary eval table") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (1000L, "what is the capital of france answer paris of course"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "what is the capital of france answer paris of course indeed"), // leak
+      (2L, "a perfectly ordinary training document with many distinct tokens inside"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateAgainst(train, evalDocs).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out === Map(1L -> 1, 2L -> 0), s"got $out")
+  }
+
   test("decontamination flags a planted benchmark leak; curation drops it") {
     import spark.implicits._
     val evalText = "what is the capital of france answer paris of course"

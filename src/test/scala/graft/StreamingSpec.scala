@@ -176,6 +176,34 @@ class StreamingSpec extends SparkSpecBase {
       s"append-only finals must partition users exactly as the batch funnel: $got vs $batch")
   }
 
+  test("idempotent partitioned sink: a replayed batch rewrites, never duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = graft.sources.GraftSink.scratchDir + "/stream_idem_sink"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = Events.streamToIdempotentPartitionedSink(
+      stream.toDF.toDF("event_id", "event_type", "ts"), root)
+    stream.addData((1L, "click", ts("2024-01-01 10:00:00")),
+      (2L, "view", ts("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    stream.addData((3L, "click", ts("2024-01-02 10:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    def table() = spark.read.parquet(root)
+    assert(table().count() === 3)
+    // at-least-once replay of batch 0: same data, same id -> no change
+    val replay = Seq((1L, "click", ts("2024-01-01 10:00:00")),
+      (2L, "view", ts("2024-01-01 11:00:00"))).toDF("event_id", "event_type", "ts")
+    Events.applyPartitionedBatch(replay, 0L, root)
+    assert(table().count() === 3, "replayed batch must not duplicate rows")
+    // batch_id and event_type are partition columns; pruning layout holds
+    assert(table().where(col("event_type") === "click").count() === 2)
+    assert(table().select("batch_id").distinct().count() === 2)
+  }
+
   test("ingestion curation gate is stateless and matches the batch gates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
