@@ -56,5 +56,11 @@ object GraftExtensions {
     "graft_shingle_hashes" -> { es =>
       WordShingleHashesExpr(es.head,
         if (es.length > 1) litInt(es(1), "graft_shingle_hashes k") else 1)
+    },
+    // portable word k-gram span hashes over an array<string> of words
+    // (the C8/C9 substring-dedup signature, oracle-identical mod-P math)
+    "graft_span_hashes" -> { es =>
+      WordSpanHashesExpr(es.head,
+        if (es.length > 1) litInt(es(1), "graft_span_hashes k") else 4)
     })
 }

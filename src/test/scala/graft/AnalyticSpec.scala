@@ -32,11 +32,19 @@ class AnalyticSpec extends SparkSpecBase {
       "SELECT round(graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c, " +
         "graft_simhash(array(1L, 1L, 1L)) AS s, " +
         "size(graft_minhash(array(7L), 16)) AS m, " +
-        "size(graft_shingle_hashes(array('a','b','c'), 2)) AS g").collect()(0)
+        "size(graft_shingle_hashes(array('a','b','c'), 2)) AS g, " +
+        "graft_span_hashes(array('a','b','c','d','e'), 4) AS sp").collect()(0)
     assert(r.getDouble(0) === 1.0)
     assert(r.getLong(1) === 1L) // all tokens identical → their bits win
     assert(r.getInt(2) === 16)
     assert(r.getInt(3) === 2)
+    // 5 words, k=4 → 2 spans; values match the mod-P polynomial:
+    // wh('a')=97 etc., span = fold((acc*1000003 + wh) % 1000000007)
+    val spans = r.getSeq[Long](4)
+    assert(spans.length === 2)
+    val P = 1000000007L; val B = 1000003L
+    def fold(ws: Seq[Long]) = ws.reduceLeft((a, x) => (a * B + x) % P)
+    assert(spans === Seq(fold(Seq(97L, 98L, 99L, 100L)), fold(Seq(98L, 99L, 100L, 101L))))
   }
 
   test("non-integer lane count in graft SQL functions is a clear error") {
