@@ -140,6 +140,7 @@ object SparkEntry {
     "text_tokens"                -> TextAnalysis.tokens _,
     "text_fingerprint"           -> TextAnalysis.fingerprint _,
     "text_fingerprint_exact"     -> TextAnalysis.fingerprintExact _,
+    "text_unigram_logprob"       -> TextAnalysis.unigramLogprob _,
     "text_tfidf_top_terms"       -> TextAnalysis.tfidfTopTerms _,
     "text_redact"                -> TextAnalysis.redact _,
     "text_repetition"            -> TextAnalysis.repetition _,
@@ -1524,6 +1525,34 @@ object SparkEntry {
              CAST(list_min(fp) AS BIGINT) AS min_fp,
              CAST(list_max(fp) AS BIGINT) AS max_fp
       FROM w ORDER BY doc_id""",
+
+    // Same unigram model as TextAnalysis.unigramLogprob: per-word
+    // ln(corpus-frequency) floored to micro BEFORE summation (exact
+    // long sums, order-independent); avg floored over the double ratio.
+    "text_unigram_logprob" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS word
+        FROM documents
+      ), c AS (
+        SELECT word, count(*) AS cnt FROM w GROUP BY word
+      ), t AS (
+        SELECT CAST(count(*) AS DOUBLE) AS total FROM w
+      ), scored AS (
+        SELECT w.doc_id,
+               CAST(floor(ln(c.cnt / (SELECT total FROM t)) * 1000000.0) AS BIGINT) AS lp
+        FROM w JOIN c USING (word)
+      ), perdoc AS (
+        SELECT doc_id AS pdoc, count(*) AS n_words, sum(lp) AS sum_lp
+        FROM scored GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+             CAST(coalesce(p.sum_lp, 0) AS BIGINT) AS sum_lp_micro,
+             CAST(floor(CAST(coalesce(p.sum_lp, 0) AS DOUBLE)
+                        / greatest(coalesce(p.n_words, 0), 1)) AS BIGINT) AS avg_lp_micro
+      FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.pdoc
+      ORDER BY d.doc_id""",
 
     // Same TF-IDF pipeline as TextAnalysis.tfidfTopTerms: smoothed
     // idf, floor-micro score, top-3 per doc by (score desc, term).

@@ -167,6 +167,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** E8: unigram language-model scoring — the corpus-statistics
+    * quality filter of the public curation literature (CCNet's
+    * KenLM-perplexity gate, reduced to the unigram model the corpus
+    * itself trains): every document scores its average per-word
+    * ln P(word), where P = corpus frequency. Gibberish and
+    * boilerplate-noise docs sit far below the mean. Each word's
+    * log-prob is floored to MICRO-integers BEFORE summation (floating
+    * sums are accumulation-order-dependent; long sums are exact), so
+    * the result is partition-invariant and oracle-exact. Scale shape:
+    * one tokenize pass, one count shuffle, one word join (AQE-handled
+    * skew on stop words), one per-doc aggregate — no driver state,
+    * vocabulary never collected.
+    */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val toks = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
+    val counts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).cast("double").as("total"))
+    val scored = toks.join(counts, Seq("word"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        floor(log(col("cnt").cast("double") / col("total")) * 1000000.0)
+          .cast("long").as("lp"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("lp").as("sum_lp_micro"))
+    docs(s, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("sum_lp_micro"), lit(0L)).as("sum_lp_micro"),
+        floor(coalesce(col("sum_lp_micro"), lit(0L)).cast("double") /
+              greatest(coalesce(col("n_words"), lit(0L)), lit(1L)))
+          .cast("long").as("avg_lp_micro"))
+      .orderBy("doc_id")
+  }
+
   /** E4: winnowing document fingerprints (k=8 chars, window=4) —
     * rows-only (xxhash64 is engine-specific); stability spec-tested.
     */

@@ -6,6 +6,28 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpecBase {
 
+  test("unigram logprob scores common-word docs above rare-word docs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lp").toString
+    val common = Seq.fill(10)("common").mkString(" ")
+    val rare = (1 to 10).map(i => s"rareword$i").mkString(" ")
+    (Seq((1L, common, "a"), (2L, rare, "a")) ++
+      (10L until 20L).map(i => (i, common, "a")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TextAnalysis.unigramLogprob(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.values.forall(_ < 0L), "log-probs are negative micro values")
+    assert(out(1L) > out(2L),
+      s"the all-common doc must outscore the all-rare doc: $out")
+    // corpus-level sanity on the real tables
+    val corpus = graft.operators.TextAnalysis.unigramLogprob(spark, sfDir).collect()
+    assert(corpus.length === 500 || corpus.nonEmpty)
+    assert(corpus.forall(r => r.getLong(1) === 0L || r.getLong(3) < 0L))
+  }
+
   test("quality metrics exact on a crafted document") {
     import spark.implicits._
     val df = Seq((1L, "The cat, the dog; and 42 birds!")).toDF("doc_id", "text")

@@ -288,6 +288,21 @@ class V2SourceSpec extends SparkSpecBase {
     assert(n.where(col("day") === 2L).count() === 2)
   }
 
+  test("partition-only projections ride the row cursor (count(*) and SELECT part_col)") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_v2_partproj").toString
+    Seq((1L, "F"), (2L, "F"), (3L, "O")).toDF("k", "status")
+      .write.partitionBy("status").parquet(s"$wh/t.parquet")
+    val df = spark.read.format("graft").load(s"$wh/t.parquet")
+    // no file columns required at all: the reader still has to iterate
+    // the row group's rows to emit the right multiplicity
+    assert(df.count() === 3L)
+    val perStatus = df.groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStatus === Map("F" -> 2L, "O" -> 1L))
+    assert(df.select("status").distinct().count() === 2L)
+  }
+
   test("REFRESH TABLE re-pins a rewritten table (partitioned scan is re-runnable)") {
     // the query rewrites its scratch table then REFRESHes: a second
     // invocation in the same session must re-pin the new files instead
