@@ -50,8 +50,9 @@ object Bench {
     "q_funnel_conversion", "q_scd2_user_status", "src_merge_upsert",
     "sim_pq_topk",
     // round-7 additions: substring-level dedup (native span-hash scan +
-    // one count-distinct shuffle) and the decontamination semi join
-    "dedup_substring", "text_decontaminate")
+    // one count-distinct shuffle), the decontamination semi join, and
+    // the unigram-LM scorer (tokenize + count shuffle + word join)
+    "dedup_substring", "text_decontaminate", "text_unigram_logprob")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
