@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Measurement discipline (a co-tenant machine cannot distinguish a
   * real 2x regression from noise with best-of-2): 5 timed runs per
-  * query after a warm-up pass, report the MEDIAN per query (plus the
-  * min for the optimistic floor). Failures never poison the total —
-  * a query that throws is excluded and counted in "failed".
+  * query after a warm-up pass, INTERLEAVED round-robin across queries,
+  * report the MEDIAN per query (plus the min for the optimistic
+  * floor). Failures never poison the total — a query that throws is
+  * excluded and counted in "failed".
   */
 object Bench {
 
@@ -16,11 +17,11 @@ object Bench {
 
   /** Noise guard: a query whose median/min exceeds this across its
     * timed runs was almost certainly disturbed by co-tenant load (a
-    * query does not legitimately vary 3× across back-to-back runs of
-    * identical code — observed up to 12.6× under heavy load, which
-    * corrupted one round's recorded bench); its batch is re-run once
-    * and the quieter batch kept. The emitted JSON carries the residual
-    * worst ratio as `noise` so the run's quality is visible.
+    * query does not legitimately vary 3× across runs of identical
+    * code — observed up to 12.6× under heavy load, which corrupted
+    * one round's recorded bench); it gets two extra timed runs to
+    * tighten the median. The emitted JSON carries the residual worst
+    * ratio as `noise` so the run's quality is visible.
     */
   private val NoiseRatio = 3.0
 
@@ -77,35 +78,51 @@ object Bench {
     SparkEntry.entry(spark).count()
 
     val bench = Headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-    val timings = bench.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      // warm-up run pays codegen/JIT and page cache, then Runs timed
-      // runs; a failing warm-up short-circuits (no point retrying 5x).
-      val warm = once()
-      val first = if (warm < 0) Seq.empty[Double]
-                  else Seq.fill(Runs)(once()).filter(_ >= 0)
-      val runs =
-        if (first.nonEmpty && median(first) > first.min * NoiseRatio) {
-          System.err.println(String.format(java.util.Locale.ROOT,
-            "[bench] %s noisy (med/min %.1fx); re-running its batch once",
-            name, Double.box(median(first) / first.min)))
-          val second = Seq.fill(Runs)(once()).filter(_ >= 0)
-          if (second.nonEmpty && median(second) < median(first)) second else first
-        } else first
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+              catch { case _: Throwable => -1.0 }
       // Queries that .cache() intermediates (dedup/sim families) leave
       // them resident forever; 24 queries x 6 runs fills the storage
       // pool and late queries pay eviction + GC (BENCH_r05:
       // text_fingerprint median 4.0s vs min 1.0s, 21st of 24 in run
-      // order). Dropping the pool between QUERIES (not between runs, so
-      // run-to-run cache reuse stays comparable with earlier rounds)
-      // isolates each query's measurement from its predecessors.
+      // order). Dropping the pool after every execution isolates each
+      // measurement from its predecessors.
       spark.sharedState.cacheManager.clearCache()
-      name -> runs
+      t
     }
+    // Warm-up pass: pays codegen/JIT and page cache per query, and
+    // discovers failures (a query that throws is excluded up front —
+    // no point timing it 5x).
+    val warm = bench.map { case (name, fn) => name -> once(fn) }
+    val failed0 = warm.collect { case (n, t) if t < 0 => n }.toSet
+    val live = bench.filterNot { case (n, _) => failed0(n) }
+    // Timed passes are INTERLEAVED round-robin: run every query once,
+    // repeat xRuns. Back-to-back per-query batches let one co-tenant
+    // burst corrupt all 5 runs of a single query (BENCH_r06/r07 both
+    // recorded 8-12x inflated medians for whichever query the burst
+    // landed on); spread across a pass, a burst taxes ONE run of many
+    // queries and the per-query median survives.
+    val acc = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to Runs; (name, fn) <- live) {
+      val t = once(fn)
+      if (t >= 0) acc(name) = acc(name) :+ t
+    }
+    // Residual guard: a query still med/min-noisy after interleaving
+    // (burst wide enough to span whole passes) gets two extra passes;
+    // extra samples tighten its median without discarding any run.
+    val noisy = live.filter { case (n, _) =>
+      val rs = acc(n); rs.nonEmpty && median(rs) > rs.min * NoiseRatio }
+    if (noisy.nonEmpty) {
+      System.err.println("[bench] noisy after interleave, extra passes: " +
+        noisy.map(_._1).mkString(","))
+      for (_ <- 1 to 2; (name, fn) <- noisy) {
+        val t = once(fn)
+        if (t >= 0) acc(name) = acc(name) :+ t
+      }
+    }
+    val timings = bench.map { case (name, _) => name -> acc(name).toSeq }
     val failed = timings.collect { case (n, rs) if rs.isEmpty => n }.sorted
     val ok = timings.filter(_._2.nonEmpty)
     def jmap(f: Seq[Double] => Double): String =

@@ -1275,7 +1275,7 @@ object SparkEntry {
         FROM t
       )
       SELECT source, CAST(bucket AS BIGINT) AS bucket,
-             (running - tokens) // 2048 AS seq_no,
+             CAST((running - tokens) // 2048 AS BIGINT) AS seq_no,
              count(*) AS n_docs,
              CAST(sum(tokens) AS BIGINT) AS seq_tokens,
              string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs_csv
