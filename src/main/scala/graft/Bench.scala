@@ -53,7 +53,9 @@ object Bench {
     // round-7 additions: substring-level dedup (native span-hash scan +
     // one count-distinct shuffle), the decontamination semi join, and
     // the unigram-LM scorer (tokenize + count shuffle + word join)
-    "dedup_substring", "text_decontaminate", "text_unigram_logprob")
+    "dedup_substring", "text_decontaminate", "text_unigram_logprob",
+    // round-8 addition: BPE train (vocab-bounded) + encode scan
+    "text_bpe_tokens")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -120,6 +120,7 @@ object SparkEntry {
     "dedup_clusters"             -> Dedup.nearDupClusters _,
     "dedup_clusters_exact"       -> Dedup.nearDupClustersExact _,
     "pipeline_pack_sequences"    -> Assembly.packSequences _,
+    "pipeline_pack_sequences_bpe" -> Assembly.packSequencesBpe _,
     "pipeline_mixture_sample"    -> Assembly.mixtureSample _,
     "pipeline_assemble_corpus"   -> Assembly.assembleCorpus _,
     "dedup_substring"            -> Dedup.substringDedup _,
@@ -141,6 +142,7 @@ object SparkEntry {
     "text_fingerprint"           -> TextAnalysis.fingerprint _,
     "text_fingerprint_exact"     -> TextAnalysis.fingerprintExact _,
     "text_unigram_logprob"       -> TextAnalysis.unigramLogprob _,
+    "text_bpe_tokens"            -> BpeTokenizer.bpeTokens _,
     "text_tfidf_top_terms"       -> TextAnalysis.tfidfTopTerms _,
     "text_redact"                -> TextAnalysis.redact _,
     "text_repetition"            -> TextAnalysis.repetition _,
@@ -1280,6 +1282,60 @@ object SparkEntry {
              CAST(sum(tokens) AS BIGINT) AS seq_tokens,
              string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs_csv
       FROM r GROUP BY source, bucket, (running - tokens) // 2048
+      ORDER BY source, bucket, seq_no""",
+
+    // BPE encode replayed as literal SQL: the baked sf0.01 merge table
+    // (BpeTokenizer.Sf001Merges, spec-guarded against training drift)
+    // applied as nested replaces over the space-prefixed symbol string;
+    // token count = space count (see BpeTokenizer.oracleEncodeSql).
+    "text_bpe_tokens" -> s"""
+      WITH wds AS (
+        SELECT doc_id, unnest(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+        FROM documents
+      ), enc AS (
+        SELECT doc_id,
+               ${BpeTokenizer.oracleEncodeSql("w", BpeTokenizer.Sf001Merges)} AS e
+        FROM wds
+      ), agg AS (
+        SELECT doc_id, count(*) AS nw,
+               sum(length(e) - length(replace(e, ' ', ''))) AS bt
+        FROM enc GROUP BY doc_id
+      )
+      SELECT d.doc_id, CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
+             CAST(coalesce(bt, 0) AS BIGINT) AS bpe_tokens
+      FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    // H1 packing over the REAL subword counts of text_bpe_tokens
+    // (same contiguous-fill rule as pipeline_pack_sequences).
+    "pipeline_pack_sequences_bpe" -> s"""
+      WITH wds AS (
+        SELECT doc_id, unnest(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+        FROM documents
+      ), enc AS (
+        SELECT doc_id,
+               ${BpeTokenizer.oracleEncodeSql("w", BpeTokenizer.Sf001Merges)} AS e
+        FROM wds
+      ), cnt AS (
+        SELECT doc_id,
+               CAST(sum(length(e) - length(replace(e, ' ', ''))) AS BIGINT) AS tokens
+        FROM enc GROUP BY doc_id
+      ), t AS (
+        SELECT d.doc_id, d.source, d.doc_id // 1000 AS bucket,
+               coalesce(tokens, 0) AS tokens
+        FROM documents d LEFT JOIN cnt USING (doc_id)
+      ), r AS (
+        SELECT source, bucket, doc_id, tokens,
+               sum(tokens) OVER (PARTITION BY source, bucket ORDER BY doc_id) AS running
+        FROM t
+      )
+      SELECT source, CAST(bucket AS BIGINT) AS bucket,
+             CAST((running - tokens) // 2048 AS BIGINT) AS seq_no,
+             count(*) AS n_docs,
+             CAST(sum(tokens) AS BIGINT) AS seq_tokens,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs_csv
+      FROM r GROUP BY source, bucket, CAST((running - tokens) // 2048 AS BIGINT)
       ORDER BY source, bucket, seq_no""",
 
     "pipeline_mixture_sample" -> """

@@ -36,12 +36,29 @@ object Assembly {
     * (pure integer math over the doc_id order), which is what makes
     * training-data builds reproducible.
     */
-  def packSequences(s: SparkSession, dir: String): DataFrame = {
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packBy(s, dir,
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+
+  /** H1 on REAL subword counts: same contiguous packing, with the
+    * per-doc token count coming from the learned BPE codec (E9) —
+    * what an actual training build packs by — instead of E3's regex
+    * approximation. Training is vocab-bounded; the packing plan is
+    * unchanged (one window + one groupBy over the SAME exchange).
+    */
+  def packSequencesBpe(s: SparkSession, dir: String): DataFrame = {
+    val codec = BpeTokenizer.trainCodec(s, dir)
+    packBy(s, dir,
+      BpeTokenizer.bpeTokenCount(BpeTokenizer.words(col("text")), codec))
+  }
+
+  private def packBy(s: SparkSession, dir: String,
+      tokenCount: org.apache.spark.sql.Column): DataFrame = {
     val toks = docs(s, dir).select(
       col("doc_id"), col("source"),
       expr(s"doc_id div $PackBucket").as("bucket"),
-      size(regexp_extract_all(col("text"),
-        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("tokens"))
+      tokenCount.as("tokens"))
     val w = Window.partitionBy("source", "bucket").orderBy("doc_id")
     toks
       .withColumn("running", sum("tokens").over(w))
