@@ -34,6 +34,7 @@ object SparkEntry {
     "src_v2_decimal_scan"        -> Relational.srcV2DecimalScan _,
     "src_catalog_sql_scan"       -> Relational.srcCatalogSqlScan _,
     "src_catalog_partitioned_scan" -> Relational.srcCatalogPartitionedScan _,
+    "src_jdbc_roundtrip"         -> Relational.srcJdbcRoundtrip _,
     "src_csv_roundtrip"          -> Relational.srcCsvRoundtrip _,
     "src_orc_roundtrip"          -> Relational.srcOrcRoundtrip _,
     "src_json_roundtrip"         -> Relational.srcJsonRoundtrip _,
@@ -635,6 +636,12 @@ object SparkEntry {
       SELECT o_orderstatus, count(*) AS n,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // Oracle reads the ORIGINAL parquet rows — full-row equality
+    // proves the write→JDBC-database→partitioned-read cycle lossless.
+    "src_jdbc_roundtrip" -> """
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier ORDER BY s_suppkey""",
 
     // Oracle computes the same aggregate from the ORIGINAL parquet —
     // equality proves the ORC write/read round trip is lossless.

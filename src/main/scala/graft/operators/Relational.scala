@@ -231,6 +231,32 @@ object Relational {
       ORDER BY o_orderstatus""")
   }
 
+  /** A23: live external-catalog JDBC round trip — the reference's
+    * url+credentials metastore entry (MetaUtils.java:25-82 connects by
+    * ARGODB_JDBC_URL/USER/PASSWORD, Configs.java:8-10), Spark-native:
+    * the `spark.graft.jdbc.*` conf triple (embedded in-memory Derby
+    * when unset — public, in-JVM, zero infrastructure). A graft table
+    * is written through `DataFrame.write.jdbc` and read back with a
+    * PARTITIONED stride read (4 key ranges → 4 concurrent
+    * connections, the only JDBC shape that survives many executors;
+    * the stride predicate is pushed into each connection's WHERE).
+    * Full-ROW losslessness is the oracle: every column of every row
+    * must hash-match the original parquet through the
+    * write→SQL-database→read cycle (int64/int32/varchar/double all
+    * round-trip bit-exact).
+    */
+  def srcJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val url = graft.sources.GraftJdbc.url(s)
+    val props = graft.sources.GraftJdbc.connectionProperties(s)
+    cat(s, dir).table("supplier")
+      .write.mode("overwrite").jdbc(url, "graft_supplier", props)
+    s.read.jdbc(url, "graft_supplier",
+        columnName = "s_suppkey", lowerBound = 1L, upperBound = 101L,
+        numPartitions = 4, connectionProperties = props)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   /** A10: multi-format source — CSV round trip: write a table to CSV
     * in the scratch warehouse, read it back with an explicit schema
     * (header on; Java double toString round-trips exactly), aggregate.
