@@ -351,6 +351,49 @@ object Events {
       .drop("ghs", "n_distinct")
   }
 
+  // ── G10: file-stream source end to end ──
+
+  /** G10: the source→gate→sink loop on REAL FILES, no MemoryStream —
+    * `readStream` over the hive-partitioned document layout the batch
+    * sink (A7) writes, through the G9 zero-state curation gate, into
+    * the G4-style exactly-once `batch_id=N` sink. `maxFilesPerTrigger`
+    * bounds each micro-batch, so a landed corpus replays incrementally
+    * exactly as a live feed would; the checkpoint makes the SOURCE
+    * exactly-once (each file consumed once across restarts) and the
+    * per-batch overwrite dir makes the SINK idempotent under
+    * at-least-once foreachBatch replay — together, end-to-end
+    * exactly-once from directory listing to curated table. At scale
+    * this is the shape that ingests a continuously-landing 100 TB
+    * corpus drop by drop, with the gate running map-only at line rate.
+    */
+  def fileStreamCuration(s: SparkSession, layoutDir: String,
+      evalSpanHashes: Array[Long], sinkDir: String, filesPerTrigger: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // one driver-side batch peek for the schema (incl. partition cols)
+    val schema = s.read.parquet(layoutDir).schema
+    val docs = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(layoutDir)
+    curationGateStream(docs, evalSpanHashes)
+      .writeStream
+      .option("checkpointLocation", s"$sinkDir/_checkpoint")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyCuratedDocBatch(batch, batchId, sinkDir)
+      }
+      .start()
+  }
+
+  /** One curated micro-batch's commit — same exactly-once rule as
+    * applyPartitionedBatch (the batch id IS the partition; replay
+    * overwrites instead of duplicating), doc-shaped: curated docs
+    * land partitioned by source under their batch dir.
+    */
+  private[graft] def applyCuratedDocBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long, path: String): Unit =
+    batch.write.mode("overwrite").partitionBy("source")
+      .parquet(s"$path/batch_id=$batchId")
+
   // ── G2: sessionization (30-minute inactivity gap) ──
 
   val GapSeconds = 1800L

@@ -238,6 +238,53 @@ class StreamingSpec extends SparkSpecBase {
       s"stream kept ${kept.size} docs, batch gates keep ${expected.size}")
   }
 
+  test("file-stream source: partitioned layout → curation gate → exactly-once sink") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fstream").toString
+    val documents = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+    // the A7-shaped landing layout: hive-partitioned by source, several
+    // files per partition so the stream takes MULTIPLE micro-batches
+    documents.repartition(6)
+      .write.mode("overwrite").partitionBy("source").parquet(s"$root/layout")
+    val evalHashes = graft.operators.Dedup.evalSpanHashes(spark, sfDir)
+    val q = Events.fileStreamCuration(
+      spark, s"$root/layout", evalHashes, s"$root/sink")
+    q.processAllAvailable()
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+      "the gate must stay stateless on the file stream")
+    q.stop()
+    val sink = spark.read.parquet(s"$root/sink")
+    // it actually streamed: more than one batch_id landed
+    val batchIds = sink.select(col("batch_id").cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    assert(batchIds.length >= 2, s"expected several micro-batches, got ${batchIds.toSeq}")
+    // corpus parity with the batch gates (same expectation as the G9 spec)
+    val kept = sink.select("doc_id").collect().map(_.getLong(0)).toSet
+    val toks = split(trim(col("text")), "\\s+")
+    val quality = documents
+      .withColumn("n_toks", size(toks))
+      .withColumn("n_distinct", size(array_distinct(toks)))
+      .where(col("n_toks") >= 10 && col("n_distinct") * 10 >= col("n_toks") * 3)
+      .select("doc_id")
+    val clean = graft.operators.Dedup.decontaminate(spark, sfDir)
+      .where(col("contaminated") === 0).select("doc_id")
+    val expected = quality.join(clean, Seq("doc_id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === expected,
+      s"file stream kept ${kept.size} docs, batch gates keep ${expected.size}")
+    // sink replay idempotence: re-applying the last batch's rows under
+    // the same batchId leaves the curated table identical
+    val last = batchIds.max
+    // materialize first — the replay must not read the files it rewrites
+    val lastRows = sink.where(col("batch_id") === last).drop("batch_id")
+    val replay = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(lastRows.collect(): _*)),
+      lastRows.schema)
+    Events.applyCuratedDocBatch(replay, last, s"$root/sink")
+    val after = spark.read.parquet(s"$root/sink")
+    assert(after.count() === kept.size.toLong)
+    assert(after.select("doc_id").collect().map(_.getLong(0)).toSet === kept)
+  }
+
   test("ingestion gate drops a planted leak and a low-quality doc mid-stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
