@@ -80,12 +80,36 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     */
   def snapshotFiles(name: String): Seq[(String, Long)] = pinned(name).files
 
+  /** Share leases this catalog holds, per table (see acquireLease). */
+  private val heldLeases =
+    scala.collection.concurrent.TrieMap.empty[String, List[String]]
+
+  /** Pin AND share-lease a table: the snapshot is registered with the
+    * writer side, so a copy-on-write rewrite (mergeUpsert/mergeDelete)
+    * FAILS FAST instead of deleting files this catalog still reads —
+    * the reference's job-spanning share lock
+    * (ArgodbMapreduceInputFormat.java:52-102), lease-shaped. Released
+    * by `invalidate` (the REFRESH path) or by TTL expiry if the
+    * reader crashes.
+    */
+  def acquireLease(name: String, ttlMs: Long = GraftLease.DefaultTtlMs): String = {
+    pinned(name) // the lease covers THIS snapshot
+    val id = GraftLease.acquire(spark, s"$root/$name.parquet", ttlMs)
+    heldLeases.updateWith(name) { prev => Some(id :: prev.getOrElse(Nil)) }
+    id
+  }
+
   /** Drop ONE table's pinned listing so its next read re-pins the
     * current files — the explicit REFRESH escape hatch for a table
     * that was legitimately rewritten mid-session. Other tables'
-    * snapshots are untouched.
+    * snapshots are untouched. Share leases held on the table are
+    * released with the pin (REFRESH = "I give up my snapshot").
     */
-  def invalidate(name: String): Unit = pinnedListings.remove(name)
+  def invalidate(name: String): Unit = {
+    pinnedListings.remove(name)
+    heldLeases.remove(name).foreach(_.foreach(
+      GraftLease.release(spark, s"$root/$name.parquet", _)))
+  }
 
   /** Full-table scan against the pinned snapshot: the read names the
     * pinned files explicitly instead of re-listing the directory, so

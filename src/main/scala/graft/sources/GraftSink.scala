@@ -65,6 +65,10 @@ object GraftSink {
   def mergeUpsert(s: SparkSession, targetPath: String, updates: DataFrame,
                   keyCols: Seq[String], partitionCol: String): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    // share-lease gate: rewriting deletes files a pinned reader still
+    // references — fail fast while any reader lease is live (the
+    // reference's share-lock conflict, GraftLease doc)
+    GraftLease.failIfLeased(s, targetPath, "mergeUpsert")
     val target = s.read.parquet(targetPath)
     val keys = updates.select(keyCols.map(col): _*)
     val affected = target
@@ -139,6 +143,7 @@ object GraftSink {
   def mergeDelete(s: SparkSession, targetPath: String, deleteKeys: DataFrame,
                   keyCols: Seq[String], partitionCol: String): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    GraftLease.failIfLeased(s, targetPath, "mergeDelete")
     val target = s.read.parquet(targetPath)
     val keys = deleteKeys.select(keyCols.map(col): _*)
     val affected = target
