@@ -192,13 +192,17 @@ object Relational {
     */
   def srcCatalogSqlScan(s: SparkSession, dir: String): DataFrame = {
     val f = new java.io.File(dir)
-    graft.sources.v2.GraftTableCatalog.register(s, f.getParent)
+    // catalog instances cache per session, so the shared name 'graft'
+    // would pin the FIRST root forever and error on any other — derive
+    // the name from the root instead, so multi-sf sessions each get
+    // their own catalog
+    val name = graft.sources.v2.GraftTableCatalog.registerForRoot(s, f.getParent)
     s.sql(s"""
       SELECT o_orderstatus, count(*) AS n,
              min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
              CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
                         * 100.0 + 0.5) AS BIGINT) AS total_cents
-      FROM graft.`${f.getName}`.orders
+      FROM $name.`${f.getName}`.orders
       WHERE o_orderkey % 3 = 0
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""")

@@ -176,22 +176,35 @@ object TextAnalysis {
     * log-prob is floored to MICRO-integers BEFORE summation (floating
     * sums are accumulation-order-dependent; long sums are exact), so
     * the result is partition-invariant and oracle-exact. Scale shape:
-    * one tokenize pass, one count shuffle, one word join (AQE-handled
-    * skew on stop words), one per-doc aggregate — no driver state,
+    * one tokenize pass, one (doc, word) pre-aggregate (map-side
+    * partial), one word-count shuffle over DISTINCT (doc, word) pairs,
+    * one word join sized by distinct pairs — NOT token instances, so
+    * the join input shrinks by the per-doc repetition factor at corpus
+    * scale (AQE handles the residual Zipf skew) — no driver state,
     * vocabulary never collected.
+    *
+    * Cross-engine exactness rests on one assumption, stated here
+    * because it is the repo's only floor-after-transcendental: JVM
+    * Math.log and DuckDB's libm ln agree to the last bit on these
+    * inputs (ratios of exact small integers). A 1-ULP divergence at a
+    * micro-boundary would flip one floor; the per-word lp values are
+    * spec-asserted against driver-side Math.log so any future mismatch
+    * is diagnosable per word instead of a silent hash failure.
     */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
     val toks = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
-    val counts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).cast("double").as("total"))
-    val scored = toks.join(counts, Seq("word"))
+    // pre-aggregate BEFORE the word join: per-(doc, word) multiplicity
+    val perDocWord = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+    val counts = perDocWord.groupBy("word").agg(sum("n").as("cnt"))
+    val total = perDocWord.agg(sum("n").cast("double").as("total"))
+    val scored = perDocWord.join(counts, Seq("word"))
       .crossJoin(broadcast(total))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n"),
         floor(log(col("cnt").cast("double") / col("total")) * 1000000.0)
           .cast("long").as("lp"))
     val perDoc = scored.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("lp").as("sum_lp_micro"))
+      .agg(sum("n").as("n_words"), sum(col("lp") * col("n")).as("sum_lp_micro"))
     docs(s, dir).select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

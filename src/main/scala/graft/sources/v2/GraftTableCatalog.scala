@@ -39,6 +39,15 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var root: String = _
 
+  /** The owning session, captured at initialize(): Spark caches ONE
+    * catalog instance per session, but `SparkSession.active` is a
+    * thread-local that can point at a DIFFERENT session under
+    * `newSession()` / concurrent-session use — pinned listings and
+    * Hadoop confs must build against the owner, not whoever is active
+    * on the calling thread.
+    */
+  private var owner: SparkSession = _
+
   /** One pinned GraftCatalog per namespace — the snapshot holder. */
   private val pinned = TrieMap.empty[String, GraftCatalog]
 
@@ -53,11 +62,14 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     catalogName = name
     root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
       s"[GRAFT] catalog '$name' requires spark.sql.catalog.$name.root=<warehouse dir>"))
+    // initialize() runs inside the owning session's CatalogManager, so
+    // the thread-local IS the owner exactly here
+    owner = SparkSession.active
   }
 
   override def name(): String = catalogName
 
-  private def spark = SparkSession.active
+  private def spark = if (owner != null) owner else SparkSession.active
 
   private def hadoopFs = new org.apache.hadoop.fs.Path(root)
     .getFileSystem(spark.sessionState.newHadoopConf())
@@ -164,6 +176,20 @@ object GraftTableCatalog {
     * already-resolved name is an error rather than a silent stale
     * read.
     */
+  /** Register under a name DERIVED from the root (stable hash suffix)
+    * and return it — the multi-root-safe entry: each distinct root
+    * gets its own catalog name, so one session can read several data
+    * roots side by side (per-session instance caching makes a SHARED
+    * name first-root-wins; see register's error).
+    */
+  def registerForRoot(s: SparkSession, root: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(root.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val name = s"graft_$digest"
+    register(s, root, name)
+    name
+  }
+
   def register(s: SparkSession, root: String, name: String = "graft"): Unit = {
     val key = s"spark.sql.catalog.$name"
     s.conf.getOption(s"$key.root") match {

@@ -28,6 +28,43 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(corpus.forall(r => r.getLong(1) === 0L || r.getLong(3) < 0L))
   }
 
+  test("unigram per-word lp matches driver Math.log and the pre-aggregated form matches the instance form") {
+    import spark.implicits._
+    val documents = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val toks = documents.select(col("doc_id"), explode(words).as("word"))
+    // ULP diagnosability: every distinct count's engine-side
+    // floor(log(cnt/total)*1e6) must equal the driver's Math.log — if
+    // a cross-engine hash ever breaks, re-run this to localize which
+    // word count sits on a flipped micro boundary
+    val total = toks.count().toDouble
+    val pairs = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        floor(log(col("cnt").cast("double") / lit(total)) * 1000000.0)
+          .cast("long").as("lp"))
+      .distinct().collect()
+    pairs.foreach { r =>
+      val expect = math.floor(math.log(r.getLong(0).toDouble / total) * 1e6).toLong
+      assert(r.getLong(1) === expect, s"cnt=${r.getLong(0)} lp boundary drift")
+    }
+    // the (doc, word) pre-aggregated operator equals the naive
+    // token-instance formulation row for row
+    val naive = {
+      val counts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val scored = toks.join(counts, Seq("word"))
+        .select(col("doc_id"),
+          floor(log(col("cnt").cast("double") / lit(total)) * 1000000.0)
+            .cast("long").as("lp"))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("lp").as("sum_lp_micro"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    graft.operators.TextAnalysis.unigramLogprob(spark, sfDir).collect().foreach { r =>
+      val (nw, lp) = naive.getOrElse(r.getLong(0), (0L, 0L))
+      assert(r.getLong(1) === nw && r.getLong(2) === lp, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("quality metrics exact on a crafted document") {
     import spark.implicits._
     val df = Seq((1L, "The cat, the dog; and 42 birds!")).toDF("doc_id", "text")

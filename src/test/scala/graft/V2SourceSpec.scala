@@ -232,6 +232,15 @@ class V2SourceSpec extends SparkSpecBase {
     }
   }
 
+  test("catalog SQL scan runs against two data roots in one session (derived names)") {
+    // the shared-name binding above would throw here; registerForRoot
+    // gives each root its own catalog name
+    assert(graft.operators.Relational
+      .srcCatalogSqlScan(spark, "/root/testdata/sf0.001").count() > 0)
+    assert(graft.operators.Relational
+      .srcCatalogSqlScan(spark, "/root/testdata/sf0.01").count() > 0)
+  }
+
   test("SQL catalog reads are snapshot-pinned (mid-session arrivals invisible)") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_sqlcat").toString
