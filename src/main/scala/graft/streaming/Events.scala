@@ -351,6 +351,23 @@ object Events {
       .drop("ghs", "n_distinct")
   }
 
+  /** G9 + E9: the curation gate ALSO emitting each surviving doc's
+    * BPE token count, so the ingest path produces counts consistent
+    * with the batch tokenizer feeding H1's packing. The codec is a
+    * driver artifact trained in BATCH on the hash sample (same class
+    * as the eval span hashes: small, deterministic, shipped with the
+    * plan), and the count is E9's native memoized expression — so the
+    * extended gate stays map-only, zero state, zero shuffle, and its
+    * counts are BYTE-IDENTICAL to `text_bpe_tokens` (parity spec).
+    */
+  def curationGateWithTokens(docs: DataFrame, evalSpanHashes: Array[Long],
+      codec: graft.functions.BpeCodec): DataFrame = {
+    import graft.operators.BpeTokenizer
+    curationGateStream(docs, evalSpanHashes)
+      .withColumn("bpe_tokens",
+        BpeTokenizer.bpeTokenCount(BpeTokenizer.words(col("text")), codec))
+  }
+
   // ── G10: file-stream source end to end ──
 
   /** G10: the source→gate→sink loop on REAL FILES, no MemoryStream —

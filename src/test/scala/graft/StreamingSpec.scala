@@ -285,6 +285,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(after.select("doc_id").collect().map(_.getLong(0)).toSet === kept)
   }
 
+  test("gate-emitted BPE token counts match the batch tokenizer exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalHashes = graft.operators.Dedup.evalSpanHashes(spark, sfDir)
+    val codec = graft.operators.BpeTokenizer.trainCodec(spark, sfDir)
+    val documents = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(documents.select("doc_id", "text").as[(Long, String)]
+      .collect().toIndexedSeq)
+    val q = Events.curationGateWithTokens(
+      stream.toDF.toDF("doc_id", "text"), evalHashes, codec)
+      .select("doc_id", "bpe_tokens")
+      .writeStream.format("memory").queryName("gate_bpe")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+      "the tokenizing gate must stay stateless")
+    q.stop()
+    val streamed = spark.table("gate_bpe").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty)
+    val batch = graft.operators.BpeTokenizer.bpeTokens(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    streamed.foreach { case (doc, n) =>
+      assert(batch(doc) === n, s"doc $doc: stream $n vs batch ${batch(doc)}")
+    }
+  }
+
   test("ingestion gate drops a planted leak and a low-quality doc mid-stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
