@@ -144,6 +144,8 @@ object SparkEntry {
     "text_fingerprint_exact"     -> TextAnalysis.fingerprintExact _,
     "text_unigram_logprob"       -> TextAnalysis.unigramLogprob _,
     "text_bpe_tokens"            -> BpeTokenizer.bpeTokens _,
+    "text_vocab_coverage"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
+    "pipeline_chunk_documents"   -> Assembly.chunkDocuments _,
     "text_tfidf_top_terms"       -> TextAnalysis.tfidfTopTerms _,
     "text_redact"                -> TextAnalysis.redact _,
     "text_repetition"            -> TextAnalysis.repetition _,
@@ -1344,6 +1346,48 @@ object SparkEntry {
              string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs_csv
       FROM r GROUP BY source, bucket, CAST((running - tokens) // 2048 AS BIGINT)
       ORDER BY source, bucket, seq_no""",
+
+    // Zipf head coverage over the same whitespace tokenize as the
+    // unigram scorer; coverage is exact integer division (no FP).
+    "text_vocab_coverage" -> """
+      WITH w AS (
+        SELECT unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS word
+        FROM documents
+      ), c AS (
+        SELECT word, count(*) AS cnt FROM w GROUP BY word
+      ), t AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c
+      ), top AS (
+        SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+        FROM c ORDER BY cnt DESC, word LIMIT 50
+      )
+      SELECT CAST(rank AS BIGINT) AS rank, word, CAST(cnt AS BIGINT) AS cnt,
+             CAST(sum(cnt) OVER (ORDER BY rank) AS BIGINT) AS cum_cnt,
+             CAST((CAST(sum(cnt) OVER (ORDER BY rank) AS BIGINT) * 1000000) // total
+                  AS BIGINT) AS coverage_micro
+      FROM top, t ORDER BY rank""",
+
+    // Same window geometry as Assembly.chunkDocuments: 64-word chunks
+    // advancing by 56, final chunk clipped, replayed via list slicing.
+    "pipeline_chunk_documents" -> """
+      WITH d AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS w
+        FROM documents
+      ), n AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS nw FROM d WHERE len(w) > 0
+      ), c AS (
+        SELECT doc_id, w, nw,
+               unnest(range(0, 1 + (greatest(nw - 64, 0) + 55) // 56)) AS chunk_no
+        FROM n
+      )
+      SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+             CAST(chunk_no * 56 AS BIGINT) AS chunk_start,
+             CAST(least(64, nw - chunk_no * 56) AS BIGINT) AS chunk_len,
+             w[CAST(chunk_no * 56 + 1 AS INT)] AS first_word,
+             w[CAST(chunk_no * 56 + least(64, nw - chunk_no * 56) AS INT)] AS last_word
+      FROM c ORDER BY doc_id, chunk_no""",
 
     "pipeline_mixture_sample" -> """
       WITH t AS (

@@ -110,6 +110,47 @@ object Assembly {
       .orderBy("source")
   }
 
+  /** Chunk geometry: window of `ChunkSize` words advancing by
+    * `ChunkStride` (so consecutive chunks overlap by 8 words — the
+    * standard RAG/context-window overlap that keeps boundary-spanning
+    * content intact in at least one chunk).
+    */
+  val ChunkSize = 64L
+  val ChunkStride = 56L
+
+  /** H4: document chunking — the fixed-window segmentation pass that
+    * turns long documents into bounded retrieval/training units
+    * (every RAG index build and long-doc training pipeline runs one).
+    * Each doc's pre-token sequence (H1's regex universe) is cut into
+    * `ChunkSize`-word windows advancing by `ChunkStride`; the final
+    * window clips at the document end, and a doc shorter than one
+    * window is its own single chunk. MAP-ONLY: chunk count is pure
+    * arithmetic on the word count, chunk rows explode from a
+    * `sequence()` — no shuffle but the output ordering, so the pass
+    * scales linearly with input splits at 100 TB. Deterministic
+    * integer geometry → value-exact DuckDB oracle (list slicing
+    * replays the same windows).
+    */
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame = {
+    val w = BpeTokenizer.words(col("text"))
+    docs(s, dir)
+      .select(col("doc_id"), w.as("w"))
+      .withColumn("nw", size(col("w")).cast("long"))
+      .where(col("nw") > 0)
+      // n_chunks = 1 + ceil(max(nw - size, 0) / stride); div keeps it
+      // in exact integer math (long / long would widen to double)
+      .withColumn("n_chunks",
+        expr(s"1L + (greatest(nw - $ChunkSize, 0L) + ${ChunkStride - 1}L) div ${ChunkStride}L"))
+      .withColumn("chunk_no", explode(sequence(lit(0L), col("n_chunks") - 1L)))
+      .withColumn("chunk_start", col("chunk_no") * ChunkStride)
+      .withColumn("chunk_len", least(lit(ChunkSize), col("nw") - col("chunk_start")))
+      .select(
+        col("doc_id"), col("chunk_no"), col("chunk_start"), col("chunk_len"),
+        element_at(col("w"), (col("chunk_start") + 1L).cast("int")).as("first_word"),
+        element_at(col("w"), (col("chunk_start") + col("chunk_len")).cast("int")).as("last_word"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
   /** H3 (flagship composite): the WHOLE training-set build, end to
     * end — C7's curated document set (quality gate → decontamination
     * gate → near-dup representative) → H2's mixture sampling → H1's

@@ -216,6 +216,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** E10: vocabulary coverage curve — what fraction of the corpus'
+    * token stream the top-k most frequent words cover, the standard
+    * tokenizer/vocab-sizing diagnostic (Zipf head coverage: decides
+    * how large a vocab must be before subword fallback is rare; the
+    * natural companion to E9's trained BPE). Scale shape: one
+    * tokenize + one word-count shuffle, then the global top-50 via
+    * TakeOrdered (tree-reduced top-k — never a SinglePartition sort
+    * of the vocabulary), and the cumulative sum runs over those 50
+    * rows only (constant-size window). Coverage is emitted as exact
+    * integer division `cum*1e6 div total` — no floating point
+    * anywhere, so the curve is oracle-exact in any engine.
+    */
+  def vocabCoverage(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val toks = docs(s, dir).select(explode(words).as("word"))
+    val counts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("word")).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+      .withColumn("cum_cnt", sum("cnt").over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("word"), col("cnt"),
+        col("cum_cnt"),
+        expr("(cum_cnt * 1000000L) div total").as("coverage_micro"))
+      .orderBy("rank")
+  }
+
   /** E4: winnowing document fingerprints (k=8 chars, window=4) —
     * rows-only (xxhash64 is engine-specific); stability spec-tested.
     */

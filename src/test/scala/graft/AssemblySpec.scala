@@ -30,6 +30,57 @@ class AssemblySpec extends SparkSpecBase {
     // is the oracle hash match.
   }
 
+  test("chunking covers every word, overlaps by size-stride, and clips the tail") {
+    val out = Assembly.chunkDocuments(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_.getLong(1))
+      // contiguous chunk numbering from 0
+      assert(sorted.map(_.getLong(1)).toSeq === (0L until sorted.length).toSeq)
+      // geometry: starts advance by stride; every chunk is full-size
+      // except possibly the last, which clips at the doc end
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(2) === i * Assembly.ChunkStride)
+        if (i < sorted.length - 1) assert(r.getLong(3) === Assembly.ChunkSize)
+        assert(r.getLong(3) >= 1L)
+      }
+      // coverage: last chunk reaches exactly the word count
+      val last = sorted.last
+      val nw = last.getLong(2) + last.getLong(3)
+      // a doc with more than one chunk must need its last chunk
+      if (sorted.length > 1)
+        assert(nw > (sorted.length - 1) * Assembly.ChunkStride,
+          s"doc $doc final chunk redundant")
+    }
+  }
+
+  test("chunk geometry on crafted word counts: 1 chunk at 64 words, 2 at 100, 3 at 150") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    // letter-only words — the pre-token regex would split "w12" into
+    // the letter run and the digit run
+    def wd(i: Int) = "w" + i.toString.map(c => ('a' + (c - '0')).toChar)
+    def doc(n: Int) = (1 to n).map(wd).mkString(" ")
+    Seq((64L, doc(64)), (100L, doc(100)), (150L, doc(150)), (1L, "solo"))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("srcA"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Assembly.chunkDocuments(spark, tmp).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    assert(out(64L).length === 1 && out(64L).head.getLong(3) === 64L)
+    assert(out(100L).length === 2)
+    assert(out(100L)(1).getLong(2) === 56L && out(100L)(1).getLong(3) === 44L)
+    assert(out(150L).length === 3)
+    assert(out(150L)(2).getLong(2) === 112L && out(150L)(2).getLong(3) === 38L)
+    assert(out(1L).length === 1 && out(1L).head.getString(4) === "solo"
+      && out(1L).head.getString(5) === "solo")
+    // boundary words line up with the crafted vocabulary
+    assert(out(150L)(1).getString(4) === wd(57) && out(150L)(1).getString(5) === wd(120))
+  }
+
   test("packing splits a bucket into multiple windows when tokens exceed SeqLen") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_pack").toString

@@ -65,6 +65,34 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("vocab coverage curve is monotone, exact, and TakeOrdered-planned") {
+    val df = graft.operators.TextAnalysis.vocabCoverage(spark, sfDir)
+    // top-k must plan as tree-reduced TakeOrdered, never a global sort
+    // of the vocabulary through one partition
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+    val rows = df.collect()
+    // the synthetic corpus has a tiny vocabulary — top-50 clips to it
+    val vocab = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+      .select(explode(expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")).as("w"))
+      .distinct().count()
+    assert(rows.length === math.min(50L, vocab).toInt)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length))
+    // counts non-increasing, cumulative strictly increasing
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    val cums = rows.map(_.getLong(3))
+    assert(cums.toSeq === cnts.scanLeft(0L)(_ + _).tail.toSeq)
+    // exact integer coverage against a driver-side recount
+    val total = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+      .select(explode(expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")).as("w"))
+      .count()
+    rows.foreach(r => assert(r.getLong(4) === r.getLong(3) * 1000000L / total))
+    assert(rows.last.getLong(4) > 0L && rows.last.getLong(4) <= 1000000L)
+  }
+
   test("quality metrics exact on a crafted document") {
     import spark.implicits._
     val df = Seq((1L, "The cat, the dog; and 42 birds!")).toDF("doc_id", "text")
