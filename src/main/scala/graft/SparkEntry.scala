@@ -146,6 +146,8 @@ object SparkEntry {
     "text_bpe_tokens"            -> BpeTokenizer.bpeTokens _,
     "text_vocab_coverage"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "pipeline_chunk_documents"   -> Assembly.chunkDocuments _,
+    "pipeline_token_budget"      -> Assembly.tokenBudgetSample _,
+    "dedup_source_overlap"       -> Dedup.crossSourceOverlap _,
     "text_tfidf_top_terms"       -> TextAnalysis.tfidfTopTerms _,
     "text_redact"                -> TextAnalysis.redact _,
     "text_repetition"            -> TextAnalysis.repetition _,
@@ -1418,6 +1420,59 @@ object SparkEntry {
                         / greatest(coalesce(s.n_spans, 0), 1)) AS BIGINT) AS dup_micro
       FROM documents d LEFT JOIN stats s ON d.doc_id = s.sdoc
       ORDER BY d.doc_id"""),
+
+    // C10: distinct (source, span-hash) sets per source, pairwise
+    // shared counts + exact integer Jaccard — zero-overlap pairs kept.
+    "dedup_source_overlap" -> (spanHashCte + """, ps AS (
+        SELECT DISTINCT d.source, g.gh
+        FROM g JOIN documents d USING (doc_id)
+      ), cnt AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM ps GROUP BY source
+      ), sh AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM ps a JOIN ps b ON a.gh = b.gh AND a.source < b.source
+        GROUP BY a.source, b.source
+      )
+      SELECT ca.source AS source_a, cb.source AS source_b,
+             ca.n AS n_a, cb.n AS n_b,
+             CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+             CAST((coalesce(sh.n_shared, 0) * 1000000)
+                  // (ca.n + cb.n - coalesce(sh.n_shared, 0)) AS BIGINT) AS jaccard_micro
+      FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+      LEFT JOIN sh ON sh.source_a = ca.source AND sh.source_b = cb.source
+      ORDER BY source_a, source_b"""),
+
+    // H5: equal-token-budget mixing — smallest source's token count is
+    // the budget; keep-rate in exact micro integers via the H2 hash rule.
+    "pipeline_token_budget" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(length(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens
+        FROM documents
+      ), tot AS (
+        SELECT source, CAST(sum(tokens) AS BIGINT) AS total_tokens
+        FROM t GROUP BY source
+      ), b AS (
+        SELECT CAST(min(total_tokens) AS BIGINT) AS budget FROM tot
+      ), r AS (
+        SELECT source, total_tokens, budget,
+               CAST((budget * 1000000) // total_tokens AS BIGINT) AS rate_micro
+        FROM tot, b
+      ), k AS (
+        SELECT t.doc_id, t.source, t.tokens, r.total_tokens, r.budget, r.rate_micro,
+               CASE WHEN (t.doc_id * 1048573 + 11) % 1000000 < r.rate_micro
+                    THEN 1 ELSE 0 END AS kept
+        FROM t JOIN r USING (source)
+      )
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(kept) AS BIGINT) AS n_kept,
+             CAST(any_value(total_tokens) AS BIGINT) AS total_tokens,
+             CAST(any_value(budget) AS BIGINT) AS budget_tokens,
+             CAST(any_value(rate_micro) AS BIGINT) AS rate_micro,
+             CAST(sum(kept * tokens) AS BIGINT) AS kept_tokens
+      FROM k GROUP BY source ORDER BY source""",
 
     "dedup_substring_removal" -> (spanHashCte + """, rep AS (
         SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) > 1

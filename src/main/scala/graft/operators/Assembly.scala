@@ -110,6 +110,44 @@ object Assembly {
       .orderBy("source")
   }
 
+  /** H5: token-budget-balanced sampling — the "equal token budgets"
+    * mixing rule of public data recipes (sample every source down to
+    * the SMALLEST source's token count, so no channel dominates by
+    * sheer volume): per-source keep-rate = budget/total in exact
+    * micro-integers, applied through the same deterministic
+    * multiplicative-hash keep rule as H2 — reproducible, engine-
+    * independent, no RNG. Scale shape: one map-only tokenize, one
+    * per-source aggregate (sources² ≪ anything — a broadcast
+    * artifact), one broadcast join of rates back onto the scan, one
+    * per-source re-aggregate; never a global sort or repartition.
+    * The achieved token count is reported against the budget so
+    * hash-rule drift is visible.
+    */
+  def tokenBudgetSample(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(
+      col("doc_id"), col("source"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("tokens"))
+    val totals = toks.groupBy("source").agg(sum("tokens").as("total_tokens"))
+    val budget = totals.agg(min("total_tokens").as("budget"))
+    val rates = totals.crossJoin(broadcast(budget))
+      .select(col("source"), col("total_tokens"), col("budget"),
+        expr("(budget * 1000000L) div total_tokens").as("rate_micro"))
+    toks.join(broadcast(rates), Seq("source"))
+      .withColumn("kept",
+        (pmod(col("doc_id") * 1048573L + 11L, lit(1000000L)) < col("rate_micro"))
+          .cast("int"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("kept").cast("long").as("n_kept"),
+        first("total_tokens").as("total_tokens"),
+        first("budget").as("budget_tokens"),
+        first("rate_micro").as("rate_micro"),
+        sum(col("kept") * col("tokens")).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   /** Chunk geometry: window of `ChunkSize` words advancing by
     * `ChunkStride` (so consecutive chunks overlap by 8 words — the
     * standard RAG/context-window overlap that keeps boundary-spanning

@@ -604,6 +604,41 @@ object Dedup {
       docs(s, dir).where(!isBenchDoc))
   }
 
+  /** C10: cross-source overlap matrix — which corpus SOURCES share
+    * content, the provenance diagnostic behind mixture design (two
+    * crawls re-hosting the same pages should not both be up-weighted)
+    * and leak auditing across acquisition channels. For every source
+    * pair: the count of DISTINCT word-4-gram span hashes present in
+    * both, each source's distinct-span count, and the exact integer
+    * Jaccard (micro). Scale shape: spans are hashed map-side (C8's
+    * 8-byte portable hashes), reduced to DISTINCT (source, hash) —
+    * bounded by sources × distinct spans, far below corpus size —
+    * then ONE self-equi-join on the hash whose both sides reuse the
+    * same exchange; the per-pair matrix itself is sources², a driver-
+    * scale artifact. Zero-overlap pairs are kept via the tiny counts
+    * cross join, so the matrix is always complete.
+    */
+  def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val srcs = docs(s, dir).select(col("doc_id"), col("source"))
+    val perSource = wordGramHashes(s, dir)
+      .join(srcs, Seq("doc_id"))
+      .select("source", "gh").distinct()
+    val counts = perSource.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = perSource.toDF("source_a", "gh")
+      .join(perSource.toDF("source_b", "gh"), Seq("gh"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    counts.toDF("source_a", "n_a")
+      .join(counts.toDF("source_b", "n_b"), col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        expr("(coalesce(n_shared, 0L) * 1000000L) div (n_a + n_b - coalesce(n_shared, 0L))")
+          .as("jaccard_micro"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** General form: gate an arbitrary TRAINING corpus against an
     * arbitrary EVAL document table (both with doc_id + text columns) —
     * the API a user calls with their real benchmark suite; the

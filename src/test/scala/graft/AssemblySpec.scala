@@ -110,6 +110,36 @@ class AssemblySpec extends SparkSpecBase {
       s"expected 1 hash exchange (shared by window+agg), got $hashExchanges:\n${plan.take(1200)}")
   }
 
+  test("BPE packing keeps the ONE-exchange plan; chunking plans no exchange before the sort") {
+    val bpePlan = Assembly.packSequencesBpe(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(bpePlan).size
+    assert(hashExchanges === 1,
+      s"BPE packing must share the (source, bucket) exchange, got $hashExchanges")
+    // chunking is map-only: explode + arithmetic; the ONLY exchange is
+    // the output ordering's range partitioning
+    val chunkPlan = Assembly.chunkDocuments(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n${chunkPlan.take(1200)}")
+  }
+
+  test("token-budget sampling keeps the smallest source whole and rates others down") {
+    val rows = Assembly.tokenBudgetSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getLong(4)
+    assert(rows.forall(_.getLong(4) === budget), "one shared budget")
+    assert(budget === rows.map(_.getLong(3)).min, "budget = smallest source's tokens")
+    rows.foreach { r =>
+      val (nDocs, nKept, total, rate, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))
+      assert(rate === budget * 1000000L / total)
+      assert(rate <= 1000000L && nKept <= nDocs && kept <= total)
+      // the budget-defining source has rate 1e6 -> keeps every doc
+      if (total === budget) assert(nKept === nDocs && kept === total)
+    }
+  }
+
   test("assembled corpus is a packed subset of the curated corpus") {
     val assembled = Assembly.assembleCorpus(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

@@ -325,6 +325,27 @@ class DedupSpec extends SparkSpecBase {
       "the eval-span set must broadcast into a semi join: " + plan.take(1000))
   }
 
+  test("cross-source overlap matrix matches a driver-side set computation and is complete") {
+    val out = graft.operators.Dedup.crossSourceOverlap(spark, sfDir).collect()
+    val documents = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+    val nSources = documents.select("source").distinct().count().toInt
+    assert(out.length === nSources * (nSources - 1) / 2, "matrix must be complete")
+    // driver-side ground truth from the same portable span hashes
+    val spans = graft.operators.Dedup.wordGramHashesOf(documents)
+      .join(documents.select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "gh").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    out.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val (sa, sb) = (spans(a), spans(b))
+      assert(r.getLong(2) === sa.size.toLong && r.getLong(3) === sb.size.toLong)
+      val shared = (sa & sb).size.toLong
+      assert(r.getLong(4) === shared, s"($a,$b)")
+      assert(r.getLong(5) === shared * 1000000L / (sa.size + sb.size - shared))
+    }
+  }
+
   test("decontaminateAgainst gates a corpus against an arbitrary eval table") {
     import spark.implicits._
     val evalDocs = Seq(
