@@ -620,9 +620,13 @@ object Dedup {
     */
   def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val srcs = docs(s, dir).select(col("doc_id"), col("source"))
+    // cached: used three times (counts + both self-join sides) — without
+    // it the corpus is tokenized and span-hashed thrice (plan-audited:
+    // no ReusedExchange across the distinct subtrees). Bounded by
+    // sources × distinct spans, far below corpus size.
     val perSource = wordGramHashes(s, dir)
       .join(srcs, Seq("doc_id"))
-      .select("source", "gh").distinct()
+      .select("source", "gh").distinct().cache()
     val counts = perSource.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = perSource.toDF("source_a", "gh")
       .join(perSource.toDF("source_b", "gh"), Seq("gh"))
