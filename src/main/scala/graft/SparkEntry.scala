@@ -147,6 +147,7 @@ object SparkEntry {
     "text_vocab_coverage"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "pipeline_chunk_documents"   -> Assembly.chunkDocuments _,
     "pipeline_token_budget"      -> Assembly.tokenBudgetSample _,
+    "pipeline_pack_split"        -> Assembly.packSequencesSplit _,
     "dedup_source_overlap"       -> Dedup.crossSourceOverlap _,
     "text_tfidf_top_terms"       -> TextAnalysis.tfidfTopTerms _,
     "text_redact"                -> TextAnalysis.redact _,
@@ -1442,6 +1443,35 @@ object SparkEntry {
       FROM cnt ca JOIN cnt cb ON ca.source < cb.source
       LEFT JOIN sh ON sh.source_a = ca.source AND sh.source_b = cb.source
       ORDER BY source_a, source_b"""),
+
+    // H1 (split form): true causal-LM packing — window occupancy per
+    // doc from the token-axis interval [running-tokens, running).
+    "pipeline_pack_split" -> """
+      WITH t AS (
+        SELECT doc_id, source, doc_id // 1000 AS bucket,
+               CAST(length(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens
+        FROM documents
+      ), r AS (
+        SELECT source, bucket, doc_id, tokens,
+               sum(tokens) OVER (PARTITION BY source, bucket ORDER BY doc_id) AS e
+        FROM t
+      ), i AS (
+        SELECT source, bucket, doc_id, tokens,
+               CAST(e - tokens AS BIGINT) AS s, CAST(e AS BIGINT) AS e
+        FROM r WHERE tokens > 0
+      ), w AS (
+        SELECT source, bucket, doc_id, s, e,
+               unnest(range(s // 2048, (e - 1) // 2048 + 1)) AS seq_no
+        FROM i
+      )
+      SELECT source, CAST(bucket AS BIGINT) AS bucket,
+             CAST(seq_no AS BIGINT) AS seq_no,
+             count(*) AS n_docs,
+             CAST(sum(least(e, (seq_no + 1) * 2048) - greatest(s, seq_no * 2048))
+                  AS BIGINT) AS seq_tokens
+      FROM w GROUP BY source, bucket, seq_no
+      ORDER BY source, bucket, seq_no""",
 
     // H5: equal-token-budget mixing — smallest source's token count is
     // the budget; keep-rate in exact micro integers via the H2 hash rule.

@@ -53,6 +53,41 @@ object Assembly {
       BpeTokenizer.bpeTokenCount(BpeTokenizer.words(col("text")), codec))
   }
 
+  /** H1 (split form): TRUE causal-LM packing — documents are laid
+    * head-to-tail on the token axis and windows cut every `SeqLen`
+    * tokens REGARDLESS of document boundaries, so a long document
+    * spills across consecutive windows (what GPT-style batching
+    * actually does; `packSequences` is the whole-doc-assignment
+    * approximation). Each doc occupies the token interval
+    * [running−tokens, running) within its (source, bucket); it
+    * explodes into exactly the windows it touches with its per-window
+    * token occupancy — pure integer arithmetic after the same single
+    * running-sum window, map-only from there. Every window except a
+    * bucket's last therefore holds EXACTLY SeqLen tokens
+    * (spec-asserted), which is the property training jobs rely on.
+    */
+  def packSequencesSplit(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(
+      col("doc_id"), col("source"),
+      expr(s"doc_id div $PackBucket").as("bucket"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("tokens"))
+    val w = Window.partitionBy("source", "bucket").orderBy("doc_id")
+    toks
+      .withColumn("e", sum("tokens").over(w))
+      .withColumn("s", col("e") - col("tokens"))
+      // a zero-token doc occupies no window at all
+      .where(col("tokens") > 0)
+      .withColumn("seq_no",
+        explode(sequence(expr(s"s div $SeqLen"), expr(s"(e - 1) div $SeqLen"))))
+      .withColumn("tok_in_win",
+        least(col("e"), (col("seq_no") + 1) * SeqLen) -
+          greatest(col("s"), col("seq_no") * SeqLen))
+      .groupBy("source", "bucket", "seq_no")
+      .agg(count(lit(1)).as("n_docs"), sum("tok_in_win").as("seq_tokens"))
+      .orderBy("source", "bucket", "seq_no")
+  }
+
   private def packBy(s: SparkSession, dir: String,
       tokenCount: org.apache.spark.sql.Column): DataFrame = {
     val toks = docs(s, dir).select(

@@ -124,6 +124,28 @@ class AssemblySpec extends SparkSpecBase {
       s"chunking must not shuffle:\n${chunkPlan.take(1200)}")
   }
 
+  test("split packing fills every non-final window to exactly SeqLen and conserves tokens") {
+    val rows = Assembly.packSequencesSplit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // token conservation (split packing loses nothing to boundaries)
+    val packed = rows.map(_.getLong(4)).sum
+    val corpus = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+      .select(size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(packed === corpus, s"packed $packed of $corpus tokens")
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (k, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      // windows number 0..max contiguously
+      assert(sorted.map(_.getLong(2)).toSeq === (0L until sorted.length).toSeq,
+        s"non-contiguous windows in $k")
+      // THE split-packing property: every window but the last is full
+      sorted.init.foreach(r =>
+        assert(r.getLong(4) === Assembly.SeqLen, s"$k window ${r.getLong(2)} underfull"))
+      assert(sorted.last.getLong(4) <= Assembly.SeqLen)
+    }
+  }
+
   test("token-budget sampling keeps the smallest source whole and rates others down") {
     val rows = Assembly.tokenBudgetSample(spark, sfDir).collect()
     assert(rows.nonEmpty)
