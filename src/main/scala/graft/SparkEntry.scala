@@ -157,6 +157,7 @@ object SparkEntry {
     "mm_feature_extract"         -> Multimodal.featureExtract _,
     "mm_frame_sample"            -> Multimodal.frameSample _,
     "mm_resize"                  -> Multimodal.resize _,
+    "mm_payload_dedup"           -> Multimodal.payloadDedup _,
     // §2.G streaming (batch-equivalent forms; streaming paths in specs)
     "stream_windowed_counts"     -> graft.streaming.Events.windowedCountsBatch _,
     "stream_sessionize"          -> graft.streaming.Events.sessionizeBatch _,
@@ -1443,6 +1444,22 @@ object SparkEntry {
       FROM cnt ca JOIN cnt cb ON ca.source < cb.source
       LEFT JOIN sh ON sh.source_a = ca.source AND sh.source_b = cb.source
       ORDER BY source_a, source_b"""),
+
+    // F5: per-kind duplicate accounting over the md5 prefix signature
+    // (md5 over UTF-8 is engine-independent).
+    "mm_payload_dedup" -> """
+      WITH m AS (
+        SELECT doc_id,
+               ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+               md5(substr(text, 1, 64)) AS sig
+        FROM documents
+      )
+      SELECT kind, count(*) AS n,
+             CAST(count(DISTINCT sig) AS BIGINT) AS n_distinct,
+             CAST(count(*) - count(DISTINCT sig) AS BIGINT) AS n_dups,
+             CAST(((count(*) - count(DISTINCT sig)) * 1000000) // count(*)
+                  AS BIGINT) AS dup_micro
+      FROM m GROUP BY kind ORDER BY kind""",
 
     // H1 (split form): true causal-LM packing — window occupancy per
     // doc from the token-axis interval [running-tokens, running).

@@ -38,6 +38,32 @@ object Multimodal {
         length(col("payload")).cast("long").as("n_bytes"),
         col("kind").as("media_type")))
 
+  /** F5: payload-level dedup — per-kind duplicate accounting over a
+    * deterministic prefix signature (md5 of the payload's first 64
+    * chars), the media twin of C1: a real build swaps the signature
+    * for a perceptual hash after decode (pHash etc. — codec-bound, so
+    * stubbed like F2's decode), while the signature layer, the
+    * grouping, and the accounting are exactly what ships. Map-side
+    * signature, one per-kind aggregate — at 100 TB the payload bytes
+    * never shuffle, only 32-char signatures do. md5 is md5 in every
+    * engine, so the whole result is value-exact.
+    */
+  def payloadDedup(s: SparkSession, dir: String): DataFrame =
+    new GraftCatalog(s, dir).table("documents")
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        md5(encode(substring(col("text"), 1, 64), "UTF-8")).as("sig"))
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("sig")).as("n_distinct"),
+        (count(lit(1)) - count_distinct(col("sig"))).as("n_dups"),
+        expr("((count(1) - count(DISTINCT sig)) * 1000000L) div count(1)")
+          .as("dup_micro"))
+      .orderBy("kind")
+
   /** F1: binary payload + metadata aggregation (oracle-able). */
   def binaryMeta(s: SparkSession, dir: String): DataFrame =
     mmTable(s, dir)

@@ -411,6 +411,40 @@ object Events {
     batch.write.mode("overwrite").partitionBy("source")
       .parquet(s"$path/batch_id=$batchId")
 
+  // ── G12: streaming sequence packing ──
+
+  case class PackEv(source: String, bucket: Long, doc_id: Long, tokens: Long)
+  case class PackedDoc(source: String, bucket: Long, doc_id: Long, seq_no: Long)
+
+  /** G12: H1's sequence packing at INGEST — each (source, bucket)
+    * keeps one Long of state (the running token count) and every
+    * arriving doc is assigned its training window `running div
+    * SeqLen` the moment it lands, exactly the batch rule
+    * `(running − tokens) div SeqLen`. State is O(buckets) — a counter
+    * per parallelism unit, not per doc — and never evicted (a bucket
+    * is an append-only packing lane; the counter IS its durable
+    * cursor). Within a micro-batch the group's docs sort by doc_id;
+    * cross-batch determinism needs per-bucket in-order delivery, the
+    * same contract the batch form's doc_id window encodes (parity
+    * spec replays the corpus in order across several batches and
+    * matches the batch packing per doc).
+    */
+  def packingStream(docs: Dataset[PackEv]): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(e => (e.source, e.bucket))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, Long), evs: Iterator[PackEv], state: GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          val out = evs.toSeq.sortBy(_.doc_id).map { e =>
+            val assigned = PackedDoc(e.source, e.bucket, e.doc_id, cum / graft.operators.Assembly.SeqLen)
+            cum += e.tokens
+            assigned
+          }
+          state.update(cum)
+          out.iterator
+        })
+  }
+
   // ── G2: sessionization (30-minute inactivity gap) ──
 
   val GapSeconds = 1800L

@@ -4,6 +4,21 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSpecBase {
 
+  test("payload dedup accounting is internally consistent per kind") {
+    val rows = graft.operators.Multimodal.payloadDedup(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
+    rows.foreach { r =>
+      val (n, distinct, dups, micro) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n === distinct + dups)
+      assert(micro === dups * 1000000L / n)
+      assert(distinct > 0L && distinct <= n)
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val docs = new graft.sources.GraftCatalog(spark, sfDir).table("documents").count()
+    assert(total === docs, "every payload accounted for exactly once")
+  }
+
   test("binary meta partitions every document into a kind") {
     val out = Multimodal.binaryMeta(spark, sfDir).collect()
     assert(out.map(_.getString(0)).toSet === Set("image", "audio", "video"))

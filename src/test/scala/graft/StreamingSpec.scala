@@ -285,6 +285,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(after.select("doc_id").collect().map(_.getLong(0)).toSet === kept)
   }
 
+  test("streaming packing assigns the batch window to every doc across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val toks = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+      .select(col("doc_id"), col("source"),
+        expr(s"doc_id div ${graft.operators.Assembly.PackBucket}").as("bucket"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("tokens"))
+    val evs = toks.select("source", "bucket", "doc_id", "tokens")
+      .as[Events.PackEv].collect().sortBy(_.doc_id)
+    val stream = MemoryStream[Events.PackEv]
+    val q = Events.packingStream(stream.toDS())
+      .writeStream.format("memory").queryName("pack_stream")
+      .outputMode(OutputMode.Append).start()
+    // per-bucket in-order delivery across SEVERAL batches: state must
+    // carry the running count between triggers
+    evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("pack_stream").collect()
+      .map(r => r.getLong(2) -> r.getLong(3)).toMap
+    // batch expectation: the H1 window rule
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "bucket").orderBy("doc_id")
+    val expected = toks
+      .withColumn("running", sum("tokens").over(w))
+      .withColumn("seq_no",
+        expr(s"(running - tokens) div ${graft.operators.Assembly.SeqLen}"))
+      .select("doc_id", "seq_no").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.size === expected.size)
+    expected.foreach { case (doc, seq) =>
+      assert(streamed(doc) === seq, s"doc $doc: stream ${streamed(doc)} vs batch $seq")
+    }
+  }
+
   test("gate-emitted BPE token counts match the batch tokenizer exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
