@@ -135,6 +135,7 @@ object SparkEntry {
     "sim_lsh_topk"               -> Similarity.lshTopk _,
     "sim_pq_topk"                -> ((s: SparkSession, d: String) => Similarity.pqTopk(s, d)),
     "sim_quantize_int8"          -> Similarity.quantizeInt8 _,
+    "sim_sign_quantize"          -> Similarity.signQuantize _,
     "sim_label_centroids"        -> Similarity.labelCentroids _,
     // §2.E text analysis
     "text_langid"                -> TextAnalysis.langId _,
@@ -188,6 +189,16 @@ object SparkEntry {
     * exact in BIGINT in both engines (no wraparound anywhere).
     * Defines `w`(doc_id, ws), `h`(doc_id, wh), `g`(doc_id, p, gh).
     */
+  /** D7 oracle halves: 32 CASE terms with literal powers of two per
+    * 32-bit half (generated, like the BPE replace chain).
+    */
+  private def signHalfSql(lowBit: Int): String =
+    (0 until 32).map(i =>
+      s"CASE WHEN embedding[${lowBit + i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString("(", " + ", ")")
+  private val signHiSql = signHalfSql(32)
+  private val signLoSql = signHalfSql(0)
+
   private val spanHashCte = """
       WITH w AS (
         SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -887,6 +898,15 @@ object SparkEntry {
       WHERE o_orderstatus IN ('F', 'O')
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
+
+    // D7: packed sign bits — sign(float) is exact, literal powers of
+    // two keep the sum in safe integer range on both engines.
+    "sim_sign_quantize" -> s"""
+      SELECT vec_id,
+             CAST($signHiSql AS BIGINT) AS sig_hi,
+             CAST($signLoSql AS BIGINT) AS sig_lo,
+             CAST(length(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+      FROM embeddings ORDER BY vec_id""",
 
     "sim_quantize_int8" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -240,6 +240,32 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** D7: 1-bit (sign) quantization — the extreme end of the D4
+    * compression ladder: a 64-dim float vector becomes 64 BITS (256×
+    * smaller), the coordinate-hyperplane case of Charikar's sign
+    * LSH, and Hamming distance (xor + popcount on ONE register) is
+    * the angular-distance proxy every binary-embedding retrieval
+    * system scans with. The packed signature is emitted as two
+    * 32-bit halves so the integer sums stay far from BIGINT edges in
+    * every engine (bit 63 of one long would go negative in Java and
+    * overflow DuckDB's 2^63 literal); `sign(float) > 0` is exact, so
+    * the whole table is value-exact cross-engine. Map-only scan.
+    */
+  def signQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    def half(lowBit: Int): org.apache.spark.sql.Column =
+      (0 until 32).map { i =>
+        when(element_at(col("emb"), lowBit + i + 1) > 0.0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    e.select(
+      col("vec_id"),
+      half(32).as("sig_hi"),
+      half(0).as("sig_lo"),
+      size(filter(col("emb"), x => x > 0.0)).cast("long").as("n_pos"))
+      .orderBy("vec_id")
+  }
+
   /** D5: per-label embedding centroids (mean pooling) — the
     * class-centroid / prototype computation a curation pipeline runs
     * for cluster seeding and drift checks. Elementwise float mean

@@ -6,6 +6,30 @@ import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpecBase {
 
+  test("sign quantization packs exactly n_pos bits and orders hamming sanely") {
+    val rows = graft.operators.Similarity.signQuantize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val sigs = rows.map { r =>
+      val sig = (r.getLong(1) << 32) | r.getLong(2)
+      // halves stay within 32 unsigned bits; popcount equals n_pos
+      assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32))
+      assert(r.getLong(2) >= 0L && r.getLong(2) < (1L << 32))
+      assert(java.lang.Long.bitCount(sig).toLong === r.getLong(3))
+      r.getLong(0) -> sig
+    }.toMap
+    // hamming(identical) = 0; cosine-nearest pairs sit closer in
+    // hamming space than the population average (the sign-LSH property)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val top = graft.operators.Similarity.bruteForceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val topAvg = top.map { case (q, n) => ham(sigs(q), sigs(n)).toDouble }.sum / top.length
+    val ids = sigs.keys.toArray.sorted.take(40)
+    val rnd = for (a <- ids; b <- ids if a < b) yield ham(sigs(a), sigs(b)).toDouble
+    val rndAvg = rnd.sum / rnd.length
+    assert(topAvg < rndAvg,
+      f"cosine neighbors should be hamming-close: top $topAvg%.1f vs population $rndAvg%.1f")
+  }
+
   test("cosine expression matches a hand-computed value") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 0.0))).toDF("a", "b")
