@@ -54,8 +54,9 @@ object Bench {
     // one count-distinct shuffle), the decontamination semi join, and
     // the unigram-LM scorer (tokenize + count shuffle + word join)
     "dedup_substring", "text_decontaminate", "text_unigram_logprob",
-    // round-8 addition: BPE train (vocab-bounded) + encode scan
-    "text_bpe_tokens")
+    // round-8 additions: BPE train (vocab-bounded) + encode scan, the
+    // cross-source span self-join, and split packing (window + explode)
+    "text_bpe_tokens", "dedup_source_overlap", "pipeline_pack_split")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
