@@ -88,6 +88,7 @@ object SparkEntry {
     "q22_idle_customers"         -> Relational.q22IdleCustomers _,
     "q_except_intersect"         -> Analytic.qExceptIntersect _,
     "q_heavy_hitters"            -> Analytic.qHeavyHitters _,
+    "q_bloom_semi_join"          -> Analytic.qBloomSemiJoin _,
     "q18_large_volume_orders"    -> Analytic.q18LargeVolumeOrders _,
     "q_wordcount"                -> Analytic.qWordcount _,
     "q_pivot_api"                -> Analytic.qPivotApi _,
@@ -120,6 +121,7 @@ object SparkEntry {
     "dedup_embedding_cosine_lsh" -> Dedup.embeddingCosine _,
     "dedup_clusters"             -> Dedup.nearDupClusters _,
     "dedup_clusters_exact"       -> Dedup.nearDupClustersExact _,
+    "dedup_semantic"             -> SemDedup.semanticDedup _,
     "pipeline_pack_sequences"    -> Assembly.packSequences _,
     "pipeline_pack_sequences_bpe" -> Assembly.packSequencesBpe _,
     "pipeline_mixture_sample"    -> Assembly.mixtureSample _,
@@ -145,6 +147,7 @@ object SparkEntry {
     "text_fingerprint_exact"     -> TextAnalysis.fingerprintExact _,
     "text_unigram_logprob"       -> TextAnalysis.unigramLogprob _,
     "text_bpe_tokens"            -> BpeTokenizer.bpeTokens _,
+    "text_dsir_weights"          -> TextAnalysis.dsirWeights _,
     "text_vocab_coverage"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "pipeline_chunk_documents"   -> Assembly.chunkDocuments _,
     "pipeline_token_budget"      -> Assembly.tokenBudgetSample _,
@@ -1280,6 +1283,15 @@ object SparkEntry {
         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
       ORDER BY op, o_custkey""",
 
+    // B61: the bloom prefilter is invisible to the result — the oracle
+    // is the plain equi-join aggregate.
+    "q_bloom_semi_join" -> """
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "q_heavy_hitters" -> """
       SELECT l_suppkey, count(*) AS n
       FROM lineitem GROUP BY l_suppkey
@@ -1688,6 +1700,11 @@ object SparkEntry {
       ORDER BY cos_micro DESC, vec_a, vec_b
       LIMIT 200""",
 
+    // SemDeDup (C10): baked sf0.01 k-means centroids replayed as
+    // literal integer arithmetic (SemDedup.oracleSql; drift-guarded
+    // by SemDedupSpec like the baked BPE merge table).
+    "dedup_semantic" -> SemDedup.oracleSql(),
+
     "sim_bruteforce_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
                  FROM embeddings WHERE vec_id < 5),
@@ -1782,6 +1799,48 @@ object SparkEntry {
                         / greatest(coalesce(p.n_words, 0), 1)) AS BIGINT) AS avg_lp_micro
       FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.pdoc
       ORDER BY d.doc_id""",
+
+    // DSIR importance weights (E11): same tokenization as E8, one
+    // conditional word-count pass for both unigram models, per-word
+    // micro-floored log-ratio, top-100 raw docs by (weight, doc_id).
+    "text_dsir_weights" -> """
+      WITH w AS (
+        SELECT doc_id,
+               CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS is_target,
+               unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS word
+        FROM documents
+      ), pdw AS (
+        SELECT doc_id, is_target, word, count(*) AS n FROM w GROUP BY ALL
+      ), wc AS (
+        SELECT word,
+               sum(CASE WHEN is_target = 1 THEN n ELSE 0 END) AS cnt_t,
+               sum(CASE WHEN is_target = 0 THEN n ELSE 0 END) AS cnt_r
+        FROM pdw GROUP BY word
+      ), tot AS (
+        SELECT sum(cnt_t) AS tot_t, sum(cnt_r) AS tot_r, count(*) AS v FROM wc
+      ), wt AS (
+        SELECT word,
+               CAST(floor(ln((cnt_t + 1) / CAST(tot_t + v AS DOUBLE)) * 1000000.0) AS BIGINT)
+             - CAST(floor(ln((cnt_r + 1) / CAST(tot_r + v AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+        FROM wc CROSS JOIN tot
+      ), perdoc AS (
+        SELECT doc_id, sum(n) AS n_words, sum(w_micro * n) AS dsir
+        FROM pdw JOIN wt USING (word) GROUP BY doc_id
+      ), base AS (
+        SELECT d.doc_id,
+               CAST(CASE WHEN d.source IN ('src0', 'src1') THEN 1 ELSE 0 END AS BIGINT) AS is_target,
+               CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(p.dsir, 0) AS BIGINT) AS dsir_micro
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
+      ), sel AS (
+        SELECT doc_id FROM base WHERE is_target = 0
+        ORDER BY dsir_micro DESC, doc_id LIMIT 100
+      )
+      SELECT b.doc_id, b.is_target, b.n_words, b.dsir_micro,
+             CAST(CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS selected
+      FROM base b LEFT JOIN sel s USING (doc_id)
+      ORDER BY b.doc_id""",
 
     // Same TF-IDF pipeline as TextAnalysis.tfidfTopTerms: smoothed
     // idf, floor-micro score, top-3 per doc by (score desc, term).

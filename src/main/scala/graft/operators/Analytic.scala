@@ -555,4 +555,52 @@ object Analytic {
       theta_sketch_estimate(theta_union(col("sk_f"), col("sk_o"))).as("apx_either"),
       theta_sketch_estimate(theta_difference(col("sk_f"), col("sk_o"))).as("apx_f_only"))
   }
+
+  /** The bloom prefilter `qBloomSemiJoin` applies to the fact side:
+    * build Spark's own runtime-filter sketch (BloomFilterAggregate
+    * over xxhash64 of the build keys — the exact pair InjectRuntimeFilter
+    * plants) with ONE aggregate over the filtered build side, and
+    * return the fact table filtered by BloomFilterMightContain on the
+    * serialized sketch (a plan literal — broadcast with the task
+    * binary, probed inside whole-stage codegen). Exposed for the
+    * plan-shape/selectivity spec.
+    */
+  private[graft] def bloomPrefilter(fact: DataFrame, factKey: String,
+      build: DataFrame, buildKey: String, expectedItems: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    val bloomBytes = build.select(Bridge.column(
+      new BloomFilterAggregate(new XxHash64(Seq(Bridge.expression(col(buildKey)))),
+        expectedItems).toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    fact.where(Bridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(Bridge.expression(col(factKey)))))))
+  }
+
+  /** B61: large-fact semi join via explicit bloom sideways-information
+    * passing. At 100 TB the urgent-orders build side is far past
+    * broadcast-join size (it carries rows), but a bloom filter of its
+    * KEYS is a few MB — so the fact scan drops non-qualifying
+    * lineitems MAP-SIDE, before the join shuffle, and the exact
+    * equi-join afterwards absorbs the sketch's false positives. This
+    * is Spark's InjectRuntimeFilter made explicit (that rule only
+    * fires on its own selectivity heuristics); the result is exact —
+    * the bloom changes WHERE rows die, never the answer.
+    */
+  def qBloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = cat(s, dir).table("orders")
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+             col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderpriority")
+    val pre = bloomPrefilter(
+      cat(s, dir).table("lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      "l_orderkey", orders, "o_orderkey", expectedItems = 1000000L)
+    pre.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsumr(revenueExpr).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 }

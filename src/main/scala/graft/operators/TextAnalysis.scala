@@ -323,4 +323,72 @@ object TextAnalysis {
         col("min_fp"), col("max_fp"))
       .orderBy("doc_id")
   }
+
+  /** The DSIR target-domain predicate: which sources define the
+    * distribution we resample TOWARD. Arbitrary but fixed — a real
+    * pipeline points this at its high-quality reference corpus.
+    */
+  private[graft] val DsirTargetSources = Seq("src0", "src1")
+
+  /** How many raw docs `dsirWeights` selects. */
+  private[graft] val DsirSelectK = 100
+
+  /** E11: DSIR-style importance weighting (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023):
+    * fit bag-of-words unigram models to a TARGET domain (the
+    * high-quality reference, here sources src0/src1) and to the RAW
+    * pool, weight every raw document by its log importance ratio
+    * Σ_w n_w·(ln p_target(w) − ln p_raw(w)) (add-one smoothing over
+    * the joint vocabulary), and keep the top-k raw docs — the
+    * deterministic top-k variant of the paper's Gumbel resampling, so
+    * the whole selection is oracle-replayable. (The paper hashes
+    * features into buckets to bound the model size; word-level
+    * features keep the weight table joinable here and the shape is
+    * identical — swap the explode key for `pmod(hash(word), B)` to get
+    * the hashed variant.)
+    *
+    * Exactness: per-word log-probs are floored to micro ints BEFORE
+    * the per-doc multiply-sum (E8's convention and its documented
+    * ln-ULP assumption — per-word values are spec-asserted against
+    * driver-side Math.log for diagnosability). Scale shape: one
+    * tokenize pass, per-(doc,word) pre-aggregate, ONE word-count
+    * shuffle for both models (conditional sums, not two scans), the
+    * per-word weight table joins back on the distinct-pair table, and
+    * the top-k is TakeOrdered (tree-reduced) — never a global sort.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val isTarget = col("source").isin(DsirTargetSources: _*).cast("long")
+    val toks = docs(s, dir)
+      .select(col("doc_id"), isTarget.as("is_target"), explode(words).as("word"))
+    val perDocWord = toks.groupBy("doc_id", "is_target", "word")
+      .agg(count(lit(1)).as("n"))
+    val wc = perDocWord.groupBy("word").agg(
+      sum(when(col("is_target") === 1, col("n")).otherwise(0L)).as("cnt_t"),
+      sum(when(col("is_target") === 0, col("n")).otherwise(0L)).as("cnt_r"))
+    val tot = wc.agg(sum("cnt_t").as("tot_t"), sum("cnt_r").as("tot_r"),
+      count(lit(1)).as("v"))
+    def lpMicro(cnt: Column, total: Column): Column =
+      floor(log((cnt + 1).cast("double") / (total + col("v")).cast("double"))
+        * 1e6).cast("long")
+    val weights = wc.crossJoin(broadcast(tot))
+      .select(col("word"),
+        (lpMicro(col("cnt_t"), col("tot_t"))
+          - lpMicro(col("cnt_r"), col("tot_r"))).as("w_micro"))
+    val perDoc = perDocWord.join(weights, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_words"), sum(col("w_micro") * col("n")).as("dsir"))
+    val base = docs(s, dir).select(col("doc_id"), isTarget.as("is_target"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_target"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("dsir"), lit(0L)).as("dsir_micro"))
+    val kept = base.where(col("is_target") === 0)
+      .orderBy(col("dsir_micro").desc, col("doc_id"))
+      .limit(DsirSelectK).select(col("doc_id").as("kid"))
+    base.join(broadcast(kept), col("doc_id") === col("kid"), "left")
+      .select(col("doc_id"), col("is_target"), col("n_words"), col("dsir_micro"),
+        when(col("kid").isNull, 0L).otherwise(1L).as("selected"))
+      .orderBy("doc_id")
+  }
 }

@@ -125,4 +125,36 @@ class AnalyticSpec extends SparkSpecBase {
     // frames with more orders accumulate at least the single-order sum
     assert(mine.forall(_._2 > 0))
   }
+
+  test("bloom semi join: prefilter prunes map-side, never the answer") {
+    val dir = "/root/testdata/sf0.01"
+    val cat = new graft.sources.GraftCatalog(spark, dir)
+    val li = cat.table("lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    val orders = cat.table("orders")
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+             col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderpriority")
+    val pre = graft.operators.Analytic.bloomPrefilter(
+      li, "l_orderkey", orders, "o_orderkey", 1000000L)
+    // the sketch admits every true match (no false negatives) and, at
+    // fpp<<1, drops most non-matches before the join shuffle
+    val total = li.count()
+    val trueMatches = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .count()
+    val kept = pre.count()
+    val preJoined = pre.join(orders, col("l_orderkey") === col("o_orderkey")).count()
+    assert(preJoined === trueMatches, "bloom must not lose true matches")
+    assert(kept < total / 2, s"prefilter should prune (kept $kept of $total)")
+    // the probe sits in the fact scan stage, before any exchange
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(400))
+    // end to end: identical to the plain join aggregate
+    val bloom = graft.operators.Analytic.qBloomSemiJoin(spark, dir).collect()
+    val plain = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority").collect()
+    assert(bloom.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
 }

@@ -279,4 +279,44 @@ class TextAnalysisSpec extends SparkSpecBase {
     val qTokens = q.map(r => r.getLong(0) -> r.getLong(2)).toMap
     t.foreach(r => assert(r.getLong(1) === qTokens(r.getLong(0))))
   }
+
+  test("dsir weights: target-looking raw docs rank first; per-word weights match driver Math.log") {
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.operators.TextAnalysis.dsirWeights(spark, dir).cache()
+    assert(out.count() === 500)
+    // exactly k raw docs selected, all non-target
+    val sel = out.where(col("selected") === 1)
+    assert(sel.count() === graft.operators.TextAnalysis.DsirSelectK)
+    assert(sel.where(col("is_target") === 1).count() === 0)
+    // selection = the top-k by (dsir_micro desc, doc_id) among raw docs
+    val raw = out.where(col("is_target") === 0)
+      .orderBy(col("dsir_micro").desc, col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0))
+    val selIds = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(raw.take(graft.operators.TextAnalysis.DsirSelectK).toSet === selIds)
+    out.unpersist()
+
+    // ULP diagnosability (E8 convention): engine-side per-word
+    // floor(ln(ratio)*1e6) equals driver Math.log on every distinct
+    // (cnt, total) the weight table uses
+    val documents = new graft.sources.GraftCatalog(spark, dir).table("documents")
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val toks = documents.select(col("doc_id"),
+      col("source").isin("src0", "src1").cast("long").as("is_target"),
+      explode(words).as("word"))
+    val wc = toks.groupBy("word").agg(
+      sum(when(col("is_target") === 1, 1L).otherwise(0L)).as("cnt_t"),
+      sum(when(col("is_target") === 0, 1L).otherwise(0L)).as("cnt_r"))
+    val Array(totT, totR, v) = wc
+      .agg(sum("cnt_t"), sum("cnt_r"), count(lit(1))).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long].toDouble).toArray
+    Seq(("cnt_t", totT), ("cnt_r", totR)).foreach { case (c, tot) =>
+      wc.select(col(c).as("cnt"),
+        floor(log((col(c) + 1).cast("double") / lit(tot + v)) * 1e6)
+          .cast("long").as("lp")).distinct().collect().foreach { r =>
+        val expect = math.floor(math.log((r.getLong(0) + 1).toDouble / (tot + v)) * 1e6).toLong
+        assert(r.getLong(1) === expect, s"$c=${r.getLong(0)} lp boundary drift")
+      }
+    }
+  }
 }
