@@ -139,6 +139,7 @@ object SparkEntry {
     "sim_quantize_int8"          -> Similarity.quantizeInt8 _,
     "sim_sign_quantize"          -> Similarity.signQuantize _,
     "sim_label_centroids"        -> Similarity.labelCentroids _,
+    "sim_mmr_topk"               -> Mmr.mmrTopk _,
     // §2.E text analysis
     "text_langid"                -> TextAnalysis.langId _,
     "text_quality"               -> TextAnalysis.quality _,
@@ -1704,6 +1705,10 @@ object SparkEntry {
     // literal integer arithmetic (SemDedup.oracleSql; drift-guarded
     // by SemDedupSpec like the baked BPE merge table).
     "dedup_semantic" -> SemDedup.oracleSql(),
+
+    // MMR diversified top-k (D7): integer micro-cosines, greedy
+    // unrolled as k-1 CTE steps (Mmr.oracleSql generates them).
+    "sim_mmr_topk" -> Mmr.oracleSql(),
 
     "sim_bruteforce_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
