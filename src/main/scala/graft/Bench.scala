@@ -56,7 +56,12 @@ object Bench {
     "dedup_substring", "text_decontaminate", "text_unigram_logprob",
     // round-8 additions: BPE train (vocab-bounded) + encode scan, the
     // cross-source span self-join, and split packing (window + explode)
-    "text_bpe_tokens", "dedup_source_overlap", "pipeline_pack_split")
+    "text_bpe_tokens", "dedup_source_overlap", "pipeline_pack_split",
+    // round-8 late additions: SemDeDup (k-means + within-cluster pair
+    // join), DSIR weights (two-model word join), bloom-prefiltered
+    // fact join, and MMR re-rank over the shortlist cogroup
+    "dedup_semantic", "text_dsir_weights", "q_bloom_semi_join",
+    "sim_mmr_topk")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -1701,12 +1701,12 @@ object SparkEntry {
       ORDER BY cos_micro DESC, vec_a, vec_b
       LIMIT 200""",
 
-    // SemDeDup (C10): baked sf0.01 k-means centroids replayed as
+    // SemDeDup (C11): baked sf0.01 k-means centroids replayed as
     // literal integer arithmetic (SemDedup.oracleSql; drift-guarded
     // by SemDedupSpec like the baked BPE merge table).
     "dedup_semantic" -> SemDedup.oracleSql(),
 
-    // MMR diversified top-k (D7): integer micro-cosines, greedy
+    // MMR diversified top-k (D8): integer micro-cosines, greedy
     // unrolled as k-1 CTE steps (Mmr.oracleSql generates them).
     "sim_mmr_topk" -> Mmr.oracleSql(),
 

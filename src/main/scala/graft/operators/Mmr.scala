@@ -10,7 +10,7 @@ private[operators] case class MmrCand(query_id: Long, cand: Long, simqc: Long)
 private[operators] case class MmrPair(query_id: Long, a: Long, b: Long, s: Long)
 private[operators] case class MmrPick(query_id: Long, rank: Long, vec_id: Long, mmr_score: Long)
 
-/** §2.D7 — MMR diversified top-k retrieval (Maximal Marginal
+/** §2.D8 — MMR diversified top-k retrieval (Maximal Marginal
   * Relevance, Carbonell & Goldstein, SIGIR 1998): re-rank a per-query
   * relevance shortlist so each successive pick trades relevance
   * against redundancy with what's already picked:
@@ -69,7 +69,7 @@ object Mmr {
     (short, pairs)
   }
 
-  /** D7 query: (query_id, rank, vec_id, mmr_score) — k diversified
+  /** D8 query: (query_id, rank, vec_id, mmr_score) — k diversified
     * picks per query.
     */
   def mmrTopk(s: SparkSession, dir: String): DataFrame = {

@@ -4,7 +4,7 @@ import graft.sources.GraftCatalog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** §2.C10 — semantic deduplication (SemDeDup, Abbas et al. 2023,
+/** §2.C11 — semantic deduplication (SemDeDup, Abbas et al. 2023,
   * arXiv:2303.09540): k-means the corpus embeddings, then remove
   * near-duplicate pairs WITHIN each cluster by cosine similarity.
   * Clustering first makes the pairing tractable: pairwise comparison
@@ -123,7 +123,7 @@ object SemDedup {
     assignNearest(quantized(s, dir), centroids)
       .withColumn("nrm", sqrt(dotL(col("em"), col("em")).cast("double")))
 
-  /** C10 query: train (sample) → assign (map-side) → within-cluster
+  /** C11 query: train (sample) → assign (map-side) → within-cluster
     * pairwise cosine → mark duplicates. A vector is a duplicate when
     * some SMALLER-id cluster-mate scores ≥ τ; `dup_of` records the
     * smallest such partner (the kept representative), NULL for
