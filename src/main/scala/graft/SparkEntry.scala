@@ -152,6 +152,7 @@ object SparkEntry {
     "text_vocab_coverage"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "pipeline_chunk_documents"   -> Assembly.chunkDocuments _,
     "pipeline_token_budget"      -> Assembly.tokenBudgetSample _,
+    "pipeline_curriculum"        -> Assembly.curriculumStages _,
     "pipeline_pack_split"        -> Assembly.packSequencesSplit _,
     "dedup_source_overlap"       -> Dedup.crossSourceOverlap _,
     "text_tfidf_top_terms"       -> TextAnalysis.tfidfTopTerms _,
@@ -1780,6 +1781,38 @@ object SparkEntry {
     // Same unigram model as TextAnalysis.unigramLogprob: per-word
     // ln(corpus-frequency) floored to micro BEFORE summation (exact
     // long sums, order-independent); avg floored over the double ratio.
+    // H4 curriculum staging: E8's per-doc avg log-likelihood (same CTE
+    // chain) cut into per-source easy->hard quartiles via ntile — pure
+    // integer rank division, no percentile interpolation.
+    "pipeline_curriculum" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS word
+        FROM documents
+      ), c AS (
+        SELECT word, count(*) AS cnt FROM w GROUP BY word
+      ), t AS (
+        SELECT CAST(count(*) AS DOUBLE) AS total FROM w
+      ), scored AS (
+        SELECT w.doc_id,
+               CAST(floor(ln(c.cnt / (SELECT total FROM t)) * 1000000.0) AS BIGINT) AS lp
+        FROM w JOIN c USING (word)
+      ), perdoc AS (
+        SELECT doc_id AS pdoc, count(*) AS n_words, sum(lp) AS sum_lp
+        FROM scored GROUP BY doc_id
+      ), base AS (
+        SELECT d.doc_id, d.source,
+               CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+               CAST(floor(CAST(coalesce(p.sum_lp, 0) AS DOUBLE)
+                          / greatest(coalesce(p.n_words, 0), 1)) AS BIGINT) AS avg_lp_micro
+        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.pdoc
+      )
+      SELECT doc_id, source, n_words, avg_lp_micro,
+             CAST(ntile(4) OVER (PARTITION BY source
+                                 ORDER BY avg_lp_micro DESC, doc_id) AS BIGINT) AS stage
+      FROM base
+      ORDER BY stage, source, doc_id""",
+
     "text_unigram_logprob" -> """
       WITH w AS (
         SELECT doc_id, unnest(list_filter(

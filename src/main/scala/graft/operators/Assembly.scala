@@ -251,4 +251,31 @@ object Assembly {
         sum("tokens").as("total_tokens"))
       .orderBy("source")
   }
+
+  /** H4: curriculum staging (Bengio et al. 2009, applied to LLM data
+    * ordering): rank every document by a model-free difficulty proxy —
+    * E8's unigram log-likelihood, where common-word fluent text scores
+    * HIGH (easy) and rare-word text LOW (hard) — and cut each source
+    * into 4 easy→hard stages. The training loader then consumes stage
+    * 1 before stage 2, etc. Staging is PER SOURCE (ntile partitioned
+    * by source, ordered easy→hard with doc_id tie-break): the window
+    * never collapses to a single partition, every source contributes
+    * to every stage (a global cut would put an entire easy source in
+    * stage 1), and the quartile arithmetic is pure integer rank
+    * division — oracle-exact with no percentile-interpolation FP edge.
+    * Output: one manifest row per doc, ordered by (stage, source,
+    * doc_id) — exactly the order a stage-sequential loader reads.
+    */
+  def curriculumStages(s: SparkSession, dir: String): DataFrame = {
+    val lp = TextAnalysis.unigramLogprob(s, dir)
+      .select(col("doc_id"), col("n_words"), col("avg_lp_micro"))
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("avg_lp_micro").desc, col("doc_id"))
+    src.join(lp, Seq("doc_id"))
+      .withColumn("stage", ntile(4).over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("avg_lp_micro"), col("stage"))
+      .orderBy("stage", "source", "doc_id")
+  }
 }

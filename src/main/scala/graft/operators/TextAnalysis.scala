@@ -361,11 +361,15 @@ object TextAnalysis {
     val isTarget = col("source").isin(DsirTargetSources: _*).cast("long")
     val toks = docs(s, dir)
       .select(col("doc_id"), isTarget.as("is_target"), explode(words).as("word"))
+    // the distinct-pair table feeds the model fit AND the doc scoring
+    // join AND (via wc) the totals — cache it so the tokenize pass
+    // runs once, not four times (2.9s → 1.3s median at sf0.1)
     val perDocWord = toks.groupBy("doc_id", "is_target", "word")
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")).cache()
     val wc = perDocWord.groupBy("word").agg(
       sum(when(col("is_target") === 1, col("n")).otherwise(0L)).as("cnt_t"),
       sum(when(col("is_target") === 0, col("n")).otherwise(0L)).as("cnt_r"))
+      .cache()
     val tot = wc.agg(sum("cnt_t").as("tot_t"), sum("cnt_r").as("tot_r"),
       count(lit(1)).as("v"))
     def lpMicro(cnt: Column, total: Column): Column =

@@ -191,4 +191,28 @@ class AssemblySpec extends SparkSpecBase {
     assert(byW(900000L) > byW(100000L),
       s"0.9-weight sources must keep a larger fraction: $byW")
   }
+
+  test("curriculum stages: per-source quartiles, easy before hard, no global window") {
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.operators.Assembly.curriculumStages(spark, dir)
+    val rows = out.collect()
+    assert(rows.length === 500)
+    // every source spans all 4 stages, near-even (ntile property)
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val sizes = rs.groupBy(_.getLong(4)).view.mapValues(_.length)
+      assert(sizes.keySet === Set(1L, 2L, 3L, 4L), s"$src missing a stage")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$src uneven: $sizes")
+      // within a source, stage 1 docs are uniformly no harder than stage 4
+      val minEasy = rs.filter(_.getLong(4) === 1L).map(_.getLong(3)).min
+      val maxHard = rs.filter(_.getLong(4) === 4L).map(_.getLong(3)).max
+      assert(minEasy >= maxHard, s"$src: stage1 min $minEasy < stage4 max $maxHard")
+    }
+    // the staging window is per-source — never an unpartitioned
+    // (whole-corpus) window. (The E8 subtree's 1-row scalar `total`
+    // aggregate legitimately collapses; a window would not. String
+    // check because AQE wraps stages in leaf nodes `collect` skips.)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Window \\[ntile\\(4\\)[^\\n]*\\], \\[source#".r
+      .findFirstIn(plan).isDefined, plan.take(900))
+  }
 }
