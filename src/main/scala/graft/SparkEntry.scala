@@ -140,6 +140,8 @@ object SparkEntry {
     "sim_sign_quantize"          -> Similarity.signQuantize _,
     "sim_label_centroids"        -> Similarity.labelCentroids _,
     "sim_mmr_topk"               -> Mmr.mmrTopk _,
+    "text_hash_embed"            -> HashEmbed.hashEmbed _,
+    "sim_hash_embed_knn"         -> HashEmbed.hashEmbedKnn _,
     // §2.E text analysis
     "text_langid"                -> TextAnalysis.langId _,
     "text_quality"               -> TextAnalysis.quality _,
@@ -1711,6 +1713,11 @@ object SparkEntry {
     // unrolled as k-1 CTE steps (Mmr.oracleSql generates them).
     "sim_mmr_topk" -> Mmr.oracleSql(),
 
+    // Feature-hashed embeddings (E12) + kNN over them (D9): the
+    // rolling word hash replays in DuckDB via list_reduce.
+    "text_hash_embed" -> HashEmbed.oracleEmbedSql,
+    "sim_hash_embed_knn" -> HashEmbed.oracleKnnSql,
+
     "sim_bruteforce_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
                  FROM embeddings WHERE vec_id < 5),
@@ -1781,7 +1788,7 @@ object SparkEntry {
     // Same unigram model as TextAnalysis.unigramLogprob: per-word
     // ln(corpus-frequency) floored to micro BEFORE summation (exact
     // long sums, order-independent); avg floored over the double ratio.
-    // H4 curriculum staging: E8's per-doc avg log-likelihood (same CTE
+    // H6 curriculum staging: E8's per-doc avg log-likelihood (same CTE
     // chain) cut into per-source easy->hard quartiles via ntile — pure
     // integer rank division, no percentile interpolation.
     "pipeline_curriculum" -> """

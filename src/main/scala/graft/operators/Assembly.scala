@@ -252,7 +252,7 @@ object Assembly {
       .orderBy("source")
   }
 
-  /** H4: curriculum staging (Bengio et al. 2009, applied to LLM data
+  /** H6: curriculum staging (Bengio et al. 2009, applied to LLM data
     * ordering): rank every document by a model-free difficulty proxy —
     * E8's unigram log-likelihood, where common-word fluent text scores
     * HIGH (easy) and rare-word text LOW (hard) — and cut each source
