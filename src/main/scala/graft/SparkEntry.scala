@@ -174,6 +174,7 @@ object SparkEntry {
     "stream_click_purchase_join" -> graft.streaming.Events.clickToPurchaseBatch _,
     "stream_click_purchase_outer" -> graft.streaming.Events.clickToPurchaseOuterBatch _,
     "stream_dedup_first"         -> graft.streaming.Events.dedupFirstBatch _,
+    "stream_top_users"           -> ((s: SparkSession, d: String) => graft.streaming.Events.topUsersBatch(s, d)),
   )
 
   /** DuckDB-runnable oracle SQL per query (omitted → rows-only check). */
@@ -1300,6 +1301,12 @@ object SparkEntry {
       SELECT l_suppkey, count(*) AS n
       FROM lineitem GROUP BY l_suppkey
       ORDER BY n DESC, l_suppkey LIMIT 10""",
+
+    // G13 batch twin: the leaderboard the streaming sink converges to.
+    "stream_top_users" -> """
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+      ORDER BY n DESC, user_id LIMIT 10""",
 
     "stream_enriched_counts" -> """
       SELECT c_mktsegment, count(*) AS n,

@@ -368,6 +368,83 @@ object Events {
         BpeTokenizer.bpeTokenCount(BpeTokenizer.words(col("text")), codec))
   }
 
+  // ── G13: streaming heavy hitters ──
+
+  /** Batch twin: top-k users by event count (TakeOrdered — the
+    * tree-reduced top-k, never a SinglePartition sort).
+    */
+  def topUsersBatch(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    eventsTable(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(k)
+
+  /** G13: streaming heavy hitters — a continuously-maintained top-k
+    * leaderboard over the event stream. The per-user counts live in
+    * the ENGINE's aggregation state (update mode emits each changed
+    * user's new ABSOLUTE total per micro-batch); the sink mirrors
+    * those totals into a durable counts table and re-derives the
+    * top-k from the full mirror — never from the previous top-k, so a
+    * user RISING from outside the leaderboard is handled correctly
+    * (the failure mode of naive top-k-only maintenance; spec plants
+    * exactly this). Exactly-once falls out of the algebra: the merge
+    * is an absolute-value UPSERT keyed by user, so a replayed batch
+    * overwrites identical values — idempotent with no batch ledger
+    * (contrast G8, whose summed partials NEED the applied-batch
+    * marker). Scale: per batch the sink touches |changed users| +
+    * |mirror| rows — the mirror is the same compaction-style artifact
+    * as A14's, partitionable by user hash; the engine state is
+    * RocksDB-backed per-key counts, O(users), no watermark needed
+    * (counts are monotone, nothing is evicted).
+    */
+  def heavyHittersSink(events: DataFrame, root: String, k: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyHeavyHitterBatch(batch, root, k)
+      }
+      .start()
+
+  /** One micro-batch's upsert + re-publish (factored out so replay
+    * idempotence is directly testable). Same stage-then-rename commit
+    * as G8 (marker certifies the staged write; adoption finishes a
+    * swap that died between delete and rename) — but the marker
+    * carries no batchId: replays are harmless by construction.
+    */
+  private[graft] def applyHeavyHitterBatch(
+      batch: Dataset[org.apache.spark.sql.Row], root: String, k: Int): Unit = {
+    val s = batch.sparkSession
+    val cntPath = s"$root/counts.parquet"
+    val stagePath = s"$root/counts.staging"
+    val topPath = s"$root/topk.parquet"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def path(p: String) = new org.apache.hadoop.fs.Path(p)
+    def marker(dir: String) = path(s"$dir/_committed")
+    if (!fs.exists(path(cntPath)) && fs.exists(marker(stagePath)))
+      fs.rename(path(stagePath), path(cntPath))
+    val changed = batch.select(col("user_id"), col("n"))
+    val merged =
+      (if (fs.exists(path(cntPath)))
+        s.read.parquet(cntPath)
+          .join(changed.select(col("user_id").as("cu")),
+            col("user_id") === col("cu"), "left_anti")
+          .unionByName(changed)
+      else changed)
+        .localCheckpoint(true) // the swap deletes the path it reads
+    try {
+      merged.write.mode("overwrite").parquet(stagePath)
+      val out = fs.create(marker(stagePath), true)
+      try out.writeLong(0L) finally out.close()
+      fs.delete(path(cntPath), true)
+      fs.rename(path(stagePath), path(cntPath))
+      merged.orderBy(col("n").desc, col("user_id")).limit(k)
+        .write.mode("overwrite").parquet(topPath)
+    } finally graft.GraftSession.releaseCheckpoint(merged)
+  }
+
   // ── G10: file-stream source end to end ──
 
   /** G10: the source→gate→sink loop on REAL FILES, no MemoryStream —

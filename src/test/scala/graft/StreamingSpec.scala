@@ -675,4 +675,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming heavy hitters: a user rising from outside the top-k displaces it; replays are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_hh").toString
+    val stream = MemoryStream[Events.Ev]
+    val k = 3
+    val q = Events.heavyHittersSink(stream.toDF(), root, k)
+    // batch 1: users 1..5 with counts 5,4,3,2,1 → top3 = 1,2,3
+    stream.addData((1 to 5).flatMap(u => Seq.fill(6 - u)(Events.Ev(u.toLong, ts("2024-01-01 10:00:00")))))
+    q.processAllAvailable()
+    val top1 = spark.read.parquet(s"$root/topk.parquet").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._2)
+    assert(top1.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // batch 2: user 5 (outside the leaderboard) surges past everyone
+    stream.addData(Seq.fill(10)(Events.Ev(5L, ts("2024-01-01 11:00:00"))))
+    q.processAllAvailable()
+    q.stop()
+    val top2 = spark.read.parquet(s"$root/topk.parquet").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._2)
+    assert(top2.head === ((5L, 11L)), s"user 5 must lead: ${top2.toSeq}")
+    assert(top2.map(_._1).toSeq === Seq(5L, 1L, 2L))
+    // the durable mirror equals a batch recount of everything fed
+    val counts = spark.read.parquet(s"$root/counts.parquet").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts === Map(1L -> 5L, 2L -> 4L, 3L -> 3L, 4L -> 2L, 5L -> 11L))
+    // replay: re-applying the same absolute totals changes nothing
+    val replay = Seq((5L, 11L), (1L, 5L)).toDF("user_id", "n")
+    Events.applyHeavyHitterBatch(replay, root, k)
+    val counts2 = spark.read.parquet(s"$root/counts.parquet").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts2 === counts)
+  }
 }
