@@ -155,6 +155,7 @@ object SparkEntry {
     "pipeline_chunk_documents"   -> Assembly.chunkDocuments _,
     "pipeline_token_budget"      -> Assembly.tokenBudgetSample _,
     "pipeline_curriculum"        -> Assembly.curriculumStages _,
+    "pipeline_train_val_test"    -> Assembly.trainValTestSplit _,
     "pipeline_pack_split"        -> Assembly.packSequencesSplit _,
     "dedup_source_overlap"       -> Dedup.crossSourceOverlap _,
     "text_tfidf_top_terms"       -> TextAnalysis.tfidfTopTerms _,
@@ -1795,6 +1796,22 @@ object SparkEntry {
     // Same unigram model as TextAnalysis.unigramLogprob: per-word
     // ln(corpus-frequency) floored to micro BEFORE summation (exact
     // long sums, order-independent); avg floored over the double ratio.
+    // H7 split: same multiplicative-hash rule as mixture sampling,
+    // mod-100 buckets -> 90/5/5, summarized per (source, split).
+    "pipeline_train_val_test" -> """
+      WITH a AS (
+        SELECT doc_id, source,
+               CASE WHEN (doc_id * 1048573 + 11) % 100 < 90 THEN 'train'
+                    WHEN (doc_id * 1048573 + 11) % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> length(x) > 0)) AS BIGINT) AS n_toks
+        FROM documents)
+      SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM a GROUP BY source, split ORDER BY source, split""",
+
     // H6 curriculum staging: E8's per-doc avg log-likelihood (same CTE
     // chain) cut into per-source easy->hard quartiles via ntile — pure
     // integer rank division, no percentile interpolation.

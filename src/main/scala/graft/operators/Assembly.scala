@@ -266,6 +266,33 @@ object Assembly {
     * Output: one manifest row per doc, ordered by (stage, source,
     * doc_id) — exactly the order a stage-sequential loader reads.
     */
+  /** H7: deterministic train/val/test split, stratified per source —
+    * the holdout carve-out every training build runs before packing.
+    * The split key is the same multiplicative-hash rule as H2's
+    * mixture sampling (engine-independent, no RNG, stable under
+    * re-runs and re-partitioning): hash mod 100 → 0-89 train,
+    * 90-94 val, 95-99 test. Stratification is free — the hash is
+    * uniform WITHIN each source, so every source lands ≈90/5/5 and no
+    * split ever loses a source entirely. Map-only scan + one
+    * per-(source, split) aggregate; the per-doc assignment is
+    * recoverable by re-applying the rule (no assignment table to
+    * store at 100 TB — the rule IS the assignment).
+    */
+  def trainValTestSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * 1048573L + 11L, lit(100L))
+    val split = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), split.as("split"),
+        size(split_part_tokens).cast("long").as("n_toks"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("source", "split")
+  }
+
+  private def split_part_tokens =
+    expr("filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)")
+
   def curriculumStages(s: SparkSession, dir: String): DataFrame = {
     val lp = TextAnalysis.unigramLogprob(s, dir)
       .select(col("doc_id"), col("n_words"), col("avg_lp_micro"))

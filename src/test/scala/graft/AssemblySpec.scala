@@ -215,4 +215,24 @@ class AssemblySpec extends SparkSpecBase {
     assert("Window \\[ntile\\(4\\)[^\\n]*\\], \\[source#".r
       .findFirstIn(plan).isDefined, plan.take(900))
   }
+
+  test("train/val/test split: exhaustive, disjoint by construction, ~90/5/5, rule-recoverable") {
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.operators.Assembly.trainValTestSplit(spark, dir).collect()
+    val total = out.map(_.getLong(2)).sum
+    assert(total === 500L, "every doc lands in exactly one split")
+    val bySplit = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(bySplit("train") >= 400L && bySplit("train") <= 490L, bySplit.toMap.toString)
+    assert(bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L) === 500L - bySplit("train"))
+    // the rule IS the assignment: re-deriving per doc reproduces the
+    // aggregate exactly
+    val docs = new graft.sources.GraftCatalog(spark, dir).table("documents")
+      .select("doc_id", "source").collect()
+    val expect = docs.groupBy { r =>
+      val b = (r.getLong(0) * 1048573L + 11L) % 100L
+      (r.getString(1), if (b < 90) "train" else if (b < 95) "val" else "test")
+    }.view.mapValues(_.length.toLong).toMap
+    val got = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+  }
 }
