@@ -35,6 +35,7 @@ object SparkEntry {
     "src_catalog_sql_scan"       -> Relational.srcCatalogSqlScan _,
     "src_catalog_partitioned_scan" -> Relational.srcCatalogPartitionedScan _,
     "src_jdbc_roundtrip"         -> Relational.srcJdbcRoundtrip _,
+    "src_stats_table"            -> Relational.srcStatsTable _,
     "src_csv_roundtrip"          -> Relational.srcCsvRoundtrip _,
     "src_orc_roundtrip"          -> Relational.srcOrcRoundtrip _,
     "src_json_roundtrip"         -> Relational.srcJsonRoundtrip _,
@@ -665,6 +666,12 @@ object SparkEntry {
 
     // Oracle reads the ORIGINAL parquet rows — full-row equality
     // proves the write→JDBC-database→partitioned-read cycle lossless.
+    // A25: the footer-only stats sweep must equal the full scan.
+    "src_stats_table" -> """
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "src_jdbc_roundtrip" -> """
       SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       FROM supplier ORDER BY s_suppkey""",

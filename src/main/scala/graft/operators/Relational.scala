@@ -900,4 +900,61 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"), dsumr(col("c_acctbal")).as("total_bal"))
       .orderBy("c_mktsegment")
   }
+
+  /** A25: metadata-only table statistics — per-partition row counts
+    * and column min/max answered from PARQUET FOOTERS, never touching
+    * a data page: the analog of the reference's table-distribution
+    * read (ArgodbMapreduceInputFormat.java:104-199 plans over
+    * per-section rowset-GROUP metadata, not rows). At 100 TB this is
+    * the difference between an O(files) metadata sweep (KBs per file)
+    * and a full scan: partition health checks, pruning estimates, and
+    * "how big is this partition" answers cost footer IO only.
+    *
+    * Shape: the pinned file list fans out one task per file (a
+    * Dataset of paths — no FileScan of the table anywhere in the
+    * plan, spec-asserted); each task reads its footer's block
+    * statistics; one tiny (partition) aggregate merges them. Exact
+    * because parquet-mr double stats are true min/max (no truncation
+    * — only BINARY stats truncate), so the result hash-matches the
+    * full-scan oracle.
+    */
+  def srcStatsTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{GraftSink, v2}
+    import s.implicits._
+    val root = GraftSink.writePartitioned(
+      cat(s, dir).table("orders"), "orders_stats_demo", Seq("o_orderpriority"))
+    val files = v2.GraftV2.dataFiles(root, s.sessionState.newHadoopConf())
+    val conf = v2.GraftV2.sessionConf()
+    val perFile = s.createDataset(files).mapPartitions { it =>
+      it.map { path =>
+        val part = path.split('/').collectFirst {
+          case seg if seg.startsWith("o_orderpriority=") =>
+            seg.substring("o_orderpriority=".length)
+        }.getOrElse(sys.error(s"[GRAFT] unpartitioned file $path"))
+        var rows = 0L
+        var mn = Double.MaxValue
+        var mx = Double.MinValue
+        v2.GraftV2.withReader(path, conf.value) { r =>
+          val footer = r.getFooter
+          footer.getBlocks.forEach { b =>
+            rows += b.getRowCount
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == "o_totalprice") {
+                val st = c.getStatistics
+                require(st != null && !st.isEmpty && st.hasNonNullValue,
+                  s"[GRAFT] missing o_totalprice stats in $path")
+                mn = math.min(mn, st.genericGetMin.asInstanceOf[Double])
+                mx = math.max(mx, st.genericGetMax.asInstanceOf[Double])
+              }
+            }
+          }
+        }
+        (part, rows, mn, mx)
+      }
+    }.toDF("o_orderpriority", "n_rows", "mn", "mx")
+    perFile.groupBy("o_orderpriority")
+      .agg(sum("n_rows").as("n_rows"),
+        min("mn").as("min_price"), max("mx").as("max_price"))
+      .orderBy("o_orderpriority")
+  }
 }

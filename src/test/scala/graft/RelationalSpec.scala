@@ -206,4 +206,22 @@ class RelationalSpec extends SparkSpecBase {
     assert(after.count() ===
            orders.where(col("o_orderstatus") =!= "F" || col("o_totalprice") > 100).count())
   }
+
+  test("stats table: footer-only sweep equals the full scan, with no parquet scan in its plan") {
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.operators.Relational.srcStatsTable(spark, dir)
+    // metadata-only: the stats job's input is a Dataset of file paths —
+    // a parquet FileScan of the table would mean data pages were read
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), plan.take(600))
+    val got = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    import org.apache.spark.sql.functions.{count, lit, min, max}
+    val expect = new graft.sources.GraftCatalog(spark, dir).table("orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), min("o_totalprice"), max("o_totalprice"))
+      .orderBy("o_orderpriority").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === expect.toSeq)
+  }
 }
