@@ -123,6 +123,7 @@ object SparkEntry {
     "dedup_clusters"             -> Dedup.nearDupClusters _,
     "dedup_clusters_exact"       -> Dedup.nearDupClustersExact _,
     "dedup_semantic"             -> SemDedup.semanticDedup _,
+    "dedup_incremental"          -> Dedup.incrementalDedup _,
     "pipeline_pack_sequences"    -> Assembly.packSequences _,
     "pipeline_pack_sequences_bpe" -> Assembly.packSequencesBpe _,
     "pipeline_mixture_sample"    -> Assembly.mixtureSample _,
@@ -1472,6 +1473,27 @@ object SparkEntry {
              CAST(floor(coalesce(s.n_dup, 0) * 1000000.0
                         / greatest(coalesce(s.n_spans, 0), 1)) AS BIGINT) AS dup_micro
       FROM documents d LEFT JOIN stats s ON d.doc_id = s.sdoc
+      ORDER BY d.doc_id"""),
+
+    // C12: new-epoch docs (doc_id % 5 = 0) probed against the
+    // historical span index (distinct spans of the rest).
+    "dedup_incremental" -> (spanHashCte + """, idx AS (
+        SELECT DISTINCT gh FROM g WHERE doc_id % 5 <> 0
+      ), np AS (
+        SELECT doc_id AS pdoc, count(*) AS n_spans,
+               sum(CASE WHEN gh IN (SELECT gh FROM idx) THEN 1 ELSE 0 END) AS n_seen
+        FROM g WHERE doc_id % 5 = 0 GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             CAST(coalesce(np.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(np.n_seen, 0) AS BIGINT) AS n_seen,
+             CAST(floor(coalesce(np.n_seen, 0) * 1000000.0
+                        / greatest(coalesce(np.n_spans, 0), 1)) AS BIGINT) AS seen_micro,
+             CAST(CASE WHEN coalesce(np.n_spans, 0) > 0
+                        AND coalesce(np.n_seen, 0) * 2 >= np.n_spans
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+      FROM documents d LEFT JOIN np ON d.doc_id = np.pdoc
+      WHERE d.doc_id % 5 = 0
       ORDER BY d.doc_id"""),
 
     // C10: distinct (source, span-hash) sets per source, pairwise

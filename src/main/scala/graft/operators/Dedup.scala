@@ -776,4 +776,63 @@ object Dedup {
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
       .limit(200)
   }
+
+  /** The C12 epoch rule: every 5th doc is the "new batch", the rest
+    * are the historical corpus whose index is already built.
+    */
+  private[graft] def isNewEpoch = pmod(col("doc_id"), lit(5L)) === 0L
+
+  /** C12: incremental dedup against a PERSISTED span index — the
+    * production shape of substring dedup when a corpus grows daily:
+    * the historical corpus is never rescanned; its distinct span
+    * hashes live in a persisted index, each new batch probes the
+    * index (one hash join sized by the batch, 8-byte keys) and
+    * reports its already-seen-span fraction, then the index absorbs
+    * the batch's NEW hashes (anti-join append — `updateSpanIndex`,
+    * whose result a spec proves identical to a full rebuild). At
+    * scale the index is bucketed by hash so probe and append are
+    * shuffle-free on the index side; probe IO ∝ batch + index, with
+    * the historical TEXT never read again. Uses C8's portable mod-P
+    * span hashes, so the whole incremental path is oracle-exact
+    * (the C2 minhash family could only be rows-only here).
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val idxPath = graft.sources.GraftSink.scratchDir + "/span_index"
+    val g = wordGramHashes(s, dir)
+    // epoch-0 build (in production this already exists on disk)
+    g.where(!isNewEpoch).select("gh").distinct()
+      .write.mode("overwrite").parquet(idxPath)
+    val idx = s.read.parquet(idxPath).withColumn("seen", lit(1L))
+    val probed = g.where(isNewEpoch)
+      .join(idx, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+    docs(s, dir).where(isNewEpoch).select("doc_id")
+      .join(probed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        floor(coalesce(col("n_seen"), lit(0L)).cast("double") * 1000000.0
+          / greatest(coalesce(col("n_spans"), lit(0L)), lit(1L)))
+          .cast("long").as("seen_micro"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0 &&
+             coalesce(col("n_seen"), lit(0L)) * 2 >= col("n_spans"), 1L)
+          .otherwise(0L).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Absorb a batch's span hashes into the persisted index: append
+    * only the hashes the index does not already hold (anti join).
+    * After the append the index equals a full rebuild over the whole
+    * corpus — spec-asserted set equality.
+    */
+  private[graft] def updateSpanIndex(s: SparkSession, idxPath: String,
+      newBatch: DataFrame): Unit = {
+    val fresh = wordGramHashesOf(newBatch).select("gh").distinct()
+      .join(s.read.parquet(idxPath), Seq("gh"), "left_anti")
+      .localCheckpoint(true) // append writes into the path it reads
+    try fresh.write.mode("append").parquet(idxPath)
+    finally graft.GraftSession.releaseCheckpoint(fresh)
+  }
 }

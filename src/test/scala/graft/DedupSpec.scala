@@ -400,4 +400,31 @@ class DedupSpec extends SparkSpecBase {
     assert(out === Map((0L, 4L) -> 1000000L, (0L, 8L) -> 0L, (4L, 8L) -> 0L),
       s"got $out")
   }
+
+  test("incremental dedup: probe matches a from-scratch recompute; index update equals a full rebuild") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.operators.Dedup.incrementalDedup(spark, dir).cache()
+    assert(out.count() === 100) // every 5th of 500 docs
+    // cross-check one doc against a direct recompute over the corpus
+    val g = graft.operators.Dedup.wordGramHashes(spark, dir).cache()
+    val histSet = g.where(!graft.operators.Dedup.isNewEpoch)
+      .select("gh").distinct().collect().map(_.getLong(0)).toSet
+    val doc0 = g.where(col("doc_id") === 0L).collect().map(_.getLong(2))
+    val row0 = out.where(col("doc_id") === 0L).collect()(0)
+    assert(row0.getLong(1) === doc0.length.toLong)
+    assert(row0.getLong(2) === doc0.count(histSet.contains).toLong)
+    out.unpersist()
+    // absorbing the new batch leaves the index identical to a rebuild
+    // over the whole corpus
+    val idxPath = graft.sources.GraftSink.scratchDir + "/span_index"
+    val newBatch = new graft.sources.GraftCatalog(spark, dir).table("documents")
+      .where(graft.operators.Dedup.isNewEpoch)
+    graft.operators.Dedup.updateSpanIndex(spark, idxPath, newBatch)
+    val updated = spark.read.parquet(idxPath).collect().map(_.getLong(0))
+    assert(updated.length === updated.distinct.length, "no duplicate index entries")
+    val full = g.select("gh").distinct().collect().map(_.getLong(0)).toSet
+    g.unpersist()
+    assert(updated.toSet === full, "updated index must equal the full rebuild")
+  }
 }
