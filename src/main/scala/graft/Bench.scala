@@ -61,7 +61,8 @@ object Bench {
     // join), DSIR weights (two-model word join), bloom-prefiltered
     // fact join, and MMR re-rank over the shortlist cogroup
     "dedup_semantic", "text_dsir_weights", "q_bloom_semi_join",
-    "sim_mmr_topk", "text_hash_embed", "pipeline_curriculum")
+    "sim_mmr_topk", "text_hash_embed", "pipeline_curriculum",
+    "src_stats_table", "dedup_incremental")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
