@@ -131,6 +131,7 @@ object SparkEntry {
     "dedup_substring"            -> Dedup.substringDedup _,
     "dedup_substring_removal"    -> Dedup.substringRemoval _,
     "text_decontaminate"         -> Dedup.decontaminate _,
+    "text_decontaminate_semantic" -> Dedup.decontaminateSemantic _,
     "pipeline_curate_corpus"     -> Dedup.curateCorpus _,
     // §2.D similarity search
     "sim_bruteforce_topk"        -> Similarity.bruteForceTopk _,
@@ -1474,6 +1475,10 @@ object SparkEntry {
                         / greatest(coalesce(s.n_spans, 0), 1)) AS BIGINT) AS dup_micro
       FROM documents d LEFT JOIN stats s ON d.doc_id = s.sdoc
       ORDER BY d.doc_id"""),
+
+    // C13: paraphrase-leak gate — nearest eval doc by hash-embedding
+    // cosine (Dedup.oracleSemanticContamSql reuses E12's vector CTE).
+    "text_decontaminate_semantic" -> Dedup.oracleSemanticContamSql,
 
     // C12: new-epoch docs (doc_id % 5 = 0) probed against the
     // historical span index (distinct spans of the rest).

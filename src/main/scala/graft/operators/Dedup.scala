@@ -835,4 +835,73 @@ object Dedup {
     try fresh.write.mode("append").parquet(idxPath)
     finally graft.GraftSession.releaseCheckpoint(fresh)
   }
+
+  /** C13 similarity threshold (micro): a train doc whose nearest eval
+    * doc scores at least this is flagged.
+    */
+  private[graft] val SemanticContamTau = 850000L
+
+  /** C13: SEMANTIC decontamination — the paraphrase-leak gate C9's
+    * n-gram overlap cannot catch: an eval item reworded shares no
+    * 4-gram span but still lands near the original in embedding
+    * space. Every train doc scores its nearest eval doc by cosine
+    * over the E12 train-free hash embeddings; at or above τ it is
+    * flagged with the culprit eval id (max(struct) argmax, ties to
+    * the smaller eval id). Scale shape: the eval set is the small
+    * trusted side (|corpus|/97) — its vectors BROADCAST and the scan
+    * side is map-only scoring + a per-doc aggregate; no shuffle
+    * carries the corpus. Exactness: integer vectors, micro-floor
+    * cosines → VALUE-EXACT (a production swap to model embeddings
+    * keeps the shape and moves to rows-only). Zero-vector docs carry
+    * NULL score and are never flagged.
+    */
+  def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = HashEmbed.embeddings(s, dir).where(col("norm2") > 0)
+      .withColumn("nrm", sqrt(col("norm2").cast("double")))
+    val eval = e.where(isBenchDoc)
+      .select(col("doc_id").as("eval_id"), col("emb").as("eem"), col("nrm").as("enrm"))
+    val scored = e.where(!isBenchDoc).crossJoin(broadcast(eval))
+      .select(col("doc_id"),
+        floor(SemDedup.dotL(col("emb"), col("eem")).cast("double")
+          / (col("nrm") * col("enrm")) * 1e6).as("cos_micro"),
+        col("eval_id"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("cos_micro"), (-col("eval_id")).as("nid"))).as("best"))
+      .select(col("doc_id"), col("best.cos_micro").as("max_cos_micro"),
+        (-col("best.nid")).as("nearest_eval"))
+    docs(s, dir).where(!isBenchDoc).select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("max_cos_micro"),
+        when(col("max_cos_micro") >= SemanticContamTau, col("nearest_eval")).as("nearest_eval"),
+        when(col("max_cos_micro") >= SemanticContamTau, 1L).otherwise(0L).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** The C13 DuckDB oracle: E12's vector CTE + the same broadcast-
+    * shaped scoring, argmax via row_number (cos desc, eval_id).
+    */
+  def oracleSemanticContamSql: String = HashEmbed.vecSql + s""",
+      en AS (SELECT doc_id, emb::DOUBLE[] AS emb,
+                    sqrt(CAST(norm2 AS DOUBLE)) AS nrm
+             FROM vecn WHERE norm2 > 0),
+      ev AS (SELECT doc_id AS eval_id, emb AS eem, nrm AS enrm
+             FROM en WHERE doc_id % 97 = 0),
+      sc AS (SELECT t.doc_id,
+               CAST(floor(list_dot_product(t.emb, ev.eem) / (t.nrm * ev.enrm)
+                          * 1000000.0) AS BIGINT) AS cos_micro,
+               ev.eval_id
+             FROM en t CROSS JOIN ev WHERE t.doc_id % 97 <> 0),
+      best AS (SELECT doc_id, cos_micro AS max_cos_micro, eval_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY cos_micro DESC, eval_id) AS rn FROM sc)
+               WHERE rn = 1)
+      SELECT d.doc_id, b.max_cos_micro,
+             CASE WHEN b.max_cos_micro >= $SemanticContamTau
+                  THEN b.eval_id END AS nearest_eval,
+             CAST(CASE WHEN coalesce(b.max_cos_micro, -2000000)
+                            >= $SemanticContamTau
+                       THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      FROM documents d LEFT JOIN best b USING (doc_id)
+      WHERE d.doc_id % 97 <> 0
+      ORDER BY d.doc_id"""
 }

@@ -99,8 +99,10 @@ object HashEmbed {
       .orderBy("query_id", "rank")
   }
 
-  /** Shared oracle CTE chain producing vec(doc_id, emb, norm2). */
-  private def vecSql: String = s"""
+  /** Shared oracle CTE chain producing vec(doc_id, emb, norm2) —
+    * reused by the semantic-decontamination oracle (C13).
+    */
+  private[operators] def vecSql: String = s"""
       WITH w AS (
         SELECT doc_id, unnest(list_filter(
           string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0)) AS word

@@ -427,4 +427,43 @@ class DedupSpec extends SparkSpecBase {
     g.unpersist()
     assert(updated.toSet === full, "updated index must equal the full rebuild")
   }
+
+  test("semantic decontamination flags a reordered paraphrase the n-gram gate misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semdecon").toString
+    // doc 0 (doc_id%97==0 → the eval doc); doc 1 is its full word
+    // REVERSAL: identical bag-of-words (hash-embed cosine = 1.0) but
+    // not one shared word 4-gram — the paraphrase-leak shape
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val para = evalDoc.split(' ').reverse.mkString(" ")
+    val docs = Seq(
+      (0L, evalDoc, "a"), (1L, para, "a"),
+      (2L, "completely unrelated filler about spark parquet shuffles and joins", "a"),
+      (3L, "another unrelated document mentioning benchmarks and leaderboards here", "a"))
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sem = graft.operators.Dedup.decontaminateSemantic(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!sem.contains(0L), "the eval doc itself is not in the train output")
+    assert(sem(1L).getLong(3) === 1L, "paraphrase must be flagged")
+    assert(sem(1L).getLong(2) === 0L, "culprit is eval doc 0")
+    assert(sem(1L).getLong(1) === 1000000L, "identical bag-of-words → cos 1.0")
+    assert(sem(2L).getLong(3) === 0L && sem(3L).getLong(3) === 0L)
+    // the C9 span gate cannot see it: zero 4-gram overlap
+    val spans = graft.operators.Dedup.decontaminate(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(spans(1L) === 0L, "no shared 4-gram span, n-gram gate stays clean")
+  }
+
+  test("semantic decontamination BROADCASTS the eval vectors; the corpus is never on a build side") {
+    val plan = graft.operators.Dedup.decontaminateSemantic(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "eval side must broadcast into the scoring join: " + plan.take(1000))
+    assert(!plan.contains("CartesianProduct"),
+      "an unbroadcast cross join would shuffle the corpus against itself: " + plan.take(1000))
+  }
 }
