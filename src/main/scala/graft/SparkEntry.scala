@@ -132,6 +132,7 @@ object SparkEntry {
     "dedup_substring_removal"    -> Dedup.substringRemoval _,
     "text_decontaminate"         -> Dedup.decontaminate _,
     "text_decontaminate_semantic" -> Dedup.decontaminateSemantic _,
+    "text_decontaminate_semantic_lsh" -> Dedup.decontaminateSemanticLsh _,
     "pipeline_curate_corpus"     -> Dedup.curateCorpus _,
     // §2.D similarity search
     "sim_bruteforce_topk"        -> Similarity.bruteForceTopk _,

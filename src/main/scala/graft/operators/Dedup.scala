@@ -877,6 +877,58 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** C13 LSH banding: bands × bits hyperplanes (shared deterministic
+    * plane set; band b owns planes [b·bits, (b+1)·bits)). cos ≥ 0.85
+    * → per-bit agreement ≈ 1 − θ/π ≈ 0.82 → band hit ≈ 0.21 → miss
+    * probability across 16 bands ≈ 2%.
+    */
+  private val SemBands = 16
+  private val SemBandBits = 8
+
+  /** C13 SCALE form: the exact gate broadcasts the whole eval suite,
+    * which dies once the eval/holdout side itself is large (a 100M-doc
+    * holdout won't broadcast). Here BOTH sides band into hyperplane-
+    * LSH buckets (16 bands × 8 bits over the same deterministic plane
+    * set) and meet in a plain equi-join on the band bucket — shuffle
+    * ∝ corpus × bands, never corpus × eval. Candidates are verified
+    * with the SAME exact micro-floor cosine and filtered to ≥ τ
+    * BEFORE the per-doc argmax aggregate, so only genuinely
+    * contaminated pairs ever reach the shuffle (duplicate band
+    * collisions collapse in the map-side partial max — cheaper than a
+    * candidate-dedup shuffle). Output = flagged docs only, exact-twin
+    * schema minus the clean rows. Precision 1 by construction (every
+    * emitted cosine is exactly verified); recall ≈ 98% at τ (banding
+    * math above) — rows-only, with `decontaminateSemantic` as the
+    * oracle-exact twin (spec asserts set equality on the test corpus).
+    */
+  def decontaminateSemanticLsh(s: SparkSession, dir: String): DataFrame = {
+    val planes = VectorFns.hyperplanes(SemBands * SemBandBits, HashEmbed.Dim)
+    def banded(df: DataFrame): DataFrame = {
+      val dv = transform(col("emb"), _.cast("double"))
+      val bkts = array((0 until SemBands).map { bd =>
+        lit(bd * 65536) +
+          VectorFns.lshBucket(dv, planes.slice(bd * SemBandBits, (bd + 1) * SemBandBits))
+      }: _*)
+      df.withColumn("bkt", explode(bkts))
+    }
+    val e = HashEmbed.embeddings(s, dir).where(col("norm2") > 0)
+      .withColumn("nrm", sqrt(col("norm2").cast("double")))
+    val eval = banded(e.where(isBenchDoc))
+      .select(col("bkt"), col("doc_id").as("eval_id"),
+        col("emb").as("eem"), col("nrm").as("enrm"))
+    banded(e.where(!isBenchDoc)).join(eval, "bkt")
+      .select(col("doc_id"),
+        floor(SemDedup.dotL(col("emb"), col("eem")).cast("double")
+          / (col("nrm") * col("enrm")) * 1e6).as("cos_micro"),
+        col("eval_id"))
+      .where(col("cos_micro") >= SemanticContamTau)
+      .groupBy("doc_id")
+      .agg(max(struct(col("cos_micro"), (-col("eval_id")).as("nid"))).as("best"))
+      .select(col("doc_id"), col("best.cos_micro").as("max_cos_micro"),
+        (-col("best.nid")).as("nearest_eval"))
+      .orderBy("doc_id")
+  }
+
   /** The C13 DuckDB oracle: E12's vector CTE + the same broadcast-
     * shaped scoring, argmax via row_number (cos desc, eval_id).
     */

@@ -458,6 +458,20 @@ class DedupSpec extends SparkSpecBase {
     assert(spans(1L) === 0L, "no shared 4-gram span, n-gram gate stays clean")
   }
 
+  test("LSH semantic decontamination recovers the exact twin's flagged set (precision 1 by construction)") {
+    val exact = graft.operators.Dedup.decontaminateSemantic(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("contaminated") === 1L)
+      .select("doc_id", "max_cos_micro", "nearest_eval")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lsh = graft.operators.Dedup.decontaminateSemanticLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "test corpus must exercise the gate")
+    // precision: every LSH row must be a verified-exact contamination
+    assert((lsh -- exact).isEmpty, s"LSH emitted non-contaminated rows: ${lsh -- exact}")
+    // recall on this corpus: 16 bands x 8 bits recovers everything
+    assert(lsh === exact, s"missed: ${exact -- lsh}")
+  }
+
   test("semantic decontamination BROADCASTS the eval vectors; the corpus is never on a build side") {
     val plan = graft.operators.Dedup.decontaminateSemantic(spark, sfDir)
       .queryExecution.executedPlan.toString
