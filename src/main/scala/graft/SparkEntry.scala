@@ -156,6 +156,8 @@ object SparkEntry {
     "text_bpe_tokens"            -> BpeTokenizer.bpeTokens _,
     "text_dsir_weights"          -> TextAnalysis.dsirWeights _,
     "text_vocab_coverage"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
+    "text_bm25_retrieval"        -> Bm25.retrieve _,
+    "text_quality_classifier"    -> TextAnalysis.qualityClassifier _,
     "pipeline_chunk_documents"   -> Assembly.chunkDocuments _,
     "pipeline_token_budget"      -> Assembly.tokenBudgetSample _,
     "pipeline_curriculum"        -> Assembly.curriculumStages _,
@@ -1903,6 +1905,62 @@ object SparkEntry {
                         / greatest(coalesce(p.n_words, 0), 1)) AS BIGINT) AS avg_lp_micro
       FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.pdoc
       ORDER BY d.doc_id""",
+
+    // BM25 retrieval (E13): same tokenization as E8; the rational
+    // tf-normalization runs in HUGEINT (mirroring Spark's
+    // DECIMAL(38,0)) and idf is the micro-floored ln of an exact
+    // integer ratio. The oracle ranks with ONE window — the engine's
+    // two-level top-k provably returns the same rows because the
+    // (score desc, doc_id) order is total.
+    "text_bm25_retrieval" -> Bm25.oracleSql,
+
+    // NB quality classifier (E14): H2's hash rule splits train/test,
+    // one conditional word-count pass fits both class models, priors
+    // and per-word log-probs micro-floored, log-odds exact BIGINT.
+    "text_quality_classifier" -> """
+      WITH base AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS ws
+        FROM documents
+      ), labeled AS (
+        SELECT doc_id, ws,
+          CASE WHEN len(ws) > 0 AND
+            len(list_filter(ws, x -> x IN ('the','a','of','and','in','to','is')))
+              * 1000000 >= len(ws) * 60000 THEN 1 ELSE 0 END AS label,
+          (doc_id * 1048573 + 11) % 1000000 < 500000 AS is_train
+        FROM base
+      ), pair AS (
+        SELECT doc_id, label, is_train, word, count(*) AS n
+        FROM (SELECT doc_id, label, is_train, unnest(ws) AS word FROM labeled)
+        GROUP BY ALL
+      ), wc AS (
+        SELECT word,
+               sum(CASE WHEN label = 1 THEN n ELSE 0 END) AS cnt1,
+               sum(CASE WHEN label = 0 THEN n ELSE 0 END) AS cnt0
+        FROM pair WHERE is_train GROUP BY word
+      ), tot AS (
+        SELECT sum(cnt1) AS tot1, sum(cnt0) AS tot0, count(*) AS v FROM wc
+      ), wt AS (
+        SELECT word,
+               CAST(floor(ln((cnt1 + 1) / CAST(tot1 + v AS DOUBLE)) * 1000000.0) AS BIGINT)
+             - CAST(floor(ln((cnt0 + 1) / CAST(tot0 + v AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+        FROM wc CROSS JOIN tot
+      ), priors AS (
+        SELECT CAST(floor(ln(sum(label) / CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
+             - CAST(floor(ln((count(*) - sum(label)) / CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS prior_delta
+        FROM labeled WHERE is_train
+      ), perdoc AS (
+        SELECT doc_id, sum(n) AS n_scored, sum(w_micro * n) AS delta_words
+        FROM pair JOIN wt USING (word) WHERE NOT is_train GROUP BY doc_id
+      )
+      SELECT l.doc_id, CAST(l.label AS BIGINT) AS label,
+             CAST(coalesce(p.n_scored, 0) AS BIGINT) AS n_scored,
+             CAST(pr.prior_delta + coalesce(p.delta_words, 0) AS BIGINT) AS log_odds_micro,
+             CAST(CASE WHEN pr.prior_delta + coalesce(p.delta_words, 0) > 0
+                  THEN 1 ELSE 0 END AS BIGINT) AS predicted
+      FROM labeled l CROSS JOIN priors pr LEFT JOIN perdoc p USING (doc_id)
+      WHERE NOT l.is_train ORDER BY l.doc_id""",
 
     // DSIR importance weights (E11): same tokenization as E8, one
     // conditional word-count pass for both unigram models, per-word

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.E13: BM25 keyword retrieval over `documents` — the classic
+  * inverted-index ranking function (Robertson & Zaragoza 2009,
+  * "The Probabilistic Relevance Framework: BM25 and Beyond"), the
+  * standard first-stage retriever a training-data pipeline uses for
+  * targeted corpus search (and the lexical half of hybrid
+  * lexical+vector retrieval next to D9's hash-embedding kNN).
+  *
+  * score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  * with k1 = 1.2, b = 0.75, idf(t) = ln((N+1)/(df+0.5)).
+  *
+  * Exactness: with k1 = 6/5 and b = 3/4, the tf-normalization is the
+  * exact rational 44·tf·L / (20·tf·L + 6·L + 18·dl·N) (multiply
+  * num/den by 20·L where avgdl = L/N), evaluated micro-scaled in
+  * DECIMAL(38,0) integer arithmetic — at 100 TB, L ≈ 10^13 tokens
+  * puts the numerator near 10^22, past BIGINT but comfortably inside
+  * 128-bit — and integer-div'd back to a BIGINT micro value, so it is
+  * bit-identical in any exact-decimal engine. idf(t) =
+  * ln((2N+2)/(2·df+1)) is a ratio of exact integers micro-floored
+  * under E8's documented ln-ULP assumption (per-term idf values are
+  * spec-asserted against driver-side Math.log for diagnosability).
+  * Per-term score = (idf_micro · tfnorm_micro) div 1e6 and the
+  * per-doc sum stay in exact BIGINT.
+  *
+  * Scale shape: ONE tokenize pass → per-(doc, word) pre-aggregate
+  * (map-side partial; the E8 distinct-pair convention), from which
+  * doc lengths, corpus totals, and the query-term postings all
+  * derive. The query-term filter is a BROADCAST semi-shaped join
+  * applied directly to the pair table, so only postings of queried
+  * terms flow further (at 100 TB: |postings| rows, not |corpus|).
+  * df is a |terms|-key aggregate; N/L one broadcast single-row
+  * aggregate. Top-k per query runs TWO-LEVEL — local top-k within
+  * (query, pmod(doc_id, 32)) salt cells, then top-k of the ≤ 32·k
+  * survivors — so no task ever materializes one query's full
+  * candidate set (every doc containing a stopword-ish term is a
+  * candidate; a single-window rank would funnel the corpus through
+  * |queries| tasks). The two stages provably return the global
+  * top-k because the (score desc, doc_id) order is total.
+  */
+object Bm25 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    new GraftCatalog(s, dir).table("documents")
+
+  /** Fixed keyword queries (corpus-vocabulary terms; `zebra` exercises
+    * the df = 0 path — a term matching nothing contributes no rows).
+    */
+  private[graft] val Queries: Seq[(Long, String)] = Seq(
+    0L -> "hash", 0L -> "join",
+    1L -> "window", 1L -> "agg", 1L -> "spark",
+    2L -> "customer", 2L -> "order", 2L -> "line",
+    3L -> "slow", 3L -> "scan", 3L -> "filter", 3L -> "zebra",
+    4L -> "vector", 4L -> "stream", 4L -> "batch", 4L -> "merge")
+
+  private[graft] val K = 10
+
+  /** The per-(doc_id, word) tf table plus corpus stats, shared by the
+    * scoring join. Tokenization is E8's: lower, whitespace-split,
+    * empties dropped.
+    */
+  def retrieve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val pair = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dls = pair.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(pair.agg(sum("tf").as("l_tokens")))
+    val qterms = Queries.toDF("query_id", "term")
+    val terms = qterms.select(col("term").as("word")).distinct()
+    // postings of queried terms only — the broadcast filter runs
+    // BEFORE df/dl joins so downstream row counts are |postings|
+    val matched = pair.join(broadcast(terms), Seq("word"))
+    val dfs = matched.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = matched
+      .join(dls, Seq("doc_id"))
+      .join(broadcast(dfs), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .select(col("word"), col("doc_id"),
+        floor(log((col("n_docs") * 2L + 2L).cast("double") /
+                  (col("df") * 2L + 1L).cast("double")) * 1000000.0)
+          .cast("long").as("idf_micro"),
+        expr("""CAST(44 AS DECIMAL(38,0)) * tf * l_tokens * 1000000 div
+                (CAST(20 AS DECIMAL(38,0)) * tf * l_tokens
+                 + CAST(6 AS DECIMAL(38,0)) * l_tokens
+                 + CAST(18 AS DECIMAL(38,0)) * dl * n_docs)""").as("tfn_micro"))
+      .select(col("word"), col("doc_id"),
+        expr("(idf_micro * tfn_micro) div 1000000").as("term_score"))
+    val perQueryDoc = scored
+      .join(broadcast(qterms), col("word") === col("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_score").as("score_micro"), count(lit(1)).as("n_terms"))
+    // two-level deterministic top-k (see scale note above)
+    val local = Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(32)))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val global = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    perQueryDoc
+      .withColumn("lrn", row_number().over(local)).where(col("lrn") <= K)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .where(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro"), col("n_terms"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The fixed query set as a SQL VALUES list — single source of
+    * truth for every oracle that ranks these queries.
+    */
+  private[operators] def queriesValuesSql: String =
+    Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** DuckDB CTE chain ending in `lexr(query_id, doc_id, score_micro,
+    * n_terms, rank)` — the single-window form of the engine's
+    * two-level top-k (equal because the order is total). HUGEINT
+    * arithmetic mirrors Spark's DECIMAL(38,0).
+    */
+  private[operators] def lexSql: String = s"""
+      WITH w AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\\s+'), x -> length(x) > 0)) AS word
+        FROM documents
+      ), pair AS (
+        SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+      ), dls AS (
+        SELECT doc_id, sum(tf) AS dl FROM pair GROUP BY doc_id
+      ), stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT count(*) FROM w) AS l_tokens
+      ), q(query_id, term) AS (
+        VALUES $queriesValuesSql
+      ), terms AS (SELECT DISTINCT term AS word FROM q),
+      matched AS (SELECT p.* FROM pair p JOIN terms USING (word)),
+      dfs AS (SELECT word, count(*) AS df FROM matched GROUP BY word),
+      scored AS (
+        SELECT m.word, m.doc_id,
+          CAST(floor(ln((2 * s.n_docs + 2) / CAST(2 * d.df + 1 AS DOUBLE))
+                     * 1000000.0) AS BIGINT) AS idf_micro,
+          CAST((CAST(44 AS HUGEINT) * m.tf * s.l_tokens * 1000000)
+             // (CAST(20 AS HUGEINT) * m.tf * s.l_tokens
+               + CAST(6 AS HUGEINT) * s.l_tokens
+               + CAST(18 AS HUGEINT) * l.dl * s.n_docs) AS BIGINT) AS tfn_micro
+        FROM matched m JOIN dls l USING (doc_id) JOIN dfs d USING (word)
+        CROSS JOIN stats s
+      ), term_scores AS (
+        SELECT q.query_id, sc.doc_id,
+               (sc.idf_micro * sc.tfn_micro) // 1000000 AS term_score
+        FROM scored sc JOIN q ON sc.word = q.term
+      ), per AS (
+        SELECT query_id, doc_id, sum(term_score) AS score_micro,
+               count(*) AS n_terms
+        FROM term_scores GROUP BY query_id, doc_id
+      ), lexr AS (
+        SELECT query_id, doc_id, score_micro, n_terms,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, doc_id) AS rank
+        FROM per)"""
+
+  def oracleSql: String = s"""$lexSql
+      SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+             doc_id, CAST(score_micro AS BIGINT) AS score_micro,
+             CAST(n_terms AS BIGINT) AS n_terms
+      FROM lexr WHERE rank <= $K ORDER BY query_id, rank"""
+}

@@ -356,6 +356,78 @@ object TextAnalysis {
     * per-word weight table joins back on the distinct-pair table, and
     * the top-k is TakeOrdered (tree-reduced) — never a global sort.
     */
+  /** E14: model-based quality classifier — the learned gate of the
+    * public curation recipes (GPT-3's CommonCrawl quality filter,
+    * Brown et al. 2020 §A; fastText-style linear bag-of-words), as a
+    * multinomial Naive Bayes: TRAIN on one half of the corpus against
+    * a deterministic weak label (E2's stopword-ratio rule, integer
+    * comparison ns·1e6 ≥ 60000·n), SCORE the held-out half with
+    * per-class add-one-smoothed word log-probs plus class priors,
+    * predict by the sign of the exact-BIGINT log-odds. Differs from
+    * E11 (DSIR) exactly where a classifier differs from importance
+    * weighting: supervised labels, priors, argmax prediction, and a
+    * held-out evaluation half.
+    *
+    * Exactness: the train/test split is H2's multiplicative-hash keep
+    * rule (pure integer arithmetic, engine-portable); per-word and
+    * prior log-probs are micro-floored ratios of exact integers under
+    * E8's documented ln-ULP assumption; per-doc sums are exact BIGINT.
+    * Test words outside the train vocabulary drop via the inner join
+    * (the standard practical choice, and deterministic). Scale shape:
+    * ONE tokenize pass carrying (label, is_train) — both map-only
+    * expressions — through the distinct-pair pre-aggregate; one
+    * conditional word-count shuffle fits both class models; totals
+    * and priors are broadcast single-row aggregates; the weight table
+    * joins back on the test half's distinct pairs.
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is")
+    val nw = size(col("ws")).cast("long")
+    val ns = size(filter(col("ws"), t => t.isin(stop.map(_.asInstanceOf[Any]): _*))).cast("long")
+    val labeled = docs(s, dir)
+      .withColumn("ws", words)
+      .select(col("doc_id"), col("ws"),
+        when(nw > 0L && ns * 1000000L >= nw * 60000L, 1L).otherwise(0L).as("label"),
+        (pmod(col("doc_id") * 1048573L + 11L, lit(1000000L)) < 500000L).as("is_train"))
+    val pair = labeled
+      .select(col("doc_id"), col("label"), col("is_train"), explode(col("ws")).as("word"))
+      .groupBy("doc_id", "label", "is_train", "word").agg(count(lit(1)).as("n"))
+      .cache()
+    val wc = pair.where(col("is_train")).groupBy("word").agg(
+      sum(when(col("label") === 1L, col("n")).otherwise(0L)).as("cnt1"),
+      sum(when(col("label") === 0L, col("n")).otherwise(0L)).as("cnt0"))
+    val tot = wc.agg(sum("cnt1").as("tot1"), sum("cnt0").as("tot0"),
+      count(lit(1)).as("v"))
+    def lpMicro(cnt: Column, total: Column): Column =
+      floor(log((cnt + 1).cast("double") / (total + col("v")).cast("double"))
+        * 1e6).cast("long")
+    val wt = wc.crossJoin(broadcast(tot))
+      .select(col("word"),
+        (lpMicro(col("cnt1"), col("tot1"))
+          - lpMicro(col("cnt0"), col("tot0"))).as("w_micro"))
+    val priors = labeled.where(col("is_train")).agg(
+      sum(col("label")).as("n1"),
+      sum(lit(1L) - col("label")).as("n0"))
+      .select(
+        (floor(log(col("n1").cast("double") / (col("n1") + col("n0")).cast("double")) * 1e6)
+          - floor(log(col("n0").cast("double") / (col("n1") + col("n0")).cast("double")) * 1e6))
+          .cast("long").as("prior_delta"))
+    val perDoc = pair.where(!col("is_train"))
+      .join(wt, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_scored"), sum(col("w_micro") * col("n")).as("delta_words"))
+    labeled.where(!col("is_train"))
+      .select(col("doc_id"), col("label"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("label"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        (col("prior_delta") + coalesce(col("delta_words"), lit(0L))).as("log_odds_micro"))
+      .withColumn("predicted", when(col("log_odds_micro") > 0L, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
     val isTarget = col("source").isin(DsirTargetSources: _*).cast("long")

@@ -319,4 +319,56 @@ class TextAnalysisSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("NB quality classifier learns a planted signal and holds accuracy on the corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    // every doc follows one of two patterns tied to its weak label:
+    // high-stopword docs carry 'quality', low-stopword docs carry
+    // 'spam' — NB must recover the signal on the held-out half
+    val rows = (0L until 40L).map { id =>
+      val text =
+        if (id % 2 == 0) "the a of and in to is quality quality signal"
+        else "junk junk junk junk junk junk junk junk spam noise"
+      (id, text, s"src${id % 3}")
+    }
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.qualityClassifier(spark, tmp).collect()
+    val isTrain = (id: Long) => (id * 1048573L + 11L) % 1000000L < 500000L
+    assert(out.forall(r => !isTrain(r.getLong(0))), "only held-out docs emitted")
+    assert(out.map(_.getLong(1)).toSet === Set(0L, 1L), "both classes in test half")
+    out.foreach { r =>
+      assert(r.getLong(4) === r.getLong(1),
+        s"doc ${r.getLong(0)}: planted signal must classify correctly: $r")
+      assert((r.getLong(3) > 0L) === (r.getLong(1) === 1L), "log-odds sign = class")
+    }
+    // real corpus: held-out accuracy comfortably above chance, and the
+    // prior term matches driver Math.log (ULP diagnosability)
+    val corpus = TextAnalysis.qualityClassifier(spark, sfDir).collect()
+    val acc = corpus.count(r => r.getLong(1) == r.getLong(4)).toDouble / corpus.length
+    assert(acc > 0.7, s"held-out accuracy $acc should beat 0.7")
+    val docsTbl = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+    val wordsE = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val stopSet = Seq("the", "a", "of", "and", "in", "to", "is")
+    val lab = docsTbl.withColumn("ws", wordsE)
+      .select(col("doc_id"),
+        when(size(col("ws")) > 0 &&
+          size(filter(col("ws"), t => t.isin(stopSet.map(_.asInstanceOf[Any]): _*)))
+            .cast("long") * 1000000L >= size(col("ws")).cast("long") * 60000L, 1L)
+          .otherwise(0L).as("label"))
+      .where(pmod(col("doc_id") * 1048573L + 11L, lit(1000000L)) < 500000L)
+    val Array(n1, n0) = lab.agg(sum("label"), sum(lit(1L) - col("label")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val expectPrior =
+      math.floor(math.log(n1.toDouble / (n1 + n0)) * 1e6).toLong -
+      math.floor(math.log(n0.toDouble / (n1 + n0)) * 1e6).toLong
+    val enginePrior = spark.range(1).select(
+      (floor(log(lit(n1.toDouble) / lit((n1 + n0).toDouble)) * 1e6)
+        - floor(log(lit(n0.toDouble) / lit((n1 + n0).toDouble)) * 1e6))
+        .cast("long")).collect()(0).getLong(0)
+    assert(enginePrior === expectPrior, "prior micro boundary drift")
+  }
 }
