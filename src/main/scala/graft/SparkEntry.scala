@@ -158,6 +158,7 @@ object SparkEntry {
     "text_vocab_coverage"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "text_bm25_retrieval"        -> Bm25.retrieve _,
     "text_quality_classifier"    -> TextAnalysis.qualityClassifier _,
+    "sim_hybrid_rrf"             -> Hybrid.retrieve _,
     "pipeline_chunk_documents"   -> Assembly.chunkDocuments _,
     "pipeline_token_budget"      -> Assembly.tokenBudgetSample _,
     "pipeline_curriculum"        -> Assembly.curriculumStages _,
@@ -1913,6 +1914,12 @@ object SparkEntry {
     // two-level top-k provably returns the same rows because the
     // (score desc, doc_id) order is total.
     "text_bm25_retrieval" -> Bm25.oracleSql,
+
+    // Hybrid RRF retrieval (D10): BM25's ranked CTE + the hash-embed
+    // vector chain over the same VALUES query list, fused by exact
+    // integer 1000000 div (60 + rank) — rank fusion needs no score
+    // calibration, which is also what keeps it engine-exact.
+    "sim_hybrid_rrf" -> Hybrid.oracleSql,
 
     // NB quality classifier (E14): H2's hash rule splits train/test,
     // one conditional word-count pass fits both class models, priors

@@ -35,7 +35,7 @@ object HashEmbed {
     new GraftCatalog(s, dir).table("documents")
 
   /** Rolling polynomial hash of a word column — exact BIGINT. */
-  private def wordHash(w: Column): Column =
+  private[operators] def wordHash(w: Column): Column =
     aggregate(
       transform(regexp_extract_all(w, lit("."), lit(0)), c => ascii(c).cast("long")),
       lit(0L), (h, c) => (h * 257L + c) % P)
