@@ -159,6 +159,7 @@ object SparkEntry {
     "text_bm25_retrieval"        -> Bm25.retrieve _,
     "text_quality_classifier"    -> TextAnalysis.qualityClassifier _,
     "sim_hybrid_rrf"             -> Hybrid.retrieve _,
+    "pipeline_contrastive_pairs" -> Assembly.contrastivePairs _,
     "pipeline_chunk_documents"   -> Assembly.chunkDocuments _,
     "pipeline_token_budget"      -> Assembly.tokenBudgetSample _,
     "pipeline_curriculum"        -> Assembly.curriculumStages _,
@@ -1920,6 +1921,11 @@ object SparkEntry {
     // integer 1000000 div (60 + rank) — rank fusion needs no score
     // calibration, which is also what keeps it engine-exact.
     "sim_hybrid_rrf" -> Hybrid.oracleSql,
+
+    // Contrastive pair mining (H8): near-dup positives (cos >= 0.9)
+    // and hardest-below-0.8 negatives over the E12 hash embeddings,
+    // argmaxes tie-broken by candidate id — fully deterministic.
+    "pipeline_contrastive_pairs" -> Assembly.contrastiveOracleSql,
 
     // NB quality classifier (E14): H2's hash rule splits train/test,
     // one conditional word-count pass fits both class models, priors

@@ -17,6 +17,93 @@ object Assembly {
   private def docs(s: SparkSession, dir: String): DataFrame =
     new GraftCatalog(s, dir).table("documents")
 
+  /** H8 thresholds: a positive is a near-dup (cos ≥ 0.9), a hard
+    * negative sits below the 0.8 margin boundary.
+    */
+  val PosThetaMicro = 900000L
+  val NegThetaMicro = 800000L
+
+  /** H8: contrastive pair mining — assemble (anchor, positive, hard
+    * negative) triplets for embedding-model training, the data recipe
+    * of SimCSE/E5-style contrastive pretraining (Gao et al. 2021;
+    * Wang et al. 2022: positives from near-duplicate/aligned pairs,
+    * negatives mined HARD — the highest-similarity candidates that
+    * are NOT positives — because random negatives are too easy to
+    * teach a margin). Positives: E12 hash-embedding cosine ≥ 0.9
+    * (C5's near-dup semantics on the train-free vectors); hard
+    * negative: the argmax-cosine candidate strictly below 0.8; both
+    * argmaxes tie-break to the smallest candidate id, so the triplet
+    * set is fully deterministic, and every score is the repo's
+    * micro-floored cosine over exact integer vectors.
+    *
+    * Scale shape: this exact form verifies ALL pairs of the corpus'
+    * hash embeddings (|docs|² bounded at the verify SF). The
+    * production path swaps the all-pairs candidate generator for the
+    * C5 LSH-banded candidates (positives) and a D1-style per-anchor
+    * top-k retrieval (negatives) — the selection arithmetic below is
+    * shared by both. The per-anchor argmaxes run as two windows over
+    * the filtered pair sets; at scale those become per-anchor heaps
+    * on the retrieval shortlist (constant per anchor), never a
+    * corpus-wide sort.
+    */
+  def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = HashEmbed.embeddings(s, dir).where(col("norm2") > 0)
+      .withColumn("nrm", sqrt(col("norm2").cast("double")))
+      .cache() // both sides of the pair join
+    val a = e.select(col("doc_id").as("anchor_id"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("doc_id").as("cand_id"), col("emb").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(broadcast(b), col("anchor_id") =!= col("cand_id"))
+      .select(col("anchor_id"), col("cand_id"),
+        floor(SemDedup.dotL(col("ea"), col("eb")).cast("double")
+          / (col("na") * col("nb")) * 1e6).cast("long").as("cos_micro"))
+    def best(filtered: DataFrame, prefix: String): DataFrame = {
+      val w = Window.partitionBy("anchor_id")
+        .orderBy(col("cos_micro").desc, col("cand_id"))
+      filtered.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("anchor_id"), col("cand_id").as(s"${prefix}_id"),
+          col("cos_micro").as(s"${prefix}_cos_micro"))
+    }
+    val pos = best(pairs.where(col("cos_micro") >= PosThetaMicro), "pos")
+    val neg = best(pairs.where(col("cos_micro") < NegThetaMicro), "neg")
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("pos_id"), col("pos_cos_micro"),
+        col("neg_id"), col("neg_cos_micro"),
+        (col("pos_cos_micro") - col("neg_cos_micro")).as("margin_micro"))
+      .orderBy("anchor_id")
+  }
+
+  /** DuckDB oracle for H8: HashEmbed's vector CTE chain + the same
+    * pair/argmax arithmetic, single-window form.
+    */
+  def contrastiveOracleSql: String = s"""${HashEmbed.vecSql},
+      e AS (
+        SELECT doc_id, emb::DOUBLE[] AS emb,
+               sqrt(CAST(norm2 AS DOUBLE)) AS nrm
+        FROM vecn WHERE norm2 > 0
+      ), pairs AS (
+        SELECT a.doc_id AS anchor_id, b.doc_id AS cand_id,
+               CAST(floor(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+                          * 1000000.0) AS BIGINT) AS cos_micro
+        FROM e a JOIN e b ON a.doc_id <> b.doc_id
+      ), pos AS (
+        SELECT anchor_id, cand_id AS pos_id, cos_micro AS pos_cos_micro
+        FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                ORDER BY cos_micro DESC, cand_id) AS rn
+              FROM pairs WHERE cos_micro >= $PosThetaMicro)
+        WHERE rn = 1
+      ), neg AS (
+        SELECT anchor_id, cand_id AS neg_id, cos_micro AS neg_cos_micro
+        FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                ORDER BY cos_micro DESC, cand_id) AS rn
+              FROM pairs WHERE cos_micro < $NegThetaMicro)
+        WHERE rn = 1
+      )
+      SELECT p.anchor_id, p.pos_id, p.pos_cos_micro, n.neg_id,
+             n.neg_cos_micro,
+             CAST(p.pos_cos_micro - n.neg_cos_micro AS BIGINT) AS margin_micro
+      FROM pos p JOIN neg n USING (anchor_id)
+      ORDER BY p.anchor_id"""
+
   /** Context-window length (tokens) for packing. */
   val SeqLen = 2048L
 

@@ -235,4 +235,48 @@ class AssemblySpec extends SparkSpecBase {
     val got = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got === expect)
   }
+
+  test("contrastive pairs: planted near-dups pair up, negatives are the hardest below threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = Seq(
+      1L -> s"$base lambda",          // near-dup of 2
+      2L -> s"$base mu",              // near-dup of 1
+      3L -> "alpha beta gamma other words here mixed bag of tokens",
+      4L -> "totally different vocabulary nothing shared at all here now") ++
+      (10L until 30L).map(i => i -> s"doc$i unique text number $i with words w${i}a w${i}b")
+    rows.map { case (id, t) => (id, t, "src0") }.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = operators.Assembly.contrastivePairs(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out.contains(1L) && out(1L)._1 === 2L, s"doc 1's positive is its near-dup: $out")
+    assert(out.contains(2L) && out(2L)._1 === 1L)
+    assert(!out.contains(4L), "a doc with no near-dup yields no triplet")
+    out.values.foreach { case (_, pc, _, nc, margin) =>
+      assert(pc >= operators.Assembly.PosThetaMicro)
+      assert(nc < operators.Assembly.NegThetaMicro)
+      assert(margin === pc - nc)
+    }
+    // corpus: thresholds hold on every triplet, and the negative is
+    // verifiably the HARDEST sub-threshold candidate for one anchor
+    val corpus = operators.Assembly.contrastivePairs(spark, sfDir)
+    val first = corpus.limit(1).collect()(0)
+    val (anchor, negId, negCos) = (first.getLong(0), first.getLong(3), first.getLong(4))
+    val e = operators.HashEmbed.embeddings(spark, sfDir).where(col("norm2") > 0)
+      .withColumn("nrm", sqrt(col("norm2").cast("double")))
+    val aRow = e.where(col("doc_id") === anchor).collect()(0)
+    val hardest = e.where(col("doc_id") =!= anchor).collect()
+      .map { r =>
+        val dot = r.getSeq[Long](1).zip(aRow.getSeq[Long](1)).map { case (x, y) => x * y }.sum
+        (r.getLong(0), math.floor(dot.toDouble / (r.getDouble(3) * aRow.getDouble(3)) * 1e6).toLong)
+      }
+      .filter(_._2 < operators.Assembly.NegThetaMicro)
+      .sortBy { case (id, c) => (-c, id) }.head
+    assert((negId, negCos) === hardest, "driver replay of the hardest negative")
+  }
 }
