@@ -160,6 +160,7 @@ object SparkEntry {
     "text_quality_classifier"    -> TextAnalysis.qualityClassifier _,
     "sim_hybrid_rrf"             -> Hybrid.retrieve _,
     "pipeline_contrastive_pairs" -> Assembly.contrastivePairs _,
+    "text_inverted_bm25"         -> Bm25.indexServedBm25 _,
     "pipeline_chunk_documents"   -> Assembly.chunkDocuments _,
     "pipeline_token_budget"      -> Assembly.tokenBudgetSample _,
     "pipeline_curriculum"        -> Assembly.curriculumStages _,
@@ -1915,6 +1916,11 @@ object SparkEntry {
     // two-level top-k provably returns the same rows because the
     // (score desc, doc_id) order is total.
     "text_bm25_retrieval" -> Bm25.oracleSql,
+
+    // Index-served BM25 (E15) must equal the scan-time form exactly —
+    // SAME oracle — which proves the incrementally-maintained
+    // postings index equals a from-scratch build.
+    "text_inverted_bm25" -> Bm25.oracleSql,
 
     // Hybrid RRF retrieval (D10): BM25's ranked CTE + the hash-embed
     // vector chain over the same VALUES query list, fused by exact

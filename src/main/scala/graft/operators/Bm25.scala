@@ -78,6 +78,15 @@ object Bm25 {
     // postings of queried terms only — the broadcast filter runs
     // BEFORE df/dl joins so downstream row counts are |postings|
     val matched = pair.join(broadcast(terms), Seq("word"))
+    scoreAndRank(matched, dls, stats, qterms)
+  }
+
+  /** The scoring + ranking stage, shared by the scan-time form above
+    * and the index-served form (E15): `matched` carries the queried
+    * terms' postings (word, doc_id, tf), however they were produced.
+    */
+  private[operators] def scoreAndRank(matched: DataFrame, dls: DataFrame,
+      stats: DataFrame, qterms: DataFrame): DataFrame = {
     val dfs = matched.groupBy("word").agg(count(lit(1)).as("df"))
     val scored = matched
       .join(dls, Seq("doc_id"))
@@ -109,6 +118,60 @@ object Bm25 {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_micro"), col("n_terms"))
       .orderBy("query_id", "rank")
+  }
+
+  /** E15: persisted inverted index + index-served BM25 with
+    * INCREMENTAL maintenance — the production IR shape (what Lucene
+    * segments are to a search tier): postings (word, doc_id, tf) live
+    * in a parquet table BUCKETED BY word, a doc-length sidecar rides
+    * next to it, and queries never touch the raw corpus again. The
+    * corpus is epoch-split like C12's span index: the historical
+    * 4/5 builds the index once, the "new batch" (every 5th doc) is
+    * absorbed APPEND-ONLY — batch postings append into the same
+    * bucket layout (doc sets are disjoint, so postings merge is pure
+    * append), the sidecar appends, and the corpus stats re-derive
+    * from the sidecar (|docs| rows, not |tokens|). Serving filters
+    * the postings table by the query terms — bucket pruning keeps the
+    * scan to the terms' buckets (spec-asserted SelectedBucketsCount)
+    * and the documents table is NEVER read (spec-asserted).
+    *
+    * Correctness gate: the result must be IDENTICAL to E13's
+    * scan-time BM25 — same oracle SQL — which proves the incremental
+    * index equals a from-scratch build, through the driver's hash
+    * compare.
+    */
+  def indexServedBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.GraftSink
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val all = docs(s, dir)
+    val isNewEpoch = pmod(col("doc_id"), lit(5L)) === 0L
+    def postings(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+    def doclens(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), size(words).cast("long").as("dl"))
+    val dlPath = GraftSink.scratchDir + "/graft_doclen"
+    // epoch-0 build (in production this already exists on disk)
+    GraftSink.writeBucketed(postings(all.where(!isNewEpoch)), "graft_postings", "word")
+    doclens(all.where(!isNewEpoch)).write.mode("overwrite").parquet(dlPath)
+    // incremental absorb: append-only on both artifacts, bucket
+    // layout preserved — no historical posting is rewritten
+    postings(all.where(isNewEpoch)).write.mode("append")
+      .bucketBy(8, "word").sortBy("word")
+      .option("path", GraftSink.scratchDir + "/tbl_graft_postings")
+      .format("parquet").saveAsTable("graft_postings")
+    doclens(all.where(isNewEpoch)).write.mode("append").parquet(dlPath)
+    // serve from the index alone: postings ⋈ query terms is a
+    // bucket-pruned scan; dl/stats come from the sidecar
+    val qterms = Queries.toDF("query_id", "term")
+    val terms = qterms.select(col("term").as("word")).distinct()
+    val matched = s.table("graft_postings").join(broadcast(terms), Seq("word"))
+    val sidecar = s.read.parquet(dlPath)
+    val dls = sidecar.where(col("dl") > 0L)
+    val stats = sidecar.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(sidecar.agg(sum("dl").as("l_tokens")))
+    scoreAndRank(matched, dls, stats, qterms)
   }
 
   /** The fixed query set as a SQL VALUES list — single source of

@@ -77,6 +77,28 @@ class Bm25Spec extends SparkSpecBase {
     assert(a === b, "salted two-level top-k must equal the global rank")
   }
 
+  test("index-served BM25 equals scan-time BM25; serving is bucket-pruned and never reads documents") {
+    val served = Bm25.indexServedBm25(spark, sfDir)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"query-term filter must prune postings buckets:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      "serving must read only the index artifacts, never the corpus")
+    val a = served.collect().map(_.toSeq).toSet
+    val b = Bm25.retrieve(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(a === b, "index-served result must equal the scan-time form")
+    // the incrementally-absorbed postings table equals a from-scratch
+    // tokenization of the full corpus
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val fresh = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+      .collect().map(_.toSeq).toSet
+    val idx = spark.table("graft_postings").collect().map(_.toSeq).toSet
+    assert(idx === fresh, "append-maintained index == from-scratch build")
+  }
+
   test("per-term idf matches driver Math.log (ULP diagnosability) and plan broadcasts the term filter") {
     val plan = Bm25.retrieve(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
