@@ -161,6 +161,7 @@ object SparkEntry {
     "sim_hybrid_rrf"             -> Hybrid.retrieve _,
     "pipeline_contrastive_pairs" -> Assembly.contrastivePairs _,
     "text_inverted_bm25"         -> Bm25.indexServedBm25 _,
+    "text_bigram_logprob"        -> TextAnalysis.bigramLogprob _,
     "pipeline_chunk_documents"   -> Assembly.chunkDocuments _,
     "pipeline_token_budget"      -> Assembly.tokenBudgetSample _,
     "pipeline_curriculum"        -> Assembly.curriculumStages _,
@@ -1932,6 +1933,45 @@ object SparkEntry {
     // and hardest-below-0.8 negatives over the E12 hash embeddings,
     // argmaxes tie-broken by candidate id — fully deterministic.
     "pipeline_contrastive_pairs" -> Assembly.contrastiveOracleSql,
+
+    // Bigram LM scoring (E16): E8 one Markov order up — bigram counts
+    // from list zips, prefix counts re-aggregated from the model
+    // table, add-one smoothing over the word-distinct vocabulary.
+    "text_bigram_logprob" -> """
+      WITH base AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS ws
+        FROM documents
+      ), bg0 AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM base WHERE len(ws) >= 2
+      ), pdb AS (
+        SELECT doc_id, bg, count(*) AS n FROM bg0 GROUP BY doc_id, bg
+      ), model AS (
+        SELECT bg, split_part(bg, ' ', 1) AS w1, sum(n) AS cnt_b
+        FROM pdb GROUP BY bg
+      ), prefix AS (
+        SELECT w1, sum(cnt_b) AS cnt_p FROM model GROUP BY w1
+      ), vocab AS (
+        SELECT count(DISTINCT word) AS v
+        FROM (SELECT unnest(ws) AS word FROM base)
+      ), wt AS (
+        SELECT m.bg,
+               CAST(floor(ln((m.cnt_b + 1) / CAST(p.cnt_p + vocab.v AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS lp
+        FROM model m JOIN prefix p USING (w1) CROSS JOIN vocab
+      ), perdoc AS (
+        SELECT doc_id, sum(n) AS n_bigrams, sum(lp * n) AS sum_lp
+        FROM pdb JOIN wt USING (bg) GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(p.sum_lp, 0) AS BIGINT) AS sum_lp_micro,
+             CAST(floor(CAST(coalesce(p.sum_lp, 0) AS DOUBLE)
+                        / greatest(coalesce(p.n_bigrams, 0), 1)) AS BIGINT) AS avg_lp_micro
+      FROM documents d LEFT JOIN perdoc p USING (doc_id)
+      ORDER BY d.doc_id""",
 
     // NB quality classifier (E14): H2's hash rule splits train/test,
     // one conditional word-count pass fits both class models, priors

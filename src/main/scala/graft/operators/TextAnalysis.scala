@@ -356,6 +356,63 @@ object TextAnalysis {
     * per-word weight table joins back on the distinct-pair table, and
     * the top-k is TakeOrdered (tree-reduced) — never a global sort.
     */
+  /** E16: bigram language-model scoring — E8's unigram gate moved one
+    * Markov order toward CCNet's KenLM: every document scores its
+    * average ln P(w_i | w_{i-1}) with add-one smoothing over the
+    * corpus vocabulary, P(w_i|w_{i-1}) = (cnt(w_{i-1} w_i) + 1) /
+    * (cnt_prefix(w_{i-1}) + V). Repetitive boilerplate scores HIGH
+    * (its bigrams repeat verbatim), gibberish scores LOW (unseen
+    * transitions hit the smoothing floor) — the two-sided signal the
+    * perplexity gate actually filters on.
+    *
+    * Exactness: E8's convention — per-bigram log-probs are floored to
+    * micro ints BEFORE the multiply-sum (exact long arithmetic from
+    * there), under the same documented ln-ULP assumption. Scale
+    * shape: bigram extraction is MAP-ONLY (zip the word array with
+    * its own tail — no self-join, no window); the per-(doc, bigram)
+    * pre-aggregate bounds the model join by distinct pairs; prefix
+    * counts derive from the bigram model table (no second corpus
+    * aggregate); the vocabulary size is one word-distinct aggregate
+    * broadcast as a single row.
+    */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val n = size(col("ws"))
+    // (w1, w2) adjacent pairs: words never contain whitespace, so the
+    // space-joined form is collision-free and groupable as one key
+    val bigrams = zip_with(
+      slice(col("ws"), lit(1), greatest(n - 1, lit(0))),
+      slice(col("ws"), lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val perDocBg = docs(s, dir)
+      .withColumn("ws", words)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+    val model = perDocBg.groupBy("bg").agg(sum("n").as("cnt_b"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val prefix = model.groupBy("w1").agg(sum("cnt_b").as("cnt_p"))
+    val vocab = docs(s, dir).select(explode(words).as("word"))
+      .agg(count_distinct(col("word")).as("v"))
+    val weights = model.join(prefix, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"),
+        floor(log((col("cnt_b") + 1).cast("double") /
+                  (col("cnt_p") + col("v")).cast("double")) * 1e6)
+          .cast("long").as("lp"))
+    val perDoc = perDocBg.join(weights, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"), sum(col("lp") * col("n")).as("sum_lp_micro"))
+    docs(s, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_lp_micro"), lit(0L)).as("sum_lp_micro"),
+        floor(coalesce(col("sum_lp_micro"), lit(0L)).cast("double") /
+              greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
+          .cast("long").as("avg_lp_micro"))
+      .orderBy("doc_id")
+  }
+
   /** E14: model-based quality classifier — the learned gate of the
     * public curation recipes (GPT-3's CommonCrawl quality filter,
     * Brown et al. 2020 §A; fastText-style linear bag-of-words), as a

@@ -320,6 +320,53 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("bigram logprob: repeated transitions score high, singleton-transition docs tie") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bg").toString
+    val repet = Seq.fill(10)("spark rules").mkString(" ")   // one bigram, 19×
+    val varied = (1 to 20).map(i => s"word$i").mkString(" ") // 19 distinct bigrams
+    val gibber = (1 to 20).map(i => s"zz$i qq$i").mkString(" ")
+    (Seq((1L, repet, "a"), (2L, varied, "a"), (3L, gibber, "a")) ++
+      (10L until 20L).map(i => (i, repet, "a")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.bigramLogprob(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // the add-one bigram model scores corpus-frequent TRANSITIONS: the
+    // repeated bigram ranks far above singleton transitions, and the
+    // two all-singleton docs tie exactly (each bigram seen once, each
+    // prefix once — the model is symmetric in them)
+    assert(out(1L) > out(2L), s"repeated transitions outscore singletons: $out")
+    assert(out(2L) === out(3L), s"all-singleton docs tie by symmetry: $out")
+    // corpus run + ULP diagnosability on every distinct (cnt_b, cnt_p)
+    val corpus = TextAnalysis.bigramLogprob(spark, sfDir)
+    assert(corpus.count() === 500)
+    val documents = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+    val wordsE = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val v = documents.select(explode(wordsE).as("w")).distinct().count()
+    val nw = size(col("ws"))
+    val bgs = documents.withColumn("ws", wordsE)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), greatest(nw - 1, lit(0))),
+        slice(col("ws"), lit(2), greatest(nw - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val model = bgs.groupBy("bg").agg(count(lit(1)).as("cnt_b"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val prefix = model.groupBy("w1").agg(sum("cnt_b").as("cnt_p"))
+    model.join(prefix, Seq("w1"))
+      .select(col("cnt_b"), col("cnt_p"),
+        floor(log((col("cnt_b") + 1).cast("double") / (col("cnt_p") + lit(v)).cast("double"))
+          * 1e6).cast("long").as("lp"))
+      .distinct().collect().foreach { r =>
+        val expect = math.floor(
+          math.log((r.getLong(0) + 1).toDouble / (r.getLong(1) + v).toDouble) * 1e6).toLong
+        assert(r.getLong(2) === expect,
+          s"bigram lp boundary drift at cnt_b=${r.getLong(0)} cnt_p=${r.getLong(1)}")
+      }
+  }
+
   test("NB quality classifier learns a planted signal and holds accuracy on the corpus") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_nb").toString
