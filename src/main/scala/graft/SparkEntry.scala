@@ -162,6 +162,7 @@ object SparkEntry {
     "pipeline_contrastive_pairs" -> Assembly.contrastivePairs _,
     "text_inverted_bm25"         -> Bm25.indexServedBm25 _,
     "text_bigram_logprob"        -> TextAnalysis.bigramLogprob _,
+    "q_nation_pagerank"          -> Analytic.qNationPagerank _,
     "pipeline_chunk_documents"   -> Assembly.chunkDocuments _,
     "pipeline_token_budget"      -> Assembly.tokenBudgetSample _,
     "pipeline_curriculum"        -> Assembly.curriculumStages _,
@@ -1933,6 +1934,10 @@ object SparkEntry {
     // and hardest-below-0.8 negatives over the E12 hash embeddings,
     // argmaxes tie-broken by candidate id — fully deterministic.
     "pipeline_contrastive_pairs" -> Assembly.contrastiveOracleSql,
+
+    // Weighted PageRank (B61): exact-integer power iteration over the
+    // nation trade graph, five unrolled CTEs with per-edge floors.
+    "q_nation_pagerank" -> Analytic.pagerankOracleSql,
 
     // Bigram LM scoring (E16): E8 one Markov order up — bigram counts
     // from list zips, prefix counts re-aggregated from the model

@@ -603,4 +603,108 @@ object Analytic {
       .agg(count(lit(1)).as("n_items"), dsumr(revenueExpr).as("revenue"))
       .orderBy("o_orderpriority")
   }
+
+  /** PageRank damping and iteration count (B62). */
+  val PrIters = 5
+
+  /** B62: weighted PageRank over the nation trade graph — iterative
+    * graph analytics beyond C6's connected components (Page et al.
+    * 1999; the quality-propagation signal CommonCrawl-derived corpora
+    * rank domains with). Nodes are nations; an edge u→v weighs how
+    * many lineitems nation u's suppliers shipped into nation v's
+    * customers (Q7's join topology, aggregated to the full matrix).
+    *
+    * Exactness: the recurrence is defined in exact integer micro
+    * arithmetic — edge fractions frac_uv = (n_uv·1e6) div out_u
+    * computed ONCE, then r'(v) = (150000 div N) + Σ_u (850·r(u)·
+    * frac_uv) div 1e9, floored per edge — so five iterations replay
+    * bit-for-bit as five unrolled CTEs in any integer-exact engine
+    * (SURVEY.md §6's iterative pattern). Dangling mass (nations with
+    * no out-edges) is dropped, the standard "weak" formulation;
+    * ranks order by (score desc, name) so the output is total.
+    *
+    * Scale shape: the edge build is Q7's star join (broadcast dims,
+    * one fact shuffle) collapsed to a ≤N² edge table; each iteration
+    * is one broadcast-able join of the edge table with the N-row rank
+    * vector plus one N-key aggregate — at web scale (N = domains)
+    * this is the classic edge-partitioned power iteration, and the
+    * per-edge integer floor keeps it deterministic under any
+    * partitioning. Plans are localCheckpoint-truncated per round
+    * (§ verify gotcha: union/join would otherwise double plan depth
+    * per iteration), superseded checkpoints released eagerly.
+    */
+  def qNationPagerank(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val nodes0 = c.table("nation").select(col("n_nationkey").as("key"), col("n_name"))
+    val nstats = nodes0.agg(count(lit(1)).as("nn"))
+    val nodes = nodes0.crossJoin(broadcast(nstats))
+      .select(col("key"), col("n_name"),
+        expr("150000 div nn").as("base"), expr("1000000 div nn").as("r0"))
+    val e = c.table("lineitem")
+      .join(c.table("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(c.table("customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(c.table("supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("u"), col("c_nationkey").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n_uv"))
+    val outs = e.groupBy("u").agg(sum("n_uv").as("out_u"))
+    val frac = e.join(outs, Seq("u"))
+      .select(col("u"), col("v"), expr("(n_uv * 1000000L) div out_u").as("frac_micro"))
+      .cache() // reused by every power iteration
+    var r = nodes.select(col("key"), col("r0").as("r")).localCheckpoint()
+    for (_ <- 1 to PrIters) {
+      val prev = r
+      val inc = frac.join(r, col("u") === col("key"))
+        .select(col("v"), expr("(850L * r * frac_micro) div 1000000000L").as("contrib"))
+        .groupBy("v").agg(sum("contrib").as("inc"))
+      r = nodes.join(inc, col("key") === col("v"), "left")
+        .select(col("key"), (col("base") + coalesce(col("inc"), lit(0L))).as("r"))
+        .localCheckpoint()
+      graft.GraftSession.releaseCheckpoint(prev)
+    }
+    frac.unpersist()
+    val w = Window.orderBy(col("r").desc, col("n_name"))
+    nodes0.join(r, Seq("key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("n_name"), col("r").as("pagerank_micro"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB oracle for B62: the same recurrence as PrIters unrolled
+    * CTEs — per-edge integer floors make every round bit-identical.
+    */
+  def pagerankOracleSql: String = {
+    val iters = (1 to PrIters).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""r$k AS (
+        SELECT n.key, (150000 // ns.nn) + coalesce(i.inc, 0) AS r
+        FROM nodes n CROSS JOIN ns LEFT JOIN (
+          SELECT f.v, sum((850 * p.r * f.frac_micro) // 1000000000) AS inc
+          FROM frac f JOIN $prev p ON f.u = p.key GROUP BY f.v) i
+        ON n.key = i.v)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH nodes AS (SELECT n_nationkey AS key, n_name FROM nation),
+      ns AS (SELECT count(*) AS nn FROM nodes),
+      e AS (
+        SELECT s_nationkey AS u, c_nationkey AS v, count(*) AS n_uv
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey, c_nationkey
+      ), outs AS (SELECT u, sum(n_uv) AS out_u FROM e GROUP BY u),
+      frac AS (
+        SELECT e.u, e.v, (e.n_uv * 1000000) // o.out_u AS frac_micro
+        FROM e JOIN outs o ON e.u = o.u
+      ),
+      r0 AS (SELECT key, 1000000 // nn AS r FROM nodes CROSS JOIN ns),
+      $iters
+      SELECT CAST(rank AS BIGINT) AS rank, n_name,
+             CAST(r AS BIGINT) AS pagerank_micro
+      FROM (
+        SELECT row_number() OVER (ORDER BY r DESC, n_name) AS rank,
+               n_name, r
+        FROM r$PrIters JOIN nodes USING (key))
+      ORDER BY rank"""
+  }
 }

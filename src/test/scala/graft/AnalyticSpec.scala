@@ -157,4 +157,41 @@ class AnalyticSpec extends SparkSpecBase {
     assert(bloom.map(r => (r.getString(0), r.getLong(1))).toSeq ===
       plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
+
+  test("nation pagerank: exact driver replay of the integer power iteration") {
+    import org.apache.spark.sql.functions._
+    val out = Analytic.qNationPagerank(spark, sfDir).collect()
+    assert(out.length === 25)
+    assert(out.map(_.getLong(0)).toSeq === (1L to 25L))
+    // mass is bounded above by 1 (floors only lose); the weak
+    // formulation DROPS dangling mass, and at tiny SF most nations
+    // have no suppliers, so the loss can be large — exactness, not
+    // conservation, is the contract (the replay below)
+    val mass = out.map(_.getLong(2)).sum
+    assert(mass <= 1000000L && mass > 0L, s"mass out of bounds: $mass")
+    // replay the recurrence on the driver from the same edge counts
+    val c = new graft.sources.GraftCatalog(spark, sfDir)
+    val e = c.table("lineitem")
+      .join(c.table("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(c.table("customer"), col("o_custkey") === col("c_custkey"))
+      .join(c.table("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("u"), col("c_nationkey").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue, r.getLong(2)))
+    val outU = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val frac = e.map { case (u, v, n) => (u, v, n * 1000000L / outU(u)) }
+    val nations = c.table("nation").select("n_nationkey", "n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val nn = nations.size
+    var r = nations.keys.map(_ -> 1000000L / nn).toMap
+    for (_ <- 1 to Analytic.PrIters) {
+      val inc = frac.groupBy(_._2).view.mapValues(
+        _.map { case (u, _, f) => 850L * r(u) * f / 1000000000L }.sum).toMap
+      r = nations.keys.map(k => k -> (150000L / nn + inc.getOrElse(k, 0L))).toMap
+    }
+    val expect = nations.toSeq.map { case (k, name) => (name, r(k)) }
+      .sortBy { case (name, score) => (-score, name) }
+    assert(out.map(r0 => (r0.getString(1), r0.getLong(2))).toSeq === expect,
+      "engine pagerank must equal the driver replay exactly")
+  }
 }
