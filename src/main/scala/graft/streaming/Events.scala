@@ -19,16 +19,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Events {
 
-  /** events.parquet carries TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong the column arrives as long
-    * nanoseconds — convert to a microsecond timestamp here (integer
-    * `div`, not `/`: double division loses precision above 2^53).
+  /** events.parquet has carried `ts` as TIMESTAMP(NANOS) (arrives as
+    * long nanoseconds under spark.sql.legacy.parquet.nanosAsLong) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as TimestampNTZ).
+    * Normalize both to TimestampType: the session timezone is pinned to
+    * UTC, so the NTZ→TZ cast preserves the wall clock exactly, and every
+    * downstream consumer (watermarks, java.sql.Timestamp encoders, the
+    * DuckDB oracle compare) sees one stable type. Nanos path uses integer
+    * `div`, not `/`: double division loses precision above 2^53.
     */
   private[graft] def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = new GraftCatalog(s, dir).table("events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   // ── G1: windowed counts ──
