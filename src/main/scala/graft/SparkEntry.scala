@@ -106,6 +106,11 @@ object SparkEntry {
     "q_funnel_conversion"        -> Behavioral.qFunnelConversion _,
     "q_cohort_retention"         -> Behavioral.qCohortRetention _,
     "q_scd2_user_status"         -> Behavioral.qScd2UserStatus _,
+    "q_markov_transitions"       -> Behavioral.qMarkovTransitions _,
+    "q_session_paths"            -> Behavioral.qSessionPaths _,
+    "q_basket_lift"              -> Affinity.qBasketLift _,
+    "dedup_sorted_neighborhood"  -> Affinity.sortedNeighborhood _,
+    "prof_correlation"           -> Profiling.profileCorrelation _,
     "q2_min_cost_supplier"       -> TpchPatterns.q2MinCostSupplier _,
     "q11_important_parts"        -> TpchPatterns.q11ImportantParts _,
     "q12_priority_by_flag"       -> TpchPatterns.q12PriorityByFlag _,
@@ -890,6 +895,130 @@ object SparkEntry {
              CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   AS INT) AS is_current
       FROM kept ORDER BY user_id, valid_from""",
+
+    // B63: adjacent-pair extraction via lead(), probabilities as
+    // exact integer micros over the per-prev row total
+    "q_markov_transitions" -> """
+      WITH t AS (
+        SELECT event_type AS prev_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events),
+      c AS (
+        SELECT prev_type, next_type, count(*) AS n
+        FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+             CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_micro
+      FROM c ORDER BY prev_type, next_type""",
+
+    // B64: 30-minute-gap sessions; steps truncated to 5 BEFORE the
+    // path fold (matching the Spark side's bounded collect)
+    "q_session_paths" -> """
+      WITH g AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+        FROM g),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, session_no ORDER BY ts, event_id) AS step
+        FROM s),
+      p AS (
+        SELECT user_id, session_no,
+               string_agg(event_type, '>' ORDER BY step) AS path
+        FROM r WHERE step <= 5 GROUP BY user_id, session_no)
+      SELECT path, count(*) AS n_sessions
+      FROM p GROUP BY path
+      ORDER BY n_sessions DESC, path LIMIT 20""",
+
+    // B65: pair space bounded by per-order baskets; lift in exact
+    // integer micros through HUGEINT (mirrors Spark's DECIMAL(38,0))
+    "q_basket_lift" -> """
+      WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      pc AS (
+        SELECT l_partkey, count(*) AS n_part FROM op GROUP BY 1),
+      tot AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM op)
+      SELECT part_a, part_b, n_ab,
+             CAST(CAST(n_ab AS HUGEINT) * n_orders * 1000000
+                  // (CAST(ca.n_part AS HUGEINT) * cb.n_part) AS BIGINT) AS lift_micro
+      FROM pairs
+      JOIN pc ca ON ca.l_partkey = part_a
+      JOIN pc cb ON cb.l_partkey = part_b
+      CROSS JOIN tot
+      ORDER BY n_ab DESC, part_a, part_b LIMIT 50""",
+
+    // C14: sorted-neighborhood candidates (w=3 within first-token
+    // runs), plain unit-cost Levenshtein in both engines
+    "dedup_sorted_neighborhood" -> """
+      WITH d AS (
+        SELECT doc_id, substr(text, 1, 64) AS pfx,
+               split_part(substr(text, 1, 64), ' ', 1) AS blk
+        FROM documents),
+      n AS (
+        SELECT doc_id, pfx,
+               lead(doc_id, 1) OVER w AS id1, lead(pfx, 1) OVER w AS p1,
+               lead(doc_id, 2) OVER w AS id2, lead(pfx, 2) OVER w AS p2,
+               lead(doc_id, 3) OVER w AS id3, lead(pfx, 3) OVER w AS p3
+        FROM d WINDOW w AS (PARTITION BY blk ORDER BY pfx, doc_id)),
+      c AS (
+        SELECT doc_id AS a, id1 AS b, levenshtein(pfx, p1) AS dist
+        FROM n WHERE id1 IS NOT NULL
+        UNION ALL SELECT doc_id, id2, levenshtein(pfx, p2) FROM n WHERE id2 IS NOT NULL
+        UNION ALL SELECT doc_id, id3, levenshtein(pfx, p3) FROM n WHERE id3 IS NOT NULL)
+      SELECT least(a, b) AS doc_a, greatest(a, b) AS doc_b,
+             CAST(dist AS BIGINT) AS edit_dist
+      FROM c WHERE dist <= 16
+      ORDER BY doc_a, doc_b""",
+
+    // B67: exact HUGEINT moment sums; every post-sum op (cast, sqrt,
+    // *, /) is IEEE correctly rounded, so the floored micro matches
+    // Spark bit-for-bit with no ULP caveat (contrast E8's ln note)
+    "prof_correlation" -> """
+      WITH b AS (
+        SELECT CAST(CAST(l_quantity AS DECIMAL(28,2)) * 100 AS BIGINT) AS x1,
+               CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT) AS x2,
+               CAST(CAST(l_discount AS DECIMAL(28,2)) * 100 AS BIGINT) AS x3
+        FROM lineitem),
+      m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+               sum(CAST(x3 AS HUGEINT)) AS s3,
+               sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+               sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+               sum(CAST(x3 AS HUGEINT) * x3) AS s33,
+               sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+               sum(CAST(x1 AS HUGEINT) * x3) AS s13,
+               sum(CAST(x2 AS HUGEINT) * x3) AS s23
+        FROM b)
+      SELECT col_x, col_y, corr_micro FROM (
+        SELECT 'l_discount' AS col_x, 'l_extendedprice' AS col_y,
+               CAST(floor(CAST(n * s23 - s3 * s2 AS DOUBLE) * 1e6 /
+                 (sqrt(CAST(n * s33 - s3 * s3 AS DOUBLE)) *
+                  sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE)))) AS BIGINT) AS corr_micro
+        FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount',
+               CAST(floor(CAST(n * s13 - s1 * s3 AS DOUBLE) * 1e6 /
+                 (sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE)) *
+                  sqrt(CAST(n * s33 - s3 * s3 AS DOUBLE)))) AS BIGINT)
+        FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_extendedprice',
+               CAST(floor(CAST(n * s12 - s1 * s2 AS DOUBLE) * 1e6 /
+                 (sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE)) *
+                  sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE)))) AS BIGINT)
+        FROM m)
+      ORDER BY col_x, col_y""",
 
     "src_v2_inputformat_scan" -> """
       SELECT count(*) AS n,

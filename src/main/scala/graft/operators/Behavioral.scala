@@ -88,6 +88,85 @@ object Behavioral {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** B63: first-order Markov transition matrix over the event stream —
+    * P(next event type | current event type), the navigation-model /
+    * next-action-prediction pass (and the edge table a journey graph
+    * or a Markov-chain attribution model starts from). The reference's
+    * consumers would chain two MR jobs (adjacent-pair emit, then
+    * count); here it is one window + one aggregate.
+    *
+    * Shape: `lead()` over the SAME (user_id, ts, event_id) window
+    * spec as B57 — adjacent-pair extraction is one Exchange on
+    * user_id. The pair aggregate that follows collapses map-side to
+    * |types|² rows, and the per-source probability normalization
+    * runs as a window over that TINY aggregate (kilobytes), never
+    * over the event log. Probabilities are exact integer micros
+    * (n·1e6 div row-total) — no FP anywhere, value-exact in any
+    * engine at any partitioning.
+    */
+  def qMarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Events.eventsTable(s, dir)
+      .select("user_id", "event_type", "ts", "event_id")
+      .withColumn("next_type", lead(col("event_type"), 1).over(wOrd))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_micro",
+        expr("n * 1000000L div sum(n) over (partition by prev_type)"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** B64: top user-journey paths — sessionize (30-minute inactivity
+    * gap, B57's deterministic tie-break), render each session's first
+    * 5 steps as a `view>click>purchase` path string, count sessions
+    * per path. The "what do users actually do" report every event
+    * pipeline ends up writing.
+    *
+    * Scale shape: session assignment (lag + running sum of
+    * boundaries), per-session step numbering, and the per-session
+    * path fold all partition by user_id — ONE Exchange of the event
+    * log shared by both window specs and the groupBy. Steps are
+    * truncated to 5 with row_number BEFORE the collect, so per-group
+    * state is a bounded 5-element array even for a runaway session
+    * (collect-then-slice would buffer the whole session). The path
+    * aggregate output is |distinct paths| ≤ |types|^5 rows, and the
+    * final top-20 is a tree-reduced TakeOrdered, never a global sort.
+    * Path assembly sorts the ≤5 collected (step, type) structs —
+    * deterministic under any partitioning, no order-dependent
+    * collect_list assumption.
+    */
+  def qSessionPaths(s: SparkSession, dir: String): DataFrame =
+    sessionPaths(Events.eventsTable(s, dir))
+
+  /** The path fold over an arbitrary (user_id, event_type, ts,
+    * event_id) frame — the testable core of B64.
+    */
+  private[graft] def sessionPaths(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapped = events
+      .select("user_id", "event_type", "ts", "event_id")
+      .withColumn("new_session",
+        when(col("ts").cast("long") -
+          lag(col("ts"), 1).over(wOrd).cast("long") > 1800L, 1L)
+          .when(lag(col("ts"), 1).over(wOrd).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(wOrd))
+    val wSess = Window.partitionBy("user_id", "session_no")
+      .orderBy(col("ts"), col("event_id"))
+    gapped
+      .withColumn("step", row_number().over(wSess))
+      .where(col("step") <= 5)
+      .groupBy("user_id", "session_no")
+      .agg(collect_list(struct(col("step"), col("event_type"))).as("steps"))
+      .select(array_join(
+        expr("transform(array_sort(steps), x -> x.event_type)"), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   /** B57: slowly-changing-dimension (type 2) build from the event
     * log — per user, collapse consecutive repeats of `event_type`
     * into status intervals [valid_from, valid_to) with an is_current

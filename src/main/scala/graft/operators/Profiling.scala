@@ -106,4 +106,58 @@ object Profiling {
       .withColumn("pass", (col("violations") === 0).cast("int"))
       .orderBy("rule")
   }
+
+  /** B67: pairwise Pearson correlation of lineitem's numeric columns —
+    * the column-dependency screen (redundant features, derived-column
+    * detection) a profiling sweep adds on top of B38's per-column
+    * stats. One scan, one single-row aggregate; everything after is
+    * driver-scale.
+    *
+    * Exactness: the five moment sums are computed over exact
+    * cents-integers (the DECIMAL(28,2)·100 trick) in DECIMAL(38,0) —
+    * partial aggregation is exact integer addition, so the sums are
+    * partition-layout invariant and 128-bit-safe at 100 TB row counts
+    * (n·Σx² ≈ 1e36 fits in 38 digits). The final correlation needs a
+    * square root, so it leaves integer space — but UNLIKE ln (E8's
+    * documented ULP caveat), every op after the exact sums
+    * (int→double cast, sqrt, multiply, divide) is IEEE-754
+    * CORRECTLY ROUNDED: identical inputs give bit-identical doubles
+    * in every conforming engine, so the micro-floored correlation is
+    * value-exact cross-engine with no boundary assumption. The
+    * oracle mirrors the expression shape operation for operation.
+    *
+    * Plan: ONE aggregate over a 3-column scan produces every moment
+    * (map-side partials, a single-row exchange); the three output
+    * pairs are projections of that row. No per-pair rescan, no
+    * VectorAssembler-style row materialization.
+    */
+  def profileCorrelation(s: SparkSession, dir: String): DataFrame = {
+    def cents(c: String) =
+      expr(s"CAST(CAST($c AS DECIMAL(28,2)) * 100 AS BIGINT)")
+    val li = new graft.sources.GraftCatalog(s, dir).table("lineitem")
+      .select(cents("l_quantity").as("x1"),
+        cents("l_extendedprice").as("x2"),
+        cents("l_discount").as("x3"))
+    def dsum(e: String) = sum(expr(s"CAST($e AS DECIMAL(38,0))"))
+    val m = li.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      dsum("x1").as("s1"), dsum("x2").as("s2"), dsum("x3").as("s3"),
+      dsum("x1 * x1").as("s11"), dsum("x2 * x2").as("s22"),
+      dsum("x3 * x3").as("s33"), dsum("x1 * x2").as("s12"),
+      dsum("x1 * x3").as("s13"), dsum("x2 * x3").as("s23"))
+    def corr(si: String, sj: String, sij: String, sii: String, sjj: String) =
+      s"""CAST(floor(CAST(n * $sij - $si * $sj AS DOUBLE) * 1e6 /
+         (sqrt(CAST(n * $sii - $si * $si AS DOUBLE)) *
+          sqrt(CAST(n * $sjj - $sj * $sj AS DOUBLE)))) AS BIGINT)"""
+    // ONE projection over the single aggregate row (stack, not a
+    // union of three selects — a union would embed the aggregate
+    // subtree once per pair)
+    m.selectExpr(
+      s"""stack(3,
+        'l_discount', 'l_extendedprice', ${corr("s3", "s2", "s23", "s33", "s22")},
+        'l_quantity', 'l_discount', ${corr("s1", "s3", "s13", "s11", "s33")},
+        'l_quantity', 'l_extendedprice', ${corr("s1", "s2", "s12", "s11", "s22")}
+      ) AS (col_x, col_y, corr_micro)""")
+      .orderBy("col_x", "col_y")
+  }
 }
