@@ -43,6 +43,7 @@ object SparkEntry {
     "src_compaction"             -> Relational.srcCompaction _,
     "src_zorder_scan"            -> Relational.srcZorderScan _,
     "src_snapshot_diff"          -> Relational.srcSnapshotDiff _,
+    "src_time_travel"            -> Relational.srcTimeTravel _,
     "src_dynamic_overwrite"      -> Relational.srcDynamicOverwrite _,
     "src_merge_upsert"           -> Relational.srcMergeUpsert _,
     "src_merge_delete"           -> Relational.srcMergeDelete _,
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_session_paths"            -> Behavioral.qSessionPaths _,
     "q_basket_lift"              -> Affinity.qBasketLift _,
     "dedup_sorted_neighborhood"  -> Affinity.sortedNeighborhood _,
+    "dedup_sorted_neighborhood_multi" -> Affinity.sortedNeighborhoodMulti _,
     "prof_correlation"           -> Profiling.profileCorrelation _,
     "q2_min_cost_supplier"       -> TpchPatterns.q2MinCostSupplier _,
     "q11_important_parts"        -> TpchPatterns.q11ImportantParts _,
@@ -743,6 +745,13 @@ object SparkEntry {
       FROM orders WHERE o_orderstatus = 'F'
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    // A26: the epoch-1 pin — post-pin 'F' arrivals must be invisible
+    "src_time_travel" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     // A17: untouched partitions + the re-derived 'F' partition
     "src_dynamic_overwrite" -> """
       SELECT o_orderstatus, count(*) AS n,
@@ -957,27 +966,47 @@ object SparkEntry {
       CROSS JOIN tot
       ORDER BY n_ab DESC, part_a, part_b LIMIT 50""",
 
-    // C14: sorted-neighborhood candidates (w=3 within first-token
-    // runs), plain unit-cost Levenshtein in both engines
+    // C14: sorted-neighborhood candidates — each doc vs its w=3
+    // followers in the GLOBAL (pfx, doc_id) order (the engine's range
+    // partition + dense global index is exactly row_number here),
+    // plain unit-cost Levenshtein in both engines
     "dedup_sorted_neighborhood" -> """
       WITH d AS (
-        SELECT doc_id, substr(text, 1, 64) AS pfx,
-               split_part(substr(text, 1, 64), ' ', 1) AS blk
-        FROM documents),
-      n AS (
+        SELECT doc_id, substr(text, 1, 64) AS pfx FROM documents),
+      r AS (
         SELECT doc_id, pfx,
-               lead(doc_id, 1) OVER w AS id1, lead(pfx, 1) OVER w AS p1,
-               lead(doc_id, 2) OVER w AS id2, lead(pfx, 2) OVER w AS p2,
-               lead(doc_id, 3) OVER w AS id3, lead(pfx, 3) OVER w AS p3
-        FROM d WINDOW w AS (PARTITION BY blk ORDER BY pfx, doc_id)),
+               row_number() OVER (ORDER BY pfx, doc_id) AS rn
+        FROM d),
       c AS (
-        SELECT doc_id AS a, id1 AS b, levenshtein(pfx, p1) AS dist
-        FROM n WHERE id1 IS NOT NULL
-        UNION ALL SELECT doc_id, id2, levenshtein(pfx, p2) FROM n WHERE id2 IS NOT NULL
-        UNION ALL SELECT doc_id, id3, levenshtein(pfx, p3) FROM n WHERE id3 IS NOT NULL)
-      SELECT least(a, b) AS doc_a, greatest(a, b) AS doc_b,
-             CAST(dist AS BIGINT) AS edit_dist
-      FROM c WHERE dist <= 16
+        SELECT a.doc_id AS ida, a.pfx AS pa, b.doc_id AS idb, b.pfx AS pb
+        FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3)
+      SELECT least(ida, idb) AS doc_a, greatest(ida, idb) AS doc_b,
+             CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist
+      FROM c WHERE levenshtein(pa, pb) <= 16
+      ORDER BY doc_a, doc_b""",
+
+    // C14b: the full multi-pass method — forward-prefix pass UNION a
+    // reversed-prefix (rotated key) pass, de-duplicated
+    "dedup_sorted_neighborhood_multi" -> """
+      WITH d AS (
+        SELECT doc_id, substr(text, 1, 64) AS pfx FROM documents),
+      r1 AS (
+        SELECT doc_id, pfx,
+               row_number() OVER (ORDER BY pfx, doc_id) AS rn
+        FROM d),
+      r2 AS (
+        SELECT doc_id, pfx,
+               row_number() OVER (ORDER BY reverse(pfx), doc_id) AS rn
+        FROM d),
+      c AS (
+        SELECT a.doc_id AS ida, a.pfx AS pa, b.doc_id AS idb, b.pfx AS pb
+        FROM r1 a JOIN r1 b ON b.rn - a.rn BETWEEN 1 AND 3
+        UNION
+        SELECT a.doc_id, a.pfx, b.doc_id, b.pfx
+        FROM r2 a JOIN r2 b ON b.rn - a.rn BETWEEN 1 AND 3)
+      SELECT DISTINCT least(ida, idb) AS doc_a, greatest(ida, idb) AS doc_b,
+             CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist
+      FROM c WHERE levenshtein(pa, pb) <= 16
       ORDER BY doc_a, doc_b""",
 
     // B67: exact HUGEINT moment sums; every post-sum op (cast, sqrt,
@@ -1003,20 +1032,20 @@ object SparkEntry {
       SELECT col_x, col_y, corr_micro FROM (
         SELECT 'l_discount' AS col_x, 'l_extendedprice' AS col_y,
                CAST(floor(CAST(n * s23 - s3 * s2 AS DOUBLE) * 1e6 /
-                 (sqrt(CAST(n * s33 - s3 * s3 AS DOUBLE)) *
-                  sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE)))) AS BIGINT) AS corr_micro
+                 nullif(sqrt(CAST(n * s33 - s3 * s3 AS DOUBLE)) *
+                        sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE)), 0.0)) AS BIGINT) AS corr_micro
         FROM m
         UNION ALL
         SELECT 'l_quantity', 'l_discount',
                CAST(floor(CAST(n * s13 - s1 * s3 AS DOUBLE) * 1e6 /
-                 (sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE)) *
-                  sqrt(CAST(n * s33 - s3 * s3 AS DOUBLE)))) AS BIGINT)
+                 nullif(sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE)) *
+                        sqrt(CAST(n * s33 - s3 * s3 AS DOUBLE)), 0.0)) AS BIGINT)
         FROM m
         UNION ALL
         SELECT 'l_quantity', 'l_extendedprice',
                CAST(floor(CAST(n * s12 - s1 * s2 AS DOUBLE) * 1e6 /
-                 (sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE)) *
-                  sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE)))) AS BIGINT)
+                 nullif(sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE)) *
+                        sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE)), 0.0)) AS BIGINT)
         FROM m)
       ORDER BY col_x, col_y""",
 

@@ -662,10 +662,17 @@ object Analytic {
       graft.GraftSession.releaseCheckpoint(prev)
     }
     frac.unpersist()
-    val w = Window.orderBy(col("r").desc, col("n_name"))
-    nodes0.join(r, Seq("key"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("rank"), col("n_name"), col("r").as("pagerank_micro"))
+    // final ranking: a dense GLOBAL rank via range partition +
+    // zipWithIndex (GlobalOrder) — at N=25 nations a plain window
+    // would do, but the operator's web-domain pitch has N = 10^8
+    // nodes, where `Window.orderBy` with no partition is a
+    // SinglePartition funnel (the B58→B58b lesson).
+    val ranked = GlobalOrder.index(
+      nodes0.join(r, Seq("key")).select(col("n_name"), col("r")),
+      col("r").desc, col("n_name"))
+    ranked
+      .select((col("rn") + 1L).as("rank"), col("n_name"),
+        col("r").as("pagerank_micro"))
       .orderBy("rank")
   }
 

@@ -138,17 +138,26 @@ object Profiling {
       .select(cents("l_quantity").as("x1"),
         cents("l_extendedprice").as("x2"),
         cents("l_discount").as("x3"))
+    // widen ONE operand BEFORE the product: x_i·x_j in BIGINT would
+    // silently wrap (non-ANSI) once cents magnitudes pass ~3e9 — the
+    // 128-bit safety must cover the per-row products, not just the sums
     def dsum(e: String) = sum(expr(s"CAST($e AS DECIMAL(38,0))"))
+    def dprod(a: String, b: String) =
+      sum(expr(s"CAST($a AS DECIMAL(38,0)) * $b"))
     val m = li.agg(
       count(lit(1)).cast("decimal(38,0)").as("n"),
       dsum("x1").as("s1"), dsum("x2").as("s2"), dsum("x3").as("s3"),
-      dsum("x1 * x1").as("s11"), dsum("x2 * x2").as("s22"),
-      dsum("x3 * x3").as("s33"), dsum("x1 * x2").as("s12"),
-      dsum("x1 * x3").as("s13"), dsum("x2 * x3").as("s23"))
+      dprod("x1", "x1").as("s11"), dprod("x2", "x2").as("s22"),
+      dprod("x3", "x3").as("s33"), dprod("x1", "x2").as("s12"),
+      dprod("x1", "x3").as("s13"), dprod("x2", "x3").as("s23"))
+    // nullif guards a zero-variance column: sqrt(0)·sqrt(·) = 0 would
+    // make the division ±Infinity/NaN, where Spark's non-ANSI BIGINT
+    // cast yields null but DuckDB ERRORS — emit NULL identically in
+    // both engines instead of diverging on degenerate input
     def corr(si: String, sj: String, sij: String, sii: String, sjj: String) =
       s"""CAST(floor(CAST(n * $sij - $si * $sj AS DOUBLE) * 1e6 /
-         (sqrt(CAST(n * $sii - $si * $si AS DOUBLE)) *
-          sqrt(CAST(n * $sjj - $sj * $sj AS DOUBLE)))) AS BIGINT)"""
+         nullif(sqrt(CAST(n * $sii - $si * $si AS DOUBLE)) *
+                sqrt(CAST(n * $sjj - $sj * $sj AS DOUBLE)), 0.0D)) AS BIGINT)"""
     // ONE projection over the single aggregate row (stack, not a
     // union of three selects — a union would embed the aggregate
     // subtree once per pair)

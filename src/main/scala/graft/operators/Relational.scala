@@ -406,6 +406,37 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A26: snapshot time-travel read — the "read the table AS OF the
+    * pin before the bad write" every production user reaches for.
+    * Epoch 1 lands and its pin is PUBLISHED as a numbered snapshot
+    * (GraftCatalog.publishSnapshot — a durable file-listing manifest,
+    * one O(files) metadata write); epoch 2 appends; a completely
+    * fresh catalog (whose own pin sees BOTH epochs) reads
+    * `tableAsOf(v1)` and must hash-match the oracle's epoch-1
+    * predicate — proving the addressed snapshot, not the current
+    * listing, drove the scan. The no-leak direction (post-pin
+    * arrivals invisible) is also spec-asserted with both epochs
+    * live.
+    */
+  def srcTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.GraftSink.scratchDir + "/ttdemo"
+    val tbl = s"$root/orders.parquet"
+    // idempotent re-runs: clear prior epochs AND the snapshot log
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(s.sessionState.newHadoopConf()).delete(rp, true)
+    val orders = cat(s, dir).table("orders")
+    orders.where(col("o_orderstatus") === "O")
+      .write.mode("overwrite").parquet(tbl)
+    val v1 = new GraftCatalog(s, root).publishSnapshot("orders")
+    // the bad write: finalized orders land after the pin
+    orders.where(col("o_orderstatus") === "F")
+      .write.mode("append").parquet(tbl)
+    new GraftCatalog(s, root).tableAsOf("orders", v1)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A17: dynamic partition overwrite — the idempotent backfill: one
     * partition is rewritten in place (here the 'F' partition,
     * re-derived with a quality predicate) while sibling partitions

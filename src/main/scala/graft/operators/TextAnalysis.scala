@@ -447,6 +447,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("ws"),
         when(nw > 0L && ns * 1000000L >= nw * 60000L, 1L).otherwise(0L).as("label"),
         (pmod(col("doc_id") * 1048573L + 11L, lit(1000000L)) < 500000L).as("is_train"))
+      // `labeled` feeds the pair table AND the priors AND the held-out
+      // select — cache it so the tokenize pass runs once, not three
+      // times (the E11 discipline below)
+      .cache()
     val pair = labeled
       .select(col("doc_id"), col("label"), col("is_train"), explode(col("ws")).as("word"))
       .groupBy("doc_id", "label", "is_train", "word").agg(count(lit(1)).as("n"))

@@ -145,6 +145,72 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** A26: publish this catalog's pinned snapshot of `name` as a
+    * NUMBERED, durable epoch under `<root>/_snapshots/<name>/v<id>` —
+    * the time-travel completion of the snapshot story: the in-memory
+    * pin dies with the catalog, but a published pin can be read AS OF
+    * by any later session (`tableAsOf`). The log entry is a tiny
+    * file-listing manifest (one metadata write per epoch — at 100 TB
+    * the cost is O(files), not O(data)); parquet immutability makes
+    * the manifest sufficient: files named by an old epoch are
+    * byte-identical forever, append-only epochs simply don't list the
+    * new files, and a copy-on-write rewrite that deletes files makes
+    * the stale epoch fail FAST on read (the lease layer, A24, exists
+    * to prevent exactly that race for live readers).
+    * (Reference analog: the job-spanning snapshot transaction,
+    * ArgodbMapreduceInputFormat.java:257-279 — this makes the
+    * transaction's view durable and addressable.)
+    */
+  def publishSnapshot(name: String): Long = {
+    val pin = pinned(name)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$SnapshotDir/$name")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val id = snapshotIds(name).lastOption.getOrElse(0L) + 1L
+    val body = (s"rootIsDir=${pin.rootIsDir}" +:
+      pin.files.map { case (p, l) => s"$l\t$p" }).mkString("\n")
+    // create(overwrite=false) makes concurrent publishers collide
+    // loudly instead of silently clobbering an epoch
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"v$id"), false)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    id
+  }
+
+  /** Published epoch ids for `name`, ascending. */
+  def snapshotIds(name: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$SnapshotDir/$name")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toLong }.sorted
+  }
+
+  /** Read `name` AS OF published epoch `id`: exactly the files that
+    * epoch's manifest names, regardless of what has landed in the
+    * directory since. The read bypasses this catalog's own pin — time
+    * travel is an explicit, addressed snapshot, not the session one.
+    */
+  def tableAsOf(name: String, id: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$SnapshotDir/$name/v$id")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"[GRAFT] Table [$name] has no published snapshot v$id under $root")
+    val in = fs.open(p)
+    val body = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+      bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
+    } finally in.close()
+    val lines = body.split("\n").toSeq
+    val rootIsDir = lines.head == "rootIsDir=true"
+    val files = lines.tail.filter(_.nonEmpty).map(_.split("\t", 2)(1))
+    require(files.nonEmpty, s"[GRAFT] Snapshot v$id of [$name] lists no files")
+    val reader = spark.read
+    if (rootIsDir) reader.option("basePath", s"$root/$name.parquet")
+    reader.parquet(files: _*)
+  }
+
   /** Scan with the reference's partition-filter semantics:
     *  - blank filter → full scan (ArgodbMapreduceInputFormat.java:213-227);
     *  - `col=value` / `col="value"` → typed equality predicate on the
@@ -190,6 +256,11 @@ object GraftCatalog {
     }
     PinnedTable(rootIsDir = true, out.result())
   }
+
+  /** Directory (under a catalog root) holding published snapshot
+    * manifests — underscore-prefixed so data-file listings skip it.
+    */
+  val SnapshotDir = "_snapshots"
 
   /** Hive's sentinel for a null partition value. */
   val DefaultPartitionName = "__HIVE_DEFAULT_PARTITION__"

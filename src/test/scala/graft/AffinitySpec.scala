@@ -63,20 +63,50 @@ class AffinitySpec extends SparkSpecBase {
       s"distant doc must not link at threshold 16: ${rows.toSeq}")
   }
 
-  test("sorted neighborhood compares each doc to at most w=3 neighbors") {
+  test("sorted neighborhood compares each doc to exactly its w=3 global followers") {
     val docs = (1L to 40L).map(i => (i, s"same first ${"x" * (i % 7).toInt} tail $i"))
       .toDF("doc_id", "text")
-    // candidate count (pre-threshold) is bounded by n·w by construction:
-    // replay the candidate generation with the distance gate removed
-    val d = docs.select(col("doc_id"), substring(col("text"), 1, 64).as("pfx"))
-      .withColumn("blk", substring_index(col("pfx"), " ", 1))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("blk").orderBy("pfx", "doc_id")
-    val cands = d.withColumn("nbrs", array((1 to 3).map(i =>
-        lead(struct(col("doc_id"), col("pfx")), i).over(w)): _*))
-      .select(explode(col("nbrs")).as("nb")).where(col("nb").isNotNull).count()
-    assert(cands <= 40L * 3, s"candidate set must be ≤ n·w, got $cands")
-    assert(cands >= 37L * 3 - 3, "one block of 40 should yield close to n·w candidates")
+    // with a GLOBAL index the candidate count is exact, not just
+    // bounded: Σ_i min(w, n−1−i) = n·w − w(w+1)/2
+    val cands = Affinity.neighborCandidates(docs, identity).count()
+    assert(cands == 40L * 3 - 6, s"candidate set must be n·w − w(w+1)/2, got $cands")
+  }
+
+  test("sorted neighborhood range-partitions the run — no token hash key, no window") {
+    val docs = (1L to 40L).map(i => (i, s"the same hot first token $i"))
+      .toDF("doc_id", "text")
+    val runPlan = Affinity.sortedRun(docs, identity)
+      .queryExecution.executedPlan.toString
+    assert(runPlan.toLowerCase.contains("rangepartitioning"),
+      "sorted run must be a range repartition:\n" + runPlan.take(1200))
+    assert(!runPlan.toLowerCase.contains("hashpartitioning"),
+      "no hash partition on any text-derived key:\n" + runPlan.take(1200))
+    val pairPlan = Affinity.sortedNeighborhoodOver(docs)
+      .queryExecution.executedPlan.toString
+    assert(!pairPlan.contains("Window"),
+      "neighbor pairs are an equi-join on the dense index, not a window:\n" +
+        pairPlan.take(1200))
+  }
+
+  test("multi-pass recovers a pair adjacent only under the rotated key") {
+    val tail = "ender shares this exact long common suffix tail here okay"
+    val a = s"alpha $tail"
+    val b = s"omega $tail" // same length head → small edit distance to a
+    // ≥ w+1 docs strictly between 'alpha…' and 'omega…' in forward
+    // order, each with an unrelated tail (edit distance > 16 to all)
+    val fill = Seq("bravo", "charlie", "delta", "echo").zipWithIndex.map {
+      case (w0, i) => (10L + i, s"$w0 ${"qwerty jumble nothing alike " * 2}$i")
+    }
+    val docs = (Seq((1L, a), (2L, b)) ++ fill).toDF("doc_id", "text")
+    val single = Affinity.sortedNeighborhoodOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Affinity.sortedNeighborhoodMultiOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!single.contains((1L, 2L)),
+      s"forward pass alone must miss the scattered pair: $single")
+    assert(multi.contains((1L, 2L)),
+      s"reversed-key pass must recover the shared-suffix pair: $multi")
+    assert(single.subsetOf(multi), "multi-pass is a superset of the forward pass")
   }
 
   // ── B63 Markov transitions ──

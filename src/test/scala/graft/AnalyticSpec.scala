@@ -194,4 +194,14 @@ class AnalyticSpec extends SparkSpecBase {
     assert(out.map(r0 => (r0.getString(1), r0.getLong(2))).toSeq === expect,
       "engine pagerank must equal the driver replay exactly")
   }
+
+  test("pagerank final ranking carries no window operator at all") {
+    // the web-domain pitch has N = 10^8 nodes: the dense rank must be
+    // GlobalOrder's range-partition + zipWithIndex, never a
+    // SinglePartition `Window.orderBy`
+    val plan = Analytic.qNationPagerank(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "ranking must not plan a window:\n" + plan.take(1200))
+  }
 }

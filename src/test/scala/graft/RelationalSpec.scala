@@ -183,6 +183,33 @@ class RelationalSpec extends SparkSpecBase {
     assert(selfDiff.count() === 0 && selfDiff.columns.contains("o_orderstatus"))
   }
 
+  test("published snapshot time-travels across an append; second epoch sees both") {
+    import org.apache.spark.sql.functions.col
+    val root = graft.sources.GraftSink.scratchDir + "/ttdemo_spec"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    val tbl = s"$root/orders.parquet"
+    val orders = new GraftCatalog(spark, sfDir).table("orders")
+    orders.where(col("o_orderstatus") === "O").write.mode("overwrite").parquet(tbl)
+    val c1 = new GraftCatalog(spark, root)
+    val v1 = c1.publishSnapshot("orders")
+    val n1 = c1.table("orders").count()
+    orders.where(col("o_orderstatus") === "F").write.mode("append").parquet(tbl)
+    val c2 = new GraftCatalog(spark, root)
+    val v2 = c2.publishSnapshot("orders")
+    // the fresh catalog's own pin sees both epochs...
+    assert(c2.table("orders").count() > n1)
+    // ...but AS OF v1 the post-pin append is invisible — no leak
+    assert(c2.tableAsOf("orders", v1).count() === n1)
+    assert(c2.tableAsOf("orders", v1)
+      .where(col("o_orderstatus") === "F").count() === 0)
+    // the second epoch sees both; ids are ascending and durable
+    assert(c2.tableAsOf("orders", v2).count() === c2.table("orders").count())
+    assert(c2.snapshotIds("orders") === Seq(v1, v2))
+    // the snapshot log never pollutes the data listing
+    assert(c2.snapshotFiles("orders").forall(!_._1.contains("_snapshots")))
+  }
+
   test("dynamic overwrite rewrites one partition, siblings byte-identical") {
     import org.apache.spark.sql.functions.col
     val path = graft.sources.GraftSink.scratchDir + "/orders_backfill_spec"

@@ -367,6 +367,23 @@ class TextAnalysisSpec extends SparkSpecBase {
       }
   }
 
+  test("NB classifier tokenizes the corpus once (labeled frame is cached)") {
+    // the plan PRINT nests each InMemoryRelation's cached plan, so
+    // explode appears once per cache-scan site — the real assertion is
+    // that every explode READS the cached labeled frame (its child is
+    // an InMemoryTableScan), i.e. no site re-tokenizes from the file
+    val plan = TextAnalysis.qualityClassifier(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val lines = plan.split("\n")
+    val gens = lines.indices.filter(lines(_).contains("Generate explode"))
+    assert(gens.nonEmpty, "classifier plan must tokenize somewhere")
+    gens.foreach { i =>
+      assert(lines.slice(i + 1, i + 5).exists(_.contains("InMemoryTableScan")),
+        s"explode at plan line $i must read the cached labeled frame, " +
+          "not a fresh tokenize:\n" + lines.slice(i, i + 5).mkString("\n"))
+    }
+  }
+
   test("NB quality classifier learns a planted signal and holds accuracy on the corpus") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_nb").toString
