@@ -147,6 +147,7 @@ object SparkEntry {
     "sim_ivf_persisted"          -> ((s: SparkSession, d: String) => Similarity.ivfPersistedTopk(s, d)),
     "sim_lsh_topk"               -> Similarity.lshTopk _,
     "sim_pq_topk"                -> ((s: SparkSession, d: String) => Similarity.pqTopk(s, d)),
+    "sim_hnsw_topk"              -> Hnsw.hnswTopk _,
     "sim_quantize_int8"          -> Similarity.quantizeInt8 _,
     "sim_sign_quantize"          -> Similarity.signQuantize _,
     "sim_label_centroids"        -> Similarity.labelCentroids _,

@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** D11: graph-based ANN — the HNSW family (Malkov & Yashunin 2016),
+  * re-shaped for a distributed scan engine. True HNSW is a sequential
+  * in-memory traversal of a corpus-sized graph; the Spark-first form
+  * splits it into the two pieces that actually scale:
+  *
+  *  1. A LAYERED ROUTING GRAPH over the deterministic hash sample —
+  *     node levels drawn geometrically (p=1/4) from the id hash like
+  *     HNSW's level assignment, each layer linking every member to its
+  *     M nearest neighbors at that layer. This is a driver artifact of
+  *     the SAME CLASS as the IVF centroid table or the PQ codebooks
+  *     (D2/D6): small, broadcast-able, built once off the sample,
+  *     never touching the full corpus. Queries BEAM-SEARCH it exactly
+  *     like HNSW: greedy descent from the top layer's entry point,
+  *     then an ef-wide best-first search at layer 0 — so the probe set
+  *     follows the graph's navigable-small-world geometry instead of
+  *     raw centroid distance (what distinguishes this from D2).
+  *  2. The CORPUS is sharded by routing node: each vector map-side
+  *     attaches to its R nearest routing nodes (the literal-array
+  *     argmax of assignCentroids — zero shuffle, multi-assignment
+  *     playing the role of HNSW's level-0 out-degree). A query probes
+  *     only the shards of its beam — ef/m of the corpus — and the
+  *     candidates get exact cosine + a per-query top-k heap.
+  *
+  * Scale: the routing layer is capped driver-side (like nlist/
+  * codebooks — grow it ∝ √n, shard it once it outgrows one task); the
+  * corpus side is ONE map-only projection + a broadcast join with the
+  * beam table; the only exchanges carry the probed sliver (candidate
+  * dedup + per-query top-k) — asserted ≤2 in the plan spec. Rows-only
+  * by design (beam/sample choices are engine-specific); recall vs the
+  * D1 exact baseline is spec-banded, the D2/D6 pattern.
+  */
+object Hnsw {
+
+  private val K = 10
+  private val NQueries = 5
+  private[graft] val MLinks = 8 // per-node out-degree per layer
+  private[graft] val EfSearch = 16 // beam width at layer 0
+  private[graft] val RAssign = 5 // corpus multi-assignment fan-out
+  private val LevelCap = 3
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    new GraftCatalog(s, dir).table("embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
+
+  /** HNSW level assignment, derandomized: geometric(p=1/4) from the
+    * same multiplicative hash as every other deterministic sample in
+    * the engine.
+    */
+  private[graft] def levelOf(id: Long): Int = {
+    var x = math.floorMod(id * 2654435761L, 1L << 30)
+    var l = 0
+    while (l < LevelCap && x % 4 == 0) { l += 1; x /= 4 }
+    l
+  }
+
+  private def dcos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The layered routing graph: per layer, every node with level ≥ l
+    * links to its M nearest (cos desc, id asc) peers at that layer.
+    */
+  private[graft] final case class RoutingGraph(
+      vecs: Map[Long, Array[Double]],
+      layers: IndexedSeq[Map[Long, Seq[Long]]],
+      entry: Long)
+
+  private[graft] def buildGraph(nodes: Seq[(Long, Array[Double])]): RoutingGraph = {
+    val levels = nodes.map { case (id, _) => id -> levelOf(id) }.toMap
+    val vecs = nodes.toMap
+    val maxLevel = levels.values.max
+    val layers = (0 to maxLevel).map { l =>
+      val members = nodes.filter { case (id, _) => levels(id) >= l }
+      members.map { case (id, v) =>
+        id -> members.iterator.filter(_._1 != id)
+          .map { case (oid, ov) => (oid, dcos(v, ov)) }
+          .toSeq.sortBy { case (oid, c) => (-c, oid) }
+          .take(MLinks).map(_._1)
+      }.toMap
+    }
+    // global entry point: the top layer's lowest id (deterministic)
+    val entry = layers(maxLevel).keys.min
+    RoutingGraph(vecs, layers, entry)
+  }
+
+  /** HNSW search over the routing graph: greedy descent through the
+    * upper layers, ef-wide best-first search at layer 0. Fully
+    * deterministic (ties break on id).
+    */
+  private[graft] def beamSearch(g: RoutingGraph, q: Array[Double], ef: Int): Seq[Long] = {
+    def score(id: Long) = dcos(q, g.vecs(id))
+    var cur = g.entry
+    for (l <- (1 until g.layers.size).reverse) {
+      var improved = true
+      while (improved) {
+        improved = false
+        val better = g.layers(l)(cur).iterator
+          .map(n => (n, score(n)))
+          .filter { case (n, c) => c > score(cur) || (c == score(cur) && n < cur) }
+          .toSeq.sortBy { case (n, c) => (-c, n) }.headOption
+        better.foreach { case (n, _) => cur = n; improved = true }
+      }
+    }
+    // layer-0 best-first search, result = the ef best visited
+    val adj = g.layers(0)
+    val visited = mutable.Set(cur)
+    // candidates: max-heap by (cos, -id); results: kept as a sorted set
+    val candOrd = Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (c, -id) }
+    val cand = mutable.PriorityQueue((score(cur), cur))(candOrd)
+    var best = Vector((score(cur), cur))
+    def worstBest = best.last
+    while (cand.nonEmpty) {
+      val (c, id) = cand.dequeue()
+      if (best.size >= ef && c < worstBest._1) cand.clear()
+      else {
+        for (n <- adj(id) if !visited.contains(n)) {
+          visited += n
+          val cn = score(n)
+          if (best.size < ef || cn > worstBest._1 ||
+              (cn == worstBest._1 && n < worstBest._2)) {
+            cand.enqueue((cn, n))
+            best = (best :+ ((cn, n)))
+              .sortBy { case (cb, idb) => (-cb, idb) }.take(ef)
+          }
+        }
+      }
+    }
+    best.map(_._2)
+  }
+
+  /** The query: beam-search entry shards for the first NQueries
+    * vectors, probe only those shards, exact-cosine top-k within.
+    */
+  def hnswTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val routing = Similarity.trainingSample(e)
+      .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])]
+      .collect().toSeq.map { case (id, v) => (id, v.toArray) }
+    val g = buildGraph(routing)
+    val qRows = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])].collect()
+    val probes = qRows.toSeq.flatMap { case (qid, q) =>
+      beamSearch(g, q.toArray, EfSearch).map(entry => (qid, q, entry))
+    }.toDF("query_id", "q_emb", "entry_id")
+
+    // corpus → its R nearest routing shards, map-side over the literal
+    // routing array (assignCentroids' shape, top-R instead of top-1)
+    val rArr = typedlit(routing.map { case (id, v) => (id, v.toSeq) })
+    val byScore = array_sort(transform(rArr, c =>
+      struct((-VectorFns.cosine(col("emb"), c.getField("_2"))).as("nc"),
+        c.getField("_1").as("id"))))
+    val sharded = e
+      .withColumn("entry_id",
+        explode(transform(slice(byScore, 1, RAssign), t => t.getField("id"))))
+
+    val scored = sharded.join(broadcast(probes), Seq("entry_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFns.cosine(col("q_emb"), col("emb")).as("cos_raw"))
+      // multi-assignment can surface one candidate via several shards
+      .groupBy("query_id", "neighbor_id").agg(max("cos_raw").as("cos_raw"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= K)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos_raw"), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+}

@@ -203,4 +203,57 @@ class SimilaritySpec extends SparkSpecBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 2, s"expected <=2 window exchanges, got $exchanges\n" + plan.take(1200))
   }
+
+  // ── D11 HNSW-style graph ANN ──
+
+  test("HNSW graph ANN recalls >=0.9 of brute force, deterministically") {
+    val exact = Similarity.bruteForceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val run1 = graft.operators.Hnsw.hnswTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val recall = (exact intersect run1.map(t => (t._1, t._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"hnsw recall=$recall")
+    // derandomized level draw + id tie-breaks: byte-identical re-runs
+    val run2 = graft.operators.Hnsw.hnswTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(run1 === run2, "beam search must be deterministic")
+    // any reported neighbor carries its exact brute-force cosine
+    val exactScores = Similarity.bruteForceTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    run1.foreach { case (q, n, c) =>
+      exactScores.get((q, n)).foreach(e =>
+        assert(math.abs(e - c) < 1e-9, s"score drift at ($q,$n)"))
+    }
+  }
+
+  test("HNSW corpus side never shuffles the corpus — only the probed sliver") {
+    val plan = graft.operators.Hnsw.hnswTopk(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // shard assignment is a map-side literal-array projection joined
+    // to a BROADCAST beam table; the only hash exchanges carry probed
+    // candidates (dedup aggregate + per-query top-k window).
+    assert(plan.contains("BroadcastExchange"),
+      "beam table must broadcast:\n" + plan.take(1200))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 sliver exchanges, got $exchanges\n" + plan.take(1200))
+  }
+
+  test("HNSW routing graph: geometric levels, bounded degree, navigable beam") {
+    import graft.operators.Hnsw
+    // derandomized level draw is geometric-ish: ~1/4 of ids level>=1
+    val levels = (0L until 4000L).map(Hnsw.levelOf)
+    val frac1 = levels.count(_ >= 1).toDouble / levels.size
+    assert(frac1 > 0.15 && frac1 < 0.35, s"level>=1 fraction $frac1")
+    assert(levels.max <= 3)
+    // tiny crafted graph: two tight clusters far apart; the beam from
+    // a query near cluster B must surface B members first
+    def v(x: Double, y: Double) = Array(x, y, 1e-6, 1e-6)
+    val nodes = (0L until 8L).map(i => i -> v(1.0 + 0.01 * i, 0.0)) ++
+      (8L until 16L).map(i => i -> v(0.0, 1.0 + 0.01 * i))
+    val g = Hnsw.buildGraph(nodes)
+    g.layers.head.foreach { case (_, nbrs) => assert(nbrs.size <= Hnsw.MLinks) }
+    val beam = Hnsw.beamSearch(g, v(0.0, 5.0), ef = 4)
+    assert(beam.size === 4)
+    assert(beam.forall(_ >= 8L), s"beam must stay in cluster B: $beam")
+  }
 }
