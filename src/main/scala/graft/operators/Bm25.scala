@@ -174,6 +174,64 @@ object Bm25 {
     scoreAndRank(matched, dls, stats, qterms)
   }
 
+  /** G14 (E15's streaming completion): the inverted index absorbs a
+    * DOCUMENT STREAM. Each micro-batch's postings and doc-lengths land
+    * append-only in a batch-addressed directory (`batch_id=N`,
+    * mode=overwrite) — G4's exactly-once file-sink rule: foreachBatch
+    * is at-least-once after recovery, and a replayed batchId
+    * OVERWRITES its own directory instead of appending duplicates, so
+    * no marker ledger is needed for an additive artifact. Doc sets
+    * across batches are disjoint (a doc streams once), so the union of
+    * batch directories IS the postings merge — the same pure-append
+    * property E15's batch increment relies on. Serving reads the
+    * directory tree exactly like E15 reads its table, and the parity
+    * spec proves streamed-index BM25 ≡ scan-time BM25 on the same
+    * corpus.
+    *
+    * Scale: per trigger the sink writes |batch postings| rows and
+    * never rewrites history; `batch_id` is a partition column the
+    * term-filtered serve prunes nothing by (terms cut across batches),
+    * but periodic compaction (A14) can fold old batch dirs into the
+    * bucketed base table without changing the serve path.
+    */
+  def applyIndexBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long, root: String): Unit = {
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    batch.select(col("doc_id"), explode(words).as("word"))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(s"$root/postings/batch_id=$batchId")
+    batch.select(col("doc_id"), size(words).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$root/doclen/batch_id=$batchId")
+  }
+
+  /** The streaming entry: docs(doc_id, text) → incremental index. */
+  def indexMaintenanceSink(docs: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          applyIndexBatch(b, id, root)
+      }
+      .start()
+
+  /** Serve BM25 from a streamed index root — the corpus is NEVER read;
+    * postings, doc lengths, and corpus stats all come from the index
+    * artifacts (E15's serve shape over the batch-dir layout).
+    */
+  def serveIndexedBm25(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    val qterms = Queries.toDF("query_id", "term")
+    val terms = qterms.select(col("term").as("word")).distinct()
+    val matched = s.read.parquet(s"$root/postings")
+      .join(broadcast(terms), Seq("word"))
+      .select("word", "doc_id", "tf")
+    val sidecar = s.read.parquet(s"$root/doclen").select("doc_id", "dl")
+    val dls = sidecar.where(col("dl") > 0L)
+    val stats = sidecar.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(sidecar.agg(sum("dl").as("l_tokens")))
+    scoreAndRank(matched, dls, stats, qterms)
+  }
+
   /** The fixed query set as a SQL VALUES list — single source of
     * truth for every oracle that ranks these queries.
     */

@@ -708,4 +708,46 @@ class StreamingSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(counts2 === counts)
   }
+
+  test("streamed inverted index serves BM25 identical to scan-time; replayed batch is a no-op") {
+    import spark.implicits._
+    import graft.operators.Bm25
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_idx").toString
+    val all = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+      .select(col("doc_id"), col("text"))
+    val isNewEpoch = pmod(col("doc_id"), lit(5L)) === 0L
+    // the historical corpus is the initial index build — applied
+    // through the SAME per-batch commit the stream uses, addressed as
+    // batch -1 (the stream's own ids start at 0 and must not collide)
+    Bm25.applyIndexBatch(all.where(!isNewEpoch), -1L, root + "/idx")
+    // the new epoch arrives as a STREAM, split across two micro-batches
+    val newDocs = all.where(isNewEpoch).as[(Long, String)].collect().sortBy(_._1)
+    val (chunk1, chunk2) = newDocs.splitAt(newDocs.length / 2)
+    val stream = MemoryStream[(Long, String)]
+    val q = Bm25.indexMaintenanceSink(
+      stream.toDF().toDF("doc_id", "text"), root + "/idx")
+    stream.addData(chunk1.toSeq)
+    q.processAllAvailable()
+    stream.addData(chunk2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // the streamed index serves the SAME ranking as tokenizing the
+    // corpus at query time (E13) — increment ≡ rebuild, stream form
+    val served = Bm25.serveIndexedBm25(spark, root + "/idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val scanTime = Bm25.retrieve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(served === scanTime, "streamed index must serve scan-time BM25 exactly")
+    assert(served.nonEmpty)
+    // at-least-once replay: re-committing the last micro-batch
+    // overwrites its own batch directory — the serve is unchanged
+    // partition discovery types small batch_id values as int
+    val lastId = spark.read.parquet(s"$root/idx/postings")
+      .agg(max("batch_id")).collect()(0).getAs[Number](0).longValue
+    Bm25.applyIndexBatch(chunk2.toSeq.toDF("doc_id", "text"), lastId, root + "/idx")
+    val reServed = Bm25.serveIndexedBm25(spark, root + "/idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(reServed === served, "replayed batch must be a no-op")
+  }
 }
