@@ -44,6 +44,7 @@ object SparkEntry {
     "src_zorder_scan"            -> Relational.srcZorderScan _,
     "src_snapshot_diff"          -> Relational.srcSnapshotDiff _,
     "src_time_travel"            -> Relational.srcTimeTravel _,
+    "src_vacuum"                 -> Relational.srcVacuum _,
     "src_dynamic_overwrite"      -> Relational.srcDynamicOverwrite _,
     "src_merge_upsert"           -> Relational.srcMergeUpsert _,
     "src_merge_delete"           -> Relational.srcMergeDelete _,
@@ -751,6 +752,13 @@ object SparkEntry {
       SELECT o_orderstatus, count(*) AS n,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A27: vacuum reclaims exactly the never-published 'P' files
+    "src_vacuum" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderstatus IN ('O', 'F')
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // A17: untouched partitions + the re-derived 'F' partition

@@ -437,6 +437,38 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A27: snapshot retention + manifest-anchored vacuum — the cleanup
+    * half of the time-travel story: two epochs land and are PUBLISHED
+    * (v1, v2); a crashed/never-published writer then leaves orphan
+    * files in the directory ('P' rows, in no manifest). `vacuum`
+    * deletes exactly the unreferenced files — the read-back aggregate
+    * through a FRESH catalog must hash-match an oracle over the
+    * published epochs only ('O' + 'F'), proving the orphans are gone
+    * and no published file was touched. Retention expiry and the
+    * as-of reads surviving vacuum are spec-asserted.
+    */
+  def srcVacuum(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.GraftSink.scratchDir + "/vacdemo"
+    val tbl = s"$root/orders.parquet"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(s.sessionState.newHadoopConf()).delete(rp, true)
+    val orders = cat(s, dir).table("orders")
+    orders.where(col("o_orderstatus") === "O")
+      .write.mode("overwrite").parquet(tbl)
+    new GraftCatalog(s, root).publishSnapshot("orders")
+    orders.where(col("o_orderstatus") === "F")
+      .write.mode("append").parquet(tbl)
+    new GraftCatalog(s, root).publishSnapshot("orders")
+    // the crashed writer: files land, no snapshot is ever published
+    orders.where(col("o_orderstatus") === "P")
+      .write.mode("append").parquet(tbl)
+    new GraftCatalog(s, root).vacuum("orders")
+    new GraftCatalog(s, root).table("orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A17: dynamic partition overwrite — the idempotent backfill: one
     * partition is rewritten in place (here the 'F' partition,
     * re-derived with a quality predicate) while sibling partitions

@@ -192,6 +192,14 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     * travel is an explicit, addressed snapshot, not the session one.
     */
   def tableAsOf(name: String, id: Long): DataFrame = {
+    val (rootIsDir, files) = readManifest(name, id)
+    require(files.nonEmpty, s"[GRAFT] Snapshot v$id of [$name] lists no files")
+    val reader = spark.read
+    if (rootIsDir) reader.option("basePath", s"$root/$name.parquet")
+    reader.parquet(files: _*)
+  }
+
+  private def readManifest(name: String, id: Long): (Boolean, Seq[String]) = {
     val p = new org.apache.hadoop.fs.Path(s"$root/$SnapshotDir/$name/v$id")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p),
@@ -203,12 +211,50 @@ final class GraftCatalog(spark: SparkSession, root: String) {
       bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
     } finally in.close()
     val lines = body.split("\n").toSeq
-    val rootIsDir = lines.head == "rootIsDir=true"
-    val files = lines.tail.filter(_.nonEmpty).map(_.split("\t", 2)(1))
-    require(files.nonEmpty, s"[GRAFT] Snapshot v$id of [$name] lists no files")
-    val reader = spark.read
-    if (rootIsDir) reader.option("basePath", s"$root/$name.parquet")
-    reader.parquet(files: _*)
+    (lines.head == "rootIsDir=true",
+      lines.tail.filter(_.nonEmpty).map(_.split("\t", 2)(1)))
+  }
+
+  /** A27: retention — drop all but the newest `keepLast` published
+    * epochs of `name`. Returns the expired ids. Expiry only removes
+    * MANIFESTS (tiny); the data files an expired epoch referenced stay
+    * until `vacuum` proves nothing else references them.
+    */
+  def expireSnapshots(name: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "[GRAFT] keepLast must retain at least one snapshot")
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$SnapshotDir/$name")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val doomed = snapshotIds(name).dropRight(keepLast)
+    doomed.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$id"), false))
+    doomed
+  }
+
+  /** A27: manifest-anchored garbage collection — delete data files of
+    * `name` referenced by NO retained snapshot manifest: the files a
+    * crashed or never-published write left behind, or that only
+    * expired epochs referenced. The published log is the source of
+    * truth for liveness (the Iceberg/Delta VACUUM contract): every
+    * retained `tableAsOf` read is untouched by construction, and a
+    * catalog pinned AFTER the newest publish sees exactly the newest
+    * epoch. Cost at 100 TB: one directory listing + manifest reads —
+    * O(files) metadata, zero data IO. Returns the deleted paths.
+    * Refuses to run if nothing was ever published (there would be no
+    * liveness anchor and it would delete the whole table).
+    */
+  def vacuum(name: String): Seq[String] = {
+    val ids = snapshotIds(name)
+    require(ids.nonEmpty,
+      s"[GRAFT] vacuum needs at least one published snapshot of [$name]")
+    val live = ids.flatMap(readManifest(name, _)._2).toSet
+    val current = listDataFiles(spark, s"$root/$name.parquet").files.map(_._1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val doomed = current.filterNot(live)
+    doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    // the dead files may be gone from this catalog's own pin too
+    pinnedListings.remove(name)
+    doomed
   }
 
   /** Scan with the reference's partition-filter semantics:

@@ -210,6 +210,41 @@ class RelationalSpec extends SparkSpecBase {
     assert(c2.snapshotFiles("orders").forall(!_._1.contains("_snapshots")))
   }
 
+  test("vacuum deletes only unpublished files; as-of reads survive; expiry bounds the log") {
+    import org.apache.spark.sql.functions.col
+    val root = graft.sources.GraftSink.scratchDir + "/vacdemo_spec"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    val tbl = s"$root/orders.parquet"
+    val orders = new GraftCatalog(spark, sfDir).table("orders")
+    orders.where(col("o_orderstatus") === "O").write.mode("overwrite").parquet(tbl)
+    val v1 = new GraftCatalog(spark, root).publishSnapshot("orders")
+    orders.where(col("o_orderstatus") === "F").write.mode("append").parquet(tbl)
+    val c2 = new GraftCatalog(spark, root)
+    val v2 = c2.publishSnapshot("orders")
+    val nPublished = c2.table("orders").count()
+    // a crashed writer leaves files no manifest references
+    orders.where(col("o_orderstatus") === "P").write.mode("append").parquet(tbl)
+    val deleted = c2.vacuum("orders")
+    assert(deleted.nonEmpty, "the orphan files must be reclaimed")
+    // vacuum on a clean table is a no-op (idempotent)
+    assert(new GraftCatalog(spark, root).vacuum("orders").isEmpty)
+    // every retained as-of read survives; the live read = published data
+    val c3 = new GraftCatalog(spark, root)
+    assert(c3.tableAsOf("orders", v1).where(col("o_orderstatus") =!= "O").count() === 0)
+    assert(c3.tableAsOf("orders", v2).count() === nPublished)
+    assert(c3.table("orders").count() === nPublished)
+    assert(c3.table("orders").where(col("o_orderstatus") === "P").count() === 0)
+    // retention: keep only the newest epoch; the expired id is gone
+    assert(c3.expireSnapshots("orders", keepLast = 1) === Seq(v1))
+    assert(c3.snapshotIds("orders") === Seq(v2))
+    assertThrows[IllegalArgumentException](c3.tableAsOf("orders", v1))
+    // vacuum with no published snapshot at all refuses to run
+    val bare = s"$root/bare"
+    orders.limit(5).write.mode("overwrite").parquet(s"$bare/t.parquet")
+    assertThrows[IllegalArgumentException](new GraftCatalog(spark, bare).vacuum("t"))
+  }
+
   test("dynamic overwrite rewrites one partition, siblings byte-identical") {
     import org.apache.spark.sql.functions.col
     val path = graft.sources.GraftSink.scratchDir + "/orders_backfill_spec"
