@@ -62,7 +62,11 @@ object Bench {
     // fact join, and MMR re-rank over the shortlist cogroup
     "dedup_semantic", "text_dsir_weights", "q_bloom_semi_join",
     "sim_mmr_topk", "text_hash_embed", "pipeline_curriculum",
-    "src_stats_table", "dedup_incremental")
+    "src_stats_table", "dedup_incremental",
+    // round-9 additions: the de-skewed global-order neighbor pass
+    // (range partition + zipWithIndex + index equi-join) and the
+    // graph-ANN beam probe (routing-graph build + sliver scan)
+    "dedup_sorted_neighborhood", "sim_hnsw_topk")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
