@@ -140,32 +140,47 @@ object Hnsw {
     best.map(_._2)
   }
 
-  /** The query: beam-search entry shards for the first NQueries
-    * vectors, probe only those shards, exact-cosine top-k within.
-    */
-  def hnswTopk(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic routing node set (hash sample, driver-side). */
+  private def routingNodes(e: DataFrame): Seq[(Long, Array[Double])] = {
+    val s = e.sparkSession
     import s.implicits._
-    val e = emb(s, dir)
-    val routing = Similarity.trainingSample(e)
+    Similarity.trainingSample(e)
       .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])]
       .collect().toSeq.map { case (id, v) => (id, v.toArray) }
+  }
+
+  /** Beam-search each query against the routing graph → the broadcast
+    * probe table (query_id, q_emb, entry_id).
+    */
+  private def beamProbes(e: DataFrame,
+      routing: Seq[(Long, Array[Double])]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
     val g = buildGraph(routing)
     val qRows = e.where(col("vec_id") < NQueries)
       .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])].collect()
-    val probes = qRows.toSeq.flatMap { case (qid, q) =>
+    qRows.toSeq.flatMap { case (qid, q) =>
       beamSearch(g, q.toArray, EfSearch).map(entry => (qid, q, entry))
     }.toDF("query_id", "q_emb", "entry_id")
+  }
 
-    // corpus → its R nearest routing shards, map-side over the literal
-    // routing array (assignCentroids' shape, top-R instead of top-1)
+  /** Corpus → its R nearest routing shards, map-side over the literal
+    * routing array (assignCentroids' shape, top-R instead of top-1).
+    */
+  private def shardAssign(e: DataFrame,
+      routing: Seq[(Long, Array[Double])]): DataFrame = {
     val rArr = typedlit(routing.map { case (id, v) => (id, v.toSeq) })
     val byScore = array_sort(transform(rArr, c =>
       struct((-VectorFns.cosine(col("emb"), c.getField("_2"))).as("nc"),
         c.getField("_1").as("id"))))
-    val sharded = e
-      .withColumn("entry_id",
-        explode(transform(slice(byScore, 1, RAssign), t => t.getField("id"))))
+    e.withColumn("entry_id",
+      explode(transform(slice(byScore, 1, RAssign), t => t.getField("id"))))
+  }
 
+  /** Exact-cosine top-k over the probed shards — shared by the scan
+    * form and the persisted-index form.
+    */
+  private def topkFromShards(sharded: DataFrame, probes: DataFrame): DataFrame = {
     val scored = sharded.join(broadcast(probes), Seq("entry_id"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -177,5 +192,53 @@ object Hnsw {
       .where(col("rn") <= K)
       .select(col("query_id"), col("neighbor_id"), round(col("cos_raw"), 4).as("cos"))
       .orderBy("query_id", "neighbor_id")
+  }
+
+  /** The query: beam-search entry shards for the first NQueries
+    * vectors, probe only those shards, exact-cosine top-k within.
+    */
+  def hnswTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val routing = routingNodes(e)
+    topkFromShards(shardAssign(e, routing), beamProbes(e, routing))
+  }
+
+  /** D11 (persisted form): the index build writes the routing nodes
+    * (a tiny table) and the R-sharded corpus PARTITIONED BY entry_id —
+    * the D2-persisted pattern: probes then read only the beam's shard
+    * partitions via hive partition pruning, so a query touches
+    * ~ef·R/m of the stored corpus and the graph build never reruns.
+    */
+  private[graft] def buildHnswIndex(s: SparkSession, dir: String,
+      indexPath: String): Seq[(Long, Array[Double])] = {
+    val e = emb(s, dir)
+    val routing = routingNodes(e)
+    s.createDataFrame(routing.map { case (id, v) => (id, v.toSeq) })
+      .toDF("vec_id", "emb")
+      .write.mode("overwrite").parquet(s"$indexPath/routing")
+    shardAssign(e, routing)
+      .select(col("vec_id"), col("emb"), col("entry_id"))
+      .write.mode("overwrite").partitionBy("entry_id")
+      .parquet(s"$indexPath/shards")
+    routing
+  }
+
+  /** Search the persisted index: routing nodes reload as the graph
+    * artifact, the beam's shard ids prune the partitioned read.
+    */
+  def hnswPersistedTopk(s: SparkSession, dir: String,
+      indexPath: Option[String] = None): DataFrame = {
+    import s.implicits._
+    val idx = indexPath.getOrElse(graft.sources.GraftSink.scratchDir + "/hnsw_index")
+    buildHnswIndex(s, dir, idx)
+    val routing = s.read.parquet(s"$idx/routing")
+      .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])]
+      .collect().toSeq.sortBy(_._1).map { case (id, v) => (id, v.toArray) }
+    val probes = beamProbes(emb(s, dir), routing)
+    val probedIds = probes.select("entry_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val shards = s.read.parquet(s"$idx/shards")
+      .where(col("entry_id").isin(probedIds.map(Long.box): _*))
+    topkFromShards(shards, probes)
   }
 }

@@ -215,6 +215,29 @@ final class GraftCatalog(spark: SparkSession, root: String) {
       lines.tail.filter(_.nonEmpty).map(_.split("\t", 2)(1)))
   }
 
+  /** The file paths a published epoch's manifest names — the SQL
+    * catalog's `VERSION AS OF` entry point.
+    */
+  def snapshotFilesAsOf(name: String, id: Long): Seq[String] =
+    readManifest(name, id)._2
+
+  /** The newest published epoch whose manifest was WRITTEN at or
+    * before `epochMs` (manifest file mtime — the publish instant) —
+    * the `TIMESTAMP AS OF` resolution rule.
+    */
+  def snapshotIdAt(name: String, epochMs: Long): Long = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$SnapshotDir/$name")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val at = snapshotIds(name).filter { id =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, s"v$id"))
+        .getModificationTime <= epochMs
+    }
+    require(at.nonEmpty,
+      s"[GRAFT] Table [$name] has no snapshot published at or before " +
+        s"${java.time.Instant.ofEpochMilli(epochMs)}")
+    at.max
+  }
+
   /** A27: retention — drop all but the newest `keepLast` published
     * epochs of `name`. Returns the expired ids. Expiry only removes
     * MANIFESTS (tiny); the data files an expired epoch referenced stay

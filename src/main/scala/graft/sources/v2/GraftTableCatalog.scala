@@ -109,6 +109,42 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
         files, partSchema)
     })
 
+  /** `SELECT … FROM graft.db.t VERSION AS OF <id>` — the SQL surface
+    * over A26's published snapshots: the Table is built from the
+    * addressed epoch's manifest files instead of the session pin, so
+    * the same v2 scan (row-group splits, footer stats, partition
+    * re-attachment) runs against history. Ids accept an optional `v`
+    * prefix (`VERSION AS OF 'v2'`).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val id = try version.trim.stripPrefix("v").toLong
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"[GRAFT] VERSION AS OF expects a numeric snapshot id, got '$version'")
+    }
+    loadSnapshot(ident, id)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — resolved to the newest epoch published
+    * at or before the instant (manifest mtime); `timestamp` arrives in
+    * MICROSECONDS per the DSv2 contract.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadSnapshot(ident,
+      catalogFor(ident.namespace).snapshotIdAt(ident.name, timestamp / 1000L))
+
+  private def loadSnapshot(ident: Identifier, id: Long): Table =
+    tables.getOrElseUpdate((ident.namespace.mkString("/"), s"${ident.name}@v$id"), {
+      val files = catalogFor(ident.namespace).snapshotFilesAsOf(ident.name, id)
+      if (files.isEmpty) throw new NoSuchTableException(ident)
+      val tablePath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
+      val fileSchema = GraftV2.readSchema(files.head, spark.sessionState.newHadoopConf())
+      val partSchema = GraftV2.partitionSchema(tablePath, files)
+      GraftTable(tablePath,
+        org.apache.spark.sql.types.StructType(fileSchema.fields ++ partSchema.fields),
+        files, partSchema)
+    })
+
   /** `REFRESH TABLE graft.db.t` lands here: drop the memoized Table
     * and the table's pinned file listing so the next read re-pins the
     * CURRENT files — the explicit escape hatch for a table rewritten

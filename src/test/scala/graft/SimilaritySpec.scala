@@ -238,6 +238,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(exchanges <= 2, s"expected <=2 sliver exchanges, got $exchanges\n" + plan.take(1200))
   }
 
+  test("persisted HNSW equals in-memory HNSW and prunes shard partitions on probe") {
+    import graft.operators.Hnsw
+    val idx = java.nio.file.Files.createTempDirectory("graft_hnsw_spec").toString
+    val persisted = Hnsw.hnswPersistedTopk(spark, sfDir, indexPath = Some(idx))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inMem = Hnsw.hnswTopk(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(persisted === inMem)
+    // the index is a hive layout partitioned by entry_id; a beam-id
+    // IN-filter touches only the probed partitions' files
+    val all = spark.read.parquet(s"$idx/shards")
+    val nPartitions = all.select("entry_id").distinct().count()
+    assert(nPartitions > Hnsw.EfSearch,
+      s"more shards than one beam, got $nPartitions")
+    val someIds = all.select("entry_id").distinct().limit(3)
+      .collect().map(_.getAs[Number](0).intValue)
+    val pruned = all.where(col("entry_id").isin(someIds.map(Int.box): _*))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    pruned.count()
+    assert(scan.metrics("numFiles").value < all.inputFiles.length,
+      s"scanned=${scan.metrics("numFiles").value} all=${all.inputFiles.length}")
+  }
+
   test("HNSW routing graph: geometric levels, bounded degree, navigable beam") {
     import graft.operators.Hnsw
     // derandomized level draw is geometric-ish: ~1/4 of ids level>=1

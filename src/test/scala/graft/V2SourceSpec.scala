@@ -241,6 +241,37 @@ class V2SourceSpec extends SparkSpecBase {
       .srcCatalogSqlScan(spark, "/root/testdata/sf0.01").count() > 0)
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF resolve published epochs") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_sqltt").toString
+    spark.range(5).toDF("k").write.parquet(s"$wh/db1/t.parquet")
+    val cat = new graft.sources.GraftCatalog(spark, s"$wh/db1")
+    val v1 = cat.publishSnapshot("t")
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100) // manifest mtime granularity is a full second on some FS
+    spark.range(7).toDF("k").write.mode("append").parquet(s"$wh/db1/t.parquet")
+    val v2 = new graft.sources.GraftCatalog(spark, s"$wh/db1").publishSnapshot("t")
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graft_tt")
+    def q(sql: String) = spark.sql(sql).head().getLong(0)
+    assert(q(s"SELECT count(*) FROM graft_tt.db1.t VERSION AS OF $v1") === 5)
+    assert(q(s"SELECT count(*) FROM graft_tt.db1.t VERSION AS OF '$v2'") === 12)
+    assert(q(s"SELECT count(*) FROM graft_tt.db1.t VERSION AS OF 'v$v1'") === 5)
+    // TIMESTAMP AS OF between the publishes → epoch 1
+    val ts = new java.sql.Timestamp(betweenMs)
+    assert(q(s"SELECT count(*) FROM graft_tt.db1.t TIMESTAMP AS OF '$ts'") === 5)
+    // the time-travel read routes through the v2 scan like any other
+    val plan = spark.sql(s"SELECT k FROM graft_tt.db1.t VERSION AS OF $v1 WHERE k < 3")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft parquet row-group scan"), plan.take(800))
+    // bad addresses fail clearly
+    assert(intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_tt.db1.t VERSION AS OF 99").collect()
+    }.getMessage.contains("no published snapshot"))
+    assert(intercept[Exception] {
+      spark.sql("SELECT * FROM graft_tt.db1.t VERSION AS OF 'abc'").collect()
+    }.getMessage.contains("numeric snapshot id"))
+  }
+
   test("SQL catalog reads are snapshot-pinned (mid-session arrivals invisible)") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_sqlcat").toString
