@@ -150,6 +150,7 @@ object SparkEntry {
     "sim_pq_topk"                -> ((s: SparkSession, d: String) => Similarity.pqTopk(s, d)),
     "sim_hnsw_topk"              -> Hnsw.hnswTopk _,
     "sim_hnsw_persisted"         -> ((s: SparkSession, d: String) => Hnsw.hnswPersistedTopk(s, d)),
+    "sim_ivf_incremental"        -> ((s: SparkSession, d: String) => Similarity.ivfIncrementalTopk(s, d)),
     "sim_quantize_int8"          -> Similarity.quantizeInt8 _,
     "sim_sign_quantize"          -> Similarity.signQuantize _,
     "sim_label_centroids"        -> Similarity.labelCentroids _,

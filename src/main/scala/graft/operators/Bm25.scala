@@ -214,6 +214,41 @@ object Bm25 {
       }
       .start()
 
+  /** G14 compaction — the Lucene segment-merge analog: fold the
+    * accumulated `batch_id=N` directories into ONE consolidated
+    * segment per artifact (postings re-clustered by word so a term's
+    * postings colocate; A14's small-file rule applied to the index).
+    * Commits via G8's stage-then-rename: the staged tree is fully
+    * written before the live tree is swapped, and a swap that died
+    * between delete and rename is adopted at the next call. Serving
+    * is untouched — it reads the directory tree either way
+    * (parity spec) — and absorbing further stream batches continues
+    * as before (new `batch_id=N` dirs beside the compacted segment;
+    * ids restart safely because the segment consolidated under
+    * batch_id=0 and a replayed PRE-compaction batch id would
+    * double-apply — so compact only at a stream checkpoint boundary,
+    * the same rule Lucene applies to segment merges vs live writers).
+    */
+  def compactStreamedIndex(s: SparkSession, root: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def path(p: String) = new org.apache.hadoop.fs.Path(p)
+    for (sub <- Seq("postings", "doclen")) {
+      val live = s"$root/$sub"
+      val stage = s"$root/$sub.staging"
+      // adoption: a previous swap that died between delete and rename
+      if (!fs.exists(path(live)) && fs.exists(path(stage)))
+        fs.rename(path(stage), path(live))
+      val df = s.read.parquet(live).drop("batch_id")
+      val out =
+        if (sub == "postings") df.repartition(col("word"))
+        else df.coalesce(1)
+      out.write.mode("overwrite").parquet(s"$stage/batch_id=0")
+      fs.delete(path(live), true)
+      fs.rename(path(stage), path(live))
+    }
+  }
+
   /** Serve BM25 from a streamed index root — the corpus is NEVER read;
     * postings, doc lengths, and corpus stats all come from the index
     * artifacts (E15's serve shape over the batch-dir layout).

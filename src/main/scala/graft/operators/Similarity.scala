@@ -178,6 +178,87 @@ object Similarity {
     centroids
   }
 
+  /** D2 (incremental form): the persisted IVF index ABSORBS new
+    * vectors without retraining or rebuilding — the C12/E15 production
+    * rule applied to ANN: the centroid table is a persisted artifact
+    * (written once at build), an arriving batch is assigned map-side
+    * against it and APPENDED into the same centroid-partitioned
+    * layout (hive append — historical shard files never rewritten),
+    * and serving is unchanged. Centroids staying fixed between
+    * retrains is the standard IVF operating mode (FAISS add-after-
+    * train); a periodic retrain rebuilds under a new index path.
+    * The parity spec proves append ≡ a full rebuild against the SAME
+    * centroid artifact, and the incremental query serves value-
+    * identically to that rebuild.
+    */
+  private[graft] def ivfAppend(s: SparkSession, indexPath: String,
+      newVecs: DataFrame): Unit = {
+    import s.implicits._
+    val trained = s.read.parquet(s"$indexPath/centroids")
+      .select(col("centroid_id"), col("c_emb")).as[(Int, Seq[Double])]
+      .collect().sortBy(_._1)
+    assignCentroids(newVecs, trained)
+      .select(col("vec_id"), col("emb"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$indexPath/lists")
+  }
+
+  /** The epoch-split incremental IVF query: the historical 4/5 of the
+    * corpus builds the index (training on ITS hash sample), the "new
+    * batch" (every 5th vector) is absorbed via `ivfAppend`, and the
+    * search runs over the merged index — same serve path as
+    * `ivfPersistedTopk`.
+    */
+  def ivfIncrementalTopk(s: SparkSession, dir: String,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      indexPath: Option[String] = None): DataFrame = {
+    val idx = indexPath.getOrElse(graft.sources.GraftSink.scratchDir + "/ivf_inc")
+    val e = emb(s, dir)
+    val isNewEpoch = pmod(col("vec_id"), lit(5L)) === 0L
+    val historical = e.where(!isNewEpoch).cache()
+    val trained = kmeansCentroids(trainingSample(historical), nCentroids, iters = 2)
+    s.createDataFrame(trained.toIndexedSeq).toDF("centroid_id", "c_emb")
+      .write.mode("overwrite").parquet(s"$idx/centroids")
+    assignCentroids(historical, trained)
+      .select(col("vec_id"), col("emb"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$idx/lists")
+    historical.unpersist()
+    ivfAppend(s, idx, e.where(isNewEpoch))
+    serveIvf(s, dir, idx, nProbe)
+  }
+
+  /** Serve a persisted IVF index: probe the top-nProbe centroid lists
+    * via partition pruning — shared by the one-shot persisted form and
+    * the incremental form.
+    */
+  private[graft] def serveIvf(s: SparkSession, dir: String, idx: String,
+      nProbe: Int): DataFrame = {
+    import s.implicits._
+    val centroids = broadcast(s.read.parquet(s"$idx/centroids"))
+    val q = emb(s, dir).where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val probes = q.join(centroids, expr("true"))
+      .select(col("query_id"), col("q_emb"), col("centroid_id"),
+        VectorFns.cosine(col("q_emb"), col("c_emb")).as("c_cos"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("c_cos").desc, col("centroid_id"))
+    val probed = probes.withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+    val probedIds = probed.select("centroid_id").distinct()
+      .collect().map(_.getAs[Number](0).intValue).sorted
+    val lists = s.read.parquet(s"$idx/lists")
+      .where(col("centroid_id").isin(probedIds.map(Int.box): _*))
+    val scored = probed.join(lists, Seq("centroid_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VectorFns.cosine(col("q_emb"), col("emb")).as("cos_raw"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= K)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos_raw"), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** D2 (persisted-index form): same IVF search as `ivfTopk`, but the
     * inverted lists are PERSISTED partitioned by centroid_id and the
     * probe reads only the probed partitions — `.where(centroid_id IN

@@ -19,8 +19,8 @@ class ContractSpec extends AnyFunSuite {
     "dedup_ngram_jaccard_lsh", "dedup_simhash",
     "q_approx_countd_parts", "q_approx_percentile",
     "q_hll_union", "q_theta_overlap",
-    "sim_hnsw_persisted", "sim_hnsw_topk", "sim_ivf_persisted",
-    "sim_ivf_topk", "sim_lsh_topk", "sim_pq_topk",
+    "sim_hnsw_persisted", "sim_hnsw_topk", "sim_ivf_incremental",
+    "sim_ivf_persisted", "sim_ivf_topk", "sim_lsh_topk", "sim_pq_topk",
     "text_decontaminate_semantic_lsh", "text_fingerprint")
 
   test("every query has an oracle unless explicitly rows-only; no orphan oracles") {

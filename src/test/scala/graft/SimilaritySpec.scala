@@ -238,6 +238,36 @@ class SimilaritySpec extends SparkSpecBase {
     assert(exchanges <= 2, s"expected <=2 sliver exchanges, got $exchanges\n" + plan.take(1200))
   }
 
+  test("incremental IVF append equals a full rebuild against the same centroids") {
+    import graft.sources.GraftCatalog
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val incremental = Similarity.ivfIncrementalTopk(spark, sfDir, indexPath = Some(idx))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // rebuild: assign the FULL corpus against the artifact the
+    // incremental build persisted, serve from a fresh index dir
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_ivf_reb").toString
+    import spark.implicits._
+    val trained = spark.read.parquet(s"$idx/centroids")
+      .select(col("centroid_id"), col("c_emb")).as[(Int, Seq[Double])]
+      .collect().sortBy(_._1)
+    val e = new GraftCatalog(spark, sfDir).table("embeddings")
+      .select(col("vec_id"), graft.functions.VectorFns.toDoubleArray(col("embedding")).as("emb"))
+    Similarity.assignCentroids(e, trained)
+      .select(col("vec_id"), col("emb"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$rebuilt/lists")
+    spark.read.parquet(s"$idx/centroids")
+      .write.mode("overwrite").parquet(s"$rebuilt/centroids")
+    val full = Similarity.serveIvf(spark, sfDir, rebuilt, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(incremental === full,
+      "append-absorbed index must serve exactly like a full rebuild")
+    assert(incremental.nonEmpty)
+    // every corpus vector is in the merged index exactly once
+    val indexed = spark.read.parquet(s"$idx/lists").select("vec_id")
+    assert(indexed.count() === e.count())
+    assert(indexed.distinct().count() === e.count())
+  }
+
   test("persisted HNSW equals in-memory HNSW and prunes shard partitions on probe") {
     import graft.operators.Hnsw
     val idx = java.nio.file.Files.createTempDirectory("graft_hnsw_spec").toString

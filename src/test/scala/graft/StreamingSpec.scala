@@ -750,4 +750,30 @@ class StreamingSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     assert(reServed === served, "replayed batch must be a no-op")
   }
+
+  test("streamed-index compaction folds batch dirs into one segment, serve unchanged") {
+    import graft.operators.Bm25
+    val root = java.nio.file.Files.createTempDirectory("graft_idx_compact").toString
+    val all = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+      .select(col("doc_id"), col("text"))
+    // three epochs land as separate batch commits
+    Bm25.applyIndexBatch(all.where(pmod(col("doc_id"), lit(3L)) === 0L), -1L, root)
+    Bm25.applyIndexBatch(all.where(pmod(col("doc_id"), lit(3L)) === 1L), 0L, root)
+    Bm25.applyIndexBatch(all.where(pmod(col("doc_id"), lit(3L)) === 2L), 1L, root)
+    val before = Bm25.serveIndexedBm25(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val filesBefore = spark.read.parquet(s"$root/postings").inputFiles.length
+    Bm25.compactStreamedIndex(spark, root)
+    val after = Bm25.serveIndexedBm25(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(after === before, "compaction must not change the served ranking")
+    // one consolidated segment; the batch-dir sprawl is gone
+    val batchDirs = spark.read.parquet(s"$root/postings")
+      .select("batch_id").distinct().count()
+    assert(batchDirs === 1L, s"expected one segment, got $batchDirs")
+    assert(spark.read.parquet(s"$root/postings").inputFiles.length <= filesBefore)
+    // and the index keeps absorbing post-compaction stream batches
+    Bm25.applyIndexBatch(all.limit(0), 1L, root) // empty batch: no-op commit
+    assert(Bm25.serveIndexedBm25(spark, root).collect().length === after.length)
+  }
 }
