@@ -836,6 +836,86 @@ object Dedup {
     finally graft.GraftSession.releaseCheckpoint(fresh)
   }
 
+  /** G15 (C12's streaming completion): a DOCUMENT STREAM probes and
+    * grows the persisted span index per micro-batch — the daily-crawl
+    * shape at trigger grain. Exactly-once under foreachBatch's
+    * at-least-once contract WITHOUT a ledger, via PROVENANCE TAGGING:
+    * index rows carry the batch id that first contributed them
+    * (`src_batch`), so
+    *  - the PROBE scores the batch against `src_batch != batchId` —
+    *    on a replay, the batch's own earlier contribution is invisible
+    *    and the pre-batch view is restored EXACTLY (a hash lands with
+    *    the first batch that contributed it, so the exclusion is
+    *    precise);
+    *  - the ABSORB is an anti-join append — a replayed batch
+    *    contributes nothing new;
+    *  - per-doc results land in a `batch_id=N` directory
+    *    (mode=overwrite, the G4 rule) — a replay overwrites its own
+    *    output with the identical recomputation.
+    * Probe semantics are sequential (each batch scores against all
+    * PRIOR batches' spans, not its own) — the C12 semantic at
+    * micro-batch grain; the independent-oracle spec pins it as
+    * "a span is seen iff its hash FIRST appeared in an earlier batch".
+    * Scale: probe + append are one 8-byte-key join each, sized by the
+    * batch; historical text is never re-read; at rest the index is
+    * bucketed by hash like C12's.
+    */
+  def applyDedupBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long, root: String): Unit = {
+    val s = batch.sparkSession
+    val idxPath = s"$root/index"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val haveIdx = fs.exists(new org.apache.hadoop.fs.Path(idxPath))
+    val idx =
+      if (haveIdx) s.read.parquet(idxPath)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("gh",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("src_batch",
+            org.apache.spark.sql.types.LongType))))
+    val spans = wordGramHashesOf(batch.toDF())
+    val seenIdx = idx.where(col("src_batch") =!= batchId)
+      .select("gh").distinct().withColumn("seen", lit(1L))
+    val probed = spans.join(seenIdx, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+    val result = batch.select(col("doc_id"))
+      .join(probed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0 &&
+             coalesce(col("n_seen"), lit(0L)) * 2 >= col("n_spans"), 1L)
+          .otherwise(0L).as("is_dup"))
+      // materialize the pre-absorb view NOW — the absorb below changes
+      // the index this plan reads
+      .localCheckpoint(true)
+    try {
+      val fresh = spans.select("gh").distinct()
+        .join(idx.select("gh"), Seq("gh"), "left_anti")
+        .withColumn("src_batch", lit(batchId))
+        .localCheckpoint(true) // append writes into the path it reads
+      try fresh.write.mode("append").parquet(idxPath)
+      finally graft.GraftSession.releaseCheckpoint(fresh)
+      result.write.mode("overwrite").parquet(s"$root/results/batch_id=$batchId")
+    } finally graft.GraftSession.releaseCheckpoint(result)
+  }
+
+  /** The streaming entry: docs(doc_id, text) → per-batch dedup verdicts
+    * + a growing span index.
+    */
+  def dedupIngestSink(docs: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          applyDedupBatch(b, id, root)
+      }
+      .start()
+
   /** C13 similarity threshold (micro): a train doc whose nearest eval
     * doc scores at least this is flagged.
     */

@@ -751,6 +751,53 @@ class StreamingSpec extends SparkSpecBase {
     assert(reServed === served, "replayed batch must be a no-op")
   }
 
+  test("streaming incremental dedup: provenance-exact probes, idempotent replay, index == rebuild") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    val all = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+      .select(col("doc_id"), col("text"))
+    // three epochs arrive as three micro-batches (batchIds 0,1,2)
+    val chunks = (0L to 2L).map(i =>
+      all.where(pmod(col("doc_id"), lit(3L)) === i)
+        .as[(Long, String)].collect().sortBy(_._1).toSeq)
+    val stream = MemoryStream[(Long, String)]
+    val q = Dedup.dedupIngestSink(stream.toDF().toDF("doc_id", "text"), root)
+    chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+    q.stop()
+    val got = spark.read.parquet(s"$root/results")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent oracle: a span occurrence is "seen" iff its hash
+    // FIRST appeared in a strictly earlier batch
+    val tagged = Dedup.wordGramHashesOf(all)
+      .withColumn("b", pmod(col("doc_id"), lit(3L)))
+    val firstB = tagged.groupBy("gh").agg(min("b").as("fb"))
+    val expSpans = tagged.join(firstB, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("fb") < col("b"), 1L).otherwise(0L)).as("n_seen"))
+    val exp = all.select("doc_id").join(expSpans, Seq("doc_id"), "left")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) (0L, 0L) else (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === exp, "streamed probes must match the first-batch-wins oracle")
+    assert(got.values.exists(_._2 > 0L), "some spans must be seen across batches")
+    // replayed batch: identical output, index unchanged (anti-join +
+    // provenance exclusion make the recomputation exact)
+    val idxRows = spark.read.parquet(s"$root/index").count()
+    Dedup.applyDedupBatch(chunks(2).toDF("doc_id", "text"), 2L, root)
+    val got2 = spark.read.parquet(s"$root/results")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got2 === got, "replayed batch must recompute identically")
+    assert(spark.read.parquet(s"$root/index").count() === idxRows)
+    // the grown index equals a from-scratch distinct-span build
+    val streamedSet = spark.read.parquet(s"$root/index")
+      .select("gh").as[Long].collect().toSet
+    val rebuilt = Dedup.wordGramHashesOf(all).select("gh")
+      .distinct().as[Long].collect().toSet
+    assert(streamedSet === rebuilt, "index must equal a full rebuild")
+  }
+
   test("streamed-index compaction folds batch dirs into one segment, serve unchanged") {
     import graft.operators.Bm25
     val root = java.nio.file.Files.createTempDirectory("graft_idx_compact").toString
