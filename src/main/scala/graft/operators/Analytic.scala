@@ -573,7 +573,7 @@ object Analytic {
     val bloomBytes = build.select(Bridge.column(
       new BloomFilterAggregate(new XxHash64(Seq(Bridge.expression(col(buildKey)))),
         expectedItems).toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     fact.where(Bridge.column(BloomFilterMightContain(
       Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
       new XxHash64(Seq(Bridge.expression(col(factKey)))))))

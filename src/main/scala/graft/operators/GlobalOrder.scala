@@ -36,7 +36,7 @@ object GlobalOrder {
   def index(df: DataFrame, sort: Column*): DataFrame = {
     val st = sorted(df, sort: _*)
     val schema = st.schema.add("rn", LongType, nullable = false)
-    val rdd = st.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
+    val rdd = st.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
     st.sparkSession.createDataFrame(rdd, schema)
   }
 }

@@ -238,7 +238,7 @@ object Hnsw {
     val probedIds = probes.select("entry_id").distinct()
       .collect().map(_.getLong(0)).sorted
     val shards = s.read.parquet(s"$idx/shards")
-      .where(col("entry_id").isin(probedIds.map(Long.box): _*))
+      .where(col("entry_id").isin(probedIds.toIndexedSeq.map(Long.box): _*))
     topkFromShards(shards, probes)
   }
 }

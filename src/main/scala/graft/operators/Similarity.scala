@@ -247,7 +247,7 @@ object Similarity {
     val probedIds = probed.select("centroid_id").distinct()
       .collect().map(_.getAs[Number](0).intValue).sorted
     val lists = s.read.parquet(s"$idx/lists")
-      .where(col("centroid_id").isin(probedIds.map(Int.box): _*))
+      .where(col("centroid_id").isin(probedIds.toIndexedSeq.map(Int.box): _*))
     val scored = probed.join(lists, Seq("centroid_id"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -288,7 +288,7 @@ object Similarity {
     val probedIds = probed.select("centroid_id").distinct()
       .collect().map(_.getInt(0)).sorted
     val lists = s.read.parquet(idx)
-      .where(col("centroid_id").isin(probedIds.map(Int.box): _*))
+      .where(col("centroid_id").isin(probedIds.toIndexedSeq.map(Int.box): _*))
     val scored = probed.join(lists, Seq("centroid_id"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
