@@ -113,6 +113,7 @@ object SparkEntry {
     "q_basket_lift"              -> Affinity.qBasketLift _,
     "dedup_sorted_neighborhood"  -> Affinity.sortedNeighborhood _,
     "dedup_sorted_neighborhood_multi" -> Affinity.sortedNeighborhoodMulti _,
+    "q_entity_resolution"        -> Affinity.qEntityResolution _,
     "prof_correlation"           -> Profiling.profileCorrelation _,
     "q2_min_cost_supplier"       -> TpchPatterns.q2MinCostSupplier _,
     "q11_important_parts"        -> TpchPatterns.q11ImportantParts _,
@@ -1019,6 +1020,52 @@ object SparkEntry {
              CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist
       FROM c WHERE levenshtein(pa, pb) <= 16
       ORDER BY doc_a, doc_b""",
+
+    // C15: multi-pass SNM linkage → recursive-CTE closure → window
+    // survivorship election (longest text, ties to smallest id)
+    "q_entity_resolution" -> """
+      WITH RECURSIVE d AS (
+        SELECT doc_id, substr(text, 1, 64) AS pfx FROM documents),
+      r1 AS (
+        SELECT doc_id, pfx,
+               row_number() OVER (ORDER BY pfx, doc_id) AS rn FROM d),
+      r2 AS (
+        SELECT doc_id, pfx,
+               row_number() OVER (ORDER BY reverse(pfx), doc_id) AS rn FROM d),
+      c AS (
+        SELECT a.doc_id AS ida, a.pfx AS pa, b.doc_id AS idb, b.pfx AS pb
+        FROM r1 a JOIN r1 b ON b.rn - a.rn BETWEEN 1 AND 3
+        UNION
+        SELECT a.doc_id, a.pfx, b.doc_id, b.pfx
+        FROM r2 a JOIN r2 b ON b.rn - a.rn BETWEEN 1 AND 3),
+      e0 AS (
+        SELECT DISTINCT least(ida, idb) AS doc_a, greatest(ida, idb) AS doc_b
+        FROM c WHERE levenshtein(pa, pb) <= 16),
+      e AS (SELECT doc_a, doc_b FROM e0 UNION ALL SELECT doc_b, doc_a FROM e0),
+      cc AS (
+        SELECT doc_id, doc_id AS reach FROM documents
+        UNION
+        SELECT cc.doc_id, e.doc_b FROM cc JOIN e ON e.doc_a = cc.reach),
+      cl AS (SELECT doc_id, min(reach) AS cluster FROM cc GROUP BY doc_id),
+      m AS (
+        SELECT cl.doc_id, cl.cluster, dd.n_chars
+        FROM cl JOIN documents dd USING (doc_id)),
+      rk AS (
+        SELECT doc_id, cluster, n_chars,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM m),
+      g AS (
+        SELECT cluster, count(*) AS n_members, sum(n_chars) AS total_chars
+        FROM m GROUP BY cluster)
+      SELECT CAST(g.cluster AS BIGINT) AS canonical_id,
+             CAST(g.n_members AS BIGINT) AS n_members,
+             r.doc_id AS rep_id,
+             CAST(r.n_chars AS BIGINT) AS rep_chars,
+             CAST(g.total_chars AS BIGINT) AS total_chars
+      FROM g JOIN rk r ON r.cluster = g.cluster AND r.rk = 1
+      WHERE g.n_members > 1
+      ORDER BY canonical_id""",
 
     // B67: exact HUGEINT moment sums; every post-sum op (cast, sqrt,
     // *, /) is IEEE correctly rounded, so the floored micro matches

@@ -109,6 +109,30 @@ class AffinitySpec extends SparkSpecBase {
     assert(single.subsetOf(multi), "multi-pass is a superset of the forward pass")
   }
 
+  // ── C15 entity resolution ──
+
+  test("entity resolution clusters chained links and elects the longest record") {
+    // A—B and B—C link (1 edit each); A—C may or may not link directly
+    // but MUST land in one entity via the closure. D is unrelated.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = base.replace("gamma", "gamme")
+    val c = base.replace("gamma", "gamme").replace("zeta", "zetz")
+    val docs = Seq(
+      (10L, base + " short", 100L),
+      (11L, b + " much longer tail of text", 300L), // longest → survivor
+      (12L, c + " medium tail", 200L),
+      (99L, "totally unrelated content nothing alike whatsoever here", 999L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Affinity.entityResolutionOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 1, s"one multi-member entity expected: ${out.toSeq}")
+    val (canonical, n, rep, repChars, total) = out.head
+    assert(canonical === 10L, "canonical id is the cluster's min member")
+    assert(n === 3L)
+    assert(rep === 11L && repChars === 300L, "longest record must survive")
+    assert(total === 600L)
+  }
+
   // ── B63 Markov transitions ──
 
   test("markov transition probabilities are a floored partition of 1e6") {
