@@ -64,9 +64,12 @@ object Bench {
     "sim_mmr_topk", "text_hash_embed", "pipeline_curriculum",
     "src_stats_table", "dedup_incremental",
     // round-9 additions: the de-skewed global-order neighbor pass
-    // (range partition + zipWithIndex + index equi-join) and the
-    // graph-ANN beam probe (routing-graph build + sliver scan)
-    "dedup_sorted_neighborhood", "sim_hnsw_topk")
+    // (range partition + zipWithIndex + index equi-join), the
+    // graph-ANN beam probe (routing-graph build + sliver scan), the
+    // incremental IVF absorb (index write + append + pruned serve),
+    // and the entity-resolution composite (linkage + CC + election)
+    "dedup_sorted_neighborhood", "sim_hnsw_topk",
+    "sim_ivf_incremental", "q_entity_resolution")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
