@@ -45,6 +45,7 @@ object SparkEntry {
     "src_snapshot_diff"          -> Relational.srcSnapshotDiff _,
     "src_time_travel"            -> Relational.srcTimeTravel _,
     "src_vacuum"                 -> Relational.srcVacuum _,
+    "src_snapshot_log"           -> Relational.srcSnapshotLog _,
     "src_dynamic_overwrite"      -> Relational.srcDynamicOverwrite _,
     "src_merge_upsert"           -> Relational.srcMergeUpsert _,
     "src_merge_delete"           -> Relational.srcMergeDelete _,
@@ -756,6 +757,16 @@ object SparkEntry {
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM orders WHERE o_orderstatus = 'O'
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A26 introspection: per-epoch pinned row counts (footers only);
+    // epoch 1 = open orders, epoch 2 = open + finalized
+    "src_snapshot_log" -> """
+      SELECT CAST(1 AS BIGINT) AS snapshot_id,
+             (SELECT count(*) FROM orders WHERE o_orderstatus = 'O') AS n_rows
+      UNION ALL
+      SELECT CAST(2 AS BIGINT),
+             (SELECT count(*) FROM orders WHERE o_orderstatus IN ('O', 'F'))
+      ORDER BY snapshot_id""",
 
     // A27: vacuum reclaims exactly the never-published 'P' files
     "src_vacuum" -> """

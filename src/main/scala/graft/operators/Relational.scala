@@ -469,6 +469,48 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A26 introspection: the snapshot LOG as a queryable table — per
+    * published epoch, the exact row count that epoch pinned, answered
+    * from the manifests + parquet FOOTERS only (A25's metadata-only
+    * discipline: one footer read per manifest file, no data pages —
+    * at 100 TB "what did each pin see" costs O(files) metadata IO).
+    * Epochs append here, so the log shows cumulative coverage; the
+    * oracle recomputes each epoch's predicate from the source table,
+    * proving the manifests name exactly the right files.
+    */
+  def srcSnapshotLog(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.v2
+    import s.implicits._
+    val root = graft.sources.GraftSink.scratchDir + "/snaplogdemo"
+    val tbl = s"$root/orders.parquet"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(s.sessionState.newHadoopConf()).delete(rp, true)
+    val orders = cat(s, dir).table("orders")
+    orders.where(col("o_orderstatus") === "O")
+      .write.mode("overwrite").parquet(tbl)
+    new GraftCatalog(s, root).publishSnapshot("orders")
+    orders.where(col("o_orderstatus") === "F")
+      .write.mode("append").parquet(tbl)
+    val c2 = new GraftCatalog(s, root)
+    c2.publishSnapshot("orders")
+    val entries = c2.snapshotIds("orders").flatMap(id =>
+      c2.snapshotFilesAsOf("orders", id).map(f => (id, f)))
+    val conf = v2.GraftV2.sessionConf()
+    s.createDataset(entries)
+      .mapPartitions { it =>
+        it.map { case (id, path) =>
+          var rows = 0L
+          v2.GraftV2.withReader(path, conf.value) { r =>
+            r.getFooter.getBlocks.forEach(b => rows += b.getRowCount)
+          }
+          (id, rows)
+        }
+      }
+      .toDF("snapshot_id", "rows")
+      .groupBy("snapshot_id").agg(sum("rows").as("n_rows"))
+      .orderBy("snapshot_id")
+  }
+
   /** A17: dynamic partition overwrite — the idempotent backfill: one
     * partition is rewritten in place (here the 'F' partition,
     * re-derived with a quality predicate) while sibling partitions

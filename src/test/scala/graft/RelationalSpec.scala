@@ -210,6 +210,16 @@ class RelationalSpec extends SparkSpecBase {
     assert(c2.snapshotFiles("orders").forall(!_._1.contains("_snapshots")))
   }
 
+  test("snapshot log answers from manifests + footers — no table scan in the plan") {
+    val df = Relational.srcSnapshotLog(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan parquet"),
+      "the log must never scan the table's data pages:\n" + plan.take(800))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === Set(1L, 2L))
+    assert(rows(2L) > rows(1L), "append-only epochs pin cumulatively more rows")
+  }
+
   test("vacuum deletes only unpublished files; as-of reads survive; expiry bounds the log") {
     import org.apache.spark.sql.functions.col
     val root = graft.sources.GraftSink.scratchDir + "/vacdemo_spec"
