@@ -140,11 +140,25 @@ object Hnsw {
     best.map(_._2)
   }
 
-  /** The deterministic routing node set (hash sample, driver-side). */
-  private def routingNodes(e: DataFrame): Seq[(Long, Array[Double])] = {
+  /** Hard cap on the routing layer: the driver artifact must stay
+    * broadcast-sized no matter the corpus (the 10% sample alone would
+    * be unbounded at 100 TB). The cap keeps the lowest-hash members of
+    * the sample — a deterministic sub-sample of the sub-sample, so
+    * growing the corpus only refines which vectors route, never the
+    * artifact's size class. 4096 × 64 doubles ≈ 2 MB, and the O(m²)
+    * driver graph build stays ≈ 10^7 cosines.
+    */
+  private[graft] val RoutingCap = 4096
+
+  /** The deterministic routing node set (hash sample, driver-side,
+    * capped).
+    */
+  private[graft] def routingNodes(e: DataFrame): Seq[(Long, Array[Double])] = {
     val s = e.sparkSession
     import s.implicits._
     Similarity.trainingSample(e)
+      .orderBy(pmod(col("vec_id") * 2654435761L, lit(1000000L)), col("vec_id"))
+      .limit(RoutingCap)
       .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])]
       .collect().toSeq.map { case (id, v) => (id, v.toArray) }
   }

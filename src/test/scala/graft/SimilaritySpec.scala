@@ -293,6 +293,19 @@ class SimilaritySpec extends SparkSpecBase {
       s"scanned=${scan.metrics("numFiles").value} all=${all.inputFiles.length}")
   }
 
+  test("HNSW routing layer is hard-capped and deterministic past the cap") {
+    import graft.operators.Hnsw
+    import spark.implicits._
+    // 60k ids → ~6k sample rows, comfortably past the 4096 cap
+    val big = spark.range(60000).select(col("id").as("vec_id"),
+      array(lit(1.0), lit(0.5)).as("emb"))
+    val r1 = Hnsw.routingNodes(big)
+    assert(r1.size === Hnsw.RoutingCap,
+      s"routing layer must cap at ${Hnsw.RoutingCap}, got ${r1.size}")
+    val r2 = Hnsw.routingNodes(big)
+    assert(r1.map(_._1) === r2.map(_._1), "capped subset must be deterministic")
+  }
+
   test("HNSW routing graph: geometric levels, bounded degree, navigable beam") {
     import graft.operators.Hnsw
     // derandomized level draw is geometric-ish: ~1/4 of ids level>=1
