@@ -46,6 +46,7 @@ object SparkEntry {
     "src_time_travel"            -> Relational.srcTimeTravel _,
     "src_vacuum"                 -> Relational.srcVacuum _,
     "src_snapshot_log"           -> Relational.srcSnapshotLog _,
+    "src_restore"                -> Relational.srcRestore _,
     "src_dynamic_overwrite"      -> Relational.srcDynamicOverwrite _,
     "src_merge_upsert"           -> Relational.srcMergeUpsert _,
     "src_merge_delete"           -> Relational.srcMergeDelete _,
@@ -767,6 +768,13 @@ object SparkEntry {
       SELECT CAST(2 AS BIGINT),
              (SELECT count(*) FROM orders WHERE o_orderstatus IN ('O', 'F'))
       ORDER BY snapshot_id""",
+
+    // A28: after restore, a PLAIN read sees only epoch 1
+    "src_restore" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // A27: vacuum reclaims exactly the never-published 'P' files
     "src_vacuum" -> """

@@ -469,6 +469,34 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A28: snapshot RESTORE — the bad write is UNDONE, not just
+    * avoided: epoch 1 lands and is published; the bad epoch appends
+    * and is published; `restoreSnapshot(v1)` deletes the post-pin
+    * files and dangling manifests and republishes. The read-back is a
+    * PLAIN table read through a fresh catalog — the oracle's epoch-1
+    * predicate hash-matching it proves the restore physically put the
+    * table back, not merely served an old view.
+    */
+  def srcRestore(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.GraftSink.scratchDir + "/restoredemo"
+    val tbl = s"$root/orders.parquet"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(s.sessionState.newHadoopConf()).delete(rp, true)
+    val orders = cat(s, dir).table("orders")
+    orders.where(col("o_orderstatus") === "O")
+      .write.mode("overwrite").parquet(tbl)
+    val v1 = new GraftCatalog(s, root).publishSnapshot("orders")
+    orders.where(col("o_orderstatus") === "F")
+      .write.mode("append").parquet(tbl)
+    val c2 = new GraftCatalog(s, root)
+    c2.publishSnapshot("orders")
+    c2.restoreSnapshot("orders", v1)
+    new GraftCatalog(s, root).table("orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A26 introspection: the snapshot LOG as a queryable table — per
     * published epoch, the exact row count that epoch pinned, answered
     * from the manifests + parquet FOOTERS only (A25's metadata-only

@@ -238,6 +238,42 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     at.max
   }
 
+  /** A28: RESTORE the table to a published epoch — the write-side
+    * completion of time travel ("the bad write landed; put the table
+    * back"). In this file layout the table's live state IS the
+    * directory, so restore is destructive-by-design: data files not
+    * named by the target manifest are deleted (they arrived after the
+    * pin), and manifests NEWER than the target are expired with them
+    * (they would dangle). Fails fast BEFORE touching anything if any
+    * target-manifest file has already been physically removed (a COW
+    * rewrite ran without lease protection). The restored state is
+    * re-published as the log's new tip, so the operation itself is
+    * addressable history. Returns the new snapshot id.
+    */
+  def restoreSnapshot(name: String, id: Long): Long = {
+    val (_, files) = readManifest(name, id)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val missing = files.filterNot(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p)))
+    require(missing.isEmpty,
+      s"[GRAFT] Cannot restore [$name] to v$id: ${missing.size} file(s) it " +
+        s"names no longer exist (e.g. ${missing.head})")
+    val keep = files.toSet
+    listDataFiles(spark, s"$root/$name.parquet").files.map(_._1)
+      .filterNot(keep)
+      .foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    pinnedListings.remove(name)
+    // publish the restored tip BEFORE expiring the dangling manifests:
+    // the new id allocates past them, so an expired id is never reused
+    // (a reader holding "v2" must not silently resolve to new data)
+    val newId = publishSnapshot(name)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$SnapshotDir/$name")
+    snapshotIds(name).filter(v => v > id && v < newId).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$v"), false))
+    newId
+  }
+
   /** A27: retention — drop all but the newest `keepLast` published
     * epochs of `name`. Returns the expired ids. Expiry only removes
     * MANIFESTS (tiny); the data files an expired epoch referenced stay

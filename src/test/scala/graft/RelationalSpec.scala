@@ -255,6 +255,41 @@ class RelationalSpec extends SparkSpecBase {
     assertThrows[IllegalArgumentException](new GraftCatalog(spark, bare).vacuum("t"))
   }
 
+  test("restore puts the table back physically; later manifests expire; log re-tips") {
+    import org.apache.spark.sql.functions.col
+    val root = graft.sources.GraftSink.scratchDir + "/restoredemo_spec"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    val tbl = s"$root/orders.parquet"
+    val orders = new GraftCatalog(spark, sfDir).table("orders")
+    orders.where(col("o_orderstatus") === "O").write.mode("overwrite").parquet(tbl)
+    val c1 = new GraftCatalog(spark, root)
+    val v1 = c1.publishSnapshot("orders")
+    val n1 = c1.table("orders").count()
+    orders.where(col("o_orderstatus") === "F").write.mode("append").parquet(tbl)
+    val c2 = new GraftCatalog(spark, root)
+    val v2 = c2.publishSnapshot("orders")
+    val vNew = c2.restoreSnapshot("orders", v1)
+    // plain reads through a FRESH catalog see exactly epoch 1 again
+    val c3 = new GraftCatalog(spark, root)
+    assert(c3.table("orders").count() === n1)
+    assert(c3.table("orders").where(col("o_orderstatus") === "F").count() === 0)
+    // the dangling v2 manifest expired; the restore re-tipped the log
+    assert(vNew > v2)
+    assert(c3.snapshotIds("orders") === Seq(v1, vNew))
+    assert(c3.tableAsOf("orders", vNew).count() === n1)
+    assertThrows[IllegalArgumentException](c3.tableAsOf("orders", v2))
+    // restoring to a snapshot whose files are gone fails BEFORE deleting
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    c3.snapshotFiles("orders") // pin
+    val vPre = c3.publishSnapshot("orders")
+    val doomedFile = c3.snapshotFilesAsOf("orders", v1).head
+    fs.delete(new org.apache.hadoop.fs.Path(doomedFile), false)
+    val e = intercept[IllegalArgumentException](
+      new GraftCatalog(spark, root).restoreSnapshot("orders", vPre))
+    assert(e.getMessage.contains("no longer exist"), e.getMessage)
+  }
+
   test("dynamic overwrite rewrites one partition, siblings byte-identical") {
     import org.apache.spark.sql.functions.col
     val path = graft.sources.GraftSink.scratchDir + "/orders_backfill_spec"
