@@ -117,6 +117,7 @@ object SparkEntry {
     "dedup_sorted_neighborhood_multi" -> Affinity.sortedNeighborhoodMulti _,
     "q_entity_resolution"        -> Affinity.qEntityResolution _,
     "prof_correlation"           -> Profiling.profileCorrelation _,
+    "prof_key_skew"              -> Profiling.skewProfile _,
     "q2_min_cost_supplier"       -> TpchPatterns.q2MinCostSupplier _,
     "q11_important_parts"        -> TpchPatterns.q11ImportantParts _,
     "q12_priority_by_flag"       -> TpchPatterns.q12PriorityByFlag _,
@@ -1085,6 +1086,25 @@ object SparkEntry {
       FROM g JOIN rk r ON r.cluster = g.cluster AND r.rk = 1
       WHERE g.n_members > 1
       ORDER BY canonical_id""",
+
+    // B68: pure integer skew diagnostics — no percentile FP anywhere
+    "prof_key_skew" -> """
+      WITH c AS (
+        SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+      m AS (
+        SELECT count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS top_cnt
+        FROM c),
+      t AS (
+        SELECT min(c.k) AS top_key FROM c, m WHERE c.cnt = m.top_cnt)
+      SELECT CAST(n_keys AS BIGINT) AS n_keys,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(top_key AS BIGINT) AS top_key,
+             CAST(top_cnt AS BIGINT) AS top_cnt,
+             CAST((top_cnt * 1000000) // n_rows AS BIGINT) AS top_share_micro,
+             CAST((n_rows * 1000000) // n_keys AS BIGINT) AS mean_cnt_micro,
+             CAST((top_cnt * 1000000) // (n_rows // n_keys) AS BIGINT) AS skew_ratio_micro,
+             CAST(greatest(1, (top_cnt * n_keys + n_rows - 1) // n_rows) AS BIGINT) AS suggested_salt
+      FROM m, t""",
 
     // B67: exact HUGEINT moment sums; every post-sum op (cast, sqrt,
     // *, /) is IEEE correctly rounded, so the floored micro matches

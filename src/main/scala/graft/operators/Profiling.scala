@@ -107,6 +107,40 @@ object Profiling {
       .orderBy("rule")
   }
 
+  /** B68: join-key SKEW profile — the pre-join health check that
+    * decides between a plain shuffle join, AQE skew splitting, and
+    * B27's explicit salting: the per-key count distribution of a
+    * prospective join key (lineitem.l_suppkey) collapsed to ONE
+    * diagnostic row — hottest key and its corpus share, mean key
+    * load, the hot key's multiple of the mean, and the salt factor
+    * that would level it (⌈top_cnt / mean⌉ — exactly B27's sub-key
+    * count rule).
+    *
+    * Shape: one map-combinable key aggregate (|keys| rows — the only
+    * pass over data), then ONE single-row aggregate over the counts;
+    * the argmax rides max(struct(cnt, -key)) so ties break to the
+    * smallest key. All metrics are exact integer arithmetic
+    * (micro-ratios via DECIMAL div) — no percentile interpolation, no
+    * FP — so the row is value-exact in any engine.
+    */
+  def skewProfile(s: SparkSession, dir: String): DataFrame = {
+    val counts = new graft.sources.GraftCatalog(s, dir).table("lineitem")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+    counts
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        max(struct(col("cnt"), (-col("l_suppkey")).cast("long").as("nk"))).as("top"))
+      .selectExpr(
+        "n_keys", "n_rows",
+        "-top.nk AS top_key",
+        "top.cnt AS top_cnt",
+        "(top.cnt * 1000000L) div n_rows AS top_share_micro",
+        "(n_rows * 1000000L) div n_keys AS mean_cnt_micro",
+        "(top.cnt * 1000000L) div (n_rows div n_keys) AS skew_ratio_micro",
+        "greatest(1L, (top.cnt * n_keys + n_rows - 1L) div n_rows) AS suggested_salt")
+  }
+
   /** B67: pairwise Pearson correlation of lineitem's numeric columns —
     * the column-dependency screen (redundant features, derived-column
     * detection) a profiling sweep adds on top of B38's per-column

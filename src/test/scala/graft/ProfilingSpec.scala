@@ -14,6 +14,29 @@ class ProfilingSpec extends SparkSpecBase {
     tmp
   }
 
+  test("skew profile flags a planted hot key with its exact salt factor") {
+    import spark.implicits._
+    // 9 keys × 10 rows + one key with 910 rows → top share 91%,
+    // mean = 100, skew 9.1×, salt = ceil(910/100) = 10
+    val lines = ((1L to 9L).flatMap(k => Seq.fill(10)(k)) ++ Seq.fill(910)(99L))
+      .toDF("l_suppkey")
+    val counts = lines.groupBy("l_suppkey")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    // replay the single-row aggregate via the production code path by
+    // writing a scratch lineitem table the operator can read
+    val root = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    lines.write.parquet(s"$root/lineitem.parquet")
+    val r = Profiling.skewProfile(spark, root).collect().head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 1000L)
+    assert(r.getLong(2) === 99L && r.getLong(3) === 910L)
+    assert(r.getLong(4) === 910000L, "top share = 91%")
+    assert(r.getLong(5) === 100000000L, "mean = 100 rows/key")
+    assert(r.getLong(6) === 9100000L, "hot key is 9.1x the mean")
+    assert(r.getLong(7) === 10L, "salt factor levels the hot key")
+    assert(counts.count() === 10L)
+  }
+
   test("profile counts nulls and distincts per column in one pass") {
     val ts = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
     val tmp = writeOrders(Seq(
