@@ -32,6 +32,7 @@ object SparkEntry {
     "src_bucketed_join"          -> Relational.srcBucketedJoin _,
     "src_v2_inputformat_scan"    -> Relational.srcV2InputFormatScan _,
     "src_v2_decimal_scan"        -> Relational.srcV2DecimalScan _,
+    "src_v2_agg_pushdown"        -> Relational.srcV2AggPushdown _,
     "src_catalog_sql_scan"       -> Relational.srcCatalogSqlScan _,
     "src_catalog_partitioned_scan" -> Relational.srcCatalogPartitionedScan _,
     "src_jdbc_roundtrip"         -> Relational.srcJdbcRoundtrip _,
@@ -44,6 +45,7 @@ object SparkEntry {
     "src_zorder_scan"            -> Relational.srcZorderScan _,
     "src_snapshot_diff"          -> Relational.srcSnapshotDiff _,
     "src_time_travel"            -> Relational.srcTimeTravel _,
+    "src_change_feed"            -> Relational.srcChangeFeed _,
     "src_vacuum"                 -> Relational.srcVacuum _,
     "src_snapshot_log"           -> Relational.srcSnapshotLog _,
     "src_restore"                -> Relational.srcRestore _,
@@ -94,6 +96,7 @@ object SparkEntry {
     "q_except_intersect"         -> Analytic.qExceptIntersect _,
     "q_heavy_hitters"            -> Analytic.qHeavyHitters _,
     "q_bloom_semi_join"          -> Analytic.qBloomSemiJoin _,
+    "q_mv_rewrite"               -> Analytic.mvRewrite _,
     "q18_large_volume_orders"    -> Analytic.q18LargeVolumeOrders _,
     "q_wordcount"                -> Analytic.qWordcount _,
     "q_pivot_api"                -> Analytic.qPivotApi _,
@@ -760,6 +763,31 @@ object SparkEntry {
       FROM orders WHERE o_orderstatus = 'O'
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    // A30: the row-level deltas the A18 mutation implies — updates as
+    // delete+insert pairs (old price / bumped price), moves as a
+    // delete under 'O' plus an insert under 'F', plus the 3 fresh
+    // inserts; every unchanged row of the rewritten partitions must
+    // cancel out of the feed.
+    "src_change_feed" -> """
+      WITH upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 100 = 0),
+      mov AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 100 = 50)
+      SELECT * FROM (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               'delete' AS change_type FROM upd
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'delete' FROM mov
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0, 'insert' FROM upd
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'F', o_totalprice, 'insert' FROM mov
+        UNION ALL
+        SELECT 900000000 + range, 1, 'F', 42.5, 'insert' FROM range(3))
+      ORDER BY change_type, o_orderkey, o_orderstatus""",
+
     // A26 introspection: per-epoch pinned row counts (footers only);
     // epoch 1 = open orders, epoch 2 = open + finalized
     "src_snapshot_log" -> """
@@ -1157,6 +1185,19 @@ object SparkEntry {
              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
              round(CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE), 6) AS sum_disc
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // The engine answers this one from parquet footer statistics
+    // alone (A28 aggregate pushdown); the oracle recomputes it from
+    // the rows — stats and rows must agree exactly.
+    "src_v2_agg_pushdown" -> """
+      SELECT o_orderpriority, count(*) AS n, count(o_custkey) AS n_cust,
+             round(min(o_totalprice), 2) AS mn_price,
+             round(max(o_totalprice), 2) AS mx_price,
+             round(CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS mn_dec,
+             round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS mx_dec,
+             min(o_orderstatus) AS mn_status,
+             max(o_orderstatus) AS mx_status
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // Identical SQL text to the Spark side modulo the catalog-qualified
     // table name (graft.<db>.orders → orders): the catalog plugin must
@@ -1569,6 +1610,19 @@ object SparkEntry {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // B68: the engine answers this from the registered MV rollup (the
+    // query fn REQUIRES the rewrite fired); the oracle recomputes it
+    // from the base rows — rollup algebra and base scan must agree
+    // exactly.
+    "q_mv_rewrite" -> """
+      SELECT l_returnflag, count(*) AS n,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_price,
+             min(l_quantity) AS mn_qty, max(l_quantity) AS mx_qty,
+             count(l_tax) AS n_tax
+      FROM lineitem WHERE l_returnflag <> 'N'
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_heavy_hitters" -> """
       SELECT l_suppkey, count(*) AS n

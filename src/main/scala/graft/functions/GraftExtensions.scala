@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    // B68: rewrite aggregates over a registered base table onto its
+    // materialized rollup — pre-CBO, so the operator batch has settled
+    // the Aggregate/Filter/relation shape the matcher expects
+    e.injectPreCBORule(s => graft.plans.MvRewriteRule(s))
   }
 }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import scala.jdk.CollectionConverters._
 
 /** §2.B extension: multi-nation joins, cube/grouping-sets, exact
   * percentiles, argmax-per-group, as-of join, salted skew join, and
@@ -577,6 +578,54 @@ object Analytic {
     fact.where(Bridge.column(BloomFilterMightContain(
       Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
       new XxHash64(Seq(Bridge.expression(col(factKey)))))))
+  }
+
+  /** B68: materialized-view auto-rewrite (GraftMv + MvRewriteRule,
+    * plans/MvRewrite.scala). The rollup over (l_returnflag,
+    * l_linestatus) is materialized once and registered; the query
+    * below is written against the BASE lineitem table — filter, finer
+    * re-grouping, exact-decimal sums — and the pre-CBO rule re-points
+    * the whole aggregate at the MV (sum-of-sums, min-of-mins,
+    * coalesced count) with the filter pushed into the MV scan. The
+    * `require` makes this correctness entry fail loudly if the
+    * rewrite ever stops firing, so the oracle genuinely checks the
+    * MV path, not a silent base-table fallback. Registry is cleared
+    * after collecting so no OTHER query's plan is affected; the tiny
+    * result is re-wrapped as a local relation for the driver's sink.
+    * At 100 TB: the fact scan disappears — the plan reads
+    * |distinct(group keys)| rows.
+    */
+  def mvRewrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.GraftMv
+    val base = dir + "/lineitem.parquet"
+    val mvPath = graft.sources.GraftSink.scratchDir + "/mv_lineitem_rollup"
+    val d = GraftMv.MvDef(base, mvPath,
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq(
+        "cnt" -> GraftMv.MvCount,
+        "sum_qty" -> GraftMv.MvSum("l_quantity", Some(DecimalType(28, 6))),
+        "sum_price" -> GraftMv.MvSum("l_extendedprice", Some(DecimalType(28, 6))),
+        "mn_qty" -> GraftMv.MvMin("l_quantity"),
+        "mx_qty" -> GraftMv.MvMax("l_quantity"),
+        "cnt_tax" -> GraftMv.MvCountCol("l_tax")))
+    GraftMv.buildAndRegister(s, d)
+    try {
+      val out = s.read.parquet(base)
+        .where(col("l_returnflag") =!= "N")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast(DecimalType(28, 6))).cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast(DecimalType(28, 6))).cast("double"), 2).as("sum_price"),
+          min(col("l_quantity")).as("mn_qty"),
+          max(col("l_quantity")).as("mx_qty"),
+          count(col("l_tax")).as("n_tax"))
+        .orderBy("l_returnflag")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("mv_lineitem_rollup") && !plan.contains("lineitem.parquet"),
+        "MV rewrite did not fire; plan:\n" + plan.take(1500))
+      val rows = out.collect().toSeq
+      s.createDataFrame(rows.asJava, out.schema)
+    } finally GraftMv.clear()
   }
 
   /** B61: large-fact semi join via explicit bloom sideways-information

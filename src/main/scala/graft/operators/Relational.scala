@@ -180,6 +180,40 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** A29: aggregate pushdown through the v2 connector — the whole
+    * GROUP BY is answered from parquet FOOTER statistics. The table is
+    * written hive-partitioned; the query groups by the partition
+    * column with COUNT(*)/COUNT(col)/MIN/MAX over double, decimal and
+    * string measures, and the connector (SupportsPushDownAggregates,
+    * GraftDataSource.scala) emits ONE pre-aggregated row per data
+    * file from its footer — no row group is decompressed. Spark's
+    * final aggregate merges per-file partials (min-of-mins,
+    * sum-of-counts), so the answer is exact by construction. At
+    * 100 TB this is the difference between a full table scan and a
+    * listing-sized metadata pass — the SQL-transparent form of the
+    * A25 stats table. A V2SourceSpec asserts the plan really carries
+    * `pushedAggregates` and that filtered/unsupported shapes fall
+    * back to the row path.
+    */
+  def srcV2AggPushdown(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GraftSink
+    val path = GraftSink.scratchDir + "/v2_orders_aggpd"
+    cat(s, dir).table("orders")
+      .withColumn("o_price_dec", col("o_totalprice").cast(DecimalType(18, 2)))
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    s.read.format("graft").load(path)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        count(col("o_custkey")).as("n_cust"),
+        round(min(col("o_totalprice")), 2).as("mn_price"),
+        round(max(col("o_totalprice")), 2).as("mx_price"),
+        round(min(col("o_price_dec")).cast("double"), 2).as("mn_dec"),
+        round(max(col("o_price_dec")).cast("double"), 2).as("mx_dec"),
+        min(col("o_orderstatus")).as("mn_status"),
+        max(col("o_orderstatus")).as("mx_status"))
+      .orderBy("o_orderpriority")
+  }
+
   /** A21: SQL-visible catalog — the table is opened BY NAME through
     * the DSv2 `TableCatalog` plugin (`graft.<db>.orders`), the analog
     * of the reference's metastore entry point (MetaUtils.java:25-82
@@ -435,6 +469,46 @@ object Relational {
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
       .orderBy("o_orderstatus")
+  }
+
+  /** A30: row-level change data feed. A copy-on-write MERGE (the A18
+    * mutation: bumps, cross-partition moves, fresh inserts) runs with
+    * WRITE-TIME change capture (GraftSink.mergeUpsertCdf) — the feed
+    * must contain EXACTLY the true row deltas: updates as
+    * delete+insert pairs, a moved row as a delete under its old
+    * partition plus an insert under the new one, with every unchanged
+    * row of the rewritten partitions cancelled. Capture happens while
+    * the pre-image files still exist (a COW rewrite destroys them —
+    * the same reason Delta/Iceberg produce CDF during the write); for
+    * APPEND-ONLY epochs the manifest-diff path
+    * (GraftCatalog.changesBetween) reconstructs the same feed after
+    * the fact, spec-proved churn-proportional. Feed cost is
+    * O(affected partitions), never O(table).
+    */
+  def srcChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.GraftSink.scratchDir + "/cdfdemo"
+    val tbl = s"$root/orders.parquet"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(s.sessionState.newHadoopConf()).delete(rp, true)
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tbl)
+    val priceBumps = orders
+      .where(col("o_orderstatus") === "F" && col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+    val moves = orders
+      .where(col("o_orderstatus") === "O" && col("o_orderkey") % 100 === 50)
+      .withColumn("o_orderstatus", lit("F"))
+    val inserts = s.range(3).select(
+      (col("id") + 900000000L).as("o_orderkey"),
+      lit(1L).as("o_custkey"),
+      lit("F").as("o_orderstatus"),
+      lit(42.5).as("o_totalprice"))
+    graft.sources.GraftSink.mergeUpsertCdf(
+      s, tbl, priceBumps.unionByName(moves).unionByName(inserts),
+      Seq("o_orderkey"), "o_orderstatus")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "change_type")
+      .orderBy("change_type", "o_orderkey", "o_orderstatus")
   }
 
   /** A27: snapshot retention + manifest-anchored vacuum — the cleanup

@@ -1,0 +1,251 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.types.DataType
+
+/** B68: materialized-view auto-rewrite.
+  *
+  * A20 already MAINTAINS pre-aggregated tables incrementally; this is
+  * the missing consumption half: a Catalyst rule that recognizes an
+  * aggregate over the BASE table whose answer is derivable from a
+  * registered MV and silently re-points the plan at the MV — the
+  * query text keeps naming the base table, the plan reads the rollup.
+  * At 100 TB the rewrite turns a full fact-table scan into a scan of
+  * a table ~|distinct group keys| rows long.
+  *
+  * Soundness model: the rewrite is algebraic, not temporal — it is
+  * correct exactly when the MV's contents equal `build(...)` over the
+  * CURRENT base data, which is the registrant's contract to maintain
+  * (via A20's incremental maintenance or full rebuild). Derivations
+  * used, all exact:
+  *   SUM(x)   = SUM(mv.sum_x)        (decimal/long partials re-add
+  *                                    associatively; the builder is
+  *                                    the same expression, so double
+  *                                    bases should register a
+  *                                    DECIMAL-cast sum — dsum style)
+  *   COUNT(*) = SUM(mv.cnt)          (coalesced to 0 for empty MV)
+  *   COUNT(x) = SUM(mv.cnt_x)
+  *   MIN(x)   = MIN(mv.min_x),  MAX(x) = MAX(mv.max_x)
+  * Grouping may be any SUBSET of the MV's group columns (roll-up), and
+  * one Filter is allowed when it references grouping columns only.
+  * Anything else — residual measures, DISTINCT, agg-level FILTER
+  * clauses, non-group predicates — declines and the base plan runs
+  * unchanged.
+  */
+object GraftMv {
+
+  sealed trait Measure extends Serializable
+  /** sum over `col`, optionally pre-cast (register DECIMAL casts for
+    * double money columns so partial re-addition stays order-exact). */
+  case class MvSum(col: String, castTo: Option[DataType] = None) extends Measure
+  case object MvCount extends Measure
+  case class MvCountCol(col: String) extends Measure
+  case class MvMin(col: String) extends Measure
+  case class MvMax(col: String) extends Measure
+
+  case class MvDef(basePath: String, mvPath: String,
+      groupCols: Seq[String], measures: Seq[(String, Measure)])
+
+  /** normalized base path → (definition, analyzed MV relation template) */
+  private val registry = new ConcurrentHashMap[String, (MvDef, LogicalRelation)]()
+
+  def normalize(p: String): String = new Path(p).toUri.getPath
+
+  def isEmpty: Boolean = registry.isEmpty
+
+  def clear(): Unit = registry.clear()
+
+  /** The MV contents as a DataFrame — build + register share this so
+    * the stored rollup can never drift from what the rule assumes.
+    */
+  def mvFrame(spark: SparkSession, d: MvDef): DataFrame = {
+    val aggs = d.measures.map {
+      case (name, MvSum(c, castTo)) =>
+        sum(castTo.map(t => col(c).cast(t)).getOrElse(col(c))).as(name)
+      case (name, MvCount) => count(lit(1)).as(name)
+      case (name, MvCountCol(c)) => count(col(c)).as(name)
+      case (name, MvMin(c)) => min(col(c)).as(name)
+      case (name, MvMax(c)) => max(col(c)).as(name)
+    }
+    spark.read.parquet(d.basePath)
+      .groupBy(d.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Materialize the MV to its path and register it for rewrite. */
+  def buildAndRegister(spark: SparkSession, d: MvDef): Unit = {
+    mvFrame(spark, d).write.mode("overwrite").parquet(d.mvPath)
+    register(spark, d)
+  }
+
+  /** Register an already-materialized MV (e.g. one A20 maintains). */
+  def register(spark: SparkSession, d: MvDef): Unit = {
+    val analyzed = spark.read.parquet(d.mvPath).queryExecution.analyzed
+    val lr = analyzed.collectFirst { case l: LogicalRelation => l }.getOrElse(
+      throw new IllegalStateException(s"[GRAFT] MV at ${d.mvPath} did not analyze to a relation"))
+    val missing = (d.groupCols ++ d.measures.map(_._1))
+      .filterNot(c => lr.output.exists(_.name == c))
+    require(missing.isEmpty,
+      s"[GRAFT] MV at ${d.mvPath} lacks columns: ${missing.mkString(",")}")
+    registry.put(normalize(d.basePath), (d, lr))
+  }
+
+  def lookup(basePath: String): Option[(MvDef, LogicalRelation)] =
+    Option(registry.get(normalize(basePath)))
+}
+
+/** The rewrite rule, injected pre-CBO (after the main operator batch,
+  * so the plan shape is settled: Aggregate over Project/Filter over
+  * the relation).
+  */
+case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (GraftMv.isEmpty) return plan
+    plan.transformDown {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+  }
+
+  /** Aggregate's child stripped to (optional filter, relation),
+    * tolerating a pruning Project of bare attributes on either side
+    * of the Filter. Anything else declines.
+    */
+  private def decompose(p: LogicalPlan): Option[(Option[Expression], LogicalRelation)] =
+    p match {
+      case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        decompose(c)
+      case Filter(cond, c) => decompose(c) match {
+        case Some((None, lr)) => Some((Some(cond), lr))
+        case _ => None // at most one filter layer
+      }
+      case lr: LogicalRelation => Some((None, lr))
+      case _ => None
+    }
+
+  private def rootOf(lr: LogicalRelation): Option[String] = lr.relation match {
+    case fs: HadoopFsRelation => fs.location.rootPaths match {
+      case Seq(single) => Some(GraftMv.normalize(single.toString))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (condOpt, baseLr) = decompose(agg.child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val (d, mvTemplate) = rootOf(baseLr).flatMap(GraftMv.lookup) match {
+      case Some(x) => x
+      case None => return None
+    }
+    // grouping: bare attributes, a subset of the MV's group columns
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference if d.groupCols.contains(a.name) => a
+      case _ => return None
+    }
+    // the one allowed filter touches grouping columns only
+    if (condOpt.exists(_.references.exists(a => !d.groupCols.contains(a.name))))
+      return None
+    // fresh exprIds per use site: the same base may be aggregated
+    // twice in one query (e.g. a self-join of rollups)
+    val mv = mvTemplate.newInstance()
+    def mvAttr(name: String): Attribute = mv.output.find(_.name == name).get
+    def measureCol(pred: GraftMv.Measure => Boolean): Option[Attribute] =
+      d.measures.collectFirst { case (n, m) if pred(m) => mvAttr(n) }
+
+    /** Base-side aggregate call → equivalent expression over the MV. */
+    def remap(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      def sumOf(a: Attribute, asType: DataType, zeroForEmpty: Boolean): Expression = {
+        val s = Sum(a).toAggregateExpression()
+        val typed = if (s.dataType == asType) s else Cast(s, asType)
+        if (zeroForEmpty) Coalesce(Seq(typed, Literal.default(asType))) else typed
+      }
+      ae.aggregateFunction match {
+        case s: Sum => s.child match {
+          case a: AttributeReference =>
+            measureCol { case GraftMv.MvSum(c, None) => c == a.name; case _ => false }
+              .map(m => sumOf(m, ae.dataType, zeroForEmpty = false))
+          case Cast(a: AttributeReference, t, _, _) =>
+            measureCol { case GraftMv.MvSum(c, Some(ct)) => c == a.name && ct == t; case _ => false }
+              .map(m => sumOf(m, ae.dataType, zeroForEmpty = false))
+          case _ => None
+        }
+        case c: Count => c.children match {
+          case Seq(Literal(_, _)) =>
+            measureCol { case GraftMv.MvCount => true; case _ => false }
+              .map(m => sumOf(m, ae.dataType, zeroForEmpty = true))
+          case Seq(a: AttributeReference) =>
+            measureCol { case GraftMv.MvCountCol(cc) => cc == a.name; case _ => false }
+              .map(m => sumOf(m, ae.dataType, zeroForEmpty = true))
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case a: AttributeReference =>
+            measureCol { case GraftMv.MvMin(c) => c == a.name; case _ => false }
+              .map(mc => Min(mc).toAggregateExpression())
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case a: AttributeReference =>
+            measureCol { case GraftMv.MvMax(c) => c == a.name; case _ => false }
+              .map(mc => Max(mc).toAggregateExpression())
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+
+    // Rewrite ONE result expression: aggregate calls anywhere inside
+    // it (they sit under round()/cast() wrappers in optimized plans)
+    // are remapped onto MV measures; the surviving attribute
+    // references must then all be grouping columns, re-pointed at the
+    // MV's attributes. Declines (None) on any unmappable piece.
+    val baseAttrs = baseLr.outputSet
+    def rewriteExpr(e: Expression): Option[Expression] = {
+      var ok = true
+      val aggsMapped = e.transformUp {
+        case ae: AggregateExpression => remap(ae) match {
+          case Some(m) => m
+          case None => ok = false; ae
+        }
+      }
+      if (!ok) return None
+      if (aggsMapped.references.exists(a =>
+          baseAttrs.contains(a) && !d.groupCols.contains(a.name))) return None
+      Some(aggsMapped.transformUp {
+        case a: AttributeReference if baseAttrs.contains(a) => mvAttr(a.name)
+      })
+    }
+
+    // output expressions, exprIds preserved so everything above the
+    // Aggregate keeps resolving untouched
+    val newResult: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if d.groupCols.contains(a.name) =>
+        Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+      case al: Alias =>
+        rewriteExpr(al.child) match {
+          case Some(e) => Alias(e, al.name)(exprId = al.exprId)
+          case None => return None
+        }
+      case _ => return None
+    }
+    val newGroup = groupAttrs.map(a => mvAttr(a.name): Expression)
+    val newChild: LogicalPlan = condOpt match {
+      case Some(cond) =>
+        Filter(cond.transform { case a: AttributeReference => mvAttr(a.name) }, mv)
+      case None => mv
+    }
+    Some(Aggregate(newGroup, newResult, newChild))
+  }
+}

@@ -145,6 +145,57 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** A30: row-level change data feed between two PUBLISHED epochs —
+    * every row inserted or deleted from `fromId` to `toId`, tagged
+    * `change_type` ('insert' | 'delete'); an update surfaces as the
+    * delete of its old version plus the insert of the new one.
+    *
+    * Scale shape: the manifests are diffed as FILE sets first, and
+    * only churned files are ever read — a file common to both epochs
+    * contributes nothing and is skipped without opening it, so the
+    * cost is O(churn), not O(table). Within the churned files,
+    * `exceptAll` (multiset difference — a hash aggregate on the full
+    * row, bounded by churned-row count) cancels rows present on both
+    * sides exactly, leaving just the true row deltas. Exact because
+    * parquet round-trips every engine type bit-identically. By
+    * construction: epoch1 ⊎ inserts ∖ deletes = epoch2 as multisets
+    * (spec-asserted).
+    *
+    * Scope: requires BOTH epochs' churned files to still exist —
+    * append-only epochs always qualify (parquet immutability); a
+    * copy-on-write MERGE destroys its pre-image, so its feed must be
+    * captured AT WRITE TIME instead (GraftSink.mergeUpsertCdf — the
+    * same reason Delta/Iceberg emit CDF during the write). A missing
+    * file fails fast here, same as any stale-epoch read.
+    */
+  def changesBetween(name: String, fromId: Long, toId: Long): DataFrame = {
+    val (rootIsDir1, f1) = readManifest(name, fromId)
+    val (rootIsDir2, f2) = readManifest(name, toId)
+    val removed = (f1.toSet -- f2.toSet).toSeq.sorted
+    val added = (f2.toSet -- f1.toSet).toSeq.sorted
+    def readSide(files: Seq[String], rootIsDir: Boolean): DataFrame = {
+      val reader = spark.read
+      if (rootIsDir) reader.option("basePath", s"$root/$name.parquet")
+      reader.parquet(files: _*)
+    }
+    if (removed.isEmpty && added.isEmpty) {
+      // identical manifests: an empty but fully-typed feed
+      tableAsOf(name, toId).limit(0)
+        .withColumn("change_type", org.apache.spark.sql.functions.lit(""))
+    } else {
+      val template =
+        if (added.nonEmpty) readSide(added, rootIsDir2)
+        else readSide(removed, rootIsDir1)
+      val addedDf = if (added.isEmpty) template.limit(0) else readSide(added, rootIsDir2)
+      val removedDf = if (removed.isEmpty) template.limit(0) else readSide(removed, rootIsDir1)
+      val ins = addedDf.exceptAll(removedDf)
+        .withColumn("change_type", org.apache.spark.sql.functions.lit("insert"))
+      val del = removedDf.exceptAll(addedDf)
+        .withColumn("change_type", org.apache.spark.sql.functions.lit("delete"))
+      ins.unionByName(del)
+    }
+  }
+
   /** A26: publish this catalog's pinned snapshot of `name` as a
     * NUMBERED, durable epoch under `<root>/_snapshots/<name>/v<id>` —
     * the time-travel completion of the snapshot story: the in-memory

@@ -64,7 +64,31 @@ object GraftSink {
     */
   def mergeUpsert(s: SparkSession, targetPath: String, updates: DataFrame,
                   keyCols: Seq[String], partitionCol: String): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    mergeCore(s, targetPath, updates, keyCols, partitionCol, wantFeed = false)
+    ()
+  }
+
+  /** A30 write-time change capture: the same copy-on-write MERGE, but
+    * it also RETURNS the row-level change feed — every deleted old
+    * row version and inserted new one, tagged `change_type`. The feed
+    * is computed from the affected partitions' PRE-image, pinned with
+    * `localCheckpoint` while the old files still exist; a feed
+    * reconstructed afterwards is impossible, because the COW rewrite
+    * physically deletes the pre-image (that destruction is exactly
+    * why Delta/Iceberg capture CDF at write time too). Unchanged rows
+    * of the rewritten partitions cancel via `exceptAll` (multiset
+    * difference), so the feed is the true delta. Cost is O(affected
+    * partitions) — the same data the merge already materializes to
+    * stage — never O(table).
+    */
+  def mergeUpsertCdf(s: SparkSession, targetPath: String, updates: DataFrame,
+                     keyCols: Seq[String], partitionCol: String): DataFrame =
+    mergeCore(s, targetPath, updates, keyCols, partitionCol, wantFeed = true).get
+
+  private def mergeCore(s: SparkSession, targetPath: String, updates: DataFrame,
+                        keyCols: Seq[String], partitionCol: String,
+                        wantFeed: Boolean): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     // share-lease gate: rewriting deletes files a pinned reader still
     // references — fail fast while any reader lease is live (the
     // reference's share-lock conflict, GraftLease doc)
@@ -76,10 +100,18 @@ object GraftSink {
       .select(partitionCol)
       .union(updates.select(partitionCol))
       .distinct().collect().map(_.get(0))
-    val survivors = target
-      .where(partitionIn(partitionCol, affected.toSeq))
-      .join(broadcast(keys), keyCols, "left_anti")
+    val affectedRows = target.where(partitionIn(partitionCol, affected.toSeq))
+    val survivors = affectedRows.join(broadcast(keys), keyCols, "left_anti")
     val staged = survivors.unionByName(updates).localCheckpoint(true)
+    // pre-image pinned BEFORE the rewrite deletes its files; both
+    // sides of the feed live in checkpoint blocks, so the frame stays
+    // valid after the swap (blocks are freed when the frames are GC'd
+    // — the caller owns the feed's lifetime, so no release here)
+    val feed = if (wantFeed) {
+      val pre = affectedRows.localCheckpoint(true)
+      Some(staged.exceptAll(pre).withColumn("change_type", lit("insert"))
+        .unionByName(pre.exceptAll(staged).withColumn("change_type", lit("delete"))))
+    } else None
     try {
       // a partition can be DRAINED by a merge that moves every one of
       // its rows elsewhere: no survivors, no update rows carry its
@@ -93,7 +125,10 @@ object GraftSink {
         .partitionBy(partitionCol).parquet(targetPath)
       dropDrainedPartitions(s, targetPath, partitionCol,
         affected.filterNot(written).toSeq)
-    } finally graft.GraftSession.releaseCheckpoint(staged) // free staged blocks
+    } finally {
+      if (!wantFeed) graft.GraftSession.releaseCheckpoint(staged) // free staged blocks
+    }
+    feed
   }
 
   /** Null-safe membership test on the partition column. A plain

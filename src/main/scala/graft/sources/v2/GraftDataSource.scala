@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -91,10 +92,12 @@ case class GraftTable(path: String, tableSchema: StructType,
 class GraftScanBuilder(path: String, fullSchema: StructType,
     pinnedFiles: Seq[String] = Seq.empty,
     partSchema: StructType = new StructType()) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggSpec: Option[GraftAggSpec] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -110,14 +113,103 @@ class GraftScanBuilder(path: String, fullSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** A29: aggregate pushdown answered from parquet FOOTER statistics —
+    * MIN / MAX / COUNT(col) / COUNT(*), optionally grouped by hive
+    * partition columns, with NO row data read at all. Partial
+    * pushdown (`supportCompletePushDown` stays false): every data
+    * file emits ONE pre-aggregated row (min/max merged across its
+    * row groups, counts summed), and Spark's final aggregate merges
+    * the per-file rows — min-of-mins, sum-of-counts — so multi-file
+    * tables and grouped shapes stay exact. At 100 TB this turns a
+    * full-table `SELECT min(x), max(x), count(*)` into a
+    * footer-only metadata pass: bytes read ∝ #files, not rows.
+    * Declined (→ Spark plans the ordinary scan) whenever a filter
+    * survives, grouping is not purely partition columns, or an agg
+    * is outside the footer-provable set.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // Spark only offers aggregates when every filter was consumed by
+    // the source; ours are all handed back as residuals, so `pushed`
+    // is necessarily empty here — keep the guard anyway (cheap,
+    // and robust to a future pushFilters change).
+    if (pushed.nonEmpty) return false
+    val partCols = partSchema.fieldNames.toSet
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference
+            if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+        case _ => None
+      }
+    def fileCol(n: String): Boolean =
+      !partCols.contains(n) && fullSchema.fieldNames.contains(n)
+    def statsProvable(n: String): Boolean = fullSchema(n).dataType match {
+      case IntegerType | LongType | FloatType | DoubleType | DateType |
+           StringType | _: DecimalType => true
+      case _ => false // timestamps/binary/list: stay on the row path
+    }
+    val groups = aggregation.groupByExpressions.toSeq.map(refName)
+    if (groups.exists(g => g.isEmpty || !partCols.contains(g.get))) return false
+    val funcs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GraftAggSpec.CountStar)
+      case c: Count if !c.isDistinct =>
+        refName(c.column).filter(fileCol).map(GraftAggSpec.CountCol)
+      case m: Min =>
+        refName(m.column).filter(n => fileCol(n) && statsProvable(n))
+          .map(GraftAggSpec.MinCol)
+      case m: Max =>
+        refName(m.column).filter(n => fileCol(n) && statsProvable(n))
+          .map(GraftAggSpec.MaxCol)
+      case _ => None
+    }
+    if (funcs.exists(_.isEmpty)) return false
+    val spec = GraftAggSpec(groups.map(_.get), funcs.map(_.get),
+      StructType(
+        groups.map(g => partSchema(g.get)) ++
+        funcs.map(_.get).zipWithIndex.map {
+          case (GraftAggSpec.MinCol(c), i) =>
+            StructField(s"min_$i", fullSchema(c).dataType, nullable = true)
+          case (GraftAggSpec.MaxCol(c), i) =>
+            StructField(s"max_$i", fullSchema(c).dataType, nullable = true)
+          case (_, i) => StructField(s"cnt_$i", LongType, nullable = false)
+        }))
+    aggSpec = Some(spec)
+    true
+  }
+
   override def build(): Scan = GraftScan(path, required, pushed,
-    pinnedFiles = pinnedFiles, partSchema = partSchema)
+    pinnedFiles = pinnedFiles, partSchema = partSchema, agg = aggSpec)
+}
+
+/** A pushed footer-stats aggregation: partition group columns + the
+  * per-file aggregate functions, and the scan's output schema
+  * (group columns first, then one field per function, positionally
+  * matched by Spark's final merge).
+  */
+case class GraftAggSpec(groupCols: Seq[String], funcs: Seq[GraftAggSpec.Func],
+    outSchema: StructType) {
+  def describe: String = funcs.map {
+    case GraftAggSpec.CountStar => "COUNT(*)"
+    case GraftAggSpec.CountCol(c) => s"COUNT($c)"
+    case GraftAggSpec.MinCol(c) => s"MIN($c)"
+    case GraftAggSpec.MaxCol(c) => s"MAX($c)"
+  }.mkString(", ")
+}
+
+object GraftAggSpec {
+  sealed trait Func extends Serializable
+  case object CountStar extends Func
+  case class CountCol(col: String) extends Func
+  case class MinCol(col: String) extends Func
+  case class MaxCol(col: String) extends Func
 }
 
 case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     conf: SerializableConfiguration = GraftV2.sessionConf(),
     pinnedFiles: Seq[String] = Seq.empty,
-    partSchema: StructType = new StructType())
+    partSchema: StructType = new StructType(),
+    agg: Option[GraftAggSpec] = None)
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   /** Filters Spark hands over at RUNTIME (dynamic partition pruning /
@@ -131,14 +223,22 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
   private var runtimeFilters: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    // a pushed aggregation's output columns are synthetic — there is
+    // nothing for a runtime filter to land on
+    if (agg.isDefined) Array.empty
+    else required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = { runtimeFilters = filters }
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg.map(_.outSchema).getOrElse(required)
 
-  override def description(): String =
-    s"graft parquet row-group scan, pushed=[${filters.mkString(",")}]"
+  override def description(): String = agg match {
+    case Some(a) =>
+      s"graft footer-stats aggregate scan, pushedAggregates=[${a.describe}]" +
+        (if (a.groupCols.nonEmpty) s", groupedBy=[${a.groupCols.mkString(",")}]" else "")
+    case None =>
+      s"graft parquet row-group scan, pushed=[${filters.mkString(",")}]"
+  }
 
   override def toBatch: Batch = this
 
@@ -154,6 +254,15 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     val all = filters ++ runtimeFilters
     val fileSet =
       if (pinnedFiles.nonEmpty) pinnedFiles else GraftV2.dataFiles(path, conf.value)
+    // pushed aggregation: one split per data file, answered in the
+    // reader from that file's footer alone — no row group is ever
+    // decompressed, so the whole job is a metadata pass
+    agg.foreach { a =>
+      return fileSet.map { file =>
+        GraftAggPartition(file,
+          GraftV2.partitionValues(path, file, partSchema)): InputPartition
+      }.toArray
+    }
     fileSet.flatMap { file =>
       // hive-layout partition values of THIS file (empty for flat
       // tables) — evaluated against the pushed/runtime filters BEFORE
@@ -189,7 +298,78 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(required, conf)
+    agg.map(a => GraftAggReaderFactory(a, conf): PartitionReaderFactory)
+      .getOrElse(GraftReaderFactory(required, conf))
+}
+
+case class GraftAggPartition(path: String,
+    partValues: Map[String, Any] = Map.empty) extends InputPartition
+
+case class GraftAggReaderFactory(spec: GraftAggSpec,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftAggPartition]
+    new GraftAggReader(p.path, spec, conf.value, p.partValues)
+  }
+}
+
+/** Answers one file's share of a pushed aggregation from the parquet
+  * footer: row/null counts and min/max statistics per row group,
+  * merged across the file's row groups. Emits exactly one row —
+  * group-column constants first (this file's hive partition values),
+  * then one value per aggregate — which Spark's final aggregate
+  * merges across files. Statistics are REQUIRED here: a row group
+  * missing stats for a min/max column fails loudly rather than
+  * returning a silently-wrong bound (the pushdown was accepted on
+  * schema shape; absent stats are a data-file defect this engine's
+  * own sinks never produce).
+  */
+class GraftAggReader(path: String, spec: GraftAggSpec,
+    hadoopConf: Configuration,
+    partValues: Map[String, Any]) extends PartitionReader[InternalRow] {
+
+  private var done = false
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    done = true
+    val row = new GenericInternalRow(spec.outSchema.length)
+    GraftV2.withReader(path, hadoopConf) { r =>
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      spec.groupCols.zipWithIndex.foreach { case (g, i) =>
+        row.update(i, GraftV2.toCatalystConstant(partValues.getOrElse(g, null),
+          spec.outSchema(i).dataType))
+      }
+      val base = spec.groupCols.length
+      spec.funcs.zipWithIndex.foreach { case (f, i) =>
+        val dt = spec.outSchema(base + i).dataType
+        val v: Any = f match {
+          case GraftAggSpec.CountStar =>
+            blocks.map(_.getRowCount).sum
+          case GraftAggSpec.CountCol(c) =>
+            blocks.map { b =>
+              val col = GraftV2.columnChunk(b, c, path)
+              b.getRowCount - GraftV2.nullCount(col, path)
+            }.sum
+          case GraftAggSpec.MinCol(c) =>
+            blocks.flatMap(b => GraftV2.statBound(b, c, dt, path, min = true))
+              .reduceOption((a, b) => if (GraftV2.cmpCatalyst(dt, a, b) <= 0) a else b)
+              .orNull
+          case GraftAggSpec.MaxCol(c) =>
+            blocks.flatMap(b => GraftV2.statBound(b, c, dt, path, min = false))
+              .reduceOption((a, b) => if (GraftV2.cmpCatalyst(dt, a, b) >= 0) a else b)
+              .orNull
+        }
+        row.update(base + i, v)
+      }
+    }
+    current = row
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 case class GraftInputPartition(path: String, rowGroup: Int,
@@ -642,5 +822,78 @@ object GraftV2 {
         vs.forall(v => cmp(mn, v).exists(_ > 0) || cmp(mx, v).exists(_ < 0)) }
       case _ => false
     }
+  }
+
+  // ---- A29 footer-stats aggregate helpers ----------------------------
+
+  def columnChunk(block: BlockMetaData, col: String,
+      file: String): org.apache.parquet.hadoop.metadata.ColumnChunkMetaData =
+    block.getColumns.asScala.find(_.getPath.toDotString == col).getOrElse(
+      throw new IllegalStateException(
+        s"[GRAFT] aggregate pushdown: column $col absent from a row group of $file"))
+
+  /** Exact null count of one column chunk; parquet-mr reports -1 when
+    * the writer omitted it — fail loudly, a silently-wrong COUNT is
+    * worse than falling back by hand.
+    */
+  def nullCount(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      file: String): Long = {
+    val st = c.getStatistics
+    require(st != null && st.isNumNullsSet && st.getNumNulls >= 0,
+      s"[GRAFT] aggregate pushdown: null count unavailable for " +
+        s"${c.getPath.toDotString} in $file")
+    st.getNumNulls
+  }
+
+  /** One row group's min or max for a column as a CATALYST value of
+    * `dt` (UTF8String / Decimal / primitives), or None when the group
+    * has no non-null values (all-null chunks contribute nothing, which
+    * is exactly SQL MIN/MAX semantics). Decimal stats arrive unscaled
+    * and are rescaled here, same as the pruning path above.
+    */
+  def statBound(block: BlockMetaData, col: String, dt: DataType,
+      file: String, min: Boolean): Option[Any] = {
+    val c = columnChunk(block, col, file)
+    val st = c.getStatistics
+    if (st == null || st.isEmpty)
+      throw new IllegalStateException(
+        s"[GRAFT] aggregate pushdown: no statistics for $col in a row group of $file")
+    if (!st.hasNonNullValue) return None
+    val raw = if (min) st.genericGetMin else st.genericGetMax
+    Some((raw, dt) match {
+      case (n: java.lang.Integer, IntegerType | DateType) => n.intValue
+      case (n: java.lang.Long, LongType) => n.longValue
+      case (n: java.lang.Float, FloatType) => n.floatValue
+      case (n: java.lang.Double, DoubleType) => n.doubleValue
+      case (b: org.apache.parquet.io.api.Binary, StringType) =>
+        UTF8String.fromBytes(b.getBytes)
+      case (v, d: DecimalType) =>
+        val bd = v match {
+          case n: java.lang.Integer => java.math.BigDecimal.valueOf(n.longValue, d.scale)
+          case n: java.lang.Long => java.math.BigDecimal.valueOf(n.longValue, d.scale)
+          case b: org.apache.parquet.io.api.Binary =>
+            new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.scale)
+          case other => throw new IllegalStateException(
+            s"[GRAFT] aggregate pushdown: unexpected decimal stat $other for $col")
+        }
+        Decimal(bd, d.precision, d.scale)
+      case (other, t) => throw new IllegalStateException(
+        s"[GRAFT] aggregate pushdown: stat $other does not fit $t for $col in $file")
+    })
+  }
+
+  /** Ordering over Catalyst values for merging per-row-group bounds.
+    * Strings compare as unsigned bytes (UTF8String's order — Spark's
+    * binary-collation MIN/MAX), matching parquet's UTF8 stat order.
+    */
+  def cmpCatalyst(dt: DataType, a: Any, b: Any): Int = dt match {
+    case IntegerType | DateType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case FloatType => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case StringType => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case _: DecimalType => a.asInstanceOf[Decimal].compareTo(b.asInstanceOf[Decimal])
+    case other => throw new IllegalStateException(
+      s"[GRAFT] aggregate pushdown: no ordering for $other")
   }
 }

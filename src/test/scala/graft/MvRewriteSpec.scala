@@ -1,0 +1,114 @@
+package graft
+
+import graft.plans.GraftMv
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.BeforeAndAfterEach
+
+/** B68: materialized-view auto-rewrite — the rule must re-point
+  * matching aggregates at the MV, decline everything underivable,
+  * and never change a result.
+  */
+class MvRewriteSpec extends SparkSpecBase with BeforeAndAfterEach {
+
+  override def afterEach(): Unit = GraftMv.clear()
+
+  private def base = s"$sfDir/lineitem.parquet"
+  private val mvPath = graft.sources.GraftSink.scratchDir + "/spec_mv_lineitem"
+
+  private def registerMv(): Unit =
+    GraftMv.buildAndRegister(spark, GraftMv.MvDef(base, mvPath,
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq(
+        "cnt" -> GraftMv.MvCount,
+        "sum_qty" -> GraftMv.MvSum("l_quantity", Some(DecimalType(28, 6))),
+        "mn_qty" -> GraftMv.MvMin("l_quantity"),
+        "mx_qty" -> GraftMv.MvMax("l_quantity"),
+        "cnt_tax" -> GraftMv.MvCountCol("l_tax"))))
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def readsMv(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val p = planOf(df)
+    p.contains("spec_mv_lineitem") && !p.contains("lineitem.parquet")
+  }
+
+  test("rewrite fires on a filtered roll-up and the values are identical") {
+    registerMv()
+    def q = spark.read.parquet(base)
+      .where(col("l_returnflag") =!= "N")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast(DecimalType(28, 6))).cast("double"), 2).as("sq"),
+        min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"),
+        count(col("l_tax")).as("nt"))
+      .orderBy("l_returnflag")
+    val rewritten = q
+    assert(readsMv(rewritten), planOf(rewritten).take(1200))
+    val got = rewritten.collect().map(_.toString).toSeq
+    GraftMv.clear()
+    val exp = q.collect().map(_.toString).toSeq
+    assert(got === exp)
+  }
+
+  test("global (ungrouped) aggregate rewrites too") {
+    registerMv()
+    def q = spark.read.parquet(base)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast(DecimalType(28, 6))).cast("double"), 2).as("sq"))
+    val rewritten = q
+    assert(readsMv(rewritten), planOf(rewritten).take(1200))
+    val got = rewritten.collect().head
+    GraftMv.clear()
+    assert(got.toString === q.collect().head.toString)
+  }
+
+  test("exact MV-grain grouping rewrites (both group columns)") {
+    registerMv()
+    def q = spark.read.parquet(base)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), max(col("l_quantity")).as("mx"))
+      .orderBy("l_returnflag", "l_linestatus")
+    assert(readsMv(q), planOf(q).take(1200))
+    val got = q.collect().map(_.toString).toSeq
+    GraftMv.clear()
+    assert(got === q.collect().map(_.toString).toSeq)
+  }
+
+  test("underivable shapes decline and read the base table") {
+    registerMv()
+    val b = spark.read.parquet(base)
+    // sum of a column that is not a registered measure
+    assert(!readsMv(b.groupBy("l_returnflag").agg(sum(col("l_discount")).as("s"))))
+    // raw double sum when the MV stored the DECIMAL-cast sum
+    assert(!readsMv(b.groupBy("l_returnflag").agg(sum(col("l_quantity")).as("s"))))
+    // COUNT(DISTINCT) is not derivable from a rollup
+    assert(!readsMv(b.groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("d"))))
+    // avg has no registered derivation
+    assert(!readsMv(b.groupBy("l_returnflag").agg(avg(col("l_quantity")).as("a"))))
+    // filter on a NON-grouping column
+    assert(!readsMv(b.where(col("l_quantity") > 10)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))))
+    // grouping by a non-MV column
+    assert(!readsMv(b.groupBy("l_shipdate").agg(count(lit(1)).as("n"))))
+    // an unregistered table is untouched
+    assert(!readsMv(spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))))
+  }
+
+  test("two rewrites in one query get fresh exprIds (no conflict)") {
+    registerMv()
+    def q = {
+      val b = spark.read.parquet(base)
+      b.groupBy("l_returnflag").agg(count(lit(1)).as("n_flag"))
+        .crossJoin(b.groupBy("l_linestatus").agg(count(lit(1)).as("n_status")))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+    val joined = q
+    assert(readsMv(joined), planOf(joined).take(1500))
+    val got = joined.collect().map(_.toString).toSeq
+    GraftMv.clear()
+    assert(got === q.collect().map(_.toString).toSeq)
+  }
+}

@@ -419,4 +419,98 @@ class V2SourceSpec extends SparkSpecBase {
       assert(gt.take(19).replace('T', ' ') === et.take(19))
     }
   }
+
+  // ---- A29: aggregate pushdown from footer statistics ----------------
+
+  private def aggTable(name: String)(write: String => Unit): String = {
+    val path = graft.sources.GraftSink.scratchDir + s"/spec_$name"
+    write(path)
+    path
+  }
+
+  test("A29: grouped aggregate is answered from footers and matches the row scan") {
+    val path = aggTable("v2agg_grouped") { p =>
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(p)
+    }
+    def q(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), count(col("o_custkey")).as("nc"),
+        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"),
+        min(col("o_orderstatus")).as("mns"), max(col("o_orderstatus")).as("mxs"))
+      .orderBy("o_orderpriority")
+    val pushed = q(spark.read.format("graft").load(path))
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggregates=[COUNT(*), COUNT(o_custkey), " +
+      "MIN(o_totalprice), MAX(o_totalprice), MIN(o_orderstatus), MAX(o_orderstatus)]"),
+      plan.take(1200))
+    assert(plan.contains("groupedBy=[o_orderpriority]"), plan.take(1200))
+    assert(!plan.contains("row-group scan"), "no row data may be read: " + plan.take(1200))
+    assert(pushed.collect().map(_.toString).toSeq ===
+      q(spark.read.parquet(path)).collect().map(_.toString).toSeq)
+  }
+
+  test("A29: COUNT(col) subtracts nulls exactly; all-null min/max is NULL") {
+    import spark.implicits._
+    val path = aggTable("v2agg_nulls") { p =>
+      Seq((1L, Some(10.0)), (2L, None), (3L, Some(-5.5)), (4L, None), (5L, None))
+        .toDF("id", "v")
+        .withColumn("dead", lit(null).cast("double"))
+        .repartition(2)
+        .write.mode("overwrite").parquet(p)
+    }
+    val df = spark.read.format("graft").load(path)
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(col("dead")).as("nd"), min(col("dead")).as("mnd"))
+    assert(df.queryExecution.executedPlan.toString.contains("pushedAggregates="))
+    val r = df.collect().head
+    assert(r.getLong(0) === 5L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === -5.5 && r.getDouble(3) === 10.0)
+    assert(r.getLong(4) === 0L && r.isNullAt(5))
+  }
+
+  test("A29: decimal min/max rescale footer stats exactly") {
+    val path = aggTable("v2agg_dec") { p =>
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("d18"),
+          col("l_discount").cast(org.apache.spark.sql.types.DecimalType(25, 6)).as("d25"))
+        .repartition(3)
+        .write.mode("overwrite").parquet(p)
+    }
+    def q(df: org.apache.spark.sql.DataFrame) =
+      df.agg(min(col("d18")).as("a"), max(col("d18")).as("b"),
+        min(col("d25")).as("c"), max(col("d25")).as("d"))
+    val pushed = q(spark.read.format("graft").load(path))
+    assert(pushed.queryExecution.executedPlan.toString.contains("pushedAggregates="))
+    assert(pushed.collect().head.toString ===
+      q(spark.read.parquet(path)).collect().head.toString)
+  }
+
+  test("A29: filtered / SUM / distinct shapes decline and fall back to the row path") {
+    val path = aggTable("v2agg_fallback") { p =>
+      spark.read.parquet(s"$sfDir/orders.parquet").repartition(2)
+        .write.mode("overwrite").parquet(p)
+    }
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val base = spark.read.format("graft").load(path)
+    // a surviving filter keeps the row path (stats can't apply it)
+    val filtered = base.where(col("o_totalprice") > 100000.0)
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("mn"))
+    assert(!planOf(filtered).contains("pushedAggregates="))
+    assert(planOf(filtered).contains("row-group scan"))
+    // SUM is not footer-provable
+    val summed = base.agg(sum(col("o_totalprice")).as("s"))
+    assert(!planOf(summed).contains("pushedAggregates="))
+    // COUNT(DISTINCT) is not footer-provable
+    val distinctC = base.agg(countDistinct(col("o_custkey")).as("nd"))
+    assert(!planOf(distinctC).contains("pushedAggregates="))
+    // grouping by a NON-partition column declines too
+    val badGroup = base.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(!planOf(badGroup).contains("pushedAggregates="))
+    // and the declined shapes still compute correctly through the rows
+    assert(filtered.collect().head.getLong(0) ===
+      spark.read.parquet(path).where(col("o_totalprice") > 100000.0).count())
+  }
 }
