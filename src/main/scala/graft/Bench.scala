@@ -69,7 +69,13 @@ object Bench {
     // incremental IVF absorb (index write + append + pruned serve),
     // and the entity-resolution composite (linkage + CC + election)
     "dedup_sorted_neighborhood", "sim_hnsw_topk",
-    "sim_ivf_incremental", "q_entity_resolution")
+    "sim_ivf_incremental", "q_entity_resolution",
+    // round-9 late additions: footer-stats aggregate pushdown (a
+    // metadata-only pass — its cost IS the write+footer sweep), the
+    // MV rewrite round trip (build + rewritten scan), write-time CDF
+    // merge, and the bloom-index build + pruned point lookup
+    "src_v2_agg_pushdown", "q_mv_rewrite", "src_change_feed",
+    "src_bloom_index")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

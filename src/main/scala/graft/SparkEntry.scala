@@ -46,6 +46,7 @@ object SparkEntry {
     "src_snapshot_diff"          -> Relational.srcSnapshotDiff _,
     "src_time_travel"            -> Relational.srcTimeTravel _,
     "src_change_feed"            -> Relational.srcChangeFeed _,
+    "src_bloom_index"            -> Relational.srcBloomIndex _,
     "src_vacuum"                 -> Relational.srcVacuum _,
     "src_snapshot_log"           -> Relational.srcSnapshotLog _,
     "src_restore"                -> Relational.srcRestore _,
@@ -120,6 +121,7 @@ object SparkEntry {
     "dedup_sorted_neighborhood_multi" -> Affinity.sortedNeighborhoodMulti _,
     "q_entity_resolution"        -> Affinity.qEntityResolution _,
     "prof_correlation"           -> Profiling.profileCorrelation _,
+    "prof_outliers"              -> Profiling.robustOutliers _,
     "prof_key_skew"              -> Profiling.skewProfile _,
     "q2_min_cost_supplier"       -> TpchPatterns.q2MinCostSupplier _,
     "q11_important_parts"        -> TpchPatterns.q11ImportantParts _,
@@ -763,6 +765,14 @@ object SparkEntry {
       FROM orders WHERE o_orderstatus = 'O'
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    // A31: the engine answers this via bloom-pruned file scans (the
+    // query fn REQUIRES pruning happened); the oracle is the plain
+    // IN-query — false positives must never surface rows.
+    "src_bloom_index" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey IN (0, 4, 32, 100, 256)
+      ORDER BY o_orderkey""",
+
     // A30: the row-level deltas the A18 mutation implies — updates as
     // delete+insert pairs (old price / bumped price), moves as a
     // delete under 'O' plus an insert under 'F', plus the 3 fresh
@@ -1137,6 +1147,30 @@ object SparkEntry {
     // B67: exact HUGEINT moment sums; every post-sum op (cast, sqrt,
     // *, /) is IEEE correctly rounded, so the floored micro matches
     // Spark bit-for-bit with no ULP caveat (contrast E8's ln note)
+    // B69: medians/MAD in doubled-cents integer space — quantile_cont
+    // interpolation lands on integers, the fence compare is pure
+    // BIGINT in both engines (no float boundary anywhere)
+    "prof_outliers" -> """
+      WITH b AS (
+        SELECT o_orderpriority AS p,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2 AS c2
+        FROM orders),
+      med AS (
+        SELECT p, CAST(quantile_cont(c2, 0.5) AS BIGINT) AS med_c2
+        FROM b GROUP BY p),
+      dev AS (
+        SELECT b.p, abs(c2 - med_c2) AS dev_c2, med_c2
+        FROM b JOIN med ON b.p = med.p),
+      mad AS (
+        SELECT p, CAST(quantile_cont(dev_c2 * 2, 0.5) AS BIGINT) AS mad_c4
+        FROM dev GROUP BY p)
+      SELECT dev.p AS o_orderpriority, count(*) AS n,
+             CAST(sum(CASE WHEN dev_c2 * 20000 > mad_c4 * 44478
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             max(med_c2) AS med_c2, max(mad.mad_c4) AS mad_c4
+      FROM dev JOIN mad ON dev.p = mad.p
+      GROUP BY dev.p ORDER BY o_orderpriority""",
+
     "prof_correlation" -> """
       WITH b AS (
         SELECT CAST(CAST(l_quantity AS DECIMAL(28,2)) * 100 AS BIGINT) AS x1,

@@ -203,4 +203,49 @@ object Profiling {
       ) AS (col_x, col_y, corr_micro)""")
       .orderBy("col_x", "col_y")
   }
+
+  /** B69: robust outlier profile — per group: median, MAD (median
+    * absolute deviation) and the count of rows beyond the classic
+    * 3·1.4826·MAD fence. The robust fence is the profiling answer to
+    * heavy-tailed money columns, where mean/stddev fences are dragged
+    * by the very outliers they should catch.
+    *
+    * Exactness: everything stays in INTEGER space. Money → exact
+    * cents (the DECIMAL cast trick), doubled so the even-count median
+    * interpolation (a+b)/2 lands on an integer; deviations doubled
+    * again for the MAD's own interpolation; the fence comparison
+    * dev > 3·1.4826·mad becomes dev_c2·2·10000 > 44478·mad_c4 —
+    * pure BIGINT, no float ever compared, so the oracle matches
+    * bit-for-bit with no rounding-boundary assumption (the
+    * round()-on-interpolated-doubles trap the verify notes warn
+    * about never arises).
+    *
+    * Scale: exact `percentile` holds one value-count map per group in
+    * the aggregator — fine at dashboard group counts (5 here); a
+    * high-cardinality grouping should switch to the B58b
+    * bucket-percentile form. The deviation frame is cached: one
+    * orders scan for the medians, one materialization for both the
+    * MAD pass and the fence count.
+    */
+  def robustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(col("o_orderpriority").as("p"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2").as("c2"))
+    val med = o.groupBy("p")
+      .agg(expr("CAST(percentile(c2, 0.5D) AS BIGINT)").as("med_c2"))
+    val dev = o.join(broadcast(med), "p")
+      .withColumn("dev_c2", abs(col("c2") - col("med_c2")))
+      .cache()
+    val mad = dev.groupBy("p")
+      .agg(expr("CAST(percentile(dev_c2 * 2, 0.5D) AS BIGINT)").as("mad_c4"))
+    dev.join(broadcast(mad), "p")
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev_c2") * 20000L > col("mad_c4") * 44478L, 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(col("med_c2")).as("med_c2"),
+        max(col("mad_c4")).as("mad_c4"))
+      .select(col("p").as("o_orderpriority"), col("n"), col("n_outliers"),
+        col("med_c2"), col("mad_c4"))
+      .orderBy("o_orderpriority")
+  }
 }

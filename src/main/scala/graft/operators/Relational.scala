@@ -180,6 +180,33 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** A31: per-file bloom index (GraftBloomIndex) — the point-lookup
+    * path for a high-cardinality key no partition layout or footer
+    * min/max can prune. The orders table is written as many files,
+    * indexed once on o_orderkey (one distributed pass, sidecars under
+    * `_bloom_o_orderkey/`), then a 5-key lookup scans ONLY files
+    * whose bloom might hold a probe key — the in-query `require`
+    * proves files were actually pruned, and the exact IN-filter on
+    * the survivors makes bloom false positives harmless. Oracle = the
+    * plain IN-query over the base rows.
+    */
+  def srcBloomIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GraftBloomIndex
+    val path = graft.sources.GraftSink.scratchDir + "/orders_bloomidx"
+    cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .repartition(8).write.mode("overwrite").parquet(path)
+    GraftBloomIndex.build(s, path, "o_orderkey")
+    val keys = Seq(0L, 4L, 32L, 100L, 256L)
+    val out = GraftBloomIndex.lookup(s, path, "o_orderkey", keys)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+    val total = graft.sources.v2.GraftV2.dataFiles(path, s.sessionState.newHadoopConf()).length
+    require(out.inputFiles.length < total,
+      s"bloom index pruned nothing: ${out.inputFiles.length} of $total files scanned")
+    out
+  }
+
   /** A29: aggregate pushdown through the v2 connector — the whole
     * GROUP BY is answered from parquet FOOTER statistics. The table is
     * written hive-partitioned; the query groups by the partition

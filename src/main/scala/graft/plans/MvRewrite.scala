@@ -63,10 +63,11 @@ object GraftMv {
 
   def clear(): Unit = registry.clear()
 
-  /** The MV contents as a DataFrame — build + register share this so
-    * the stored rollup can never drift from what the rule assumes.
+  /** The MV contents over an arbitrary input frame — build, register
+    * and incremental maintenance all share this, so the stored rollup
+    * can never drift from what the rule assumes.
     */
-  def mvFrame(spark: SparkSession, d: MvDef): DataFrame = {
+  def mvFrameOf(input: DataFrame, d: MvDef): DataFrame = {
     val aggs = d.measures.map {
       case (name, MvSum(c, castTo)) =>
         sum(castTo.map(t => col(c).cast(t)).getOrElse(col(c))).as(name)
@@ -75,8 +76,27 @@ object GraftMv {
       case (name, MvMin(c)) => min(col(c)).as(name)
       case (name, MvMax(c)) => max(col(c)).as(name)
     }
-    spark.read.parquet(d.basePath)
-      .groupBy(d.groupCols.map(col): _*)
+    input.groupBy(d.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def mvFrame(spark: SparkSession, d: MvDef): DataFrame =
+    mvFrameOf(spark.read.parquet(d.basePath), d)
+
+  /** Merge two rollups of the same definition (the A20 incremental
+    * refresh shape: old MV ⊎ rollup-of-diff): sums and counts re-add,
+    * min/max re-extremize — every measure here is a commutative
+    * monoid, so merge-of-partials ≡ rebuild, exactly (decimal/long
+    * adds are associative; the spec proves the identity).
+    */
+  def mergeRollups(a: DataFrame, b: DataFrame, d: MvDef): DataFrame = {
+    val aggs = d.measures.map {
+      case (name, _: MvSum) => sum(col(name)).as(name)
+      case (name, MvCount) => sum(col(name)).as(name)
+      case (name, _: MvCountCol) => sum(col(name)).as(name)
+      case (name, _: MvMin) => min(col(name)).as(name)
+      case (name, _: MvMax) => max(col(name)).as(name)
+    }
+    a.unionByName(b).groupBy(d.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 

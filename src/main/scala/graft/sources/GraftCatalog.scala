@@ -403,12 +403,18 @@ object GraftCatalog {
     if (!fs.exists(path)) return PinnedTable(rootIsDir = false, Seq.empty)
     val status = fs.getFileStatus(path)
     if (status.isFile) return PinnedTable(rootIsDir = false, Seq((path.toString, status.getLen)))
+    val rootPath = path.toUri.getPath
     val out = Seq.newBuilder[(String, Long)]
     val it = fs.listFiles(path, true)
     while (it.hasNext) {
       val f = it.next()
-      val n = f.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) out += ((f.getPath.toString, f.getLen))
+      // check every segment below the root: recursive listing descends
+      // into hidden bookkeeping dirs (`_bloom_*` sidecar indexes) whose
+      // files carry unremarkable names
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+      val hidden = rel.split('/').exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden) out += ((f.getPath.toString, f.getLen))
     }
     PinnedTable(rootIsDir = true, out.result())
   }

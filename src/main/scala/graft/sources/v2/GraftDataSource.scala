@@ -85,13 +85,30 @@ case class GraftTable(path: String, tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, tableSchema, pinnedFiles, partSchema)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // A32: row-group sampling pushdown — `.option("sampleRowGroups",
+    // "0.1")` reads a deterministic ~10% of (file, row group) splits,
+    // decided from the listing alone: the skipped 90% of the table is
+    // never opened, which is how a 100 TB profile pass reads 10 TB.
+    // `sampleSeed` re-draws, `sampleComplement=true` selects exactly
+    // the unsampled remainder (sample ⊎ complement = the full table,
+    // spec-asserted).
+    val sample = Option(options.get("samplerowgroups")).map { f =>
+      val frac = f.toDouble
+      require(frac > 0.0 && frac <= 1.0,
+        s"[GRAFT] sampleRowGroups must be in (0, 1], got $frac")
+      (frac,
+        Option(options.get("sampleseed")).map(_.toLong).getOrElse(42L),
+        Option(options.get("samplecomplement")).exists(_.toBoolean))
+    }
+    new GraftScanBuilder(path, tableSchema, pinnedFiles, partSchema, sample)
+  }
 }
 
 class GraftScanBuilder(path: String, fullSchema: StructType,
     pinnedFiles: Seq[String] = Seq.empty,
-    partSchema: StructType = new StructType()) extends ScanBuilder
+    partSchema: StructType = new StructType(),
+    sample: Option[(Double, Long, Boolean)] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -135,6 +152,9 @@ class GraftScanBuilder(path: String, fullSchema: StructType,
     // is necessarily empty here — keep the guard anyway (cheap,
     // and robust to a future pushFilters change).
     if (pushed.nonEmpty) return false
+    // footer stats describe WHOLE row groups — they cannot answer an
+    // aggregate over a row-group SAMPLE
+    if (sample.isDefined) return false
     val partCols = partSchema.fieldNames.toSet
     def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -179,7 +199,8 @@ class GraftScanBuilder(path: String, fullSchema: StructType,
   }
 
   override def build(): Scan = GraftScan(path, required, pushed,
-    pinnedFiles = pinnedFiles, partSchema = partSchema, agg = aggSpec)
+    pinnedFiles = pinnedFiles, partSchema = partSchema, agg = aggSpec,
+    sample = sample)
 }
 
 /** A pushed footer-stats aggregation: partition group columns + the
@@ -209,7 +230,8 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     conf: SerializableConfiguration = GraftV2.sessionConf(),
     pinnedFiles: Seq[String] = Seq.empty,
     partSchema: StructType = new StructType(),
-    agg: Option[GraftAggSpec] = None)
+    agg: Option[GraftAggSpec] = None,
+    sample: Option[(Double, Long, Boolean)] = None)
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   /** Filters Spark hands over at RUNTIME (dynamic partition pruning /
@@ -237,7 +259,10 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
       s"graft footer-stats aggregate scan, pushedAggregates=[${a.describe}]" +
         (if (a.groupCols.nonEmpty) s", groupedBy=[${a.groupCols.mkString(",")}]" else "")
     case None =>
-      s"graft parquet row-group scan, pushed=[${filters.mkString(",")}]"
+      s"graft parquet row-group scan, pushed=[${filters.mkString(",")}]" +
+        sample.map { case (f, seed, comp) =>
+          s", sampleRowGroups=$f seed=$seed${if (comp) " complement" else ""}"
+        }.getOrElse("")
   }
 
   override def toBatch: Batch = this
@@ -286,6 +311,7 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
         val status = fs.getFileStatus(p)
         blocks.zipWithIndex
           .filterNot { case (b, _) => GraftV2.canSkipRowGroup(b, all) }
+          .filter { case (_, i) => GraftV2.inSample(file, i, sample) }
           .map { case (b, i) =>
             val hosts =
               try fs.getFileBlockLocations(status, b.getStartingPos, b.getCompressedSize)
@@ -487,21 +513,34 @@ object GraftV2 {
     * table-wide section enumeration
     * (ArgodbMapreduceInputFormat.java:104-147).
     */
-  def dataFiles(path: String, conf: Configuration): Seq[String] = {
+  def dataFiles(path: String, conf: Configuration): Seq[String] =
+    dataFileSizes(path, conf).map(_._1)
+
+  /** Data files with their byte lengths — the listing-only size
+    * estimate stats-driven planning runs on (one namenode round trip,
+    * no footer opened).
+    */
+  def dataFileSizes(path: String, conf: Configuration): Seq[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
-    if (st.isFile) Seq(path)
+    if (st.isFile) Seq((path, st.getLen))
     else {
-      val out = Seq.newBuilder[String]
+      val rootPath = p.toUri.getPath
+      val out = Seq.newBuilder[(String, Long)]
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val f = it.next()
-        val n = f.getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".") && f.getLen > 0)
-          out += f.getPath.toString
+        // every path segment below the root must be non-hidden: a
+        // recursive listing descends into `_bloom_*`/`_snapshots`-style
+        // bookkeeping dirs whose FILES have unremarkable names
+        val rel = f.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+        val hidden = rel.split('/').exists(seg =>
+          seg.startsWith("_") || seg.startsWith("."))
+        if (!hidden && f.getLen > 0)
+          out += ((f.getPath.toString, f.getLen))
       }
-      out.result().sorted
+      out.result().sortBy(_._1)
     }
   }
 
@@ -822,6 +861,24 @@ object GraftV2 {
         vs.forall(v => cmp(mn, v).exists(_ > 0) || cmp(mx, v).exists(_ < 0)) }
       case _ => false
     }
+  }
+
+  /** A32: deterministic row-group sampling decision — a stable hash
+    * of (normalized file path, row-group ordinal, seed) against the
+    * fraction, so the same (table, seed) selects the same groups on
+    * every executor and every run, and the complement flag selects
+    * exactly the rest. A rewritten file is a different path and
+    * legitimately re-draws.
+    */
+  def inSample(file: String, rowGroup: Int,
+      sample: Option[(Double, Long, Boolean)]): Boolean = sample match {
+    case None => true
+    case Some((frac, seed, complement)) =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(
+        s"${new Path(file).toUri.getPath}#$rowGroup", seed.toInt)
+      val bucket = ((h % 1000000) + 1000000) % 1000000
+      val in = bucket < (frac * 1000000.0).toLong
+      if (complement) !in else in
   }
 
   // ---- A29 footer-stats aggregate helpers ----------------------------

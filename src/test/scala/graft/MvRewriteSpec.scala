@@ -97,6 +97,46 @@ class MvRewriteSpec extends SparkSpecBase with BeforeAndAfterEach {
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))))
   }
 
+  test("MV maintained from the snapshot diff keeps the rewrite exact across an append") {
+    val root = graft.sources.GraftSink.scratchDir + "/spec_mv_inc"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    val tbl = s"$root/lineitem.parquet"
+    val li = spark.read.parquet(base)
+    li.where(col("l_linenumber") <= 2).write.mode("overwrite").parquet(tbl)
+    val catOld = new graft.sources.GraftCatalog(spark, root)
+    catOld.table("lineitem").count() // pin epoch 1
+    val d = GraftMv.MvDef(tbl, graft.sources.GraftSink.scratchDir + "/spec_mv_inc_mv",
+      groupCols = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq(
+        "cnt" -> GraftMv.MvCount,
+        "sum_qty" -> GraftMv.MvSum("l_quantity", Some(DecimalType(28, 6))),
+        "mn_qty" -> GraftMv.MvMin("l_quantity"),
+        "mx_qty" -> GraftMv.MvMax("l_quantity")))
+    val mv1 = GraftMv.mvFrame(spark, d).localCheckpoint(true)
+    // epoch 2 lands; refresh the MV from the DIFF only (A20 shape)
+    li.where(col("l_linenumber") > 2).write.mode("append").parquet(tbl)
+    val diff = new graft.sources.GraftCatalog(spark, root).diffTable("lineitem", catOld)
+    val merged = GraftMv.mergeRollups(mv1, GraftMv.mvFrameOf(diff, d), d)
+    // incremental refresh ≡ full rebuild, value-exact
+    val rebuilt = GraftMv.mvFrame(spark, d)
+    val key = Seq("l_returnflag", "l_linestatus")
+    assert(merged.orderBy(key.map(col): _*).collect().map(_.toString).toSeq ===
+      rebuilt.orderBy(key.map(col): _*).collect().map(_.toString).toSeq)
+    // and the registered merged MV serves the rewrite exactly
+    merged.write.mode("overwrite").parquet(d.mvPath)
+    GraftMv.register(spark, d)
+    def q = spark.read.parquet(tbl).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast(DecimalType(28, 6))).cast("double"), 2).as("sq"))
+      .orderBy("l_returnflag")
+    val rewritten = q
+    assert(planOf(rewritten).contains("spec_mv_inc_mv"), planOf(rewritten).take(1000))
+    val got = rewritten.collect().map(_.toString).toSeq
+    GraftMv.clear()
+    assert(got === q.collect().map(_.toString).toSeq)
+  }
+
   test("two rewrites in one query get fresh exprIds (no conflict)") {
     registerMv()
     def q = {

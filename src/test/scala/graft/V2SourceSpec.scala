@@ -487,6 +487,45 @@ class V2SourceSpec extends SparkSpecBase {
       q(spark.read.parquet(path)).collect().head.toString)
   }
 
+  test("A32: row-group sampling is deterministic and the complement completes it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rgsample").toString
+    (0L until 40000L).map(i => (i, i % 97)).toDF("k", "v")
+      .orderBy("k").coalesce(1)
+      .write.option("parquet.block.size", "65536").mode("overwrite").parquet(tmp)
+    def read(opts: (String, String)*) = {
+      val r = spark.read.format("graft")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(tmp)
+    }
+    val full = read().select("k").collect().map(_.getLong(0)).toSet
+    val s1 = read("sampleRowGroups" -> "0.5", "sampleSeed" -> "7")
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("sampleRowGroups=0.5"), plan.take(800))
+    val k1 = s1.select("k").collect().map(_.getLong(0)).toSet
+    // deterministic: a second identical read returns the same rows
+    val k1b = read("sampleRowGroups" -> "0.5", "sampleSeed" -> "7")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(k1 === k1b)
+    // a real subset, roughly the requested fraction of row groups
+    assert(k1.nonEmpty && k1.size < full.size && k1.subsetOf(full))
+    // the complement is disjoint and the union is the whole table
+    val kc = read("sampleRowGroups" -> "0.5", "sampleSeed" -> "7",
+      "sampleComplement" -> "true").select("k").collect().map(_.getLong(0)).toSet
+    assert(k1.intersect(kc).isEmpty)
+    assert(k1.union(kc) === full)
+    // a different seed re-draws
+    val k2 = read("sampleRowGroups" -> "0.5", "sampleSeed" -> "8")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(k2 !== k1)
+    // aggregate pushdown declines under sampling (footers describe
+    // whole groups, not samples)
+    val agg = read("sampleRowGroups" -> "0.5", "sampleSeed" -> "7")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mn"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("pushedAggregates="))
+    assert(agg.collect().head.getLong(0) === k1.size)
+  }
+
   test("A29: filtered / SUM / distinct shapes decline and fall back to the row path") {
     val path = aggTable("v2agg_fallback") { p =>
       spark.read.parquet(s"$sfDir/orders.parquet").repartition(2)
