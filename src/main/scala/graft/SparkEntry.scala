@@ -1147,7 +1147,7 @@ object SparkEntry {
     // B67: exact HUGEINT moment sums; every post-sum op (cast, sqrt,
     // *, /) is IEEE correctly rounded, so the floored micro matches
     // Spark bit-for-bit with no ULP caveat (contrast E8's ln note)
-    // B69: medians/MAD in doubled-cents integer space — quantile_cont
+    // B70: medians/MAD in doubled-cents integer space — quantile_cont
     // interpolation lands on integers, the fence compare is pure
     // BIGINT in both engines (no float boundary anywhere)
     "prof_outliers" -> """
@@ -1645,7 +1645,7 @@ object SparkEntry {
       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
-    // B68: the engine answers this from the registered MV rollup (the
+    // B69: the engine answers this from the registered MV rollup (the
     // query fn REQUIRES the rewrite fired); the oracle recomputes it
     // from the base rows — rollup algebra and base scan must agree
     // exactly.

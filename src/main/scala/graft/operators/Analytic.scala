@@ -580,7 +580,7 @@ object Analytic {
       new XxHash64(Seq(Bridge.expression(col(factKey)))))))
   }
 
-  /** B68: materialized-view auto-rewrite (GraftMv + MvRewriteRule,
+  /** B69: materialized-view auto-rewrite (GraftMv + MvRewriteRule,
     * plans/MvRewrite.scala). The rollup over (l_returnflag,
     * l_linestatus) is materialized once and registered; the query
     * below is written against the BASE lineitem table — filter, finer

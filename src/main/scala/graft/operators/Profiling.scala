@@ -204,7 +204,7 @@ object Profiling {
       .orderBy("col_x", "col_y")
   }
 
-  /** B69: robust outlier profile — per group: median, MAD (median
+  /** B70: robust outlier profile — per group: median, MAD (median
     * absolute deviation) and the count of rows beyond the classic
     * 3·1.4826·MAD fence. The robust fence is the profiling answer to
     * heavy-tailed money columns, where mean/stddev fences are dragged

@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** B73: plan lint — the 100 TB design-review checklist as code. The
+  * same audits a human runs over `.explain` before shipping a job
+  * (and the ones this repo's own VERDICTs graded): does anything
+  * funnel the data through one task, one pair-product, or one
+  * interpreted UDF? `lint` walks the PHYSICAL plan (pre-AQE input
+  * plan, so the static shape is judged, not a runtime lucky-save)
+  * and returns findings; an empty list is the plan you'd want.
+  *
+  * Rules:
+  *  - cartesian-product / nested-loop-join: a pair-product operator
+  *    in the plan. O(n·m) compares at scale; broadcast-NLJ of a
+  *    one-row side is excused (that is the planted-scalar pattern
+  *    B61/D-family use deliberately).
+  *  - single-partition-window: Window (or a non-terminal sort) fed by
+  *    an `Exchange SinglePartition` — the whole input through ONE
+  *    task (the B58→B58b / PageRank-ranking lesson). A global
+  *    aggregate's single-row exchange and a final limit are fine and
+  *    excluded.
+  *  - interpreted-udf: a ScalaUDF in the plan — opaque to Catalyst
+  *    (no pushdown through it) and outside whole-stage codegen; the
+  *    engine's native-Expression rule (SURVEY §4) exists to avoid
+  *    exactly this.
+  */
+object GraftDoctor {
+
+  case class Finding(rule: String, severity: String, node: String, advice: String)
+
+  def physical(df: DataFrame): SparkPlan = df.queryExecution.executedPlan match {
+    case a: AdaptiveSparkPlanExec => a.inputPlan
+    case p => p
+  }
+
+  def lint(df: DataFrame): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+
+    def walk(p: SparkPlan, ancestors: List[SparkPlan]): Unit = {
+      p match {
+        case c: CartesianProductExec =>
+          out += Finding("cartesian-product", "high", c.nodeName,
+            "O(n*m) pair product: add a join key, pre-block candidates, or broadcast a bounded side")
+        case b: BroadcastNestedLoopJoinExec =>
+          // a deliberately-broadcast single-row/tiny aggregate (the
+          // planted-scalar crossJoin pattern) has a plan-time max row
+          // count of 1 on the broadcast side when it is a global agg —
+          // detect the common benign shape: broadcast side is a
+          // single-row aggregate (keys=[]).
+          val broadcastSide = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case _ => b.right
+          }
+          val singleRow = broadcastSide.collectFirst {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+                if a.groupingExpressions.isEmpty => a
+          }.isDefined
+          if (!singleRow)
+            out += Finding("nested-loop-join", "high", b.nodeName,
+              "no equi-join key reached the planner: check the join condition, or broadcast a provably tiny side")
+        // under AQE the input plan carries no Exchange yet
+        // (EnsureRequirements runs at stage prep), so the smell is
+        // read off the REQUIREMENT: an empty partitionSpec demands
+        // SinglePartition of its child
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          out += Finding("single-partition-window", "high", "Window",
+            "unpartitioned window funnels every row through one task: partitionBy a key or use the two-level/GlobalOrder rank pattern")
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty =>
+          out += Finding("single-partition-window", "high", "WindowGroupLimit",
+            "unpartitioned window funnels every row through one task: partitionBy a key or use the two-level/GlobalOrder rank pattern")
+        // belt-and-braces for non-AQE plans where the exchange is
+        // already materialized
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+          val beyondSorts = ancestors.dropWhile(_.isInstanceOf[SortExec])
+          beyondSorts.headOption match {
+            case Some(_: WindowExec) |
+                 Some(_: org.apache.spark.sql.execution.window.WindowGroupLimitExec) =>
+              out += Finding("single-partition-window", "high", "Window",
+                "unpartitioned window funnels every row through one task: partitionBy a key or use the two-level/GlobalOrder rank pattern")
+            case _ => // global aggregate / final limit: legitimate single-row funnels
+          }
+        case _ =>
+      }
+      p.expressions.foreach(_.foreach {
+        case u: ScalaUDF =>
+          out += Finding("interpreted-udf", "medium",
+            u.udfName.getOrElse("udf"),
+            "ScalaUDF blocks pushdown and codegen: prefer org.apache.spark.sql.functions or a native Catalyst Expression")
+        case _ =>
+      })
+      p.children.foreach(walk(_, p :: ancestors))
+    }
+    walk(physical(df), Nil)
+    out.result().distinct
+  }
+
+  /** The findings as a small DataFrame (driver-local), for display. */
+  def lintReport(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val rows = lint(df).map(f =>
+      org.apache.spark.sql.Row(f.rule, f.severity, f.node, f.advice)).asJava
+    s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rule", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("severity", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("advice", org.apache.spark.sql.types.StringType))))
+  }
+}

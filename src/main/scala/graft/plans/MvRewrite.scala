@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
 import org.apache.spark.sql.types.DataType
 
-/** B68: materialized-view auto-rewrite.
+/** B69: materialized-view auto-rewrite.
   *
   * A20 already MAINTAINS pre-aggregated tables incrementally; this is
   * the missing consumption half: a Catalyst rule that recognizes an

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** A34: table-maintenance advisor — the nightly health sweep that
+  * decides WHICH maintenance job (A14 compaction, A27 snapshot
+  * expiry / vacuum, A31 bloom reindex) each table actually needs,
+  * from METADATA ONLY: one recursive listing per table plus the
+  * snapshot-manifest files. No parquet footer is opened and no row is
+  * read — at 100 TB the sweep costs what `ls -R` costs, which is why
+  * it can run every night over every table.
+  *
+  * Rules (each maps to an existing, tested engine action):
+  *  - `compact` (A14): the table is mostly small files — many files
+  *    AND the majority under the small-file bar. Scan startup cost is
+  *    per-file; a million 1 MB files is the classic silent killer.
+  *  - `expire-snapshots` (A27): the published log outgrew the
+  *    retention budget — every manifest pins files against vacuum.
+  *  - `vacuum` (A27): listed data files referenced by NO published
+  *    manifest (crashed writers, unpublished appends) are holding
+  *    bytes the log says are dead.
+  *  - `reindex-bloom` (A31): a `_bloom_<col>` index exists but some
+  *    data file has no sidecar — lookups still work (unindexed files
+  *    scan conservatively) but pruning degrades until a rebuild.
+  */
+object GraftAdvisor {
+
+  case class Advice(table: String, rule: String, metric: Long, detail: String)
+
+  def advise(s: SparkSession, root: String,
+      smallFileBytes: Long = 32L * 1024 * 1024,
+      minFilesForCompaction: Int = 8,
+      keepLast: Int = 10): Seq[Advice] = {
+    val cat = new GraftCatalog(s, root)
+    val conf = s.sessionState.newHadoopConf()
+    val out = Seq.newBuilder[Advice]
+    cat.tableNames().foreach { name =>
+      val tableDir = s"$root/$name.parquet"
+      val files = cat.snapshotFiles(name)
+      // compact: many files, mostly small
+      val small = files.count(_._2 < smallFileBytes)
+      if (files.length >= minFilesForCompaction && small * 2 > files.length)
+        out += Advice(name, "compact", small.toLong,
+          s"$small of ${files.length} data files under ${smallFileBytes / (1024 * 1024)} MB - run compactTable")
+      // snapshot log growth
+      val ids = cat.snapshotIds(name)
+      if (ids.length > keepLast)
+        out += Advice(name, "expire-snapshots", ids.length.toLong,
+          s"${ids.length} published epochs (budget $keepLast) - run expireSnapshots")
+      // orphans vs the published log
+      if (ids.nonEmpty) {
+        val live = ids.flatMap(cat.snapshotFilesAsOf(name, _)).toSet
+        val orphans = files.map(_._1).filterNot(live)
+        if (orphans.nonEmpty)
+          out += Advice(name, "vacuum", orphans.length.toLong,
+            s"${orphans.length} listed files referenced by no published epoch - run vacuum")
+      }
+      // bloom sidecar coverage
+      val dir = new Path(tableDir)
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir) && fs.getFileStatus(dir).isDirectory) {
+        fs.listStatus(dir).filter(st =>
+            st.isDirectory && st.getPath.getName.startsWith("_bloom_")).foreach { idx =>
+          val sidecars = fs.listStatus(idx.getPath)
+            .map(_.getPath.getName.stripSuffix(".bloom")).toSet
+          val rootPath = dir.toUri.getPath
+          val uncovered = files.map(_._1).count { f =>
+            val rel = new Path(f).toUri.getPath
+              .stripPrefix(rootPath).stripPrefix("/").replace("/", "%2F")
+            !sidecars.contains(rel)
+          }
+          if (uncovered > 0)
+            out += Advice(name, "reindex-bloom", uncovered.toLong,
+              s"$uncovered data files lack ${idx.getPath.getName} sidecars - rebuild the index")
+        }
+      }
+    }
+    out.result().sortBy(a => (a.table, a.rule))
+  }
+
+  /** The advice as a small driver-local DataFrame for display. */
+  def adviseReport(s: SparkSession, root: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = advise(s, root).map(a => Row(a.table, a.rule, a.metric, a.detail)).asJava
+    s.createDataFrame(rows, StructType(Seq(
+      StructField("table", StringType), StructField("rule", StringType),
+      StructField("metric", LongType), StructField("detail", StringType))))
+  }
+}

@@ -454,6 +454,82 @@ object Events {
     } finally graft.GraftSession.releaseCheckpoint(merged)
   }
 
+  // ── G16: exactly-once streaming upsert into an EXTERNAL system ──
+
+  /** G16: the G13 leaderboard semantics pointed at an external JDBC
+    * database (the A23 entry: embedded Derby by default, any
+    * configured `spark.graft.jdbc.url` in production) — the shape a
+    * pipeline uses to keep a serving store in sync with a stream.
+    * Exactly-once to a system that offers only transactions, no
+    * file-swap tricks: update mode emits each changed user's new
+    * ABSOLUTE total; the sink upserts per key (DELETE+INSERT inside
+    * one transaction per partition). Replayed batches rewrite
+    * identical absolute values — idempotent with no batch ledger
+    * (G13's algebra); a crash mid-batch leaves some partitions
+    * committed and some not, and the at-least-once replay completes
+    * exactly the missing ones. Per batch the store sees |changed
+    * keys| row operations, never a full mirror rewrite.
+    */
+  def jdbcCountsSink(events: DataFrame, table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val s = events.sparkSession
+    ensureCountsTable(s, table)
+    events
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyJdbcCountsBatch(batch, table)
+      }
+      .start()
+  }
+
+  private[graft] def ensureCountsTable(s: SparkSession, table: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(
+      graft.sources.GraftJdbc.url(s), graft.sources.GraftJdbc.connectionProperties(s))
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"CREATE TABLE $table (user_id BIGINT PRIMARY KEY, n BIGINT NOT NULL)")
+      catch {
+        // Derby: table already exists
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** One micro-batch's transactional per-key upsert (factored out so
+    * replay idempotence is directly testable). The JDBC url string is
+    * captured OUTSIDE the executor closure — a SparkSession doesn't
+    * serialize.
+    */
+  private[graft] def applyJdbcCountsBatch(
+      batch: Dataset[org.apache.spark.sql.Row], table: String): Unit = {
+    val url = graft.sources.GraftJdbc.url(batch.sparkSession)
+    val props = graft.sources.GraftJdbc.connectionProperties(batch.sparkSession)
+    batch.select(col("user_id").cast("long"), col("n").cast("long"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val conn = java.sql.DriverManager.getConnection(url, props)
+          try {
+            conn.setAutoCommit(false)
+            val del = conn.prepareStatement(s"DELETE FROM $table WHERE user_id = ?")
+            val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?)")
+            try {
+              rows.foreach { r =>
+                del.setLong(1, r.getLong(0)); del.executeUpdate()
+                ins.setLong(1, r.getLong(0)); ins.setLong(2, r.getLong(1))
+                ins.executeUpdate()
+              }
+              conn.commit()
+            } catch {
+              case t: Throwable => conn.rollback(); throw t
+            } finally { del.close(); ins.close() }
+          } finally conn.close()
+        }
+      }
+  }
+
   // ── G10: file-stream source end to end ──
 
   /** G10: the source→gate→sink loop on REAL FILES, no MemoryStream —

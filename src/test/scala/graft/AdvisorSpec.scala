@@ -1,0 +1,52 @@
+package graft
+
+import graft.sources.{GraftAdvisor, GraftBloomIndex, GraftCatalog}
+import org.apache.spark.sql.functions._
+
+/** A34: maintenance advisor — each rule fires on its planted
+  * condition and stays silent on a healthy table.
+  */
+class AdvisorSpec extends SparkSpecBase {
+
+  test("each maintenance rule fires on its planted condition only") {
+    val root = graft.sources.GraftSink.scratchDir + "/spec_advisor"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+    // healthy: few, well-sized (for this corpus) files, no log, no index
+    orders.coalesce(1).write.mode("overwrite").parquet(s"$root/healthy.parquet")
+    // fragmented: many tiny files
+    orders.repartition(16).write.mode("overwrite").parquet(s"$root/fragged.parquet")
+    // bloat: a long published log + an unpublished orphan append
+    orders.coalesce(1).write.mode("overwrite").parquet(s"$root/bloat.parquet")
+    (1 to 4).foreach(_ => new GraftCatalog(spark, root).publishSnapshot("bloat"))
+    import spark.implicits._
+    Seq((1L, 2L, 3.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .coalesce(1).write.mode("append").parquet(s"$root/bloat.parquet")
+    // stale index: bloom built, then a file appended without reindex
+    orders.repartition(2).write.mode("overwrite").parquet(s"$root/stale.parquet")
+    GraftBloomIndex.build(spark, s"$root/stale.parquet", "o_orderkey")
+    Seq((9L, 9L, 9.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .coalesce(1).write.mode("append").parquet(s"$root/stale.parquet")
+
+    val advice = GraftAdvisor.advise(spark, root,
+      smallFileBytes = 32L * 1024 * 1024, minFilesForCompaction = 8, keepLast = 3)
+    val byTable = advice.groupBy(_.table).view.mapValues(_.map(_.rule).toSet).toMap
+
+    assert(!byTable.contains("healthy"), advice.toString)
+    assert(byTable("fragged") === Set("compact"))
+    assert(byTable("bloat") === Set("expire-snapshots", "vacuum"))
+    assert(byTable("stale") === Set("reindex-bloom"))
+
+    // acting on the advice clears it
+    GraftBloomIndex.build(spark, s"$root/stale.parquet", "o_orderkey")
+    val c = new GraftCatalog(spark, root)
+    c.expireSnapshots("bloat", keepLast = 2)
+    c.vacuum("bloat")
+    val after = GraftAdvisor.advise(spark, root, keepLast = 3)
+      .filter(a => a.table == "stale" || a.table == "bloat")
+    assert(after.isEmpty, after.toString)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.plans.GraftDoctor
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** B73: plan lint — each scale-killer pattern is caught, each
+  * legitimate look-alike is excused.
+  */
+class DoctorSpec extends SparkSpecBase {
+
+  private def rules(df: org.apache.spark.sql.DataFrame): Set[String] =
+    GraftDoctor.lint(df).map(_.rule).toSet
+
+  private def orders = spark.read.parquet(s"$sfDir/orders.parquet")
+  private def nation = spark.read.parquet(s"$sfDir/nation.parquet")
+
+  test("a keyless pair product is flagged") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val r = rules(orders.crossJoin(spark.read.parquet(s"$sfDir/customer.parquet")))
+      assert(r.intersect(Set("cartesian-product", "nested-loop-join")).nonEmpty, r)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("the deliberate single-row broadcast crossJoin is excused") {
+    val total = orders.agg(count(lit(1)).as("total"))
+    val df = orders.crossJoin(broadcast(total))
+      .select(col("o_orderkey"), col("total"))
+    assert(rules(df).isEmpty, GraftDoctor.lint(df).toString)
+  }
+
+  test("an unpartitioned window is flagged; a partitioned one is not") {
+    val bad = orders.withColumn("rn",
+      row_number().over(Window.orderBy(col("o_totalprice"))))
+    assert(rules(bad).contains("single-partition-window"), rules(bad).toString)
+    val good = orders.withColumn("rn", row_number().over(
+      Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"))))
+    assert(!rules(good).contains("single-partition-window"))
+  }
+
+  test("global aggregates and sort-limit plans stay clean") {
+    assert(rules(orders.agg(count(lit(1)).as("n"))).isEmpty)
+    assert(rules(orders.orderBy(col("o_totalprice").desc).limit(5)).isEmpty)
+    val o = orders
+    val n = nation
+    val star = o
+      .join(broadcast(n), o("o_custkey") % 25 === n("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n"))
+    assert(!rules(star).contains("single-partition-window"))
+  }
+
+  test("a ScalaUDF is flagged; the codegen'd equivalent is not") {
+    val plusOne = udf((x: Long) => x + 1)
+    val bad = orders.select(plusOne(col("o_orderkey")).as("k"))
+    assert(rules(bad).contains("interpreted-udf"), rules(bad).toString)
+    val good = orders.select((col("o_orderkey") + 1).as("k"))
+    assert(rules(good).isEmpty)
+  }
+
+  test("the engine's own flagship plans lint clean") {
+    assert(rules(graft.operators.Relational.q5LocalSupplierVolume(spark, sfDir)).isEmpty)
+    assert(rules(graft.operators.Relational.q1PricingSummary(spark, sfDir)).isEmpty)
+  }
+}

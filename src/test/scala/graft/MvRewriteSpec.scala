@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.scalatest.BeforeAndAfterEach
 
-/** B68: materialized-view auto-rewrite — the rule must re-point
+/** B69: materialized-view auto-rewrite — the rule must re-point
   * matching aggregates at the MV, decline everything underivable,
   * and never change a result.
   */

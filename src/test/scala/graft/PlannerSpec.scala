@@ -3,7 +3,7 @@ package graft
 import graft.plans.GraftPlanner
 import org.apache.spark.sql.functions._
 
-/** B70: stats-driven join planning — listing-size evidence restores
+/** B71: stats-driven join planning — listing-size evidence restores
   * per-join broadcasting when the global threshold is disabled, and
   * refuses to broadcast what the listing says is big.
   */
@@ -40,5 +40,29 @@ class PlannerSpec extends SparkSpecBase {
       assert(GraftPlanner.tableBytes(spark, s"$sfDir/lineitem.parquet") >
         GraftPlanner.tableBytes(spark, nationPath))
     } finally spark.conf.set(key, prev)
+  }
+
+  test("B72: the skew profile decides salting; salted and plain joins agree") {
+    import spark.implicits._
+    // planted skew: one key holds half the fact
+    val hot = (0L until 5000L).map(i => (1L, i))
+    val cold = (0L until 5000L).map(i => (2L + (i % 500), i))
+    val fact = (hot ++ cold).toDF("k", "v").repartition(8)
+    val build = (1L to 501L).map(i => (i, s"dim_$i")).toDF("bk", "name")
+    val salt = GraftPlanner.suggestedSalt(fact, "k")
+    assert(salt > 1, s"hot key must salt, got $salt")
+    // a uniform fact must NOT pay the explode tax
+    val uniform = (0L until 5000L).map(i => (i % 500, i)).toDF("k", "v")
+    assert(GraftPlanner.suggestedSalt(uniform, "k") === 1)
+    // the cap bounds build-side amplification
+    assert(GraftPlanner.suggestedSalt(fact, "k", cap = 4) === 4)
+    // identity: salted result == plain join result
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("name").collect().map(_.toString).toSeq
+    val salted = GraftPlanner.saltedJoinAuto(fact, build, "k", "bk")
+    assert(salted.columns.toSeq === Seq("k", "v", "bk", "name"),
+      "salt plumbing must not leak into the output")
+    assert(agg(salted) === agg(fact.join(build, col("k") === col("bk"))))
   }
 }

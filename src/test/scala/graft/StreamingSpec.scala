@@ -823,4 +823,40 @@ class StreamingSpec extends SparkSpecBase {
     Bm25.applyIndexBatch(all.limit(0), 1L, root) // empty batch: no-op commit
     assert(Bm25.serveIndexedBm25(spark, root).collect().length === after.length)
   }
+
+  test("G16: streaming counts upsert a JDBC store exactly once; replays are no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = "g16_counts"
+    // clean slate in the shared embedded database
+    Events.ensureCountsTable(spark, table)
+    val conn = java.sql.DriverManager.getConnection(
+      graft.sources.GraftJdbc.url(spark),
+      graft.sources.GraftJdbc.connectionProperties(spark))
+    try conn.createStatement().executeUpdate(s"DELETE FROM $table")
+    finally conn.close()
+    def stored: Map[Long, Long] = spark.read
+      .jdbc(graft.sources.GraftJdbc.url(spark), table,
+        graft.sources.GraftJdbc.connectionProperties(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val stream = MemoryStream[Events.Ev]
+    val q = Events.jdbcCountsSink(stream.toDF(), table)
+    // batch 1: users 1..3 with counts 3,2,1
+    stream.addData((1 to 3).flatMap(u =>
+      Seq.fill(4 - u)(Events.Ev(u.toLong, ts("2024-01-01 10:00:00")))))
+    q.processAllAvailable()
+    assert(stored === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    // batch 2: user 3 climbs, user 4 appears — absolute totals land
+    stream.addData(Seq.fill(5)(Events.Ev(3L, ts("2024-01-01 11:00:00"))) :+
+      Events.Ev(4L, ts("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val after = stored
+    assert(after === Map(1L -> 3L, 2L -> 2L, 3L -> 6L, 4L -> 1L))
+    // an at-least-once replay of the last changed keys is a no-op
+    Events.applyJdbcCountsBatch(
+      Seq((3L, 6L), (4L, 1L)).toDF("user_id", "n"), table)
+    assert(stored === after)
+  }
 }
