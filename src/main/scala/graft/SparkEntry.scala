@@ -47,6 +47,7 @@ object SparkEntry {
     "src_time_travel"            -> Relational.srcTimeTravel _,
     "src_change_feed"            -> Relational.srcChangeFeed _,
     "src_bloom_index"            -> Relational.srcBloomIndex _,
+    "src_multi_table_tag"        -> Relational.srcMultiTableTag _,
     "src_vacuum"                 -> Relational.srcVacuum _,
     "src_snapshot_log"           -> Relational.srcSnapshotLog _,
     "src_restore"                -> Relational.srcRestore _,
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_heavy_hitters"            -> Analytic.qHeavyHitters _,
     "q_bloom_semi_join"          -> Analytic.qBloomSemiJoin _,
     "q_mv_rewrite"               -> Analytic.mvRewrite _,
+    "q_unpivot"                  -> Analytic.qUnpivot _,
     "q18_large_volume_orders"    -> Analytic.q18LargeVolumeOrders _,
     "q_wordcount"                -> Analytic.qWordcount _,
     "q_pivot_api"                -> Analytic.qPivotApi _,
@@ -142,6 +144,7 @@ object SparkEntry {
     "dedup_semantic"             -> SemDedup.semanticDedup _,
     "dedup_incremental"          -> Dedup.incrementalDedup _,
     "pipeline_pack_sequences"    -> Assembly.packSequences _,
+    "pipeline_pack_masks"        -> Assembly.packMasks _,
     "pipeline_pack_sequences_bpe" -> Assembly.packSequencesBpe _,
     "pipeline_mixture_sample"    -> Assembly.mixtureSample _,
     "pipeline_assemble_corpus"   -> Assembly.assembleCorpus _,
@@ -153,6 +156,7 @@ object SparkEntry {
     "pipeline_curate_corpus"     -> Dedup.curateCorpus _,
     // §2.D similarity search
     "sim_bruteforce_topk"        -> Similarity.bruteForceTopk _,
+    "sim_filtered_topk"          -> Similarity.filteredTopk _,
     "sim_ivf_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfTopk(s, d)),
     "sim_ivf_persisted"          -> ((s: SparkSession, d: String) => Similarity.ivfPersistedTopk(s, d)),
     "sim_lsh_topk"               -> Similarity.lshTopk _,
@@ -1645,6 +1649,29 @@ object SparkEntry {
       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus = 'F'
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    // B74: the long (measure, value) form via portable UNION ALL —
+    // the Spark side runs the native unpivot Expand
+    "q_unpivot" -> """
+      WITH m AS (
+        SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+      SELECT l_returnflag, measure, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS total
+      FROM m GROUP BY l_returnflag, measure
+      ORDER BY l_returnflag, measure""",
+
+    // A35: the tagged epochs of BOTH tables — post-tag appends to
+    // either table must be invisible through the tag
+    "src_multi_table_tag" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'O' AND l_linenumber = 1
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     // B69: the engine answers this from the registered MV rollup (the
     // query fn REQUIRES the rewrite fired); the oracle recomputes it
     // from the base rows — rollup algebra and base scan must agree
@@ -1682,6 +1709,27 @@ object SparkEntry {
     // Same token regex as text_tokens' bpe count (hash-matched there),
     // same contiguous-fill rule: a doc's sequence = its preceding
     // cumulative token count div 2048, within (source, doc-bucket).
+    // H10: the doc-grain boundary manifest — same window arithmetic
+    // as H1, projected instead of re-aggregated
+    "pipeline_pack_masks" -> """
+      WITH t AS (
+        SELECT doc_id, source, doc_id // 1000 AS bucket,
+               CAST(length(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens
+        FROM documents
+      ), r AS (
+        SELECT source, bucket, doc_id, tokens,
+               sum(tokens) OVER (PARTITION BY source, bucket ORDER BY doc_id) AS running
+        FROM t
+      )
+      SELECT source, CAST(bucket AS BIGINT) AS bucket,
+             CAST((running - tokens) // 2048 AS BIGINT) AS seq_no,
+             doc_id,
+             CAST(running - tokens - ((running - tokens) // 2048) * 2048 AS BIGINT) AS offset,
+             tokens
+      FROM r
+      ORDER BY source, bucket, seq_no, doc_id""",
+
     "pipeline_pack_sequences" -> """
       WITH t AS (
         SELECT doc_id, source, doc_id // 1000 AS bucket,
@@ -2110,6 +2158,26 @@ object SparkEntry {
     // rolling word hash replays in DuckDB via list_reduce.
     "text_hash_embed" -> HashEmbed.oracleEmbedSql,
     "sim_hash_embed_knn" -> HashEmbed.oracleKnnSql,
+
+    // D12: the same top-k, but only candidates whose document is
+    // English are ever scored — the filter precedes the distance
+    "sim_filtered_topk" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+                 FROM embeddings WHERE vec_id < 5),
+           e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                 FROM embeddings JOIN documents ON vec_id = doc_id
+                 WHERE lang = 'en')
+      SELECT query_id, neighbor_id, cos FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(q.q_emb, e.emb) /
+                     (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.emb, e.emb))), 4) AS cos,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.q_emb, e.emb) /
+                          (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.emb, e.emb))) DESC,
+                          e.vec_id) AS rn
+        FROM q, e WHERE e.vec_id <> q.query_id)
+      WHERE rn <= 10
+      ORDER BY query_id, neighbor_id""",
 
     "sim_bruteforce_topk" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb

@@ -580,6 +580,26 @@ object Analytic {
       new XxHash64(Seq(Bridge.expression(col(factKey)))))))
   }
 
+  /** B74: UNPIVOT (melt) — wide measure columns to long
+    * (measure, value) rows via the native `Dataset.unpivot`
+    * (EXPAND in the plan: each row emits one output per measure
+    * map-side, no shuffle before the aggregate's own exchange — the
+    * same one-pass shape as B23's cube). The inverse surface of B18's
+    * pivot; the long form then aggregates by (key, measure) with the
+    * exact-decimal sum.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    cat(s, dir).table("lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .groupBy("l_returnflag", "measure")
+      .agg(count(lit(1)).as("n"), dsumr(col("value"), 6).as("total"))
+      .orderBy("l_returnflag", "measure")
+
   /** B69: materialized-view auto-rewrite (GraftMv + MvRewriteRule,
     * plans/MvRewrite.scala). The rollup over (l_returnflag,
     * l_linestatus) is materialized once and registered; the query

@@ -128,6 +128,31 @@ object Assembly {
       size(regexp_extract_all(col("text"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
 
+  /** H10: the packing BOUNDARY manifest — per packed document, its
+    * sequence and its token offset inside that sequence. This is the
+    * attention-mask / loss-mask input a trainer needs on top of H1's
+    * sequence manifest: cross-document attention is masked exactly at
+    * these [offset, offset+tokens) spans, and the span arithmetic is
+    * the same one window + projection as H1 (no extra shuffle — the
+    * doc grain IS the pre-aggregation grain). Value-exact: offsets
+    * are pure integer running-sum arithmetic in both engines.
+    */
+  def packMasks(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(
+      col("doc_id"), col("source"),
+      expr(s"doc_id div $PackBucket").as("bucket"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("tokens"))
+    val w = Window.partitionBy("source", "bucket").orderBy("doc_id")
+    toks
+      .withColumn("running", sum("tokens").over(w))
+      .withColumn("seq_no", expr(s"(running - tokens) div $SeqLen"))
+      .select(col("source"), col("bucket"), col("seq_no"), col("doc_id"),
+        (col("running") - col("tokens") - col("seq_no") * SeqLen).as("offset"),
+        col("tokens"))
+      .orderBy("source", "bucket", "seq_no", "doc_id")
+  }
+
   /** H1 on REAL subword counts: same contiguous packing, with the
     * per-doc token count coming from the learned BPE codec (E9) —
     * what an actual training build packs by — instead of E3's regex

@@ -498,6 +498,40 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A35: durable multi-table tag (GraftCatalog.publishTag) — ONE
+    * name pinning a consistent epoch of BOTH tables, from one
+    * catalog's atomic pinAll view. Post-tag writes land in both
+    * tables; the tagged join must see neither — a reader resolving
+    * the tag gets the exact cross-table state the tagging job saw
+    * (the reference's job-spanning multi-table transaction,
+    * ArgodbMapreduceInputFormat.java:52-102, made durable and
+    * addressable). Oracle = the same join over the pre-tag subsets.
+    */
+  def srcMultiTableTag(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.GraftSink.scratchDir + "/tagdemo"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(s.sessionState.newHadoopConf()).delete(rp, true)
+    val orders = cat(s, dir).table("orders")
+    val lineitem = cat(s, dir).table("lineitem")
+    orders.where(col("o_orderstatus") === "O")
+      .write.mode("overwrite").parquet(s"$root/orders.parquet")
+    lineitem.where(col("l_linenumber") === 1)
+      .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
+    new GraftCatalog(s, root).publishTag("v1", Seq("orders", "lineitem"))
+    // the bad writes: both tables move after the tag
+    orders.where(col("o_orderstatus") === "F")
+      .write.mode("append").parquet(s"$root/orders.parquet")
+    lineitem.where(col("l_linenumber") === 2)
+      .write.mode("append").parquet(s"$root/lineitem.parquet")
+    val c2 = new GraftCatalog(s, root)
+    val o = c2.tableAtTag("v1", "orders")
+    val l = c2.tableAtTag("v1", "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("l_extendedprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A30: row-level change data feed. A copy-on-write MERGE (the A18
     * mutation: bumps, cross-partition moves, fresh inserts) runs with
     * WRITE-TIME change capture (GraftSink.mergeUpsertCdf) — the feed

@@ -228,6 +228,61 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     id
   }
 
+  /** A35: durable multi-table TAG — one name for a CONSISTENT set of
+    * epochs across N tables, the durable form of this catalog's
+    * construction-time `pinAll` atomicity (and of the reference's
+    * job-spanning multi-table transaction,
+    * ArgodbMapreduceInputFormat.java:52-102): every listed table's
+    * current pin is published as its next epoch, then ONE tag file
+    * records the (table, epoch) pairs. Readers resolve the tag and
+    * read each table AS OF its recorded epoch — a writer landing in
+    * any table after the tag is invisible through it. The pins all
+    * come from THIS catalog (one atomic pinAll view), so the tag is
+    * cross-table consistent by construction, not by timing luck.
+    * `create(overwrite=false)` makes a duplicate tag name collide
+    * loudly.
+    */
+  def publishTag(tag: String, tables: Seq[String]): Map[String, Long] = {
+    require(tables.nonEmpty, "[GRAFT] a tag needs at least one table")
+    require(tag.nonEmpty && !tag.contains("/"),
+      s"[GRAFT] bad tag name: '$tag'")
+    val epochs = tables.map(t => t -> publishSnapshot(t))
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$SnapshotDir/_tags")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, tag), false)
+    try out.write(epochs.map { case (t, id) => s"$t\t$id" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    epochs.toMap
+  }
+
+  /** The (table, epoch) pairs a tag pinned. */
+  def readTag(tag: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$SnapshotDir/_tags/$tag")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"[GRAFT] no published tag '$tag' under $root")
+    val in = fs.open(p)
+    val body = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+      bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
+    } finally in.close()
+    body.split("\n").filter(_.nonEmpty).map { line =>
+      val Array(t, id) = line.split("\t", 2)
+      t -> id.toLong
+    }.toMap
+  }
+
+  /** Read `name` AS OF the epoch a tag pinned for it. */
+  def tableAtTag(tag: String, name: String): DataFrame = {
+    val epochs = readTag(tag)
+    require(epochs.contains(name),
+      s"[GRAFT] tag '$tag' does not cover table [$name] " +
+        s"(covers: ${epochs.keys.toSeq.sorted.mkString(", ")})")
+    tableAsOf(name, epochs(name))
+  }
+
   /** Published epoch ids for `name`, ascending. */
   def snapshotIds(name: String): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(s"$root/$SnapshotDir/$name")

@@ -332,6 +332,44 @@ class RelationalSpec extends SparkSpecBase {
     assert(got.toSeq === expect.toSeq)
   }
 
+  // ---- A35: durable multi-table tags --------------------------------
+
+  test("a tag pins consistent epochs across tables; duplicates and bad lookups fail loudly") {
+    import org.apache.spark.sql.functions.col
+    val root = graft.sources.GraftSink.scratchDir + "/spec_tags"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    val orders = new GraftCatalog(spark, sfDir).table("orders")
+    val nation = new GraftCatalog(spark, sfDir).table("nation")
+    orders.where(col("o_orderstatus") === "O")
+      .write.mode("overwrite").parquet(s"$root/orders.parquet")
+    nation.write.mode("overwrite").parquet(s"$root/nation.parquet")
+    val c1 = new GraftCatalog(spark, root)
+    val epochs = c1.publishTag("release-1", Seq("orders", "nation"))
+    assert(epochs.keySet === Set("orders", "nation"))
+    val n1 = c1.table("orders").count()
+    // both tables move after the tag
+    orders.where(col("o_orderstatus") === "F")
+      .write.mode("append").parquet(s"$root/orders.parquet")
+    nation.limit(3).write.mode("append").parquet(s"$root/nation.parquet")
+    val c2 = new GraftCatalog(spark, root)
+    assert(c2.tableAtTag("release-1", "orders").count() === n1)
+    assert(c2.tableAtTag("release-1", "nation").count() === 25)
+    assert(c2.table("nation").count() === 28) // untagged read sees the append
+    // a second tag captures the moved state; the first stays pinned
+    c2.publishTag("release-2", Seq("orders", "nation"))
+    assert(c2.tableAtTag("release-2", "nation").count() === 28)
+    assert(c2.tableAtTag("release-1", "nation").count() === 25)
+    // duplicate tag names collide loudly
+    intercept[Exception] { c2.publishTag("release-1", Seq("orders")) }
+    // a table the tag does not cover is a clear error
+    val e = intercept[IllegalArgumentException] {
+      c2.tableAtTag("release-1", "lineitem")
+    }
+    assert(e.getMessage.contains("does not cover"))
+    intercept[IllegalArgumentException] { c2.readTag("no-such-tag") }
+  }
+
   // ---- A30: change data feed ----------------------------------------
 
   test("append-only CDF: feed is exactly the appended rows, read churn-proportionally") {
