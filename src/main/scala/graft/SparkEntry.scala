@@ -100,6 +100,7 @@ object SparkEntry {
     "q_bloom_semi_join"          -> Analytic.qBloomSemiJoin _,
     "q_mv_rewrite"               -> Analytic.mvRewrite _,
     "q_unpivot"                  -> Analytic.qUnpivot _,
+    "q_gap_fill"                 -> Analytic.qGapFill _,
     "q18_large_volume_orders"    -> Analytic.q18LargeVolumeOrders _,
     "q_wordcount"                -> Analytic.qWordcount _,
     "q_pivot_api"                -> Analytic.qPivotApi _,
@@ -1662,6 +1663,34 @@ object SparkEntry {
              round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS total
       FROM m GROUP BY l_returnflag, measure
       ORDER BY l_returnflag, measure""",
+
+    // B75: the day spine × priority with zero-filled counts and the
+    // packed-max forward fill — identical integer arithmetic, no
+    // IGNORE NULLS portability hazard
+    "q_gap_fill" -> """
+      WITH o AS (
+        SELECT o_orderpriority AS p, CAST(o_orderdate AS DATE) AS d,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders),
+      daily AS (
+        SELECT p, d, count(*) AS n_day, sum(cents) AS rev_c
+        FROM o GROUP BY p, d),
+      b AS (SELECT min(d) AS d0, max(d) AS d1 FROM o),
+      spine AS (
+        SELECT p, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM (SELECT DISTINCT p FROM o), b),
+      j AS (
+        SELECT spine.p, spine.d,
+               coalesce(n_day, 0) AS n,
+               CASE WHEN rev_c IS NOT NULL THEN
+                 date_diff('day', DATE '1990-01-01', spine.d) * 10000000000000 + rev_c
+               END AS pack
+        FROM spine LEFT JOIN daily ON spine.p = daily.p AND spine.d = daily.d)
+      SELECT p AS o_orderpriority, strftime(d, '%Y-%m-%d') AS day,
+             CAST(n AS BIGINT) AS n,
+             CAST(max(pack) OVER (PARTITION BY p ORDER BY d
+               ROWS UNBOUNDED PRECEDING) % 10000000000000 AS BIGINT) AS rev_ffill_cents
+      FROM j ORDER BY o_orderpriority, day""",
 
     // A35: the tagged epochs of BOTH tables — post-tag appends to
     // either table must be invisible through the tag

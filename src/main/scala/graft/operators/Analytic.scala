@@ -580,6 +580,48 @@ object Analytic {
       new XxHash64(Seq(Bridge.expression(col(factKey)))))))
   }
 
+  /** B75: calendar gap-fill + forward fill (resample) — the
+    * time-series regularization every dashboard/feature pipeline
+    * needs: per order priority, EVERY day of the corpus span gets a
+    * row — zero-filled daily counts, and daily revenue carried
+    * forward across gap days (LOCF). Shapes: the day spine is
+    * `sequence(min,max)` exploded from a broadcast single-row
+    * aggregate (tiny — days × groups rows, never corpus-sized) and
+    * left-joins the daily aggregate; the forward fill is the PACKED
+    * MAX trick — pack (day_index, cents) into one BIGINT as
+    * day·10^13 + cents, running `max` over the ordered window picks
+    * the latest observed day's pack, decode with mod — pure integer
+    * arithmetic, no IGNORE NULLS portability hazard, value-exact in
+    * any engine. Leading days before a group's first observation
+    * stay NULL (both engines agree). The window partitions by
+    * priority — bounded partitions, no global funnel.
+    */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val Pack = 10000000000000L // day * 1e13 + cents; cents headroom $100B/day
+    val o = cat(s, dir).table("orders").select(
+      col("o_orderpriority").as("p"),
+      to_date(col("o_orderdate")).as("d"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val daily = o.groupBy("p", "d")
+      .agg(count(lit(1)).as("n_day"), sum("cents").as("rev_c"))
+    val bounds = o.agg(min("d").as("d0"), max("d").as("d1"))
+    val spine = daily.select("p").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("p"), explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val w = Window.partitionBy("p").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("p", "d"), "left")
+      .withColumn("pack",
+        when(col("rev_c").isNotNull,
+          datediff(col("d"), lit("1990-01-01")).cast("long") * Pack + col("rev_c")))
+      .select(
+        col("p").as("o_orderpriority"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_day"), lit(0L)).as("n"),
+        (max("pack").over(w) % Pack).as("rev_ffill_cents"))
+      .orderBy("o_orderpriority", "day")
+  }
+
   /** B74: UNPIVOT (melt) — wide measure columns to long
     * (measure, value) rows via the native `Dataset.unpivot`
     * (EXPAND in the plan: each row emits one output per measure

@@ -41,6 +41,25 @@ object GraftDoctor {
     case p => p
   }
 
+  /** Is this subtree's row count bounded by a LIMIT below, reached
+    * only through row-preserving-or-reducing unary operators? Joins /
+    * generates / unions decline (they can re-inflate a limited input).
+    */
+  private def boundedByLimit(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.GlobalLimitExec |
+         _: org.apache.spark.sql.execution.LocalLimitExec |
+         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
+         _: org.apache.spark.sql.execution.CollectLimitExec => true
+    case _: org.apache.spark.sql.execution.ProjectExec |
+         _: org.apache.spark.sql.execution.FilterExec |
+         _: SortExec |
+         _: org.apache.spark.sql.execution.CoalesceExec |
+         _: ShuffleExchangeExec |
+         _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+      p.children.forall(boundedByLimit)
+    case _ => false
+  }
+
   def lint(df: DataFrame): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
 
@@ -63,18 +82,24 @@ object GraftDoctor {
             case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
                 if a.groupingExpressions.isEmpty => a
           }.isDefined
+          // a broadcast NLJ is the legitimate shape for scoring a
+          // corpus against a DELIBERATELY tiny broadcast side (probe
+          // queries, centroids) — the planner can't prove the size,
+          // so flag it for review at medium, not as a blocker
           if (!singleRow)
-            out += Finding("nested-loop-join", "high", b.nodeName,
-              "no equi-join key reached the planner: check the join condition, or broadcast a provably tiny side")
+            out += Finding("nested-loop-join", "medium", b.nodeName,
+              "non-equi broadcast join: acceptable iff the broadcast side is provably small (probe sets, codebooks); otherwise add an equi key or pre-block candidates")
         // under AQE the input plan carries no Exchange yet
         // (EnsureRequirements runs at stage prep), so the smell is
         // read off the REQUIREMENT: an empty partitionSpec demands
-        // SinglePartition of its child
-        case w: WindowExec if w.partitionSpec.isEmpty =>
+        // SinglePartition of its child. A window whose input is
+        // BOUNDED BY A LIMIT (cumulative sums over a top-k result) is
+        // constant-size by construction and excused.
+        case w: WindowExec if w.partitionSpec.isEmpty && !boundedByLimit(w.child) =>
           out += Finding("single-partition-window", "high", "Window",
             "unpartitioned window funnels every row through one task: partitionBy a key or use the two-level/GlobalOrder rank pattern")
         case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-            if w.partitionSpec.isEmpty =>
+            if w.partitionSpec.isEmpty && !boundedByLimit(w.child) =>
           out += Finding("single-partition-window", "high", "WindowGroupLimit",
             "unpartitioned window funnels every row through one task: partitionBy a key or use the two-level/GlobalOrder rank pattern")
         // belt-and-braces for non-AQE plans where the exchange is

@@ -82,6 +82,45 @@ object GraftMv {
   def mvFrame(spark: SparkSession, d: MvDef): DataFrame =
     mvFrameOf(spark.read.parquet(d.basePath), d)
 
+  /** Maintain a rollup from an A30 CHANGE FEED (delete+insert rows
+    * tagged `change_type`): inserts contribute +1-signed measures,
+    * deletes −1-signed, the signed delta rollup merges into the old
+    * MV, and groups whose row count reaches zero drop out — so a
+    * COW merge's feed keeps the MV exact without ever rescanning the
+    * base (feed cost ∝ churn; the spec proves applyFeed ≡ rebuild
+    * across updates, cross-group moves and inserts). Only ADDITIVE
+    * measures qualify: sums and counts invert under deletes; MIN/MAX
+    * do not (a deleted extremum needs a group rescan), so feed-based
+    * maintenance refuses definitions carrying them — use the
+    * diff-based `mergeRollups` path (append-only) or rebuild.
+    * Requires an MvCount measure: it is the group-liveness witness.
+    */
+  def applyFeed(mv: DataFrame, feed: DataFrame, d: MvDef): DataFrame = {
+    require(d.measures.forall {
+      case (_, _: MvMin) | (_, _: MvMax) => false
+      case _ => true
+    }, "[GRAFT] MIN/MAX measures are not maintainable from a change feed")
+    val countCol = d.measures.collectFirst { case (n, MvCount) => n }.getOrElse(
+      throw new IllegalArgumentException(
+        "[GRAFT] feed maintenance needs an MvCount measure as the liveness witness"))
+    val sign = org.apache.spark.sql.functions
+      .when(col("change_type") === "insert", 1L).otherwise(-1L)
+    val aggs = d.measures.map {
+      // decimal(p,s) * integral sign keeps scale s and lands on the
+      // MV sum column's own capped type — the union in mergeRollups
+      // needs the types to line up exactly
+      case (name, MvSum(c, castTo)) =>
+        sum(castTo.map(t => col(c).cast(t)).getOrElse(col(c)) * sign).as(name)
+      case (name, MvCount) => sum(sign).as(name)
+      case (name, MvCountCol(c)) =>
+        sum(org.apache.spark.sql.functions
+          .when(col(c).isNotNull, sign).otherwise(0L)).as(name)
+      case (name, m) => throw new IllegalStateException(s"unreachable: $name $m")
+    }
+    val delta = feed.groupBy(d.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    mergeRollups(mv, delta, d).where(col(countCol) > 0L)
+  }
+
   /** Merge two rollups of the same definition (the A20 incremental
     * refresh shape: old MV ⊎ rollup-of-diff): sums and counts re-add,
     * min/max re-extremize — every measure here is a commutative

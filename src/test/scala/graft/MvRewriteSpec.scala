@@ -137,6 +137,55 @@ class MvRewriteSpec extends SparkSpecBase with BeforeAndAfterEach {
     assert(got === q.collect().map(_.toString).toSeq)
   }
 
+  test("a COW merge's change feed maintains the rollup exactly (applyFeed ≡ rebuild)") {
+    val root = graft.sources.GraftSink.scratchDir + "/spec_mv_feed"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    val tbl = s"$root/orders.parquet"
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tbl)
+    val d = GraftMv.MvDef(tbl, s"$root/mv",
+      groupCols = Seq("o_orderstatus"),
+      measures = Seq(
+        "cnt" -> GraftMv.MvCount,
+        "sum_price" -> GraftMv.MvSum("o_totalprice", Some(DecimalType(28, 6))),
+        "cnt_cust" -> GraftMv.MvCountCol("o_custkey")))
+    val mv1 = GraftMv.mvFrame(spark, d).localCheckpoint(true)
+    // the A18 mutation: bumps inside 'F', cross-group moves O→F, inserts
+    val updates = orders
+      .where(col("o_orderstatus") === "F" && col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .unionByName(orders
+        .where(col("o_orderstatus") === "O" && col("o_orderkey") % 100 === 50)
+        .withColumn("o_orderstatus", lit("F")))
+    val feed = graft.sources.GraftSink.mergeUpsertCdf(
+      spark, tbl, updates, Seq("o_orderkey"), "o_orderstatus")
+    val maintained = GraftMv.applyFeed(mv1, feed, d).localCheckpoint(true)
+    val rebuilt = GraftMv.mvFrame(spark, d)
+    assert(maintained.orderBy("o_orderstatus").collect().map(_.toString).toSeq ===
+      rebuilt.orderBy("o_orderstatus").collect().map(_.toString).toSeq)
+    // a feed that drains a whole group drops its row, like a rebuild
+    val drainP = spark.read.parquet(tbl)
+      .where(col("o_orderstatus") === "P")
+      .withColumn("o_orderstatus", lit("F"))
+    val feed2 = graft.sources.GraftSink.mergeUpsertCdf(
+      spark, tbl, drainP, Seq("o_orderkey"), "o_orderstatus")
+    val maintained2 = GraftMv.applyFeed(maintained, feed2, d)
+    assert(maintained2.where(col("o_orderstatus") === "P").count() === 0)
+    assert(maintained2.orderBy("o_orderstatus").collect().map(_.toString).toSeq ===
+      GraftMv.mvFrame(spark, d).orderBy("o_orderstatus").collect().map(_.toString).toSeq)
+    // non-additive measures and missing liveness witness refuse
+    intercept[IllegalArgumentException] {
+      GraftMv.applyFeed(mv1, feed, d.copy(measures =
+        d.measures :+ ("mx" -> GraftMv.MvMax("o_totalprice"))))
+    }
+    intercept[IllegalArgumentException] {
+      GraftMv.applyFeed(mv1, feed, d.copy(measures =
+        d.measures.filterNot(_._2 == GraftMv.MvCount)))
+    }
+  }
+
   test("two rewrites in one query get fresh exprIds (no conflict)") {
     registerMv()
     def q = {
