@@ -136,6 +136,33 @@ object Dedup {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
+  /** C15: LSH banding parameter design — the (bands, rows) choice IS
+    * the dedup threshold (Leskovec/Rajaraman/Ullman ch.3): a pair of
+    * similarity s collides in some band with probability
+    * 1−(1−s^r)^b, an S-curve whose midpoint sits at ≈ (1/b)^(1/r).
+    * These helpers make the rule explicit: `lshThreshold` reads a
+    * configuration's effective threshold, `chooseBands` picks the
+    * divisor split of the lane budget whose threshold lands nearest a
+    * target (ties → more rows, the steeper curve = fewer borderline
+    * false positives to verify). C2's shipped 64 = 16×4 is exactly
+    * `chooseBands(64, 0.5)` — the near-dup bar the corpus pipeline
+    * wants; a plagiarism-grade 0.8 bar re-splits the same 64 lanes as
+    * 8×8 with NO recompute of signatures, only of band hashes.
+    */
+  def lshThreshold(bands: Int, rows: Int): Double =
+    math.pow(1.0 / bands, 1.0 / rows)
+
+  def lshCollisionProb(sim: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(sim, rows), bands)
+
+  def chooseBands(nLanes: Int, target: Double): (Int, Int) = {
+    require(nLanes > 0 && target > 0.0 && target < 1.0,
+      s"[GRAFT] chooseBands($nLanes, $target)")
+    val splits = (1 to nLanes).filter(nLanes % _ == 0)
+      .map(b => (b, nLanes / b))
+    splits.minBy { case (b, r) => (math.abs(lshThreshold(b, r) - target), -r) }
+  }
+
   /** Signature table shared by the minhash pipeline: doc_id, shingle
     * set, 64-lane minhash, 16 band hashes.
     */

@@ -80,6 +80,56 @@ object GraftAdvisor {
     out.result().sortBy(a => (a.table, a.rule))
   }
 
+  /** A37: clustering depth of a column, from footers only — for each
+    * row group's [min,max] on `col`, how many row groups' ranges
+    * overlap it, averaged. 1.0 = perfectly clustered (disjoint
+    * ranges: every range predicate prunes to ~one group); ≈ the
+    * group count = random layout (min/max pruning is useless, every
+    * scan opens everything). The Delta/Iceberg OPTIMIZE metric, and
+    * the signal that decides between leaving a table alone and a
+    * sort/Z-order rewrite (A15). Cost: O(row groups) footer reads +
+    * an O(n²) driver comparison over row-group COUNT — metadata
+    * scale, never rows.
+    */
+  def clusteringDepth(s: SparkSession, tablePath: String, col: String): Double = {
+    val c = s.sessionState.newHadoopConf()
+    val dt = s.read.parquet(tablePath).schema(col).dataType
+    val v2 = graft.sources.v2.GraftV2
+    val bounds = v2.dataFiles(tablePath, c).flatMap { f =>
+      import scala.jdk.CollectionConverters._
+      v2.withReader(f, c)(_.getFooter.getBlocks.asScala.toList).flatMap { b =>
+        for {
+          mn <- v2.statBound(b, col, dt, f, min = true)
+          mx <- v2.statBound(b, col, dt, f, min = false)
+        } yield (mn, mx)
+      }
+    }
+    val n = bounds.length
+    if (n <= 1) 1.0
+    else {
+      val total = bounds.map { case (mn, mx) =>
+        bounds.count { case (mn2, mx2) =>
+          v2.cmpCatalyst(dt, mn, mx2) <= 0 && v2.cmpCatalyst(dt, mn2, mx) <= 0
+        }
+      }.sum
+      total.toDouble / n
+    }
+  }
+
+  /** The A37 metric as advice: recommend a sort/Z-order rewrite when
+    * ranges overlap more than `maxDepth`-fold on average.
+    */
+  def adviseClustering(s: SparkSession, tablePath: String, col: String,
+      maxDepth: Double = 2.0): Option[Advice] = {
+    val d = clusteringDepth(s, tablePath, col)
+    if (d > maxDepth)
+      Some(Advice(new Path(tablePath).getName.stripSuffix(".parquet"),
+        "cluster", math.round(d),
+        f"row-group ranges on '$col' overlap $d%.1f-fold on average - " +
+          "sort or Z-order rewrite (A15) to restore min/max pruning"))
+    else None
+  }
+
   /** The advice as a small driver-local DataFrame for display. */
   def adviseReport(s: SparkSession, root: String): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -49,4 +49,31 @@ class AdvisorSpec extends SparkSpecBase {
       .filter(a => a.table == "stale" || a.table == "bloat")
     assert(after.isEmpty, after.toString)
   }
+
+  test("A37: clustering depth separates sorted from shuffled layouts; advice fires on overlap") {
+    val root = graft.sources.GraftSink.scratchDir + "/spec_cluster"
+    // sf0.01 for enough rows to split into many row groups at a 16 KB
+    // block size — sf0.001's 1500 rows fit in ~2 groups, where a
+    // shuffled layout can only reach depth 2
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    // sorted layout: many row groups with disjoint key ranges
+    val sorted = s"$root/sorted.parquet"
+    orders.orderBy("o_orderkey").coalesce(1)
+      .write.option("parquet.block.size", "16384")
+      .mode("overwrite").parquet(sorted)
+    // shuffled layout: the same rows hash-scattered across row groups
+    val messy = s"$root/messy.parquet"
+    orders.orderBy(pmod(col("o_orderkey") * 2654435761L, lit(997)))
+      .coalesce(1)
+      .write.option("parquet.block.size", "16384")
+      .mode("overwrite").parquet(messy)
+    val dSorted = GraftAdvisor.clusteringDepth(spark, sorted, "o_orderkey")
+    val dMessy = GraftAdvisor.clusteringDepth(spark, messy, "o_orderkey")
+    assert(dSorted < 1.5, s"sorted layout must be near depth 1, got $dSorted")
+    assert(dMessy > dSorted * 2, s"shuffled must overlap: $dMessy vs $dSorted")
+    assert(GraftAdvisor.adviseClustering(spark, sorted, "o_orderkey").isEmpty)
+    val adv = GraftAdvisor.adviseClustering(spark, messy, "o_orderkey")
+    assert(adv.exists(_.rule == "cluster"), adv.toString)
+  }
 }

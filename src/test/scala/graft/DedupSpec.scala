@@ -480,4 +480,22 @@ class DedupSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"),
       "an unbroadcast cross join would shuffle the corpus against itself: " + plan.take(1000))
   }
+
+  test("C15: LSH banding parameters derive from the threshold rule") {
+    import graft.operators.Dedup
+    // the shipped C2 configuration IS the 0.5-threshold choice
+    assert(Dedup.chooseBands(64, 0.5) === ((16, 4)))
+    assert(math.abs(Dedup.lshThreshold(16, 4) - 0.5) < 1e-12)
+    // a stricter bar re-splits the same lane budget
+    assert(Dedup.chooseBands(64, 0.8) === ((8, 8)))
+    assert(math.abs(Dedup.lshThreshold(8, 8) - 0.8) < 0.05)
+    // the S-curve: monotone in similarity and steep around the threshold
+    val ps = (1 to 19).map(i => Dedup.lshCollisionProb(i / 20.0, 16, 4))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    assert(Dedup.lshCollisionProb(0.65, 16, 4) -
+      Dedup.lshCollisionProb(0.35, 16, 4) > 0.5,
+      "curve must be steep around the 0.5 threshold")
+    // degenerate requests fail loudly
+    intercept[IllegalArgumentException] { Dedup.chooseBands(64, 1.5) }
+  }
 }
