@@ -75,7 +75,11 @@ object Bench {
     // MV rewrite round trip (build + rewritten scan), write-time CDF
     // merge, and the bloom-index build + pruned point lookup
     "src_v2_agg_pushdown", "q_mv_rewrite", "src_change_feed",
-    "src_bloom_index")
+    "src_bloom_index",
+    // round-9 final additions: the day-spine gap fill (spine join +
+    // packed-max window), the triple-scan unpivot aggregate, the
+    // row-level quarantine manifest, and filtered vector search
+    "q_gap_fill", "q_unpivot", "q_quarantine", "sim_filtered_topk")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -125,6 +125,7 @@ object SparkEntry {
     "q_entity_resolution"        -> Affinity.qEntityResolution _,
     "prof_correlation"           -> Profiling.profileCorrelation _,
     "prof_outliers"              -> Profiling.robustOutliers _,
+    "q_quarantine"               -> Profiling.quarantine _,
     "prof_key_skew"              -> Profiling.skewProfile _,
     "q2_min_cost_supplier"       -> TpchPatterns.q2MinCostSupplier _,
     "q11_important_parts"        -> TpchPatterns.q11ImportantParts _,
@@ -1152,6 +1153,25 @@ object SparkEntry {
     // B67: exact HUGEINT moment sums; every post-sum op (cast, sqrt,
     // *, /) is IEEE correctly rounded, so the floored micro matches
     // Spark bit-for-bit with no ULP caveat (contrast E8's ln note)
+    // B76: the row-level quarantine manifest — concat_ws skips NULL
+    // rule slots identically in both engines
+    "q_quarantine" -> """
+      SELECT o_orderkey,
+             concat_ws(',',
+               CASE WHEN o_totalprice > 400000.0 THEN 'high_value' END,
+               CASE WHEN o_orderstatus = 'P' AND o_totalprice > 300000.0
+                    THEN 'large_pending' END,
+               CASE WHEN c_custkey IS NULL THEN 'orphan_customer' END) AS reasons,
+             CAST((CASE WHEN o_totalprice > 400000.0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN o_orderstatus = 'P' AND o_totalprice > 300000.0
+                        THEN 1 ELSE 0 END) +
+                  (CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reasons
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > 400000.0
+         OR (o_orderstatus = 'P' AND o_totalprice > 300000.0)
+         OR c_custkey IS NULL
+      ORDER BY o_orderkey""",
+
     // B70: medians/MAD in doubled-cents integer space — quantile_cont
     // interpolation lands on integers, the fence compare is pure
     // BIGINT in both engines (no float boundary anywhere)

@@ -204,6 +204,36 @@ object Profiling {
       .orderBy("col_x", "col_y")
   }
 
+  /** B76: validate-and-QUARANTINE — B59's constraint report made
+    * row-level: every row is checked against the rule set and the
+    * violators come back as a quarantine manifest (key, the csv of
+    * fired rules, rule count) — the reviewable artifact a data
+    * contract produces, where B59 only counts. Shapes: rules are one
+    * projection over the scan (map-side; the referential rule rides a
+    * broadcast LEFT join's null probe); only violators survive the
+    * filter, so the manifest is O(violations), and the downstream
+    * "clean" table is the anti-set by key. `concat_ws` skips NULLs
+    * identically in both engines, so the fired-rule csv is
+    * value-exact with no list machinery.
+    */
+  def quarantine(s: SparkSession, dir: String): DataFrame = {
+    val c = new graft.sources.GraftCatalog(s, dir)
+    val custKeys = c.table("customer").select(col("c_custkey"))
+    val o = orders(s, dir)
+      .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"), "left")
+    val rHigh = when(col("o_totalprice") > 400000.0, lit("high_value"))
+    val rPend = when(col("o_orderstatus") === "P" && col("o_totalprice") > 300000.0,
+      lit("large_pending"))
+    val rOrph = when(col("c_custkey").isNull, lit("orphan_customer"))
+    o.select(col("o_orderkey"),
+        concat_ws(",", rHigh, rPend, rOrph).as("reasons"),
+        (when(rHigh.isNotNull, 1).otherwise(0) +
+         when(rPend.isNotNull, 1).otherwise(0) +
+         when(rOrph.isNotNull, 1).otherwise(0)).cast("long").as("n_reasons"))
+      .where(col("n_reasons") > 0L)
+      .orderBy("o_orderkey")
+  }
+
   /** B70: robust outlier profile — per group: median, MAD (median
     * absolute deviation) and the count of rows beyond the classic
     * 3·1.4826·MAD fence. The robust fence is the profiling answer to
