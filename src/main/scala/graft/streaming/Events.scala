@@ -328,6 +328,65 @@ object Events {
     } finally graft.GraftSession.releaseCheckpoint(merged)
   }
 
+  // ── G17: streaming MV maintenance (B69's rollup fed by a stream) ──
+
+  /** A micro-batch stream maintains a B69 MATERIALIZED VIEW: each
+    * batch's partial rollup (`GraftMv.mvFrameOf` — the same
+    * expressions the rewrite rule assumes, so stream and batch can
+    * never drift) merges into the persisted MV via
+    * `GraftMv.mergeRollups`, under G8's exactly-once commit protocol
+    * verbatim (stage → in-staging batchId marker → delete+rename
+    * swap, crashed-swap adoption, max-applied replay skip — summed
+    * partials NEED the ledger, unlike G13's absolute upserts). The
+    * closing of the loop: A30 feeds changes, B69 serves rewrites,
+    * and this keeps the rollup current against a LIVE stream — a
+    * dashboard query written against the base table reads an MV that
+    * is at most one trigger behind, and the fact scan never happens.
+    */
+  def mvMaintenanceSink(stream: DataFrame, d: graft.plans.GraftMv.MvDef,
+      root: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyMvBatch(batch, batchId, d, root)
+      }
+      .start()
+
+  /** One batch's merge (factored out for direct replay/crash tests);
+    * the MV lives at `<root>/mv.parquet`.
+    */
+  private[graft] def applyMvBatch(batch: Dataset[org.apache.spark.sql.Row],
+      batchId: Long, d: graft.plans.GraftMv.MvDef, root: String): Unit = {
+    val s = batch.sparkSession
+    val mvPath = s"$root/mv.parquet"
+    val stagePath = s"$root/mv.staging"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def path(p: String) = new org.apache.hadoop.fs.Path(p)
+    def marker(dir: String) = path(s"$dir/_applied_batch")
+    if (!fs.exists(path(mvPath)) && fs.exists(marker(stagePath)))
+      fs.rename(path(stagePath), path(mvPath))
+    val maxApplied: Long =
+      if (!fs.exists(marker(mvPath))) -1L
+      else {
+        val in = fs.open(marker(mvPath))
+        try in.readLong() finally in.close()
+      }
+    if (batchId <= maxApplied) return
+    val partial = graft.plans.GraftMv.mvFrameOf(batch.toDF(), d)
+    val merged =
+      (if (fs.exists(path(mvPath)))
+        graft.plans.GraftMv.mergeRollups(s.read.parquet(mvPath), partial, d)
+      else partial)
+        .localCheckpoint(true) // the swap deletes the path it reads
+    try {
+      merged.write.mode("overwrite").parquet(stagePath)
+      val out = fs.create(marker(stagePath), true)
+      try out.writeLong(batchId) finally out.close()
+      fs.delete(path(mvPath), true)
+      fs.rename(path(stagePath), path(mvPath))
+    } finally graft.GraftSession.releaseCheckpoint(merged)
+  }
+
   // ── G9: ingestion-time curation gate (quality + decontamination) ──
 
   /** The C7 quality + C9 decontamination gates applied to a DOCUMENT

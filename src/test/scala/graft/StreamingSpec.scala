@@ -824,6 +824,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(Bm25.serveIndexedBm25(spark, root).collect().length === after.length)
   }
 
+  test("G17: a stream maintains the B69 rollup exactly once; the rewrite serves it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.plans.GraftMv
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_stream").toString
+    val base = s"$root/events_base.parquet"
+    val d = GraftMv.MvDef(base, s"$root/mv.parquet",
+      groupCols = Seq("user_id"),
+      measures = Seq("cnt" -> GraftMv.MvCount, "cnt_ts" -> GraftMv.MvCountCol("ts")))
+    val stream = MemoryStream[Events.Ev]
+    val q = Events.mvMaintenanceSink(stream.toDF(), d, root)
+    val b1 = (1 to 3).flatMap(u => Seq.fill(u)(Events.Ev(u.toLong, ts("2024-01-01 10:00:00"))))
+    val b2 = Seq.fill(4)(Events.Ev(2L, ts("2024-01-01 11:00:00"))) :+
+      Events.Ev(9L, ts("2024-01-01 11:00:00"))
+    stream.addData(b1)
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    // the streamed MV equals a batch rebuild over everything fed
+    val fed = (b1 ++ b2).toDF()
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id").collect().map(_.toString).toSeq
+    assert(sorted(spark.read.parquet(d.mvPath)) === sorted(GraftMv.mvFrameOf(fed, d)))
+    // an at-least-once replay of the LAST batch is a no-op (ledger)
+    Events.applyMvBatch(b2.toDF(), 1L, d, root)
+    assert(sorted(spark.read.parquet(d.mvPath)) === sorted(GraftMv.mvFrameOf(fed, d)))
+    // and the B69 rewrite serves the streamed rollup for base-table queries
+    fed.write.mode("overwrite").parquet(base)
+    GraftMv.register(spark, d)
+    try {
+      def qy = spark.read.parquet(base).groupBy("user_id")
+        .agg(count(lit(1)).as("n")).orderBy("user_id")
+      val rewritten = qy
+      assert(rewritten.queryExecution.executedPlan.toString.contains("mv.parquet"))
+      val got = rewritten.collect().map(_.toString).toSeq
+      GraftMv.clear()
+      assert(got === qy.collect().map(_.toString).toSeq)
+    } finally GraftMv.clear()
+  }
+
   test("G16: streaming counts upsert a JDBC store exactly once; replays are no-ops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
