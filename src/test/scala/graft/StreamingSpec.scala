@@ -863,6 +863,17 @@ class StreamingSpec extends SparkSpecBase {
       GraftMv.clear()
       assert(got === qy.collect().map(_.toString).toSeq)
     } finally GraftMv.clear()
+    // crash window: the swap died between delete and rename — a fully
+    // committed staging dir and no live dir. The next batch must adopt
+    // the staging dir BEFORE merging, losing no history.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(d.mvPath),
+      new org.apache.hadoop.fs.Path(s"$root/mv.staging"))
+    val b3 = Seq(Events.Ev(9L, ts("2024-01-01 12:00:00")))
+    Events.applyMvBatch(b3.toDF(), 2L, d, root)
+    assert(sorted(spark.read.parquet(d.mvPath)) ===
+      sorted(GraftMv.mvFrameOf((b1 ++ b2 ++ b3).toDF(), d)))
   }
 
   test("G16: streaming counts upsert a JDBC store exactly once; replays are no-ops") {
