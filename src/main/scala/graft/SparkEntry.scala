@@ -182,6 +182,7 @@ object SparkEntry {
     "text_bpe_tokens"            -> BpeTokenizer.bpeTokens _,
     "text_dsir_weights"          -> TextAnalysis.dsirWeights _,
     "text_vocab_coverage"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
+    "text_vocab_growth"          -> ((s: SparkSession, d: String) => TextAnalysis.vocabGrowth(s, d)),
     "text_bm25_retrieval"        -> Bm25.retrieve _,
     "text_quality_classifier"    -> TextAnalysis.qualityClassifier _,
     "sim_hybrid_rrf"             -> Hybrid.retrieve _,
@@ -1854,6 +1855,25 @@ object SparkEntry {
 
     // Zipf head coverage over the same whitespace tokenize as the
     // unigram scorer; coverage is exact integer division (no FP).
+    // E17: Heaps-law growth — first-bucket per word, bucket-grain
+    // triangular cumulative (correlated sums), exact integers
+    "text_vocab_growth" -> """
+      WITH b AS (SELECT max(doc_id) AS mx FROM documents),
+      t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS word
+            FROM documents),
+      bk AS (SELECT word,
+               least(19, doc_id // (((SELECT mx + 1 FROM b) + 19) // 20)) AS bucket
+             FROM t),
+      tok AS (SELECT bucket, count(*) AS n_tokens FROM bk GROUP BY bucket),
+      fs AS (SELECT word, min(bucket) AS fb FROM bk GROUP BY word),
+      nw AS (SELECT fb, count(*) AS n_new FROM fs GROUP BY fb)
+      SELECT g.bucket,
+             CAST((SELECT sum(t2.n_tokens) FROM tok t2
+                   WHERE t2.bucket <= g.bucket) AS BIGINT) AS cum_tokens,
+             CAST((SELECT sum(nw.n_new) FROM nw
+                   WHERE nw.fb <= g.bucket) AS BIGINT) AS cum_vocab
+      FROM tok g ORDER BY g.bucket""",
+
     "text_vocab_coverage" -> """
       WITH w AS (
         SELECT unnest(list_filter(

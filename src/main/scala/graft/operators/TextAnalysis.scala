@@ -191,6 +191,45 @@ object TextAnalysis {
     * spec-asserted against driver-side Math.log so any future mismatch
     * is diagnosable per word instead of a silent hash failure.
     */
+  /** E17: Heaps-law vocabulary GROWTH curve — cumulative distinct
+    * vocabulary vs cumulative tokens over the corpus in ingestion
+    * order, the diagnostic that says whether a crawl is still
+    * surfacing new language or re-crawling itself (vocab ∝ tokens^β
+    * with β≈0.5 for natural text; a flattening curve means duplicate
+    * inflow, a linear one means noise/IDs). Shapes: ONE tokenize
+    * pass; each word's FIRST bucket via min-aggregate (map-combinable
+    * — never a sort over occurrences); the corpus collapses to
+    * `nBuckets` grain BEFORE any cumulative step, and the cumulative
+    * sums run as a tiny triangular self-join over that bucket grain
+    * (≤ n² rows of bucket-level aggregates, broadcast side ≤ n rows)
+    * — NO window operator at all, so there is no SinglePartition
+    * funnel to excuse (the B58→B58b rule applied preemptively).
+    * Exact integers end to end.
+    */
+  def vocabGrowth(s: SparkSession, dir: String, nBuckets: Int = 20): DataFrame = {
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val bounds = docs(s, dir).agg(max("doc_id").as("mx"))
+    val bucketed = docs(s, dir)
+      .select(col("doc_id"), explode(words).as("word"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(lit(nBuckets - 1L),
+          expr(s"doc_id div (((mx + 1) + ${nBuckets - 1}) div $nBuckets)"))
+          .cast("long"))
+    val tok = bucketed.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = bucketed.groupBy("word").agg(min("bucket").as("fb"))
+    val nw = firstSeen.groupBy("fb").agg(count(lit(1)).as("n_new"))
+    val cumTok = tok.select(col("bucket"))
+      .join(broadcast(tok.select(col("bucket").as("b2"), col("n_tokens"))),
+        col("b2") <= col("bucket"))
+      .groupBy("bucket").agg(sum("n_tokens").as("cum_tokens"))
+    val cumVocab = tok.select(col("bucket"))
+      .join(broadcast(nw.select(col("fb"), col("n_new"))), col("fb") <= col("bucket"))
+      .groupBy("bucket").agg(sum("n_new").as("cum_vocab"))
+    cumTok.join(cumVocab, Seq("bucket"))
+      .orderBy("bucket")
+  }
+
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
     val toks = docs(s, dir).select(col("doc_id"), explode(words).as("word"))

@@ -435,4 +435,25 @@ class TextAnalysisSpec extends SparkSpecBase {
         .cast("long")).collect()(0).getLong(0)
     assert(enginePrior === expectPrior, "prior micro boundary drift")
   }
+
+  test("E17: vocab growth is monotone, windowless, and ends at the corpus totals") {
+    val df = graft.operators.TextAnalysis.vocabGrowth(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "cumulatives must be join-based: " + plan.take(800))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // both curves strictly ordered by bucket and monotone non-decreasing
+    assert(rows.sliding(2).forall { case Array((b1, t1, v1), (b2, t2, v2)) =>
+      b1 < b2 && t1 <= t2 && v1 <= v2
+    case _ => true })
+    // the last point IS the corpus: total tokens and total distinct words
+    val words = org.apache.spark.sql.functions.expr(
+      "filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(words).as("w"))
+    assert(rows.last._2 === toks.count())
+    assert(rows.last._3 === toks.distinct().count())
+    // vocabulary grows strictly slower than tokens (Heaps' law sanity)
+    assert(rows.last._3 < rows.last._2)
+  }
 }
