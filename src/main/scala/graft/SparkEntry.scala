@@ -126,6 +126,7 @@ object SparkEntry {
     "prof_correlation"           -> Profiling.profileCorrelation _,
     "prof_outliers"              -> Profiling.robustOutliers _,
     "q_quarantine"               -> Profiling.quarantine _,
+    "prof_contingency"           -> Profiling.contingency _,
     "prof_key_skew"              -> Profiling.skewProfile _,
     "q2_min_cost_supplier"       -> TpchPatterns.q2MinCostSupplier _,
     "q11_important_parts"        -> TpchPatterns.q11ImportantParts _,
@@ -1154,6 +1155,23 @@ object SparkEntry {
     // B67: exact HUGEINT moment sums; every post-sum op (cast, sqrt,
     // *, /) is IEEE correctly rounded, so the floored micro matches
     // Spark bit-for-bit with no ULP caveat (contrast E8's ln note)
+    // B77: the full grid incl. zero cells; expected + chi2 terms
+    // micro-floored via 128-bit integer division in both engines
+    "prof_contingency" -> """
+      WITH d AS (SELECT source, lang FROM documents),
+      cells AS (SELECT source, lang, count(*) AS o FROM d GROUP BY source, lang),
+      r AS (SELECT source, count(*) AS rs FROM d GROUP BY source),
+      c AS (SELECT lang, count(*) AS cs FROM d GROUP BY lang),
+      n AS (SELECT count(*) AS n FROM d)
+      SELECT r.source, c.lang, coalesce(o, 0) AS o,
+             CAST((CAST(rs AS HUGEINT) * cs * 1000000) // n AS BIGINT) AS expected_micro,
+             CAST(((CAST(coalesce(o, 0) AS HUGEINT) * n - CAST(rs AS HUGEINT) * cs) *
+                   (CAST(coalesce(o, 0) AS HUGEINT) * n - CAST(rs AS HUGEINT) * cs) * 1000000)
+                  // (CAST(rs AS HUGEINT) * cs * n) AS BIGINT) AS chi2_contrib_micro
+      FROM r CROSS JOIN c CROSS JOIN n
+      LEFT JOIN cells ON cells.source = r.source AND cells.lang = c.lang
+      ORDER BY r.source, c.lang""",
+
     // B76: the row-level quarantine manifest — concat_ws skips NULL
     // rule slots identically in both engines
     "q_quarantine" -> """

@@ -204,6 +204,46 @@ object Profiling {
       .orderBy("col_x", "col_y")
   }
 
+  /** B77: contingency matrix + chi-square contributions — the
+    * categorical-association screen (is `source` independent of
+    * `lang`? which cells drive the dependence?) that completes B67's
+    * numeric-correlation profile on the categorical side. The full
+    * source×lang GRID is materialized (zero cells matter to the
+    * statistic — a missing combination IS signal), each cell carrying
+    * observed count, expected count and its chi-square contribution.
+    *
+    * Exactness: expected = rs·cs/N and contribution =
+    * (o·N − rs·cs)²/(rs·cs·N) are RATIONAL — both are emitted
+    * micro-floored per cell via DECIMAL(38,0) integer division
+    * (numerators up to (oN)² ≈ 10¹⁹ overflow BIGINT, so the widening
+    * happens BEFORE the square — the B67 lesson), identical in any
+    * engine; the total statistic is the exact integer sum of the
+    * per-cell micro contributions. Shapes: one count aggregate at
+    * cell grain (map-combinable — the only pass over data), then
+    * everything runs on broadcast |sources|×|langs| slivers.
+    */
+  def contingency(s: SparkSession, dir: String): DataFrame = {
+    val d = new graft.sources.GraftCatalog(s, dir).table("documents")
+      .select(col("source"), col("lang"))
+    val cells = d.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val rs = d.groupBy("source").agg(count(lit(1)).as("rs"))
+    val cs = d.groupBy("lang").agg(count(lit(1)).as("cs"))
+    val n = d.agg(count(lit(1)).as("n"))
+    rs.crossJoin(broadcast(cs)).crossJoin(broadcast(n)) // the full grid
+      .join(broadcast(cells), Seq("source", "lang"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      // one operand widened BEFORE every product (o·N and diff² pass
+      // 2^63 long before the counts do), `div` floors exactly
+      .withColumn("diff",
+        expr("CAST(o AS DECIMAL(38,0)) * n - CAST(rs AS DECIMAL(38,0)) * cs"))
+      .select(col("source"), col("lang"), col("o"),
+        expr("CAST((CAST(rs AS DECIMAL(38,0)) * cs * 1000000) div n AS BIGINT)")
+          .as("expected_micro"),
+        expr("CAST((diff * diff * 1000000) div (CAST(rs AS DECIMAL(38,0)) * cs * n) AS BIGINT)")
+          .as("chi2_contrib_micro"))
+      .orderBy("source", "lang")
+  }
+
   /** B76: validate-and-QUARANTINE — B59's constraint report made
     * row-level: every row is checked against the rule set and the
     * violators come back as a quarantine manifest (key, the csv of
