@@ -602,9 +602,13 @@ object Analytic {
       col("o_orderpriority").as("p"),
       to_date(col("o_orderdate")).as("d"),
       expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    // `daily` is the ONLY pass over orders: it is bounded (groups ×
+    // days grain) and cached, and the span bounds + group spine + the
+    // final join all derive from it — no second corpus scan for min/max
     val daily = o.groupBy("p", "d")
       .agg(count(lit(1)).as("n_day"), sum("cents").as("rev_c"))
-    val bounds = o.agg(min("d").as("d0"), max("d").as("d1"))
+      .cache()
+    val bounds = daily.agg(min("d").as("d0"), max("d").as("d1"))
     val spine = daily.select("p").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("p"), explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))

@@ -225,10 +225,12 @@ object Profiling {
   def contingency(s: SparkSession, dir: String): DataFrame = {
     val d = new graft.sources.GraftCatalog(s, dir).table("documents")
       .select(col("source"), col("lang"))
-    val cells = d.groupBy("source", "lang").agg(count(lit(1)).as("o"))
-    val rs = d.groupBy("source").agg(count(lit(1)).as("rs"))
-    val cs = d.groupBy("lang").agg(count(lit(1)).as("cs"))
-    val n = d.agg(count(lit(1)).as("n"))
+    // the cell grid is the ONE data pass; every marginal is an exact
+    // sum over the cached |sources|×|langs| sliver, never a re-scan
+    val cells = d.groupBy("source", "lang").agg(count(lit(1)).as("o")).cache()
+    val rs = cells.groupBy("source").agg(sum("o").as("rs"))
+    val cs = cells.groupBy("lang").agg(sum("o").as("cs"))
+    val n = cells.agg(sum("o").as("n"))
     rs.crossJoin(broadcast(cs)).crossJoin(broadcast(n)) // the full grid
       .join(broadcast(cells), Seq("source", "lang"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
@@ -239,7 +241,14 @@ object Profiling {
       .select(col("source"), col("lang"), col("o"),
         expr("CAST((CAST(rs AS DECIMAL(38,0)) * cs * 1000000) div n AS BIGINT)")
           .as("expected_micro"),
-        expr("CAST((diff * diff * 1000000) div (CAST(rs AS DECIMAL(38,0)) * cs * n) AS BIGINT)")
+        // diff²·10⁶ must stay inside DECIMAL(38,0): |diff| < 10¹⁶
+        // guarantees it (always true while N ≤ 10⁸ rows, since
+        // |diff| ≤ N²). Beyond that the numerator would overflow and
+        // non-ANSI mode returns silent NULLs — refuse loudly instead;
+        // the exact-decimal comparison guard is free per cell.
+        expr("""CAST(CASE WHEN assert_true(abs(diff) < 10000000000000000,
+                 'chi2 numerator would overflow DECIMAL(38,0): |o*N - rs*cs| >= 1e16') IS NULL
+            THEN (diff * diff * 1000000) div (CAST(rs AS DECIMAL(38,0)) * cs * n) END AS BIGINT)""")
           .as("chi2_contrib_micro"))
       .orderBy("source", "lang")
   }

@@ -216,8 +216,13 @@ object TextAnalysis {
         least(lit(nBuckets - 1L),
           expr(s"doc_id div (((mx + 1) + ${nBuckets - 1}) div $nBuckets)"))
           .cast("long"))
-    val tok = bucketed.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
-    val firstSeen = bucketed.groupBy("word").agg(min("bucket").as("fb"))
+    // ONE tokenize pass, kept honest: collapse to (word, bucket, n)
+    // grain first and cache that — both the token totals and the
+    // first-seen mins derive from it, so the explode never runs twice
+    // (the E14 lesson; vocab×buckets grain, spills to disk if large)
+    val wb = bucketed.groupBy("word", "bucket").agg(count(lit(1)).as("n")).cache()
+    val tok = wb.groupBy("bucket").agg(sum("n").as("n_tokens"))
+    val firstSeen = wb.groupBy("word").agg(min("bucket").as("fb"))
     val nw = firstSeen.groupBy("fb").agg(count(lit(1)).as("n_new"))
     val cumTok = tok.select(col("bucket"))
       .join(broadcast(tok.select(col("bucket").as("b2"), col("n_tokens"))),

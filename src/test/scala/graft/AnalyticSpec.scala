@@ -204,4 +204,18 @@ class AnalyticSpec extends SparkSpecBase {
     assert(!plan.contains("Window"),
       "ranking must not plan a window:\n" + plan.take(1200))
   }
+
+  test("B75: gap-fill scans orders once — bounds, spine and join all read the cached daily grain") {
+    val df = Analytic.qGapFill(spark, sfDir)
+    val nodes = allPlanNodes(df.queryExecution.executedPlan)
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.isEmpty,
+      "no direct file scan in the final plan: the span bounds and day spine " +
+        "must derive from the cached (group, day) aggregate, not re-scan orders")
+    val ims = nodes.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i }
+    assert(ims.nonEmpty, "expected InMemoryTableScan of the cached daily grain")
+    assert(df.count() > 0L)
+  }
 }

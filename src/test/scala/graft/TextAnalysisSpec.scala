@@ -456,4 +456,22 @@ class TextAnalysisSpec extends SparkSpecBase {
     // vocabulary grows strictly slower than tokens (Heaps' law sanity)
     assert(rows.last._3 < rows.last._2)
   }
+
+  test("E17: vocab growth tokenizes once — both curves read the cached (word, bucket) grain") {
+    val nodes = allPlanNodes(graft.operators.TextAnalysis.vocabGrowth(spark, sfDir)
+      .queryExecution.executedPlan)
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.isEmpty,
+      "no direct file scan in the final plan: token totals AND first-seen mins " +
+        "must both derive from the cached (word, bucket, n) pre-aggregate")
+    val gens = nodes.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.isEmpty,
+      "the tokenize explode must live inside the cached relation, " +
+        "never re-run per branch (the E14 single-tokenize rule)")
+    val ims = nodes.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i }
+    assert(ims.nonEmpty, "expected InMemoryTableScan of the cached word-bucket grain")
+  }
 }
