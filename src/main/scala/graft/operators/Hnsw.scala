@@ -237,14 +237,14 @@ object Hnsw {
     routing
   }
 
-  /** Search the persisted index: routing nodes reload as the graph
-    * artifact, the beam's shard ids prune the partitioned read.
+  /** Serve an ALREADY-BUILT persisted index: routing nodes reload as
+    * the graph artifact, the beam's shard ids prune the partitioned
+    * read. Split from the build so maintenance (delete, compaction)
+    * can serve without rebuilding.
     */
-  def hnswPersistedTopk(s: SparkSession, dir: String,
-      indexPath: Option[String] = None): DataFrame = {
+  private[graft] def serveHnsw(s: SparkSession, dir: String,
+      idx: String): DataFrame = {
     import s.implicits._
-    val idx = indexPath.getOrElse(graft.sources.GraftSink.scratchDir + "/hnsw_index")
-    buildHnswIndex(s, dir, idx)
     val routing = s.read.parquet(s"$idx/routing")
       .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])]
       .collect().toSeq.sortBy(_._1).map { case (id, v) => (id, v.toArray) }
@@ -254,5 +254,58 @@ object Hnsw {
     val shards = s.read.parquet(s"$idx/shards")
       .where(col("entry_id").isin(probedIds.toIndexedSeq.map(Long.box): _*))
     topkFromShards(shards, probes)
+  }
+
+  /** D11 (delete path): purge keys from the persisted HNSW index —
+    * the A19 GDPR discipline for the graph store. Two stores hold a
+    * vector:
+    *
+    *  1. `shards` — a COW rewrite of only the affected entry-shard
+    *     partitions removes the key's R copies (GraftSink.mergeDelete:
+    *     broadcast semi-join discovery, per-partition anti-join,
+    *     dynamic overwrite; untouched shard partitions stay
+    *     byte-identical).
+    *  2. `routing` — unlike IVF centroids (means), routing nodes ARE
+    *     raw vectors, so a purged key that routes must leave the
+    *     graph too. Its entry-shard partition is dropped with it; the
+    *     vectors that lived there remain reachable through their
+    *     other R−1 shard assignments (the multi-assignment fan-out IS
+    *     the redundancy), and the periodic rebuild restores full
+    *     fan-out — the compaction that folds tombstones.
+    *
+    * Serve paths need no change: the graph is rebuilt from `routing`
+    * at serve time, so a removed node simply stops routing.
+    */
+  private[graft] def hnswDelete(s: SparkSession, indexPath: String,
+      keys: Seq[Long]): Unit = {
+    import s.implicits._
+    graft.sources.GraftSink.mergeDelete(s, s"$indexPath/shards",
+      keys.toDF("vec_id"), Seq("vec_id"), "entry_id")
+    val routing = s.read.parquet(s"$indexPath/routing")
+    val routedDeleted = routing.select("vec_id")
+      .where(col("vec_id").isin(keys.map(Long.box): _*))
+      .collect().map(_.getLong(0))
+    if (routedDeleted.nonEmpty) {
+      // rewrite the tiny routing table without the purged nodes, then
+      // drop their (now unroutable) shard partitions entirely
+      val survivors = routing.where(!col("vec_id").isin(keys.map(Long.box): _*))
+        .localCheckpoint(true)
+      survivors.write.mode("overwrite").parquet(s"$indexPath/routing")
+      graft.GraftSession.releaseCheckpoint(survivors)
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      routedDeleted.foreach { id =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexPath/shards/entry_id=$id"), true)
+      }
+    }
+  }
+
+  /** D11 (persisted form): build + serve. */
+  def hnswPersistedTopk(s: SparkSession, dir: String,
+      indexPath: Option[String] = None): DataFrame = {
+    val idx = indexPath.getOrElse(graft.sources.GraftSink.scratchDir + "/hnsw_index")
+    buildHnswIndex(s, dir, idx)
+    serveHnsw(s, dir, idx)
   }
 }

@@ -232,6 +232,28 @@ object Similarity {
       .parquet(s"$indexPath/lists")
   }
 
+  /** D2 (delete path): purge keys from the persisted IVF index — the
+    * A19 GDPR discipline applied to `$idx/lists`: the vector store
+    * must forget a key when its source table does, or the index keeps
+    * serving purged data. A COW rewrite of ONLY the affected centroid
+    * partitions (broadcast semi-join discovery → per-partition
+    * anti-join → dynamic partition overwrite; drained partitions
+    * dropped) — untouched list partitions keep their files
+    * byte-identical, so delete cost is bounded by the deleted keys'
+    * centroid spread, never the index size. Composes with `ivfAppend`
+    * (FAISS add-after-train + remove_ids): delete-then-append against
+    * the SAME persisted centroid artifact equals a rebuild from the
+    * surviving corpus. The centroid table itself holds only k-means
+    * MEANS — aggregates over many vectors, not copies of any row — so
+    * a key purge never needs to touch it.
+    */
+  private[graft] def ivfDelete(s: SparkSession, indexPath: String,
+      keys: Seq[Long]): Unit = {
+    import s.implicits._
+    graft.sources.GraftSink.mergeDelete(s, s"$indexPath/lists",
+      keys.toDF("vec_id"), Seq("vec_id"), "centroid_id")
+  }
+
   /** The epoch-split incremental IVF query: the historical 4/5 of the
     * corpus builds the index (training on ITS hash sample), the "new
     * batch" (every 5th vector) is absorbed via `ivfAppend`, and the

@@ -16,17 +16,22 @@ import scala.jdk.CollectionConverters._
   * `build` writes one bloom sidecar per DATA FILE under the table's
   * `_bloom_<col>/` dir (underscore-prefixed → invisible to every
   * reader path: Spark's FileIndex, GraftCatalog and the v2 connector
-  * all skip it). The build is one distributed pass: tasks fold their
-  * rows into per-file partial blooms keyed by `input_file_name`,
-  * partials merge by file (bitset OR — exact), and the driver writes
-  * the sidecars (metadata-sized: ~1.2 bytes/key at 1% FPP).
+  * all skip it). The build is one distributed pass WITH a distributed
+  * write: tasks fold their rows into per-file partial blooms keyed by
+  * `input_file_name`, partials merge by file (bitset OR — exact), and
+  * the task that owns each merged bloom creates its sidecar directly —
+  * no bloom bytes ever cross the driver, which only sees the written
+  * COUNT. At 100 TB (~10⁵ files × MB-scale blooms) the driver would
+  * otherwise funnel ~100 GB through one JVM.
   *
-  * `lookup` loads the sidecars (driver, O(files) metadata), keeps only
-  * files whose bloom might contain SOME probe key, and scans just
-  * those with the exact IN-filter applied — bloom false positives add
-  * scanned files, never wrong rows. A file WITHOUT a sidecar (landed
-  * after the last build, or rewritten by a COW merge under a new
-  * name) is conservatively scanned, so a stale index degrades to
+  * `lookup` probes the sidecars as a Spark job: the file list is
+  * parallelized, each task opens its own sidecars and tests the probe
+  * keys, and only SURVIVING FILE NAMES are collected (names, not
+  * bloom bytes). The scan then touches just those files with the
+  * exact IN-filter applied — bloom false positives add scanned files,
+  * never wrong rows. A file WITHOUT a sidecar (landed after the last
+  * build, or rewritten by a COW merge under a new name) is
+  * conservatively kept, so a stale index degrades to
   * correct-but-slower, never to wrong. At 100 TB: a 5-key lookup
   * touches ~5 files instead of all of them.
   */
@@ -98,42 +103,83 @@ object GraftBloomIndex {
         ba.writeTo(bytes)
         bytes.toByteArray
       }
-      .collect()
     val dir = indexDir(tablePath, keyCol)
     val fs = dir.getFileSystem(c)
     fs.delete(dir, true)
     fs.mkdirs(dir)
-    kv.foreach { case (f, bytes) =>
-      val out = fs.create(new Path(dir, sidecarName(tablePath, f)), true)
-      try out.write(bytes) finally out.close()
-    }
-    kv.length
+    // executor-side sidecar write: the task owning each merged bloom
+    // creates its file; a retried task overwrites (idempotent). The
+    // driver receives only per-partition WRITE COUNTS — never bytes.
+    val serConf = graft.sources.v2.GraftV2.sessionConf()
+    val dirStr = dir.toString
+    val tp = tablePath
+    kv.mapPartitions { it =>
+      val d = new Path(dirStr)
+      val tfs = d.getFileSystem(serConf.value)
+      var n = 0L
+      it.foreach { case (f, bytes) =>
+        val out = tfs.create(new Path(d, sidecarName(tp, f)), true)
+        try out.write(bytes) finally out.close()
+        n += 1L
+      }
+      Iterator.single(n)
+    }.sum().toInt
   }
 
   /** Exact point lookup through the index: rows of `tablePath` whose
     * `keyCol` is in `values`, scanning only files the index cannot
     * rule out (plus any unindexed file, conservatively).
     */
-  def lookup(s: SparkSession, tablePath: String, keyCol: String,
-      values: Seq[Any]): DataFrame = {
+  /** Distributed sidecar probe: parallelize the file list, open and
+    * test each sidecar on EXECUTORS, return only the surviving file
+    * names — bloom bytes stay where they are read. Exposed for the
+    * no-driver-data-path spec.
+    */
+  def probeFiles(s: SparkSession, tablePath: String, keyCol: String,
+      values: Seq[Any]): Seq[String] = {
+    values.foreach {
+      case _: String | _: Number => ()
+      case other => throw new IllegalArgumentException(
+        s"[GRAFT] bloom lookup key must be integral or string, got $other")
+    }
     val c = conf(s)
     val dir = indexDir(tablePath, keyCol)
-    val fs = dir.getFileSystem(c)
+    val dirStr = dir.toString
     val files = graft.sources.v2.GraftV2.dataFiles(tablePath, c)
-    val surviving = files.filter { f =>
-      val sc = new Path(dir, sidecarName(tablePath, f))
-      if (!fs.exists(sc)) true // unindexed file: must scan
+    if (files.isEmpty) return Nil
+    // one driver-side LISTING of the sidecar dir (names only — no
+    // bytes) broadcast to the probe tasks, so executors never issue
+    // per-file exists() round trips
+    val dfs = dir.getFileSystem(c)
+    val present: Set[String] =
+      if (!dfs.exists(dir)) Set.empty
+      else dfs.listStatus(dir).map(_.getPath.getName).toSet
+    val bcPresent = s.sparkContext.broadcast(present)
+    val serConf = graft.sources.v2.GraftV2.sessionConf()
+    val tp = tablePath
+    val probeKeys = values
+    val slices = math.max(1, math.min(files.length,
+      s.sparkContext.defaultParallelism))
+    s.sparkContext.parallelize(files, slices).filter { f =>
+      val name = sidecarName(tp, f)
+      if (!bcPresent.value.contains(name)) true // unindexed: must scan
       else {
-        val in = fs.open(sc)
+        val d = new Path(dirStr)
+        val tfs = d.getFileSystem(serConf.value)
+        val in = tfs.open(new Path(d, name))
         val bloom = try BloomFilter.readFrom(in) finally in.close()
-        values.exists {
+        probeKeys.exists {
           case sv: String => bloom.mightContainString(sv)
           case n: Number => bloom.mightContainLong(n.longValue)
-          case other => throw new IllegalArgumentException(
-            s"[GRAFT] bloom lookup key must be integral or string, got $other")
+          case _ => true
         }
       }
-    }
+    }.collect().toSeq
+  }
+
+  def lookup(s: SparkSession, tablePath: String, keyCol: String,
+      values: Seq[Any]): DataFrame = {
+    val surviving = probeFiles(s, tablePath, keyCol, values)
     val probe = col(keyCol).isin(values: _*)
     if (surviving.isEmpty)
       s.read.parquet(tablePath).where(probe).where(lit(false))

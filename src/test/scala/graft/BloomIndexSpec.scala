@@ -64,6 +64,39 @@ class BloomIndexSpec extends SparkSpecBase {
     assert(after.inputFiles.length < 5)
   }
 
+  test("build writes sidecars from tasks and the probe runs as a Spark job — no bloom bytes cross the driver") {
+    val path = freshTable("bloom_dedriver", 6)
+    // count Spark jobs + driver-side result sizes around build and probe
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      jobs.set(0)
+      val n = GraftBloomIndex.build(spark, path, "o_orderkey")
+      assert(n === 6)
+      assert(jobs.get() >= 1, "build must run as a Spark job (executor-side writes)")
+      // sidecars exist even though the driver only received a COUNT —
+      // i.e. the write happened inside the job's tasks
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val idx = new org.apache.hadoop.fs.Path(path, "_bloom_o_orderkey")
+      assert(fs.listStatus(idx).count(_.getPath.getName.endsWith(".bloom")) === 6)
+      jobs.set(0)
+      val surviving = GraftBloomIndex.probeFiles(
+        spark, path, "o_orderkey", Seq(1L, 64L))
+      assert(jobs.get() >= 1,
+        "the sidecar probe must execute as a distributed Spark job, " +
+          "not a serial driver loop")
+      // only file NAMES come back, and they prune
+      assert(surviving.forall(_.endsWith(".parquet")))
+      assert(surviving.length < 6, s"probe should prune: $surviving")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("the index dir is invisible to every reader path") {
     val path = freshTable("bloomhidden", 3)
     val before = spark.read.parquet(path).count()

@@ -324,4 +324,96 @@ class SimilaritySpec extends SparkSpecBase {
     assert(beam.size === 4)
     assert(beam.forall(_ >= 8L), s"beam must stay in cluster B: $beam")
   }
+
+  private def partFiles(root: String): Map[String, Set[(String, Long, Long)]] = {
+    val base = new java.io.File(root)
+    base.listFiles().filter(d => d.isDirectory && d.getName.contains("="))
+      .map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length, f.lastModified)).toSet
+      }.toMap
+  }
+
+  test("D2 delete: purged key leaves the IVF index, untouched partitions stay file-identical, delete+append ≡ rebuild") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    val before = Similarity.ivfIncrementalTopk(spark, sfDir, indexPath = Some(idx))
+      .collect()
+    // victim: a served neighbor outside the query set, so its absence
+    // after the delete is observable in the serve output
+    val victim = before.map(_.getLong(1)).filter(_ >= 5L).head
+    val victimCentroid = spark.read.parquet(s"$idx/lists")
+      .where(col("vec_id") === victim).select("centroid_id")
+      .collect().map(_.getAs[Number](0).intValue).toSet
+    val filesBefore = partFiles(s"$idx/lists")
+    Similarity.ivfDelete(spark, idx, Seq(victim))
+    // 1) the deleted vector is never served again
+    val after = Similarity.serveIvf(spark, sfDir, idx, 4).collect()
+    assert(before.exists(_.getLong(1) == victim), "victim was served before")
+    assert(!after.exists(_.getLong(1) == victim), "victim still served after delete")
+    assert(spark.read.parquet(s"$idx/lists")
+      .where(col("vec_id") === victim).count() === 0)
+    // 2) only the victim's centroid partitions were rewritten
+    val filesAfter = partFiles(s"$idx/lists")
+    filesBefore.foreach { case (part, fs) =>
+      val cid = part.stripPrefix("centroid_id=").toInt
+      if (!victimCentroid.contains(cid))
+        assert(filesAfter(part) === fs, s"untouched partition $part was rewritten")
+    }
+    // 3) delete-then-append ≡ rebuild: lists content equals assigning
+    //    the surviving corpus + the appended batch against the SAME
+    //    persisted centroid artifact
+    val fresh = spark.range(900000L, 900010L)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> CAST(pmod(id * i, 97) AS DOUBLE) / 97.0)")
+          .as("emb"))
+    Similarity.ivfAppend(spark, idx, fresh)
+    val trained = spark.read.parquet(s"$idx/centroids")
+      .select(col("centroid_id"), col("c_emb")).as[(Int, Seq[Double])]
+      .collect().sortBy(_._1)
+    val corpus = new graft.sources.GraftCatalog(spark, sfDir).table("embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
+      .where(col("vec_id") =!= victim)
+      .unionByName(fresh)
+    val expect = Similarity.assignCentroids(corpus, trained)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = spark.read.parquet(s"$idx/lists")
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).intValue)).toSet
+    assert(got === expect, "delete + append must equal a rebuild from survivors")
+  }
+
+  test("D11 delete: purged keys leave shards AND routing; other vectors stay reachable via their remaining shards") {
+    import graft.operators.Hnsw
+    val idx = java.nio.file.Files.createTempDirectory("graft_hnsw_del").toString
+    val before = Hnsw.hnswPersistedTopk(spark, sfDir, indexPath = Some(idx)).collect()
+    val routingIds = spark.read.parquet(s"$idx/routing")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // non-routing victim: COW delete from shards only
+    val victim = before.map(_.getLong(1))
+      .filter(id => id >= 5L && !routingIds.contains(id)).head
+    Hnsw.hnswDelete(spark, idx, Seq(victim))
+    val after = Hnsw.serveHnsw(spark, sfDir, idx).collect()
+    assert(before.exists(_.getLong(1) == victim))
+    assert(!after.exists(_.getLong(1) == victim), "victim still served after delete")
+    assert(spark.read.parquet(s"$idx/shards")
+      .where(col("vec_id") === victim).count() === 0)
+    // routing-node victim: must vanish from the routing table and its
+    // shard partition with it; serving still answers every query
+    val routedVictim = routingIds.filter(_ >= 5L).head
+    Hnsw.hnswDelete(spark, idx, Seq(routedVictim))
+    assert(!spark.read.parquet(s"$idx/routing")
+      .collect().map(_.getLong(0)).contains(routedVictim))
+    assert(!new java.io.File(s"$idx/shards/entry_id=$routedVictim").exists())
+    assert(spark.read.parquet(s"$idx/shards")
+      .where(col("vec_id") === routedVictim).count() === 0)
+    val served = Hnsw.serveHnsw(spark, sfDir, idx).collect()
+    assert(!served.exists(_.getLong(1) == routedVictim))
+    assert(served.map(_.getLong(0)).distinct.length === 5,
+      "every query must still be answered after a routing-node purge")
+    // multi-assignment redundancy: vectors that lived in the dropped
+    // shard survive in the index through their other assignments
+    assert(spark.read.parquet(s"$idx/shards").select("vec_id").distinct().count() > 0)
+  }
 }
