@@ -49,6 +49,7 @@ object SparkEntry {
     "src_bloom_index"            -> Relational.srcBloomIndex _,
     "src_multi_table_tag"        -> Relational.srcMultiTableTag _,
     "src_vacuum"                 -> Relational.srcVacuum _,
+    "src_wap_publish"            -> Relational.srcWapPublish _,
     "src_snapshot_log"           -> Relational.srcSnapshotLog _,
     "src_restore"                -> Relational.srcRestore _,
     "src_dynamic_overwrite"      -> Relational.srcDynamicOverwrite _,
@@ -830,6 +831,14 @@ object SparkEntry {
       FROM orders WHERE o_orderstatus IN ('O', 'F')
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    // A38: the published tip after the WAP flow is base ('O') + the
+    // clean batch ('F') — the blocked dirty 'P' batch never lands
+    "src_wap_publish" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderstatus IN ('O', 'F')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     // A17: untouched partitions + the re-derived 'F' partition
     "src_dynamic_overwrite" -> """
       SELECT o_orderstatus, count(*) AS n,
@@ -1269,12 +1278,10 @@ object SparkEntry {
     // the rows — stats and rows must agree exactly.
     "src_v2_agg_pushdown" -> """
       SELECT o_orderpriority, count(*) AS n, count(o_custkey) AS n_cust,
-             round(min(o_totalprice), 2) AS mn_price,
-             round(max(o_totalprice), 2) AS mx_price,
+             min(o_custkey) AS mn_cust,
+             max(o_custkey) AS mx_cust,
              round(CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS mn_dec,
-             round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS mx_dec,
-             min(o_orderstatus) AS mn_status,
-             max(o_orderstatus) AS mx_status
+             round(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS mx_dec
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // Identical SQL text to the Spark side modulo the catalog-qualified

@@ -228,16 +228,18 @@ object Relational {
     cat(s, dir).table("orders")
       .withColumn("o_price_dec", col("o_totalprice").cast(DecimalType(18, 2)))
       .write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    // provable types only: long keys + the decimal money column.
+    // String and double min/max are deliberately NOT in this query —
+    // their footer stats can be writer-truncated / NaN-polluted, so
+    // the source declines them to the row path (spec-asserted).
     s.read.format("graft").load(path)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
         count(col("o_custkey")).as("n_cust"),
-        round(min(col("o_totalprice")), 2).as("mn_price"),
-        round(max(col("o_totalprice")), 2).as("mx_price"),
+        min(col("o_custkey")).as("mn_cust"),
+        max(col("o_custkey")).as("mx_cust"),
         round(min(col("o_price_dec")).cast("double"), 2).as("mn_dec"),
-        round(max(col("o_price_dec")).cast("double"), 2).as("mx_dec"),
-        min(col("o_orderstatus")).as("mn_status"),
-        max(col("o_orderstatus")).as("mx_status"))
+        round(max(col("o_price_dec")).cast("double"), 2).as("mx_dec"))
       .orderBy("o_orderpriority")
   }
 
@@ -599,6 +601,49 @@ object Relational {
       .write.mode("append").parquet(tbl)
     new GraftCatalog(s, root).vacuum("orders")
     new GraftCatalog(s, root).table("orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** A38: write-audit-publish end to end — the staged-commit gate in
+    * one flow: the base batch lands and passes the audit (first
+    * publish audits everything), a DIRTY batch (every price negated)
+    * is blocked by the named rule with the log untouched and its
+    * files reclaimed by vacuum, then a clean batch passes and
+    * publishes. The result reads the final published tip via
+    * `tableAsOf` — the oracle hash-matching base+clean proves the
+    * dirty rows never reached addressable history.
+    */
+  def srcWapPublish(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GraftCatalog.AuditRule
+    val root = graft.sources.GraftSink.scratchDir + "/wapdemo"
+    val tbl = s"$root/orders.parquet"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(s.sessionState.newHadoopConf()).delete(rp, true)
+    val orders = cat(s, dir).table("orders")
+    val rules = Seq(
+      AuditRule("nonpositive_price", col("o_totalprice") <= 0.0),
+      AuditRule("null_custkey", col("o_custkey").isNull))
+    orders.where(col("o_orderstatus") === "O")
+      .write.mode("overwrite").parquet(tbl)
+    require(new GraftCatalog(s, root).publishAudited("orders", rules).isRight,
+      "[GRAFT] base batch must pass the audit")
+    orders.where(col("o_orderstatus") === "P")
+      .withColumn("o_totalprice", -abs(col("o_totalprice")))
+      .write.mode("append").parquet(tbl)
+    val rejected = new GraftCatalog(s, root).publishAudited("orders", rules)
+    require(rejected.isLeft, "[GRAFT] dirty batch must be blocked")
+    require(rejected.swap.exists(q =>
+      q.where(col("reasons").contains("nonpositive_price")).count() > 0),
+      "[GRAFT] quarantine must name the fired rule")
+    new GraftCatalog(s, root).vacuum("orders")
+    orders.where(col("o_orderstatus") === "F")
+      .write.mode("append").parquet(tbl)
+    val v2 = new GraftCatalog(s, root).publishAudited("orders", rules)
+      .getOrElse(throw new IllegalStateException(
+        "[GRAFT] clean batch must land"))
+    new GraftCatalog(s, root).tableAsOf("orders", v2)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
       .orderBy("o_orderstatus")

@@ -54,14 +54,38 @@ object GraftMv {
   case class MvDef(basePath: String, mvPath: String,
       groupCols: Seq[String], measures: Seq[(String, Measure)])
 
-  /** normalized base path → (definition, analyzed MV relation template) */
-  private val registry = new ConcurrentHashMap[String, (MvDef, LogicalRelation)]()
+  /** normalized base path → MV definition. Only the DEFINITION is
+    * cached: the MV's relation is re-resolved at rewrite time, so a
+    * maintenance swap that overwrites the MV path (mergeRollups
+    * rebuild, G17's applyMvBatch) is picked up by the very next
+    * rewritten query — a registration-time relation would pin the
+    * file listing of the registration instant and serve
+    * FileNotFoundException (or stale data) after the swap.
+    */
+  private val registry = new ConcurrentHashMap[String, MvDef]()
 
   def normalize(p: String): String = new Path(p).toUri.getPath
 
   def isEmpty: Boolean = registry.isEmpty
 
   def clear(): Unit = registry.clear()
+
+  /** Rewrite suppression for MAINTENANCE: a full rebuild aggregates
+    * the registered base in exactly the registered shape, so the rule
+    * would rewrite the rebuild onto the MV itself — the refresh would
+    * copy the stale rollup instead of re-reading the base. Every
+    * maintenance execution runs inside `withoutRewrite` (thread-local:
+    * plan optimization happens on the action's calling thread).
+    */
+  private val suppressed = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+  private[plans] def isSuppressed: Boolean = suppressed.get()
+  def withoutRewrite[T](f: => T): T = {
+    val prev = suppressed.get()
+    suppressed.set(true)
+    try f finally suppressed.set(prev)
+  }
 
   /** The MV contents over an arbitrary input frame — build, register
     * and incremental maintenance all share this, so the stored rollup
@@ -139,25 +163,48 @@ object GraftMv {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Materialize the MV to its path and register it for rewrite. */
+  /** Materialize the MV to its path and register it for rewrite.
+    * The build write is rewrite-suppressed: on a re-build of an
+    * ALREADY-registered definition the rule would otherwise rewrite
+    * the build query onto the stale MV.
+    */
   def buildAndRegister(spark: SparkSession, d: MvDef): Unit = {
-    mvFrame(spark, d).write.mode("overwrite").parquet(d.mvPath)
+    withoutRewrite {
+      mvFrame(spark, d).write.mode("overwrite").parquet(d.mvPath)
+    }
     register(spark, d)
+  }
+
+  /** Full refresh of a registered MV in place — the maintenance swap:
+    * rebuild from the CURRENT base (rewrite-suppressed) and overwrite
+    * the MV files. Rewrites resolve the relation per query, so the
+    * next rewritten query serves the new content with no re-register.
+    */
+  def refresh(spark: SparkSession, d: MvDef): Unit = withoutRewrite {
+    mvFrame(spark, d).write.mode("overwrite").parquet(d.mvPath)
+  }
+
+  /** Resolve the MV's CURRENT relation — called at registration (to
+    * validate the layout eagerly) and again at every rewrite (to track
+    * maintenance swaps of the MV files).
+    */
+  private[plans] def resolveRelation(spark: SparkSession, d: MvDef): LogicalRelation = {
+    val analyzed = spark.read.parquet(d.mvPath).queryExecution.analyzed
+    analyzed.collectFirst { case l: LogicalRelation => l }.getOrElse(
+      throw new IllegalStateException(s"[GRAFT] MV at ${d.mvPath} did not analyze to a relation"))
   }
 
   /** Register an already-materialized MV (e.g. one A20 maintains). */
   def register(spark: SparkSession, d: MvDef): Unit = {
-    val analyzed = spark.read.parquet(d.mvPath).queryExecution.analyzed
-    val lr = analyzed.collectFirst { case l: LogicalRelation => l }.getOrElse(
-      throw new IllegalStateException(s"[GRAFT] MV at ${d.mvPath} did not analyze to a relation"))
+    val lr = resolveRelation(spark, d)
     val missing = (d.groupCols ++ d.measures.map(_._1))
       .filterNot(c => lr.output.exists(_.name == c))
     require(missing.isEmpty,
       s"[GRAFT] MV at ${d.mvPath} lacks columns: ${missing.mkString(",")}")
-    registry.put(normalize(d.basePath), (d, lr))
+    registry.put(normalize(d.basePath), d)
   }
 
-  def lookup(basePath: String): Option[(MvDef, LogicalRelation)] =
+  def lookup(basePath: String): Option[MvDef] =
     Option(registry.get(normalize(basePath)))
 }
 
@@ -168,7 +215,7 @@ object GraftMv {
 case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (GraftMv.isEmpty) return plan
+    if (GraftMv.isEmpty || GraftMv.isSuppressed) return plan
     plan.transformDown {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
@@ -203,7 +250,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Some(x) => x
       case None => return None
     }
-    val (d, mvTemplate) = rootOf(baseLr).flatMap(GraftMv.lookup) match {
+    val d = rootOf(baseLr).flatMap(GraftMv.lookup) match {
       case Some(x) => x
       case None => return None
     }
@@ -212,12 +259,22 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case a: AttributeReference if d.groupCols.contains(a.name) => a
       case _ => return None
     }
-    // the one allowed filter touches grouping columns only
-    if (condOpt.exists(_.references.exists(a => !d.groupCols.contains(a.name))))
-      return None
-    // fresh exprIds per use site: the same base may be aggregated
-    // twice in one query (e.g. a self-join of rollups)
-    val mv = mvTemplate.newInstance()
+    // the one allowed filter touches grouping columns only, must be
+    // DETERMINISTIC (rand()/input_file_name() have no/benign refs but
+    // evaluate per-ROW — re-evaluating them per MV group row silently
+    // changes results), and must carry no subquery
+    condOpt.foreach { cond =>
+      if (!cond.deterministic) return None
+      if (org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+          .hasSubquery(cond)) return None
+      if (cond.references.exists(a => !d.groupCols.contains(a.name))) return None
+    }
+    // the MV relation is resolved NOW, not at registration: a
+    // maintenance swap of the MV files must be visible to the next
+    // query; an unreadable MV declines rather than failing the query
+    val mv = (try GraftMv.resolveRelation(spark, d) catch {
+      case scala.util.control.NonFatal(_) => return None
+    }).newInstance()
     def mvAttr(name: String): Attribute = mv.output.find(_.name == name).get
     def measureCol(pred: GraftMv.Measure => Boolean): Option[Attribute] =
       d.measures.collectFirst { case (n, m) if pred(m) => mvAttr(n) }

@@ -380,6 +380,53 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     newId
   }
 
+  /** A38: WRITE-AUDIT-PUBLISH — the staged-commit gate every 100 TB
+    * ingestion pipeline fronts its tables with (the Iceberg WAP
+    * pattern), composed from primitives this catalog already has:
+    * a writer lands files WITHOUT publishing (the stage), the audit
+    * runs the rule set over ONLY the staged files (snapshot-diff
+    * scope: current listing minus the last published manifest — the
+    * audit cost is O(batch), never O(table)), and the manifest is
+    * published iff ZERO rows violate. A dirty batch returns the
+    * quarantine manifest (every violating row with the csv of fired
+    * rule names) and leaves the log untouched: published readers
+    * (`tableAsOf`, tags) never see it, and `vacuum` reclaims its
+    * files because no manifest ever referenced them.
+    *
+    * Scope rule: EVERYTHING unpublished is the staged batch — a
+    * previously-rejected batch still on disk keeps blocking the gate
+    * until it is vacuumed or fixed, so a violation can never ride in
+    * on a later clean batch's publish.
+    */
+  def publishAudited(name: String, rules: Seq[GraftCatalog.AuditRule])
+      : Either[DataFrame, Long] = {
+    require(rules.nonEmpty, "[GRAFT] publishAudited needs at least one audit rule")
+    val current = listDataFiles(spark, s"$root/$name.parquet")
+    val published: Set[String] = snapshotIds(name).lastOption
+      .map(readManifest(name, _)._2.toSet).getOrElse(Set.empty)
+    val staged = current.files.map(_._1).filterNot(published)
+    if (staged.isEmpty) {
+      // nothing new: the tip already covers the directory; keep the
+      // log linear instead of publishing a duplicate epoch
+      return Right(snapshotIds(name).lastOption.getOrElse(throw
+        new IllegalStateException(
+          s"[GRAFT] Table [$name] has nothing staged and nothing published")))
+    }
+    val reader = spark.read
+    if (current.rootIsDir) reader.option("basePath", s"$root/$name.parquet")
+    val batch = reader.parquet(staged.sorted: _*)
+    val fired = rules.map(r => when(r.violation, lit(r.name)))
+    val quarantine = batch
+      .withColumn("reasons", concat_ws(",", fired: _*))
+      .withColumn("n_reasons",
+        fired.map(f => when(f.isNotNull, 1L).otherwise(0L)).reduce(_ + _))
+      .where(col("n_reasons") > 0L)
+    if (quarantine.isEmpty) {
+      pinnedListings.remove(name) // re-pin: the publish must cover the batch
+      Right(publishSnapshot(name))
+    } else Left(quarantine)
+  }
+
   /** A27: retention — drop all but the newest `keepLast` published
     * epochs of `name`. Returns the expired ids. Expiry only removes
     * MANIFESTS (tiny); the data files an expired epoch referenced stay
@@ -440,6 +487,12 @@ final class GraftCatalog(spark: SparkSession, root: String) {
 }
 
 object GraftCatalog {
+
+  /** One named audit rule for the write-audit-publish gate: `violation`
+    * is a boolean Column over the staged batch's schema that is TRUE
+    * for rows that must block the publish.
+    */
+  final case class AuditRule(name: String, violation: Column)
 
   /** One table's pinned snapshot: its data files (path, length) and
     * whether the table root is a directory (single-file tables can't

@@ -164,10 +164,17 @@ class GraftScanBuilder(path: String, fullSchema: StructType,
       }
     def fileCol(n: String): Boolean =
       !partCols.contains(n) && fullSchema.fieldNames.contains(n)
+    // MIN/MAX are answered as VALUES, so only types whose footer
+    // stats are guaranteed EXACT qualify. StringType is excluded:
+    // parquet binary min/max may be writer-TRUNCATED (a valid BOUND
+    // but not a data value — Spark's own parquet aggregate pushdown
+    // excludes binary for this reason). Float/Double are excluded:
+    // files written with NaN present have unreliable fp stats across
+    // writers. The connector reads arbitrary external parquet, so
+    // both must stay on the (exact) row path.
     def statsProvable(n: String): Boolean = fullSchema(n).dataType match {
-      case IntegerType | LongType | FloatType | DoubleType | DateType |
-           StringType | _: DecimalType => true
-      case _ => false // timestamps/binary/list: stay on the row path
+      case IntegerType | LongType | DateType | _: DecimalType => true
+      case _ => false // string/fp/timestamps/binary/list: row path
     }
     val groups = aggregation.groupByExpressions.toSeq.map(refName)
     if (groups.exists(g => g.isEmpty || !partCols.contains(g.get))) return false

@@ -547,13 +547,28 @@ object Events {
     val conn = java.sql.DriverManager.getConnection(
       graft.sources.GraftJdbc.url(s), graft.sources.GraftJdbc.connectionProperties(s))
     try {
-      val st = conn.createStatement()
-      try st.executeUpdate(
-        s"CREATE TABLE $table (user_id BIGINT PRIMARY KEY, n BIGINT NOT NULL)")
-      catch {
-        // Derby: table already exists
-        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
-      } finally st.close()
+      // probe via DatabaseMetaData instead of swallowing a
+      // backend-specific "already exists" SQLState (Derby X0Y32,
+      // Postgres 42P07, ...) — the sink restarts against any backend
+      // the configured JDBC url names. Table names surface in
+      // metadata in backend case (Derby upper-cases unquoted
+      // identifiers), so match case-insensitively.
+      val exists = {
+        val rs = conn.getMetaData.getTables(null, null, null,
+          Array("TABLE"))
+        try {
+          var found = false
+          while (!found && rs.next())
+            found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+          found
+        } finally rs.close()
+      }
+      if (!exists) {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"CREATE TABLE $table (user_id BIGINT PRIMARY KEY, n BIGINT NOT NULL)")
+        finally st.close()
+      }
     } finally conn.close()
   }
 

@@ -97,6 +97,51 @@ class MvRewriteSpec extends SparkSpecBase with BeforeAndAfterEach {
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))))
   }
 
+  test("non-deterministic or subquery filters decline the rewrite") {
+    registerMv()
+    // rand() references no columns at all, so a reference-only guard
+    // would wrongly accept it — but it evaluates per ROW, and per MV
+    // group row it would change results; must read the base
+    val nd = spark.read.parquet(base)
+      .where(rand(42) < 0.5)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(!readsMv(nd), planOf(nd).take(800))
+    // deterministic grouping-column filter still rewrites (control)
+    val det = spark.read.parquet(base)
+      .where(col("l_returnflag") =!= "zz")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(readsMv(det), planOf(det).take(800))
+  }
+
+  test("a maintenance swap of the MV files serves through the existing registration") {
+    val root = graft.sources.GraftSink.scratchDir + "/spec_mv_swap"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    val tbl = s"$root/lineitem.parquet"
+    val li = spark.read.parquet(base)
+    li.where(col("l_linenumber") <= 2).write.mode("overwrite").parquet(tbl)
+    val d = GraftMv.MvDef(tbl, graft.sources.GraftSink.scratchDir + "/spec_mv_swap_mv",
+      groupCols = Seq("l_returnflag"),
+      measures = Seq("cnt" -> GraftMv.MvCount))
+    GraftMv.buildAndRegister(spark, d)
+    def q = spark.read.parquet(tbl).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n")).orderBy("l_returnflag")
+    val before = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // base grows; maintenance REBUILDS the MV in place (delete+rewrite
+    // of the MV files) WITHOUT re-registering — the registration must
+    // not pin the old file listing
+    li.where(col("l_linenumber") > 2).write.mode("append").parquet(tbl)
+    GraftMv.refresh(spark, d) // rewrite-suppressed rebuild + swap
+    val rewritten = q
+    assert(planOf(rewritten).contains("spec_mv_swap_mv"),
+      "rewrite must still fire after the swap:\n" + planOf(rewritten).take(800))
+    val got = rewritten.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    GraftMv.clear()
+    val exp = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === exp, "swapped MV must serve the CURRENT rollup")
+    assert(got.values.sum > before.values.sum, "the append must be visible")
+  }
+
   test("MV maintained from the snapshot diff keeps the rewrite exact across an append") {
     val root = graft.sources.GraftSink.scratchDir + "/spec_mv_inc"
     val rp = new org.apache.hadoop.fs.Path(root)

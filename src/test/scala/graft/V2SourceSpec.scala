@@ -436,13 +436,13 @@ class V2SourceSpec extends SparkSpecBase {
     def q(df: org.apache.spark.sql.DataFrame) = df
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), count(col("o_custkey")).as("nc"),
-        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"),
-        min(col("o_orderstatus")).as("mns"), max(col("o_orderstatus")).as("mxs"))
+        min(col("o_custkey")).as("mn"), max(col("o_custkey")).as("mx"),
+        min(col("o_orderkey")).as("mnk"), max(col("o_orderkey")).as("mxk"))
       .orderBy("o_orderpriority")
     val pushed = q(spark.read.format("graft").load(path))
     val plan = pushed.queryExecution.executedPlan.toString
     assert(plan.contains("pushedAggregates=[COUNT(*), COUNT(o_custkey), " +
-      "MIN(o_totalprice), MAX(o_totalprice), MIN(o_orderstatus), MAX(o_orderstatus)]"),
+      "MIN(o_custkey), MAX(o_custkey), MIN(o_orderkey), MAX(o_orderkey)]"),
       plan.take(1200))
     assert(plan.contains("groupedBy=[o_orderpriority]"), plan.take(1200))
     assert(!plan.contains("row-group scan"), "no row data may be read: " + plan.take(1200))
@@ -450,12 +450,31 @@ class V2SourceSpec extends SparkSpecBase {
       q(spark.read.parquet(path)).collect().map(_.toString).toSeq)
   }
 
+  test("A29: string and floating-point MIN/MAX decline to the row path (stats not value-exact)") {
+    val path = aggTable("v2agg_untrusted") { p =>
+      spark.read.parquet(s"$sfDir/orders.parquet").repartition(2)
+        .write.mode("overwrite").parquet(p)
+    }
+    // parquet binary min/max may be writer-truncated and fp stats are
+    // NaN-unreliable: a value answer from them could be silently wrong
+    // on externally-written files, so these shapes must read rows
+    def q(df: org.apache.spark.sql.DataFrame) = df
+      .agg(min(col("o_orderstatus")).as("mns"), max(col("o_orderstatus")).as("mxs"),
+        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    val declined = q(spark.read.format("graft").load(path))
+    val plan = declined.queryExecution.executedPlan.toString
+    assert(!plan.contains("pushedAggregates="), plan.take(800))
+    // still exact through the rows
+    assert(declined.collect().head.toString ===
+      q(spark.read.parquet(path)).collect().head.toString)
+  }
+
   test("A29: COUNT(col) subtracts nulls exactly; all-null min/max is NULL") {
     import spark.implicits._
     val path = aggTable("v2agg_nulls") { p =>
-      Seq((1L, Some(10.0)), (2L, None), (3L, Some(-5.5)), (4L, None), (5L, None))
+      Seq((1L, Some(10L)), (2L, None), (3L, Some(-5L)), (4L, None), (5L, None))
         .toDF("id", "v")
-        .withColumn("dead", lit(null).cast("double"))
+        .withColumn("dead", lit(null).cast("long"))
         .repartition(2)
         .write.mode("overwrite").parquet(p)
     }
@@ -466,7 +485,7 @@ class V2SourceSpec extends SparkSpecBase {
     assert(df.queryExecution.executedPlan.toString.contains("pushedAggregates="))
     val r = df.collect().head
     assert(r.getLong(0) === 5L && r.getLong(1) === 2L)
-    assert(r.getDouble(2) === -5.5 && r.getDouble(3) === 10.0)
+    assert(r.getLong(2) === -5L && r.getLong(3) === 10L)
     assert(r.getLong(4) === 0L && r.isNullAt(5))
   }
 
