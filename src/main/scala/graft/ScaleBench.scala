@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-ratio bench: run the READ-path headline queries at sf0.1
+  * and at a DERIVED 10× scale ("sf1"), and report the per-query
+  * wall-time ratio — the cheapest empirical check that every plan
+  * claimed "fine at 100×" is at least linear at 10×. A ratio ≫ 10 on
+  * a 32-core box flags a super-linear plan (quadratic join, driver
+  * funnel, skew collapse) before a cluster finds it.
+  *
+  * The 10× dataset is DERIVED from the driver's sf0.1 tables, not
+  * synthesized: each fact/dimension table is replicated 10 times with
+  * per-replica key shifts (stride = max key + 1, replica 0 keeps the
+  * original keys so query constants still resolve), which preserves
+  * join fan-outs and group cardinalities per replica — the workload
+  * scales like 10 disjoint sf0.1 worlds sharing dictionary columns.
+  * `documents.text` gets a per-replica suffix token so near-dup
+  * structure stays per-replica instead of creating 10-way duplicate
+  * clusters the sf0.1 run doesn't have. `nation`/`region` stay 1×
+  * (TPC-H semantics: dimension constants don't scale).
+  *
+  * Known sub-linear queries (cost driven by a grain that does NOT
+  * grow 10×) are annotated in `expectSubLinear` so a ratio ~1 there
+  * reads as designed, not as noise.
+  */
+object ScaleBench {
+
+  private val Reps = 10
+
+  /** Read-path headline queries: every family, no scratch-table
+    * writes (write-path src_* queries measure their own write work —
+    * scaling those is a different experiment).
+    */
+  private val ReadQueries: Seq[String] = Seq(
+    // relational core
+    "q1_pricing_summary", "q3_shipping_priority", "q8_market_share",
+    "q9_product_profit", "q18_large_volume_orders", "q21_waiting_suppliers",
+    "q_window_top_parts_per_supplier", "q_salted_join_revenue",
+    "q_cube_status_priority", "q_asof_event_order", "q_range_join_native",
+    "q_heavy_hitters", "q_funnel_conversion", "q_scd2_user_status",
+    "q_gap_fill", "q_unpivot", "q_quarantine", "prof_orders_columns",
+    // text
+    "text_tokens", "text_tfidf_top_terms", "text_repetition",
+    "text_unigram_logprob", "text_bpe_tokens", "text_dsir_weights",
+    // dedup
+    "dedup_minhash_lsh", "dedup_substring", "dedup_sorted_neighborhood",
+    "dedup_semantic",
+    // similarity
+    "sim_ivf_topk", "sim_hnsw_topk", "sim_pq_topk", "sim_mmr_topk",
+    // assembly
+    "pipeline_curriculum")
+
+  /** Queries whose dominant cost grain does not grow with corpus
+    * rows, with the reason — a ratio well under 10 is the DESIGN.
+    */
+  private val expectSubLinear: Map[String, String] = Map(
+    "q_gap_fill" -> "day-spine grain (groups x days) is SF-invariant; only the daily aggregate scan grows",
+    "q_cube_status_priority" -> "output is the fixed status x priority cube; scan-dominated at small SF",
+    "sim_mmr_topk" -> "re-ranks a fixed-size shortlist; corpus scan is the only scaling part",
+    "sim_pq_topk" -> "codebook training on the capped sample dominates at sf0.1; scan side is the scaling part",
+    "sim_hnsw_topk" -> "routing graph is hard-capped (4096); probes touch the beam sliver only",
+    "text_bpe_tokens" -> "BPE merge training is vocab-bounded; only the encode scan grows",
+    "q_heavy_hitters" -> "space-saving sketch size is fixed; one scan + fixed merge")
+
+  /** Derive the 10x dataset (idempotent: skipped if the marker file
+    * exists and names the same rep count).
+    */
+  def ensureScaled(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    val marker = new java.io.File(s"$dstDir/_DERIVED")
+    if (marker.exists &&
+        scala.io.Source.fromFile(marker).mkString.trim == s"reps=$Reps") return
+    val fs = new org.apache.hadoop.fs.Path(dstDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dstDir), true)
+    val reps = broadcast(spark.range(Reps).select(col("id").as("__rep")))
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
+
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+
+    def rd(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
+
+    // dimension constants stay 1x
+    write("nation", rd("nation"))
+    write("region", rd("region"))
+
+    val orders = rd("orders"); val lineitem = rd("lineitem")
+    val customer = rd("customer"); val supplier = rd("supplier")
+    val part = rd("part"); val events = rd("events")
+    val documents = rd("documents"); val embeddings = rd("embeddings")
+    val (ko, kc, ks, kp) = (maxOf(orders, "o_orderkey"), maxOf(customer, "c_custkey"),
+      maxOf(supplier, "s_suppkey"), maxOf(part, "p_partkey"))
+
+    def shift(df: DataFrame, shifts: (String, Long)*): DataFrame = {
+      val shifted = shifts.foldLeft(df.crossJoin(reps)) { case (d, (c, k)) =>
+        d.withColumn(c, col(c) + col("__rep") * k)
+      }
+      shifted.drop("__rep")
+    }
+
+    write("orders", shift(orders, "o_orderkey" -> ko, "o_custkey" -> kc))
+    write("lineitem", shift(lineitem, "l_orderkey" -> ko,
+      "l_partkey" -> kp, "l_suppkey" -> ks))
+    write("customer", shift(customer, "c_custkey" -> kc))
+    write("supplier", shift(supplier, "s_suppkey" -> ks))
+    write("part", shift(part, "p_partkey" -> kp))
+    write("events", shift(events, "event_id" -> maxOf(events, "event_id"),
+      "user_id" -> maxOf(events, "user_id")))
+    // per-replica text suffix: near-dup structure stays per-replica
+    // (otherwise every doc gains 9 exact twins sf0.1 never had)
+    write("documents", shift(documents, "doc_id" -> maxOf(documents, "doc_id"))
+      .withColumn("text",
+        when(expr("doc_id >= " + maxOf(documents, "doc_id")),
+          concat(col("text"), lit(" zrep"),
+            (col("doc_id") / maxOf(documents, "doc_id")).cast("long")))
+          .otherwise(col("text"))))
+    write("embeddings", shift(embeddings, "vec_id" -> maxOf(embeddings, "vec_id")))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dstDir/_DERIVED"), true)
+    try out.write(s"reps=$Reps".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_benchdata/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensureScaled(spark, smallDir, bigDir)
+    SparkEntry.entry(spark).count() // JIT warm-up
+
+    val bench = ReadQueries.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    def once(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      val t = try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
+              catch { case _: Throwable => -1.0 }
+      spark.sharedState.cacheManager.clearCache()
+      t
+    }
+    // protocol per scale: one warm-up + 2 timed, interleaved across
+    // queries; the MIN is the recorded floor (ratio of floors is less
+    // noise-sensitive than ratio of medians on a co-tenant box)
+    def run(dir: String): Map[String, Double] = {
+      bench.foreach { case (_, fn) => once(fn, dir) } // warm-up pass
+      val acc = scala.collection.mutable.Map.empty[String, Vector[Double]]
+        .withDefaultValue(Vector.empty)
+      for (_ <- 1 to 2; (name, fn) <- bench) {
+        val t = once(fn, dir)
+        if (t >= 0) acc(name) = acc(name) :+ t
+      }
+      acc.view.mapValues(_.min).toMap
+    }
+    val small = run(smallDir)
+    val big = run(bigDir)
+    val rows = bench.map(_._1).flatMap { n =>
+      for (a <- small.get(n); b <- big.get(n)) yield (n, a, b, b / math.max(a, 1e-4))
+    }
+    val qjson = rows.map { case (n, a, b, r) =>
+      "\"" + n + "\":{\"sf01\":" + fmt(a) + ",\"sf1\":" + fmt(b) +
+        ",\"ratio\":" + fmt(r) +
+        expectSubLinear.get(n).map(x => ",\"sublinear_by_design\":\"" + x + "\"").getOrElse("") +
+        "}"
+    }.mkString("{", ",", "}")
+    val worst = rows.sortBy(-_._4).take(5)
+      .map { case (n, _, _, r) => "\"" + n + "\":" + fmt(r) }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scaling_ratio","reps":$Reps,""" +
+      s""""n_queries":${rows.size},"queries":$qjson,"worst":$worst,""" +
+      s""""sum_sf01":${fmt(rows.map(_._2).sum)},"sum_sf1":${fmt(rows.map(_._3).sum)}}"""
+    println(line)
+    val w = new java.io.PrintWriter("SCALING_r10.json")
+    try w.println(line) finally w.close()
+    spark.stop()
+  }
+}
