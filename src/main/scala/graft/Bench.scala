@@ -79,7 +79,11 @@ object Bench {
     // round-9 final additions: the day-spine gap fill (spine join +
     // packed-max window), the triple-scan unpivot aggregate, the
     // row-level quarantine manifest, and filtered vector search
-    "q_gap_fill", "q_unpivot", "q_quarantine", "sim_filtered_topk")
+    "q_gap_fill", "q_unpivot", "q_quarantine", "sim_filtered_topk",
+    // round-10 additions: the write-audit-publish flow (stage + audit
+    // + publish + rejected-batch vacuum) and the multimodal pair-
+    // curation funnel (span-hash decon + md5 dedup + quality gates)
+    "src_wap_publish", "pipeline_curate_pairs")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -207,6 +207,7 @@ object SparkEntry {
     "mm_frame_sample"            -> Multimodal.frameSample _,
     "mm_resize"                  -> Multimodal.resize _,
     "mm_payload_dedup"           -> Multimodal.payloadDedup _,
+    "pipeline_curate_pairs"      -> Multimodal.curatePairs _,
     // §2.G streaming (batch-equivalent forms; streaming paths in specs)
     "stream_windowed_counts"     -> graft.streaming.Events.windowedCountsBatch _,
     "stream_sessionize"          -> graft.streaming.Events.sessionizeBatch _,
@@ -2018,6 +2019,47 @@ object SparkEntry {
 
     // F5: per-kind duplicate accounting over the md5 prefix signature
     // (md5 over UTF-8 is engine-independent).
+    // F6: pair-curation funnel — the same span-hash CTE as C8/C9,
+    // md5 prefix signatures as F5, integer-exact quality gate, and
+    // arg_min carrying the min-doc survivor's flags (Spark min_by).
+    "pipeline_curate_pairs" -> (spanHashCte + """, benchspans AS (
+        SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0
+      ), spans AS (
+        SELECT doc_id AS sdoc, count(*) AS n_spans,
+               sum(CASE WHEN gh IN (SELECT gh FROM benchspans) THEN 1 ELSE 0 END) AS n_overlap
+        FROM g WHERE doc_id % 97 <> 0 GROUP BY doc_id
+      ), pairs AS (
+        SELECT doc_id,
+               ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+               md5(substr(text, 1, 64)) AS sig,
+               n_chars,
+               len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                   x -> length(x) > 0)) AS n_tokens,
+               len(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                   x -> length(x) > 0))) AS n_distinct
+        FROM documents WHERE doc_id % 97 <> 0
+      ), flagged AS (
+        SELECT p.*,
+               (p.n_tokens >= 20 AND p.n_distinct * 2 >= p.n_tokens) AS quality_ok,
+               coalesce(s.n_spans > 0 AND s.n_overlap * 10 >= s.n_spans, FALSE) AS contaminated
+        FROM pairs p LEFT JOIN spans s ON p.doc_id = s.sdoc
+      ), persig AS (
+        SELECT kind, sig, count(*) AS n_in,
+               arg_min(quality_ok, doc_id) AS q_ok,
+               arg_min(contaminated, doc_id) AS contam,
+               arg_min(n_chars, doc_id) AS s_chars,
+               arg_min(n_tokens, doc_id) AS s_tokens
+        FROM flagged GROUP BY kind, sig
+      )
+      SELECT kind,
+             CAST(sum(n_in) AS BIGINT) AS n_pairs,
+             count(*) AS n_unique,
+             CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             CAST(sum(CASE WHEN q_ok AND NOT contam THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN q_ok AND NOT contam THEN s_chars ELSE 0 END) AS BIGINT) AS kept_payload_bytes,
+             CAST(sum(CASE WHEN q_ok AND NOT contam THEN s_tokens ELSE 0 END) AS BIGINT) AS kept_caption_tokens
+      FROM persig GROUP BY kind ORDER BY kind"""),
+
     "mm_payload_dedup" -> """
       WITH m AS (
         SELECT doc_id,

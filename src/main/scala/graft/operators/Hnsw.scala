@@ -77,18 +77,69 @@ object Hnsw {
       layers: IndexedSeq[Map[Long, Seq[Long]]],
       entry: Long)
 
+  /** Exact deterministic top-M neighbor selection — (cos desc, id
+    * asc) via an M-slot insertion buffer, NO full sort: selecting 8
+    * of 4096 by sorting 4096 boxed tuples per node was the single
+    * super-linear hotspot the 10× scaling bench caught (the graph
+    * build alone cost ~70s at the routing cap). O(n·M) per node,
+    * identical output to sortBy((-cos, id)).take(M).
+    */
+  private[graft] def neighborsOf(id: Long, v: Array[Double],
+      members: Array[(Long, Array[Double])], m: Int): Seq[Long] = {
+    val best = new scala.collection.mutable.ArrayBuffer[(Double, Long)](m + 1)
+    var j = 0
+    while (j < members.length) {
+      val (oid, ov) = members(j)
+      if (oid != id) {
+        val c = dcos(v, ov)
+        val last = if (best.isEmpty) null else best(best.size - 1)
+        if (best.size < m || c > last._1 || (c == last._1 && oid < last._2)) {
+          var i = 0
+          while (i < best.size &&
+              (best(i)._1 > c || (best(i)._1 == c && best(i)._2 < oid))) i += 1
+          best.insert(i, (c, oid))
+          if (best.size > m) best.remove(m)
+        }
+      }
+      j += 1
+    }
+    best.map(_._2).toSeq
+  }
+
+  /** Layer links, computed DISTRIBUTED when the node set is at the
+    * routing cap (4096² cosines is a Spark job, not a driver loop —
+    * each task owns a slice of nodes and selects neighbors for every
+    * layer its node participates in) and on the driver for small
+    * graphs (specs, tiny corpora). Both paths share `neighborsOf`,
+    * so the graph is bit-identical either way.
+    */
   private[graft] def buildGraph(nodes: Seq[(Long, Array[Double])]): RoutingGraph = {
     val levels = nodes.map { case (id, _) => id -> levelOf(id) }.toMap
     val vecs = nodes.toMap
     val maxLevel = levels.values.max
+    val byLayer: IndexedSeq[Array[(Long, Array[Double])]] =
+      (0 to maxLevel).map(l => nodes.filter { case (id, _) => levels(id) >= l }.toArray)
+    val sessionOpt =
+      if (nodes.size <= 512) None
+      else org.apache.spark.sql.SparkSession.getActiveSession
+    val links: Seq[(Int, Long, Seq[Long])] = sessionOpt match {
+      case Some(s) =>
+        val sc = s.sparkContext
+        val bc = sc.broadcast(byLayer)
+        val work = nodes.map { case (id, v) => (id, v, levels(id)) }
+        sc.parallelize(work, math.min(work.size, sc.defaultParallelism))
+          .flatMap { case (id, v, lvl) =>
+            (0 to math.min(lvl, bc.value.size - 1)).map(l =>
+              (l, id, neighborsOf(id, v, bc.value(l), MLinks)))
+          }.collect().toSeq
+      case None =>
+        for {
+          l <- 0 to maxLevel
+          (id, v) <- byLayer(l)
+        } yield (l, id, neighborsOf(id, v, byLayer(l), MLinks))
+    }
     val layers = (0 to maxLevel).map { l =>
-      val members = nodes.filter { case (id, _) => levels(id) >= l }
-      members.map { case (id, v) =>
-        id -> members.iterator.filter(_._1 != id)
-          .map { case (oid, ov) => (oid, dcos(v, ov)) }
-          .toSeq.sortBy { case (oid, c) => (-c, oid) }
-          .take(MLinks).map(_._1)
-      }.toMap
+      links.collect { case (`l`, id, ns) => id -> ns }.toMap
     }
     // global entry point: the top layer's lowest id (deterministic)
     val entry = layers(maxLevel).keys.min
@@ -178,17 +229,52 @@ object Hnsw {
     }.toDF("query_id", "q_emb", "entry_id")
   }
 
-  /** Corpus → its R nearest routing shards, map-side over the literal
-    * routing array (assignCentroids' shape, top-R instead of top-1).
+  /** Exact top-R routing ids for one vector — (cos desc, id asc),
+    * R-slot insertion buffer, self NOT excluded (routing nodes are
+    * corpus vectors and belong to their own shard).
+    */
+  private[graft] def topRouting(v: Array[Double],
+      routing: Array[(Long, Array[Double])], r: Int): Seq[Long] = {
+    val best = new scala.collection.mutable.ArrayBuffer[(Double, Long)](r + 1)
+    var j = 0
+    while (j < routing.length) {
+      val (oid, ov) = routing(j)
+      val c = dcos(v, ov)
+      val last = if (best.isEmpty) null else best(best.size - 1)
+      if (best.size < r || c > last._1 || (c == last._1 && oid < last._2)) {
+        var i = 0
+        while (i < best.size &&
+            (best(i)._1 > c || (best(i)._1 == c && best(i)._2 < oid))) i += 1
+        best.insert(i, (c, oid))
+        if (best.size > r) best.remove(r)
+      }
+      j += 1
+    }
+    best.map(_._2).toSeq
+  }
+
+  /** Corpus → its R nearest routing shards, map-side over the
+    * BROADCAST routing array with the compiled no-sort top-R
+    * selection. The original form shipped the routing table as a
+    * typedlit and ran `array_sort(transform(...))` per row — at the
+    * 4096-node cap that is a 4096-struct allocate+sort per corpus
+    * row in interpreted HOFs, which the 10× scaling bench measured
+    * as the dominant super-linear cost (~70s at sf1). Same exact
+    * math and (cos desc, id asc) tie rule, primitive loops, zero
+    * shuffle.
     */
   private def shardAssign(e: DataFrame,
       routing: Seq[(Long, Array[Double])]): DataFrame = {
-    val rArr = typedlit(routing.map { case (id, v) => (id, v.toSeq) })
-    val byScore = array_sort(transform(rArr, c =>
-      struct((-VectorFns.cosine(col("emb"), c.getField("_2"))).as("nc"),
-        c.getField("_1").as("id"))))
-    e.withColumn("entry_id",
-      explode(transform(slice(byScore, 1, RAssign), t => t.getField("id"))))
+    val s = e.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(routing.toArray)
+    e.select(col("vec_id"), col("emb")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.flatMap { case (id, emb) =>
+          topRouting(emb.toArray, r, RAssign).map(entry => (id, emb, entry))
+        }
+      }.toDF("vec_id", "emb", "entry_id")
   }
 
   /** Exact-cosine top-k over the probed shards — shared by the scan

@@ -144,6 +144,67 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** F6: image-text PAIR CURATION — the CLIP-data composite: every
+    * (payload, caption) pair runs the funnel dedup → caption quality →
+    * benchmark decontamination, with per-MODALITY accounting in H3's
+    * style (how many pairs entered, survived each gate, and how many
+    * payload bytes / caption tokens the final kept set carries).
+    * Composes three shipped layers verbatim:
+    *   F5 payload dedup   — md5 prefix signature, min-doc_id survivor
+    *                        per (kind, sig); the survivor's OWN flags
+    *                        ride along via `min_by`, so no join-back
+    *                        of the pair table (one sig-grain shuffle);
+    *   E2 caption quality — integer-exact gate: ≥ 20 tokens and a
+    *                        distinct-token ratio ≥ 1/2 (word-salad
+    *                        and stutter captions drop);
+    *   C9 decontamination — word-4-gram span overlap vs the doc_id%97
+    *                        benchmark stand-in, contaminated when
+    *                        ≥ 10% of spans match; bench docs are
+    *                        excluded from the pair table entirely.
+    * Scale shape: payload bytes never move — the funnel shuffles only
+    * (kind, sig) triples and doc-grain span counts; the accounting is
+    * |kinds| rows. Value-exact (md5, integer gates, span hashes all
+    * engine-portable).
+    */
+  def curatePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = new GraftCatalog(s, dir).table("documents")
+    val toksLower = graft.functions.TextFns.tokensLower(col("text"))
+    val pairs = d.where(!Dedup.isBenchDoc).select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      md5(encode(substring(col("text"), 1, 64), "UTF-8")).as("sig"),
+      col("n_chars"),
+      size(toksLower).cast("long").as("n_tokens"),
+      size(array_distinct(toksLower)).cast("long").as("n_distinct"))
+    // C9 flag at doc grain: spans vs the benchmark's broadcast span set
+    val g = Dedup.wordGramHashesOf(d).cache()
+    val benchSpans = g.where(Dedup.isBenchDoc).select("gh").distinct()
+    val spanStats = g.where(!Dedup.isBenchDoc)
+      .join(broadcast(benchSpans.withColumn("hit", lit(1))), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+    val flagged = pairs
+      .join(spanStats, Seq("doc_id"), "left")
+      .withColumn("contaminated",
+        coalesce(col("n_spans") > 0L && col("n_overlap") * 10 >= col("n_spans"), lit(false)))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 20L && col("n_distinct") * 2 >= col("n_tokens"))
+    val perSig = flagged.groupBy("kind", "sig").agg(
+      count(lit(1)).as("n_in"),
+      min_by(struct(col("quality_ok"), col("contaminated"),
+        col("n_chars"), col("n_tokens")), col("doc_id")).as("surv"))
+    val kept = col("surv.quality_ok") && !col("surv.contaminated")
+    perSig.groupBy("kind").agg(
+      sum("n_in").as("n_pairs"),
+      count(lit(1)).as("n_unique"),
+      sum(when(col("surv.quality_ok"), 1L).otherwise(0L)).as("n_quality"),
+      sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(kept, col("surv.n_chars")).otherwise(0L)).as("kept_payload_bytes"),
+      sum(when(kept, col("surv.n_tokens")).otherwise(0L)).as("kept_caption_tokens"))
+      .orderBy("kind")
+  }
+
   /** F3: frame sampling — one video payload fans out to N frame rows
     * (N deterministic from payload size), each frame a 16-byte slice
     * emitted as uppercase hex (portable; the binary form is spec'd).

@@ -69,6 +69,32 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("pair curation funnel: monotone gates, exact dedup accounting, bench docs excluded") {
+    import org.apache.spark.sql.functions._
+    val rows = Multimodal.curatePairs(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
+    rows.foreach { r =>
+      val (np, nu, nq, nk) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(np >= nu && nu >= nq && nq >= nk, s"funnel must be monotone: $r")
+      assert(nk > 0, s"gates must not drain a kind at sf0.001: $r")
+      assert(r.getLong(5) > 0 && r.getLong(6) > 0)
+    }
+    // dedup accounting replay: n_pairs/n_unique equal the driver count
+    // of non-bench docs / distinct md5 prefixes per kind
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        md5(encode(substring(col("text"), 1, 64), "UTF-8")).as("sig"))
+    val exp = d.groupBy("kind")
+      .agg(count(lit(1)).as("np"), count_distinct(col("sig")).as("nu"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) === exp(r.getString(0)), r.getString(0))
+    }
+  }
+
   test("frame sampling fans out 1..5 frames per video with bounded slices") {
     val out = Multimodal.frameSample(spark, sfDir).collect()
     val perDoc = out.groupBy(_.getLong(0))

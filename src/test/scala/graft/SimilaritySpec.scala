@@ -325,6 +325,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(beam.forall(_ >= 8L), s"beam must stay in cluster B: $beam")
   }
 
+  test("HNSW distributed graph build equals the sortBy reference (no-sort top-M selection)") {
+    import graft.operators.Hnsw
+    def dcos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // 700 nodes > the 512 driver threshold → exercises the Spark-job
+    // build path; deterministic pseudo-vectors with plenty of ties
+    val nodes = (0L until 700L).map { id =>
+      id -> Array.tabulate(8)(i => ((id * (i + 3) + i) % 13).toDouble + 0.25)
+    }
+    val g = Hnsw.buildGraph(nodes)
+    val levels = nodes.map { case (id, _) => id -> Hnsw.levelOf(id) }.toMap
+    (0 until g.layers.size).foreach { l =>
+      val members = nodes.filter { case (id, _) => levels(id) >= l }
+      assert(g.layers(l).keySet === members.map(_._1).toSet, s"layer $l membership")
+      // spot-check 20 nodes per layer against the full-sort reference
+      members.take(20).foreach { case (id, v) =>
+        val ref = members.filter(_._1 != id)
+          .map { case (oid, ov) => (oid, dcos(v, ov)) }
+          .sortBy { case (oid, c) => (-c, oid) }
+          .take(Hnsw.MLinks).map(_._1)
+        assert(g.layers(l)(id) === ref, s"layer $l node $id neighbor drift")
+      }
+    }
+  }
+
   private def partFiles(root: String): Map[String, Set[(String, Long, Long)]] = {
     val base = new java.io.File(root)
     base.listFiles().filter(d => d.isDirectory && d.getName.contains("="))
