@@ -254,6 +254,39 @@ object Similarity {
       keys.toDF("vec_id"), Seq("vec_id"), "centroid_id")
   }
 
+  /** D2 (compaction): every `ivfAppend` batch adds one file per
+    * touched centroid partition, so a daily-absorb index accumulates
+    * a file per day per list — and at 100 TB open-cost per probe
+    * grows with batch count, not data. Compaction rewrites ONLY the
+    * partitions past `maxFiles` (hash-repartition on the partition
+    * column → one task and one file per rewritten list, all in
+    * parallel — the A14 discipline), leaving every other partition's
+    * files byte-identical. Content is unchanged by construction
+    * (localCheckpoint pins the rows; dynamic overwrite swaps only
+    * the rewritten partitions). Returns the compacted centroid ids.
+    */
+  private[graft] def ivfCompact(s: SparkSession, indexPath: String,
+      maxFiles: Int = 4): Seq[Int] = {
+    val lists = s"$indexPath/lists"
+    val root = new org.apache.hadoop.fs.Path(lists)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val fragmented = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix("centroid_id=").toInt)
+    if (fragmented.isEmpty) return Nil
+    val staged = s.read.parquet(lists)
+      .where(col("centroid_id").isin(fragmented.map(Int.box): _*))
+      .repartition(col("centroid_id"))
+      .localCheckpoint(true) // the swap deletes the files it reads
+    try staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("centroid_id").parquet(lists)
+    finally graft.GraftSession.releaseCheckpoint(staged)
+    fragmented.sorted
+  }
+
   /** The epoch-split incremental IVF query: the historical 4/5 of the
     * corpus builds the index (training on ITS hash sample), the "new
     * batch" (every 5th vector) is absorbed via `ivfAppend`, and the

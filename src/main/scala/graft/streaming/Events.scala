@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.sources.GraftCatalog
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -385,6 +385,73 @@ object Events {
       fs.delete(path(mvPath), true)
       fs.rename(path(stagePath), path(mvPath))
     } finally graft.GraftSession.releaseCheckpoint(merged)
+  }
+
+  // ── G18: streaming WRITE-AUDIT-PUBLISH ingest ──
+
+  /** A38's staged-commit gate as a STREAMING sink: every micro-batch
+    * lands in its own `batch_id=N` dir inside the catalog table
+    * (G9's idempotent-overwrite file layout), then
+    * `GraftCatalog.publishAudited` audits EVERYTHING unpublished and
+    * publishes iff clean. A dirty batch is DIVERTED: its quarantine
+    * manifest (violating rows + fired-rule csv) is persisted for
+    * review and the batch dir moves to `<root>/_quarantine/<name>/`,
+    * so the published log never sees it AND the stream keeps flowing
+    * (a poison batch must not wedge the pipeline — unlike the batch
+    * gate's sticky-rejection, which is the right semantics when a
+    * human drives the retry).
+    *
+    * Exactly-once: the batch write is a deterministic per-batchId
+    * overwrite; a replay of a published batch finds nothing staged
+    * (publishAudited returns the existing tip, no duplicate epoch);
+    * a replay of a quarantined batch sees its quarantine dir and
+    * no-ops. A crash between land and publish leaves the batch
+    * staged — the NEXT batch's audit covers it and both publish
+    * together (audit scope is everything unpublished, A38's rule).
+    */
+  def auditedIngestSink(stream: DataFrame, root: String, name: String,
+      rules: Seq[graft.sources.GraftCatalog.AuditRule])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyAuditedBatch(batch, batchId, root, name, rules)
+      }
+      .start()
+
+  private[graft] def applyAuditedBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long, root: String,
+      name: String, rules: Seq[graft.sources.GraftCatalog.AuditRule]): Unit = {
+    val s = batch.sparkSession
+    val tableDir = s"$root/$name.parquet"
+    val batchDir = s"$tableDir/batch_id=$batchId"
+    val qRoot = s"$root/_quarantine/$name"
+    val qDir = s"$qRoot/batch_id=$batchId"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def path(p: String) = new org.apache.hadoop.fs.Path(p)
+    if (fs.exists(path(qDir))) return // replayed quarantined batch
+    // replayed PUBLISHED batch: its dir's files are pinned by the tip
+    // manifest — rewriting them (fresh part-file names) would orphan
+    // the manifest; recognize and no-op instead
+    val cat0 = new graft.sources.GraftCatalog(s, root)
+    val published: Set[String] = cat0.snapshotIds(name).lastOption
+      .map(id => cat0.snapshotFilesAsOf(name, id).toSet).getOrElse(Set.empty)
+    if (fs.exists(path(batchDir))) {
+      val files = fs.listStatus(path(batchDir)).toSeq.map(_.getPath.toString)
+        .filter(_.endsWith(".parquet"))
+      if (files.nonEmpty && files.forall(published.contains)) return
+    }
+    batch.write.mode(SaveMode.Overwrite).parquet(batchDir)
+    new graft.sources.GraftCatalog(s, root).publishAudited(name, rules) match {
+      case Right(_) => ()
+      case Left(quarantine) =>
+        // manifest FIRST (it reads from the staged files), then divert
+        quarantine.write.mode(SaveMode.Overwrite)
+          .parquet(s"$qRoot/manifest_batch_$batchId.parquet")
+        fs.mkdirs(path(qRoot))
+        fs.rename(path(batchDir), path(qDir))
+    }
   }
 
   // ── G9: ingestion-time curation gate (quality + decontamination) ──

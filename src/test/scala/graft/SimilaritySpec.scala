@@ -412,6 +412,47 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got === expect, "delete + append must equal a rebuild from survivors")
   }
 
+  test("D2 compaction: fragmented lists collapse to one file each, content and serve identical, others untouched") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_cpt").toString
+    Similarity.ivfIncrementalTopk(spark, sfDir, indexPath = Some(idx)).count()
+    // absorb several small batches → touched partitions fragment
+    (0 until 5).foreach { b =>
+      val fresh = spark.range(800000L + b * 10, 800000L + b * 10 + 10)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(1, 64), i -> CAST(pmod(id * i, 89) AS DOUBLE) / 89.0)")
+            .as("emb"))
+      Similarity.ivfAppend(spark, idx, fresh)
+    }
+    val before = partFiles(s"$idx/lists")
+    val content = spark.read.parquet(s"$idx/lists")
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue)).toSet
+    val serveBefore = Similarity.serveIvf(spark, sfDir, idx, 4)
+      .collect().map(_.toString).toSeq
+    val compacted = Similarity.ivfCompact(spark, idx, maxFiles = 3)
+    assert(compacted.nonEmpty, "absorbs must have fragmented some partition")
+    val after = partFiles(s"$idx/lists")
+    compacted.foreach { cid =>
+      assert(after(s"centroid_id=$cid").size === 1,
+        s"compacted partition $cid must hold ONE file")
+    }
+    before.foreach { case (part, fsSet) =>
+      val cid = part.stripPrefix("centroid_id=").toInt
+      if (!compacted.contains(cid))
+        assert(after(part) === fsSet, s"untouched partition $part was rewritten")
+    }
+    // content and the serve path are value-identical
+    val contentAfter = spark.read.parquet(s"$idx/lists")
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue)).toSet
+    assert(contentAfter === content)
+    assert(Similarity.serveIvf(spark, sfDir, idx, 4)
+      .collect().map(_.toString).toSeq === serveBefore)
+    // idempotent: nothing left past the threshold
+    assert(Similarity.ivfCompact(spark, idx, maxFiles = 3) === Seq.empty)
+  }
+
   test("D11 delete: purged keys leave shards AND routing; other vectors stay reachable via their remaining shards") {
     import graft.operators.Hnsw
     val idx = java.nio.file.Files.createTempDirectory("graft_hnsw_del").toString

@@ -911,4 +911,63 @@ class StreamingSpec extends SparkSpecBase {
       Seq((3L, 6L), (4L, 1L)).toDF("user_id", "n"), table)
     assert(stored === after)
   }
+
+  test("G18: audited ingest publishes clean batches, quarantines dirty ones, and replays are no-ops") {
+    import spark.implicits._
+    import graft.sources.GraftCatalog
+    import graft.sources.GraftCatalog.AuditRule
+    val root = graft.sources.GraftSink.scratchDir + "/wap_stream"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    val name = "readings"
+    val rules = Seq(AuditRule("nonpositive_value", col("v") <= 0.0))
+    def mk(rows: (Long, Double)*) = rows.toSeq.toDF("id", "v")
+
+    // batch 0: clean → epoch 1
+    Events.applyAuditedBatch(mk(1L -> 1.0, 2L -> 2.0), 0L, root, name, rules)
+    val c1 = new GraftCatalog(spark, root)
+    assert(c1.snapshotIds(name) === Seq(1L))
+    assert(c1.tableAsOf(name, 1L).count() === 2L)
+    // batch 1: one violating row → quarantined, tip unchanged,
+    // manifest names the rule, batch dir diverted out of the table
+    Events.applyAuditedBatch(mk(3L -> -1.0, 4L -> 4.0), 1L, root, name, rules)
+    assert(new GraftCatalog(spark, root).snapshotIds(name) === Seq(1L))
+    val manifest = spark.read.parquet(s"$root/_quarantine/$name/manifest_batch_1.parquet")
+    assert(manifest.count() === 1L)
+    assert(manifest.select("reasons").head().getString(0) === "nonpositive_value")
+    assert(!new java.io.File(s"$root/$name.parquet/batch_id=1").exists())
+    assert(new java.io.File(s"$root/_quarantine/$name/batch_id=1").exists())
+    // batch 2: clean → the poison batch did not wedge the stream
+    Events.applyAuditedBatch(mk(5L -> 5.0), 2L, root, name, rules)
+    val c2 = new GraftCatalog(spark, root)
+    assert(c2.snapshotIds(name) === Seq(1L, 2L))
+    assert(c2.tableAsOf(name, 2L).count() === 3L)
+    // replay of the published batch: no duplicate epoch, tip intact,
+    // the pinned files untouched (a rewrite would orphan the manifest)
+    Events.applyAuditedBatch(mk(5L -> 5.0), 2L, root, name, rules)
+    assert(new GraftCatalog(spark, root).snapshotIds(name) === Seq(1L, 2L))
+    assert(new GraftCatalog(spark, root).tableAsOf(name, 2L).count() === 3L)
+    // replay of the quarantined batch: no-op
+    Events.applyAuditedBatch(mk(3L -> -1.0, 4L -> 4.0), 1L, root, name, rules)
+    assert(new GraftCatalog(spark, root).snapshotIds(name) === Seq(1L, 2L))
+    assert(!new java.io.File(s"$root/$name.parquet/batch_id=1").exists())
+    // end to end through a real stream, on its OWN root (a stream's
+    // batchIds start at 0 and must not collide with batches another
+    // writer already landed under the same table)
+    val root2 = graft.sources.GraftSink.scratchDir + "/wap_stream_e2e"
+    val rp2 = new org.apache.hadoop.fs.Path(root2)
+    rp2.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp2, true)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Double)]
+    val q = Events.auditedIngestSink(stream.toDF().toDF("id", "v"), root2, name, rules)
+    stream.addData((6L, 6.0)); q.processAllAvailable()
+    stream.addData((7L, -7.0)); q.processAllAvailable() // dirty mid-stream
+    stream.addData((8L, 8.0)); q.processAllAvailable()
+    q.stop()
+    val c3 = new GraftCatalog(spark, root2)
+    assert(c3.snapshotIds(name) === Seq(1L, 2L))
+    assert(c3.tableAsOf(name, 2L).select("id").collect().map(_.getLong(0)).toSet
+      === Set(6L, 8L), "the dirty mid-stream batch must be quarantined")
+    assert(new java.io.File(s"$root2/_quarantine/$name/batch_id=1").exists())
+  }
 }
