@@ -81,9 +81,12 @@ object Bench {
     // row-level quarantine manifest, and filtered vector search
     "q_gap_fill", "q_unpivot", "q_quarantine", "sim_filtered_topk",
     // round-10 additions: the write-audit-publish flow (stage + audit
-    // + publish + rejected-batch vacuum) and the multimodal pair-
-    // curation funnel (span-hash decon + md5 dedup + quality gates)
-    "src_wap_publish", "pipeline_curate_pairs")
+    // + publish + rejected-batch vacuum), the multimodal pair-
+    // curation funnel (span-hash decon + md5 dedup + quality gates),
+    // the cluster-keyed leakage-safe split (C6 CC + hash split), and
+    // the point-in-time feature snapshot (as-of + strict-prior windows)
+    "src_wap_publish", "pipeline_curate_pairs",
+    "pipeline_cluster_split", "q_feature_snapshot")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

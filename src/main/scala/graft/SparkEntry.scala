@@ -83,6 +83,7 @@ object SparkEntry {
     "q_grouping_sets"            -> Analytic.qGroupingSets _,
     "q_percentile_quantity"      -> Analytic.qPercentileQuantity _,
     "q_asof_event_order"         -> Analytic.qAsofEventOrder _,
+    "q_feature_snapshot"         -> Analytic.qFeatureSnapshot _,
     "q_asof_event_order_outer"   -> Analytic.qAsofEventOrderOuter _,
     "q_salted_join_revenue"      -> Analytic.qSaltedJoinRevenue _,
     "q1_sql"                     -> Analytic.q1Sql _,
@@ -196,6 +197,7 @@ object SparkEntry {
     "pipeline_token_budget"      -> Assembly.tokenBudgetSample _,
     "pipeline_curriculum"        -> Assembly.curriculumStages _,
     "pipeline_train_val_test"    -> Assembly.trainValTestSplit _,
+    "pipeline_cluster_split"     -> Assembly.clusterSafeSplit _,
     "pipeline_pack_split"        -> Assembly.packSequencesSplit _,
     "dedup_source_overlap"       -> Dedup.crossSourceOverlap _,
     "text_tfidf_top_terms"       -> TextAnalysis.tfidfTopTerms _,
@@ -248,6 +250,52 @@ object SparkEntry {
       .mkString("(", " + ", ")")
   private val signHiSql = signHalfSql(32)
   private val signLoSql = signHalfSql(0)
+
+  /** The oracle-exact C6 cluster CTE chain (shared by the cluster
+    * query and H11's cluster-keyed split): blocked candidate pairs,
+    * Jaccard-verified edges, recursive-CTE connected components,
+    * canonical id = min reachable member.
+    */
+  private val clusterCte = """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM toks WHERE len(t) >= 3
+      ), ks AS (
+        SELECT doc_id, unnest(list_sort(s)[1:4]) AS k FROM sh
+      ), ks2 AS (
+        SELECT doc_id, k,
+               count(*) OVER (PARTITION BY k) AS bsz,
+               lag(doc_id) OVER (PARTITION BY k ORDER BY doc_id) AS prev
+        FROM ks
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ks2 a JOIN ks2 b
+          ON a.k = b.k AND a.doc_id < b.doc_id AND a.bsz <= 64 AND b.bsz <= 64
+        UNION
+        SELECT DISTINCT prev AS doc_a, doc_id AS doc_b
+        FROM ks2 WHERE bsz > 64 AND prev IS NOT NULL
+      ), e0 AS (
+        SELECT doc_a, doc_b FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE 2 * len(list_intersect(sa.s, sb.s)) >= len(list_distinct(sa.s || sb.s))
+      ), e AS (
+        SELECT doc_a, doc_b FROM e0
+        UNION ALL SELECT doc_b, doc_a FROM e0
+      ), cc AS (
+        SELECT doc_id, doc_id AS reach FROM documents
+        UNION
+        SELECT cc.doc_id, e.doc_b AS reach FROM cc JOIN e ON e.doc_a = cc.reach
+      )
+      , cl AS (
+        SELECT doc_id, CAST(min(reach) AS BIGINT) AS cluster
+        FROM cc GROUP BY doc_id
+      )"""
 
   private val spanHashCte = """
       WITH w AS (
@@ -643,6 +691,30 @@ object SparkEntry {
              round(quantile_cont(l_quantity, 0.9), 4) AS p90,
              count(*) AS n
       FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // B78: external feature as-of (<=, left join + rank replay of the
+    // native as-of), self features strictly before via rn-1/lag —
+    // raw doubles move untouched so they hash bit-exact
+    "q_feature_snapshot" -> """
+      WITH m AS (
+        SELECT e.event_id, e.user_id, e.ts, e.value, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      ), f1 AS (
+        SELECT event_id, user_id, ts, value, o_totalprice
+        FROM m WHERE rn = 1
+      ), f AS (
+        SELECT event_id, user_id,
+               o_totalprice AS f_last_order_price,
+               CAST(row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) - 1 AS BIGINT) AS f_prior_events,
+               lag(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS f_prev_value
+        FROM f1)
+      SELECT event_id, user_id, f_last_order_price, f_prior_events, f_prev_value
+      FROM f ORDER BY event_id""",
 
     "q_asof_event_order" -> """
       WITH m AS (
@@ -2228,44 +2300,8 @@ object SparkEntry {
              CAST(sum(tokens) AS BIGINT) AS total_tokens
       FROM packed GROUP BY source ORDER BY source"""),
 
-    "dedup_clusters_exact" -> """
-      WITH RECURSIVE toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        FROM documents
-      ), sh AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(t) - 1),
-                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        FROM toks WHERE len(t) >= 3
-      ), ks AS (
-        SELECT doc_id, unnest(list_sort(s)[1:4]) AS k FROM sh
-      ), ks2 AS (
-        SELECT doc_id, k,
-               count(*) OVER (PARTITION BY k) AS bsz,
-               lag(doc_id) OVER (PARTITION BY k ORDER BY doc_id) AS prev
-        FROM ks
-      ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM ks2 a JOIN ks2 b
-          ON a.k = b.k AND a.doc_id < b.doc_id AND a.bsz <= 64 AND b.bsz <= 64
-        UNION
-        SELECT DISTINCT prev AS doc_a, doc_id AS doc_b
-        FROM ks2 WHERE bsz > 64 AND prev IS NOT NULL
-      ), e0 AS (
-        SELECT doc_a, doc_b FROM cand c
-        JOIN sh sa ON sa.doc_id = c.doc_a
-        JOIN sh sb ON sb.doc_id = c.doc_b
-        WHERE 2 * len(list_intersect(sa.s, sb.s)) >= len(list_distinct(sa.s || sb.s))
-      ), e AS (
-        SELECT doc_a, doc_b FROM e0
-        UNION ALL SELECT doc_b, doc_a FROM e0
-      ), cc AS (
-        SELECT doc_id, doc_id AS reach FROM documents
-        UNION
-        SELECT cc.doc_id, e.doc_b AS reach FROM cc JOIN e ON e.doc_a = cc.reach
-      )
-      SELECT doc_id, CAST(min(reach) AS BIGINT) AS cluster
-      FROM cc GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_clusters_exact" -> (clusterCte + """
+      SELECT doc_id, cluster FROM cl ORDER BY doc_id"""),
 
     // Same sampled exact-cosine pipeline as Dedup.embeddingCosineExact;
     // floor-micro keeps identical double bits identical after trunc.
@@ -2387,6 +2423,30 @@ object SparkEntry {
     // long sums, order-independent); avg floored over the double ratio.
     // H7 split: same multiplicative-hash rule as mixture sampling,
     // mod-100 buckets -> 90/5/5, summarized per (source, split).
+    // H11: the C6 cluster CTE keyed into H8's split rule — whole
+    // near-dup clusters land in one split; n_rehomed counts the docs
+    // a doc-level split would have leaked across splits
+    "pipeline_cluster_split" -> (clusterCte + """
+      , tk AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> length(x) > 0)) AS BIGINT) AS n_toks
+        FROM documents
+      ), a AS (
+        SELECT cl.doc_id, cl.cluster, tk.n_toks,
+          CASE WHEN (cl.cluster * 1048573 + 11) % 100 < 90 THEN 'train'
+               WHEN (cl.cluster * 1048573 + 11) % 100 < 95 THEN 'val'
+               ELSE 'test' END AS split,
+          CASE WHEN (cl.doc_id * 1048573 + 11) % 100 < 90 THEN 'train'
+               WHEN (cl.doc_id * 1048573 + 11) % 100 < 95 THEN 'val'
+               ELSE 'test' END AS doc_split
+        FROM cl JOIN tk ON cl.doc_id = tk.doc_id)
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN doc_split <> split THEN 1 ELSE 0 END) AS BIGINT) AS n_rehomed
+      FROM a GROUP BY split ORDER BY split"""),
+
     "pipeline_train_val_test" -> """
       WITH a AS (
         SELECT doc_id, source,

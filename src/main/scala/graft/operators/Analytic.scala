@@ -192,6 +192,44 @@ object Analytic {
       .orderBy("event_id")
   }
 
+  /** B78: POINT-IN-TIME feature snapshot — the feature-store
+    * assembly step: every LABEL row (an event) is joined to the
+    * state of each feature AS OF its own label time, leakage-free.
+    * Two feature classes, each with the correct temporal rule:
+    *  - EXTERNAL feature (the customer's latest order price): B26's
+    *    native as-of join, rightTime ≤ labelTime — one
+    *    range-partitioned pass, never the quadratic pairs+rank shape;
+    *  - SELF features (prior event count, previous event value):
+    *    strictly BEFORE the label row via rn−1 / lag over the
+    *    (user)-bounded window — the label row must never feed its
+    *    own features (the classic target-leak a ≤ rule would commit
+    *    on the self table).
+    * Raw doubles move untouched (no arithmetic → bit-exact across
+    * engines); first-event rows carry NULL prior features in both.
+    */
+  def qFeatureSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val c = cat(s, dir)
+    val ev = graft.streaming.Events.eventsTable(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val orders = c.table("orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+    val withOrder = graft.plans.AsOf.join(
+        ev, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightTieBreaks = Seq("o_orderkey"), outer = true)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("o_totalprice").as("f_last_order_price"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    withOrder
+      .withColumn("f_prior_events", (row_number().over(w) - 1).cast("long"))
+      .withColumn("f_prev_value", lag("value", 1).over(w))
+      .select(col("event_id"), col("user_id"),
+        col("f_last_order_price"), col("f_prior_events"), col("f_prev_value"))
+      .orderBy("event_id")
+  }
+
   /** B26 (composed form kept for cross-checking the native operator in
     * specs): join + window materializes all (event, earlier-order)
     * pairs, then ranks.

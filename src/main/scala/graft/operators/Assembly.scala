@@ -405,6 +405,42 @@ object Assembly {
   private def split_part_tokens =
     expr("filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)")
 
+  /** H11: LEAKAGE-SAFE split — H8's hash split keyed on the C6
+    * near-dup CLUSTER instead of the document: a near-copy of a
+    * training doc landing in val/test is the classic contamination a
+    * doc-level split leaves open (eval scores inflate on memorized
+    * text). Every member shares its cluster's canonical id (= min
+    * member, from the oracle-exact C6 form), so hashing THAT id
+    * co-locates whole clusters by construction. Accounting per
+    * split: docs, distinct clusters, tokens, and `n_rehomed` — the
+    * docs a doc-level split WOULD have placed in a different split
+    * than their cluster (the exact leakage surface this closes;
+    * nonzero on this corpus, spec-pinned). Scale: the cluster pass
+    * is C6's (blocked, adaptive CC); the split itself is one
+    * map-side hash + one aggregate — no new shuffle beyond the
+    * cluster join.
+    */
+  def clusterSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(key: org.apache.spark.sql.Column) = {
+      val bucket = pmod(key * 1048573L + 11L, lit(100L))
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    }
+    val clusters = graft.operators.Dedup.nearDupClustersExact(s, dir)
+    val toks = docs(s, dir)
+      .select(col("doc_id"), size(split_part_tokens).cast("long").as("n_toks"))
+    clusters.join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster"),
+        splitOf(col("cluster")).as("split"),
+        splitOf(col("doc_id")).as("doc_split"), col("n_toks"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster")).as("n_clusters"),
+        sum("n_toks").as("n_tokens"),
+        sum(when(col("doc_split") =!= col("split"), 1L).otherwise(0L))
+          .as("n_rehomed"))
+      .orderBy("split")
+  }
+
   def curriculumStages(s: SparkSession, dir: String): DataFrame = {
     val lp = TextAnalysis.unigramLogprob(s, dir)
       .select(col("doc_id"), col("n_words"), col("avg_lp_micro"))

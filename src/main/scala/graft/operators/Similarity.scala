@@ -254,6 +254,36 @@ object Similarity {
       keys.toDF("vec_id"), Seq("vec_id"), "centroid_id")
   }
 
+  /** G19: STREAMING vector-index maintenance — the persisted IVF
+    * index absorbs an embedding STREAM: each micro-batch is
+    * anti-joined against the lists' vec_id column (one column-pruned
+    * probe, the C12/G15 incremental rule) so only genuinely NEW
+    * vectors are assigned (map-side vs the persisted centroids) and
+    * appended. Exactly-once WITHOUT markers: a replayed batch — or a
+    * vector re-sent across batches — collapses to a no-op in the
+    * anti-join, so the index never holds a duplicate and absorb ∘
+    * replay ≡ absorb. Pair with `ivfCompact` on a maintenance cadence
+    * to fold the per-batch files.
+    */
+  def vectorIndexSink(vecs: DataFrame, indexPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => applyVectorBatch(b, id, indexPath) }
+      .start()
+
+  private[graft] def applyVectorBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long, indexPath: String): Unit = {
+    val s = batch.sparkSession
+    val lists = s"$indexPath/lists"
+    val fresh = batch.toDF()
+      .join(s.read.parquet(lists).select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // the append writes into the path this reads
+    try if (!fresh.isEmpty) ivfAppend(s, indexPath, fresh)
+    finally graft.GraftSession.releaseCheckpoint(fresh)
+  }
+
   /** D2 (compaction): every `ivfAppend` batch adds one file per
     * touched centroid partition, so a daily-absorb index accumulates
     * a file per day per list — and at 100 TB open-cost per probe

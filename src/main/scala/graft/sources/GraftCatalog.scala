@@ -397,8 +397,16 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     * previously-rejected batch still on disk keeps blocking the gate
     * until it is vacuumed or fixed, so a violation can never ride in
     * on a later clean batch's publish.
+    *
+    * Schema gate (A36 composed in): the staged read merges schemas so
+    * drifted columns SURFACE, and any BREAKING change vs the
+    * published tip's schema (dropped column, retype, non-nullable
+    * add) is refused LOUDLY by name — a structural error is a deploy
+    * bug, not a data-quality event, so it throws instead of returning
+    * a row manifest. Additive-compatible changes pass and publish.
     */
-  def publishAudited(name: String, rules: Seq[GraftCatalog.AuditRule])
+  def publishAudited(name: String, rules: Seq[GraftCatalog.AuditRule],
+      refuseBreakingSchema: Boolean = true)
       : Either[DataFrame, Long] = {
     require(rules.nonEmpty, "[GRAFT] publishAudited needs at least one audit rule")
     val current = listDataFiles(spark, s"$root/$name.parquet")
@@ -412,9 +420,19 @@ final class GraftCatalog(spark: SparkSession, root: String) {
         new IllegalStateException(
           s"[GRAFT] Table [$name] has nothing staged and nothing published")))
     }
-    val reader = spark.read
+    val reader = spark.read.option("mergeSchema", "true")
     if (current.rootIsDir) reader.option("basePath", s"$root/$name.parquet")
     val batch = reader.parquet(staged.sorted: _*)
+    if (refuseBreakingSchema && published.nonEmpty) {
+      val tipSchema = tableAsOf(name, snapshotIds(name).last).schema
+      val broken = GraftSchemaPolicy.diff(tipSchema, batch.schema)
+        .filter(_.breaking)
+      if (broken.nonEmpty)
+        throw new IllegalStateException(
+          s"[GRAFT] staged batch for [$name] carries breaking schema changes:\n  " +
+            broken.map(_.describe).mkString("\n  ") +
+            "\n(publishAudited(refuseBreakingSchema = false) to override)")
+    }
     val fired = rules.map(r => when(r.violation, lit(r.name)))
     val quarantine = batch
       .withColumn("reasons", concat_ws(",", fired: _*))

@@ -279,4 +279,25 @@ class AssemblySpec extends SparkSpecBase {
       .sortBy { case (id, c) => (-c, id) }.head
     assert((negId, negCos) === hardest, "driver replay of the hardest negative")
   }
+
+  test("H11: cluster-keyed split co-locates every near-dup cluster and closes real doc-level leakage") {
+    import org.apache.spark.sql.functions._
+    val agg = operators.Assembly.clusterSafeSplit(spark, sfDir).collect()
+    assert(agg.map(_.getString(0)).toSet === Set("train", "val", "test"))
+    // the split covers every doc exactly once
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(agg.map(_.getLong(1)).sum === total)
+    // invariant: no cluster spans two splits (replay at doc grain)
+    val clusters = operators.Dedup.nearDupClustersExact(spark, sfDir)
+    val bucket = pmod(col("cluster") * 1048573L + 11L, lit(100L))
+    val split = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    val spans = clusters.select(col("cluster"), split.as("split"))
+      .groupBy("cluster").agg(count_distinct(col("split")).as("ns"))
+      .where(col("ns") > 1).count()
+    assert(spans === 0L, "a cluster must never straddle splits")
+    // the operator is non-vacuous on this corpus: a doc-level split
+    // WOULD have separated some near-dup pair across splits
+    assert(agg.map(_.getLong(4)).sum > 0L,
+      "expected at least one doc a doc-level split would have leaked")
+  }
 }

@@ -40,7 +40,9 @@ class DoctorSweepSpec extends SparkSpecBase {
     "sim_sign_quantize", "sim_label_centroids",
     "pipeline_chunk_documents", "pipeline_curriculum",
     "pipeline_train_val_test", "pipeline_mixture_sample",
-    "pipeline_pack_sequences", "pipeline_pack_masks", "pipeline_token_budget")
+    "pipeline_pack_sequences", "pipeline_pack_masks", "pipeline_token_budget",
+    // round-10 pure read additions
+    "pipeline_curate_pairs", "pipeline_cluster_split", "q_feature_snapshot")
 
   test("the pure query surface has zero high-severity lint findings") {
     val offenders = Pure.flatMap { name =>

@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.VectorFns
 import graft.operators.Similarity
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpecBase {
@@ -410,6 +411,45 @@ class SimilaritySpec extends SparkSpecBase {
       .select(col("vec_id"), col("centroid_id"))
       .collect().map(r => (r.getLong(0), r.getAs[Number](1).intValue)).toSet
     assert(got === expect, "delete + append must equal a rebuild from survivors")
+  }
+
+  test("G19: streamed vectors absorb into the persisted IVF exactly once; replays and re-sends are no-ops") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    Similarity.ivfIncrementalTopk(spark, sfDir, indexPath = Some(idx)).count()
+    val sizeBefore = spark.read.parquet(s"$idx/lists").count()
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, (1 to 64).map(d => ((i.toLong * d) % 83).toDouble / 83.0))
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = Similarity.vectorIndexSink(
+      stream.toDF().toDF("vec_id", "emb"), idx)
+    stream.addData(vecs(700000 until 700010)); q.processAllAvailable()
+    // second batch overlaps the first: 5 re-sends + 5 new
+    stream.addData(vecs(700005 until 700015)); q.processAllAvailable()
+    q.stop()
+    val after = spark.read.parquet(s"$idx/lists")
+    assert(after.count() === sizeBefore + 15, "15 distinct new vectors, no dups")
+    assert(after.where(col("vec_id") >= 700000L)
+      .groupBy("vec_id").count().where(col("count") > 1).count() === 0)
+    // replay of an already-absorbed batch is a physical no-op
+    val files = partFiles(s"$idx/lists")
+    Similarity.applyVectorBatch(
+      vecs(700000 until 700010).toDF("vec_id", "emb"), 0L, idx)
+    assert(partFiles(s"$idx/lists") === files, "replay must write nothing")
+    // absorbed placement ≡ assignment against the persisted centroids
+    val trained = spark.read.parquet(s"$idx/centroids")
+      .select(col("centroid_id"), col("c_emb")).as[(Int, Seq[Double])]
+      .collect().sortBy(_._1)
+    val expect = Similarity.assignCentroids(
+      vecs(700000 until 700015).toDF("vec_id", "emb"), trained)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = after.where(col("vec_id") >= 700000L)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue)).toSet
+    assert(got === expect, "stream absorb must equal the batch assignment")
   }
 
   test("D2 compaction: fragmented lists collapse to one file each, content and serve identical, others untouched") {

@@ -84,6 +84,33 @@ class WapSpec extends SparkSpecBase {
     assert(new GraftCatalog(spark, root).snapshotIds("orders") === Seq(1L, 2L))
   }
 
+  test("schema gate: a breaking staged drift is refused by name; an additive column passes") {
+    import spark.implicits._
+    val (root, tbl) = freshRoot("schema")
+    orders.where(col("o_orderstatus") === "O")
+      .write.mode("overwrite").parquet(tbl)
+    new GraftCatalog(spark, root).publishAudited("orders", rules)
+      .getOrElse(fail("base must publish"))
+    // staged batch RETYPES a column → loud refusal naming the change,
+    // log untouched
+    orders.where(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice").cast("string"))
+      .write.mode("append").parquet(tbl)
+    val e = intercept[IllegalStateException] {
+      new GraftCatalog(spark, root).publishAudited("orders", rules)
+    }
+    assert(e.getMessage.contains("o_totalprice"), e.getMessage)
+    assert(new GraftCatalog(spark, root).snapshotIds("orders") === Seq(1L))
+    new GraftCatalog(spark, root).vacuum("orders")
+    // additive nullable column is compatible: audits and publishes
+    orders.where(col("o_orderstatus") === "F")
+      .withColumn("o_note", lit("late").cast("string"))
+      .write.mode("append").parquet(tbl)
+    val v2 = new GraftCatalog(spark, root).publishAudited("orders", rules)
+    assert(v2.isRight, s"additive column must pass: $v2")
+    assert(new GraftCatalog(spark, root).snapshotIds("orders") === Seq(1L, 2L))
+  }
+
   test("a rejected batch left on disk keeps blocking later publishes until reclaimed") {
     val (root, tbl) = freshRoot("sticky")
     orders.where(col("o_orderstatus") === "O")
