@@ -210,6 +210,7 @@ object SparkEntry {
     "mm_resize"                  -> Multimodal.resize _,
     "mm_payload_dedup"           -> Multimodal.payloadDedup _,
     "pipeline_curate_pairs"      -> Multimodal.curatePairs _,
+    "mm_token_budget"            -> Multimodal.multimodalTokenBudget _,
     // §2.G streaming (batch-equivalent forms; streaming paths in specs)
     "stream_windowed_counts"     -> graft.streaming.Events.windowedCountsBatch _,
     "stream_sessionize"          -> graft.streaming.Events.sessionizeBatch _,
@@ -2091,6 +2092,48 @@ object SparkEntry {
 
     // F5: per-kind duplicate accounting over the md5 prefix signature
     // (md5 over UTF-8 is engine-independent).
+    // F7: H3's min-budget sampling with modality token units — the
+    // payload stand-in byte lengths feed the same ceil-div patch/
+    // frame conversions on both sides; integer-exact throughout
+    "mm_token_budget" -> """
+      WITH pairs AS (
+        SELECT doc_id,
+               ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS cap_toks,
+               CAST(length(text) AS BIGINT) AS n_bytes
+        FROM documents
+      ), p2 AS (
+        SELECT *, CAST(CASE kind
+            WHEN 'image' THEN (n_bytes + 255) // 256
+            WHEN 'audio' THEN (n_bytes + 319) // 320
+            ELSE (n_bytes % 5 + 1) * 64 END AS BIGINT) AS pay_toks
+        FROM pairs
+      ), p3 AS (SELECT *, cap_toks + pay_toks AS toks FROM p2
+      ), totals AS (
+        SELECT kind, sum(toks) AS total_tokens,
+               sum(cap_toks) AS caption_tokens,
+               sum(pay_toks) AS payload_tokens
+        FROM p3 GROUP BY kind
+      ), rates AS (
+        SELECT kind, total_tokens, caption_tokens, payload_tokens,
+               (SELECT min(total_tokens) FROM totals) AS budget,
+               ((SELECT min(total_tokens) FROM totals) * 1000000) // total_tokens AS rate_micro
+        FROM totals)
+      SELECT p.kind,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN (p.doc_id * 1048573 + 11) % 1000000 < r.rate_micro
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(min(r.caption_tokens) AS BIGINT) AS caption_tokens,
+             CAST(min(r.payload_tokens) AS BIGINT) AS payload_tokens,
+             CAST(min(r.total_tokens) AS BIGINT) AS total_tokens,
+             CAST(min(r.budget) AS BIGINT) AS budget_tokens,
+             CAST(min(r.rate_micro) AS BIGINT) AS rate_micro,
+             CAST(sum(CASE WHEN (p.doc_id * 1048573 + 11) % 1000000 < r.rate_micro
+                      THEN p.toks ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM p3 p JOIN rates r ON p.kind = r.kind
+      GROUP BY p.kind ORDER BY p.kind""",
+
     // F6: pair-curation funnel — the same span-hash CTE as C8/C9,
     // md5 prefix signatures as F5, integer-exact quality gate, and
     // arg_min carrying the min-doc survivor's flags (Spark min_by).

@@ -205,6 +205,61 @@ object Multimodal {
       .orderBy("kind")
   }
 
+  /** F7: MULTIMODAL token budget — H3's budget-balanced sampling with
+    * the accounting extended beyond text: a (payload, caption) pair's
+    * training cost is caption tokens PLUS modality tokens derived
+    * deterministically from payload metadata (image → patch tokens
+    * ⌈bytes/256⌉, audio → frame tokens ⌈bytes/320⌉, video → F3's
+    * frame count × 64 patch tokens per frame — the ViT/whisper-shaped
+    * unit conversions a real pipeline runs on decode metadata; here
+    * they run on the declared byte stand-ins, same shape). The budget
+    * is the smallest kind's total (H3's min rule across KINDS), each
+    * kind down-samples to it with the deterministic doc-hash keep,
+    * and the per-kind accounting splits caption vs payload tokens so
+    * a mixture designer sees where the budget actually goes. All
+    * integer arithmetic; value-exact.
+    */
+  def multimodalTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val pairs = new GraftCatalog(s, dir).table("documents")
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+          .as("cap_toks"),
+        length(col("text")).cast("long").as("n_bytes"))
+      .withColumn("pay_toks", expr(
+        """CASE kind WHEN 'image' THEN (n_bytes + 255) div 256
+                     WHEN 'audio' THEN (n_bytes + 319) div 320
+                     ELSE (n_bytes % 5 + 1) * 64 END""").cast("long"))
+      .withColumn("toks", col("cap_toks") + col("pay_toks"))
+    val totals = pairs.groupBy("kind").agg(
+      sum("toks").as("total_tokens"),
+      sum("cap_toks").as("caption_tokens"),
+      sum("pay_toks").as("payload_tokens"))
+    val budget = totals.agg(min("total_tokens").as("budget"))
+    val rates = totals.crossJoin(broadcast(budget))
+      .select(col("kind"), col("total_tokens"), col("caption_tokens"),
+        col("payload_tokens"), col("budget"),
+        expr("(budget * 1000000L) div total_tokens").as("rate_micro"))
+    pairs.join(broadcast(rates), Seq("kind"))
+      .withColumn("kept",
+        (pmod(col("doc_id") * 1048573L + 11L, lit(1000000L)) < col("rate_micro"))
+          .cast("int"))
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum("kept").cast("long").as("n_kept"),
+        first("caption_tokens").as("caption_tokens"),
+        first("payload_tokens").as("payload_tokens"),
+        first("total_tokens").as("total_tokens"),
+        first("budget").as("budget_tokens"),
+        first("rate_micro").as("rate_micro"),
+        sum(col("kept") * col("toks")).as("kept_tokens"))
+      .orderBy("kind")
+  }
+
   /** F3: frame sampling — one video payload fans out to N frame rows
     * (N deterministic from payload size), each frame a 16-byte slice
     * emitted as uppercase hex (portable; the binary form is spec'd).

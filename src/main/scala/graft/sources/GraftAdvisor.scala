@@ -130,6 +130,50 @@ object GraftAdvisor {
     else None
   }
 
+  /** A34 extended to VECTOR INDEXES: a metadata-only sweep of a
+    * persisted IVF layout (`$idx/centroids` + `$idx/lists`) — no
+    * vectors read. Two rules:
+    *  - `compact-lists` (D14): a streaming/batch absorb cadence (G19,
+    *    `ivfAppend`) leaves one file per batch per touched list —
+    *    when any list passes `maxFilesPerList`, probe open-cost grows
+    *    with batch count, not data; `ivfCompact` clears it.
+    *  - `rebalance-lists` (D2): file-BYTE skew across lists beyond
+    *    `maxListSkew`× the mean says the centroids no longer fit the
+    *    data distribution (drift since training) — probes against the
+    *    hot list do that multiple of the average work; a retrain/
+    *    rebuild under a new index path restores balance.
+    * Acting on the advice clears it (the A34 contract).
+    */
+  def adviseVectorIndex(s: SparkSession, indexPath: String,
+      maxFilesPerList: Int = 4, maxListSkew: Double = 4.0): Seq[Advice] = {
+    val lists = new Path(s"$indexPath/lists")
+    val fs = lists.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(lists)) return Seq.empty
+    val parts = fs.listStatus(lists).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
+      .map { st =>
+        val files = fs.listStatus(st.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        (st.getPath.getName, files.length, files.map(_.getLen).sum)
+      }
+    if (parts.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[Advice]
+    val fragmented = parts.filter(_._2 > maxFilesPerList)
+    if (fragmented.nonEmpty)
+      out += Advice(new Path(indexPath).getName, "compact-lists",
+        fragmented.length.toLong,
+        s"${fragmented.length} of ${parts.length} lists carry more than " +
+          s"$maxFilesPerList files (max ${parts.map(_._2).max}) - run ivfCompact")
+    val meanBytes = parts.map(_._3).sum.toDouble / parts.length
+    val hot = parts.maxBy(_._3)
+    if (meanBytes > 0 && hot._3 > meanBytes * maxListSkew)
+      out += Advice(new Path(indexPath).getName, "rebalance-lists",
+        math.round(hot._3 / meanBytes),
+        f"list ${hot._1} holds ${hot._3 / meanBytes}%.1fx the mean list bytes - " +
+          "centroids drifted; retrain/rebuild the index")
+    out.result()
+  }
+
   /** The advice as a small driver-local DataFrame for display. */
   def adviseReport(s: SparkSession, root: String): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -76,4 +76,29 @@ class AdvisorSpec extends SparkSpecBase {
     val adv = GraftAdvisor.adviseClustering(spark, messy, "o_orderkey")
     assert(adv.exists(_.rule == "cluster"), adv.toString)
   }
+
+  test("vector-index advice flags fragmented lists; acting on it clears the advice") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_adv").toString
+    Similarity.ivfIncrementalTopk(spark, sfDir, indexPath = Some(idx)).count()
+    // freshly built: no fragmentation advice
+    assert(GraftAdvisor.adviseVectorIndex(spark, idx, maxFilesPerList = 4)
+      .forall(_.rule != "compact-lists"))
+    // absorb a batch per 'day' → lists fragment past the threshold
+    (0 until 6).foreach { b =>
+      val fresh = spark.range(600000L + b * 8, 600000L + b * 8 + 8)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(1, 64), i -> CAST(pmod(id * i, 71) AS DOUBLE) / 71.0)")
+            .as("emb"))
+      Similarity.ivfAppend(spark, idx, fresh)
+    }
+    val adv = GraftAdvisor.adviseVectorIndex(spark, idx, maxFilesPerList = 4)
+    assert(adv.exists(_.rule == "compact-lists"), adv.toString)
+    // the metadata sweep never reads vectors: advice is file-count math
+    Similarity.ivfCompact(spark, idx, maxFiles = 4)
+    assert(GraftAdvisor.adviseVectorIndex(spark, idx, maxFilesPerList = 4)
+      .forall(_.rule != "compact-lists"),
+      "acting on the advice must clear it")
+  }
 }

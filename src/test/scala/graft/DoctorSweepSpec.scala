@@ -42,7 +42,8 @@ class DoctorSweepSpec extends SparkSpecBase {
     "pipeline_train_val_test", "pipeline_mixture_sample",
     "pipeline_pack_sequences", "pipeline_pack_masks", "pipeline_token_budget",
     // round-10 pure read additions
-    "pipeline_curate_pairs", "pipeline_cluster_split", "q_feature_snapshot")
+    "pipeline_curate_pairs", "pipeline_cluster_split", "q_feature_snapshot",
+    "mm_token_budget")
 
   test("the pure query surface has zero high-severity lint findings") {
     val offenders = Pure.flatMap { name =>
