@@ -50,7 +50,10 @@ object ScaleBench {
     // similarity
     "sim_ivf_topk", "sim_hnsw_topk", "sim_pq_topk", "sim_mmr_topk",
     // assembly
-    "pipeline_curriculum")
+    "pipeline_curriculum",
+    // round-10 additions
+    "pipeline_curate_pairs", "pipeline_cluster_split",
+    "q_feature_snapshot", "mm_token_budget")
 
   /** Queries whose dominant cost grain does not grow with corpus
     * rows, with the reason — a ratio well under 10 is the DESIGN.

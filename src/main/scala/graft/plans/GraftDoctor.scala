@@ -36,6 +36,11 @@ object GraftDoctor {
 
   case class Finding(rule: String, severity: String, node: String, advice: String)
 
+  /** Literal arrays at or past this size make a per-row sort a scaling
+    * hazard (see the per-row-literal-sort rule).
+    */
+  val LargeLiteralElems = 256
+
   def physical(df: DataFrame): SparkPlan = df.queryExecution.executedPlan match {
     case a: AdaptiveSparkPlanExec => a.inputPlan
     case p => p
@@ -120,6 +125,26 @@ object GraftDoctor {
           out += Finding("interpreted-udf", "medium",
             u.udfName.getOrElse("udf"),
             "ScalaUDF blocks pushdown and codegen: prefer org.apache.spark.sql.functions or a native Catalyst Expression")
+        // the r10 scaling-bench lesson as a permanent check: sorting a
+        // LARGE LITERAL array per row (the shipped-as-typedlit routing/
+        // centroid table pattern) is O(m log m) allocate+sort per row
+        // where a top-M selection over a broadcast array is O(m·M) —
+        // it cost HNSW 46x at 10x data before the fix
+        case sa @ (_: org.apache.spark.sql.catalyst.expressions.SortArray |
+                   _: org.apache.spark.sql.catalyst.expressions.ArraySort) =>
+          val bigLit = sa.exists {
+            case l: org.apache.spark.sql.catalyst.expressions.Literal
+                if l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+                  && l.value != null =>
+              l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+                .numElements() >= LargeLiteralElems
+            case _ => false
+          }
+          if (bigLit)
+            out += Finding("per-row-literal-sort", "medium", sa.prettyName,
+              s"per-row sort over a literal array of >= $LargeLiteralElems elements: " +
+                "select top-M with a broadcast array + insertion buffer instead " +
+                "(the HNSW shard-assignment lesson)")
         case _ =>
       })
       p.children.foreach(walk(_, p :: ancestors))

@@ -64,4 +64,23 @@ class DoctorSpec extends SparkSpecBase {
     assert(rules(graft.operators.Relational.q5LocalSupplierVolume(spark, sfDir)).isEmpty)
     assert(rules(graft.operators.Relational.q1PricingSummary(spark, sfDir)).isEmpty)
   }
+
+  test("a per-row sort over a large literal array is flagged; small literals are not") {
+    import org.apache.spark.sql.functions._
+    // the pre-fix HNSW shard-assignment shape: sort a shipped literal
+    // table per row to take its top entries
+    val big = typedlit((0 until 512).map(i => (i.toLong, i * 0.5)))
+    val bad = orders.select(
+      slice(array_sort(transform(big, c =>
+        struct((c.getField("_2") + col("o_totalprice")).as("s"),
+          c.getField("_1").as("id")))), 1, 5).as("top"))
+    assert(rules(bad).contains("per-row-literal-sort"), rules(bad).toString)
+    // a bounded literal (centroid-table scale) is the accepted pattern
+    val small = typedlit((0 until 16).map(i => (i.toLong, i * 0.5)))
+    val fine = orders.select(
+      slice(array_sort(transform(small, c =>
+        struct((c.getField("_2") + col("o_totalprice")).as("s"),
+          c.getField("_1").as("id")))), 1, 5).as("top"))
+    assert(!rules(fine).contains("per-row-literal-sort"), rules(fine).toString)
+  }
 }
