@@ -78,8 +78,23 @@ object Similarity {
     * statistically equivalent (k-means only needs a representative
     * sample of the density).
     */
+  /** Hard cap on the k-means/PQ training set: a FRACTIONAL sample is
+    * still corpus-proportional (10% of 100 TB = 10 TB per Lloyd
+    * round), but centroids and codebooks only need a REPRESENTATIVE
+    * sample of the density, not a fraction of it — FAISS trains IVF
+    * lists and PQ codebooks on a bounded count for exactly this
+    * reason. The cap keeps the lowest-hash members (deterministic
+    * and NESTED: growing the corpus only refines which vectors
+    * train, never the cost class — the RoutingCap rule applied to
+    * training). 64k × 64 doubles ≈ 32 MB of sample, top-K selected
+    * tree-reduced, so training cost is corpus-independent.
+    */
+  private[graft] val TrainingCap = 65536
+
   private[graft] def trainingSample(e: DataFrame): DataFrame =
     e.where(pmod(col("vec_id") * 2654435761L, lit(1000)) < 100)
+      .orderBy(pmod(col("vec_id") * 2654435761L, lit(1000000L)), col("vec_id"))
+      .limit(TrainingCap)
 
   /** Map-side nearest-centroid assignment: the k×dim centroid table
     * is tiny, so it ships as a LITERAL array into one codegen'd

@@ -326,6 +326,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(beam.forall(_ >= 8L), s"beam must stay in cluster B: $beam")
   }
 
+  test("training sample caps deterministically past 64k; smaller corpora keep the full 10% sample") {
+    import spark.implicits._
+    // 1M ids → ~100k pass the 10% hash gate → the cap binds
+    val big = spark.range(1000000).select(col("id").as("vec_id"),
+      array(lit(1.0), lit(0.5)).as("emb"))
+    val s1 = Similarity.trainingSample(big).select("vec_id")
+      .collect().map(_.getLong(0))
+    assert(s1.length === Similarity.TrainingCap,
+      s"cap must bind: ${s1.length}")
+    // deterministic: re-draw is identical
+    val s2 = Similarity.trainingSample(big).select("vec_id")
+      .collect().map(_.getLong(0))
+    assert(s1.toSeq === s2.toSeq)
+    // nested: the capped set is the lowest-hash subset of the gate
+    def h(id: Long) = math.floorMod(id * 2654435761L, 1000000L)
+    val gate = (0L until 1000000L)
+      .filter(id => math.floorMod(id * 2654435761L, 1000L) < 100)
+    val expect = gate.sortBy(id => (h(id), id)).take(Similarity.TrainingCap).toSet
+    assert(s1.toSet === expect)
+    // below the cap nothing changes: the whole 10% sample trains
+    val small = spark.range(5000).select(col("id").as("vec_id"),
+      array(lit(1.0), lit(0.5)).as("emb"))
+    val gateSmall = (0L until 5000L)
+      .filter(id => math.floorMod(id * 2654435761L, 1000L) < 100)
+    assert(Similarity.trainingSample(small).count() === gateSmall.length.toLong)
+  }
+
   test("HNSW distributed graph build equals the sortBy reference (no-sort top-M selection)") {
     import graft.operators.Hnsw
     def dcos(a: Array[Double], b: Array[Double]): Double = {
