@@ -55,4 +55,50 @@ object GraftCdc {
       numPartitions: Int = 4): DataFrame =
     graft.plans.GraftMv.applyFeed(mv,
       readFeedSegment(s, table, fromSeq, toSeq, numPartitions), d)
+
+  /** The DURABLE consumer loop step: resume from the stored
+    * watermark, apply everything the log has past it to the rollup
+    * under `root`, and commit rollup + watermark ATOMICALLY with
+    * G8's staged-dir protocol (write staging, watermark marker
+    * INSIDE the staging dir, delete+rename swap; a crash between
+    * delete and rename is finished by the next call). Calling it
+    * again with no new log entries — or replaying after a crash —
+    * is a no-op, so a cron/stream driver needs no state of its own.
+    * Returns the new watermark (-1 while the log is empty).
+    */
+  def applyNext(s: SparkSession, d: graft.plans.GraftMv.MvDef,
+      table: String, root: String, numPartitions: Int = 4): Long = {
+    val mvPath = s"$root/rollup.parquet"
+    val stagePath = s"$root/rollup.staging"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def path(p: String) = new org.apache.hadoop.fs.Path(p)
+    def marker(dir: String) = path(s"$dir/_applied_seq")
+    // crash recovery: committed staging with no live dir → finish the swap
+    if (!fs.exists(path(mvPath)) && fs.exists(marker(stagePath)))
+      fs.rename(path(stagePath), path(mvPath))
+    val watermark: Long =
+      if (!fs.exists(marker(mvPath))) -1L
+      else {
+        val in = fs.open(marker(mvPath))
+        try in.readLong() finally in.close()
+      }
+    val tip = maxSeq(s, table)
+    if (tip <= watermark) return watermark
+    val mv =
+      if (fs.exists(path(mvPath))) s.read.parquet(mvPath)
+      else graft.plans.GraftMv.mvFrameOf(
+        readFeedSegment(s, table, watermark, tip, numPartitions)
+          .drop("change_type").limit(0), d)
+    val merged = applySegment(s, mv, d, table, watermark, tip, numPartitions)
+      .localCheckpoint(true) // the swap deletes the files this read
+    try {
+      merged.write.mode("overwrite").parquet(stagePath)
+      val out = fs.create(marker(stagePath), true)
+      try out.writeLong(tip) finally out.close()
+      fs.delete(path(mvPath), true)
+      fs.rename(path(stagePath), path(mvPath))
+    } finally graft.GraftSession.releaseCheckpoint(merged)
+    tip
+  }
 }

@@ -202,6 +202,37 @@ object GraftSink {
     }
   }
 
+  /** A13 as a reusable maintenance ACTION — the target of the
+    * advisor's `compact` advice: rewrite a fragmented table in place.
+    * Partitioned layout → hash-repartition on the partition columns
+    * (one task and one file per partition, partitions rewritten in
+    * parallel); flat layout → repartition to ⌈bytes/target⌉ balanced
+    * files. Content-identical by construction (localCheckpoint pins
+    * the rows before the overwrite deletes what it read). Same
+    * in-place-rewrite contract as the COW merge: live readers are
+    * protected by the lease layer (fail-fast here), and previously
+    * published snapshot manifests dangle — publish a fresh epoch
+    * after compacting.
+    */
+  def compactTable(s: SparkSession, tablePath: String,
+      partitionCols: Seq[String] = Nil,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions.col
+    GraftLease.failIfLeased(s, tablePath, "compactTable")
+    val df = s.read.parquet(tablePath)
+    val staged = (if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+      else {
+        val bytes = GraftCatalog.listDataFiles(s, tablePath).files.map(_._2).sum
+        df.repartition(math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt)
+      }).localCheckpoint(true)
+    try {
+      val w = staged.write.mode(SaveMode.Overwrite)
+      if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*).parquet(tablePath)
+      else w.parquet(tablePath)
+    } finally graft.GraftSession.releaseCheckpoint(staged)
+  }
+
   /** Bucketed + sorted managed table: both sides of a repeated join
     * pre-shuffled once at write time; subsequent joins on the bucket
     * key plan with zero Exchange.

@@ -77,6 +77,45 @@ class AdvisorSpec extends SparkSpecBase {
     assert(adv.exists(_.rule == "cluster"), adv.toString)
   }
 
+  test("compactTable folds fragmented layouts content-identically and clears the compact advice") {
+    import org.apache.spark.sql.functions._
+    val root = graft.sources.GraftSink.scratchDir + "/adv_compact_root"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    val tbl = s"$root/orders.parquet"
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .repartition(16).write.mode("overwrite").parquet(tbl)
+    val before = spark.read.parquet(tbl).collect().map(_.toString).sorted
+    // the metadata sweep flags the fragmentation
+    val adv = GraftAdvisor.advise(spark, root, minFilesForCompaction = 8)
+    assert(adv.exists(_.rule == "compact"), adv.toString)
+    // flat compaction: tiny table folds to one balanced file
+    graft.sources.GraftSink.compactTable(spark, tbl)
+    val files = new java.io.File(tbl).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files === 1, s"expected 1 file, got $files")
+    assert(spark.read.parquet(tbl).collect().map(_.toString).sorted
+      === before, "compaction must be content-identical")
+    assert(GraftAdvisor.advise(spark, root, minFilesForCompaction = 8)
+      .forall(_.rule != "compact"), "acting on the advice must clear it")
+    // partitioned compaction: one file per partition dir
+    val ptbl = s"$root/orders_part.parquet"
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .repartition(16).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(ptbl)
+    graft.sources.GraftSink.compactTable(spark, ptbl, Seq("o_orderstatus"))
+    new java.io.File(ptbl).listFiles().filter(_.getName.startsWith("o_orderstatus="))
+      .foreach { d =>
+        val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(n === 1, s"partition ${d.getName}: $n files")
+      }
+    assert(spark.read.parquet(ptbl)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .collect().map(_.toString).sorted === before)
+  }
+
   test("vector-index advice flags fragmented lists; acting on it clears the advice") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions._

@@ -94,4 +94,36 @@ class CdcSpec extends SparkSpecBase {
     graft.GraftSession.releaseCheckpoint(mv1)
     graft.GraftSession.releaseCheckpoint(mv2)
   }
+
+  test("durable consumer loop: resumes from the stored watermark, replays are no-ops, crash swap self-heals") {
+    resetLog()
+    val root = graft.sources.GraftSink.scratchDir + "/cdc_consumer"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    def served = spark.read.parquet(s"$root/rollup.parquet")
+      .orderBy("bucket").collect().map(_.toString).toSeq
+
+    appendLog((1L to 20L).map(u => (u, "insert", u % 4, u, u * 10)))
+    assert(GraftCdc.applyNext(spark, d, Table, root) === 20L)
+    assert(served === rollup(netState(20L)))
+    // nothing new → no-op (watermark unchanged, files unchanged)
+    val filesBefore = new java.io.File(s"$root/rollup.parquet").listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet
+    assert(GraftCdc.applyNext(spark, d, Table, root) === 20L)
+    assert(new java.io.File(s"$root/rollup.parquet").listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet === filesBefore,
+      "a watermark no-op must not rewrite the rollup")
+    // more log: deletes + inserts; the consumer catches up
+    appendLog((21L to 25L).map(u => (u, "insert", u % 4, u, u * 10)) ++
+      Seq((26L, "delete", 1L, 1L, 10L)))
+    assert(GraftCdc.applyNext(spark, d, Table, root) === 26L)
+    assert(served === rollup(netState(26L)))
+    // crash between delete and rename: staging committed, live gone —
+    // the next call finishes the swap instead of reapplying
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(s"$root/rollup.parquet"),
+      new org.apache.hadoop.fs.Path(s"$root/rollup.staging"))
+    assert(GraftCdc.applyNext(spark, d, Table, root) === 26L)
+    assert(served === rollup(netState(26L)))
+  }
 }
