@@ -198,6 +198,7 @@ object SparkEntry {
     "pipeline_curriculum"        -> Assembly.curriculumStages _,
     "pipeline_train_val_test"    -> Assembly.trainValTestSplit _,
     "pipeline_cluster_split"     -> Assembly.clusterSafeSplit _,
+    "pipeline_weighted_sample"   -> ((s, dir) => Assembly.weightedSample(s, dir)),
     "pipeline_pack_split"        -> Assembly.packSequencesSplit _,
     "dedup_source_overlap"       -> Dedup.crossSourceOverlap _,
     "text_tfidf_top_terms"       -> TextAnalysis.tfidfTopTerms _,
@@ -2466,6 +2467,24 @@ object SparkEntry {
     // long sums, order-independent); avg floored over the double ratio.
     // H7 split: same multiplicative-hash rule as mixture sampling,
     // mod-100 buckets -> 90/5/5, summarized per (source, split).
+    // H12: A-ES weighted sampling — identical u derivation, identical
+    // ln(u)/w floor-micro key, identical (key DESC, doc_id) top-k;
+    // floor-after-transcendental per the E8 precedent
+    "pipeline_weighted_sample" -> """
+      WITH t AS (
+        SELECT doc_id,
+               greatest(CAST(len(list_distinct(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 x -> length(x) > 0))) AS BIGINT), 1) AS weight,
+               CAST(((doc_id * 1048573 + 11) % 1000000) + 1 AS DOUBLE) / 1000000.0 AS u
+        FROM documents
+      ), keyed AS (
+        SELECT doc_id, weight,
+               CAST(floor(ln(u) / weight * 1000000.0) AS BIGINT) AS key_micro
+        FROM t)
+      SELECT doc_id, weight, key_micro FROM keyed
+      ORDER BY key_micro DESC, doc_id LIMIT 50""",
+
     // H11: the C6 cluster CTE keyed into H8's split rule — whole
     // near-dup clusters land in one split; n_rehomed counts the docs
     // a doc-level split would have leaked across splits

@@ -405,6 +405,40 @@ object Assembly {
   private def split_part_tokens =
     expr("filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)")
 
+  /** H12: WEIGHTED sampling without replacement (Efraimidis-Spirakis
+    * A-ES) — quality-proportional data selection: sample k documents
+    * with inclusion odds ∝ a per-doc weight (here the distinct-token
+    * count — a quality proxy), the curation step between scoring
+    * (E2/E13) and packing. Each doc draws the deterministic uniform
+    * u = (hash(doc_id)+1)/10⁶ and keys on ln(u)/w (the log form of
+    * A-ES's u^(1/w) — maximizing either is the same order); the
+    * sample IS the top-k by key, so the whole operator is one
+    * map-side projection + a tree-reduced TakeOrdered — no shuffle
+    * of the corpus, no per-group state, the only sound distributed
+    * shape for weighted sampling at 100 TB.
+    *
+    * Exactness: the key is emitted floor-micro'd; this is a
+    * floor-after-transcendental (the E8 precedent) — JVM Math.log
+    * and DuckDB ln agree to the last bit on these rational inputs,
+    * and the per-doc keys are spec-replayed against driver Math.log
+    * so any future ULP flip is diagnosable per doc.
+    */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val toksLower = graft.functions.TextFns.tokensLower(col("text"))
+    val scored = docs(s, dir).select(
+      col("doc_id"),
+      greatest(size(array_distinct(toksLower)).cast("long"), lit(1L)).as("weight"))
+      .withColumn("u",
+        (pmod(col("doc_id") * 1048573L + 11L, lit(1000000L)) + 1L)
+          .cast("double") / 1000000.0)
+      .withColumn("key_micro",
+        floor(log(col("u")) / col("weight").cast("double") * 1000000.0)
+          .cast("long"))
+    scored.select(col("doc_id"), col("weight"), col("key_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** H11: LEAKAGE-SAFE split — H8's hash split keyed on the C6
     * near-dup CLUSTER instead of the document: a near-copy of a
     * training doc landing in val/test is the classic contamination a

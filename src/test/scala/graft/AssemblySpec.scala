@@ -280,6 +280,35 @@ class AssemblySpec extends SparkSpecBase {
     assert((negId, negCos) === hardest, "driver replay of the hardest negative")
   }
 
+  test("H12: weighted sample replays exactly on the driver, biases toward heavy docs, and plans TakeOrdered") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Assembly.weightedSample(spark, sfDir, k = 50)
+    // top-k must tree-reduce, never globally sort the corpus
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 50)
+    // full driver replay of the A-ES keys and the selected set
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        greatest(size(array_distinct(graft.functions.TextFns.tokensLower(col("text"))))
+          .cast("long"), lit(1L)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val replay = corpus.map { case (id, w) =>
+      val u = (math.floorMod(id * 1048573L + 11L, 1000000L) + 1L).toDouble / 1000000.0
+      (id, w, math.floor(math.log(u) / w * 1000000.0).toLong)
+    }.sortBy { case (id, _, key) => (-key, id) }.take(50)
+    assert(out.toSeq === replay.toSeq, "engine sample must equal the driver A-ES replay")
+    // weighting works: the sampled docs are heavier than the corpus mean
+    val meanAll = corpus.map(_._2).sum.toDouble / corpus.length
+    val meanSampled = out.map(_._2).sum.toDouble / out.length
+    assert(meanSampled > meanAll,
+      s"weighted sample must bias heavy: $meanSampled vs corpus $meanAll")
+    // deterministic across runs
+    assert(operators.Assembly.weightedSample(spark, sfDir, k = 50)
+      .collect().map(_.toString).toSeq === df.collect().map(_.toString).toSeq)
+  }
+
   test("H11: cluster-keyed split co-locates every near-dup cluster and closes real doc-level leakage") {
     import org.apache.spark.sql.functions._
     val agg = operators.Assembly.clusterSafeSplit(spark, sfDir).collect()

@@ -43,7 +43,7 @@ class DoctorSweepSpec extends SparkSpecBase {
     "pipeline_pack_sequences", "pipeline_pack_masks", "pipeline_token_budget",
     // round-10 pure read additions
     "pipeline_curate_pairs", "pipeline_cluster_split", "q_feature_snapshot",
-    "mm_token_budget")
+    "mm_token_budget", "pipeline_weighted_sample")
 
   test("the pure query surface has zero high-severity lint findings") {
     val offenders = Pure.flatMap { name =>
