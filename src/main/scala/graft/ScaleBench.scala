@@ -53,7 +53,7 @@ object ScaleBench {
     "pipeline_curriculum",
     // round-10 additions
     "pipeline_curate_pairs", "pipeline_cluster_split",
-    "q_feature_snapshot", "mm_token_budget")
+    "q_feature_snapshot", "mm_token_budget", "pipeline_weighted_sample")
 
   /** Queries whose dominant cost grain does not grow with corpus
     * rows, with the reason — a ratio well under 10 is the DESIGN.
