@@ -86,7 +86,8 @@ object Bench {
     // the cluster-keyed leakage-safe split (C6 CC + hash split), and
     // the point-in-time feature snapshot (as-of + strict-prior windows)
     "src_wap_publish", "pipeline_curate_pairs",
-    "pipeline_cluster_split", "q_feature_snapshot", "mm_token_budget")
+    "pipeline_cluster_split", "q_feature_snapshot", "mm_token_budget",
+    "pipeline_weighted_sample")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
