@@ -156,6 +156,25 @@ object Bench {
         if (t >= 0) acc(name) = acc(name) :+ t
       }
     }
+    // run-level noise GATE (r10 lesson: the driver run recorded noise
+    // 2.19 and the round-over-round delta was unattributable): if the
+    // residual worst med/min ratio is still past the gate, spend one
+    // more full interleaved pass — extra samples tighten every median
+    // — then re-measure. The emitted line carries the final noise AND
+    // a `noisy` verdict so the artifact self-labels: a `noisy: true`
+    // bench must not be read as a regression signal.
+    val NoiseGate = 1.5
+    def runNoise: Double = {
+      val rss = live.map { case (n, _) => acc(n) }.filter(_.nonEmpty)
+      if (rss.isEmpty) 0.0 else rss.map(rs => median(rs) / rs.min).max
+    }
+    if (runNoise > NoiseGate) {
+      System.err.println(f"[bench] run noise $runNoise%.2f > $NoiseGate: one more interleaved pass")
+      for ((name, fn) <- live) {
+        val t = once(fn)
+        if (t >= 0) acc(name) = acc(name) :+ t
+      }
+    }
     val timings = bench.map { case (name, _) => name -> acc(name).toSeq }
     val failed = timings.collect { case (n, rs) if rs.isEmpty => n }.sorted
     val ok = timings.filter(_._2.nonEmpty)
@@ -163,13 +182,13 @@ object Bench {
       ok.map { case (k, rs) => "\"" + k + "\":" + fmt(f(rs)) }.mkString("{", ",", "}")
     val total = ok.map { case (_, rs) => median(rs) }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // residual run quality AFTER the noise guard: worst med/min ratio
+    // residual run quality AFTER the noise guard + gate: worst med/min
     val noise = if (ok.isEmpty) 0.0
                 else ok.map { case (_, rs) => median(rs) / rs.min }.max
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":${jmap(median)},"queries_min":${jmap(_.min)},""" +
       s""""failed":${failed.size},"failed_queries":$failedJson,""" +
-      s""""noise":${fmt(noise)},""" +
+      s""""noise":${fmt(noise)},"noisy":${noise > NoiseGate},""" +
       s""""sf":"$sfDir","runs_per_query":$Runs,"agg":"median",""" +
       s""""headline_only":true,"n_queries":${bench.size}}""")
     spark.stop()

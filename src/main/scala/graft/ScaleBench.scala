@@ -129,6 +129,143 @@ object ScaleBench {
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Write-path experiments with CHURN HELD CONSTANT as the data
+    * scales 10× — the read section proves plans are ≤ linear; this
+    * section proves the write paths' "churn-bounded, never O(table)"
+    * claims empirically (the r10 VERDICT's missing evidence: those
+    * claims were plan-audited only, and a plan audit is what the
+    * HNSW 46× hid behind). Each experiment: an UNTIMED setup that
+    * materializes the scaled base state, then a TIMED operation whose
+    * churn (delta rows, batch size, staged files) is IDENTICAL at
+    * both scales — so the wall-time ratio directly measures how much
+    * of the table the operation actually touches. `expect` documents
+    * the designed bound the ratio is judged against.
+    */
+  private case class WriteExp(
+      name: String,
+      expect: String,
+      runs: Int,
+      setup: (SparkSession, String, String) => Unit,
+      op: (SparkSession, String, String, Int) => Unit)
+
+  /** Constant synthetic embedding batch (dim 64, deterministic). */
+  private def vecBatch(s: SparkSession, base: Long, n: Int): DataFrame =
+    s.range(base, base + n).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), i -> CAST(pmod(id * i, 97) AS DOUBLE) / 97.0)")
+        .as("emb"))
+
+  private val WriteExps: Seq[WriteExp] = Seq(
+    WriteExp("w_merge_upsert",
+      "~1x: COW merge rewrites only the delta's partitions; constant churn " +
+        "over size-bounded (25k-keyrange) partitions touches the same bytes at any scale",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        sp.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .withColumn("bucket", expr("o_orderkey div 25000"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$scratch/t")
+      },
+      op = (sp, dir, scratch, run) => {
+        // fixed delta: keys < 50k (present at every scale — replica 0
+        // keeps original keys), ~2 affected partitions of ~constant size
+        val delta = sp.read.parquet(s"$dir/orders.parquet")
+          .where(col("o_orderkey") < 50000L && col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            (col("o_totalprice") + run).as("o_totalprice"))
+          .withColumn("bucket", expr("o_orderkey div 25000"))
+        graft.sources.GraftSink.mergeUpsert(
+          sp, s"$scratch/t", delta, Seq("o_orderkey"), "bucket")
+      }),
+    WriteExp("w_change_feed",
+      "~1x: the CDF merge's exceptAll runs over the affected partitions' " +
+        "pre/post images only — churn-bounded like the merge itself",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        sp.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .withColumn("bucket", expr("o_orderkey div 25000"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$scratch/t")
+      },
+      op = (sp, dir, scratch, run) => {
+        val delta = sp.read.parquet(s"$dir/orders.parquet")
+          .where(col("o_orderkey") < 50000L && col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            (col("o_totalprice") + run).as("o_totalprice"))
+          .withColumn("bucket", expr("o_orderkey div 25000"))
+        graft.sources.GraftSink.mergeUpsertCdf(
+          sp, s"$scratch/t", delta, Seq("o_orderkey"), "bucket").count()
+      }),
+    WriteExp("w_wap_publish",
+      "~1x + O(files) manifest metadata: the audit scans ONLY the staged " +
+        "batch (constant); the manifest write lists every table file (names, " +
+        "no bytes)",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        import graft.sources.GraftCatalog
+        sp.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$scratch/orders.parquet")
+        require(new GraftCatalog(sp, scratch).publishAudited("orders",
+          wapRules).isRight, "[scalebench] base publish must pass")
+      },
+      op = (sp, dir, scratch, run) => {
+        import graft.sources.GraftCatalog
+        sp.range(10000).select(
+          (col("id") + 900000000L + run * 100000L).as("o_orderkey"),
+          lit(1L).as("o_custkey"), lit("F").as("o_orderstatus"),
+          lit(42.5).as("o_totalprice"))
+          .write.mode("append").parquet(s"$scratch/orders.parquet")
+        require(new GraftCatalog(sp, scratch).publishAudited("orders",
+          wapRules).isRight, "[scalebench] staged batch must pass")
+      }),
+    WriteExp("w_ivf_absorb",
+      "~1x: absorb assigns the constant batch map-side against the " +
+        "persisted centroids and hive-appends — history never reread",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        graft.operators.Similarity.ivfIncrementalTopk(
+          sp, dir, indexPath = Some(s"$scratch/ivf")).count()
+      },
+      op = (sp, dir, scratch, run) => {
+        graft.operators.Similarity.ivfAppend(sp, s"$scratch/ivf",
+          vecBatch(sp, 950000000L + run * 100000L, 2000))
+      }),
+    WriteExp("w_hnsw_absorb",
+      "~1x: absorb assigns the constant batch against the capped routing " +
+        "artifact and hive-appends into the entry shards",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        graft.operators.Hnsw.hnswPersistedTopk(
+          sp, dir, indexPath = Some(s"$scratch/hnsw")).count()
+      },
+      op = (sp, dir, scratch, run) => {
+        graft.operators.Hnsw.hnswAbsorb(sp, s"$scratch/hnsw",
+          vecBatch(sp, 960000000L + run * 100000L, 2000))
+      }),
+    WriteExp("w_ivf_compact",
+      "sub-table, corpus-proportional: compaction rewrites only the " +
+        "FRAGMENTED lists (~corpus/nlist bytes each), never the whole index",
+      runs = 1,
+      setup = (sp, dir, scratch) => {
+        graft.operators.Similarity.ivfIncrementalTopk(
+          sp, dir, indexPath = Some(s"$scratch/ivfc")).count()
+        (0 until 5).foreach { b =>
+          graft.operators.Similarity.ivfAppend(sp, s"$scratch/ivfc",
+            vecBatch(sp, 970000000L + b * 10000L, 2000))
+        }
+      },
+      op = (sp, dir, scratch, run) => {
+        val done = graft.operators.Similarity.ivfCompact(
+          sp, s"$scratch/ivfc", maxFiles = 3)
+        require(done.nonEmpty, "[scalebench] compaction must have work")
+      }))
+
+  private def wapRules = Seq(
+    graft.sources.GraftCatalog.AuditRule("nonpositive_price",
+      col("o_totalprice") <= 0.0),
+    graft.sources.GraftCatalog.AuditRule("null_custkey",
+      col("o_custkey").isNull))
+
   def main(args: Array[String]): Unit = {
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val bigDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_benchdata/sf1")
@@ -175,11 +312,47 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val worst = rows.sortBy(-_._4).take(5)
       .map { case (n, _, _, r) => "\"" + n + "\":" + fmt(r) }.mkString("{", ",", "}")
+
+    // ── write-path section: constant churn at both scales ──
+    def runWrites(dir: String, tag: String): Map[String, Double] =
+      WriteExps.flatMap { w =>
+        try {
+          val scratch = s"/tmp/graft_benchdata/writes_$tag/${w.name}"
+          val p = new org.apache.hadoop.fs.Path(scratch)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          w.setup(spark, dir, scratch)
+          spark.sharedState.cacheManager.clearCache()
+          val ts = (1 to w.runs).map { r =>
+            val t0 = System.nanoTime()
+            w.op(spark, dir, scratch, r)
+            val t = (System.nanoTime() - t0) / 1e9
+            spark.sharedState.cacheManager.clearCache()
+            t
+          }
+          Some(w.name -> ts.min)
+        } catch { case e: Throwable =>
+          System.err.println(s"[scalebench] ${w.name} failed at $tag: $e")
+          None
+        }
+      }.toMap
+    val wSmall = runWrites(smallDir, "sf01")
+    val wBig = runWrites(bigDir, "sf1")
+    val wRows = WriteExps.flatMap { w =>
+      for (a <- wSmall.get(w.name); b <- wBig.get(w.name))
+        yield (w.name, a, b, b / math.max(a, 1e-4), w.expect)
+    }
+    val wjson = wRows.map { case (n, a, b, r, ex) =>
+      "\"" + n + "\":{\"sf01\":" + fmt(a) + ",\"sf1\":" + fmt(b) +
+        ",\"ratio\":" + fmt(r) + ",\"churn\":\"constant\",\"expected\":\"" +
+        ex + "\"}"
+    }.mkString("{", ",", "}")
+
     val line = s"""{"metric":"scaling_ratio","reps":$Reps,""" +
       s""""n_queries":${rows.size},"queries":$qjson,"worst":$worst,""" +
+      s""""n_writes":${wRows.size},"writes":$wjson,""" +
       s""""sum_sf01":${fmt(rows.map(_._2).sum)},"sum_sf1":${fmt(rows.map(_._3).sum)}}"""
     println(line)
-    val w = new java.io.PrintWriter("SCALING_r10.json")
+    val w = new java.io.PrintWriter("SCALING_r11.json")
     try w.println(line) finally w.close()
     spark.stop()
   }

@@ -206,7 +206,7 @@ object SparkEntry {
     "text_repetition"            -> TextAnalysis.repetition _,
     // §2.F multimodal
     "mm_binary_meta"             -> Multimodal.binaryMeta _,
-    "mm_feature_extract"         -> Multimodal.featureExtract _,
+    "mm_feature_extract"         -> ((s: SparkSession, d: String) => Multimodal.featureExtract(s, d)),
     "mm_frame_sample"            -> Multimodal.frameSample _,
     "mm_resize"                  -> Multimodal.resize _,
     "mm_payload_dedup"           -> Multimodal.payloadDedup _,

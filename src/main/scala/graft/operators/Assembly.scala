@@ -271,10 +271,16 @@ object Assembly {
     * hash-rule drift is visible.
     */
   def tokenBudgetSample(s: SparkSession, dir: String): DataFrame = {
+    // ONE tokenize, kept honest (the E14/E17 rule): the (doc, source,
+    // tokens) grain is tiny and feeds BOTH the per-source totals and
+    // the final keep-rate join — uncached, the plan re-reads and
+    // re-tokenizes the whole corpus for the second consumer, doubling
+    // the dominant cost at 100 TB. Plan-spec'd single-tokenize.
     val toks = docs(s, dir).select(
       col("doc_id"), col("source"),
       size(regexp_extract_all(col("text"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("tokens"))
+      .cache()
     val totals = toks.groupBy("source").agg(sum("tokens").as("total_tokens"))
     val budget = totals.agg(min("total_tokens").as("budget"))
     val rates = totals.crossJoin(broadcast(budget))

@@ -323,6 +323,17 @@ object Hnsw {
     routing
   }
 
+  /** The persisted routing artifact, reloaded (bounded by RoutingCap —
+    * the same driver-artifact class as IVF centroids).
+    */
+  private[graft] def loadRouting(s: SparkSession,
+      idx: String): Seq[(Long, Array[Double])] = {
+    import s.implicits._
+    s.read.parquet(s"$idx/routing")
+      .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])]
+      .collect().toSeq.sortBy(_._1).map { case (id, v) => (id, v.toArray) }
+  }
+
   /** Serve an ALREADY-BUILT persisted index: routing nodes reload as
     * the graph artifact, the beam's shard ids prune the partitioned
     * read. Split from the build so maintenance (delete, compaction)
@@ -330,10 +341,7 @@ object Hnsw {
     */
   private[graft] def serveHnsw(s: SparkSession, dir: String,
       idx: String): DataFrame = {
-    import s.implicits._
-    val routing = s.read.parquet(s"$idx/routing")
-      .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])]
-      .collect().toSeq.sortBy(_._1).map { case (id, v) => (id, v.toArray) }
+    val routing = loadRouting(s, idx)
     val probes = beamProbes(emb(s, dir), routing)
     val probedIds = probes.select("entry_id").distinct()
       .collect().map(_.getLong(0)).sorted
@@ -378,12 +386,41 @@ object Hnsw {
         .localCheckpoint(true)
       survivors.write.mode("overwrite").parquet(s"$indexPath/routing")
       graft.GraftSession.releaseCheckpoint(survivors)
+      // residents of the doomed shards, captured BEFORE the drop (the
+      // purged keys are already gone from them via mergeDelete above).
+      // Bounded by the dropped shards' size — churn, never the index.
+      val evicted = s.read.parquet(s"$indexPath/shards")
+        .where(col("entry_id").isin(routedDeleted.toIndexedSeq.map(Long.box): _*))
+        .select(col("vec_id"), col("emb")).dropDuplicates("vec_id")
+        .localCheckpoint(true)
       val fs = new org.apache.hadoop.fs.Path(indexPath)
         .getFileSystem(s.sessionState.newHadoopConf())
       routedDeleted.foreach { id =>
         fs.delete(new org.apache.hadoop.fs.Path(
           s"$indexPath/shards/entry_id=$id"), true)
       }
+      // COVERAGE REPAIR: a survivor whose R assignments ALL landed on
+      // purged routing nodes just lost its last shard — without this
+      // it would be silently unreachable (a recall hole) until the
+      // periodic rebuild. Re-home orphans against the SURVIVING
+      // routing set with the same map-side assignment the build uses,
+      // restoring full R fan-out for exactly the affected vectors.
+      try {
+        val orphans = evicted.join(
+          s.read.parquet(s"$indexPath/shards").select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        if (!orphans.isEmpty) {
+          val newRouting = loadRouting(s, indexPath)
+          if (newRouting.isEmpty)
+            throw new IllegalStateException(
+              s"[GRAFT] hnswDelete purged every routing node of $indexPath: " +
+                "the index must be rebuilt, orphaned vectors cannot be re-homed")
+          shardAssign(orphans, newRouting)
+            .select(col("vec_id"), col("emb"), col("entry_id"))
+            .write.mode("append").partitionBy("entry_id")
+            .parquet(s"$indexPath/shards")
+        }
+      } finally graft.GraftSession.releaseCheckpoint(evicted)
     }
   }
 
@@ -393,5 +430,101 @@ object Hnsw {
     val idx = indexPath.getOrElse(graft.sources.GraftSink.scratchDir + "/hnsw_index")
     buildHnswIndex(s, dir, idx)
     serveHnsw(s, dir, idx)
+  }
+
+  /** D11 (absorb path): attach a NEW embedding batch to an already-
+    * built persisted index — map-side assignment of the batch against
+    * the PERSISTED routing artifact (exactly how the corpus attached
+    * at build), hive-appended into the entry shards. History is never
+    * reread or rewritten, so absorb cost is O(batch); and because the
+    * routing artifact is frozen between rebuilds, absorb ≡ the
+    * rebuild's assignment of the same rows against the same artifact
+    * (parity spec). The FAISS add-after-train analog for the graph
+    * index (see ivfAppend, Similarity.scala); pair with `hnswCompact`
+    * on a maintenance cadence to fold the per-batch files and with
+    * `hnswDelete` for the full index lifecycle.
+    */
+  private[graft] def hnswAbsorb(s: SparkSession, indexPath: String,
+      newVecs: DataFrame): Unit = {
+    val routing = loadRouting(s, indexPath)
+    if (routing.isEmpty) throw new IllegalStateException(
+      s"[GRAFT] no routing artifact at $indexPath: build the HNSW index before absorbing")
+    shardAssign(newVecs.select(col("vec_id"), col("emb")), routing)
+      .select(col("vec_id"), col("emb"), col("entry_id"))
+      .write.mode("append").partitionBy("entry_id").parquet(s"$indexPath/shards")
+  }
+
+  /** G19 (HNSW form): the persisted graph index absorbs an embedding
+    * STREAM — per micro-batch: in-batch dedup (deterministic
+    * struct-min survivor), anti-join against the shards' vec_id
+    * column so only genuinely NEW vectors attach, then `hnswAbsorb`.
+    * Exactly-once WITHOUT markers: a replayed batch — or a vector
+    * re-sent across batches — collapses in the anti-join to a
+    * physical no-op (file-identity spec).
+    */
+  def hnswIndexSink(vecs: DataFrame, indexPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => applyHnswBatch(b, id, indexPath) }
+      .start()
+
+  private[graft] def applyHnswBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long, indexPath: String): Unit = {
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    if (!exists(s"$indexPath/routing"))
+      throw new IllegalStateException(
+        s"[GRAFT] build the HNSW index at $indexPath before attaching " +
+          "hnswIndexSink — the sink absorbs into an existing index")
+    val others = batch.columns.filter(_ != "vec_id").toSeq
+    val once = batch.toDF().groupBy("vec_id")
+      .agg(min(struct(others.map(col): _*)).as("_r"))
+      .select(col("vec_id") +: others.map(c => col(s"_r.$c")): _*)
+    val shards = s"$indexPath/shards"
+    val fresh0 =
+      if (!exists(shards)) once
+      else once.join(s.read.parquet(shards).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    val fresh = fresh0
+      .localCheckpoint(true) // the append writes into the path this reads
+    try if (!fresh.isEmpty) hnswAbsorb(s, indexPath, fresh)
+    finally graft.GraftSession.releaseCheckpoint(fresh)
+  }
+
+  /** D14's twin for the graph index: every absorb batch adds one file
+    * per touched entry shard, so a daily-absorb index accumulates a
+    * file per day per shard and probe open-cost grows with batch
+    * count, not data. Compaction rewrites ONLY the shards past
+    * `maxFiles` (hash-repartition on the partition column → one task
+    * and one file per rewritten shard), leaving every other shard's
+    * files byte-identical; content unchanged by construction
+    * (localCheckpoint pins the rows, dynamic overwrite swaps only the
+    * rewritten partitions); idempotent. Returns the compacted shard
+    * entry ids.
+    */
+  private[graft] def hnswCompact(s: SparkSession, indexPath: String,
+      maxFiles: Int = 4): Seq[Long] = {
+    val shards = s"$indexPath/shards"
+    val root = new org.apache.hadoop.fs.Path(shards)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val fragmented = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("entry_id="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix("entry_id=").toLong)
+    if (fragmented.isEmpty) return Nil
+    val staged = s.read.parquet(shards)
+      .where(col("entry_id").isin(fragmented.map(Long.box): _*))
+      .repartition(col("entry_id"))
+      .localCheckpoint(true) // the swap deletes the files it reads
+    try staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("entry_id").parquet(shards)
+    finally graft.GraftSession.releaseCheckpoint(staged)
+    fragmented.sorted
   }
 }

@@ -292,8 +292,30 @@ object Similarity {
       batchId: Long, indexPath: String): Unit = {
     val s = batch.sparkSession
     val lists = s"$indexPath/lists"
-    val fresh = batch.toDF()
-      .join(s.read.parquet(lists).select("vec_id"), Seq("vec_id"), "left_anti")
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    // the sink maintains an index, it doesn't create one: without the
+    // centroid artifact there is nothing to assign against, and a raw
+    // path-not-found out of the first micro-batch is undebuggable
+    if (!exists(s"$indexPath/centroids"))
+      throw new IllegalStateException(
+        s"[GRAFT] build the IVF index (centroids) at $indexPath before " +
+          "attaching vectorIndexSink — the sink absorbs into an existing index")
+    // IN-batch dedup: the anti-join below only sees what is already
+    // PERSISTED, so duplicate vec_ids arriving within one micro-batch
+    // would all survive it and the index would hold duplicates.
+    // Deterministic tie rule: the struct-min of the remaining columns.
+    val others = batch.columns.filter(_ != "vec_id").toSeq
+    val once = batch.toDF().groupBy("vec_id")
+      .agg(min(struct(others.map(col): _*)).as("_r"))
+      .select(col("vec_id") +: others.map(c => col(s"_r.$c")): _*)
+    // first batch against a just-trained index: no lists yet — every
+    // row is fresh (bootstrap append), not a path-not-found failure
+    val fresh0 =
+      if (!exists(lists)) once
+      else once.join(s.read.parquet(lists).select("vec_id"), Seq("vec_id"), "left_anti")
+    val fresh = fresh0
       .localCheckpoint(true) // the append writes into the path this reads
     try if (!fresh.isEmpty) ivfAppend(s, indexPath, fresh)
     finally graft.GraftSession.releaseCheckpoint(fresh)

@@ -31,6 +31,16 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    (no pushdown through it) and outside whole-stage codegen; the
   *    engine's native-Expression rule (SURVEY §4) exists to avoid
   *    exactly this.
+  *  - per-row-literal-sort: a per-row sort over a >=256-element
+  *    literal array (the r10 HNSW scaling-bench lesson).
+  *  - repeated-uncached-subtree: the same source file-scanned (same
+  *    pushed filters) by 2+ distinct consumers with tokenize-class
+  *    work recomputed map-side above each scan — the corpus is read
+  *    and re-derived once per consumer; cache the grain (the
+  *    E14/E17/H5/F7 bug class, made permanent after its third
+  *    recurrence). Branches sharing an IDENTICAL exchange are
+  *    excused (runtime exchange reuse materializes them once), as
+  *    are differently-filtered scans (query-slice vs corpus).
   */
 object GraftDoctor {
 
@@ -65,8 +75,40 @@ object GraftDoctor {
     case _ => false
   }
 
+  /** Tokenize-class per-row work: a generate (explode), a regex /
+    * split expression, a higher-order function, or one of the
+    * engine's own native text expressions — the derivations whose
+    * recompute-per-consumer doubles a corpus pass (the E14/E17/H5/F7
+    * bug class).
+    */
+  private def expensiveNode(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.GenerateExec => true
+    case _ => p.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.RegExpExtractAll |
+           _: org.apache.spark.sql.catalyst.expressions.RegExpExtract |
+           _: org.apache.spark.sql.catalyst.expressions.RegExpReplace |
+           _: org.apache.spark.sql.catalyst.expressions.StringSplit => true
+      case _: org.apache.spark.sql.catalyst.expressions.HigherOrderFunction => true
+      case e if e.getClass.getName.startsWith("graft.") => true
+      case _ => false
+    })
+  }
+
   def lint(df: DataFrame): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
+    // Sites for the repeated-uncached-subtree rule: file scans with
+    // tokenize-class work recomputed MAP-SIDE above them (below the
+    // first exchange/union). Grouped by (source location, normalized
+    // pushed filters) — differently-filtered scans of one table (the
+    // tiny query-side slice vs the corpus) are complementary, not
+    // redundant — and counted by DISTINCT nearest-enclosing-exchange
+    // subtree: branches that share an identical exchange are deduped
+    // by exchange reuse at runtime (one materialization), while
+    // distinct exchanges over the same derivation genuinely recompute
+    // it once per consumer. Scans served from a cache never appear
+    // (the walk doesn't descend into InMemoryTableScan).
+    val tokenizedScans = scala.collection.mutable.Map.empty[(String, String), Set[String]]
+      .withDefaultValue(Set.empty)
 
     def walk(p: SparkPlan, ancestors: List[SparkPlan]): Unit = {
       p match {
@@ -118,6 +160,41 @@ object GraftDoctor {
                 "unpartitioned window funnels every row through one task: partitionBy a key or use the two-level/GlobalOrder rank pattern")
             case _ => // global aggregate / final limit: legitimate single-row funnels
           }
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          val mapSide = ancestors.takeWhile {
+            case _: ShuffleExchangeExec |
+                 _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec |
+                 _: org.apache.spark.sql.execution.UnionExec => false
+            case _ => true
+          }
+          if (mapSide.exists(expensiveNode)) {
+            val loc = f.relation.location.rootPaths.map(_.toString).sorted.mkString(",")
+            val filters = (f.dataFilters ++ f.partitionFilters)
+              .map(_.toString.replaceAll("#\\d+", "")).sorted.mkString(";")
+            // AQE's input plan carries no Exchange nodes yet, so the
+            // would-be exchange boundary is read off the REQUIREMENT:
+            // the subtree below the first ancestor demanding a
+            // distribution is what stage prep materializes — and what
+            // AQE's stage cache REUSES when two branches share it
+            // canonically. That subtree's canonical form is the site
+            // key: identical keys = one runtime materialization.
+            var prev: SparkPlan = f
+            var key: String = null
+            var rest = ancestors
+            while (key == null && rest.nonEmpty) {
+              val a = rest.head
+              val idx = a.children.indexWhere(_ eq prev)
+              val dist =
+                if (idx >= 0 && a.requiredChildDistribution.length > idx)
+                  a.requiredChildDistribution(idx)
+                else org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+              if (dist != org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution)
+                key = prev.canonicalized.toString
+              else { prev = a; rest = rest.tail }
+            }
+            if (key == null) key = s"unexchanged-site-${System.identityHashCode(f)}"
+            tokenizedScans((loc, filters)) = tokenizedScans((loc, filters)) + key
+          }
         case _ =>
       }
       p.expressions.foreach(_.foreach {
@@ -150,6 +227,16 @@ object GraftDoctor {
       p.children.foreach(walk(_, p :: ancestors))
     }
     walk(physical(df), Nil)
+    tokenizedScans.toSeq.filter(_._2.size >= 2).sortBy(_._1).foreach {
+      case ((loc, _), keys) =>
+        val name = loc.substring(loc.lastIndexOf('/') + 1)
+        out += Finding("repeated-uncached-subtree", "medium", name,
+          s"$name is file-scanned ${keys.size}x (same pushed filters, " +
+            "distinct consumers) with tokenize-class work (regex/split/" +
+            "higher-order/generate) recomputed map-side above each scan: " +
+            "cache the derived grain so every consumer reads it once " +
+            "(the E14/H5/F7 double-tokenize lesson)")
+    }
     out.result().distinct
   }
 

@@ -59,16 +59,33 @@ object GraftBloomIndex {
     * Returns the number of sidecars written. Idempotent: a rebuild
     * overwrites the whole index dir.
     */
+  /** Per-file row counts from footers — the bloom SIZING pass — run as
+    * a Spark job (one task per slice of the file list, each opening its
+    * own footers), collecting only (path, rowCount) pairs. The serial
+    * driver form was one namenode+footer round trip per file: minutes
+    * of driver-only wall time at 10⁵ files before the distributed
+    * build even started (the A25 "one task per footer" discipline).
+    */
+  private[graft] def footerRowCounts(s: SparkSession,
+      files: Seq[String]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val serConf = graft.sources.v2.GraftV2.sessionConf()
+    val slices = math.max(1, math.min(files.length,
+      s.sparkContext.defaultParallelism))
+    s.sparkContext.parallelize(files, slices).map { f =>
+      new Path(f).toUri.getPath ->
+        graft.sources.v2.GraftV2.withReader(f, serConf.value)(
+          _.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+    }.collect().toMap
+  }
+
   def build(s: SparkSession, tablePath: String, keyCol: String,
       fpp: Double = 0.01): Int = {
     val c = conf(s)
     val files = graft.sources.v2.GraftV2.dataFiles(tablePath, c)
     // per-file row counts from footers: sizes the blooms without a
-    // counting pass over the rows
-    val rowCounts: Map[String, Long] = files.map { f =>
-      normalized(f) -> graft.sources.v2.GraftV2.withReader(f, c)(
-        _.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
-    }.toMap
+    // counting pass over the rows (distributed — see footerRowCounts)
+    val rowCounts: Map[String, Long] = footerRowCounts(s, files)
     val bcCounts = s.sparkContext.broadcast(rowCounts)
     val dt = s.read.parquet(tablePath).schema(keyCol).dataType
     val isString = dt match {
@@ -116,10 +133,27 @@ object GraftBloomIndex {
     kv.mapPartitions { it =>
       val d = new Path(dirStr)
       val tfs = d.getFileSystem(serConf.value)
+      // task-attempt-unique temp name + rename: a speculative or
+      // zombie duplicate attempt writing the same sidecar directly
+      // could tear the file mid-write; with publish-by-rename each
+      // attempt completes its own temp and the rename is atomic. If a
+      // twin already published, keep it (the content is deterministic)
+      // and drop the temp.
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(tc => s"${tc.stageAttemptNumber}-${tc.taskAttemptId}")
+        .getOrElse("driverless")
       var n = 0L
       it.foreach { case (f, bytes) =>
-        val out = tfs.create(new Path(d, sidecarName(tp, f)), true)
+        val fin = new Path(d, sidecarName(tp, f))
+        val tmp = new Path(d, s".${sidecarName(tp, f)}.$attempt.tmp")
+        val out = tfs.create(tmp, true)
         try out.write(bytes) finally out.close()
+        if (!tfs.rename(tmp, fin)) {
+          if (!tfs.exists(fin))
+            throw new java.io.IOException(
+              s"[GRAFT] bloom sidecar publish failed: $tmp -> $fin")
+          tfs.delete(tmp, false)
+        }
         n += 1L
       }
       Iterator.single(n)
@@ -166,12 +200,20 @@ object GraftBloomIndex {
       else {
         val d = new Path(dirStr)
         val tfs = d.getFileSystem(serConf.value)
-        val in = tfs.open(new Path(d, name))
-        val bloom = try BloomFilter.readFrom(in) finally in.close()
-        probeKeys.exists {
-          case sv: String => bloom.mightContainString(sv)
-          case n: Number => bloom.mightContainLong(n.longValue)
-          case _ => true
+        // a torn/corrupt sidecar (crashed writer, partial copy) must
+        // degrade to "scan the file", never fail the lookup: the index
+        // is an accelerator, correctness comes from the exact IN-filter
+        val bloomOpt =
+          try {
+            val in = tfs.open(new Path(d, name))
+            try Some(BloomFilter.readFrom(in)) finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        bloomOpt.forall { bloom =>
+          probeKeys.exists {
+            case sv: String => bloom.mightContainString(sv)
+            case n: Number => bloom.mightContainLong(n.longValue)
+            case _ => true
+          }
         }
       }
     }.collect().toSeq

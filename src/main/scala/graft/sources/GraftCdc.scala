@@ -75,8 +75,12 @@ object GraftCdc {
     def path(p: String) = new org.apache.hadoop.fs.Path(p)
     def marker(dir: String) = path(s"$dir/_applied_seq")
     // crash recovery: committed staging with no live dir → finish the swap
-    if (!fs.exists(path(mvPath)) && fs.exists(marker(stagePath)))
-      fs.rename(path(stagePath), path(mvPath))
+    // (rename reports failure as FALSE, not an exception — check it, or
+    // a failed adoption reads an empty rollup and silently rebuilds)
+    if (!fs.exists(path(mvPath)) && fs.exists(marker(stagePath)) &&
+        !fs.rename(path(stagePath), path(mvPath)))
+      throw new IllegalStateException(
+        s"[GRAFT] CDC crash-recovery swap failed: rename($stagePath -> $mvPath) returned false")
     val watermark: Long =
       if (!fs.exists(marker(mvPath))) -1L
       else {
@@ -97,7 +101,12 @@ object GraftCdc {
       val out = fs.create(marker(stagePath), true)
       try out.writeLong(tip) finally out.close()
       fs.delete(path(mvPath), true)
-      fs.rename(path(stagePath), path(mvPath))
+      // the marker is already inside staging, so a FALSE here must
+      // surface: the next call's crash-recovery can then finish the
+      // swap, but only if this caller doesn't report success first
+      if (!fs.rename(path(stagePath), path(mvPath)))
+        throw new IllegalStateException(
+          s"[GRAFT] CDC commit swap failed: rename($stagePath -> $mvPath) returned false")
     } finally graft.GraftSession.releaseCheckpoint(merged)
     tip
   }

@@ -450,7 +450,16 @@ object Events {
         quarantine.write.mode(SaveMode.Overwrite)
           .parquet(s"$qRoot/manifest_batch_$batchId.parquet")
         fs.mkdirs(path(qRoot))
-        fs.rename(path(batchDir), path(qDir))
+        // rename returns FALSE on failure without throwing: swallowing
+        // it would leave the dirty batch staged after offsets commit,
+        // and every later publish would audit-fail on it — the exact
+        // poison-batch wedge this sink exists to prevent. Throw so the
+        // batch replays (offsets uncommitted) and tries the diversion
+        // again.
+        if (!fs.rename(path(batchDir), path(qDir)))
+          throw new IllegalStateException(
+            s"[GRAFT] quarantine diversion failed: rename($batchDir -> $qDir) " +
+              "returned false; failing the batch so it replays")
     }
   }
 

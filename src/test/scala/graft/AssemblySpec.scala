@@ -329,4 +329,19 @@ class AssemblySpec extends SparkSpecBase {
     assert(agg.map(_.getLong(4)).sum > 0L,
       "expected at least one doc a doc-level split would have leaked")
   }
+
+  test("H5 plan: ONE tokenize — totals and the keep-rate join both read the cached token grain") {
+    val df = operators.Assembly.tokenBudgetSample(spark, sfDir)
+    val nodes = allPlanNodes(df.queryExecution.executedPlan)
+    assert(nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.isEmpty,
+      "no direct file scan in the final plan: the corpus must be " +
+        "regex-tokenized once into the cached (doc, source, tokens) grain")
+    assert(nodes.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i }
+      .nonEmpty, "expected InMemoryTableScan of the cached token grain")
+    assert(!graft.plans.GraftDoctor.lint(df)
+      .exists(_.rule == "repeated-uncached-subtree"),
+      "the repeated-uncached-subtree lint must stay silent on the fixed plan")
+  }
 }

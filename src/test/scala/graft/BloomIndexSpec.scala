@@ -97,6 +97,52 @@ class BloomIndexSpec extends SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("bloom sizing reads footers as a Spark job; a torn sidecar degrades to a conservative scan, never a failure") {
+    val path = freshTable("bloom_sizing", 5)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the sizing pass (per-file footer row counts) is its own Spark
+      // job — the r10 residual: a serial driver loop, one round trip
+      // per file, minutes at 1e5 files
+      jobs.set(0)
+      val counts = graft.sources.GraftBloomIndex.footerRowCounts(
+        spark, dataFiles(path))
+      assert(jobs.get() >= 1,
+        "footer sizing must run as a distributed Spark job, not a driver loop")
+      assert(counts.size === 5)
+      assert(counts.values.sum === spark.read.parquet(path).count(),
+        "footer row counts must sum to the table row count")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // torn sidecar (crashed writer / partial copy): its file is scanned
+    // conservatively and the lookup stays exact
+    GraftBloomIndex.build(spark, path, "o_orderkey")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val side = fs.listStatus(new org.apache.hadoop.fs.Path(path, "_bloom_o_orderkey"))
+      .map(_.getPath).filter(_.getName.endsWith(".bloom")).sortBy(_.getName).head
+    val out = fs.create(side, true)
+    try out.write(Array[Byte](42, 13, 7)) finally out.close()
+    val tornDataFile = side.getName.stripSuffix(".bloom")
+    // an absent key: every healthy sidecar rules its file out; ONLY the
+    // torn one forces a scan
+    val surviving = GraftBloomIndex.probeFiles(
+      spark, path, "o_orderkey", Seq(987654321L))
+    assert(surviving.exists(_.endsWith(tornDataFile)),
+      s"the torn sidecar's file must be kept for scanning: $surviving")
+    // and a real lookup through the damaged index is still exact
+    val keys = Seq(1L, 64L)
+    val got = GraftBloomIndex.lookup(spark, path, "o_orderkey", keys)
+    val exp = spark.read.parquet(path).where(col("o_orderkey").isin(keys: _*))
+    assert(got.orderBy("o_orderkey").collect().map(_.toString).toSeq ===
+      exp.orderBy("o_orderkey").collect().map(_.toString).toSeq)
+  }
+
   test("the index dir is invisible to every reader path") {
     val path = freshTable("bloomhidden", 3)
     val before = spark.read.parquet(path).count()

@@ -83,4 +83,28 @@ class DoctorSpec extends SparkSpecBase {
           c.getField("_1").as("id")))), 1, 5).as("top"))
     assert(!rules(fine).contains("per-row-literal-sort"), rules(fine).toString)
   }
+
+  test("tokenizing the same source above two file scans is flagged; the cached grain is excused") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the H5/F7 pre-fix shape: an uncached tokenize grain feeding two
+    // consumers — the plan re-reads and re-tokenizes per consumer
+    def toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), "\\s+")).cast("long").as("tokens"))
+    val bad = toks.join(
+      broadcast(toks.groupBy("source").agg(sum("tokens").as("t"))), Seq("source"))
+    assert(rules(bad).contains("repeated-uncached-subtree"), rules(bad).toString)
+    // cache the grain → both consumers read the InMemoryTableScan
+    val cached = toks.cache()
+    try {
+      val good = cached.join(
+        broadcast(cached.groupBy("source").agg(sum("tokens").as("t"))), Seq("source"))
+      assert(!rules(good).contains("repeated-uncached-subtree"), rules(good).toString)
+    } finally cached.unpersist()
+    // two scans WITHOUT tokenize-class work above them (a plain
+    // self-join of cheap projections) are not this bug class
+    val plain = orders.select("o_orderkey", "o_custkey")
+      .join(broadcast(orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))),
+        Seq("o_custkey"))
+    assert(!rules(plain).contains("repeated-uncached-subtree"), rules(plain).toString)
+  }
 }

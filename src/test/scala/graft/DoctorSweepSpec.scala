@@ -52,4 +52,15 @@ class DoctorSweepSpec extends SparkSpecBase {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("the pure query surface is free of the repeated-uncached-subtree class") {
+    // the E14/E17/H5/F7 double-tokenize bug recurred three rounds in a
+    // row; this sweep makes the class a permanent regression gate
+    val offenders = Pure.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      GraftDoctor.lint(df).filter(_.rule == "repeated-uncached-subtree")
+        .map(f => s"$name: $f")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

@@ -95,6 +95,62 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("F7 plan: ONE tokenize — totals and the keep-rate join both read the cached pair grain") {
+    val df = Multimodal.multimodalTokenBudget(spark, sfDir)
+    val nodes = allPlanNodes(df.queryExecution.executedPlan)
+    assert(nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.isEmpty,
+      "no direct file scan in the final plan: captions must be " +
+        "regex-tokenized once into the cached per-pair token grain")
+    assert(nodes.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i }
+      .nonEmpty, "expected InMemoryTableScan of the cached pair grain")
+    assert(!graft.plans.GraftDoctor.lint(df)
+      .exists(_.rule == "repeated-uncached-subtree"))
+  }
+
+  test("F6 plan: ONE documents scan — signature, token stats AND span hashes all project from the cached doc grain") {
+    val df = Multimodal.curatePairs(spark, sfDir)
+    val nodes = allPlanNodes(df.queryExecution.executedPlan)
+    assert(nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.isEmpty,
+      "no direct file scan in the final plan: every per-doc feature " +
+        "family must derive from the single cached doc-grain pass")
+    assert(nodes.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i }
+      .nonEmpty, "expected InMemoryTableScan of the cached doc grain")
+    assert(!graft.plans.GraftDoctor.lint(df)
+      .exists(_.rule == "repeated-uncached-subtree"))
+  }
+
+  test("F2 codec path: a real javax.imageio PNG round trip drives the same plumbing in both flag states") {
+    val stub = Multimodal.featureExtract(spark, sfDir, codec = false)
+    val real = Multimodal.featureExtract(spark, sfDir, codec = true)
+    // the stub⇄codec swap point holds: same schema, same row set
+    assert(stub.schema === real.schema)
+    val rRows = real.collect()
+    assert(rRows.length === stub.collect().length)
+    // PNG is lossless → the codec path is deterministic run to run
+    assert(Multimodal.featureExtract(spark, sfDir, codec = true)
+      .collect().map(_.toString).toSeq === rRows.map(_.toString).toSeq)
+    // decoded-pixel features: every 8x8 image decodes to exactly 64
+    // pixels, so each histogram covers 64
+    rRows.foreach { r =>
+      assert((4 until 12).map(r.getLong).sum === 64L,
+        s"decoded histogram must cover the 8x8 image: $r")
+    }
+    // losslessness, independently replayed: the decoded mean equals the
+    // seeded image's pixel mean computed straight from the payload
+    val pay = Multimodal.mmTable(spark, sfDir).select("doc_id", "payload")
+      .orderBy("doc_id").limit(1).collect().head
+    val bytes = pay.getAs[Array[Byte]](1)
+    val gray = (0 until 64).map(p => bytes(p % bytes.length) & 0xFF)
+    val expMean = math.floor(gray.sum.toDouble / 64 * 1e6).toLong
+    val row = rRows.find(_.getLong(0) == pay.getLong(0)).get
+    assert(row.getLong(3) === expMean,
+      "PNG round trip must hand the feature pass the exact seeded pixels")
+  }
+
   test("frame sampling fans out 1..5 frames per video with bounded slices") {
     val out = Multimodal.frameSample(spark, sfDir).collect()
     val perDoc = out.groupBy(_.getLong(0))

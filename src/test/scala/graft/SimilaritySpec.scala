@@ -552,4 +552,150 @@ class SimilaritySpec extends SparkSpecBase {
     // shard survive in the index through their other assignments
     assert(spark.read.parquet(s"$idx/shards").select("vec_id").distinct().count() > 0)
   }
+
+  test("G19: in-batch duplicate vec_ids collapse to ONE deterministic survivor; first batch bootstraps; no centroids fails clearly") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_boot").toString
+    // no centroid artifact: the sink maintains an index, never creates one
+    val err = intercept[IllegalStateException] {
+      Similarity.applyVectorBatch(
+        Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "emb"), 0L, idx)
+    }
+    assert(err.getMessage.contains("build the IVF index"))
+    // centroids only (just trained, nothing absorbed yet): the first
+    // micro-batch must BOOTSTRAP lists, not die on path-not-found
+    Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))).toDF("centroid_id", "c_emb")
+      .write.parquet(s"$idx/centroids")
+    val dup = Seq(
+      (10L, Seq(0.9, 0.1)), (10L, Seq(0.9, 0.1)), // exact in-batch re-send
+      (11L, Seq(0.9, 0.2)), (11L, Seq(0.8, 0.1))) // conflicting rows
+      .toDF("vec_id", "emb")
+    Similarity.applyVectorBatch(dup, 0L, idx)
+    val lists = spark.read.parquet(s"$idx/lists")
+    // the persisted-side anti-join can't see duplicates WITHIN a batch:
+    // without the in-batch dedup all four rows would land
+    assert(lists.count() === 2, "one row per distinct vec_id")
+    assert(lists.groupBy("vec_id").count().where(col("count") > 1).count() === 0)
+    // deterministic survivor: the struct-min of the remaining columns
+    assert(lists.where(col("vec_id") === 11L).select("emb")
+      .head().getSeq[Double](0) === Seq(0.8, 0.1))
+  }
+
+  test("D11 delete coverage repair: a vector whose EVERY assignment was purged is re-homed, never silently unreachable") {
+    import graft.operators.Hnsw
+    val idx = java.nio.file.Files.createTempDirectory("graft_hnsw_cov").toString
+    Hnsw.hnswPersistedTopk(spark, sfDir, indexPath = Some(idx)).count()
+    val routingIds = spark.read.parquet(s"$idx/routing")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val shards0 = spark.read.parquet(s"$idx/shards")
+      .select(col("vec_id"), col("entry_id").cast("long").as("entry_id"))
+    val beforeIds = shards0.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // a NON-routing vector and the complete set of shards it lives in
+    val victim = beforeIds.filterNot(routingIds.contains).min
+    val homes = shards0.where(col("vec_id") === victim)
+      .select("entry_id").collect().map(_.getLong(0)).toSet
+    assert(homes.subsetOf(routingIds))
+    // purging every routing node the victim is assigned to would strand
+    // it without the repair pass
+    Hnsw.hnswDelete(spark, idx, homes.toSeq)
+    val after = spark.read.parquet(s"$idx/shards")
+      .select(col("vec_id"), col("entry_id").cast("long").as("entry_id"))
+    assert(after.where(col("vec_id").isin(homes.toSeq.map(Long.box): _*))
+      .count() === 0, "purged keys must leave the index")
+    val newHomes = after.where(col("vec_id") === victim)
+      .select("entry_id").collect().map(_.getLong(0)).toSet
+    assert(newHomes.size === Hnsw.RAssign,
+      s"victim must be re-homed with full fan-out, got $newHomes")
+    assert(newHomes.subsetOf(routingIds -- homes),
+      "re-homes must target SURVIVING routing nodes")
+    // nothing else lost: survivors = before minus exactly the purged keys
+    val afterIds = after.select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(afterIds === beforeIds -- homes)
+  }
+
+  private def mkVecs(ids: Range): Seq[(Long, Seq[Double])] = ids.map { i =>
+    (i.toLong, (1 to 64).map(d => ((i.toLong * d) % 83).toDouble / 83.0))
+  }
+
+  test("D11 absorb: a new batch attaches map-side against the persisted routing; absorb ≡ rebuild; stream replays are physical no-ops") {
+    import spark.implicits._
+    import graft.operators.Hnsw
+    val idxA = java.nio.file.Files.createTempDirectory("graft_hnsw_absA").toString
+    val idxB = java.nio.file.Files.createTempDirectory("graft_hnsw_absB").toString
+    // B: one-shot full build (the rebuild reference)
+    Hnsw.hnswPersistedTopk(spark, sfDir, indexPath = Some(idxB)).count()
+    // A: SAME routing artifact, historical corpus attached first, the
+    // "new epoch" absorbed after — exactly the daily-batch shape
+    spark.read.parquet(s"$idxB/routing").write.parquet(s"$idxA/routing")
+    val e = new graft.sources.GraftCatalog(spark, sfDir).table("embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
+    val isNew = pmod(col("vec_id"), lit(5L)) === 0L
+    Hnsw.hnswAbsorb(spark, idxA, e.where(!isNew))
+    Hnsw.hnswAbsorb(spark, idxA, e.where(isNew))
+    def shardSet(idx: String) = spark.read.parquet(s"$idx/shards")
+      .select(col("vec_id"), col("entry_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shardSet(idxA) === shardSet(idxB),
+      "absorb against the frozen routing artifact must equal the rebuild")
+    assert(Hnsw.serveHnsw(spark, sfDir, idxA).collect().map(_.toString).toSeq ===
+      Hnsw.serveHnsw(spark, sfDir, idxB).collect().map(_.toString).toSeq)
+    // streaming absorb: overlap across batches collapses in the
+    // anti-join; a replayed batch writes NOTHING (file identity)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = Hnsw.hnswIndexSink(stream.toDF().toDF("vec_id", "emb"), idxA)
+    stream.addData(mkVecs(910000 until 910010)); q.processAllAvailable()
+    stream.addData(mkVecs(910005 until 910015)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$idxA/shards")
+      .where(col("vec_id") >= 910000L)
+    assert(streamed.select("vec_id").distinct().count() === 15)
+    assert(streamed.groupBy("vec_id", "entry_id").count()
+      .where(col("count") > 1).count() === 0, "no duplicate assignment rows")
+    val files = partFiles(s"$idxA/shards")
+    Hnsw.applyHnswBatch(mkVecs(910000 until 910010).toDF("vec_id", "emb"), 0L, idxA)
+    assert(partFiles(s"$idxA/shards") === files, "replay must write nothing")
+    // un-built index: clear contract error, not a path-not-found
+    val err = intercept[IllegalStateException] {
+      Hnsw.applyHnswBatch(mkVecs(0 until 1).toDF("vec_id", "emb"), 0L,
+        java.nio.file.Files.createTempDirectory("graft_hnsw_none").toString)
+    }
+    assert(err.getMessage.contains("build the HNSW index"))
+  }
+
+  test("D11 compaction: fragmented entry shards fold to one file each, serve-identical, untouched shards file-identical, idempotent") {
+    import spark.implicits._
+    import graft.operators.Hnsw
+    val idx = java.nio.file.Files.createTempDirectory("graft_hnsw_cpt").toString
+    Hnsw.hnswPersistedTopk(spark, sfDir, indexPath = Some(idx)).count()
+    (0 until 5).foreach { b =>
+      Hnsw.hnswAbsorb(spark, idx,
+        mkVecs(920000 + b * 10 until 920000 + b * 10 + 10).toDF("vec_id", "emb"))
+    }
+    val before = partFiles(s"$idx/shards")
+    val content = spark.read.parquet(s"$idx/shards")
+      .select(col("vec_id"), col("entry_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val serveBefore = Hnsw.serveHnsw(spark, sfDir, idx).collect().map(_.toString).toSeq
+    val compacted = Hnsw.hnswCompact(spark, idx, maxFiles = 3)
+    assert(compacted.nonEmpty, "absorbs must have fragmented some shard")
+    val after = partFiles(s"$idx/shards")
+    compacted.foreach { id =>
+      assert(after(s"entry_id=$id").size === 1,
+        s"compacted shard $id must hold ONE file")
+    }
+    before.foreach { case (part, fsSet) =>
+      val id = part.stripPrefix("entry_id=").toLong
+      if (!compacted.contains(id))
+        assert(after(part) === fsSet, s"untouched shard $part was rewritten")
+    }
+    assert(spark.read.parquet(s"$idx/shards")
+      .select(col("vec_id"), col("entry_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === content)
+    assert(Hnsw.serveHnsw(spark, sfDir, idx).collect().map(_.toString).toSeq
+      === serveBefore)
+    assert(Hnsw.hnswCompact(spark, idx, maxFiles = 3) === Seq.empty)
+  }
 }
