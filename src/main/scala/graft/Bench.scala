@@ -87,7 +87,10 @@ object Bench {
     // the point-in-time feature snapshot (as-of + strict-prior windows)
     "src_wap_publish", "pipeline_curate_pairs",
     "pipeline_cluster_split", "q_feature_snapshot", "mm_token_budget",
-    "pipeline_weighted_sample")
+    "pipeline_weighted_sample",
+    // round-11 addition: the Zipf-slope crawl diagnostic (tokenize +
+    // count shuffle + tree-reduced top-k + k-row regression)
+    "text_zipf_slope")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -25,30 +25,49 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftPipelines {
 
-  /** The pure read-path queries exposed as SQL views — one flagship
-    * (or more) per family: C dedup, D similarity, E text, F
-    * multimodal, H assembly, plus the B-profiling entry points a SQL
-    * analyst reaches for first. Excluded by design: anything that
-    * writes (dedup_incremental, sim_*_persisted, src_* actions).
+  /** The pure read-path queries exposed as SQL views — the full
+    * C/D/E/F/H operator surface (~60 views): every dedup family lane,
+    * the in-memory ANN builds, the complete text-analysis battery,
+    * the multimodal funnels, and the assembly pipeline. Excluded by
+    * design: anything that writes (dedup_incremental,
+    * sim_*_persisted/incremental, src_* actions) — those are API-side
+    * ACTIONS, and a SELECT must never mutate.
     */
   val ViewQueries: Seq[String] = Seq(
     // C: dedup
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_clusters_exact", "dedup_semantic",
-    "dedup_sorted_neighborhood", "dedup_source_overlap",
-    "text_decontaminate",
-    // D: similarity
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_lsh",
+    "dedup_clusters", "dedup_clusters_exact",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_lsh",
+    "dedup_semantic", "dedup_substring", "dedup_substring_removal",
+    "dedup_sorted_neighborhood", "dedup_sorted_neighborhood_multi",
+    "dedup_source_overlap",
+    "text_decontaminate", "text_decontaminate_semantic",
+    "text_decontaminate_semantic_lsh",
+    // D: similarity (in-memory builds only — persisted/incremental
+    // index MAINTENANCE stays API-side, serving is reachable here)
     "sim_bruteforce_topk", "sim_filtered_topk", "sim_mmr_topk",
     "sim_hybrid_rrf", "sim_label_centroids", "sim_hash_embed_knn",
+    "sim_ivf_topk", "sim_lsh_topk", "sim_pq_topk", "sim_hnsw_topk",
+    "sim_quantize_int8", "sim_sign_quantize",
     // E: text analysis
-    "text_langid", "text_quality", "text_tokens",
-    "text_fingerprint_exact", "text_tfidf_top_terms",
+    "text_langid", "text_quality", "text_tokens", "text_redact",
+    "text_repetition", "text_fingerprint_exact", "text_tfidf_top_terms",
     "text_bm25_retrieval", "text_dsir_weights", "text_vocab_coverage",
+    "text_vocab_growth", "text_zipf_slope",
+    "text_unigram_logprob", "text_bigram_logprob",
+    "text_hash_embed", "text_bpe_tokens", "text_quality_classifier",
     // F: multimodal
-    "mm_token_budget", "pipeline_curate_pairs",
+    "mm_binary_meta", "mm_payload_dedup", "mm_feature_extract",
+    "mm_frame_sample", "mm_resize", "mm_token_budget",
+    "pipeline_curate_pairs",
     // H: assembly
     "pipeline_curate_corpus", "pipeline_token_budget",
-    "pipeline_pack_sequences", "pipeline_cluster_split",
+    "pipeline_pack_sequences", "pipeline_pack_sequences_bpe",
+    "pipeline_pack_split", "pipeline_pack_masks",
+    "pipeline_chunk_documents", "pipeline_mixture_sample",
+    "pipeline_train_val_test", "pipeline_contrastive_pairs",
+    "pipeline_assemble_corpus", "pipeline_cluster_split",
     "pipeline_weighted_sample", "pipeline_curriculum")
 
   /** Register every flagship operator result as `graft_<name>` in the

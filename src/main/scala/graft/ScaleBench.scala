@@ -53,7 +53,10 @@ object ScaleBench {
     "pipeline_curriculum",
     // round-10 additions
     "pipeline_curate_pairs", "pipeline_cluster_split",
-    "q_feature_snapshot", "mm_token_budget", "pipeline_weighted_sample")
+    "q_feature_snapshot", "mm_token_budget", "pipeline_weighted_sample",
+    // round-11 additions: the one-pass token budget (the H5 fix —
+    // the ratio now prices ONE tokenize) and scan-time BM25 retrieval
+    "pipeline_token_budget", "text_bm25_retrieval")
 
   /** Queries whose dominant cost grain does not grow with corpus
     * rows, with the reason — a ratio well under 10 is the DESIGN.

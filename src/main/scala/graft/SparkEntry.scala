@@ -185,6 +185,7 @@ object SparkEntry {
     "text_bpe_tokens"            -> BpeTokenizer.bpeTokens _,
     "text_dsir_weights"          -> TextAnalysis.dsirWeights _,
     "text_vocab_coverage"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
+    "text_zipf_slope"            -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
     "text_vocab_growth"          -> ((s: SparkSession, d: String) => TextAnalysis.vocabGrowth(s, d)),
     "text_bm25_retrieval"        -> Bm25.retrieve _,
     "text_quality_classifier"    -> TextAnalysis.qualityClassifier _,
@@ -1973,6 +1974,37 @@ object SparkEntry {
              CAST((SELECT sum(nw.n_new) FROM nw
                    WHERE nw.fb <= g.bucket) AS BIGINT) AS cum_vocab
       FROM tok g ORDER BY g.bucket""",
+
+    // E18: least-squares slope of ln(cnt) on ln(rank) over the top-100
+    // words, exact integer sums, negated so the integer division stays
+    // in the engines' agreeing non-negative range; HUGEINT for the 1e6
+    // rescale (Spark side runs DECIMAL(38,0)).
+    "text_zipf_slope" -> """
+      WITH w AS (
+        SELECT unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS word
+        FROM documents
+      ), c AS (
+        SELECT word, count(*) AS cnt FROM w GROUP BY word
+      ), top AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+        FROM c ORDER BY cnt DESC, word LIMIT 100
+      ), xy AS (
+        SELECT CAST(floor(ln(rank) * 1000000) AS BIGINT) AS x,
+               CAST(floor(ln(cnt) * 1000000) AS BIGINT) AS y
+        FROM top
+      ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+               CAST(sum(x * y) AS BIGINT) AS sum_xy,
+               CAST(sum(x * x) AS BIGINT) AS sum_xx
+        FROM xy
+      )
+      SELECT n_words, sum_x, sum_y, sum_xy, sum_xx,
+             CAST(((CAST(sum_x AS HUGEINT) * sum_y - CAST(n_words AS HUGEINT) * sum_xy) * 1000000)
+                  // (CAST(n_words AS HUGEINT) * sum_xx - CAST(sum_x AS HUGEINT) * sum_x)
+                  AS BIGINT) AS neg_slope_micro
+      FROM agg""",
 
     "text_vocab_coverage" -> """
       WITH w AS (

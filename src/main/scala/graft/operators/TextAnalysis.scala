@@ -292,6 +292,52 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** E18: Zipf rank-frequency SLOPE — the third crawl-health
+    * diagnostic next to E10 (head coverage) and E17 (vocab growth):
+    * natural text follows freq ∝ rank^s with s ≈ −1 (Zipf's law); a
+    * slope far above −1 (flat) means ID/boilerplate noise, far below
+    * (steep) means template/duplicate inflow dominating the head.
+    * Computed as the exact least-squares slope of ln(cnt) on ln(rank)
+    * over the top-k words: per-rank x = ⌊ln(rank)·1e6⌋ and
+    * y = ⌊ln(cnt)·1e6⌋ (the E8 floor-after-ln convention, per-rank
+    * spec-replayed vs driver Math.log), then
+    * slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) on exact BIGINT sums —
+    * emitted NEGATED (`neg_slope_micro`) because cnt is non-increasing
+    * in rank BY CONSTRUCTION, so the numerator is always ≤ 0 and the
+    * negated integer division stays in the engines' agreeing
+    * non-negative range (Spark `div` truncates, DuckDB `//` floors —
+    * they only agree above zero; the 1e6 rescale runs in
+    * DECIMAL(38,0)/HUGEINT, since Σx·Σy·1e6 ≈ 2e23 overflows BIGINT).
+    * Scale shape: one tokenize + one word-count shuffle + a
+    * tree-reduced top-k (TakeOrdered), the regression over k rows —
+    * corpus-size-independent after the count. The sums ride along for
+    * per-term diagnosability. VALUE-EXACT.
+    */
+  def zipfSlope(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val counts = docs(s, dir).select(explode(words).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("word")).limit(k)
+    val ranked = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+      .select(
+        floor(log(col("rank").cast("double")) * 1000000.0).cast("long").as("x"),
+        floor(log(col("cnt").cast("double")) * 1000000.0).cast("long").as("y"))
+    ranked
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("x").as("sum_x"), sum("y").as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_xx"))
+      .select(col("n_words"), col("sum_x"), col("sum_y"),
+        col("sum_xy"), col("sum_xx"),
+        expr("""CAST((CAST(sum_x AS DECIMAL(38,0)) * sum_y - CAST(n_words AS DECIMAL(38,0)) * sum_xy) * 1000000
+                 div (CAST(n_words AS DECIMAL(38,0)) * sum_xx - CAST(sum_x AS DECIMAL(38,0)) * sum_x)
+                AS BIGINT)""").as("neg_slope_micro"))
+  }
+
   /** E4: winnowing document fingerprints (k=8 chars, window=4) —
     * rows-only (xxhash64 is engine-specific); stability spec-tested.
     */

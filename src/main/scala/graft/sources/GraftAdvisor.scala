@@ -131,47 +131,61 @@ object GraftAdvisor {
   }
 
   /** A34 extended to VECTOR INDEXES: a metadata-only sweep of a
-    * persisted IVF layout (`$idx/centroids` + `$idx/lists`) — no
-    * vectors read. Two rules:
-    *  - `compact-lists` (D14): a streaming/batch absorb cadence (G19,
-    *    `ivfAppend`) leaves one file per batch per touched list —
-    *    when any list passes `maxFilesPerList`, probe open-cost grows
-    *    with batch count, not data; `ivfCompact` clears it.
-    *  - `rebalance-lists` (D2): file-BYTE skew across lists beyond
-    *    `maxListSkew`× the mean says the centroids no longer fit the
-    *    data distribution (drift since training) — probes against the
-    *    hot list do that multiple of the average work; a retrain/
-    *    rebuild under a new index path restores balance.
+    * persisted ANN layout — no vectors read. Covers BOTH stores: the
+    * IVF layout (`$idx/lists`, `centroid_id=` partitions) and, since
+    * r11, the HNSW layout (`$idx/shards`, `entry_id=` partitions) —
+    * the D15 absorb cadence fragments entry shards exactly as G19
+    * fragments IVF lists. Rules per layout:
+    *  - `compact-lists` / `compact-shards` (D14/D16): an absorb
+    *    cadence leaves one file per batch per touched partition —
+    *    past `maxFilesPerList`, probe open-cost grows with batch
+    *    count, not data; `ivfCompact` / `hnswCompact` clears it.
+    *  - `rebalance-lists` / `rebalance-shards` (D2/D11): file-BYTE
+    *    skew beyond `maxListSkew`× the mean says the trained
+    *    artifact (centroids / routing nodes) no longer fits the data
+    *    distribution — probes against the hot partition do that
+    *    multiple of the average work; a retrain/rebuild restores
+    *    balance.
     * Acting on the advice clears it (the A34 contract).
     */
   def adviseVectorIndex(s: SparkSession, indexPath: String,
       maxFilesPerList: Int = 4, maxListSkew: Double = 4.0): Seq[Advice] = {
-    val lists = new Path(s"$indexPath/lists")
-    val fs = lists.getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(lists)) return Seq.empty
-    val parts = fs.listStatus(lists).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("centroid_id="))
-      .map { st =>
-        val files = fs.listStatus(st.getPath)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-        (st.getPath.getName, files.length, files.map(_.getLen).sum)
-      }
-    if (parts.isEmpty) return Seq.empty
-    val out = Seq.newBuilder[Advice]
-    val fragmented = parts.filter(_._2 > maxFilesPerList)
-    if (fragmented.nonEmpty)
-      out += Advice(new Path(indexPath).getName, "compact-lists",
-        fragmented.length.toLong,
-        s"${fragmented.length} of ${parts.length} lists carry more than " +
-          s"$maxFilesPerList files (max ${parts.map(_._2).max}) - run ivfCompact")
-    val meanBytes = parts.map(_._3).sum.toDouble / parts.length
-    val hot = parts.maxBy(_._3)
-    if (meanBytes > 0 && hot._3 > meanBytes * maxListSkew)
-      out += Advice(new Path(indexPath).getName, "rebalance-lists",
-        math.round(hot._3 / meanBytes),
-        f"list ${hot._1} holds ${hot._3 / meanBytes}%.1fx the mean list bytes - " +
-          "centroids drifted; retrain/rebuild the index")
-    out.result()
+    val conf = s.sessionState.newHadoopConf()
+    val idxName = new Path(indexPath).getName
+    def sweep(sub: String, prefix: String): Seq[(String, Int, Long)] = {
+      val d = new Path(s"$indexPath/$sub")
+      val fs = d.getFileSystem(conf)
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .map { st =>
+          val files = fs.listStatus(st.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+          (st.getPath.getName, files.length, files.map(_.getLen).sum)
+        }
+    }
+    def layoutAdvice(parts: Seq[(String, Int, Long)], what: String,
+        compactRule: String, rebalanceRule: String,
+        compactAction: String, drift: String): Seq[Advice] = {
+      if (parts.isEmpty) return Seq.empty
+      val out = Seq.newBuilder[Advice]
+      val fragmented = parts.filter(_._2 > maxFilesPerList)
+      if (fragmented.nonEmpty)
+        out += Advice(idxName, compactRule, fragmented.length.toLong,
+          s"${fragmented.length} of ${parts.length} $what carry more than " +
+            s"$maxFilesPerList files (max ${parts.map(_._2).max}) - run $compactAction")
+      val meanBytes = parts.map(_._3).sum.toDouble / parts.length
+      val hot = parts.maxBy(_._3)
+      if (meanBytes > 0 && hot._3 > meanBytes * maxListSkew)
+        out += Advice(idxName, rebalanceRule, math.round(hot._3 / meanBytes),
+          f"${hot._1} holds ${hot._3 / meanBytes}%.1fx the mean $what bytes - " +
+            s"$drift; retrain/rebuild the index")
+      out.result()
+    }
+    layoutAdvice(sweep("lists", "centroid_id="), "lists",
+      "compact-lists", "rebalance-lists", "ivfCompact", "centroids drifted") ++
+    layoutAdvice(sweep("shards", "entry_id="), "shards",
+      "compact-shards", "rebalance-shards", "hnswCompact", "routing drifted")
   }
 
   /** The advice as a small driver-local DataFrame for display. */

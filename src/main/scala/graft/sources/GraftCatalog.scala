@@ -327,6 +327,36 @@ final class GraftCatalog(spark: SparkSession, root: String) {
   def snapshotFilesAsOf(name: String, id: Long): Seq[String] =
     readManifest(name, id)._2
 
+  /** A40: snapshot EXPORT — the cross-system data-sharing handoff
+    * (the Delta-Sharing / Iceberg-metadata shape): a published epoch
+    * is written out as ONE engine-neutral JSON manifest — table name,
+    * epoch id, schema DDL, and the absolute data-file list — that a
+    * FOREIGN parquet-capable reader consumes with no graft code at
+    * all: read exactly the listed files. Because the export names the
+    * SAME files the snapshot manifest pins, it is immutable under
+    * every later append/publish (a new epoch adds files, it never
+    * rewrites pinned ones) and stays valid until the epoch is expired
+    * and vacuumed — the exact liveness contract the A27 vacuum
+    * already anchors on manifests. Metadata-only: no data file is
+    * read or copied; export cost is O(files) names. Returns the
+    * exported file list.
+    */
+  def exportSnapshot(name: String, id: Long, outFile: String): Seq[String] = {
+    val (_, files) = readManifest(name, id)
+    val schemaDdl = tableAsOf(name, id).schema.toDDL
+    def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json =
+      s"""{"table":"${esc(name)}","epoch":$id,""" +
+        s""""schema":"${esc(schemaDdl)}",""" +
+        files.map(f => "\"" + esc(f) + "\"").mkString("\"files\":[", ",", "]}")
+    val p = new org.apache.hadoop.fs.Path(outFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    files
+  }
+
   /** The newest published epoch whose manifest was WRITTEN at or
     * before `epochMs` (manifest file mtime — the publish instant) —
     * the `TIMESTAMP AS OF` resolution rule.

@@ -23,6 +23,69 @@ import org.apache.spark.sql.functions._
   */
 object GraftCdc {
 
+  /** A41 (outbound — the other half of the CDC loop): PUBLISH a
+    * change feed as a durable, seq-stamped log segment that any
+    * downstream consumer — graft's own `applyFeed`, or a foreign
+    * system speaking the same Debezium-style envelope — can replay in
+    * order. Input is exactly what the COW merge emits at write time
+    * (`GraftSink.mergeUpsertCdf`: row images + `change_type`), so a
+    * table's mutations stream OUT of the warehouse with no second
+    * scan of anything.
+    *
+    * Layout: parquet under `logDir`, hive-partitioned by `epoch` (the
+    * caller's batch/epoch id), each row stamped with a monotone `seq`.
+    * Seq assignment: base = max seq over OTHER epochs (column-pruned
+    * scan of the tiny seq column), new rows numbered base+1… in a
+    * deterministic order (all image columns, then change_type) — so a
+    * REPLAYED publish of the same epoch recomputes the SAME base and
+    * the same stamps, and the per-epoch dynamic overwrite makes the
+    * replay idempotent (the G4 batch-id-is-the-partition rule).
+    * Cost is O(feed): the log is append-shaped, history never
+    * rewritten. Returns the (fromSeq, toSeq] bounds of the published
+    * segment — the consumer's watermark advance.
+    */
+  def publishFeed(feed: DataFrame, logDir: String, epoch: Long): (Long, Long) = {
+    val s = feed.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(logDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val base: Long =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(logDir))) 0L
+      else {
+        val r = s.read.parquet(logDir)
+          .where(col("epoch") =!= epoch)
+          .agg(max("seq")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+    val imageCols = feed.columns.filter(_ != "change_type").toSeq
+    // total order over the CHURN via the range-partitioned GlobalOrder
+    // index (a monotone log NEEDS a total order; GlobalOrder gives it
+    // without a SinglePartition window — the B62/C14 discipline)
+    val indexed = graft.operators.GlobalOrder.index(
+      feed, (imageCols :+ "change_type").map(col): _*)
+    val n = feed.count()
+    val stamped = indexed
+      .withColumn("seq", col("rn") + 1L + base).drop("rn")
+      .withColumn("epoch", lit(epoch))
+      .localCheckpoint(true) // the overwrite below replaces this epoch's dir
+    try stamped.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(logDir)
+    finally graft.GraftSession.releaseCheckpoint(stamped)
+    (base, base + n)
+  }
+
+  /** Read a published log segment with `seq` in (fromSeq, toSeq] back
+    * as a B69 feed frame — the consumer half of `publishFeed`, shaped
+    * exactly like `readFeedSegment`'s JDBC envelope so `applySegment`
+    * logic composes unchanged. Epoch partitions prune the scan when
+    * the caller tracks epochs; the seq predicate is pushed down.
+    */
+  def readPublishedSegment(s: SparkSession, logDir: String,
+      fromSeq: Long, toSeq: Long): DataFrame =
+    s.read.parquet(logDir)
+      .where(col("seq") > fromSeq && col("seq") <= toSeq)
+      .drop("seq", "epoch")
+
   /** Read the change-log segment with `seq` in (fromSeq, toSeq] as a
     * B69 feed frame, stride-partitioned N ways over the seq range.
     */

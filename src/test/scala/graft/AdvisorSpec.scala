@@ -140,4 +140,27 @@ class AdvisorSpec extends SparkSpecBase {
       .forall(_.rule != "compact-lists"),
       "acting on the advice must clear it")
   }
+
+  test("vector-index advice covers the HNSW shard layout; hnswCompact clears it") {
+    import graft.operators.Hnsw
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft_hnsw_adv").toString
+    Hnsw.hnswPersistedTopk(spark, sfDir, indexPath = Some(idx)).count()
+    assert(GraftAdvisor.adviseVectorIndex(spark, idx, maxFilesPerList = 4)
+      .forall(_.rule != "compact-shards"), "fresh build must not be fragmented")
+    // an absorb per 'day' → entry shards fragment past the threshold
+    (0 until 6).foreach { b =>
+      val fresh = spark.range(700000L + b * 8, 700000L + b * 8 + 8)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(1, 64), i -> CAST(pmod(id * i, 71) AS DOUBLE) / 71.0)")
+            .as("emb"))
+      Hnsw.hnswAbsorb(spark, idx, fresh)
+    }
+    val adv = GraftAdvisor.adviseVectorIndex(spark, idx, maxFilesPerList = 4)
+    assert(adv.exists(_.rule == "compact-shards"), adv.toString)
+    Hnsw.hnswCompact(spark, idx, maxFiles = 4)
+    assert(GraftAdvisor.adviseVectorIndex(spark, idx, maxFilesPerList = 4)
+      .forall(_.rule != "compact-shards"),
+      "acting on the advice must clear it")
+  }
 }

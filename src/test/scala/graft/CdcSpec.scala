@@ -126,4 +126,55 @@ class CdcSpec extends SparkSpecBase {
     assert(GraftCdc.applyNext(spark, d, Table, root) === 26L)
     assert(served === rollup(netState(26L)))
   }
+
+  test("A41 outbound: published change-log segments replay idempotently and drive a downstream rollup to the table's exact state") {
+    val scratch = graft.sources.GraftSink.scratchDir + "/cdc_out"
+    val rp = new org.apache.hadoop.fs.Path(scratch)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    val tbl = s"$scratch/orders.parquet"
+    val logDir = s"$scratch/changelog"
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tbl)
+    val dd = GraftMv.MvDef("<cdc>", "<none>", groupCols = Seq("o_orderstatus"),
+      measures = Seq("cnt" -> GraftMv.MvCount,
+        "sum_cust" -> GraftMv.MvSum("o_custkey")))
+    // the downstream system's rollup, seeded from the epoch-0 state
+    val mv0 = GraftMv.mvFrameOf(spark.read.parquet(tbl), dd).localCheckpoint(true)
+    // epoch 1: a COW merge captures its feed at write time, and the
+    // feed publishes OUT as a seq-stamped log segment
+    val upd1 = orders.where(col("o_orderkey") % 100 === 0)
+      .withColumn("o_custkey", col("o_custkey") + 1L)
+    val feed1 = graft.sources.GraftSink.mergeUpsertCdf(
+      spark, tbl, upd1, Seq("o_orderkey"), "o_orderstatus")
+    val (f1, t1) = GraftCdc.publishFeed(feed1, logDir, epoch = 1L)
+    assert(f1 === 0L && t1 === feed1.count())
+    // REPLAYED publish of the same epoch: same bounds, same stamped
+    // content (the per-epoch dynamic overwrite rewrites, never dups)
+    val before = spark.read.parquet(logDir).collect().map(_.toString).sorted
+    assert(GraftCdc.publishFeed(feed1, logDir, epoch = 1L) === ((f1, t1)))
+    assert(spark.read.parquet(logDir).collect().map(_.toString).sorted
+      === before, "a replayed publish must leave identical log content")
+    // epoch 2 continues the sequence exactly where epoch 1 ended
+    val upd2 = orders.where(col("o_orderkey") % 100 === 50)
+      .withColumn("o_custkey", col("o_custkey") + 7L)
+    val feed2 = graft.sources.GraftSink.mergeUpsertCdf(
+      spark, tbl, upd2, Seq("o_orderkey"), "o_orderstatus")
+    val (f2, t2) = GraftCdc.publishFeed(feed2, logDir, epoch = 2L)
+    assert(f2 === t1, "segment bounds must be contiguous")
+    assert(t2 === t1 + feed2.count())
+    // the consumer half: applying the PUBLISHED segments in order
+    // drives the rollup to the mutated table's exact aggregate
+    val mv1 = GraftMv.applyFeed(mv0,
+      GraftCdc.readPublishedSegment(spark, logDir, f1, t1), dd)
+      .localCheckpoint(true)
+    val mv2 = GraftMv.applyFeed(mv1,
+      GraftCdc.readPublishedSegment(spark, logDir, f2, t2), dd)
+    val expect = GraftMv.mvFrameOf(spark.read.parquet(tbl), dd)
+    assert(mv2.orderBy("o_orderstatus").collect().map(_.toString).toSeq ===
+      expect.orderBy("o_orderstatus").collect().map(_.toString).toSeq,
+      "published log → applyFeed must equal the table's final rollup")
+    graft.GraftSession.releaseCheckpoint(mv0)
+    graft.GraftSession.releaseCheckpoint(mv1)
+  }
 }

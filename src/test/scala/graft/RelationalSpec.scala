@@ -431,4 +431,41 @@ class RelationalSpec extends SparkSpecBase {
     // untouched partition ('P') contributes nothing to the feed
     assert(feed.where(col("o_orderstatus") === "P").count() === 0)
   }
+
+  test("A40: an exported snapshot manifest serves a FOREIGN reader exactly, immutably under later appends") {
+    import graft.sources.GraftCatalog
+    import org.apache.spark.sql.functions.col
+    val root = graft.sources.GraftSink.scratchDir + "/exportdemo"
+    val tbl = s"$root/orders.parquet"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.where(col("o_orderstatus") === "O")
+      .write.mode("overwrite").parquet(tbl)
+    val cat = new GraftCatalog(spark, root)
+    val v1 = cat.publishSnapshot("orders")
+    val manifest = s"$root/export_v1.json"
+    val exported = cat.exportSnapshot("orders", v1, manifest)
+    // a later epoch lands AFTER the export
+    orders.where(col("o_orderstatus") === "F")
+      .write.mode("append").parquet(tbl)
+    new GraftCatalog(spark, root).publishSnapshot("orders")
+    // FOREIGN-reader consumption: parse the JSON with plain Spark, read
+    // exactly the listed parquet files — zero graft code on the path
+    val m = spark.read.option("multiLine", true).json(manifest)
+    val row = m.head()
+    assert(row.getAs[String]("table") === "orders")
+    assert(row.getAs[Long]("epoch") === v1)
+    assert(row.getAs[String]("schema").contains("o_orderkey"))
+    val files = row.getAs[scala.collection.Seq[String]]("files").toList
+    assert(files.toSet === exported.toSet)
+    val foreign = spark.read.parquet(files: _*)
+    val expect = cat.tableAsOf("orders", v1)
+    assert(foreign.collect().map(_.toString).sorted ===
+      expect.collect().map(_.toString).sorted,
+      "the exported file list must serve the pinned epoch exactly")
+    // immutability: the post-export append is INVISIBLE to the export
+    assert(foreign.where(col("o_orderstatus") === "F").count() === 0)
+  }
 }

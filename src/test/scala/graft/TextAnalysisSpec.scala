@@ -474,4 +474,27 @@ class TextAnalysisSpec extends SparkSpecBase {
       case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => i }
     assert(ims.nonEmpty, "expected InMemoryTableScan of the cached word-bucket grain")
   }
+
+  test("E18: zipf slope — ln floors replay on the driver, slope is Zipf-negative and exact from the emitted sums") {
+    val r = graft.operators.TextAnalysis.zipfSlope(spark, sfDir).head()
+    val n = r.getLong(0); val sx = r.getLong(1); val sy = r.getLong(2)
+    val sxy = r.getLong(3); val sxx = r.getLong(4); val negSlope = r.getLong(5)
+    // the synthetic corpus has a SMALL closed vocabulary (31 words at
+    // these SFs) — the top-k clips at the vocab, n = min(k, vocab)
+    assert(n > 1L && n <= 100L, s"n_words=$n")
+    // the x lane replays exactly: Σ floor(ln(rank)·1e6), rank 1..n —
+    // the E8 floor-after-ln convention, diagnosable per rank
+    val expSx = (1L to n).map(rk => math.floor(math.log(rk.toDouble) * 1e6).toLong).sum
+    assert(sx === expSx, "ln(rank) floors must match driver Math.log")
+    // the emitted slope IS the integer division of the emitted sums
+    val num = (BigInt(sx) * sy - BigInt(n) * sxy) * 1000000
+    val den = BigInt(n) * sxx - BigInt(sx) * sx
+    assert(num >= 0, "cnt is non-increasing in rank, so the negated numerator is >= 0")
+    assert(BigInt(negSlope) === num / den)
+    // the diagnostic READ: a near-uniform synthetic vocabulary is FLAT
+    // (|slope| ≪ 1 — exactly what the rule calls boilerplate/noise);
+    // natural text would sit near 1e6. Assert the flat verdict here.
+    assert(negSlope > 0L && negSlope < 1000000L,
+      s"synthetic corpus must read flat-to-moderate: $negSlope")
+  }
 }
