@@ -67,9 +67,14 @@ object Bm25 {
   def retrieve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    // ONE tokenize (the E14/H5 rule): the (doc, word, tf) grain feeds
+    // THREE consumers (doc lengths, corpus token total, the queried
+    // postings) — cached, so the corpus is tokenized and pair-counted
+    // exactly once; uncached, each consumer re-derived it from files
     val pair = docs(s, dir)
       .select(col("doc_id"), explode(words).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .cache()
     val dls = pair.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       .crossJoin(pair.agg(sum("tf").as("l_tokens")))

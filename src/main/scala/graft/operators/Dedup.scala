@@ -963,8 +963,12 @@ object Dedup {
     * NULL score and are never flagged.
     */
   def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    // ONE embedding derivation (the E14/H5 rule): the per-doc hash
+    // embedding grain serves BOTH the corpus side and the broadcast
+    // eval side — cached, so the tokenize + (doc, dim) fold runs once
     val e = HashEmbed.embeddings(s, dir).where(col("norm2") > 0)
       .withColumn("nrm", sqrt(col("norm2").cast("double")))
+      .cache()
     val eval = e.where(isBenchDoc)
       .select(col("doc_id").as("eval_id"), col("emb").as("eem"), col("nrm").as("enrm"))
     val scored = e.where(!isBenchDoc).crossJoin(broadcast(eval))
@@ -1018,8 +1022,10 @@ object Dedup {
       }: _*)
       df.withColumn("bkt", explode(bkts))
     }
+    // one embedding derivation for both banded sides (the E14/H5 rule)
     val e = HashEmbed.embeddings(s, dir).where(col("norm2") > 0)
       .withColumn("nrm", sqrt(col("norm2").cast("double")))
+      .cache()
     val eval = banded(e.where(isBenchDoc))
       .select(col("bkt"), col("doc_id").as("eval_id"),
         col("emb").as("eem"), col("nrm").as("enrm"))

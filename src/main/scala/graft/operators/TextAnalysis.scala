@@ -474,10 +474,17 @@ object TextAnalysis {
       slice(col("ws"), lit(1), greatest(n - 1, lit(0))),
       slice(col("ws"), lit(2), greatest(n - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
+    // ONE bigram extraction (the E14/H5 rule): the (doc, bigram, n)
+    // grain feeds both the model fit and the per-doc scoring join —
+    // cached so the zip/explode never re-runs per consumer. (The
+    // vocabulary pass below is a DIFFERENT derivation — distinct
+    // unigrams, which bigrams can't recover for one-word docs — and
+    // is one column-pruned count-distinct, not a second grain.)
     val perDocBg = docs(s, dir)
       .withColumn("ws", words)
       .select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .cache()
     val model = perDocBg.groupBy("bg").agg(sum("n").as("cnt_b"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val prefix = model.groupBy("w1").agg(sum("cnt_b").as("cnt_p"))

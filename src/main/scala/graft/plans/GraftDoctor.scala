@@ -161,38 +161,36 @@ object GraftDoctor {
             case _ => // global aggregate / final limit: legitimate single-row funnels
           }
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          val mapSide = ancestors.takeWhile {
-            case _: ShuffleExchangeExec |
-                 _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec |
-                 _: org.apache.spark.sql.execution.UnionExec => false
-            case _ => true
+          // AQE's input plan carries no Exchange nodes yet, so the
+          // would-be exchange boundary is read off the REQUIREMENT:
+          // the subtree below the first ancestor demanding a
+          // distribution is what stage prep materializes — and what
+          // AQE's stage cache REUSES when two branches share it
+          // canonically. That subtree's canonical form is the site
+          // key (identical keys = one runtime materialization), and
+          // only expensive work INSIDE that segment counts — work
+          // above the boundary runs on the materialized/joined rows,
+          // not on a re-derivation of this scan.
+          var prev: SparkPlan = f
+          var key: String = null
+          var rest = ancestors
+          val segment = scala.collection.mutable.ArrayBuffer[SparkPlan](f)
+          while (key == null && rest.nonEmpty) {
+            val a = rest.head
+            val idx = a.children.indexWhere(_ eq prev)
+            val dist =
+              if (idx >= 0 && a.requiredChildDistribution.length > idx)
+                a.requiredChildDistribution(idx)
+              else org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+            if (dist != org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution)
+              key = prev.canonicalized.toString
+            else { segment += a; prev = a; rest = rest.tail }
           }
-          if (mapSide.exists(expensiveNode)) {
+          if (key == null) key = s"unexchanged-site-${System.identityHashCode(f)}"
+          if (segment.exists(expensiveNode)) {
             val loc = f.relation.location.rootPaths.map(_.toString).sorted.mkString(",")
             val filters = (f.dataFilters ++ f.partitionFilters)
               .map(_.toString.replaceAll("#\\d+", "")).sorted.mkString(";")
-            // AQE's input plan carries no Exchange nodes yet, so the
-            // would-be exchange boundary is read off the REQUIREMENT:
-            // the subtree below the first ancestor demanding a
-            // distribution is what stage prep materializes — and what
-            // AQE's stage cache REUSES when two branches share it
-            // canonically. That subtree's canonical form is the site
-            // key: identical keys = one runtime materialization.
-            var prev: SparkPlan = f
-            var key: String = null
-            var rest = ancestors
-            while (key == null && rest.nonEmpty) {
-              val a = rest.head
-              val idx = a.children.indexWhere(_ eq prev)
-              val dist =
-                if (idx >= 0 && a.requiredChildDistribution.length > idx)
-                  a.requiredChildDistribution(idx)
-                else org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
-              if (dist != org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution)
-                key = prev.canonicalized.toString
-              else { prev = a; rest = rest.tail }
-            }
-            if (key == null) key = s"unexchanged-site-${System.identityHashCode(f)}"
             tokenizedScans((loc, filters)) = tokenizedScans((loc, filters)) + key
           }
         case _ =>

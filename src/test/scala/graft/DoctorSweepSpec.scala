@@ -54,10 +54,37 @@ class DoctorSweepSpec extends SparkSpecBase {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
-  test("the pure query surface is free of the repeated-uncached-subtree class") {
+  /** Read-only queries beyond the high-severity Pure list, swept for
+    * the repeated-uncached-subtree class specifically — the full
+    * C/D/E/F/H read surface. (LSH lanes and sketch queries are
+    * rows-only for VALUES but their PLANS are still lintable.)
+    */
+  private val ReadOnly = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_lsh",
+    "dedup_clusters", "dedup_clusters_exact",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_lsh",
+    "dedup_semantic", "dedup_substring", "dedup_substring_removal",
+    "dedup_sorted_neighborhood_multi", "dedup_source_overlap",
+    "text_decontaminate", "text_decontaminate_semantic",
+    "text_decontaminate_semantic_lsh",
+    "sim_mmr_topk", "sim_hybrid_rrf", "sim_hash_embed_knn",
+    "sim_ivf_topk", "sim_lsh_topk", "sim_pq_topk", "sim_hnsw_topk",
+    "text_unigram_logprob", "text_bigram_logprob", "text_hash_embed",
+    "text_bpe_tokens", "text_dsir_weights", "text_quality_classifier",
+    "text_fingerprint", "text_fingerprint_exact", "text_bm25_retrieval",
+    "mm_binary_meta", "mm_payload_dedup", "mm_feature_extract",
+    "mm_frame_sample", "mm_resize",
+    "pipeline_pack_sequences_bpe", "pipeline_contrastive_pairs",
+    "pipeline_assemble_corpus", "q_wordcount")
+
+  test("the whole read-only surface is free of the repeated-uncached-subtree class") {
     // the E14/E17/H5/F7 double-tokenize bug recurred three rounds in a
-    // row; this sweep makes the class a permanent regression gate
-    val offenders = Pure.flatMap { name =>
+    // row, and the r11 wide sweep found five MORE instances (BM25's
+    // pair grain, the bigram grain, the semantic-decontamination
+    // embedding grain — all now cached); this sweep over the FULL
+    // read surface makes the class a permanent regression gate
+    val offenders = (Pure ++ ReadOnly).flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       GraftDoctor.lint(df).filter(_.rule == "repeated-uncached-subtree")
         .map(f => s"$name: $f")
