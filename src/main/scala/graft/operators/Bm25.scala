@@ -151,22 +151,35 @@ object Bm25 {
     val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
     val all = docs(s, dir)
     val isNewEpoch = pmod(col("doc_id"), lit(5L)) === 0L
-    def postings(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), explode(words).as("word"))
-      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
-    def doclens(d: DataFrame): DataFrame =
-      d.select(col("doc_id"), size(words).cast("long").as("dl"))
+    // ONE tokenize per epoch (the E14/H5 rule, applied to the BUILD):
+    // an explode_outer grain keeps zero-word docs (their null-word row
+    // contributes dl = 0 but still counts toward n_docs — E13's exact
+    // stats), and BOTH artifacts — postings and the doc-length
+    // sidecar — derive from the cached grain, so the corpus epoch is
+    // read and tokenized once, not once per artifact.
+    def artifacts(d: DataFrame): (DataFrame, DataFrame) = {
+      val g = d.select(col("doc_id"), explode_outer(words).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .cache()
+      val post = g.where(col("word").isNotNull)
+        .select(col("word"), col("doc_id"), col("tf"))
+      val dl = g.groupBy("doc_id")
+        .agg(sum(when(col("word").isNotNull, col("tf")).otherwise(0L)).as("dl"))
+      (post, dl)
+    }
     val dlPath = GraftSink.scratchDir + "/graft_doclen"
     // epoch-0 build (in production this already exists on disk)
-    GraftSink.writeBucketed(postings(all.where(!isNewEpoch)), "graft_postings", "word")
-    doclens(all.where(!isNewEpoch)).write.mode("overwrite").parquet(dlPath)
+    val (post0, dl0) = artifacts(all.where(!isNewEpoch))
+    GraftSink.writeBucketed(post0, "graft_postings", "word")
+    dl0.write.mode("overwrite").parquet(dlPath)
     // incremental absorb: append-only on both artifacts, bucket
     // layout preserved — no historical posting is rewritten
-    postings(all.where(isNewEpoch)).write.mode("append")
+    val (post1, dl1) = artifacts(all.where(isNewEpoch))
+    post1.write.mode("append")
       .bucketBy(8, "word").sortBy("word")
       .option("path", GraftSink.scratchDir + "/tbl_graft_postings")
       .format("parquet").saveAsTable("graft_postings")
-    doclens(all.where(isNewEpoch)).write.mode("append").parquet(dlPath)
+    dl1.write.mode("append").parquet(dlPath)
     // serve from the index alone: postings ⋈ query terms is a
     // bucket-pruned scan; dl/stats come from the sidecar
     val qterms = Queries.toDF("query_id", "term")
@@ -202,11 +215,21 @@ object Bm25 {
   def applyIndexBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long, root: String): Unit = {
     val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
-    batch.select(col("doc_id"), explode(words).as("word"))
-      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
-      .write.mode("overwrite").parquet(s"$root/postings/batch_id=$batchId")
-    batch.select(col("doc_id"), size(words).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(s"$root/doclen/batch_id=$batchId")
+    // ONE tokenize per micro-batch (the E14/H5 rule): postings AND the
+    // doc-length sidecar derive from a single pinned explode_outer
+    // grain (a zero-word doc keeps its dl = 0 row — it counts toward
+    // n_docs, E13's exact stats)
+    val g = batch.select(col("doc_id"), explode_outer(words).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    try {
+      g.where(col("word").isNotNull)
+        .select(col("word"), col("doc_id"), col("tf"))
+        .write.mode("overwrite").parquet(s"$root/postings/batch_id=$batchId")
+      g.groupBy("doc_id")
+        .agg(sum(when(col("word").isNotNull, col("tf")).otherwise(0L)).as("dl"))
+        .write.mode("overwrite").parquet(s"$root/doclen/batch_id=$batchId")
+    } finally graft.GraftSession.releaseCheckpoint(g)
   }
 
   /** The streaming entry: docs(doc_id, text) → incremental index. */
@@ -242,15 +265,21 @@ object Bm25 {
       val live = s"$root/$sub"
       val stage = s"$root/$sub.staging"
       // adoption: a previous swap that died between delete and rename
-      if (!fs.exists(path(live)) && fs.exists(path(stage)))
-        fs.rename(path(stage), path(live))
+      // (rename reports failure as FALSE — check it, or a failed
+      // adoption/commit silently serves an empty index)
+      if (!fs.exists(path(live)) && fs.exists(path(stage)) &&
+          !fs.rename(path(stage), path(live)))
+        throw new IllegalStateException(
+          s"[GRAFT] index-compaction adoption failed: rename($stage -> $live)")
       val df = s.read.parquet(live).drop("batch_id")
       val out =
         if (sub == "postings") df.repartition(col("word"))
         else df.coalesce(1)
       out.write.mode("overwrite").parquet(s"$stage/batch_id=0")
       fs.delete(path(live), true)
-      fs.rename(path(stage), path(live))
+      if (!fs.rename(path(stage), path(live)))
+        throw new IllegalStateException(
+          s"[GRAFT] index-compaction commit failed: rename($stage -> $live)")
     }
   }
 

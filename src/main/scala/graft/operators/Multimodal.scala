@@ -114,17 +114,46 @@ object Multimodal {
     gray
   }
 
+  /** The audio twin of `pngRoundTrip`: the payload bytes seed 64
+    * unsigned 8-bit PCM samples which round-trip through the REAL
+    * javax.sound.sampled WAV codec (AudioSystem encode → decode)
+    * before the feature pass runs on the DECODED samples. 8-bit PCM
+    * WAV is lossless, so the decoded statistics are deterministic.
+    */
+  private def wavRoundTrip(bytes: Array[Byte]): Array[Int] = {
+    val samples = new Array[Byte](64)
+    var i = 0
+    while (i < 64) {
+      samples(i) = if (bytes.length == 0) 0 else bytes(i % bytes.length)
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 8, 1, false /* unsigned 8-bit PCM */, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val decoded = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(out.toByteArray))
+    val back = decoded.readAllBytes()
+    back.take(64).map(_ & 0xFF)
+  }
+
   /** F2: batched per-partition "decode + feature extraction". The
     * decode stub computes byte statistics; with `codec = true` the
-    * SAME plumbing routes every payload through a real image codec
-    * (javax.imageio PNG encode→decode, `pngRoundTrip`) and the
-    * features are computed over the DECODED pixels — identical batch
-    * shape, identical output schema, so the stub⇄codec swap point is
-    * demonstrated with a genuine decoder, not only documented. The
-    * registered query keeps `codec = false` (byte-stat stub,
-    * value-exact oracle); the codec path is spec-driven. The 8
-    * histogram lanes are emitted as scalar columns (h0..h7) so the
-    * result is a flat, hashable table either way.
+    * SAME plumbing routes every payload through a real codec PER
+    * MODALITY — audio payloads through javax.sound.sampled's WAV
+    * encode→decode (`wavRoundTrip`), image/video payloads through
+    * javax.imageio's PNG encode→decode (`pngRoundTrip`) — and the
+    * features are computed over the DECODED samples/pixels:
+    * identical batch shape, identical output schema, so the
+    * stub⇄codec swap point is demonstrated with two genuine
+    * decoders, not only documented. The registered query keeps
+    * `codec = false` (byte-stat stub, value-exact oracle); the codec
+    * path is spec-driven. The 8 histogram lanes are emitted as
+    * scalar columns (h0..h7) so the result is a flat, hashable table
+    * either way.
     */
   def featureExtract(s: SparkSession, dir: String,
       codec: Boolean = false): DataFrame = {
@@ -143,15 +172,17 @@ object Multimodal {
           var sum = 0L
           var n = 0
           if (codec) {
-            // REAL DECODE: PNG round trip, features over decoded pixels
-            val gray = pngRoundTrip(bytes)
+            // REAL DECODE per modality: WAV samples for audio, PNG
+            // pixels otherwise — features over the DECODED values
+            val vals =
+              if (kind == "audio") wavRoundTrip(bytes) else pngRoundTrip(bytes)
             var i = 0
-            while (i < gray.length) {
-              hist(gray(i) >> 5) += 1
-              sum += gray(i)
+            while (i < vals.length) {
+              hist(vals(i) >> 5) += 1
+              sum += vals(i)
               i += 1
             }
-            n = gray.length
+            n = vals.length
           } else {
             // STUB DECODE: byte-level statistics in place of a codec.
             var i = 0

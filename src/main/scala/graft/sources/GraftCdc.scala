@@ -56,13 +56,14 @@ object GraftCdc {
           .agg(max("seq")).head()
         if (r.isNullAt(0)) 0L else r.getLong(0)
       }
+    val n = feed.count()
+    if (n == 0) return (base, base) // a no-change merge publishes nothing
     val imageCols = feed.columns.filter(_ != "change_type").toSeq
     // total order over the CHURN via the range-partitioned GlobalOrder
     // index (a monotone log NEEDS a total order; GlobalOrder gives it
     // without a SinglePartition window — the B62/C14 discipline)
     val indexed = graft.operators.GlobalOrder.index(
       feed, (imageCols :+ "change_type").map(col): _*)
-    val n = feed.count()
     val stamped = indexed
       .withColumn("seq", col("rn") + 1L + base).drop("rn")
       .withColumn("epoch", lit(epoch))

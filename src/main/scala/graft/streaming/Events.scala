@@ -302,7 +302,10 @@ object Events {
     // crash recovery: a committed staging dir (marker present) with no
     // live dir means the previous swap died between delete and rename —
     // finish it before reading.
-    if (!exists(sumPath) && fs.exists(marker(stagePath))) fs.rename(path(stagePath), path(sumPath))
+    if (!exists(sumPath) && fs.exists(marker(stagePath)) &&
+        !fs.rename(path(stagePath), path(sumPath)))
+      throw new IllegalStateException(
+        s"[GRAFT] summary swap adoption failed: rename($stagePath -> $sumPath)")
     val maxApplied: Long =
       if (!fs.exists(marker(sumPath))) -1L
       else {
@@ -324,7 +327,9 @@ object Events {
       val out = fs.create(marker(stagePath), true)
       try out.writeLong(batchId) finally out.close()
       fs.delete(path(sumPath), true)
-      fs.rename(path(stagePath), path(sumPath))
+      if (!fs.rename(path(stagePath), path(sumPath)))
+        throw new IllegalStateException(
+          s"[GRAFT] summary swap commit failed: rename($stagePath -> $sumPath)")
     } finally graft.GraftSession.releaseCheckpoint(merged)
   }
 
@@ -363,8 +368,10 @@ object Events {
       .getFileSystem(s.sessionState.newHadoopConf())
     def path(p: String) = new org.apache.hadoop.fs.Path(p)
     def marker(dir: String) = path(s"$dir/_applied_batch")
-    if (!fs.exists(path(mvPath)) && fs.exists(marker(stagePath)))
-      fs.rename(path(stagePath), path(mvPath))
+    if (!fs.exists(path(mvPath)) && fs.exists(marker(stagePath)) &&
+        !fs.rename(path(stagePath), path(mvPath)))
+      throw new IllegalStateException(
+        s"[GRAFT] MV swap adoption failed: rename($stagePath -> $mvPath)")
     val maxApplied: Long =
       if (!fs.exists(marker(mvPath))) -1L
       else {
@@ -383,7 +390,9 @@ object Events {
       val out = fs.create(marker(stagePath), true)
       try out.writeLong(batchId) finally out.close()
       fs.delete(path(mvPath), true)
-      fs.rename(path(stagePath), path(mvPath))
+      if (!fs.rename(path(stagePath), path(mvPath)))
+        throw new IllegalStateException(
+          s"[GRAFT] MV swap commit failed: rename($stagePath -> $mvPath)")
     } finally graft.GraftSession.releaseCheckpoint(merged)
   }
 
@@ -567,8 +576,10 @@ object Events {
       .getFileSystem(s.sessionState.newHadoopConf())
     def path(p: String) = new org.apache.hadoop.fs.Path(p)
     def marker(dir: String) = path(s"$dir/_committed")
-    if (!fs.exists(path(cntPath)) && fs.exists(marker(stagePath)))
-      fs.rename(path(stagePath), path(cntPath))
+    if (!fs.exists(path(cntPath)) && fs.exists(marker(stagePath)) &&
+        !fs.rename(path(stagePath), path(cntPath)))
+      throw new IllegalStateException(
+        s"[GRAFT] counts swap adoption failed: rename($stagePath -> $cntPath)")
     val changed = batch.select(col("user_id"), col("n"))
     val merged =
       (if (fs.exists(path(cntPath)))
@@ -583,7 +594,9 @@ object Events {
       val out = fs.create(marker(stagePath), true)
       try out.writeLong(0L) finally out.close()
       fs.delete(path(cntPath), true)
-      fs.rename(path(stagePath), path(cntPath))
+      if (!fs.rename(path(stagePath), path(cntPath)))
+        throw new IllegalStateException(
+          s"[GRAFT] counts swap commit failed: rename($stagePath -> $cntPath)")
       merged.orderBy(col("n").desc, col("user_id")).limit(k)
         .write.mode("overwrite").parquet(topPath)
     } finally graft.GraftSession.releaseCheckpoint(merged)

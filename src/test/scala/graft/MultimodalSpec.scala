@@ -139,16 +139,23 @@ class MultimodalSpec extends SparkSpecBase {
       assert((4 until 12).map(r.getLong).sum === 64L,
         s"decoded histogram must cover the 8x8 image: $r")
     }
-    // losslessness, independently replayed: the decoded mean equals the
-    // seeded image's pixel mean computed straight from the payload
-    val pay = Multimodal.mmTable(spark, sfDir).select("doc_id", "payload")
-      .orderBy("doc_id").limit(1).collect().head
-    val bytes = pay.getAs[Array[Byte]](1)
-    val gray = (0 until 64).map(p => bytes(p % bytes.length) & 0xFF)
-    val expMean = math.floor(gray.sum.toDouble / 64 * 1e6).toLong
-    val row = rRows.find(_.getLong(0) == pay.getLong(0)).get
-    assert(row.getLong(3) === expMean,
-      "PNG round trip must hand the feature pass the exact seeded pixels")
+    // losslessness, independently replayed PER MODALITY: audio routes
+    // through the real WAV codec (javax.sound.sampled), image/video
+    // through the real PNG codec (javax.imageio) — both lossless, and
+    // both seed from the same byte tiling, so the decoded mean equals
+    // the seed computed straight from the payload
+    val pays = Multimodal.mmTable(spark, sfDir)
+      .select("doc_id", "kind", "payload")
+      .orderBy("doc_id").limit(9).collect()
+    Seq("image", "audio", "video").foreach { k =>
+      val pay = pays.find(_.getString(1) == k).get
+      val bytes = pay.getAs[Array[Byte]](2)
+      val vals = (0 until 64).map(p => bytes(p % bytes.length) & 0xFF)
+      val expMean = math.floor(vals.sum.toDouble / 64 * 1e6).toLong
+      val row = rRows.find(_.getLong(0) == pay.getLong(0)).get
+      assert(row.getLong(3) === expMean,
+        s"$k: the codec round trip must hand the feature pass the exact seeded values")
+    }
   }
 
   test("frame sampling fans out 1..5 frames per video with bounded slices") {
