@@ -65,6 +65,7 @@ object GraftPipelines {
     "pipeline_curate_corpus", "pipeline_token_budget",
     "pipeline_pack_sequences", "pipeline_pack_sequences_bpe",
     "pipeline_pack_split", "pipeline_pack_masks",
+    "pipeline_pack_efficiency",
     "pipeline_chunk_documents", "pipeline_mixture_sample",
     "pipeline_train_val_test", "pipeline_contrastive_pairs",
     "pipeline_assemble_corpus", "pipeline_cluster_split",

@@ -196,6 +196,7 @@ object SparkEntry {
     "q_nation_pagerank"          -> Analytic.qNationPagerank _,
     "pipeline_chunk_documents"   -> Assembly.chunkDocuments _,
     "pipeline_token_budget"      -> Assembly.tokenBudgetSample _,
+    "pipeline_pack_efficiency"   -> Assembly.packEfficiency _,
     "pipeline_curriculum"        -> Assembly.curriculumStages _,
     "pipeline_train_val_test"    -> Assembly.trainValTestSplit _,
     "pipeline_cluster_split"     -> Assembly.clusterSafeSplit _,
@@ -1880,6 +1881,30 @@ object SparkEntry {
              tokens
       FROM r
       ORDER BY source, bucket, seq_no, doc_id""",
+
+    // H13: windows used by per-bucket contiguous fill vs the
+    // single-stream lower bound — the padding cost of parallelism
+    "pipeline_pack_efficiency" -> """
+      WITH t AS (
+        SELECT doc_id, source, doc_id // 1000 AS bucket,
+               CAST(length(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens
+        FROM documents
+      ), b AS (
+        SELECT source, bucket, sum(tokens) AS btok, count(*) AS nd
+        FROM t GROUP BY source, bucket
+      )
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(nd) AS BIGINT) AS n_docs,
+             CAST(sum(btok) AS BIGINT) AS total_tokens,
+             CAST(sum((btok + 2047) // 2048) AS BIGINT) AS n_windows,
+             CAST((sum(btok) + 2047) // 2048 AS BIGINT) AS windows_lb,
+             CAST(sum((btok + 2047) // 2048) - (sum(btok) + 2047) // 2048
+                  AS BIGINT) AS wasted_windows,
+             CAST(((sum(btok) + 2047) // 2048 * 1000000)
+                  // sum((btok + 2047) // 2048) AS BIGINT) AS efficiency_micro
+      FROM b GROUP BY source ORDER BY source""",
 
     "pipeline_pack_sequences" -> """
       WITH t AS (

@@ -153,6 +153,41 @@ object Assembly {
       .orderBy("source", "bucket", "seq_no", "doc_id")
   }
 
+  /** H13: PACKING-EFFICIENCY report — what the bucketed PARALLELISM
+    * of H1 costs in padding: contiguous fill wastes tokens only at
+    * each bucket's LAST window, so windows actually used per source =
+    * Σ_buckets ⌈bucket_tokens/SeqLen⌉, against the single-stream
+    * lower bound ⌈source_tokens/SeqLen⌉ — the gap (`wasted_windows`,
+    * `efficiency_micro`) is the price of packing buckets
+    * independently, and the knob it informs is PackBucket (bigger
+    * buckets → fewer boundaries → less padding, less parallelism).
+    * Every production training build watches exactly this number
+    * (padding fraction of the token budget). One tokenize, one
+    * map-combinable (source, bucket) aggregate, |sources| rows out;
+    * pure integer ceilings and `div` → VALUE-EXACT.
+    */
+  def packEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(
+      col("doc_id"), col("source"),
+      expr(s"doc_id div $PackBucket").as("bucket"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("tokens"))
+    val perBucket = toks.groupBy("source", "bucket")
+      .agg(sum("tokens").as("btok"), count(lit(1)).as("nd"))
+    perBucket.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum("nd").as("n_docs"),
+        sum("btok").as("total_tokens"),
+        sum(expr(s"(btok + ${SeqLen - 1}) div $SeqLen")).as("n_windows"))
+      .withColumn("windows_lb",
+        expr(s"(total_tokens + ${SeqLen - 1}) div $SeqLen"))
+      .withColumn("wasted_windows", col("n_windows") - col("windows_lb"))
+      .withColumn("efficiency_micro",
+        expr("(windows_lb * 1000000L) div n_windows"))
+      .orderBy("source")
+  }
+
   /** H1 on REAL subword counts: same contiguous packing, with the
     * per-doc token count coming from the learned BPE codec (E9) —
     * what an actual training build packs by — instead of E3's regex

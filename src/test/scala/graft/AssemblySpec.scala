@@ -330,6 +330,33 @@ class AssemblySpec extends SparkSpecBase {
       "expected at least one doc a doc-level split would have leaked")
   }
 
+  test("H13: packing efficiency — driver replay exact, lower bound holds, waste is the bucket-boundary cost") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Assembly.packEfficiency(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), expr("doc_id div 1000").as("bucket"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val seqLen = operators.Assembly.SeqLen
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = toks.filter(_._1 == src)
+      val byBucket = mine.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+      val actual = byBucket.values.map(t => (t + seqLen - 1) / seqLen).sum
+      val total = mine.map(_._3).sum
+      val lb = (total + seqLen - 1) / seqLen
+      assert(r.getLong(3) === total, s"$src total tokens")
+      assert(r.getLong(4) === actual, s"$src actual windows (per-bucket ceilings)")
+      assert(r.getLong(5) === lb, s"$src single-stream lower bound")
+      assert(lb <= actual, "contiguous fill can never beat the single-stream bound")
+      assert(r.getLong(6) === actual - lb)
+      assert(r.getLong(7) > 0L && r.getLong(7) <= 1000000L,
+        s"$src efficiency out of range: ${r.getLong(7)}")
+    }
+  }
+
   test("H5 plan: ONE tokenize — totals and the keep-rate join both read the cached token grain") {
     val df = operators.Assembly.tokenBudgetSample(spark, sfDir)
     val nodes = allPlanNodes(df.queryExecution.executedPlan)

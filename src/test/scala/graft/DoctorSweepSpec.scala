@@ -42,6 +42,7 @@ class DoctorSweepSpec extends SparkSpecBase {
     "pipeline_chunk_documents", "pipeline_curriculum",
     "pipeline_train_val_test", "pipeline_mixture_sample",
     "pipeline_pack_sequences", "pipeline_pack_masks", "pipeline_token_budget",
+    "pipeline_pack_efficiency",
     // round-10 pure read additions
     "pipeline_curate_pairs", "pipeline_cluster_split", "q_feature_snapshot",
     "mm_token_budget", "pipeline_weighted_sample")
