@@ -88,9 +88,10 @@ object Bench {
     "src_wap_publish", "pipeline_curate_pairs",
     "pipeline_cluster_split", "q_feature_snapshot", "mm_token_budget",
     "pipeline_weighted_sample",
-    // round-11 addition: the Zipf-slope crawl diagnostic (tokenize +
-    // count shuffle + tree-reduced top-k + k-row regression)
-    "text_zipf_slope")
+    // round-11 additions: the Zipf-slope crawl diagnostic (tokenize +
+    // count shuffle + tree-reduced top-k + k-row regression) and the
+    // packing-efficiency report (tokenize + two-level aggregate)
+    "text_zipf_slope", "pipeline_pack_efficiency")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

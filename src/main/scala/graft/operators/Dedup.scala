@@ -659,8 +659,13 @@ object Dedup {
       .join(perSource.toDF("source_b", "gh"), Seq("gh"))
       .where(col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    // triangular |sources|² pair frame: BROADCAST the tiny aggregate
+    // side (the B58b/vocab-growth pattern) — without the hint Spark
+    // plans a CartesianProduct for the non-equi join, which the B73
+    // lint rightly flags even when both sides are source-count-sized
     counts.toDF("source_a", "n_a")
-      .join(counts.toDF("source_b", "n_b"), col("source_a") < col("source_b"))
+      .join(broadcast(counts.toDF("source_b", "n_b")),
+        col("source_a") < col("source_b"))
       .join(shared, Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"),
         col("n_a"), col("n_b"),

@@ -47,8 +47,8 @@ class DoctorSweepSpec extends SparkSpecBase {
     "pipeline_curate_pairs", "pipeline_cluster_split", "q_feature_snapshot",
     "mm_token_budget", "pipeline_weighted_sample")
 
-  test("the pure query surface has zero high-severity lint findings") {
-    val offenders = Pure.flatMap { name =>
+  test("the whole read-only surface has zero high-severity lint findings") {
+    val offenders = (Pure ++ ReadOnly).flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       GraftDoctor.lint(df).filter(_.severity == "high").map(f => s"$name: $f")
     }
