@@ -89,9 +89,11 @@ object Bench {
     "pipeline_cluster_split", "q_feature_snapshot", "mm_token_budget",
     "pipeline_weighted_sample",
     // round-11 additions: the Zipf-slope crawl diagnostic (tokenize +
-    // count shuffle + tree-reduced top-k + k-row regression) and the
-    // packing-efficiency report (tokenize + two-level aggregate)
-    "text_zipf_slope", "pipeline_pack_efficiency")
+    // count shuffle + tree-reduced top-k + k-row regression), the
+    // packing-efficiency report (tokenize + two-level aggregate), and
+    // the ingestion-drift profile (tokenize + bucket aggregate +
+    // broadcast baseline join)
+    "text_zipf_slope", "pipeline_pack_efficiency", "text_ingest_drift")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -54,7 +54,7 @@ object GraftPipelines {
     "text_langid", "text_quality", "text_tokens", "text_redact",
     "text_repetition", "text_fingerprint_exact", "text_tfidf_top_terms",
     "text_bm25_retrieval", "text_dsir_weights", "text_vocab_coverage",
-    "text_vocab_growth", "text_zipf_slope",
+    "text_vocab_growth", "text_zipf_slope", "text_ingest_drift",
     "text_unigram_logprob", "text_bigram_logprob",
     "text_hash_embed", "text_bpe_tokens", "text_quality_classifier",
     // F: multimodal

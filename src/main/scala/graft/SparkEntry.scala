@@ -186,6 +186,7 @@ object SparkEntry {
     "text_dsir_weights"          -> TextAnalysis.dsirWeights _,
     "text_vocab_coverage"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "text_zipf_slope"            -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
+    "text_ingest_drift"          -> ((s: SparkSession, d: String) => TextAnalysis.ingestDrift(s, d)),
     "text_vocab_growth"          -> ((s: SparkSession, d: String) => TextAnalysis.vocabGrowth(s, d)),
     "text_bm25_retrieval"        -> Bm25.retrieve _,
     "text_quality_classifier"    -> TextAnalysis.qualityClassifier _,
@@ -1999,6 +2000,33 @@ object SparkEntry {
              CAST((SELECT sum(nw.n_new) FROM nw
                    WHERE nw.fb <= g.bucket) AS BIGINT) AS cum_vocab
       FROM tok g ORDER BY g.bucket""",
+
+    // E19: ingestion-ordered bucket quality stats vs the corpus-wide
+    // baseline (mean of bucket means); drifted = >30% deviation
+    "text_ingest_drift" -> """
+      WITH st AS (
+        SELECT doc_id // 50 AS bucket,
+               CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt,
+               CAST(length(list_distinct(
+                 regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS nd
+        FROM documents
+      ), pb AS (
+        SELECT bucket, count(*) AS n_docs, sum(nt) AS tokens,
+               (sum(nt) * 1000000) // count(*) AS mean_tokens_micro,
+               (sum(nd) * 1000000) // greatest(sum(nt), 1) AS distinct_ratio_micro
+        FROM st GROUP BY bucket
+      ), base AS (
+        SELECT sum(mean_tokens_micro) // count(*) AS base_mean_micro FROM pb
+      )
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(tokens AS BIGINT) AS tokens,
+             CAST(mean_tokens_micro AS BIGINT) AS mean_tokens_micro,
+             CAST(distinct_ratio_micro AS BIGINT) AS distinct_ratio_micro,
+             CAST(base_mean_micro AS BIGINT) AS base_mean_micro,
+             CAST(CASE WHEN abs(mean_tokens_micro - base_mean_micro) * 10 >
+                  base_mean_micro * 3 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+      FROM pb, base ORDER BY bucket""",
 
     // E18: least-squares slope of ln(cnt) on ln(rank) over the top-100
     // words, exact integer sums, negated so the integer division stays

@@ -292,6 +292,47 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** E19: ingestion DRIFT profile — the batch twin of the G21
+    * streaming monitor: the corpus in ingestion order (doc_id) is cut
+    * into fixed-size buckets and each bucket's quality stats (mean
+    * token count, distinct-token ratio — both floor-micro integers)
+    * are compared against the corpus-wide baseline (the mean of
+    * bucket means, exact integer division); a bucket whose mean token
+    * count deviates more than 30% from the baseline flags `drifted` —
+    * the signal that says WHEN a crawl went bad, not just that it
+    * did (a source switch, a parser regression, a flood of boiler-
+    * plate all show up as a drifted ingestion window). Scale shape:
+    * one tokenize, one map-combinable bucket aggregate, a broadcast
+    * single-row baseline — the bucket grain is corpus/bucketDocs
+    * rows, never wide. All integer arithmetic ⇒ VALUE-EXACT.
+    */
+  def ingestDrift(s: SparkSession, dir: String,
+      bucketDocs: Long = 50L): DataFrame = {
+    val toksLower = TextFns.tokensLower(col("text"))
+    val stats = docs(s, dir).select(
+      expr(s"doc_id div $bucketDocs").as("bucket"),
+      size(toksLower).cast("long").as("nt"),
+      size(array_distinct(toksLower)).cast("long").as("nd"))
+    // ONE tokenize (the E14/H5 rule — this very query was the first
+    // catch of the widened sweep while being written): the bucket
+    // grain feeds both the baseline aggregate and the final join
+    val perBucket = stats.groupBy("bucket").agg(
+      count(lit(1)).as("n_docs"),
+      sum("nt").as("tokens"),
+      expr("(sum(nt) * 1000000L) div count(1)").as("mean_tokens_micro"),
+      expr("(sum(nd) * 1000000L) div greatest(sum(nt), 1L)").as("distinct_ratio_micro"))
+      .cache()
+    val base = perBucket.agg(
+      expr("sum(mean_tokens_micro) div count(1)").as("base_mean_micro"))
+    perBucket.crossJoin(broadcast(base))
+      .select(col("bucket"), col("n_docs"), col("tokens"),
+        col("mean_tokens_micro"), col("distinct_ratio_micro"),
+        col("base_mean_micro"),
+        (abs(col("mean_tokens_micro") - col("base_mean_micro")) * 10L >
+          col("base_mean_micro") * 3L).cast("long").as("drifted"))
+      .orderBy("bucket")
+  }
+
   /** E18: Zipf rank-frequency SLOPE — the third crawl-health
     * diagnostic next to E10 (head coverage) and E17 (vocab growth):
     * natural text follows freq ∝ rank^s with s ≈ −1 (Zipf's law); a

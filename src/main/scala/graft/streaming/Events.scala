@@ -472,6 +472,58 @@ object Events {
     }
   }
 
+  // ── G21: streaming ingestion DRIFT monitor ──
+
+  /** The corpus-wide drift baseline as a one-row driver artifact —
+    * trained in batch on the historical corpus (the same class as
+    * broadcast centroids / eval span hashes), shipped to the sink.
+    */
+  def driftBaseline(s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    graft.operators.TextAnalysis.ingestDrift(s, dir)
+      .select("base_mean_micro").head().getLong(0)
+
+  /** G21: E19's drift profile as an INGESTION ALARM — each
+    * micro-batch's mean-token stat (the identical floor-micro integer
+    * arithmetic as the batch twin) is checked against the historical
+    * baseline; a batch deviating more than 30% writes ONE alert row
+    * into `$root/alerts/batch_id=N` — exactly-once by the G4 rule
+    * (the batch id IS the partition; a replay overwrites, never
+    * duplicates) — and clean batches pass silently. This is the
+    * monitor that pages a crawl operator the HOUR a parser breaks or
+    * a source floods boilerplate, instead of a training run later.
+    * Map-side per-doc stats + one count/sum aggregate per batch: no
+    * state store, no watermark, no shuffle beyond the tiny aggregate.
+    */
+  def driftMonitorSink(docs: DataFrame, root: String, baseMeanMicro: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyDriftBatch(b, id, root, baseMeanMicro)
+      }
+      .start()
+
+  private[graft] def applyDriftBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      root: String, baseMeanMicro: Long): Unit = {
+    import graft.functions.TextFns
+    val agg = batch.toDF()
+      .select(size(TextFns.tokensLower(col("text"))).cast("long").as("nt"))
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"),
+        expr("(sum(nt) * 1000000L) div greatest(count(1), 1L)")
+          .as("mean_tokens_micro"))
+      .head()
+    if (agg.getLong(0) == 0L) return // empty batch: nothing to judge
+    val mean = agg.getLong(2)
+    if (math.abs(mean - baseMeanMicro) * 10L > baseMeanMicro * 3L) {
+      val s = batch.sparkSession
+      import s.implicits._
+      Seq((agg.getLong(0), agg.getLong(1), mean, baseMeanMicro))
+        .toDF("n_docs", "tokens", "mean_tokens_micro", "base_mean_micro")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/alerts/batch_id=$batchId")
+    }
+  }
+
   // ── G9: ingestion-time curation gate (quality + decontamination) ──
 
   /** The C7 quality + C9 decontamination gates applied to a DOCUMENT

@@ -33,7 +33,7 @@ class DoctorSweepSpec extends SparkSpecBase {
     "q_basket_lift", "q_unpivot", "q_gap_fill",
     "prof_orders_columns", "prof_outliers", "prof_key_skew", "prof_correlation",
     "prof_contingency", "q_quarantine", "text_vocab_growth",
-    "text_zipf_slope",
+    "text_zipf_slope", "text_ingest_drift",
     "q_constraint_report", "q_stratified_sample", "q_sample_hash",
     "text_langid", "text_quality", "text_tokens", "text_redact",
     "text_repetition", "text_tfidf_top_terms", "text_vocab_coverage",

@@ -970,4 +970,40 @@ class StreamingSpec extends SparkSpecBase {
       === Set(6L, 8L), "the dirty mid-stream batch must be quarantined")
     assert(new java.io.File(s"$root2/_quarantine/$name/batch_id=1").exists())
   }
+
+  test("G21: a drifting ingestion batch raises exactly one alert; clean batches and replays stay silent") {
+    import spark.implicits._
+    val root = graft.sources.GraftSink.scratchDir + "/drift_monitor"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(spark.sessionState.newHadoopConf()).delete(rp, true)
+    val base = Events.driftBaseline(spark, sfDir)
+    assert(base > 0L)
+    // a corpus-shaped batch sits within the 30% band: no alert
+    val normal = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = Events.driftMonitorSink(
+      stream.toDF().toDF("doc_id", "text"), root, base)
+    stream.addData(normal); q.processAllAvailable()
+    val alertsDir = new java.io.File(s"$root/alerts")
+    assert(!alertsDir.exists || alertsDir.listFiles().isEmpty,
+      "a corpus-shaped batch must not alert")
+    // a degenerate flood (one-token docs) collapses the mean: alert
+    stream.addData((0 until 40).map(i => (900000L + i, "x")))
+    q.processAllAvailable()
+    q.stop()
+    val alerts = spark.read.parquet(s"$root/alerts")
+    assert(alerts.count() === 1, "exactly one alert row for the bad batch")
+    val a = alerts.head()
+    assert(a.getAs[Number]("batch_id").longValue === 1L)
+    assert(a.getAs[Long]("mean_tokens_micro") < base)
+    assert(a.getAs[Long]("base_mean_micro") === base)
+    // an at-least-once REPLAY of the bad batch overwrites, never dups
+    Events.applyDriftBatch(
+      (0 until 40).map(i => (900000L + i, "x")).toDF("doc_id", "text"),
+      1L, root, base)
+    assert(spark.read.parquet(s"$root/alerts").count() === 1)
+  }
 }
