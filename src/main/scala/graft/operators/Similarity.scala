@@ -287,9 +287,16 @@ object Similarity {
           id: Long) => applyVectorBatch(b, id, indexPath) }
       .start()
 
-  private[graft] def applyVectorBatch(
-      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-      batchId: Long, indexPath: String): Unit = {
+  /** In-batch dedup + persisted anti-join — the exactly-once core
+    * shared by the plain and drift-gated sinks. The anti-join only
+    * sees what is already PERSISTED, so duplicate vec_ids arriving
+    * within one micro-batch must collapse first (deterministic tie
+    * rule: the struct-min of the remaining columns); the result is
+    * locally checkpointed because the absorb appends into the very
+    * path the anti-join reads.
+    */
+  private def freshVectors(batch: DataFrame, indexPath: String,
+      sinkName: String): DataFrame = {
     val s = batch.sparkSession
     val lists = s"$indexPath/lists"
     val fs = new org.apache.hadoop.fs.Path(indexPath)
@@ -301,11 +308,7 @@ object Similarity {
     if (!exists(s"$indexPath/centroids"))
       throw new IllegalStateException(
         s"[GRAFT] build the IVF index (centroids) at $indexPath before " +
-          "attaching vectorIndexSink — the sink absorbs into an existing index")
-    // IN-batch dedup: the anti-join below only sees what is already
-    // PERSISTED, so duplicate vec_ids arriving within one micro-batch
-    // would all survive it and the index would hold duplicates.
-    // Deterministic tie rule: the struct-min of the remaining columns.
+          s"attaching $sinkName — the sink absorbs into an existing index")
     val others = batch.columns.filter(_ != "vec_id").toSeq
     val once = batch.toDF().groupBy("vec_id")
       .agg(min(struct(others.map(col): _*)).as("_r"))
@@ -315,10 +318,250 @@ object Similarity {
     val fresh0 =
       if (!exists(lists)) once
       else once.join(s.read.parquet(lists).select("vec_id"), Seq("vec_id"), "left_anti")
-    val fresh = fresh0
-      .localCheckpoint(true) // the append writes into the path this reads
+    fresh0.localCheckpoint(true)
+  }
+
+  private[graft] def applyVectorBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long, indexPath: String): Unit = {
+    val s = batch.sparkSession
+    val fresh = freshVectors(batch.toDF(), indexPath, "vectorIndexSink")
     try if (!fresh.isEmpty) ivfAppend(s, indexPath, fresh)
     finally graft.GraftSession.releaseCheckpoint(fresh)
+  }
+
+  /** G22: DRIFT-GATED streaming vector-index maintenance — G19's
+    * absorb with D17's drift gate in the loop, and the G18 quarantine
+    * discipline for the failure path: each micro-batch's fresh
+    * vectors (same in-batch dedup + persisted anti-join) are checked
+    * against the PERSISTED train-time baseline (`ivfDriftBaseline` —
+    * a ≤k-row read, so the per-batch gate costs O(batch), never a
+    * corpus scan) with the two-level `batchDrifts` rule — per-list
+    * flags under the min-mass guard plus the global mass-weighted
+    * comparison; a clean batch absorbs exactly as G19, a drifted
+    * one is DIVERTED whole to `<index>/_quarantine/batch_id=N` —
+    * never absorbed, never wedging the stream (the G18 poison-batch
+    * rule). Exactly-once on both paths: a replayed absorbed batch
+    * empties in the anti-join (no-op), a replayed quarantined batch
+    * overwrites its own batch_id dir (the G4 rule — the id IS the
+    * partition). `reabsorbQuarantine` closes the operational loop
+    * after a retrain.
+    */
+  def gatedVectorIndexSink(vecs: DataFrame, indexPath: String,
+      thresholdPct: Int = 30)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => applyGatedVectorBatch(b.toDF(), id, indexPath, thresholdPct) }
+      .start()
+
+  private[graft] def applyGatedVectorBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, thresholdPct: Int): Unit = {
+    val s = batch.sparkSession
+    val basePath = s"$indexPath/drift_baseline"
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(basePath)))
+      throw new IllegalStateException(
+        s"[GRAFT] run ivfDriftBaseline($indexPath) before attaching " +
+          "gatedVectorIndexSink — the gate compares against the " +
+          "train-time baseline artifact")
+    val fresh = freshVectors(batch, indexPath, "gatedVectorIndexSink")
+    try if (!fresh.isEmpty) {
+      val trained = readCentroids(s, indexPath)
+      val probe = listAlignment(assignCentroids(fresh, trained),
+        trained, "n_batch", "batch_align_micro")
+      if (batchDrifts(s.read.parquet(basePath), probe, thresholdPct))
+        fresh.write.mode("overwrite")
+          .parquet(s"$indexPath/_quarantine/batch_id=$batchId")
+      else ivfAppend(s, indexPath, fresh)
+    } finally graft.GraftSession.releaseCheckpoint(fresh)
+  }
+
+  /** G22 (release): re-gate every quarantined batch against the
+    * CURRENT index + baseline (i.e. after the operator acted on the
+    * `retrain-centroids` advice and re-ran `ivfDriftBaseline`); a
+    * batch that now gates clean absorbs and its quarantine dir is
+    * removed, one that still drifts stays put. Returns one row per
+    * batch: (batch_id, n_vectors, action ∈ absorbed|retained|empty).
+    * Idempotent — a second call sees absorbed batches gone and
+    * retained ones re-retained.
+    */
+  def reabsorbQuarantine(s: SparkSession, indexPath: String,
+      thresholdPct: Int = 30): DataFrame = {
+    import s.implicits._
+    val qRoot = new org.apache.hadoop.fs.Path(s"$indexPath/_quarantine")
+    val fs = qRoot.getFileSystem(s.sessionState.newHadoopConf())
+    val batches =
+      if (!fs.exists(qRoot)) Array.empty[Long]
+      else fs.listStatus(qRoot).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id=")).map(_.stripPrefix("batch_id=").toLong)
+        .sorted
+    val out = batches.map { id =>
+      val dir = s"$indexPath/_quarantine/batch_id=$id"
+      val fresh = freshVectors(s.read.parquet(dir), indexPath, "reabsorbQuarantine")
+      try {
+        if (fresh.isEmpty) {
+          // every vector already served (absorbed through another
+          // path) — the quarantine dir is stale bookkeeping
+          if (!fs.delete(new org.apache.hadoop.fs.Path(dir), true))
+            throw new java.io.IOException(
+              s"[GRAFT] quarantine cleanup failed: delete($dir)")
+          (id, 0L, "empty")
+        } else {
+          val trained = readCentroids(s, indexPath)
+          val probe = listAlignment(assignCentroids(fresh, trained),
+            trained, "n_batch", "batch_align_micro")
+          val drifts = batchDrifts(
+            s.read.parquet(s"$indexPath/drift_baseline"), probe, thresholdPct)
+          val n = fresh.count()
+          if (drifts) (id, n, "retained")
+          else {
+            ivfAppend(s, indexPath, fresh)
+            if (!fs.delete(new org.apache.hadoop.fs.Path(dir), true))
+              throw new java.io.IOException(
+                s"[GRAFT] quarantine release failed: delete($dir)")
+            (id, n, "absorbed")
+          }
+        }
+      } finally graft.GraftSession.releaseCheckpoint(fresh)
+    }
+    out.toSeq.toDF("batch_id", "n_vectors", "action")
+  }
+
+  /** D17: pre-absorb embedding DRIFT report — the D-family twin of
+    * E19's ingestion-drift profile, answering the question `ivfAppend`
+    * and `vectorIndexSink` beg: centroids trained once serve an
+    * append-only index well ONLY while new batches look like the
+    * training distribution (the FAISS add-after-train contract); a
+    * new embedding model, a new source, or a corrupted encoder sends
+    * vectors that live in a DIFFERENT space, and recall decays
+    * silently. The signal is per-list centroid ALIGNMENT — mean
+    * cos(v, assigned centroid), per-vector micro-floored then exact
+    * integer mean (the E8 partition-invariance convention): the
+    * INDEX's own corpus alignment versus the BATCH's after map-side
+    * assignment against the same persisted artifact. Alignment (not
+    * 1−cos quantization error) because it has the dynamic range where
+    * drift lives: a batch uncorrelated with the trained space lands
+    * near cos 0 regardless of how tight the corpus clusters are,
+    * while relative error ratios compress toward 1 when the corpus
+    * itself quantizes loosely. A list whose batch alignment falls
+    * more than `thresholdPct`% below its corpus alignment flags
+    * `drifted` — the "retrain instead of absorb" gate. Scale shape:
+    * one column-pruned scan of the lists + map-side cosine vs the
+    * literal k×dim centroid array (zero shuffle before the k-row
+    * aggregate), the batch assigns map-side identically, and the
+    * comparison joins two ≤k-row frames — cost is one corpus-linear
+    * pass, no new shuffle class. Empty lists / untouched lists never
+    * flag (both sides must have mass), and a list whose corpus
+    * alignment is already ≤0 never flags (nothing to fall below).
+    */
+  private[graft] def readCentroids(s: SparkSession, indexPath: String)
+      : Array[(Int, Seq[Double])] = {
+    import s.implicits._
+    s.read.parquet(s"$indexPath/centroids")
+      .select(col("centroid_id"), col("c_emb")).as[(Int, Seq[Double])]
+      .collect().sortBy(_._1)
+  }
+
+  /** Per-vector alignment — cos(v, assigned centroid), micro-floored
+    * (the E8 partition-invariance convention) — then the exact
+    * integer per-list mean. Map-side vs the literal k×dim centroid
+    * array: zero shuffle before the ≤k-row aggregate.
+    */
+  private def listAlignment(assigned: DataFrame,
+      trained: Array[(Int, Seq[Double])], nCol: String,
+      aCol: String): DataFrame = {
+    val cArr = typedlit(trained.toSeq)
+    val centroidOf =
+      element_at(filter(cArr, c => c.getField("_1") === col("centroid_id")), 1)
+        .getField("_2")
+    assigned
+      .select(col("centroid_id"),
+        floor(VectorFns.cosine(col("emb"), centroidOf) * 1e6).cast("long").as("a"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as(nCol), expr("sum(a) div count(1)").as(aCol))
+  }
+
+  /** The drift verdict: per-list batch alignment vs corpus baseline
+    * alignment; a list whose batch alignment falls more than
+    * `thresholdPct`% below its corpus alignment flags `drifted`.
+    * Guards: empty / untouched lists never flag (both sides must have
+    * mass), a list whose corpus alignment is already ≤0 never flags
+    * (nothing to fall below), and a list carrying fewer than
+    * `minListBatch` batch vectors never flags — a per-list mean over
+    * a handful of samples is noise, not drift (the standard
+    * min-sample rule for drift detectors; the GLOBAL gate below
+    * covers small batches).
+    */
+  private def driftVerdict(base: DataFrame, probe: DataFrame,
+      thresholdPct: Int, minListBatch: Int): DataFrame =
+    base.join(probe, Seq("centroid_id"), "full_outer")
+      .select(col("centroid_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("base_align_micro"), lit(0L)).as("base_align_micro"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        coalesce(col("batch_align_micro"), lit(0L)).as("batch_align_micro"))
+      .withColumn("drifted",
+        (col("n_batch") >= minListBatch.toLong && col("n_base") > 0L &&
+          col("base_align_micro") > 0L &&
+          col("batch_align_micro") * 100L <
+            col("base_align_micro") * (100L - thresholdPct))
+          .cast("long"))
+      .orderBy("centroid_id")
+
+  private[graft] def ivfDrift(s: SparkSession, indexPath: String,
+      batch: DataFrame, thresholdPct: Int = 30,
+      minListBatch: Int = 20): DataFrame = {
+    val trained = readCentroids(s, indexPath)
+    val base = listAlignment(s.read.parquet(s"$indexPath/lists"),
+      trained, "n_base", "base_align_micro")
+    val probe = listAlignment(assignCentroids(batch, trained),
+      trained, "n_batch", "batch_align_micro")
+    driftVerdict(base, probe, thresholdPct, minListBatch)
+  }
+
+  /** The absorb DECISION is two-level: any per-list flag (a
+    * concentrated sub-mode drifting inside an otherwise-normal batch,
+    * with the min-mass rule) OR the batch's GLOBAL mass-weighted
+    * alignment falling `thresholdPct`% below the baseline's — the
+    * global test is what makes small batches safe to gate (a 50-row
+    * batch spread thin across lists gives no per-list sample worth
+    * judging, but its global mean is still a sound statistic).
+    * Weighted recomposition Σ(n·align) div Σn from the per-list
+    * integer means loses <1 micro per list — irrelevant at a
+    * percent-scale threshold.
+    */
+  private def batchDrifts(base: DataFrame, probe: DataFrame,
+      thresholdPct: Int): Boolean = {
+    val perList = driftVerdict(base, probe, thresholdPct, minListBatch = 20)
+      .where(col("drifted") === 1L).count() > 0L
+    def global(df: DataFrame, n: String, a: String): Long = {
+      val r = df.agg(sum(col(n)).as("n"),
+        sum(col(n) * col(a)).as("s")).head()
+      if (r.isNullAt(0) || r.getLong(0) == 0L) 0L
+      else r.getLong(1) / r.getLong(0)
+    }
+    val gBase = global(base, "n_base", "base_align_micro")
+    val gBatch = global(probe, "n_batch", "batch_align_micro")
+    perList || (gBase > 0L && gBatch * 100L < gBase * (100L - thresholdPct))
+  }
+
+  /** G22 (baseline artifact): the per-list corpus alignment persisted
+    * as a ≤k-row frame at TRAIN time. The streaming gate compares
+    * every batch against THIS, not against the live lists — two
+    * reasons: per-batch cost becomes O(batch) + a k-row read instead
+    * of a corpus-linear lists scan, and the reference distribution is
+    * pinned to what the centroids were TRAINED on, so gradual drift
+    * cannot boil the frog by absorbing itself into the baseline.
+    * Recompute after any retrain (the spec's act step does).
+    */
+  def ivfDriftBaseline(s: SparkSession, indexPath: String): Unit = {
+    val trained = readCentroids(s, indexPath)
+    listAlignment(s.read.parquet(s"$indexPath/lists"),
+      trained, "n_base", "base_align_micro")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/drift_baseline")
   }
 
   /** D2 (compaction): every `ivfAppend` batch adds one file per

@@ -188,6 +188,36 @@ object GraftAdvisor {
       "compact-shards", "rebalance-shards", "hnswCompact", "routing drifted")
   }
 
+  /** `retrain-centroids` (D17): the QUALITY drift signal next to the
+    * layout signals above — `adviseVectorIndex` sees byte skew (a
+    * distribution shift big enough to bend the layout), this sees the
+    * shift BEFORE absorbing it: the candidate batch's centroid
+    * alignment (mean cosine to its assigned centroids) is compared
+    * per list against the index's own corpus alignment
+    * (`Similarity.ivfDrift`); any drifted list means the batch should
+    * trigger a retrain, not an absorb.
+    * Unlike the metadata-only A34 sweep this reads vectors (one
+    * corpus-linear pass) — it runs at absorb decision points, not
+    * nightly over every table. Acting on the advice (retraining the
+    * index with the batch's distribution represented) clears it — the
+    * A34 contract.
+    */
+  def adviseVectorDrift(s: SparkSession, indexPath: String,
+      batch: DataFrame, thresholdPct: Int = 30): Seq[Advice] = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val idxName = new Path(indexPath).getName
+    val d = graft.operators.Similarity.ivfDrift(s, indexPath, batch, thresholdPct)
+      .where(col("drifted") === 1L)
+      .agg(count(lit(1)).as("n"), sum("n_batch").as("nv")).head()
+    val nLists = d.getLong(0)
+    if (nLists == 0L) Seq.empty
+    else Seq(Advice(idxName, "retrain-centroids", nLists,
+      s"$nLists list(s) carrying ${d.getLong(1)} batch vectors align " +
+        s">$thresholdPct% worse with the trained centroids than the " +
+        "corpus does - retrain with this distribution represented " +
+        "before absorbing"))
+  }
+
   /** The advice as a small driver-local DataFrame for display. */
   def adviseReport(s: SparkSession, root: String): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -698,4 +698,179 @@ class SimilaritySpec extends SparkSpecBase {
       === serveBefore)
     assert(Hnsw.hnswCompact(spark, idx, maxFiles = 3) === Seq.empty)
   }
+
+  /** The new-embedding-model simulation shared by the D17 and G22
+    * ladders: Gram-Schmidt basis of the trained-centroid span, then
+    * each corpus vector minus its projection onto that span — cos to
+    * EVERY centroid becomes exactly 0, the cleanest possible
+    * out-of-space batch.
+    */
+  private def outOfSpaceBatch(idx: String, e: org.apache.spark.sql.DataFrame,
+      idOffset: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$idx/centroids")
+      .select(col("centroid_id"), col("c_emb"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val basis = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    cents.foreach { c =>
+      val r = c.clone()
+      basis.foreach { b =>
+        val d = r.zip(b).map { case (x, y) => x * y }.sum
+        for (i <- r.indices) r(i) -= d * b(i)
+      }
+      val n = math.sqrt(r.map(x => x * x).sum)
+      if (n > 1e-9) basis += r.map(_ / n)
+    }
+    val rows = e.as[(Long, Seq[Double])].collect().map { case (id, v) =>
+      val r = v.toArray
+      basis.foreach { b =>
+        val d = r.zip(b).map { case (x, y) => x * y }.sum
+        for (i <- r.indices) r(i) -= d * b(i)
+      }
+      (id + idOffset, r.toSeq)
+    }
+    spark.createDataFrame(rows.toIndexedSeq).toDF("vec_id", "emb")
+  }
+
+  test("D17 drift gate: silent on a corpus-shaped batch, flags a shifted batch, retraining clears it") {
+    import spark.implicits._
+    import graft.sources.GraftAdvisor
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    Similarity.ivfIncrementalTopk(spark, sfDir, indexPath = Some(idx)).collect()
+    val e = new graft.sources.GraftCatalog(spark, sfDir).table("embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFns.toDoubleArray(col("embedding")).as("emb"))
+    // a corpus-shaped batch (the corpus itself under fresh ids) sits
+    // exactly at the baseline error: no list may flag
+    val shaped = e.select((col("vec_id") + 100000L).as("vec_id"), col("emb"))
+    val silent = Similarity.ivfDrift(spark, idx, shaped)
+    assert(silent.where(col("n_batch") > 0L).count() > 0)
+    assert(silent.where(col("drifted") === 1L).count() === 0,
+      "a corpus-shaped batch must not drift")
+    assert(GraftAdvisor.adviseVectorDrift(spark, idx, shaped).isEmpty)
+    // a shifted batch — a NEW embedding model's output lives in a
+    // space uncorrelated with the trained centroids; simulate it
+    // exactly by orthogonalizing each corpus vector against the span
+    // of the trained centroids (cos to EVERY centroid becomes 0)
+    val shifted = outOfSpaceBatch(idx, e, idOffset = 200000L)
+    val rep = Similarity.ivfDrift(spark, idx, shifted).cache()
+    assert(rep.where(col("drifted") === 1L).count() > 0,
+      "the out-of-space batch must flag drifted lists")
+    // drifted lists really do align worse than their corpus baseline
+    rep.where(col("drifted") === 1L).collect().foreach { r =>
+      assert(r.getAs[Long]("batch_align_micro") * 100L <
+        r.getAs[Long]("base_align_micro") * 70L)
+      assert(r.getAs[Long]("n_base") > 0L && r.getAs[Long]("n_batch") > 0L)
+    }
+    val adv = GraftAdvisor.adviseVectorDrift(spark, idx, shifted)
+    assert(adv.nonEmpty && adv.head.rule === "retrain-centroids")
+    rep.unpersist()
+    // ACT on the advice: the new embedding model means a RETRAIN —
+    // rebuild the index over the new distribution, re-check the SAME
+    // batch, and the advice clears (the A34 act-clears-it contract)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_ivf_drift2").toString
+    val newCorpus = shifted.select((col("vec_id") - 200000L).as("vec_id"),
+      col("emb"))
+    val trained2 = Similarity.kmeansCentroids(
+      Similarity.trainingSample(newCorpus), 16, iters = 2)
+    spark.createDataFrame(trained2.toIndexedSeq).toDF("centroid_id", "c_emb")
+      .write.mode("overwrite").parquet(s"$idx2/centroids")
+    Similarity.assignCentroids(newCorpus, trained2)
+      .select(col("vec_id"), col("emb"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$idx2/lists")
+    assert(Similarity.ivfDrift(spark, idx2, shifted)
+      .where(col("drifted") === 1L).count() === 0,
+      "retraining on the new distribution must clear the drift")
+    assert(GraftAdvisor.adviseVectorDrift(spark, idx2, shifted).isEmpty)
+  }
+
+  test("G22 gated sink: clean batches absorb, drifted batches quarantine (replay-idempotent), retrain + reabsorb releases them") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_gate").toString
+    Similarity.ivfIncrementalTopk(spark, sfDir, indexPath = Some(idx)).count()
+    // the gate requires the train-time baseline artifact BY NAME
+    val err = intercept[IllegalStateException] {
+      Similarity.applyGatedVectorBatch(
+        Seq((1L, Seq.fill(64)(0.1))).toDF("vec_id", "emb"), 0L, idx, 30)
+    }
+    assert(err.getMessage.contains("ivfDriftBaseline"))
+    Similarity.ivfDriftBaseline(spark, idx)
+    val e = new graft.sources.GraftCatalog(spark, sfDir).table("embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFns.toDoubleArray(col("embedding")).as("emb"))
+    val clean = e.select((col("vec_id") + 300000L).as("vec_id"), col("emb"))
+      .limit(50)
+    // the drifted batch: a TIGHT cluster around one out-of-space
+    // direction (a new/broken encoder emitting concentrated vectors
+    // unrelated to the trained space) — cos to every trained centroid
+    // is ≤ the 5% jitter, cos within the batch is ≈1
+    val ortho = outOfSpaceBatch(idx, e.limit(51), idOffset = 400000L)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (id, v.map(_ / n))
+      }
+    val u = ortho.head._2
+    val drifty = spark.createDataFrame(
+      ortho.tail.map { case (id, w) =>
+        (id, u.zip(w).map { case (a, b) => a + 0.05 * b })
+      }.toIndexedSeq).toDF("vec_id", "emb")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = Similarity.gatedVectorIndexSink(
+      stream.toDF().toDF("vec_id", "emb"), idx)
+    stream.addData(clean.as[(Long, Seq[Double])].collect().toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(drifty.as[(Long, Seq[Double])].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val lists = spark.read.parquet(s"$idx/lists")
+    assert(lists.where(col("vec_id") >= 300000L && col("vec_id") < 400000L)
+      .count() === 50, "the corpus-shaped batch must absorb")
+    assert(lists.where(col("vec_id") >= 400000L).count() === 0,
+      "the out-of-space batch must NOT absorb")
+    val qDir = s"$idx/_quarantine/batch_id=1"
+    assert(spark.read.parquet(qDir).count() === 50,
+      "the drifted batch is quarantined whole")
+    // replays: the quarantined batch overwrites its own dir, the
+    // absorbed batch is a physical no-op on the lists
+    val files = partFiles(s"$idx/lists")
+    Similarity.applyGatedVectorBatch(drifty, 1L, idx, 30)
+    assert(partFiles(s"$idx/lists") === files)
+    assert(spark.read.parquet(qDir).count() === 50)
+    Similarity.applyGatedVectorBatch(clean, 0L, idx, 30)
+    assert(partFiles(s"$idx/lists") === files, "replayed clean batch must no-op")
+    // before the retrain the quarantine stays put
+    val pre = Similarity.reabsorbQuarantine(spark, idx).collect()
+    assert(pre.length === 1 && pre.head.getString(2) === "retained")
+    assert(new java.io.File(qDir).exists())
+    // ACT: represent the new mode in the centroid artifact — append a
+    // centroid at the quarantined cluster's mean (the minimal retrain;
+    // a production retrain re-runs k-means over the union) and refresh
+    // the baseline. The batch then assigns to the new-mode centroid
+    // (cos ≈ 1 there vs ≤ jitter everywhere else), whose list carries
+    // no baseline mass — nothing to fall below, the gate is clean.
+    val dvecs = drifty.as[(Long, Seq[Double])].collect().map(_._2)
+    val mean = (0 until 64).map(i => dvecs.map(_(i)).sum / dvecs.length)
+    spark.createDataFrame(Seq((16, mean))).toDF("centroid_id", "c_emb")
+      .write.mode("append").parquet(s"$idx/centroids")
+    Similarity.ivfDriftBaseline(spark, idx)
+    // the quarantined batch now gates clean: absorbed, dir removed
+    val post = Similarity.reabsorbQuarantine(spark, idx).collect()
+    assert(post.length === 1 && post.head.getString(2) === "absorbed"
+      && post.head.getLong(1) === 50L)
+    assert(!new java.io.File(qDir).exists())
+    assert(spark.read.parquet(s"$idx/lists")
+      .where(col("vec_id") >= 400000L).count() === 50)
+    // idempotent: nothing left to release
+    assert(Similarity.reabsorbQuarantine(spark, idx).collect().isEmpty)
+    // a stale quarantine dir whose vectors are already served is
+    // recognized and cleaned, never double-absorbed
+    drifty.write.mode("overwrite").parquet(qDir)
+    val stale = Similarity.reabsorbQuarantine(spark, idx).collect()
+    assert(stale.length === 1 && stale.head.getString(2) === "empty")
+    assert(!new java.io.File(qDir).exists())
+    assert(spark.read.parquet(s"$idx/lists")
+      .where(col("vec_id") >= 400000L).count() === 50, "no double absorb")
+  }
 }
