@@ -182,6 +182,7 @@ object SparkEntry {
     "text_fingerprint"           -> TextAnalysis.fingerprint _,
     "text_fingerprint_exact"     -> TextAnalysis.fingerprintExact _,
     "text_unigram_logprob"       -> TextAnalysis.unigramLogprob _,
+    "text_perplexity_buckets"    -> TextAnalysis.perplexityBuckets _,
     "text_bpe_tokens"            -> BpeTokenizer.bpeTokens _,
     "text_dsir_weights"          -> TextAnalysis.dsirWeights _,
     "text_vocab_coverage"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
@@ -2664,6 +2665,53 @@ object SparkEntry {
                         / greatest(coalesce(p.n_words, 0), 1)) AS BIGINT) AS avg_lp_micro
       FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.pdoc
       ORDER BY d.doc_id""",
+
+    // CCNet perplexity terciles (E20): the E8 per-doc score cut at
+    // the k-th smallest values for k=ceil(n/3), ceil(2n/3) — the
+    // oracle finds the cutoffs with a cumulative window over DISTINCT
+    // score values (tiny here); the engine's coarse-histogram + fine
+    // refinement provably lands on the same "min v with cum >= k"
+    // values, and tie handling is by value comparison on both sides.
+    // Integer ceil arithmetic ((n+2)//3) keeps `div`/`//` agreement.
+    "text_perplexity_buckets" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS word
+        FROM documents
+      ), c AS (
+        SELECT word, count(*) AS cnt FROM w GROUP BY word
+      ), t AS (
+        SELECT CAST(count(*) AS DOUBLE) AS total FROM w
+      ), scored AS (
+        SELECT w.doc_id,
+               CAST(floor(ln(c.cnt / (SELECT total FROM t)) * 1000000.0) AS BIGINT) AS lp
+        FROM w JOIN c USING (word)
+      ), perdoc AS (
+        SELECT doc_id, count(*) AS n_words, sum(lp) AS sum_lp
+        FROM scored GROUP BY doc_id
+      ), base AS (
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(floor(CAST(sum_lp AS DOUBLE) / n_words) AS BIGINT) AS avg_lp_micro
+        FROM perdoc
+      ), hist AS (
+        SELECT avg_lp_micro AS v, count(*) AS nv FROM base GROUP BY 1
+      ), cum AS (
+        SELECT v, sum(nv) OVER (ORDER BY v) AS cn FROM hist
+      ), tot AS (
+        SELECT count(*) AS nn FROM base
+      ), cuts AS (
+        SELECT
+          (SELECT min(v) FROM cum
+           WHERE cn >= ((SELECT nn FROM tot) + 2) // 3) AS c1,
+          (SELECT min(v) FROM cum
+           WHERE cn >= (2 * (SELECT nn FROM tot) + 2) // 3) AS c2
+      )
+      SELECT b.doc_id, b.n_words, b.avg_lp_micro,
+             CAST(CASE WHEN b.avg_lp_micro >= cuts.c2 THEN 0
+                       WHEN b.avg_lp_micro >= cuts.c1 THEN 1
+                       ELSE 2 END AS BIGINT) AS ppl_bucket
+      FROM base b CROSS JOIN cuts
+      ORDER BY b.doc_id""",
 
     // BM25 retrieval (E13): same tokenization as E8; the rational
     // tf-normalization runs in HUGEINT (mirroring Spark's

@@ -235,6 +235,59 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** E20: CCNet-style perplexity PARTITION — the corpus cut into
+    * head / middle / tail thirds by unigram-LM quality (CCNet's
+    * actual curation stage: Wenzek et al. 2020 bucket Common Crawl by
+    * KenLM perplexity terciles and train on the head). Quality score
+    * = E8's per-doc mean log-prob (`avg_lp_micro`, exact integers;
+    * empty docs excluded — CCNet drops them); the two tercile cutoffs
+    * are the k-th smallest values at k=⌈n/3⌉ and ⌈2n/3⌉, found
+    * WITHOUT a global sort: a coarse value histogram (1000-micro
+    * buckets — bounded by the micro-ln range, ~10⁴ rows regardless of
+    * corpus size) cumulated on the driver, then an exact refinement
+    * over the ≤1000 distinct micro values inside the straddling
+    * bucket. Both collects are bounded driver artifacts; the grain is
+    * cached so the tokenize runs ONCE across the histogram, the
+    * refinements, and the final bucket assignment. Ties share a
+    * bucket by value comparison, so the result is deterministic and
+    * engine-independent: bucket 0 = head (best third), 1 = middle,
+    * 2 = tail. All-integer ⇒ VALUE-EXACT.
+    */
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val grain = unigramLogprob(s, dir)
+      .where(col("n_words") > 0L)
+      .select("doc_id", "n_words", "avg_lp_micro")
+      .cache()
+    val n = grain.count()
+    if (n == 0L)
+      return grain.select(col("doc_id"), col("n_words"),
+        col("avg_lp_micro"), lit(0L).as("ppl_bucket"))
+    val coarse = grain
+      .groupBy(floor(col("avg_lp_micro") / 1000.0).cast("long").as("b"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    def kth(k: Long): Long = {
+      val before = coarse.scanLeft(0L)(_ + _._2)
+      val i = before.zip(coarse).indexWhere { case (c0, (_, c)) => c0 + c >= k }
+      require(i >= 0, s"[GRAFT] rank $k exceeds corpus size")
+      val (bucket, b0) = (coarse(i)._1, before(i))
+      val fine = grain
+        .where(floor(col("avg_lp_micro") / 1000.0).cast("long") === bucket)
+        .groupBy("avg_lp_micro").agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val cumF = fine.scanLeft(b0)(_ + _._2)
+      val j = cumF.zip(fine).indexWhere { case (c0, (_, c)) => c0 + c >= k }
+      fine(j)._1
+    }
+    val c1 = kth((n + 2L) / 3L)
+    val c2 = kth((2L * n + 2L) / 3L)
+    grain.select(col("doc_id"), col("n_words"), col("avg_lp_micro"),
+      when(col("avg_lp_micro") >= c2, lit(0L))
+        .when(col("avg_lp_micro") >= c1, lit(1L))
+        .otherwise(lit(2L)).as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
     val toks = docs(s, dir).select(col("doc_id"), explode(words).as("word"))

@@ -497,4 +497,33 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(negSlope > 0L && negSlope < 1000000L,
       s"synthetic corpus must read flat-to-moderate: $negSlope")
   }
+
+  test("E20 perplexity terciles: cutoffs equal the exact k-th smallest scores; ties share a bucket; thirds partition the corpus") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.TextAnalysis.perplexityBuckets(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // empty docs are excluded (CCNet drops them)
+    assert(got.forall(_._2 > 0L))
+    // brute-force replay on the driver: sort the scores, take the
+    // value at rank ceil(n/3) / ceil(2n/3), bucket by value compare
+    val scores = got.map(_._3).sorted
+    val n = scores.length.toLong
+    val c1 = scores(((n + 2) / 3).toInt - 1)
+    val c2 = scores(((2 * n + 2) / 3).toInt - 1)
+    got.foreach { case (doc, _, v, b) =>
+      val exp = if (v >= c2) 0L else if (v >= c1) 1L else 2L
+      assert(b === exp, s"doc $doc score $v bucket $b != $exp (cuts $c1/$c2)")
+    }
+    // buckets are value-deterministic: equal scores share a bucket
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).distinct.length === 1)
+    }
+    // the partition is near-thirds (exact up to tie mass)
+    val byB = got.groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    assert(byB.keySet.subsetOf(Set(0L, 1L, 2L)))
+    assert(byB.getOrElse(2L, 0L) >= 1L && byB.getOrElse(0L, 0L) >= 1L)
+    // tail holds at least ceil(n/3) minus nothing (ties only grow it)
+    assert(byB.getOrElse(2L, 0L) + byB.getOrElse(1L, 0L) >= (n + 2) / 3)
+  }
 }
