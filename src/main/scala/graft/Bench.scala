@@ -93,7 +93,10 @@ object Bench {
     // packing-efficiency report (tokenize + two-level aggregate), and
     // the ingestion-drift profile (tokenize + bucket aggregate +
     // broadcast baseline join)
-    "text_zipf_slope", "pipeline_pack_efficiency", "text_ingest_drift")
+    "text_zipf_slope", "pipeline_pack_efficiency", "text_ingest_drift",
+    // round-11 late addition: the CCNet perplexity-tercile cut (cached
+    // unigram grain + bounded two-phase cutoff selection + assignment)
+    "text_perplexity_buckets")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

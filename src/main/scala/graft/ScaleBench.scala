@@ -56,7 +56,11 @@ object ScaleBench {
     "q_feature_snapshot", "mm_token_budget", "pipeline_weighted_sample",
     // round-11 additions: the one-pass token budget (the H5 fix —
     // the ratio now prices ONE tokenize) and scan-time BM25 retrieval
-    "pipeline_token_budget", "text_bm25_retrieval")
+    "pipeline_token_budget", "text_bm25_retrieval",
+    // round-11 late addition: perplexity terciles — one cached
+    // tokenize + bounded cutoff collects; the scan is the only
+    // scaling part
+    "text_perplexity_buckets")
 
   /** Queries whose dominant cost grain does not grow with corpus
     * rows, with the reason — a ratio well under 10 is the DESIGN.
@@ -244,6 +248,30 @@ object ScaleBench {
       op = (sp, dir, scratch, run) => {
         graft.operators.Hnsw.hnswAbsorb(sp, s"$scratch/hnsw",
           vecBatch(sp, 960000000L + run * 100000L, 2000))
+      }),
+    WriteExp("w_gated_absorb",
+      "~1x: the gate adds a <=k-row baseline read + map-side alignment " +
+        "of the constant batch; the only corpus-touching step is the " +
+        "exactly-once anti-join's column-pruned vec_id probe (the G19 " +
+        "cost class), never an embedding scan",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        graft.operators.Similarity.ivfIncrementalTopk(
+          sp, dir, indexPath = Some(s"$scratch/ivfg")).count()
+        graft.operators.Similarity.ivfDriftBaseline(sp, s"$scratch/ivfg")
+      },
+      op = (sp, dir, scratch, run) => {
+        // corpus-shaped constant batch (fresh ids per run/scale) so
+        // the gate takes the ABSORB path at every scale
+        val batch = sp.read.parquet(s"$dir/embeddings.parquet")
+          .limit(2000)
+          .select((col("vec_id") + 980000000L + run * 100000L).as("vec_id"),
+            graft.functions.VectorFns.toDoubleArray(col("embedding")).as("emb"))
+        graft.operators.Similarity.applyGatedVectorBatch(
+          batch, 9000L + run, s"$scratch/ivfg", thresholdPct = 30)
+        require(!new java.io.File(
+          s"$scratch/ivfg/_quarantine/batch_id=${9000L + run}").exists(),
+          "[scalebench] the corpus-shaped batch must absorb, not quarantine")
       }),
     WriteExp("w_ivf_compact",
       "sub-table, corpus-proportional: compaction rewrites only the " +

@@ -254,33 +254,48 @@ object TextAnalysis {
     * 2 = tail. All-integer ⇒ VALUE-EXACT.
     */
   def perplexityBuckets(s: SparkSession, dir: String): DataFrame = {
-    val grain = unigramLogprob(s, dir)
-      .where(col("n_words") > 0L)
-      .select("doc_id", "n_words", "avg_lp_micro")
+    // the E8 score for docs WITH words only (CCNet drops empty docs),
+    // derived without E8's empty-doc left join or its output sort —
+    // the cached grain is the bare per-doc aggregate, so the cache
+    // materializes off one tokenize with no extra scan or exchange
+    val grain = unigramPerDoc(s, dir)
+      .select(col("doc_id"), col("n_words"),
+        floor(col("sum_lp_micro").cast("double") / col("n_words"))
+          .cast("long").as("avg_lp_micro"))
       .cache()
-    val n = grain.count()
-    if (n == 0L)
-      return grain.select(col("doc_id"), col("n_words"),
-        col("avg_lp_micro"), lit(0L).as("ppl_bucket"))
+    // one coarse collect serves the corpus count AND both rank
+    // locations; one fine collect (both straddling buckets at once)
+    // serves both exact cutoffs — three driver actions total on the
+    // cached grain, each bounded
     val coarse = grain
       .groupBy(floor(col("avg_lp_micro") / 1000.0).cast("long").as("b"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    def kth(k: Long): Long = {
-      val before = coarse.scanLeft(0L)(_ + _._2)
+    val n = coarse.map(_._2).sum
+    if (n == 0L)
+      return grain.select(col("doc_id"), col("n_words"),
+        col("avg_lp_micro"), lit(0L).as("ppl_bucket"))
+    val before = coarse.scanLeft(0L)(_ + _._2)
+    def bucketOf(k: Long): (Long, Long) = {
       val i = before.zip(coarse).indexWhere { case (c0, (_, c)) => c0 + c >= k }
       require(i >= 0, s"[GRAFT] rank $k exceeds corpus size")
-      val (bucket, b0) = (coarse(i)._1, before(i))
-      val fine = grain
-        .where(floor(col("avg_lp_micro") / 1000.0).cast("long") === bucket)
-        .groupBy("avg_lp_micro").agg(count(lit(1)).as("n")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      val cumF = fine.scanLeft(b0)(_ + _._2)
-      val j = cumF.zip(fine).indexWhere { case (c0, (_, c)) => c0 + c >= k }
-      fine(j)._1
+      (coarse(i)._1, before(i))
     }
-    val c1 = kth((n + 2L) / 3L)
-    val c2 = kth((2L * n + 2L) / 3L)
+    val k1 = (n + 2L) / 3L; val k2 = (2L * n + 2L) / 3L
+    val (bk1, _) = bucketOf(k1); val (bk2, _) = bucketOf(k2)
+    val fine = grain
+      .where(floor(col("avg_lp_micro") / 1000.0).cast("long").isin(bk1, bk2))
+      .groupBy("avg_lp_micro").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    def kth(k: Long): Long = {
+      val (bucket, b0) = bucketOf(k)
+      val inB = fine.filter { case (v, _) => Math.floorDiv(v, 1000L) == bucket }
+      val cumF = inB.scanLeft(b0)(_ + _._2)
+      val j = cumF.zip(inB).indexWhere { case (c0, (_, c)) => c0 + c >= k }
+      inB(j)._1
+    }
+    val c1 = kth(k1)
+    val c2 = kth(k2)
     grain.select(col("doc_id"), col("n_words"), col("avg_lp_micro"),
       when(col("avg_lp_micro") >= c2, lit(0L))
         .when(col("avg_lp_micro") >= c1, lit(1L))
@@ -288,7 +303,11 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+  /** E8's per-doc aggregate alone — (doc_id, n_words, sum_lp_micro)
+    * for docs with ≥1 word; the shape E20 caches (no empty-doc join,
+    * no output sort).
+    */
+  private def unigramPerDoc(s: SparkSession, dir: String): DataFrame = {
     val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
     val toks = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
     // pre-aggregate BEFORE the word join: per-(doc, word) multiplicity
@@ -300,8 +319,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("n"),
         floor(log(col("cnt").cast("double") / col("total")) * 1000000.0)
           .cast("long").as("lp"))
-    val perDoc = scored.groupBy("doc_id")
+    scored.groupBy("doc_id")
       .agg(sum("n").as("n_words"), sum(col("lp") * col("n")).as("sum_lp_micro"))
+  }
+
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = unigramPerDoc(s, dir)
     docs(s, dir).select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
