@@ -55,6 +55,9 @@ object SparkEntry {
     "src_dynamic_overwrite"      -> Relational.srcDynamicOverwrite _,
     "src_merge_upsert"           -> Relational.srcMergeUpsert _,
     "src_merge_delete"           -> Relational.srcMergeDelete _,
+    "src_mor_delete"             -> Relational.srcMorDelete _,
+    "src_mor_upsert"             -> Relational.srcMorUpsert _,
+    "src_mor_compact"            -> Relational.srcMorCompact _,
     "src_incremental_agg"        -> Relational.srcIncrementalAgg _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
@@ -183,6 +186,7 @@ object SparkEntry {
     "text_fingerprint_exact"     -> TextAnalysis.fingerprintExact _,
     "text_unigram_logprob"       -> TextAnalysis.unigramLogprob _,
     "text_perplexity_buckets"    -> TextAnalysis.perplexityBuckets _,
+    "text_perplexity_model"      -> TextAnalysis.perplexityModelServe _,
     "text_bpe_tokens"            -> BpeTokenizer.bpeTokens _,
     "text_dsir_weights"          -> TextAnalysis.dsirWeights _,
     "text_vocab_coverage"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
@@ -414,6 +418,46 @@ object SparkEntry {
           FROM survivors s)
         WHERE doc_id = rep)
 """
+
+  private val PerplexitySql: String = """
+      WITH w AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS word
+        FROM documents
+      ), c AS (
+        SELECT word, count(*) AS cnt FROM w GROUP BY word
+      ), t AS (
+        SELECT CAST(count(*) AS DOUBLE) AS total FROM w
+      ), scored AS (
+        SELECT w.doc_id,
+               CAST(floor(ln(c.cnt / (SELECT total FROM t)) * 1000000.0) AS BIGINT) AS lp
+        FROM w JOIN c USING (word)
+      ), perdoc AS (
+        SELECT doc_id, count(*) AS n_words, sum(lp) AS sum_lp
+        FROM scored GROUP BY doc_id
+      ), base AS (
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(floor(CAST(sum_lp AS DOUBLE) / n_words) AS BIGINT) AS avg_lp_micro
+        FROM perdoc
+      ), hist AS (
+        SELECT avg_lp_micro AS v, count(*) AS nv FROM base GROUP BY 1
+      ), cum AS (
+        SELECT v, sum(nv) OVER (ORDER BY v) AS cn FROM hist
+      ), tot AS (
+        SELECT count(*) AS nn FROM base
+      ), cuts AS (
+        SELECT
+          (SELECT min(v) FROM cum
+           WHERE cn >= ((SELECT nn FROM tot) + 2) // 3) AS c1,
+          (SELECT min(v) FROM cum
+           WHERE cn >= (2 * (SELECT nn FROM tot) + 2) // 3) AS c2
+      )
+      SELECT b.doc_id, b.n_words, b.avg_lp_micro,
+             CAST(CASE WHEN b.avg_lp_micro >= cuts.c2 THEN 0
+                       WHEN b.avg_lp_micro >= cuts.c1 THEN 1
+                       ELSE 2 END AS BIGINT) AS ppl_bucket
+      FROM base b CROSS JOIN cuts
+      ORDER BY b.doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "src_schema_scan" ->
@@ -950,6 +994,40 @@ object SparkEntry {
       FROM orders
       WHERE NOT (o_orderstatus = 'P'
                  OR (o_orderstatus = 'F' AND o_orderkey % 100 = 7))
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A42: MOR delete — two overlapping tombstone epochs (predicate
+    // sweep + key erasure) must hide exactly the union of both
+    // predicates' rows from the merge-on-read scan
+    "src_mor_delete" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders
+      WHERE NOT (o_totalprice > 400000.0) AND NOT (o_orderkey % 100 = 7)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A43: MOR upsert — two chained generations (the second batch
+    // supersedes the first's appended versions on keys ≡ 0 mod 200)
+    // plus three inserts
+    "src_mor_upsert" -> """
+      WITH merged AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 200 = 0 THEN o_totalprice + 1001.0
+                    WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT 900000000 + range, 'F', 42.5 FROM range(3))
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A42 compaction: folding the vector into the affected files must
+    // change where survivors live, never what they are
+    "src_mor_compact" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderkey % 10 <> 3
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // A20: increment + exact-decimal merge must equal the full
@@ -2673,45 +2751,12 @@ object SparkEntry {
     // refinement provably lands on the same "min v with cum >= k"
     // values, and tie handling is by value comparison on both sides.
     // Integer ceil arithmetic ((n+2)//3) keeps `div`/`//` agreement.
-    "text_perplexity_buckets" -> """
-      WITH w AS (
-        SELECT doc_id, unnest(list_filter(
-          string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS word
-        FROM documents
-      ), c AS (
-        SELECT word, count(*) AS cnt FROM w GROUP BY word
-      ), t AS (
-        SELECT CAST(count(*) AS DOUBLE) AS total FROM w
-      ), scored AS (
-        SELECT w.doc_id,
-               CAST(floor(ln(c.cnt / (SELECT total FROM t)) * 1000000.0) AS BIGINT) AS lp
-        FROM w JOIN c USING (word)
-      ), perdoc AS (
-        SELECT doc_id, count(*) AS n_words, sum(lp) AS sum_lp
-        FROM scored GROUP BY doc_id
-      ), base AS (
-        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-               CAST(floor(CAST(sum_lp AS DOUBLE) / n_words) AS BIGINT) AS avg_lp_micro
-        FROM perdoc
-      ), hist AS (
-        SELECT avg_lp_micro AS v, count(*) AS nv FROM base GROUP BY 1
-      ), cum AS (
-        SELECT v, sum(nv) OVER (ORDER BY v) AS cn FROM hist
-      ), tot AS (
-        SELECT count(*) AS nn FROM base
-      ), cuts AS (
-        SELECT
-          (SELECT min(v) FROM cum
-           WHERE cn >= ((SELECT nn FROM tot) + 2) // 3) AS c1,
-          (SELECT min(v) FROM cum
-           WHERE cn >= (2 * (SELECT nn FROM tot) + 2) // 3) AS c2
-      )
-      SELECT b.doc_id, b.n_words, b.avg_lp_micro,
-             CAST(CASE WHEN b.avg_lp_micro >= cuts.c2 THEN 0
-                       WHEN b.avg_lp_micro >= cuts.c1 THEN 1
-                       ELSE 2 END AS BIGINT) AS ppl_bucket
-      FROM base b CROSS JOIN cuts
-      ORDER BY b.doc_id""",
+    // E21 (`text_perplexity_model`) shares this oracle VERBATIM (see
+    // below): scoring the training corpus from the persisted model
+    // artifact must reproduce the in-corpus buckets exactly — the
+    // E15/E13 index-served ≡ scan-time discipline.
+    "text_perplexity_buckets" -> PerplexitySql,
+    "text_perplexity_model" -> PerplexitySql,
 
     // BM25 retrieval (E13): same tokenization as E8; the rational
     // tf-normalization runs in HUGEINT (mirroring Spark's

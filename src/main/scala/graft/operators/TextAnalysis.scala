@@ -263,18 +263,32 @@ object TextAnalysis {
         floor(col("sum_lp_micro").cast("double") / col("n_words"))
           .cast("long").as("avg_lp_micro"))
       .cache()
-    // one coarse collect serves the corpus count AND both rank
-    // locations; one fine collect (both straddling buckets at once)
-    // serves both exact cutoffs — three driver actions total on the
-    // cached grain, each bounded
+    tercileCutoffs(grain) match {
+      case None =>
+        grain.select(col("doc_id"), col("n_words"),
+          col("avg_lp_micro"), lit(0L).as("ppl_bucket"))
+      case Some((c1, c2)) =>
+        grain.select(col("doc_id"), col("n_words"), col("avg_lp_micro"),
+          when(col("avg_lp_micro") >= c2, lit(0L))
+            .when(col("avg_lp_micro") >= c1, lit(1L))
+            .otherwise(lit(2L)).as("ppl_bucket"))
+          .orderBy("doc_id")
+    }
+  }
+
+  /** The exact k-th smallest `avg_lp_micro` at k=⌈n/3⌉ and ⌈2n/3⌉
+    * over a (cached) per-doc grain, WITHOUT a global sort: one coarse
+    * collect serves the corpus count AND both rank locations; one
+    * fine collect (both straddling buckets at once) serves both exact
+    * cutoffs — two bounded driver actions. None on an empty grain.
+    */
+  private def tercileCutoffs(grain: DataFrame): Option[(Long, Long)] = {
     val coarse = grain
       .groupBy(floor(col("avg_lp_micro") / 1000.0).cast("long").as("b"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = coarse.map(_._2).sum
-    if (n == 0L)
-      return grain.select(col("doc_id"), col("n_words"),
-        col("avg_lp_micro"), lit(0L).as("ppl_bucket"))
+    if (n == 0L) return None
     val before = coarse.scanLeft(0L)(_ + _._2)
     def bucketOf(k: Long): (Long, Long) = {
       val i = before.zip(coarse).indexWhere { case (c0, (_, c)) => c0 + c >= k }
@@ -294,12 +308,94 @@ object TextAnalysis {
       val j = cumF.zip(inB).indexWhere { case (c0, (_, c)) => c0 + c >= k }
       inB(j)._1
     }
-    val c1 = kth(k1)
-    val c2 = kth(k2)
-    grain.select(col("doc_id"), col("n_words"), col("avg_lp_micro"),
-      when(col("avg_lp_micro") >= c2, lit(0L))
-        .when(col("avg_lp_micro") >= c1, lit(1L))
-        .otherwise(lit(2L)).as("ppl_bucket"))
+    Some((kth(k1), kth(k2)))
+  }
+
+  /** E21: the PERSISTED perplexity quality model — what CCNet
+    * actually ships between its train and filter stages: the per-word
+    * unigram log-probs (E8's exact micro integers) plus the pinned
+    * tercile cutoffs (E20's exact k-th smallest scores) written as a
+    * reusable artifact, so scoring never needs the training corpus
+    * again. `meta` also pins the OOV penalty — ⌊ln(1/total)·1e6⌋,
+    * the score of a word the corpus never produced — so out-of-domain
+    * streams score strictly into the tail instead of silently
+    * vanishing from the sum. Cutoffs pinned at TRAIN time is the
+    * G22 baseline rule again: the filter's notion of "head" must not
+    * drift with whatever flows through it.
+    */
+  def perplexityModelTrain(s: SparkSession, dir: String,
+      modelPath: String): Unit = {
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val toks = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
+    val perDocWord = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .cache()
+    val total = perDocWord.agg(sum("n")).head().getLong(0)
+    val lp = perDocWord.groupBy("word").agg(sum("n").as("cnt"))
+      .select(col("word"),
+        floor(log(col("cnt").cast("double") / total.toDouble) * 1000000.0)
+          .cast("long").as("lp_micro"))
+    lp.write.mode("overwrite").parquet(s"$modelPath/words")
+    // the per-doc grain for the cutoffs derives from the SAME cached
+    // (doc, word, n) pass the model weights came from — one tokenize
+    val grain = perDocWord.join(lp, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_words"), sum(col("lp_micro") * col("n")).as("slp"))
+      .select(col("doc_id"), col("n_words"),
+        floor(col("slp").cast("double") / col("n_words"))
+          .cast("long").as("avg_lp_micro"))
+      .cache()
+    val (c1, c2) = tercileCutoffs(grain).getOrElse((Long.MinValue, Long.MinValue))
+    val oov = math.floor(math.log(1.0 / total.toDouble) * 1e6).toLong
+    import s.implicits._
+    Seq((total, oov, c1, c2))
+      .toDF("total_words", "oov_lp_micro", "cut_tail_micro", "cut_head_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelPath/meta")
+    grain.unpersist(); perDocWord.unpersist()
+  }
+
+  /** Score ARBITRARY (doc_id, text) rows against the persisted model:
+    * per-doc mean log-prob under the frozen word table (unseen words
+    * at the pinned OOV penalty), bucketed by the pinned cutoffs —
+    * identical arithmetic to E20, so scoring the training corpus
+    * itself reproduces E20's buckets exactly (the E15 index-served ≡
+    * scan-time discipline; same oracle proves it). Docs with no words
+    * are ABSENT from the result (CCNet drops them; the streaming gate
+    * routes them to the tail explicitly). One tokenize of the scored
+    * rows + one join against the model words — batch-sized work, the
+    * corpus never re-enters.
+    */
+  def perplexityModelScore(s: SparkSession, modelPath: String,
+      in: DataFrame): DataFrame = {
+    val meta = s.read.parquet(s"$modelPath/meta").head()
+    val oov = meta.getAs[Long]("oov_lp_micro")
+    val c1 = meta.getAs[Long]("cut_tail_micro")
+    val c2 = meta.getAs[Long]("cut_head_micro")
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val toks = in.select(col("doc_id"), explode(words).as("word"))
+    toks.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .join(s.read.parquet(s"$modelPath/words"), Seq("word"), "left")
+      .select(col("doc_id"), col("n"),
+        coalesce(col("lp_micro"), lit(oov)).as("lp_micro"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_words"), sum(col("lp_micro") * col("n")).as("slp"))
+      .select(col("doc_id"), col("n_words"),
+        floor(col("slp").cast("double") / col("n_words"))
+          .cast("long").as("avg_lp_micro"))
+      .withColumn("ppl_bucket",
+        when(col("avg_lp_micro") >= c2, lit(0L))
+          .when(col("avg_lp_micro") >= c1, lit(1L))
+          .otherwise(lit(2L)))
+  }
+
+  /** E21 (query form): train the model, then score the TRAINING
+    * corpus from the persisted artifact alone — must equal E20's
+    * in-corpus buckets value-for-value (same oracle).
+    */
+  def perplexityModelServe(s: SparkSession, dir: String): DataFrame = {
+    val modelPath = java.nio.file.Files
+      .createTempDirectory("graft_ppl_model").toString
+    perplexityModelTrain(s, dir, modelPath)
+    perplexityModelScore(s, modelPath, docs(s, dir).select("doc_id", "text"))
       .orderBy("doc_id")
   }
 

@@ -524,6 +524,52 @@ object Events {
     }
   }
 
+  // ── G23: streaming perplexity filter (the CCNet gate, online) ──
+
+  /** E21's persisted perplexity model as an INGESTION FILTER — the
+    * online form of CCNet's head/middle/tail cut: each micro-batch's
+    * docs are scored against the FROZEN model artifact (word table +
+    * pinned OOV penalty + pinned tercile cutoffs — train-time state,
+    * the G22 baseline rule: the filter's notion of "head" must not
+    * drift with what flows through it), head+middle docs land in
+    * `accepted/batch_id=N`, tail docs — including wordless docs and
+    * out-of-domain docs driven tailward by the OOV penalty — in
+    * `rejected/batch_id=N`, both carrying their scores for audit.
+    * Exactly-once by the G4 rule (the batch id IS the partition;
+    * replay overwrites, never duplicates). Per-batch cost is one
+    * tokenize of the batch + one join against the model words — the
+    * training corpus never re-enters; no state store, no watermark.
+    */
+  def perplexityGateSink(docs: DataFrame, modelPath: String, root: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyPerplexityGateBatch(b, id, modelPath, root)
+      }
+      .start()
+
+  private[graft] def applyPerplexityGateBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      modelPath: String, root: String): Unit = {
+    val s = batch.sparkSession
+    val b = batch.toDF().localCheckpoint(true) // scored twice below
+    try if (!b.isEmpty) {
+      val scored = graft.operators.TextAnalysis
+        .perplexityModelScore(s, modelPath, b.select("doc_id", "text"))
+      val tagged = b.join(scored, Seq("doc_id"), "left")
+        .select(b.columns.map(col) ++ Seq(
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("avg_lp_micro"), lit(0L)).as("avg_lp_micro"),
+          coalesce(col("ppl_bucket"), lit(2L)).as("ppl_bucket")): _*)
+      tagged.where(col("ppl_bucket") <= 1L)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/accepted/batch_id=$batchId")
+      tagged.where(col("ppl_bucket") === 2L || col("n_words") === 0L)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/rejected/batch_id=$batchId")
+    } finally graft.GraftSession.releaseCheckpoint(b)
+  }
+
   // ── G9: ingestion-time curation gate (quality + decontamination) ──
 
   /** The C7 quality + C9 decontamination gates applied to a DOCUMENT

@@ -1006,4 +1006,69 @@ class StreamingSpec extends SparkSpecBase {
       1L, root, base)
     assert(spark.read.parquet(s"$root/alerts").count() === 1)
   }
+
+  test("G23: the streaming perplexity gate reproduces the batch buckets, drives OOV junk to the tail, and replays idempotently") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val model = graft.sources.GraftSink.scratchDir + "/ppl_model"
+    val root = graft.sources.GraftSink.scratchDir + "/ppl_gate"
+    Seq(model, root).foreach { d =>
+      val pth = new org.apache.hadoop.fs.Path(d)
+      pth.getFileSystem(spark.sessionState.newHadoopConf()).delete(pth, true)
+    }
+    TextAnalysis.perplexityModelTrain(spark, sfDir, model)
+    // in-corpus docs stream through: the gate must route them by
+    // EXACTLY the batch-path buckets (frozen model == corpus stats)
+    val batchBuckets = TextAnalysis.perplexityBuckets(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val corpusDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = Events.perplexityGateSink(
+      stream.toDF().toDF("doc_id", "text"), model, root)
+    stream.addData(corpusDocs); q.processAllAvailable()
+    // batch 1: OOV junk (words the corpus never produced) + a
+    // wordless doc - all must land in rejected
+    val junk = (0 until 10).map(i => (910000L + i, s"zzqx$i vrmple$i"))
+      .toSeq :+ ((919999L, "   "))
+    stream.addData(junk); q.processAllAvailable()
+    q.stop()
+    val acc = spark.read.parquet(s"$root/accepted/batch_id=0")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ppl_bucket")))
+    val rej = spark.read.parquet(s"$root/rejected/batch_id=0")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ppl_bucket")))
+    assert(acc.nonEmpty, "corpus head/middle docs must be accepted")
+    acc.foreach { case (id, b) =>
+      assert(b <= 1L && batchBuckets(id) === b,
+        s"doc $id gate bucket $b != batch bucket ${batchBuckets(id)}") }
+    rej.foreach { case (id, b) =>
+      assert(b === 2L)
+      // wordless docs are absent from the batch query (CCNet drops
+      // them); worded rejects must match the batch tail exactly
+      if (batchBuckets.contains(id)) assert(batchBuckets(id) === 2L)
+    }
+    assert((acc.map(_._1) ++ rej.map(_._1)).sorted
+      === corpusDocs.map(_._1).sorted, "the gate must account for every doc")
+    // the OOV batch: everything rejected, scores at or below the
+    // pinned OOV penalty; the wordless doc rides along rejected
+    val meta = spark.read.parquet(s"$model/meta").head()
+    val oov = meta.getAs[Long]("oov_lp_micro")
+    assert(oov === math.floor(math.log(
+      1.0 / meta.getAs[Long]("total_words").toDouble) * 1e6).toLong)
+    assert(!new java.io.File(s"$root/accepted/batch_id=1").exists() ||
+      spark.read.parquet(s"$root/accepted/batch_id=1").count() === 0)
+    val rej1 = spark.read.parquet(s"$root/rejected/batch_id=1").collect()
+    assert(rej1.length === junk.length)
+    rej1.filter(_.getAs[Long]("n_words") > 0L).foreach { r =>
+      assert(r.getAs[Long]("avg_lp_micro") === oov,
+        "all-OOV docs score exactly the pinned penalty") }
+    assert(rej1.exists(_.getAs[Long]("n_words") === 0L))
+    // at-least-once replay: the batch dir is overwritten, never doubled
+    Events.applyPerplexityGateBatch(
+      junk.toDF("doc_id", "text"), 1L, model, root)
+    assert(spark.read.parquet(s"$root/rejected/batch_id=1").count()
+      === junk.length)
+  }
 }

@@ -526,4 +526,13 @@ class TextAnalysisSpec extends SparkSpecBase {
     // tail holds at least ceil(n/3) minus nothing (ties only grow it)
     assert(byB.getOrElse(2L, 0L) + byB.getOrElse(1L, 0L) >= (n + 2) / 3)
   }
+
+  test("E21 persisted model: scoring the training corpus from the artifact reproduces the in-corpus terciles exactly") {
+    val inCorpus = graft.operators.TextAnalysis.perplexityBuckets(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val served = graft.operators.TextAnalysis.perplexityModelServe(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(served === inCorpus,
+      "model-served scoring must equal the scan-time computation")
+  }
 }
