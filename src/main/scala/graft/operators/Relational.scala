@@ -804,6 +804,89 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A42: MERGE-ON-READ delete via deletion vectors
+    * (GraftMor.morDelete/morDeleteKeys/morRead) — the mutation shape
+    * COW can't afford: two small delete batches (a predicate sweep
+    * and a GDPR-style key erasure, deliberately OVERLAPPING so the
+    * already-tombstoned exclusion is exercised) land as row-coordinate
+    * sidecars with ZERO data files rewritten; the merge-on-read scan
+    * hides exactly those rows. The read-back aggregate must
+    * hash-match an oracle applying both predicates — proving the
+    * tombstones mask precisely the doomed rows and nothing else. The
+    * no-file-rewritten and epoch-delta claims are spec-asserted
+    * (MorSpec).
+    */
+  def srcMorDelete(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.GraftSink.scratchDir + "/orders_mor_del"
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").parquet(path)
+    graft.sources.GraftMor.morDelete(s, path, col("o_totalprice") > 400000.0)
+    graft.sources.GraftMor.morDeleteKeys(s, path,
+      orders.where(col("o_orderkey") % 100 === 7), Seq("o_orderkey"))
+    graft.sources.GraftMor.morRead(s, path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** A43: MERGE-ON-READ upsert — matched keys' current versions are
+    * tombstoned and the new versions APPENDED, so a small update
+    * batch costs two O(batch) writes instead of a partition rewrite.
+    * Two generations of the same keys chain through: the second
+    * batch's semi-join tombstones the rows the first batch appended
+    * (keys ≡ 0 mod 200 end at +1001, the rest of ≡ 0 mod 100 at
+    * +1000), plus three fresh inserts — update, re-update and insert
+    * all proven by the oracle hash.
+    */
+  def srcMorUpsert(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.GraftSink.scratchDir + "/orders_mor_up"
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").parquet(path)
+    val bumps = orders.where(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+    val inserts = s.range(3).select(
+      (col("id") + 900000000L).as("o_orderkey"),
+      lit(1L).as("o_custkey"),
+      lit("F").as("o_orderstatus"),
+      lit(42.5).as("o_totalprice"))
+    graft.sources.GraftMor.morUpsert(
+      s, path, bumps.unionByName(inserts), Seq("o_orderkey"))
+    // the re-update derives from the ORIGINAL price (+1001 in one
+    // step): (x+1000)+1 and x+1001 differ in double ULPs, and the
+    // oracle computes the latter
+    graft.sources.GraftMor.morUpsert(
+      s, path, orders.where(col("o_orderkey") % 200 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1001.0)),
+      Seq("o_orderkey"))
+    graft.sources.GraftMor.morRead(s, path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** A42 (compaction leg): the deferred rewrite — tombstones folded
+    * into ONLY the files they touch (affected-file COW at file grain,
+    * untouched files byte-identical — spec-asserted), sidecar
+    * cleared, after which the merge-on-read scan is a plain scan
+    * again. Same oracle shape as the delete: compact must change
+    * WHERE the survivors live, never WHAT they are.
+    */
+  def srcMorCompact(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.GraftSink.scratchDir + "/orders_mor_cp"
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.repartitionByRange(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.GraftMor.morDelete(s, path, col("o_orderkey") % 10 === 3)
+    graft.sources.GraftMor.morCompact(s, path)
+    graft.sources.GraftMor.morRead(s, path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A20: incremental aggregate maintenance — the materialized-view
     * refresh every periodic 100 TB job wants: a persisted summary is
     * updated from the snapshot DIFF only (GraftCatalog.diffTable),

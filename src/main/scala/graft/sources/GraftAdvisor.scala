@@ -32,7 +32,8 @@ object GraftAdvisor {
   def advise(s: SparkSession, root: String,
       smallFileBytes: Long = 32L * 1024 * 1024,
       minFilesForCompaction: Int = 8,
-      keepLast: Int = 10): Seq[Advice] = {
+      keepLast: Int = 10,
+      morTombstoneBudget: Long = 100000): Seq[Advice] = {
     val cat = new GraftCatalog(s, root)
     val conf = s.sessionState.newHadoopConf()
     val out = Seq.newBuilder[Advice]
@@ -74,6 +75,25 @@ object GraftAdvisor {
           if (uncovered > 0)
             out += Advice(name, "reindex-bloom", uncovered.toLong,
               s"$uncovered data files lack ${idx.getPath.getName} sidecars - rebuild the index")
+        }
+        // merge-on-read tombstone debt (A42): every accumulated
+        // deletion-vector row is an anti-join probe each read pays —
+        // metric from sidecar FOOTERS only (the A25 discipline,
+        // distributed), never a row scan. morCompact clears it.
+        val dvDir = new Path(dir, GraftMor.DvDir)
+        if (fs.exists(dvDir)) {
+          val dvFiles = Seq.newBuilder[String]
+          val it = fs.listFiles(dvDir, true)
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet"))
+              dvFiles += f.getPath.toString
+          }
+          val tombstones =
+            GraftBloomIndex.footerRowCounts(s, dvFiles.result()).values.sum
+          if (tombstones > morTombstoneBudget)
+            out += Advice(name, "mor-compact", tombstones,
+              s"$tombstones deletion-vector tombstones pending (budget $morTombstoneBudget) - run morCompact")
         }
       }
     }

@@ -1,0 +1,217 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** A42/A43: MERGE-ON-READ mutation via DELETION VECTORS — the other
+  * half of the mutation cost spectrum from the copy-on-write merges
+  * (GraftSink.mergeUpsert/mergeDelete). COW pays the rewrite at WRITE
+  * time (every affected partition re-materialized — right for rare,
+  * large mutations); merge-on-read pays a tiny tombstone write
+  * instead and defers the rewrite to an explicit compaction — right
+  * for frequent, small mutations (GDPR single-row erasure, streaming
+  * corrections) where rewriting a 100 TB table's partitions per batch
+  * is the dominant cost. This is the Delta/Iceberg deletion-vector
+  * design re-expressed Spark-first: the tombstone is the parquet
+  * metadata coordinate (`_metadata.file_path`, `_metadata.row_index`)
+  * Spark already exposes on every file scan, so no custom reader is
+  * needed — the read path is a broadcast anti-join the fact side
+  * never shuffles for.
+  *
+  * Layout: tombstones accumulate under `<table>/_dv/epoch=N/` —
+  * underscore-prefixed, so every plain `read.parquet(table)` and
+  * every `listDataFiles` listing skips them; only `morRead` applies
+  * them. Each mutation writes one new epoch (O(matched) bytes, zero
+  * data files touched); `morCompact` folds all tombstones into the
+  * affected files ONLY and clears the sidecar.
+  *
+  * Concurrency contract (same class as the COW paths): a delete /
+  * upsert never unlinks a data file, so live pinned readers are SAFE
+  * during mutation — only `morCompact` destroys files and only it
+  * takes the A24 lease gate. Mutation visibility for catalog readers
+  * is snapshot-grained as everywhere else: publish an epoch after the
+  * batch.
+  *
+  * Reference anchor: the reference's table layer is read-only
+  * (ArgodbMapreduceInputFormat.java:52-279 — scans, no mutation);
+  * this module is part of the write-side surface the engine adds.
+  */
+object GraftMor {
+
+  val DvDir = "_dv"
+
+  /** Tombstone volume up to which the read path broadcasts the
+    * deletion vector (rows, not bytes — ~48 bytes/row keeps 4M rows
+    * under Spark's default 8 GB broadcast ceiling with margin). Above
+    * it the anti-join falls back to a shuffled plan — and the advisor
+    * story is to compact long before that: `morCompact` resets the
+    * vector to zero.
+    */
+  val MaxBroadcastTombstones = 4L * 1000 * 1000
+
+  private def dvPath(tablePath: String) = s"$tablePath/$DvDir"
+
+  private def fs(s: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(s.sessionState.newHadoopConf())
+
+  /** All accumulated tombstones as (dv_file, dv_pos), or None when no
+    * mutation epoch exists (the fast path: `morRead` degrades to a
+    * plain scan with zero overhead).
+    */
+  private def dvFrame(s: SparkSession, tablePath: String): Option[DataFrame] = {
+    val p = dvPath(tablePath)
+    if (!fs(s, p).exists(new org.apache.hadoop.fs.Path(p))) None
+    else Some(s.read.parquet(p).select("dv_file", "dv_pos"))
+  }
+
+  private def nextEpoch(s: SparkSession, tablePath: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dvPath(tablePath))
+    val f = fs(s, tablePath)
+    if (!f.exists(p)) 0
+    else f.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("epoch=") => n.drop(6).toInt }
+      .foldLeft(-1)(math.max) + 1
+  }
+
+  /** The (file, position) coordinates of every CURRENT row matching
+    * `cond` — current meaning: already-tombstoned rows are excluded,
+    * so re-deleting an overlapping predicate writes no duplicate
+    * coordinates and each epoch is the true delta. Scan cost: the
+    * predicate's columns only (column pruning), plus the two
+    * metadata columns parquet produces for free.
+    */
+  private def currentMatches(s: SparkSession, tablePath: String,
+      matcher: DataFrame => DataFrame): DataFrame = {
+    // the metadata coordinate must be projected while the plan is
+    // still the file relation — a join output no longer resolves
+    // `_metadata`
+    val withCoords = s.read.parquet(tablePath)
+      .select(col("*"), col("_metadata.file_path").as("dv_file"),
+              col("_metadata.row_index").as("dv_pos"))
+    val coords = matcher(withCoords).select("dv_file", "dv_pos")
+    dvFrame(s, tablePath) match {
+      case None     => coords
+      case Some(dv) =>
+        coords.join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_anti")
+    }
+  }
+
+  private def writeEpoch(s: SparkSession, tablePath: String,
+      tombstones: DataFrame): Unit =
+    tombstones.write.mode(SaveMode.Overwrite)
+      .parquet(s"${dvPath(tablePath)}/epoch=${nextEpoch(s, tablePath)}")
+
+  /** A42: merge-on-read DELETE by predicate. Writes one tombstone
+    * epoch of O(matched rows); touches NO data file — safe under live
+    * pinned readers, and at 100 TB the difference between a
+    * row-coordinate write and rewriting every affected partition.
+    */
+  def morDelete(s: SparkSession, tablePath: String, cond: Column): Unit =
+    writeEpoch(s, tablePath, currentMatches(s, tablePath, _.where(cond)))
+
+  /** A42 (key form): delete every row whose key appears in
+    * `deleteKeys` — the GDPR erasure batch. The key set is broadcast;
+    * the table is scanned once (key columns only) with a map-side
+    * semi-join — no shuffle of the fact.
+    */
+  def morDeleteKeys(s: SparkSession, tablePath: String,
+      deleteKeys: DataFrame, keyCols: Seq[String]): Unit = {
+    val keys = deleteKeys.select(keyCols.map(col): _*)
+    writeEpoch(s, tablePath, currentMatches(s, tablePath,
+      _.join(broadcast(keys), keyCols, "left_semi")))
+  }
+
+  /** A43: merge-on-read UPSERT — tombstone the matched keys' current
+    * versions, then APPEND the update rows as new data files. Two
+    * O(batch) writes, zero rewrites; the read path hides the old
+    * versions. Matched coordinates are materialized (the epoch write
+    * IS the action) BEFORE the append, so the tombstone scan can
+    * never see — and kill — the rows it is inserting. As in SQL
+    * MERGE, `updates` carries at most one row per key. Repeated
+    * upserts of the same key chain naturally: the next batch's
+    * semi-join tombstones the previously-appended version too.
+    */
+  def morUpsert(s: SparkSession, tablePath: String, updates: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    val keys = updates.select(keyCols.map(col): _*)
+    // pin the target column ORDER before appending: parquet appends
+    // are positional at write time, and a reordered batch would write
+    // files whose footers disagree with the table's
+    val targetCols = s.read.parquet(tablePath).columns
+    writeEpoch(s, tablePath, currentMatches(s, tablePath,
+      _.join(broadcast(keys), keyCols, "left_semi")))
+    updates.select(targetCols.map(col): _*)
+      .write.mode(SaveMode.Append).parquet(tablePath)
+  }
+
+  /** The merge-on-read SCAN: data files anti-joined against the
+    * accumulated deletion vector on the (file, position) coordinate.
+    * No vector → a plain scan, zero overhead. The vector side
+    * broadcasts while its row count (a sidecar-only count, never a
+    * table scan) stays under `maxBroadcast`; past that the join
+    * degrades to a shuffled anti-join and the right answer is a
+    * compaction, not a bigger broadcast.
+    */
+  def morRead(s: SparkSession, tablePath: String,
+      maxBroadcast: Long = MaxBroadcastTombstones): DataFrame = {
+    val data = s.read.parquet(tablePath)
+    dvFrame(s, tablePath) match {
+      case None => data
+      case Some(dv) =>
+        val side = if (dv.count() <= maxBroadcast) broadcast(dv) else dv
+        data
+          .withColumn("dv_file", col("_metadata.file_path"))
+          .withColumn("dv_pos", col("_metadata.row_index"))
+          .join(side, Seq("dv_file", "dv_pos"), "left_anti")
+          .drop("dv_file", "dv_pos")
+    }
+  }
+
+  /** Fold the deletion vector into the data: ONLY files that appear
+    * in the vector are rewritten (their survivors re-land as fresh
+    * appends); every untouched file keeps its bytes — the A18/A19
+    * affected-only discipline at FILE grain instead of partition
+    * grain. Clears the sidecar, so the next `morRead` is a plain
+    * scan again. The only MOR operation that unlinks files, hence
+    * the only one behind the A24 lease gate. Pass `partitionCols`
+    * for a hive-partitioned table so survivors re-land in their
+    * directories. Idempotent: no vector → no-op.
+    */
+  def morCompact(s: SparkSession, tablePath: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    GraftLease.failIfLeased(s, tablePath, "morCompact")
+    dvFrame(s, tablePath).foreach { dv0 =>
+      val dv = dv0.localCheckpoint(true)
+      try {
+        val affected = dv.select("dv_file").distinct()
+          .collect().map(_.getString(0))
+        // basePath keeps hive partition columns attached when the
+        // affected FILES are addressed directly
+        val survivors = s.read.option("basePath", tablePath).parquet(affected: _*)
+          .withColumn("dv_file", col("_metadata.file_path"))
+          .withColumn("dv_pos", col("_metadata.row_index"))
+          .join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_anti")
+          .drop("dv_file", "dv_pos")
+          .localCheckpoint(true)
+        try {
+          val f = fs(s, tablePath)
+          affected.foreach { file =>
+            if (!f.delete(new org.apache.hadoop.fs.Path(file), false))
+              throw new IllegalStateException(
+                s"[GRAFT] morCompact failed to remove $file")
+          }
+          if (!f.delete(new org.apache.hadoop.fs.Path(dvPath(tablePath)), true))
+            throw new IllegalStateException(
+              s"[GRAFT] morCompact failed to clear ${dvPath(tablePath)}")
+          if (!survivors.isEmpty) {
+            val w = survivors.write.mode(SaveMode.Append)
+            if (partitionCols.nonEmpty)
+              w.partitionBy(partitionCols: _*).parquet(tablePath)
+            else w.parquet(tablePath)
+          }
+        } finally graft.GraftSession.releaseCheckpoint(survivors)
+      } finally graft.GraftSession.releaseCheckpoint(dv)
+    }
+  }
+}

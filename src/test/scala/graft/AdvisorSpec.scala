@@ -50,6 +50,31 @@ class AdvisorSpec extends SparkSpecBase {
     assert(after.isEmpty, after.toString)
   }
 
+  test("A42: tombstone-debt advice fires past the budget and morCompact clears it") {
+    val root = graft.sources.GraftSink.scratchDir + "/adv_mor_root"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = s"$root/orders.parquet"
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .coalesce(2).write.mode("overwrite").parquet(tbl)
+    // below budget: silent
+    graft.sources.GraftMor.morDelete(spark, tbl, col("o_orderkey") % 97 === 0)
+    def morAdvice(budget: Long) =
+      GraftAdvisor.advise(spark, root, morTombstoneBudget = budget)
+        .filter(_.rule == "mor-compact")
+    val doomed = spark.read.parquet(s"$sfDir/orders.parquet")
+      .where(col("o_orderkey") % 97 === 0).count()
+    assert(morAdvice(budget = doomed + 1).isEmpty)
+    // past budget: fires, metric = footer-exact tombstone rows
+    val fired = morAdvice(budget = doomed - 1)
+    assert(fired.map(_.metric) === Seq(doomed), fired.toString)
+    // acting clears it
+    graft.sources.GraftMor.morCompact(spark, tbl)
+    assert(morAdvice(budget = 0).isEmpty)
+  }
+
   test("A37: clustering depth separates sorted from shuffled layouts; advice fires on overlap") {
     val root = graft.sources.GraftSink.scratchDir + "/spec_cluster"
     // sf0.01 for enough rows to split into many row groups at a 16 KB

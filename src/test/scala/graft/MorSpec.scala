@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftLease, GraftMor}
+
+/** A42/A43 merge-on-read deletion vectors: the claims the oracle hash
+  * can't see — which files are touched when, how tombstone epochs
+  * accumulate, what the read plan looks like, and the lease contract
+  * split (mutation safe under live readers, compaction not).
+  */
+class MorSpec extends SparkSpecBase {
+
+  private def hfs(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** (path, length, mtime) of every visible data file — byte-identity
+    * signature; `_dv` and other `_`/`.` bookkeeping excluded at every
+    * segment.
+    */
+  private def dataSig(root: String): Set[(String, Long, Long)] = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = hfs(root)
+    val rootPath = rp.toUri.getPath
+    val out = Set.newBuilder[(String, Long, Long)]
+    val it = fs.listFiles(rp, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+      if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+        out += ((f.getPath.toString, f.getLen, f.getModificationTime))
+    }
+    out.result()
+  }
+
+  private def freshTable(name: String, nFiles: Int = 4): String = {
+    val path = graft.sources.GraftSink.scratchDir + s"/mor_spec_$name"
+    hfs(path).delete(new org.apache.hadoop.fs.Path(path), true)
+    new graft.sources.GraftCatalog(spark, sfDir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .repartitionByRange(nFiles, col("o_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  test("A42: a MOR delete touches no data file and the read hides exactly the doomed rows") {
+    val path = freshTable("del")
+    val before = dataSig(path)
+    val all = spark.read.parquet(path)
+    val doomedN = all.where(col("o_orderkey") % 10 === 3).count()
+    GraftMor.morDelete(spark, path, col("o_orderkey") % 10 === 3)
+    assert(dataSig(path) === before, "delete must not touch data files")
+    val dv = spark.read.parquet(s"$path/${GraftMor.DvDir}")
+    assert(dv.count() === doomedN)
+    val read = GraftMor.morRead(spark, path)
+    assert(read.count() === all.count() - doomedN)
+    assert(read.where(col("o_orderkey") % 10 === 3).count() === 0)
+  }
+
+  test("A42: overlapping epochs are true deltas — already-tombstoned rows write no duplicate coordinates") {
+    val path = freshTable("overlap")
+    val all = spark.read.parquet(path)
+    GraftMor.morDelete(spark, path, col("o_orderkey") % 10 === 3)
+    // second delete overlaps the first (every %30==3 key is %10==3)
+    GraftMor.morDeleteKeys(spark, path,
+      all.where(col("o_orderkey") % 30 === 3 || col("o_orderkey") % 10 === 4),
+      Seq("o_orderkey"))
+    val dv = spark.read.parquet(s"$path/${GraftMor.DvDir}")
+    val expected = all.where(col("o_orderkey") % 10 === 3 ||
+                             col("o_orderkey") % 10 === 4).count()
+    assert(dv.count() === expected, "overlap must not duplicate tombstones")
+    assert(dv.select("dv_file", "dv_pos").distinct().count() === expected)
+    assert(dv.select("epoch").distinct().count() === 2)
+    assert(GraftMor.morRead(spark, path).count() === all.count() - expected)
+  }
+
+  test("A43: upsert appends new files, removes none, and the last version wins") {
+    val path = freshTable("up")
+    val before = dataSig(path)
+    val orig = spark.read.parquet(path).localCheckpoint(true)
+    val batch = orig.where(col("o_orderkey") % 500 === 0)
+      .withColumn("o_totalprice", lit(7.25))
+      // shuffled column order: morUpsert must realign to the target
+      .select("o_totalprice", "o_orderkey", "o_custkey", "o_orderstatus")
+    GraftMor.morUpsert(spark, path, batch, Seq("o_orderkey"))
+    val after = dataSig(path)
+    assert(before.subsetOf(after), "upsert must not remove or rewrite existing files")
+    assert(after.size > before.size, "the update batch lands as appended files")
+    val read = GraftMor.morRead(spark, path)
+    assert(read.count() === orig.count())
+    assert(read.where(col("o_orderkey") % 500 === 0)
+      .agg(max("o_totalprice"), min("o_totalprice")).head().toSeq
+      === Seq(7.25, 7.25))
+    // second generation over the same keys supersedes the first
+    GraftMor.morUpsert(spark, path,
+      orig.where(col("o_orderkey") % 500 === 0)
+        .withColumn("o_totalprice", lit(9.5)), Seq("o_orderkey"))
+    val read2 = GraftMor.morRead(spark, path)
+    assert(read2.count() === orig.count())
+    assert(read2.where(col("o_orderkey") % 500 === 0)
+      .agg(min("o_totalprice")).head().getDouble(0) === 9.5)
+  }
+
+  test("A42: compaction rewrites only the affected files, clears the vector, and preserves content") {
+    val path = freshTable("cp", nFiles = 6)
+    val all = spark.read.parquet(path)
+    // range layout: a delete confined to the lowest keys touches only
+    // the file(s) holding them
+    val cut = all.agg(expr("percentile_approx(o_orderkey, 0.05)")).head().get(0)
+      .toString.toDouble.toLong
+    GraftMor.morDelete(spark, path, col("o_orderkey") <= cut)
+    val preRead = GraftMor.morRead(spark, path).orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    val before = dataSig(path)
+    val affected = spark.read.parquet(s"$path/${GraftMor.DvDir}")
+      .select("dv_file").distinct().collect().map(_.getString(0)).toSet
+    assert(affected.nonEmpty && affected.size < before.size,
+      s"the delete must be confined to a strict file subset (${affected.size}/${before.size})")
+    GraftMor.morCompact(spark, path)
+    val after = dataSig(path)
+    // untouched files byte-identical; affected files gone
+    assert(before.filterNot(f => affected(f._1)).subsetOf(after))
+    assert(after.map(_._1).intersect(affected) === Set.empty)
+    assert(!hfs(path).exists(new org.apache.hadoop.fs.Path(s"$path/${GraftMor.DvDir}")),
+      "compaction clears the sidecar")
+    val postRead = GraftMor.morRead(spark, path).orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    assert(postRead === preRead, "compaction must not change content")
+    // idempotent: nothing left to fold
+    val sig2 = dataSig(path)
+    GraftMor.morCompact(spark, path)
+    assert(dataSig(path) === sig2, "a second compact is a physical no-op")
+  }
+
+  test("A42: the MOR read plans a broadcast anti-join (no shuffle of the fact) and survives the no-broadcast fallback") {
+    val path = freshTable("plan")
+    GraftMor.morDelete(spark, path, col("o_orderkey") % 7 === 0)
+    val read = GraftMor.morRead(spark, path)
+    read.collect() // materialize so AQE finalizes stages
+    val nodes = allPlanNodes(read.queryExecution.executedPlan)
+    assert(nodes.exists {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+      case _ => false
+    }, "the vector side must broadcast")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "the fact side must not shuffle for the anti-join")
+    // oversized-vector fallback: same rows through the shuffled plan
+    val fallback = GraftMor.morRead(spark, path, maxBroadcast = 0L)
+    assert(fallback.count() === read.count())
+  }
+
+  test("A24 contract split: mutation is safe under a live reader lease; compaction is refused") {
+    val path = freshTable("lease")
+    val lease = GraftLease.acquire(spark, path)
+    try {
+      GraftMor.morDelete(spark, path, col("o_orderkey") % 11 === 0) // allowed: unlinks nothing
+      val e = intercept[IllegalStateException](GraftMor.morCompact(spark, path))
+      assert(e.getMessage.contains("lease"), e.getMessage)
+    } finally GraftLease.release(spark, path, lease)
+    GraftMor.morCompact(spark, path) // lease released → proceeds
+    assert(GraftMor.morRead(spark, path)
+      .where(col("o_orderkey") % 11 === 0).count() === 0)
+  }
+
+  test("A42: compaction of a hive-partitioned table keeps the layout and partition pruning") {
+    val path = graft.sources.GraftSink.scratchDir + "/mor_spec_part"
+    hfs(path).delete(new org.apache.hadoop.fs.Path(path), true)
+    val orders = new graft.sources.GraftCatalog(spark, sfDir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    GraftMor.morDelete(spark, path,
+      col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 0)
+    val expect = orders.where(
+      !(col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 0)).count()
+    assert(GraftMor.morRead(spark, path).count() === expect)
+    GraftMor.morCompact(spark, path, partitionCols = Seq("o_orderstatus"))
+    val after = spark.read.parquet(path)
+    assert(after.count() === expect)
+    // survivors re-landed under partition directories — no file fell
+    // flat to the table root (inputFiles ignores pushed filters, so
+    // assert the LAYOUT, not a filtered listing)
+    assert(after.inputFiles.nonEmpty &&
+      after.inputFiles.forall(_.contains("o_orderstatus=")))
+    assert(after.where(col("o_orderstatus") === "F").count() ===
+      orders.where(col("o_orderstatus") === "F" &&
+                   col("o_orderkey") % 3 =!= 0).count())
+  }
+}
