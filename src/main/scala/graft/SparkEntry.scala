@@ -162,6 +162,7 @@ object SparkEntry {
     "text_decontaminate_semantic" -> Dedup.decontaminateSemantic _,
     "text_decontaminate_semantic_lsh" -> Dedup.decontaminateSemanticLsh _,
     "pipeline_curate_corpus"     -> Dedup.curateCorpus _,
+    "pipeline_curation_funnel"   -> Dedup.curationFunnel _,
     // §2.D similarity search
     "sim_bruteforce_topk"        -> Similarity.bruteForceTopk _,
     "sim_filtered_topk"          -> Similarity.filteredTopk _,
@@ -2510,6 +2511,54 @@ object SparkEntry {
 
     "dedup_clusters_exact" -> (clusterCte + """
       SELECT doc_id, cluster FROM cl ORDER BY doc_id"""),
+
+    // C17: the C7 chain with per-stage accounting, extended with the
+    // E20 perplexity cut as a final stage — the LM and cutoffs derive
+    // from the stage-3 SURVIVOR corpus (fw/fc/ft mirror PerplexitySql
+    // over `kept` instead of `documents`; head+middle = avg_lp >= c1)
+    "pipeline_curation_funnel" -> (curatedDocsCte + """, fw AS (
+        SELECT k.doc_id, unnest(list_filter(
+          string_split_regex(trim(lower(d.text)), '\s+'), x -> length(x) > 0)) AS word
+        FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+      ), fc AS (
+        SELECT word, count(*) AS cnt FROM fw GROUP BY word
+      ), ft AS (
+        SELECT CAST(count(*) AS DOUBLE) AS total FROM fw
+      ), fperdoc AS (
+        SELECT fw.doc_id, count(*) AS n_words,
+               sum(CAST(floor(ln(fc.cnt / (SELECT total FROM ft)) * 1000000.0) AS BIGINT)) AS sum_lp
+        FROM fw JOIN fc USING (word) GROUP BY fw.doc_id
+      ), fbase AS (
+        SELECT doc_id, CAST(floor(CAST(sum_lp AS DOUBLE) / n_words) AS BIGINT) AS avg_lp
+        FROM fperdoc
+      ), fhist AS (
+        SELECT avg_lp AS v, count(*) AS nv FROM fbase GROUP BY 1
+      ), fcum AS (
+        SELECT v, sum(nv) OVER (ORDER BY v) AS cn FROM fhist
+      ), ftot AS (
+        SELECT count(*) AS nn FROM fbase
+      ), fcut AS (
+        SELECT (SELECT min(v) FROM fcum
+                WHERE cn >= ((SELECT nn FROM ftot) + 2) // 3) AS c1
+      ), s4 AS (
+        SELECT b.doc_id FROM fbase b CROSS JOIN fcut WHERE b.avg_lp >= fcut.c1
+      )
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS stage_ord, 'ingested' AS stage,
+               count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM q
+        UNION ALL
+        SELECT 1, 'quality', count(*), CAST(sum(n_toks) AS BIGINT)
+        FROM q WHERE n_toks >= 10 AND n_distinct * 10 >= n_toks * 3
+        UNION ALL
+        SELECT 2, 'decontaminated', count(*), CAST(sum(n_toks) AS BIGINT)
+        FROM q JOIN clean USING (doc_id)
+        WHERE n_toks >= 10 AND n_distinct * 10 >= n_toks * 3
+        UNION ALL
+        SELECT 3, 'dedup', count(*), CAST(sum(n_toks) AS BIGINT) FROM kept
+        UNION ALL
+        SELECT 4, 'perplexity', count(*), CAST(sum(n_toks) AS BIGINT)
+        FROM kept JOIN s4 USING (doc_id)
+      ) ORDER BY stage_ord"""),
 
     // Same sampled exact-cosine pipeline as Dedup.embeddingCosineExact;
     // floor-micro keeps identical double bits identical after trunc.

@@ -759,6 +759,85 @@ object Dedup {
       .select("doc_id", "source", "n_chars", "n_toks")
   }
 
+  /** C17: the curation FUNNEL — the per-stage accounting report every
+    * data team reads before a training run: how many documents and
+    * tokens survive each gate of the C7 pipeline, extended with the
+    * CCNet perplexity cut (E20) as the final stage. C7 answers "what
+    * survived"; this answers "which stage costs what" — the number
+    * that tells you whether the quality gate or the dedup pass is
+    * eating your corpus. Stages:
+    *   0 ingested → 1 quality (≥10 tokens, ≥30% distinct) →
+    *   2 decontaminated (C9: eval docs + contaminated out) →
+    *   3 dedup (one representative per C6 exact cluster) →
+    *   4 perplexity (tail tercile of the E8 unigram score dropped;
+    *     the LM is trained on — and the cutoffs computed over — the
+    *     stage-3 SURVIVOR corpus, so the cut reflects what would
+    *     actually be trained on).
+    * Scale shape: ONE cached (doc, n_toks, n_distinct) grain serves
+    * every stage's token accounting; each stage's survivor set is a
+    * semi-join on doc_id; the per-stage output is five aggregate
+    * rows. The perplexity word grain scans only stage-3 survivors
+    * (differently-filtered scan, the lint-excused class) and is
+    * cached across LM training and scoring; cutoff selection is
+    * E20's bounded histogram — no global sort at any corpus size.
+    * All-integer arithmetic ⇒ VALUE-EXACT vs the chained CTE oracle.
+    */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val base = docs(s, dir).select(col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .cache()
+    val quality = base.where(col("n_toks") >= 10 &&
+      col("n_distinct") * 10 >= col("n_toks") * 3)
+    val clean = decontaminate(s, dir)
+      .where(col("contaminated") === 0).select("doc_id")
+    val s2 = quality.join(clean, Seq("doc_id"), "left_semi")
+    val clusters = nearDupClustersExact(s, dir)
+    val wCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+    val s3 = s2.join(clusters, Seq("doc_id"))
+      .withColumn("rep", min("doc_id").over(wCluster))
+      .where(col("doc_id") === col("rep"))
+      .select("doc_id", "n_toks").cache()
+    // E20 over the survivor corpus: unigram LM trained on survivors,
+    // per-doc mean log-prob, tail tercile dropped
+    val words = expr(
+      "filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val grain = docs(s, dir)
+      .join(s3.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .cache()
+    val total = grain.agg(sum("n")).head().getLong(0)
+    val perDoc = grain
+      .join(grain.groupBy("word").agg(sum("n").as("cnt")), Seq("word"))
+      .withColumn("lp_micro",
+        floor(log(col("cnt").cast("double") / total.toDouble) * 1000000.0)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_words"), sum(col("lp_micro") * col("n")).as("slp"))
+      .select(col("doc_id"),
+        floor(col("slp").cast("double") / col("n_words"))
+          .cast("long").as("avg_lp_micro"))
+      .cache()
+    val s4 = TextAnalysis.tercileCutoffs(perDoc) match {
+      case None           => perDoc.select("doc_id")
+      case Some((c1, _))  =>
+        perDoc.where(col("avg_lp_micro") >= c1).select("doc_id")
+    }
+    def stage(ord: Long, name: String, docSet: DataFrame): DataFrame =
+      base.join(docSet.select("doc_id"), Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+                col("n_docs"), col("n_tokens"))
+    stage(0L, "ingested", base)
+      .unionByName(stage(1L, "quality", quality))
+      .unionByName(stage(2L, "decontaminated", s2))
+      .unionByName(stage(3L, "dedup", s3))
+      .unionByName(stage(4L, "perplexity", s4))
+      .orderBy("stage_ord")
+  }
+
   /** C5 (oracle-portable form): exact pairwise cosine over the
     * deterministic ~10% hash-sample of the embeddings table — every
     * sampled pair scored, no LSH bucketing, so the whole computation

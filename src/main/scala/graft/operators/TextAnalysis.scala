@@ -282,7 +282,7 @@ object TextAnalysis {
     * fine collect (both straddling buckets at once) serves both exact
     * cutoffs — two bounded driver actions. None on an empty grain.
     */
-  private def tercileCutoffs(grain: DataFrame): Option[(Long, Long)] = {
+  private[operators] def tercileCutoffs(grain: DataFrame): Option[(Long, Long)] = {
     val coarse = grain
       .groupBy(floor(col("avg_lp_micro") / 1000.0).cast("long").as("b"))
       .agg(count(lit(1)).as("n")).collect()

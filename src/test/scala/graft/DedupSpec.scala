@@ -481,6 +481,32 @@ class DedupSpec extends SparkSpecBase {
       "an unbroadcast cross join would shuffle the corpus against itself: " + plan.take(1000))
   }
 
+  test("C17: the curation funnel is monotone, consistent with C7, and cuts the survivor tail tercile") {
+    import graft.operators.Dedup
+    val rows = Dedup.curationFunnel(spark, sfDir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((0L, "ingested"), (1L, "quality"), (2L, "decontaminated"),
+          (3L, "dedup"), (4L, "perplexity")))
+    val nDocs = rows.map(_.getLong(2))
+    val nToks = rows.map(_.getLong(3))
+    assert(nDocs.zip(nDocs.tail).forall { case (a, b) => a >= b },
+      s"doc counts must be non-increasing: ${nDocs.toSeq}")
+    assert(nToks.zip(nToks.tail).forall { case (a, b) => a >= b })
+    assert(nDocs.last > 0, "some docs must survive the whole funnel")
+    // every stage cuts into the corpus on this data
+    assert(nDocs.distinct.length === nDocs.length,
+      s"each gate should remove docs at this SF: ${nDocs.toSeq}")
+    // stage 3 must agree with C7's own survivor count
+    val c7 = Dedup.curateCorpus(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_kept")).head().getLong(0)
+    assert(nDocs(3) === c7)
+    // the perplexity cut keeps head+middle: at least ~2/3 minus ties,
+    // never more than stage 3
+    val n3 = nDocs(3)
+    assert(nDocs(4) <= n3 && nDocs(4) >= n3 - (n3 + 2) / 3,
+      s"tail-tercile cut out of range: ${nDocs(4)} of $n3")
+  }
+
   test("C15: LSH banding parameters derive from the threshold rule") {
     import graft.operators.Dedup
     // the shipped C2 configuration IS the 0.5-threshold choice
