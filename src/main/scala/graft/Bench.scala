@@ -96,7 +96,12 @@ object Bench {
     "text_zipf_slope", "pipeline_pack_efficiency", "text_ingest_drift",
     // round-11 late addition: the CCNet perplexity-tercile cut (cached
     // unigram grain + bounded two-phase cutoff selection + assignment)
-    "text_perplexity_buckets")
+    "text_perplexity_buckets",
+    // round-11 final additions: merge-on-read mutation (tombstone
+    // epochs + anti-join read + affected-file compaction) and the
+    // five-stage curation funnel (C7 chain + survivor-trained
+    // perplexity cut)
+    "src_mor_delete", "src_mor_upsert", "pipeline_curation_funnel")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

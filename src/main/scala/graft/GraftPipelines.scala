@@ -69,7 +69,11 @@ object GraftPipelines {
     "pipeline_chunk_documents", "pipeline_mixture_sample",
     "pipeline_train_val_test", "pipeline_contrastive_pairs",
     "pipeline_assemble_corpus", "pipeline_cluster_split",
-    "pipeline_weighted_sample", "pipeline_curriculum")
+    "pipeline_weighted_sample", "pipeline_curriculum",
+    // r11 final: the perplexity-tercile cut and the curation funnel
+    // (the persisted-model form text_perplexity_model stays API-side:
+    // it trains and writes an artifact, and a SELECT must never write)
+    "text_perplexity_buckets", "pipeline_curation_funnel")
 
   /** Register every flagship operator result as `graft_<name>` in the
     * session's temp-view namespace, bound to the tables under `dir`.

@@ -60,7 +60,11 @@ object ScaleBench {
     // round-11 late addition: perplexity terciles — one cached
     // tokenize + bounded cutoff collects; the scan is the only
     // scaling part
-    "text_perplexity_buckets")
+    "text_perplexity_buckets",
+    // round-11 final addition: the five-stage funnel (C7 chain +
+    // survivor-trained perplexity cut) — the CC pass dominates as in
+    // pipeline_cluster_split
+    "pipeline_curation_funnel")
 
   /** Queries whose dominant cost grain does not grow with corpus
     * rows, with the reason — a ratio well under 10 is the DESIGN.
@@ -289,6 +293,41 @@ object ScaleBench {
         val done = graft.operators.Similarity.ivfCompact(
           sp, s"$scratch/ivfc", maxFiles = 3)
         require(done.nonEmpty, "[scalebench] compaction must have work")
+      }),
+    WriteExp("w_mor_delete",
+      "~1x write + one-column discovery: the tombstone epoch is O(matched " +
+        "rows); discovery reads ONLY the key column (no shuffle, trivially " +
+        "parallel) — contrast w_merge_upsert, which re-materializes the " +
+        "affected partitions full-width",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        sp.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .withColumn("bucket", expr("o_orderkey div 25000"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$scratch/t")
+      },
+      op = (sp, dir, scratch, run) => {
+        // constant churn: keys < 50k exist at every scale (replica 0
+        // keeps original keys); run-disjoint residues keep both runs live
+        graft.sources.GraftMor.morDelete(sp, s"$scratch/t",
+          col("o_orderkey") < 50000L && col("o_orderkey") % 10 === run)
+      }),
+    WriteExp("w_mor_compact",
+      "~1x: the tombstones live only under the keys<50k bucket dirs, so " +
+        "compaction rewrites a CONSTANT file subset and clears the vector; " +
+        "untouched buckets keep their bytes at any scale",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        sp.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .withColumn("bucket", expr("o_orderkey div 25000"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$scratch/t")
+      },
+      op = (sp, dir, scratch, run) => {
+        graft.sources.GraftMor.morDelete(sp, s"$scratch/t",
+          col("o_orderkey") < 50000L && col("o_orderkey") % 10 === run)
+        graft.sources.GraftMor.morCompact(sp, s"$scratch/t",
+          partitionCols = Seq("bucket"))
       }))
 
   private def wapRules = Seq(

@@ -77,7 +77,9 @@ class DoctorSweepSpec extends SparkSpecBase {
     "mm_binary_meta", "mm_payload_dedup", "mm_feature_extract",
     "mm_frame_sample", "mm_resize",
     "pipeline_pack_sequences_bpe", "pipeline_contrastive_pairs",
-    "pipeline_assemble_corpus", "q_wordcount")
+    "pipeline_assemble_corpus", "q_wordcount",
+    // round-11 final additions
+    "text_perplexity_buckets", "pipeline_curation_funnel")
 
   test("the whole read-only surface is free of the repeated-uncached-subtree class") {
     // the E14/E17/H5/F7 double-tokenize bug recurred three rounds in a
