@@ -259,4 +259,56 @@ object BpeTokenizer {
       case (acc, (l, r)) => s"replace($acc, ' $l $r', ' $l$r')"
     }
   }
+
+  // ── E22: the tokenizer as a PERSISTED artifact ──
+
+  /** E22: persist a trained codec — the tokenizer file every real
+    * pipeline ships (the tokenizer.json role): BPE is only usable if
+    * the EXACT merge list that tokenized the training corpus is the
+    * one that tokenizes everything afterwards (prompts, eval sets,
+    * absorb batches); retraining "the same" tokenizer on drifted data
+    * silently changes every token boundary. The artifact is the
+    * rank-ordered merge table — order IS the codec, so `rank` is
+    * persisted explicitly and reload sorts on it, never on file or
+    * row order.
+    */
+  def bpeModelTrain(s: SparkSession, dir: String, modelPath: String): Unit = {
+    val codec = trainCodec(s, dir)
+    import s.implicits._
+    codec.merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "lhs", "rhs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelPath/merges")
+  }
+
+  /** Reload the frozen codec (rank order restored explicitly). */
+  def bpeModelLoad(s: SparkSession, modelPath: String): BpeCodec =
+    BpeCodec(s.read.parquet(s"$modelPath/merges").orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** Encode ARBITRARY (doc_id, text) rows with the frozen artifact —
+    * one scan of the scored rows, the training corpus never
+    * re-enters; the codec travels as a broadcast-sized literal inside
+    * the native count expression exactly as in the scan-time path.
+    */
+  def bpeModelApply(s: SparkSession, modelPath: String,
+      in: DataFrame): DataFrame = {
+    val codec = bpeModelLoad(s, modelPath)
+    val w = words(col("text"))
+    in.select(col("doc_id"),
+      size(w).cast("long").as("n_words"),
+      bpeTokenCount(w, codec).as("bpe_tokens"))
+  }
+
+  /** E22 (query form): train → persist → encode the training corpus
+    * from the artifact ALONE — must equal E9's scan-time result
+    * value-for-value (the E15/E21 artifact-served ≡ scan-time
+    * discipline; shares E9's oracle verbatim).
+    */
+  def bpeModelServe(s: SparkSession, dir: String): DataFrame = {
+    val modelPath = java.nio.file.Files
+      .createTempDirectory("graft_bpe_model").toString
+    bpeModelTrain(s, dir, modelPath)
+    bpeModelApply(s, modelPath, docs(s, dir)).orderBy("doc_id")
+  }
 }

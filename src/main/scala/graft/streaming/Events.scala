@@ -570,6 +570,55 @@ object Events {
     } finally graft.GraftSession.releaseCheckpoint(b)
   }
 
+  // ── G24: streaming merge-on-read upsert (the CDC fast path) ──
+
+  /** A43's merge-on-read upsert as a STREAMING sink — the
+    * high-frequency half of the CDC-apply story. A39's durable
+    * consumer applies segments with a staged COW swap (right for
+    * low-frequency, large deltas); this sink applies each micro-batch
+    * as two O(batch) writes (tombstone epoch + append), so a
+    * per-minute correction stream cannot wedge a 100 TB table in
+    * rewrite churn — compaction is deferred to the A34 advisor's
+    * `mor-compact` signal. Exactly-once via applied-batch markers
+    * (`_dv_applied/batch_id=N`, underscore-hidden from data scans): a
+    * replayed marked batch is a PHYSICAL no-op. The marker lands
+    * AFTER the apply; a crash inside the window makes the replay
+    * re-apply, which is CONTENT-idempotent by A43's chaining rule
+    * (the retry tombstones the first attempt's appended versions and
+    * appends identical rows) — the failure window degrades to
+    * physical churn, never to duplicates served. In-batch duplicate
+    * keys keep one deterministic struct-min survivor (the G19 rule).
+    */
+  def morUpsertSink(updates: DataFrame, tablePath: String,
+      keyCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyMorUpsertBatch(b, id, tablePath, keyCols)
+      }
+      .start()
+
+  private[graft] def applyMorUpsertBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      tablePath: String, keyCols: Seq[String]): Unit = {
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$tablePath/_dv_applied/batch_id=$batchId")
+    if (fs.exists(marker)) return // replay of an applied batch: no-op
+    val b = batch.toDF().localCheckpoint(true) // keys + append below
+    try if (!b.isEmpty) {
+      val rest = b.columns.filterNot(keyCols.contains)
+      val deduped = b.groupBy(keyCols.map(col): _*)
+        .agg(min(struct(rest.map(col): _*)).as("__rest"))
+        .select(keyCols.map(col) ++
+          rest.map(c => col(s"__rest.$c").as(c)): _*)
+      graft.sources.GraftMor.morUpsert(s, tablePath, deduped, keyCols)
+    } finally graft.GraftSession.releaseCheckpoint(b)
+    if (!fs.mkdirs(marker)) throw new IllegalStateException(
+      s"[GRAFT] morUpsertSink failed to record applied marker $marker")
+  }
+
   // ── G9: ingestion-time curation gate (quality + decontamination) ──
 
   /** The C7 quality + C9 decontamination gates applied to a DOCUMENT

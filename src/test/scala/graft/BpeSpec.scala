@@ -68,6 +68,23 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
+  test("E22: the persisted codec round-trips rank-exactly and artifact-served encoding equals scan-time") {
+    import graft.operators.BpeTokenizer
+    val model = graft.sources.GraftSink.scratchDir + "/bpe_model"
+    val p = new org.apache.hadoop.fs.Path(model)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    BpeTokenizer.bpeModelTrain(spark, sfDir, model)
+    // the merge LIST survives byte- and ORDER-exactly (order IS the codec)
+    assert(BpeTokenizer.bpeModelLoad(spark, model).merges ===
+      BpeTokenizer.trainCodec(spark, sfDir).merges)
+    val scanTime = BpeTokenizer.bpeTokens(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val served = BpeTokenizer.bpeModelServe(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(served === scanTime,
+      "artifact-served encode must equal the scan-time computation")
+  }
+
   test("bpe-packed sequences conserve the corpus BPE token count") {
     val packed = Assembly.packSequencesBpe(spark, sfDir).collect()
     assert(packed.nonEmpty)

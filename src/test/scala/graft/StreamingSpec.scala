@@ -1071,4 +1071,60 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$root/rejected/batch_id=1").count()
       === junk.length)
   }
+
+  test("G24: the streaming MOR upsert applies exactly once, dedups in-batch, and the crash window stays content-idempotent") {
+    import spark.implicits._
+    import graft.sources.GraftMor
+    val path = graft.sources.GraftSink.scratchDir + "/mor_sink_tbl"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    spark.range(100).select(col("id").as("k"), (col("id") * 10L).as("v"))
+      .coalesce(2).write.parquet(path)
+    // full physical signature INCLUDING the _dv sidecar and markers
+    def sig(): Set[(String, Long, Long)] = {
+      val out = Set.newBuilder[(String, Long, Long)]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) { val f = it.next()
+        out += ((f.getPath.toString, f.getLen, f.getModificationTime)) }
+      out.result()
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val q = Events.morUpsertSink(stream.toDF().toDF("k", "v"), path, Seq("k"))
+    // batch 0: updates on keys 0-9 with an in-batch duplicate on key 5
+    // (struct-min survivor → the smaller v wins), plus two inserts
+    stream.addData((0L until 10L).map(k => (k, k + 1000L)) ++
+      Seq((5L, 999L), (200L, 1L), (201L, 2L)))
+    q.processAllAvailable()
+    val read1 = GraftMor.morRead(spark, path)
+    assert(read1.count() === 102)
+    assert(read1.where(col("k") === 5L).collect()
+      .map(_.getLong(1)).toSeq === Seq(999L), "in-batch dup: one deterministic survivor")
+    assert(read1.where(col("k") === 3L).head().getLong(1) === 1003L)
+    // batch 1: a second generation on key 3 supersedes batch 0's version
+    stream.addData(Seq((3L, 7L)))
+    q.processAllAvailable()
+    q.stop()
+    assert(GraftMor.morRead(spark, path)
+      .where(col("k") === 3L).head().getLong(1) === 7L)
+    // replay of a MARKED batch: physical no-op
+    val before = sig()
+    Events.applyMorUpsertBatch(Seq((3L, 7L)).toDF("k", "v"), 1L, path, Seq("k"))
+    assert(sig() === before, "marked replay must touch nothing")
+    // crash window: the marker is lost after the apply — the replay
+    // re-applies (physical churn allowed) but content stays exact and
+    // the key is served exactly once
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_dv_applied/batch_id=1"), true)
+    Events.applyMorUpsertBatch(Seq((3L, 7L)).toDF("k", "v"), 1L, path, Seq("k"))
+    val after = GraftMor.morRead(spark, path)
+    assert(after.count() === 102)
+    assert(after.where(col("k") === 3L).collect()
+      .map(_.getLong(1)).toSeq === Seq(7L))
+    // and the marker is back: a further replay is a physical no-op again
+    val again = sig()
+    Events.applyMorUpsertBatch(Seq((3L, 7L)).toDF("k", "v"), 1L, path, Seq("k"))
+    assert(sig() === again)
+  }
 }
