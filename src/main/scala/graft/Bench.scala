@@ -101,7 +101,11 @@ object Bench {
     // epochs + anti-join read + affected-file compaction) and the
     // five-stage curation funnel (C7 chain + survivor-trained
     // perplexity cut)
-    "src_mor_delete", "src_mor_upsert", "pipeline_curation_funnel")
+    "src_mor_delete", "src_mor_upsert", "pipeline_curation_funnel",
+    // the A44 equality-delete lane (zero-read erase + forward mask)
+    // and the E23 persisted-classifier artifact (train + artifact
+    // scoring of the held-out half)
+    "src_mor_erase", "text_quality_model")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -312,6 +312,23 @@ object ScaleBench {
         graft.sources.GraftMor.morDelete(sp, s"$scratch/t",
           col("o_orderkey") < 50000L && col("o_orderkey") % 10 === run)
       }),
+    WriteExp("w_mor_erase",
+      "O(keys) flat: the equality delete writes ONLY the key list - " +
+        "zero table reads at any scale (discovery is deferred to " +
+        "compaction), the cheapest mutation on the board",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        sp.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .withColumn("bucket", expr("o_orderkey div 25000"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$scratch/t")
+      },
+      op = (sp, dir, scratch, run) => {
+        // constant churn: a fixed 1000-key erase list per run
+        graft.sources.GraftMor.morErase(sp, s"$scratch/t",
+          sp.range(1000).select((col("id") * 10L + run).as("o_custkey")),
+          Seq("o_custkey"))
+      }),
     WriteExp("w_mor_compact",
       "~1x: the tombstones live only under the keys<50k bucket dirs, so " +
         "compaction rewrites a CONSTANT file subset and clears the vector; " +

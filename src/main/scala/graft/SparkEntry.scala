@@ -56,6 +56,7 @@ object SparkEntry {
     "src_merge_upsert"           -> Relational.srcMergeUpsert _,
     "src_merge_delete"           -> Relational.srcMergeDelete _,
     "src_mor_delete"             -> Relational.srcMorDelete _,
+    "src_mor_erase"              -> Relational.srcMorErase _,
     "src_mor_upsert"             -> Relational.srcMorUpsert _,
     "src_mor_compact"            -> Relational.srcMorCompact _,
     "src_incremental_agg"        -> Relational.srcIncrementalAgg _,
@@ -189,6 +190,7 @@ object SparkEntry {
     "text_perplexity_buckets"    -> TextAnalysis.perplexityBuckets _,
     "text_perplexity_model"      -> TextAnalysis.perplexityModelServe _,
     "text_bpe_tokens"            -> BpeTokenizer.bpeTokens _,
+    "text_bpe_model"             -> BpeTokenizer.bpeModelServe _,
     "text_dsir_weights"          -> TextAnalysis.dsirWeights _,
     "text_vocab_coverage"        -> ((s: SparkSession, d: String) => TextAnalysis.vocabCoverage(s, d)),
     "text_zipf_slope"            -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
@@ -196,6 +198,7 @@ object SparkEntry {
     "text_vocab_growth"          -> ((s: SparkSession, d: String) => TextAnalysis.vocabGrowth(s, d)),
     "text_bm25_retrieval"        -> Bm25.retrieve _,
     "text_quality_classifier"    -> TextAnalysis.qualityClassifier _,
+    "text_quality_model"         -> TextAnalysis.qualityModelServe _,
     "sim_hybrid_rrf"             -> Hybrid.retrieve _,
     "pipeline_contrastive_pairs" -> Assembly.contrastivePairs _,
     "text_inverted_bm25"         -> Bm25.indexServedBm25 _,
@@ -419,6 +422,78 @@ object SparkEntry {
           FROM survivors s)
         WHERE doc_id = rep)
 """
+
+  // BPE encode replayed as literal SQL: the baked sf0.01 merge table
+  // (BpeTokenizer.Sf001Merges, spec-guarded against training drift)
+  // applied as nested replaces over the space-prefixed symbol string;
+  // token count = space count (see BpeTokenizer.oracleEncodeSql).
+  private val BpeTokensSql: String = s"""
+      WITH wds AS (
+        SELECT doc_id, unnest(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+        FROM documents
+      ), enc AS (
+        SELECT doc_id,
+               ${BpeTokenizer.oracleEncodeSql("w", BpeTokenizer.Sf001Merges)} AS e
+        FROM wds
+      ), agg AS (
+        SELECT doc_id, count(*) AS nw,
+               sum(length(e) - length(replace(e, ' ', ''))) AS bt
+        FROM enc GROUP BY doc_id
+      )
+      SELECT d.doc_id, CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
+             CAST(coalesce(bt, 0) AS BIGINT) AS bpe_tokens
+      FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+
+
+  // E14's NB classifier oracle, shared verbatim by E23
+  // (`text_quality_model`): artifact-served scoring of the held-out
+  // half must reproduce the in-query computation value-for-value.
+  private val QualityClassifierSql: String = """
+      WITH base AS (
+
+        SELECT doc_id, list_filter(
+          string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS ws
+        FROM documents
+      ), labeled AS (
+        SELECT doc_id, ws,
+          CASE WHEN len(ws) > 0 AND
+            len(list_filter(ws, x -> x IN ('the','a','of','and','in','to','is')))
+              * 1000000 >= len(ws) * 60000 THEN 1 ELSE 0 END AS label,
+          (doc_id * 1048573 + 11) % 1000000 < 500000 AS is_train
+        FROM base
+      ), pair AS (
+        SELECT doc_id, label, is_train, word, count(*) AS n
+        FROM (SELECT doc_id, label, is_train, unnest(ws) AS word FROM labeled)
+        GROUP BY ALL
+      ), wc AS (
+        SELECT word,
+               sum(CASE WHEN label = 1 THEN n ELSE 0 END) AS cnt1,
+               sum(CASE WHEN label = 0 THEN n ELSE 0 END) AS cnt0
+        FROM pair WHERE is_train GROUP BY word
+      ), tot AS (
+        SELECT sum(cnt1) AS tot1, sum(cnt0) AS tot0, count(*) AS v FROM wc
+      ), wt AS (
+        SELECT word,
+               CAST(floor(ln((cnt1 + 1) / CAST(tot1 + v AS DOUBLE)) * 1000000.0) AS BIGINT)
+             - CAST(floor(ln((cnt0 + 1) / CAST(tot0 + v AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
+        FROM wc CROSS JOIN tot
+      ), priors AS (
+        SELECT CAST(floor(ln(sum(label) / CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
+             - CAST(floor(ln((count(*) - sum(label)) / CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS prior_delta
+        FROM labeled WHERE is_train
+      ), perdoc AS (
+        SELECT doc_id, sum(n) AS n_scored, sum(w_micro * n) AS delta_words
+        FROM pair JOIN wt USING (word) WHERE NOT is_train GROUP BY doc_id
+      )
+      SELECT l.doc_id, CAST(l.label AS BIGINT) AS label,
+             CAST(coalesce(p.n_scored, 0) AS BIGINT) AS n_scored,
+             CAST(pr.prior_delta + coalesce(p.delta_words, 0) AS BIGINT) AS log_odds_micro,
+             CAST(CASE WHEN pr.prior_delta + coalesce(p.delta_words, 0) > 0
+                  THEN 1 ELSE 0 END AS BIGINT) AS predicted
+      FROM labeled l CROSS JOIN priors pr LEFT JOIN perdoc p USING (doc_id)
+      WHERE NOT l.is_train ORDER BY l.doc_id"""
 
   private val PerplexitySql: String = """
       WITH w AS (
@@ -1005,6 +1080,20 @@ object SparkEntry {
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM orders
       WHERE NOT (o_totalprice > 400000.0) AND NOT (o_orderkey % 100 = 7)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A44: equality delete — base + the served straggler, minus every
+    // row (current OR appended-later) whose custkey is in either
+    // erase epoch; the erased-key straggler (custkey 97) never appears
+    "src_mor_erase" -> """
+      WITH base AS (
+        SELECT o_custkey, o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT 1, 'F', 42.5)
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM base
+      WHERE o_custkey % 97 <> 0 AND o_custkey % 113 <> 0
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // A43: MOR upsert — two chained generations (the second batch
@@ -2010,23 +2099,12 @@ object SparkEntry {
     // (BpeTokenizer.Sf001Merges, spec-guarded against training drift)
     // applied as nested replaces over the space-prefixed symbol string;
     // token count = space count (see BpeTokenizer.oracleEncodeSql).
-    "text_bpe_tokens" -> s"""
-      WITH wds AS (
-        SELECT doc_id, unnest(regexp_extract_all(text,
-          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
-        FROM documents
-      ), enc AS (
-        SELECT doc_id,
-               ${BpeTokenizer.oracleEncodeSql("w", BpeTokenizer.Sf001Merges)} AS e
-        FROM wds
-      ), agg AS (
-        SELECT doc_id, count(*) AS nw,
-               sum(length(e) - length(replace(e, ' ', ''))) AS bt
-        FROM enc GROUP BY doc_id
-      )
-      SELECT d.doc_id, CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
-             CAST(coalesce(bt, 0) AS BIGINT) AS bpe_tokens
-      FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+    // E22 (`text_bpe_model`) shares this oracle VERBATIM: encoding
+    // the training corpus from the persisted merge artifact alone
+    // must reproduce the scan-time counts (artifact-served ≡
+    // scan-time, the E21 discipline; same SF-pinned caveat).
+    "text_bpe_tokens" -> BpeTokensSql,
+    "text_bpe_model" -> BpeTokensSql,
 
     // H1 packing over the REAL subword counts of text_bpe_tokens
     // (same contiguous-fill rule as pipeline_pack_sequences).
@@ -2877,50 +2955,12 @@ object SparkEntry {
     // NB quality classifier (E14): H2's hash rule splits train/test,
     // one conditional word-count pass fits both class models, priors
     // and per-word log-probs micro-floored, log-odds exact BIGINT.
-    "text_quality_classifier" -> """
-      WITH base AS (
-        SELECT doc_id, list_filter(
-          string_split_regex(trim(lower(text)), '\s+'), x -> length(x) > 0) AS ws
-        FROM documents
-      ), labeled AS (
-        SELECT doc_id, ws,
-          CASE WHEN len(ws) > 0 AND
-            len(list_filter(ws, x -> x IN ('the','a','of','and','in','to','is')))
-              * 1000000 >= len(ws) * 60000 THEN 1 ELSE 0 END AS label,
-          (doc_id * 1048573 + 11) % 1000000 < 500000 AS is_train
-        FROM base
-      ), pair AS (
-        SELECT doc_id, label, is_train, word, count(*) AS n
-        FROM (SELECT doc_id, label, is_train, unnest(ws) AS word FROM labeled)
-        GROUP BY ALL
-      ), wc AS (
-        SELECT word,
-               sum(CASE WHEN label = 1 THEN n ELSE 0 END) AS cnt1,
-               sum(CASE WHEN label = 0 THEN n ELSE 0 END) AS cnt0
-        FROM pair WHERE is_train GROUP BY word
-      ), tot AS (
-        SELECT sum(cnt1) AS tot1, sum(cnt0) AS tot0, count(*) AS v FROM wc
-      ), wt AS (
-        SELECT word,
-               CAST(floor(ln((cnt1 + 1) / CAST(tot1 + v AS DOUBLE)) * 1000000.0) AS BIGINT)
-             - CAST(floor(ln((cnt0 + 1) / CAST(tot0 + v AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro
-        FROM wc CROSS JOIN tot
-      ), priors AS (
-        SELECT CAST(floor(ln(sum(label) / CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
-             - CAST(floor(ln((count(*) - sum(label)) / CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
-               AS prior_delta
-        FROM labeled WHERE is_train
-      ), perdoc AS (
-        SELECT doc_id, sum(n) AS n_scored, sum(w_micro * n) AS delta_words
-        FROM pair JOIN wt USING (word) WHERE NOT is_train GROUP BY doc_id
-      )
-      SELECT l.doc_id, CAST(l.label AS BIGINT) AS label,
-             CAST(coalesce(p.n_scored, 0) AS BIGINT) AS n_scored,
-             CAST(pr.prior_delta + coalesce(p.delta_words, 0) AS BIGINT) AS log_odds_micro,
-             CAST(CASE WHEN pr.prior_delta + coalesce(p.delta_words, 0) > 0
-                  THEN 1 ELSE 0 END AS BIGINT) AS predicted
-      FROM labeled l CROSS JOIN priors pr LEFT JOIN perdoc p USING (doc_id)
-      WHERE NOT l.is_train ORDER BY l.doc_id""",
+    // E23 (`text_quality_model`) shares this oracle VERBATIM: scoring
+    // the held-out half from the persisted weight/prior/label-rule
+    // artifact alone must reproduce the in-query result (the
+    // artifact-served ≡ scan-time discipline).
+    "text_quality_classifier" -> QualityClassifierSql,
+    "text_quality_model" -> QualityClassifierSql,
 
     // DSIR importance weights (E11): same tokenization as E8, one
     // conditional word-count pass for both unigram models, per-word

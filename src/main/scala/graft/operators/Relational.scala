@@ -830,6 +830,45 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A44: EQUALITY delete (GraftMor.morErase) — the GDPR erasure
+    * shape position deletes can't price: two erase epochs land as
+    * KEY-set sidecars with ZERO table reads at write time (the
+    * discovery scan is deferred to compaction), and the mask is
+    * forward-looking — a straggler batch appended AFTER the erase
+    * cannot resurrect an erased customer (appended row for an erased
+    * key stays hidden; the appended row for a live key is served).
+    * The read-back aggregate hash-matches an oracle applying both
+    * key predicates over base + the served straggler.
+    */
+  def srcMorErase(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.GraftSink.scratchDir + "/orders_mor_er"
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").parquet(path)
+    // two erase epochs on the same key columns (multi-epoch union,
+    // deliberately overlapping where 97·113 divides a custkey); the
+    // erase request is a KEY LIST — it need not match any current row
+    // (custkey 97 itself may be absent at this SF; its straggler
+    // below must still be masked)
+    import s.implicits._
+    graft.sources.GraftMor.morErase(s, path,
+      orders.where(col("o_custkey") % 97 === 0).select("o_custkey")
+        .unionByName(Seq(97L).toDF("o_custkey")),
+      Seq("o_custkey"))
+    graft.sources.GraftMor.morErase(s, path,
+      orders.where(col("o_custkey") % 113 === 0).select("o_custkey"),
+      Seq("o_custkey"))
+    // the straggler: one row for an erased customer (custkey 97 —
+    // masked by the forward-looking contract) + one for a live one
+    Seq((900000000L, 97L, "F", 42.5), (900000001L, 1L, "F", 42.5))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("append").parquet(path)
+    graft.sources.GraftMor.morRead(s, path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A43: MERGE-ON-READ upsert — matched keys' current versions are
     * tombstoned and the new versions APPENDED, so a small update
     * batch costs two O(batch) writes instead of a partition rewrite.

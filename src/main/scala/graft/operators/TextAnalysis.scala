@@ -799,6 +799,117 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ── E23: the quality classifier as a PERSISTED artifact ──
+
+  /** E23: persist E14's trained classifier — the fastText-`.bin` role
+    * of the public curation recipes (the GPT-3 quality filter is a
+    * trained artifact applied to every later crawl, not a per-corpus
+    * recomputation). The artifact carries everything scoring needs and
+    * nothing else: the per-word log-odds weights (exact micro
+    * integers), the class-prior delta, and the PINNED weak-label rule
+    * (stop list + threshold) so evaluation against the labeling is
+    * reproducible from the artifact alone — the G22/E21 rule again:
+    * every constant the filter's decisions depend on freezes at train
+    * time. Train = E14's train-half fit verbatim (ONE tokenize via the
+    * cached labeled grain); the weight table is vocabulary-sized,
+    * never corpus-sized.
+    */
+  def qualityModelTrain(s: SparkSession, dir: String,
+      modelPath: String): Unit = {
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is")
+    val nw = size(col("ws")).cast("long")
+    val ns = size(filter(col("ws"), t => t.isin(stop.map(_.asInstanceOf[Any]): _*))).cast("long")
+    val labeled = docs(s, dir)
+      .withColumn("ws", words)
+      .select(col("doc_id"), col("ws"),
+        when(nw > 0L && ns * 1000000L >= nw * 60000L, 1L).otherwise(0L).as("label"))
+      .where(pmod(col("doc_id") * 1048573L + 11L, lit(1000000L)) < 500000L)
+      // feeds the word-count fit AND the priors — cache so the
+      // tokenize pass runs once (the E14 discipline)
+      .cache()
+    val wc = labeled
+      .select(col("label"), explode(col("ws")).as("word"))
+      .groupBy("word").agg(
+        sum(when(col("label") === 1L, 1L).otherwise(0L)).as("cnt1"),
+        sum(when(col("label") === 0L, 1L).otherwise(0L)).as("cnt0"))
+    val tot = wc.agg(sum("cnt1").as("tot1"), sum("cnt0").as("tot0"),
+      count(lit(1)).as("v"))
+    def lpMicro(cnt: Column, total: Column): Column =
+      floor(log((cnt + 1).cast("double") / (total + col("v")).cast("double"))
+        * 1e6).cast("long")
+    wc.crossJoin(broadcast(tot))
+      .select(col("word"),
+        (lpMicro(col("cnt1"), col("tot1"))
+          - lpMicro(col("cnt0"), col("tot0"))).as("w_micro"))
+      .write.mode("overwrite").parquet(s"$modelPath/words")
+    val prior = labeled.agg(
+      sum(col("label")).as("n1"), sum(lit(1L) - col("label")).as("n0"))
+      .select(
+        (floor(log(col("n1").cast("double") / (col("n1") + col("n0")).cast("double")) * 1e6)
+          - floor(log(col("n0").cast("double") / (col("n1") + col("n0")).cast("double")) * 1e6))
+          .cast("long").as("prior_delta"))
+      .head().getLong(0)
+    import s.implicits._
+    Seq((prior, stop.mkString(","), 60000L))
+      .toDF("prior_delta", "stop_words", "thr_stop_ratio_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$modelPath/meta")
+    labeled.unpersist()
+  }
+
+  /** Score ARBITRARY (doc_id, text) rows against the persisted
+    * classifier: per-doc BIGINT log-odds under the frozen weight
+    * table (words outside the train vocabulary drop via the inner
+    * join — E14's rule), prediction by sign, and the PINNED weak
+    * label recomputed from the artifact's own stop list + threshold
+    * for evaluation — identical arithmetic to E14, so scoring the
+    * held-out half reproduces E14's result exactly (the E15/E21
+    * artifact-served ≡ scan-time discipline; same oracle proves it).
+    * One tokenize of the scored rows (the cached base grain serves
+    * the label, the pair table, and the final frame) + one
+    * vocabulary-sized join — the training corpus never re-enters.
+    */
+  def qualityModelScore(s: SparkSession, modelPath: String,
+      in: DataFrame): DataFrame = {
+    val meta = s.read.parquet(s"$modelPath/meta").head()
+    val prior = meta.getAs[Long]("prior_delta")
+    val stop = meta.getAs[String]("stop_words").split(",").toSeq
+    val thr = meta.getAs[Long]("thr_stop_ratio_micro")
+    val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
+    val nw = size(col("ws")).cast("long")
+    val ns = size(filter(col("ws"), t => t.isin(stop.map(_.asInstanceOf[Any]): _*))).cast("long")
+    val base = in
+      .withColumn("ws", words)
+      .select(col("doc_id"), col("ws"),
+        when(nw > 0L && ns * 1000000L >= nw * thr, 1L).otherwise(0L).as("label"))
+      .cache()
+    val perDoc = base
+      .select(col("doc_id"), explode(col("ws")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .join(s.read.parquet(s"$modelPath/words"), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_scored"), sum(col("w_micro") * col("n")).as("delta_words"))
+    base.select(col("doc_id"), col("label"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("label"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        (lit(prior) + coalesce(col("delta_words"), lit(0L))).as("log_odds_micro"))
+      .withColumn("predicted", when(col("log_odds_micro") > 0L, 1L).otherwise(0L))
+  }
+
+  /** E23 (query form): train on the H2-hash train half, persist, then
+    * score the HELD-OUT half from the artifact alone — must equal
+    * E14's in-query result value-for-value (shared oracle verbatim).
+    */
+  def qualityModelServe(s: SparkSession, dir: String): DataFrame = {
+    val modelPath = java.nio.file.Files
+      .createTempDirectory("graft_quality_model").toString
+    qualityModelTrain(s, dir, modelPath)
+    val held = docs(s, dir).select(col("doc_id"), col("text"))
+      .where(pmod(col("doc_id") * 1048573L + 11L, lit(1000000L)) >= 500000L)
+    qualityModelScore(s, modelPath, held).orderBy("doc_id")
+  }
+
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
     val isTarget = col("source").isin(DsirTargetSources: _*).cast("long")

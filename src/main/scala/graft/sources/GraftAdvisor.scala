@@ -80,21 +80,26 @@ object GraftAdvisor {
         // deletion-vector row is an anti-join probe each read pays —
         // metric from sidecar FOOTERS only (the A25 discipline,
         // distributed), never a row scan. morCompact clears it.
-        val dvDir = new Path(dir, GraftMor.DvDir)
-        if (fs.exists(dvDir)) {
-          val dvFiles = Seq.newBuilder[String]
-          val it = fs.listFiles(dvDir, true)
-          while (it.hasNext) {
-            val f = it.next()
-            if (f.getPath.getName.endsWith(".parquet"))
-              dvFiles += f.getPath.toString
+        // both sidecar flavors count: position vectors (_dv) and
+        // equality erasures (_eq, A44) each cost an anti-join probe
+        // per read; morCompact folds and clears both
+        val morRows = Seq(GraftMor.DvDir, GraftMor.EqDir).map { d =>
+          val sub = new Path(dir, d)
+          if (!fs.exists(sub)) 0L
+          else {
+            val fsFiles = Seq.newBuilder[String]
+            val it = fs.listFiles(sub, true)
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.getPath.getName.endsWith(".parquet"))
+                fsFiles += f.getPath.toString
+            }
+            GraftBloomIndex.footerRowCounts(s, fsFiles.result()).values.sum
           }
-          val tombstones =
-            GraftBloomIndex.footerRowCounts(s, dvFiles.result()).values.sum
-          if (tombstones > morTombstoneBudget)
-            out += Advice(name, "mor-compact", tombstones,
-              s"$tombstones deletion-vector tombstones pending (budget $morTombstoneBudget) - run morCompact")
-        }
+        }.sum
+        if (morRows > morTombstoneBudget)
+          out += Advice(name, "mor-compact", morRows,
+            s"$morRows merge-on-read tombstones pending across _dv/_eq (budget $morTombstoneBudget) - run morCompact")
       }
     }
     out.result().sortBy(a => (a.table, a.rule))

@@ -39,6 +39,7 @@ import org.apache.spark.sql.functions.{broadcast, col}
 object GraftMor {
 
   val DvDir = "_dv"
+  val EqDir = "_eq"
 
   /** Tombstone volume up to which the read path broadcasts the
     * deletion vector (rows, not bytes — ~48 bytes/row keeps 4M rows
@@ -50,6 +51,7 @@ object GraftMor {
   val MaxBroadcastTombstones = 4L * 1000 * 1000
 
   private def dvPath(tablePath: String) = s"$tablePath/$DvDir"
+  private def eqPath(tablePath: String) = s"$tablePath/$EqDir"
 
   private def fs(s: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -65,13 +67,23 @@ object GraftMor {
     else Some(s.read.parquet(p).select("dv_file", "dv_pos"))
   }
 
-  private def nextEpoch(s: SparkSession, tablePath: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(dvPath(tablePath))
+  private def nextEpoch(s: SparkSession, tablePath: String,
+      dir: String => String = dvPath): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir(tablePath))
     val f = fs(s, tablePath)
     if (!f.exists(p)) 0
     else f.listStatus(p).map(_.getPath.getName)
       .collect { case n if n.startsWith("epoch=") => n.drop(6).toInt }
       .foldLeft(-1)(math.max) + 1
+  }
+
+  /** All accumulated EQUALITY tombstones (the erased key set), or
+    * None when no erase epoch exists.
+    */
+  private def eqFrame(s: SparkSession, tablePath: String): Option[DataFrame] = {
+    val p = eqPath(tablePath)
+    if (!fs(s, p).exists(new org.apache.hadoop.fs.Path(p))) None
+    else Some(s.read.parquet(p).drop("epoch")) // epoch=N is bookkeeping
   }
 
   /** The (file, position) coordinates of every CURRENT row matching
@@ -122,6 +134,36 @@ object GraftMor {
       _.join(broadcast(keys), keyCols, "left_semi")))
   }
 
+  /** A44: EQUALITY delete — the other Iceberg-v2 delete-file flavor,
+    * and the true GDPR-erasure fast path. A42's position deletes pay
+    * a DISCOVERY scan at write time (find the matching coordinates);
+    * an equality delete writes ONLY the key set — O(keys) total, the
+    * table is not read at all — and the read path masks by key
+    * instead of by coordinate. The contract difference is the
+    * feature: an erased key is masked in EVERY row, including rows
+    * appended AFTER the erase (a straggler ingesting an erased user's
+    * records cannot resurrect them), until `morCompact` folds the
+    * erasure physically and clears it. Re-inserting an erased key is
+    * therefore compact-then-append by design. Keys are deduplicated
+    * within the batch; all epochs must erase on the SAME key columns
+    * (checked — a mixed-key sidecar would silently mask nothing).
+    */
+  def morErase(s: SparkSession, tablePath: String,
+      eraseKeys: DataFrame, keyCols: Seq[String]): Unit = {
+    val tableCols = s.read.parquet(tablePath).columns.toSet
+    val missing = keyCols.filterNot(tableCols.contains)
+    require(missing.isEmpty,
+      s"[GRAFT] morErase key columns absent from table: ${missing.mkString(",")}")
+    eqFrame(s, tablePath).foreach { prior =>
+      require(prior.columns.sorted.toSeq == keyCols.sorted,
+        s"[GRAFT] morErase key columns ${keyCols.sorted.mkString(",")} differ " +
+          s"from the existing erase sidecar's ${prior.columns.sorted.mkString(",")}")
+    }
+    eraseKeys.select(keyCols.map(col): _*).distinct()
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${eqPath(tablePath)}/epoch=${nextEpoch(s, tablePath, eqPath)}")
+  }
+
   /** A43: merge-on-read UPSERT — tombstone the matched keys' current
     * versions, then APPEND the update rows as new data files. Two
     * O(batch) writes, zero rewrites; the read path hides the old
@@ -156,7 +198,7 @@ object GraftMor {
   def morRead(s: SparkSession, tablePath: String,
       maxBroadcast: Long = MaxBroadcastTombstones): DataFrame = {
     val data = s.read.parquet(tablePath)
-    dvFrame(s, tablePath) match {
+    val afterDv = dvFrame(s, tablePath) match {
       case None => data
       case Some(dv) =>
         val side = if (dv.count() <= maxBroadcast) broadcast(dv) else dv
@@ -165,6 +207,16 @@ object GraftMor {
           .withColumn("dv_pos", col("_metadata.row_index"))
           .join(side, Seq("dv_file", "dv_pos"), "left_anti")
           .drop("dv_file", "dv_pos")
+    }
+    // A44 equality masks apply AFTER (independently of) the position
+    // vector: a key anti-join — same broadcast/shuffle gate, same
+    // "compact long before the cap" advisor story
+    eqFrame(s, tablePath) match {
+      case None => afterDv
+      case Some(eq) =>
+        val keys = eq.distinct()
+        val side = if (keys.count() <= maxBroadcast) broadcast(keys) else keys
+        afterDv.join(side, eq.columns.toSeq, "left_anti")
     }
   }
 
@@ -181,29 +233,48 @@ object GraftMor {
   def morCompact(s: SparkSession, tablePath: String,
       partitionCols: Seq[String] = Nil): Unit = {
     GraftLease.failIfLeased(s, tablePath, "morCompact")
-    dvFrame(s, tablePath).foreach { dv0 =>
-      val dv = dv0.localCheckpoint(true)
-      try {
-        val affected = dv.select("dv_file").distinct()
-          .collect().map(_.getString(0))
+    val dvOpt = dvFrame(s, tablePath).map(_.localCheckpoint(true))
+    val eqOpt = eqFrame(s, tablePath).map(_.distinct().localCheckpoint(true))
+    if (dvOpt.isEmpty && eqOpt.isEmpty) return
+    try {
+      // affected files = the position vector's files plus every file
+      // holding an equality-matched row. The eq half is the DEFERRED
+      // discovery scan A44 skipped at write time — key columns only,
+      // paid exactly once, here.
+      val dvFiles = dvOpt.toSeq.flatMap(
+        _.select("dv_file").distinct().collect().map(_.getString(0)))
+      val eqFiles = eqOpt.toSeq.flatMap { keys =>
+        s.read.parquet(tablePath)
+          .withColumn("dv_file", col("_metadata.file_path"))
+          .join(broadcast(keys), keys.columns.toSeq, "left_semi")
+          .select("dv_file").distinct().collect().map(_.getString(0))
+      }
+      val affected = (dvFiles ++ eqFiles).distinct
+      val f = fs(s, tablePath)
+      if (affected.nonEmpty) {
         // basePath keeps hive partition columns attached when the
         // affected FILES are addressed directly
-        val survivors = s.read.option("basePath", tablePath).parquet(affected: _*)
+        val scanned = s.read.option("basePath", tablePath).parquet(affected: _*)
           .withColumn("dv_file", col("_metadata.file_path"))
           .withColumn("dv_pos", col("_metadata.row_index"))
-          .join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_anti")
-          .drop("dv_file", "dv_pos")
-          .localCheckpoint(true)
+        val afterDv = dvOpt match {
+          case None     => scanned
+          case Some(dv) => scanned.join(broadcast(dv),
+            Seq("dv_file", "dv_pos"), "left_anti")
+        }
+        val masked = eqOpt match {
+          case None       => afterDv
+          case Some(keys) => afterDv.join(broadcast(keys),
+            keys.columns.toSeq, "left_anti")
+        }
+        val survivors = masked.drop("dv_file", "dv_pos").localCheckpoint(true)
         try {
-          val f = fs(s, tablePath)
           affected.foreach { file =>
             if (!f.delete(new org.apache.hadoop.fs.Path(file), false))
               throw new IllegalStateException(
                 s"[GRAFT] morCompact failed to remove $file")
           }
-          if (!f.delete(new org.apache.hadoop.fs.Path(dvPath(tablePath)), true))
-            throw new IllegalStateException(
-              s"[GRAFT] morCompact failed to clear ${dvPath(tablePath)}")
+          clearSidecars(f, tablePath, dvOpt.nonEmpty, eqOpt.nonEmpty)
           if (!survivors.isEmpty) {
             val w = survivors.write.mode(SaveMode.Append)
             if (partitionCols.nonEmpty)
@@ -211,7 +282,20 @@ object GraftMor {
             else w.parquet(tablePath)
           }
         } finally graft.GraftSession.releaseCheckpoint(survivors)
-      } finally graft.GraftSession.releaseCheckpoint(dv)
+      } else clearSidecars(f, tablePath, dvOpt.nonEmpty, eqOpt.nonEmpty)
+    } finally {
+      dvOpt.foreach(graft.GraftSession.releaseCheckpoint)
+      eqOpt.foreach(graft.GraftSession.releaseCheckpoint)
     }
+  }
+
+  private def clearSidecars(f: org.apache.hadoop.fs.FileSystem,
+      tablePath: String, hasDv: Boolean, hasEq: Boolean): Unit = {
+    if (hasDv && !f.delete(new org.apache.hadoop.fs.Path(dvPath(tablePath)), true))
+      throw new IllegalStateException(
+        s"[GRAFT] morCompact failed to clear ${dvPath(tablePath)}")
+    if (hasEq && !f.delete(new org.apache.hadoop.fs.Path(eqPath(tablePath)), true))
+      throw new IllegalStateException(
+        s"[GRAFT] morCompact failed to clear ${eqPath(tablePath)}")
   }
 }

@@ -73,6 +73,14 @@ class AdvisorSpec extends SparkSpecBase {
     // acting clears it
     graft.sources.GraftMor.morCompact(spark, tbl)
     assert(morAdvice(budget = 0).isEmpty)
+    // the A44 equality flavor meters into the same debt signal
+    import spark.implicits._
+    graft.sources.GraftMor.morErase(spark, tbl,
+      Seq(1L, 2L, 3L).toDF("o_orderkey"), Seq("o_orderkey"))
+    val eqFired = morAdvice(budget = 2)
+    assert(eqFired.map(_.metric) === Seq(3L), eqFired.toString)
+    graft.sources.GraftMor.morCompact(spark, tbl)
+    assert(morAdvice(budget = 0).isEmpty)
   }
 
   test("A37: clustering depth separates sorted from shuffled layouts; advice fires on overlap") {

@@ -78,8 +78,10 @@ class DoctorSweepSpec extends SparkSpecBase {
     "mm_frame_sample", "mm_resize",
     "pipeline_pack_sequences_bpe", "pipeline_contrastive_pairs",
     "pipeline_assemble_corpus", "q_wordcount",
-    // round-11 final additions
-    "text_perplexity_buckets", "pipeline_curation_funnel")
+    // round-11 final additions (the artifact-served twins train into
+    // a temp dir when constructed; their SCORE plans are what's linted)
+    "text_perplexity_buckets", "pipeline_curation_funnel",
+    "text_perplexity_model", "text_bpe_model", "text_quality_model")
 
   test("the whole read-only surface is free of the repeated-uncached-subtree class") {
     // the E14/E17/H5/F7 double-tokenize bug recurred three rounds in a

@@ -163,6 +163,103 @@ class MorSpec extends SparkSpecBase {
       .where(col("o_orderkey") % 11 === 0).count() === 0)
   }
 
+  test("A44: an equality delete reads zero table bytes at write time, masks every current match, and masks future appends of the key") {
+    import spark.implicits._
+    val path = freshTable("eq")
+    val all = spark.read.parquet(path).localCheckpoint(true)
+    val before = dataSig(path)
+    // the erase is a plain key-list write — assert no action scanned
+    // the table's data files (QueryExecutionListener events are async:
+    // wait for at least the write's own event, then check none
+    // carried a FileSourceScan over this table)
+    @volatile var actions = 0
+    @volatile var scans = 0
+    val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = {
+        actions += 1
+        if (allPlanNodes(qe.executedPlan).exists {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+            sc.relation.location.rootPaths.exists(_.toString.contains("mor_spec_eq"))
+          case _ => false
+        }) scans += 1
+      }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qeListener)
+    try {
+      GraftMor.morErase(spark, path,
+        Seq(1L, 7L, 900L).toDF("o_custkey"), Seq("o_custkey"))
+      val deadline = System.currentTimeMillis() + 10000
+      while (actions < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(actions >= 1, "the erase write's execution event must arrive")
+    } finally spark.listenerManager.unregister(qeListener)
+    assert(scans === 0, "morErase must not scan the table")
+    assert(dataSig(path) === before, "erase must not touch data files")
+    val read = GraftMor.morRead(spark, path)
+    assert(read.where(col("o_custkey").isin(1L, 7L, 900L)).count() === 0)
+    assert(read.count() ===
+      all.where(!col("o_custkey").isin(1L, 7L, 900L)).count())
+    // the forward-looking mask: a straggler append for an erased key
+    // stays hidden; a live key's append is served
+    Seq((900000000L, 7L, "F", 1.0), (900000001L, 2L, "F", 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("append").parquet(path)
+    val read2 = GraftMor.morRead(spark, path)
+    assert(read2.where(col("o_orderkey") === 900000000L).count() === 0,
+      "an erased key's straggler must stay masked")
+    assert(read2.where(col("o_orderkey") === 900000001L).count() === 1)
+  }
+
+  test("A44: mixed-key erase epochs are refused; unknown key columns are refused") {
+    val path = freshTable("eqkeys")
+    import spark.implicits._
+    GraftMor.morErase(spark, path, Seq(1L).toDF("o_custkey"), Seq("o_custkey"))
+    val e1 = intercept[IllegalArgumentException](
+      GraftMor.morErase(spark, path, Seq(1L).toDF("o_orderkey"), Seq("o_orderkey")))
+    assert(e1.getMessage.contains("differ"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      GraftMor.morErase(spark, path, Seq(1L).toDF("nope"), Seq("nope")))
+    assert(e2.getMessage.contains("absent"), e2.getMessage)
+  }
+
+  test("A44: compaction folds position AND equality vectors — affected files only, both sidecars cleared, content preserved") {
+    val path = freshTable("eqcp", nFiles = 6)
+    val all = spark.read.parquet(path).localCheckpoint(true)
+    // position delete confined to the lowest keys; equality erase on
+    // a handful of customers scattered anywhere
+    val cut = all.agg(expr("percentile_approx(o_orderkey, 0.05)")).head().get(0)
+      .toString.toDouble.toLong
+    GraftMor.morDelete(spark, path, col("o_orderkey") <= cut)
+    import spark.implicits._
+    val victims = all.select("o_custkey").distinct().orderBy("o_custkey")
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    GraftMor.morErase(spark, path, victims.toDF("o_custkey"), Seq("o_custkey"))
+    val preRead = GraftMor.morRead(spark, path).orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    GraftMor.morCompact(spark, path)
+    assert(!hfs(path).exists(new org.apache.hadoop.fs.Path(s"$path/${GraftMor.DvDir}")))
+    assert(!hfs(path).exists(new org.apache.hadoop.fs.Path(s"$path/${GraftMor.EqDir}")))
+    val postRead = GraftMor.morRead(spark, path).orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    assert(postRead === preRead, "folding both vectors must not change content")
+    // after the fold the table serves the same rows through a PLAIN scan
+    assert(spark.read.parquet(path).count() === preRead.size)
+    // physical erasure happened: the erased keys are gone from raw bytes
+    assert(spark.read.parquet(path)
+      .where(col("o_custkey").isin(victims.map(x => x: Any): _*)).count() === 0)
+    // an eq-only compact (fresh erase, no position vector) also folds
+    GraftMor.morErase(spark, path,
+      all.select("o_custkey").distinct().orderBy(col("o_custkey").desc)
+        .limit(1), Seq("o_custkey"))
+    val pre2 = GraftMor.morRead(spark, path).count()
+    GraftMor.morCompact(spark, path)
+    assert(spark.read.parquet(path).count() === pre2)
+    assert(!hfs(path).exists(new org.apache.hadoop.fs.Path(s"$path/${GraftMor.EqDir}")))
+  }
+
   test("A42: compaction of a hive-partitioned table keeps the layout and partition pruning") {
     val path = graft.sources.GraftSink.scratchDir + "/mor_spec_part"
     hfs(path).delete(new org.apache.hadoop.fs.Path(path), true)

@@ -535,4 +535,27 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(served === inCorpus,
       "model-served scoring must equal the scan-time computation")
   }
+
+  test("E23 persisted classifier: artifact-served held-out scoring equals E14 exactly; out-of-vocab docs score the bare prior") {
+    import graft.operators.TextAnalysis
+    val inQuery = TextAnalysis.qualityClassifier(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val served = TextAnalysis.qualityModelServe(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(served === inQuery,
+      "artifact-served scoring must equal the in-query computation")
+    // the artifact generalizes: a doc with no train-vocabulary words
+    // contributes nothing beyond the class prior (E14's drop rule)
+    val model = java.nio.file.Files
+      .createTempDirectory("graft_quality_model_spec").toString
+    TextAnalysis.qualityModelTrain(spark, sfDir, model)
+    import spark.implicits._
+    val oov = Seq((1L, "zzqx9 zzqx9 vvkk77")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityModelScore(spark, model, oov).head()
+    val prior = spark.read.parquet(s"$model/meta").head()
+      .getAs[Long]("prior_delta")
+    assert(r.getAs[Long]("n_scored") === 0L)
+    assert(r.getAs[Long]("log_odds_micro") === prior)
+    assert(r.getAs[Long]("predicted") === (if (prior > 0L) 1L else 0L))
+  }
 }
