@@ -105,7 +105,10 @@ object Bench {
     // the A44 equality-delete lane (zero-read erase + forward mask)
     // and the E23 persisted-classifier artifact (train + artifact
     // scoring of the held-out half)
-    "src_mor_erase", "text_quality_model")
+    "src_mor_erase", "text_quality_model",
+    // the A45 sequence-numbered equality upsert (two zero-read
+    // generations + an erase outranking a resurrection attempt)
+    "src_mor_upsert_eq")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -329,6 +329,27 @@ object ScaleBench {
           sp.range(1000).select((col("id") * 10L + run).as("o_custkey")),
           Seq("o_custkey"))
       }),
+    WriteExp("w_mor_upsert_eq",
+      "O(batch) + O(files) listing: the sequence-numbered upsert " +
+        "writes a key tombstone and a manifest-sequenced append - " +
+        "zero table reads per batch at any scale (vs w_mor_delete's " +
+        "one-column discovery and w_merge_upsert's partition rewrite)",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        sp.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$scratch/t")
+      },
+      op = (sp, dir, scratch, run) => {
+        // constant churn: a fixed 1000-row update batch per run
+        graft.sources.GraftMor.morUpsertEq(sp, s"$scratch/t",
+          sp.range(1000).select(
+            (col("id") * 10L + run).as("o_orderkey"),
+            lit(1L).as("o_custkey"),
+            lit("F").as("o_orderstatus"),
+            lit(42.5).as("o_totalprice")),
+          Seq("o_orderkey"))
+      }),
     WriteExp("w_mor_compact",
       "~1x: the tombstones live only under the keys<50k bucket dirs, so " +
         "compaction rewrites a CONSTANT file subset and clears the vector; " +

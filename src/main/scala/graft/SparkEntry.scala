@@ -58,6 +58,7 @@ object SparkEntry {
     "src_mor_delete"             -> Relational.srcMorDelete _,
     "src_mor_erase"              -> Relational.srcMorErase _,
     "src_mor_upsert"             -> Relational.srcMorUpsert _,
+    "src_mor_upsert_eq"          -> Relational.srcMorUpsertEq _,
     "src_mor_compact"            -> Relational.srcMorCompact _,
     "src_incremental_agg"        -> Relational.srcIncrementalAgg _,
     // §2.B relational core
@@ -1106,6 +1107,24 @@ object SparkEntry {
                     WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
                     ELSE o_totalprice END AS o_totalprice
         FROM orders
+        UNION ALL
+        SELECT 900000000 + range, 'F', 42.5 FROM range(3))
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A45: sequence-numbered equality upsert — two chained
+    // generations plus inserts, with keys ≡ 500 mod 1000 erased at
+    // infinite sequence so even the later resurrection attempt stays
+    // masked; everything else follows the last finite generation
+    "src_mor_upsert_eq" -> """
+      WITH merged AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 200 = 0 THEN o_totalprice + 1001.0
+                    WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 1000 <> 500
         UNION ALL
         SELECT 900000000 + range, 'F', 42.5 FROM range(3))
       SELECT o_orderstatus, count(*) AS n,

@@ -905,6 +905,50 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A45: SEQUENCE-NUMBERED equality upsert — the Flink-CDC write
+    * shape: each batch writes a key tombstone at the commit sequence
+    * plus manifest-sequenced appends, reading ZERO table bytes (A43's
+    * position upsert pays a discovery scan per batch). The ladder
+    * proves the Iceberg-v2 sequence rule end to end: two chained
+    * generations (the second's higher sequence masks the first's
+    * appended versions), three fresh inserts, an A44 erase whose
+    * infinite sequence outranks a LATER upsert's resurrection attempt
+    * (those appended rows stay masked), all against one oracle hash.
+    */
+  def srcMorUpsertEq(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.GraftSink.scratchDir + "/orders_mor_ueq"
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").parquet(path)
+    val inserts = s.range(3).select(
+      (col("id") + 900000000L).as("o_orderkey"),
+      lit(1L).as("o_custkey"),
+      lit("F").as("o_orderstatus"),
+      lit(42.5).as("o_totalprice"))
+    // gen 1: bump keys ≡ 0 mod 100 (+1000) and insert three rows
+    graft.sources.GraftMor.morUpsertEq(s, path,
+      orders.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .unionByName(inserts),
+      Seq("o_orderkey"))
+    // GDPR erase: keys ≡ 500 mod 1000 — infinite sequence
+    graft.sources.GraftMor.morErase(s, path,
+      orders.where(col("o_orderkey") % 1000 === 500).select("o_orderkey"),
+      Seq("o_orderkey"))
+    // gen 2: re-bump keys ≡ 0 mod 200 from the ORIGINAL price (+1001
+    // in one step — (x+1000)+1 differs in double ULPs), and attempt
+    // to resurrect the erased keys: their appended rows stay masked
+    graft.sources.GraftMor.morUpsertEq(s, path,
+      orders.where(col("o_orderkey") % 200 === 0 ||
+                   col("o_orderkey") % 1000 === 500)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1001.0)),
+      Seq("o_orderkey"))
+    graft.sources.GraftMor.morRead(s, path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A42 (compaction leg): the deferred rewrite — tombstones folded
     * into ONLY the files they touch (affected-file COW at file grain,
     * untouched files byte-identical — spec-asserted), sidecar

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, max, regexp_replace}
 
 /** A42/A43: MERGE-ON-READ mutation via DELETION VECTORS — the other
   * half of the mutation cost spectrum from the copy-on-write merges
@@ -40,6 +40,13 @@ object GraftMor {
 
   val DvDir = "_dv"
   val EqDir = "_eq"
+  val SeqDir = "_seqm"
+
+  /** Sequence value that masks a key in EVERY data file, present and
+    * future — the GDPR-erase semantics (A44). Finite sequence numbers
+    * (A45) mask only files appended BEFORE them.
+    */
+  val EraseSeq = Long.MaxValue
 
   /** Tombstone volume up to which the read path broadcasts the
     * deletion vector (rows, not bytes — ~48 bytes/row keeps 4M rows
@@ -52,6 +59,14 @@ object GraftMor {
 
   private def dvPath(tablePath: String) = s"$tablePath/$DvDir"
   private def eqPath(tablePath: String) = s"$tablePath/$EqDir"
+  private def seqmPath(tablePath: String) = s"$tablePath/$SeqDir"
+
+  /** Scheme-less absolute form of a path string, so FileSystem
+    * listings (`file:/...`) and `_metadata.file_path` (`file:///...`)
+    * agree as join keys.
+    */
+  private def normPath(c: Column): Column =
+    org.apache.spark.sql.functions.regexp_replace(c, "^[a-zA-Z0-9.+-]+:/+", "/")
 
   private def fs(s: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -77,13 +92,63 @@ object GraftMor {
       .foldLeft(-1)(math.max) + 1
   }
 
-  /** All accumulated EQUALITY tombstones (the erased key set), or
-    * None when no erase epoch exists.
+  /** All accumulated EQUALITY tombstones as key columns + `seq`, or
+    * None when no erase/upsert-eq epoch exists. `seq` is [[EraseSeq]]
+    * for erases (mask everything, forever) and the commit's sequence
+    * number for A45 upserts (mask only older files).
     */
   private def eqFrame(s: SparkSession, tablePath: String): Option[DataFrame] = {
     val p = eqPath(tablePath)
     if (!fs(s, p).exists(new org.apache.hadoop.fs.Path(p))) None
     else Some(s.read.parquet(p).drop("epoch")) // epoch=N is bookkeeping
+  }
+
+  /** The file→sequence manifest (A45), or None when no eq-upsert has
+    * ever appended. Files absent from the manifest are base files:
+    * sequence 0, older than every tombstone.
+    */
+  private def seqFrame(s: SparkSession, tablePath: String): Option[DataFrame] = {
+    val p = seqmPath(tablePath)
+    if (!fs(s, p).exists(new org.apache.hadoop.fs.Path(p))) None
+    else Some(s.read.parquet(p).select("file_norm", "file_seq"))
+  }
+
+  /** Every visible data file's scheme-less absolute path —
+    * `_`/`.`-prefixed bookkeeping excluded at every segment. O(files)
+    * namenode metadata, the same cost class every table-format commit
+    * protocol pays.
+    */
+  private def listDataFiles(s: SparkSession, tablePath: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val f = fs(s, tablePath)
+    val rootPath = root.toUri.getPath
+    val out = Seq.newBuilder[String]
+    val it = f.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+      if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
+        out += st.getPath.toUri.getPath
+    }
+    out.result()
+  }
+
+  /** Key-column consistency against the existing eq sidecar: every
+    * epoch must mask on the SAME key columns or the composed anti-join
+    * would silently mask nothing.
+    */
+  private def checkEqKeys(s: SparkSession, tablePath: String,
+      keyCols: Seq[String], op: String): Unit = {
+    val tableCols = s.read.parquet(tablePath).columns.toSet
+    val missing = keyCols.filterNot(tableCols.contains)
+    require(missing.isEmpty,
+      s"[GRAFT] $op key columns absent from table: ${missing.mkString(",")}")
+    eqFrame(s, tablePath).foreach { prior =>
+      val priorKeys = prior.columns.filterNot(_ == "seq").sorted.toSeq
+      require(priorKeys == keyCols.sorted,
+        s"[GRAFT] $op key columns ${keyCols.sorted.mkString(",")} differ " +
+          s"from the existing erase sidecar's ${priorKeys.mkString(",")}")
+    }
   }
 
   /** The (file, position) coordinates of every CURRENT row matching
@@ -150,18 +215,52 @@ object GraftMor {
     */
   def morErase(s: SparkSession, tablePath: String,
       eraseKeys: DataFrame, keyCols: Seq[String]): Unit = {
-    val tableCols = s.read.parquet(tablePath).columns.toSet
-    val missing = keyCols.filterNot(tableCols.contains)
-    require(missing.isEmpty,
-      s"[GRAFT] morErase key columns absent from table: ${missing.mkString(",")}")
-    eqFrame(s, tablePath).foreach { prior =>
-      require(prior.columns.sorted.toSeq == keyCols.sorted,
-        s"[GRAFT] morErase key columns ${keyCols.sorted.mkString(",")} differ " +
-          s"from the existing erase sidecar's ${prior.columns.sorted.mkString(",")}")
-    }
+    checkEqKeys(s, tablePath, keyCols, "morErase")
     eraseKeys.select(keyCols.map(col): _*).distinct()
+      .withColumn("seq", org.apache.spark.sql.functions.lit(EraseSeq))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${eqPath(tablePath)}/epoch=${nextEpoch(s, tablePath, eqPath)}")
+  }
+
+  /** A45: SEQUENCE-NUMBERED equality upsert — the Flink-CDC-into-
+    * Iceberg write shape, and the only upsert that reads ZERO table
+    * bytes per batch. A43's position upsert pays a discovery scan to
+    * find the matched coordinates; this one writes (1) an equality
+    * tombstone for the batch keys stamped with the commit's sequence
+    * number and (2) the new versions as appended files recorded in a
+    * file→sequence manifest at that same number. The read-side rule
+    * is Iceberg v2's: an equality delete at sequence N masks a key's
+    * rows only in files with sequence < N — so the tombstone hides
+    * every OLDER version (base files are sequence 0) but never the
+    * rows it ships with, and the next batch's higher sequence
+    * supersedes this one. A44 erases stamp [[EraseSeq]] (mask forever:
+    * finite sequences never outrank an erase — re-inserting an erased
+    * key stays compact-then-append). Plain `mode(Append)` stragglers
+    * carry no manifest entry, so they sequence as base files. As in
+    * SQL MERGE, `updates` carries at most one row per key.
+    */
+  def morUpsertEq(s: SparkSession, tablePath: String, updates: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    checkEqKeys(s, tablePath, keyCols, "morUpsertEq")
+    val targetCols = s.read.parquet(tablePath).columns
+    // the commit sequence: one past the last eq epoch (erases consume
+    // epoch numbers too, keeping the counter monotone across flavors)
+    val epoch = nextEpoch(s, tablePath, eqPath)
+    val seq = epoch.toLong + 1L
+    updates.select(keyCols.map(col): _*).distinct()
+      .withColumn("seq", org.apache.spark.sql.functions.lit(seq))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${eqPath(tablePath)}/epoch=$epoch")
+    val before = listDataFiles(s, tablePath).toSet
+    updates.select(targetCols.map(col): _*)
+      .write.mode(SaveMode.Append).parquet(tablePath)
+    val freshFiles = listDataFiles(s, tablePath).filterNot(before)
+    if (freshFiles.nonEmpty) {
+      import s.implicits._
+      freshFiles.toDF("file_norm")
+        .withColumn("file_seq", org.apache.spark.sql.functions.lit(seq))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(seqmPath(tablePath))
+    }
   }
 
   /** A43: merge-on-read UPSERT — tombstone the matched keys' current
@@ -197,26 +296,59 @@ object GraftMor {
     */
   def morRead(s: SparkSession, tablePath: String,
       maxBroadcast: Long = MaxBroadcastTombstones): DataFrame = {
-    val data = s.read.parquet(tablePath)
-    val afterDv = dvFrame(s, tablePath) match {
+    val dvOpt = dvFrame(s, tablePath)
+    val eqOpt = eqFrame(s, tablePath)
+    val seqOpt = if (eqOpt.isEmpty) None else seqFrame(s, tablePath)
+    // every coordinate an active mask needs is projected while the
+    // plan is still the file relation — a join output no longer
+    // resolves `_metadata`
+    var data = s.read.parquet(tablePath)
+    if (dvOpt.nonEmpty) data = data
+      .withColumn("dv_file", col("_metadata.file_path"))
+      .withColumn("dv_pos", col("_metadata.row_index"))
+    if (seqOpt.nonEmpty) data = data
+      .withColumn("__fn", normPath(col("_metadata.file_path")))
+    val afterDv = dvOpt match {
       case None => data
       case Some(dv) =>
         val side = if (dv.count() <= maxBroadcast) broadcast(dv) else dv
-        data
-          .withColumn("dv_file", col("_metadata.file_path"))
-          .withColumn("dv_pos", col("_metadata.row_index"))
-          .join(side, Seq("dv_file", "dv_pos"), "left_anti")
+        data.join(side, Seq("dv_file", "dv_pos"), "left_anti")
           .drop("dv_file", "dv_pos")
     }
-    // A44 equality masks apply AFTER (independently of) the position
-    // vector: a key anti-join — same broadcast/shuffle gate, same
-    // "compact long before the cap" advisor story
-    eqFrame(s, tablePath) match {
+    // A44/A45 equality masks apply AFTER (independently of) the
+    // position vector: a key anti-join — same broadcast/shuffle gate,
+    // same "compact long before the cap" advisor story
+    eqOpt match {
       case None => afterDv
       case Some(eq) =>
-        val keys = eq.distinct()
-        val side = if (keys.count() <= maxBroadcast) broadcast(keys) else keys
-        afterDv.join(side, eq.columns.toSeq, "left_anti")
+        val keyColsEq = eq.columns.filterNot(_ == "seq").toSeq
+        // using-form joins hoist the key columns to the front; pin the
+        // served schema to the table's own column order
+        val outCols = afterDv.columns.filterNot(_ == "__fn")
+        seqOpt match {
+          case None =>
+            // pure-erase sidecar: every tombstone outranks every file,
+            // so the sequence rule degenerates to a plain key anti-join
+            val keys = eq.select(keyColsEq.map(col): _*).distinct()
+            val side = if (keys.count() <= maxBroadcast) broadcast(keys) else keys
+            afterDv.join(side, keyColsEq, "left_anti")
+              .select(outCols.map(col): _*)
+          case Some(m) =>
+            // Iceberg-v2 sequence rule: a key's tombstone at sequence N
+            // masks its rows only in files with sequence < N. One max
+            // per key suffices (masks accumulate monotonically).
+            val tomb = eq.groupBy(keyColsEq.map(col): _*)
+              .agg(max("seq").as("__max_seq"))
+            val side = if (tomb.count() <= maxBroadcast) broadcast(tomb) else tomb
+            val mb = broadcast(m) // O(appended files), tiny
+            val withSeq = afterDv
+              .join(mb, afterDv("__fn") === mb("file_norm"), "left")
+              .withColumn("__file_seq", coalesce(col("file_seq"), lit(0L)))
+            val cond = keyColsEq.map(k => withSeq(k) === side(k))
+              .reduce(_ && _) && withSeq("__file_seq") < side("__max_seq")
+            withSeq.join(side, cond, "left_anti")
+              .select(outCols.map(col): _*)
+        }
     }
   }
 
@@ -234,19 +366,42 @@ object GraftMor {
       partitionCols: Seq[String] = Nil): Unit = {
     GraftLease.failIfLeased(s, tablePath, "morCompact")
     val dvOpt = dvFrame(s, tablePath).map(_.localCheckpoint(true))
-    val eqOpt = eqFrame(s, tablePath).map(_.distinct().localCheckpoint(true))
+    // fold the eq sidecar to one max-sequence row per key up front —
+    // that is the whole mask (sequences accumulate monotonically)
+    val eqOpt = eqFrame(s, tablePath).map { eq =>
+      val keyColsEq = eq.columns.filterNot(_ == "seq").toSeq
+      eq.groupBy(keyColsEq.map(col): _*).agg(max("seq").as("__max_seq"))
+        .localCheckpoint(true)
+    }
+    val seqOpt = seqFrame(s, tablePath).map(_.localCheckpoint(true))
     if (dvOpt.isEmpty && eqOpt.isEmpty) return
+    // attach each row's file sequence (manifest absent/missing → base
+    // sequence 0) and build the A45 mask condition against `tomb`
+    def withFileSeq(df: DataFrame): DataFrame = seqOpt match {
+      case None    => df.withColumn("__file_seq", lit(0L))
+      case Some(m) =>
+        val mb = broadcast(m)
+        df.join(mb, df("__fn") === mb("file_norm"), "left")
+          .withColumn("__file_seq", coalesce(col("file_seq"), lit(0L)))
+          .drop("file_norm", "file_seq")
+    }
+    def maskCond(seqd: DataFrame, tomb: DataFrame) = {
+      val keyColsEq = tomb.columns.filterNot(_ == "__max_seq").toSeq
+      keyColsEq.map(k => seqd(k) === tomb(k)).reduce(_ && _) &&
+        seqd("__file_seq") < tomb("__max_seq")
+    }
     try {
       // affected files = the position vector's files plus every file
-      // holding an equality-matched row. The eq half is the DEFERRED
-      // discovery scan A44 skipped at write time — key columns only,
-      // paid exactly once, here.
+      // holding an equality-MASKED row (sequence rule applied). The eq
+      // half is the DEFERRED discovery scan A44 skipped at write time —
+      // key columns only, paid exactly once, here.
       val dvFiles = dvOpt.toSeq.flatMap(
         _.select("dv_file").distinct().collect().map(_.getString(0)))
-      val eqFiles = eqOpt.toSeq.flatMap { keys =>
-        s.read.parquet(tablePath)
+      val eqFiles = eqOpt.toSeq.flatMap { tomb =>
+        val seqd = withFileSeq(s.read.parquet(tablePath)
           .withColumn("dv_file", col("_metadata.file_path"))
-          .join(broadcast(keys), keys.columns.toSeq, "left_semi")
+          .withColumn("__fn", normPath(col("_metadata.file_path"))))
+        seqd.join(broadcast(tomb), maskCond(seqd, tomb), "left_semi")
           .select("dv_file").distinct().collect().map(_.getString(0))
       }
       val affected = (dvFiles ++ eqFiles).distinct
@@ -257,6 +412,7 @@ object GraftMor {
         val scanned = s.read.option("basePath", tablePath).parquet(affected: _*)
           .withColumn("dv_file", col("_metadata.file_path"))
           .withColumn("dv_pos", col("_metadata.row_index"))
+          .withColumn("__fn", normPath(col("_metadata.file_path")))
         val afterDv = dvOpt match {
           case None     => scanned
           case Some(dv) => scanned.join(broadcast(dv),
@@ -264,17 +420,25 @@ object GraftMor {
         }
         val masked = eqOpt match {
           case None       => afterDv
-          case Some(keys) => afterDv.join(broadcast(keys),
-            keys.columns.toSeq, "left_anti")
+          case Some(tomb) =>
+            val seqd = withFileSeq(afterDv)
+            seqd.join(broadcast(tomb), maskCond(seqd, tomb), "left_anti")
         }
-        val survivors = masked.drop("dv_file", "dv_pos").localCheckpoint(true)
+        // re-landed files keep the table's own column order (the dv
+        // using-join hoisted its keys to the front)
+        val dataCols = scanned.columns
+          .filterNot(Set("dv_file", "dv_pos", "__fn", "file_norm", "file_seq",
+            "__file_seq"))
+        val survivors = masked.select(dataCols.map(col): _*)
+          .localCheckpoint(true)
         try {
           affected.foreach { file =>
             if (!f.delete(new org.apache.hadoop.fs.Path(file), false))
               throw new IllegalStateException(
                 s"[GRAFT] morCompact failed to remove $file")
           }
-          clearSidecars(f, tablePath, dvOpt.nonEmpty, eqOpt.nonEmpty)
+          clearSidecars(f, tablePath, dvOpt.nonEmpty, eqOpt.nonEmpty,
+            seqOpt.nonEmpty)
           if (!survivors.isEmpty) {
             val w = survivors.write.mode(SaveMode.Append)
             if (partitionCols.nonEmpty)
@@ -282,20 +446,26 @@ object GraftMor {
             else w.parquet(tablePath)
           }
         } finally graft.GraftSession.releaseCheckpoint(survivors)
-      } else clearSidecars(f, tablePath, dvOpt.nonEmpty, eqOpt.nonEmpty)
+      } else clearSidecars(f, tablePath, dvOpt.nonEmpty, eqOpt.nonEmpty,
+        seqOpt.nonEmpty)
     } finally {
       dvOpt.foreach(graft.GraftSession.releaseCheckpoint)
       eqOpt.foreach(graft.GraftSession.releaseCheckpoint)
+      seqOpt.foreach(graft.GraftSession.releaseCheckpoint)
     }
   }
 
   private def clearSidecars(f: org.apache.hadoop.fs.FileSystem,
-      tablePath: String, hasDv: Boolean, hasEq: Boolean): Unit = {
+      tablePath: String, hasDv: Boolean, hasEq: Boolean,
+      hasSeqm: Boolean): Unit = {
     if (hasDv && !f.delete(new org.apache.hadoop.fs.Path(dvPath(tablePath)), true))
       throw new IllegalStateException(
         s"[GRAFT] morCompact failed to clear ${dvPath(tablePath)}")
     if (hasEq && !f.delete(new org.apache.hadoop.fs.Path(eqPath(tablePath)), true))
       throw new IllegalStateException(
         s"[GRAFT] morCompact failed to clear ${eqPath(tablePath)}")
+    if (hasSeqm && !f.delete(new org.apache.hadoop.fs.Path(seqmPath(tablePath)), true))
+      throw new IllegalStateException(
+        s"[GRAFT] morCompact failed to clear ${seqmPath(tablePath)}")
   }
 }

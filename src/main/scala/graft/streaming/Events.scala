@@ -619,6 +619,54 @@ object Events {
       s"[GRAFT] morUpsertSink failed to record applied marker $marker")
   }
 
+  // ── G25: streaming sequence-numbered equality upsert (zero-read CDC) ──
+
+  /** A45's equality upsert as a STREAMING sink — the Flink-CDC-into-
+    * Iceberg ingestion shape, and the only CDC apply whose per-batch
+    * cost reads ZERO table bytes: each micro-batch writes a key
+    * tombstone at the commit's sequence number plus the new versions
+    * as manifest-sequenced appends (two O(batch) writes + an O(files)
+    * listing — G24's position sink still pays a discovery scan per
+    * batch). Exactly-once via applied-batch markers
+    * (`_eq_applied/batch_id=N`): a replayed marked batch is a PHYSICAL
+    * no-op. A crash inside the marker window makes the replay
+    * re-apply, which is CONTENT-idempotent by the sequence rule: the
+    * retry's higher sequence masks every row the crashed attempt
+    * appended — including orphans that died before their manifest
+    * write landed, which sequence as base files (0) and are masked by
+    * any finite tombstone. In-batch duplicate keys keep one
+    * deterministic struct-min survivor (the G19 rule).
+    */
+  def morUpsertEqSink(updates: DataFrame, tablePath: String,
+      keyCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyMorUpsertEqBatch(b, id, tablePath, keyCols)
+      }
+      .start()
+
+  private[graft] def applyMorUpsertEqBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      tablePath: String, keyCols: Seq[String]): Unit = {
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$tablePath/_eq_applied/batch_id=$batchId")
+    if (fs.exists(marker)) return // replay of an applied batch: no-op
+    val b = batch.toDF().localCheckpoint(true) // keys + append below
+    try if (!b.isEmpty) {
+      val rest = b.columns.filterNot(keyCols.contains)
+      val deduped = b.groupBy(keyCols.map(col): _*)
+        .agg(min(struct(rest.map(col): _*)).as("__rest"))
+        .select(keyCols.map(col) ++
+          rest.map(c => col(s"__rest.$c").as(c)): _*)
+      graft.sources.GraftMor.morUpsertEq(s, tablePath, deduped, keyCols)
+    } finally graft.GraftSession.releaseCheckpoint(b)
+    if (!fs.mkdirs(marker)) throw new IllegalStateException(
+      s"[GRAFT] morUpsertEqSink failed to record applied marker $marker")
+  }
+
   // ── G9: ingestion-time curation gate (quality + decontamination) ──
 
   /** The C7 quality + C9 decontamination gates applied to a DOCUMENT

@@ -225,6 +225,115 @@ class MorSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("absent"), e2.getMessage)
   }
 
+  test("A45: eq-upsert reads zero table bytes per batch, chains generations by sequence, and an erase outranks later upserts") {
+    import spark.implicits._
+    val path = freshTable("ueq")
+    val all = spark.read.parquet(path).localCheckpoint(true)
+    val before = dataSig(path)
+    @volatile var actions = 0
+    @volatile var scans = 0
+    val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = {
+        actions += 1
+        if (allPlanNodes(qe.executedPlan).exists {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+            sc.relation.location.rootPaths.exists(_.toString.contains("mor_spec_ueq"))
+          case _ => false
+        }) scans += 1
+      }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qeListener)
+    try {
+      GraftMor.morUpsertEq(spark, path,
+        all.where(col("o_orderkey") % 500 === 0)
+          .withColumn("o_totalprice", lit(7.25)), Seq("o_orderkey"))
+      // tombstone + append + manifest = three write actions
+      val deadline = System.currentTimeMillis() + 10000
+      while (actions < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(actions >= 3, "the three eq-upsert writes' events must arrive")
+    } finally spark.listenerManager.unregister(qeListener)
+    assert(scans === 0, "morUpsertEq must not scan the table")
+    assert(before.subsetOf(dataSig(path)),
+      "eq-upsert must not remove or rewrite existing files")
+    val read1 = GraftMor.morRead(spark, path)
+    assert(read1.count() === all.count())
+    assert(read1.where(col("o_orderkey") % 500 === 0)
+      .agg(max("o_totalprice"), min("o_totalprice")).head().toSeq
+      === Seq(7.25, 7.25), "the tombstone hides every older version, never its own batch")
+    // generation 2: a higher sequence supersedes generation 1's appends
+    GraftMor.morUpsertEq(spark, path,
+      all.where(col("o_orderkey") % 500 === 0)
+        .withColumn("o_totalprice", lit(9.5)), Seq("o_orderkey"))
+    val read2 = GraftMor.morRead(spark, path)
+    assert(read2.count() === all.count())
+    assert(read2.where(col("o_orderkey") % 500 === 0)
+      .agg(max("o_totalprice"), min("o_totalprice")).head().toSeq === Seq(9.5, 9.5))
+    // an erase (infinite sequence) outranks a LATER upsert: the
+    // resurrection attempt's appended row stays masked
+    val ks = all.where(col("o_orderkey") % 500 === 0)
+      .select("o_orderkey").orderBy("o_orderkey")
+      .limit(2).collect().map(_.getLong(0))
+    val (kDead, kLive) = (ks(0), ks(1))
+    GraftMor.morErase(spark, path,
+      Seq(kDead).toDF("o_orderkey"), Seq("o_orderkey"))
+    GraftMor.morUpsertEq(spark, path,
+      Seq((kDead, 1L, "F", 11.0), (kLive, 1L, "F", 12.0))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+      Seq("o_orderkey"))
+    val read3 = GraftMor.morRead(spark, path)
+    assert(read3.where(col("o_orderkey") === kDead).count() === 0,
+      "an erased key stays masked through later upserts")
+    assert(read3.where(col("o_orderkey") === kLive).collect()
+      .map(_.getAs[Double]("o_totalprice")).toSeq === Seq(12.0))
+    assert(read3.count() === all.count() - 1)
+    // a PLAIN append carries no manifest entry: it sequences as a base
+    // file, so an already-upserted key's straggler is masked
+    Seq((kLive, 1L, "F", 999.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("append").parquet(path)
+    val read4 = GraftMor.morRead(spark, path)
+    assert(read4.where(col("o_orderkey") === kLive).collect()
+      .map(_.getAs[Double]("o_totalprice")).toSeq === Seq(12.0),
+      "plain appends sequence as base files under existing tombstones")
+  }
+
+  test("A45: compaction folds the sequence rule — survivors exact, all three sidecars cleared, untouched files identical") {
+    import spark.implicits._
+    val path = freshTable("ueqcp", nFiles = 6)
+    val all = spark.read.parquet(path).localCheckpoint(true)
+    // confine the churn to the lowest keys so high-range files stay out
+    val cut = all.agg(expr("percentile_approx(o_orderkey, 0.10)")).head()
+      .get(0).toString.toDouble.toLong
+    GraftMor.morUpsertEq(spark, path,
+      all.where(col("o_orderkey") <= cut)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      Seq("o_orderkey"))
+    GraftMor.morErase(spark, path,
+      all.where(col("o_orderkey") <= cut / 2).select("o_orderkey"),
+      Seq("o_orderkey"))
+    val expect = GraftMor.morRead(spark, path)
+      .orderBy("o_orderkey").collect().toSeq
+    val untouched = dataSig(path).filter { case (f, _, _) =>
+      spark.read.parquet(f).agg(min("o_orderkey")).head().getLong(0) > cut }
+    assert(untouched.nonEmpty, "the layout must leave unaffected files")
+    GraftMor.morCompact(spark, path)
+    for (d <- Seq(GraftMor.DvDir, GraftMor.EqDir, GraftMor.SeqDir))
+      assert(!hfs(path).exists(new org.apache.hadoop.fs.Path(s"$path/$d")),
+        s"$d must be cleared")
+    assert(untouched.subsetOf(dataSig(path)),
+      "files without masked rows keep their bytes")
+    assert(GraftMor.morRead(spark, path).orderBy("o_orderkey")
+      .collect().toSeq === expect, "compaction changes where, never what")
+    // idempotent: a second compact is a physical no-op
+    val sig2 = dataSig(path)
+    GraftMor.morCompact(spark, path)
+    assert(dataSig(path) === sig2)
+  }
+
   test("A44: compaction folds position AND equality vectors — affected files only, both sidecars cleared, content preserved") {
     val path = freshTable("eqcp", nFiles = 6)
     val all = spark.read.parquet(path).localCheckpoint(true)

@@ -1127,4 +1127,69 @@ class StreamingSpec extends SparkSpecBase {
     Events.applyMorUpsertBatch(Seq((3L, 7L)).toDF("k", "v"), 1L, path, Seq("k"))
     assert(sig() === again)
   }
+
+  test("G25: the zero-read streaming eq-upsert applies exactly once, never scans the table, and the crash window stays content-idempotent") {
+    import spark.implicits._
+    import graft.sources.GraftMor
+    val path = graft.sources.GraftSink.scratchDir + "/mor_eq_sink_tbl"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    spark.range(100).select(col("id").as("k"), (col("id") * 10L).as("v"))
+      .coalesce(2).write.parquet(path)
+    def sig(): Set[(String, Long, Long)] = {
+      val out = Set.newBuilder[(String, Long, Long)]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) { val f = it.next()
+        out += ((f.getPath.toString, f.getLen, f.getModificationTime)) }
+      out.result()
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val q = Events.morUpsertEqSink(stream.toDF().toDF("k", "v"), path, Seq("k"))
+    // batch 0: updates on keys 0-9 with an in-batch duplicate on key 5,
+    // plus two inserts — applied with ZERO position-vector discovery
+    stream.addData((0L until 10L).map(k => (k, k + 1000L)) ++
+      Seq((5L, 999L), (200L, 1L), (201L, 2L)))
+    q.processAllAvailable()
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/${GraftMor.DvDir}")),
+      "the eq sink never writes a position vector")
+    val read1 = GraftMor.morRead(spark, path)
+    assert(read1.count() === 102)
+    assert(read1.where(col("k") === 5L).collect()
+      .map(_.getLong(1)).toSeq === Seq(999L), "in-batch dup: one deterministic survivor")
+    assert(read1.where(col("k") === 3L).head().getLong(1) === 1003L)
+    // batch 1: a second generation supersedes batch 0's version of key 3
+    stream.addData(Seq((3L, 7L)))
+    q.processAllAvailable()
+    q.stop()
+    assert(GraftMor.morRead(spark, path)
+      .where(col("k") === 3L).head().getLong(1) === 7L)
+    // replay of a MARKED batch: physical no-op
+    val before = sig()
+    Events.applyMorUpsertEqBatch(Seq((3L, 7L)).toDF("k", "v"), 1L, path, Seq("k"))
+    assert(sig() === before, "marked replay must touch nothing")
+    // crash window: marker lost after the apply — the replay re-applies
+    // (physical churn allowed); the retry's higher sequence masks the
+    // crashed attempt's rows, so the key is served exactly once
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_eq_applied/batch_id=1"), true)
+    Events.applyMorUpsertEqBatch(Seq((3L, 7L)).toDF("k", "v"), 1L, path, Seq("k"))
+    val after = GraftMor.morRead(spark, path)
+    assert(after.count() === 102)
+    assert(after.where(col("k") === 3L).collect()
+      .map(_.getLong(1)).toSeq === Seq(7L))
+    // deeper crash: the appended files landed but the manifest write
+    // didn't — those orphans sequence as base files, so the NEXT
+    // retry's tombstone masks them too
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_eq_applied/batch_id=1"), true)
+    Seq((3L, 7L)).toDF("k", "v").write.mode("append").parquet(path) // the orphan
+    Events.applyMorUpsertEqBatch(Seq((3L, 7L)).toDF("k", "v"), 1L, path, Seq("k"))
+    val healed = GraftMor.morRead(spark, path)
+    assert(healed.count() === 102)
+    assert(healed.where(col("k") === 3L).collect()
+      .map(_.getLong(1)).toSeq === Seq(7L),
+      "a manifest-less orphan append is masked by the retry")
+  }
 }
