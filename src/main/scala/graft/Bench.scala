@@ -107,8 +107,9 @@ object Bench {
     // scoring of the held-out half)
     "src_mor_erase", "text_quality_model",
     // the A45 sequence-numbered equality upsert (two zero-read
-    // generations + an erase outranking a resurrection attempt)
-    "src_mor_upsert_eq")
+    // generations + an erase outranking a resurrection attempt) and
+    // the A46 incremental summary under mutation (build + 2 refreshes)
+    "src_mor_upsert_eq", "src_mor_incremental_agg")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -350,6 +350,40 @@ object ScaleBench {
             lit(42.5).as("o_totalprice")),
           Seq("o_orderkey"))
       }),
+    WriteExp("w_mor_incr_agg",
+      "refresh itself ~1x (the doomed-row semi-join reads only the " +
+        "tombstones' OWN bucket files; the base is never rescanned " +
+        "after the untimed build); the timed op also includes the " +
+        "position delete's one-column discovery scan, the " +
+        "w_mor_delete cost class",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        sp.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .withColumn("bucket", expr("o_orderkey div 25000"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$scratch/t")
+        graft.sources.GraftMor.morIncrementalAgg(sp, s"$scratch/t",
+          s"$scratch/sum", Seq("o_orderstatus"),
+          df => df.groupBy("o_orderstatus").agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+              .as("total_d")))
+      },
+      op = (sp, dir, scratch, run) => {
+        // constant churn: one 1000-key contiguous range per run (one
+        // bucket's files), then the incremental refresh
+        graft.sources.GraftMor.morDelete(sp, s"$scratch/t",
+          col("o_orderkey") >= run * 1000L + 1L &&
+            col("o_orderkey") <= run * 1000L + 1000L)
+        graft.sources.GraftMor.morIncrementalAgg(sp, s"$scratch/t",
+          s"$scratch/sum", Seq("o_orderstatus"),
+          df => df.groupBy("o_orderstatus").agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+              .as("total_d")))
+      }),
     WriteExp("w_mor_compact",
       "~1x: the tombstones live only under the keys<50k bucket dirs, so " +
         "compaction rewrites a CONSTANT file subset and clears the vector; " +

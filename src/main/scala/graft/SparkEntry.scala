@@ -59,6 +59,7 @@ object SparkEntry {
     "src_mor_erase"              -> Relational.srcMorErase _,
     "src_mor_upsert"             -> Relational.srcMorUpsert _,
     "src_mor_upsert_eq"          -> Relational.srcMorUpsertEq _,
+    "src_mor_incremental_agg"    -> Relational.srcMorIncrementalAgg _,
     "src_mor_compact"            -> Relational.srcMorCompact _,
     "src_incremental_agg"        -> Relational.srcIncrementalAgg _,
     // §2.B relational core
@@ -1130,6 +1131,18 @@ object SparkEntry {
       SELECT o_orderstatus, count(*) AS n,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A46: incremental maintenance under mutation — the final summary
+    // must equal the full recompute over delete + upsert + delete
+    "src_mor_incremental_agg" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(CASE WHEN o_orderkey % 100 = 0
+                                      THEN o_totalprice + 1000.0
+                                      ELSE o_totalprice END
+                          AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders
+      WHERE o_orderkey % 10 <> 3 AND o_orderkey % 100 <> 7
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // A42 compaction: folding the vector into the affected files must
     // change where survivors live, never what they are

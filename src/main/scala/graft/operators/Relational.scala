@@ -970,6 +970,49 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A46: mutation-aware incremental aggregate maintenance — A20's
+    * refresh-from-the-diff discipline on a MUTATING merge-on-read
+    * table: the summary is built once, then two refreshes each apply
+    * only the churn (new tombstone epochs' doomed rows subtract via a
+    * coordinate semi-join over the tombstones' own files; appended
+    * files' partials add) — the base table is never rescanned after
+    * the build. Final summary must hash-match the full recompute over
+    * the mutated state: delete, upsert (tombstone + append) and a
+    * second delete all folded incrementally.
+    */
+  def srcMorIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.GraftSink.scratchDir + "/orders_mor_ia"
+    val path = s"$root/t"
+    val summary = s"$root/summary"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(28, 6))).as("total_d"))
+    graft.sources.GraftMor.morIncrementalAgg(
+      s, path, summary, Seq("o_orderstatus"), partial)     // build
+    graft.sources.GraftMor.morDelete(s, path, col("o_orderkey") % 10 === 3)
+    graft.sources.GraftMor.morUpsert(s, path,
+      orders.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      Seq("o_orderkey"))
+    graft.sources.GraftMor.morIncrementalAgg(
+      s, path, summary, Seq("o_orderstatus"), partial)     // refresh 1
+    graft.sources.GraftMor.morDeleteKeys(s, path,
+      orders.where(col("o_orderkey") % 100 === 7), Seq("o_orderkey"))
+    graft.sources.GraftMor.morIncrementalAgg(
+      s, path, summary, Seq("o_orderstatus"), partial)     // refresh 2
+      .select(col("o_orderstatus"), col("n"),
+        round(col("total_d").cast("double"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A20: incremental aggregate maintenance — the materialized-view
     * refresh every periodic 100 TB job wants: a persisted summary is
     * updated from the snapshot DIFF only (GraftCatalog.diffTable),

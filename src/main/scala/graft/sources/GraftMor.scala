@@ -455,6 +455,128 @@ object GraftMor {
     }
   }
 
+  /** A46: MUTATION-AWARE incremental aggregate maintenance — A20's
+    * "refresh from the diff, never rescan the base" discipline
+    * extended to a mutating MOR table. The summary is a persisted
+    * frame of ADDITIVE partials (group columns + summable measures,
+    * one of which must be a row count named `n`); a refresh applies
+    * only what changed since the last one:
+    *
+    *   - files appended since the stored listing → their partials ADD
+    *     (scan of the NEW files only);
+    *   - tombstone epochs past the stored watermark → the doomed
+    *     rows' partials SUBTRACT (scan of the tombstones' own files
+    *     only, coordinate semi-join — the churn-bounded cost class);
+    *   - groups whose count reaches zero leave the summary, so the
+    *     result is exactly the full recompute's row set.
+    *
+    * Correct under any A42/A43 mix because epochs are TRUE DELTAS (no
+    * coordinate is ever tombstoned twice) and an upsert's append and
+    * tombstone are both visible to the same refresh. EQUALITY
+    * sidecars are refused BY NAME (their discovery scan is deferred —
+    * fold them with `morCompact` first), and a compaction (any stored
+    * file vanishing, or the tombstone dir resetting) triggers a full
+    * rebuild: rewritten history cannot be diffed. Summary + state
+    * (file listing, applied-epoch watermark) commit ATOMICALLY with
+    * the A39 staged-swap protocol (marker inside staging, checked
+    * renames, crash adoption at the next call).
+    */
+  def morIncrementalAgg(s: SparkSession, tablePath: String,
+      summaryPath: String, groupCols: Seq[String],
+      partialAgg: DataFrame => DataFrame): DataFrame = {
+    val f = fs(s, summaryPath)
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    val stagePath = s"$summaryPath.staging"
+    def marker(dir: String) = hp(s"$dir/_state/applied")
+    // crash recovery: committed staging with no live summary → adopt
+    if (!f.exists(hp(summaryPath)) && f.exists(marker(stagePath)) &&
+        !f.rename(hp(stagePath), hp(summaryPath)))
+      throw new IllegalStateException(
+        s"[GRAFT] morIncrementalAgg crash-recovery swap failed: " +
+          s"rename($stagePath -> $summaryPath) returned false")
+    require(eqFrame(s, tablePath).isEmpty,
+      s"[GRAFT] morIncrementalAgg requires an equality-sidecar-free table " +
+        s"($tablePath has ${EqDir}/): fold erases with morCompact first")
+    val curFiles = listDataFiles(s, tablePath).toSet
+    val curEpochs = nextEpoch(s, tablePath)
+    val live = f.exists(marker(summaryPath))
+    val (rebuild, applied, stored) =
+      if (!live) (true, 0, Set.empty[String])
+      else {
+        val in = f.open(marker(summaryPath))
+        val a = try in.readInt() finally in.close()
+        val st = s.read.parquet(s"$summaryPath/_state/files")
+          .collect().map(_.getString(0)).toSet
+        // rewritten history (compaction, overwrite) cannot be diffed
+        ((st -- curFiles).nonEmpty || curEpochs < a, a, st)
+      }
+    val parts = Seq.newBuilder[DataFrame]
+    var dvHeld: Option[DataFrame] = None
+    if (rebuild) parts += partialAgg(morRead(s, tablePath))
+    else {
+      val summary = s.read.parquet(summaryPath)
+      if (curFiles == stored && curEpochs == applied) return summary // no-op
+      parts += summary
+      val newFiles = (curFiles -- stored).toSeq
+      if (newFiles.nonEmpty)
+        parts += partialAgg(
+          s.read.option("basePath", tablePath).parquet(newFiles: _*))
+      if (curEpochs > applied) {
+        // checkpointed because the coordinate list is reused (file
+        // discovery + the semi-join); released after `merged`
+        // materializes below
+        val dv = s.read.parquet(dvPath(tablePath))
+          .where(col("epoch") >= applied).select("dv_file", "dv_pos")
+          .localCheckpoint(true)
+        dvHeld = Some(dv)
+        val doomedFiles = dv.select("dv_file").distinct()
+          .collect().map(_.getString(0))
+        val doomed = s.read.option("basePath", tablePath)
+          .parquet(doomedFiles: _*)
+          .withColumn("dv_file", col("_metadata.file_path"))
+          .withColumn("dv_pos", col("_metadata.row_index"))
+          .join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_semi")
+          .drop("dv_file", "dv_pos")
+        val sub = partialAgg(doomed)
+        // negate every measure, preserving its declared type
+        val negated = sub.select(sub.schema.fields.map { fld =>
+          if (groupCols.contains(fld.name)) col(fld.name)
+          else (col(fld.name) * lit(-1)).cast(fld.dataType).as(fld.name)
+        }.toSeq: _*)
+        parts += negated
+      }
+    }
+    val unioned = parts.result().reduce(_ unionByName _)
+    val schema = unioned.schema
+    require(schema.fieldNames.contains("n"),
+      "[GRAFT] morIncrementalAgg partials must carry a row count named n")
+    val measures = schema.fields.filterNot(fld => groupCols.contains(fld.name))
+    val merged = unioned.groupBy(groupCols.map(col): _*)
+      .agg(measures.head.name -> "sum",
+        measures.tail.map(m => m.name -> "sum").toSeq: _*)
+      .select(groupCols.map(col) ++ measures.zipWithIndex.map { case (m, i) =>
+        col(s"sum(${m.name})").cast(m.dataType).as(m.name) }: _*)
+      .where(col("n") =!= lit(0L))
+      .localCheckpoint(true) // the swap deletes the files this read
+    try {
+      merged.write.mode(SaveMode.Overwrite).parquet(stagePath)
+      import s.implicits._
+      curFiles.toSeq.toDF("file_norm").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$stagePath/_state/files")
+      val out = f.create(marker(stagePath), true)
+      try out.writeInt(curEpochs) finally out.close()
+      f.delete(hp(summaryPath), true)
+      if (!f.rename(hp(stagePath), hp(summaryPath)))
+        throw new IllegalStateException(
+          s"[GRAFT] morIncrementalAgg commit swap failed: " +
+            s"rename($stagePath -> $summaryPath) returned false")
+    } finally {
+      graft.GraftSession.releaseCheckpoint(merged)
+      dvHeld.foreach(graft.GraftSession.releaseCheckpoint)
+    }
+    s.read.parquet(summaryPath)
+  }
+
   private def clearSidecars(f: org.apache.hadoop.fs.FileSystem,
       tablePath: String, hasDv: Boolean, hasEq: Boolean,
       hasSeqm: Boolean): Unit = {

@@ -334,6 +334,99 @@ class MorSpec extends SparkSpecBase {
     assert(dataSig(path) === sig2)
   }
 
+  test("A46: incremental aggregate maintenance refreshes from churn only, no-ops cleanly, refuses eq sidecars, rebuilds after compaction") {
+    import spark.implicits._
+    val path = freshTable("iagg")
+    val summary = graft.sources.GraftSink.scratchDir + "/mor_spec_iagg_sum"
+    hfs(summary).delete(new org.apache.hadoop.fs.Path(summary), true)
+    val all = spark.read.parquet(path).localCheckpoint(true)
+    def partial(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .as("total_d"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderstatus").collect().map(_.toSeq).toSeq
+    def recompute() = snap(partial(GraftMor.morRead(spark, path)))
+    // build: equals the full recompute
+    val built = GraftMor.morIncrementalAgg(
+      spark, path, summary, Seq("o_orderstatus"), partial)
+    assert(snap(built) === recompute())
+    // mutate, then refresh — asserting no scan roots at the BARE table
+    // dir (file-scoped churn reads and sidecar reads only)
+    GraftMor.morDelete(spark, path, col("o_orderkey") % 10 === 3)
+    GraftMor.morUpsert(spark, path,
+      all.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      Seq("o_orderkey"))
+    val tableDir = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    @volatile var actions = 0
+    @volatile var tableScans = 0
+    val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = {
+        actions += 1
+        if (allPlanNodes(qe.executedPlan).exists {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+            sc.relation.location.rootPaths.exists(_.toUri.getPath == tableDir)
+          case _ => false
+        }) tableScans += 1
+      }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qeListener)
+    val refreshed = try {
+      val r = GraftMor.morIncrementalAgg(
+        spark, path, summary, Seq("o_orderstatus"), partial)
+      val deadline = System.currentTimeMillis() + 10000
+      while (actions < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(actions >= 1, "the refresh's execution events must arrive")
+      r
+    } finally spark.listenerManager.unregister(qeListener)
+    assert(tableScans === 0, "a refresh must never rescan the base table")
+    assert(snap(refreshed) === recompute())
+    // nothing new: physical no-op (summary file identity unchanged)
+    val sig1 = dataSig(summary)
+    GraftMor.morIncrementalAgg(spark, path, summary, Seq("o_orderstatus"), partial)
+    assert(dataSig(summary) === sig1, "an unchanged table must not rewrite the summary")
+    // equality sidecars are refused BY NAME
+    GraftMor.morErase(spark, path, Seq(1L).toDF("o_custkey"), Seq("o_custkey"))
+    val e = intercept[IllegalArgumentException](GraftMor.morIncrementalAgg(
+      spark, path, summary, Seq("o_orderstatus"), partial))
+    assert(e.getMessage.contains("morCompact"), e.getMessage)
+    // compaction rewrites history → the next refresh REBUILDS, exactly
+    GraftMor.morCompact(spark, path)
+    val rebuilt = GraftMor.morIncrementalAgg(
+      spark, path, summary, Seq("o_orderstatus"), partial)
+    assert(snap(rebuilt) === recompute())
+    // crash adoption: a committed staging with no live summary is adopted
+    val fsm = hfs(summary)
+    assert(fsm.rename(new org.apache.hadoop.fs.Path(summary),
+      new org.apache.hadoop.fs.Path(s"$summary.staging")))
+    val adopted = GraftMor.morIncrementalAgg(
+      spark, path, summary, Seq("o_orderstatus"), partial)
+    assert(snap(adopted) === recompute())
+  }
+
+  test("A46: a group whose count reaches zero leaves the summary") {
+    import spark.implicits._
+    val path = graft.sources.GraftSink.scratchDir + "/mor_spec_iagg0"
+    val summary = s"${path}_sum"
+    hfs(path).delete(new org.apache.hadoop.fs.Path(path), true)
+    hfs(summary).delete(new org.apache.hadoop.fs.Path(summary), true)
+    spark.range(10).select((col("id") % 2).as("g"), col("id").as("v"))
+      .write.parquet(path)
+    def partial(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    GraftMor.morIncrementalAgg(spark, path, summary, Seq("g"), partial)
+    GraftMor.morDelete(spark, path, col("g") === 0L)
+    val after = GraftMor.morIncrementalAgg(spark, path, summary, Seq("g"), partial)
+    assert(after.collect().map(_.toSeq).toSeq === Seq(Seq(1L, 5L, 25L)),
+      "the emptied group must leave the summary")
+  }
+
   test("A44: compaction folds position AND equality vectors — affected files only, both sidecars cleared, content preserved") {
     val path = freshTable("eqcp", nFiles = 6)
     val all = spark.read.parquet(path).localCheckpoint(true)
