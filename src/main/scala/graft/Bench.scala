@@ -109,7 +109,9 @@ object Bench {
     // the A45 sequence-numbered equality upsert (two zero-read
     // generations + an erase outranking a resurrection attempt) and
     // the A46 incremental summary under mutation (build + 2 refreshes)
-    "src_mor_upsert_eq", "src_mor_incremental_agg")
+    "src_mor_upsert_eq", "src_mor_incremental_agg",
+    // the H14 seeded-shuffle keyed resume
+    "pipeline_shuffle_resume")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -73,7 +73,9 @@ object GraftPipelines {
     // r11 final: the perplexity-tercile cut and the curation funnel
     // (the persisted-model form text_perplexity_model stays API-side:
     // it trains and writes an artifact, and a SELECT must never write)
-    "text_perplexity_buckets", "pipeline_curation_funnel")
+    "text_perplexity_buckets", "pipeline_curation_funnel",
+    // r11 final: the seeded-shuffle resume slice
+    "pipeline_shuffle_resume")
 
   /** Register every flagship operator result as `graft_<name>` in the
     * session's temp-view namespace, bound to the tables under `dir`.

@@ -213,6 +213,7 @@ object SparkEntry {
     "pipeline_train_val_test"    -> Assembly.trainValTestSplit _,
     "pipeline_cluster_split"     -> Assembly.clusterSafeSplit _,
     "pipeline_weighted_sample"   -> ((s, dir) => Assembly.weightedSample(s, dir)),
+    "pipeline_shuffle_resume"    -> Assembly.shuffleResume _,
     "pipeline_pack_split"        -> Assembly.packSequencesSplit _,
     "dedup_source_overlap"       -> Dedup.crossSourceOverlap _,
     "text_tfidf_top_terms"       -> TextAnalysis.tfidfTopTerms _,
@@ -2793,6 +2794,10 @@ object SparkEntry {
     // H12: A-ES weighted sampling — identical u derivation, identical
     // ln(u)/w floor-micro key, identical (key DESC, doc_id) top-k;
     // floor-after-transcendental per the E8 precedent
+    // H14: keyed resume must equal offset semantics (rows 21-40 of
+    // the seeded md5 order) — md5 hex is engine-identical
+    "pipeline_shuffle_resume" -> Assembly.shuffleResumeOracleSql,
+
     "pipeline_weighted_sample" -> """
       WITH t AS (
         SELECT doc_id,

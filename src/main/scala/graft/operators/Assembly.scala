@@ -405,6 +405,64 @@ object Assembly {
       .orderBy("source")
   }
 
+  /** H14: SEEDED deterministic corpus shuffle — the training-order
+    * shuffle every epoch needs, engine-independent by construction:
+    * the order key is `md5(doc_id # seed)` (identical hex in any
+    * engine), so the same seed reproduces the same global order on
+    * any cluster size, any partitioning, any restart — and a new seed
+    * is a fresh permutation. The total order is a range-partitioned
+    * sort (the terasort shape), never a single partition.
+    */
+  def seededShuffle(docs: DataFrame, seed: String): DataFrame =
+    docs.withColumn("shuffle_key",
+      md5(concat(col("doc_id").cast("string"), lit("#" + seed))))
+
+  /** H14 (resume leg): mid-epoch resume by KEY WATERMARK, not by
+    * offset — `skip(N)` must re-establish the global order and
+    * discard N rows on every restart (a sort per crash at 100 TB);
+    * the key watermark is one checkpointed string and an ordinary
+    * range predicate. Against the live derivation it evaluates
+    * map-side; against a MATERIALIZED epoch (the real shape: the
+    * shuffled order written once, range-sorted on `shuffle_key`) it
+    * pushes into the parquet scan and min/max stats prune the
+    * already-consumed row groups entirely (spec-asserted).
+    */
+  def resumeAfter(shuffled: DataFrame, watermark: String): DataFrame =
+    shuffled.where(col("shuffle_key") > lit(watermark))
+
+  /** H14 query: the first 20 docs of epoch seed `ep1`, then the NEXT
+    * 20 resumed from the 20th doc's key — keyed resume must equal the
+    * oracle's offset semantics (rows 21-40 of the global order)
+    * without ever skip-scanning the head.
+    */
+  def shuffleResume(s: SparkSession, dir: String): DataFrame = {
+    val keyed = seededShuffle(docs(s, dir).select("doc_id"), "ep1")
+    val head = keyed.orderBy("shuffle_key").limit(20)
+      .localCheckpoint(true) // served twice: output + watermark
+    try {
+      val watermark = head.orderBy(col("shuffle_key").desc).limit(1)
+        .collect()(0).getAs[String]("shuffle_key")
+      val resumed = resumeAfter(keyed, watermark)
+        .orderBy("shuffle_key").limit(20)
+      head.withColumn("slice", lit("head"))
+        .unionByName(resumed.withColumn("slice", lit("resumed")))
+        .select("slice", "doc_id", "shuffle_key")
+        .orderBy("shuffle_key")
+        .localCheckpoint(true)
+    } finally graft.GraftSession.releaseCheckpoint(head)
+  }
+
+  def shuffleResumeOracleSql: String = """
+    WITH ordered AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '#ep1') AS shuffle_key,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#ep1')) AS rn
+      FROM documents)
+    SELECT CASE WHEN rn <= 20 THEN 'head' ELSE 'resumed' END AS slice,
+           doc_id, shuffle_key
+    FROM ordered WHERE rn <= 40 ORDER BY shuffle_key"""
+
   /** H6: curriculum staging (Bengio et al. 2009, applied to LLM data
     * ordering): rank every document by a model-free difficulty proxy —
     * E8's unigram log-likelihood, where common-word fluent text scores

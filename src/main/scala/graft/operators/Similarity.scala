@@ -653,6 +653,41 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** D18: ANN recall AUDIT — the serving-quality number every
+    * production vector store must MEASURE, not assume: an approximate
+    * index silently degrades (drifting absorbs, deletions hollowing
+    * lists, an nprobe set too low for how the corpus actually
+    * clusters) and nothing in the serving path ever errors. The audit
+    * runs the exact brute-force top-k and the index's own probe path
+    * over the SAME deterministic query sample, counts the overlap,
+    * and persists recall@k as an exact micro-integer under
+    * `$index/_recall/` — a one-row sidecar the A34 advisor reads
+    * metadata-only (`adviseVectorRecall`: below-floor → rebuild
+    * advice; missing → audit advice; re-audit after retrain clears
+    * it). Cost: one corpus scan (the brute-force side) — a scheduled
+    * maintenance job, not a serving-path tax; probing EVERY list
+    * (nProbe = nlists) must measure exactly 1.0, which the spec pins.
+    */
+  def ivfRecallAudit(s: SparkSession, dir: String, indexPath: String,
+      nProbe: Int = 4): Long = {
+    val bf = bruteForceTopk(s, dir).select("query_id", "neighbor_id")
+      .localCheckpoint(true) // reused: the expected count + the overlap
+    try {
+      val served = serveIvf(s, dir, indexPath, nProbe)
+        .select("query_id", "neighbor_id")
+      val expected = bf.count()
+      val matched = bf.join(served, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      val recallMicro = matched * 1000000L / expected
+      import s.implicits._
+      Seq((recallMicro, expected, matched, nProbe))
+        .toDF("recall_micro", "n_expected", "n_matched", "n_probe")
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$indexPath/_recall")
+      recallMicro
+    } finally graft.GraftSession.releaseCheckpoint(bf)
+  }
+
   /** D2 (persisted-index form): same IVF search as `ivfTopk`, but the
     * inverted lists are PERSISTED partitioned by centroid_id and the
     * probe reads only the probed partitions — `.where(centroid_id IN

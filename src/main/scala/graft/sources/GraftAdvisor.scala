@@ -243,6 +243,34 @@ object GraftAdvisor {
         "before absorbing"))
   }
 
+  /** D18's advisor leg: read the persisted recall measurement
+    * (one-row `_recall/` sidecar — metadata-grain, no corpus touch)
+    * and turn it into advice. No measurement on record is itself a
+    * finding: an unaudited approximate index is a hope, not a number.
+    * Act-clears-it both ways — running `ivfRecallAudit` writes the
+    * meter, and a retrain + re-audit above the floor silences the
+    * rebuild signal.
+    */
+  def adviseVectorRecall(s: SparkSession, indexPath: String,
+      minRecallMicro: Long = 900000L): Seq[Advice] = {
+    val idxName = new Path(indexPath).getName
+    val p = new Path(s"$indexPath/_recall")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      Seq(Advice(idxName, "audit-recall", 0L,
+        "no recall measurement on record - run ivfRecallAudit so " +
+          "serving quality is a measured number"))
+    else {
+      val r = s.read.parquet(s"$indexPath/_recall").head()
+      val rm = r.getAs[Long]("recall_micro")
+      if (rm >= minRecallMicro) Seq.empty
+      else Seq(Advice(idxName, "rebuild-index", rm,
+        s"measured recall@k is $rm micro at n_probe=${r.getAs[Int]("n_probe")}, " +
+          s"under the $minRecallMicro floor - retrain/rebuild the index " +
+          "or raise n_probe, then re-audit"))
+    }
+  }
+
   /** The advice as a small driver-local DataFrame for display. */
   def adviseReport(s: SparkSession, root: String): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -455,6 +455,28 @@ object GraftMor {
     }
   }
 
+  /** Pending tombstone rows across both sidecar flavors — the
+    * per-read anti-join probe debt. Footer counts only (the A25
+    * discipline, distributed): no sidecar row is scanned.
+    */
+  def tombstoneDebt(s: SparkSession, tablePath: String): Long = {
+    val f = fs(s, tablePath)
+    Seq(DvDir, EqDir).map { d =>
+      val sub = new org.apache.hadoop.fs.Path(s"$tablePath/$d")
+      if (!f.exists(sub)) 0L
+      else {
+        val files = Seq.newBuilder[String]
+        val it = f.listFiles(sub, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet"))
+            files += st.getPath.toString
+        }
+        GraftBloomIndex.footerRowCounts(s, files.result()).values.sum
+      }
+    }.sum
+  }
+
   /** A46: MUTATION-AWARE incremental aggregate maintenance — A20's
     * "refresh from the diff, never rescan the base" discipline
     * extended to a mutating MOR table. The summary is a persisted

@@ -638,16 +638,21 @@ object Events {
     * deterministic struct-min survivor (the G19 rule).
     */
   def morUpsertEqSink(updates: DataFrame, tablePath: String,
-      keyCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+      keyCols: Seq[String], compactDebtBudget: Long = 0L,
+      partitionCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        applyMorUpsertEqBatch(b, id, tablePath, keyCols)
+        applyMorUpsertEqBatch(b, id, tablePath, keyCols,
+          compactDebtBudget, partitionCols)
       }
       .start()
 
   private[graft] def applyMorUpsertEqBatch(
       batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
-      tablePath: String, keyCols: Seq[String]): Unit = {
+      tablePath: String, keyCols: Seq[String],
+      compactDebtBudget: Long = 0L, partitionCols: Seq[String] = Nil)
+      : Unit = {
     val s = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(s.sessionState.newHadoopConf())
@@ -665,6 +670,19 @@ object Events {
     } finally graft.GraftSession.releaseCheckpoint(b)
     if (!fs.mkdirs(marker)) throw new IllegalStateException(
       s"[GRAFT] morUpsertEqSink failed to record applied marker $marker")
+    // G26: MAINTENANCE IN THE LOOP — the A34 mor-compact signal acted
+    // on between batches instead of waiting for an operator: once the
+    // footer-metered tombstone debt passes the budget, fold the
+    // sidecars right here. AFTER the marker on purpose (maintenance
+    // is orthogonal to exactly-once: a crash mid-compact replays into
+    // a marked no-op apply and the debt re-triggers on a later
+    // batch), and SKIPPED while a reader lease is live (the A24
+    // contract: compaction is the one MOR op that unlinks files) —
+    // the debt simply carries to the next batch.
+    if (compactDebtBudget > 0L &&
+        graft.sources.GraftMor.tombstoneDebt(s, tablePath) > compactDebtBudget &&
+        graft.sources.GraftLease.activeHolders(s, tablePath).isEmpty)
+      graft.sources.GraftMor.morCompact(s, tablePath, partitionCols)
   }
 
   // ── G9: ingestion-time curation gate (quality + decontamination) ──

@@ -196,4 +196,33 @@ class AdvisorSpec extends SparkSpecBase {
       .forall(_.rule != "compact-shards"),
       "acting on the advice must clear it")
   }
+
+  test("D18: recall audit — unaudited index flags, full-probe measures exactly 1.0, a below-floor measurement advises rebuild") {
+    import graft.operators.Similarity
+    val idx = graft.sources.GraftSink.scratchDir + "/advisor_recall_idx"
+    new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(idx), true)
+    Similarity.ivfIncrementalTopk(spark, sfDir, indexPath = Some(idx)).count()
+    // no measurement on record: the advisor asks for one
+    val unaudited = GraftAdvisor.adviseVectorRecall(spark, idx)
+    assert(unaudited.exists(_.rule === "audit-recall"), unaudited.toString)
+    // probing EVERY list is the exact search: recall must be exactly 1.0
+    val rAll = Similarity.ivfRecallAudit(spark, sfDir, idx, nProbe = 16)
+    assert(rAll === 1000000L, s"full-probe recall must be exact, got $rAll")
+    assert(GraftAdvisor.adviseVectorRecall(spark, idx, 999999L).isEmpty,
+      "an above-floor measurement is silent")
+    // a starved probe measures lower (or equal); the floor decides
+    val r1 = Similarity.ivfRecallAudit(spark, sfDir, idx, nProbe = 1)
+    assert(r1 <= rAll)
+    val fired = GraftAdvisor.adviseVectorRecall(spark, idx, r1 + 1)
+    assert(fired.exists(a => a.rule === "rebuild-index" && a.metric === r1),
+      fired.toString)
+    assert(GraftAdvisor.adviseVectorRecall(spark, idx, r1).isEmpty,
+      "a measurement meeting the floor is silent")
+    // act-clears-it: re-auditing at a healthy probe width refreshes
+    // the meter and silences the rebuild signal
+    Similarity.ivfRecallAudit(spark, sfDir, idx, nProbe = 16)
+    assert(GraftAdvisor.adviseVectorRecall(spark, idx, 999999L).isEmpty)
+  }
 }

@@ -371,4 +371,41 @@ class AssemblySpec extends SparkSpecBase {
       .exists(_.rule == "repeated-uncached-subtree"),
       "the repeated-uncached-subtree lint must stay silent on the fixed plan")
   }
+
+  test("H14: seeded shuffle is deterministic, seed-sensitive; keyed resume equals offset and prunes a materialized epoch") {
+    import org.apache.spark.sql.functions._
+    val docs = new graft.sources.GraftCatalog(spark, sfDir)
+      .table("documents").select("doc_id")
+    def order(seed: String): Seq[(Long, String)] =
+      graft.operators.Assembly.seededShuffle(docs, seed)
+        .orderBy("shuffle_key").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ep1 = order("ep1")
+    assert(order("ep1") === ep1, "the same seed reproduces the same order")
+    assert(order("ep2").map(_._1) !== ep1.map(_._1),
+      "a new seed is a fresh permutation")
+    // keyed resume ≡ offset semantics, replayed on the driver
+    val watermark = ep1(19)._2
+    val resumed = graft.operators.Assembly.resumeAfter(
+        graft.operators.Assembly.seededShuffle(docs, "ep1"), watermark)
+      .orderBy("shuffle_key").limit(20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(resumed === ep1.slice(20, 40).map(_._1))
+    // materialized epoch: the watermark predicate reaches the parquet
+    // scan (min/max stats then prune consumed row groups)
+    val path = graft.sources.GraftSink.scratchDir + "/shuffle_epoch"
+    graft.operators.Assembly.seededShuffle(docs, "ep1")
+      .repartitionByRange(4, col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+      .write.mode("overwrite").parquet(path)
+    val fromDisk = graft.operators.Assembly.resumeAfter(
+      spark.read.parquet(path), watermark)
+    val scans = allPlanNodes(fromDisk.queryExecution.executedPlan).collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc }
+    assert(scans.nonEmpty &&
+      scans.head.metadata("PushedFilters").contains("GreaterThan(shuffle_key"),
+      s"resume must push into the scan: ${scans.headOption.map(_.metadata)}")
+    assert(fromDisk.orderBy("shuffle_key").limit(20)
+      .collect().map(_.getLong(0)).toSeq === resumed)
+  }
 }

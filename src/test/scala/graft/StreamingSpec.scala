@@ -1192,4 +1192,49 @@ class StreamingSpec extends SparkSpecBase {
       .map(_.getLong(1)).toSeq === Seq(7L),
       "a manifest-less orphan append is masked by the retry")
   }
+
+  test("G26: the sink compacts in the loop past the debt budget, defers under a live lease, and content stays exact") {
+    import spark.implicits._
+    import graft.sources.{GraftLease, GraftMor}
+    val path = graft.sources.GraftSink.scratchDir + "/mor_eq_loop_tbl"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    spark.range(100).select(col("id").as("k"), (col("id") * 10L).as("v"))
+      .coalesce(2).write.parquet(path)
+    def hasSidecars =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/${GraftMor.EqDir}")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/${GraftMor.SeqDir}"))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val q = Events.morUpsertEqSink(stream.toDF().toDF("k", "v"), path,
+      Seq("k"), compactDebtBudget = 5L)
+    // batch 0: 10 keys of churn → debt 10 > 5 → the sink folds it
+    stream.addData((0L until 10L).map(k => (k, k + 1000L)))
+    q.processAllAvailable()
+    assert(!hasSidecars, "past-budget debt must compact in the loop")
+    // physically folded: a PLAIN scan serves the merged state
+    assert(spark.read.parquet(path).count() === 100)
+    assert(spark.read.parquet(path).where(col("k") === 3L).collect()
+      .map(_.getLong(1)).toSeq === Seq(1003L))
+    // a live reader lease defers the fold (A24), debt carries
+    val lease = GraftLease.acquire(spark, path)
+    stream.addData((0L until 6L).map(k => (k, k + 2000L)))
+    q.processAllAvailable()
+    assert(hasSidecars, "compaction must defer under a live lease")
+    assert(GraftMor.morRead(spark, path).where(col("k") === 3L).collect()
+      .map(_.getLong(1)).toSeq === Seq(2003L), "serving is unaffected")
+    GraftLease.release(spark, path, lease)
+    // lease gone: the next batch's debt check folds everything
+    stream.addData((0L until 6L).map(k => (k, k + 3000L)))
+    q.processAllAvailable()
+    q.stop()
+    assert(!hasSidecars, "the released lease unblocks the in-loop fold")
+    val served = spark.read.parquet(path)
+    assert(served.count() === 100)
+    assert(served.where(col("k") === 3L).collect()
+      .map(_.getLong(1)).toSeq === Seq(3003L))
+    assert(served.where(col("k") === 50L).collect()
+      .map(_.getLong(1)).toSeq === Seq(500L), "untouched keys ride through")
+  }
 }
