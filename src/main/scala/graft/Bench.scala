@@ -110,8 +110,9 @@ object Bench {
     // generations + an erase outranking a resurrection attempt) and
     // the A46 incremental summary under mutation (build + 2 refreshes)
     "src_mor_upsert_eq", "src_mor_incremental_agg",
-    // the H14 seeded-shuffle keyed resume
-    "pipeline_shuffle_resume")
+    // the H14 seeded-shuffle keyed resume and the A48 footer-pruned
+    // retention sweep
+    "pipeline_shuffle_resume", "src_retention_sweep")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

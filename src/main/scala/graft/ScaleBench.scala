@@ -384,6 +384,24 @@ object ScaleBench {
               .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
               .as("total_d")))
       }),
+    WriteExp("w_retention",
+      "~flat: the footer pass is one task per file (no rows), " +
+        "wholly-old files unlink as namenode metadata, and the " +
+        "straddler tombstone scan touches one date-range bucket - " +
+        "expired VOLUME scales 10x but expired BYTES are never read",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        sp.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+          .repartitionByRange(16, col("o_orderdate"))
+          .write.mode("overwrite").parquet(s"$scratch/t")
+      },
+      op = (sp, dir, scratch, run) => {
+        // advancing cutoffs: each run expires a fresh year's slice
+        graft.sources.GraftMor.retentionSweep(sp, s"$scratch/t",
+          "o_orderdate",
+          java.time.LocalDateTime.of(1994 + run, 1, 1, 0, 0))
+      }),
     WriteExp("w_mor_compact",
       "~1x: the tombstones live only under the keys<50k bucket dirs, so " +
         "compaction rewrites a CONSTANT file subset and clears the vector; " +

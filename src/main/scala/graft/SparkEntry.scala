@@ -60,6 +60,7 @@ object SparkEntry {
     "src_mor_upsert"             -> Relational.srcMorUpsert _,
     "src_mor_upsert_eq"          -> Relational.srcMorUpsertEq _,
     "src_mor_incremental_agg"    -> Relational.srcMorIncrementalAgg _,
+    "src_retention_sweep"        -> Relational.srcRetentionSweep _,
     "src_mor_compact"            -> Relational.srcMorCompact _,
     "src_incremental_agg"        -> Relational.srcIncrementalAgg _,
     // §2.B relational core
@@ -1132,6 +1133,15 @@ object SparkEntry {
       SELECT o_orderstatus, count(*) AS n,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A48: retention sweep — the served state must be exactly the
+    // retained corpus, however the rows left (whole-file unlink or
+    // straddler tombstone)
+    "src_retention_sweep" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // A46: incremental maintenance under mutation — the final summary
     // must equal the full recompute over delete + upsert + delete

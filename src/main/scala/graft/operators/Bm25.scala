@@ -242,6 +242,38 @@ object Bm25 {
       }
       .start()
 
+  /** A47 (BM25 leg): purge documents from the streamed index by
+    * TOMBSTONE — the MOR discipline applied to the retrieval store: a
+    * GDPR erasure cannot wait for a segment rewrite, and rewriting a
+    * purged doc's postings eagerly touches every term it ever used.
+    * The delete writes only the doc-id set under `_deleted/epoch=N`
+    * (O(keys), zero index reads); serving anti-joins BOTH artifacts
+    * against the broadcast tombstones — postings rows drop AND the
+    * doc-length sidecar masks BEFORE the corpus stats aggregate, so
+    * served scores are exactly the purged corpus's scores, not a
+    * filtered view of stale statistics. `compactStreamedIndex` folds
+    * the tombstones physically and clears the sidecar.
+    */
+  def bm25Delete(s: SparkSession, root: String, docIds: Seq[Long]): Unit = {
+    import s.implicits._
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_deleted")
+    val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+    val epoch =
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("epoch=") => n.drop(6).toInt }
+        .foldLeft(-1)(math.max) + 1
+    docIds.distinct.toDF("doc_id")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/_deleted/epoch=$epoch")
+  }
+
+  private def deletedFrame(s: SparkSession, root: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_deleted")
+    if (!p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)) None
+    else Some(s.read.parquet(s"$root/_deleted").select("doc_id").distinct())
+  }
+
   /** G14 compaction — the Lucene segment-merge analog: fold the
     * accumulated `batch_id=N` directories into ONE consolidated
     * segment per artifact (postings re-clustered by word so a term's
@@ -271,7 +303,12 @@ object Bm25 {
           !fs.rename(path(stage), path(live)))
         throw new IllegalStateException(
           s"[GRAFT] index-compaction adoption failed: rename($stage -> $live)")
-      val df = s.read.parquet(live).drop("batch_id")
+      val df0 = s.read.parquet(live).drop("batch_id")
+      // A47: fold doc tombstones physically while the segments merge
+      val df = deletedFrame(s, root) match {
+        case None      => df0
+        case Some(del) => df0.join(broadcast(del), Seq("doc_id"), "left_anti")
+      }
       val out =
         if (sub == "postings") df.repartition(col("word"))
         else df.coalesce(1)
@@ -281,6 +318,10 @@ object Bm25 {
         throw new IllegalStateException(
           s"[GRAFT] index-compaction commit failed: rename($stage -> $live)")
     }
+    val delDir = path(s"$root/_deleted")
+    if (fs.exists(delDir) && !fs.delete(delDir, true))
+      throw new IllegalStateException(
+        s"[GRAFT] index-compaction failed to clear $root/_deleted")
   }
 
   /** Serve BM25 from a streamed index root — the corpus is NEVER read;
@@ -291,10 +332,17 @@ object Bm25 {
     import s.implicits._
     val qterms = Queries.toDF("query_id", "term")
     val terms = qterms.select(col("term").as("word")).distinct()
-    val matched = s.read.parquet(s"$root/postings")
+    // A47 doc tombstones mask BOTH artifacts — the sidecar before its
+    // stats aggregate, so n_docs/l_tokens are the purged corpus's own
+    val del = deletedFrame(s, root)
+    def masked(df: DataFrame): DataFrame = del match {
+      case None    => df
+      case Some(d) => df.join(broadcast(d), Seq("doc_id"), "left_anti")
+    }
+    val matched = masked(s.read.parquet(s"$root/postings")
       .join(broadcast(terms), Seq("word"))
-      .select("word", "doc_id", "tf")
-    val sidecar = s.read.parquet(s"$root/doclen").select("doc_id", "dl")
+      .select("word", "doc_id", "tf"))
+    val sidecar = masked(s.read.parquet(s"$root/doclen").select("doc_id", "dl"))
     val dls = sidecar.where(col("dl") > 0L)
     val stats = sidecar.agg(count(lit(1)).as("n_docs"))
       .crossJoin(sidecar.agg(sum("dl").as("l_tokens")))

@@ -64,6 +64,68 @@ object Multimodal {
           .as("dup_micro"))
       .orderBy("kind")
 
+  /** F8 core: 64-bit AVERAGE HASH (aHash) of a payload through the
+    * REAL PNG codec — the perceptual layer F5's signature dedup
+    * documents as its swap point, implemented: the payload decodes to
+    * an 8×8 gray raster via `javax.imageio` (the F2 codec path), each
+    * pixel thresholds at the raster's integer mean, set bits form the
+    * hash. Byte-level re-encodes and small perturbations move the
+    * hash a few BITS where they move md5 completely — which is the
+    * entire point of perceptual dedup.
+    */
+  private[graft] def perceptualHash(bytes: Array[Byte]): Long = {
+    val gray = pngRoundTrip(bytes)
+    val mean = gray.sum / 64
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (gray(i) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** F8: PERCEPTUAL near-dup pairs over binary payloads — C3's
+    * SimHash discipline applied to the media lane: hashes compute
+    * MAP-SIDE through the real codec (payload bytes never shuffle;
+    * only 8-byte hashes and 1-byte band keys do), candidates come
+    * from 8 × 8-bit band buckets (pigeonhole: any pair within Hamming
+    * distance 7 shares at least one untouched band, so recall at the
+    * default max distance 4 is EXACT, not probabilistic), and each
+    * candidate pair verifies with one `bit_count(xor)`. Emits
+    * (doc_id_a, doc_id_b, hamming) for every payload pair within
+    * `maxHamming` — the pairs F5's exact-signature pass cannot see.
+    */
+  private[graft] def perceptualPairs(payloads: DataFrame,
+      maxHamming: Int = 4): DataFrame = {
+    require(maxHamming <= 7,
+      "[GRAFT] 8x8-bit banding guarantees recall only to Hamming 7")
+    val s = payloads.sparkSession
+    import s.implicits._
+    val hashed = payloads.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, perceptualHash(bytes)) })
+      .toDF("doc_id", "phash")
+    val bands = hashed.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(7))).as("b"))
+      .withColumn("key", expr("shiftrightunsigned(phash, b * 8) & 255L"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"),
+        expr("bit_count(x.phash ^ y.phash)").cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  /** F8 (corpus form): the image lane's perceptual pairs at this
+    * table's synthetic payloads.
+    */
+  def payloadPerceptualPairs(s: SparkSession, dir: String,
+      maxHamming: Int = 4): DataFrame =
+    perceptualPairs(mmTable(s, dir).where(col("kind") === "image"), maxHamming)
+
   /** F1: binary payload + metadata aggregation (oracle-able). */
   def binaryMeta(s: SparkSession, dir: String): DataFrame =
     mmTable(s, dir)

@@ -1013,6 +1013,27 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A48: footer-pruned retention delete — files wholly past the
+    * cutoff unlink with ZERO rows read (parquet stats decide), the
+    * straddling files' old rows tombstone with a scoped scan, and the
+    * merge-on-read scan serves exactly the retained corpus — the
+    * nightly "expire older than N" sweep priced by metadata.
+    */
+  def srcRetentionSweep(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.GraftSink.scratchDir + "/orders_retention"
+    cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+      .repartitionByRange(8, col("o_orderdate"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.GraftMor.retentionSweep(s, path, "o_orderdate",
+      java.time.LocalDateTime.of(1996, 1, 1, 0, 0))
+    graft.sources.GraftMor.morRead(s, path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A20: incremental aggregate maintenance — the materialized-view
     * refresh every periodic 100 TB job wants: a persisted summary is
     * updated from the snapshot DIFF only (GraftCatalog.diffTable),

@@ -271,6 +271,34 @@ object GraftAdvisor {
     }
   }
 
+  /** A48's advisor leg: how much of the table is WHOLLY past the
+    * retention cutoff, priced from parquet footers alone (the A25
+    * one-task-per-footer pass — no row is read). Fires when whole
+    * files are droppable; acting (`GraftMor.retentionSweep`) unlinks
+    * them and clears the signal. Straddling files are mentioned in
+    * the detail but don't fire it — their expired rows tombstone at
+    * sweep time and fold at compaction, and their footers keep the
+    * old min until then.
+    */
+  def adviseRetention(s: SparkSession, tablePath: String, tsCol: String,
+      cutoff: java.time.LocalDateTime): Seq[Advice] = {
+    val cutoffMicros = GraftMor.toMicros(cutoff)
+    val stats = GraftMor.footerTsStats(s, tablePath, tsCol)
+    val wholly = stats.count {
+      case (_, Some((_, mx))) => mx < cutoffMicros
+      case _ => false
+    }
+    val straddling = stats.count {
+      case (_, Some((mn, mx))) => mn < cutoffMicros && mx >= cutoffMicros
+      case (_, None) => true
+    }
+    if (wholly == 0) Seq.empty
+    else Seq(Advice(new Path(tablePath).getName, "retention-due", wholly.toLong,
+      s"$wholly of ${stats.length} data files lie wholly before " +
+        s"$cutoff by footer stats (plus $straddling straddling) - " +
+        "run retentionSweep: the whole files unlink with zero rows read"))
+  }
+
   /** The advice as a small driver-local DataFrame for display. */
   def adviseReport(s: SparkSession, root: String): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -455,6 +455,100 @@ object GraftMor {
     }
   }
 
+  private[sources] def toMicros(t: java.time.LocalDateTime): Long =
+    t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+      t.getNano / 1000L
+
+  /** Distributed footer pass: per data file the (min, max) micros of
+    * `tsCol` — None when any block lacks stats (conservative). The
+    * A25 one-task-per-footer discipline; no row is read.
+    */
+  private[sources] def footerTsStats(s: SparkSession, tablePath: String,
+      tsCol: String): Array[(String, Option[(Long, Long)])] = {
+    import graft.sources.v2.GraftV2
+    val conf = GraftV2.sessionConf()
+    val files = GraftV2.dataFiles(tablePath, s.sessionState.newHadoopConf())
+    if (files.isEmpty) return Array.empty
+    val slices = math.max(1, math.min(files.length,
+      s.sparkContext.defaultParallelism))
+    s.sparkContext.parallelize(files, slices).map { f =>
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var ok = true
+      GraftV2.withReader(f, conf.value) { r =>
+        r.getFooter.getBlocks.forEach { b =>
+          b.getColumns.forEach { c =>
+            if (c.getPath.toDotString == tsCol) {
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+              else {
+                mn = math.min(mn, st.genericGetMin.asInstanceOf[Number].longValue)
+                mx = math.max(mx, st.genericGetMax.asInstanceOf[Number].longValue)
+              }
+            }
+          }
+        }
+      }
+      (f, if (ok && mn <= mx) Some((mn, mx)) else None)
+    }.collect()
+  }
+
+  /** A48: footer-pruned RETENTION delete — the "expire everything
+    * older than N days" sweep every 100 TB table runs nightly, priced
+    * by parquet's own statistics instead of a scan: a distributed
+    * footer pass classifies each data file by its (min, max) of the
+    * timestamp column, files WHOLLY past the cutoff unlink directly
+    * (zero rows read — on a time-ordered table that is almost all of
+    * the expired volume; the one op that destroys files, so it takes
+    * the A24 lease gate), and only the STRADDLING files (cutoff
+    * between their min and max — typically one per partition lane)
+    * pay a scoped coordinate-tombstone scan of their old rows, which
+    * `morRead` hides and the next `morCompact` folds. Files with
+    * missing/empty stats classify as straddling — conservative, never
+    * wrong. Returns (files dropped, rows tombstoned).
+    */
+  def retentionSweep(s: SparkSession, tablePath: String, tsCol: String,
+      cutoff: java.time.LocalDateTime): (Int, Long) = {
+    val cutoffMicros = toMicros(cutoff)
+    val stats = footerTsStats(s, tablePath, tsCol)
+    if (stats.isEmpty) return (0, 0L)
+    val wholly = stats.collect {
+      case (f, Some((_, mx))) if mx < cutoffMicros => f }
+    val straddling = stats.collect {
+      case (f, Some((mn, mx))) if mn < cutoffMicros && mx >= cutoffMicros => f
+      case (f, None) => f }
+    val f = fs(s, tablePath)
+    if (wholly.nonEmpty) {
+      GraftLease.failIfLeased(s, tablePath, "retentionSweep")
+      wholly.foreach { file =>
+        if (!f.delete(new org.apache.hadoop.fs.Path(file), false))
+          throw new IllegalStateException(
+            s"[GRAFT] retentionSweep failed to remove $file")
+      }
+    }
+    var tombstoned = 0L
+    if (straddling.nonEmpty) {
+      // scoped discovery: ONLY the straddling files' old rows, minus
+      // already-tombstoned coordinates (the true-delta rule)
+      val coords0 = s.read.option("basePath", tablePath)
+        .parquet(straddling.toIndexedSeq: _*)
+        .select(col(tsCol).as("__ts"),
+          col("_metadata.file_path").as("dv_file"),
+          col("_metadata.row_index").as("dv_pos"))
+        .where(col("__ts") < lit(cutoff)).drop("__ts")
+      val coords = (dvFrame(s, tablePath) match {
+        case None     => coords0
+        case Some(dv) =>
+          coords0.join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_anti")
+      }).localCheckpoint(true)
+      try {
+        tombstoned = coords.count()
+        if (tombstoned > 0L) writeEpoch(s, tablePath, coords)
+      } finally graft.GraftSession.releaseCheckpoint(coords)
+    }
+    (wholly.length, tombstoned)
+  }
+
   /** Pending tombstone rows across both sidecar flavors — the
     * per-read anti-join probe debt. Footer counts only (the A25
     * discipline, distributed): no sidecar row is scanned.

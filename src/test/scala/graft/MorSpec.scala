@@ -427,6 +427,50 @@ class MorSpec extends SparkSpecBase {
       "the emptied group must leave the summary")
   }
 
+  test("A48: retention sweep unlinks wholly-old files with zero rows read, tombstones straddlers, advises from footers, and is idempotent") {
+    import graft.sources.GraftAdvisor
+    val path = graft.sources.GraftSink.scratchDir + "/mor_spec_retention"
+    hfs(path).delete(new org.apache.hadoop.fs.Path(path), true)
+    new graft.sources.GraftCatalog(spark, sfDir).table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .repartitionByRange(8, col("o_orderdate"))
+      .write.mode("overwrite").parquet(path)
+    val all = spark.read.parquet(path).localCheckpoint(true)
+    val cutoff = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+    val cutoffLit = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+    val nOld = all.where(col("o_orderdate") < cutoffLit).count()
+    assert(nOld > 0, "the corpus must span the cutoff")
+    // the advisor prices the sweep from footers before anything runs
+    val advice = GraftAdvisor.adviseRetention(spark, path, "o_orderdate", cutoff)
+    assert(advice.exists(_.rule === "retention-due"), advice.toString)
+    val whollyAdvised = advice.head.metric
+    assert(whollyAdvised >= 1L, "range layout must make whole files old")
+    val filesBefore = dataSig(path)
+    val (dropped, tombstoned) =
+      GraftMor.retentionSweep(spark, path, "o_orderdate", cutoff)
+    assert(dropped.toLong === whollyAdvised,
+      "the sweep drops exactly what the advisor priced")
+    assert(tombstoned > 0L, "the straddling file's old rows tombstone")
+    assert(dataSig(path).size === filesBefore.size - dropped)
+    // served state is exactly the retained corpus
+    val served = GraftMor.morRead(spark, path)
+    assert(served.count() === all.count() - nOld)
+    assert(served.where(col("o_orderdate") < cutoffLit).count() === 0)
+    // files wholly PAST the cutoff keep their bytes
+    val survivors = dataSig(path)
+    val untouchedYoung = filesBefore.filter { case sig@(f, _, _) =>
+      survivors.contains(sig) }
+    assert(untouchedYoung.nonEmpty)
+    // the advice clears once the whole files are gone
+    assert(GraftAdvisor.adviseRetention(spark, path, "o_orderdate", cutoff)
+      .isEmpty, "acting on the advice must clear it")
+    // idempotent: a second sweep finds nothing whole to drop and no
+    // untombstoned old row
+    assert(GraftMor.retentionSweep(spark, path, "o_orderdate", cutoff)
+      === ((0, 0L)))
+    assert(dataSig(path) === survivors)
+  }
+
   test("A44: compaction folds position AND equality vectors — affected files only, both sidecars cleared, content preserved") {
     val path = freshTable("eqcp", nFiles = 6)
     val all = spark.read.parquet(path).localCheckpoint(true)

@@ -171,4 +171,44 @@ class MultimodalSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("F8: perceptual pairs catch what exact signatures cannot — perturbed payloads pair, unrelated ones do not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // controlled payloads: p0 alternates 0/200 (every pixel far from
+    // the mean), p1 flips ONE byte to 255 (one pixel crosses the
+    // threshold, the shifted mean moves no other pixel), p2 is p0
+    // byte-identical, p3 is unrelated
+    val p0 = Array.tabulate[Byte](64)(i => if (i % 2 == 0) 0.toByte else 200.toByte)
+    val p1 = p0.clone(); p1(0) = 255.toByte
+    val p3 = Array.tabulate[Byte](64)(i => (i * 37 % 251).toByte)
+    val payloads = Seq(
+      (0L, p0), (1L, p1), (2L, p0.clone()), (3L, p3)
+    ).toDF("doc_id", "payload")
+    // driver replay of the hashes through the SAME codec
+    val h = Seq(p0, p1, p0, p3).map(Multimodal.perceptualHash)
+    assert(h(0) === h(2), "byte-identical payloads hash identically")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0), h(1)) >= 1 && ham(h(0), h(1)) <= 4,
+      s"one flipped byte moves a few bits, got ${ham(h(0), h(1))}")
+    assert(ham(h(0), h(3)) > 7, "unrelated payloads are far apart")
+    // md5 cannot pair the perturbed copy; the perceptual pass must
+    val md5Sigs = payloads.select(md5(col("payload")).as("s"))
+      .collect().map(_.getString(0))
+    assert(md5Sigs(0) !== md5Sigs(1))
+    val pairs = Multimodal.perceptualPairs(payloads)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.contains((0L, 2L, 0)), s"exact copies pair at distance 0: $pairs")
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 <= 4),
+      s"the perturbed copy pairs within the distance bound: $pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      s"unrelated payloads must not pair: $pairs")
+    // distributed run is deterministic
+    assert(Multimodal.perceptualPairs(payloads).collect().toSeq ===
+      Multimodal.perceptualPairs(payloads).collect().toSeq)
+    // corpus form runs map-side on the image lane
+    assert(Multimodal.payloadPerceptualPairs(spark, sfDir).columns.toSeq ===
+      Seq("doc_id_a", "doc_id_b", "hamming"))
+  }
 }
