@@ -110,9 +110,10 @@ object Bench {
     // generations + an erase outranking a resurrection attempt) and
     // the A46 incremental summary under mutation (build + 2 refreshes)
     "src_mor_upsert_eq", "src_mor_incremental_agg",
-    // the H14 seeded-shuffle keyed resume and the A48 footer-pruned
-    // retention sweep
-    "pipeline_shuffle_resume", "src_retention_sweep")
+    // the H14 seeded-shuffle keyed resume, the A48 footer-pruned
+    // retention sweep, and the A49 outbound change feed
+    "pipeline_shuffle_resume", "src_retention_sweep",
+    "src_mor_change_feed")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -61,6 +61,7 @@ object SparkEntry {
     "src_mor_upsert_eq"          -> Relational.srcMorUpsertEq _,
     "src_mor_incremental_agg"    -> Relational.srcMorIncrementalAgg _,
     "src_retention_sweep"        -> Relational.srcRetentionSweep _,
+    "src_mor_change_feed"        -> Relational.srcMorChangeFeed _,
     "src_mor_compact"            -> Relational.srcMorCompact _,
     "src_incremental_agg"        -> Relational.srcIncrementalAgg _,
     // §2.B relational core
@@ -431,6 +432,20 @@ object SparkEntry {
   // (BpeTokenizer.Sf001Merges, spec-guarded against training drift)
   // applied as nested replaces over the space-prefixed symbol string;
   // token count = space count (see BpeTokenizer.oracleEncodeSql).
+  /** The A46/A49 mutation ladder's final state (delete %10==3, upsert
+    * %100==0 at +1000, delete keys %100==7) — ONE oracle serving both
+    * the incremental-fold and the feed-fold queries.
+    */
+  private val MorLadderSql: String = """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(CASE WHEN o_orderkey % 100 = 0
+                                      THEN o_totalprice + 1000.0
+                                      ELSE o_totalprice END
+                          AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders
+      WHERE o_orderkey % 10 <> 3 AND o_orderkey % 100 <> 7
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   private val BpeTokensSql: String = s"""
       WITH wds AS (
         SELECT doc_id, unnest(regexp_extract_all(text,
@@ -1145,15 +1160,12 @@ object SparkEntry {
 
     // A46: incremental maintenance under mutation — the final summary
     // must equal the full recompute over delete + upsert + delete
-    "src_mor_incremental_agg" -> """
-      SELECT o_orderstatus, count(*) AS n,
-             round(CAST(sum(CAST(CASE WHEN o_orderkey % 100 = 0
-                                      THEN o_totalprice + 1000.0
-                                      ELSE o_totalprice END
-                          AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
-      FROM orders
-      WHERE o_orderkey % 10 <> 3 AND o_orderkey % 100 <> 7
-      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "src_mor_incremental_agg" -> MorLadderSql,
+
+    // A49: the SAME ladder, but the downstream folds the published
+    // change-feed segments alone — one oracle proving increment-fold
+    // (A46) and feed-fold (A49) both equal the recompute
+    "src_mor_change_feed" -> MorLadderSql,
 
     // A42 compaction: folding the vector into the affected files must
     // change where survivors live, never what they are

@@ -1013,6 +1013,44 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A49: outbound MOR change feed — the same mutation ladder as A46
+    * (delete, upsert, delete), but the DOWNSTREAM folds the published
+    * segments ALONE: three `publishMorFeed` calls (snapshot + two
+    * deltas) and a signed-delta rollup over `readMorFeed` must equal
+    * the full recompute over the mutated table — proving the feed
+    * carries exactly the churn, with the same shared oracle.
+    */
+  def srcMorChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.GraftSink.scratchDir + "/orders_mor_feed"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val path = s"$root/t"
+    val feed = s"$root/feed"
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.GraftMor.publishMorFeed(s, path, feed)     // snapshot
+    graft.sources.GraftMor.morDelete(s, path, col("o_orderkey") % 10 === 3)
+    graft.sources.GraftMor.morUpsert(s, path,
+      orders.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      Seq("o_orderkey"))
+    graft.sources.GraftMor.publishMorFeed(s, path, feed)     // delta 1
+    graft.sources.GraftMor.morDeleteKeys(s, path,
+      orders.where(col("o_orderkey") % 100 === 7), Seq("o_orderkey"))
+    val tip = graft.sources.GraftMor.publishMorFeed(s, path, feed) // delta 2
+    val signed = when(col("change_type") === "I", lit(1L)).otherwise(lit(-1L))
+    graft.sources.GraftMor.readMorFeed(s, feed, -1L, tip)
+      .groupBy("o_orderstatus")
+      .agg(sum(signed).as("n"),
+        round(sum(col("o_totalprice").cast(DecimalType(28, 6)) *
+          signed.cast(DecimalType(28, 6))).cast("double"), 2).as("total"))
+      .where(col("n") =!= 0L)
+      .orderBy("o_orderstatus")
+  }
+
   /** A48: footer-pruned retention delete — files wholly past the
     * cutoff unlink with ZERO rows read (parquet stats decide), the
     * straddling files' old rows tombstone with a scoped scan, and the

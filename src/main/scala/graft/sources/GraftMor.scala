@@ -549,6 +549,120 @@ object GraftMor {
     (wholly.length, tombstoned)
   }
 
+  /** A49: OUTBOUND change feed for a merge-on-read table — the other
+    * direction from A41's COW feed: MOR mutations already ARE a
+    * change log (tombstone epochs name exactly the rows that left;
+    * the file listing diff names exactly the rows that arrived), so
+    * publishing deltas costs the churn, never the table. Each call
+    * derives the segment since the stored watermark and persists it
+    * under `feedRoot/segments/seq=N` as row IMAGES tagged
+    * `change_type` 'I'/'D' — SET semantics (adds and subtracts,
+    * order-free), the B69 signed-delta envelope, so a downstream
+    * rollup folds segments without keys or ordering. The first call
+    * publishes the whole CURRENT state as the snapshot segment.
+    *
+    * Crash contract: the segment dir writes BEFORE the state
+    * advances, re-derivation is deterministic, and a replayed publish
+    * overwrites the same seq dir — so a crash anywhere re-publishes
+    * an identical segment, never a double or a gap. Refusals BY NAME:
+    * equality sidecars (their deletions carry no coordinates until
+    * compaction — fold first) and rewritten history (a compaction
+    * since the last publish invalidates coordinates and file
+    * identity: downstream must resync from a fresh snapshot root).
+    */
+  def publishMorFeed(s: SparkSession, tablePath: String,
+      feedRoot: String): Long = {
+    val f = fs(s, feedRoot)
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    val statePath = s"$feedRoot/state"
+    val stagePath = s"$feedRoot/state.staging"
+    def marker(dir: String) = hp(s"$dir/_published")
+    if (!f.exists(hp(statePath)) && f.exists(marker(stagePath)) &&
+        !f.rename(hp(stagePath), hp(statePath)))
+      throw new IllegalStateException(
+        s"[GRAFT] publishMorFeed crash-recovery swap failed: " +
+          s"rename($stagePath -> $statePath) returned false")
+    require(eqFrame(s, tablePath).isEmpty,
+      s"[GRAFT] publishMorFeed requires an equality-sidecar-free table " +
+        s"($tablePath has $EqDir/): fold erases with morCompact first")
+    val curFiles = listDataFiles(s, tablePath).toSet
+    val curEpochs = nextEpoch(s, tablePath)
+    val live = f.exists(marker(statePath))
+    val (seq, applied, stored) =
+      if (!live) (0L, 0, Set.empty[String])
+      else {
+        val in = f.open(marker(statePath))
+        val (sq, a) = try (in.readLong(), in.readInt()) finally in.close()
+        val st = s.read.parquet(s"$statePath/files")
+          .collect().map(_.getString(0)).toSet
+        (sq, a, st)
+      }
+    if (live && (stored -- curFiles).nonEmpty)
+      throw new IllegalStateException(
+        "[GRAFT] publishMorFeed: table history was rewritten (compaction) " +
+          "since the last publish - downstream must resync from a fresh " +
+          "snapshot under a new feed root")
+    if (live && curFiles == stored && curEpochs == applied) return seq // no-op
+    val dataCols = s.read.parquet(tablePath).columns
+    val parts = Seq.newBuilder[DataFrame]
+    var dHeld: Option[DataFrame] = None
+    if (!live) {
+      parts += morRead(s, tablePath).withColumn("change_type", lit("I"))
+    } else {
+      val newFiles = (curFiles -- stored).toSeq
+      if (newFiles.nonEmpty)
+        parts += s.read.option("basePath", tablePath).parquet(newFiles: _*)
+          .select(dataCols.map(col): _*).withColumn("change_type", lit("I"))
+      if (curEpochs > applied) {
+        val dv = s.read.parquet(dvPath(tablePath))
+          .where(col("epoch") >= applied).select("dv_file", "dv_pos")
+          .localCheckpoint(true)
+        try {
+          val doomedFiles = dv.select("dv_file").distinct()
+            .collect().map(_.getString(0))
+          // eager checkpoint: materializes NOW, so dv can release in
+          // the finally; the frame itself releases after the write
+          val d = s.read.option("basePath", tablePath)
+            .parquet(doomedFiles.toIndexedSeq: _*)
+            .withColumn("dv_file", col("_metadata.file_path"))
+            .withColumn("dv_pos", col("_metadata.row_index"))
+            .join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_semi")
+            .select(dataCols.map(col): _*)
+            .withColumn("change_type", lit("D"))
+            .localCheckpoint(true)
+          dHeld = Some(d)
+          parts += d
+        } finally graft.GraftSession.releaseCheckpoint(dv)
+      }
+    }
+    val nextSeq = if (live) seq + 1L else 0L
+    try parts.result().reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$feedRoot/segments/seq=$nextSeq")
+    finally dHeld.foreach(graft.GraftSession.releaseCheckpoint)
+    // state advances AFTER the segment is durable
+    import s.implicits._
+    curFiles.toSeq.toDF("file_norm").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stagePath/files")
+    val out = f.create(marker(stagePath), true)
+    try { out.writeLong(nextSeq); out.writeInt(curEpochs) } finally out.close()
+    f.delete(hp(statePath), true)
+    if (!f.rename(hp(stagePath), hp(statePath)))
+      throw new IllegalStateException(
+        s"[GRAFT] publishMorFeed commit swap failed: " +
+          s"rename($stagePath -> $statePath) returned false")
+    nextSeq
+  }
+
+  /** Read the published feed segments with seq in (fromSeq, toSeq] —
+    * the consumer half of [[publishMorFeed]].
+    */
+  def readMorFeed(s: SparkSession, feedRoot: String,
+      fromSeq: Long, toSeq: Long): DataFrame =
+    s.read.parquet(s"$feedRoot/segments")
+      .where(col("seq") > fromSeq && col("seq") <= toSeq)
+      .drop("seq")
+
   /** Pending tombstone rows across both sidecar flavors — the
     * per-read anti-join probe debt. Footer counts only (the A25
     * discipline, distributed): no sidecar row is scanned.

@@ -471,6 +471,61 @@ class MorSpec extends SparkSpecBase {
     assert(dataSig(path) === survivors)
   }
 
+  test("A49: the change feed publishes exactly the churn, folds to the recompute, no-ops cleanly, and refuses rewritten history") {
+    import spark.implicits._
+    val root = graft.sources.GraftSink.scratchDir + "/mor_spec_feed"
+    hfs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val path = s"$root/t"
+    val feed = s"$root/feed"
+    new graft.sources.GraftCatalog(spark, sfDir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    val all = spark.read.parquet(path).localCheckpoint(true)
+    // snapshot segment: the whole current state as inserts
+    assert(GraftMor.publishMorFeed(spark, path, feed) === 0L)
+    val snap = spark.read.parquet(s"$root/feed/segments/seq=0")
+    assert(snap.count() === all.count())
+    assert(snap.where(col("change_type") =!= "I").count() === 0)
+    // churn: delete + upsert → the delta carries EXACTLY the doomed
+    // images and the appended versions
+    GraftMor.morDelete(spark, path, col("o_orderkey") % 10 === 3)
+    val bumps = all.where(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .localCheckpoint(true)
+    GraftMor.morUpsert(spark, path, bumps, Seq("o_orderkey"))
+    assert(GraftMor.publishMorFeed(spark, path, feed) === 1L)
+    val delta = spark.read.parquet(s"$root/feed/segments/seq=1")
+    val nDeleted = all.where(col("o_orderkey") % 10 === 3).count()
+    assert(delta.where(col("change_type") === "D").count()
+      === nDeleted + bumps.count(), "doomed rows + upserted originals")
+    assert(delta.where(col("change_type") === "I").count() === bumps.count())
+    // nothing new: no-op, same tip, no new segment dir
+    assert(GraftMor.publishMorFeed(spark, path, feed) === 1L)
+    assert(!hfs(feed).exists(
+      new org.apache.hadoop.fs.Path(s"$feed/segments/seq=2")))
+    // the downstream fold over segments alone equals the recompute
+    val signed = when(col("change_type") === "I", lit(1L)).otherwise(lit(-1L))
+    val folded = GraftMor.readMorFeed(spark, feed, -1L, 1L)
+      .groupBy("o_orderstatus").agg(sum(signed).as("n"))
+      .where(col("n") =!= 0L).orderBy("o_orderstatus")
+      .collect().map(_.toSeq).toSeq
+    val recomputed = GraftMor.morRead(spark, path)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus").collect().map(_.toSeq).toSeq
+    assert(folded === recomputed)
+    // eq sidecars are refused BY NAME
+    GraftMor.morErase(spark, path, Seq(1L).toDF("o_custkey"), Seq("o_custkey"))
+    val e = intercept[IllegalArgumentException](
+      GraftMor.publishMorFeed(spark, path, feed))
+    assert(e.getMessage.contains("morCompact"), e.getMessage)
+    // rewritten history is refused BY NAME — downstream must resync
+    GraftMor.morCompact(spark, path)
+    val e2 = intercept[IllegalStateException](
+      GraftMor.publishMorFeed(spark, path, feed))
+    assert(e2.getMessage.contains("resync"), e2.getMessage)
+  }
+
   test("A44: compaction folds position AND equality vectors — affected files only, both sidecars cleared, content preserved") {
     val path = freshTable("eqcp", nFiles = 6)
     val all = spark.read.parquet(path).localCheckpoint(true)
