@@ -663,6 +663,94 @@ object GraftMor {
       .where(col("seq") > fromSeq && col("seq") <= toSeq)
       .drop("seq")
 
+  /** Merge additive partial frames: sum every non-group measure
+    * (types preserved) and drop groups whose row count reached zero —
+    * shared by the incremental aggregate (A46) and the feed consumer
+    * (A50). Partials must carry a row count named `n` by contract.
+    */
+  private def foldPartials(parts: Seq[DataFrame],
+      groupCols: Seq[String]): DataFrame = {
+    val unioned = parts.reduce(_ unionByName _)
+    val schema = unioned.schema
+    require(schema.fieldNames.contains("n"),
+      "[GRAFT] additive partials must carry a row count named n")
+    val measures = schema.fields.filterNot(fld => groupCols.contains(fld.name))
+    unioned.groupBy(groupCols.map(col): _*)
+      .agg(measures.head.name -> "sum",
+        measures.tail.map(m => m.name -> "sum").toSeq: _*)
+      .select(groupCols.map(col) ++ measures.map { m =>
+        col(s"sum(${m.name})").cast(m.dataType).as(m.name) }: _*)
+      .where(col("n") =!= lit(0L))
+  }
+
+  /** Negate every non-group measure of an additive partial frame,
+    * preserving declared types — the subtract side of a fold.
+    */
+  private def negatePartials(part: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    part.select(part.schema.fields.map { fld =>
+      if (groupCols.contains(fld.name)) col(fld.name)
+      else (col(fld.name) * lit(-1)).cast(fld.dataType).as(fld.name)
+    }.toSeq: _*)
+
+  /** A50: DURABLE consumer for the A49 feed — the downstream half of
+    * the loop: fold every segment past the stored watermark into a
+    * persisted rollup ('I' images add their partials, 'D' images
+    * subtract), commit rollup + watermark atomically with the staged
+    * swap, and make replays/no-news no-ops — so a cron or stream
+    * driver needs no state of its own. This is A46's fold running on
+    * the OTHER side of a feed boundary: the consumer never sees the
+    * table, only segments sized by the churn.
+    */
+  def consumeMorFeed(s: SparkSession, feedRoot: String, rollupRoot: String,
+      groupCols: Seq[String],
+      partialAgg: DataFrame => DataFrame): DataFrame = {
+    val f = fs(s, rollupRoot)
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    val livePath = s"$rollupRoot/rollup"
+    val stagePath = s"$rollupRoot/rollup.staging"
+    def marker(dir: String) = hp(s"$dir/_consumed_seq")
+    if (!f.exists(hp(livePath)) && f.exists(marker(stagePath)) &&
+        !f.rename(hp(stagePath), hp(livePath)))
+      throw new IllegalStateException(
+        s"[GRAFT] consumeMorFeed crash-recovery swap failed: " +
+          s"rename($stagePath -> $livePath) returned false")
+    val segDir = hp(s"$feedRoot/segments")
+    require(f.exists(segDir),
+      s"[GRAFT] no published segments under $feedRoot - publishMorFeed first")
+    val tip = f.listStatus(segDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("seq=") => n.drop(4).toLong }
+      .foldLeft(-1L)(math.max)
+    val watermark: Long =
+      if (!f.exists(marker(livePath))) -1L
+      else {
+        val in = f.open(marker(livePath))
+        try in.readLong() finally in.close()
+      }
+    if (tip <= watermark) return s.read.parquet(livePath) // no-op
+    val seg = readMorFeed(s, feedRoot, watermark, tip)
+    val parts = Seq.newBuilder[DataFrame]
+    if (f.exists(hp(livePath))) parts += s.read.parquet(livePath)
+    parts += partialAgg(seg.where(col("change_type") === "I")
+      .drop("change_type"))
+    parts += negatePartials(
+      partialAgg(seg.where(col("change_type") === "D").drop("change_type")),
+      groupCols)
+    val merged = foldPartials(parts.result(), groupCols)
+      .localCheckpoint(true) // the swap deletes the files this read
+    try {
+      merged.write.mode(SaveMode.Overwrite).parquet(stagePath)
+      val out = f.create(marker(stagePath), true)
+      try out.writeLong(tip) finally out.close()
+      f.delete(hp(livePath), true)
+      if (!f.rename(hp(stagePath), hp(livePath)))
+        throw new IllegalStateException(
+          s"[GRAFT] consumeMorFeed commit swap failed: " +
+            s"rename($stagePath -> $livePath) returned false")
+    } finally graft.GraftSession.releaseCheckpoint(merged)
+    s.read.parquet(livePath)
+  }
+
   /** Pending tombstone rows across both sidecar flavors — the
     * per-read anti-join probe debt. Footer counts only (the A25
     * discipline, distributed): no sidecar row is scanned.
@@ -767,26 +855,10 @@ object GraftMor {
           .withColumn("dv_pos", col("_metadata.row_index"))
           .join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_semi")
           .drop("dv_file", "dv_pos")
-        val sub = partialAgg(doomed)
-        // negate every measure, preserving its declared type
-        val negated = sub.select(sub.schema.fields.map { fld =>
-          if (groupCols.contains(fld.name)) col(fld.name)
-          else (col(fld.name) * lit(-1)).cast(fld.dataType).as(fld.name)
-        }.toSeq: _*)
-        parts += negated
+        parts += negatePartials(partialAgg(doomed), groupCols)
       }
     }
-    val unioned = parts.result().reduce(_ unionByName _)
-    val schema = unioned.schema
-    require(schema.fieldNames.contains("n"),
-      "[GRAFT] morIncrementalAgg partials must carry a row count named n")
-    val measures = schema.fields.filterNot(fld => groupCols.contains(fld.name))
-    val merged = unioned.groupBy(groupCols.map(col): _*)
-      .agg(measures.head.name -> "sum",
-        measures.tail.map(m => m.name -> "sum").toSeq: _*)
-      .select(groupCols.map(col) ++ measures.zipWithIndex.map { case (m, i) =>
-        col(s"sum(${m.name})").cast(m.dataType).as(m.name) }: _*)
-      .where(col("n") =!= lit(0L))
+    val merged = foldPartials(parts.result(), groupCols)
       .localCheckpoint(true) // the swap deletes the files this read
     try {
       merged.write.mode(SaveMode.Overwrite).parquet(stagePath)

@@ -526,6 +526,49 @@ class MorSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("resync"), e2.getMessage)
   }
 
+  test("A50: the durable feed consumer folds segments to the recompute, no-ops on replay, and adopts a crashed swap") {
+    val root = graft.sources.GraftSink.scratchDir + "/mor_spec_consume"
+    hfs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    val path = s"$root/t"
+    val feed = s"$root/feed"
+    val rollup = s"$root/rollup"
+    new graft.sources.GraftCatalog(spark, sfDir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    val all = spark.read.parquet(path).localCheckpoint(true)
+    def partial(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .as("total_d"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderstatus").collect().map(_.toSeq).toSeq
+    def recompute() = snap(partial(GraftMor.morRead(spark, path)))
+    def consume() = GraftMor.consumeMorFeed(
+      spark, feed, rollup, Seq("o_orderstatus"), partial)
+    GraftMor.publishMorFeed(spark, path, feed)
+    assert(snap(consume()) === recompute(), "snapshot fold")
+    // churn, publish, consume — the consumer never sees the table
+    GraftMor.morDelete(spark, path, col("o_orderkey") % 10 === 3)
+    GraftMor.morUpsert(spark, path,
+      all.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      Seq("o_orderkey"))
+    GraftMor.publishMorFeed(spark, path, feed)
+    assert(snap(consume()) === recompute(), "delta fold")
+    // replay with no new segments: physical no-op
+    val sig = dataSig(rollup)
+    consume()
+    assert(dataSig(rollup) === sig, "a caught-up consumer rewrites nothing")
+    // crash between delete and rename: the next call adopts the
+    // committed staging and serves it
+    assert(hfs(rollup).rename(
+      new org.apache.hadoop.fs.Path(s"$rollup/rollup"),
+      new org.apache.hadoop.fs.Path(s"$rollup/rollup.staging")))
+    assert(snap(consume()) === recompute(), "crash adoption")
+  }
+
   test("A44: compaction folds position AND equality vectors — affected files only, both sidecars cleared, content preserved") {
     val path = freshTable("eqcp", nFiles = 6)
     val all = spark.read.parquet(path).localCheckpoint(true)
