@@ -63,6 +63,7 @@ object SparkEntry {
     "src_retention_sweep"        -> Relational.srcRetentionSweep _,
     "src_mor_change_feed"        -> Relational.srcMorChangeFeed _,
     "src_mor_compact"            -> Relational.srcMorCompact _,
+    "src_mor_sql_read"           -> Relational.srcMorSqlRead _,
     "src_incremental_agg"        -> Relational.srcIncrementalAgg _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
@@ -1166,6 +1167,22 @@ object SparkEntry {
     // change-feed segments alone — one oracle proving increment-fold
     // (A46) and feed-fold (A49) both equal the recompute
     "src_mor_change_feed" -> MorLadderSql,
+
+    // A42 SQL serving: SELECT FROM graft.db.t on a dv-mutated table
+    // (upsert generation + predicate delete) must serve exactly the
+    // morRead answer — the masks compose split-locally in the v2 reader
+    "src_mor_sql_read" -> """
+      WITH merged AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT 900000000 + range, 'F', 42.5 FROM range(3))
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM merged WHERE o_orderkey % 10 <> 3
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // A42 compaction: folding the vector into the affected files must
     // change where survivors live, never what they are

@@ -970,6 +970,46 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A42 (SQL serving leg): a MERGE-ON-READ mutated table read BY NAME
+    * through the DSv2 SQL catalog — `SELECT ... FROM graft.db.t` must
+    * hash-match `morRead` on the same table (the reference's
+    * single-entry snapshot-consistent read contract,
+    * ArgodbMapreduceInputFormat.java:52-102: however a table is
+    * opened, it serves ONE answer). The position tombstones are pinned
+    * at loadTable with the file set and applied SPLIT-LOCALLY by the
+    * v2 reader (the Iceberg deletion-vector shape): the SQL read pays
+    * no join at all for the masks. Upsert (tombstone + append) and
+    * predicate delete both land before the read; REFRESH TABLE
+    * re-pins files and sidecar epochs together.
+    */
+  def srcMorSqlRead(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.sources.GraftSink.scratchDir + "/morsql"
+    val path = s"$wh/db/orders_msql.parquet"
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    val inserts = s.range(3).select(
+      (col("id") + 900000000L).as("o_orderkey"),
+      lit(1L).as("o_custkey"),
+      lit("F").as("o_orderstatus"),
+      lit(42.5).as("o_totalprice"))
+    graft.sources.GraftMor.morUpsert(s, path,
+      orders.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .unionByName(inserts),
+      Seq("o_orderkey"))
+    graft.sources.GraftMor.morDelete(s, path, col("o_orderkey") % 10 === 3)
+    graft.sources.v2.GraftTableCatalog.register(s, wh, "graftmor")
+    s.sql("REFRESH TABLE graftmor.db.orders_msql")
+    s.sql("""
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM graftmor.db.orders_msql
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")
+  }
+
   /** A46: mutation-aware incremental aggregate maintenance — A20's
     * refresh-from-the-diff discipline on a MUTATING merge-on-read
     * table: the summary is built once, then two refreshes each apply

@@ -100,6 +100,17 @@ object GraftAdvisor {
         if (morRows > morTombstoneBudget)
           out += Advice(name, "mor-compact", morRows,
             s"$morRows merge-on-read tombstones pending across _dv/_eq (budget $morTombstoneBudget) - run morCompact")
+        // A47: ANY live equality sidecar is a serving split, whatever
+        // its volume — the SQL catalog refuses the table by name, raw
+        // parquet readers silently bypass the GDPR mask, and only
+        // morCompact reunifies the surfaces. Act-clears-it.
+        val eqLive = fs.exists(new Path(dir, GraftMor.EqDir))
+        if (eqLive)
+          out += Advice(name, "mor-unserved", 1L,
+            s"equality mutation epochs (${GraftMor.EqDir}) pending: SQL " +
+              "serving refuses this table and raw parquet reads bypass " +
+              "the erase mask - run morCompact to fold and reunify the " +
+              "read surfaces")
       }
     }
     out.result().sortBy(a => (a.table, a.rule))

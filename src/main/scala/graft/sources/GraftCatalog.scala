@@ -40,6 +40,18 @@ final class GraftCatalog(spark: SparkSession, root: String) {
   private val pinnedListings =
     scala.collection.concurrent.TrieMap.empty[String, PinnedTable]
 
+  /** Pinned merge-on-read sidecar state per table (A42-A45 masks +
+    * the evolved-schema marker), captured WITH the data-file pin so a
+    * reader's masks are as snapshot-stable as its files. REFRESH
+    * (`invalidate`) re-pins both.
+    */
+  private val pinnedMor =
+    scala.collection.concurrent.TrieMap.empty[String, GraftMor.Sidecars]
+
+  private def morPin(name: String): GraftMor.Sidecars =
+    pinnedMor.getOrElseUpdate(name,
+      GraftMor.sidecars(spark, s"$root/$name.parquet"))
+
   /** Eagerly pin EVERY table currently under the root, making this
     * catalog's view of N tables ATOMIC — the analog of the
     * reference's job-spanning transaction, which locks all tables +
@@ -107,6 +119,7 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     */
   def invalidate(name: String): Unit = {
     pinnedListings.remove(name)
+    pinnedMor.remove(name)
     heldLeases.remove(name).foreach(_.foreach(
       GraftLease.release(spark, s"$root/$name.parquet", _)))
   }
@@ -116,13 +129,30 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     * Catalyst's FileIndex never sees later arrivals. `basePath` keeps
     * hive-style partition discovery working on partitioned layouts
     * (only legal when the table root is a directory).
+    *
+    * MERGE-ON-READ AWARE (A42-A47): live `_dv`/`_eq`/`_seqm` sidecars
+    * — pinned with the files — compose as the same gated anti-joins
+    * `morRead` serves, so `table()` and `morRead` give ONE answer on
+    * a mutated table (the reference's single-entry snapshot-consistent
+    * read contract, ArgodbMapreduceInputFormat.java:52-102). Erase
+    * tombstones written AFTER the pin additionally mask FRESH
+    * (`GraftMor.applyCurrentEraseMask`): GDPR erasure is retroactive
+    * by contract and outranks snapshot stability. A table with no
+    * sidecars pays two metadata listings at pin time and nothing per
+    * read.
     */
   def table(name: String): DataFrame = {
     val pin = pinned(name)
     require(pin.files.nonEmpty, s"[GRAFT] Table [$name] has no data files under $root")
+    val sc = morPin(name)
     val reader = spark.read
+    sc.schemaDdl.foreach(d =>
+      reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
     if (pin.rootIsDir) reader.option("basePath", s"$root/$name.parquet")
-    reader.parquet(pin.files.map(_._1): _*)
+    val base = reader.parquet(pin.files.map(_._1): _*)
+    val masked = if (sc.any) GraftMor.applyMasks(spark, base, sc) else base
+    GraftMor.applyCurrentEraseMask(spark, s"$root/$name.parquet", masked,
+      unlessSame = sc.eq)
   }
 
   /** Incremental read: rows of `name` that arrived AFTER the `since`
@@ -141,7 +171,10 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     else {
       val reader = spark.read
       if (pinned(name).rootIsDir) reader.option("basePath", s"$root/$name.parquet")
-      reader.parquet(newFiles.map(_._1).toSeq.sorted: _*)
+      // the GDPR forward mask applies to increments too: an erased
+      // key's straggler arrival must not ride the diff downstream
+      GraftMor.applyCurrentEraseMask(spark, s"$root/$name.parquet",
+        reader.parquet(newFiles.map(_._1).toSeq.sorted: _*))
     }
   }
 
@@ -192,7 +225,10 @@ final class GraftCatalog(spark: SparkSession, root: String) {
         .withColumn("change_type", org.apache.spark.sql.functions.lit("insert"))
       val del = removedDf.exceptAll(addedDf)
         .withColumn("change_type", org.apache.spark.sql.functions.lit("delete"))
-      ins.unionByName(del)
+      // erased keys leave the feed on BOTH sides (retroactive by
+      // contract): downstream must neither insert nor re-delete them
+      GraftMor.applyCurrentEraseMask(spark, s"$root/$name.parquet",
+        ins.unionByName(del))
     }
   }
 
@@ -302,7 +338,11 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     require(files.nonEmpty, s"[GRAFT] Snapshot v$id of [$name] lists no files")
     val reader = spark.read
     if (rootIsDir) reader.option("basePath", s"$root/$name.parquet")
-    reader.parquet(files: _*)
+    // time travel is epoch-relative for ordinary mutations, but the
+    // CURRENT erase mask applies even to history: a GDPR-erased key
+    // must serve from no surface, addressed snapshots included
+    GraftMor.applyCurrentEraseMask(spark, s"$root/$name.parquet",
+      reader.parquet(files: _*))
   }
 
   private def readManifest(name: String, id: Long): (Boolean, Seq[String]) = {

@@ -45,6 +45,15 @@ object GraftForget {
     tablePath.foreach { t =>
       GraftMor.morErase(s, t, ids.toDF(keyCol), Seq(keyCol))
       out += (("table", s"morErase(${ids.length} keys) at $t"))
+      // honest audit line: the erase masks every ENGINE read surface
+      // (morRead, GraftCatalog.table/tableAsOf/diff; the SQL catalog
+      // refuses by name until the fold), but a RAW spark.read.parquet
+      // of the directory bypasses sidecars entirely — the erasure is
+      // physical only after morCompact, and the advisor's
+      // `mor-unserved` signal stays lit until then
+      out += (("table-residual",
+        s"raw parquet reads of $t bypass the ${GraftMor.EqDir} mask " +
+          "until morCompact folds the erasure physically"))
     }
     bm25Root.foreach { r =>
       graft.operators.Bm25.bm25Delete(s, r, ids)

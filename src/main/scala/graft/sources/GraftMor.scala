@@ -19,11 +19,19 @@ import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, max, regex
   * never shuffles for.
   *
   * Layout: tombstones accumulate under `<table>/_dv/epoch=N/` —
-  * underscore-prefixed, so every plain `read.parquet(table)` and
-  * every `listDataFiles` listing skips them; only `morRead` applies
-  * them. Each mutation writes one new epoch (O(matched) bytes, zero
-  * data files touched); `morCompact` folds all tombstones into the
-  * affected files ONLY and clears the sidecar.
+  * underscore-prefixed, so every `listDataFiles` listing skips them.
+  * Masks are applied by EVERY engine read surface: `morRead` and
+  * `GraftCatalog.table/scan` compose them as gated anti-joins
+  * (`applyMasks`), the SQL catalog (GraftTableCatalog) serves
+  * position vectors split-locally and refuses unmerged equality
+  * sidecars BY NAME, and erase tombstones additionally mask
+  * time-traveled/diff reads (`applyCurrentEraseMask` — GDPR erasure
+  * is retroactive by contract). Only a RAW `spark.read.parquet` of
+  * the directory bypasses them — `GraftForget` reports that residual
+  * surface and the advisor flags it until compaction. Each mutation
+  * writes one new epoch (O(matched) bytes, zero data files touched);
+  * `morCompact` folds all tombstones into the affected files ONLY
+  * and clears the sidecar.
   *
   * Concurrency contract (same class as the COW paths): a delete /
   * upsert never unlinks a data file, so live pinned readers are SAFE
@@ -42,20 +50,124 @@ object GraftMor {
   val EqDir = "_eq"
   val SeqDir = "_seqm"
 
+  /** Marker dir holding the table's EVOLVED schema as one DDL file —
+    * written the first time an upsert batch lands an additive column
+    * (A36-classified), honored by every read path here and by the
+    * catalog surfaces: an explicit read schema makes parquet null-fill
+    * the column in pre-evolution files without the per-read
+    * mergeSchema footer storm. Permanent table metadata: compaction
+    * never clears it.
+    */
+  val SchemaDir = "_schema"
+
   /** Sequence value that masks a key in EVERY data file, present and
     * future — the GDPR-erase semantics (A44). Finite sequence numbers
     * (A45) mask only files appended BEFORE them.
     */
   val EraseSeq = Long.MaxValue
 
-  /** Tombstone volume up to which the read path broadcasts the
-    * deletion vector (rows, not bytes — ~48 bytes/row keeps 4M rows
-    * under Spark's default 8 GB broadcast ceiling with margin). Above
-    * it the anti-join falls back to a shuffled plan — and the advisor
-    * story is to compact long before that: `morCompact` resets the
-    * vector to zero.
+  /** Tombstone ROW cap for the SQL serving surface's driver-composed
+    * position mask (the Iceberg deletion-vector shape the v2 scan
+    * applies split-locally): past it the catalog refuses BY NAME and
+    * the answer is a compaction. 4M coordinate rows ≈ tens of MB on
+    * the driver.
     */
   val MaxBroadcastTombstones = 4L * 1000 * 1000
+
+  /** Sidecar PARQUET-BYTE volume up to which read paths hint a
+    * broadcast for the mask anti-joins. Decided from the directory
+    * LISTING alone (the A25/B71 listing-size discipline) — sizing a
+    * broadcast must not itself launch per-read counting jobs. 64 MB
+    * of coordinate/key parquet ≈ the 4M-row class above; past it the
+    * join degrades to a shuffled plan and the advisor story is to
+    * compact long before that.
+    */
+  val MaxBroadcastSidecarBytes = 64L * 1024 * 1024
+
+  /** One table's live mutation-sidecar state, captured from a single
+    * metadata listing per sidecar flavor: the (path, bytes) of every
+    * sidecar parquet file plus the evolved-schema DDL if recorded.
+    * This is the unit the catalog surfaces PIN — reading frames from
+    * the explicit file lists keeps a pinned reader's masks as
+    * snapshot-stable as its data files.
+    */
+  final case class Sidecars(
+      dv: Seq[(String, Long)], eq: Seq[(String, Long)],
+      seqm: Seq[(String, Long)], schemaDdl: Option[String]) {
+    def dvBytes: Long = dv.map(_._2).sum
+    def eqBytes: Long = eq.map(_._2).sum
+    def any: Boolean = dv.nonEmpty || eq.nonEmpty
+  }
+
+  /** List one sidecar dir's parquet files as (path, bytes) — one
+    * recursive listing, no footer opened.
+    */
+  private def sidecarFiles(s: SparkSession, tablePath: String,
+      dir: String): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$tablePath/$dir")
+    val f = fs(s, tablePath)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val out = Seq.newBuilder[(String, Long)]
+      val it = f.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          out += ((st.getPath.toString, st.getLen))
+      }
+      out.result().sortBy(_._1)
+    }
+  }
+
+  /** The table's current sidecar state — three listings + one tiny
+    * marker read, the whole metadata cost of a mask-aware read.
+    */
+  def sidecars(s: SparkSession, tablePath: String): Sidecars =
+    Sidecars(
+      sidecarFiles(s, tablePath, DvDir),
+      sidecarFiles(s, tablePath, EqDir),
+      sidecarFiles(s, tablePath, SeqDir),
+      readSchemaDdl(s, tablePath))
+
+  private def schemaMarker(tablePath: String) =
+    new org.apache.hadoop.fs.Path(s"$tablePath/$SchemaDir/ddl")
+
+  private[sources] def readSchemaDdl(s: SparkSession,
+      tablePath: String): Option[String] = {
+    val f = fs(s, tablePath)
+    val p = schemaMarker(tablePath)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val body = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+        bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
+      } finally in.close()
+      Some(body)
+    }
+  }
+
+  private def writeSchemaDdl(s: SparkSession, tablePath: String,
+      ddl: String): Unit = {
+    val f = fs(s, tablePath)
+    val out = f.create(schemaMarker(tablePath), true)
+    try out.write(ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The table's data files read with the recorded evolved schema when
+    * one exists (pre-evolution files null-fill the added columns) and
+    * plainly otherwise — the one table-read entry every path here
+    * shares.
+    */
+  private[sources] def readTable(s: SparkSession, tablePath: String,
+      sc: Sidecars): DataFrame = {
+    val reader = s.read
+    sc.schemaDdl.foreach(d =>
+      reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
+    reader.parquet(tablePath)
+  }
 
   private def dvPath(tablePath: String) = s"$tablePath/$DvDir"
   private def eqPath(tablePath: String) = s"$tablePath/$EqDir"
@@ -72,46 +184,96 @@ object GraftMor {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(s.sessionState.newHadoopConf())
 
-  /** All accumulated tombstones as (dv_file, dv_pos), or None when no
-    * mutation epoch exists (the fast path: `morRead` degrades to a
-    * plain scan with zero overhead).
+  /** All accumulated tombstones as (dv_file, dv_pos) from the
+    * sidecar's listed files, or None when no mutation epoch exists
+    * (the fast path: `morRead` degrades to a plain scan with zero
+    * overhead).
     */
-  private def dvFrame(s: SparkSession, tablePath: String): Option[DataFrame] = {
-    val p = dvPath(tablePath)
-    if (!fs(s, p).exists(new org.apache.hadoop.fs.Path(p))) None
-    else Some(s.read.parquet(p).select("dv_file", "dv_pos"))
-  }
+  private def dvFrame(s: SparkSession, sc: Sidecars): Option[DataFrame] =
+    if (sc.dv.isEmpty) None
+    // explicit schema: a sidecar read must not pay (or launch) a
+    // schema-inference job per serve
+    else Some(s.read.schema("dv_file STRING, dv_pos BIGINT")
+      .parquet(sc.dv.map(_._1): _*).select("dv_file", "dv_pos"))
 
+  private def dvFrame(s: SparkSession, tablePath: String): Option[DataFrame] =
+    dvFrame(s, sidecars(s, tablePath))
+
+  /** Next epoch number for a sidecar flavor: one past the max of the
+    * LISTED epochs and the compaction HIGH-WATER MARK — epoch numbers
+    * are globally monotone per (table, flavor), so a consumer that
+    * stored "applied epochs = N" can never see a LATER mutation
+    * arrive with a number below N (the silent-omission corruption a
+    * zero-rewrite compaction used to make possible).
+    */
   private def nextEpoch(s: SparkSession, tablePath: String,
       dir: String => String = dvPath): Int = {
     val p = new org.apache.hadoop.fs.Path(dir(tablePath))
     val f = fs(s, tablePath)
+    val listed =
+      if (!f.exists(p)) 0
+      else f.listStatus(p).map(_.getPath.getName)
+        .collect { case n if n.startsWith("epoch=") => n.drop(6).toInt }
+        .foldLeft(-1)(math.max) + 1
+    math.max(listed, readHwm(f, dir(tablePath)))
+  }
+
+  private def hwmMarker(sidecarDir: String) =
+    new org.apache.hadoop.fs.Path(sidecarDir + ".hwm")
+
+  private def readHwm(f: org.apache.hadoop.fs.FileSystem,
+      sidecarDir: String): Int = {
+    val p = hwmMarker(sidecarDir)
     if (!f.exists(p)) 0
-    else f.listStatus(p).map(_.getPath.getName)
-      .collect { case n if n.startsWith("epoch=") => n.drop(6).toInt }
-      .foldLeft(-1)(math.max) + 1
+    else {
+      val in = f.open(p)
+      try in.readInt() finally in.close()
+    }
+  }
+
+  private def writeHwm(f: org.apache.hadoop.fs.FileSystem,
+      sidecarDir: String, next: Int): Unit = {
+    val out = f.create(hwmMarker(sidecarDir), true)
+    try out.writeInt(next) finally out.close()
   }
 
   /** All accumulated EQUALITY tombstones as key columns + `seq`, or
     * None when no erase/upsert-eq epoch exists. `seq` is [[EraseSeq]]
     * for erases (mask everything, forever) and the commit's sequence
-    * number for A45 upserts (mask only older files).
+    * number for A45 upserts (mask only older files). Explicit-file
+    * reads carry no `epoch` partition column; directory reads do —
+    * dropped either way.
     */
-  private def eqFrame(s: SparkSession, tablePath: String): Option[DataFrame] = {
-    val p = eqPath(tablePath)
-    if (!fs(s, p).exists(new org.apache.hadoop.fs.Path(p))) None
-    else Some(s.read.parquet(p).drop("epoch")) // epoch=N is bookkeeping
-  }
+  private def eqFrame(s: SparkSession, sc: Sidecars): Option[DataFrame] =
+    if (sc.eq.isEmpty) None
+    else {
+      // key columns vary per table: one DRIVER footer read supplies the
+      // schema (no inference job); explicit-file reads carry no epoch
+      // partition column
+      val schema = graft.sources.v2.GraftV2.readSchema(
+        sc.eq.head._1, s.sessionState.newHadoopConf())
+      val df = s.read.schema(schema).parquet(sc.eq.map(_._1): _*)
+      Some(if (df.columns.contains("epoch")) df.drop("epoch") else df)
+    }
+
+  private def eqFrame(s: SparkSession, tablePath: String): Option[DataFrame] =
+    eqFrame(s, sidecars(s, tablePath))
 
   /** The file→sequence manifest (A45), or None when no eq-upsert has
     * ever appended. Files absent from the manifest are base files:
     * sequence 0, older than every tombstone.
     */
-  private def seqFrame(s: SparkSession, tablePath: String): Option[DataFrame] = {
-    val p = seqmPath(tablePath)
-    if (!fs(s, p).exists(new org.apache.hadoop.fs.Path(p))) None
-    else Some(s.read.parquet(p).select("file_norm", "file_seq"))
-  }
+  private def seqFrame(s: SparkSession, sc: Sidecars): Option[DataFrame] =
+    if (sc.seqm.isEmpty) None
+    else Some(s.read.schema("file_norm STRING, file_seq BIGINT")
+      .parquet(sc.seqm.map(_._1): _*)
+      .select("file_norm", "file_seq"))
+
+  /** Broadcast-or-not by the sidecar's LISTED parquet bytes — the
+    * per-read sizing decision, with zero jobs launched.
+    */
+  private def gate(df: DataFrame, bytes: Long, maxBytes: Long): DataFrame =
+    if (bytes <= maxBytes) broadcast(df) else df
 
   /** Every visible data file's scheme-less absolute path —
     * `_`/`.`-prefixed bookkeeping excluded at every segment. O(files)
@@ -137,18 +299,54 @@ object GraftMor {
     * epoch must mask on the SAME key columns or the composed anti-join
     * would silently mask nothing.
     */
-  private def checkEqKeys(s: SparkSession, tablePath: String,
+  private def checkEqKeys(s: SparkSession, tablePath: String, sc: Sidecars,
       keyCols: Seq[String], op: String): Unit = {
-    val tableCols = s.read.parquet(tablePath).columns.toSet
+    val tableCols = readTable(s, tablePath, sc).columns.toSet
     val missing = keyCols.filterNot(tableCols.contains)
     require(missing.isEmpty,
       s"[GRAFT] $op key columns absent from table: ${missing.mkString(",")}")
-    eqFrame(s, tablePath).foreach { prior =>
+    eqFrame(s, sc).foreach { prior =>
       val priorKeys = prior.columns.filterNot(_ == "seq").sorted.toSeq
       require(priorKeys == keyCols.sorted,
         s"[GRAFT] $op key columns ${keyCols.sorted.mkString(",")} differ " +
           s"from the existing erase sidecar's ${priorKeys.mkString(",")}")
     }
+  }
+
+  /** A36 × MOR: classify an upsert batch's schema against the table's.
+    * Additive nullable columns LAND — the widened schema is recorded
+    * in the `_schema` marker so every read path (and pre-evolution
+    * files) serves it null-filled; anything breaking (dropped column,
+    * retype/widen, non-nullable add) is refused BY NAME. Returns the
+    * batch's write column order: table order first, added columns
+    * appended (parquet appends are positional at write time).
+    */
+  private def evolveForBatch(s: SparkSession, tablePath: String,
+      sc: Sidecars, updates: DataFrame, op: String): Seq[String] = {
+    val tableSchema = readTable(s, tablePath, sc).schema
+    val changes = GraftSchemaPolicy.diff(tableSchema, updates.schema)
+    // an added column is recorded NULLABLE here whatever the batch
+    // claims (a lit()-derived column arrives non-nullable) — old files
+    // null-fill it, so A36's "non-nullable add" refusal doesn't apply
+    // to this surface; every other breaking class still refuses
+    val broken = changes.filter {
+      case _: GraftSchemaPolicy.AddedColumn => false
+      case c => c.breaking
+    }
+    if (broken.nonEmpty)
+      throw new IllegalStateException(
+        s"[GRAFT] $op batch carries breaking schema changes vs $tablePath:\n  " +
+          broken.map(_.describe).mkString("\n  ") +
+          "\n(evolve additively — new nullable columns — or rewrite the table)")
+    val added = changes.collect {
+      case a: GraftSchemaPolicy.AddedColumn => a.name }
+    if (added.nonEmpty) {
+      val widened = org.apache.spark.sql.types.StructType(
+        tableSchema.fields ++ added.map(n =>
+          updates.schema(n).copy(nullable = true)))
+      writeSchemaDdl(s, tablePath, widened.toDDL)
+    }
+    tableSchema.fieldNames.toSeq ++ added
   }
 
   /** The (file, position) coordinates of every CURRENT row matching
@@ -159,18 +357,22 @@ object GraftMor {
     * metadata columns parquet produces for free.
     */
   private def currentMatches(s: SparkSession, tablePath: String,
-      matcher: DataFrame => DataFrame): DataFrame = {
+      sc: Sidecars, matcher: DataFrame => DataFrame): DataFrame = {
     // the metadata coordinate must be projected while the plan is
     // still the file relation — a join output no longer resolves
     // `_metadata`
-    val withCoords = s.read.parquet(tablePath)
+    val withCoords = readTable(s, tablePath, sc)
       .select(col("*"), col("_metadata.file_path").as("dv_file"),
               col("_metadata.row_index").as("dv_pos"))
     val coords = matcher(withCoords).select("dv_file", "dv_pos")
-    dvFrame(s, tablePath) match {
+    dvFrame(s, sc) match {
       case None     => coords
       case Some(dv) =>
-        coords.join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_anti")
+        // same listing-byte broadcast gate as the read path: a
+        // write-path delete against a huge accumulated vector degrades
+        // to a shuffled anti-join instead of OOMing the driver
+        coords.join(gate(dv, sc.dvBytes, MaxBroadcastSidecarBytes),
+          Seq("dv_file", "dv_pos"), "left_anti")
     }
   }
 
@@ -185,7 +387,8 @@ object GraftMor {
     * row-coordinate write and rewriting every affected partition.
     */
   def morDelete(s: SparkSession, tablePath: String, cond: Column): Unit =
-    writeEpoch(s, tablePath, currentMatches(s, tablePath, _.where(cond)))
+    writeEpoch(s, tablePath,
+      currentMatches(s, tablePath, sidecars(s, tablePath), _.where(cond)))
 
   /** A42 (key form): delete every row whose key appears in
     * `deleteKeys` — the GDPR erasure batch. The key set is broadcast;
@@ -196,7 +399,7 @@ object GraftMor {
       deleteKeys: DataFrame, keyCols: Seq[String]): Unit = {
     val keys = deleteKeys.select(keyCols.map(col): _*)
     writeEpoch(s, tablePath, currentMatches(s, tablePath,
-      _.join(broadcast(keys), keyCols, "left_semi")))
+      sidecars(s, tablePath), _.join(broadcast(keys), keyCols, "left_semi")))
   }
 
   /** A44: EQUALITY delete — the other Iceberg-v2 delete-file flavor,
@@ -215,7 +418,7 @@ object GraftMor {
     */
   def morErase(s: SparkSession, tablePath: String,
       eraseKeys: DataFrame, keyCols: Seq[String]): Unit = {
-    checkEqKeys(s, tablePath, keyCols, "morErase")
+    checkEqKeys(s, tablePath, sidecars(s, tablePath), keyCols, "morErase")
     eraseKeys.select(keyCols.map(col): _*).distinct()
       .withColumn("seq", org.apache.spark.sql.functions.lit(EraseSeq))
       .write.mode(SaveMode.Overwrite)
@@ -241,8 +444,9 @@ object GraftMor {
     */
   def morUpsertEq(s: SparkSession, tablePath: String, updates: DataFrame,
       keyCols: Seq[String]): Unit = {
-    checkEqKeys(s, tablePath, keyCols, "morUpsertEq")
-    val targetCols = s.read.parquet(tablePath).columns
+    val sc = sidecars(s, tablePath)
+    checkEqKeys(s, tablePath, sc, keyCols, "morUpsertEq")
+    val targetCols = evolveForBatch(s, tablePath, sc, updates, "morUpsertEq")
     // the commit sequence: one past the last eq epoch (erases consume
     // epoch numbers too, keeping the counter monotone across flavors)
     val epoch = nextEpoch(s, tablePath, eqPath)
@@ -275,12 +479,15 @@ object GraftMor {
     */
   def morUpsert(s: SparkSession, tablePath: String, updates: DataFrame,
       keyCols: Seq[String]): Unit = {
+    val sc = sidecars(s, tablePath)
     val keys = updates.select(keyCols.map(col): _*)
     // pin the target column ORDER before appending: parquet appends
     // are positional at write time, and a reordered batch would write
-    // files whose footers disagree with the table's
-    val targetCols = s.read.parquet(tablePath).columns
-    writeEpoch(s, tablePath, currentMatches(s, tablePath,
+    // files whose footers disagree with the table's. Additive columns
+    // land (recorded in the _schema marker); breaking changes are
+    // refused by name.
+    val targetCols = evolveForBatch(s, tablePath, sc, updates, "morUpsert")
+    writeEpoch(s, tablePath, currentMatches(s, tablePath, sc,
       _.join(broadcast(keys), keyCols, "left_semi")))
     updates.select(targetCols.map(col): _*)
       .write.mode(SaveMode.Append).parquet(tablePath)
@@ -295,14 +502,28 @@ object GraftMor {
     * compaction, not a bigger broadcast.
     */
   def morRead(s: SparkSession, tablePath: String,
-      maxBroadcast: Long = MaxBroadcastTombstones): DataFrame = {
-    val dvOpt = dvFrame(s, tablePath)
-    val eqOpt = eqFrame(s, tablePath)
-    val seqOpt = if (eqOpt.isEmpty) None else seqFrame(s, tablePath)
+      maxBroadcastBytes: Long = MaxBroadcastSidecarBytes): DataFrame = {
+    val sc = sidecars(s, tablePath)
+    applyMasks(s, readTable(s, tablePath, sc), sc, maxBroadcastBytes)
+  }
+
+  /** Compose the live mutation masks onto `raw` — which must still be
+    * the bare FILE RELATION (a join output no longer resolves
+    * `_metadata`). Shared by `morRead` and the catalog serving
+    * surfaces (GraftCatalog.table pins a [[Sidecars]] and serves
+    * through this, so `SELECT`-style reads and `morRead` give one
+    * answer). Broadcast-vs-shuffle is decided from the sidecars'
+    * LISTED bytes — no sizing job ever launches.
+    */
+  private[sources] def applyMasks(s: SparkSession, raw: DataFrame,
+      sc: Sidecars,
+      maxBroadcastBytes: Long = MaxBroadcastSidecarBytes): DataFrame = {
+    val dvOpt = dvFrame(s, sc)
+    val eqOpt = eqFrame(s, sc)
+    val seqOpt = if (eqOpt.isEmpty) None else seqFrame(s, sc)
     // every coordinate an active mask needs is projected while the
-    // plan is still the file relation — a join output no longer
-    // resolves `_metadata`
-    var data = s.read.parquet(tablePath)
+    // plan is still the file relation
+    var data = raw
     if (dvOpt.nonEmpty) data = data
       .withColumn("dv_file", col("_metadata.file_path"))
       .withColumn("dv_pos", col("_metadata.row_index"))
@@ -311,8 +532,8 @@ object GraftMor {
     val afterDv = dvOpt match {
       case None => data
       case Some(dv) =>
-        val side = if (dv.count() <= maxBroadcast) broadcast(dv) else dv
-        data.join(side, Seq("dv_file", "dv_pos"), "left_anti")
+        data.join(gate(dv, sc.dvBytes, maxBroadcastBytes),
+            Seq("dv_file", "dv_pos"), "left_anti")
           .drop("dv_file", "dv_pos")
     }
     // A44/A45 equality masks apply AFTER (independently of) the
@@ -330,8 +551,8 @@ object GraftMor {
             // pure-erase sidecar: every tombstone outranks every file,
             // so the sequence rule degenerates to a plain key anti-join
             val keys = eq.select(keyColsEq.map(col): _*).distinct()
-            val side = if (keys.count() <= maxBroadcast) broadcast(keys) else keys
-            afterDv.join(side, keyColsEq, "left_anti")
+            afterDv.join(gate(keys, sc.eqBytes, maxBroadcastBytes),
+                keyColsEq, "left_anti")
               .select(outCols.map(col): _*)
           case Some(m) =>
             // Iceberg-v2 sequence rule: a key's tombstone at sequence N
@@ -339,7 +560,7 @@ object GraftMor {
             // per key suffices (masks accumulate monotonically).
             val tomb = eq.groupBy(keyColsEq.map(col): _*)
               .agg(max("seq").as("__max_seq"))
-            val side = if (tomb.count() <= maxBroadcast) broadcast(tomb) else tomb
+            val side = gate(tomb, sc.eqBytes, maxBroadcastBytes)
             val mb = broadcast(m) // O(appended files), tiny
             val withSeq = afterDv
               .join(mb, afterDv("__fn") === mb("file_norm"), "left")
@@ -350,6 +571,36 @@ object GraftMor {
               .select(outCols.map(col): _*)
         }
     }
+  }
+
+  /** GDPR forward mask for ANY serving surface: anti-join the CURRENT
+    * erase keys (seq == [[EraseSeq]]) onto `df`, read FRESH — an
+    * erased key must stop serving immediately, pinned snapshot or
+    * time-traveled history notwithstanding (ordinary deletes/upserts
+    * stay epoch-relative; erasure is the one mutation that is
+    * retroactive by contract). `unlessSame` skips the extra anti-join
+    * when the caller already composed this exact sidecar state.
+    */
+  private[sources] def applyCurrentEraseMask(s: SparkSession,
+      tablePath: String, df: DataFrame,
+      unlessSame: Seq[(String, Long)] = Seq.empty): DataFrame = {
+    val fresh = sidecarFiles(s, tablePath, EqDir)
+    if (fresh.isEmpty || fresh == unlessSame) return df
+    val eqSchema = graft.sources.v2.GraftV2.readSchema(
+      fresh.head._1, s.sessionState.newHadoopConf())
+    val eqDf = s.read.schema(eqSchema).parquet(fresh.map(_._1): _*)
+    val eq = if (eqDf.columns.contains("epoch")) eqDf.drop("epoch") else eqDf
+    val keyColsEq = eq.columns.filterNot(_ == "seq").toSeq
+    val missing = keyColsEq.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"[GRAFT] cannot apply the erase mask of $tablePath: key column(s) " +
+        s"${missing.mkString(",")} absent from the served schema")
+    val keys = eq.where(col("seq") === lit(EraseSeq))
+      .select(keyColsEq.map(col): _*).distinct()
+    val outCols = df.columns.toSeq
+    df.join(gate(keys, fresh.map(_._2).sum, MaxBroadcastSidecarBytes),
+        keyColsEq, "left_anti")
+      .select(outCols.map(col): _*)
   }
 
   /** Fold the deletion vector into the data: ONLY files that appear
@@ -365,16 +616,21 @@ object GraftMor {
   def morCompact(s: SparkSession, tablePath: String,
       partitionCols: Seq[String] = Nil): Unit = {
     GraftLease.failIfLeased(s, tablePath, "morCompact")
-    val dvOpt = dvFrame(s, tablePath).map(_.localCheckpoint(true))
+    val sc = sidecars(s, tablePath)
+    val dvOpt = dvFrame(s, sc).map(_.localCheckpoint(true))
     // fold the eq sidecar to one max-sequence row per key up front —
     // that is the whole mask (sequences accumulate monotonically)
-    val eqOpt = eqFrame(s, tablePath).map { eq =>
+    val eqOpt = eqFrame(s, sc).map { eq =>
       val keyColsEq = eq.columns.filterNot(_ == "seq").toSeq
       eq.groupBy(keyColsEq.map(col): _*).agg(max("seq").as("__max_seq"))
         .localCheckpoint(true)
     }
-    val seqOpt = seqFrame(s, tablePath).map(_.localCheckpoint(true))
+    val seqOpt = seqFrame(s, sc).map(_.localCheckpoint(true))
     if (dvOpt.isEmpty && eqOpt.isEmpty) return
+    // monotone epoch counters survive the clear: a consumer that
+    // stored "applied = N" can never later see a fresh epoch < N
+    val nextDv = nextEpoch(s, tablePath)
+    val nextEq = nextEpoch(s, tablePath, eqPath)
     // attach each row's file sequence (manifest absent/missing → base
     // sequence 0) and build the A45 mask condition against `tomb`
     def withFileSeq(df: DataFrame): DataFrame = seqOpt match {
@@ -398,10 +654,11 @@ object GraftMor {
       val dvFiles = dvOpt.toSeq.flatMap(
         _.select("dv_file").distinct().collect().map(_.getString(0)))
       val eqFiles = eqOpt.toSeq.flatMap { tomb =>
-        val seqd = withFileSeq(s.read.parquet(tablePath)
+        val seqd = withFileSeq(readTable(s, tablePath, sc)
           .withColumn("dv_file", col("_metadata.file_path"))
           .withColumn("__fn", normPath(col("_metadata.file_path"))))
-        seqd.join(broadcast(tomb), maskCond(seqd, tomb), "left_semi")
+        seqd.join(gate(tomb, sc.eqBytes, MaxBroadcastSidecarBytes),
+            maskCond(seqd, tomb), "left_semi")
           .select("dv_file").distinct().collect().map(_.getString(0))
       }
       val affected = (dvFiles ++ eqFiles).distinct
@@ -409,20 +666,25 @@ object GraftMor {
       if (affected.nonEmpty) {
         // basePath keeps hive partition columns attached when the
         // affected FILES are addressed directly
-        val scanned = s.read.option("basePath", tablePath).parquet(affected: _*)
+        val affectedReader = s.read.option("basePath", tablePath)
+        sc.schemaDdl.foreach(d => affectedReader.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(d)))
+        val scanned = affectedReader.parquet(affected: _*)
           .withColumn("dv_file", col("_metadata.file_path"))
           .withColumn("dv_pos", col("_metadata.row_index"))
           .withColumn("__fn", normPath(col("_metadata.file_path")))
         val afterDv = dvOpt match {
           case None     => scanned
-          case Some(dv) => scanned.join(broadcast(dv),
+          case Some(dv) => scanned.join(
+            gate(dv, sc.dvBytes, MaxBroadcastSidecarBytes),
             Seq("dv_file", "dv_pos"), "left_anti")
         }
         val masked = eqOpt match {
           case None       => afterDv
           case Some(tomb) =>
             val seqd = withFileSeq(afterDv)
-            seqd.join(broadcast(tomb), maskCond(seqd, tomb), "left_anti")
+            seqd.join(gate(tomb, sc.eqBytes, MaxBroadcastSidecarBytes),
+              maskCond(seqd, tomb), "left_anti")
         }
         // re-landed files keep the table's own column order (the dv
         // using-join hoisted its keys to the front)
@@ -438,7 +700,7 @@ object GraftMor {
                 s"[GRAFT] morCompact failed to remove $file")
           }
           clearSidecars(f, tablePath, dvOpt.nonEmpty, eqOpt.nonEmpty,
-            seqOpt.nonEmpty)
+            seqOpt.nonEmpty, nextDv, nextEq)
           if (!survivors.isEmpty) {
             val w = survivors.write.mode(SaveMode.Append)
             if (partitionCols.nonEmpty)
@@ -447,7 +709,7 @@ object GraftMor {
           }
         } finally graft.GraftSession.releaseCheckpoint(survivors)
       } else clearSidecars(f, tablePath, dvOpt.nonEmpty, eqOpt.nonEmpty,
-        seqOpt.nonEmpty)
+        seqOpt.nonEmpty, nextDv, nextEq)
     } finally {
       dvOpt.foreach(graft.GraftSession.releaseCheckpoint)
       eqOpt.foreach(graft.GraftSession.releaseCheckpoint)
@@ -536,10 +798,12 @@ object GraftMor {
           col("_metadata.file_path").as("dv_file"),
           col("_metadata.row_index").as("dv_pos"))
         .where(col("__ts") < lit(cutoff)).drop("__ts")
-      val coords = (dvFrame(s, tablePath) match {
+      val scNow = sidecars(s, tablePath)
+      val coords = (dvFrame(s, scNow) match {
         case None     => coords0
         case Some(dv) =>
-          coords0.join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_anti")
+          coords0.join(gate(dv, scNow.dvBytes, MaxBroadcastSidecarBytes),
+            Seq("dv_file", "dv_pos"), "left_anti")
       }).localCheckpoint(true)
       try {
         tombstoned = coords.count()
@@ -582,7 +846,7 @@ object GraftMor {
       throw new IllegalStateException(
         s"[GRAFT] publishMorFeed crash-recovery swap failed: " +
           s"rename($stagePath -> $statePath) returned false")
-    require(eqFrame(s, tablePath).isEmpty,
+    require(sidecars(s, tablePath).eq.isEmpty,
       s"[GRAFT] publishMorFeed requires an equality-sidecar-free table " +
         s"($tablePath has $EqDir/): fold erases with morCompact first")
     val curFiles = listDataFiles(s, tablePath).toSet
@@ -602,8 +866,17 @@ object GraftMor {
         "[GRAFT] publishMorFeed: table history was rewritten (compaction) " +
           "since the last publish - downstream must resync from a fresh " +
           "snapshot under a new feed root")
+    // epoch counters are monotone (compaction persists a high-water
+    // mark), so a regression means hand-rewritten history — later
+    // epochs numbered below `applied` would silently drop from the feed
+    if (live && curEpochs < applied)
+      throw new IllegalStateException(
+        s"[GRAFT] publishMorFeed: tombstone epochs regressed ($curEpochs < " +
+          s"applied $applied) - history was rewritten; downstream must " +
+          "resync from a fresh snapshot under a new feed root")
     if (live && curFiles == stored && curEpochs == applied) return seq // no-op
-    val dataCols = s.read.parquet(tablePath).columns
+    val scNow = sidecars(s, tablePath)
+    val dataCols = readTable(s, tablePath, scNow).columns
     val parts = Seq.newBuilder[DataFrame]
     var dHeld: Option[DataFrame] = None
     if (!live) {
@@ -613,30 +886,46 @@ object GraftMor {
       if (newFiles.nonEmpty)
         parts += s.read.option("basePath", tablePath).parquet(newFiles: _*)
           .select(dataCols.map(col): _*).withColumn("change_type", lit("I"))
-      if (curEpochs > applied) {
+      // the sidecar dir may be GONE past the watermark (a zero-rewrite
+      // compaction folded only empty epochs and bumped the HWM): the
+      // consumed-state still advances below, with nothing to subtract
+      if (curEpochs > applied && scNow.dv.nonEmpty) {
         val dv = s.read.parquet(dvPath(tablePath))
           .where(col("epoch") >= applied).select("dv_file", "dv_pos")
           .localCheckpoint(true)
         try {
           val doomedFiles = dv.select("dv_file").distinct()
             .collect().map(_.getString(0))
-          // eager checkpoint: materializes NOW, so dv can release in
-          // the finally; the frame itself releases after the write
-          val d = s.read.option("basePath", tablePath)
-            .parquet(doomedFiles.toIndexedSeq: _*)
-            .withColumn("dv_file", col("_metadata.file_path"))
-            .withColumn("dv_pos", col("_metadata.row_index"))
-            .join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_semi")
-            .select(dataCols.map(col): _*)
-            .withColumn("change_type", lit("D"))
-            .localCheckpoint(true)
-          dHeld = Some(d)
-          parts += d
+          // the fresh epochs may hold ZERO coordinates (a predicate
+          // delete that matched nothing) — no files, no 'D' part
+          if (doomedFiles.nonEmpty) {
+            // eager checkpoint: materializes NOW, so dv can release in
+            // the finally; the frame itself releases after the write
+            val d = s.read.option("basePath", tablePath)
+              .parquet(doomedFiles.toIndexedSeq: _*)
+              .withColumn("dv_file", col("_metadata.file_path"))
+              .withColumn("dv_pos", col("_metadata.row_index"))
+              .join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_semi")
+              .select(dataCols.map(col): _*)
+              .withColumn("change_type", lit("D"))
+              .localCheckpoint(true)
+            dHeld = Some(d)
+            parts += d
+          }
         } finally graft.GraftSession.releaseCheckpoint(dv)
       }
     }
     val nextSeq = if (live) seq + 1L else 0L
-    try parts.result().reduce(_ unionByName _)
+    // an all-empty delta (zero-row epochs advanced the counter with no
+    // new files) still publishes a typed EMPTY segment: the sequence
+    // stays gapless and the state still advances past the epochs
+    val body = parts.result() match {
+      case Seq() => readTable(s, tablePath, scNow)
+        .select(dataCols.map(col): _*).limit(0)
+        .withColumn("change_type", lit("I"))
+      case ps => ps.reduce(_ unionByName _)
+    }
+    try body
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$feedRoot/segments/seq=$nextSeq")
     finally dHeld.foreach(graft.GraftSession.releaseCheckpoint)
@@ -715,12 +1004,19 @@ object GraftMor {
       throw new IllegalStateException(
         s"[GRAFT] consumeMorFeed crash-recovery swap failed: " +
           s"rename($stagePath -> $livePath) returned false")
-    val segDir = hp(s"$feedRoot/segments")
-    require(f.exists(segDir),
-      s"[GRAFT] no published segments under $feedRoot - publishMorFeed first")
-    val tip = f.listStatus(segDir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("seq=") => n.drop(4).toLong }
-      .foldLeft(-1L)(math.max)
+    // the tip is the publisher's COMMITTED sequence (its swapped-in
+    // state marker), never the raw segment listing: a publisher
+    // crashed — or running concurrently — mid-segment-write leaves a
+    // partial seq dir that a listing would fold and watermark past,
+    // permanently skipping the complete re-publish of that sequence
+    val feedFs = fs(s, feedRoot)
+    val pubMarker = hp(s"$feedRoot/state/_published")
+    require(feedFs.exists(pubMarker),
+      s"[GRAFT] no committed publish under $feedRoot - publishMorFeed first")
+    val tip = {
+      val in = feedFs.open(pubMarker)
+      try in.readLong() finally in.close()
+    }
     val watermark: Long =
       if (!f.exists(marker(livePath))) -1L
       else {
@@ -812,7 +1108,7 @@ object GraftMor {
       throw new IllegalStateException(
         s"[GRAFT] morIncrementalAgg crash-recovery swap failed: " +
           s"rename($stagePath -> $summaryPath) returned false")
-    require(eqFrame(s, tablePath).isEmpty,
+    require(sidecars(s, tablePath).eq.isEmpty,
       s"[GRAFT] morIncrementalAgg requires an equality-sidecar-free table " +
         s"($tablePath has ${EqDir}/): fold erases with morCompact first")
     val curFiles = listDataFiles(s, tablePath).toSet
@@ -839,7 +1135,11 @@ object GraftMor {
       if (newFiles.nonEmpty)
         parts += partialAgg(
           s.read.option("basePath", tablePath).parquet(newFiles: _*))
-      if (curEpochs > applied) {
+      // dir-existence guard: a zero-rewrite compaction can bump the
+      // HWM past `applied` with the sidecar dir already cleared
+      if (curEpochs > applied &&
+          fs(s, tablePath).exists(
+            new org.apache.hadoop.fs.Path(dvPath(tablePath)))) {
         // checkpointed because the coordinate list is reused (file
         // discovery + the semi-join); released after `merged`
         // materializes below
@@ -849,13 +1149,17 @@ object GraftMor {
         dvHeld = Some(dv)
         val doomedFiles = dv.select("dv_file").distinct()
           .collect().map(_.getString(0))
-        val doomed = s.read.option("basePath", tablePath)
-          .parquet(doomedFiles: _*)
-          .withColumn("dv_file", col("_metadata.file_path"))
-          .withColumn("dv_pos", col("_metadata.row_index"))
-          .join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_semi")
-          .drop("dv_file", "dv_pos")
-        parts += negatePartials(partialAgg(doomed), groupCols)
+        // zero-coordinate epochs (a delete that matched nothing)
+        // advance the watermark but subtract no partials
+        if (doomedFiles.nonEmpty) {
+          val doomed = s.read.option("basePath", tablePath)
+            .parquet(doomedFiles.toIndexedSeq: _*)
+            .withColumn("dv_file", col("_metadata.file_path"))
+            .withColumn("dv_pos", col("_metadata.row_index"))
+            .join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_semi")
+            .drop("dv_file", "dv_pos")
+          parts += negatePartials(partialAgg(doomed), groupCols)
+        }
       }
     }
     val merged = foldPartials(parts.result(), groupCols)
@@ -879,9 +1183,18 @@ object GraftMor {
     s.read.parquet(summaryPath)
   }
 
+  /** Drop the folded sidecars, FIRST persisting each flavor's epoch
+    * high-water mark so post-compaction epochs keep numbering past the
+    * cleared ones — feed/incremental consumers key on "epochs applied
+    * so far", and a zero-rewrite compaction (only empty epochs folded)
+    * must not let fresh mutations reuse consumed numbers. The
+    * `_schema` marker is permanent metadata and survives.
+    */
   private def clearSidecars(f: org.apache.hadoop.fs.FileSystem,
       tablePath: String, hasDv: Boolean, hasEq: Boolean,
-      hasSeqm: Boolean): Unit = {
+      hasSeqm: Boolean, nextDv: Int, nextEq: Int): Unit = {
+    if (hasDv) writeHwm(f, dvPath(tablePath), nextDv)
+    if (hasEq) writeHwm(f, eqPath(tablePath), nextEq)
     if (hasDv && !f.delete(new org.apache.hadoop.fs.Path(dvPath(tablePath)), true))
       throw new IllegalStateException(
         s"[GRAFT] morCompact failed to clear ${dvPath(tablePath)}")

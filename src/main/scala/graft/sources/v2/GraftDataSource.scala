@@ -66,9 +66,16 @@ class GraftTableProvider extends TableProvider
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
+    val conf = GraftV2.sessionConf().value
+    // merge-on-read awareness (A42-A45): live position sidecars ride
+    // into the scan as split-local masks; unmerged EQUALITY sidecars
+    // cannot compose here (their discovery scan is deferred by design)
+    // and refuse BY NAME instead of silently serving erased rows
+    GraftV2.refuseEqSidecar(path, conf, "the graft v2 source")
     GraftTable(path, schema,
       partSchema = GraftV2.partitionSchema(path,
-        GraftV2.dataFiles(path, GraftV2.sessionConf().value)))
+        GraftV2.dataFiles(path, conf)),
+      morDv = GraftV2.sidecarParquet(path, graft.sources.GraftMor.DvDir, conf))
   }
 }
 
@@ -80,7 +87,8 @@ class GraftTableProvider extends TableProvider
   */
 case class GraftTable(path: String, tableSchema: StructType,
     pinnedFiles: Seq[String] = Seq.empty,
-    partSchema: StructType = new StructType()) extends Table with SupportsRead {
+    partSchema: StructType = new StructType(),
+    morDv: Seq[String] = Seq.empty) extends Table with SupportsRead {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -101,14 +109,16 @@ case class GraftTable(path: String, tableSchema: StructType,
         Option(options.get("sampleseed")).map(_.toLong).getOrElse(42L),
         Option(options.get("samplecomplement")).exists(_.toBoolean))
     }
-    new GraftScanBuilder(path, tableSchema, pinnedFiles, partSchema, sample)
+    new GraftScanBuilder(path, tableSchema, pinnedFiles, partSchema, sample,
+      morDv)
   }
 }
 
 class GraftScanBuilder(path: String, fullSchema: StructType,
     pinnedFiles: Seq[String] = Seq.empty,
     partSchema: StructType = new StructType(),
-    sample: Option[(Double, Long, Boolean)] = None) extends ScanBuilder
+    sample: Option[(Double, Long, Boolean)] = None,
+    morDv: Seq[String] = Seq.empty) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -155,6 +165,9 @@ class GraftScanBuilder(path: String, fullSchema: StructType,
     // footer stats describe WHOLE row groups — they cannot answer an
     // aggregate over a row-group SAMPLE
     if (sample.isDefined) return false
+    // footer stats count MASKED rows too: a deletion-vector table must
+    // take the row path so the split-local masks apply
+    if (morDv.nonEmpty) return false
     val partCols = partSchema.fieldNames.toSet
     def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -207,7 +220,7 @@ class GraftScanBuilder(path: String, fullSchema: StructType,
 
   override def build(): Scan = GraftScan(path, required, pushed,
     pinnedFiles = pinnedFiles, partSchema = partSchema, agg = aggSpec,
-    sample = sample)
+    sample = sample, morDv = morDv)
 }
 
 /** A pushed footer-stats aggregation: partition group columns + the
@@ -238,7 +251,8 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     pinnedFiles: Seq[String] = Seq.empty,
     partSchema: StructType = new StructType(),
     agg: Option[GraftAggSpec] = None,
-    sample: Option[(Double, Long, Boolean)] = None)
+    sample: Option[(Double, Long, Boolean)] = None,
+    morDv: Seq[String] = Seq.empty)
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   /** Filters Spark hands over at RUNTIME (dynamic partition pruning /
@@ -283,6 +297,13 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     * are dropped before any task launches.
     */
   override def planInputPartitions(): Array[InputPartition] = {
+    // GDPR guard, checked FRESH at every scan (one exists() probe): an
+    // equality-erase sidecar written after this table was pinned must
+    // refuse rather than silently serve erased rows — erasure outranks
+    // snapshot stability (the GraftCatalog surfaces apply the same
+    // rule as a fresh mask; here the reader has no key columns to
+    // mask with, so it fails loudly)
+    GraftV2.refuseEqSidecar(path, conf.value, "this pinned SQL scan")
     val all = filters ++ runtimeFilters
     val fileSet =
       if (pinnedFiles.nonEmpty) pinnedFiles else GraftV2.dataFiles(path, conf.value)
@@ -295,6 +316,11 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
           GraftV2.partitionValues(path, file, partSchema)): InputPartition
       }.toArray
     }
+    // A42 position masks (pinned at loadTable with the file set),
+    // loaded once per scan on the driver under the hard row cap and
+    // sliced per (file, row group) below — the Iceberg DV shape
+    val dvMask: Map[String, Array[Long]] =
+      if (morDv.isEmpty) Map.empty else GraftMorMask.load(morDv, conf.value)
     fileSet.flatMap { file =>
       // hive-layout partition values of THIS file (empty for flat
       // tables) — evaluated against the pushed/runtime filters BEFORE
@@ -308,6 +334,12 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
       else {
         val footer = GraftV2.withReader(file, conf.value)(_.getFooter)
         val blocks = footer.getBlocks.asScala.toArray
+        // file-global row index at which each row group starts — the
+        // coordinate space of `_metadata.row_index` (what the masks
+        // tombstone on)
+        val starts = blocks.scanLeft(0L)(_ + _.getRowCount)
+        val fileMask = dvMask.getOrElse(
+          GraftMorMask.norm(new Path(file).toUri.getPath), Array.empty[Long])
         // locality: hosts holding each row group's byte range, the analog
         // of the reference's ArgodbMapreduceInputSplit.java:49-60
         // getLocations(). Spark's scheduler uses these for NODE_LOCAL
@@ -319,15 +351,30 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
         blocks.zipWithIndex
           .filterNot { case (b, _) => GraftV2.canSkipRowGroup(b, all) }
           .filter { case (_, i) => GraftV2.inSample(file, i, sample) }
-          .map { case (b, i) =>
-            val hosts =
-              try fs.getFileBlockLocations(status, b.getStartingPos, b.getCompressedSize)
-                .flatMap(_.getHosts).distinct
-              catch { case _: java.io.IOException => Array.empty[String] }
-            GraftInputPartition(file, i, hosts, partValues): InputPartition
+          .flatMap { case (b, i) =>
+            // this split's slice of the file mask ([start, start+rows))
+            val lo = lowerBound(fileMask, starts(i))
+            val hi = lowerBound(fileMask, starts(i) + b.getRowCount)
+            // fully-tombstoned row group: no task at all
+            if (hi - lo == b.getRowCount.toInt) None
+            else {
+              val hosts =
+                try fs.getFileBlockLocations(status, b.getStartingPos, b.getCompressedSize)
+                  .flatMap(_.getHosts).distinct
+                catch { case _: java.io.IOException => Array.empty[String] }
+              Some(GraftInputPartition(file, i, hosts, partValues,
+                starts(i),
+                java.util.Arrays.copyOfRange(fileMask, lo, hi)): InputPartition)
+            }
           }.toSeq
       }
     }.toArray
+  }
+
+  /** First index in sorted `a` whose value is >= `key`. */
+  private def lowerBound(a: Array[Long], key: Long): Int = {
+    val i = java.util.Arrays.binarySearch(a, key)
+    if (i >= 0) i else -(i + 1)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -405,9 +452,16 @@ class GraftAggReader(path: String, spec: GraftAggSpec,
   override def close(): Unit = ()
 }
 
+/** `rowGroupStart` is the file-global row index of this row group's
+  * first row; `masked` is the (sorted, absolute) slice of the table's
+  * A42 deletion vector that falls inside this row group — the reader
+  * skips exactly those rows, split-locally.
+  */
 case class GraftInputPartition(path: String, rowGroup: Int,
     hosts: Array[String] = Array.empty,
-    partValues: Map[String, Any] = Map.empty) extends InputPartition {
+    partValues: Map[String, Any] = Map.empty,
+    rowGroupStart: Long = 0L,
+    masked: Array[Long] = Array.empty) extends InputPartition {
   override def preferredLocations(): Array[String] = hosts
 }
 
@@ -415,7 +469,8 @@ case class GraftReaderFactory(required: StructType,
     conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.path, p.rowGroup, required, conf.value, p.partValues)
+    new GraftPartitionReader(p.path, p.rowGroup, required, conf.value,
+      p.partValues, p.rowGroupStart, p.masked)
   }
 }
 
@@ -428,7 +483,9 @@ case class GraftReaderFactory(required: StructType,
   */
 class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
     hadoopConf: Configuration,
-    partValues: Map[String, Any] = Map.empty) extends PartitionReader[InternalRow] {
+    partValues: Map[String, Any] = Map.empty,
+    rowGroupStart: Long = 0L,
+    masked: Array[Long] = Array.empty) extends PartitionReader[InternalRow] {
 
   private val reader = ParquetFileReader.open(
     HadoopInputFile.fromPath(new Path(path), hadoopConf),
@@ -436,18 +493,23 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
 
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
 
-  /** Required fields that live in the FILE (everything that is not a
-    * partition column), with their position in the output row.
+  /** Required fields that live in THIS FILE (not partition columns,
+    * and present in the file's own schema — a column added by A36×MOR
+    * schema evolution is absent from pre-evolution files and
+    * null-fills below), with their position in the output row.
     */
   private val fileFields: Array[(org.apache.spark.sql.types.StructField, Int)] =
-    required.fields.zipWithIndex.filterNot { case (f, _) => partValues.contains(f.name) }
+    required.fields.zipWithIndex.filter { case (f, _) =>
+      !partValues.contains(f.name) && fileSchema.containsField(f.name) }
 
-  /** Per-split constants for partition fields, pre-converted to
-    * Catalyst values; positions not in the map read from the file.
+  /** Per-split constants: partition fields (pre-converted Catalyst
+    * values) plus null for evolved columns this file predates.
     */
   private val constants: Map[Int, Any] = required.fields.zipWithIndex.collect {
     case (f, i) if partValues.contains(f.name) =>
       i -> GraftV2.toCatalystConstant(partValues(f.name), f.dataType)
+    case (f, i) if !fileSchema.containsField(f.name) =>
+      i -> (null: Any)
   }.toMap
 
   // a projection of ONLY partition columns still has to iterate the
@@ -473,20 +535,33 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
       (GraftV2.valueConverter(requestedTypes(groupPos), f.dataType, groupPos), outPos)
     }
 
+  // A42 deletion-vector cursor: `masked` is sorted and this reader
+  // consumes rows in file order, so one advancing pointer suffices
+  private var rowIdx = rowGroupStart
+  private var maskPtr = 0
+
   override def next(): Boolean = {
-    if (remaining <= 0) return false
-    remaining -= 1
-    val g = recordReader.read()
-    val row = new GenericInternalRow(required.fields.length)
-    constants.foreach { case (pos, v) => row.update(pos, v) }
-    var j = 0
-    while (j < converters.length) {
-      val (conv, outPos) = converters(j)
-      row.update(outPos, if (g.getFieldRepetitionCount(j) == 0) null else conv(g))
-      j += 1
+    while (remaining > 0) {
+      remaining -= 1
+      val g = recordReader.read()
+      val idx = rowIdx
+      rowIdx += 1
+      if (maskPtr < masked.length && masked(maskPtr) == idx) {
+        maskPtr += 1 // tombstoned: decode is paid, the row is not served
+      } else {
+        val row = new GenericInternalRow(required.fields.length)
+        constants.foreach { case (pos, v) => row.update(pos, v) }
+        var j = 0
+        while (j < converters.length) {
+          val (conv, outPos) = converters(j)
+          row.update(outPos, if (g.getFieldRepetitionCount(j) == 0) null else conv(g))
+          j += 1
+        }
+        current = row
+        return true
+      }
     }
-    current = row
-    true
+    false
   }
 
   override def get(): InternalRow = current
@@ -549,6 +624,42 @@ object GraftV2 {
       }
       out.result().sortBy(_._1)
     }
+  }
+
+  /** Parquet files of one merge-on-read sidecar dir (`_dv`/`_eq`),
+    * sorted — one listing, empty when the table carries no such
+    * mutation debt.
+    */
+  def sidecarParquet(tablePath: String, dir: String,
+      conf: Configuration): Seq[String] = {
+    val p = new Path(s"$tablePath/$dir")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toString
+      }
+      out.result().sorted
+    }
+  }
+
+  /** Refuse BY NAME when a table carries an unmerged equality sidecar:
+    * its discovery scan is deferred by design (A44), so no pinned scan
+    * can compose it — serving would silently include GDPR-erased rows.
+    */
+  def refuseEqSidecar(tablePath: String, conf: Configuration,
+      surface: String): Unit = {
+    val p = new Path(s"$tablePath/${graft.sources.GraftMor.EqDir}")
+    if (p.getFileSystem(conf).exists(p))
+      throw new IllegalStateException(
+        s"[GRAFT] $tablePath has unmerged EQUALITY mutation epochs " +
+          s"(${graft.sources.GraftMor.EqDir}/): $surface cannot compose " +
+          "their deferred discovery scan - fold them with " +
+          "GraftMor.morCompact (then REFRESH TABLE), or read via " +
+          "GraftMor.morRead / GraftCatalog.table")
   }
 
   def withReader[T](path: String, conf: Configuration = new Configuration())(

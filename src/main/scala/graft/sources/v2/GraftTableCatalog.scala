@@ -94,19 +94,43 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table =
     tables.getOrElseUpdate((ident.namespace.mkString("/"), ident.name), {
-      val files = catalogFor(ident.namespace).snapshotFiles(ident.name).map(_._1)
+      val nsCat = catalogFor(ident.namespace)
+      val files = nsCat.snapshotFiles(ident.name).map(_._1)
       if (files.isEmpty) throw new NoSuchTableException(ident)
       val tablePath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
+      val conf = spark.sessionState.newHadoopConf()
+      // MERGE-ON-READ awareness (A42-A47): position sidecars are
+      // PINNED here with the files and served split-locally by the v2
+      // reader (so `SELECT ... FROM graft.db.t` hash-matches
+      // `morRead`); unmerged EQUALITY sidecars refuse BY NAME — their
+      // discovery scan is deferred by design and silently serving
+      // GDPR-erased rows is a correctness trap, not a degraded mode.
+      // REFRESH TABLE re-pins files and sidecar epochs together. A
+      // refusal also drops the table's namespace pin: no Table was
+      // served off it, and the remedy (morCompact) rewrites files —
+      // the post-fold load must pin the folded state, not the refusal's.
+      try GraftV2.refuseEqSidecar(tablePath, conf, s"SQL serving of $ident")
+      catch { case e: IllegalStateException =>
+        nsCat.invalidate(ident.name); throw e }
+      val morDv = GraftV2.sidecarParquet(tablePath,
+        graft.sources.GraftMor.DvDir, conf)
       // schema from the pinned snapshot's first file (one writer, one
       // schema — the v2 connector's contract), typed by the same
-      // mapping the v2 reader uses; hive-layout partition columns are
-      // appended and re-attached per split (the reference's partition
-      // define), so partitioned tables are whole through SQL too
-      val fileSchema = GraftV2.readSchema(files.head, spark.sessionState.newHadoopConf())
+      // mapping the v2 reader uses — unless the table recorded an
+      // EVOLVED schema (A36×MOR), which wins: pre-evolution files
+      // null-fill the added columns in the reader; hive-layout
+      // partition columns are appended and re-attached per split (the
+      // reference's partition define), so partitioned tables are whole
+      // through SQL too
       val partSchema = GraftV2.partitionSchema(tablePath, files)
+      val fileSchema = graft.sources.GraftMor.readSchemaDdl(spark, tablePath)
+        .map(d => org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructType.fromDDL(d).fields
+            .filterNot(f => partSchema.fieldNames.contains(f.name))))
+        .getOrElse(GraftV2.readSchema(files.head, conf))
       GraftTable(tablePath,
         org.apache.spark.sql.types.StructType(fileSchema.fields ++ partSchema.fields),
-        files, partSchema)
+        files, partSchema, morDv = morDv)
     })
 
   /** `SELECT … FROM graft.db.t VERSION AS OF <id>` — the SQL surface
@@ -138,6 +162,20 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       val files = catalogFor(ident.namespace).snapshotFilesAsOf(ident.name, id)
       if (files.isEmpty) throw new NoSuchTableException(ident)
       val tablePath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
+      // time travel over live mutation sidecars is ambiguous through
+      // this surface (masks are current-state, the manifest is
+      // historical): refuse BY NAME; GraftCatalog.tableAsOf serves the
+      // same epoch with the erase mask composed
+      val conf = spark.sessionState.newHadoopConf()
+      GraftV2.refuseEqSidecar(tablePath, conf, s"VERSION/TIMESTAMP AS OF on $ident")
+      if (GraftV2.sidecarParquet(tablePath,
+          graft.sources.GraftMor.DvDir, conf).nonEmpty)
+        throw new IllegalStateException(
+          s"[GRAFT] $tablePath has unmerged position tombstones " +
+            s"(${graft.sources.GraftMor.DvDir}/): time travel over live " +
+            "mutation epochs is ambiguous - fold them with " +
+            "GraftMor.morCompact first, or read history via " +
+            "GraftCatalog.tableAsOf")
       val fileSchema = GraftV2.readSchema(files.head, spark.sessionState.newHadoopConf())
       val partSchema = GraftV2.partitionSchema(tablePath, files)
       GraftTable(tablePath,

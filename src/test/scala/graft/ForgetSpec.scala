@@ -41,7 +41,10 @@ class ForgetSpec extends SparkSpecBase {
     val report = GraftForget.forgetDocs(spark, victims,
       tablePath = Some(tbl), bm25Root = Some(bm),
       ivfIndex = Some(ivf), hnswIndex = Some(hn))
-    assert(report.map(_._1) === Seq("table", "bm25", "ivf", "hnsw"))
+    assert(report.map(_._1) ===
+      Seq("table", "table-residual", "bm25", "ivf", "hnsw"))
+    assert(report.find(_._1 == "table-residual").get._2.contains("morCompact"),
+      "the audit trail must name the raw-read residual surface")
     // every store forgot
     assert(GraftMor.morRead(spark, tbl)
       .where(col("doc_id").isin(vAny: _*)).count() === 0, "table leg")
@@ -61,7 +64,7 @@ class ForgetSpec extends SparkSpecBase {
     val report2 = GraftForget.forgetDocs(spark, victims,
       tablePath = Some(tbl), bm25Root = Some(bm),
       ivfIndex = Some(ivf), hnswIndex = Some(hn))
-    assert(report2.length === 4)
+    assert(report2.length === 5)
     assert(Bm25.serveIndexedBm25(spark, bm).collect().map(_.toSeq).toSeq
       === bmPost.collect().map(_.toSeq).toSeq, "rerun is serve-identical")
     // compaction folds the BM25 tombstones physically: sidecar gone,
@@ -76,5 +79,50 @@ class ForgetSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$bm/doclen").count()
       === nDocs - nVictimsInSidecar)
     graft.GraftSession.releaseCheckpoint(bmPost)
+  }
+
+  test("A47: an erased key serves from NO engine read surface — catalog masks, SQL refuses by name, compaction reunifies") {
+    val scratch = graft.sources.GraftSink.scratchDir
+    val wh = wipe(s"$scratch/forget_sql")
+    val tbl = s"$wh/db/docs_fg.parquet"
+    val docs = new graft.sources.GraftCatalog(spark, sfDir)
+      .table("documents").select("doc_id", "text")
+    docs.write.parquet(tbl)
+    val victim = docs.orderBy("doc_id").head().getLong(0)
+    val report = GraftForget.forgetDocs(spark, Seq(victim),
+      tablePath = Some(tbl))
+    assert(report.map(_._1) === Seq("table", "table-residual"))
+    def gone(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("doc_id") === victim).count() === 0L
+    // surface 1: morRead
+    assert(gone(GraftMor.morRead(spark, tbl)), "morRead leg")
+    // surface 2: the programmatic catalog (pinned AND fresh)
+    val cat = new graft.sources.GraftCatalog(spark, s"$wh/db")
+    assert(gone(cat.table("docs_fg")), "GraftCatalog.table leg")
+    assert(gone(cat.scan("docs_fg")), "GraftCatalog.scan leg")
+    // surface 3: the SQL catalog refuses BY NAME rather than serving
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftfg")
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " || " + chain(t.getCause)
+    val e = intercept[Throwable](
+      spark.sql("SELECT * FROM graftfg.db.docs_fg").collect())
+    assert(chain(e).contains("morCompact"), chain(e))
+    // surface 4: the v2 provider path refuses identically
+    val e2 = intercept[Throwable](
+      spark.read.format("graft").load(tbl).collect())
+    assert(chain(e2).contains("morCompact"), chain(e2))
+    // the advisor flags the split until the fold
+    val advice = graft.sources.GraftAdvisor.advise(spark, s"$wh/db")
+    assert(advice.exists(_.rule == "mor-unserved"),
+      "mor-unserved must fire while _eq is live")
+    // the fold reunifies every surface, physically
+    GraftMor.morCompact(spark, tbl)
+    spark.sql("REFRESH TABLE graftfg.db.docs_fg")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graftfg.db.docs_fg WHERE doc_id = $victim")
+      .head().getLong(0) === 0L, "SQL serves the erased-free table post-fold")
+    assert(gone(spark.read.parquet(tbl)), "raw reads physically forgot")
+    assert(!graft.sources.GraftAdvisor.advise(spark, s"$wh/db")
+      .exists(_.rule == "mor-unserved"), "acting on the advice clears it")
   }
 }

@@ -146,7 +146,7 @@ class MorSpec extends SparkSpecBase {
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
       "the fact side must not shuffle for the anti-join")
     // oversized-vector fallback: same rows through the shuffled plan
-    val fallback = GraftMor.morRead(spark, path, maxBroadcast = 0L)
+    val fallback = GraftMor.morRead(spark, path, maxBroadcastBytes = 0L)
     assert(fallback.count() === read.count())
   }
 
@@ -626,5 +626,156 @@ class MorSpec extends SparkSpecBase {
     assert(after.where(col("o_orderstatus") === "F").count() ===
       orders.where(col("o_orderstatus") === "F" &&
                    col("o_orderkey") % 3 =!= 0).count())
+  }
+
+  test("r12: constructing a morRead plan launches NO sizing job (listing-byte broadcast gates)") {
+    val path = freshTable("nosize")
+    GraftMor.morDelete(spark, path, col("o_orderkey") % 10 === 3)
+    import spark.implicits._
+    GraftMor.morErase(spark, path, Seq(1L).toDF("o_custkey"), Seq("o_custkey"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    val df = try {
+      val d = GraftMor.morRead(spark, path)
+      // sizing jobs (the old per-read count()s) would have run
+      // SYNCHRONOUSLY inside the call; give the async listener bus a
+      // moment to drain before asserting none started
+      Thread.sleep(1500)
+      d
+    } finally spark.sparkContext.removeSparkListener(l)
+    // the one allowed job is the TABLE read's parquet schema inference
+    // (part of any Spark scan prep); the sidecar frames carry explicit
+    // schemas and the old per-read count() sizing jobs are gone
+    assert(jobs.get() <= 1,
+      s"morRead construction must launch no sizing job, saw ${jobs.get()}")
+    // and the gated plan still serves the masked answer
+    assert(df.where(col("o_orderkey") % 10 === 3 || col("o_custkey") === 1L)
+      .count() === 0)
+  }
+
+  test("A36xMOR: additive nullable columns LAND and serve null-filled; breaking changes are refused by name") {
+    val path = freshTable("evolve")
+    val all = spark.read.parquet(path).localCheckpoint(true)
+    // breaking: a retype is refused naming the column
+    val retyped = all.limit(1).withColumn("o_totalprice", lit("oops"))
+    val e1 = intercept[IllegalStateException](
+      GraftMor.morUpsert(spark, path, retyped, Seq("o_orderkey")))
+    assert(e1.getMessage.contains("o_totalprice") &&
+      e1.getMessage.contains("breaking"), e1.getMessage)
+    // breaking: a dropped column is refused naming it
+    val dropped = all.limit(1).drop("o_totalprice")
+    val e2 = intercept[IllegalStateException](
+      GraftMor.morUpsert(spark, path, dropped, Seq("o_orderkey")))
+    assert(e2.getMessage.contains("o_totalprice"), e2.getMessage)
+    assert(GraftMor.morRead(spark, path).columns.length === 4,
+      "refused batches must leave the schema untouched")
+    // additive: a new nullable column lands, old rows serve it as null
+    val batch = all.where(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .withColumn("o_channel", lit("web"))
+    GraftMor.morUpsert(spark, path, batch, Seq("o_orderkey"))
+    val read = GraftMor.morRead(spark, path)
+    assert(read.columns.toSeq ===
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_channel"))
+    val nBatch = batch.count()
+    assert(read.where(col("o_channel") === "web").count() === nBatch)
+    assert(read.where(col("o_channel").isNull).count() === all.count() - nBatch)
+    // a second batch at the evolved width is a plain upsert
+    GraftMor.morUpsert(spark, path,
+      all.where(col("o_orderkey") % 200 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1001.0))
+        .withColumn("o_channel", lit("app")),
+      Seq("o_orderkey"))
+    // compaction folds under the widened schema and the width survives
+    GraftMor.morDelete(spark, path, col("o_orderkey") % 10 === 3)
+    GraftMor.morCompact(spark, path)
+    val post = GraftMor.morRead(spark, path)
+    assert(post.columns.toSeq === read.columns.toSeq)
+    assert(post.where(col("o_channel") === "app").count() ===
+      all.where(col("o_orderkey") % 200 === 0).count())
+    assert(post.where(col("o_orderkey") % 10 === 3).count() === 0)
+  }
+
+  test("A47: GraftCatalog.table composes the MOR masks, and a FRESH erase outranks the pinned snapshot") {
+    import spark.implicits._
+    val root = graft.sources.GraftSink.scratchDir + "/mor_spec_cat"
+    val path = s"$root/orders_m.parquet"
+    hfs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    new graft.sources.GraftCatalog(spark, sfDir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    GraftMor.morDelete(spark, path, col("o_orderkey") % 10 === 3)
+    val cat = new graft.sources.GraftCatalog(spark, root)
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(sig(cat.table("orders_m")) === sig(GraftMor.morRead(spark, path)),
+      "table() and morRead must give ONE answer on a mutated table")
+    // history published BEFORE the erase...
+    val epoch = cat.publishSnapshot("orders_m")
+    val victim = cat.table("orders_m").select("o_custkey").head().getLong(0)
+    // ...then the erase lands AFTER the catalog pinned its snapshot:
+    // the GDPR mask must still apply — to the pin AND to time travel
+    GraftMor.morErase(spark, path, Seq(victim).toDF("o_custkey"), Seq("o_custkey"))
+    assert(cat.table("orders_m")
+      .where(col("o_custkey") === victim).count() === 0,
+      "a fresh erase must mask a pinned catalog read")
+    assert(cat.tableAsOf("orders_m", epoch)
+      .where(col("o_custkey") === victim).count() === 0,
+      "a fresh erase must mask an addressed historical epoch")
+    assert(cat.table("orders_m").count() ===
+      GraftMor.morRead(spark, path).count())
+  }
+
+  test("A49/A50: the consumer folds only the COMMITTED tip; epoch counters stay monotone across a zero-rewrite compaction") {
+    import spark.implicits._
+    val root = graft.sources.GraftSink.scratchDir + "/mor_spec_feedfix"
+    val path = s"$root/t"
+    val feed = s"$root/feed"
+    val roll = s"$root/roll"
+    hfs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    spark.range(100).select(col("id").as("k"), (col("id") % 5).as("g"),
+        lit(1L).as("v"))
+      .repartitionByRange(4, col("k")).write.parquet(path)
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    def rollup() = GraftMor.consumeMorFeed(spark, feed, roll, Seq("g"), partial)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    def recompute() = partial(GraftMor.morRead(spark, path))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    GraftMor.publishMorFeed(spark, path, feed) // seq 0: snapshot
+    assert(rollup() === recompute())
+    // a publisher crashed mid-write beyond the committed tip: fake a
+    // partial segment dir — the consumer must fold by the COMMITTED
+    // sequence, not the listing, so the rollup is unchanged
+    val f = hfs(root)
+    org.apache.hadoop.fs.FileUtil.copy(f,
+      new org.apache.hadoop.fs.Path(s"$feed/segments/seq=0"), f,
+      new org.apache.hadoop.fs.Path(s"$feed/segments/seq=7"),
+      false, spark.sessionState.newHadoopConf())
+    assert(rollup() === recompute(),
+      "a partial (uncommitted) segment must not fold into the rollup")
+    f.delete(new org.apache.hadoop.fs.Path(s"$feed/segments/seq=7"), true)
+    // a zero-row delete advances the epoch counter with no coordinates:
+    // the publish lands an EMPTY segment instead of crashing
+    GraftMor.morDelete(spark, path, col("k") > 1000000L)
+    val s1 = GraftMor.publishMorFeed(spark, path, feed)
+    assert(s1 === 1L)
+    assert(rollup() === recompute())
+    // zero-rewrite compaction (only the empty epoch folds): epoch
+    // numbering must stay MONOTONE, so later real mutations are never
+    // numbered below the consumer's watermark and silently dropped
+    GraftMor.morCompact(spark, path)
+    GraftMor.morDelete(spark, path, col("k") % 10 === 3L)
+    val s2 = GraftMor.publishMorFeed(spark, path, feed)
+    assert(s2 === 2L)
+    assert(rollup() === recompute(),
+      "mutations after a zero-rewrite compaction must reach the feed")
+    assert(rollup().map(_(1)).map(_.asInstanceOf[Long]).sum === 90L)
   }
 }

@@ -571,4 +571,61 @@ class V2SourceSpec extends SparkSpecBase {
     assert(filtered.collect().head.getLong(0) ===
       spark.read.parquet(path).where(col("o_totalprice") > 100000.0).count())
   }
+
+  test("A42 SQL: the v2 scan applies position masks split-locally and equals morRead exactly") {
+    import graft.sources.GraftMor
+    val path = graft.sources.GraftSink.scratchDir + "/v2_mor_dv"
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.parquet(path)
+    GraftMor.morDelete(spark, path, col("o_orderkey") % 10 === 3)
+    GraftMor.morUpsert(spark, path,
+      spark.read.parquet(path).where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(7.0)),
+      Seq("o_orderkey"))
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(sig(spark.read.format("graft").load(path)) ===
+      sig(GraftMor.morRead(spark, path)),
+      "the v2 serving path and morRead must give ONE answer")
+    // masked rows never reach the plan: a row-count through v2 agrees
+    assert(spark.read.format("graft").load(path).count() ===
+      GraftMor.morRead(spark, path).count())
+  }
+
+  test("A42 SQL: a fully-tombstoned row group plans NO split; the driver mask refuses past the cap by name") {
+    import graft.sources.GraftMor
+    import graft.sources.v2.{GraftMorMask, GraftV2}
+    val path = graft.sources.GraftSink.scratchDir + "/v2_mor_cap"
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    spark.range(1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k")).write.parquet(path)
+    // kill one whole quarter of the key space: its file's row groups
+    // are fully masked and must not even plan a task
+    GraftMor.morDelete(spark, path, col("k") < 250L)
+    val scan = spark.read.format("graft").load(path)
+    assert(scan.count() === 750L)
+    val conf = spark.sessionState.newHadoopConf()
+    val sidecar = GraftV2.sidecarParquet(path, GraftMor.DvDir, conf)
+    val mask = GraftMorMask.load(sidecar, conf)
+    assert(mask.values.map(_.length).sum === 250)
+    val nFilesFullyMasked = GraftV2.dataFiles(path, conf).count { f =>
+      import scala.jdk.CollectionConverters._
+      val rows: Long = GraftV2.withReader(f, conf)(
+        _.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      mask.get(GraftMorMask.norm(new org.apache.hadoop.fs.Path(f).toUri.getPath))
+        .exists(_.length.toLong == rows)
+    }
+    assert(nFilesFullyMasked >= 1, "the setup must fully tombstone a file")
+    // the cap refusal names the remedy
+    val e = intercept[IllegalStateException](
+      GraftMorMask.load(sidecar, conf, cap = 10L))
+    assert(e.getMessage.contains("morCompact"), e.getMessage)
+  }
 }
