@@ -147,7 +147,10 @@ object Bench {
       // pool and late queries pay eviction + GC (BENCH_r05:
       // text_fingerprint median 4.0s vs min 1.0s, 21st of 24 in run
       // order). Dropping the pool after every execution isolates each
-      // measurement from its predecessors.
+      // measurement from its predecessors. releaseGrains additionally
+      // empties the r12 grain registry so its strong refs stay bounded
+      // across the 6x77 executions.
+      GraftSession.releaseGrains()
       spark.sharedState.cacheManager.clearCache()
       t
     }

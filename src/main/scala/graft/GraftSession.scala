@@ -61,6 +61,55 @@ object GraftSession {
     * then fail with missing blocks rather than recomputing, because
     * checkpoint lineage is truncated.
     */
+  /** Operator-grain cache lifecycle (r12 discipline). Operators cache
+    * intermediate GRAINS (a tokenize pass, a signature table) that
+    * their RETURNED plan references — the cache must outlive the
+    * operator call (the caller's action is what pays it off), so a
+    * try/finally unpersist inside the operator would silently
+    * recompute the grain per consumer (the very double-tokenize class
+    * GraftDoctor lints). Instead every grain registers here at cache
+    * time (`grainCache()`), and the session owner releases them ALL
+    * at its composition boundary with [[releaseGrains]] — between
+    * queries (what Bench's clearCache already did), after a pipeline
+    * stage, on a serving-session cadence. References are STRONG by
+    * necessity: the CacheManager keeps a cached plan alive even after
+    * the operator's local Dataset is garbage-collected, so the
+    * registry's handle is the only thing that can still unpersist it —
+    * and it is cleared (bounded) at every release point.
+    */
+  private val grainRegistry: java.util.Set[org.apache.spark.sql.Dataset[_]] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.Dataset[_], java.lang.Boolean]()))
+
+  private[graft] def trackGrain(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    grainRegistry.add(ds)
+
+  /** Unpersist every tracked operator grain (blocking=false). Safe at
+    * any point — an unpersisted grain recomputes, never errors — and
+    * precise: ONLY graft's operator-local caches are dropped, a
+    * caller's own cached frames survive (the advantage over
+    * `spark.catalog.clearCache()`). Returns how many grains released.
+    */
+  def releaseGrains(): Int = {
+    val snapshot = grainRegistry.synchronized {
+      val s = new java.util.ArrayList(grainRegistry)
+      grainRegistry.clear()
+      s
+    }
+    snapshot.forEach(_.unpersist(false))
+    snapshot.size
+  }
+
+  /** `.grainCache()` — cache + register as an operator grain. */
+  implicit class GrainOps[T](private val ds: org.apache.spark.sql.Dataset[T]) {
+    def grainCache(): org.apache.spark.sql.Dataset[T] = {
+      ds.cache()
+      trackGrain(ds)
+      ds
+    }
+  }
+
   def releaseCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit = {
     val plan = df.queryExecution.analyzed
     require(plan.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],

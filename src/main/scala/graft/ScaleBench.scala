@@ -443,6 +443,7 @@ object ScaleBench {
       val t0 = System.nanoTime()
       val t = try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
               catch { case _: Throwable => -1.0 }
+      GraftSession.releaseGrains()
       spark.sharedState.cacheManager.clearCache()
       t
     }
@@ -481,11 +482,13 @@ object ScaleBench {
           val p = new org.apache.hadoop.fs.Path(scratch)
           p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
           w.setup(spark, dir, scratch)
+          GraftSession.releaseGrains()
           spark.sharedState.cacheManager.clearCache()
           val ts = (1 to w.runs).map { r =>
             val t0 = System.nanoTime()
             w.op(spark, dir, scratch, r)
             val t = (System.nanoTime() - t0) / 1e9
+            GraftSession.releaseGrains()
             spark.sharedState.cacheManager.clearCache()
             t
           }

@@ -29,9 +29,11 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // ~90 queries, several of which .cache() intermediates: drop the
-      // storage pool after each so earlier queries' dead cache entries
-      // can't evict/GC-stall later ones.
+      // ~90 queries, several of which cache intermediates: release the
+      // tracked operator grains (and clear any remainder) after each so
+      // earlier queries' dead cache entries can't evict/GC-stall later
+      // ones — and so the grain registry itself stays bounded.
+      GraftSession.releaseGrains()
       spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

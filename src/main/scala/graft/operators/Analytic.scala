@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftSession.GrainOps
 import graft.sources.GraftCatalog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -645,7 +646,7 @@ object Analytic {
     // final join all derive from it — no second corpus scan for min/max
     val daily = o.groupBy("p", "d")
       .agg(count(lit(1)).as("n_day"), sum("cents").as("rev_c"))
-      .cache()
+      .grainCache()
     val bounds = daily.agg(min("d").as("d0"), max("d").as("d1"))
     val spine = daily.select("p").distinct()
       .crossJoin(broadcast(bounds))
@@ -802,7 +803,7 @@ object Analytic {
     val outs = e.groupBy("u").agg(sum("n_uv").as("out_u"))
     val frac = e.join(outs, Seq("u"))
       .select(col("u"), col("v"), expr("(n_uv * 1000000L) div out_u").as("frac_micro"))
-      .cache() // reused by every power iteration
+      .grainCache() // reused by every power iteration
     var r = nodes.select(col("key"), col("r0").as("r")).localCheckpoint()
     for (_ <- 1 to PrIters) {
       val prev = r

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftSession.GrainOps
 import graft.sources.GraftCatalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -49,7 +50,7 @@ object Assembly {
   def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
     val e = HashEmbed.embeddings(s, dir).where(col("norm2") > 0)
       .withColumn("nrm", sqrt(col("norm2").cast("double")))
-      .cache() // both sides of the pair join
+      .grainCache() // both sides of the pair join
     val a = e.select(col("doc_id").as("anchor_id"), col("emb").as("ea"), col("nrm").as("na"))
     val b = e.select(col("doc_id").as("cand_id"), col("emb").as("eb"), col("nrm").as("nb"))
     val pairs = a.join(broadcast(b), col("anchor_id") =!= col("cand_id"))
@@ -315,7 +316,7 @@ object Assembly {
       col("doc_id"), col("source"),
       size(regexp_extract_all(col("text"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("tokens"))
-      .cache()
+      .grainCache()
     val totals = toks.groupBy("source").agg(sum("tokens").as("total_tokens"))
     val budget = totals.agg(min("total_tokens").as("budget"))
     val rates = totals.crossJoin(broadcast(budget))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftSession.GrainOps
 import graft.sources.GraftCatalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -74,7 +75,7 @@ object Bm25 {
     val pair = docs(s, dir)
       .select(col("doc_id"), explode(words).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .cache()
+      .grainCache()
     val dls = pair.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       .crossJoin(pair.agg(sum("tf").as("l_tokens")))
@@ -160,7 +161,7 @@ object Bm25 {
     def artifacts(d: DataFrame): (DataFrame, DataFrame) = {
       val g = d.select(col("doc_id"), explode_outer(words).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        .cache()
+        .grainCache()
       val post = g.where(col("word").isNotNull)
         .select(col("word"), col("doc_id"), col("tf"))
       val dl = g.groupBy("doc_id")

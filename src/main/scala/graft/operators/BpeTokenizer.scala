@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftSession.GrainOps
 import graft.functions.{BpeCodec, BpeTokenCountExpr}
 import graft.sources.GraftCatalog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -76,7 +77,7 @@ object BpeTokenizer {
   /** Train a codec on the corpus sample in `dir`. */
   def trainCodec(s: SparkSession, dir: String, nMerges: Int = DefaultMerges,
       driverCap: Long = DriverVocabCap): BpeCodec = {
-    val wf = wordFreq(s, dir).cache()
+    val wf = wordFreq(s, dir).grainCache()
     try {
       val vocabSize = wf.count()
       val merges =

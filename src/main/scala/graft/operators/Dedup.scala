@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftSession.GrainOps
 import graft.functions.{TextFns, VectorFns}
 import graft.sources.GraftCatalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -175,7 +176,7 @@ object Dedup {
       .select(col("doc_id"), array_distinct(TextFns.textShingleHashes(col("text"), 3)).as("hashes"))
       .withColumn("sig", TextFns.minhashSignature(col("hashes"), 64))
       .withColumn("bands", TextFns.bandHashes(col("sig"), 16, 4))
-      .cache()
+      .grainCache()
   }
 
   /** C2: MinHash+LSH near-dup: shingle → 64-lane minhash → 16 bands ×
@@ -204,11 +205,11 @@ object Dedup {
     // reference the cached array instead of re-tokenizing the text 64x.
     val hashes = docs(s, dir)
       .select(col("doc_id"), TextFns.textShingleHashes(col("text"), 1).as("hashes"))
-      .cache()
+      .grainCache()
     val sigs = hashes
       .select(col("doc_id"), TextFns.simhash64(col("hashes")).as("sig"))
       .withColumn("bands", TextFns.simhashBands(col("sig")))
-      .cache()
+      .grainCache()
     val exploded = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val candidates = bandCandidates(exploded)
@@ -261,7 +262,7 @@ object Dedup {
     val sh = toks.where(size(col("t")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
-      .cache() // tiny (sampled); reused as both join sides
+      .grainCache() // tiny (sampled); reused as both join sides
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(broadcast(b), col("doc_a") < col("doc_b"))
@@ -449,7 +450,7 @@ object Dedup {
     val sh = toks.where(size(col("t")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
-      .cache() // shingle table reused for keys and both verify sides
+      .grainCache() // shingle table reused for keys and both verify sides
     val keys = sh.select(col("doc_id"),
       explode(slice(array_sort(col("sh")), 1, 4)).as("k"))
     // Degenerate-block guard, PORTABLY (the oracle mirrors it):
@@ -548,7 +549,7 @@ object Dedup {
     * anywhere, so cost is O(total spans), not O(docs²).
     */
   def substringDedup(s: SparkSession, dir: String): DataFrame = {
-    val g = wordGramHashes(s, dir).cache() // reused: repeat set + both aggs
+    val g = wordGramHashes(s, dir).grainCache() // reused: repeat set + both aggs
     val rep = g.groupBy("gh")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .where(col("nd") > 1).select("gh")
@@ -577,7 +578,7 @@ object Dedup {
     * length, the same class as the document itself.
     */
   def substringRemoval(s: SparkSession, dir: String): DataFrame = {
-    val g = wordGramHashes(s, dir).cache()
+    val g = wordGramHashes(s, dir).grainCache()
     val rep = g.groupBy("gh")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .where(col("nd") > 1).select("gh")
@@ -626,7 +627,7 @@ object Dedup {
     * spans appear in the eval set.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val g = wordGramHashes(s, dir).cache()
+    val g = wordGramHashes(s, dir).grainCache()
     decontaminateSpans(g.where(!isBenchDoc), g.where(isBenchDoc).select("gh"),
       docs(s, dir).where(!isBenchDoc))
   }
@@ -653,7 +654,7 @@ object Dedup {
     // sources × distinct spans, far below corpus size.
     val perSource = wordGramHashes(s, dir)
       .join(srcs, Seq("doc_id"))
-      .select("source", "gh").distinct().cache()
+      .select("source", "gh").distinct().grainCache()
     val counts = perSource.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = perSource.toDF("source_a", "gh")
       .join(perSource.toDF("source_b", "gh"), Seq("gh"))
@@ -787,7 +788,7 @@ object Dedup {
     val base = docs(s, dir).select(col("doc_id"),
         size(toks).cast("long").as("n_toks"),
         size(array_distinct(toks)).cast("long").as("n_distinct"))
-      .cache()
+      .grainCache()
     val quality = base.where(col("n_toks") >= 10 &&
       col("n_distinct") * 10 >= col("n_toks") * 3)
     val clean = decontaminate(s, dir)
@@ -798,7 +799,7 @@ object Dedup {
     val s3 = s2.join(clusters, Seq("doc_id"))
       .withColumn("rep", min("doc_id").over(wCluster))
       .where(col("doc_id") === col("rep"))
-      .select("doc_id", "n_toks").cache()
+      .select("doc_id", "n_toks").grainCache()
     // E20 over the survivor corpus: unigram LM trained on survivors,
     // per-doc mean log-prob, tail tercile dropped
     val words = expr(
@@ -807,7 +808,7 @@ object Dedup {
       .join(s3.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(words).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
-      .cache()
+      .grainCache()
     val total = grain.agg(sum("n")).head().getLong(0)
     val perDoc = grain
       .join(grain.groupBy("word").agg(sum("n").as("cnt")), Seq("word"))
@@ -819,7 +820,7 @@ object Dedup {
       .select(col("doc_id"),
         floor(col("slp").cast("double") / col("n_words"))
           .cast("long").as("avg_lp_micro"))
-      .cache()
+      .grainCache()
     val s4 = TextAnalysis.tercileCutoffs(perDoc) match {
       case None           => perDoc.select("doc_id")
       case Some((c1, _))  =>
@@ -851,7 +852,7 @@ object Dedup {
     val e = new GraftCatalog(s, dir).table("embeddings")
       .where(pmod(col("vec_id") * 2654435761L, lit(1000)) < 100)
       .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
-      .cache() // tiny (sampled); reused as both join sides
+      .grainCache() // tiny (sampled); reused as both join sides
     val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
@@ -876,7 +877,7 @@ object Dedup {
     val e = new GraftCatalog(s, dir).table("embeddings")
       .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
       .withColumn("bucket", VectorFns.lshBucket(col("emb"), planes))
-      .cache()
+      .grainCache()
     val cand = cappedBucketPairs(e.select(col("bucket"), col("vec_id")), Seq("bucket"), "vec_id")
       .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
     cand
@@ -1052,7 +1053,7 @@ object Dedup {
     // eval side — cached, so the tokenize + (doc, dim) fold runs once
     val e = HashEmbed.embeddings(s, dir).where(col("norm2") > 0)
       .withColumn("nrm", sqrt(col("norm2").cast("double")))
-      .cache()
+      .grainCache()
     val eval = e.where(isBenchDoc)
       .select(col("doc_id").as("eval_id"), col("emb").as("eem"), col("nrm").as("enrm"))
     val scored = e.where(!isBenchDoc).crossJoin(broadcast(eval))
@@ -1109,7 +1110,7 @@ object Dedup {
     // one embedding derivation for both banded sides (the E14/H5 rule)
     val e = HashEmbed.embeddings(s, dir).where(col("norm2") > 0)
       .withColumn("nrm", sqrt(col("norm2").cast("double")))
-      .cache()
+      .grainCache()
     val eval = banded(e.where(isBenchDoc))
       .select(col("bkt"), col("doc_id").as("eval_id"),
         col("emb").as("eem"), col("nrm").as("enrm"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftSession.GrainOps
 import graft.sources.GraftCatalog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -84,7 +85,7 @@ object HashEmbed {
   def hashEmbedKnn(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir).where(col("norm2") > 0)
       .withColumn("nrm", sqrt(col("norm2").cast("double")))
-      .cache() // scored side + broadcast query side
+      .grainCache() // scored side + broadcast query side
     val q = e.where(col("doc_id") < NQueries)
       .select(col("doc_id").as("query_id"), col("emb").as("qem"), col("nrm").as("qnrm"))
     val scored = broadcast(q).join(e, col("doc_id") =!= col("query_id"))

@@ -215,18 +215,29 @@ object Hnsw {
   }
 
   /** Beam-search each query against the routing graph → the broadcast
-    * probe table (query_id, q_emb, entry_id).
+    * probe table (query_id, q_emb, entry_id). `probeAll` bypasses the
+    * beam and probes EVERY routing shard — the D18 calibration mode:
+    * every corpus vector lives in ≥1 shard, so an all-shards probe is
+    * exact by construction and the audit must measure recall 1.0.
     */
   private def beamProbes(e: DataFrame,
-      routing: Seq[(Long, Array[Double])]): DataFrame = {
+      routing: Seq[(Long, Array[Double])], ef: Int = EfSearch,
+      probeAll: Boolean = false): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val g = buildGraph(routing)
     val qRows = e.where(col("vec_id") < NQueries)
       .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])].collect()
-    qRows.toSeq.flatMap { case (qid, q) =>
-      beamSearch(g, q.toArray, EfSearch).map(entry => (qid, q, entry))
-    }.toDF("query_id", "q_emb", "entry_id")
+    val probed: Seq[(Long, Seq[Double], Long)] =
+      if (probeAll)
+        qRows.toSeq.flatMap { case (qid, q) =>
+          routing.map { case (entry, _) => (qid, q, entry) } }
+      else {
+        val g = buildGraph(routing)
+        qRows.toSeq.flatMap { case (qid, q) =>
+          beamSearch(g, q.toArray, ef).map(entry => (qid, q, entry))
+        }
+      }
+    probed.toDF("query_id", "q_emb", "entry_id")
   }
 
   /** Exact top-R routing ids for one vector — (cos desc, id asc),
@@ -340,14 +351,49 @@ object Hnsw {
     * can serve without rebuilding.
     */
   private[graft] def serveHnsw(s: SparkSession, dir: String,
-      idx: String): DataFrame = {
+      idx: String, ef: Int = EfSearch, probeAll: Boolean = false): DataFrame = {
     val routing = loadRouting(s, idx)
-    val probes = beamProbes(emb(s, dir), routing)
+    val probes = beamProbes(emb(s, dir), routing, ef, probeAll)
     val probedIds = probes.select("entry_id").distinct()
       .collect().map(_.getLong(0)).sorted
     val shards = s.read.parquet(s"$idx/shards")
       .where(col("entry_id").isin(probedIds.toIndexedSeq.map(Long.box): _*))
     topkFromShards(shards, probes)
+  }
+
+  /** D18 (HNSW form): the recall AUDIT for the GRAPH index — the
+    * riskier approximation of the two persisted ANN stores
+    * (navigability depends on beam search + the capped routing sample
+    * + delete/re-home churn, and nothing in the serving path ever
+    * errors when it degrades). Same discipline as `ivfRecallAudit`:
+    * exact brute-force top-k vs the index's own probe path over the
+    * SAME deterministic query sample, overlap persisted as an exact
+    * micro-integer one-row sidecar under `$index/_recall/` that the
+    * A34 advisor reads metadata-only (`adviseVectorRecall` — missing
+    * measurement fires audit advice, below-floor fires rebuild
+    * advice, re-audit clears). Calibration: `probeAll` probes every
+    * shard and MUST measure exactly 1.0 (spec-pinned). Cost: one
+    * corpus scan — a maintenance job, never a serving-path tax.
+    */
+  def hnswRecallAudit(s: SparkSession, dir: String, indexPath: String,
+      ef: Int = EfSearch, probeAll: Boolean = false): Long = {
+    val bf = Similarity.bruteForceTopk(s, dir)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(true) // reused: the expected count + the overlap
+    try {
+      val served = serveHnsw(s, dir, indexPath, ef, probeAll)
+        .select("query_id", "neighbor_id")
+      val expected = bf.count()
+      val matched = bf.join(served, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      val recallMicro = matched * 1000000L / expected
+      import s.implicits._
+      Seq((recallMicro, expected, matched, if (probeAll) -1 else ef))
+        .toDF("recall_micro", "n_expected", "n_matched", "n_probe")
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$indexPath/_recall")
+      recallMicro
+    } finally graft.GraftSession.releaseCheckpoint(bf)
   }
 
   /** D11 (delete path): purge keys from the persisted HNSW index —

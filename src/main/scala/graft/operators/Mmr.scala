@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftSession.GrainOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,7 +46,7 @@ object Mmr {
   private def base(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val n = SemDedup.quantized(s, dir)
       .withColumn("nrm", sqrt(SemDedup.dotL(col("em"), col("em")).cast("double")))
-      .cache() // tiny at test SF; at scale the shortlist join replaces this
+      .grainCache() // tiny at test SF; at scale the shortlist join replaces this
     def cos(emA: String, nrmA: String, emB: String, nrmB: String) =
       floor(SemDedup.dotL(col(emA), col(emB)).cast("double")
         / (col(nrmA) * col(nrmB)) * 1e6).cast("long")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftSession.GrainOps
 import graft.sources.GraftCatalog
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -333,7 +334,7 @@ object Multimodal {
       size(toksLower).cast("long").as("n_tokens"),
       size(array_distinct(toksLower)).cast("long").as("n_distinct"),
       graft.functions.TextFns.wordSpanHashes(words, Dedup.SpanWords).as("ghs"))
-      .cache()
+      .grainCache()
     val pairs = grain.where(!col("is_bench"))
       .select("doc_id", "kind", "sig", "n_chars", "n_tokens", "n_distinct")
     // C9 flag at doc grain: spans vs the benchmark's broadcast span set
@@ -397,7 +398,7 @@ object Multimodal {
       // ONE tokenize (the H5/E14 rule): this per-pair token grain
       // feeds both the per-kind totals and the final keep-rate join;
       // uncached, the caption tokenize ran twice over the corpus
-      .cache()
+      .grainCache()
     val totals = pairs.groupBy("kind").agg(
       sum("toks").as("total_tokens"),
       sum("cap_toks").as("caption_tokens"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftSession.GrainOps
 import graft.sources.GraftCatalog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -227,7 +228,7 @@ object Profiling {
       .select(col("source"), col("lang"))
     // the cell grid is the ONE data pass; every marginal is an exact
     // sum over the cached |sources|×|langs| sliver, never a re-scan
-    val cells = d.groupBy("source", "lang").agg(count(lit(1)).as("o")).cache()
+    val cells = d.groupBy("source", "lang").agg(count(lit(1)).as("o")).grainCache()
     val rs = cells.groupBy("source").agg(sum("o").as("rs"))
     val cs = cells.groupBy("lang").agg(sum("o").as("cs"))
     val n = cells.agg(sum("o").as("n"))
@@ -313,7 +314,7 @@ object Profiling {
       .agg(expr("CAST(percentile(c2, 0.5D) AS BIGINT)").as("med_c2"))
     val dev = o.join(broadcast(med), "p")
       .withColumn("dev_c2", abs(col("c2") - col("med_c2")))
-      .cache()
+      .grainCache()
     val mad = dev.groupBy("p")
       .agg(expr("CAST(percentile(dev_c2 * 2, 0.5D) AS BIGINT)").as("mad_c4"))
     dev.join(broadcast(mad), "p")

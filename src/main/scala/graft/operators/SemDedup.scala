@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftSession.GrainOps
 import graft.sources.GraftCatalog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -92,7 +93,7 @@ object SemDedup {
     import s.implicits._
     val sample = quantized(s, dir)
       .where(pmod(col("vec_id") * 2654435761L, lit(1000)) < 100)
-      .cache() // k+1 tiny scans (seed + iters assignments)
+      .grainCache() // k+1 tiny scans (seed + iters assignments)
     var centroids: Array[(Int, Seq[Long])] = sample
       .orderBy(pmod(col("vec_id") * 2654435761L, lit(1000000)), col("vec_id"))
       .limit(k)
@@ -131,7 +132,7 @@ object SemDedup {
     */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val trained = trainCentroids(s, dir)
-    val asg = assigned(s, dir, trained.toSeq).cache() // both pair sides + final join
+    val asg = assigned(s, dir, trained.toSeq).grainCache() // both pair sides + final join
     val a = asg.select(col("cluster"), col("vec_id").as("vec_a"),
       col("em").as("em_a"), col("nrm").as("nrm_a"))
     val b = asg.select(col("cluster"), col("vec_id").as("vec_b"),

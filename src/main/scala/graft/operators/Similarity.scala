@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftSession.GrainOps
 import graft.functions.VectorFns
 import graft.sources.GraftCatalog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -165,7 +166,7 @@ object Similarity {
     * training never rescans the corpus.
     */
   def ivfTopk(s: SparkSession, dir: String, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val e = emb(s, dir).cache()
+    val e = emb(s, dir).grainCache()
     val trained = kmeansCentroids(trainingSample(e), nCentroids, iters = 2)
     val centroids = broadcast(
       s.createDataFrame(trained.toIndexedSeq).toDF("centroid_id", "c_emb"))
@@ -208,7 +209,7 @@ object Similarity {
     */
   private[graft] def buildIvfIndex(s: SparkSession, dir: String,
       nCentroids: Int, indexPath: String): DataFrame = {
-    val e = emb(s, dir).cache()
+    val e = emb(s, dir).grainCache()
     val trained = kmeansCentroids(trainingSample(e), nCentroids, iters = 2)
     val centroids = broadcast(
       s.createDataFrame(trained.toIndexedSeq).toDF("centroid_id", "c_emb"))
@@ -609,7 +610,7 @@ object Similarity {
     val idx = indexPath.getOrElse(graft.sources.GraftSink.scratchDir + "/ivf_inc")
     val e = emb(s, dir)
     val isNewEpoch = pmod(col("vec_id"), lit(5L)) === 0L
-    val historical = e.where(!isNewEpoch).cache()
+    val historical = e.where(!isNewEpoch).grainCache()
     val trained = kmeansCentroids(trainingSample(historical), nCentroids, iters = 2)
     s.createDataFrame(trained.toIndexedSeq).toDF("centroid_id", "c_emb")
       .write.mode("overwrite").parquet(s"$idx/centroids")
@@ -879,7 +880,7 @@ object Similarity {
     val e = emb(s, dir)
       .withColumn("nemb", transform(col("emb"),
         x => x / VectorFns.norm(col("emb"))))
-      .cache()
+      .grainCache()
     // per-subspace L2 codebooks, trained on the ~10% hash sample —
     // ALL subspaces per Lloyd round in ONE job (rows exploded to
     // (vec_id, sub, subvector), codebook looked up per-row from a

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftSession.GrainOps
 import graft.functions.TextFns
 import graft.sources.GraftCatalog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -220,7 +221,7 @@ object TextAnalysis {
     // grain first and cache that — both the token totals and the
     // first-seen mins derive from it, so the explode never runs twice
     // (the E14 lesson; vocab×buckets grain, spills to disk if large)
-    val wb = bucketed.groupBy("word", "bucket").agg(count(lit(1)).as("n")).cache()
+    val wb = bucketed.groupBy("word", "bucket").agg(count(lit(1)).as("n")).grainCache()
     val tok = wb.groupBy("bucket").agg(sum("n").as("n_tokens"))
     val firstSeen = wb.groupBy("word").agg(min("bucket").as("fb"))
     val nw = firstSeen.groupBy("fb").agg(count(lit(1)).as("n_new"))
@@ -262,7 +263,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_words"),
         floor(col("sum_lp_micro").cast("double") / col("n_words"))
           .cast("long").as("avg_lp_micro"))
-      .cache()
+      .grainCache()
     tercileCutoffs(grain) match {
       case None =>
         grain.select(col("doc_id"), col("n_words"),
@@ -328,7 +329,7 @@ object TextAnalysis {
     val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
     val toks = docs(s, dir).select(col("doc_id"), explode(words).as("word"))
     val perDocWord = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
-      .cache()
+      .grainCache()
     val total = perDocWord.agg(sum("n")).head().getLong(0)
     val lp = perDocWord.groupBy("word").agg(sum("n").as("cnt"))
       .select(col("word"),
@@ -343,7 +344,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_words"),
         floor(col("slp").cast("double") / col("n_words"))
           .cast("long").as("avg_lp_micro"))
-      .cache()
+      .grainCache()
     val (c1, c2) = tercileCutoffs(grain).getOrElse((Long.MinValue, Long.MinValue))
     val oov = math.floor(math.log(1.0 / total.toDouble) * 1e6).toLong
     import s.implicits._
@@ -493,7 +494,7 @@ object TextAnalysis {
       sum("nt").as("tokens"),
       expr("(sum(nt) * 1000000L) div count(1)").as("mean_tokens_micro"),
       expr("(sum(nd) * 1000000L) div greatest(sum(nt), 1L)").as("distinct_ratio_micro"))
-      .cache()
+      .grainCache()
     val base = perBucket.agg(
       expr("sum(mean_tokens_micro) div count(1)").as("base_mean_micro"))
     perBucket.crossJoin(broadcast(base))
@@ -697,7 +698,7 @@ object TextAnalysis {
       .withColumn("ws", words)
       .select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
-      .cache()
+      .grainCache()
     val model = perDocBg.groupBy("bg").agg(sum("n").as("cnt_b"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val prefix = model.groupBy("w1").agg(sum("cnt_b").as("cnt_p"))
@@ -760,11 +761,11 @@ object TextAnalysis {
       // `labeled` feeds the pair table AND the priors AND the held-out
       // select — cache it so the tokenize pass runs once, not three
       // times (the E11 discipline below)
-      .cache()
+      .grainCache()
     val pair = labeled
       .select(col("doc_id"), col("label"), col("is_train"), explode(col("ws")).as("word"))
       .groupBy("doc_id", "label", "is_train", "word").agg(count(lit(1)).as("n"))
-      .cache()
+      .grainCache()
     val wc = pair.where(col("is_train")).groupBy("word").agg(
       sum(when(col("label") === 1L, col("n")).otherwise(0L)).as("cnt1"),
       sum(when(col("label") === 0L, col("n")).otherwise(0L)).as("cnt0"))
@@ -827,7 +828,7 @@ object TextAnalysis {
       .where(pmod(col("doc_id") * 1048573L + 11L, lit(1000000L)) < 500000L)
       // feeds the word-count fit AND the priors — cache so the
       // tokenize pass runs once (the E14 discipline)
-      .cache()
+      .grainCache()
     val wc = labeled
       .select(col("label"), explode(col("ws")).as("word"))
       .groupBy("word").agg(
@@ -882,7 +883,7 @@ object TextAnalysis {
       .withColumn("ws", words)
       .select(col("doc_id"), col("ws"),
         when(nw > 0L && ns * 1000000L >= nw * thr, 1L).otherwise(0L).as("label"))
-      .cache()
+      .grainCache()
     val perDoc = base
       .select(col("doc_id"), explode(col("ws")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
@@ -919,11 +920,11 @@ object TextAnalysis {
     // join AND (via wc) the totals — cache it so the tokenize pass
     // runs once, not four times (2.9s → 1.3s median at sf0.1)
     val perDocWord = toks.groupBy("doc_id", "is_target", "word")
-      .agg(count(lit(1)).as("n")).cache()
+      .agg(count(lit(1)).as("n")).grainCache()
     val wc = perDocWord.groupBy("word").agg(
       sum(when(col("is_target") === 1, col("n")).otherwise(0L)).as("cnt_t"),
       sum(when(col("is_target") === 0, col("n")).otherwise(0L)).as("cnt_r"))
-      .cache()
+      .grainCache()
     val tot = wc.agg(sum("cnt_t").as("tot_t"), sum("cnt_r").as("tot_r"),
       count(lit(1)).as("v"))
     def lpMicro(cnt: Column, total: Column): Column =

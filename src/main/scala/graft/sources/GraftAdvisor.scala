@@ -265,11 +265,18 @@ object GraftAdvisor {
   def adviseVectorRecall(s: SparkSession, indexPath: String,
       minRecallMicro: Long = 900000L): Seq[Advice] = {
     val idxName = new Path(indexPath).getName
+    val fs = new Path(indexPath)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    // name the audit that fits the LAYOUT: centroid lists → IVF,
+    // entry shards → the HNSW graph index (r12 — both stores carry
+    // the same one-row `_recall/` meter)
+    val audit =
+      if (fs.exists(new Path(s"$indexPath/shards"))) "hnswRecallAudit"
+      else "ivfRecallAudit"
     val p = new Path(s"$indexPath/_recall")
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(p))
       Seq(Advice(idxName, "audit-recall", 0L,
-        "no recall measurement on record - run ivfRecallAudit so " +
+        s"no recall measurement on record - run $audit so " +
           "serving quality is a measured number"))
     else {
       val r = s.read.parquet(s"$indexPath/_recall").head()
@@ -278,7 +285,7 @@ object GraftAdvisor {
       else Seq(Advice(idxName, "rebuild-index", rm,
         s"measured recall@k is $rm micro at n_probe=${r.getAs[Int]("n_probe")}, " +
           s"under the $minRecallMicro floor - retrain/rebuild the index " +
-          "or raise n_probe, then re-audit"))
+          "or raise the probe breadth, then re-audit"))
     }
   }
 

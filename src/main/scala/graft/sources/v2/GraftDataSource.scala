@@ -88,11 +88,20 @@ class GraftTableProvider extends TableProvider
 case class GraftTable(path: String, tableSchema: StructType,
     pinnedFiles: Seq[String] = Seq.empty,
     partSchema: StructType = new StructType(),
-    morDv: Seq[String] = Seq.empty) extends Table with SupportsRead {
+    morDv: Seq[String] = Seq.empty) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      // append-only SQL DML through the A38 write-audit-publish gate
+      // (V1 fallback, the JDBC-connector pattern) — see GraftSqlWrite
+      TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    GraftSqlWrite.builder(path, partSchema.fieldNames.toSeq, info)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // A32: row-group sampling pushdown — `.option("sampleRowGroups",
     // "0.1")` reads a deterministic ~10% of (file, row group) splits,
@@ -485,7 +494,9 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
     hadoopConf: Configuration,
     partValues: Map[String, Any] = Map.empty,
     rowGroupStart: Long = 0L,
-    masked: Array[Long] = Array.empty) extends PartitionReader[InternalRow] {
+    masked: Array[Long] = Array.empty,
+    takeFrom: Long = Long.MinValue,
+    takeUntil: Long = Long.MaxValue) extends PartitionReader[InternalRow] {
 
   private val reader = ParquetFileReader.open(
     HadoopInputFile.fromPath(new Path(path), hadoopConf),
@@ -546,8 +557,11 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
       val g = recordReader.read()
       val idx = rowIdx
       rowIdx += 1
+      if (idx >= takeUntil) return false // past the replay window
       if (maskPtr < masked.length && masked(maskPtr) == idx) {
         maskPtr += 1 // tombstoned: decode is paid, the row is not served
+      } else if (idx < takeFrom) {
+        () // before the replay window: consume, don't serve
       } else {
         val row = new GenericInternalRow(required.fields.length)
         constants.foreach { case (pos, v) => row.update(pos, v) }

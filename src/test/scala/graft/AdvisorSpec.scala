@@ -225,4 +225,49 @@ class AdvisorSpec extends SparkSpecBase {
     Similarity.ivfRecallAudit(spark, sfDir, idx, nProbe = 16)
     assert(GraftAdvisor.adviseVectorRecall(spark, idx, 999999L).isEmpty)
   }
+
+  test("D18 (HNSW): graph-index recall audit — layout-aware advice, full-probe calibrates to exactly 1.0, delete + re-home keeps coverage exact") {
+    import graft.operators.Hnsw
+    val idx = graft.sources.GraftSink.scratchDir + "/advisor_hnsw_recall"
+    new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(idx), true)
+    Hnsw.hnswPersistedTopk(spark, sfDir, indexPath = Some(idx)).count()
+    // the advisor names the GRAPH audit for a shard layout
+    val unaudited = GraftAdvisor.adviseVectorRecall(spark, idx)
+    assert(unaudited.exists(a => a.rule === "audit-recall" &&
+      a.detail.contains("hnswRecallAudit")), unaudited.toString)
+    // probing EVERY shard is the exact search (each vector lives in
+    // >=1 shard): the calibration must measure exactly 1.0
+    val rAll = Hnsw.hnswRecallAudit(spark, sfDir, idx, probeAll = true)
+    assert(rAll === 1000000L, s"full-probe recall must be exact, got $rAll")
+    assert(GraftAdvisor.adviseVectorRecall(spark, idx, 999999L).isEmpty)
+    // the beam path is the serving approximation: measured, banded
+    val rBeam = Hnsw.hnswRecallAudit(spark, sfDir, idx)
+    assert(rBeam <= 1000000L && rBeam >= 600000L,
+      s"beam recall out of band: $rBeam")
+    // floor semantics: a measurement under the floor advises rebuild
+    val fired = GraftAdvisor.adviseVectorRecall(spark, idx, rBeam + 1)
+    assert(fired.exists(a => a.rule === "rebuild-index" && a.metric === rBeam),
+      fired.toString)
+    // DELETE + RE-HOME (the D13 coverage repair): purge keys including
+    // a ROUTED node, then the full-probe audit must STILL measure
+    // exactly 1.0 — no surviving vector went unreachable
+    val routed = spark.read.parquet(s"$idx/routing")
+      .select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0)).take(2).toSeq
+    // victims above the query sample (query_ids are vec_id < 5)
+    val victims = (routed ++ Seq(101L, 202L)).distinct.filter(_ >= 5L)
+    graft.operators.Hnsw.hnswDelete(spark, idx, victims)
+    val postAll = Hnsw.hnswRecallAudit(spark, sfDir, idx, probeAll = true)
+    // brute force still ranks the purged keys; the index RIGHTLY lost
+    // them — so the only pairs allowed to go missing are (query,
+    // victim) ones: at most |victims| x NQueries(=5). Anything beyond
+    // that is a surviving vector the delete made unreachable.
+    val meter = spark.read.parquet(s"$idx/_recall").head()
+    assert(meter.getAs[Long]("n_expected") - meter.getAs[Long]("n_matched")
+      <= victims.length.toLong * 5L,
+      s"only the purged keys may go missing after delete+re-home: $meter")
+    assert(postAll >= 600000L, s"post-delete coverage collapsed: $postAll")
+  }
 }

@@ -1237,4 +1237,56 @@ class StreamingSpec extends SparkSpecBase {
     assert(served.where(col("k") === 50L).collect()
       .map(_.getLong(1)).toSeq === Seq(500L), "untouched keys ride through")
   }
+
+  test("G27: the graft-replay DSv2 source chunks by REAL row offsets; the G8 summary sink is exactly-once over it; restart resumes past the checkpoint") {
+    val base = graft.sources.GraftSink.scratchDir + "/replay_src"
+    val tbl = s"$base/events_t"
+    val root = s"$base/summary"
+    val cp = s"$base/cp"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val events = new graft.sources.GraftCatalog(spark, sfDir).table("events")
+      .select("event_id", "event_type", "value")
+    events.repartitionByRange(3, col("event_id")).write.parquet(tbl)
+    val nRows = spark.read.parquet(tbl).count()
+    assert(nRows > 300, "need enough rows for several chunks")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-replay")
+        .option("rowsPerBatch", "137").load(tbl)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.streaming.Events.applySummaryBatch(b, id, root)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // the whole table arrived, exactly once, through MANY real batches
+    val expect = spark.read.parquet(tbl).groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).as("total_d"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    def summary() = spark.read.parquet(s"$root/summary.parquet")
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(summary() === expect, "chunked replay must fold to the batch agg")
+    val marker = new org.apache.hadoop.fs.Path(s"$root/summary.parquet/_applied_batch")
+    val lastBatch = { val in = fs.open(marker); try in.readLong() finally in.close() }
+    assert(lastBatch >= nRows / 137 - 1,
+      s"expected ~${nRows / 137} chunked batches, saw last id $lastBatch")
+    // the checkpointed offsets are REAL row coordinates
+    val offFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$cp/offsets"))
+      .map(_.getPath).filterNot(_.getName.startsWith("."))
+    val lastOff = {
+      val in = fs.open(offFiles.maxBy(_.getName.toLong))
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    assert(lastOff.contains("\"row\""), s"offset log must carry row offsets: $lastOff")
+    // restart from the checkpoint: nothing new → no batch re-applies,
+    // the summary is byte-stable (exactly-once across restarts)
+    run()
+    assert(summary() === expect, "a restart must not double-count")
+    val lastBatch2 = { val in = fs.open(marker); try in.readLong() finally in.close() }
+    assert(lastBatch2 === lastBatch, "no new batch may apply on a caught-up restart")
+  }
 }

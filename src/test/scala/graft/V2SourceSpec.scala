@@ -597,6 +597,66 @@ class V2SourceSpec extends SparkSpecBase {
       GraftMor.morRead(spark, path).count())
   }
 
+  test("A51 SQL DML: INSERT INTO stages, audits, publishes; a dirty batch quarantine-diverts by name and the served table is untouched") {
+    import graft.sources.GraftCatalog.AuditRule
+    import graft.sources.v2.GraftSqlWrite
+    val wh = graft.sources.GraftSink.scratchDir + "/sqlins_wh"
+    val tbl = s"$wh/db/t_ins.parquet"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.range(10).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.parquet(tbl)
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftins")
+    spark.sql("REFRESH TABLE graftins.db.t_ins")
+    GraftSqlWrite.setAuditRules(tbl, Seq(AuditRule("neg_v", col("v") < 0L)))
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM graftins.db.t_ins")
+        .head().getLong(0) === 10L)
+      // clean insert: lands, stays invisible to the pinned read until
+      // REFRESH (the WAP stage), then serves; an epoch was published
+      spark.sql("INSERT INTO graftins.db.t_ins VALUES (100, 1), (101, 3)")
+      assert(spark.sql("SELECT count(*) AS n FROM graftins.db.t_ins")
+        .head().getLong(0) === 10L,
+        "a staged insert must stay invisible to the pinned snapshot")
+      spark.sql("REFRESH TABLE graftins.db.t_ins")
+      assert(spark.sql("SELECT count(*) AS n FROM graftins.db.t_ins")
+        .head().getLong(0) === 12L)
+      val cat = new graft.sources.GraftCatalog(spark, s"$wh/db")
+      assert(cat.snapshotIds("t_ins").nonEmpty,
+        "the insert must publish an audited epoch")
+      // dirty insert: refused BY NAME, batch diverted, table untouched
+      val served = spark.sql(
+        "SELECT * FROM graftins.db.t_ins ORDER BY k").collect().toSeq
+      val e = intercept[Exception](spark.sql(
+        "INSERT INTO graftins.db.t_ins VALUES (200, 5), (201, -7)"))
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " || " + chain(t.getCause)
+      assert(chain(e).contains("neg_v") && chain(e).contains("quarantine"),
+        chain(e))
+      spark.sql("REFRESH TABLE graftins.db.t_ins")
+      assert(spark.sql("SELECT * FROM graftins.db.t_ins ORDER BY k")
+        .collect().toSeq === served,
+        "a refused insert must leave the served table byte-identical")
+      // the diverted batch + reasons manifest are inspectable
+      val qRoot = new org.apache.hadoop.fs.Path(s"$tbl/_quarantine")
+      assert(fs.exists(qRoot), "quarantine divert dir missing")
+      val qBatch = fs.listStatus(qRoot).head.getPath
+      val reasons = spark.read.parquet(s"$qBatch/_reasons")
+      assert(reasons.count() === 1L)
+      assert(reasons.head().getAs[String]("reasons") === "neg_v")
+      // a later CLEAN insert is not blocked by the diverted batch
+      spark.sql("INSERT INTO graftins.db.t_ins VALUES (300, 9)")
+      spark.sql("REFRESH TABLE graftins.db.t_ins")
+      assert(spark.sql("SELECT count(*) AS n FROM graftins.db.t_ins")
+        .head().getLong(0) === 13L)
+      // INSERT OVERWRITE refuses by name (append-only DML)
+      val e2 = intercept[Exception](spark.sql(
+        "INSERT OVERWRITE graftins.db.t_ins VALUES (1, 1)"))
+      assert(chain(e2).toLowerCase.contains("overwrite"), chain(e2))
+    } finally GraftSqlWrite.clearAuditRules(tbl)
+  }
+
   test("A42 SQL: a fully-tombstoned row group plans NO split; the driver mask refuses past the cap by name") {
     import graft.sources.GraftMor
     import graft.sources.v2.{GraftMorMask, GraftV2}
