@@ -113,7 +113,7 @@ object Bench {
     // the H14 seeded-shuffle keyed resume, the A48 footer-pruned
     // retention sweep, and the A49 outbound change feed
     "pipeline_shuffle_resume", "src_retention_sweep",
-    "src_mor_change_feed")
+    "src_mor_change_feed", "src_mor_sql_read")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

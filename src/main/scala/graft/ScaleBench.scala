@@ -329,6 +329,32 @@ object ScaleBench {
           sp.range(1000).select((col("id") * 10L + run).as("o_custkey")),
           Seq("o_custkey"))
       }),
+    WriteExp("w_mor_sql_read",
+      "scan-class by design (NOT churn-constant): the timed op is the " +
+        "SQL serving read of a dv-masked table — the mask itself is " +
+        "CONSTANT (fixed tombstone volume rides the splits as sorted " +
+        "position slices, no join, no shuffle), so the ratio should " +
+        "sit in the plain-scan band (compare q1-class read ratios); " +
+        "a ratio above the scan band would mean masking added a " +
+        "scaling term",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        sp.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$scratch/db/t.parquet")
+        // constant churn: keys < 50k exist at every scale
+        graft.sources.GraftMor.morDelete(sp, s"$scratch/db/t.parquet",
+          col("o_orderkey") < 50000L && col("o_orderkey") % 10 === 0)
+        graft.sources.v2.GraftTableCatalog.registerForRoot(sp, scratch)
+      },
+      op = (sp, dir, scratch, run) => {
+        val cat = graft.sources.v2.GraftTableCatalog.registerForRoot(sp, scratch)
+        val n = sp.sql(
+          s"""SELECT o_orderstatus, count(*) AS n,
+                     sum(CAST(o_totalprice AS DECIMAL(28,6))) AS total
+              FROM $cat.db.t GROUP BY o_orderstatus""").count()
+        require(n > 0, "[scalebench] masked SQL read returned nothing")
+      }),
     WriteExp("w_mor_upsert_eq",
       "O(batch) + O(files) listing: the sequence-numbered upsert " +
         "writes a key tombstone and a manifest-sequenced append - " +
@@ -515,7 +541,8 @@ object ScaleBench {
       s""""n_writes":${wRows.size},"writes":$wjson,""" +
       s""""sum_sf01":${fmt(rows.map(_._2).sum)},"sum_sf1":${fmt(rows.map(_._3).sum)}}"""
     println(line)
-    val w = new java.io.PrintWriter("SCALING_r11.json")
+    val w = new java.io.PrintWriter(
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_r12.json"))
     try w.println(line) finally w.close()
     spark.stop()
   }

@@ -41,6 +41,13 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    recurrence). Branches sharing an IDENTICAL exchange are
   *    excused (runtime exchange reuse materializes them once), as
   *    are differently-filtered scans (query-slice vs corpus).
+  *  - unmasked-mor-scan (r12): a file scan of a table carrying live
+  *    merge-on-read mutation sidecars (`_dv`/`_eq`) in a plan that
+  *    reads NO sidecar — raw `spark.read.parquet` of a mutated table,
+  *    the one read surface the A51 serving work cannot intercept;
+  *    the plan will serve deleted (including GDPR-erased) rows.
+  *    morRead/catalog plans are excused automatically: their mask
+  *    anti-joins scan the sidecars in the same plan.
   */
 object GraftDoctor {
 
@@ -96,6 +103,39 @@ object GraftDoctor {
 
   def lint(df: DataFrame): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
+    // unmasked-mor-scan prepass: which paths does this plan read? A
+    // scan of a merge-on-read table's files is fine when the SAME plan
+    // also reads the table's mask sidecars (morRead / catalog serving
+    // compose them as anti-joins); a plan reading the data files with
+    // NO sidecar scan serves deleted — including GDPR-erased — rows.
+    val allRoots: Seq[String] = physical(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    val maskedTables: Set[String] = allRoots.collect {
+      case p if p.contains("/_dv") => p.substring(0, p.indexOf("/_dv"))
+      case p if p.contains("/_eq") => p.substring(0, p.indexOf("/_eq"))
+    }.toSet
+    val hadoopConf = df.sparkSession.sessionState.newHadoopConf()
+    val sidecarMemo = scala.collection.mutable.Map.empty[String, Boolean]
+    def hasLiveSidecar(dir: String): Boolean =
+      sidecarMemo.getOrElseUpdate(dir, {
+        try {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(hadoopConf)
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_dv")) ||
+            fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_eq"))
+        } catch { case _: Exception => false }
+      })
+    def morTableOf(rootPath: String): Option[String] = {
+      if (rootPath.contains("/_dv") || rootPath.contains("/_eq")) return None
+      val p = new org.apache.hadoop.fs.Path(rootPath)
+      // a root path is either the table dir itself or (pinned reads)
+      // a data file under it — probe both
+      Seq(p.toString, Option(p.getParent).map(_.toString).getOrElse(""))
+        .filter(_.nonEmpty)
+        .find(hasLiveSidecar)
+    }
     // Sites for the repeated-uncached-subtree rule: file scans with
     // tokenize-class work recomputed MAP-SIDE above them (below the
     // first exchange/union). Grouped by (source location, normalized
@@ -161,6 +201,20 @@ object GraftDoctor {
             case _ => // global aggregate / final limit: legitimate single-row funnels
           }
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          // unmasked-mor-scan (r12): this scan reads a table carrying
+          // live _dv/_eq mutation sidecars, and NOTHING in the plan
+          // reads those sidecars — the plan will serve tombstoned rows
+          f.relation.location.rootPaths.map(_.toString)
+            .flatMap(morTableOf).distinct
+            .filterNot(t => maskedTables.exists(_.startsWith(t)))
+            .foreach { t =>
+              out += Finding("unmasked-mor-scan", "high", f.nodeName,
+                s"reads $t, a merge-on-read table with live _dv/_eq " +
+                  "mutation sidecars, without composing their masks - " +
+                  "deleted/GDPR-erased rows will serve; read via " +
+                  "GraftCatalog.table / GraftMor.morRead, or fold with " +
+                  "morCompact first")
+            }
           // AQE's input plan carries no Exchange nodes yet, so the
           // would-be exchange boundary is read off the REQUIREMENT:
           // the subtree below the first ancestor demanding a

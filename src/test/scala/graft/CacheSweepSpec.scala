@@ -27,6 +27,22 @@ class CacheSweepSpec extends SparkSpecBase {
     "text_quality_classifier", "text_dsir_weights",
     "text_decontaminate_semantic")
 
+  test("source lint: no raw .cache() in the operator surface — every grain routes through grainCache()") {
+    val opDir = new java.io.File("src/main/scala/graft/operators")
+    assume(opDir.isDirectory, "source tree not available")
+    val offenders = opDir.listFiles().filter(_.getName.endsWith(".scala"))
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().zipWithIndex.collect {
+          case (l, i) if l.contains(".cache()") && !l.trim.startsWith("//") =>
+            s"${f.getName}:${i + 1}: $l"
+        }.toList finally src.close()
+      }
+    assert(offenders.isEmpty,
+      "raw .cache() re-opens the unreleased-grain leak; use grainCache():\n" +
+        offenders.mkString("\n"))
+  }
+
   test("every cache-heavy read operator's grains release at the composition boundary; user caches survive") {
     spark.catalog.clearCache()
     GraftSession.releaseGrains()

@@ -107,4 +107,27 @@ class DoctorSpec extends SparkSpecBase {
         Seq("o_custkey"))
     assert(!rules(plain).contains("repeated-uncached-subtree"), rules(plain).toString)
   }
+
+  test("unmasked-mor-scan: a raw read of a mutated MOR table flags; morRead/catalog plans are excused; compaction clears it") {
+    import org.apache.spark.sql.functions._
+    val path = graft.sources.GraftSink.scratchDir + "/doctor_mor"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    spark.range(100).select(col("id").as("k"), (col("id") % 5).as("v"))
+      .write.parquet(path)
+    // no sidecars yet: a raw read is clean
+    assert(!rules(spark.read.parquet(path)).contains("unmasked-mor-scan"))
+    graft.sources.GraftMor.morDelete(spark, path, col("k") % 10 === 3)
+    // the residual surface: raw reads of a mutated table flag HIGH
+    assert(rules(spark.read.parquet(path)).contains("unmasked-mor-scan"))
+    assert(rules(spark.read.parquet(path).where(col("v") === 1L)
+      .groupBy("v").count()).contains("unmasked-mor-scan"))
+    // the serving paths compose the masks in-plan: excused
+    assert(!rules(graft.sources.GraftMor.morRead(spark, path))
+      .contains("unmasked-mor-scan"))
+    // folding reunifies: the raw read is clean again
+    graft.sources.GraftMor.morCompact(spark, path)
+    assert(!rules(spark.read.parquet(path)).contains("unmasked-mor-scan"))
+  }
 }
