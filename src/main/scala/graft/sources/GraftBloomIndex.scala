@@ -219,15 +219,27 @@ object GraftBloomIndex {
     }.collect().toSeq
   }
 
+  /** Point lookup over the surviving files — MERGE-ON-READ AWARE
+    * (A51): live `_dv`/`_eq` sidecars compose as the same gated
+    * anti-joins every serving surface applies (a bloom hit on a
+    * tombstoned or GDPR-erased row must NOT serve), and the recorded
+    * evolved schema is honored. A sidecar-free table pays two
+    * metadata existence probes and nothing else.
+    */
   def lookup(s: SparkSession, tablePath: String, keyCol: String,
       values: Seq[Any]): DataFrame = {
     val surviving = probeFiles(s, tablePath, keyCol, values)
     val probe = col(keyCol).isin(values: _*)
+    val sc = GraftMor.sidecars(s, tablePath)
     if (surviving.isEmpty)
       s.read.parquet(tablePath).where(probe).where(lit(false))
     else {
       val reader = s.read.option("basePath", tablePath)
-      reader.parquet(surviving: _*).where(probe)
+      sc.schemaDdl.foreach(d =>
+        reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
+      val base = reader.parquet(surviving: _*)
+      val masked = if (sc.any) GraftMor.applyMasks(s, base, sc) else base
+      masked.where(probe)
     }
   }
 }

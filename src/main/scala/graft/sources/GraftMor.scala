@@ -119,6 +119,25 @@ object GraftMor {
     }
   }
 
+  /** Refuse a COW rewrite BY NAME while mutation sidecars are live: a
+    * raw-read rewrite (merge/compact) would RESURRECT tombstoned rows
+    * and dangle the position vector's file coordinates — the masks
+    * must fold (`morCompact`) before any whole-file rewrite. Two
+    * existence probes; a sidecar-free table pays nothing.
+    */
+  def failIfMutationSidecars(s: SparkSession, tablePath: String,
+      op: String): Unit = {
+    val f = fs(s, tablePath)
+    val live = Seq(DvDir, EqDir).filter(d =>
+      f.exists(new org.apache.hadoop.fs.Path(s"$tablePath/$d")))
+    if (live.nonEmpty)
+      throw new IllegalStateException(
+        s"[GRAFT] $op on $tablePath refused: live merge-on-read mutation " +
+          s"sidecars (${live.mkString(",")}) would be invalidated and their " +
+          "tombstoned rows resurrected by a raw rewrite - fold them with " +
+          "morCompact first")
+  }
+
   /** The table's current sidecar state — three listings + one tiny
     * marker read, the whole metadata cost of a mask-aware read.
     */

@@ -93,6 +93,7 @@ object GraftSink {
     // references — fail fast while any reader lease is live (the
     // reference's share-lock conflict, GraftLease doc)
     GraftLease.failIfLeased(s, targetPath, "mergeUpsert")
+    GraftMor.failIfMutationSidecars(s, targetPath, "mergeUpsert")
     val target = s.read.parquet(targetPath)
     val keys = updates.select(keyCols.map(col): _*)
     val affected = target
@@ -179,6 +180,7 @@ object GraftSink {
                   keyCols: Seq[String], partitionCol: String): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     GraftLease.failIfLeased(s, targetPath, "mergeDelete")
+    GraftMor.failIfMutationSidecars(s, targetPath, "mergeDelete")
     val target = s.read.parquet(targetPath)
     val keys = deleteKeys.select(keyCols.map(col): _*)
     val affected = target
@@ -219,6 +221,7 @@ object GraftSink {
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.spark.sql.functions.col
     GraftLease.failIfLeased(s, tablePath, "compactTable")
+    GraftMor.failIfMutationSidecars(s, tablePath, "compactTable")
     val df = s.read.parquet(tablePath)
     val staged = (if (partitionCols.nonEmpty)
         df.repartition(partitionCols.map(col): _*)

@@ -153,4 +153,28 @@ class BloomIndexSpec extends SparkSpecBase {
     assert(dataFiles(path).forall(!_.contains("_bloom_")))
     assert(dataFiles(path).length === 3)
   }
+
+  test("A51: a bloom point lookup on a MOR-mutated table composes the masks — tombstoned and erased keys never serve") {
+    import spark.implicits._
+    val path = freshTable("bloom_mor", 4)
+    GraftBloomIndex.build(spark, path, "o_orderkey")
+    val keys = spark.read.parquet(path).select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey").limit(3).collect()
+    val victim = keys(0).getLong(0)        // position-tombstoned
+    val erasedCust = keys(1).getLong(1)    // equality-erased (by custkey)
+    val live = keys(2).getLong(0)
+    assert(GraftBloomIndex.lookup(spark, path, "o_orderkey",
+      Seq(victim, live)).count() >= 2, "both keys serve pre-mutation")
+    graft.sources.GraftMor.morDelete(spark, path, col("o_orderkey") === victim)
+    graft.sources.GraftMor.morErase(spark, path,
+      Seq(erasedCust).toDF("o_custkey"), Seq("o_custkey"))
+    val post = GraftBloomIndex.lookup(spark, path, "o_orderkey",
+      Seq(victim, live)).collect()
+    assert(!post.exists(_.getLong(0) == victim),
+      "a tombstoned row must not serve through the bloom lookup")
+    assert(post.exists(_.getLong(0) == live), "live keys still serve")
+    assert(GraftBloomIndex.lookup(spark, path, "o_custkey",
+      Seq(erasedCust)).count() === 0,
+      "an erased key must not serve through the bloom lookup")
+  }
 }

@@ -628,6 +628,25 @@ class MorSpec extends SparkSpecBase {
                    col("o_orderkey") % 3 =!= 0).count())
   }
 
+  test("r12: COW rewrites refuse BY NAME while mutation sidecars are live — a raw rewrite would resurrect tombstones") {
+    import spark.implicits._
+    val path = freshTable("cowguard")
+    GraftMor.morDelete(spark, path, col("o_orderkey") % 10 === 3)
+    val e1 = intercept[IllegalStateException](
+      graft.sources.GraftSink.mergeDelete(spark, path,
+        Seq(1L).toDF("o_orderkey"), Seq("o_orderkey"), "o_orderstatus"))
+    assert(e1.getMessage.contains("morCompact"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](
+      graft.sources.GraftSink.compactTable(spark, path))
+    assert(e2.getMessage.contains("resurrected"), e2.getMessage)
+    // folding reunifies: the rewrite proceeds on the clean table
+    GraftMor.morCompact(spark, path)
+    graft.sources.GraftSink.compactTable(spark, path)
+    assert(spark.read.parquet(path)
+      .where(col("o_orderkey") % 10 === 3).count() === 0,
+      "the fold must hold through the subsequent rewrite")
+  }
+
   test("r12: constructing a morRead plan launches NO sizing job (listing-byte broadcast gates)") {
     val path = freshTable("nosize")
     GraftMor.morDelete(spark, path, col("o_orderkey") % 10 === 3)
