@@ -1168,15 +1168,22 @@ object SparkEntry {
     // (A46) and feed-fold (A49) both equal the recompute
     "src_mor_change_feed" -> MorLadderSql,
 
-    // A42 SQL serving: SELECT FROM graft.db.t on a dv-mutated table
-    // (upsert generation + predicate delete) must serve exactly the
-    // morRead answer — the masks compose split-locally in the v2 reader
+    // A42-A45 SQL serving: SELECT FROM graft.db.t on a table mutated
+    // with the FULL ladder (position upsert + delete, sequence-
+    // numbered eq-upsert superseding by the Iceberg-v2 rule, GDPR
+    // erase at infinite sequence) must serve exactly the morRead
+    // answer — every mask composes split-locally in the v2 reader.
+    // %200-bumped keys end in 00 and %1000==500 keys end in 00, so
+    // neither intersects the %10==3 delete; the erase wins over the
+    // eq-upsert where both touch a key (erase seq = infinity).
     "src_mor_sql_read" -> """
       WITH merged AS (
         SELECT o_orderkey, o_orderstatus,
-               CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+               CASE WHEN o_orderkey % 200 = 0 THEN o_totalprice + 1001.0
+                    WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
                     ELSE o_totalprice END AS o_totalprice
         FROM orders
+        WHERE o_orderkey % 1000 <> 500
         UNION ALL
         SELECT 900000000 + range, 'F', 42.5 FROM range(3))
       SELECT o_orderstatus, count(*) AS n,

@@ -970,17 +970,22 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
-  /** A42 (SQL serving leg): a MERGE-ON-READ mutated table read BY NAME
-    * through the DSv2 SQL catalog — `SELECT ... FROM graft.db.t` must
-    * hash-match `morRead` on the same table (the reference's
-    * single-entry snapshot-consistent read contract,
+  /** A42-A45 (SQL serving leg): a MERGE-ON-READ mutated table read BY
+    * NAME through the DSv2 SQL catalog — `SELECT ... FROM graft.db.t`
+    * must hash-match `morRead` on EVERY mutation flavor at once (the
+    * reference's single-entry snapshot-consistent read contract,
     * ArgodbMapreduceInputFormat.java:52-102: however a table is
-    * opened, it serves ONE answer). The position tombstones are pinned
-    * at loadTable with the file set and applied SPLIT-LOCALLY by the
-    * v2 reader (the Iceberg deletion-vector shape): the SQL read pays
-    * no join at all for the masks. Upsert (tombstone + append) and
-    * predicate delete both land before the read; REFRESH TABLE
-    * re-pins files and sidecar epochs together.
+    * opened, it serves ONE answer). The full ladder lands before the
+    * read: a position UPSERT (tombstone + append) and a predicate
+    * DELETE (both `_dv` — applied SPLIT-LOCALLY by the v2 reader as
+    * sorted row-index slices, the Iceberg deletion-vector shape), a
+    * SEQUENCE-NUMBERED equality upsert (`_eq` + `_seqm` — the reader
+    * masks by a capped key→sequence map under the Iceberg-v2 rule:
+    * the tombstone hides a key's rows only in files with a LOWER
+    * commit sequence, so the batch's own appends serve), and a GDPR
+    * ERASE (sequence ∞ — masks the key everywhere, forever). The SQL
+    * read pays NO join for any of it. REFRESH TABLE re-pins files
+    * and sidecar epochs together.
     */
   def srcMorSqlRead(s: SparkSession, dir: String): DataFrame = {
     val wh = graft.sources.GraftSink.scratchDir + "/morsql"
@@ -994,12 +999,23 @@ object Relational {
       lit(1L).as("o_custkey"),
       lit("F").as("o_orderstatus"),
       lit(42.5).as("o_totalprice"))
+    // position flavor: one upsert generation + a predicate delete
     graft.sources.GraftMor.morUpsert(s, path,
       orders.where(col("o_orderkey") % 100 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
         .unionByName(inserts),
       Seq("o_orderkey"))
     graft.sources.GraftMor.morDelete(s, path, col("o_orderkey") % 10 === 3)
+    // equality flavor: a sequence-numbered generation superseding the
+    // position-upserted versions (+1001 from the ORIGINAL price), then
+    // a GDPR erase at infinite sequence
+    graft.sources.GraftMor.morUpsertEq(s, path,
+      orders.where(col("o_orderkey") % 200 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1001.0)),
+      Seq("o_orderkey"))
+    graft.sources.GraftMor.morErase(s, path,
+      orders.where(col("o_orderkey") % 1000 === 500).select("o_orderkey"),
+      Seq("o_orderkey"))
     graft.sources.v2.GraftTableCatalog.register(s, wh, "graftmor")
     s.sql("REFRESH TABLE graftmor.db.orders_msql")
     s.sql("""

@@ -107,10 +107,10 @@ object GraftAdvisor {
         val eqLive = fs.exists(new Path(dir, GraftMor.EqDir))
         if (eqLive)
           out += Advice(name, "mor-unserved", 1L,
-            s"equality mutation epochs (${GraftMor.EqDir}) pending: SQL " +
-              "serving refuses this table and raw parquet reads bypass " +
-              "the erase mask - run morCompact to fold and reunify the " +
-              "read surfaces")
+            s"equality mutation epochs (${GraftMor.EqDir}) pending: engine " +
+              "surfaces compose the mask per read, but raw parquet reads " +
+              "bypass it entirely and COW rewrites are refused - run " +
+              "morCompact to fold the erasure physically")
       }
     }
     out.result().sortBy(a => (a.table, a.rule))

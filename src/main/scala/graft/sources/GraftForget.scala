@@ -46,8 +46,8 @@ object GraftForget {
       GraftMor.morErase(s, t, ids.toDF(keyCol), Seq(keyCol))
       out += (("table", s"morErase(${ids.length} keys) at $t"))
       // honest audit line: the erase masks every ENGINE read surface
-      // (morRead, GraftCatalog.table/tableAsOf/diff; the SQL catalog
-      // refuses by name until the fold), but a RAW spark.read.parquet
+      // (morRead, GraftCatalog.table/tableAsOf/diff, the SQL catalog's
+      // split-local masks, bloom lookups), but a RAW spark.read.parquet
       // of the directory bypasses sidecars entirely — the erasure is
       // physical only after morCompact, and the advisor's
       // `mor-unserved` signal stays lit until then

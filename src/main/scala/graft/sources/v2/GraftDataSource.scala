@@ -67,15 +67,17 @@ class GraftTableProvider extends TableProvider
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
     val conf = GraftV2.sessionConf().value
-    // merge-on-read awareness (A42-A45): live position sidecars ride
-    // into the scan as split-local masks; unmerged EQUALITY sidecars
-    // cannot compose here (their discovery scan is deferred by design)
-    // and refuse BY NAME instead of silently serving erased rows
-    GraftV2.refuseEqSidecar(path, conf, "the graft v2 source")
+    // merge-on-read awareness (A42-A45): live position AND equality
+    // sidecars ride into the scan as split-local masks (the reader
+    // applies positions by row index and equality keys by the
+    // Iceberg-v2 sequence rule) — unsupported key types / over-cap
+    // volumes refuse BY NAME inside the loaders
     GraftTable(path, schema,
       partSchema = GraftV2.partitionSchema(path,
         GraftV2.dataFiles(path, conf)),
-      morDv = GraftV2.sidecarParquet(path, graft.sources.GraftMor.DvDir, conf))
+      morDv = GraftV2.sidecarParquet(path, graft.sources.GraftMor.DvDir, conf),
+      morEq = GraftV2.sidecarParquet(path, graft.sources.GraftMor.EqDir, conf),
+      morSeqm = GraftV2.sidecarParquet(path, graft.sources.GraftMor.SeqDir, conf))
   }
 }
 
@@ -88,7 +90,9 @@ class GraftTableProvider extends TableProvider
 case class GraftTable(path: String, tableSchema: StructType,
     pinnedFiles: Seq[String] = Seq.empty,
     partSchema: StructType = new StructType(),
-    morDv: Seq[String] = Seq.empty) extends Table with SupportsRead
+    morDv: Seq[String] = Seq.empty,
+    morEq: Seq[String] = Seq.empty,
+    morSeqm: Seq[String] = Seq.empty) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = tableSchema
@@ -119,7 +123,7 @@ case class GraftTable(path: String, tableSchema: StructType,
         Option(options.get("samplecomplement")).exists(_.toBoolean))
     }
     new GraftScanBuilder(path, tableSchema, pinnedFiles, partSchema, sample,
-      morDv)
+      morDv, morEq, morSeqm)
   }
 }
 
@@ -127,7 +131,9 @@ class GraftScanBuilder(path: String, fullSchema: StructType,
     pinnedFiles: Seq[String] = Seq.empty,
     partSchema: StructType = new StructType(),
     sample: Option[(Double, Long, Boolean)] = None,
-    morDv: Seq[String] = Seq.empty) extends ScanBuilder
+    morDv: Seq[String] = Seq.empty,
+    morEq: Seq[String] = Seq.empty,
+    morSeqm: Seq[String] = Seq.empty) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -174,9 +180,9 @@ class GraftScanBuilder(path: String, fullSchema: StructType,
     // footer stats describe WHOLE row groups — they cannot answer an
     // aggregate over a row-group SAMPLE
     if (sample.isDefined) return false
-    // footer stats count MASKED rows too: a deletion-vector table must
+    // footer stats count MASKED rows too: a mutation-masked table must
     // take the row path so the split-local masks apply
-    if (morDv.nonEmpty) return false
+    if (morDv.nonEmpty || morEq.nonEmpty) return false
     val partCols = partSchema.fieldNames.toSet
     def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -229,7 +235,7 @@ class GraftScanBuilder(path: String, fullSchema: StructType,
 
   override def build(): Scan = GraftScan(path, required, pushed,
     pinnedFiles = pinnedFiles, partSchema = partSchema, agg = aggSpec,
-    sample = sample, morDv = morDv)
+    sample = sample, morDv = morDv, morEq = morEq, morSeqm = morSeqm)
 }
 
 /** A pushed footer-stats aggregation: partition group columns + the
@@ -261,7 +267,9 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     partSchema: StructType = new StructType(),
     agg: Option[GraftAggSpec] = None,
     sample: Option[(Double, Long, Boolean)] = None,
-    morDv: Seq[String] = Seq.empty)
+    morDv: Seq[String] = Seq.empty,
+    morEq: Seq[String] = Seq.empty,
+    morSeqm: Seq[String] = Seq.empty)
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   /** Filters Spark hands over at RUNTIME (dynamic partition pruning /
@@ -306,13 +314,20 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     * are dropped before any task launches.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    // GDPR guard, checked FRESH at every scan (one exists() probe): an
-    // equality-erase sidecar written after this table was pinned must
-    // refuse rather than silently serve erased rows — erasure outranks
-    // snapshot stability (the GraftCatalog surfaces apply the same
-    // rule as a fresh mask; here the reader has no key columns to
-    // mask with, so it fails loudly)
-    GraftV2.refuseEqSidecar(path, conf.value, "this pinned SQL scan")
+    // GDPR freshness guard, checked at every scan (one listing): the
+    // equality sidecar this scan PINNED must still be the table's
+    // CURRENT one — an erase/eq-upsert landing after the pin (or a
+    // compaction folding it) must refuse rather than serve a stale
+    // mask; erasure outranks snapshot stability. REFRESH TABLE
+    // re-pins files and sidecars together.
+    val freshEq = GraftV2.sidecarParquet(path,
+      graft.sources.GraftMor.EqDir, conf.value)
+    if (freshEq != morEq)
+      throw new IllegalStateException(
+        s"[GRAFT] $path: equality mutation sidecars changed since this " +
+          "table was pinned (an erase/eq-upsert landed, or a compaction " +
+          "folded them) - REFRESH TABLE to re-pin, or read via " +
+          "GraftMor.morRead")
     val all = filters ++ runtimeFilters
     val fileSet =
       if (pinnedFiles.nonEmpty) pinnedFiles else GraftV2.dataFiles(path, conf.value)
@@ -330,6 +345,12 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     // sliced per (file, row group) below — the Iceberg DV shape
     val dvMask: Map[String, Array[Long]] =
       if (morDv.isEmpty) Map.empty else GraftMorMask.load(morDv, conf.value)
+    // A44/A45 equality masks: key tuple -> max sequence, applied in
+    // the reader under the Iceberg-v2 rule (mask where file sequence
+    // < tombstone sequence; erases stamp MaxValue = mask everywhere)
+    val seqmMap: Map[String, Long] =
+      if (morSeqm.isEmpty) Map.empty
+      else GraftMorMask.loadSeqm(morSeqm, conf.value)
     fileSet.flatMap { file =>
       // hive-layout partition values of THIS file (empty for flat
       // tables) — evaluated against the pushed/runtime filters BEFORE
@@ -373,7 +394,10 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
                 catch { case _: java.io.IOException => Array.empty[String] }
               Some(GraftInputPartition(file, i, hosts, partValues,
                 starts(i),
-                java.util.Arrays.copyOfRange(fileMask, lo, hi)): InputPartition)
+                java.util.Arrays.copyOfRange(fileMask, lo, hi),
+                seqmMap.getOrElse(
+                  GraftMorMask.norm(new Path(file).toUri.getPath), 0L))
+                : InputPartition)
             }
           }.toSeq
       }
@@ -386,9 +410,13 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     if (i >= 0) i else -(i + 1)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (eqKeyCols, eqMap) =
+      if (morEq.isEmpty) (Seq.empty[String], Map.empty[Seq[Any], Long])
+      else GraftMorMask.loadEq(morEq, conf.value)
     agg.map(a => GraftAggReaderFactory(a, conf): PartitionReaderFactory)
-      .getOrElse(GraftReaderFactory(required, conf))
+      .getOrElse(GraftReaderFactory(required, conf, eqKeyCols, eqMap))
+  }
 }
 
 case class GraftAggPartition(path: String,
@@ -470,16 +498,25 @@ case class GraftInputPartition(path: String, rowGroup: Int,
     hosts: Array[String] = Array.empty,
     partValues: Map[String, Any] = Map.empty,
     rowGroupStart: Long = 0L,
-    masked: Array[Long] = Array.empty) extends InputPartition {
+    masked: Array[Long] = Array.empty,
+    fileSeq: Long = 0L) extends InputPartition {
   override def preferredLocations(): Array[String] = hosts
 }
 
+/** `eqKeyCols`/`eqMap`: the A44/A45 equality mask (key tuple → max
+  * tombstone sequence), shipped once in the task binary (hard-capped
+  * at load); each split's `fileSeq` decides which tombstones outrank
+  * its rows (Iceberg-v2 rule).
+  */
 case class GraftReaderFactory(required: StructType,
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration,
+    eqKeyCols: Seq[String] = Seq.empty,
+    eqMap: Map[Seq[Any], Long] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.path, p.rowGroup, required, conf.value,
-      p.partValues, p.rowGroupStart, p.masked)
+      p.partValues, p.rowGroupStart, p.masked,
+      eqKeyCols = eqKeyCols, eqMap = eqMap, fileSeq = p.fileSeq)
   }
 }
 
@@ -496,7 +533,10 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
     rowGroupStart: Long = 0L,
     masked: Array[Long] = Array.empty,
     takeFrom: Long = Long.MinValue,
-    takeUntil: Long = Long.MaxValue) extends PartitionReader[InternalRow] {
+    takeUntil: Long = Long.MaxValue,
+    eqKeyCols: Seq[String] = Seq.empty,
+    eqMap: Map[Seq[Any], Long] = Map.empty,
+    fileSeq: Long = 0L) extends PartitionReader[InternalRow] {
 
   private val reader = ParquetFileReader.open(
     HadoopInputFile.fromPath(new Path(path), hadoopConf),
@@ -523,15 +563,76 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
       i -> (null: Any)
   }.toMap
 
+  /** Equality-mask key columns that must be READ FROM THIS FILE even
+    * when the projection pruned them (the Iceberg equality-delete
+    * read shape) — columns already in the projection are reused by
+    * position; partition-valued keys come from the split constants.
+    */
+  private val extraMaskCols: Array[String] = eqKeyCols.toArray.filter(c =>
+    !partValues.contains(c) && fileSchema.containsField(c) &&
+      !fileFields.exists(_._1.name == c))
+
   // a projection of ONLY partition columns still has to iterate the
   // row group's rows: request the first file column as a row cursor
   // (its values are never read into the output)
-  private val cursorOnly = fileFields.isEmpty
+  private val cursorOnly = fileFields.isEmpty && extraMaskCols.isEmpty
   private val requestedTypes: Array[Type] =
     if (cursorOnly) Array(fileSchema.getType(Seq(fileSchema.getFields.asScala.head.getName): _*))
-    else fileFields.map { case (f, _) => fileSchema.getType(Seq(f.name): _*) }
+    else fileFields.map { case (f, _) => fileSchema.getType(Seq(f.name): _*) } ++
+      extraMaskCols.map(c => fileSchema.getType(Seq(c): _*))
   private val requested = new MessageType(fileSchema.getName, requestedTypes: _*)
   reader.setRequestedSchema(requested)
+
+  /** Canonical (Long/String) per-row accessors for the equality-mask
+    * key tuple — built against the requested group positions; null
+    * key values never match (sidecar keys are non-null by contract).
+    */
+  private val keyGetters: Array[Group => Any] =
+    if (eqMap.isEmpty) Array.empty
+    else eqKeyCols.toArray.map { c =>
+      if (partValues.contains(c)) {
+        val const: Any = partValues(c) match {
+          case n: java.lang.Long => n
+          case s: String => s
+          case other => throw new IllegalStateException(
+            s"[GRAFT] equality-mask key '$c' rides an unsupported " +
+              s"partition value $other")
+        }
+        (_: Group) => const
+      } else {
+        val gi = {
+          val inProj = fileFields.indexWhere(_._1.name == c)
+          if (inProj >= 0) inProj
+          else fileFields.length + extraMaskCols.indexOf(c)
+        }
+        val prim = requestedTypes(gi).asPrimitiveType().getPrimitiveTypeName
+        prim match {
+          case BINARY =>
+            (g: Group) => if (g.getFieldRepetitionCount(gi) == 0) null
+              else g.getBinary(gi, 0).toStringUsingUTF8
+          case INT32 =>
+            (g: Group) => if (g.getFieldRepetitionCount(gi) == 0) null
+              else java.lang.Long.valueOf(g.getInteger(gi, 0).toLong)
+          case _ =>
+            (g: Group) => if (g.getFieldRepetitionCount(gi) == 0) null
+              else java.lang.Long.valueOf(g.getLong(gi, 0))
+        }
+      }
+    }
+
+  /** Iceberg-v2 equality rule: masked iff the key's max tombstone
+    * sequence outranks this file's sequence.
+    */
+  private def eqMasked(g: Group): Boolean = {
+    if (keyGetters.isEmpty) return false
+    val key = new Array[Any](keyGetters.length)
+    var i = 0
+    while (i < keyGetters.length) { key(i) = keyGetters(i)(g); i += 1 }
+    eqMap.get(key.toSeq) match {
+      case Some(maxSeq) => fileSeq < maxSeq
+      case None => false
+    }
+  }
 
   (0 until rowGroup).foreach(_ => reader.skipNextRowGroup())
   private val store = reader.readNextRowGroup()
@@ -562,6 +663,8 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
         maskPtr += 1 // tombstoned: decode is paid, the row is not served
       } else if (idx < takeFrom) {
         () // before the replay window: consume, don't serve
+      } else if (eqMasked(g)) {
+        () // equality-tombstoned at an outranking sequence
       } else {
         val row = new GenericInternalRow(required.fields.length)
         constants.foreach { case (pos, v) => row.update(pos, v) }

@@ -73,4 +73,106 @@ object GraftMorMask {
     }
     acc.iterator.map { case (k, v) => k -> v.toArray.sorted }.toMap
   }
+
+  /** One equality-sidecar load (A44/A45) for the SQL serving surface:
+    * `(key column names, key tuple -> max sequence)` — the reader
+    * masks a row whose key maps to a sequence ABOVE its file's
+    * (erases stamp Long.MaxValue: mask everywhere, forever). Canonical
+    * key values: `java.lang.Long` for integral columns, `String` for
+    * string columns — the two key classes real tables erase on; any
+    * other key type refuses BY NAME (fall back to morRead). Same
+    * driver-side, hard-capped discipline as [[load]].
+    */
+  def loadEq(sidecarFiles: Seq[String], conf: Configuration,
+      cap: Long = graft.sources.GraftMor.MaxBroadcastTombstones)
+      : (Seq[String], Map[Seq[Any], Long]) = {
+    require(sidecarFiles.nonEmpty, "[GRAFT] loadEq with no sidecar files")
+    val schema = GraftV2.readSchema(sidecarFiles.head, conf)
+    val keyFields = schema.fields.filterNot(f => f.name == "seq").toSeq
+    keyFields.foreach { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.StringType => ()
+        case other => throw new IllegalStateException(
+          s"[GRAFT] equality-mask key column '${f.name}' has type " +
+            s"${other.simpleString}: the SQL serving surface composes " +
+            "long/int/string keys only - read via GraftMor.morRead or " +
+            "fold with morCompact")
+      }
+    }
+    val acc = mutable.HashMap.empty[Seq[Any], Long]
+    var n = 0L
+    sidecarFiles.foreach { f =>
+      GraftV2.withReader(f, conf) { r =>
+        val fileSchema = r.getFooter.getFileMetaData.getSchema
+        val names = keyFields.map(_.name) :+ "seq"
+        val requested = new MessageType(fileSchema.getName,
+          names.map(n0 => fileSchema.getType(Seq(n0): _*)): _*)
+        r.setRequestedSchema(requested)
+        var store = r.readNextRowGroup()
+        while (store != null) {
+          val rr = new ColumnIOFactory().getColumnIO(requested)
+            .getRecordReader(store, new GroupRecordConverter(requested))
+          var i = 0L
+          val rows = store.getRowCount
+          while (i < rows) {
+            val g = rr.read()
+            n += 1
+            if (n > cap)
+              throw new IllegalStateException(
+                s"[GRAFT] more than $cap unmerged equality tombstones: past " +
+                  "the SQL serving cap - fold them with GraftMor.morCompact " +
+                  "(then REFRESH TABLE), or read via GraftMor.morRead")
+            val key: Seq[Any] = keyFields.indices.map { j =>
+              keyFields(j).dataType match {
+                case org.apache.spark.sql.types.StringType =>
+                  g.getBinary(j, 0).toStringUsingUTF8
+                case org.apache.spark.sql.types.IntegerType =>
+                  java.lang.Long.valueOf(g.getInteger(j, 0).toLong)
+                case _ => java.lang.Long.valueOf(g.getLong(j, 0))
+              }
+            }
+            val seq = g.getLong(keyFields.length, 0)
+            val prev = acc.getOrElse(key, Long.MinValue)
+            if (seq > prev) acc.put(key, seq)
+            i += 1
+          }
+          store = r.readNextRowGroup()
+        }
+      }
+    }
+    (keyFields.map(_.name), acc.toMap)
+  }
+
+  /** The A45 file→sequence manifest, driver-loaded: normalized data
+    * file path -> commit sequence; files absent are base (sequence 0).
+    */
+  def loadSeqm(sidecarFiles: Seq[String],
+      conf: Configuration): Map[String, Long] = {
+    val acc = mutable.HashMap.empty[String, Long]
+    sidecarFiles.foreach { f =>
+      GraftV2.withReader(f, conf) { r =>
+        val fileSchema = r.getFooter.getFileMetaData.getSchema
+        val requested = new MessageType(fileSchema.getName,
+          fileSchema.getType(Seq("file_norm"): _*),
+          fileSchema.getType(Seq("file_seq"): _*))
+        r.setRequestedSchema(requested)
+        var store = r.readNextRowGroup()
+        while (store != null) {
+          val rr = new ColumnIOFactory().getColumnIO(requested)
+            .getRecordReader(store, new GroupRecordConverter(requested))
+          var i = 0L
+          val rows = store.getRowCount
+          while (i < rows) {
+            val g = rr.read()
+            acc.put(norm(g.getBinary(0, 0).toStringUsingUTF8), g.getLong(1, 0))
+            i += 1
+          }
+          store = r.readNextRowGroup()
+        }
+      }
+    }
+    acc.toMap
+  }
 }

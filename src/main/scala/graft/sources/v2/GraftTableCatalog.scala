@@ -99,21 +99,28 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       if (files.isEmpty) throw new NoSuchTableException(ident)
       val tablePath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
       val conf = spark.sessionState.newHadoopConf()
-      // MERGE-ON-READ awareness (A42-A47): position sidecars are
+      // MERGE-ON-READ awareness (A42-A47): ALL mutation sidecars are
       // PINNED here with the files and served split-locally by the v2
-      // reader (so `SELECT ... FROM graft.db.t` hash-matches
-      // `morRead`); unmerged EQUALITY sidecars refuse BY NAME — their
-      // discovery scan is deferred by design and silently serving
-      // GDPR-erased rows is a correctness trap, not a degraded mode.
-      // REFRESH TABLE re-pins files and sidecar epochs together. A
-      // refusal also drops the table's namespace pin: no Table was
-      // served off it, and the remedy (morCompact) rewrites files —
-      // the post-fold load must pin the folded state, not the refusal's.
-      try GraftV2.refuseEqSidecar(tablePath, conf, s"SQL serving of $ident")
-      catch { case e: IllegalStateException =>
-        nsCat.invalidate(ident.name); throw e }
+      // reader — position vectors as per-split row-index slices,
+      // equality tombstones as a capped key→sequence map under the
+      // Iceberg-v2 rule — so `SELECT ... FROM graft.db.t` hash-matches
+      // `morRead` on every mutation flavor. Unsupported equality key
+      // types / over-cap volumes refuse BY NAME inside the loaders (a
+      // refusal drops the namespace pin so the post-fold load pins the
+      // folded state); a sidecar CHANGE after pinning refuses at scan
+      // time until REFRESH TABLE re-pins files and sidecars together.
       val morDv = GraftV2.sidecarParquet(tablePath,
         graft.sources.GraftMor.DvDir, conf)
+      val morEq = GraftV2.sidecarParquet(tablePath,
+        graft.sources.GraftMor.EqDir, conf)
+      val morSeqm = GraftV2.sidecarParquet(tablePath,
+        graft.sources.GraftMor.SeqDir, conf)
+      // eager key-type/cap validation: a table this catalog cannot
+      // serve must refuse NOW (and un-pin), not at first scan
+      if (morEq.nonEmpty)
+        try GraftMorMask.loadEq(morEq, conf)
+        catch { case e: IllegalStateException =>
+          nsCat.invalidate(ident.name); throw e }
       // schema from the pinned snapshot's first file (one writer, one
       // schema — the v2 connector's contract), typed by the same
       // mapping the v2 reader uses — unless the table recorded an
@@ -130,7 +137,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
         .getOrElse(GraftV2.readSchema(files.head, conf))
       GraftTable(tablePath,
         org.apache.spark.sql.types.StructType(fileSchema.fields ++ partSchema.fields),
-        files, partSchema, morDv = morDv)
+        files, partSchema, morDv = morDv, morEq = morEq, morSeqm = morSeqm)
     })
 
   /** `SELECT … FROM graft.db.t VERSION AS OF <id>` — the SQL surface

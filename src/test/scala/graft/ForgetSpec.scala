@@ -100,23 +100,32 @@ class ForgetSpec extends SparkSpecBase {
     val cat = new graft.sources.GraftCatalog(spark, s"$wh/db")
     assert(gone(cat.table("docs_fg")), "GraftCatalog.table leg")
     assert(gone(cat.scan("docs_fg")), "GraftCatalog.scan leg")
-    // surface 3: the SQL catalog refuses BY NAME rather than serving
+    // surface 3: the SQL catalog COMPOSES the equality mask
+    // split-locally (r12 late: refusal upgraded to composition) —
+    // SELECT serves the erased-free table immediately
     graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftfg")
-    def chain(t: Throwable): String =
-      if (t == null) "" else t.getMessage + " || " + chain(t.getCause)
-    val e = intercept[Throwable](
-      spark.sql("SELECT * FROM graftfg.db.docs_fg").collect())
-    assert(chain(e).contains("morCompact"), chain(e))
-    // surface 4: the v2 provider path refuses identically
-    val e2 = intercept[Throwable](
-      spark.read.format("graft").load(tbl).collect())
-    assert(chain(e2).contains("morCompact"), chain(e2))
-    // the advisor flags the split until the fold
+    spark.sql("REFRESH TABLE graftfg.db.docs_fg")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graftfg.db.docs_fg WHERE doc_id = $victim")
+      .head().getLong(0) === 0L, "SQL must mask the erased key")
+    assert(spark.sql("SELECT count(*) AS n FROM graftfg.db.docs_fg")
+      .head().getLong(0) ===
+      GraftMor.morRead(spark, tbl).count(), "SQL == morRead on the eq table")
+    // surface 4: the v2 provider path composes identically
+    assert(gone(spark.read.format("graft").load(tbl)), "v2 provider leg")
+    // the advisor still flags the raw-read residual until the fold
     val advice = graft.sources.GraftAdvisor.advise(spark, s"$wh/db")
     assert(advice.exists(_.rule == "mor-unserved"),
       "mor-unserved must fire while _eq is live")
-    // the fold reunifies every surface, physically
+    // a sidecar CHANGE after the pin refuses at scan time (erasure
+    // outranks snapshot stability) until REFRESH re-pins
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " || " + chain(t.getCause)
     GraftMor.morCompact(spark, tbl)
+    val e = intercept[Throwable](
+      spark.sql("SELECT count(*) FROM graftfg.db.docs_fg").collect())
+    assert(chain(e).contains("REFRESH"), chain(e))
+    // the fold + REFRESH reunifies every surface, physically
     spark.sql("REFRESH TABLE graftfg.db.docs_fg")
     assert(spark.sql(
       s"SELECT count(*) AS n FROM graftfg.db.docs_fg WHERE doc_id = $victim")

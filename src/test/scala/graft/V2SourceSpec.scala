@@ -657,6 +657,61 @@ class V2SourceSpec extends SparkSpecBase {
     } finally GraftSqlWrite.clearAuditRules(tbl)
   }
 
+  test("A44/A45 SQL: equality masks compose split-locally under the sequence rule — full-ladder SQL == morRead, and pruned projections still mask") {
+    import graft.sources.GraftMor
+    val wh = graft.sources.GraftSink.scratchDir + "/v2_mor_eq_wh"
+    val path = s"$wh/db/t_eq.parquet"
+    new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(wh), true)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.repartitionByRange(4, col("o_orderkey")).write.parquet(path)
+    // the full mutation ladder: dv upsert + dv delete + seq-numbered
+    // eq-upsert (supersedes the dv-appended versions) + erase
+    GraftMor.morUpsert(spark, path,
+      orders.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      Seq("o_orderkey"))
+    GraftMor.morDelete(spark, path, col("o_orderkey") % 10 === 3)
+    GraftMor.morUpsertEq(spark, path,
+      orders.where(col("o_orderkey") % 200 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1001.0)),
+      Seq("o_orderkey"))
+    GraftMor.morErase(spark, path,
+      orders.where(col("o_orderkey") % 1000 === 500).select("o_orderkey"),
+      Seq("o_orderkey"))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "grafteq")
+    spark.sql("REFRESH TABLE grafteq.db.t_eq")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderkey", "o_totalprice").collect().map(_.toSeq).toSeq
+    assert(sig(spark.sql("SELECT * FROM grafteq.db.t_eq")) ===
+      sig(GraftMor.morRead(spark, path)),
+      "SQL and morRead must give ONE answer on the full mutation ladder")
+    // projection pruning: the key column is NOT selected — the reader
+    // must still read it file-side to evaluate the mask
+    assert(spark.sql("SELECT o_orderstatus FROM grafteq.db.t_eq").count() ===
+      GraftMor.morRead(spark, path).count(),
+      "a pruned projection must still apply the equality mask")
+    // and the served values agree with an oracle computed relationally
+    orders.createOrReplaceTempView("v2eq_orders")
+    val oracle = spark.sql("""
+      WITH merged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 200 = 0 THEN o_totalprice + 1001.0
+                    WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM v2eq_orders WHERE o_orderkey % 1000 <> 500)
+      SELECT count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(28,6))) AS total
+      FROM merged WHERE o_orderkey % 10 <> 3""").head()
+    val served = spark.sql("""
+      SELECT count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(28,6))) AS total
+      FROM grafteq.db.t_eq""").head()
+    assert(served.getLong(0) === oracle.getLong(0))
+    assert(served.getDecimal(1) === oracle.getDecimal(1))
+  }
+
   test("A42 SQL: a fully-tombstoned row group plans NO split; the driver mask refuses past the cap by name") {
     import graft.sources.GraftMor
     import graft.sources.v2.{GraftMorMask, GraftV2}
