@@ -119,6 +119,29 @@ object GraftMor {
     }
   }
 
+  /** Record externally-appended files (a SQL INSERT's stage) in the
+    * A45 file→sequence manifest AT THE CURRENT EPOCH SEQUENCE, so the
+    * new rows OUTRANK every existing finite equality tombstone (a
+    * fresh insert must serve even where an older upsert-eq masked the
+    * key's prior versions) while erases — sequence ∞ — still mask
+    * them (the GDPR forward contract: an insert cannot resurrect an
+    * erased key). No-op when the table has no equality sidecar (plain
+    * appends need no sequence).
+    */
+  private[sources] def sequenceAppendedFiles(s: SparkSession,
+      tablePath: String, files: Seq[String]): Unit = {
+    if (files.isEmpty) return
+    if (sidecarFiles(s, tablePath, EqDir).isEmpty) return
+    val seq = nextEpoch(s, tablePath, eqPath).toLong
+    import s.implicits._
+    files.map(f => normPathStr(f)).toDF("file_norm")
+      .withColumn("file_seq", org.apache.spark.sql.functions.lit(seq))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(seqmPath(tablePath))
+  }
+
+  private def normPathStr(p: String): String =
+    p.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")
+
   /** Refuse a COW rewrite BY NAME while mutation sidecars are live: a
     * raw-read rewrite (merge/compact) would RESURRECT tombstoned rows
     * and dangle the position vector's file coordinates — the masks

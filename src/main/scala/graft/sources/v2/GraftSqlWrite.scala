@@ -77,8 +77,6 @@ object GraftSqlWrite {
           "(append-only SQL DML by design; use the COW merge or MOR " +
           "mutation APIs for rewrites)")
     val s = data.sparkSession
-    GraftV2.refuseEqSidecar(tablePath, s.sessionState.newHadoopConf(),
-      s"INSERT INTO $tablePath")
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(s.sessionState.newHadoopConf())
     // 1. STAGE: land the batch (hive layout preserved); capture the
@@ -126,6 +124,13 @@ object GraftSqlWrite {
         }
       } finally graft.GraftSession.releaseCheckpoint(quarantine)
     }
+    // 2b. SEQUENCE the clean batch (only needed when the table carries
+    // an equality sidecar): the inserted files record at the CURRENT
+    // epoch sequence, so they outrank every existing finite eq
+    // tombstone — a fresh insert serves even for a previously
+    // upserted key — while erases (sequence ∞) still mask them: an
+    // INSERT cannot resurrect a GDPR-erased key.
+    graft.sources.GraftMor.sequenceAppendedFiles(s, tablePath, fresh)
     // 3. PUBLISH through the A38 gate (staged scope: everything
     // unpublished — an older dirty batch still blocks, by design)
     val nsDir = new org.apache.hadoop.fs.Path(tablePath).getParent.toString

@@ -712,6 +712,32 @@ class V2SourceSpec extends SparkSpecBase {
     assert(served.getDecimal(1) === oracle.getDecimal(1))
   }
 
+  test("A52 x A44/A45: INSERT INTO a table with live equality sidecars — fresh keys serve, erased keys stay masked, the insert outranks older upsert tombstones") {
+    import spark.implicits._
+    import graft.sources.GraftMor
+    val wh = graft.sources.GraftSink.scratchDir + "/sqlins_eq_wh"
+    val tbl = s"$wh/db/t_eqins.parquet"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    Seq((1L, 10L), (2L, 20L), (4L, 40L)).toDF("k", "v").write.parquet(tbl)
+    GraftMor.morUpsertEq(spark, tbl, Seq((1L, 100L)).toDF("k", "v"), Seq("k"))
+    GraftMor.morErase(spark, tbl, Seq(2L).toDF("k"), Seq("k"))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "grafteqins")
+    spark.sql("REFRESH TABLE grafteqins.db.t_eqins")
+    spark.sql("INSERT INTO grafteqins.db.t_eqins VALUES (1, 7), (2, 9), (3, 5)")
+    spark.sql("REFRESH TABLE grafteqins.db.t_eqins")
+    val served = spark.sql("SELECT k, v FROM grafteqins.db.t_eqins")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served === Set((1L, 100L), (1L, 7L), (3L, 5L), (4L, 40L)),
+      s"got $served: the insert must outrank the upsert tombstone (both " +
+        "k=1 versions serve), the erase must outrank the insert (no k=2), " +
+        "fresh and untouched keys serve")
+    // and the single-entry contract holds: SQL == morRead
+    assert(served === GraftMor.morRead(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("A42 SQL: a fully-tombstoned row group plans NO split; the driver mask refuses past the cap by name") {
     import graft.sources.GraftMor
     import graft.sources.v2.{GraftMorMask, GraftV2}
