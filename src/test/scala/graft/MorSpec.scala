@@ -751,6 +751,38 @@ class MorSpec extends SparkSpecBase {
       GraftMor.morRead(spark, path).count())
   }
 
+  test("A51: a HIVE-PARTITIONED MOR table serves masked through the catalog AND the SQL surface; partition-keyed erases compose") {
+    import spark.implicits._
+    val wh = graft.sources.GraftSink.scratchDir + "/mor_spec_part_wh"
+    val path = s"$wh/db/t_part.parquet"
+    hfs(wh).delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.range(200).select(col("id").as("k"), (col("id") % 4).as("p"),
+        (col("id") * 3).as("v"))
+      .write.partitionBy("p").parquet(path)
+    GraftMor.morDelete(spark, path, col("k") % 7 === 3)
+    // equality erase keyed on the PARTITION column: the v2 reader must
+    // evaluate it from the split's partition constants
+    GraftMor.morErase(spark, path, Seq(2L).toDF("p"), Seq("p"))
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "p", "v").orderBy("k").collect().map(_.toSeq).toSeq
+    val expect = sig(GraftMor.morRead(spark, path))
+    assert(expect.nonEmpty)
+    assert(!expect.exists(r => r(1) == 2L), "erased partition masked")
+    assert(!expect.exists(r => r(0).asInstanceOf[Long] % 7 == 3))
+    val cat = new graft.sources.GraftCatalog(spark, s"$wh/db")
+    assert(sig(cat.table("t_part")) === expect, "catalog leg")
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftmorpart")
+    spark.sql("REFRESH TABLE graftmorpart.db.t_part")
+    assert(sig(spark.sql("SELECT k, p, v FROM graftmorpart.db.t_part")) === expect,
+      "SQL leg")
+    // partition-aware compaction folds; every surface then serves the
+    // same plain state
+    GraftMor.morCompact(spark, path, partitionCols = Seq("p"))
+    spark.sql("REFRESH TABLE graftmorpart.db.t_part")
+    assert(sig(spark.read.parquet(path)) === expect, "raw post-fold")
+    assert(sig(spark.sql("SELECT k, p, v FROM graftmorpart.db.t_part")) === expect)
+  }
+
   test("A49/A50: the consumer folds only the COMMITTED tip; epoch counters stay monotone across a zero-rewrite compaction") {
     import spark.implicits._
     val root = graft.sources.GraftSink.scratchDir + "/mor_spec_feedfix"
