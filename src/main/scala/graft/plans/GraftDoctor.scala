@@ -112,10 +112,17 @@ object GraftDoctor {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location.rootPaths.map(_.toString)
     }.flatten
-    val maskedTables: Set[String] = allRoots.collect {
-      case p if p.contains("/_dv") => p.substring(0, p.indexOf("/_dv"))
-      case p if p.contains("/_eq") => p.substring(0, p.indexOf("/_eq"))
-    }.toSet
+    // segment-boundary matching: the sidecar dir is a path SEGMENT
+    // exactly "_dv"/"_eq" — substring matching would let a sibling
+    // table's sidecar (`/wh/t2/_dv` vs table `/wh/t`) or an
+    // unrelated `_dvx` dir excuse a raw unmasked scan
+    def sidecarTableRoot(p: String): Option[String] = {
+      val segs = p.split('/')
+      val i = segs.indexWhere(s => s == "_dv" || s == "_eq")
+      if (i < 0) None else Some(segs.take(i).mkString("/"))
+    }
+    val maskedTables: Set[String] =
+      allRoots.flatMap(sidecarTableRoot).toSet
     val hadoopConf = df.sparkSession.sessionState.newHadoopConf()
     val sidecarMemo = scala.collection.mutable.Map.empty[String, Boolean]
     def hasLiveSidecar(dir: String): Boolean =
@@ -128,7 +135,7 @@ object GraftDoctor {
         } catch { case _: Exception => false }
       })
     def morTableOf(rootPath: String): Option[String] = {
-      if (rootPath.contains("/_dv") || rootPath.contains("/_eq")) return None
+      if (sidecarTableRoot(rootPath).nonEmpty) return None
       val p = new org.apache.hadoop.fs.Path(rootPath)
       // a root path is either the table dir itself or (pinned reads)
       // a data file under it — probe both
@@ -206,7 +213,9 @@ object GraftDoctor {
           // reads those sidecars — the plan will serve tombstoned rows
           f.relation.location.rootPaths.map(_.toString)
             .flatMap(morTableOf).distinct
-            .filterNot(t => maskedTables.exists(_.startsWith(t)))
+            // equality, not prefix: only THIS table's own sidecar scan
+            // excuses (a sibling /wh/t2's sidecar must not cover /wh/t)
+            .filterNot(maskedTables.contains)
             .foreach { t =>
               out += Finding("unmasked-mor-scan", "high", f.nodeName,
                 s"reads $t, a merge-on-read table with live _dv/_eq " +

@@ -71,10 +71,17 @@ class GraftTableProvider extends TableProvider
     // sidecars ride into the scan as split-local masks (the reader
     // applies positions by row index and equality keys by the
     // Iceberg-v2 sequence rule) — unsupported key types / over-cap
-    // volumes refuse BY NAME inside the loaders
+    // volumes refuse BY NAME inside the loaders.
+    // The data-file listing is PINNED here TOGETHER with the sidecars:
+    // re-listing files fresh at every plan while the masks stay pinned
+    // would tear the snapshot (a morDelete/morUpsert landing between
+    // load() and an action serves its appended files WITHOUT its new
+    // tombstones — resurrected row versions). One load(), one
+    // consistent (files, masks) snapshot; a fresh load() re-pins both.
+    val files = GraftV2.dataFiles(path, conf)
     GraftTable(path, schema,
-      partSchema = GraftV2.partitionSchema(path,
-        GraftV2.dataFiles(path, conf)),
+      pinnedFiles = files,
+      partSchema = GraftV2.partitionSchema(path, files),
       morDv = GraftV2.sidecarParquet(path, graft.sources.GraftMor.DvDir, conf),
       morEq = GraftV2.sidecarParquet(path, graft.sources.GraftMor.EqDir, conf),
       morSeqm = GraftV2.sidecarParquet(path, graft.sources.GraftMor.SeqDir, conf))
@@ -98,9 +105,14 @@ case class GraftTable(path: String, tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      // append-only SQL DML through the A38 write-audit-publish gate
-      // (V1 fallback, the JDBC-connector pattern) — see GraftSqlWrite
-      TableCapability.V1_BATCH_WRITE)
+      // SQL DML through the A38 write-audit-publish gate (V1 fallback,
+      // the JDBC-connector pattern) — see GraftSqlWrite. OVERWRITE/
+      // TRUNCATE admit the static-mode INSERT OVERWRITE plan, which
+      // the write serves with DYNAMIC-partition-replace semantics
+      // (unpartitioned overwrite refuses by name inside).
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.TRUNCATE)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -599,6 +611,14 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
               s"partition value $other")
         }
         (_: Group) => const
+      } else if (!fileSchema.containsField(c)) {
+        // A36×MOR: the key column was ADDED after this file was
+        // written — its value is null here, and sidecar keys are
+        // non-null by contract, so the mask can never match this
+        // file's rows (mirrors how `constants` null-fills evolved
+        // columns). Without this the gi computation below would
+        // resolve to the wrong projected column and mask wrong rows.
+        (_: Group) => null
       } else {
         val gi = {
           val inProj = fileFields.indexWhere(_._1.name == c)

@@ -2,9 +2,9 @@ package graft.sources.v2
 
 import graft.sources.GraftCatalog
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.{col, concat_ws, lit, when}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{concat_ws, lit, when}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 
 import scala.collection.concurrent.TrieMap
 
@@ -19,22 +19,35 @@ import scala.collection.concurrent.TrieMap
   * Spark resolves/casts the INSERT by position against the table
   * schema, hands this builder the query's DataFrame, and the insert:
   *
-  *   1. APPENDS the batch as parquet files (the WAP stage — invisible
-  *      to every pinned/SQL reader until REFRESH re-pins);
-  *   2. AUDITS exactly this batch's files against the table's
+  *   1. STAGES the batch into its own `_staging/batch_<n>/` dir —
+  *      hidden from every data listing, so the batch's file set is
+  *      known EXACTLY (no before/after listing diff: a concurrent
+  *      INSERT or eq-upsert append can never be captured into — and
+  *      wrongly quarantined/sequenced by — this batch);
+  *   2. AUDITS exactly the staged files against the table's
   *      registered [[GraftCatalog.AuditRule]]s; a DIRTY batch is
-  *      quarantine-DIVERTED — the staged files are MOVED (checked
-  *      renames) under `_quarantine/batch_<n>/` with a `reasons`
-  *      manifest, the INSERT fails BY NAME, and the served table is
-  *      byte-identical to before;
-  *   3. PUBLISHES the clean state as a numbered snapshot epoch via
+  *      quarantine-DIVERTED — the whole staging dir is renamed (ONE
+  *      checked rename, hive partition structure preserved, so
+  *      identically-named part files in different partitions can
+  *      never collide) under `_quarantine/batch_<n>/` with a
+  *      `reasons` manifest, the INSERT fails BY NAME, and the served
+  *      table is byte-identical to before;
+  *   3. MOVES the clean batch's files into the table (checked
+  *      renames, relative paths preserved) and PUBLISHES through
   *      `publishAudited` (the A38 staged-scope rule: an OLDER
   *      unpublished dirty batch still blocks — a violation can never
   *      ride in on a later clean batch's publish).
   *
-  * Append-only by design: `INSERT OVERWRITE` refuses by name (the
-  * mutation surfaces are the COW/MOR paths with their own contracts).
-  * Cost at scale: one listing diff + an O(batch) audit scan + one
+  * `INSERT OVERWRITE` (A56) serves the DYNAMIC-PARTITION form on
+  * partitioned tables: only the partitions PRESENT in the batch are
+  * replaced (the A17 backfill semantics — a static `PARTITION (p=v)`
+  * spec constant-folds `p=v` into every batch row, so it replaces
+  * exactly that partition), the audit runs BEFORE any existing file
+  * is touched (a dirty overwrite diverts with the table unchanged),
+  * and the replace takes the A24 lease gate plus the live-sidecar
+  * resurrection guard, like every COW rewrite. Unpartitioned
+  * overwrite (full truncate) refuses by name.
+  * Cost at scale: one O(batch) audit scan + per-file renames + one
   * manifest write — never O(table) after the first publish.
   */
 object GraftSqlWrite {
@@ -53,46 +66,80 @@ object GraftSqlWrite {
 
   def clearAuditRules(tablePath: String): Unit = rules.remove(norm(tablePath))
 
-  /** The WriteBuilder `GraftTable.newWriteBuilder` hands Spark. */
+  /** The WriteBuilder `GraftTable.newWriteBuilder` hands Spark.
+    * `SupportsOverwrite` admits the static-mode `INSERT OVERWRITE`
+    * plan (OverwriteByExpression → the V1 fallback); the filters are
+    * not needed — dynamic-partition semantics replace exactly the
+    * partitions the batch carries, which a static partition spec has
+    * already constant-folded into the rows.
+    */
   def builder(tablePath: String, partCols: Seq[String],
-      info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
-    override def build(): Write = new V1Write {
-      override def toInsertableRelation: InsertableRelation =
-        new InsertableRelation {
-          override def insert(data: DataFrame, overwrite: Boolean): Unit =
-            insertAudited(data, tablePath, partCols, overwrite)
-        }
+      info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsOverwrite {
+      private var overwriteMode = false
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        overwriteMode = true; this
+      }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              insertAudited(data, tablePath, partCols,
+                overwrite || overwriteMode)
+          }
+      }
     }
-  }
 
-  private def listFiles(s: org.apache.spark.sql.SparkSession,
-      tablePath: String): Set[String] =
-    GraftCatalog.listDataFiles(s, tablePath).files.map(_._1).toSet
+  /** Recursive data-file listing under `dir` (dotfile/_SUCCESS
+    * bookkeeping skipped) as paths relative to `dir`.
+    */
+  private def listRelative(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val rootPath = dir.toUri.getPath
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+      if (!rel.split('/').exists(seg =>
+          seg.startsWith("_") || seg.startsWith(".")) && f.getLen > 0)
+        out += rel
+    }
+    out.result().sorted
+  }
 
   private[v2] def insertAudited(data: DataFrame, tablePath: String,
       partCols: Seq[String], overwrite: Boolean): Unit = {
-    if (overwrite)
-      throw new UnsupportedOperationException(
-        s"[GRAFT] INSERT OVERWRITE is not supported on $tablePath " +
-          "(append-only SQL DML by design; use the COW merge or MOR " +
-          "mutation APIs for rewrites)")
     val s = data.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(tablePath)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    // 1. STAGE: land the batch (hive layout preserved); capture the
-    // file delta so audit + quarantine scope to exactly this batch
-    val before = listFiles(s, tablePath)
-    val w = data.write.mode(SaveMode.Append)
+    val tableRoot = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = tableRoot.getFileSystem(s.sessionState.newHadoopConf())
+    if (overwrite) {
+      require(partCols.nonEmpty,
+        s"[GRAFT] INSERT OVERWRITE on $tablePath refused: the table is " +
+          "unpartitioned, so overwrite means a full truncate-and-replace - " +
+          "use the COW/MOR mutation APIs for whole-table rewrites " +
+          "(dynamic-partition overwrite is the supported SQL form)")
+      // a partition replace destroys files: live MOR sidecars would be
+      // invalidated (tombstoned rows resurrected, coordinates dangled)
+      graft.sources.GraftMor.failIfMutationSidecars(s, tablePath,
+        "INSERT OVERWRITE")
+    }
+    // 1. STAGE into this batch's own hidden dir: the file set is known
+    // exactly, concurrent writers never intermix with this batch
+    val batchId = s"batch_${System.nanoTime()}"
+    val stageDir = new org.apache.hadoop.fs.Path(s"$tablePath/_staging/$batchId")
+    val w = data.write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-      .parquet(tablePath)
-    val fresh = (listFiles(s, tablePath) -- before).toSeq.sorted
-    if (fresh.isEmpty) return // empty insert: nothing staged, nothing owed
-    // 2. AUDIT this batch's rows
+      .parquet(stageDir.toString)
+    val staged = listRelative(fs, stageDir)
+    if (staged.isEmpty) { fs.delete(stageDir, true); return } // empty insert
+    // 2. AUDIT exactly this batch's rows (partition columns re-attach
+    // via basePath against the staging dir's hive layout)
     val tableRules = rules.getOrElse(norm(tablePath), Seq.empty)
     if (tableRules.nonEmpty) {
-      val reader = s.read
-      reader.option("basePath", tablePath)
-      val batch = reader.parquet(fresh: _*)
+      val batch = s.read.option("basePath", stageDir.toString)
+        .parquet(staged.map(r => s"$stageDir/$r"): _*)
       val fired = tableRules.map(r => when(r.violation, lit(r.name)))
       val quarantine = batch
         .withColumn("reasons", concat_ws(",", fired: _*))
@@ -102,18 +149,16 @@ object GraftSqlWrite {
       try {
         val nBad = quarantine.count()
         if (nBad > 0L) {
-          // DIVERT: move the staged files out so the served table is
-          // byte-identical to before the insert, persist the reasons
-          val qDir = s"$tablePath/_quarantine/batch_${System.nanoTime()}"
-          fs.mkdirs(new org.apache.hadoop.fs.Path(qDir))
-          fresh.foreach { f =>
-            val src = new org.apache.hadoop.fs.Path(f)
-            if (!fs.rename(src,
-                new org.apache.hadoop.fs.Path(qDir, src.getName)))
-              throw new IllegalStateException(
-                s"[GRAFT] INSERT quarantine divert failed: rename($f -> " +
-                  s"$qDir) returned false")
-          }
+          // DIVERT: one rename moves the whole staging dir (relative
+          // structure intact — partitioned batches cannot collide),
+          // so the served table is byte-identical to before
+          val qDir = new org.apache.hadoop.fs.Path(
+            s"$tablePath/_quarantine/$batchId")
+          fs.mkdirs(qDir.getParent)
+          if (!fs.rename(stageDir, qDir))
+            throw new IllegalStateException(
+              s"[GRAFT] INSERT quarantine divert failed: " +
+                s"rename($stageDir -> $qDir) returned false")
           quarantine.write.mode(SaveMode.Overwrite)
             .parquet(s"$qDir/_reasons")
           throw new IllegalStateException(
@@ -124,22 +169,61 @@ object GraftSqlWrite {
         }
       } finally graft.GraftSession.releaseCheckpoint(quarantine)
     }
-    // 2b. SEQUENCE the clean batch (only needed when the table carries
-    // an equality sidecar): the inserted files record at the CURRENT
-    // epoch sequence, so they outrank every existing finite eq
-    // tombstone — a fresh insert serves even for a previously
-    // upserted key — while erases (sequence ∞) still mask them: an
-    // INSERT cannot resurrect a GDPR-erased key.
-    graft.sources.GraftMor.sequenceAppendedFiles(s, tablePath, fresh)
-    // 3. PUBLISH through the A38 gate (staged scope: everything
-    // unpublished — an older dirty batch still blocks, by design)
-    val nsDir = new org.apache.hadoop.fs.Path(tablePath).getParent.toString
-    val name = new org.apache.hadoop.fs.Path(tablePath).getName
-      .stripSuffix(".parquet")
+    // 2b. OVERWRITE: replace exactly the partitions this batch carries
+    // — audit already passed, so existing files may now be destroyed.
+    // Takes the lease gate (pinned readers of the replaced partitions
+    // fail fast at acquire, not silently mid-read), like every COW path.
+    if (overwrite) {
+      graft.sources.GraftLease.failIfLeased(s, tablePath, "INSERT OVERWRITE")
+      val replacedDirs = staged.map { rel =>
+        val i = rel.lastIndexOf('/')
+        require(i > 0, s"[GRAFT] INSERT OVERWRITE staged a file outside " +
+          s"a partition dir: $rel")
+        rel.substring(0, i)
+      }.distinct
+      replacedDirs.foreach { rel =>
+        val pdir = new org.apache.hadoop.fs.Path(s"$tablePath/$rel")
+        listRelative(fs, pdir).foreach { f =>
+          if (!fs.delete(new org.apache.hadoop.fs.Path(pdir, f), false))
+            throw new IllegalStateException(
+              s"[GRAFT] INSERT OVERWRITE failed to remove $pdir/$f")
+        }
+      }
+    }
+    // 3a. MOVE the clean batch in (checked renames, relative paths
+    // preserved — a partitioned batch's files land in their dirs)
+    val landed = staged.map { rel =>
+      val src = new org.apache.hadoop.fs.Path(stageDir, rel)
+      val dst = new org.apache.hadoop.fs.Path(tableRoot, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(
+          s"[GRAFT] INSERT move-in failed: rename($src -> $dst) returned " +
+            "false (a colliding file already exists?)")
+      dst.toString
+    }
+    fs.delete(stageDir, true) // empty shell (+ _SUCCESS bookkeeping)
+    // 3b. SEQUENCE the batch (only when the table carries an equality
+    // sidecar): the inserted files record at the CURRENT epoch
+    // sequence, so they outrank every existing finite eq tombstone —
+    // a fresh insert serves even for a previously upserted key —
+    // while erases (sequence ∞) still mask them: an INSERT cannot
+    // resurrect a GDPR-erased key.
+    if (!overwrite)
+      graft.sources.GraftMor.sequenceAppendedFiles(s, tablePath, landed)
+    // 3c. PUBLISH through the A38 gate (staged scope: everything
+    // unpublished — an older dirty batch still blocks, by design).
+    // For an overwrite the tip manifest now names destroyed files
+    // (exactly the COW stale-epoch contract), so the gate's
+    // tip-schema read is skipped — Spark already resolved the batch
+    // against the live table schema upstream.
+    val nsDir = tableRoot.getParent.toString
+    val name = tableRoot.getName.stripSuffix(".parquet")
     val gateRules =
       if (tableRules.nonEmpty) tableRules
       else Seq(GraftCatalog.AuditRule("none", lit(false)))
-    new GraftCatalog(s, nsDir).publishAudited(name, gateRules) match {
+    new GraftCatalog(s, nsDir).publishAudited(name, gateRules,
+      refuseBreakingSchema = !overwrite) match {
       case Right(_) => ()
       case Left(q) =>
         val n = q.count()

@@ -130,4 +130,29 @@ class DoctorSpec extends SparkSpecBase {
     graft.sources.GraftMor.morCompact(spark, path)
     assert(!rules(spark.read.parquet(path)).contains("unmasked-mor-scan"))
   }
+
+  test("unmasked-mor-scan matches sidecars on path-segment boundaries: a sibling table's sidecar scan does not excuse a raw scan") {
+    import org.apache.spark.sql.functions._
+    val wh = graft.sources.GraftSink.scratchDir + "/doctor_mor_sib"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    val t = s"$wh/t"
+    val t2 = s"$wh/t2" // shares t's name as a string prefix
+    spark.range(50).select(col("id").as("k"), (col("id") % 5).as("v"))
+      .write.parquet(t)
+    spark.range(50).select(col("id").as("k"), (col("id") % 5).as("v"))
+      .write.parquet(t2)
+    graft.sources.GraftMor.morDelete(spark, t, col("k") % 10 === 3)
+    graft.sources.GraftMor.morDelete(spark, t2, col("k") % 10 === 4)
+    // a plan reading t RAW while scanning only t2's sidecar must still
+    // flag t (prefix matching would let "/wh/t2/_dv" excuse "/wh/t")
+    val mixed = spark.read.parquet(t).join(
+      spark.read.parquet(s"$t2/_dv").select(col("dv_pos").as("k")),
+      Seq("k"), "left_anti")
+    assert(rules(mixed).contains("unmasked-mor-scan"), rules(mixed).toString)
+    // and t's OWN sidecar scan still excuses t (the morRead shape)
+    assert(!rules(graft.sources.GraftMor.morRead(spark, t))
+      .contains("unmasked-mor-scan"))
+  }
 }

@@ -769,4 +769,191 @@ class V2SourceSpec extends SparkSpecBase {
       GraftMorMask.load(sidecar, conf, cap = 10L))
     assert(e.getMessage.contains("morCompact"), e.getMessage)
   }
+
+  private def chainMsg(t: Throwable): String =
+    if (t == null) "" else t.getMessage + " || " + chainMsg(t.getCause)
+
+  test("A52: a PARTITIONED dirty insert quarantine-diverts whole — sibling-partition part files with identical basenames cannot collide") {
+    import graft.sources.GraftCatalog.AuditRule
+    import graft.sources.v2.GraftSqlWrite
+    val wh = graft.sources.GraftSink.scratchDir + "/sqlins_part_wh"
+    val tbl = s"$wh/db/t_pins.parquet"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.range(10).select(col("id").as("k"), (col("id") * 2).as("v"),
+        (col("id") % 2).as("p"))
+      .write.partitionBy("p").parquet(tbl)
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftpins")
+    spark.sql("REFRESH TABLE graftpins.db.t_pins")
+    GraftSqlWrite.setAuditRules(tbl, Seq(AuditRule("neg_v", col("v") < 0L)))
+    try {
+      val served = spark.sql(
+        "SELECT * FROM graftpins.db.t_pins ORDER BY k").collect().toSeq
+      // ONE dirty batch spanning BOTH partitions: the divert must move
+      // every staged file (the old basename-flattening rename collided
+      // on identically-named part files in p=0/ and p=1/ and aborted
+      // half-diverted)
+      val e = intercept[Exception](spark.sql(
+        "INSERT INTO graftpins.db.t_pins VALUES (100, -1, 0), (101, -2, 1)"))
+      assert(chainMsg(e).contains("neg_v") && chainMsg(e).contains("quarantine"),
+        chainMsg(e))
+      spark.sql("REFRESH TABLE graftpins.db.t_pins")
+      assert(spark.sql("SELECT * FROM graftpins.db.t_pins ORDER BY k")
+        .collect().toSeq === served,
+        "a refused partitioned insert must leave the served table byte-identical")
+      // the diverted batch keeps its hive structure; nothing stayed staged
+      val qRoot = new org.apache.hadoop.fs.Path(s"$tbl/_quarantine")
+      assert(fs.exists(qRoot), "quarantine divert dir missing")
+      val qBatch = fs.listStatus(qRoot).head.getPath
+      assert(fs.exists(new org.apache.hadoop.fs.Path(qBatch, "p=0")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(qBatch, "p=1")),
+        "the diverted batch must preserve its partition structure")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tbl/_staging")) ||
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$tbl/_staging")).isEmpty,
+        "no staged residue may remain after a divert")
+      // a later clean multi-partition insert lands and publishes
+      spark.sql("INSERT INTO graftpins.db.t_pins VALUES (200, 5, 0), (201, 7, 1)")
+      spark.sql("REFRESH TABLE graftpins.db.t_pins")
+      assert(spark.sql("SELECT count(*) AS n FROM graftpins.db.t_pins")
+        .head().getLong(0) === 12L)
+    } finally GraftSqlWrite.clearAuditRules(tbl)
+  }
+
+  test("A56 INSERT OVERWRITE: dynamic-partition form replaces only the batch's partitions; siblings stay byte-identical; dirty overwrite diverts with the table untouched") {
+    import graft.sources.GraftCatalog.AuditRule
+    import graft.sources.v2.GraftSqlWrite
+    val wh = graft.sources.GraftSink.scratchDir + "/sqlow_wh"
+    val tbl = s"$wh/db/t_ow.parquet"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.range(30).select(col("id").as("k"), (col("id") * 2).as("v"),
+        (col("id") % 3).as("p"))
+      .write.partitionBy("p").parquet(tbl)
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftow")
+    spark.sql("REFRESH TABLE graftow.db.t_ow")
+    GraftSqlWrite.setAuditRules(tbl, Seq(AuditRule("neg_v", col("v") < 0L)))
+    try {
+      def files(sub: String): Set[(String, Long)] = {
+        val out = Set.newBuilder[(String, Long)]
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$tbl/$sub"), true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (!f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            out += ((f.getPath.toString, f.getLen))
+        }
+        out.result()
+      }
+      val sib1 = files("p=1"); val sib2 = files("p=2")
+      // replace partition p=0 only (the batch carries only p=0 rows)
+      spark.sql("INSERT OVERWRITE graftow.db.t_ow VALUES (500, 7, 0), (501, 9, 0)")
+      spark.sql("REFRESH TABLE graftow.db.t_ow")
+      assert(spark.sql(
+        "SELECT k, v FROM graftow.db.t_ow WHERE p = 0 ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((500L, 7L), (501L, 9L)),
+        "the overwritten partition must hold exactly the batch")
+      assert(spark.sql("SELECT count(*) AS n FROM graftow.db.t_ow WHERE p <> 0")
+        .head().getLong(0) === 20L)
+      assert(files("p=1") === sib1 && files("p=2") === sib2,
+        "sibling partitions must stay byte-identical")
+      // an epoch covering the new state was published
+      val cat = new graft.sources.GraftCatalog(spark, s"$wh/db")
+      assert(cat.snapshotIds("t_ow").nonEmpty)
+      // dirty overwrite: refused BY NAME, every partition untouched —
+      // the audit runs BEFORE any existing file is destroyed
+      val served = spark.sql(
+        "SELECT * FROM graftow.db.t_ow ORDER BY k").collect().toSeq
+      val e = intercept[Exception](spark.sql(
+        "INSERT OVERWRITE graftow.db.t_ow VALUES (600, -5, 0)"))
+      assert(chainMsg(e).contains("neg_v") && chainMsg(e).contains("quarantine"),
+        chainMsg(e))
+      spark.sql("REFRESH TABLE graftow.db.t_ow")
+      assert(spark.sql("SELECT * FROM graftow.db.t_ow ORDER BY k")
+        .collect().toSeq === served,
+        "a refused overwrite must leave every partition byte-identical")
+      // a held lease refuses the replace (the A24 gate, as on COW paths)
+      val lease = graft.sources.GraftLease.acquire(spark, tbl, 60000L)
+      try {
+        val e2 = intercept[Exception](spark.sql(
+          "INSERT OVERWRITE graftow.db.t_ow VALUES (700, 1, 0)"))
+        assert(chainMsg(e2).toLowerCase.contains("lease"), chainMsg(e2))
+      } finally graft.sources.GraftLease.release(spark, tbl, lease)
+      // live MOR sidecars refuse the replace (resurrection guard)
+      graft.sources.GraftMor.morDelete(spark, tbl, col("k") === 500L)
+      val e3 = intercept[Exception](spark.sql(
+        "INSERT OVERWRITE graftow.db.t_ow VALUES (800, 1, 0)"))
+      assert(chainMsg(e3).contains("morCompact"), chainMsg(e3))
+    } finally GraftSqlWrite.clearAuditRules(tbl)
+  }
+
+  test("v2 path provider pins files WITH sidecars: a mutation landing after load() neither tears nor duplicates") {
+    import graft.sources.GraftMor
+    val path = graft.sources.GraftSink.scratchDir + "/v2_pin_tear"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    spark.range(100).select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartition(2).write.parquet(path)
+    val pinned = spark.read.format("graft").load(path)
+    assert(pinned.count() === 100L)
+    // a position upsert lands AFTER the load: new version files appended
+    // + a _dv epoch tombstoning the old versions
+    import spark.implicits._
+    GraftMor.morUpsert(spark, path,
+      Seq((1L, 99991L), (2L, 99992L), (3L, 99993L)).toDF("k", "v"), Seq("k"))
+    // the pinned frame serves the PRE-mutation snapshot consistently:
+    // un-pinned files would serve the appended versions WITHOUT the new
+    // tombstones — duplicate keys (the torn read)
+    assert(pinned.count() === 100L, "pinned scan must not see post-load files")
+    assert(pinned.groupBy("k").count().where(col("count") > 1L).count() === 0L,
+      "a torn read would duplicate the upserted keys")
+    assert(pinned.where(col("k") === 1L).head().getLong(1) === 10L,
+      "the pinned snapshot serves the pre-mutation values")
+    // a FRESH load pins files + sidecars together: post-mutation state
+    val fresh = spark.read.format("graft").load(path)
+    assert(fresh.count() === 100L)
+    assert(fresh.where(col("k") === 1L).head().getLong(1) === 99991L)
+    assert(fresh.orderBy("k").collect().map(_.toString).toSeq ===
+      GraftMor.morRead(spark, path).orderBy("k").collect().map(_.toString).toSeq)
+  }
+
+  test("A36xMOR x A51: an equality mask keyed on an EVOLVED column never masks pre-evolution files (null key matches no tombstone)") {
+    import graft.sources.GraftMor
+    val wh = graft.sources.GraftSink.scratchDir + "/v2_evokey_wh"
+    val path = s"$wh/db/t_evo.parquet"
+    new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(wh), true)
+    // base files have (k, v) only; v deliberately takes the VALUES the
+    // new key column will tombstone — a reader that mis-indexes the key
+    // getter onto the last projected column would read v as the key and
+    // mask these rows
+    spark.range(20).select(col("id").as("k"), col("id").as("v"))
+      .write.parquet(path)
+    import spark.implicits._
+    // evolve: a position upsert (keyed on k) ADDS column k2 — recorded
+    // in the _schema marker, pre-evolution files null-fill it
+    GraftMor.morUpsert(spark, path,
+      Seq((0L, 1000L, 100L)).toDF("k", "v", "k2"), Seq("k"))
+    // then an equality upsert keyed on the EVOLVED column
+    GraftMor.morUpsertEq(spark, path,
+      Seq((1000L, -1L, 3L), (1001L, -2L, 5L), (1002L, -3L, 7L))
+        .toDF("k", "v", "k2"),
+      Seq("k2"))
+    val morServed = GraftMor.morRead(spark, path)
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(morServed.length === 23,
+      "every pre-evolution row must serve (null k2 matches no tombstone)")
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftevo")
+    spark.sql("REFRESH TABLE graftevo.db.t_evo")
+    assert(spark.sql("SELECT k, v, k2 FROM graftevo.db.t_evo ORDER BY k")
+      .collect().map(_.toString).toSeq === morServed)
+    // a PRUNED projection that drops the key column still serves every
+    // base row (the key is read file-side where present, null elsewhere)
+    assert(spark.sql("SELECT count(*) AS n FROM graftevo.db.t_evo")
+      .head().getLong(0) === 23L)
+  }
 }
