@@ -202,6 +202,19 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     * file fails fast here, same as any stale-epoch read.
     */
   def changesBetween(name: String, fromId: Long, toId: Long): DataFrame = {
+    // a mask-bearing epoch's row deltas are NOT visible as a file-set
+    // diff (a morDelete changes no file); the mutation-aware route is
+    // the A49 feed — refuse BY NAME rather than emit a silently
+    // incomplete feed
+    Seq(fromId, toId).foreach { id =>
+      val sc = readManifestSidecars(name, id)
+      if (sc.any) throw new IllegalStateException(
+        s"[GRAFT] changesBetween cannot diff [$name] v$id: the epoch " +
+          "records live mutation-sidecar state, whose row deltas a " +
+          "file-set diff cannot see - use GraftMor.publishMorFeed (the " +
+          "mutation-aware change feed), or fold with morCompact and " +
+          "republish")
+    }
     val (rootIsDir1, f1) = readManifest(name, fromId)
     val (rootIsDir2, f2) = readManifest(name, toId)
     val removed = (f1.toSet -- f2.toSet).toSeq.sorted
@@ -254,8 +267,22 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(dir)
     val id = snapshotIds(name).lastOption.getOrElse(0L) + 1L
+    // the epoch pins the table STATE, not just the file set: live
+    // merge-on-read sidecar listings (A42-A45 masks) and the evolved
+    // schema publish WITH the data files, so `tableAsOf` of an epoch
+    // published after a morDelete/morUpsert serves the post-mutation
+    // state — the reference's snapshot transaction is of the table
+    // state (ArgodbMapreduceInputFormat.java:257-279). `#`-prefixed
+    // extension lines; sidecar parquet is immutable like data files.
+    val sc = morPin(name)
+    val sidecarLines =
+      sc.dv.map { case (p, l) => s"#sidecar\tdv\t$l\t$p" } ++
+      sc.eq.map { case (p, l) => s"#sidecar\teq\t$l\t$p" } ++
+      sc.seqm.map { case (p, l) => s"#sidecar\tseqm\t$l\t$p" } ++
+      sc.schemaDdl.map(d => s"#schema\t$d").toSeq
     val body = (s"rootIsDir=${pin.rootIsDir}" +:
-      pin.files.map { case (p, l) => s"$l\t$p" }).mkString("\n")
+      (pin.files.map { case (p, l) => s"$l\t$p" } ++ sidecarLines))
+      .mkString("\n")
     // create(overwrite=false) makes concurrent publishers collide
     // loudly instead of silently clobbering an epoch
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"v$id"), false)
@@ -329,23 +356,47 @@ final class GraftCatalog(spark: SparkSession, root: String) {
   }
 
   /** Read `name` AS OF published epoch `id`: exactly the files that
-    * epoch's manifest names, regardless of what has landed in the
-    * directory since. The read bypasses this catalog's own pin — time
+    * epoch's manifest names — WITH the mutation masks the manifest
+    * recorded (A54): an epoch published after a morDelete/morUpsert
+    * serves the post-mutation state (position vectors, equality
+    * tombstones and the file→sequence manifest compose exactly as the
+    * live read does), an epoch published before it serves the
+    * pre-mutation state, and mutations landing AFTER the publish stay
+    * invisible. The read bypasses this catalog's own pin — time
     * travel is an explicit, addressed snapshot, not the session one.
+    * A compaction destroys recorded sidecar files, so a masked epoch
+    * refuses BY NAME once folded (the same stale-epoch fail-fast a
+    * COW rewrite causes on data files).
     */
   def tableAsOf(name: String, id: Long): DataFrame = {
     val (rootIsDir, files) = readManifest(name, id)
     require(files.nonEmpty, s"[GRAFT] Snapshot v$id of [$name] lists no files")
+    val sc = readManifestSidecars(name, id)
+    if (sc.any || sc.seqm.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val gone = (sc.dv ++ sc.eq ++ sc.seqm).map(_._1)
+        .filterNot(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      require(gone.isEmpty,
+        s"[GRAFT] Snapshot v$id of [$name] records mutation-sidecar state " +
+          s"that a compaction has since folded (e.g. ${gone.headOption.getOrElse("")}) - " +
+          "the masked historical state is no longer reconstructible; " +
+          "republish after morCompact for addressable history")
+    }
     val reader = spark.read
+    sc.schemaDdl.foreach(d =>
+      reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
     if (rootIsDir) reader.option("basePath", s"$root/$name.parquet")
-    // time travel is epoch-relative for ordinary mutations, but the
-    // CURRENT erase mask applies even to history: a GDPR-erased key
-    // must serve from no surface, addressed snapshots included
-    GraftMor.applyCurrentEraseMask(spark, s"$root/$name.parquet",
-      reader.parquet(files: _*))
+    val base = reader.parquet(files: _*)
+    val masked = if (sc.any) GraftMor.applyMasks(spark, base, sc) else base
+    // epoch-relative for ordinary mutations, but the CURRENT erase
+    // mask applies even to history: a GDPR-erased key must serve from
+    // no surface, addressed snapshots included
+    GraftMor.applyCurrentEraseMask(spark, s"$root/$name.parquet", masked,
+      unlessSame = sc.eq)
   }
 
-  private def readManifest(name: String, id: Long): (Boolean, Seq[String]) = {
+  private def manifestLines(name: String, id: Long): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/$SnapshotDir/$name/v$id")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p),
@@ -356,9 +407,33 @@ final class GraftCatalog(spark: SparkSession, root: String) {
       org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
       bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
     } finally in.close()
-    val lines = body.split("\n").toSeq
+    body.split("\n").toSeq
+  }
+
+  private def readManifest(name: String, id: Long): (Boolean, Seq[String]) = {
+    val lines = manifestLines(name, id)
     (lines.head == "rootIsDir=true",
-      lines.tail.filter(_.nonEmpty).map(_.split("\t", 2)(1)))
+      lines.tail.filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.split("\t", 2)(1)))
+  }
+
+  /** The merge-on-read sidecar state a published epoch RECORDED — the
+    * masks `tableAsOf` must compose to serve the table state as of the
+    * publish. Empty for epochs of unmutated tables (and for manifests
+    * written before sidecar recording — those tables carried no
+    * serving contract for AS-OF masks).
+    */
+  private[sources] def readManifestSidecars(name: String,
+      id: Long): GraftMor.Sidecars = {
+    val ext = manifestLines(name, id).filter(_.startsWith("#"))
+    def flavor(k: String): Seq[(String, Long)] = ext.collect {
+      case l if l.startsWith(s"#sidecar\t$k\t") =>
+        val Array(_, _, len, path) = l.split("\t", 4)
+        (path, len.toLong)
+    }
+    GraftMor.Sidecars(flavor("dv"), flavor("eq"), flavor("seqm"),
+      ext.collectFirst { case l if l.startsWith("#schema\t") =>
+        l.split("\t", 2)(1) })
   }
 
   /** The file paths a published epoch's manifest names — the SQL
@@ -382,6 +457,22 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     * exported file list.
     */
   def exportSnapshot(name: String, id: Long, outFile: String): Seq[String] = {
+    // a foreign parquet reader applies NO masks: refuse when the epoch
+    // records mutation sidecars (tombstoned rows would serve), and
+    // when a CURRENT erase sidecar exists (GDPR erasure is retroactive
+    // — an export must not hand erased keys to a reader the mask can
+    // never reach)
+    val sc = readManifestSidecars(name, id)
+    if (sc.any) throw new IllegalStateException(
+      s"[GRAFT] exportSnapshot of [$name] v$id refused: the epoch records " +
+        "live mutation-sidecar state a foreign parquet reader cannot " +
+        "apply - fold with morCompact and republish first")
+    if (GraftMor.sidecars(spark, s"$root/$name.parquet").eq.nonEmpty)
+      throw new IllegalStateException(
+        s"[GRAFT] exportSnapshot of [$name] refused: the table carries a " +
+          "live equality/erase sidecar; an export cannot be masked after " +
+          "the fact (GDPR erasure is retroactive) - fold with morCompact " +
+          "first")
     val (_, files) = readManifest(name, id)
     val schemaDdl = tableAsOf(name, id).schema.toDDL
     def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -427,6 +518,18 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     * addressable history. Returns the new snapshot id.
     */
   def restoreSnapshot(name: String, id: Long): Long = {
+    // restore rewrites the file set only: it is unambiguous iff the
+    // mutation-sidecar state has not changed since the target epoch
+    // (same listings, typically both empty) — otherwise the restored
+    // files would serve under masks the epoch never saw, or lose
+    // masks it recorded. Refuse BY NAME; fold both states first.
+    val scThen = readManifestSidecars(name, id)
+    val scNow = GraftMor.sidecars(spark, s"$root/$name.parquet")
+    require(scThen.dv == scNow.dv && scThen.eq == scNow.eq &&
+        scThen.seqm == scNow.seqm,
+      s"[GRAFT] restoreSnapshot of [$name] to v$id refused: the " +
+        "mutation-sidecar state differs from what the epoch recorded - " +
+        "fold with morCompact (and republish) before restoring")
     val (_, files) = readManifest(name, id)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -440,6 +543,7 @@ final class GraftCatalog(spark: SparkSession, root: String) {
       .filterNot(keep)
       .foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
     pinnedListings.remove(name)
+    pinnedMor.remove(name) // files and sidecars re-pin TOGETHER
     // publish the restored tip BEFORE expiring the dangling manifests:
     // the new id allocates past them, so an expired id is never reused
     // (a reader holding "v2" must not silently resolve to new data)
@@ -510,7 +614,10 @@ final class GraftCatalog(spark: SparkSession, root: String) {
         fired.map(f => when(f.isNotNull, 1L).otherwise(0L)).reduce(_ + _))
       .where(col("n_reasons") > 0L)
     if (quarantine.isEmpty) {
-      pinnedListings.remove(name) // re-pin: the publish must cover the batch
+      // re-pin BOTH: the publish must cover the batch, and re-pinning
+      // files while keeping stale sidecars would tear the snapshot
+      pinnedListings.remove(name)
+      pinnedMor.remove(name)
       Right(publishSnapshot(name))
     } else Left(quarantine)
   }
@@ -554,6 +661,7 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     doomed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
     // the dead files may be gone from this catalog's own pin too
     pinnedListings.remove(name)
+    pinnedMor.remove(name) // files and sidecars re-pin TOGETHER
     doomed
   }
 

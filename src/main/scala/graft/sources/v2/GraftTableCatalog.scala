@@ -166,28 +166,43 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   private def loadSnapshot(ident: Identifier, id: Long): Table =
     tables.getOrElseUpdate((ident.namespace.mkString("/"), s"${ident.name}@v$id"), {
-      val files = catalogFor(ident.namespace).snapshotFilesAsOf(ident.name, id)
+      val nsCat = catalogFor(ident.namespace)
+      val files = nsCat.snapshotFilesAsOf(ident.name, id)
       if (files.isEmpty) throw new NoSuchTableException(ident)
       val tablePath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
-      // time travel over live mutation sidecars is ambiguous through
-      // this surface (masks are current-state, the manifest is
-      // historical): refuse BY NAME; GraftCatalog.tableAsOf serves the
-      // same epoch with the erase mask composed
       val conf = spark.sessionState.newHadoopConf()
-      GraftV2.refuseEqSidecar(tablePath, conf, s"VERSION/TIMESTAMP AS OF on $ident")
-      if (GraftV2.sidecarParquet(tablePath,
-          graft.sources.GraftMor.DvDir, conf).nonEmpty)
+      // A54: the epoch's RECORDED mutation-sidecar state rides into
+      // the v2 scan exactly as a live pin does — `VERSION AS OF` an
+      // epoch published after a morDelete/morUpsert serves the
+      // post-mutation state. A compaction since then has destroyed
+      // the recorded sidecar files: refuse BY NAME. Erases landing
+      // AFTER the publish are caught by the scan-time `_eq` freshness
+      // guard (the pinned eq listing is the manifest's; any current
+      // drift refuses — GDPR erasure outranks addressed history).
+      val sc = nsCat.readManifestSidecars(ident.name, id)
+      val fs = new org.apache.hadoop.fs.Path(tablePath).getFileSystem(conf)
+      val gone = (sc.dv ++ sc.eq ++ sc.seqm).map(_._1)
+        .filterNot(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      if (gone.nonEmpty)
         throw new IllegalStateException(
-          s"[GRAFT] $tablePath has unmerged position tombstones " +
-            s"(${graft.sources.GraftMor.DvDir}/): time travel over live " +
-            "mutation epochs is ambiguous - fold them with " +
-            "GraftMor.morCompact first, or read history via " +
-            "GraftCatalog.tableAsOf")
-      val fileSchema = GraftV2.readSchema(files.head, spark.sessionState.newHadoopConf())
+          s"[GRAFT] VERSION/TIMESTAMP AS OF $id on $ident refused: the " +
+            "epoch records mutation-sidecar state that a compaction has " +
+            s"since folded (e.g. ${gone.head}) - the masked historical " +
+            "state is no longer reconstructible; republish after morCompact")
+      // eager key-type/cap validation, as loadTable does
+      if (sc.eq.nonEmpty) GraftMorMask.loadEq(sc.eq.map(_._1), conf)
+      val fileSchema = sc.schemaDdl
+        .map(d => org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructType.fromDDL(d).fields))
+        .getOrElse(GraftV2.readSchema(files.head, conf))
       val partSchema = GraftV2.partitionSchema(tablePath, files)
       GraftTable(tablePath,
-        org.apache.spark.sql.types.StructType(fileSchema.fields ++ partSchema.fields),
-        files, partSchema)
+        org.apache.spark.sql.types.StructType(
+          fileSchema.fields.filterNot(f =>
+            partSchema.fieldNames.contains(f.name)) ++ partSchema.fields),
+        files, partSchema,
+        morDv = sc.dv.map(_._1), morEq = sc.eq.map(_._1),
+        morSeqm = sc.seqm.map(_._1))
     })
 
   /** `REFRESH TABLE graft.db.t` lands here: drop the memoized Table

@@ -111,6 +111,9 @@ class MorSpec extends SparkSpecBase {
     val preRead = GraftMor.morRead(spark, path).orderBy("o_orderkey")
       .collect().map(_.toSeq).toSeq
     val before = dataSig(path)
+    // dv_file coordinates are stored scheme-less (the canonical space
+    // shared with the delta DML writer); normalize listing paths too
+    def normP(p: String) = p.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")
     val affected = spark.read.parquet(s"$path/${GraftMor.DvDir}")
       .select("dv_file").distinct().collect().map(_.getString(0)).toSet
     assert(affected.nonEmpty && affected.size < before.size,
@@ -118,8 +121,8 @@ class MorSpec extends SparkSpecBase {
     GraftMor.morCompact(spark, path)
     val after = dataSig(path)
     // untouched files byte-identical; affected files gone
-    assert(before.filterNot(f => affected(f._1)).subsetOf(after))
-    assert(after.map(_._1).intersect(affected) === Set.empty)
+    assert(before.filterNot(f => affected(normP(f._1))).subsetOf(after))
+    assert(after.map(f => normP(f._1)).intersect(affected) === Set.empty)
     assert(!hfs(path).exists(new org.apache.hadoop.fs.Path(s"$path/${GraftMor.DvDir}")),
       "compaction clears the sidecar")
     val postRead = GraftMor.morRead(spark, path).orderBy("o_orderkey")
@@ -828,5 +831,67 @@ class MorSpec extends SparkSpecBase {
     assert(rollup() === recompute(),
       "mutations after a zero-rewrite compaction must reach the feed")
     assert(rollup().map(_(1)).map(_.asInstanceOf[Long]).sum === 90L)
+  }
+
+  test("A54: published epochs pin MUTATION STATE — AS OF after a delete serves post-delete, before serves pre-delete; erases mask every epoch; export/CDF refuse over masked epochs; compaction voids historical masks BY NAME") {
+    import spark.implicits._
+    import graft.sources.{GraftCatalog, GraftMor}
+    val root = graft.sources.GraftSink.scratchDir + "/mor_tt_ladder"
+    val path = s"$root/t_tt.parquet"
+    hfs(root).delete(new org.apache.hadoop.fs.Path(root), true)
+    spark.range(100).select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartition(2).write.parquet(path)
+    val v1 = new GraftCatalog(spark, root).publishSnapshot("t_tt")
+    GraftMor.morDelete(spark, path, col("k") % 10 === 3) // 10 rows
+    val v2 = new GraftCatalog(spark, root).publishSnapshot("t_tt")
+    GraftMor.morUpsert(spark, path,
+      Seq((1L, 99991L), (2L, 99992L)).toDF("k", "v"), Seq("k"))
+    val v3 = new GraftCatalog(spark, root).publishSnapshot("t_tt")
+    val cat = new GraftCatalog(spark, root)
+    // v1 (published BEFORE the delete) serves the pre-delete state
+    assert(cat.tableAsOf("t_tt", v1).count() === 100L)
+    assert(cat.tableAsOf("t_tt", v1).where(col("k") % 10 === 3).count() === 10L)
+    // v2 (published AFTER the delete) serves the post-delete state —
+    // and must NOT see the LATER upsert's tombstones or appends
+    assert(cat.tableAsOf("t_tt", v2).count() === 90L)
+    assert(cat.tableAsOf("t_tt", v2).where(col("k") % 10 === 3).count() === 0L)
+    assert(cat.tableAsOf("t_tt", v2).where(col("k") === 1L)
+      .head().getLong(1) === 10L,
+      "an epoch published before an upsert must serve the old version")
+    // v3 carries the upsert: new versions serve, no duplicates
+    assert(cat.tableAsOf("t_tt", v3).count() === 90L)
+    assert(cat.tableAsOf("t_tt", v3).where(col("k") === 1L)
+      .head().getLong(1) === 99991L)
+    assert(cat.tableAsOf("t_tt", v3).groupBy("k").count()
+      .where(col("count") > 1L).count() === 0L)
+    // snapshot export refuses over a masked epoch (a foreign parquet
+    // reader cannot apply the masks); the pre-mutation epoch exports
+    val eOut = s"$root/export.json"
+    val e1 = intercept[IllegalStateException](
+      cat.exportSnapshot("t_tt", v2, eOut))
+    assert(e1.getMessage.contains("morCompact"), e1.getMessage)
+    assert(cat.exportSnapshot("t_tt", v1, eOut).nonEmpty)
+    // CDF between mask-bearing epochs refuses by name (file-set diffs
+    // cannot see mask-only deltas — the MOR feed is the route)
+    val e2 = intercept[IllegalStateException](
+      cat.changesBetween("t_tt", v1, v2))
+    assert(e2.getMessage.contains("publishMorFeed"), e2.getMessage)
+    // a GDPR erase landing after ALL THREE publishes masks every epoch
+    GraftMor.morErase(spark, path, Seq(5L).toDF("k"), Seq("k"))
+    Seq(v1, v2, v3).foreach { v =>
+      assert(cat.tableAsOf("t_tt", v).where(col("k") === 5L).count() === 0L,
+        s"a fresh erase must mask epoch v$v") }
+    // with a live erase sidecar, even the unmasked epoch refuses to
+    // EXPORT (the mask can never reach a foreign reader)
+    val e4 = intercept[IllegalStateException](
+      cat.exportSnapshot("t_tt", v1, eOut))
+    assert(e4.getMessage.contains("erasure is retroactive"), e4.getMessage)
+    // compaction folds the sidecars — the masked epochs' recorded
+    // sidecar files are gone, so their AS-OF reads refuse BY NAME
+    GraftMor.morCompact(spark, path)
+    val e3 = intercept[Exception](
+      new GraftCatalog(spark, root).tableAsOf("t_tt", v2))
+    assert(e3.getMessage.contains("compaction") ||
+      e3.getMessage.contains("morCompact"), e3.getMessage)
   }
 }
