@@ -113,7 +113,11 @@ object Bench {
     // the H14 seeded-shuffle keyed resume, the A48 footer-pruned
     // retention sweep, and the A49 outbound change feed
     "pipeline_shuffle_resume", "src_retention_sweep",
-    "src_mor_change_feed", "src_mor_sql_read")
+    "src_mor_change_feed", "src_mor_sql_read",
+    // round-13 additions: SQL row-level DML (delta delete + update +
+    // merge through the v2 write path) and the mask-composed epoch
+    // read (publish + AS-OF with recorded sidecars)
+    "src_mor_sql_dml", "src_mor_time_travel")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -64,6 +64,8 @@ object SparkEntry {
     "src_mor_change_feed"        -> Relational.srcMorChangeFeed _,
     "src_mor_compact"            -> Relational.srcMorCompact _,
     "src_mor_sql_read"           -> Relational.srcMorSqlRead _,
+    "src_mor_time_travel"        -> Relational.srcMorTimeTravel _,
+    "src_mor_sql_dml"            -> Relational.srcMorSqlDml _,
     "src_incremental_agg"        -> Relational.srcIncrementalAgg _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
@@ -1189,6 +1191,35 @@ object SparkEntry {
       SELECT o_orderstatus, count(*) AS n,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM merged WHERE o_orderkey % 10 <> 3
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A54: the epoch captures generation-1 mutations (delete %10=3,
+    // upsert %100=0 at +1000) and NOT the post-publish delete (%10=4)
+    "src_mor_time_travel" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 3)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A55: SQL DELETE (%10=3) + UPDATE (%100=0 at +1000) + MERGE
+    // (three inserts), all merge-on-read — state matches the SQL
+    // application of the same mutations
+    "src_mor_sql_dml" -> """
+      WITH merged AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 10 <> 3
+        UNION ALL
+        SELECT 900000000 + range, 'F', 42.5 FROM range(3))
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM merged
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // A42 compaction: folding the vector into the affected files must

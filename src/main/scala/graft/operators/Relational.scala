@@ -1026,6 +1026,94 @@ object Relational {
       ORDER BY o_orderstatus""")
   }
 
+  /** A54: time travel × merge-on-read — `publishSnapshot` pins the
+    * table STATE (data files + the `_dv`/`_eq`/`_seqm` sidecar
+    * listings), so `tableAsOf` of an epoch published AFTER a
+    * morDelete/morUpsert serves the post-mutation state with the
+    * masks composed AS OF the publish, while mutations landing AFTER
+    * the publish stay invisible (and GDPR erases, retroactive by
+    * contract, mask history regardless). The reference's snapshot
+    * transaction is of the TABLE STATE, not the file set
+    * (ArgodbMapreduceInputFormat.java:257-279). Here generation 1
+    * (predicate delete + priced-up upsert) is captured by the epoch;
+    * a second delete lands after the publish and must not leak in.
+    */
+  def srcMorTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.GraftSink.scratchDir + "/mor_tt"
+    val path = s"$root/orders_tt.parquet"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.GraftMor.morDelete(s, path, col("o_orderkey") % 10 === 3)
+    graft.sources.GraftMor.morUpsert(s, path,
+      orders.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      Seq("o_orderkey"))
+    val epoch = new graft.sources.GraftCatalog(s, root)
+      .publishSnapshot("orders_tt")
+    // generation 2, AFTER the publish: invisible to the epoch read
+    graft.sources.GraftMor.morDelete(s, path, col("o_orderkey") % 10 === 4)
+    new graft.sources.GraftCatalog(s, root).tableAsOf("orders_tt", epoch)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** A55: SQL row-level DML — DELETE / UPDATE / MERGE INTO on a
+    * catalog table, served merge-on-read: a translatable DELETE takes
+    * the metadata-only path (`SupportsDelete` → one tombstone epoch),
+    * non-translatable predicates, UPDATE and MERGE rewrite as a
+    * position DELTA against the (`_file`,`_pos`) row ID
+    * (`SupportsRowLevelOperations`+`SupportsDelta` — the Iceberg
+    * shape), appending O(churn) coordinate + version files and
+    * rewriting NOTHING. The read-back aggregate hash-matches an
+    * oracle applying the same mutations in SQL — and the served
+    * state equals `morRead` (spec-asserted), so SQL DML and the
+    * Scala mutation APIs are one surface.
+    */
+  def srcMorSqlDml(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.sources.GraftSink.scratchDir + "/morsqldml"
+    val path = s"$wh/db/orders_dml.parquet"
+    val f = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    f.delete(new org.apache.hadoop.fs.Path(wh), true)
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.v2.GraftTableCatalog.register(s, wh, "graftdml")
+    s.sql("REFRESH TABLE graftdml.db.orders_dml")
+    // row-level delta DELETE (modulo predicates don't translate to
+    // source filters, so this exercises the WriteDelta path)
+    s.sql("DELETE FROM graftdml.db.orders_dml WHERE o_orderkey % 10 = 3")
+    s.sql("REFRESH TABLE graftdml.db.orders_dml")
+    // UPDATE = per-row delete + appended new version
+    s.sql("UPDATE graftdml.db.orders_dml SET o_totalprice = " +
+      "o_totalprice + 1000.0 WHERE o_orderkey % 100 = 0")
+    s.sql("REFRESH TABLE graftdml.db.orders_dml")
+    // MERGE INTO: three not-matched inserts
+    s.sql("""
+      MERGE INTO graftdml.db.orders_dml t
+      USING (SELECT id + 900000000 AS o_orderkey, 1 AS o_custkey,
+                    'F' AS o_orderstatus, 42.5 AS o_totalprice
+             FROM range(3)) src
+      ON t.o_orderkey = src.o_orderkey
+      WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus,
+        o_totalprice) VALUES (src.o_orderkey, src.o_custkey,
+        src.o_orderstatus, src.o_totalprice)""")
+    s.sql("REFRESH TABLE graftdml.db.orders_dml")
+    s.sql("""
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM graftdml.db.orders_dml
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")
+  }
+
   /** A46: mutation-aware incremental aggregate maintenance — A20's
     * refresh-from-the-diff discipline on a MUTATING merge-on-read
     * table: the summary is built once, then two refreshes each apply

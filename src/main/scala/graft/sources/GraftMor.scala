@@ -404,7 +404,7 @@ object GraftMor {
     // still the file relation — a join output no longer resolves
     // `_metadata`
     val withCoords = readTable(s, tablePath, sc)
-      .select(col("*"), col("_metadata.file_path").as("dv_file"),
+      .select(col("*"), normPath(col("_metadata.file_path")).as("dv_file"),
               col("_metadata.row_index").as("dv_pos"))
     val coords = matcher(withCoords).select("dv_file", "dv_pos")
     dvFrame(s, sc) match {
@@ -422,6 +422,15 @@ object GraftMor {
       tombstones: DataFrame): Unit =
     tombstones.write.mode(SaveMode.Overwrite)
       .parquet(s"${dvPath(tablePath)}/epoch=${nextEpoch(s, tablePath)}")
+
+  /** Allocate (and name) the next position-tombstone epoch dir — the
+    * A55 delta DML commit lands its task-written coordinate files
+    * there, so SQL DELETE/UPDATE/MERGE epochs number in the same
+    * monotone sequence as `morDelete`'s.
+    */
+  private[sources] def allocateDvEpochDir(s: SparkSession,
+      tablePath: String): String =
+    s"${dvPath(tablePath)}/epoch=${nextEpoch(s, tablePath)}"
 
   /** A42: merge-on-read DELETE by predicate. Writes one tombstone
     * epoch of O(matched rows); touches NO data file — safe under live
@@ -567,7 +576,7 @@ object GraftMor {
     // plan is still the file relation
     var data = raw
     if (dvOpt.nonEmpty) data = data
-      .withColumn("dv_file", col("_metadata.file_path"))
+      .withColumn("dv_file", normPath(col("_metadata.file_path")))
       .withColumn("dv_pos", col("_metadata.row_index"))
     if (seqOpt.nonEmpty) data = data
       .withColumn("__fn", normPath(col("_metadata.file_path")))
@@ -697,7 +706,7 @@ object GraftMor {
         _.select("dv_file").distinct().collect().map(_.getString(0)))
       val eqFiles = eqOpt.toSeq.flatMap { tomb =>
         val seqd = withFileSeq(readTable(s, tablePath, sc)
-          .withColumn("dv_file", col("_metadata.file_path"))
+          .withColumn("dv_file", normPath(col("_metadata.file_path")))
           .withColumn("__fn", normPath(col("_metadata.file_path"))))
         seqd.join(gate(tomb, sc.eqBytes, MaxBroadcastSidecarBytes),
             maskCond(seqd, tomb), "left_semi")
@@ -712,7 +721,7 @@ object GraftMor {
         sc.schemaDdl.foreach(d => affectedReader.schema(
           org.apache.spark.sql.types.StructType.fromDDL(d)))
         val scanned = affectedReader.parquet(affected: _*)
-          .withColumn("dv_file", col("_metadata.file_path"))
+          .withColumn("dv_file", normPath(col("_metadata.file_path")))
           .withColumn("dv_pos", col("_metadata.row_index"))
           .withColumn("__fn", normPath(col("_metadata.file_path")))
         val afterDv = dvOpt match {
@@ -837,7 +846,7 @@ object GraftMor {
       val coords0 = s.read.option("basePath", tablePath)
         .parquet(straddling.toIndexedSeq: _*)
         .select(col(tsCol).as("__ts"),
-          col("_metadata.file_path").as("dv_file"),
+          normPath(col("_metadata.file_path")).as("dv_file"),
           col("_metadata.row_index").as("dv_pos"))
         .where(col("__ts") < lit(cutoff)).drop("__ts")
       val scNow = sidecars(s, tablePath)
@@ -945,7 +954,7 @@ object GraftMor {
             // the finally; the frame itself releases after the write
             val d = s.read.option("basePath", tablePath)
               .parquet(doomedFiles.toIndexedSeq: _*)
-              .withColumn("dv_file", col("_metadata.file_path"))
+              .withColumn("dv_file", normPath(col("_metadata.file_path")))
               .withColumn("dv_pos", col("_metadata.row_index"))
               .join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_semi")
               .select(dataCols.map(col): _*)
@@ -1196,7 +1205,7 @@ object GraftMor {
         if (doomedFiles.nonEmpty) {
           val doomed = s.read.option("basePath", tablePath)
             .parquet(doomedFiles.toIndexedSeq: _*)
-            .withColumn("dv_file", col("_metadata.file_path"))
+            .withColumn("dv_file", normPath(col("_metadata.file_path")))
             .withColumn("dv_pos", col("_metadata.row_index"))
             .join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_semi")
             .drop("dv_file", "dv_pos")

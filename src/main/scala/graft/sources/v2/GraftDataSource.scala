@@ -100,9 +100,53 @@ case class GraftTable(path: String, tableSchema: StructType,
     morDv: Seq[String] = Seq.empty,
     morEq: Seq[String] = Seq.empty,
     morSeqm: Seq[String] = Seq.empty) extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = tableSchema
+
+  /** Iceberg-convention metadata columns: the (file, position)
+    * coordinate of every row — scheme-less path + file-global row
+    * index, the SAME coordinate space the A42 deletion vectors
+    * tombstone on, which is what makes them row IDs the delta DML
+    * write (A55) can delete by.
+    */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftRowLevel.MetaColumns
+
+  /** A55 metadata-only DELETE: a fully filter-translatable `DELETE
+    * FROM graft.db.t WHERE ...` routes straight to `morDelete` — one
+    * tombstone epoch, zero files rewritten, no DeltaWrite job (Spark's
+    * OptimizeMetadataOnlyDeleteFromTable picks this over the row-level
+    * plan exactly when `canDeleteWhere` accepts). The predicate's
+    * discovery scan happens inside morDelete (column-pruned).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftRowLevel.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.map(f => GraftRowLevel.filterToColumn(f).getOrElse(
+        throw new IllegalArgumentException(
+          s"[GRAFT] DELETE filter not translatable: $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    graft.sources.GraftMor.morDelete(SparkSession.active, path, cond)
+  }
+
+  /** A55 row-level DML: DELETE with a non-translatable predicate,
+    * UPDATE and MERGE INTO rewrite as a DELTA of row operations
+    * against the (_file, _pos) row ID — served merge-on-read exactly
+    * like the morDelete/morUpsert APIs (tombstone epoch + appended
+    * files), never a rewrite.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => GraftDeltaOperation(info.command, path, tableSchema,
+      pinnedFiles, partSchema, morDv, morEq, morSeqm)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       // SQL DML through the A38 write-audit-publish gate (V1 fallback,
@@ -426,8 +470,16 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     val (eqKeyCols, eqMap) =
       if (morEq.isEmpty) (Seq.empty[String], Map.empty[Seq[Any], Long])
       else GraftMorMask.loadEq(morEq, conf.value)
+    // single-key masks (the common case: one long GDPR key) ship as a
+    // flat value→sequence map, so the reader's per-row probe allocates
+    // nothing; composite keys keep the tuple map
+    val (eqSingle, eqMulti) =
+      if (eqKeyCols.length == 1)
+        (eqMap.map { case (k, v) => k.head -> v }, Map.empty[Seq[Any], Long])
+      else (Map.empty[Any, Long], eqMap)
     agg.map(a => GraftAggReaderFactory(a, conf): PartitionReaderFactory)
-      .getOrElse(GraftReaderFactory(required, conf, eqKeyCols, eqMap))
+      .getOrElse(GraftReaderFactory(required, conf, eqKeyCols,
+        eqMulti, eqSingle))
   }
 }
 
@@ -523,12 +575,14 @@ case class GraftInputPartition(path: String, rowGroup: Int,
 case class GraftReaderFactory(required: StructType,
     conf: SerializableConfiguration,
     eqKeyCols: Seq[String] = Seq.empty,
-    eqMap: Map[Seq[Any], Long] = Map.empty) extends PartitionReaderFactory {
+    eqMap: Map[Seq[Any], Long] = Map.empty,
+    eqSingle: Map[Any, Long] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.path, p.rowGroup, required, conf.value,
       p.partValues, p.rowGroupStart, p.masked,
-      eqKeyCols = eqKeyCols, eqMap = eqMap, fileSeq = p.fileSeq)
+      eqKeyCols = eqKeyCols, eqMap = eqMap, eqSingle = eqSingle,
+      fileSeq = p.fileSeq)
   }
 }
 
@@ -548,6 +602,7 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
     takeUntil: Long = Long.MaxValue,
     eqKeyCols: Seq[String] = Seq.empty,
     eqMap: Map[Seq[Any], Long] = Map.empty,
+    eqSingle: Map[Any, Long] = Map.empty,
     fileSeq: Long = 0L) extends PartitionReader[InternalRow] {
 
   private val reader = ParquetFileReader.open(
@@ -565,13 +620,31 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
     required.fields.zipWithIndex.filter { case (f, _) =>
       !partValues.contains(f.name) && fileSchema.containsField(f.name) }
 
+  /** Output positions of the requested METADATA columns (A55 row-ID
+    * coordinates): `_file` = the scheme-less split path, `_pos` = the
+    * row's file-global index — the A42 deletion-vector coordinate
+    * space. A data column of the same name shadows (it stays a file
+    * field above and never reaches here).
+    */
+  private val metaFilePos: Int = required.fields.indexWhere(f =>
+    f.name == GraftRowLevel.FileCol && !partValues.contains(f.name) &&
+      !fileSchema.containsField(f.name))
+  private val metaPosPos: Int = required.fields.indexWhere(f =>
+    f.name == GraftRowLevel.PosCol && !partValues.contains(f.name) &&
+      !fileSchema.containsField(f.name))
+  private val metaFileValue: UTF8String =
+    if (metaFilePos < 0) null
+    else UTF8String.fromString(GraftMorMask.norm(new Path(path).toUri.getPath))
+
   /** Per-split constants: partition fields (pre-converted Catalyst
-    * values) plus null for evolved columns this file predates.
+    * values) plus null for evolved columns this file predates
+    * (metadata coordinates excluded — they are per-row).
     */
   private val constants: Map[Int, Any] = required.fields.zipWithIndex.collect {
     case (f, i) if partValues.contains(f.name) =>
       i -> GraftV2.toCatalystConstant(partValues(f.name), f.dataType)
-    case (f, i) if !fileSchema.containsField(f.name) =>
+    case (f, i) if !fileSchema.containsField(f.name) &&
+        i != metaFilePos && i != metaPosPos =>
       i -> (null: Any)
   }.toMap
 
@@ -595,12 +668,17 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
   private val requested = new MessageType(fileSchema.getName, requestedTypes: _*)
   reader.setRequestedSchema(requested)
 
-  /** Canonical (Long/String) per-row accessors for the equality-mask
-    * key tuple — built against the requested group positions; null
-    * key values never match (sidecar keys are non-null by contract).
+  /** CANONICAL per-row accessors for the equality-mask key tuple —
+    * built against the requested group positions via
+    * [[GraftMorMask.canonicalKeyGetter]] (Long for integral/date,
+    * Long micros for timestamps incl. legacy INT96, String for UTF8,
+    * BigDecimal for decimals — the same canonicalization the sidecar
+    * loader applies, so equality holds across physical encodings);
+    * null key values never match (sidecar keys are non-null by
+    * contract).
     */
   private val keyGetters: Array[Group => Any] =
-    if (eqMap.isEmpty) Array.empty
+    if (eqMap.isEmpty && eqSingle.isEmpty) Array.empty
     else eqKeyCols.toArray.map { c =>
       if (partValues.contains(c)) {
         val const: Any = partValues(c) match {
@@ -625,26 +703,28 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
           if (inProj >= 0) inProj
           else fileFields.length + extraMaskCols.indexOf(c)
         }
-        val prim = requestedTypes(gi).asPrimitiveType().getPrimitiveTypeName
-        prim match {
-          case BINARY =>
-            (g: Group) => if (g.getFieldRepetitionCount(gi) == 0) null
-              else g.getBinary(gi, 0).toStringUsingUTF8
-          case INT32 =>
-            (g: Group) => if (g.getFieldRepetitionCount(gi) == 0) null
-              else java.lang.Long.valueOf(g.getInteger(gi, 0).toLong)
-          case _ =>
-            (g: Group) => if (g.getFieldRepetitionCount(gi) == 0) null
-              else java.lang.Long.valueOf(g.getLong(gi, 0))
-        }
+        val get = GraftMorMask.canonicalKeyGetter(requestedTypes(gi), gi)
+          .getOrElse(throw new IllegalStateException(
+            s"[GRAFT] equality-mask key '$c' has an unservable type " +
+              s"(${requestedTypes(gi)}) - read via GraftMor.morRead"))
+        (g: Group) => if (g.getFieldRepetitionCount(gi) == 0) null else get(g)
       }
     }
 
   /** Iceberg-v2 equality rule: masked iff the key's max tombstone
-    * sequence outranks this file's sequence.
+    * sequence outranks this file's sequence. Single-key masks (the
+    * common case) probe a flat map with zero per-row allocation.
     */
   private def eqMasked(g: Group): Boolean = {
     if (keyGetters.isEmpty) return false
+    if (keyGetters.length == 1 && eqSingle.nonEmpty) {
+      val k = keyGetters(0)(g)
+      if (k == null) return false
+      eqSingle.get(k) match {
+        case Some(maxSeq) => return fileSeq < maxSeq
+        case None => return false
+      }
+    }
     val key = new Array[Any](keyGetters.length)
     var i = 0
     while (i < keyGetters.length) { key(i) = keyGetters(i)(g); i += 1 }
@@ -688,6 +768,8 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
       } else {
         val row = new GenericInternalRow(required.fields.length)
         constants.foreach { case (pos, v) => row.update(pos, v) }
+        if (metaFilePos >= 0) row.update(metaFilePos, metaFileValue)
+        if (metaPosPos >= 0) row.update(metaPosPos, idx)
         var j = 0
         while (j < converters.length) {
           val (conv, outPos) = converters(j)

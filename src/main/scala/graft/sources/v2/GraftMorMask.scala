@@ -1,9 +1,12 @@
 package graft.sources.v2
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.io.ColumnIOFactory
-import org.apache.parquet.schema.MessageType
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DecimalLogicalTypeAnnotation, TimestampLogicalTypeAnnotation, TimeUnit}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
 import scala.collection.mutable
 
@@ -19,7 +22,13 @@ import scala.collection.mutable
   * parquet-mr, no Spark job) under a HARD row cap — tombstone volume
   * is churn-bounded by the advisor's `mor-compact` budget, and past
   * the cap the right answer is a compaction, so the load refuses BY
-  * NAME instead of growing an unbounded driver artifact.
+  * NAME instead of growing an unbounded driver artifact. Loads are
+  * CACHED keyed by the sidecar file list (sidecar parquet is
+  * immutable and part-file names are unique, so the path list is a
+  * content address): a second scan of the same pin — or the same
+  * table re-queried in a session — re-opens ZERO sidecar files; a
+  * mutation writes new epoch files, which is a new key. The cache is
+  * a small LRU (the loaded artifacts are driver-capped already).
   *
   * Reference anchor: the reference's record reader applies per-split
   * constants/skips during iteration
@@ -33,16 +42,123 @@ object GraftMorMask {
     */
   def norm(p: String): String = p.replaceFirst("^[a-zA-Z0-9.+-]+:/+", "/")
 
+  // ── load cache ──────────────────────────────────────────────────
+
+  private val MaxCacheEntries = 8
+
+  private val cache =
+    new java.util.LinkedHashMap[(String, Seq[String], Long), AnyRef](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[String], Long), AnyRef]): Boolean =
+        size() > MaxCacheEntries
+    }
+
+  private def cached[T <: AnyRef](kind: String, files: Seq[String],
+      cap: Long)(compute: => T): T = cache.synchronized {
+    val key = (kind, files, cap)
+    cache.get(key) match {
+      case hit: AnyRef if hit != null => hit.asInstanceOf[T]
+      case _ =>
+        val v = compute
+        cache.put(key, v)
+        v
+    }
+  }
+
+  private val opens = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Total sidecar parquet files OPENED by the loaders so far — the
+    * observability hook the cache spec asserts on (a cache hit opens
+    * nothing).
+    */
+  def sidecarOpens: Long = opens.get()
+
+  // ── canonical key values ────────────────────────────────────────
+
+  /** Canonical JVM value getter for one equality-key column at
+    * requested-group position `gi` — the ONE representation both the
+    * sidecar loader and the data-side reader map a key to, so tuple
+    * equality holds across physical encodings:
+    *
+    *   - integral / date        → java.lang.Long
+    *   - timestamps (INT64 any unit, legacy INT96) → java.lang.Long micros
+    *   - UTF8 binary            → String
+    *   - decimals (INT32/INT64/FLBA/BINARY backing) → java.math.BigDecimal
+    *     (scale from the column's own annotation — one column, one scale)
+    *
+    * None for the genuinely unservable (nested groups, raw binary,
+    * floating point — an inexact GDPR key is a design error): callers
+    * refuse BY NAME and route to `morRead`/`morCompact`.
+    */
+  def canonicalKeyGetter(t: Type, gi: Int): Option[Group => Any] = {
+    if (!t.isPrimitive) return None
+    val p = t.asPrimitiveType()
+    def dec(d: DecimalLogicalTypeAnnotation, unscaled: Group => java.math.BigInteger): Group => Any =
+      g => new java.math.BigDecimal(unscaled(g), d.getScale)
+    p.getPrimitiveTypeName match {
+      case BINARY => p.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+          Some(g => g.getBinary(gi, 0).toStringUsingUTF8)
+        case d: DecimalLogicalTypeAnnotation =>
+          Some(dec(d, g => new java.math.BigInteger(g.getBinary(gi, 0).getBytes)))
+        case _ => None
+      }
+      case FIXED_LEN_BYTE_ARRAY => p.getLogicalTypeAnnotation match {
+        case d: DecimalLogicalTypeAnnotation =>
+          Some(dec(d, g => new java.math.BigInteger(g.getBinary(gi, 0).getBytes)))
+        case _ => None
+      }
+      case INT32 => p.getLogicalTypeAnnotation match {
+        case d: DecimalLogicalTypeAnnotation =>
+          Some(dec(d, g => java.math.BigInteger.valueOf(g.getInteger(gi, 0).toLong)))
+        case _ => // plain int and DATE (epoch days) both canonicalize as Long
+          Some(g => java.lang.Long.valueOf(g.getInteger(gi, 0).toLong))
+      }
+      case INT64 => p.getLogicalTypeAnnotation match {
+        case d: DecimalLogicalTypeAnnotation =>
+          Some(dec(d, g => java.math.BigInteger.valueOf(g.getLong(gi, 0))))
+        case ts: TimestampLogicalTypeAnnotation => ts.getUnit match {
+          case TimeUnit.MILLIS =>
+            Some(g => java.lang.Long.valueOf(g.getLong(gi, 0) * 1000L))
+          case TimeUnit.MICROS =>
+            Some(g => java.lang.Long.valueOf(g.getLong(gi, 0)))
+          case TimeUnit.NANOS =>
+            Some(g => java.lang.Long.valueOf(Math.floorDiv(g.getLong(gi, 0), 1000L)))
+        }
+        case _ => Some(g => java.lang.Long.valueOf(g.getLong(gi, 0)))
+      }
+      case INT96 =>
+        // legacy Spark timestamp: 8-byte little-endian nanos-of-day +
+        // 4-byte little-endian Julian day → canonical micros
+        Some { g =>
+          val bytes = g.getInt96(gi, 0).getBytes
+          val buf = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanosOfDay = buf.getLong
+          val julianDay = buf.getInt
+          java.lang.Long.valueOf(
+            (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L)
+        }
+      case _ => None // boolean/float/double: not equality-key material
+    }
+  }
+
   /** Load the listed sidecar parquet files into
     * `normalized data-file path -> sorted row indexes`. Throws past
-    * `cap` total tombstones.
+    * `cap` total tombstones. Cached by the (immutable) file list.
     */
   def load(sidecarFiles: Seq[String], conf: Configuration,
       cap: Long = graft.sources.GraftMor.MaxBroadcastTombstones)
-      : Map[String, Array[Long]] = {
+      : Map[String, Array[Long]] =
+    cached("dv", sidecarFiles, cap) { loadUncached(sidecarFiles, conf, cap) }
+
+  private def loadUncached(sidecarFiles: Seq[String], conf: Configuration,
+      cap: Long): Map[String, Array[Long]] = {
     val acc = mutable.HashMap.empty[String, mutable.ArrayBuffer[Long]]
     var n = 0L
     sidecarFiles.foreach { f =>
+      opens.incrementAndGet()
       GraftV2.withReader(f, conf) { r =>
         val fileSchema = r.getFooter.getFileMetaData.getSchema
         val requested = new MessageType(fileSchema.getName,
@@ -77,38 +193,40 @@ object GraftMorMask {
   /** One equality-sidecar load (A44/A45) for the SQL serving surface:
     * `(key column names, key tuple -> max sequence)` — the reader
     * masks a row whose key maps to a sequence ABOVE its file's
-    * (erases stamp Long.MaxValue: mask everywhere, forever). Canonical
-    * key values: `java.lang.Long` for integral columns, `String` for
-    * string columns — the two key classes real tables erase on; any
-    * other key type refuses BY NAME (fall back to morRead). Same
-    * driver-side, hard-capped discipline as [[load]].
+    * (erases stamp Long.MaxValue: mask everywhere, forever). Key
+    * values are CANONICAL per [[canonicalKeyGetter]] — long/int,
+    * string, date, timestamp (incl. legacy INT96) and decimal keys
+    * all serve; true exotics (nested, raw binary, floating point)
+    * refuse BY NAME (fall back to morRead). Same driver-side,
+    * hard-capped, cached discipline as [[load]].
     */
   def loadEq(sidecarFiles: Seq[String], conf: Configuration,
       cap: Long = graft.sources.GraftMor.MaxBroadcastTombstones)
-      : (Seq[String], Map[Seq[Any], Long]) = {
+      : (Seq[String], Map[Seq[Any], Long]) =
+    cached("eq", sidecarFiles, cap) { loadEqUncached(sidecarFiles, conf, cap) }
+
+  private def loadEqUncached(sidecarFiles: Seq[String], conf: Configuration,
+      cap: Long): (Seq[String], Map[Seq[Any], Long]) = {
     require(sidecarFiles.nonEmpty, "[GRAFT] loadEq with no sidecar files")
     val schema = GraftV2.readSchema(sidecarFiles.head, conf)
     val keyFields = schema.fields.filterNot(f => f.name == "seq").toSeq
-    keyFields.foreach { f =>
-      f.dataType match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.StringType => ()
-        case other => throw new IllegalStateException(
-          s"[GRAFT] equality-mask key column '${f.name}' has type " +
-            s"${other.simpleString}: the SQL serving surface composes " +
-            "long/int/string keys only - read via GraftMor.morRead or " +
-            "fold with morCompact")
-      }
-    }
     val acc = mutable.HashMap.empty[Seq[Any], Long]
     var n = 0L
     sidecarFiles.foreach { f =>
+      opens.incrementAndGet()
       GraftV2.withReader(f, conf) { r =>
         val fileSchema = r.getFooter.getFileMetaData.getSchema
         val names = keyFields.map(_.name) :+ "seq"
         val requested = new MessageType(fileSchema.getName,
           names.map(n0 => fileSchema.getType(Seq(n0): _*)): _*)
+        val getters: Array[Group => Any] = keyFields.indices.toArray.map { j =>
+          canonicalKeyGetter(requested.getType(j), j).getOrElse(
+            throw new IllegalStateException(
+              s"[GRAFT] equality-mask key column '${keyFields(j).name}' has " +
+                s"type ${keyFields(j).dataType.simpleString}: the SQL serving " +
+                "surface composes integral/string/date/timestamp/decimal " +
+                "keys only - read via GraftMor.morRead or fold with morCompact"))
+        }
         r.setRequestedSchema(requested)
         var store = r.readNextRowGroup()
         while (store != null) {
@@ -124,15 +242,7 @@ object GraftMorMask {
                 s"[GRAFT] more than $cap unmerged equality tombstones: past " +
                   "the SQL serving cap - fold them with GraftMor.morCompact " +
                   "(then REFRESH TABLE), or read via GraftMor.morRead")
-            val key: Seq[Any] = keyFields.indices.map { j =>
-              keyFields(j).dataType match {
-                case org.apache.spark.sql.types.StringType =>
-                  g.getBinary(j, 0).toStringUsingUTF8
-                case org.apache.spark.sql.types.IntegerType =>
-                  java.lang.Long.valueOf(g.getInteger(j, 0).toLong)
-                case _ => java.lang.Long.valueOf(g.getLong(j, 0))
-              }
-            }
+            val key: Seq[Any] = getters.toIndexedSeq.map(_(g))
             val seq = g.getLong(keyFields.length, 0)
             val prev = acc.getOrElse(key, Long.MinValue)
             if (seq > prev) acc.put(key, seq)
@@ -147,11 +257,17 @@ object GraftMorMask {
 
   /** The A45 file→sequence manifest, driver-loaded: normalized data
     * file path -> commit sequence; files absent are base (sequence 0).
+    * Cached like [[load]].
     */
   def loadSeqm(sidecarFiles: Seq[String],
+      conf: Configuration): Map[String, Long] =
+    cached("seqm", sidecarFiles, 0L) { loadSeqmUncached(sidecarFiles, conf) }
+
+  private def loadSeqmUncached(sidecarFiles: Seq[String],
       conf: Configuration): Map[String, Long] = {
     val acc = mutable.HashMap.empty[String, Long]
     sidecarFiles.foreach { f =>
+      opens.incrementAndGet()
       GraftV2.withReader(f, conf) { r =>
         val fileSchema = r.getFooter.getFileMetaData.getSchema
         val requested = new MessageType(fileSchema.getName,

@@ -1,0 +1,350 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** A55: SQL row-level DML — `DELETE FROM` / `UPDATE` / `MERGE INTO`
+  * on graft tables, served MERGE-ON-READ exactly like the Scala
+  * mutation APIs:
+  *
+  *   - a fully filter-translatable DELETE takes the METADATA-ONLY
+  *     path (`GraftTable.deleteWhere` → `morDelete`): one tombstone
+  *     epoch, no DeltaWrite job at all;
+  *   - everything else rewrites through Spark's row-level-operation
+  *     machinery as a DELTA of per-row operations against the
+  *     (`_file`, `_pos`) row ID — the Iceberg position-delta shape.
+  *     The scan is the ordinary v2 scan (masks composed, so
+  *     already-deleted rows never re-tombstone — epochs stay TRUE
+  *     deltas) with the two metadata columns projected; each task
+  *     writes its delete coordinates and its insert rows as parquet
+  *     into a staging dir, and the driver commit moves coordinates
+  *     into ONE new `_dv` epoch and insert files into the table
+  *     (checked renames), sequencing appended files in `_seqm` when
+  *     an equality sidecar is live (the A52 rule: fresh versions
+  *     outrank finite tombstones, erases still win).
+  *
+  * Scale shape: cost is O(matched churn) — coordinates + new
+  * versions — never a partition rewrite; updates of one row in a
+  * 100 TB table write two tiny files. UPDATE is represented as
+  * delete+insert (`representUpdateAsDeleteAndInsert`), so the writer
+  * surface is two operations. Visibility is snapshot-grained as for
+  * every MOR mutation: pinned SQL readers REFRESH to see it.
+  *
+  * Reference anchor: the reference connector is read-only
+  * (ArgodbMapreduceInputFormat.java:52-279); this is the write-side
+  * surface its warehouse consumers imply, carried through the
+  * engine's mutation contracts.
+  */
+object GraftRowLevel {
+
+  /** Metadata column names — Iceberg's convention, and the A42
+    * deletion-vector coordinate space (scheme-less path, file-global
+    * row index).
+    */
+  val FileCol = "_file"
+  val PosCol = "_pos"
+
+  val MetaColumns: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "scheme-less data file path of the row (A42 coordinate space)"
+    },
+    new MetadataColumn {
+      override def name(): String = PosCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "file-global row index of the row (A42 coordinate space)"
+    })
+
+  /** Source `Filter` → Column, for the metadata-only DELETE path.
+    * None for shapes we cannot translate exactly — those take the
+    * row-level scan instead (never a silent approximation).
+    */
+  def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+    case Or(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+    case Not(c) => filterToColumn(c).map(not)
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+
+  /** StructType → parquet MessageType for the delta writers (the
+    * primitive surface the engine's tables use); unsupported types
+    * refuse BY NAME — the caller falls back to the Scala APIs.
+    */
+  def toMessageType(schema: StructType, name: String): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val fb = f.dataType match {
+        case BooleanType => Types.optional(BOOLEAN)
+        case IntegerType => Types.optional(INT32)
+        case LongType => Types.optional(INT64)
+        case FloatType => Types.optional(FLOAT)
+        case DoubleType => Types.optional(DOUBLE)
+        case StringType =>
+          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case DateType =>
+          Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
+        case TimestampType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS))
+        case TimestampNTZType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS))
+        case d: DecimalType if d.precision <= 9 => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case d: DecimalType if d.precision <= 18 => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case other => throw new IllegalStateException(
+          s"[GRAFT] row-level DML cannot write column '${f.name}' of type " +
+            s"${other.simpleString} - use the GraftMor Scala APIs")
+      }
+      b.addField(fb.named(f.name))
+    }
+    b.named(name)
+  }
+
+  /** Per-field (row, group) appender for the insert writer. */
+  def fieldAdders(schema: StructType): Array[(InternalRow, Group, Int) => Unit] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case BooleanType => (r: InternalRow, g: Group, gi: Int) =>
+          g.add(gi, r.getBoolean(i))
+        case IntegerType | DateType => (r: InternalRow, g: Group, gi: Int) =>
+          g.add(gi, r.getInt(i))
+        case LongType | TimestampType | TimestampNTZType =>
+          (r: InternalRow, g: Group, gi: Int) => g.add(gi, r.getLong(i))
+        case FloatType => (r: InternalRow, g: Group, gi: Int) =>
+          g.add(gi, r.getFloat(i))
+        case DoubleType => (r: InternalRow, g: Group, gi: Int) =>
+          g.add(gi, r.getDouble(i))
+        case StringType => (r: InternalRow, g: Group, gi: Int) =>
+          g.add(gi, Binary.fromString(r.getUTF8String(i).toString))
+        case d: DecimalType if d.precision <= 9 =>
+          (r: InternalRow, g: Group, gi: Int) =>
+            g.add(gi, r.getDecimal(i, d.precision, d.scale).toUnscaledLong.toInt)
+        case d: DecimalType if d.precision <= 18 =>
+          (r: InternalRow, g: Group, gi: Int) =>
+            g.add(gi, r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+        case other => throw new IllegalStateException(
+          s"[GRAFT] row-level DML cannot write type ${other.simpleString}")
+      }
+    }
+
+  val DeleteSchema: StructType = StructType(Seq(
+    StructField("dv_file", StringType, nullable = false),
+    StructField("dv_pos", LongType, nullable = false)))
+}
+
+/** The delta-based row-level operation: the ordinary v2 scan (masks,
+  * pruning, pushdown — metadata coordinates projected on demand) plus
+  * a position-delta write.
+  */
+case class GraftDeltaOperation(
+    cmd: RowLevelOperation.Command, path: String, tableSchema: StructType,
+    pinnedFiles: Seq[String], partSchema: StructType,
+    morDv: Seq[String], morEq: Seq[String], morSeqm: Seq[String])
+    extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"graft delta $cmd on $path"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, tableSchema, pinnedFiles, partSchema, None,
+      morDv, morEq, morSeqm)
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(GraftRowLevel.FileCol),
+    Expressions.column(GraftRowLevel.PosCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        GraftDeltaWrite(path, info.schema(), info.queryId())
+    }
+}
+
+case class GraftDeltaMessage(deleteFile: Option[String],
+    insertFile: Option[String]) extends WriterCommitMessage
+
+case class GraftDeltaWrite(path: String, writeSchema: StructType,
+    queryId: String) extends DeltaWrite {
+
+  private val stagingDir = s"$path/_staging/delta_$queryId"
+
+  override def description(): String = s"graft delta write to $path"
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DeltaWriterFactory =
+      GraftDeltaWriterFactory(stagingDir, writeSchema, GraftV2.sessionConf())
+
+    /** Driver commit: coordinates land as ONE new `_dv` epoch, insert
+      * files move into the table (checked renames), appended files
+      * sequence in `_seqm` when an equality sidecar is live. Only the
+      * COMMITTED attempts' files (named by the messages) move; failed
+      * or speculative attempts' residue dies with the staging dir.
+      */
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val s = SparkSession.active
+      val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      val msgs = messages.collect { case m: GraftDeltaMessage => m }
+      val deletes = msgs.flatMap(_.deleteFile)
+      val inserts = msgs.flatMap(_.insertFile)
+      if (deletes.nonEmpty) {
+        val epochDir = new Path(
+          graft.sources.GraftMor.allocateDvEpochDir(s, path))
+        fs.mkdirs(epochDir)
+        deletes.foreach { f =>
+          val src = new Path(f)
+          if (!fs.rename(src, new Path(epochDir, src.getName)))
+            throw new IllegalStateException(
+              s"[GRAFT] delta DML commit failed: rename($f -> $epochDir) " +
+                "returned false")
+        }
+      }
+      val landed = inserts.map { f =>
+        val src = new Path(f)
+        val dst = new Path(path, src.getName)
+        if (!fs.rename(src, dst))
+          throw new IllegalStateException(
+            s"[GRAFT] delta DML commit failed: rename($f -> $dst) " +
+              "returned false")
+        dst.toString
+      }
+      graft.sources.GraftMor.sequenceAppendedFiles(s, path, landed.toSeq)
+      fs.delete(new Path(stagingDir), true)
+      // drop the _staging shell when this was its last batch
+      val shell = new Path(stagingDir).getParent
+      if (fs.exists(shell) && fs.listStatus(shell).isEmpty)
+        fs.delete(shell, false)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val s = SparkSession.active
+      val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new Path(stagingDir), true)
+    }
+  }
+}
+
+case class GraftDeltaWriterFactory(stagingDir: String,
+    writeSchema: StructType,
+    conf: SerializableConfiguration) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(stagingDir, writeSchema, conf, partitionId, taskId)
+}
+
+/** One task's delta writer: lazily-opened parquet writers for its
+  * delete coordinates and its insert rows — a task that only deletes
+  * writes one tiny coordinate file, a task with no matches writes
+  * nothing at all.
+  */
+class GraftDeltaWriter(stagingDir: String, writeSchema: StructType,
+    conf: SerializableConfiguration, partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+
+  private val delType =
+    GraftRowLevel.toMessageType(GraftRowLevel.DeleteSchema, "dv")
+  private lazy val insType =
+    GraftRowLevel.toMessageType(writeSchema, "insert")
+  private lazy val insAdders = GraftRowLevel.fieldAdders(writeSchema)
+
+  private val delPath =
+    s"$stagingDir/deletes/part-$partitionId-$taskId.parquet"
+  private val insPath =
+    s"$stagingDir/inserts/part-$partitionId-$taskId.parquet"
+
+  private var delWriter: ParquetWriter[Group] = _
+  private var insWriter: ParquetWriter[Group] = _
+
+  private def open(p: String, t: MessageType): ParquetWriter[Group] =
+    ExampleParquetWriter.builder(
+        HadoopOutputFile.fromPath(new Path(p), conf.value))
+      .withConf(conf.value).withType(t).build()
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    if (delWriter == null) delWriter = open(delPath, delType)
+    val g = new SimpleGroup(delType)
+    g.add(0, Binary.fromString(id.getUTF8String(0).toString))
+    g.add(1, id.getLong(1))
+    delWriter.write(g)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (insWriter == null) insWriter = open(insPath, insType)
+    val g = new SimpleGroup(insType)
+    var i = 0
+    while (i < insAdders.length) {
+      if (!row.isNullAt(i)) insAdders(i)(row, g, i)
+      i += 1
+    }
+    insWriter.write(g)
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "[GRAFT] updates arrive as delete+insert (representUpdateAsDeleteAndInsert)")
+
+  override def write(row: InternalRow): Unit = insert(row)
+
+  override def commit(): WriterCommitMessage = {
+    if (delWriter != null) delWriter.close()
+    if (insWriter != null) insWriter.close()
+    GraftDeltaMessage(
+      Option(delWriter).map(_ => delPath),
+      Option(insWriter).map(_ => insPath))
+  }
+
+  override def abort(): Unit = close()
+
+  override def close(): Unit = {
+    if (delWriter != null) { delWriter.close(); delWriter = null }
+    if (insWriter != null) { insWriter.close(); insWriter = null }
+  }
+}

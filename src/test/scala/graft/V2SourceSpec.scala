@@ -956,4 +956,197 @@ class V2SourceSpec extends SparkSpecBase {
     assert(spark.sql("SELECT count(*) AS n FROM graftevo.db.t_evo")
       .head().getLong(0) === 23L)
   }
+
+  test("A54 SQL: VERSION AS OF serves the epoch's RECORDED masks; post-publish mutations stay invisible; a post-publish erase refuses by name") {
+    import graft.sources.GraftMor
+    import spark.implicits._
+    val wh = graft.sources.GraftSink.scratchDir + "/sqltt_mor_wh"
+    val path = s"$wh/db/t_sqltt.parquet"
+    new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.range(100).select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartition(2).write.parquet(path)
+    GraftMor.morDelete(spark, path, col("k") % 10 === 3)
+    val v1 = new graft.sources.GraftCatalog(spark, s"$wh/db")
+      .publishSnapshot("t_sqltt")
+    // generation 2, AFTER the publish: must not leak into the AS-OF read
+    GraftMor.morDelete(spark, path, col("k") % 10 === 4)
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftsqltt")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graftsqltt.db.t_sqltt VERSION AS OF $v1")
+      .head().getLong(0) === 90L,
+      "the epoch's recorded position masks must compose in the v2 scan")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graftsqltt.db.t_sqltt " +
+      s"VERSION AS OF $v1 WHERE k % 10 = 3").head().getLong(0) === 0L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graftsqltt.db.t_sqltt " +
+      s"VERSION AS OF $v1 WHERE k % 10 = 4").head().getLong(0) === 10L,
+      "a delete landing AFTER the publish must stay invisible to the epoch")
+    // the Scala surface agrees row-for-row
+    assert(spark.sql(
+      s"SELECT k, v FROM graftsqltt.db.t_sqltt VERSION AS OF $v1 ORDER BY k")
+      .collect().map(_.toString).toSeq ===
+      new graft.sources.GraftCatalog(spark, s"$wh/db")
+        .tableAsOf("t_sqltt", v1).orderBy("k")
+        .collect().map(_.toString).toSeq)
+    // an erase landing after the publish refuses the AS-OF scan by
+    // name (erasure outranks addressed history; the eq listing drifted
+    // from the manifest's)
+    GraftMor.morErase(spark, path, Seq(7L).toDF("k"), Seq("k"))
+    val e = intercept[Exception](spark.sql(
+      s"SELECT count(*) FROM graftsqltt.db.t_sqltt VERSION AS OF $v1")
+      .collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " || " + chain(t.getCause)
+    assert(chain(e).contains("equality"), chain(e))
+  }
+
+  test("A44 key types: TIMESTAMP- and DECIMAL-keyed erases serve through the SQL surface (canonical key values across physical encodings)") {
+    import graft.sources.GraftMor
+    val wh = graft.sources.GraftSink.scratchDir + "/eqkeys_wh"
+    new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(wh), true)
+    // timestamp key (the GDPR-erase-by-event-time shape)
+    val tsPath = s"$wh/db/t_ts.parquet"
+    val base = spark.range(50).select(col("id").as("k"),
+      timestamp_seconds(col("id") * 3600L + 1600000000L)
+        .cast("timestamp_ntz").as("ts"),
+      (col("id") * 2L).as("v"))
+    base.repartition(2).write.parquet(tsPath)
+    GraftMor.morErase(spark, tsPath,
+      base.where(col("k").isin(3L, 5L)).select("ts"), Seq("ts"))
+    val morTs = GraftMor.morRead(spark, tsPath)
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(morTs.length === 48)
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "grafteqk")
+    spark.sql("REFRESH TABLE grafteqk.db.t_ts")
+    assert(spark.sql("SELECT k, ts, v FROM grafteqk.db.t_ts ORDER BY k")
+      .collect().map(_.toString).toSeq === morTs,
+      "a timestamp-keyed erase must serve identically through SQL")
+    // the key column pruned from the projection still masks
+    assert(spark.sql("SELECT count(*) AS n FROM grafteqk.db.t_ts")
+      .head().getLong(0) === 48L)
+    // decimal key (UUID-as-decimal / money-keyed erasure)
+    val decPath = s"$wh/db/t_dec.parquet"
+    val based = spark.range(40).select(col("id").as("k"),
+      (col("id") * 100L).cast("decimal(12,2)").as("d"),
+      col("id").as("v"))
+    based.repartition(2).write.parquet(decPath)
+    GraftMor.morErase(spark, decPath,
+      based.where(col("k").isin(7L, 9L)).select("d"), Seq("d"))
+    val morDec = GraftMor.morRead(spark, decPath)
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(morDec.length === 38)
+    spark.sql("REFRESH TABLE grafteqk.db.t_dec")
+    assert(spark.sql("SELECT k, d, v FROM grafteqk.db.t_dec ORDER BY k")
+      .collect().map(_.toString).toSeq === morDec,
+      "a decimal-keyed erase must serve identically through SQL")
+  }
+
+  test("mask loads are content-addressed and cached: a repeated scan of the same pin opens ZERO sidecar files; a new epoch re-loads") {
+    import graft.sources.GraftMor
+    import graft.sources.v2.GraftMorMask
+    val wh = graft.sources.GraftSink.scratchDir + "/maskcache_wh"
+    val path = s"$wh/db/t_mc.parquet"
+    new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(wh), true)
+    import spark.implicits._
+    spark.range(100).select(col("id").as("k"), (col("id") * 2L).as("v"))
+      .repartition(2).write.parquet(path)
+    GraftMor.morDelete(spark, path, col("k") % 10 === 3)
+    GraftMor.morErase(spark, path, Seq(4L).toDF("k"), Seq("k"))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftmc")
+    spark.sql("REFRESH TABLE graftmc.db.t_mc")
+    assert(spark.sql("SELECT count(*) AS n FROM graftmc.db.t_mc")
+      .head().getLong(0) === 89L)
+    val o1 = GraftMorMask.sidecarOpens
+    // same pin, two more actions: the dv + eq loads must be cache hits
+    assert(spark.sql("SELECT count(*) AS n FROM graftmc.db.t_mc WHERE k < 50")
+      .head().getLong(0) === 44L)
+    assert(spark.sql("SELECT sum(v) AS s FROM graftmc.db.t_mc")
+      .head().getLong(0) > 0L)
+    assert(GraftMorMask.sidecarOpens === o1,
+      "a repeated scan of the same sidecar pin must open zero sidecar files")
+    // a fresh mutation epoch is a NEW content address: the next pinned
+    // read loads it (opens advance), and serves the new mask
+    GraftMor.morDelete(spark, path, col("k") === 0L)
+    spark.sql("REFRESH TABLE graftmc.db.t_mc")
+    assert(spark.sql("SELECT count(*) AS n FROM graftmc.db.t_mc")
+      .head().getLong(0) === 88L)
+    assert(GraftMorMask.sidecarOpens > o1,
+      "a new epoch must be loaded, not served stale from the cache")
+  }
+
+  test("A55 SQL row-level DML: DELETE (metadata-only and row-level), UPDATE and MERGE INTO serve merge-on-read — tombstone epochs + appended versions, zero files rewritten, state == morRead") {
+    import graft.sources.GraftMor
+    val wh = graft.sources.GraftSink.scratchDir + "/sqldml_wh"
+    val path = s"$wh/db/t_dml.parquet"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.range(100).select(col("id").as("k"), (col("id") * 10L).as("v"))
+      .repartition(2).write.parquet(path)
+    def dataSig(): Set[(String, Long)] = {
+      val out = Set.newBuilder[(String, Long)]
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toUri.getPath
+          .stripPrefix(new org.apache.hadoop.fs.Path(path).toUri.getPath)
+          .stripPrefix("/")
+        if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+          out += ((f.getPath.toString, f.getLen))
+      }
+      out.result()
+    }
+    val baseFiles = dataSig()
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftdml")
+    spark.sql("REFRESH TABLE graftdml.db.t_dml")
+    def served() = {
+      spark.sql("REFRESH TABLE graftdml.db.t_dml")
+      spark.sql("SELECT k, v FROM graftdml.db.t_dml ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    // 1. translatable DELETE → the metadata-only path (morDelete):
+    // one tombstone epoch, no data file touched
+    spark.sql("DELETE FROM graftdml.db.t_dml WHERE k >= 90")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_dv")),
+      "a metadata DELETE must write a tombstone epoch")
+    assert(dataSig() === baseFiles, "DELETE must rewrite no data file")
+    assert(served().size === 90)
+    // 2. non-translatable predicate → the row-level delta path
+    spark.sql("DELETE FROM graftdml.db.t_dml WHERE k % 10 = 3")
+    assert(served().size === 81)
+    assert(served().count(_._1 % 10 == 3) === 0)
+    assert(dataSig() === baseFiles, "a delta DELETE must rewrite no data file")
+    // 3. UPDATE = delete + append of the new versions
+    spark.sql("UPDATE graftdml.db.t_dml SET v = v + 1000 WHERE k IN (1, 2)")
+    val s3 = served()
+    assert(s3.size === 81, "UPDATE must not change the row count")
+    assert(s3.toMap.apply(1L) === 1010L && s3.toMap.apply(2L) === 1020L)
+    assert(s3.map(_._1).distinct.size === 81, "no duplicate keys after UPDATE")
+    assert(baseFiles.subsetOf(dataSig()),
+      "UPDATE appends new versions; the original files stay byte-identical")
+    // 4. MERGE INTO: matched update + not-matched insert
+    spark.sql("""
+      MERGE INTO graftdml.db.t_dml t
+      USING (SELECT 5 AS k, 5555 AS v UNION ALL SELECT 200, 2000) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val s4 = served()
+    assert(s4.size === 82)
+    assert(s4.toMap.apply(5L) === 5555L && s4.toMap.apply(200L) === 2000L)
+    // the whole SQL-mutated state equals the Scala-surface read
+    assert(s4 === GraftMor.morRead(spark, path).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // 5. staging residue is gone; compaction folds everything
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_staging")),
+      "delta DML must leave no staging residue")
+    GraftMor.morCompact(spark, path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_dv")))
+    assert(served() === s4, "compaction must not change the served state")
+  }
 }
