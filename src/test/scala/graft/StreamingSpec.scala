@@ -1289,4 +1289,83 @@ class StreamingSpec extends SparkSpecBase {
     val lastBatch2 = { val in = fs.open(marker); try in.readLong() finally in.close() }
     assert(lastBatch2 === lastBatch, "no new batch may apply on a caught-up restart")
   }
+
+  test("G28: the graft-log source speaks (partition, offset) coordinates; a GROWING log streams exactly-once across restarts; non-monotone segment names refuse by name") {
+    val base = graft.sources.GraftSink.scratchDir + "/log_src"
+    val log = s"$base/ingest_log"
+    val root = s"$base/summary"
+    val cp = s"$base/cp"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val events = new graft.sources.GraftCatalog(spark, sfDir).table("events")
+      .select("event_id", "event_type", "value")
+    // broker-shaped log: partition=N dirs, segments named MONOTONE
+    def writeSegment(p: Int, df: org.apache.spark.sql.DataFrame,
+        segName: String): Unit = {
+      val tmp = s"$base/tmp_seg"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$log/partition=$p"))
+      assert(fs.rename(part,
+        new org.apache.hadoop.fs.Path(s"$log/partition=$p/$segName")))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    writeSegment(0, events.where(col("event_id") % 4 === 0), "seg-00000.parquet")
+    writeSegment(1, events.where(col("event_id") % 4 === 1), "seg-00000.parquet")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-log")
+        .option("rowsPerBatch", "173").load(log)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.streaming.Events.applySummaryBatch(
+              b.select("event_id", "event_type", "value"), id, root)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def expect(mod: Seq[Int]) = events
+      .where((col("event_id") % 4).isin(mod: _*))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).as("total_d"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    def summary() = spark.read.parquet(s"$root/summary.parquet")
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    run()
+    assert(summary() === expect(Seq(0, 1)),
+      "phase-1 segments must fold to the batch aggregate")
+    // the checkpointed offsets carry PER-PARTITION coordinates
+    val offFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$cp/offsets"))
+      .map(_.getPath).filterNot(_.getName.startsWith("."))
+    val lastOff = {
+      val in = fs.open(offFiles.maxBy(_.getName.toLong))
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    assert(lastOff.contains("\"0\":") && lastOff.contains("\"1\":"),
+      s"offset log must carry per-partition coordinates: $lastOff")
+    // the log GROWS: new segments land in BOTH partitions; the
+    // restarted stream resumes each partition past its committed
+    // offset and folds ONLY the new rows
+    writeSegment(0, events.where(col("event_id") % 4 === 2), "seg-00001.parquet")
+    writeSegment(1, events.where(col("event_id") % 4 === 3), "seg-00001.parquet")
+    run()
+    assert(summary() === expect(Seq(0, 1, 2, 3)),
+      "a resumed stream must fold exactly the appended segments")
+    // caught-up restart: no batch re-applies
+    val marker = new org.apache.hadoop.fs.Path(s"$root/summary.parquet/_applied_batch")
+    val lastBatch = { val in = fs.open(marker); try in.readLong() finally in.close() }
+    run()
+    assert(summary() === expect(Seq(0, 1, 2, 3)))
+    val lastBatch2 = { val in = fs.open(marker); try in.readLong() finally in.close() }
+    assert(lastBatch2 === lastBatch, "no new batch may apply on a caught-up restart")
+    // a segment whose name sorts BEFORE consumed ones would renumber
+    // committed offsets: the poll refuses BY NAME
+    writeSegment(0, events.where(col("event_id") === 0), "a-bad.parquet")
+    val e = intercept[Exception](run())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " || " + chain(t.getCause)
+    assert(chain(e).contains("monotone"), chain(e))
+  }
 }
