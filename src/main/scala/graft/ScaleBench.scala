@@ -355,6 +355,27 @@ object ScaleBench {
               FROM $cat.db.t GROUP BY o_orderstatus""").count()
         require(n > 0, "[scalebench] masked SQL read returned nothing")
       }),
+    WriteExp("w_mor_sql_dml",
+      "O(matched churn): the timed op is a SQL UPDATE of a FIXED " +
+        "1000-key slice through the delta row-level write (scan of " +
+        "the condition's columns + two tiny staged files + commit " +
+        "renames) - the scan half grows with the table (the same " +
+        "discovery class as w_mor_delete), the write half is flat",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        sp.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$scratch/db/t.parquet")
+        graft.sources.v2.GraftTableCatalog.registerForRoot(sp, scratch)
+      },
+      op = (sp, dir, scratch, run) => {
+        val cat = graft.sources.v2.GraftTableCatalog.registerForRoot(sp, scratch)
+        // constant churn: keys < 10k exist at every scale; run-disjoint
+        // residues keep both runs live (the %10=run slice)
+        sp.sql(s"UPDATE $cat.db.t SET o_totalprice = o_totalprice + 1.0 " +
+          s"WHERE o_orderkey < 10000 AND o_orderkey % 10 = $run")
+        sp.sql(s"REFRESH TABLE $cat.db.t")
+      }),
     WriteExp("w_mor_upsert_eq",
       "O(batch) + O(files) listing: the sequence-numbered upsert " +
         "writes a key tombstone and a manifest-sequenced append - " +
@@ -542,7 +563,7 @@ object ScaleBench {
       s""""sum_sf01":${fmt(rows.map(_._2).sum)},"sum_sf1":${fmt(rows.map(_._3).sum)}}"""
     println(line)
     val w = new java.io.PrintWriter(
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_r12.json"))
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_r13.json"))
     try w.println(line) finally w.close()
     spark.stop()
   }

@@ -140,9 +140,12 @@ object GraftRowLevel {
     b.named(name)
   }
 
-  /** Per-field (row, group) appender for the insert writer. */
-  def fieldAdders(schema: StructType): Array[(InternalRow, Group, Int) => Unit] =
-    schema.fields.zipWithIndex.map { case (f, i) =>
+  /** Per-field (row, group) appender for the insert writer; `i` is
+    * the field's ordinal in the INCOMING row (which may differ from
+    * its group position when partition columns are carved out).
+    */
+  def fieldAdders(fields: Seq[(StructField, Int)]): Array[(InternalRow, Group, Int) => Unit] =
+    fields.toArray.map { case (f, i) =>
       f.dataType match {
         case BooleanType => (r: InternalRow, g: Group, gi: Int) =>
           g.add(gi, r.getBoolean(i))
@@ -202,15 +205,20 @@ case class GraftDeltaOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        GraftDeltaWrite(path, info.schema(), info.queryId())
+        GraftDeltaWrite(path, info.schema(), info.queryId(),
+          partSchema.fieldNames.toSeq)
     }
 }
 
+/** `insertFiles` are RELATIVE to the staging inserts dir — hive
+  * partition segments included, so the commit lands each new-version
+  * file in its partition directory.
+  */
 case class GraftDeltaMessage(deleteFile: Option[String],
-    insertFile: Option[String]) extends WriterCommitMessage
+    insertFiles: Seq[String]) extends WriterCommitMessage
 
 case class GraftDeltaWrite(path: String, writeSchema: StructType,
-    queryId: String) extends DeltaWrite {
+    queryId: String, partCols: Seq[String]) extends DeltaWrite {
 
   private val stagingDir = s"$path/_staging/delta_$queryId"
 
@@ -220,20 +228,22 @@ case class GraftDeltaWrite(path: String, writeSchema: StructType,
 
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DeltaWriterFactory =
-      GraftDeltaWriterFactory(stagingDir, writeSchema, GraftV2.sessionConf())
+      GraftDeltaWriterFactory(stagingDir, writeSchema, partCols,
+        GraftV2.sessionConf())
 
     /** Driver commit: coordinates land as ONE new `_dv` epoch, insert
-      * files move into the table (checked renames), appended files
-      * sequence in `_seqm` when an equality sidecar is live. Only the
-      * COMMITTED attempts' files (named by the messages) move; failed
-      * or speculative attempts' residue dies with the staging dir.
+      * files move into the table — each under its hive partition dir
+      * (checked renames) — and appended files sequence in `_seqm`
+      * when an equality sidecar is live. Only the COMMITTED attempts'
+      * files (named by the messages) move; failed or speculative
+      * attempts' residue dies with the staging dir.
       */
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val s = SparkSession.active
       val fs = new Path(path).getFileSystem(s.sessionState.newHadoopConf())
       val msgs = messages.collect { case m: GraftDeltaMessage => m }
       val deletes = msgs.flatMap(_.deleteFile)
-      val inserts = msgs.flatMap(_.insertFile)
+      val inserts = msgs.flatMap(_.insertFiles)
       if (deletes.nonEmpty) {
         val epochDir = new Path(
           graft.sources.GraftMor.allocateDvEpochDir(s, path))
@@ -246,12 +256,13 @@ case class GraftDeltaWrite(path: String, writeSchema: StructType,
                 "returned false")
         }
       }
-      val landed = inserts.map { f =>
-        val src = new Path(f)
-        val dst = new Path(path, src.getName)
+      val landed = inserts.map { rel =>
+        val src = new Path(s"$stagingDir/inserts/$rel")
+        val dst = new Path(path, rel)
+        fs.mkdirs(dst.getParent)
         if (!fs.rename(src, dst))
           throw new IllegalStateException(
-            s"[GRAFT] delta DML commit failed: rename($f -> $dst) " +
+            s"[GRAFT] delta DML commit failed: rename($src -> $dst) " +
               "returned false")
         dst.toString
       }
@@ -272,35 +283,70 @@ case class GraftDeltaWrite(path: String, writeSchema: StructType,
 }
 
 case class GraftDeltaWriterFactory(stagingDir: String,
-    writeSchema: StructType,
+    writeSchema: StructType, partCols: Seq[String],
     conf: SerializableConfiguration) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
-    new GraftDeltaWriter(stagingDir, writeSchema, conf, partitionId, taskId)
+    new GraftDeltaWriter(stagingDir, writeSchema, partCols, conf,
+      partitionId, taskId)
 }
 
 /** One task's delta writer: lazily-opened parquet writers for its
   * delete coordinates and its insert rows — a task that only deletes
   * writes one tiny coordinate file, a task with no matches writes
-  * nothing at all.
+  * nothing at all. On hive-partitioned tables the partition columns
+  * are CARVED OUT of the written file (the layout carries them): each
+  * insert row routes to a per-partition-dir writer, so an UPDATE that
+  * changes a partition value is a partition MOVE (delete at the old
+  * coordinates, new version landing in the new directory), exactly
+  * the COW merge's semantics at O(churn) cost.
   */
 class GraftDeltaWriter(stagingDir: String, writeSchema: StructType,
-    conf: SerializableConfiguration, partitionId: Int, taskId: Long)
+    partCols: Seq[String], conf: SerializableConfiguration,
+    partitionId: Int, taskId: Long)
     extends DeltaWriter[InternalRow] {
 
   private val delType =
     GraftRowLevel.toMessageType(GraftRowLevel.DeleteSchema, "dv")
-  private lazy val insType =
-    GraftRowLevel.toMessageType(writeSchema, "insert")
-  private lazy val insAdders = GraftRowLevel.fieldAdders(writeSchema)
+
+  /** Data fields = write schema minus partition columns, with their
+    * ordinals in the incoming row.
+    */
+  private val dataFields: Seq[(StructField, Int)] =
+    writeSchema.fields.zipWithIndex.toSeq
+      .filterNot { case (f, _) => partCols.contains(f.name) }
+  private lazy val insType = GraftRowLevel.toMessageType(
+    StructType(dataFields.map(_._1)), "insert")
+  private lazy val insAdders = GraftRowLevel.fieldAdders(dataFields)
+
+  /** Partition-value renderers, in partCols order — hive dir segments
+    * (escaped; null → the Hive default-partition sentinel).
+    */
+  // lazy: a DELETE-only write may carry a schema without the
+  // partition columns, and it never routes an insert
+  private lazy val partSegments: Seq[InternalRow => String] = partCols.map { c =>
+    val i = writeSchema.fieldIndex(c)
+    val render: InternalRow => String = writeSchema.fields(i).dataType match {
+      case LongType => r => r.getLong(i).toString
+      case IntegerType => r => r.getInt(i).toString
+      case DoubleType => r => r.getDouble(i).toString
+      case StringType => r => r.getUTF8String(i).toString
+      case other => r => throw new IllegalStateException(
+        s"[GRAFT] row-level DML cannot route partition column '$c' of " +
+          s"type ${other.simpleString}")
+    }
+    (r: InternalRow) =>
+      if (r.isNullAt(i)) s"$c=__HIVE_DEFAULT_PARTITION__"
+      else c + "=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(render(r))
+  }
 
   private val delPath =
     s"$stagingDir/deletes/part-$partitionId-$taskId.parquet"
-  private val insPath =
-    s"$stagingDir/inserts/part-$partitionId-$taskId.parquet"
 
   private var delWriter: ParquetWriter[Group] = _
-  private var insWriter: ParquetWriter[Group] = _
+  private val insWriters =
+    scala.collection.mutable.LinkedHashMap.empty[String, ParquetWriter[Group]]
 
   private def open(p: String, t: MessageType): ParquetWriter[Group] =
     ExampleParquetWriter.builder(
@@ -315,15 +361,24 @@ class GraftDeltaWriter(stagingDir: String, writeSchema: StructType,
     delWriter.write(g)
   }
 
+  private def relFileFor(row: InternalRow): String = {
+    val dir = partSegments.map(_(row)).mkString("/")
+    val name = s"part-$partitionId-$taskId.parquet"
+    if (dir.isEmpty) name else s"$dir/$name"
+  }
+
   override def insert(row: InternalRow): Unit = {
-    if (insWriter == null) insWriter = open(insPath, insType)
+    val rel = relFileFor(row)
+    val w = insWriters.getOrElseUpdate(rel,
+      open(s"$stagingDir/inserts/$rel", insType))
     val g = new SimpleGroup(insType)
-    var i = 0
-    while (i < insAdders.length) {
-      if (!row.isNullAt(i)) insAdders(i)(row, g, i)
-      i += 1
+    var gi = 0
+    while (gi < insAdders.length) {
+      val (_, rowIdx) = dataFields(gi)
+      if (!row.isNullAt(rowIdx)) insAdders(gi)(row, g, gi)
+      gi += 1
     }
-    insWriter.write(g)
+    w.write(g)
   }
 
   override def update(metadata: InternalRow, id: InternalRow,
@@ -335,16 +390,19 @@ class GraftDeltaWriter(stagingDir: String, writeSchema: StructType,
 
   override def commit(): WriterCommitMessage = {
     if (delWriter != null) delWriter.close()
-    if (insWriter != null) insWriter.close()
-    GraftDeltaMessage(
+    insWriters.values.foreach(_.close())
+    val msg = GraftDeltaMessage(
       Option(delWriter).map(_ => delPath),
-      Option(insWriter).map(_ => insPath))
+      insWriters.keys.toSeq)
+    insWriters.clear()
+    msg
   }
 
   override def abort(): Unit = close()
 
   override def close(): Unit = {
     if (delWriter != null) { delWriter.close(); delWriter = null }
-    if (insWriter != null) { insWriter.close(); insWriter = null }
+    insWriters.values.foreach(_.close())
+    insWriters.clear()
   }
 }

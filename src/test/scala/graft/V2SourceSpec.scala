@@ -1149,4 +1149,57 @@ class V2SourceSpec extends SparkSpecBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_dv")))
     assert(served() === s4, "compaction must not change the served state")
   }
+
+  test("A55 on a HIVE-PARTITIONED table: UPDATE routes new versions into their partition dirs, a partition-value UPDATE is a partition move, layout stays whole") {
+    import graft.sources.GraftMor
+    val wh = graft.sources.GraftSink.scratchDir + "/sqldml_part_wh"
+    val path = s"$wh/db/t_pdml.parquet"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.range(60).select(col("id").as("k"), (col("id") * 10L).as("v"),
+        (col("id") % 3).as("p"))
+      .write.partitionBy("p").parquet(path)
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftpdml")
+    def served() = {
+      spark.sql("REFRESH TABLE graftpdml.db.t_pdml")
+      spark.sql("SELECT k, v, p FROM graftpdml.db.t_pdml ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    assert(served().size === 60)
+    // plain UPDATE: the new version lands under ITS partition dir
+    spark.sql("UPDATE graftpdml.db.t_pdml SET v = 7777 WHERE k = 9")
+    val s1 = served()
+    assert(s1.size === 60 && s1.find(_._1 == 9L).get._2 === 7777L)
+    // partition-value UPDATE = a partition MOVE
+    spark.sql("UPDATE graftpdml.db.t_pdml SET p = 2 WHERE k = 10")
+    val s2 = served()
+    assert(s2.size === 60 && s2.find(_._1 == 10L).get._3 === 2L)
+    assert(s2.count(_._1 == 10L) === 1, "a moved row must not duplicate")
+    // MERGE not-matched insert routes to its partition dir too
+    spark.sql("""
+      MERGE INTO graftpdml.db.t_pdml t
+      USING (SELECT 500 AS k, 1 AS v, 1 AS p) s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.v, s.p)""")
+    val s3 = served()
+    assert(s3.size === 61 && s3.find(_._1 == 500L).get._3 === 1L)
+    // the hive layout stays whole: every data file lives under a p=N
+    // dir (a root-level file would poison partition discovery)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toUri.getPath
+        .stripPrefix(new org.apache.hadoop.fs.Path(path).toUri.getPath)
+        .stripPrefix("/")
+      if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+        assert(rel.startsWith("p="),
+          s"data file outside a partition dir: $rel")
+    }
+    // and the Scala surface agrees (hive discovery types small
+    // partition values as INT — read via Number)
+    assert(s3 === GraftMor.morRead(spark, path)
+      .select("k", "v", "p").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number]("p").longValue())).toSeq)
+  }
 }
