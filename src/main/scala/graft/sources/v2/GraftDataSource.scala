@@ -136,6 +136,18 @@ case class GraftTable(path: String, tableSchema: StructType,
     graft.sources.GraftMor.morDelete(SparkSession.active, path, cond)
   }
 
+  /** TRUNCATE refuses BY NAME: the merge-on-read route would tombstone
+    * EVERY row — an O(table) coordinate write that then exceeds the
+    * serving caps — when the right tool is a file-level rewrite
+    * (restore to an empty epoch, or the COW merge paths). Refusing
+    * beats silently planting a table-sized deletion vector.
+    */
+  override def truncateTable(): Boolean =
+    throw new UnsupportedOperationException(
+      s"[GRAFT] TRUNCATE TABLE on $path is not served merge-on-read " +
+        "(it would tombstone every row); restore an empty snapshot or " +
+        "rewrite via the COW paths")
+
   /** A55 row-level DML: DELETE with a non-translatable predicate,
     * UPDATE and MERGE INTO rewrite as a DELTA of row operations
     * against the (_file, _pos) row ID — served merge-on-read exactly

@@ -351,7 +351,12 @@ class GraftDeltaWriter(stagingDir: String, writeSchema: StructType,
   private def open(p: String, t: MessageType): ParquetWriter[Group] =
     ExampleParquetWriter.builder(
         HadoopOutputFile.fromPath(new Path(p), conf.value))
-      .withConf(conf.value).withType(t).build()
+      .withConf(conf.value).withType(t)
+      // match the engine's own sinks, and keep the sidecar-byte
+      // broadcast gates calibrated to compressed parquet
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     if (delWriter == null) delWriter = open(delPath, delType)

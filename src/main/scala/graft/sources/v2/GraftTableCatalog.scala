@@ -92,12 +92,47 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     catalogFor(namespace).tableNames()
       .map(t => Identifier.of(namespace, t)).toArray
 
+  /** A58: an EMPTY table just CREATEd has no data files — its identity
+    * is the `_schema` markers (full DDL + partition columns). Served
+    * as a zero-split scan; the first INSERT fills it and the marker
+    * DDL keeps winning over file footers (A36×MOR discipline).
+    */
+  private def emptyCreatedTable(tablePath: String): Option[Table] =
+    graft.sources.GraftMor.readSchemaDdl(spark, tablePath).map { ddl =>
+      val full = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      val partCols = readPartCols(tablePath)
+      val partSchema = org.apache.spark.sql.types.StructType(
+        partCols.map(c => full(full.fieldIndex(c))))
+      GraftTable(tablePath, full, Seq.empty, partSchema)
+    }
+
+  private def partColsMarker(tablePath: String) =
+    new org.apache.hadoop.fs.Path(
+      s"$tablePath/${graft.sources.GraftMor.SchemaDir}/partcols")
+
+  private def readPartCols(tablePath: String): Seq[String] = {
+    val p = partColsMarker(tablePath)
+    if (!hadoopFs.exists(p)) Seq.empty
+    else {
+      val in = hadoopFs.open(p)
+      val body = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+        bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
+      } finally in.close()
+      body.split(",").filter(_.nonEmpty).toSeq
+    }
+  }
+
   override def loadTable(ident: Identifier): Table =
     tables.getOrElseUpdate((ident.namespace.mkString("/"), ident.name), {
       val nsCat = catalogFor(ident.namespace)
       val files = nsCat.snapshotFiles(ident.name).map(_._1)
-      if (files.isEmpty) throw new NoSuchTableException(ident)
-      val tablePath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
+      val createdPath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
+      if (files.isEmpty)
+        return emptyCreatedTable(createdPath)
+          .getOrElse(throw new NoSuchTableException(ident))
+      val tablePath = createdPath
       val conf = spark.sessionState.newHadoopConf()
       // MERGE-ON-READ awareness (A42-A47): ALL mutation sidecars are
       // PINNED here with the files and served split-locally by the v2
@@ -218,17 +253,88 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"[GRAFT] catalog '$catalogName' is read-only (the reference is a read " +
-        s"connector); $op is not supported — write through GraftSink/parquet paths.")
+      s"[GRAFT] catalog '$catalogName' does not support $op — evolve " +
+        "schemas through the write paths (A36×MOR) and rename by " +
+        "re-creating; every other DDL/DML surface is native.")
 
+  /** A58: `CREATE TABLE` (and the create half of CTAS) — the table is
+    * born as its `_schema` markers (full DDL + partition columns)
+    * under `<ns>/<name>.parquet/`: no data file exists yet, the empty
+    * table serves as a zero-split scan, and the marker DDL keeps
+    * winning over file footers forever (the A36×MOR discipline), so
+    * the DECLARED types — not the first batch's — are the table's.
+    * Identity partitioning only, and partition columns must be
+    * BIGINT/DOUBLE/STRING (what hive-layout value parsing serves);
+    * anything else refuses BY NAME. Writes arrive through the same
+    * A38-gated INSERT surface as any other table.
+    */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (!nsExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val tablePath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
+    val tp = new org.apache.hadoop.fs.Path(tablePath)
+    if (hadoopFs.exists(tp))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          Seq(catalogName) ++ ident.namespace :+ ident.name)
+    val partCols: Seq[String] = partitions.toSeq.map { t =>
+      val refs = t.references
+      if (t.name != "identity" || refs.length != 1 ||
+          refs.head.fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          s"[GRAFT] only identity partitioning is supported, got $t")
+      refs.head.fieldNames.head
+    }
+    partCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"[GRAFT] partition column '$c' is not in the table schema")
+      schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.StringType => ()
+        case other => throw new UnsupportedOperationException(
+          s"[GRAFT] partition column '$c' has type ${other.simpleString}: " +
+            "hive-layout partition values serve as BIGINT/DOUBLE/STRING " +
+            "only - declare one of those, or keep the column unpartitioned")
+      }
+    }
+    val schemaDir = new org.apache.hadoop.fs.Path(
+      s"$tablePath/${graft.sources.GraftMor.SchemaDir}")
+    hadoopFs.mkdirs(schemaDir)
+    val out = hadoopFs.create(
+      new org.apache.hadoop.fs.Path(schemaDir, "ddl"), false)
+    try out.write(schema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (partCols.nonEmpty) {
+      val pout = hadoopFs.create(partColsMarker(tablePath), false)
+      try pout.write(partCols.mkString(",")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally pout.close()
+    }
+    // a stale "no such table" pin must not shadow the newborn
+    pinned.get(ident.namespace.mkString("/")).foreach(_.invalidate(ident.name))
+    emptyCreatedTable(tablePath).get
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")
 
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  /** A58: `DROP TABLE` — destructive by design (data, sidecars and the
+    * table's snapshot manifests go); refuses while reader leases are
+    * live, like every file-destroying path.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val tablePath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
+    val tp = new org.apache.hadoop.fs.Path(tablePath)
+    if (!hadoopFs.exists(tp)) return false
+    graft.sources.GraftLease.failIfLeased(spark, tablePath, "DROP TABLE")
+    invalidateTable(ident)
+    val manifests = new org.apache.hadoop.fs.Path(
+      s"${nsDir(ident.namespace)}/${graft.sources.GraftCatalog.SnapshotDir}/${ident.name}")
+    if (hadoopFs.exists(manifests)) hadoopFs.delete(manifests, true)
+    hadoopFs.delete(tp, true)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
@@ -253,8 +359,19 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     Map(SupportsNamespaces.PROP_LOCATION -> nsDir(namespace)).asJava
   }
 
+  /** A58: `CREATE NAMESPACE` — a namespace IS a directory under the
+    * root (the MetaUtils database analog), so creating one is a mkdir.
+    */
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit = readOnly("CREATE NAMESPACE")
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"[GRAFT] namespaces are single-level directories, got " +
+        namespace.mkString("."))
+    if (nsExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(Array(catalogName) ++ namespace)
+    hadoopFs.mkdirs(new org.apache.hadoop.fs.Path(nsDir(namespace)))
+  }
 
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit = readOnly("ALTER NAMESPACE")

@@ -215,12 +215,15 @@ class V2SourceSpec extends SparkSpecBase {
     assert(df.count() > 0)
   }
 
-  test("SQL catalog is read-only and names missing tables/namespaces clearly") {
+  test("SQL catalog refuses ALTER/RENAME by name and names missing tables/namespaces clearly") {
     graft.sources.v2.GraftTableCatalog.register(spark, "/root/testdata")
+    // schema evolution goes through the write paths (A36×MOR), renames
+    // by re-creating — both refuse BY NAME (A58 opened CREATE/DROP,
+    // exercised on scratch warehouses only; never drop shared data)
     val e = intercept[Exception] {
-      spark.sql("DROP TABLE graft.`sf0.001`.orders")
+      spark.sql("ALTER TABLE graft.`sf0.001`.orders ADD COLUMN extra BIGINT")
     }
-    assert(e.getMessage.contains("read-only"), e.getMessage)
+    assert(e.getMessage.contains("ALTER TABLE"), e.getMessage)
     assert(intercept[Exception] {
       spark.sql("SELECT * FROM graft.`sf0.001`.no_such_table").collect()
     }.getMessage.toLowerCase.contains("table"),
@@ -1142,7 +1145,11 @@ class V2SourceSpec extends SparkSpecBase {
     // the whole SQL-mutated state equals the Scala-surface read
     assert(s4 === GraftMor.morRead(spark, path).orderBy("k")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
-    // 5. staging residue is gone; compaction folds everything
+    // 5. TRUNCATE refuses by name (an all-row tombstone is the wrong
+    // tool; the remedy is a file-level rewrite)
+    val eT = intercept[Exception](spark.sql("TRUNCATE TABLE graftdml.db.t_dml"))
+    assert(chainMsg(eT).contains("TRUNCATE"), chainMsg(eT))
+    // 6. staging residue is gone; compaction folds everything
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_staging")),
       "delta DML must leave no staging residue")
     GraftMor.morCompact(spark, path)
@@ -1201,5 +1208,65 @@ class V2SourceSpec extends SparkSpecBase {
       .select("k", "v", "p").orderBy("k")
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getAs[Number]("p").longValue())).toSeq)
+  }
+
+  test("A58 SQL DDL: CREATE NAMESPACE / CREATE TABLE / CTAS / DROP TABLE round-trip through the catalog; declared types win; writes ride the A38 gate") {
+    val wh = graft.sources.GraftSink.scratchDir + "/sqlddl_wh"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftddl")
+    spark.sql("CREATE NAMESPACE graftddl.db2")
+    assert(spark.sql("SHOW NAMESPACES IN graftddl")
+      .collect().map(_.getString(0)).contains("db2"))
+    // CREATE TABLE: born empty, declared types, partitioned layout
+    spark.sql("CREATE TABLE graftddl.db2.t_new (k BIGINT, v STRING, p BIGINT) " +
+      "PARTITIONED BY (p)")
+    assert(spark.sql("SHOW TABLES IN graftddl.db2")
+      .collect().map(_.getString(1)).contains("t_new"))
+    assert(spark.sql("SELECT count(*) AS n FROM graftddl.db2.t_new")
+      .head().getLong(0) === 0L)
+    assert(spark.table("graftddl.db2.t_new").schema("v").dataType ===
+      org.apache.spark.sql.types.StringType)
+    // INSERT through the gate; declared schema keeps winning
+    spark.sql("INSERT INTO graftddl.db2.t_new VALUES (1, 'a', 0), (2, 'b', 1)")
+    spark.sql("REFRESH TABLE graftddl.db2.t_new")
+    assert(spark.sql("SELECT k, v, p FROM graftddl.db2.t_new ORDER BY k")
+      .collect().map(_.toString).toSeq === Seq("[1,a,0]", "[2,b,1]"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$wh/db2/t_new.parquet/p=0")),
+      "the declared partitioning must shape the layout")
+    assert(new graft.sources.GraftCatalog(spark, s"$wh/db2")
+      .snapshotIds("t_new").nonEmpty, "the INSERT must publish a gated epoch")
+    // row-level DML works on a created table
+    spark.sql("UPDATE graftddl.db2.t_new SET v = 'z' WHERE k = 1")
+    spark.sql("REFRESH TABLE graftddl.db2.t_new")
+    assert(spark.sql("SELECT v FROM graftddl.db2.t_new WHERE k = 1")
+      .head().getString(0) === "z")
+    // CTAS: create + gated write in one statement
+    spark.sql("CREATE TABLE graftddl.db2.t_ctas AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(10)")
+    spark.sql("REFRESH TABLE graftddl.db2.t_ctas")
+    assert(spark.sql("SELECT count(*) AS n FROM graftddl.db2.t_ctas")
+      .head().getLong(0) === 10L)
+    // duplicate create and bad partition types refuse clearly
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " || " + chain(t.getCause)
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE graftddl.db2.t_new (x BIGINT)"))
+    assert(chain(e1).toLowerCase.contains("already exists"), chain(e1))
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE graftddl.db2.t_bad (k INT, p INT) PARTITIONED BY (p)"))
+    assert(chain(e2).contains("BIGINT/DOUBLE/STRING"), chain(e2))
+    // DROP TABLE: listing, dir and manifests go; a held lease refuses
+    val lease = graft.sources.GraftLease.acquire(
+      spark, s"$wh/db2/t_ctas.parquet", 60000L)
+    val e3 = intercept[Exception](spark.sql("DROP TABLE graftddl.db2.t_ctas"))
+    assert(chain(e3).toLowerCase.contains("lease"), chain(e3))
+    graft.sources.GraftLease.release(spark, s"$wh/db2/t_ctas.parquet", lease)
+    spark.sql("DROP TABLE graftddl.db2.t_new")
+    assert(!spark.sql("SHOW TABLES IN graftddl.db2")
+      .collect().map(_.getString(1)).contains("t_new"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/db2/t_new.parquet")))
   }
 }
