@@ -599,8 +599,37 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     val batch = reader.parquet(staged.sorted: _*)
     if (refuseBreakingSchema && published.nonEmpty) {
       val tipSchema = tableAsOf(name, snapshotIds(name).last).schema
+      // DECLARED partition columns (A58 created tables) are excluded
+      // from the gate's diff: their batch-side types come from
+      // hive-path STRING inference (a small value types as INT), not
+      // from any file footer — the marker DDL is their truth and every
+      // read surface serves it
+      val declaredPartCols: Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(
+          s"$root/$name.parquet/${GraftMor.SchemaDir}/partcols")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(p)) Set.empty
+        else {
+          val in = fs.open(p)
+          val body = try {
+            val bytes = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+            bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
+          } finally in.close()
+          body.split(",").filter(_.nonEmpty).toSet
+        }
+      }
+      def changeName(c: GraftSchemaPolicy.Change): String = c match {
+        case GraftSchemaPolicy.AddedColumn(n, _) => n
+        case GraftSchemaPolicy.DroppedColumn(n) => n
+        case GraftSchemaPolicy.WidenedType(n, _, _) => n
+        case GraftSchemaPolicy.RetypedColumn(n, _, _) => n
+        case GraftSchemaPolicy.RelaxedNullability(n) => n
+        case GraftSchemaPolicy.StricterNullability(n) => n
+      }
       val broken = GraftSchemaPolicy.diff(tipSchema, batch.schema)
         .filter(_.breaking)
+        .filterNot(c => declaredPartCols.contains(changeName(c)))
       if (broken.nonEmpty)
         throw new IllegalStateException(
           s"[GRAFT] staged batch for [$name] carries breaking schema changes:\n  " +

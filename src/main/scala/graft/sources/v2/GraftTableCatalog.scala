@@ -317,8 +317,55 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     emptyCreatedTable(tablePath).get
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** A58: `ALTER TABLE ... ADD COLUMN` — the DDL syntax over the
+    * A36×MOR evolution the write paths already serve: the widened DDL
+    * is recorded in the permanent `_schema` marker (added columns
+    * nullable — pre-evolution files serve them null-filled on every
+    * surface), one tiny metadata write, no file touched. Everything
+    * non-additive (drop/rename/retype) refuses BY NAME — breaking
+    * changes are a rewrite, not an ALTER.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val tablePath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
+    val tbl = loadTable(ident)
+    val current: StructType = tbl.schema()
+    val partNames: Set[String] = tbl match {
+      case g: GraftTable => g.partSchema.fieldNames.toSet
+      case _ => Set.empty
+    }
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"[GRAFT] ALTER TABLE supports top-level columns only, got " +
+            a.fieldNames.mkString("."))
+        val name = a.fieldNames.head
+        require(!current.fieldNames.contains(name),
+          s"[GRAFT] column '$name' already exists in ${ident.name}")
+        // recorded NULLABLE whatever the DDL claims: pre-evolution
+        // files can only serve it as null (the A36×MOR rule)
+        org.apache.spark.sql.types.StructField(name, a.dataType,
+          nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"[GRAFT] ALTER TABLE on ${ident.name} supports ADD COLUMN only " +
+          s"(got $other): dropping/renaming/retyping is a rewrite, not an " +
+          "ALTER - re-create the table")
+    }
+    // added columns slot BEFORE the partition columns, so the marker's
+    // order matches what file-backed reads serve (data ++ added ++ part)
+    val widened = org.apache.spark.sql.types.StructType(
+      current.fields.filterNot(f => partNames(f.name)) ++ added ++
+        current.fields.filter(f => partNames(f.name)))
+    val schemaDir = new org.apache.hadoop.fs.Path(
+      s"$tablePath/${graft.sources.GraftMor.SchemaDir}")
+    hadoopFs.mkdirs(schemaDir)
+    val out = hadoopFs.create(
+      new org.apache.hadoop.fs.Path(schemaDir, "ddl"), true)
+    try out.write(widened.toDDL
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    invalidateTable(ident)
+    loadTable(ident)
+  }
 
   /** A58: `DROP TABLE` — destructive by design (data, sidecars and the
     * table's snapshot manifests go); refuses while reader leases are

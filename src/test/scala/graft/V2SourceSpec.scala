@@ -217,13 +217,14 @@ class V2SourceSpec extends SparkSpecBase {
 
   test("SQL catalog refuses ALTER/RENAME by name and names missing tables/namespaces clearly") {
     graft.sources.v2.GraftTableCatalog.register(spark, "/root/testdata")
-    // schema evolution goes through the write paths (A36×MOR), renames
-    // by re-creating — both refuse BY NAME (A58 opened CREATE/DROP,
-    // exercised on scratch warehouses only; never drop shared data)
+    // non-additive schema changes are a rewrite, not an ALTER — they
+    // refuse BY NAME (A58 opened CREATE/DROP/ADD COLUMN, exercised on
+    // scratch warehouses only; never mutate shared testdata in specs)
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.`sf0.001`.orders ADD COLUMN extra BIGINT")
+      spark.sql("ALTER TABLE graft.`sf0.001`.orders DROP COLUMN o_orderpriority")
     }
-    assert(e.getMessage.contains("ALTER TABLE"), e.getMessage)
+    assert(e.getMessage.contains("ALTER TABLE") ||
+      e.getMessage.toLowerCase.contains("missing field"), e.getMessage)
     assert(intercept[Exception] {
       spark.sql("SELECT * FROM graft.`sf0.001`.no_such_table").collect()
     }.getMessage.toLowerCase.contains("table"),
@@ -1243,6 +1244,23 @@ class V2SourceSpec extends SparkSpecBase {
     spark.sql("REFRESH TABLE graftddl.db2.t_new")
     assert(spark.sql("SELECT v FROM graftddl.db2.t_new WHERE k = 1")
       .head().getString(0) === "z")
+    // ALTER TABLE ADD COLUMN: one marker write, pre-evolution rows
+    // serve null-filled, the next insert can carry it
+    spark.sql("ALTER TABLE graftddl.db2.t_new ADD COLUMN w BIGINT")
+    spark.sql("REFRESH TABLE graftddl.db2.t_new")
+    assert(spark.sql("SELECT w FROM graftddl.db2.t_new WHERE k = 2")
+      .head().isNullAt(0), "pre-evolution rows must serve the added column null")
+    // added columns slot BEFORE the partition columns: (k, v, w, p)
+    spark.sql("INSERT INTO graftddl.db2.t_new VALUES (3, 'c', 77, 0)")
+    spark.sql("REFRESH TABLE graftddl.db2.t_new")
+    assert(spark.sql("SELECT w FROM graftddl.db2.t_new WHERE k = 3")
+      .head().getLong(0) === 77L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftddl.db2.t_new")
+      .head().getLong(0) === 3L)
+    // non-additive ALTERs refuse by name
+    val eAlter = intercept[Exception](spark.sql(
+      "ALTER TABLE graftddl.db2.t_new DROP COLUMN v"))
+    assert(eAlter.getMessage.contains("ADD COLUMN only"), eAlter.getMessage)
     // CTAS: create + gated write in one statement
     spark.sql("CREATE TABLE graftddl.db2.t_ctas AS " +
       "SELECT id AS k, id * 2 AS v FROM range(10)")
