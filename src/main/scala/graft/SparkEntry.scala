@@ -66,6 +66,7 @@ object SparkEntry {
     "src_mor_sql_read"           -> Relational.srcMorSqlRead _,
     "src_mor_time_travel"        -> Relational.srcMorTimeTravel _,
     "src_mor_sql_dml"            -> Relational.srcMorSqlDml _,
+    "src_sql_ddl"                -> Relational.srcSqlDdl _,
     "src_incremental_agg"        -> Relational.srcIncrementalAgg _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
@@ -1191,6 +1192,14 @@ object SparkEntry {
       SELECT o_orderstatus, count(*) AS n,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM merged WHERE o_orderkey % 10 <> 3
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A58: the CTAS-created table must hold exactly the predicate's
+    // rows with the declared types (the gate's publish value-checked)
+    "src_sql_ddl" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderkey % 2 = 0
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // A54: the epoch captures generation-1 mutations (delete %10=3,

@@ -1114,6 +1114,36 @@ object Relational {
       ORDER BY o_orderstatus""")
   }
 
+  /** A58: SQL DDL round trip — `CREATE NAMESPACE` + CTAS through the
+    * catalog: the table is created from the declared schema markers
+    * and filled by the same A38-gated INSERT write every SQL write
+    * rides, then read back through the v2 scan. The aggregate must
+    * hash-match the oracle applying the CTAS predicate directly — so
+    * the created table's contents, types and the gate's publish are
+    * all value-checked.
+    */
+  def srcSqlDdl(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.sources.GraftSink.scratchDir + "/sqlddl_q"
+    val f = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    f.delete(new org.apache.hadoop.fs.Path(wh), true)
+    f.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    graft.sources.v2.GraftTableCatalog.register(s, wh, "graftddlq")
+    s.sql("CREATE NAMESPACE graftddlq.db")
+    cat(s, dir).table("orders").createOrReplaceTempView("orders_src_ddl")
+    s.sql("""
+      CREATE TABLE graftddlq.db.orders_ctas AS
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders_src_ddl WHERE o_orderkey % 2 = 0""")
+    s.sql("REFRESH TABLE graftddlq.db.orders_ctas")
+    s.sql("""
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM graftddlq.db.orders_ctas
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")
+  }
+
   /** A46: mutation-aware incremental aggregate maintenance — A20's
     * refresh-from-the-diff discipline on a MUTATING merge-on-read
     * table: the summary is built once, then two refreshes each apply
