@@ -132,7 +132,12 @@ object GraftMor {
       tablePath: String, files: Seq[String]): Unit = {
     if (files.isEmpty) return
     if (sidecarFiles(s, tablePath, EqDir).isEmpty) return
-    val seq = nextEpoch(s, tablePath, eqPath).toLong
+    // the sequence respects in-flight RESERVATIONS (A59): an eq-upsert
+    // that allocated epoch N but has not yet written its tombstones
+    // will mask files below seq N+1 — a concurrent insert must
+    // sequence at or above that, or the in-flight batch would mask it
+    val seq = math.max(nextEpoch(s, tablePath, eqPath),
+      reservedFloor(fs(s, tablePath), eqPath(tablePath))).toLong
     import s.implicits._
     files.map(f => normPathStr(f)).toDF("file_norm")
       .withColumn("file_seq", org.apache.spark.sql.functions.lit(seq))
@@ -279,6 +284,77 @@ object GraftMor {
     try out.writeInt(next) finally out.close()
   }
 
+  private def allocDir(sidecarDir: String) =
+    new org.apache.hadoop.fs.Path(sidecarDir + ".alloc")
+
+  /** One past the highest RESERVED epoch number for a sidecar flavor
+    * (0 when nothing is reserved) — the in-flight writers' claim on
+    * the number line, which `sequenceAppendedFiles` must respect: an
+    * insert sequencing at or above every reservation can never be
+    * outranked by a tombstone batch that allocated first.
+    */
+  private def reservedFloor(f: org.apache.hadoop.fs.FileSystem,
+      sidecarDir: String): Int = {
+    val d = allocDir(sidecarDir)
+    if (!f.exists(d)) 0
+    else f.listStatus(d).map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toInt).toOption)
+      .foldLeft(-1)(math.max) + 1
+  }
+
+  /** A59: ATOMICALLY allocate the next epoch number for a sidecar
+    * flavor. `nextEpoch` is a read-listing + HWM max — two concurrent
+    * writers (now an EXPECTED shape: A55/A58 made SQL DML a
+    * multi-session surface) could both derive N and share an epoch
+    * (worst case: two same-sequence eq-upserts, each masking neither's
+    * appends — served duplicate key versions). The fix is to make the
+    * RESERVATION itself the atomic step: a marker file
+    * `<sidecar>.alloc/<n>` created with overwrite=false — an atomic
+    * create-if-absent on HDFS (namenode-arbitrated) and object stores
+    * with conditional puts — so exactly one writer wins each number
+    * and the loser re-derives one higher. The marker is durable: a
+    * writer crashing between allocation and its epoch write burns the
+    * number (readers never see epoch numbers, only epoch DIRS, and
+    * consumers read sparse epochs by `epoch >= applied` predicates, so
+    * a gap is invisible); markers below the listed/HWM floor are GC'd
+    * in passing, keeping the alloc dir O(in-flight writers).
+    */
+  private[graft] def allocateEpoch(s: SparkSession, tablePath: String,
+      dir: String => String = dvPath): Int = {
+    val f = fs(s, tablePath)
+    val sidecarDir = dir(tablePath)
+    val d = allocDir(sidecarDir)
+    f.mkdirs(d)
+    var attempt = 0
+    while (attempt < 1000) {
+      val floor = nextEpoch(s, tablePath, dir)
+      val reserved = f.listStatus(d).map(_.getPath.getName)
+        .flatMap(n => scala.util.Try(n.toInt).toOption)
+      // GC consumed reservations (their epoch dirs are listed now)
+      reserved.filter(_ < floor - 1).foreach(n =>
+        f.delete(new org.apache.hadoop.fs.Path(d, n.toString), false))
+      val cand = math.max(floor, reserved.foldLeft(-1)(math.max) + 1)
+      try {
+        f.create(new org.apache.hadoop.fs.Path(d, cand.toString), false)
+          .close()
+        return cand
+      } catch {
+        case _: java.io.IOException => attempt += 1 // lost the race: re-derive
+      }
+    }
+    throw new IllegalStateException(
+      s"[GRAFT] epoch allocation on $sidecarDir contended 1000 times - " +
+        "writer storm or a filesystem that cannot create-if-absent; " +
+        "serialize writers externally")
+  }
+
+  /** Atomically allocate the next EQUALITY-sidecar epoch — exposed for
+    * the writer-coordination spec (simulates an in-flight eq-upsert
+    * holding a reservation).
+    */
+  private[graft] def allocateEqEpoch(s: SparkSession, tablePath: String): Int =
+    allocateEpoch(s, tablePath, eqPath)
+
   /** All accumulated EQUALITY tombstones as key columns + `seq`, or
     * None when no erase/upsert-eq epoch exists. `seq` is [[EraseSeq]]
     * for erases (mask everything, forever) and the commit's sequence
@@ -421,16 +497,17 @@ object GraftMor {
   private def writeEpoch(s: SparkSession, tablePath: String,
       tombstones: DataFrame): Unit =
     tombstones.write.mode(SaveMode.Overwrite)
-      .parquet(s"${dvPath(tablePath)}/epoch=${nextEpoch(s, tablePath)}")
+      .parquet(s"${dvPath(tablePath)}/epoch=${allocateEpoch(s, tablePath)}")
 
   /** Allocate (and name) the next position-tombstone epoch dir — the
     * A55 delta DML commit lands its task-written coordinate files
     * there, so SQL DELETE/UPDATE/MERGE epochs number in the same
-    * monotone sequence as `morDelete`'s.
+    * monotone sequence as `morDelete`'s. Allocation is ATOMIC (A59):
+    * two concurrent DML commits can never share an epoch.
     */
-  private[sources] def allocateDvEpochDir(s: SparkSession,
+  private[graft] def allocateDvEpochDir(s: SparkSession,
       tablePath: String): String =
-    s"${dvPath(tablePath)}/epoch=${nextEpoch(s, tablePath)}"
+    s"${dvPath(tablePath)}/epoch=${allocateEpoch(s, tablePath)}"
 
   /** A42: merge-on-read DELETE by predicate. Writes one tombstone
     * epoch of O(matched rows); touches NO data file — safe under live
@@ -473,7 +550,7 @@ object GraftMor {
     eraseKeys.select(keyCols.map(col): _*).distinct()
       .withColumn("seq", org.apache.spark.sql.functions.lit(EraseSeq))
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"${eqPath(tablePath)}/epoch=${nextEpoch(s, tablePath, eqPath)}")
+      .parquet(s"${eqPath(tablePath)}/epoch=${allocateEpoch(s, tablePath, eqPath)}")
   }
 
   /** A45: SEQUENCE-NUMBERED equality upsert — the Flink-CDC-into-
@@ -499,23 +576,48 @@ object GraftMor {
     checkEqKeys(s, tablePath, sc, keyCols, "morUpsertEq")
     val targetCols = evolveForBatch(s, tablePath, sc, updates, "morUpsertEq")
     // the commit sequence: one past the last eq epoch (erases consume
-    // epoch numbers too, keeping the counter monotone across flavors)
-    val epoch = nextEpoch(s, tablePath, eqPath)
+    // epoch numbers too, keeping the counter monotone across flavors);
+    // the epoch is ATOMICALLY allocated (A59) — two concurrent upserts
+    // get distinct epochs, hence distinct sequences, so neither can
+    // mask the other's appends at its own number
+    val epoch = allocateEpoch(s, tablePath, eqPath)
     val seq = epoch.toLong + 1L
+    // the new versions STAGE in a batch-private dir and move in by
+    // name (the A52 staging rule): the batch's file set is known
+    // EXACTLY — a before/after listing diff could capture (and
+    // mis-sequence) a concurrent writer's simultaneous appends. They
+    // LAND AND SEQUENCE BEFORE the tombstone epoch writes, so a crash
+    // mid-commit serves transient duplicates (old + new versions),
+    // never a pure delete with the new versions stranded.
+    val stage = new org.apache.hadoop.fs.Path(
+      s"$tablePath/_staging/eqbatch_$epoch")
+    updates.select(targetCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val f = fs(s, tablePath)
+    val landed = f.listStatus(stage).toSeq.map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .map { src =>
+        val dst = new org.apache.hadoop.fs.Path(tablePath, src.getName)
+        if (!f.rename(src, dst))
+          throw new IllegalStateException(
+            s"[GRAFT] morUpsertEq move-in failed: rename($src -> $dst) " +
+              "returned false")
+        normPathStr(dst.toUri.getPath)
+      }
+    f.delete(stage, true)
+    val shell = stage.getParent
+    if (f.exists(shell) && f.listStatus(shell).isEmpty)
+      f.delete(shell, false)
+    if (landed.nonEmpty) {
+      import s.implicits._
+      landed.toDF("file_norm")
+        .withColumn("file_seq", org.apache.spark.sql.functions.lit(seq))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(seqmPath(tablePath))
+    }
     updates.select(keyCols.map(col): _*).distinct()
       .withColumn("seq", org.apache.spark.sql.functions.lit(seq))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${eqPath(tablePath)}/epoch=$epoch")
-    val before = listDataFiles(s, tablePath).toSet
-    updates.select(targetCols.map(col): _*)
-      .write.mode(SaveMode.Append).parquet(tablePath)
-    val freshFiles = listDataFiles(s, tablePath).filterNot(before)
-    if (freshFiles.nonEmpty) {
-      import s.implicits._
-      freshFiles.toDF("file_norm")
-        .withColumn("file_seq", org.apache.spark.sql.functions.lit(seq))
-        .coalesce(1).write.mode(SaveMode.Append).parquet(seqmPath(tablePath))
-    }
   }
 
   /** A43: merge-on-read UPSERT — tombstone the matched keys' current
@@ -1246,6 +1348,11 @@ object GraftMor {
       hasSeqm: Boolean, nextDv: Int, nextEq: Int): Unit = {
     if (hasDv) writeHwm(f, dvPath(tablePath), nextDv)
     if (hasEq) writeHwm(f, eqPath(tablePath), nextEq)
+    // consumed A59 reservations die with the sidecar (the HWM carries
+    // monotonicity past them; compaction is lease-gated, so no writer
+    // is in flight here by contract)
+    f.delete(allocDir(dvPath(tablePath)), true)
+    f.delete(allocDir(eqPath(tablePath)), true)
     if (hasDv && !f.delete(new org.apache.hadoop.fs.Path(dvPath(tablePath)), true))
       throw new IllegalStateException(
         s"[GRAFT] morCompact failed to clear ${dvPath(tablePath)}")

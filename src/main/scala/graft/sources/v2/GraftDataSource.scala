@@ -20,7 +20,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -128,6 +128,16 @@ case class GraftTable(path: String, tableSchema: StructType,
     filters.forall(f => GraftRowLevel.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    // `DELETE FROM t` (no WHERE, or WHERE true) is a truncate wearing
+    // a DELETE's clothes: it would write an O(table) tombstone epoch —
+    // the exact unbounded-coordinate shape truncateTable() refuses —
+    // and the next read would refuse at the serving cap, leaving the
+    // table unreadable until compaction. Refuse BY NAME instead.
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
+      throw new UnsupportedOperationException(
+        s"[GRAFT] unconditional DELETE FROM on $path is not served " +
+          "merge-on-read (it would tombstone every row); restore an empty " +
+          "snapshot or rewrite via the COW paths")
     val cond = filters.map(f => GraftRowLevel.filterToColumn(f).getOrElse(
         throw new IllegalArgumentException(
           s"[GRAFT] DELETE filter not translatable: $f")))

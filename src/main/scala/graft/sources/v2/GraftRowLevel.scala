@@ -173,6 +173,13 @@ object GraftRowLevel {
   val DeleteSchema: StructType = StructType(Seq(
     StructField("dv_file", StringType, nullable = false),
     StructField("dv_pos", LongType, nullable = false)))
+
+  /** Test-only failpoint: when set, the delta commit throws AFTER the
+    * insert files have landed and sequenced but BEFORE the delete
+    * epoch publishes — the crash window the commit ORDER is designed
+    * for (transient duplicates, never row loss).
+    */
+  private[graft] var crashBeforeDeletePublish: Boolean = false
 }
 
 /** The delta-based row-level operation: the ordinary v2 scan (masks,
@@ -231,12 +238,18 @@ case class GraftDeltaWrite(path: String, writeSchema: StructType,
       GraftDeltaWriterFactory(stagingDir, writeSchema, partCols,
         GraftV2.sessionConf())
 
-    /** Driver commit: coordinates land as ONE new `_dv` epoch, insert
-      * files move into the table — each under its hive partition dir
-      * (checked renames) — and appended files sequence in `_seqm`
-      * when an equality sidecar is live. Only the COMMITTED attempts'
-      * files (named by the messages) move; failed or speculative
-      * attempts' residue dies with the staging dir.
+    /** Driver commit: insert files move into the table FIRST — each
+      * under its hive partition dir (checked renames), sequenced in
+      * `_seqm` when an equality sidecar is live — and only THEN do
+      * the delete coordinates land as ONE new `_dv` epoch (atomically
+      * allocated, A59). The ORDER is the crash contract: a driver
+      * failure between the halves leaves an UPDATE/MERGE serving
+      * transient DUPLICATES (old + new versions both visible,
+      * converging on retry), never a pure DELETE with the new
+      * versions stranded in `_staging` — duplicates are recoverable,
+      * silently lost rows are not. Only the COMMITTED attempts' files
+      * (named by the messages) move; failed or speculative attempts'
+      * residue dies with the staging dir.
       */
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val s = SparkSession.active
@@ -244,6 +257,21 @@ case class GraftDeltaWrite(path: String, writeSchema: StructType,
       val msgs = messages.collect { case m: GraftDeltaMessage => m }
       val deletes = msgs.flatMap(_.deleteFile)
       val inserts = msgs.flatMap(_.insertFiles)
+      val landed = inserts.map { rel =>
+        val src = new Path(s"$stagingDir/inserts/$rel")
+        val dst = new Path(path, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new IllegalStateException(
+            s"[GRAFT] delta DML commit failed: rename($src -> $dst) " +
+              "returned false")
+        dst.toString
+      }
+      graft.sources.GraftMor.sequenceAppendedFiles(s, path, landed.toSeq)
+      if (GraftRowLevel.crashBeforeDeletePublish)
+        throw new IllegalStateException(
+          "[GRAFT-TEST] injected crash after insert land+sequence, " +
+            "before delete-epoch publish")
       if (deletes.nonEmpty) {
         val epochDir = new Path(
           graft.sources.GraftMor.allocateDvEpochDir(s, path))
@@ -256,17 +284,6 @@ case class GraftDeltaWrite(path: String, writeSchema: StructType,
                 "returned false")
         }
       }
-      val landed = inserts.map { rel =>
-        val src = new Path(s"$stagingDir/inserts/$rel")
-        val dst = new Path(path, rel)
-        fs.mkdirs(dst.getParent)
-        if (!fs.rename(src, dst))
-          throw new IllegalStateException(
-            s"[GRAFT] delta DML commit failed: rename($src -> $dst) " +
-              "returned false")
-        dst.toString
-      }
-      graft.sources.GraftMor.sequenceAppendedFiles(s, path, landed.toSeq)
       fs.delete(new Path(stagingDir), true)
       // drop the _staging shell when this was its last batch
       val shell = new Path(stagingDir).getParent

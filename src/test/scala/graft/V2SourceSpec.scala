@@ -1287,4 +1287,143 @@ class V2SourceSpec extends SparkSpecBase {
       .collect().map(_.getString(1)).contains("t_new"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/db2/t_new.parquet")))
   }
+
+  test("A59 writer coordination: epoch/sequence allocation is atomic — a commit interleaved between another writer's allocate and rename can never share its epoch; in-flight reservations cannot mask a concurrent insert") {
+    import graft.sources.GraftMor
+    val wh = graft.sources.GraftSink.scratchDir + "/a59_wh"
+    val path = s"$wh/db/t_a59.parquet"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.range(100).select(col("id").as("k"), (col("id") * 10L).as("v"))
+      .repartition(2).write.parquet(path)
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "grafta59")
+    spark.sql("REFRESH TABLE grafta59.db.t_a59")
+    // ── position flavor: writer A allocates its dv epoch, then writer
+    // B (a full SQL DELETE commit) runs IN THE WINDOW between A's
+    // allocate and A's rename — the r13 race. B must land in a
+    // DIFFERENT epoch.
+    val dirA = GraftMor.allocateDvEpochDir(spark, path) // A reserves
+    val epochA = new org.apache.hadoop.fs.Path(dirA).getName
+    spark.sql("DELETE FROM grafta59.db.t_a59 WHERE k % 10 = 3") // B commits
+    val dvEpochs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/_dv"))
+      .map(_.getPath.getName).toSet
+    assert(!dvEpochs.contains(epochA),
+      s"writer B landed in A's reserved epoch $epochA (epochs: $dvEpochs)")
+    // A now completes into its reserved dir; both masks must compose
+    val one = spark.read.parquet(path)
+      .select(org.apache.spark.sql.functions
+        .regexp_replace(col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/")
+        .as("dv_file"),
+        col("_metadata.row_index").as("dv_pos"), col("k"))
+      .where(col("k") === 7L).drop("k").limit(1)
+    one.write.parquet(dirA)
+    val served = GraftMor.morRead(spark, path)
+    assert(served.where(col("k") % 10 === 3).count() === 0, "B's delete serves")
+    assert(served.where(col("k") === 7L).count() === 0, "A's delete serves")
+    assert(served.count() === 89)
+    // a third allocation is strictly above both
+    val epochC = new org.apache.hadoop.fs.Path(
+      GraftMor.allocateDvEpochDir(spark, path)).getName.stripPrefix("epoch=").toInt
+    assert(epochC > epochA.stripPrefix("epoch=").toInt &&
+      !dvEpochs.contains(s"epoch=$epochC"))
+    // ── equality flavor: an IN-FLIGHT upsert (reserved, tombstones not
+    // yet written) cannot mask a concurrent insert — the insert's
+    // sequence respects the reservation.
+    val path2 = s"$wh/db/t_a59eq.parquet"
+    spark.range(20).select(col("id").as("k"), (col("id") * 10L).as("v"))
+      .repartition(1).write.parquet(path2)
+    spark.sql("REFRESH TABLE grafta59.db.t_a59eq")
+    // establish the eq sidecar (epoch 0, seq 1)
+    import spark.implicits._
+    GraftMor.morUpsertEq(spark, path2,
+      Seq((5L, 555L)).toDF("k", "v"), Seq("k"))
+    // writer U reserves its epoch (will tombstone k=5 at seq rsv+1) ...
+    val rsv = GraftMor.allocateEqEpoch(spark, path2)
+    // ... and IN ITS WINDOW a concurrent INSERT lands the same key: its
+    // _seqm sequence must sit AT OR ABOVE the in-flight tombstone's
+    spark.sql("INSERT INTO grafta59.db.t_a59eq VALUES (5, 999)")
+    val seqm = spark.read.parquet(s"$path2/_seqm")
+    assert(seqm.agg(max(col("file_seq"))).head().getLong(0) >= rsv + 1L,
+      "the concurrent insert must sequence at/above the reservation's seq")
+    // writer U completes: tombstone for k=5 at its reserved epoch
+    Seq((5L, rsv + 1L)).toDF("k", "seq").write
+      .parquet(s"$path2/_eq/epoch=$rsv")
+    val vs = GraftMor.morRead(spark, path2).where(col("k") === 5L)
+      .select("v").collect().map(_.getLong(0)).toSet
+    assert(vs.contains(999L),
+      s"the in-flight upsert's tombstone masked the concurrent insert (got $vs)")
+    assert(!vs.contains(10 * 5L) && !vs.contains(555L),
+      s"older versions must stay masked (got $vs)")
+    // two sequential eq-upserts (now via atomic allocation) never share
+    // an epoch or sequence
+    GraftMor.morUpsertEq(spark, path2, Seq((6L, 666L)).toDF("k", "v"), Seq("k"))
+    GraftMor.morUpsertEq(spark, path2, Seq((6L, 777L)).toDF("k", "v"), Seq("k"))
+    val eqEpochs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path2/_eq"))
+      .map(_.getPath.getName).filter(_.startsWith("epoch=")).toSeq
+    assert(eqEpochs.distinct.size === eqEpochs.size)
+    assert(GraftMor.morRead(spark, path2).where(col("k") === 6L)
+      .select("v").collect().map(_.getLong(0)).toSeq === Seq(777L),
+      "the later upsert's version must win")
+  }
+
+  test("A55 crash contract: a failure between insert-land and delete-publish serves transient duplicates — never row loss — and a targeted repair converges") {
+    import graft.sources.v2.GraftRowLevel
+    val wh = graft.sources.GraftSink.scratchDir + "/a55crash_wh"
+    val path = s"$wh/db/t_crash.parquet"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.range(100).select(col("id").as("k"), (col("id") * 10L).as("v"))
+      .repartition(2).write.parquet(path)
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftcrash")
+    def served() = {
+      spark.sql("REFRESH TABLE graftcrash.db.t_crash")
+      spark.sql("SELECT k, v FROM graftcrash.db.t_crash ORDER BY k, v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    served()
+    GraftRowLevel.crashBeforeDeletePublish = true
+    try {
+      val e = intercept[Exception](spark.sql(
+        "UPDATE graftcrash.db.t_crash SET v = v + 1000 WHERE k IN (1, 2)"))
+      assert(chainMsg(e).contains("injected crash"), chainMsg(e))
+    } finally GraftRowLevel.crashBeforeDeletePublish = false
+    val s1 = served()
+    // NO ROW LOSS: every key still present; the new versions landed as
+    // duplicates beside the old (the delete epoch never published)
+    assert(s1.map(_._1).distinct.size === 100, "a key vanished = row loss")
+    assert(s1.size === 102, s"expected old+new duplicates, got ${s1.size} rows")
+    assert(s1.filter(_._1 == 1L).map(_._2).toSet === Set(10L, 1010L))
+    assert(s1.filter(_._1 == 2L).map(_._2).toSet === Set(20L, 1020L))
+    // repair: delete exactly the superseded old versions — converges to
+    // the state the UPDATE intended
+    spark.sql("DELETE FROM graftcrash.db.t_crash " +
+      "WHERE k IN (1, 2) AND v < 1000")
+    val s2 = served()
+    assert(s2.size === 100 && s2.toMap.apply(1L) === 1010L &&
+      s2.toMap.apply(2L) === 1020L)
+  }
+
+  test("A55: unconditional DELETE FROM refuses by name — an O(table) tombstone epoch is a truncate wearing DELETE's clothes") {
+    val wh = graft.sources.GraftSink.scratchDir + "/a55all_wh"
+    val path = s"$wh/db/t_all.parquet"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.range(50).select(col("id").as("k")).write.parquet(path)
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "grafta55all")
+    spark.sql("REFRESH TABLE grafta55all.db.t_all")
+    val e1 = intercept[Exception](
+      spark.sql("DELETE FROM grafta55all.db.t_all"))
+    assert(chainMsg(e1).contains("tombstone every row"), chainMsg(e1))
+    val e2 = intercept[Exception](
+      spark.sql("DELETE FROM grafta55all.db.t_all WHERE true"))
+    assert(chainMsg(e2).contains("tombstone every row"), chainMsg(e2))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_dv")),
+      "a refused unconditional DELETE must write nothing")
+    spark.sql("REFRESH TABLE grafta55all.db.t_all")
+    assert(spark.sql("SELECT count(*) AS n FROM grafta55all.db.t_all")
+      .head().getLong(0) === 50L)
+  }
 }
