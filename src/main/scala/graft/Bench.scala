@@ -117,7 +117,11 @@ object Bench {
     // round-13 additions: SQL row-level DML (delta delete + update +
     // merge through the v2 write path) and the mask-composed epoch
     // read (publish + AS-OF with recorded sidecars)
-    "src_mor_sql_dml", "src_mor_time_travel")
+    "src_mor_sql_dml", "src_mor_time_travel",
+    // round-14 additions: the materialized export of a masked epoch
+    // (mask-applied COW pass + foreign plain read) and the ALTER
+    // DROP/RENAME declared rewrite (CTAS + two rewrites + read-back)
+    "src_export_material", "src_sql_alter_rewrite")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

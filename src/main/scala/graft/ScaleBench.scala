@@ -465,7 +465,52 @@ object ScaleBench {
           col("o_orderkey") < 50000L && col("o_orderkey") % 10 === run)
         graft.sources.GraftMor.morCompact(sp, s"$scratch/t",
           partitionCols = Seq("bucket"))
+      }),
+    WriteExp("w_feed_stream",
+      "churn + one-column discovery: the timed op is a constant-churn " +
+        "mutation (the w_mor_delete discovery class), its feed publish " +
+        "(O(churn) row images) and the G29 graft-feed STREAM fold of " +
+        "the new segment (one committed-tip marker read + one footer " +
+        "per new file + an O(churn) signed merge into the rollup) - " +
+        "streaming CDC must add no table-sized term over the mutation's " +
+        "own discovery scan",
+      runs = 2,
+      setup = (sp, dir, scratch) => {
+        sp.read.parquet(s"$dir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$scratch/t")
+        graft.sources.GraftMor.publishMorFeed(sp, s"$scratch/t",
+          s"$scratch/feed")
+        // drain the snapshot segment OUTSIDE the timing: the lane
+        // measures the incremental subscription, not initial hydration
+        feedFoldOnce(sp, scratch)
+      },
+      op = (sp, dir, scratch, run) => {
+        graft.sources.GraftMor.morDelete(sp, s"$scratch/t",
+          col("o_orderkey") < 50000L && col("o_orderkey") % 10 === run)
+        graft.sources.GraftMor.publishMorFeed(sp, s"$scratch/t",
+          s"$scratch/feed")
+        feedFoldOnce(sp, scratch)
       }))
+
+  /** One availableNow-style pass of the G29 feed stream into the A50
+    * signed-fold rollup (exactly-once ledger; restart resumes from the
+    * checkpointed index, so each call folds only the NEW segments).
+    */
+  private def feedFoldOnce(sp: SparkSession, scratch: String): Unit = {
+    val q = sp.readStream.format("graft-feed")
+      .option("rowsPerBatch", "10000000").load(s"$scratch/feed")
+      .writeStream.option("checkpointLocation", s"$scratch/feed_cp")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.Events.applyMorFeedFoldBatch(b, id,
+            s"$scratch/feed_roll", Seq("o_orderstatus"),
+            df => df.groupBy("o_orderstatus").agg(
+              count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(28,6)")).as("total_d")))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+  }
 
   private def wapRules = Seq(
     graft.sources.GraftCatalog.AuditRule("nonpositive_price",
@@ -563,7 +608,7 @@ object ScaleBench {
       s""""sum_sf01":${fmt(rows.map(_._2).sum)},"sum_sf1":${fmt(rows.map(_._3).sum)}}"""
     println(line)
     val w = new java.io.PrintWriter(
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_r13.json"))
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_r14.json"))
     try w.println(line) finally w.close()
     spark.stop()
   }

@@ -65,8 +65,10 @@ object SparkEntry {
     "src_mor_compact"            -> Relational.srcMorCompact _,
     "src_mor_sql_read"           -> Relational.srcMorSqlRead _,
     "src_mor_time_travel"        -> Relational.srcMorTimeTravel _,
+    "src_export_material"        -> Relational.srcExportMaterial _,
     "src_mor_sql_dml"            -> Relational.srcMorSqlDml _,
     "src_sql_ddl"                -> Relational.srcSqlDdl _,
+    "src_sql_alter_rewrite"      -> Relational.srcSqlAlterRewrite _,
     "src_incremental_agg"        -> Relational.srcIncrementalAgg _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
@@ -1202,6 +1204,15 @@ object SparkEntry {
       FROM orders WHERE o_orderkey % 2 = 0
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    // A61: dropping o_custkey and renaming o_totalprice→price changes
+    // declaration and bytes, never a value — the aggregate matches the
+    // source rows under the CTAS predicate
+    "src_sql_alter_rewrite" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     // A54: the epoch captures generation-1 mutations (delete %10=3,
     // upsert %100=0 at +1000) and NOT the post-publish delete (%10=4)
     "src_mor_time_travel" -> """
@@ -1214,18 +1225,37 @@ object SparkEntry {
         FROM orders WHERE o_orderkey % 10 <> 3)
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    // A60: the materialized export carries generation-1 mutations
+    // (delete %10=3, upsert %100=0 at +1000) applied, and NOT the
+    // post-publish delete (%10=4) — a plain foreign read serves them
+    "src_export_material" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 <> 3)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     // A55: SQL DELETE (%10=3) + UPDATE (%100=0 at +1000) + MERGE
-    // (three inserts), all merge-on-read — state matches the SQL
-    // application of the same mutations
+    // (three inserts) + a multi-clause MERGE (matched-DELETE %1000=100,
+    // matched-UPDATE +7 on %1000=600, one fresh insert), all
+    // merge-on-read — state matches the SQL application of the same
+    // mutations
     "src_mor_sql_dml" -> """
       WITH merged AS (
         SELECT o_orderkey, o_orderstatus,
                CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
-                    ELSE o_totalprice END AS o_totalprice
+                    ELSE o_totalprice END
+               + CASE WHEN o_orderkey % 1000 = 600 THEN 7.0
+                      ELSE 0.0 END AS o_totalprice
         FROM orders
-        WHERE o_orderkey % 10 <> 3
+        WHERE o_orderkey % 10 <> 3 AND o_orderkey % 1000 <> 100
         UNION ALL
-        SELECT 900000000 + range, 'F', 42.5 FROM range(3))
+        SELECT 900000000 + range, 'F', 42.5 FROM range(3)
+        UNION ALL
+        SELECT 910000000, 'F', 99.5)
       SELECT o_orderstatus, count(*) AS n,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM merged

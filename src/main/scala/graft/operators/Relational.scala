@@ -1063,6 +1063,45 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** A60: MATERIALIZED export of a masked epoch — the sharing handoff
+    * `exportSnapshot` refuses (a foreign parquet reader applies no
+    * masks): the epoch's mask-APPLIED state rewrites into the export
+    * dir (one COW pass, the table untouched) and the manifest lists
+    * the materialized files. The aggregate here reads EXACTLY the
+    * returned file list with a plain `spark.read.parquet` — the
+    * foreign-reader contract — and must hash-match the oracle applying
+    * generation-1 mutations only (the post-publish delete stays
+    * invisible, as in A54).
+    */
+  def srcExportMaterial(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.GraftSink.scratchDir + "/mor_exm"
+    val path = s"$root/orders_exm.parquet"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    val orders = cat(s, dir).table("orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.GraftMor.morDelete(s, path, col("o_orderkey") % 10 === 3)
+    graft.sources.GraftMor.morUpsert(s, path,
+      orders.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      Seq("o_orderkey"))
+    val epoch = new graft.sources.GraftCatalog(s, root)
+      .publishSnapshot("orders_exm")
+    // post-publish mutation: must not leak into the epoch's export
+    graft.sources.GraftMor.morDelete(s, path, col("o_orderkey") % 10 === 4)
+    val files = new graft.sources.GraftCatalog(s, root)
+      .exportSnapshotMaterialized("orders_exm", epoch, s"$root/export")
+    // FOREIGN-reader semantics: plain parquet over exactly the listed
+    // files, zero graft code
+    s.read.parquet(files: _*)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A55: SQL row-level DML — DELETE / UPDATE / MERGE INTO on a
     * catalog table, served merge-on-read: a translatable DELETE takes
     * the metadata-only path (`SupportsDelete` → one tombstone epoch),
@@ -1106,6 +1145,26 @@ object Relational {
         o_totalprice) VALUES (src.o_orderkey, src.o_custkey,
         src.o_orderstatus, src.o_totalprice)""")
     s.sql("REFRESH TABLE graftdml.db.orders_dml")
+    // MERGE breadth (r13 VERDICT #6): conditional matched-DELETE +
+    // matched-UPDATE + not-matched INSERT in ONE statement — source
+    // keys %500=100 all exist, splitting into deletes (%1000=100) and
+    // +7 updates (%1000=600); one fresh key inserts
+    orders.where(col("o_orderkey") % 500 === 100).select("o_orderkey")
+      .createOrReplaceTempView("dml_merge_keys")
+    s.sql("""
+      MERGE INTO graftdml.db.orders_dml t
+      USING (SELECT o_orderkey, 1 AS o_custkey, 'F' AS o_orderstatus,
+                    CAST(10.0 AS DOUBLE) AS o_totalprice
+             FROM dml_merge_keys
+             UNION ALL
+             SELECT 910000000, 1, 'F', CAST(99.5 AS DOUBLE)) src
+      ON t.o_orderkey = src.o_orderkey
+      WHEN MATCHED AND t.o_orderkey % 1000 = 100 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 7.0
+      WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus,
+        o_totalprice) VALUES (src.o_orderkey, src.o_custkey,
+        src.o_orderstatus, src.o_totalprice)""")
+    s.sql("REFRESH TABLE graftdml.db.orders_dml")
     s.sql("""
       SELECT o_orderstatus, count(*) AS n,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
@@ -1140,6 +1199,38 @@ object Relational {
       SELECT o_orderstatus, count(*) AS n,
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM graftddlq.db.orders_ctas
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")
+  }
+
+  /** A61: ALTER TABLE DROP/RENAME COLUMN as a declared rewrite — the
+    * CTAS-created table drops one column (bytes physically leave) and
+    * renames another, then the read-back aggregate must hash-match the
+    * oracle computing the same thing straight off the source rows: the
+    * rewrite changed declaration and layout, never a value.
+    */
+  def srcSqlAlterRewrite(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.sources.GraftSink.scratchDir + "/sqlalter_q"
+    val f = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    f.delete(new org.apache.hadoop.fs.Path(wh), true)
+    f.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    graft.sources.v2.GraftTableCatalog.register(s, wh, "graftaltq")
+    s.sql("CREATE NAMESPACE graftaltq.db")
+    cat(s, dir).table("orders").createOrReplaceTempView("orders_src_alter")
+    s.sql("""
+      CREATE TABLE graftaltq.db.orders_alt AS
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders_src_alter WHERE o_orderkey % 2 = 0""")
+    s.sql("REFRESH TABLE graftaltq.db.orders_alt")
+    s.sql("ALTER TABLE graftaltq.db.orders_alt DROP COLUMN o_custkey")
+    s.sql("ALTER TABLE graftaltq.db.orders_alt RENAME COLUMN " +
+      "o_totalprice TO price")
+    s.sql("REFRESH TABLE graftaltq.db.orders_alt")
+    s.sql("""
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(price AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM graftaltq.db.orders_alt
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""")
   }

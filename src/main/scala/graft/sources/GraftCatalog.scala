@@ -488,6 +488,44 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     files
   }
 
+  /** A60: MATERIALIZED export of a MASKED epoch. `exportSnapshot`
+    * honestly refuses any epoch carrying mutation-sidecar state (a
+    * foreign parquet reader applies no masks) — but its remedy,
+    * morCompact-then-republish, rewrites the TABLE's whole affected
+    * file set just to share one snapshot. This route instead writes a
+    * mask-APPLIED copy of the epoch's state into the export directory
+    * — one COW pass over the epoch's files, the table itself untouched
+    * — and the manifest lists the MATERIALIZED files, so the foreign
+    * reader still needs zero graft code: read exactly the listed
+    * files. Current erases apply retroactively (tableAsOf's rule): a
+    * GDPR-erased key cannot leave through an export, which is exactly
+    * why the metadata-only route refuses while a live erase sidecar
+    * exists and this one does not need to. Cost is O(epoch bytes),
+    * paid in the export directory — the honest price of sharing a
+    * masked state; unmasked epochs should keep using the O(files)
+    * metadata-only export. Returns the materialized file list.
+    */
+  def exportSnapshotMaterialized(name: String, id: Long,
+      outDir: String): Seq[String] = {
+    val df = tableAsOf(name, id) // masks AS OF the epoch + current erases
+    val dataDir = s"$outDir/data"
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dataDir)
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.toString).sorted
+    def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json =
+      s"""{"table":"${esc(name)}","epoch":$id,"materialized":true,""" +
+        s""""schema":"${esc(df.schema.toDDL)}",""" +
+        files.map(f => "\"" + esc(f) + "\"").mkString("\"files\":[", ",", "]}")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/manifest.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    files
+  }
+
   /** The newest published epoch whose manifest was WRITTEN at or
     * before `epochMs` (manifest file mtime — the publish instant) —
     * the `TIMESTAMP AS OF` resolution rule.

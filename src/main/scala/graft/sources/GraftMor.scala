@@ -1110,7 +1110,7 @@ object GraftMor {
     * shared by the incremental aggregate (A46) and the feed consumer
     * (A50). Partials must carry a row count named `n` by contract.
     */
-  private def foldPartials(parts: Seq[DataFrame],
+  private[graft] def foldPartials(parts: Seq[DataFrame],
       groupCols: Seq[String]): DataFrame = {
     val unioned = parts.reduce(_ unionByName _)
     val schema = unioned.schema
@@ -1128,7 +1128,7 @@ object GraftMor {
   /** Negate every non-group measure of an additive partial frame,
     * preserving declared types — the subtract side of a fold.
     */
-  private def negatePartials(part: DataFrame,
+  private[graft] def negatePartials(part: DataFrame,
       groupCols: Seq[String]): DataFrame =
     part.select(part.schema.fields.map { fld =>
       if (groupCols.contains(fld.name)) col(fld.name)

@@ -116,6 +116,126 @@ case class GraftLogOffset(rows: Map[Int, Long]) extends Offset {
       .map { case (p, n) => s""""$p":$n""" }.mkString("{", ",", "}")
 }
 
+/** The durable per-partition segment index shared by the stream and
+  * the retention API: a `#base` line folding consumed history to O(1)
+  * plus one line per LIVE segment. Manifest IO resolves through the
+  * CHECKPOINT location's own FileSystem (r13 ADVICE: a file:// log
+  * with an hdfs:// checkpoint must not route manifest reads through
+  * the data path's scheme).
+  */
+private[graft] object GraftLogIndex {
+
+  /** One indexed segment: name-relative file, its immutable length,
+    * and its per-row-group row counts (so a restart plans replayed
+    * windows with ZERO footer reads).
+    */
+  case class Seg(name: String, length: Long, rgRows: Seq[Long])
+
+  /** Folded history: `count` segments totaling `rows` rows, named
+    * `firstName`..`lastName` — offsets below `rows` are COMMITTED
+    * (the fold happens at commit()), so the folded segments never
+    * need re-planning and retention may physically drop them. The
+    * range endpoints let the poll keep its monotonicity refusal at
+    * O(1): a listed name BELOW `firstName` was never indexed and
+    * would renumber offsets (refuse); one inside the range is folded
+    * history — still on disk or retired, either way skipped.
+    */
+  case class Base(count: Long, rows: Long, firstName: String,
+      lastName: String)
+  val EmptyBase: Base = Base(0L, 0L, "", "")
+
+  def manifestPath(checkpointLocation: String, p: Int): Path =
+    new Path(s"$checkpointLocation/graft-log-segments/partition=$p")
+
+  def load(f: org.apache.hadoop.fs.FileSystem,
+      live: Path): (Base, Vector[Seg]) = {
+    val staging = new Path(live.toString + ".staging")
+    // crash adoption: a completed staging with no live file is the
+    // committed state (the engine's staged-swap idiom)
+    if (!f.exists(live) && f.exists(staging) && !f.rename(staging, live))
+      throw new IllegalStateException(
+        s"[GRAFT] graft-log manifest crash-recovery swap failed at $live")
+    if (!f.exists(live)) return (EmptyBase, Vector.empty)
+    val in = f.open(live)
+    val body = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+      bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
+    } finally in.close()
+    val lines = body.split("\n").filter(_.nonEmpty).toSeq
+    val base = lines.headOption.filter(_.startsWith("#base\t")).map { l =>
+      val Array(_, c, r, fn, ln) = l.split("\t", 5)
+      Base(c.toLong, r.toLong, fn, ln)
+    }.getOrElse(EmptyBase)
+    val segs = lines.filterNot(_.startsWith("#")).map { line =>
+      val Array(name, len, rgs) = line.split("\t", 3)
+      Seg(name, len.toLong,
+        rgs.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+    }.toVector
+    (base, segs)
+  }
+
+  def save(f: org.apache.hadoop.fs.FileSystem, live: Path,
+      base: Base, segs: Vector[Seg]): Unit = {
+    val staging = new Path(live.toString + ".staging")
+    f.mkdirs(live.getParent)
+    val baseLine =
+      if (base.count == 0L) Seq.empty
+      else Seq(s"#base\t${base.count}\t${base.rows}\t${base.firstName}\t" +
+        base.lastName)
+    val out = f.create(staging, true)
+    try out.write((baseLine ++ segs.map(s =>
+        s"${s.name}\t${s.length}\t${s.rgRows.mkString(",")}"))
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(live, false)
+    if (!f.rename(staging, live))
+      throw new IllegalStateException(
+        s"[GRAFT] graft-log manifest swap failed at $live")
+  }
+}
+
+/** G28 retention: physically drop log segments the stream's durable
+  * index has FOLDED (committed consumption is past them) — the
+  * broker's log-retention contract. Dropping anything the index still
+  * serves refuses BY NAME: committed offsets over live segments would
+  * silently lose rows.
+  */
+object GraftLogRetention {
+
+  /** Delete `partition`'s segments named at or before `upToName`.
+    * Refuses unless the fold point (`#base` lastName) is at/past
+    * `upToName`. Returns the deleted paths.
+    */
+  def retire(s: org.apache.spark.sql.SparkSession, logPath: String,
+      checkpointLocation: String, partition: Int,
+      upToName: String): Seq[String] = {
+    val conf = s.sessionState.newHadoopConf()
+    val live = GraftLogIndex.manifestPath(checkpointLocation, partition)
+    val ckFs = live.getFileSystem(conf)
+    val (base, _) = GraftLogIndex.load(ckFs, live)
+    if (base.count == 0L || base.lastName < upToName)
+      throw new IllegalStateException(
+        s"[GRAFT] graft-log retention refused for partition $partition: " +
+          s"segments up to '$upToName' are not yet folded past the " +
+          s"committed watermark (fold point: " +
+          s"${if (base.count == 0L) "<none>" else base.lastName}) - " +
+          "dropping them would lose rows committed offsets still address")
+    val dir = new Path(s"$logPath/partition=$partition")
+    val dataFs = dir.getFileSystem(conf)
+    if (!dataFs.exists(dir)) return Seq.empty
+    dataFs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith(".") &&
+        p.getName <= upToName)
+      .map { p =>
+        if (!dataFs.delete(p, false))
+          throw new IllegalStateException(
+            s"[GRAFT] graft-log retention failed to delete $p")
+        p.toString
+      }
+  }
+}
+
 class GraftLogStream(path: String, schema: StructType,
     partSchema: StructType, rowsPerBatch: Long,
     checkpointLocation: String)
@@ -123,62 +243,28 @@ class GraftLogStream(path: String, schema: StructType,
 
   private val conf: SerializableConfiguration = GraftV2.sessionConf()
   private def fs = new Path(path).getFileSystem(conf.value)
+  // manifests live under the CHECKPOINT, whose filesystem may differ
+  // from the log's (r13 ADVICE fix)
+  private def ckFs =
+    new Path(checkpointLocation).getFileSystem(conf.value)
 
-  /** One indexed segment: name-relative file, its immutable length,
-    * and its per-row-group row counts (so a restart plans replayed
-    * windows with ZERO footer reads).
-    */
-  private case class Seg(name: String, length: Long, rgRows: Seq[Long])
+  import GraftLogIndex.{Base, Seg}
 
   private case class Slice(file: String, rowGroup: Int,
       globalStart: Long, fileStart: Long, rows: Long,
       partValues: Map[String, Any])
 
-  private case class PartState(var segs: Vector[Seg],
+  private case class PartState(var base: Base, var segs: Vector[Seg],
       var slices: IndexedSeq[Slice], var total: Long)
 
   private def manifestPath(p: Int) =
-    new Path(s"$checkpointLocation/graft-log-segments/partition=$p")
+    GraftLogIndex.manifestPath(checkpointLocation, p)
 
-  private def loadManifest(p: Int): Vector[Seg] = {
-    val f = fs
-    val live = manifestPath(p)
-    val staging = new Path(live.toString + ".staging")
-    // crash adoption: a completed staging with no live file is the
-    // committed state (the engine's staged-swap idiom)
-    if (!f.exists(live) && f.exists(staging) && !f.rename(staging, live))
-      throw new IllegalStateException(
-        s"[GRAFT] graft-log manifest crash-recovery swap failed for " +
-          s"partition $p")
-    if (!f.exists(live)) return Vector.empty
-    val in = f.open(live)
-    val body = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
-      bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
-    } finally in.close()
-    body.split("\n").filter(_.nonEmpty).map { line =>
-      val Array(name, len, rgs) = line.split("\t", 3)
-      Seg(name, len.toLong,
-        rgs.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
-    }.toVector
-  }
+  private def loadManifest(p: Int): (Base, Vector[Seg]) =
+    GraftLogIndex.load(ckFs, manifestPath(p))
 
-  private def saveManifest(p: Int, segs: Vector[Seg]): Unit = {
-    val f = fs
-    val live = manifestPath(p)
-    val staging = new Path(live.toString + ".staging")
-    f.mkdirs(live.getParent)
-    val out = f.create(staging, true)
-    try out.write(segs.map(s =>
-        s"${s.name}\t${s.length}\t${s.rgRows.mkString(",")}")
-      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    f.delete(live, false)
-    if (!f.rename(staging, live))
-      throw new IllegalStateException(
-        s"[GRAFT] graft-log manifest swap failed for partition $p")
-  }
+  private def saveManifest(p: Int, base: Base, segs: Vector[Seg]): Unit =
+    GraftLogIndex.save(ckFs, manifestPath(p), base, segs)
 
   /** Discovered log partitions: `partition=<n>` dirs plus any the
     * durable index already tracks — a tracked partition whose dir
@@ -194,9 +280,10 @@ class GraftLogStream(path: String, schema: StructType,
       .filter(_.startsWith("partition="))
       .map(_.stripPrefix("partition=").toInt).toSet
     val idxDir = new Path(s"$checkpointLocation/graft-log-segments")
+    val ckf = ckFs
     val tracked =
-      if (!f.exists(idxDir)) Set.empty[Int]
-      else f.listStatus(idxDir).toSeq.map(_.getPath.getName)
+      if (!ckf.exists(idxDir)) Set.empty[Int]
+      else ckf.listStatus(idxDir).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("partition="))
         .filterNot(_.endsWith(".staging"))
         .map(_.stripPrefix("partition=").toInt).toSet
@@ -212,12 +299,14 @@ class GraftLogStream(path: String, schema: StructType,
     ids
   }
 
-  /** Rebuild plan slices from an indexed segment list — pure
-    * arithmetic, no IO.
+  /** Rebuild plan slices from the folded base + live segment list —
+    * pure arithmetic, no IO. Global offsets start at the base's row
+    * count, so folding never renumbers anything.
     */
-  private def buildSlices(p: Int, segs: Vector[Seg]): (IndexedSeq[Slice], Long) = {
+  private def buildSlices(p: Int, base: Base,
+      segs: Vector[Seg]): (IndexedSeq[Slice], Long) = {
     val out = IndexedSeq.newBuilder[Slice]
-    var global = 0L
+    var global = base.rows
     segs.foreach { seg =>
       val file = s"$path/partition=$p/${seg.name}"
       val partValues = GraftV2.partitionValues(path, file, partSchema)
@@ -232,21 +321,34 @@ class GraftLogStream(path: String, schema: StructType,
   }
 
   private val state: Map[Int, PartState] = partitionIds.map { p =>
-    val segs = loadManifest(p)
-    val (slices, total) = buildSlices(p, segs)
-    p -> PartState(segs, slices, total)
+    val (base, segs) = loadManifest(p)
+    val (slices, total) = buildSlices(p, base, segs)
+    p -> PartState(base, segs, slices, total)
   }.toMap
 
-  /** One listing per partition: verify the indexed prefix is intact
-    * (immutability + name-monotonicity, refused BY NAME against the
-    * DURABLE index) and index newly-landed segments — one footer read
-    * each, never a re-read — then persist the extended index.
+  /** One listing per partition: verify the indexed LIVE prefix is
+    * intact (immutability + name-monotonicity, refused BY NAME against
+    * the DURABLE index) and index newly-landed segments — one footer
+    * read each, never a re-read — then persist the extended index.
+    * Names at or before the fold point are folded history: still
+    * present is fine, retired by [[GraftLogRetention]] is fine too —
+    * either way they are skipped, never re-planned.
     */
   private def poll(): Unit = synchronized {
     partitionIds.foreach { p =>
       val st = state(p)
       val dir = s"$path/partition=$p"
-      val listed = GraftV2.dataFileSizes(dir, conf.value) // name-sorted
+      val listedAll = GraftV2.dataFileSizes(dir, conf.value) // name-sorted
+      if (st.base.count > 0L) listedAll.foreach { case (f, _) =>
+        val n = new Path(f).getName
+        if (n < st.base.firstName) throw new IllegalStateException(
+          s"[GRAFT] graft-log partition $p: segment $n sorts BEFORE every " +
+            "indexed segment - segment names must be monotone, or " +
+            "committed offsets would renumber")
+      }
+      val listed = listedAll.filter { case (f, _) =>
+        st.base.count == 0L || new Path(f).getName > st.base.lastName
+      }
       val listedNames = listed.map { case (f, l) => (new Path(f).getName, l) }
       val known = st.segs
       if (listedNames.size < known.size ||
@@ -270,11 +372,11 @@ class GraftLogStream(path: String, schema: StructType,
           Seg(new Path(f).getName, len, rgRows)
         }
         val segs = known ++ indexed
-        val (slices, total) = buildSlices(p, segs)
+        val (slices, total) = buildSlices(p, st.base, segs)
         st.segs = segs
         st.slices = slices
         st.total = total
-        saveManifest(p, segs)
+        saveManifest(p, st.base, segs)
       }
     }
   }
@@ -353,7 +455,42 @@ class GraftLogStream(path: String, schema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReplayReaderFactory(schema, conf)
 
-  override def commit(end: Offset): Unit = () // replayable log: no-op
+  /** Batch `end` is durably committed: FOLD every live segment that
+    * lies entirely below the committed offset into the `#base` entry
+    * (count + rows + last name — O(1) however many segments fold).
+    * Offsets are PRESERVED (slices rebuild from base.rows), Spark
+    * never replans below a committed end, and the per-trigger manifest
+    * write is bounded by the UNCONSUMED backlog instead of growing
+    * with the log's lifetime — the broker's index-compaction
+    * discipline, and what makes [[GraftLogRetention]] safe.
+    */
+  override def commit(end: Offset): Unit = synchronized {
+    val committed = asMap(end)
+    partitionIds.foreach { p =>
+      val st = state(p)
+      val c = committed.getOrElse(p, 0L)
+      var rows = st.base.rows
+      var count = st.base.count
+      var first = st.base.firstName
+      var last = st.base.lastName
+      var i = 0
+      while (i < st.segs.size && rows + st.segs(i).rgRows.sum <= c) {
+        rows += st.segs(i).rgRows.sum
+        count += 1L
+        if (first.isEmpty) first = st.segs(i).name
+        last = st.segs(i).name
+        i += 1
+      }
+      if (i > 0) {
+        st.base = Base(count, rows, first, last)
+        st.segs = st.segs.drop(i)
+        val (slices, total) = buildSlices(p, st.base, st.segs)
+        st.slices = slices
+        st.total = total
+        saveManifest(p, st.base, st.segs)
+      }
+    }
+  }
 
   override def stop(): Unit = ()
 }

@@ -46,23 +46,46 @@ object GraftMorMask {
 
   private val MaxCacheEntries = 8
 
+  /** One entry's lazily-computed artifact: the `lazy val` gives each
+    * KEY its own initialization lock, so the global map lock is held
+    * only for the (cheap) lookup/insert — first-scans of DIFFERENT
+    * tables load their sidecars concurrently instead of serializing
+    * driver IO behind one monitor (r13 VERDICT wart). Scala retries a
+    * lazy initializer whose first run threw, which is exactly right
+    * for the cap/key-type refusals — but the failed cell is also
+    * evicted below so it cannot squat in the LRU.
+    */
+  private final class Cell(compute: () => AnyRef) {
+    lazy val value: AnyRef = compute()
+  }
+
   private val cache =
-    new java.util.LinkedHashMap[(String, Seq[String], Long), AnyRef](
+    new java.util.LinkedHashMap[(String, Seq[String], Long), Cell](
         16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Seq[String], Long), AnyRef]): Boolean =
+          e: java.util.Map.Entry[(String, Seq[String], Long), Cell]): Boolean =
         size() > MaxCacheEntries
     }
 
   private def cached[T <: AnyRef](kind: String, files: Seq[String],
-      cap: Long)(compute: => T): T = cache.synchronized {
+      cap: Long)(compute: => T): T = {
     val key = (kind, files, cap)
-    cache.get(key) match {
-      case hit: AnyRef if hit != null => hit.asInstanceOf[T]
-      case _ =>
-        val v = compute
-        cache.put(key, v)
-        v
+    val cell = cache.synchronized {
+      cache.get(key) match {
+        case hit: Cell => hit
+        case _ =>
+          val c = new Cell(() => compute)
+          cache.put(key, c)
+          c
+      }
+    }
+    try cell.value.asInstanceOf[T]
+    catch {
+      case e: Throwable =>
+        // a refused load must not occupy an LRU slot (and a racing
+        // waiter evicting the same cell is idempotent)
+        cache.synchronized { if (cache.get(key) eq cell) cache.remove(key) }
+        throw e
     }
   }
 

@@ -133,7 +133,20 @@ object GraftSqlWrite {
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(stageDir.toString)
     val staged = listRelative(fs, stageDir)
-    if (staged.isEmpty) { fs.delete(stageDir, true); return } // empty insert
+    if (staged.isEmpty) {
+      fs.delete(stageDir, true)
+      // an empty OVERWRITE is not a no-op in standard Spark semantics
+      // (a static PARTITION spec means "truncate that partition"); the
+      // engine's dynamic form has no partition left to learn from the
+      // batch, so a silent return would drop the user's intent on the
+      // floor — refuse BY NAME with the remedy
+      if (overwrite) throw new IllegalStateException(
+        s"[GRAFT] INSERT OVERWRITE on $tablePath refused: the source query " +
+          "produced no rows, so the dynamic-partition form cannot tell " +
+          "which partition(s) to replace - to empty a partition, insert " +
+          "a sentinel-free batch for it or use the COW mutation APIs")
+      return // empty plain INSERT: a true no-op
+    }
     // 2. AUDIT exactly this batch's rows (partition columns re-attach
     // via basePath against the staging dir's hive layout)
     val tableRules = rules.getOrElse(norm(tablePath), Seq.empty)

@@ -124,6 +124,30 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** Partition-column types for a table: the DECLARED `_schema` marker
+    * DDL wins when the `partcols` marker exists (r13 ADVICE: a CREATE
+    * TABLE partition column declared STRING whose first batch's values
+    * all parse numeric must NOT flip to BIGINT after the insert — the
+    * marker DDL is the table's truth on every read surface, and
+    * createTable already restricts partition columns to the
+    * hive-servable BIGINT/DOUBLE/STRING); hive-path inference only for
+    * tables born outside the DDL surface.
+    */
+  private def partSchemaFor(tablePath: String,
+      files: Seq[String]): StructType = {
+    val declared = readPartCols(tablePath)
+    if (declared.isEmpty) GraftV2.partitionSchema(tablePath, files)
+    else {
+      val ddl = graft.sources.GraftMor.readSchemaDdl(spark, tablePath)
+        .getOrElse(throw new IllegalStateException(
+          s"[GRAFT] $tablePath has a partcols marker but no _schema DDL " +
+            "marker - the table metadata is inconsistent"))
+      val full = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      org.apache.spark.sql.types.StructType(
+        declared.map(c => full(full.fieldIndex(c)).copy(nullable = true)))
+    }
+  }
+
   override def loadTable(ident: Identifier): Table =
     tables.getOrElseUpdate((ident.namespace.mkString("/"), ident.name), {
       val nsCat = catalogFor(ident.namespace)
@@ -164,7 +188,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       // partition columns are appended and re-attached per split (the
       // reference's partition define), so partitioned tables are whole
       // through SQL too
-      val partSchema = GraftV2.partitionSchema(tablePath, files)
+      val partSchema = partSchemaFor(tablePath, files)
       val fileSchema = graft.sources.GraftMor.readSchemaDdl(spark, tablePath)
         .map(d => org.apache.spark.sql.types.StructType(
           org.apache.spark.sql.types.StructType.fromDDL(d).fields
@@ -230,7 +254,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
         .map(d => org.apache.spark.sql.types.StructType(
           org.apache.spark.sql.types.StructType.fromDDL(d).fields))
         .getOrElse(GraftV2.readSchema(files.head, conf))
-      val partSchema = GraftV2.partitionSchema(tablePath, files)
+      val partSchema = partSchemaFor(tablePath, files)
       GraftTable(tablePath,
         org.apache.spark.sql.types.StructType(
           fileSchema.fields.filterNot(f =>
@@ -321,9 +345,17 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     * A36×MOR evolution the write paths already serve: the widened DDL
     * is recorded in the permanent `_schema` marker (added columns
     * nullable — pre-evolution files serve them null-filled on every
-    * surface), one tiny metadata write, no file touched. Everything
-    * non-additive (drop/rename/retype) refuses BY NAME — breaking
-    * changes are a rewrite, not an ALTER.
+    * surface), one tiny metadata write, no file touched.
+    *
+    * A61: `DROP COLUMN` / `RENAME COLUMN` — non-additive, so served as
+    * a DECLARED REWRITE (the compactTable cost class), not a marker
+    * trick: the table's current state re-projects through the change
+    * and rewrites file-by-file (dropped bytes physically leave — the
+    * A47 forget discipline, not just a serving mask), then the marker
+    * records the new DDL. Lease-gated like every COW rewrite; live
+    * mutation sidecars refuse BY NAME (their coordinates/keys would
+    * dangle — fold with morCompact first); partition columns refuse
+    * (they are the LAYOUT — re-create the table). Retype still refuses.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val tablePath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
@@ -333,36 +365,173 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       case g: GraftTable => g.partSchema.fieldNames.toSet
       case _ => Set.empty
     }
-    val added = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          s"[GRAFT] ALTER TABLE supports top-level columns only, got " +
-            a.fieldNames.mkString("."))
-        val name = a.fieldNames.head
-        require(!current.fieldNames.contains(name),
-          s"[GRAFT] column '$name' already exists in ${ident.name}")
-        // recorded NULLABLE whatever the DDL claims: pre-evolution
-        // files can only serve it as null (the A36×MOR rule)
-        org.apache.spark.sql.types.StructField(name, a.dataType,
-          nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"[GRAFT] ALTER TABLE on ${ident.name} supports ADD COLUMN only " +
-          s"(got $other): dropping/renaming/retyping is a rewrite, not an " +
-          "ALTER - re-create the table")
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val rewrites = changes.collect {
+      case d: TableChange.DeleteColumn => d: TableChange
+      case r: TableChange.RenameColumn => r: TableChange
+    }
+    val unsupported = changes.filterNot(c =>
+      adds.contains(c) || rewrites.contains(c))
+    if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+      s"[GRAFT] ALTER TABLE on ${ident.name} supports ADD COLUMN " +
+        s"(marker-only) and DROP/RENAME COLUMN (declared rewrite) - got " +
+        s"${unsupported.head}: retyping is a re-create, not an ALTER")
+    require(adds.isEmpty || rewrites.isEmpty,
+      s"[GRAFT] ALTER TABLE on ${ident.name}: mix of additive and " +
+        "rewrite changes in one statement - run them separately")
+    if (rewrites.nonEmpty) return alterRewrite(ident, tablePath, current,
+      partNames, rewrites)
+    val added = adds.map { a =>
+      require(a.fieldNames.length == 1,
+        s"[GRAFT] ALTER TABLE supports top-level columns only, got " +
+          a.fieldNames.mkString("."))
+      val name = a.fieldNames.head
+      require(!current.fieldNames.contains(name),
+        s"[GRAFT] column '$name' already exists in ${ident.name}")
+      // recorded NULLABLE whatever the DDL claims: pre-evolution
+      // files can only serve it as null (the A36×MOR rule)
+      org.apache.spark.sql.types.StructField(name, a.dataType,
+        nullable = true)
     }
     // added columns slot BEFORE the partition columns, so the marker's
     // order matches what file-backed reads serve (data ++ added ++ part)
     val widened = org.apache.spark.sql.types.StructType(
       current.fields.filterNot(f => partNames(f.name)) ++ added ++
         current.fields.filter(f => partNames(f.name)))
+    writeDdlMarker(tablePath, widened)
+    invalidateTable(ident)
+    loadTable(ident)
+  }
+
+  private def writeDdlMarker(tablePath: String, schema: StructType): Unit = {
     val schemaDir = new org.apache.hadoop.fs.Path(
       s"$tablePath/${graft.sources.GraftMor.SchemaDir}")
     hadoopFs.mkdirs(schemaDir)
     val out = hadoopFs.create(
       new org.apache.hadoop.fs.Path(schemaDir, "ddl"), true)
-    try out.write(widened.toDDL
+    try out.write(schema.toDDL
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** The A61 rewrite body: validate → stage the re-projected table →
+    * record the new marker → retire old files → move the staged files
+    * in. Marker-before-move means a crash mid-swap serves the NEW
+    * declaration over old files (a dropped column is already gone;
+    * a renamed one reads null until the move completes) — never the
+    * old declaration over new files.
+    */
+  private def alterRewrite(ident: Identifier, tablePath: String,
+      current: StructType, partNames: Set[String],
+      rewrites: Seq[TableChange]): Table = {
+    // a single-parquet-FILE table root has nowhere to stage a rewrite
+    // (and is typically a shared read-only dataset): refuse BY NAME
+    // before touching anything
+    val rootStatus = hadoopFs.getFileStatus(
+      new org.apache.hadoop.fs.Path(tablePath))
+    if (rootStatus.isFile) throw new UnsupportedOperationException(
+      s"[GRAFT] ALTER TABLE DROP/RENAME COLUMN on ${ident.name} refused: " +
+        "the table root is a single parquet file (a shared read-only " +
+        "dataset shape) - re-create the table under a directory root")
+    graft.sources.GraftMor.failIfMutationSidecars(spark, tablePath,
+      "ALTER TABLE DROP/RENAME COLUMN")
+    graft.sources.GraftLease.failIfLeased(spark, tablePath,
+      "ALTER TABLE DROP/RENAME COLUMN")
+    val dropped = scala.collection.mutable.Set.empty[String]
+    val renamed = scala.collection.mutable.Map.empty[String, String]
+    rewrites.foreach {
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "[GRAFT] ALTER TABLE supports top-level columns only, got " +
+            d.fieldNames.mkString("."))
+        val name = d.fieldNames.head
+        if (!current.fieldNames.contains(name)) {
+          if (!d.ifExists) throw new IllegalArgumentException(
+            s"[GRAFT] DROP COLUMN: no column '$name' in ${ident.name}")
+        } else {
+          require(!partNames(name),
+            s"[GRAFT] DROP COLUMN '$name' refused: it is a PARTITION " +
+              "column (the table's layout) - re-create the table")
+          dropped += name
+        }
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "[GRAFT] ALTER TABLE supports top-level columns only, got " +
+            r.fieldNames.mkString("."))
+        val name = r.fieldNames.head
+        require(current.fieldNames.contains(name),
+          s"[GRAFT] RENAME COLUMN: no column '$name' in ${ident.name}")
+        require(!partNames(name),
+          s"[GRAFT] RENAME COLUMN '$name' refused: it is a PARTITION " +
+            "column (the table's layout) - re-create the table")
+        renamed.put(name, r.newName)
+      case other => throw new UnsupportedOperationException(
+        s"[GRAFT] unexpected ALTER change $other")
+    }
+    val newFields = current.fields.toSeq
+      .filterNot(f => dropped(f.name))
+      .map(f => renamed.get(f.name).map(n => f.copy(name = n)).getOrElse(f))
+    require(newFields.map(_.name).distinct.size == newFields.size,
+      s"[GRAFT] RENAME COLUMN would collide: target name already exists " +
+        s"in ${ident.name}")
+    require(newFields.exists(f => !partNames(f.name)),
+      s"[GRAFT] DROP COLUMN would leave ${ident.name} with no data columns")
+    val partCols = current.fields.map(_.name).filter(partNames).toSeq
+    // the re-projection reads the SERVED state (marker schema wins,
+    // evolved columns null-fill) and writes the new declaration
+    val reader = spark.read.option("basePath", tablePath)
+    graft.sources.GraftMor.readSchemaDdl(spark, tablePath).foreach(d =>
+      reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
+    val projected = reader.parquet(tablePath).select(
+      current.fields.toSeq.filterNot(f => dropped(f.name)).map { f =>
+        renamed.get(f.name)
+          .map(n => org.apache.spark.sql.functions.col(f.name).as(n))
+          .getOrElse(org.apache.spark.sql.functions.col(f.name))
+      }: _*)
+    val stageDir = new org.apache.hadoop.fs.Path(
+      s"$tablePath/_staging/alter_${java.util.UUID.randomUUID()}")
+    val w = projected.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(stageDir.toString)
+    def listData(dir: org.apache.hadoop.fs.Path): Seq[String] = {
+      if (!hadoopFs.exists(dir)) return Seq.empty
+      val rootPath = dir.toUri.getPath
+      val out = Seq.newBuilder[String]
+      val it = hadoopFs.listFiles(dir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toUri.getPath.stripPrefix(rootPath)
+          .stripPrefix("/")
+        if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")) &&
+            f.getLen > 0)
+          out += rel
+      }
+      out.result().sorted
+    }
+    val staged = listData(stageDir)
+    val oldFiles = listData(new org.apache.hadoop.fs.Path(tablePath))
+    // marker first (see scaladoc), then retire + move in, all checked
+    writeDdlMarker(tablePath, org.apache.spark.sql.types.StructType(
+      newFields.filterNot(f => partNames(f.name)) ++
+        newFields.filter(f => partNames(f.name))))
+    oldFiles.foreach { rel =>
+      if (!hadoopFs.delete(
+          new org.apache.hadoop.fs.Path(s"$tablePath/$rel"), false))
+        throw new IllegalStateException(
+          s"[GRAFT] ALTER rewrite failed to retire $tablePath/$rel")
+    }
+    staged.foreach { rel =>
+      val src = new org.apache.hadoop.fs.Path(stageDir, rel)
+      val dst = new org.apache.hadoop.fs.Path(s"$tablePath/$rel")
+      hadoopFs.mkdirs(dst.getParent)
+      if (!hadoopFs.rename(src, dst))
+        throw new IllegalStateException(
+          s"[GRAFT] ALTER rewrite move-in failed: rename($src -> $dst)")
+    }
+    hadoopFs.delete(stageDir, true)
+    val shell = stageDir.getParent
+    if (hadoopFs.exists(shell) && hadoopFs.listStatus(shell).isEmpty)
+      hadoopFs.delete(shell, false)
     invalidateTable(ident)
     loadTable(ident)
   }

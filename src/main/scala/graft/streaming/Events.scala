@@ -333,6 +333,74 @@ object Events {
     } finally graft.GraftSession.releaseCheckpoint(merged)
   }
 
+  // ── G29: streaming CDC fold (A50's consumer as a live stream) ──
+
+  /** A `graft-feed` stream maintains a persisted rollup of a MUTATING
+    * merge-on-read table: each micro-batch's I images ADD their
+    * partials and its D images SUBTRACT (GraftMor's signed-delta fold
+    * — order-free SET semantics, so segment/batch boundaries never
+    * matter), under G8's exactly-once commit protocol verbatim (stage
+    * → in-staging batchId marker → delete+rename swap, crashed-swap
+    * adoption, max-applied replay skip). The closing of the A49 loop:
+    * a table mutated by SQL DML becomes a SUBSCRIBABLE stream whose
+    * downstream rollup is at most one trigger behind, at churn cost —
+    * the Delta-CDF-streaming shape. `partialAgg` must emit a row count
+    * named `n` (the A46/A50 additive-partial contract).
+    */
+  def morFeedFoldSink(feedStream: DataFrame, root: String,
+      groupCols: Seq[String], partialAgg: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    feedStream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyMorFeedFoldBatch(batch, batchId, root, groupCols, partialAgg)
+      }
+      .start()
+
+  /** One batch's signed merge (factored out so idempotence is directly
+    * testable); the rollup lives at `<root>/rollup.parquet`.
+    */
+  private[graft] def applyMorFeedFoldBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long, root: String,
+      groupCols: Seq[String], partialAgg: DataFrame => DataFrame): Unit = {
+    val s = batch.sparkSession
+    val livePath = s"$root/rollup.parquet"
+    val stagePath = s"$root/rollup.staging"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def path(p: String) = new org.apache.hadoop.fs.Path(p)
+    def marker(dir: String) = path(s"$dir/_applied_batch")
+    if (!fs.exists(path(livePath)) && fs.exists(marker(stagePath)) &&
+        !fs.rename(path(stagePath), path(livePath)))
+      throw new IllegalStateException(
+        s"[GRAFT] feed-fold swap adoption failed: rename($stagePath -> $livePath)")
+    val maxApplied: Long =
+      if (!fs.exists(marker(livePath))) -1L
+      else {
+        val in = fs.open(marker(livePath))
+        try in.readLong() finally in.close()
+      }
+    if (batchId <= maxApplied) return // replayed batch: already applied
+    val parts = Seq.newBuilder[DataFrame]
+    if (fs.exists(path(livePath))) parts += s.read.parquet(livePath)
+    parts += partialAgg(batch.where(col("change_type") === "I")
+      .drop("change_type"))
+    parts += graft.sources.GraftMor.negatePartials(
+      partialAgg(batch.where(col("change_type") === "D")
+        .drop("change_type")),
+      groupCols)
+    val merged = graft.sources.GraftMor.foldPartials(parts.result(), groupCols)
+      .localCheckpoint(true) // the swap deletes the path this read
+    try {
+      merged.write.mode("overwrite").parquet(stagePath)
+      val out = fs.create(marker(stagePath), true)
+      try out.writeLong(batchId) finally out.close()
+      fs.delete(path(livePath), true)
+      if (!fs.rename(path(stagePath), path(livePath)))
+        throw new IllegalStateException(
+          s"[GRAFT] feed-fold swap commit failed: rename($stagePath -> $livePath)")
+    } finally graft.GraftSession.releaseCheckpoint(merged)
+  }
+
   // ── G17: streaming MV maintenance (B69's rollup fed by a stream) ──
 
   /** A micro-batch stream maintains a B69 MATERIALIZED VIEW: each

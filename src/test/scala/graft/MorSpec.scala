@@ -886,6 +886,27 @@ class MorSpec extends SparkSpecBase {
     val e4 = intercept[IllegalStateException](
       cat.exportSnapshot("t_tt", v1, eOut))
     assert(e4.getMessage.contains("erasure is retroactive"), e4.getMessage)
+    // A60: the MATERIALIZED route serves what the metadata-only export
+    // refuses — a mask-APPLIED COW copy of the epoch, table untouched
+    val preSig = dataSig(path)
+    val mFiles = cat.exportSnapshotMaterialized("t_tt", v2, s"$root/exp_v2")
+    assert(mFiles.nonEmpty)
+    assert(dataSig(path) === preSig,
+      "materialization must not touch the table")
+    val foreign = spark.read.parquet(mFiles: _*) // plain reader, no graft
+    assert(foreign.orderBy("k").collect().map(_.toSeq).toSeq ===
+      cat.tableAsOf("t_tt", v2).orderBy("k").collect().map(_.toSeq).toSeq,
+      "a foreign plain read of the materialized export must equal tableAsOf")
+    assert(foreign.where(col("k") === 5L).count() === 0L,
+      "the retroactive erase must ride into the export")
+    // the manifest names exactly the materialized files
+    val mIn = hfs(root).open(
+      new org.apache.hadoop.fs.Path(s"$root/exp_v2/manifest.json"))
+    val mBody = try scala.io.Source.fromInputStream(mIn, "UTF-8").mkString
+      finally mIn.close()
+    assert(mBody.contains("\"materialized\":true"))
+    assert(mFiles.forall(f => mBody.contains(f.split("/").last)),
+      "the manifest must list every materialized file")
     // compaction folds the sidecars — the masked epochs' recorded
     // sidecar files are gone, so their AS-OF reads refuse BY NAME
     GraftMor.morCompact(spark, path)

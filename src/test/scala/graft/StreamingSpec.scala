@@ -1368,4 +1368,184 @@ class StreamingSpec extends SparkSpecBase {
       if (t == null) "" else t.getMessage + " || " + chain(t.getCause)
     assert(chain(e).contains("monotone"), chain(e))
   }
+
+  test("G29: a mutating MOR table is SUBSCRIBABLE — the graft-feed stream folds I/D images into the A50 rollup, resumes mid-segment after a crash, and applies nothing when caught up") {
+    import graft.sources.GraftMor
+    val base = graft.sources.GraftSink.scratchDir + "/feed_stream"
+    val table = s"$base/t"
+    val feed = s"$base/feed"
+    val roll = s"$base/roll"
+    val rollBatch = s"$base/roll_batch"
+    val cp = s"$base/cp"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    spark.range(300).select(col("id").as("k"),
+        (col("id") % 7).cast("string").as("grp"), (col("id") * 3L).as("v"))
+      .repartition(2).write.parquet(table)
+    // an unpublished feed refuses by name
+    val e0 = intercept[Exception](
+      spark.readStream.format("graft-feed").load(feed)
+        .writeStream.option("checkpointLocation", cp)
+        .format("noop").start())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " || " + chain(t.getCause)
+    assert(chain(e0).contains("publishMorFeed"), chain(e0))
+    GraftMor.publishMorFeed(spark, table, feed) // seq 0: snapshot (300 I)
+    GraftMor.morDelete(spark, table, col("k") % 10 === 3)
+    GraftMor.publishMorFeed(spark, table, feed) // seq 1: 30 D images
+    import spark.implicits._
+    GraftMor.morUpsert(spark, table,
+      spark.range(20).select(col("id").as("k"), lit("x").as("grp"),
+        (col("id") * 1000L).as("v")),
+      Seq("k"))
+    GraftMor.publishMorFeed(spark, table, feed) // seq 2: D olds + I news
+    val partial: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.groupBy("grp").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(28,6)")).as("total_d"))
+    def run(failAfterBatches: Int = -1): Unit = {
+      var applied = 0
+      val q = spark.readStream.format("graft-feed")
+        .option("rowsPerBatch", "83").load(feed)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            if (failAfterBatches >= 0 && applied >= failAfterBatches)
+              throw new RuntimeException("boom: injected mid-stream crash")
+            applied += 1
+            graft.streaming.Events.applyMorFeedFoldBatch(
+              b, id, roll, Seq("grp"), partial)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // crash after two micro-batches — mid-segment (seq 0 is 300 rows at
+    // 83/batch) — then resume: the fold must come out exact
+    intercept[Exception](run(failAfterBatches = 2))
+    run()
+    def rollup() = spark.read.parquet(s"$roll/rollup.parquet")
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    val viaStream = rollup()
+    val viaBatch = GraftMor.consumeMorFeed(spark, feed, rollBatch,
+      Seq("grp"), partial).orderBy("grp").collect().map(_.toSeq).toSeq
+    val recompute = partial(GraftMor.morRead(spark, table))
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    assert(viaStream === viaBatch,
+      "the stream fold must equal the A50 batch consumer")
+    assert(viaStream === recompute,
+      "the stream fold must equal the recompute over the mutated table")
+    // caught-up restart applies no batch
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$roll/rollup.parquet/_applied_batch")
+    val lastBatch = { val in = fs.open(marker); try in.readLong() finally in.close() }
+    run()
+    val lastBatch2 = { val in = fs.open(marker); try in.readLong() finally in.close() }
+    assert(lastBatch2 === lastBatch,
+      "no new batch may apply on a caught-up restart")
+    // the NEXT mutation generation streams incrementally — exactly the
+    // new segment, folded once
+    GraftMor.morDelete(spark, table, col("k") === 1L)
+    GraftMor.publishMorFeed(spark, table, feed) // seq 3: one D image
+    run()
+    assert(rollup() === partial(GraftMor.morRead(spark, table))
+      .orderBy("grp").collect().map(_.toSeq).toSeq,
+      "a resumed stream must fold exactly the fresh segment")
+  }
+
+  test("G28 index compaction + retention: consumed segments fold to one #base entry (bounded manifest), offsets stay stable, and dropping segments refuses until they are folded") {
+    val base = graft.sources.GraftSink.scratchDir + "/log_ret"
+    val log = s"$base/ingest_log"
+    val root = s"$base/summary"
+    val cp = s"$base/cp"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val events = new graft.sources.GraftCatalog(spark, sfDir).table("events")
+      .select("event_id", "event_type", "value")
+    def writeSegment(df: org.apache.spark.sql.DataFrame, segName: String): Unit = {
+      val tmp = s"$base/tmp_seg"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$log/partition=0"))
+      assert(fs.rename(part,
+        new org.apache.hadoop.fs.Path(s"$log/partition=0/$segName")))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-log")
+        .option("rowsPerBatch", "97").load(log)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.streaming.Events.applySummaryBatch(
+              b.select("event_id", "event_type", "value"), id, root)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def expect(mods: Seq[Int]) = events
+      .where((col("event_id") % 6).isin(mods: _*))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).as("total_d"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    def summary() = spark.read.parquet(s"$root/summary.parquet")
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    // Spark hands the source `<checkpoint>/sources/<i>` as its location
+    def srcCp = s"$cp/sources/0"
+    def manifest(): (Option[(Long, Long, String)], Seq[String]) = {
+      val live = graft.sources.v2.GraftLogIndex.manifestPath(srcCp, 0)
+      val in = fs.open(live)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = body.split("\n").filter(_.nonEmpty).toSeq
+      val b = lines.headOption.filter(_.startsWith("#base\t")).map { l =>
+        val Array(_, c, r, _, n) = l.split("\t", 5); (c.toLong, r.toLong, n) }
+      (b, lines.filterNot(_.startsWith("#")))
+    }
+    // grow the log over THREE rounds; after each full consumption the
+    // manifest must stay BOUNDED (folded history is one #base line, the
+    // live tail at most the final batch's segments), not grow with the
+    // log's lifetime
+    (0 to 2).foreach { round =>
+      writeSegment(events.where(col("event_id") % 6 === round * 2),
+        f"seg-${round * 2}%05d.parquet")
+      writeSegment(events.where(col("event_id") % 6 === round * 2 + 1),
+        f"seg-${round * 2 + 1}%05d.parquet")
+      run()
+      assert(summary() === expect(0 to (round * 2 + 1)),
+        s"round $round summary must fold exactly the appended segments")
+      val (b, live) = manifest()
+      assert(b.nonEmpty, s"round $round: consumed segments must fold to #base")
+      assert(live.size <= 1,
+        s"round $round: the live index must stay bounded, got ${live.size} " +
+          s"lines: $live")
+      assert(b.get._1 + live.size === (round + 1) * 2L,
+        "folded count + live lines must equal the segments written")
+    }
+    val (Some((_, foldedRows, foldPoint)), _) = manifest()
+    // retention REFUSES past the fold point by name...
+    val eRet = intercept[IllegalStateException](
+      graft.sources.v2.GraftLogRetention.retire(
+        spark, log, srcCp, 0, "seg-99999.parquet"))
+    assert(eRet.getMessage.contains("not yet folded"), eRet.getMessage)
+    // ...and physically drops everything at/below it
+    val dropped = graft.sources.v2.GraftLogRetention.retire(
+      spark, log, srcCp, 0, foldPoint)
+    assert(dropped.nonEmpty, "retention past the fold point must drop files")
+    // the stream survives retirement: offsets stable, caught-up restart
+    // applies nothing, and a NEW segment streams exactly-once
+    run()
+    assert(summary() === expect(0 to 5), "retired history must not re-serve")
+    writeSegment(events.where(col("event_id") % 6 === 0)
+      .withColumn("value", col("value") * 0 + 1.0), "seg-00006.parquet")
+    run()
+    val (b2, live2) = manifest()
+    assert(b2.get._2 >= foldedRows, "the fold point never regresses")
+    assert(live2.size <= 1)
+    // the new segment's rows (value=1.0 each) folded on top
+    val extra = events.where(col("event_id") % 6 === 0).count()
+    val totN = summary().map(_(1).asInstanceOf[Long]).sum
+    val expN = expect(0 to 5).map(_(1).asInstanceOf[Long]).sum + extra
+    assert(totN === expN, s"new-segment rows must fold exactly once")
+  }
 }

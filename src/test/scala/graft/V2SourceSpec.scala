@@ -217,14 +217,22 @@ class V2SourceSpec extends SparkSpecBase {
 
   test("SQL catalog refuses ALTER/RENAME by name and names missing tables/namespaces clearly") {
     graft.sources.v2.GraftTableCatalog.register(spark, "/root/testdata")
-    // non-additive schema changes are a rewrite, not an ALTER — they
-    // refuse BY NAME (A58 opened CREATE/DROP/ADD COLUMN, exercised on
-    // scratch warehouses only; never mutate shared testdata in specs)
+    // ops that STAY refused on shared testdata forever (A61 made
+    // DROP/RENAME COLUMN a real rewrite on directory-rooted tables, so
+    // this spec pins only the permanently-safe refusals): retype is a
+    // re-create, and a single-FILE table root has nowhere to stage a
+    // rewrite — both refuse BY NAME before touching anything
     val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.`sf0.001`.orders " +
+        "ALTER COLUMN o_orderkey TYPE STRING")
+    }
+    assert(e.getMessage.toLowerCase.contains("re-create"), e.getMessage)
+    val eFile = intercept[Exception] {
       spark.sql("ALTER TABLE graft.`sf0.001`.orders DROP COLUMN o_orderpriority")
     }
-    assert(e.getMessage.contains("ALTER TABLE") ||
-      e.getMessage.toLowerCase.contains("missing field"), e.getMessage)
+    assert(eFile.getMessage.contains("single parquet file"), eFile.getMessage)
+    assert(spark.sql("SELECT o_orderpriority FROM graft.`sf0.001`.orders")
+      .count() > 0, "the refused ALTER must leave the shared table whole")
     assert(intercept[Exception] {
       spark.sql("SELECT * FROM graft.`sf0.001`.no_such_table").collect()
     }.getMessage.toLowerCase.contains("table"),
@@ -1257,10 +1265,12 @@ class V2SourceSpec extends SparkSpecBase {
       .head().getLong(0) === 77L)
     assert(spark.sql("SELECT count(*) AS n FROM graftddl.db2.t_new")
       .head().getLong(0) === 3L)
-    // non-additive ALTERs refuse by name
+    // A61 routes DROP/RENAME through the declared rewrite — on THIS
+    // table (live _dv from the ladder above) it refuses by name until
+    // the sidecars fold; retype stays a re-create
     val eAlter = intercept[Exception](spark.sql(
       "ALTER TABLE graftddl.db2.t_new DROP COLUMN v"))
-    assert(eAlter.getMessage.contains("ADD COLUMN only"), eAlter.getMessage)
+    assert(eAlter.getMessage.contains("morCompact"), eAlter.getMessage)
     // CTAS: create + gated write in one statement
     spark.sql("CREATE TABLE graftddl.db2.t_ctas AS " +
       "SELECT id AS k, id * 2 AS v FROM range(10)")
@@ -1286,6 +1296,221 @@ class V2SourceSpec extends SparkSpecBase {
     assert(!spark.sql("SHOW TABLES IN graftddl.db2")
       .collect().map(_.getString(1)).contains("t_new"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/db2/t_new.parquet")))
+  }
+
+  test("A61 ALTER TABLE DROP/RENAME COLUMN: a declared rewrite — dropped bytes physically leave, renames preserve values, partition columns and live sidecars refuse by name") {
+    val wh = graft.sources.GraftSink.scratchDir + "/a61_wh"
+    val path = s"$wh/db/t_alt.parquet"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftalt")
+    spark.sql("CREATE NAMESPACE graftalt.db")
+    spark.sql("CREATE TABLE graftalt.db.t_alt " +
+      "(k BIGINT, junk STRING, v BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graftalt.db.t_alt VALUES " +
+      "(1, 'secret1', 10, 0), (2, 'secret2', 20, 1), (3, 'secret3', 30, 0)")
+    spark.sql("REFRESH TABLE graftalt.db.t_alt")
+    // DROP: gone from the served schema AND from the bytes (A47
+    // discipline — a raw footer-merged read must not know the column)
+    spark.sql("ALTER TABLE graftalt.db.t_alt DROP COLUMN junk")
+    spark.sql("REFRESH TABLE graftalt.db.t_alt")
+    assert(!spark.table("graftalt.db.t_alt").columns.contains("junk"))
+    assert(!spark.read.parquet(path).columns.contains("junk"),
+      "DROP COLUMN must physically purge the column from the files")
+    assert(spark.sql("SELECT k, v, p FROM graftalt.db.t_alt ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((1L, 10L, 0L), (2L, 20L, 1L), (3L, 30L, 0L)),
+      "DROP COLUMN must preserve every other value")
+    // RENAME: values ride under the new name on every surface
+    spark.sql("ALTER TABLE graftalt.db.t_alt RENAME COLUMN v TO val")
+    spark.sql("REFRESH TABLE graftalt.db.t_alt")
+    assert(spark.sql("SELECT sum(val) AS s FROM graftalt.db.t_alt")
+      .head().getLong(0) === 60L)
+    assert(spark.read.parquet(path).columns.contains("val") &&
+      !spark.read.parquet(path).columns.contains("v"),
+      "RENAME COLUMN must rewrite the files, not alias them")
+    // hive layout stays whole; partition pruning still works
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftalt.db.t_alt WHERE p = 0")
+      .head().getLong(0) === 2L)
+    // refusals: partition columns are the layout
+    val eP = intercept[Exception](spark.sql(
+      "ALTER TABLE graftalt.db.t_alt DROP COLUMN p"))
+    assert(chainMsg(eP).contains("PARTITION"), chainMsg(eP))
+    val eR = intercept[Exception](spark.sql(
+      "ALTER TABLE graftalt.db.t_alt RENAME COLUMN p TO q"))
+    assert(chainMsg(eR).contains("PARTITION"), chainMsg(eR))
+    // retype still refuses by name
+    val eT = intercept[Exception](spark.sql(
+      "ALTER TABLE graftalt.db.t_alt ALTER COLUMN k TYPE STRING"))
+    assert(chainMsg(eT).toLowerCase.contains("re-create"), chainMsg(eT))
+    // live mutation sidecars refuse (the rewrite would dangle them)
+    spark.sql("DELETE FROM graftalt.db.t_alt WHERE k = 99")
+    val eS = intercept[Exception](spark.sql(
+      "ALTER TABLE graftalt.db.t_alt DROP COLUMN val"))
+    assert(chainMsg(eS).contains("morCompact"), chainMsg(eS))
+    graft.sources.GraftMor.morCompact(spark, path)
+    spark.sql("REFRESH TABLE graftalt.db.t_alt")
+    // ...and folds clear the refusal
+    spark.sql("ALTER TABLE graftalt.db.t_alt DROP COLUMN val")
+    spark.sql("REFRESH TABLE graftalt.db.t_alt")
+    assert(spark.table("graftalt.db.t_alt").columns.toSeq === Seq("k", "p"))
+  }
+
+  test("A58/r14: a DECLARED STRING partition column stays STRING after a numeric-looking first insert — the marker DDL is the truth on every surface") {
+    val wh = graft.sources.GraftSink.scratchDir + "/a58pt_wh"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftpt")
+    spark.sql("CREATE NAMESPACE graftpt.db")
+    spark.sql("CREATE TABLE graftpt.db.t_pt (k BIGINT, region STRING) " +
+      "PARTITIONED BY (region)")
+    def regionType(): org.apache.spark.sql.types.DataType = {
+      spark.sql("REFRESH TABLE graftpt.db.t_pt")
+      spark.table("graftpt.db.t_pt").schema("region").dataType
+    }
+    assert(regionType() === org.apache.spark.sql.types.StringType,
+      "the empty table serves the declared DDL")
+    // the poison case: every first-batch value parses numeric — path
+    // inference would flip the column to BIGINT, contradicting the DDL
+    spark.sql("INSERT INTO graftpt.db.t_pt VALUES (1, '7'), (2, '8')")
+    assert(regionType() === org.apache.spark.sql.types.StringType,
+      "a numeric-looking batch must not flip a DECLARED STRING partition " +
+        "column to BIGINT")
+    // and a later non-numeric insert (which inference would have broken)
+    spark.sql("INSERT INTO graftpt.db.t_pt VALUES (3, 'west')")
+    spark.sql("REFRESH TABLE graftpt.db.t_pt")
+    val got = spark.sql(
+      "SELECT k, region FROM graftpt.db.t_pt ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "7"), (2L, "8"), (3L, "west")))
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftpt.db.t_pt WHERE region = '7'")
+      .head().getLong(0) === 1L)
+  }
+
+  test("A56/r14: INSERT OVERWRITE with an empty source refuses by name — never a silent no-op over a truncate intent") {
+    val wh = graft.sources.GraftSink.scratchDir + "/a56empty_wh"
+    val path = s"$wh/db/t_eow.parquet"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.range(10).select(col("id").as("k"), (col("id") % 2).as("p"))
+      .write.partitionBy("p").parquet(path)
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "grafteow")
+    spark.sql("REFRESH TABLE grafteow.db.t_eow")
+    val e = intercept[Exception](spark.sql(
+      "INSERT OVERWRITE grafteow.db.t_eow " +
+        "SELECT CAST(99 AS BIGINT) AS k, CAST(0 AS BIGINT) AS p WHERE 1 = 0"))
+    assert(chainMsg(e).contains("produced no rows"), chainMsg(e))
+    spark.sql("REFRESH TABLE grafteow.db.t_eow")
+    assert(spark.sql("SELECT count(*) AS n FROM grafteow.db.t_eow")
+      .head().getLong(0) === 10L, "a refused empty overwrite changes nothing")
+  }
+
+  test("A57/r14: the mask-load cache locks per key — concurrent same-key loads compute once, and a refused load is retried, never cached") {
+    import graft.sources.{GraftMor, GraftSink}
+    import graft.sources.v2.{GraftMorMask, GraftV2}
+    val path = GraftSink.scratchDir + "/a57_lock"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    spark.range(200).select(col("id").as("k")).repartition(1)
+      .write.parquet(path)
+    GraftMor.morDelete(spark, path, col("k") % 7 === 0)
+    val conf = spark.sessionState.newHadoopConf()
+    val sidecar = GraftV2.sidecarParquet(path, GraftMor.DvDir, conf)
+    assert(sidecar.nonEmpty)
+    val before = GraftMorMask.sidecarOpens
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Int] {
+          override def call(): Int = GraftMorMask.load(sidecar, conf).size
+        }))
+      val sizes = futures.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(sizes.distinct.size === 1)
+    } finally pool.shutdownNow()
+    assert(GraftMorMask.sidecarOpens - before === sidecar.size.toLong,
+      "8 concurrent same-key loads must open each sidecar file exactly once")
+    // a refused load (cap) must throw EVERY time — not leave a poisoned
+    // or half-built entry behind — and the good key stays served
+    val e1 = intercept[IllegalStateException](
+      GraftMorMask.load(sidecar, conf, cap = 3L))
+    assert(e1.getMessage.contains("morCompact"))
+    val e2 = intercept[IllegalStateException](
+      GraftMorMask.load(sidecar, conf, cap = 3L))
+    assert(e2.getMessage.contains("morCompact"))
+    val opensAfterGood = GraftMorMask.sidecarOpens
+    assert(GraftMorMask.load(sidecar, conf).nonEmpty)
+    assert(GraftMorMask.sidecarOpens === opensAfterGood,
+      "the successful load must still be cached after refused attempts")
+  }
+
+  test("A55 MERGE breadth: WHEN MATCHED [AND cond] THEN DELETE and multi-clause merges route through the delta write — zero files rewritten, state == morRead") {
+    import graft.sources.GraftMor
+    val wh = graft.sources.GraftSink.scratchDir + "/a55mrg_wh"
+    val path = s"$wh/db/t_mrg.parquet"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.range(100).select(col("id").as("k"), (col("id") * 10L).as("v"))
+      .repartition(2).write.parquet(path)
+    def baseSig(): Set[(String, Long)] = {
+      val out = Set.newBuilder[(String, Long)]
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toUri.getPath
+          .stripPrefix(new org.apache.hadoop.fs.Path(path).toUri.getPath)
+          .stripPrefix("/")
+        if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+          out += ((f.getPath.toString, f.getLen))
+      }
+      out.result()
+    }
+    val base = baseSig()
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftmrg")
+    spark.sql("REFRESH TABLE graftmrg.db.t_mrg")
+    // multi-clause: conditional matched-DELETE + matched-UPDATE +
+    // not-matched INSERT in ONE statement
+    spark.sql("""
+      MERGE INTO graftmrg.db.t_mrg t
+      USING (SELECT id + 10 AS k, 7777 AS v FROM range(10)
+             UNION ALL SELECT 200, 2000) s
+      ON t.k = s.k
+      WHEN MATCHED AND t.k % 2 = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    spark.sql("REFRESH TABLE graftmrg.db.t_mrg")
+    val got = spark.sql("SELECT k, v FROM graftmrg.db.t_mrg ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // even keys 10..18 deleted, odd keys 11..19 updated, 200 inserted
+    assert(got.size === 100 - 5 + 1)
+    Seq(10L, 12L, 14L, 16L, 18L).foreach(k =>
+      assert(!got.exists(_._1 == k), s"matched-DELETE missed k=$k"))
+    Seq(11L, 13L, 15L, 17L, 19L).foreach(k =>
+      assert(got.toMap.apply(k) === 7777L, s"matched-UPDATE missed k=$k"))
+    assert(got.toMap.apply(200L) === 2000L, "not-matched INSERT missed")
+    assert(base.subsetOf(baseSig()), "MERGE must rewrite no base file")
+    // pure matched-DELETE merge (single clause)
+    spark.sql("""
+      MERGE INTO graftmrg.db.t_mrg t
+      USING (SELECT id AS k FROM range(5)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN DELETE""")
+    spark.sql("REFRESH TABLE graftmrg.db.t_mrg")
+    val got2 = spark.sql("SELECT k, v FROM graftmrg.db.t_mrg ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2.size === got.size - 5)
+    assert(!got2.exists(_._1 < 5L))
+    // the SQL-merged state equals the Scala surface
+    assert(got2 === GraftMor.morRead(spark, path).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
   test("A59 writer coordination: epoch/sequence allocation is atomic — a commit interleaved between another writer's allocate and rename can never share its epoch; in-flight reservations cannot mask a concurrent insert") {
