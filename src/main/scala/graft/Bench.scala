@@ -119,9 +119,14 @@ object Bench {
     // read (publish + AS-OF with recorded sidecars)
     "src_mor_sql_dml", "src_mor_time_travel",
     // round-14 additions: the materialized export of a masked epoch
-    // (mask-applied COW pass + foreign plain read) and the ALTER
-    // DROP/RENAME declared rewrite (CTAS + two rewrites + read-back)
-    "src_export_material", "src_sql_alter_rewrite")
+    // (mask-applied COW pass + foreign plain read), the ALTER
+    // DROP/RENAME declared rewrite (CTAS + two rewrites + read-back),
+    // and the declared z-order layout (CREATE + shaped INSERT + band
+    // read over the clustered table)
+    "src_export_material", "src_sql_alter_rewrite", "src_sql_layout",
+    // the A65 declared-bucket tables + storage-partitioned join
+    // (CREATE ×2 + shaped INSERT ×2 + the zero-exchange join)
+    "src_sql_bucket_join")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -69,6 +69,8 @@ object SparkEntry {
     "src_mor_sql_dml"            -> Relational.srcMorSqlDml _,
     "src_sql_ddl"                -> Relational.srcSqlDdl _,
     "src_sql_alter_rewrite"      -> Relational.srcSqlAlterRewrite _,
+    "src_sql_layout"             -> Relational.srcSqlLayout _,
+    "src_sql_bucket_join"        -> Relational.srcSqlBucketJoin _,
     "src_incremental_agg"        -> Relational.srcIncrementalAgg _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
@@ -1212,6 +1214,23 @@ object SparkEntry {
              round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM orders WHERE o_orderkey % 2 = 0
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A62: the declared zorder layout re-clusters every inserted batch
+    // physically, never a value — the band aggregate matches the
+    // source rows directly
+    "src_sql_layout" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_custkey BETWEEN 100 AND 199
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // A65: the bucket layout co-locates the join physically, never a
+    // value change — the SPJ aggregate matches the plain oracle join
+    "src_sql_bucket_join" -> """
+      SELECT c.c_mktsegment, count(*) AS n,
+             round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
 
     // A54: the epoch captures generation-1 mutations (delete %10=3,
     // upsert %100=0 at +1000) and NOT the post-publish delete (%10=4)

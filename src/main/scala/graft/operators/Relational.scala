@@ -1185,10 +1185,10 @@ object Relational {
     val wh = graft.sources.GraftSink.scratchDir + "/sqlddl_q"
     val f = new org.apache.hadoop.fs.Path(wh)
       .getFileSystem(s.sessionState.newHadoopConf())
-    f.delete(new org.apache.hadoop.fs.Path(wh), true)
     f.mkdirs(new org.apache.hadoop.fs.Path(wh))
     graft.sources.v2.GraftTableCatalog.register(s, wh, "graftddlq")
-    s.sql("CREATE NAMESPACE graftddlq.db")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftddlq.db")
+    s.sql("DROP TABLE IF EXISTS graftddlq.db.orders_ctas")
     cat(s, dir).table("orders").createOrReplaceTempView("orders_src_ddl")
     s.sql("""
       CREATE TABLE graftddlq.db.orders_ctas AS
@@ -1210,13 +1210,17 @@ object Relational {
     * rewrite changed declaration and layout, never a value.
     */
   def srcSqlAlterRewrite(s: SparkSession, dir: String): DataFrame = {
+    // clean up THROUGH the catalog (DROP TABLE IF EXISTS), never by
+    // deleting the warehouse behind its back: the catalog memoizes
+    // loadTable per session, so an out-of-band fs delete leaves a
+    // stale entry that makes the re-CREATE see a live table
     val wh = graft.sources.GraftSink.scratchDir + "/sqlalter_q"
     val f = new org.apache.hadoop.fs.Path(wh)
       .getFileSystem(s.sessionState.newHadoopConf())
-    f.delete(new org.apache.hadoop.fs.Path(wh), true)
     f.mkdirs(new org.apache.hadoop.fs.Path(wh))
     graft.sources.v2.GraftTableCatalog.register(s, wh, "graftaltq")
-    s.sql("CREATE NAMESPACE graftaltq.db")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftaltq.db")
+    s.sql("DROP TABLE IF EXISTS graftaltq.db.orders_alt")
     cat(s, dir).table("orders").createOrReplaceTempView("orders_src_alter")
     s.sql("""
       CREATE TABLE graftaltq.db.orders_alt AS
@@ -1233,6 +1237,100 @@ object Relational {
       FROM graftaltq.db.orders_alt
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""")
+  }
+
+  /** A62: declared Z-order layout honored by SQL inserts — the table
+    * is CREATEd with `TBLPROPERTIES ('layout'='zorder(a,b)')`, filled
+    * through the ordinary gated INSERT (which range-partitions + sorts
+    * every batch on the Morton interleave before staging), and read
+    * back with a band filter on ONE of the interleaved keys. The
+    * aggregate must hash-match the oracle over the source rows — the
+    * clustering is pure physical layout, never a value change — while
+    * the V2SourceSpec ladder asserts the payoff: row-group pruning on
+    * BOTH dimensions through the v2 scan's footer stats.
+    */
+  def srcSqlLayout(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.sources.GraftSink.scratchDir + "/sqllayout_q"
+    val f = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    f.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    graft.sources.v2.GraftTableCatalog.register(s, wh, "graftlayq")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftlayq.db")
+    s.sql("DROP TABLE IF EXISTS graftlayq.db.orders_z")
+    cat(s, dir).table("orders").createOrReplaceTempView("orders_src_layout")
+    s.sql("""
+      CREATE TABLE graftlayq.db.orders_z (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE)
+      TBLPROPERTIES ('layout'='zorder(o_custkey,o_orderkey)')""")
+    s.sql("""
+      INSERT INTO graftlayq.db.orders_z
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders_src_layout""")
+    s.sql("REFRESH TABLE graftlayq.db.orders_z")
+    s.sql("""
+      SELECT o_orderstatus, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM graftlayq.db.orders_z
+      WHERE o_custkey BETWEEN 100 AND 199
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")
+  }
+
+  /** A65: declared bucket layout + storage-partitioned join — both
+    * tables are CREATEd with `'layout'='bucket(key,8)'`, filled
+    * through the gated INSERT (which hash-buckets every batch into
+    * `bucket=N/` dirs with the engine's V2 bucket function), and
+    * joined on the bucket key THROUGH the catalog with
+    * `spark.sql.sources.v2.bucketing.enabled`: Spark plans the join
+    * from the two scans' reported `KeyGroupedPartitioning` with ZERO
+    * join-input exchange — co-located like Hive bucketed tables, but
+    * declared in DDL and honored by every insert. At 100 TB the join's
+    * shuffle (the dominant cost of fact-fact joins) simply never
+    * happens. The aggregate must hash-match the oracle's plain join —
+    * co-location is physical layout, never a value change.
+    */
+  def srcSqlBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.sources.GraftSink.scratchDir + "/sqlbucket_q"
+    val f = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    f.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    graft.sources.v2.GraftTableCatalog.register(s, wh, "graftbktq")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftbktq.db")
+    s.sql("DROP TABLE IF EXISTS graftbktq.db.orders_b")
+    s.sql("DROP TABLE IF EXISTS graftbktq.db.customer_b")
+    cat(s, dir).table("orders").createOrReplaceTempView("orders_src_bkt")
+    cat(s, dir).table("customer").createOrReplaceTempView("customer_src_bkt")
+    s.sql("""
+      CREATE TABLE graftbktq.db.orders_b (
+        o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+      TBLPROPERTIES ('layout'='bucket(o_custkey,8)')""")
+    s.sql("""
+      CREATE TABLE graftbktq.db.customer_b (
+        c_custkey BIGINT, c_mktsegment STRING)
+      TBLPROPERTIES ('layout'='bucket(c_custkey,8)')""")
+    s.sql("""
+      INSERT INTO graftbktq.db.orders_b
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders_src_bkt""")
+    s.sql("""
+      INSERT INTO graftbktq.db.customer_b
+      SELECT c_custkey, c_mktsegment FROM customer_src_bkt""")
+    s.sql("REFRESH TABLE graftbktq.db.orders_b")
+    s.sql("REFRESH TABLE graftbktq.db.customer_b")
+    val prev = s.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // materialize UNDER the SPJ conf so the zero-exchange plan is
+      // what actually runs; the returned frame is the tiny result
+      val out = s.sql("""
+        SELECT c.c_mktsegment, count(*) AS n,
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+        FROM graftbktq.db.orders_b o
+        JOIN graftbktq.db.customer_b c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment""").localCheckpoint(true)
+      out
+    } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
   /** A46: mutation-aware incremental aggregate maintenance — A20's

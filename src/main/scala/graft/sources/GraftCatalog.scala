@@ -636,7 +636,14 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     if (current.rootIsDir) reader.option("basePath", s"$root/$name.parquet")
     val batch = reader.parquet(staged.sorted: _*)
     if (refuseBreakingSchema && published.nonEmpty) {
-      val tipSchema = tableAsOf(name, snapshotIds(name).last).schema
+      // the served-schema truth, in marker-first order (the A36×MOR
+      // discipline): a `_schema/ddl` marker wins over file footers on
+      // every read surface, so the gate diffs against it too — and a
+      // COW rewrite (A61 ALTER, compactTable) that retired the tip
+      // manifest's files doesn't strand the gate on a dead file read
+      val tipSchema = GraftMor.readSchemaDdl(spark, s"$root/$name.parquet")
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(tableAsOf(name, snapshotIds(name).last).schema)
       // DECLARED partition columns (A58 created tables) are excluded
       // from the gate's diff: their batch-side types come from
       // hive-path STRING inference (a small value types as INT), not

@@ -99,7 +99,8 @@ case class GraftTable(path: String, tableSchema: StructType,
     partSchema: StructType = new StructType(),
     morDv: Seq[String] = Seq.empty,
     morEq: Seq[String] = Seq.empty,
-    morSeqm: Seq[String] = Seq.empty) extends Table with SupportsRead
+    morSeqm: Seq[String] = Seq.empty,
+    layoutBucket: Option[(String, Int)] = None) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -201,8 +202,19 @@ case class GraftTable(path: String, tableSchema: StructType,
         Option(options.get("samplecomplement")).exists(_.toBoolean))
     }
     new GraftScanBuilder(path, tableSchema, pinnedFiles, partSchema, sample,
-      morDv, morEq, morSeqm)
+      morDv, morEq, morSeqm, layoutBucket)
   }
+
+  /** A65: the declared bucket layout is the table's reported
+    * partitioning — what Spark's storage-partitioned join resolves
+    * (through this table's catalog as a FunctionCatalog) to plan
+    * co-located joins with ZERO exchange.
+    */
+  override def partitioning(): Array[Transform] =
+    layoutBucket.map { case (k, n) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, k)
+        : Transform
+    }.toArray
 }
 
 class GraftScanBuilder(path: String, fullSchema: StructType,
@@ -211,7 +223,8 @@ class GraftScanBuilder(path: String, fullSchema: StructType,
     sample: Option[(Double, Long, Boolean)] = None,
     morDv: Seq[String] = Seq.empty,
     morEq: Seq[String] = Seq.empty,
-    morSeqm: Seq[String] = Seq.empty) extends ScanBuilder
+    morSeqm: Seq[String] = Seq.empty,
+    layoutBucket: Option[(String, Int)] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -313,7 +326,8 @@ class GraftScanBuilder(path: String, fullSchema: StructType,
 
   override def build(): Scan = GraftScan(path, required, pushed,
     pinnedFiles = pinnedFiles, partSchema = partSchema, agg = aggSpec,
-    sample = sample, morDv = morDv, morEq = morEq, morSeqm = morSeqm)
+    sample = sample, morDv = morDv, morEq = morEq, morSeqm = morSeqm,
+    bucket = layoutBucket)
 }
 
 /** A pushed footer-stats aggregation: partition group columns + the
@@ -347,8 +361,53 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     sample: Option[(Double, Long, Boolean)] = None,
     morDv: Seq[String] = Seq.empty,
     morEq: Seq[String] = Seq.empty,
-    morSeqm: Seq[String] = Seq.empty)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    morSeqm: Seq[String] = Seq.empty,
+    bucket: Option[(String, Int)] = None)
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** A65: the (file → bucket id) parse — a file written by the shaped
+    * insert sits exactly one `bucket=N` dir below the table root.
+    * A file ANYWHERE else (a morUpsert append, a delta-DML insert)
+    * breaks the co-location contract: the scan then reports
+    * UnknownPartitioning and joins shuffle again — an HONEST
+    * degradation (values stay right, the free co-location is lost
+    * until a re-bucketing rewrite), never a silently-wrong join.
+    */
+  private def bucketIdOf(file: String): Option[Int] = {
+    val root = new Path(path).toUri.getPath
+    val rel = new Path(file).toUri.getPath.stripPrefix(root).stripPrefix("/")
+    val segs = rel.split('/')
+    if (segs.length == 2 &&
+        segs(0).startsWith(GraftLayout.BucketDirCol + "="))
+      scala.util.Try(segs(0).substring(
+        GraftLayout.BucketDirCol.length + 1).toInt).toOption
+    else None
+  }
+
+  private lazy val scanFiles: Seq[String] =
+    if (pinnedFiles.nonEmpty) pinnedFiles else GraftV2.dataFiles(path, conf.value)
+
+  /** Bucket count when EVERY scanned file honors the declared bucket
+    * layout (and the scan shape allows grouping); None degrades to
+    * per-row-group planning under UnknownPartitioning.
+    */
+  private lazy val groupedBuckets: Option[Int] = bucket.collect {
+    case (_, n) if agg.isEmpty && sample.isEmpty &&
+      scanFiles.forall(f => bucketIdOf(f).exists(b => b >= 0 && b < n)) => n
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    (bucket, groupedBuckets) match {
+      case (Some((k, _)), Some(n)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(Array(
+            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, k)), n)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   /** Filters Spark hands over at RUNTIME (dynamic partition pruning /
     * runtime row-group filtering from a completed build side), on top
@@ -407,8 +466,7 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
           "folded them) - REFRESH TABLE to re-pin, or read via " +
           "GraftMor.morRead")
     val all = filters ++ runtimeFilters
-    val fileSet =
-      if (pinnedFiles.nonEmpty) pinnedFiles else GraftV2.dataFiles(path, conf.value)
+    val fileSet = scanFiles
     // pushed aggregation: one split per data file, answered in the
     // reader from that file's footer alone — no row group is ever
     // decompressed, so the whole job is a metadata pass
@@ -474,12 +532,24 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
                 starts(i),
                 java.util.Arrays.copyOfRange(fileMask, lo, hi),
                 seqmMap.getOrElse(
-                  GraftMorMask.norm(new Path(file).toUri.getPath), 0L))
-                : InputPartition)
+                  GraftMorMask.norm(new Path(file).toUri.getPath), 0L)))
             }
           }.toSeq
       }
-    }.toArray
+    }.toArray match {
+      // A65: under a clean bucket layout the splits GROUP by bucket id
+      // — one HasPartitionKey partition per bucket, EVERY bucket
+      // present (empties included) so two tables' key sets always
+      // align and Spark's storage-partitioned join needs no partition-
+      // value push-down to match them. Row-group pruning already
+      // happened above, inside each bucket.
+      case slices if groupedBuckets.isDefined =>
+        val n = groupedBuckets.get
+        val byBucket = slices.groupBy(p => bucketIdOf(p.path).get)
+        (0 until n).map(b => GraftBucketPartition(b,
+          byBucket.getOrElse(b, Array.empty)): InputPartition).toArray
+      case slices => slices.map(p => p: InputPartition)
+    }
   }
 
   /** First index in sorted `a` whose value is >= `key`. */
@@ -589,6 +659,22 @@ case class GraftInputPartition(path: String, rowGroup: Int,
   override def preferredLocations(): Array[String] = hosts
 }
 
+/** A65: one partition per bucket of a declared bucket layout — all of
+  * the bucket's surviving (file, row group) slices, keyed by the
+  * bucket id (`HasPartitionKey` is what lets Spark group and align the
+  * two sides of a storage-partitioned join without an exchange).
+  * An empty bucket still plans (zero slices, a no-row task) so both
+  * join sides always present the complete key set.
+  */
+case class GraftBucketPartition(bucketId: Int,
+    slices: Array[GraftInputPartition]) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def preferredLocations(): Array[String] =
+    slices.flatMap(_.hosts).distinct
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
+
 /** `eqKeyCols`/`eqMap`: the A44/A45 equality mask (key tuple → max
   * tombstone sequence), shipped once in the task binary (hard-capped
   * at load); each split's `fileSeq` decides which tombstones outrank
@@ -600,12 +686,34 @@ case class GraftReaderFactory(required: StructType,
     eqMap: Map[Seq[Any], Long] = Map.empty,
     eqSingle: Map[Any, Long] = Map.empty) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
+    partition match {
+      case b: GraftBucketPartition =>
+        // one bucket = its slices read back to back; each slice keeps
+        // its own masks/sequence exactly as an ungrouped split would
+        new PartitionReader[InternalRow] {
+          private var i = 0
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur != null && cur.next()) return true
+              if (cur != null) { cur.close(); cur = null }
+              if (i >= b.slices.length) return false
+              cur = sliceReader(b.slices(i)); i += 1
+            }
+            false
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case p: GraftInputPartition => sliceReader(p)
+    }
+  }
+
+  private def sliceReader(p: GraftInputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(p.path, p.rowGroup, required, conf.value,
       p.partValues, p.rowGroupStart, p.masked,
       eqKeyCols = eqKeyCols, eqMap = eqMap, eqSingle = eqSingle,
       fileSeq = p.fileSeq)
-  }
 }
 
 /** The RecordReader analog: one parquet row group → InternalRows with
@@ -1062,7 +1170,18 @@ object GraftV2 {
     * flat tables. Layout must be consistent across files.
     */
   def partitionSchema(tablePath: String, files: Seq[String]): StructType = {
+    // A65: a bucket-layout table's `bucket=N/` dirs are physical
+    // layout, not partition columns — never infer them into any
+    // served schema (catalog, path provider, raw v2 alike)
+    val bucketLayout = {
+      val root = new Path(tablePath)
+      val fs = root.getFileSystem(sessionConf().value)
+      scala.util.Try(GraftLayout.readMarker(fs, tablePath)
+        .exists(_.kind == "bucket")).getOrElse(false)
+    }
     val segs = files.map(partitionSegments(tablePath, _))
+      .map(s => if (bucketLayout)
+        s.filterNot(_._1 == GraftLayout.BucketDirCol) else s)
     val names = segs.headOption.getOrElse(Seq.empty).map(_._1)
     if (names.isEmpty) return new StructType()
     require(segs.forall(_.map(_._1) == names),
@@ -1083,7 +1202,9 @@ object GraftV2 {
   def partitionValues(tablePath: String, file: String,
       schema: StructType): Map[String, Any] = {
     if (schema.isEmpty) return Map.empty
-    partitionSegments(tablePath, file).map { case (name, raw) =>
+    partitionSegments(tablePath, file)
+      .filter(s => schema.fieldNames.contains(s._1))
+      .map { case (name, raw) =>
       val dt = schema(name).dataType
       name -> (raw match {
         case null => null

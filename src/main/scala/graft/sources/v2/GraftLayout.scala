@@ -1,0 +1,202 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr, max, min}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** A62: DECLARED physical layout — `CREATE TABLE ... TBLPROPERTIES
+  * ('layout'='zorder(a,b)')` (or `'layout'='sort(c1,c2,...)'`) records
+  * a clustering contract in the table's `_schema/layout` marker, and
+  * EVERY SQL insert honors it: each batch is range-partitioned and
+  * sorted on the declared key (for zorder, on the Morton interleave of
+  * the two keys, min-max scaled per batch) before it stages, so parquet
+  * row-group footer stats stay narrow on the filtered dimensions and
+  * the v2 scan's stats pruning keeps working as the table grows —
+  * the write-time half of A15's Z-order story, now a table property
+  * instead of a hand-run rewrite.
+  *
+  * At 100 TB this is the difference between clustering being a
+  * one-time maintenance job and a standing invariant: every appended
+  * batch arrives clustered, so point/band queries prune row groups in
+  * NEW data without waiting for a compaction pass. The shaping cost is
+  * one extra O(batch) bounds aggregate (zorder only) plus the range
+  * exchange the sort needs — never a table read.
+  *
+  * (Reference anchor: the connector's scan-side pruning,
+  * ArgodbMapreduceInputFormat.java:151-219, is what declared layouts
+  * keep effective; the reference leaves layout to the native writer.)
+  */
+object GraftLayout {
+
+  /** kind ∈ {"sort", "zorder", "bucket"}; cols in declared order;
+    * `buckets` > 0 only for bucket layouts (A65).
+    */
+  final case class Layout(kind: String, cols: Seq[String], buckets: Int = 0)
+
+  /** The synthetic directory column a bucket layout writes
+    * (`bucket=N/` dirs) — structural, never part of the declared
+    * schema, excluded from partition-column inference.
+    */
+  val BucketDirCol = "bucket"
+
+  private def markerPath(tablePath: String) = new org.apache.hadoop.fs.Path(
+    s"$tablePath/${graft.sources.GraftMor.SchemaDir}/layout")
+
+  private val Shape = """^\s*(sort|zorder|bucket)\s*\(\s*([^)]+?)\s*\)\s*$""".r
+
+  /** Parse + validate a `layout` table property against the declared
+    * schema. Refusals BY NAME: unknown shape, missing columns,
+    * partition columns (hive layout already clusters them into
+    * directories — a second declaration would be a contradiction),
+    * zorder arity/type (exactly two BIGINT columns — the Morton
+    * interleave is integer bit arithmetic), bucket arity/type/count
+    * (one BIGINT column + a literal bucket count — the A65 hash is
+    * integer arithmetic and the count is the table's co-location
+    * contract).
+    */
+  def parse(spec: String, schema: StructType, partCols: Seq[String]): Layout = {
+    val (kind, colsRaw) = spec match {
+      case Shape(k, cs) => (k, cs)
+      case _ => throw new IllegalArgumentException(
+        s"[GRAFT] bad layout property '$spec': expected " +
+          "'sort(c1,c2,...)', 'zorder(a,b)' or 'bucket(k,N)'")
+    }
+    val parts = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (kind == "bucket") {
+      require(parts.size == 2,
+        s"[GRAFT] bucket layout takes (column, bucketCount), got '$spec'")
+      val c = parts.head
+      val n = try parts(1).toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"[GRAFT] bucket count must be a literal INT, got '${parts(1)}'")
+      }
+      require(n > 0 && n <= 65536,
+        s"[GRAFT] bucket count must be in [1, 65536], got $n")
+      require(schema.fieldNames.contains(c),
+        s"[GRAFT] layout column '$c' is not in the table schema")
+      require(!partCols.contains(c),
+        s"[GRAFT] layout column '$c' is a partition column - the hive " +
+          "directory layout already clusters it; declare data columns only")
+      require(schema(c).dataType == LongType,
+        s"[GRAFT] bucket column '$c' must be BIGINT (the A65 bucket hash " +
+          s"is integer arithmetic), got ${schema(c).dataType.simpleString}")
+      require(!schema.fieldNames.contains(BucketDirCol),
+        s"[GRAFT] a bucket-layout table cannot declare a column named " +
+          s"'$BucketDirCol' (reserved for the bucket directory layout)")
+      return Layout(kind, Seq(c), n)
+    }
+    val cols = parts
+    require(cols.nonEmpty, s"[GRAFT] layout '$spec' names no columns")
+    require(cols.distinct.size == cols.size,
+      s"[GRAFT] layout '$spec' repeats a column")
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"[GRAFT] layout column '$c' is not in the table schema")
+      require(!partCols.contains(c),
+        s"[GRAFT] layout column '$c' is a partition column - the hive " +
+          "directory layout already clusters it; declare data columns only")
+    }
+    if (kind == "zorder") {
+      require(cols.size == 2,
+        s"[GRAFT] zorder layout takes exactly two columns, got " +
+          s"${cols.size} in '$spec'")
+      cols.foreach { c =>
+        require(schema(c).dataType == LongType,
+          s"[GRAFT] zorder column '$c' must be BIGINT (Morton interleave " +
+            s"is integer bit arithmetic), got ${schema(c).dataType.simpleString}")
+      }
+    }
+    Layout(kind, cols)
+  }
+
+  /** Record the declared layout in the table's permanent marker. */
+  def writeMarker(fs: org.apache.hadoop.fs.FileSystem, tablePath: String,
+      layout: Layout): Unit = {
+    val p = markerPath(tablePath)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    val body = s"${layout.kind}\t${layout.cols.mkString(",")}" +
+      (if (layout.kind == "bucket") s"\t${layout.buckets}" else "")
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String): Option[Layout] = {
+    val p = markerPath(tablePath)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+      bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
+    } finally in.close()
+    body.split("\t") match {
+      case Array(kind, cols) =>
+        Some(Layout(kind, cols.split(",").filter(_.nonEmpty).toSeq))
+      case Array("bucket", cols, n) =>
+        Some(Layout("bucket", cols.split(",").filter(_.nonEmpty).toSeq, n.toInt))
+      case _ => throw new IllegalStateException(
+        s"[GRAFT] corrupt layout marker at $p: '$body'")
+    }
+  }
+
+  def deleteMarker(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String): Unit = {
+    val p = markerPath(tablePath)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Extra hive-style directory columns the staged WRITE must
+    * partition by for this layout: a bucket layout lands each bucket
+    * in its own `bucket=N/` dir — the structural marker the scan
+    * derives co-location from (and the shape a stray non-bucketed
+    * append is detectable against).
+    */
+  def writeDirCols(layout: Layout): Seq[String] =
+    if (layout.kind == "bucket") Seq(BucketDirCol) else Seq.empty
+
+  /** Shape one insert batch to the declared layout: range-partition +
+    * sort on the key so each staged file covers a narrow key band and
+    * row groups within it stay narrower still. For zorder the key is
+    * the 16-bit Morton interleave of the two columns, min-max scaled
+    * over THIS batch (two scalar bounds from one O(batch) aggregate —
+    * without scaling, keys of unequal width degrade the interleave to
+    * a single-column sort; the A15 lesson). For bucket (A65) the batch
+    * hash-repartitions into exactly `n` tasks — task i holds exactly
+    * bucket i (repartition's HashPartitioning IS pmod(hash, n), the
+    * same arithmetic as the `bucket` dir column and the reported V2
+    * function) — sorted within by the key, so each bucket dir gets ONE
+    * sorted file per insert.
+    */
+  def shape(data: DataFrame, layout: Layout): DataFrame = layout match {
+    case Layout("bucket", Seq(k), n) =>
+      import org.apache.spark.sql.functions.{hash, lit, pmod}
+      data.repartition(n, col(k))
+        .sortWithinPartitions(col(k))
+        .withColumn(BucketDirCol, pmod(hash(col(k)), lit(n)))
+    case Layout("sort", cols, _) =>
+      data.repartitionByRange(cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+    case Layout("zorder", Seq(a, b), _) =>
+      val bounds = data.agg(min(a), max(a), min(b), max(b)).first()
+      if (bounds.isNullAt(0) || bounds.isNullAt(2))
+        return data // empty or all-null batch: nothing to cluster
+      def scaled(c: String, lo: Long, hi: Long) =
+        ((col(c) - lo) * 65535L / math.max(hi - lo, 1L)).cast("long")
+      data
+        .withColumn("__graft_zc",
+          scaled(a, bounds.getLong(0), bounds.getLong(1)))
+        .withColumn("__graft_zo",
+          scaled(b, bounds.getLong(2), bounds.getLong(3)))
+        .withColumn("__graft_z", expr(
+          """aggregate(sequence(0, 15), 0L, (acc, i) ->
+               acc + shiftleft((shiftright(__graft_zc, i) & 1), 2 * i + 1)
+                   + shiftleft((shiftright(__graft_zo, i) & 1), 2 * i))"""))
+        .repartitionByRange(col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z", "__graft_zc", "__graft_zo")
+    case other => throw new IllegalStateException(
+      s"[GRAFT] unknown layout marker kind '${other.kind}'")
+  }
+}

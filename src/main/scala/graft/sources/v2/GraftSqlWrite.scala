@@ -126,11 +126,20 @@ object GraftSqlWrite {
         "INSERT OVERWRITE")
     }
     // 1. STAGE into this batch's own hidden dir: the file set is known
-    // exactly, concurrent writers never intermix with this batch
+    // exactly, concurrent writers never intermix with this batch.
+    // A62/A65: a declared layout shapes the batch FIRST (range-
+    // partition + sort on the declared key / Morton interleave, or
+    // hash-bucket into `bucket=N/` dirs), so every staged file — and
+    // hence every table file, forever — carries the declared physical
+    // contract.
+    val layout = GraftLayout.readMarker(fs, tablePath)
+    val shaped = layout.map(GraftLayout.shape(data, _)).getOrElse(data)
+    val writeCols = partCols ++ layout.map(GraftLayout.writeDirCols)
+      .getOrElse(Seq.empty)
     val batchId = s"batch_${System.nanoTime()}"
     val stageDir = new org.apache.hadoop.fs.Path(s"$tablePath/_staging/$batchId")
-    val w = data.write.mode(SaveMode.Overwrite)
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+    val w = shaped.write.mode(SaveMode.Overwrite)
+    (if (writeCols.nonEmpty) w.partitionBy(writeCols: _*) else w)
       .parquet(stageDir.toString)
     val staged = listRelative(fs, stageDir)
     if (staged.isEmpty) {

@@ -34,7 +34,8 @@ import scala.jdk.CollectionConverters._
   * transaction, at SQL grain). The catalog is READ-ONLY, as the
   * reference connector is — DDL/DML throw.
   */
-class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
+class GraftTableCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -76,10 +77,23 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   private def nsDir(ns: Array[String]): String = (root +: ns.toSeq).mkString("/")
 
-  private def nsExists(ns: Array[String]): Boolean = ns.length == 1 && {
-    val p = new org.apache.hadoop.fs.Path(nsDir(ns))
-    hadoopFs.exists(p) && hadoopFs.getFileStatus(p).isDirectory
-  }
+  /** A namespace-shaped path segment: a plain directory name that can
+    * never collide with a table (`.parquet` suffix) or the engine's
+    * bookkeeping (`_`/`.` prefixes). Namespaces are MULTI-LEVEL (A63):
+    * `graft.a.b.c` is the directory `root/a/b/c` — the nested-database
+    * layout warehouses actually use — and every level holds tables
+    * (`<name>.parquet`) and child namespaces side by side, told apart
+    * by shape alone.
+    */
+  private def nsSegmentOk(seg: String): Boolean =
+    seg.nonEmpty && !seg.startsWith("_") && !seg.startsWith(".") &&
+      !seg.endsWith(".parquet") && !seg.contains("/")
+
+  private def nsExists(ns: Array[String]): Boolean =
+    ns.nonEmpty && ns.forall(nsSegmentOk) && {
+      val p = new org.apache.hadoop.fs.Path(nsDir(ns))
+      hadoopFs.exists(p) && hadoopFs.getFileStatus(p).isDirectory
+    }
 
   private def catalogFor(ns: Array[String]): GraftCatalog = {
     if (!nsExists(ns)) throw new NoSuchNamespaceException(ns)
@@ -196,7 +210,9 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
         .getOrElse(GraftV2.readSchema(files.head, conf))
       GraftTable(tablePath,
         org.apache.spark.sql.types.StructType(fileSchema.fields ++ partSchema.fields),
-        files, partSchema, morDv = morDv, morEq = morEq, morSeqm = morSeqm)
+        files, partSchema, morDv = morDv, morEq = morEq, morSeqm = morSeqm,
+        layoutBucket = GraftLayout.readMarker(hadoopFs, tablePath)
+          .filter(_.kind == "bucket").map(l => (l.cols.head, l.buckets)))
     })
 
   /** `SELECT … FROM graft.db.t VERSION AS OF <id>` — the SQL surface
@@ -272,6 +288,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def invalidateTable(ident: Identifier): Unit = {
     tables.remove((ident.namespace.mkString("/"), ident.name))
+    // snapshot-keyed memos (`name@v<id>`) hold the epoch's absolute
+    // file paths — stale after a RENAME/DROP just like the live entry
+    tables.keys.filter { case (ns, n) =>
+      ns == ident.namespace.mkString("/") && n.startsWith(ident.name + "@v")
+    }.foreach(tables.remove)
     pinned.get(ident.namespace.mkString("/")).foreach(_.invalidate(ident.name))
   }
 
@@ -323,6 +344,16 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
             "only - declare one of those, or keep the column unpartitioned")
       }
     }
+    // A62/A65: a declared layout validates BEFORE anything
+    // materializes — a bad declaration leaves no half-created table
+    val layout = Option(properties.get("layout"))
+      .map(GraftLayout.parse(_, schema, partCols))
+    layout.filter(_.kind == "bucket").foreach { _ =>
+      require(partCols.isEmpty,
+        "[GRAFT] bucket layout on a hive-partitioned table is not " +
+          "supported - a bucket split would span partition directories; " +
+          "declare one or the other")
+    }
     val schemaDir = new org.apache.hadoop.fs.Path(
       s"$tablePath/${graft.sources.GraftMor.SchemaDir}")
     hadoopFs.mkdirs(schemaDir)
@@ -330,6 +361,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       new org.apache.hadoop.fs.Path(schemaDir, "ddl"), false)
     try out.write(schema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    layout.foreach(GraftLayout.writeMarker(hadoopFs, tablePath, _))
     if (partCols.nonEmpty) {
       val pout = hadoopFs.create(partColsMarker(tablePath), false)
       try pout.write(partCols.mkString(",")
@@ -468,6 +500,16 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       case other => throw new UnsupportedOperationException(
         s"[GRAFT] unexpected ALTER change $other")
     }
+    // A62: the declared layout is part of the table's contract — a
+    // layout column cannot silently vanish (re-create the table or
+    // drop other columns); a RENAME follows the declaration
+    val layout = GraftLayout.readMarker(hadoopFs, tablePath)
+    layout.foreach(_.cols.foreach { c =>
+      require(!dropped(c),
+        s"[GRAFT] DROP COLUMN '$c' refused: it is a declared layout " +
+          s"column (${layout.get.kind}) - the clustering contract every " +
+          "insert honors; re-create the table to change its layout")
+    })
     val newFields = current.fields.toSeq
       .filterNot(f => dropped(f.name))
       .map(f => renamed.get(f.name).map(n => f.copy(name = n)).getOrElse(f))
@@ -532,6 +574,12 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     val shell = stageDir.getParent
     if (hadoopFs.exists(shell) && hadoopFs.listStatus(shell).isEmpty)
       hadoopFs.delete(shell, false)
+    // a renamed layout column keeps its clustering contract under the
+    // new name (drops were refused above)
+    layout.filter(_.cols.exists(renamed.contains)).foreach { l =>
+      GraftLayout.writeMarker(hadoopFs, tablePath,
+        l.copy(cols = l.cols.map(c => renamed.getOrElse(c, c))))
+    }
     invalidateTable(ident)
     loadTable(ident)
   }
@@ -552,22 +600,111 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     hadoopFs.delete(tp, true)
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly("RENAME TABLE")
+  /** A64: `ALTER TABLE ... RENAME TO` — a table is a directory, so the
+    * rename is ONE metadata move (same- or cross-namespace, same
+    * filesystem), with the table's history carried along: the snapshot
+    * manifests record ABSOLUTE file paths, so each epoch's manifest is
+    * rewritten (old path prefix → new) into the target namespace's
+    * `_snapshots/<newName>` BEFORE the directory moves — a crash
+    * between the manifest copy and the move leaves the old name fully
+    * served and the copied manifests as inert orphans a retry replaces.
+    * Refusals BY NAME: live reader leases (the move destroys their
+    * pinned paths); live mutation sidecars (dv coordinates and `_seqm`
+    * sequences are path-anchored inside the sidecar parquet — a moved
+    * root would silently resurrect tombstoned rows; morCompact first);
+    * a covering multi-table tag (its recorded name would dangle —
+    * re-tag after the rename); an existing target.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val oldPath = s"${nsDir(oldIdent.namespace)}/${oldIdent.name}.parquet"
+    val newPath = s"${nsDir(newIdent.namespace)}/${newIdent.name}.parquet"
+    val oldP = new org.apache.hadoop.fs.Path(oldPath)
+    val newP = new org.apache.hadoop.fs.Path(newPath)
+    if (!hadoopFs.exists(oldP)) throw new NoSuchTableException(oldIdent)
+    if (!nsExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    if (hadoopFs.exists(newP))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          Seq(catalogName) ++ newIdent.namespace :+ newIdent.name)
+    graft.sources.GraftLease.failIfLeased(spark, oldPath, "RENAME TABLE")
+    graft.sources.GraftMor.failIfMutationSidecars(spark, oldPath,
+      "RENAME TABLE")
+    val snapDir = graft.sources.GraftCatalog.SnapshotDir
+    // a multi-table tag names this table: renaming would dangle the
+    // tag's consistent-set promise — refuse with the remedy
+    val tagsDir = new org.apache.hadoop.fs.Path(
+      s"${nsDir(oldIdent.namespace)}/$snapDir/_tags")
+    if (hadoopFs.exists(tagsDir)) {
+      hadoopFs.listStatus(tagsDir).foreach { st =>
+        val in = hadoopFs.open(st.getPath)
+        val body = try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+          bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
+        } finally in.close()
+        if (body.split("\n").exists(_.startsWith(oldIdent.name + "\t")))
+          throw new IllegalStateException(
+            s"[GRAFT] RENAME TABLE ${oldIdent.name} refused: tag " +
+              s"'${st.getPath.getName}' pins it by name - drop or " +
+              "republish the tag after deciding what the consistent set " +
+              "should mean, then rename")
+      }
+    }
+    // rewrite each epoch manifest (absolute paths old → new) into the
+    // TARGET namespace's snapshot dir; a remnant target dir from a
+    // crashed earlier rename (manifests copied, move never happened —
+    // provably so, since the target table path is absent) is replaced
+    val oldMan = new org.apache.hadoop.fs.Path(
+      s"${nsDir(oldIdent.namespace)}/$snapDir/${oldIdent.name}")
+    val newMan = new org.apache.hadoop.fs.Path(
+      s"${nsDir(newIdent.namespace)}/$snapDir/${newIdent.name}")
+    if (hadoopFs.exists(newMan)) hadoopFs.delete(newMan, true)
+    if (hadoopFs.exists(oldMan)) {
+      hadoopFs.mkdirs(newMan)
+      hadoopFs.listStatus(oldMan).foreach { st =>
+        val in = hadoopFs.open(st.getPath)
+        val body = try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+          bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
+        } finally in.close()
+        val out = hadoopFs.create(
+          new org.apache.hadoop.fs.Path(newMan, st.getPath.getName), true)
+        try out.write(body.replace(oldPath, newPath)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
+    if (!hadoopFs.rename(oldP, newP))
+      throw new IllegalStateException(
+        s"[GRAFT] RENAME TABLE failed: rename($oldP -> $newP) returned false")
+    if (hadoopFs.exists(oldMan)) hadoopFs.delete(oldMan, true)
+    invalidateTable(oldIdent)
+    invalidateTable(newIdent)
+  }
 
   // ── SupportsNamespaces ──
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val p = new org.apache.hadoop.fs.Path(root)
+  private def childNamespaces(dir: String): Array[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     if (!hadoopFs.exists(p)) Array.empty
-    else hadoopFs.listStatus(p).filter(_.isDirectory)
-      .map(st => Array(st.getPath.getName)).sortBy(_.head)
+    else hadoopFs.listStatus(p)
+      .filter(st => st.isDirectory && nsSegmentOk(st.getPath.getName))
+      .map(_.getPath.getName).sorted
   }
 
+  override def listNamespaces(): Array[Array[String]] =
+    childNamespaces(root).map(Array(_))
+
+  /** A63: namespaces nest — children of `a.b` are the namespace-shaped
+    * subdirectories of its directory (tables are `.parquet`-suffixed,
+    * bookkeeping is `_`-prefixed, so the listing is unambiguous).
+    */
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
     if (!nsExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    Array.empty // single-level namespaces: a dir of tables has no children
+    childNamespaces(nsDir(namespace)).map(namespace :+ _)
   }
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
@@ -577,15 +714,22 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   /** A58: `CREATE NAMESPACE` — a namespace IS a directory under the
     * root (the MetaUtils database analog), so creating one is a mkdir.
+    * A63: namespaces nest; the PARENT must already exist (one level
+    * per statement, the discipline SQL users expect from database
+    * catalogs — a typo'd parent fails loudly instead of silently
+    * materializing a whole chain).
     */
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
-    require(namespace.length == 1,
-      s"[GRAFT] namespaces are single-level directories, got " +
-        namespace.mkString("."))
+    require(namespace.nonEmpty && namespace.forall(nsSegmentOk),
+      s"[GRAFT] bad namespace name '${namespace.mkString(".")}': segments " +
+        "must be plain directory names (no '_'/'.' prefix, no .parquet " +
+        "suffix)")
     if (nsExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis
         .NamespaceAlreadyExistsException(Array(catalogName) ++ namespace)
+    if (namespace.length > 1 && !nsExists(namespace.dropRight(1)))
+      throw new NoSuchNamespaceException(namespace.dropRight(1))
     hadoopFs.mkdirs(new org.apache.hadoop.fs.Path(nsDir(namespace)))
   }
 
@@ -594,6 +738,25 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     readOnly("DROP NAMESPACE")
+
+  // ── FunctionCatalog (A65) ──
+  // Spark's storage-partitioned-join planner resolves a scan's
+  // reported `bucket(n, col)` transform by loading the function from
+  // the TABLE's catalog (V2ExpressionUtils.loadV2FunctionOpt calls
+  // loadFunction(Identifier.of(Array.empty, "bucket"))) — so the
+  // catalog exposes exactly one function: the engine's bucket hash.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && !nsExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(Array.empty[String], "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 }
 
 object GraftTableCatalog {

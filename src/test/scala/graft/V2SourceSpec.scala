@@ -1651,4 +1651,284 @@ class V2SourceSpec extends SparkSpecBase {
     assert(spark.sql("SELECT count(*) AS n FROM grafta55all.db.t_all")
       .head().getLong(0) === 50L)
   }
+
+  test("A62 declared layout: every SQL insert arrives z-clustered — row groups prune on BOTH keys; bad declarations refuse by name; RENAME follows, DROP refuses") {
+    import graft.sources.v2.{GraftLayout, GraftScan}
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    import org.apache.spark.sql.types._
+    val wh = graft.sources.GraftSink.scratchDir + "/layout_wh"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$wh/db"))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftlay")
+    // bad declarations refuse BEFORE the table materializes
+    def chain(t: Throwable): String = chainMsg(t)
+    val eCol = intercept[Exception](spark.sql(
+      "CREATE TABLE graftlay.db.t_bad1 (a BIGINT, b BIGINT) " +
+        "TBLPROPERTIES ('layout'='zorder(a,nope)')"))
+    assert(chain(eCol).contains("not in the table schema"), chain(eCol))
+    val eTyp = intercept[Exception](spark.sql(
+      "CREATE TABLE graftlay.db.t_bad2 (a BIGINT, s STRING) " +
+        "TBLPROPERTIES ('layout'='zorder(a,s)')"))
+    assert(chain(eTyp).contains("must be BIGINT"), chain(eTyp))
+    val ePart = intercept[Exception](spark.sql(
+      "CREATE TABLE graftlay.db.t_bad3 (a BIGINT, p BIGINT) " +
+        "PARTITIONED BY (p) TBLPROPERTIES ('layout'='sort(p)')"))
+    assert(chain(ePart).contains("partition column"), chain(ePart))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/db/t_bad1.parquet")),
+      "a refused CREATE must leave nothing behind")
+    // the real table: orders keys at sf0.01 through the gated insert.
+    // KB-scale data needs the two standard knobs to SEE the layout:
+    // AQE coalesce folds tiny range partitions into one file, and the
+    // default 128 MB block makes one row group — at real scale both
+    // sizes are organic
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", "65536")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+    spark.sql("CREATE TABLE graftlay.db.t_z (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('layout'='zorder(o_custkey,o_orderkey)')")
+    spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("lay_src")
+    spark.sql("INSERT INTO graftlay.db.t_z SELECT * FROM lay_src")
+    spark.sql("REFRESH TABLE graftlay.db.t_z")
+    // lossless: the clustered table holds exactly the source rows
+    assert(spark.sql(
+      "SELECT count(*) AS n, sum(o_orderkey) AS s FROM graftlay.db.t_z")
+      .head().toString ===
+      spark.sql("SELECT count(*) AS n, sum(o_orderkey) AS s FROM lay_src")
+        .head().toString)
+    // the payoff: footer-stats pruning on BOTH interleaved dimensions
+    val tPath = s"$wh/db/t_z.parquet"
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType)))
+    def parts(filters: Array[org.apache.spark.sql.sources.Filter]): Int =
+      GraftScan(tPath, schema, filters).planInputPartitions().length
+    val total = parts(Array.empty)
+    assume(total > 3, s"need multiple files/row groups, got $total")
+    val byCust = parts(Array(
+      GreaterThanOrEqual("o_custkey", 100L), LessThanOrEqual("o_custkey", 120L)))
+    val byOrder = parts(Array(
+      GreaterThanOrEqual("o_orderkey", 100L), LessThanOrEqual("o_orderkey", 200L)))
+    assert(byCust < total, s"custkey band must prune: $byCust of $total")
+    assert(byOrder < total, s"orderkey band must prune: $byOrder of $total")
+    // the layout is a contract: DROP of a layout column refuses by
+    // name, RENAME carries the declaration (and later inserts shape
+    // against the new name)
+    val eDrop = intercept[Exception](spark.sql(
+      "ALTER TABLE graftlay.db.t_z DROP COLUMN o_custkey"))
+    assert(chain(eDrop).contains("layout"), chain(eDrop))
+    spark.sql("ALTER TABLE graftlay.db.t_z RENAME COLUMN o_custkey TO cust")
+    assert(GraftLayout.readMarker(fs, tPath).get.cols === Seq("cust", "o_orderkey"))
+    spark.sql("REFRESH TABLE graftlay.db.t_z")
+    spark.sql("INSERT INTO graftlay.db.t_z VALUES (900000001, 42, 1.5)")
+    spark.sql("REFRESH TABLE graftlay.db.t_z")
+    assert(spark.sql(
+      "SELECT cust FROM graftlay.db.t_z WHERE o_orderkey = 900000001")
+      .head().getLong(0) === 42L)
+    // a sort layout shapes too: one narrow file band per range slice
+    spark.sql("CREATE TABLE graftlay.db.t_s (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('layout'='sort(k)')")
+    spark.range(20000).selectExpr(
+      "cast(hash(id) as bigint) % 100000 AS k", "rand(7) AS v")
+      .createOrReplaceTempView("lay_sort_src")
+    spark.sql("INSERT INTO graftlay.db.t_s SELECT * FROM lay_sort_src")
+    spark.sql("REFRESH TABLE graftlay.db.t_s")
+    val sPath = s"$wh/db/t_s.parquet"
+    val sSchema = StructType(Seq(StructField("k", LongType)))
+    def sParts(filters: Array[org.apache.spark.sql.sources.Filter]): Int =
+      GraftScan(sPath, sSchema, filters).planInputPartitions().length
+    val sTotal = sParts(Array.empty)
+    assume(sTotal > 3, s"need multiple files, got $sTotal")
+    assert(sParts(Array(GreaterThanOrEqual("k", 0L),
+      LessThanOrEqual("k", 1000L))) < sTotal,
+      "a band on the sort key must prune files/row groups")
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+  }
+
+  test("A65 bucket layout: a storage-partitioned join of two bucketed tables plans ZERO shuffle; values equal the shuffled baseline; a stray append degrades honestly") {
+    val wh = graft.sources.GraftSink.scratchDir + "/bucket_wh"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$wh/db"))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftbkt")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("CREATE TABLE graftbkt.db.t_orders (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('layout'='bucket(o_custkey,8)')")
+      spark.sql("CREATE TABLE graftbkt.db.t_cust (c_custkey BIGINT, " +
+        "c_name STRING) TBLPROPERTIES ('layout'='bucket(c_custkey,8)')")
+      spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .createOrReplaceTempView("bkt_orders_src")
+      spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+        .select("c_custkey", "c_name")
+        .createOrReplaceTempView("bkt_cust_src")
+      spark.sql("INSERT INTO graftbkt.db.t_orders SELECT * FROM bkt_orders_src")
+      spark.sql("INSERT INTO graftbkt.db.t_cust SELECT * FROM bkt_cust_src")
+      spark.sql("REFRESH TABLE graftbkt.db.t_orders")
+      spark.sql("REFRESH TABLE graftbkt.db.t_cust")
+      // the insert shaped the layout: every data file sits in bucket=N
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$wh/db/t_orders.parquet/bucket=0")), "bucket dirs must exist")
+      // the bucket dir column is LAYOUT, not schema
+      assert(!spark.table("graftbkt.db.t_orders").schema.fieldNames
+        .contains("bucket"), "bucket is not a table column")
+      val joined = spark.sql("""
+        SELECT o.o_custkey, count(*) AS n, sum(o.o_totalprice) AS total
+        FROM graftbkt.db.t_orders o JOIN graftbkt.db.t_cust c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey""")
+      val shuffles = allPlanNodes(joined.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      // the join itself is exchange-free: the only shuffle in the plan
+      // is the final GROUP BY's (bucketed on o_custkey it is also
+      // avoidable, but join co-location is what A65 pins). Baseline
+      // without SPJ plans 2 join-input exchanges + the agg's.
+      val baseline = spark.sql("""
+        SELECT o.o_custkey, count(*) AS n, sum(o.o_totalprice) AS total
+        FROM bkt_orders_src o JOIN bkt_cust_src c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey""")
+      val baseShuffles = allPlanNodes(baseline.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      assert(shuffles < baseShuffles,
+        s"SPJ must eliminate join exchanges: got $shuffles vs baseline $baseShuffles\n" +
+          joined.queryExecution.executedPlan.toString.take(1500))
+      // and the values are EXACTLY the shuffled join's
+      assert(joined.orderBy("o_custkey").collect().map(_.toString).toSeq ===
+        baseline.orderBy("o_custkey").collect().map(_.toString).toSeq)
+      // a row-level UPDATE lands delta-insert files OUTSIDE bucket
+      // dirs: the scan degrades to UnknownPartitioning (joins shuffle
+      // again) but values stay exact — honest, never silently wrong
+      spark.sql("UPDATE graftbkt.db.t_orders SET o_totalprice = 0.0 " +
+        "WHERE o_orderkey % 1000 = 7")
+      spark.sql("REFRESH TABLE graftbkt.db.t_orders")
+      val degraded = spark.sql("""
+        SELECT o.o_custkey, count(*) AS n
+        FROM graftbkt.db.t_orders o JOIN graftbkt.db.t_cust c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey""")
+      assert(allPlanNodes(degraded.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) >= 2,
+        "a stray (unbucketed) append must degrade the scan to shuffled joins")
+      assert(degraded.count() ===
+        spark.sql("SELECT count(DISTINCT o_custkey) FROM bkt_orders_src " +
+          "WHERE o_custkey IN (SELECT c_custkey FROM bkt_cust_src)")
+          .head().getLong(0))
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("A63 namespaces nest: CREATE/SHOW/USE multi-level namespaces, tables resolve at every depth, a missing parent refuses") {
+    val wh = graft.sources.GraftSink.scratchDir + "/nested_wh"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftns")
+    spark.sql("CREATE NAMESPACE graftns.a")
+    spark.sql("CREATE NAMESPACE graftns.a.b")
+    // a missing parent refuses loudly — no silently materialized chain
+    val eChain = intercept[Exception](
+      spark.sql("CREATE NAMESPACE graftns.nope.deep"))
+    assert(chainMsg(eChain).toLowerCase.contains("nope"), chainMsg(eChain))
+    assert(spark.sql("SHOW NAMESPACES IN graftns.a")
+      .collect().map(_.getString(0)).toSeq === Seq("a.b"))
+    // tables live at every depth, told apart from child namespaces
+    spark.sql("CREATE TABLE graftns.a.t1 AS SELECT id AS k FROM range(5)")
+    spark.sql("CREATE TABLE graftns.a.b.t2 AS SELECT id * 10 AS k FROM range(3)")
+    spark.sql("REFRESH TABLE graftns.a.t1")
+    spark.sql("REFRESH TABLE graftns.a.b.t2")
+    assert(spark.sql("SELECT sum(k) AS s FROM graftns.a.t1").head().getLong(0) === 10L)
+    assert(spark.sql("SELECT sum(k) AS s FROM graftns.a.b.t2").head().getLong(0) === 30L)
+    assert(spark.sql("SHOW TABLES IN graftns.a")
+      .collect().map(_.getString(1)).toSeq === Seq("t1"))
+    assert(spark.sql("SHOW TABLES IN graftns.a.b")
+      .collect().map(_.getString(1)).toSeq === Seq("t2"))
+    // the namespace listing never confuses tables (.parquet) or
+    // bookkeeping (_snapshots) with children
+    assert(spark.sql("SHOW NAMESPACES IN graftns.a.b").count() === 0L)
+    // DML works at depth: the whole SQL surface is namespace-agnostic
+    spark.sql("DELETE FROM graftns.a.b.t2 WHERE k = 10")
+    spark.sql("REFRESH TABLE graftns.a.b.t2")
+    assert(spark.sql("SELECT sum(k) AS s FROM graftns.a.b.t2").head().getLong(0) === 20L)
+  }
+
+  test("A64 RENAME TABLE: one metadata move carries data, history and masks' absence — epochs serve under the new name; sidecars, tags and leases refuse by name") {
+    val wh = graft.sources.GraftSink.scratchDir + "/rename_wh"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$wh/db"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$wh/db2"))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftrn")
+    spark.sql("CREATE TABLE graftrn.db.t_old AS SELECT id AS k, id * 2 AS v FROM range(100)")
+    spark.sql("REFRESH TABLE graftrn.db.t_old")
+    // publish an epoch, then mutate, so history and tip differ
+    val cat = new graft.sources.GraftCatalog(spark, s"$wh/db")
+    val v1 = cat.publishSnapshot("t_old")
+    spark.sql("DELETE FROM graftrn.db.t_old WHERE k < 50")
+    spark.sql("REFRESH TABLE graftrn.db.t_old")
+    // live dv sidecar: rename refuses BY NAME (path-anchored coordinates)
+    val eMor = intercept[Exception](spark.sql(
+      "ALTER TABLE graftrn.db.t_old RENAME TO db.t_new"))
+    assert(chainMsg(eMor).contains("RENAME TABLE"), chainMsg(eMor))
+    graft.sources.GraftMor.morCompact(spark, s"$wh/db/t_old.parquet")
+    spark.sql("REFRESH TABLE graftrn.db.t_old")
+    // republish post-compaction state (the pre-compaction epoch's
+    // recorded masks are gone — that epoch will refuse, honestly)
+    val v2 = new graft.sources.GraftCatalog(spark, s"$wh/db")
+      .publishSnapshot("t_old")
+    // a covering tag refuses
+    new graft.sources.GraftCatalog(spark, s"$wh/db")
+      .publishTag("rel1", Seq("t_old"))
+    val eTag = intercept[Exception](spark.sql(
+      "ALTER TABLE graftrn.db.t_old RENAME TO db.t_new"))
+    assert(chainMsg(eTag).contains("tag"), chainMsg(eTag))
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$wh/db/${graft.sources.GraftCatalog.SnapshotDir}/_tags/rel1"), false)
+    // a held lease refuses
+    val lease = graft.sources.GraftLease.acquire(
+      spark, s"$wh/db/t_old.parquet", 60000L)
+    val eLease = intercept[Exception](spark.sql(
+      "ALTER TABLE graftrn.db.t_old RENAME TO db.t_new"))
+    assert(chainMsg(eLease).toLowerCase.contains("lease"), chainMsg(eLease))
+    graft.sources.GraftLease.release(spark, s"$wh/db/t_old.parquet", lease)
+    // the rename: cross-namespace, one move
+    spark.sql("ALTER TABLE graftrn.db.t_old RENAME TO db2.t_new")
+    assert(spark.sql("SELECT count(*) AS n FROM graftrn.db2.t_new")
+      .head().getLong(0) === 50L)
+    assert(intercept[Exception](
+      spark.sql("SELECT * FROM graftrn.db.t_old").collect())
+      .getMessage.toLowerCase.contains("table"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/db/t_old.parquet")))
+    // history follows: the post-compaction epoch serves under the new
+    // name (manifest paths rewritten), the masked-state epoch refuses
+    // honestly exactly as it did before the rename
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graftrn.db2.t_new VERSION AS OF $v2")
+      .head().getLong(0) === 50L)
+    val eV1 = intercept[Exception](spark.sql(
+      s"SELECT count(*) AS n FROM graftrn.db2.t_new VERSION AS OF $v1").collect())
+    assert(chainMsg(eV1).length > 0)
+    // rename onto an existing table refuses
+    spark.sql("CREATE TABLE graftrn.db2.t_block AS SELECT id FROM range(1)")
+    val eDup = intercept[Exception](spark.sql(
+      "ALTER TABLE graftrn.db2.t_new RENAME TO db2.t_block"))
+    assert(chainMsg(eDup).toLowerCase.contains("already exists"), chainMsg(eDup))
+  }
 }
