@@ -111,6 +111,31 @@ object GraftAdvisor {
               "surfaces compose the mask per read, but raw parquet reads " +
               "bypass it entirely and COW rewrites are refused - run " +
               "morCompact to fold the erasure physically")
+        // A65: a declared bucket layout with stray files (a morUpsert
+        // append, a delta-DML insert outside the bucket=N dirs) has
+        // silently lost its zero-exchange joins — the scan degrades to
+        // UnknownPartitioning honestly, but only a rebucket rewrite
+        // brings the co-location back. Act-clears-it.
+        graft.sources.v2.GraftLayout.readMarker(fs, tableDir) match {
+          case Some(l) if l.kind == "bucket" =>
+            val rootPath = dir.toUri.getPath
+            val bcol = graft.sources.v2.GraftLayout.BucketDirCol
+            val stray = files.map(_._1).count { f =>
+              val rel = new Path(f).toUri.getPath
+                .stripPrefix(rootPath).stripPrefix("/")
+              val segs = rel.split('/')
+              !(segs.length == 2 && segs(0).startsWith(bcol + "=") &&
+                scala.util.Try(segs(0).substring(bcol.length + 1).toInt)
+                  .toOption.exists(b => b >= 0 && b < l.buckets))
+            }
+            if (stray > 0)
+              out += Advice(name, "rebucket", stray.toLong,
+                s"$stray data files sit outside the declared " +
+                  s"bucket(${l.cols.head},${l.buckets}) layout - joins " +
+                  "shuffle again until GraftLayout.rebucket restores " +
+                  "co-location (morCompact first if masks are live)")
+          case _ => ()
+        }
       }
     }
     out.result().sortBy(a => (a.table, a.rule))

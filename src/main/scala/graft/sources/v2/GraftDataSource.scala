@@ -100,13 +100,23 @@ case class GraftTable(path: String, tableSchema: StructType,
     morDv: Seq[String] = Seq.empty,
     morEq: Seq[String] = Seq.empty,
     morSeqm: Seq[String] = Seq.empty,
-    layoutBucket: Option[(String, Int)] = None) extends Table with SupportsRead
+    layoutBucket: Option[(String, Int)] = None,
+    layoutSpec: Option[String] = None) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = tableSchema
+
+  /** `SHOW TBLPROPERTIES graft.db.t` serves the declared layout —
+    * the clustering contract is discoverable, not just enforced.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    layoutSpec.foreach(m.put("layout", _))
+    m
+  }
 
   /** Iceberg-convention metadata columns: the (file, position)
     * coordinate of every row — scheme-less path + file-global row

@@ -156,6 +156,83 @@ object GraftLayout {
   def writeDirCols(layout: Layout): Seq[String] =
     if (layout.kind == "bucket") Seq(BucketDirCol) else Seq.empty
 
+  /** A65: the degradation REMEDY — re-shape a bucket table whose
+    * contract was broken by stray appends (a morUpsert, a delta-DML
+    * insert land outside the `bucket=N/` dirs, and the scan honestly
+    * degrades to shuffled joins). One compactTable-class COW pass:
+    * read the SERVED state, re-bucket through the same shaping every
+    * insert uses, stage, then retire-and-move-in (checked renames).
+    * Lease-gated; live mutation sidecars refuse BY NAME (their
+    * coordinates anchor to the files this rewrite destroys — fold
+    * with morCompact first, exactly the A61 discipline). Epochs
+    * published before the rewrite fail fast on read like every COW
+    * path (A26 contract); republish after. Callers REFRESH TABLE.
+    */
+  def rebucket(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val layout = readMarker(fs, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"[GRAFT] rebucket($tablePath): no declared layout marker"))
+    require(layout.kind == "bucket",
+      s"[GRAFT] rebucket($tablePath): declared layout is '${layout.kind}', " +
+        "not bucket")
+    graft.sources.GraftMor.failIfMutationSidecars(spark, tablePath,
+      "rebucket")
+    graft.sources.GraftLease.failIfLeased(spark, tablePath, "rebucket")
+    val files = graft.sources.GraftCatalog.listDataFiles(spark, tablePath)
+      .files.map(_._1)
+    if (files.isEmpty) return
+    // explicit file paths, marker schema: no partition-dir inference,
+    // so the synthetic bucket dir column never enters the frame
+    val served = graft.sources.GraftMor.readSchemaDdl(spark, tablePath)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val reader = spark.read
+    served.foreach(reader.schema)
+    val df = reader.parquet(files: _*)
+    val stage = new org.apache.hadoop.fs.Path(
+      s"$tablePath/_staging/rebucket_${java.util.UUID.randomUUID()}")
+    shape(df, layout).write
+      .partitionBy(BucketDirCol)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(stage.toString)
+    def listRel(dir: org.apache.hadoop.fs.Path): Seq[String] = {
+      if (!fs.exists(dir)) return Seq.empty
+      val rootPath = dir.toUri.getPath
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toUri.getPath.stripPrefix(rootPath)
+          .stripPrefix("/")
+        if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")) &&
+            f.getLen > 0)
+          out += rel
+      }
+      out.result().sorted
+    }
+    val staged = listRel(stage)
+    val old = listRel(root)
+    old.foreach { rel =>
+      if (!fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/$rel"), false))
+        throw new IllegalStateException(
+          s"[GRAFT] rebucket failed to retire $tablePath/$rel")
+    }
+    staged.foreach { rel =>
+      val src = new org.apache.hadoop.fs.Path(stage, rel)
+      val dst = new org.apache.hadoop.fs.Path(s"$tablePath/$rel")
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(
+          s"[GRAFT] rebucket move-in failed: rename($src -> $dst)")
+    }
+    fs.delete(stage, true)
+    val shell = stage.getParent
+    if (fs.exists(shell) && fs.listStatus(shell).isEmpty)
+      fs.delete(shell, false)
+  }
+
   /** Shape one insert batch to the declared layout: range-partition +
     * sort on the key so each staged file covers a narrow key band and
     * row groups within it stay narrower still. For zorder the key is

@@ -208,11 +208,14 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           org.apache.spark.sql.types.StructType.fromDDL(d).fields
             .filterNot(f => partSchema.fieldNames.contains(f.name))))
         .getOrElse(GraftV2.readSchema(files.head, conf))
+      val layout = GraftLayout.readMarker(hadoopFs, tablePath)
       GraftTable(tablePath,
         org.apache.spark.sql.types.StructType(fileSchema.fields ++ partSchema.fields),
         files, partSchema, morDv = morDv, morEq = morEq, morSeqm = morSeqm,
-        layoutBucket = GraftLayout.readMarker(hadoopFs, tablePath)
-          .filter(_.kind == "bucket").map(l => (l.cols.head, l.buckets)))
+        layoutBucket = layout.filter(_.kind == "bucket")
+          .map(l => (l.cols.head, l.buckets)),
+        layoutSpec = layout.map(l => s"${l.kind}(${l.cols.mkString(",")}" +
+          (if (l.kind == "bucket") s",${l.buckets})" else ")")))
     })
 
   /** `SELECT … FROM graft.db.t VERSION AS OF <id>` — the SQL surface

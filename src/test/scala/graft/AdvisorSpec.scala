@@ -270,4 +270,35 @@ class AdvisorSpec extends SparkSpecBase {
       s"only the purged keys may go missing after delete+re-home: $meter")
     assert(postAll >= 600000L, s"post-delete coverage collapsed: $postAll")
   }
+
+  test("A65: rebucket advice fires on stray files outside a declared bucket layout; GraftLayout.rebucket clears it") {
+    import graft.sources.v2.GraftLayout
+    val root = graft.sources.GraftSink.scratchDir + "/spec_adv_bucket"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(rp, true)
+    val tbl = s"$root/bkt.parquet"
+    // a shaped insert's state: files in bucket=N dirs...
+    val df = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    GraftLayout.shape(df,
+        GraftLayout.Layout("bucket", Seq("k"), 4))
+      .write.partitionBy(GraftLayout.BucketDirCol).parquet(tbl)
+    GraftLayout.writeMarker(fs, tbl, GraftLayout.Layout("bucket", Seq("k"), 4))
+    assert(!GraftAdvisor.advise(spark, root).exists(_.rule == "rebucket"),
+      "a clean bucket layout must not advise")
+    // ...then a stray append outside the bucket dirs (the delta-DML /
+    // morUpsert shape)
+    import spark.implicits._
+    Seq((5000L, 1L)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(tbl)
+    val fired = GraftAdvisor.advise(spark, root).filter(_.rule == "rebucket")
+    assert(fired.nonEmpty && fired.head.metric >= 1L, fired.toString)
+    // acting on it clears it, and the values survive
+    GraftLayout.rebucket(spark, tbl)
+    assert(!GraftAdvisor.advise(spark, root).exists(_.rule == "rebucket"),
+      "rebucket must clear the advice")
+    assert(spark.read.parquet(tbl).where(col("k") === 5000L).count() === 1L,
+      "the stray row must survive the rebucket")
+    assert(spark.read.parquet(tbl).count() === 1001L)
+  }
 }

@@ -1785,6 +1785,11 @@ class V2SourceSpec extends SparkSpecBase {
       // the bucket dir column is LAYOUT, not schema
       assert(!spark.table("graftbkt.db.t_orders").schema.fieldNames
         .contains("bucket"), "bucket is not a table column")
+      // the declared contract is discoverable
+      assert(spark.sql("SHOW TBLPROPERTIES graftbkt.db.t_orders")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        .get("layout").contains("bucket(o_custkey,8)"),
+        "SHOW TBLPROPERTIES must serve the declared layout")
       val joined = spark.sql("""
         SELECT o.o_custkey, count(*) AS n, sum(o.o_totalprice) AS total
         FROM graftbkt.db.t_orders o JOIN graftbkt.db.t_cust c
@@ -1827,6 +1832,27 @@ class V2SourceSpec extends SparkSpecBase {
         spark.sql("SELECT count(DISTINCT o_custkey) FROM bkt_orders_src " +
           "WHERE o_custkey IN (SELECT c_custkey FROM bkt_cust_src)")
           .head().getLong(0))
+      // the REMEDY: fold the masks, re-bucket, and the zero-exchange
+      // join comes back — with the UPDATE's values served
+      val eRb = intercept[Exception](graft.sources.v2.GraftLayout
+        .rebucket(spark, s"$wh/db/t_orders.parquet"))
+      assert(eRb.getMessage.contains("rebucket"), eRb.getMessage)
+      graft.sources.GraftMor.morCompact(spark, s"$wh/db/t_orders.parquet")
+      graft.sources.v2.GraftLayout.rebucket(spark, s"$wh/db/t_orders.parquet")
+      spark.sql("REFRESH TABLE graftbkt.db.t_orders")
+      val restored = spark.sql("""
+        SELECT o.o_custkey, count(*) AS n, sum(o.o_totalprice) AS total
+        FROM graftbkt.db.t_orders o JOIN graftbkt.db.t_cust c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey""")
+      assert(allPlanNodes(restored.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+        < baseShuffles,
+        "rebucket must restore the co-located plan")
+      assert(restored.where(col("total") === 0.0).count() > 0 ||
+        spark.sql("SELECT count(*) FROM graftbkt.db.t_orders " +
+          "WHERE o_totalprice = 0.0").head().getLong(0) > 0,
+        "the UPDATE's values must survive the rebucket")
     } finally {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
