@@ -44,6 +44,13 @@ object GraftLayout {
 
   private val Shape = """^\s*(sort|zorder|bucket)\s*\(\s*([^)]+?)\s*\)\s*$""".r
 
+  /** The declaration string a layout round-trips to (what
+    * `SHOW TBLPROPERTIES` serves back for the `layout` property).
+    */
+  def describe(l: Layout): String =
+    s"${l.kind}(${l.cols.mkString(",")}" +
+      (if (l.kind == "bucket") s",${l.buckets})" else ")")
+
   /** Parse + validate a `layout` table property against the declared
     * schema. Refusals BY NAME: unknown shape, missing columns,
     * partition columns (hive layout already clusters them into

@@ -117,7 +117,11 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       val partCols = readPartCols(tablePath)
       val partSchema = org.apache.spark.sql.types.StructType(
         partCols.map(c => full(full.fieldIndex(c))))
-      GraftTable(tablePath, full, Seq.empty, partSchema)
+      val layout = GraftLayout.readMarker(hadoopFs, tablePath)
+      GraftTable(tablePath, full, Seq.empty, partSchema,
+        layoutBucket = layout.filter(_.kind == "bucket")
+          .map(l => (l.cols.head, l.buckets)),
+        layoutSpec = layout.map(GraftLayout.describe))
     }
 
   private def partColsMarker(tablePath: String) =
@@ -214,8 +218,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         files, partSchema, morDv = morDv, morEq = morEq, morSeqm = morSeqm,
         layoutBucket = layout.filter(_.kind == "bucket")
           .map(l => (l.cols.head, l.buckets)),
-        layoutSpec = layout.map(l => s"${l.kind}(${l.cols.mkString(",")}" +
-          (if (l.kind == "bucket") s",${l.buckets})" else ")")))
+        layoutSpec = layout.map(GraftLayout.describe))
     })
 
   /** `SELECT … FROM graft.db.t VERSION AS OF <id>` — the SQL surface
