@@ -400,10 +400,15 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
 
   /** Bucket count when EVERY scanned file honors the declared bucket
     * layout (and the scan shape allows grouping); None degrades to
-    * per-row-group planning under UnknownPartitioning.
+    * per-row-group planning under UnknownPartitioning. Gated on the
+    * session's SPJ switch: grouping trades scan parallelism (one task
+    * per bucket, not per row group) for exchange-free joins/aggs —
+    * only worth paying when `spark.sql.sources.v2.bucketing.enabled`
+    * says the planner will actually use the co-location.
     */
   private lazy val groupedBuckets: Option[Int] = bucket.collect {
     case (_, n) if agg.isEmpty && sample.isEmpty &&
+      org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
       scanFiles.forall(f => bucketIdOf(f).exists(b => b >= 0 && b < n)) => n
   }
 

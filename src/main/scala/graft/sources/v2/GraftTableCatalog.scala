@@ -408,15 +408,48 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       case d: TableChange.DeleteColumn => d: TableChange
       case r: TableChange.RenameColumn => r: TableChange
     }
+    // A66: `SET TBLPROPERTIES ('layout'=...)` declares a layout on an
+    // EXISTING table — one marker write; data already on disk is NOT
+    // reshaped (future inserts honor the contract; for bucket the A34
+    // advisor immediately flags `rebucket` and GraftLayout.rebucket
+    // materializes it). `UNSET ('layout')` withdraws the declaration.
+    val layoutSets = changes.collect {
+      case p: TableChange.SetProperty if p.property == "layout" => p
+    }
+    val layoutUnsets = changes.collect {
+      case p: TableChange.RemoveProperty if p.property == "layout" => p
+    }
     val unsupported = changes.filterNot(c =>
-      adds.contains(c) || rewrites.contains(c))
+      adds.contains(c) || rewrites.contains(c) ||
+        layoutSets.contains(c.asInstanceOf[TableChange]) ||
+        layoutUnsets.contains(c.asInstanceOf[TableChange]))
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
       s"[GRAFT] ALTER TABLE on ${ident.name} supports ADD COLUMN " +
-        s"(marker-only) and DROP/RENAME COLUMN (declared rewrite) - got " +
+        s"(marker-only), DROP/RENAME COLUMN (declared rewrite) and " +
+        s"SET/UNSET TBLPROPERTIES ('layout') - got " +
         s"${unsupported.head}: retyping is a re-create, not an ALTER")
-    require(adds.isEmpty || rewrites.isEmpty,
-      s"[GRAFT] ALTER TABLE on ${ident.name}: mix of additive and " +
-        "rewrite changes in one statement - run them separately")
+    require(Seq(adds, rewrites, layoutSets ++ layoutUnsets)
+        .count(_.nonEmpty) <= 1,
+      s"[GRAFT] ALTER TABLE on ${ident.name}: mix of additive, rewrite " +
+        "and layout changes in one statement - run them separately")
+    if (layoutSets.nonEmpty || layoutUnsets.nonEmpty) {
+      require(layoutSets.size + layoutUnsets.size == 1,
+        s"[GRAFT] ALTER TABLE on ${ident.name}: one layout change per " +
+          "statement")
+      val partCols = current.fields.map(_.name).filter(partNames).toSeq
+      layoutSets.headOption match {
+        case Some(p) =>
+          val l = GraftLayout.parse(p.value, current, partCols)
+          if (l.kind == "bucket") require(partCols.isEmpty,
+            "[GRAFT] bucket layout on a hive-partitioned table is not " +
+              "supported - a bucket split would span partition directories")
+          GraftLayout.writeMarker(hadoopFs, tablePath, l)
+        case None =>
+          GraftLayout.deleteMarker(hadoopFs, tablePath)
+      }
+      invalidateTable(ident)
+      return loadTable(ident)
+    }
     if (rewrites.nonEmpty) return alterRewrite(ident, tablePath, current,
       partNames, rewrites)
     val added = adds.map { a =>
@@ -742,8 +775,29 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit = readOnly("ALTER NAMESPACE")
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    readOnly("DROP NAMESPACE")
+  /** A66: `DROP NAMESPACE` — empty namespaces only (an empty namespace
+    * is an empty directory; dropping it is a rmdir). CASCADE refuses
+    * BY NAME: it would destroy tables wholesale — drop them one by one
+    * through the lease-gated DROP TABLE, which is where the
+    * file-destroying discipline lives.
+    */
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!nsExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (cascade) throw new UnsupportedOperationException(
+      s"[GRAFT] DROP NAMESPACE ... CASCADE on " +
+        s"${namespace.mkString(".")} refused: dropping tables wholesale " +
+        "bypasses the lease gate - DROP TABLE each one, then drop the " +
+        "empty namespace")
+    val p = new org.apache.hadoop.fs.Path(nsDir(namespace))
+    val children = hadoopFs.listStatus(p)
+    require(children.isEmpty,
+      s"[GRAFT] DROP NAMESPACE ${namespace.mkString(".")} refused: not " +
+        s"empty (${children.length} entries, e.g. " +
+        s"${children.head.getPath.getName}) - drop its tables and child " +
+        "namespaces first")
+    pinned.remove(namespace.mkString("/"))
+    hadoopFs.delete(p, false)
+  }
 
   // ── FunctionCatalog (A65) ──
   // Spark's storage-partitioned-join planner resolves a scan's

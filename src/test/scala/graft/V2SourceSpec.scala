@@ -1814,6 +1814,19 @@ class V2SourceSpec extends SparkSpecBase {
       // and the values are EXACTLY the shuffled join's
       assert(joined.orderBy("o_custkey").collect().map(_.toString).toSeq ===
         baseline.orderBy("o_custkey").collect().map(_.toString).toSeq)
+      // the co-location serves AGGREGATION too: groupBy on the bucket
+      // key plans ZERO exchange (KeyGroupedPartitioning satisfies the
+      // clustered distribution) — at 100 TB, per-key rollups of a
+      // bucketed fact table never shuffle
+      val agg = spark.sql(
+        "SELECT o_custkey, count(*) AS n FROM graftbkt.db.t_orders " +
+          "GROUP BY o_custkey")
+      assert(allPlanNodes(agg.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) === 0,
+        "groupBy on the bucket key must plan no exchange:\n" +
+          agg.queryExecution.executedPlan.toString.take(1200))
+      assert(agg.count() === spark.sql(
+        "SELECT count(DISTINCT o_custkey) FROM bkt_orders_src").head().getLong(0))
       // a row-level UPDATE lands delta-insert files OUTSIDE bucket
       // dirs: the scan degrades to UnknownPartitioning (joins shuffle
       // again) but values stay exact — honest, never silently wrong
@@ -1892,6 +1905,62 @@ class V2SourceSpec extends SparkSpecBase {
     spark.sql("DELETE FROM graftns.a.b.t2 WHERE k = 10")
     spark.sql("REFRESH TABLE graftns.a.b.t2")
     assert(spark.sql("SELECT sum(k) AS s FROM graftns.a.b.t2").head().getLong(0) === 20L)
+  }
+
+  test("A66 layout lifecycle + DROP NAMESPACE: SET TBLPROPERTIES declares a layout on a live table (advisor flags, rebucket materializes), UNSET withdraws it; empty namespaces drop, CASCADE refuses") {
+    import graft.sources.v2.GraftLayout
+    val wh = graft.sources.GraftSink.scratchDir + "/a66_wh"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "grafta66")
+    spark.sql("CREATE NAMESPACE grafta66.db")
+    spark.sql("CREATE TABLE grafta66.db.t AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(1000)")
+    spark.sql("REFRESH TABLE grafta66.db.t")
+    val tbl = s"$wh/db/t.parquet"
+    // declare a layout AFTER the fact: one marker write, data unshaped
+    spark.sql("ALTER TABLE grafta66.db.t SET TBLPROPERTIES " +
+      "('layout'='bucket(k,4)')")
+    assert(GraftLayout.readMarker(fs, tbl).get ===
+      GraftLayout.Layout("bucket", Seq("k"), 4))
+    assert(spark.sql("SHOW TBLPROPERTIES grafta66.db.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      .get("layout").contains("bucket(k,4)"))
+    // the existing (unshaped) files flag the advisor; rebucket clears
+    assert(graft.sources.GraftAdvisor.advise(spark, s"$wh/db")
+      .exists(a => a.table == "t" && a.rule == "rebucket"))
+    GraftLayout.rebucket(spark, tbl)
+    spark.sql("REFRESH TABLE grafta66.db.t")
+    assert(!graft.sources.GraftAdvisor.advise(spark, s"$wh/db")
+      .exists(a => a.table == "t" && a.rule == "rebucket"))
+    // new inserts honor the declared contract
+    spark.sql("INSERT INTO grafta66.db.t VALUES (5000, 1)")
+    spark.sql("REFRESH TABLE grafta66.db.t")
+    assert(!graft.sources.GraftAdvisor.advise(spark, s"$wh/db")
+      .exists(a => a.table == "t" && a.rule == "rebucket"),
+      "a shaped insert must not strand stray files")
+    assert(spark.sql("SELECT count(*) FROM grafta66.db.t")
+      .head().getLong(0) === 1001L)
+    // UNSET withdraws the declaration
+    spark.sql("ALTER TABLE grafta66.db.t UNSET TBLPROPERTIES ('layout')")
+    assert(GraftLayout.readMarker(fs, tbl).isEmpty)
+    // a bad late declaration refuses without touching the marker
+    intercept[Exception](spark.sql(
+      "ALTER TABLE grafta66.db.t SET TBLPROPERTIES ('layout'='zorder(k,nope)')"))
+    assert(GraftLayout.readMarker(fs, tbl).isEmpty)
+    // DROP NAMESPACE: cascade refuses, non-empty refuses, empty drops
+    spark.sql("CREATE NAMESPACE grafta66.scratch")
+    val eCascade = intercept[Exception](spark.sql(
+      "DROP NAMESPACE grafta66.db CASCADE"))
+    assert(chainMsg(eCascade).contains("CASCADE"), chainMsg(eCascade))
+    val eFull = intercept[Exception](spark.sql("DROP NAMESPACE grafta66.db"))
+    assert(chainMsg(eFull).contains("not empty") ||
+      chainMsg(eFull).toLowerCase.contains("non-empty"), chainMsg(eFull))
+    spark.sql("DROP NAMESPACE grafta66.scratch")
+    assert(!spark.sql("SHOW NAMESPACES IN grafta66")
+      .collect().map(_.getString(0)).contains("scratch"))
   }
 
   test("A64 RENAME TABLE: one metadata move carries data, history and masks' absence — epochs serve under the new name; sidecars, tags and leases refuse by name") {
