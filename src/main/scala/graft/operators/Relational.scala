@@ -1517,8 +1517,11 @@ object Relational {
     val b = orders.agg(
       min("o_custkey"), max("o_custkey"), min("o_orderkey"), max("o_orderkey"))
       .first()
+    // scale in DOUBLE: the Long product (col - lo) * 65535 overflows
+    // on wide key domains (same fix as GraftLayout.shape)
     def scaled(c: String, lo: Long, hi: Long) =
-      ((col(c) - lo) * 65535L / math.max(hi - lo, 1L)).cast("long")
+      ((col(c) - lo).cast("double") * 65535.0 /
+        math.max(hi - lo, 1L).toDouble).cast("long")
     orders
       .withColumn("zc", scaled("o_custkey", b.getLong(0), b.getLong(1)))
       .withColumn("zo", scaled("o_orderkey", b.getLong(2), b.getLong(3)))

@@ -966,6 +966,55 @@ object GraftV2 {
     * estimate stats-driven planning runs on (one namenode round trip,
     * no footer opened).
     */
+  /** The same data-file walk as [[dataFileSizes]], as paths RELATIVE
+    * to `dir` (sorted) — the one skip-rule implementation every staged
+    * swap (SQL insert, ALTER rewrite, rebucket) lists through.
+    */
+  def dataFilesRelative(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[String] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val rootPath = dir.toUri.getPath
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+      if (!rel.split('/').exists(seg =>
+          seg.startsWith("_") || seg.startsWith(".")) && f.getLen > 0)
+        out += rel
+    }
+    out.result().sorted
+  }
+
+  /** The staged-swap tail every COW rewrite shares: retire the current
+    * data files, move the staged ones in (checked renames, relative
+    * structure preserved), drop the staging dir and its `_staging`
+    * shell when empty. Callers order their METADATA writes around this
+    * (marker-first for ALTER, marker-unchanged for rebucket).
+    */
+  def swapStagedFiles(fs: org.apache.hadoop.fs.FileSystem,
+      tableRoot: Path, stageDir: Path, op: String): Unit = {
+    val staged = dataFilesRelative(fs, stageDir)
+    val old = dataFilesRelative(fs, tableRoot)
+    old.foreach { rel =>
+      if (!fs.delete(new Path(tableRoot, rel), false))
+        throw new IllegalStateException(
+          s"[GRAFT] $op failed to retire $tableRoot/$rel")
+    }
+    staged.foreach { rel =>
+      val src = new Path(stageDir, rel)
+      val dst = new Path(tableRoot, rel)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(
+          s"[GRAFT] $op move-in failed: rename($src -> $dst)")
+    }
+    fs.delete(stageDir, true)
+    val shell = stageDir.getParent
+    if (fs.exists(shell) && fs.listStatus(shell).isEmpty)
+      fs.delete(shell, false)
+  }
+
   def dataFileSizes(path: String, conf: Configuration): Seq[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)

@@ -148,6 +148,23 @@ class GraftFeedStream(root: String, schema: StructType,
   // index state: committed segments in sequence order + per-segment
   // plan slices (segment-local row coordinates)
   private var segs: Vector[Seg] = Vector.empty
+
+  /** Highest segment sequence FOLDED out of the index at commit():
+    * everything at/below it is durably consumed, never replanned, and
+    * droppable by the publisher — the manifest and the per-trigger
+    * rewrite stay bounded by the UNCONSUMED backlog, not the feed's
+    * lifetime (the same G28 discipline, in the feed's seq coordinate).
+    */
+  private var foldedUpTo: Long = -1L
+
+  /** The newest FOLDED segment's (file, length) list — the reset
+    * sentinel that survives a full fold: with zero live segments left,
+    * a feed-root reset whose new tip reaches the indexed sequence
+    * would otherwise be undetectable. A sentinel dir that is ABSENT is
+    * legitimate retirement (folded segments may be physically
+    * dropped); one PRESENT with different files is a reset.
+    */
+  private var foldedSentinel: Seq[(String, Long)] = Seq.empty
   private var slices: Map[Long, IndexedSeq[Slice]] = Map.empty
 
   private val manifestLive =
@@ -168,7 +185,14 @@ class GraftFeedStream(root: String, schema: StructType,
       org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
       bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
     } finally in.close()
-    segs = body.split("\n").filter(_.nonEmpty).toVector
+    val lines = body.split("\n").filter(_.nonEmpty).toVector
+    lines.headOption.filter(_.startsWith("#base\t")).foreach { l =>
+      val parts = l.split("\t")
+      foldedUpTo = parts(1).toLong
+      foldedSentinel = parts.drop(2).grouped(2)
+        .collect { case Array(f, len) => (f, len.toLong) }.toSeq
+    }
+    segs = lines.filterNot(_.startsWith("#"))
       .map { line =>
         val parts = line.split("\t")
         val seq = parts(0).toLong
@@ -186,10 +210,15 @@ class GraftFeedStream(root: String, schema: StructType,
     val staging = new Path(manifestLive.toString + ".staging")
     f.mkdirs(manifestLive.getParent)
     val out = f.create(staging, true)
-    try out.write(segs.map { s =>
+    val baseLine =
+      if (foldedUpTo < 0L) Seq.empty
+      else Seq((s"#base\t$foldedUpTo" +:
+        foldedSentinel.flatMap { case (f, l) => Seq(f, l.toString) })
+        .mkString("\t"))
+    try out.write((baseLine ++ segs.map { s =>
         (s.seq.toString +: s.files.flatMap { case (n, l, rg) =>
           Seq(n, l.toString, rg.mkString(",")) }).mkString("\t")
-      }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     f.delete(manifestLive, false)
     if (!f.rename(staging, manifestLive))
@@ -220,13 +249,46 @@ class GraftFeedStream(root: String, schema: StructType,
     */
   private def poll(): Unit = synchronized {
     val tip = GraftFeedStream.committedTip(root, conf.value)
-    val indexed = segs.lastOption.map(_.seq).getOrElse(-1L)
+    val indexed = segs.lastOption.map(_.seq).getOrElse(foldedUpTo)
     if (tip < indexed)
       throw new IllegalStateException(
         s"[GRAFT] graft-feed at $root: the committed tip ($tip) regressed " +
           s"below the indexed sequence ($indexed) - the feed root was " +
           "reset; downstream must resync from a fresh snapshot under a " +
           "new feed root (publishMorFeed's own resync rule)")
+    // SENTINEL: the newest indexed segment must still be exactly what
+    // the index recorded — a feed root reset whose new tip happens to
+    // reach the indexed sequence would otherwise serve stale file
+    // paths (raw FileNotFound at best, silently wrong slices if names
+    // recur). One listing per trigger; committed segments are
+    // immutable by the publisher's crash contract, so ANY drift is a
+    // reset. With zero live segments (everything folded) the base's
+    // recorded sentinel carries the check; an ABSENT dir is legitimate
+    // retirement of folded history — for a LIVE (unconsumed) segment
+    // it is data loss and refuses the same way.
+    val sentinel: Option[(Long, Seq[(String, Long)], Boolean)] =
+      segs.lastOption
+        .map(s => (s.seq, s.files.map { case (f, l, _) => (f, l) }, false))
+        .orElse(
+          if (foldedUpTo >= 0L && foldedSentinel.nonEmpty)
+            Some((foldedUpTo, foldedSentinel, true))
+          else None)
+    sentinel.foreach { case (seq, recorded, foldedOnly) =>
+      val dir = s"$root/segments/seq=$seq"
+      val exists = new Path(dir).getFileSystem(conf.value)
+        .exists(new Path(dir))
+      if (!(foldedOnly && !exists)) {
+        val onDisk =
+          if (exists) GraftV2.dataFileSizes(dir, conf.value)
+          else Seq.empty
+        if (onDisk.map { case (f, l) => (f, l) } != recorded)
+          throw new IllegalStateException(
+            s"[GRAFT] graft-feed at $root: indexed segment seq=$seq " +
+              "no longer matches the published files (the feed root was " +
+              "reset or a committed segment changed) - downstream must " +
+              "resync from a fresh snapshot under a new feed root")
+      }
+    }
     if (tip == indexed) return
     val fresh = ((indexed + 1L) to tip).map { seq =>
       val dir = s"$root/segments/seq=$seq"
@@ -339,8 +401,28 @@ class GraftFeedStream(root: String, schema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReplayReaderFactory(schema, conf)
 
-  override def commit(end: Offset): Unit = () // feed retention is the
-  // publisher's contract; committed segments replay deterministically
+  /** Batch `end` durably committed: FOLD every indexed segment wholly
+    * below it out of the index (Spark never replans below a committed
+    * end), recording only the high-water sequence — the manifest write
+    * and the planning walk stay bounded by the unconsumed backlog, and
+    * the publisher may physically retire folded segments (they are no
+    * longer addressed by anything).
+    */
+  override def commit(end: Offset): Unit = synchronized {
+    val e = asOffset(end)
+    // offsets are normalized (a fully-consumed segment parks the
+    // offset one PAST it), so `seq < e.seq` is exactly "wholly below"
+    val keep = segs.filter(_.seq >= e.seq)
+    val dropped = segs.filter(_.seq < e.seq)
+    if (dropped.nonEmpty) {
+      val newest = dropped.maxBy(_.seq)
+      foldedUpTo = newest.seq
+      foldedSentinel = newest.files.map { case (f, l, _) => (f, l) }
+      segs = keep
+      rebuildSlices()
+      saveManifest()
+    }
+  }
 
   override def stop(): Unit = ()
 }

@@ -204,40 +204,7 @@ object GraftLayout {
       .partitionBy(BucketDirCol)
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(stage.toString)
-    def listRel(dir: org.apache.hadoop.fs.Path): Seq[String] = {
-      if (!fs.exists(dir)) return Seq.empty
-      val rootPath = dir.toUri.getPath
-      val out = Seq.newBuilder[String]
-      val it = fs.listFiles(dir, true)
-      while (it.hasNext) {
-        val f = it.next()
-        val rel = f.getPath.toUri.getPath.stripPrefix(rootPath)
-          .stripPrefix("/")
-        if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")) &&
-            f.getLen > 0)
-          out += rel
-      }
-      out.result().sorted
-    }
-    val staged = listRel(stage)
-    val old = listRel(root)
-    old.foreach { rel =>
-      if (!fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/$rel"), false))
-        throw new IllegalStateException(
-          s"[GRAFT] rebucket failed to retire $tablePath/$rel")
-    }
-    staged.foreach { rel =>
-      val src = new org.apache.hadoop.fs.Path(stage, rel)
-      val dst = new org.apache.hadoop.fs.Path(s"$tablePath/$rel")
-      fs.mkdirs(dst.getParent)
-      if (!fs.rename(src, dst))
-        throw new IllegalStateException(
-          s"[GRAFT] rebucket move-in failed: rename($src -> $dst)")
-    }
-    fs.delete(stage, true)
-    val shell = stage.getParent
-    if (fs.exists(shell) && fs.listStatus(shell).isEmpty)
-      fs.delete(shell, false)
+    GraftV2.swapStagedFiles(fs, root, stage, "rebucket")
   }
 
   /** Shape one insert batch to the declared layout: range-partition +
@@ -266,8 +233,13 @@ object GraftLayout {
       val bounds = data.agg(min(a), max(a), min(b), max(b)).first()
       if (bounds.isNullAt(0) || bounds.isNullAt(2))
         return data // empty or all-null batch: nothing to cluster
+      // scale in DOUBLE: (col - lo) * 65535 overflows Long when the
+      // key domain is wide (epoch-micros spans ~1e15 — the product
+      // wraps negative and the interleave clusters on noise); the
+      // 16-bit target makes double precision exact enough
       def scaled(c: String, lo: Long, hi: Long) =
-        ((col(c) - lo) * 65535L / math.max(hi - lo, 1L)).cast("long")
+        ((col(c) - lo).cast("double") * 65535.0 /
+          math.max(hi - lo, 1L).toDouble).cast("long")
       data
         .withColumn("__graft_zc",
           scaled(a, bounds.getLong(0), bounds.getLong(1)))

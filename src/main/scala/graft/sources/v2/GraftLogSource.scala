@@ -224,7 +224,7 @@ object GraftLogRetention {
     val dir = new Path(s"$logPath/partition=$partition")
     val dataFs = dir.getFileSystem(conf)
     if (!dataFs.exists(dir)) return Seq.empty
-    dataFs.listStatus(dir).toSeq.map(_.getPath)
+    val deleted = dataFs.listStatus(dir).toSeq.map(_.getPath)
       .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith(".") &&
         p.getName <= upToName)
       .map { p =>
@@ -233,6 +233,15 @@ object GraftLogRetention {
             s"[GRAFT] graft-log retention failed to delete $p")
         p.toString
       }
+    // retire the folded-name markers with their segments (the marker
+    // dir stays bounded by the UNRETIRED fold window; a name reused
+    // after retirement then refuses as never-indexed — loud, correct)
+    val fdir = new Path(live.toString + ".folded")
+    if (ckFs.exists(fdir))
+      ckFs.listStatus(fdir).map(_.getPath)
+        .filter(_.getName <= upToName)
+        .foreach(m => ckFs.delete(m, false))
+    deleted
   }
 }
 
@@ -255,7 +264,24 @@ class GraftLogStream(path: String, schema: StructType,
       partValues: Map[String, Any])
 
   private case class PartState(var base: Base, var segs: Vector[Seg],
-      var slices: IndexedSeq[Slice], var total: Long)
+      var slices: IndexedSeq[Slice], var total: Long,
+      var folded: Set[String])
+
+  /** Per-folded-segment marker files (empty, named by the segment,
+    * under the checkpoint): the folded NAME SET the `#base` line
+    * deliberately drops, at O(1) write per fold and one listing per
+    * restart — what lets the poll keep REFUSING a straggler segment
+    * whose name sorts inside committed history (pre-fold, the full
+    * indexed prefix caught it; the count/range alone cannot once
+    * retention starts deleting).
+    */
+  private def foldedDir(p: Int) = new Path(manifestPath(p).toString + ".folded")
+
+  private def loadFolded(p: Int): Set[String] = {
+    val d = foldedDir(p)
+    if (!ckFs.exists(d)) Set.empty
+    else ckFs.listStatus(d).map(_.getPath.getName).toSet
+  }
 
   private def manifestPath(p: Int) =
     GraftLogIndex.manifestPath(checkpointLocation, p)
@@ -285,7 +311,7 @@ class GraftLogStream(path: String, schema: StructType,
       if (!ckf.exists(idxDir)) Set.empty[Int]
       else ckf.listStatus(idxDir).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("partition="))
-        .filterNot(_.endsWith(".staging"))
+        .filterNot(n => n.endsWith(".staging") || n.endsWith(".folded"))
         .map(_.stripPrefix("partition=").toInt).toSet
     val gone = tracked -- onDisk
     if (gone.nonEmpty) throw new IllegalStateException(
@@ -323,7 +349,7 @@ class GraftLogStream(path: String, schema: StructType,
   private val state: Map[Int, PartState] = partitionIds.map { p =>
     val (base, segs) = loadManifest(p)
     val (slices, total) = buildSlices(p, base, segs)
-    p -> PartState(base, segs, slices, total)
+    p -> PartState(base, segs, slices, total, loadFolded(p))
   }.toMap
 
   /** One listing per partition: verify the indexed LIVE prefix is
@@ -345,6 +371,16 @@ class GraftLogStream(path: String, schema: StructType,
           s"[GRAFT] graft-log partition $p: segment $n sorts BEFORE every " +
             "indexed segment - segment names must be monotone, or " +
             "committed offsets would renumber")
+        // a listed name INSIDE the folded range must be a segment the
+        // fold actually recorded (still on disk, not yet retired) — a
+        // straggler landing inside committed history is the same
+        // monotonicity violation the pre-fold prefix check refused,
+        // and skipping it silently would lose its rows
+        if (n <= st.base.lastName && !st.folded.contains(n))
+          throw new IllegalStateException(
+            s"[GRAFT] graft-log partition $p: segment $n sorts INSIDE the " +
+              "folded committed range but was never indexed - segment " +
+              "names must be monotone, or committed offsets would renumber")
       }
       val listed = listedAll.filter { case (f, _) =>
         st.base.count == 0L || new Path(f).getName > st.base.lastName
@@ -482,6 +518,18 @@ class GraftLogStream(path: String, schema: StructType,
         i += 1
       }
       if (i > 0) {
+        // record the folded NAMES (empty marker files) BEFORE the
+        // manifest swap commits the fold: a crash in between leaves
+        // markers for still-live segments, which the unchanged base
+        // treats as out-of-range (harmless; the retried fold
+        // recreates them)
+        val d = foldedDir(p)
+        ckFs.mkdirs(d)
+        st.segs.take(i).foreach { seg =>
+          val out = ckFs.create(new Path(d, seg.name), true)
+          out.close()
+          st.folded += seg.name
+        }
         st.base = Base(count, rows, first, last)
         st.segs = st.segs.drop(i)
         val (slices, total) = buildSlices(p, st.base, st.segs)

@@ -91,23 +91,12 @@ object GraftSqlWrite {
     }
 
   /** Recursive data-file listing under `dir` (dotfile/_SUCCESS
-    * bookkeeping skipped) as paths relative to `dir`.
+    * bookkeeping skipped) as paths relative to `dir` — the shared
+    * GraftV2 walk, so every staged swap applies one skip rule.
     */
   private def listRelative(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Seq[String] = {
-    if (!fs.exists(dir)) return Seq.empty
-    val rootPath = dir.toUri.getPath
-    val out = Seq.newBuilder[String]
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val rel = f.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
-      if (!rel.split('/').exists(seg =>
-          seg.startsWith("_") || seg.startsWith(".")) && f.getLen > 0)
-        out += rel
-    }
-    out.result().sorted
-  }
+      dir: org.apache.hadoop.fs.Path): Seq[String] =
+    GraftV2.dataFilesRelative(fs, dir)
 
   private[v2] def insertAudited(data: DataFrame, tablePath: String,
       partCols: Seq[String], overwrite: Boolean): Unit = {

@@ -571,48 +571,25 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       }: _*)
     val stageDir = new org.apache.hadoop.fs.Path(
       s"$tablePath/_staging/alter_${java.util.UUID.randomUUID()}")
-    val w = projected.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+    // A62/A65: the rewrite RE-SHAPES to the declared layout (under the
+    // post-rename column names) — an ALTER of a non-layout column must
+    // not silently flatten bucket co-location or sort/zorder
+    // clustering out of the whole table
+    val effLayout = layout.map(l =>
+      l.copy(cols = l.cols.map(c => renamed.getOrElse(c, c))))
+    val shapedProj = effLayout.map(GraftLayout.shape(projected, _))
+      .getOrElse(projected)
+    val writeCols = partCols ++
+      effLayout.map(GraftLayout.writeDirCols).getOrElse(Seq.empty)
+    val w = shapedProj.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    (if (writeCols.nonEmpty) w.partitionBy(writeCols: _*) else w)
       .parquet(stageDir.toString)
-    def listData(dir: org.apache.hadoop.fs.Path): Seq[String] = {
-      if (!hadoopFs.exists(dir)) return Seq.empty
-      val rootPath = dir.toUri.getPath
-      val out = Seq.newBuilder[String]
-      val it = hadoopFs.listFiles(dir, true)
-      while (it.hasNext) {
-        val f = it.next()
-        val rel = f.getPath.toUri.getPath.stripPrefix(rootPath)
-          .stripPrefix("/")
-        if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")) &&
-            f.getLen > 0)
-          out += rel
-      }
-      out.result().sorted
-    }
-    val staged = listData(stageDir)
-    val oldFiles = listData(new org.apache.hadoop.fs.Path(tablePath))
-    // marker first (see scaladoc), then retire + move in, all checked
+    // marker first (see scaladoc), then the shared retire + move-in
     writeDdlMarker(tablePath, org.apache.spark.sql.types.StructType(
       newFields.filterNot(f => partNames(f.name)) ++
         newFields.filter(f => partNames(f.name))))
-    oldFiles.foreach { rel =>
-      if (!hadoopFs.delete(
-          new org.apache.hadoop.fs.Path(s"$tablePath/$rel"), false))
-        throw new IllegalStateException(
-          s"[GRAFT] ALTER rewrite failed to retire $tablePath/$rel")
-    }
-    staged.foreach { rel =>
-      val src = new org.apache.hadoop.fs.Path(stageDir, rel)
-      val dst = new org.apache.hadoop.fs.Path(s"$tablePath/$rel")
-      hadoopFs.mkdirs(dst.getParent)
-      if (!hadoopFs.rename(src, dst))
-        throw new IllegalStateException(
-          s"[GRAFT] ALTER rewrite move-in failed: rename($src -> $dst)")
-    }
-    hadoopFs.delete(stageDir, true)
-    val shell = stageDir.getParent
-    if (hadoopFs.exists(shell) && hadoopFs.listStatus(shell).isEmpty)
-      hadoopFs.delete(shell, false)
+    GraftV2.swapStagedFiles(hadoopFs,
+      new org.apache.hadoop.fs.Path(tablePath), stageDir, "ALTER rewrite")
     // a renamed layout column keeps its clustering contract under the
     // new name (drops were refused above)
     layout.filter(_.cols.exists(renamed.contains)).foreach { l =>
@@ -789,14 +766,30 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         "bypasses the lease gate - DROP TABLE each one, then drop the " +
         "empty namespace")
     val p = new org.apache.hadoop.fs.Path(nsDir(namespace))
+    // "empty" means no TABLES, no CHILD NAMESPACES and no live TAGS —
+    // bookkeeping shells (`_snapshots/` left behind by DROP TABLE,
+    // an empty `_staging/`) don't hold a namespace hostage; a live
+    // tag file does (it is a published consistent-set promise)
     val children = hadoopFs.listStatus(p)
-    require(children.isEmpty,
+    val live = children.filter { st =>
+      val n = st.getPath.getName
+      n.endsWith(".parquet") || (st.isDirectory && nsSegmentOk(n))
+    }
+    require(live.isEmpty,
       s"[GRAFT] DROP NAMESPACE ${namespace.mkString(".")} refused: not " +
-        s"empty (${children.length} entries, e.g. " +
-        s"${children.head.getPath.getName}) - drop its tables and child " +
+        s"empty (${live.length} entries, e.g. " +
+        s"${live.head.getPath.getName}) - drop its tables and child " +
         "namespaces first")
+    val tags = new org.apache.hadoop.fs.Path(
+      s"${nsDir(namespace)}/${graft.sources.GraftCatalog.SnapshotDir}/_tags")
+    if (hadoopFs.exists(tags) && hadoopFs.listStatus(tags).nonEmpty)
+      throw new IllegalStateException(
+        s"[GRAFT] DROP NAMESPACE ${namespace.mkString(".")} refused: " +
+          s"published tag(s) remain (e.g. " +
+          s"${hadoopFs.listStatus(tags).head.getPath.getName}) - a tag is " +
+          "a durable consistent-set promise; delete the tag files first")
     pinned.remove(namespace.mkString("/"))
-    hadoopFs.delete(p, false)
+    hadoopFs.delete(p, true)
   }
 
   // ── FunctionCatalog (A65) ──

@@ -1449,6 +1449,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(rollup() === partial(GraftMor.morRead(spark, table))
       .orderBy("grp").collect().map(_.toSeq).toSeq,
       "a resumed stream must fold exactly the fresh segment")
+    // the durable index FOLDS at commit: after full consumption the
+    // manifest is one #base line plus at most the tip segment — it
+    // does not grow with the feed's lifetime (the G28 discipline)
+    val manifestP = new org.apache.hadoop.fs.Path(
+      s"$cp/sources/0/graft-feed-segments/index")
+    val mBody = {
+      val in = fs.open(manifestP)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val mLines = mBody.split("\n").filter(_.nonEmpty).toSeq
+    assert(mLines.head.startsWith("#base\t"),
+      s"consumed segments must fold to #base: $mLines")
+    assert(mLines.size <= 2,
+      s"the feed index must stay bounded by the unconsumed backlog: $mLines")
+    // a feed-root RESET refuses even when the new tip reaches the
+    // indexed sequence: the newest retained segment no longer matches
+    // the recorded files (the sentinel check), so offsets can never
+    // address wrong bytes
+    fs.delete(new org.apache.hadoop.fs.Path(feed), true)
+    (0 to 4).foreach { _ =>
+      GraftMor.publishMorFeed(spark, table, feed) // fresh seq 0..4
+    }
+    val eReset = intercept[Exception](run())
+    assert(chain(eReset).contains("reset"), chain(eReset))
   }
 
   test("G28 index compaction + retention: consumed segments fold to one #base entry (bounded manifest), offsets stay stable, and dropping segments refuses until they are folded") {
@@ -1547,5 +1572,20 @@ class StreamingSpec extends SparkSpecBase {
     val totN = summary().map(_(1).asInstanceOf[Long]).sum
     val expN = expect(0 to 5).map(_(1).asInstanceOf[Long]).sum + extra
     assert(totN === expN, s"new-segment rows must fold exactly once")
+    // a STRAGGLER whose name sorts INSIDE the folded committed range
+    // but was never indexed refuses BY NAME — the per-segment fold
+    // markers keep the name set the #base line dropped, so the
+    // monotonicity refusal survives folding AND retention (silently
+    // skipping it would lose its rows)
+    writeSegment(events.where(col("event_id") === 0), "seg-00004a.parquet")
+    val eStraggler = intercept[Exception](run())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " || " + chain(t.getCause)
+    assert(chain(eStraggler).contains("INSIDE the folded committed range"),
+      chain(eStraggler))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$log/partition=0/seg-00004a.parquet"), false))
+    run() // removing the violation heals the stream
+    assert(summary().map(_(1).asInstanceOf[Long]).sum === expN)
   }
 }

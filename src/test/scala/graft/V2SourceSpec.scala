@@ -1943,6 +1943,15 @@ class V2SourceSpec extends SparkSpecBase {
       "a shaped insert must not strand stray files")
     assert(spark.sql("SELECT count(*) FROM grafta66.db.t")
       .head().getLong(0) === 1001L)
+    // an ALTER rewrite of a NON-layout column re-shapes to the
+    // declared layout — it must not silently flatten the bucket dirs
+    spark.sql("ALTER TABLE grafta66.db.t RENAME COLUMN v TO val")
+    spark.sql("REFRESH TABLE grafta66.db.t")
+    assert(!graft.sources.GraftAdvisor.advise(spark, s"$wh/db")
+      .exists(a => a.table == "t" && a.rule == "rebucket"),
+      "an ALTER rewrite must preserve the declared bucket layout")
+    assert(spark.sql("SELECT sum(val) FROM grafta66.db.t")
+      .head().getLong(0) === (0L until 1000L).map(_ * 2).sum + 1L)
     // UNSET withdraws the declaration
     spark.sql("ALTER TABLE grafta66.db.t UNSET TBLPROPERTIES ('layout')")
     assert(GraftLayout.readMarker(fs, tbl).isEmpty)
