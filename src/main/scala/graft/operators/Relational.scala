@@ -1517,11 +1517,11 @@ object Relational {
     val b = orders.agg(
       min("o_custkey"), max("o_custkey"), min("o_orderkey"), max("o_orderkey"))
       .first()
-    // scale in DOUBLE: the Long product (col - lo) * 65535 overflows
-    // on wide key domains (same fix as GraftLayout.shape)
+    // scale ENTIRELY in DOUBLE: the Long subtraction AND the Long span
+    // both overflow on wide key domains (same fix as GraftLayout.shape)
     def scaled(c: String, lo: Long, hi: Long) =
-      ((col(c) - lo).cast("double") * 65535.0 /
-        math.max(hi - lo, 1L).toDouble).cast("long")
+      ((col(c).cast("double") - lo.toDouble) * 65535.0 /
+        math.max(hi.toDouble - lo.toDouble, 1.0)).cast("long")
     orders
       .withColumn("zc", scaled("o_custkey", b.getLong(0), b.getLong(1)))
       .withColumn("zo", scaled("o_orderkey", b.getLong(2), b.getLong(3)))

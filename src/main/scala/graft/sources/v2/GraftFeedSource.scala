@@ -365,8 +365,11 @@ class GraftFeedStream(root: String, schema: StructType,
 
   override def reportLatestOffset(): Offset = {
     poll()
+    // after a full fold the live list is empty but the high-water
+    // sequence is not zero — reporting (0,0) would show the latest
+    // offset regressing below the committed one (negative backlog)
     segs.lastOption.map(s => GraftFeedOffset(s.seq + 1L, 0L))
-      .getOrElse(GraftFeedOffset(0L, 0L))
+      .getOrElse(GraftFeedOffset(math.max(foldedUpTo + 1L, 0L), 0L))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

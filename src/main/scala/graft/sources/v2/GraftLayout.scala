@@ -90,6 +90,10 @@ object GraftLayout {
       require(!schema.fieldNames.contains(BucketDirCol),
         s"[GRAFT] a bucket-layout table cannot declare a column named " +
           s"'$BucketDirCol' (reserved for the bucket directory layout)")
+      require(partCols.isEmpty,
+        "[GRAFT] bucket layout on a hive-partitioned table is not " +
+          "supported - a bucket split would span partition directories; " +
+          "declare one or the other")
       return Layout(kind, Seq(c), n)
     }
     val cols = parts
@@ -233,13 +237,13 @@ object GraftLayout {
       val bounds = data.agg(min(a), max(a), min(b), max(b)).first()
       if (bounds.isNullAt(0) || bounds.isNullAt(2))
         return data // empty or all-null batch: nothing to cluster
-      // scale in DOUBLE: (col - lo) * 65535 overflows Long when the
-      // key domain is wide (epoch-micros spans ~1e15 — the product
-      // wraps negative and the interleave clusters on noise); the
-      // 16-bit target makes double precision exact enough
+      // scale ENTIRELY in DOUBLE: both the Long subtraction
+      // (col - lo) and the Long span (hi - lo) overflow when the key
+      // domain spans more than half the Long range (hash-valued keys)
+      // — the 16-bit target makes double precision exact enough
       def scaled(c: String, lo: Long, hi: Long) =
-        ((col(c) - lo).cast("double") * 65535.0 /
-          math.max(hi - lo, 1L).toDouble).cast("long")
+        ((col(c).cast("double") - lo.toDouble) * 65535.0 /
+          math.max(hi.toDouble - lo.toDouble, 1.0)).cast("long")
       data
         .withColumn("__graft_zc",
           scaled(a, bounds.getLong(0), bounds.getLong(1)))

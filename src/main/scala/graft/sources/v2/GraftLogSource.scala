@@ -365,22 +365,45 @@ class GraftLogStream(path: String, schema: StructType,
       val st = state(p)
       val dir = s"$path/partition=$p"
       val listedAll = GraftV2.dataFileSizes(dir, conf.value) // name-sorted
-      if (st.base.count > 0L) listedAll.foreach { case (f, _) =>
-        val n = new Path(f).getName
-        if (n < st.base.firstName) throw new IllegalStateException(
-          s"[GRAFT] graft-log partition $p: segment $n sorts BEFORE every " +
-            "indexed segment - segment names must be monotone, or " +
-            "committed offsets would renumber")
-        // a listed name INSIDE the folded range must be a segment the
-        // fold actually recorded (still on disk, not yet retired) — a
-        // straggler landing inside committed history is the same
-        // monotonicity violation the pre-fold prefix check refused,
-        // and skipping it silently would lose its rows
-        if (n <= st.base.lastName && !st.folded.contains(n))
-          throw new IllegalStateException(
-            s"[GRAFT] graft-log partition $p: segment $n sorts INSIDE the " +
-              "folded committed range but was never indexed - segment " +
-              "names must be monotone, or committed offsets would renumber")
+      if (st.base.count > 0L) {
+        // refresh the fold-marker set lazily, only when an in-range
+        // name shows up (the common caught-up poll never pays the
+        // listing): retire() deletes markers behind a running stream,
+        // and a decision off the stale in-memory set would silently
+        // skip a reused retired name instead of refusing it
+        var fresh: Option[(Boolean, Set[String])] = None
+        def markers(): (Boolean, Set[String]) = {
+          if (fresh.isEmpty) {
+            val exists = ckFs.exists(foldedDir(p))
+            fresh = Some((exists, if (exists) loadFolded(p) else Set.empty))
+            if (exists) st.folded = fresh.get._2
+          }
+          fresh.get
+        }
+        listedAll.foreach { case (f, _) =>
+          val n = new Path(f).getName
+          if (n < st.base.firstName) throw new IllegalStateException(
+            s"[GRAFT] graft-log partition $p: segment $n sorts BEFORE every " +
+              "indexed segment - segment names must be monotone, or " +
+              "committed offsets would renumber")
+          // a listed name INSIDE the folded range must be a segment the
+          // fold actually recorded (still on disk, not yet retired) — a
+          // straggler landing inside committed history is the same
+          // monotonicity violation the pre-fold prefix check refused,
+          // and skipping it silently would lose its rows. A checkpoint
+          // folded BEFORE markers existed has no marker dir at all:
+          // keep the pre-marker skip behavior for it (its folds were
+          // legitimate; refusing would brick a healthy stream).
+          if (n <= st.base.lastName) {
+            val (dirExists, set) = markers()
+            if (dirExists && !set.contains(n))
+              throw new IllegalStateException(
+                s"[GRAFT] graft-log partition $p: segment $n sorts INSIDE " +
+                  "the folded committed range but was never indexed - " +
+                  "segment names must be monotone, or committed offsets " +
+                  "would renumber")
+          }
+        }
       }
       val listed = listedAll.filter { case (f, _) =>
         st.base.count == 0L || new Path(f).getName > st.base.lastName

@@ -352,14 +352,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     }
     // A62/A65: a declared layout validates BEFORE anything
     // materializes — a bad declaration leaves no half-created table
+    // (GraftLayout.parse hosts every declaration rule, including the
+    // bucket × hive-partitioning refusal)
     val layout = Option(properties.get("layout"))
       .map(GraftLayout.parse(_, schema, partCols))
-    layout.filter(_.kind == "bucket").foreach { _ =>
-      require(partCols.isEmpty,
-        "[GRAFT] bucket layout on a hive-partitioned table is not " +
-          "supported - a bucket split would span partition directories; " +
-          "declare one or the other")
-    }
     val schemaDir = new org.apache.hadoop.fs.Path(
       s"$tablePath/${graft.sources.GraftMor.SchemaDir}")
     hadoopFs.mkdirs(schemaDir)
@@ -440,9 +436,24 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       layoutSets.headOption match {
         case Some(p) =>
           val l = GraftLayout.parse(p.value, current, partCols)
-          if (l.kind == "bucket") require(partCols.isEmpty,
-            "[GRAFT] bucket layout on a hive-partitioned table is not " +
-              "supported - a bucket split would span partition directories")
+          // declaring bucket over files that already sit in bucket=N
+          // dirs (a PREVIOUS bucket declaration's layout, since
+          // un-declared) would make the scan claim co-location the
+          // bytes don't honor — silently wrong joins, and the advisor
+          // sees zero strays so nothing ever flags. Refuse BY NAME:
+          // changing a bucket spec over existing bucketed data is a
+          // re-create-class operation.
+          if (l.kind == "bucket") {
+            val inBucketDirs = GraftV2.dataFilesRelative(hadoopFs,
+              new org.apache.hadoop.fs.Path(tablePath))
+              .exists(_.startsWith(GraftLayout.BucketDirCol + "="))
+            require(!inBucketDirs,
+              s"[GRAFT] SET ('layout'='${p.value}') on ${ident.name} " +
+                "refused: data files already sit in bucket= directories " +
+                "from an earlier bucket declaration - a (possibly " +
+                "different) spec over those bytes would serve co-location " +
+                "the hash does not honor; re-create the table")
+          }
           GraftLayout.writeMarker(hadoopFs, tablePath, l)
         case None =>
           GraftLayout.deleteMarker(hadoopFs, tablePath)
