@@ -126,7 +126,13 @@ object Bench {
     "src_export_material", "src_sql_alter_rewrite", "src_sql_layout",
     // the A65 declared-bucket tables + storage-partitioned join
     // (CREATE ×2 + shaped INSERT ×2 + the zero-exchange join)
-    "src_sql_bucket_join")
+    "src_sql_bucket_join",
+    // round-15 additions: the stats-driven auto-broadcast join (v2
+    // SupportsReportStatistics), the (BIGINT, TIMESTAMP) zorder
+    // insert+band read, the two-column bucket grid SPJ, and the
+    // SQL-TVF IVF probe (index build + 5 pruned TVF reads)
+    "src_sql_join_broadcast", "src_sql_layout_ts",
+    "src_sql_bucket_join_multi", "sim_sql_topk")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -227,10 +233,34 @@ object Bench {
     // residual run quality AFTER the noise guard + gate: worst med/min
     val noise = if (ok.isEmpty) 0.0
                 else ok.map { case (_, rs) => median(rs) / rs.min }.max
+    // FROZEN FLOOR deltas (r15 discipline): ladders that grow by
+    // construction (src_mor_sql_dml gained MERGE-breadth steps in r14,
+    // +37% "regression" that was really new work) hide real
+    // regressions in round-over-round compares. BENCH_FLOOR.json pins
+    // each query's reference median; the emitted line carries the
+    // per-query ratio vs that floor and names the >1.5× offenders, so
+    // creep is attributable per query. A deliberate ladder extension
+    // must bump the floor entry in the same commit.
+    val floorPath = sys.env.getOrElse("SPARK_GRAFT_FLOOR", "BENCH_FLOOR.json")
+    val floor: Map[String, Double] = try {
+      val body = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(floorPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // flat {"name": seconds} pairs inside the "queries" object
+      val m = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+      m.findAllMatchIn(body).map(x => x.group(1) -> x.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val floorRatios = ok.flatMap { case (k, rs) =>
+      floor.get(k).filter(_ > 0).map(f => k -> median(rs) / f) }
+    val floorJson = floorRatios
+      .map { case (k, r) => "\"" + k + "\":" + fmt(r) }.mkString("{", ",", "}")
+    val regressed = floorRatios.filter(_._2 > 1.5).map(_._1).sorted
+    val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":${jmap(median)},"queries_min":${jmap(_.min)},""" +
       s""""failed":${failed.size},"failed_queries":$failedJson,""" +
       s""""noise":${fmt(noise)},"noisy":${noise > NoiseGate},""" +
+      s""""floor_ratio":$floorJson,"floor_regressed":$regressedJson,""" +
       s""""sf":"$sfDir","runs_per_query":$Runs,"agg":"median",""" +
       s""""headline_only":true,"n_queries":${bench.size}}""")
     spark.stop()

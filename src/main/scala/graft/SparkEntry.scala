@@ -71,6 +71,9 @@ object SparkEntry {
     "src_sql_alter_rewrite"      -> Relational.srcSqlAlterRewrite _,
     "src_sql_layout"             -> Relational.srcSqlLayout _,
     "src_sql_bucket_join"        -> Relational.srcSqlBucketJoin _,
+    "src_sql_join_broadcast"     -> Relational.srcSqlJoinBroadcast _,
+    "src_sql_layout_ts"          -> Relational.srcSqlLayoutTs _,
+    "src_sql_bucket_join_multi"  -> Relational.srcSqlBucketJoinMulti _,
     "src_incremental_agg"        -> Relational.srcIncrementalAgg _,
     // §2.B relational core
     "q1_pricing_summary"         -> Relational.q1PricingSummary _,
@@ -181,6 +184,7 @@ object SparkEntry {
     "sim_filtered_topk"          -> Similarity.filteredTopk _,
     "sim_ivf_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfTopk(s, d)),
     "sim_ivf_persisted"          -> ((s: SparkSession, d: String) => Similarity.ivfPersistedTopk(s, d)),
+    "sim_sql_topk"               -> ((s: SparkSession, d: String) => Similarity.sqlTopk(s, d)),
     "sim_lsh_topk"               -> Similarity.lshTopk _,
     "sim_pq_topk"                -> ((s: SparkSession, d: String) => Similarity.pqTopk(s, d)),
     "sim_hnsw_topk"              -> Hnsw.hnswTopk _,
@@ -1231,6 +1235,31 @@ object SparkEntry {
              round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+
+    // zorder over a TIMESTAMP key is physical clustering only — the
+    // scan serves exactly the source rows
+    "src_sql_layout_ts" -> """
+      SELECT event_type, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM events WHERE user_id BETWEEN 100 AND 299
+      GROUP BY event_type ORDER BY event_type""",
+
+    // the two-column bucket layout co-locates the composite-key join
+    // physically — values match the plain oracle join
+    "src_sql_bucket_join_multi" -> """
+      SELECT count(*) AS n,
+             round(CAST(sum(CAST(q.l_quantity AS BIGINT) * CAST(p.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+      FROM (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem) q
+      JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem) p
+        ON q.l_orderkey = p.l_orderkey AND q.l_linenumber = p.l_linenumber""",
+
+    // reported v2 stats auto-broadcast the nation dim (no hint) — the
+    // plan changes, the values never do
+    "src_sql_join_broadcast" -> """
+      SELECT n.n_name, count(*) AS n_cust,
+             round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_bal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name ORDER BY n.n_name""",
 
     // A54: the epoch captures generation-1 mutations (delete %10=3,
     // upsert %100=0 at +1000) and NOT the post-publish delete (%10=4)

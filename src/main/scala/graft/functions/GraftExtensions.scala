@@ -22,6 +22,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    // D-section SQL surface: top-k vector search as TABLE functions —
+    // `SELECT * FROM graft_knn(...)` / `graft_knn_ivf(...)` (the
+    // index-probing form reads nprobe/nlist of the corpus via hive
+    // partition pruning; see GraftKnnTvf)
+    e.injectTableFunction((
+      FunctionIdentifier("graft_knn"),
+      new ExpressionInfo("graft", "graft_knn"),
+      (exprs: Seq[Expression]) => GraftKnnTvf.knn(exprs)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_knn_ivf"),
+      new ExpressionInfo("graft", "graft_knn_ivf"),
+      (exprs: Seq[Expression]) => GraftKnnTvf.knnIvf(exprs)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     // B68: rewrite aggregates over a registered base table onto its

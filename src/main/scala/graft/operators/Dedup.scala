@@ -809,11 +809,15 @@ object Dedup {
       .select(col("doc_id"), explode(words).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
       .grainCache()
-    val total = grain.agg(sum("n")).head().getLong(0)
+    // total-token scalar rides along as a broadcast single-row frame
+    // (the TextAnalysis idiom) instead of a driver head() that would
+    // force an extra job over the cached grain mid-pipeline.
+    val total = grain.agg(sum("n").cast("double").as("total"))
     val perDoc = grain
       .join(grain.groupBy("word").agg(sum("n").as("cnt")), Seq("word"))
+      .crossJoin(broadcast(total))
       .withColumn("lp_micro",
-        floor(log(col("cnt").cast("double") / total.toDouble) * 1000000.0)
+        floor(log(col("cnt").cast("double") / col("total")) * 1000000.0)
           .cast("long"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_words"), sum(col("lp_micro") * col("n")).as("slp"))

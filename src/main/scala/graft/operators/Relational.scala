@@ -1277,6 +1277,92 @@ object Relational {
       ORDER BY o_orderstatus""")
   }
 
+  /** Declared-layout breadth, timestamp arm: `zorder(user_id, ts)` —
+    * the (tenant, time) clustering real event tables need. TIMESTAMP
+    * keys interleave through their epoch-micros map (monotone, so
+    * clustering semantics are exactly the BIGINT ones); row-group
+    * footer stats then stay narrow on BOTH the id and the time
+    * dimension, and a band query on either prunes without a
+    * compaction pass. Values must hash-match the plain oracle scan —
+    * layout is physical, never semantic.
+    */
+  def srcSqlLayoutTs(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.sources.GraftSink.scratchDir + "/sqllayout_ts_q"
+    val f = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    f.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    graft.sources.v2.GraftTableCatalog.register(s, wh, "graftlaytsq")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftlaytsq.db")
+    s.sql("DROP TABLE IF EXISTS graftlaytsq.db.events_z")
+    cat(s, dir).table("events").createOrReplaceTempView("events_src_layout")
+    s.sql("""
+      CREATE TABLE graftlaytsq.db.events_z (
+        event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT,
+        event_type STRING, value DOUBLE)
+      TBLPROPERTIES ('layout'='zorder(user_id,ts)')""")
+    s.sql("""
+      INSERT INTO graftlaytsq.db.events_z
+      SELECT event_id, ts, user_id, event_type, value
+      FROM events_src_layout""")
+    s.sql("REFRESH TABLE graftlaytsq.db.events_z")
+    s.sql("""
+      SELECT event_type, count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM graftlaytsq.db.events_z
+      WHERE user_id BETWEEN 100 AND 299
+      GROUP BY event_type
+      ORDER BY event_type""")
+  }
+
+  /** A65 breadth: TWO-column bucket keys — the composite-key
+    * co-location fact tables need (a split column-family re-join on
+    * (l_orderkey, l_linenumber) here). The insert hash-buckets on
+    * `hash(k1, k2)` (Spark's own multi-column HashPartitioning fold),
+    * both scans report per-column `bucket(8, k)` KeyGroupedPartitioning (the grid),
+    * and the storage-partitioned join plans with zero join-input
+    * exchange. Values hash-match the oracle's plain join.
+    */
+  def srcSqlBucketJoinMulti(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.sources.GraftSink.scratchDir + "/sqlbucketm_q"
+    val f = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    f.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    graft.sources.v2.GraftTableCatalog.register(s, wh, "graftbkmq")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftbkmq.db")
+    s.sql("DROP TABLE IF EXISTS graftbkmq.db.li_qty")
+    s.sql("DROP TABLE IF EXISTS graftbkmq.db.li_price")
+    cat(s, dir).table("lineitem").createOrReplaceTempView("lineitem_src_bkm")
+    s.sql("""
+      CREATE TABLE graftbkmq.db.li_qty (
+        l_orderkey BIGINT, l_linenumber BIGINT, l_quantity DOUBLE)
+      TBLPROPERTIES ('layout'='bucket(l_orderkey,l_linenumber,8)')""")
+    s.sql("""
+      CREATE TABLE graftbkmq.db.li_price (
+        l_orderkey BIGINT, l_linenumber BIGINT, l_extendedprice DOUBLE)
+      TBLPROPERTIES ('layout'='bucket(l_orderkey,l_linenumber,8)')""")
+    s.sql("""
+      INSERT INTO graftbkmq.db.li_qty
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT), l_quantity
+      FROM lineitem_src_bkm""")
+    s.sql("""
+      INSERT INTO graftbkmq.db.li_price
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT), l_extendedprice
+      FROM lineitem_src_bkm""")
+    s.sql("REFRESH TABLE graftbkmq.db.li_qty")
+    s.sql("REFRESH TABLE graftbkmq.db.li_price")
+    val prev = s.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      s.sql("""
+        SELECT count(*) AS n,
+               round(CAST(sum(CAST(q.l_quantity AS BIGINT) * CAST(p.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+        FROM graftbkmq.db.li_qty q
+        JOIN graftbkmq.db.li_price p
+          ON q.l_orderkey = p.l_orderkey AND q.l_linenumber = p.l_linenumber""")
+        .localCheckpoint(true)
+    } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
   /** A65: declared bucket layout + storage-partitioned join — both
     * tables are CREATEd with `'layout'='bucket(key,8)'`, filled
     * through the gated INSERT (which hash-buckets every batch into
@@ -1331,6 +1417,50 @@ object Relational {
         ORDER BY c.c_mktsegment""").localCheckpoint(true)
       out
     } finally s.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
+  }
+
+  /** Stats-driven SQL join planning: two graft-catalog tables joined
+    * with NO hint and NO SPJ layout — the v2 scan's
+    * `SupportsReportStatistics` (listing bytes + footer row counts)
+    * is what lets Spark see that the dimension side is ~KBs and plan
+    * a BroadcastHashJoin instead of shuffling the fact side. Without
+    * reported stats a DSv2 relation plans at
+    * `spark.sql.defaultSizeInBytes` (Long.MaxValue) and a 1 MB dim
+    * NEVER auto-broadcasts — at 100 TB that is a full fact-table
+    * sort-merge shuffle paid on every dim join. (The V2SourceSpec arm
+    * asserts the BroadcastHashJoin plan; this query verifies values.)
+    */
+  def srcSqlJoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.sources.GraftSink.scratchDir + "/sqlbcast_q"
+    val f = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    f.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    graft.sources.v2.GraftTableCatalog.register(s, wh, "graftbcq")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftbcq.db")
+    s.sql("DROP TABLE IF EXISTS graftbcq.db.customer_bc")
+    s.sql("DROP TABLE IF EXISTS graftbcq.db.nation_bc")
+    cat(s, dir).table("customer").createOrReplaceTempView("customer_src_bc")
+    cat(s, dir).table("nation").createOrReplaceTempView("nation_src_bc")
+    s.sql("""
+      CREATE TABLE graftbcq.db.customer_bc (
+        c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE)""")
+    s.sql("""
+      CREATE TABLE graftbcq.db.nation_bc (n_nationkey BIGINT, n_name STRING)""")
+    s.sql("""
+      INSERT INTO graftbcq.db.customer_bc
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer_src_bc""")
+    s.sql("""
+      INSERT INTO graftbcq.db.nation_bc
+      SELECT n_nationkey, n_name FROM nation_src_bc""")
+    s.sql("REFRESH TABLE graftbcq.db.customer_bc")
+    s.sql("REFRESH TABLE graftbcq.db.nation_bc")
+    s.sql("""
+      SELECT n.n_name, count(*) AS n_cust,
+             round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_bal
+      FROM graftbcq.db.customer_bc c
+      JOIN graftbcq.db.nation_bc n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+      ORDER BY n.n_name""").localCheckpoint(true)
   }
 
   /** A46: mutation-aware incremental aggregate maintenance — A20's

@@ -216,6 +216,13 @@ object Similarity {
     assignCentroids(e, trained)
       .select(col("vec_id"), col("emb"), col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(indexPath)
+    // persist the centroid artifact WITH the index (`_`-prefixed dir:
+    // invisible to the list readers) — what lets a later session (or
+    // the graft_knn_ivf SQL TVF) probe without retraining: the k×dim
+    // table is read back at serving time, nearest lists are chosen
+    // driver-side, and the scan prunes to nprobe partitions.
+    s.createDataFrame(trained.toIndexedSeq).toDF("centroid_id", "c_emb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_centroids")
     // the write above is a synchronous action — the cache has served
     // its two consumers (training + assignment); release it so a
     // multi-query session doesn't accumulate storage memory.
@@ -727,6 +734,31 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= K)
       .select(col("query_id"), col("neighbor_id"), round(col("cos_raw"), 4).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** D-section SQL surface (driver-checked): the same probe-the-index
+    * top-k, issued ENTIRELY through SQL via the `graft_knn_ivf` table
+    * function — what a SQL-only user of the catalog runs. Builds the
+    * persisted index once, then one TVF call per query vector (the
+    * vector rides as a SQL array literal, exactly the API shape).
+    * K+1-then-drop-self matches the Scala API's self-exclusion.
+    */
+  def sqlTopk(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.sources.GraftSink.scratchDir + "/ivf_index_sql"
+    buildIvfIndex(s, dir, 16, idx)
+    val qs = emb(s, dir).where(col("vec_id") < NQueries)
+      .select("vec_id", "emb").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    qs.map { case (qid, v) =>
+      val vecSql = v.map(d => java.lang.Double.toString(d))
+        .mkString("array(", ",", ")")
+      s.sql(s"SELECT CAST($qid AS BIGINT) AS query_id, neighbor_id, cos " +
+          s"FROM graft_knn_ivf('$idx', $vecSql, ${K + 1}, 4)")
+        .where(col("neighbor_id") =!= qid)
+        .orderBy(col("cos").desc, col("neighbor_id")).limit(K)
+    }.reduce(_ unionByName _)
       .orderBy("query_id", "neighbor_id")
   }
 

@@ -118,20 +118,17 @@ object GraftAdvisor {
         // brings the co-location back. Act-clears-it.
         graft.sources.v2.GraftLayout.readMarker(fs, tableDir) match {
           case Some(l) if l.kind == "bucket" =>
-            val rootPath = dir.toUri.getPath
-            val bcol = graft.sources.v2.GraftLayout.BucketDirCol
+            // SAME parse as the scan's co-location gate — shared rule
+            // in GraftLayout.bucketIdOf so the two can never drift
+            val cells = graft.sources.v2.GraftLayout.totalBuckets(l)
             val stray = files.map(_._1).count { f =>
-              val rel = new Path(f).toUri.getPath
-                .stripPrefix(rootPath).stripPrefix("/")
-              val segs = rel.split('/')
-              !(segs.length == 2 && segs(0).startsWith(bcol + "=") &&
-                scala.util.Try(segs(0).substring(bcol.length + 1).toInt)
-                  .toOption.exists(b => b >= 0 && b < l.buckets))
+              !graft.sources.v2.GraftLayout.bucketIdOf(tableDir, f)
+                .exists(_ < cells)
             }
             if (stray > 0)
               out += Advice(name, "rebucket", stray.toLong,
                 s"$stray data files sit outside the declared " +
-                  s"bucket(${l.cols.head},${l.buckets}) layout - joins " +
+                  s"bucket(${l.cols.mkString(",")},${l.buckets}) layout - joins " +
                   "shuffle again until GraftLayout.rebucket restores " +
                   "co-location (morCompact first if masks are live)")
           case _ => ()

@@ -266,7 +266,6 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     val dir = new org.apache.hadoop.fs.Path(s"$root/$SnapshotDir/$name")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(dir)
-    val id = snapshotIds(name).lastOption.getOrElse(0L) + 1L
     // the epoch pins the table STATE, not just the file set: live
     // merge-on-read sidecar listings (A42-A45 masks) and the evolved
     // schema publish WITH the data files, so `tableAsOf` of an epoch
@@ -280,15 +279,41 @@ final class GraftCatalog(spark: SparkSession, root: String) {
       sc.eq.map { case (p, l) => s"#sidecar\teq\t$l\t$p" } ++
       sc.seqm.map { case (p, l) => s"#sidecar\tseqm\t$l\t$p" } ++
       sc.schemaDdl.map(d => s"#schema\t$d").toSeq
-    val body = (s"rootIsDir=${pin.rootIsDir}" +:
-      (pin.files.map { case (p, l) => s"$l\t$p" } ++ sidecarLines))
-      .mkString("\n")
-    // create(overwrite=false) makes concurrent publishers collide
-    // loudly instead of silently clobbering an epoch
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"v$id"), false)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    id
+    // the PUBLISH INSTANT lives INSIDE the manifest body (second line,
+    // so TIMESTAMP-AS-OF resolution needs only a bounded head read):
+    // file mtime is fs-level state an fs copy / restore / distcp
+    // rewrites, which would silently re-address every epoch
+    // create(overwrite=false) makes concurrent publishers atomic: the
+    // loser RE-DERIVES the next id and retries (the A59 allocator
+    // discipline) instead of throwing, so publishers interleave
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val id = snapshotIds(name).lastOption.getOrElse(0L) + 1L
+      val body = (Seq(s"rootIsDir=${pin.rootIsDir}",
+        s"#publishedAt\t${System.currentTimeMillis()}") ++
+        (pin.files.map { case (p, l) => s"$l\t$p" } ++ sidecarLines))
+        .mkString("\n")
+      // only the CREATE participates in the race; a failure of the
+      // body write itself (disk full) must propagate, not retry
+      val created =
+        try Some(fs.create(new org.apache.hadoop.fs.Path(dir, s"v$id"), false))
+        catch {
+          case e: java.io.IOException =>
+            attempt += 1 // lost the race: re-derive one higher
+            if (attempt >= 100) throw new IllegalStateException(
+              s"[GRAFT] publishSnapshot($name) contended $attempt times - " +
+                "publisher storm or a filesystem that cannot " +
+                "create-if-absent; serialize publishers externally", e)
+            None
+        }
+      created.foreach { out =>
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        committed = id
+      }
+    }
+    committed
   }
 
   /** A35: durable multi-table TAG — one name for a CONSISTENT set of
@@ -526,16 +551,43 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     files
   }
 
-  /** The newest published epoch whose manifest was WRITTEN at or
-    * before `epochMs` (manifest file mtime — the publish instant) —
-    * the `TIMESTAMP AS OF` resolution rule.
+  /** The wall-clock instant a manifest RECORDED at publish (its
+    * `#publishedAt` extension line — second line by construction, so
+    * this is one bounded head read, never a full-manifest scan), or
+    * None for manifests published before instants were recorded.
+    */
+  private[sources] def publishInstant(name: String, id: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$SnapshotDir/$name/v$id")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val head = try {
+      val buf = new Array[Byte](512)
+      var off = 0
+      var n = in.read(buf, off, buf.length - off)
+      while (n > 0 && off < buf.length) {
+        off += n; n = in.read(buf, off, buf.length - off)
+      }
+      new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    head.split("\n").find(_.startsWith("#publishedAt\t"))
+      .flatMap(l => scala.util.Try(l.split("\t", 2)(1).toLong).toOption)
+  }
+
+  /** The newest published epoch whose RECORDED publish instant (the
+    * `#publishedAt` line inside the manifest body) is at or before
+    * `epochMs` — the `TIMESTAMP AS OF` resolution rule. The instant
+    * lives in the manifest, NOT in file mtime: an fs-level copy,
+    * restore or distcp rewrites mtimes, which would silently
+    * re-address every epoch. Manifests published before instants were
+    * recorded fall back to mtime (their only signal).
     */
   def snapshotIdAt(name: String, epochMs: Long): Long = {
     val dir = new org.apache.hadoop.fs.Path(s"$root/$SnapshotDir/$name")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val at = snapshotIds(name).filter { id =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, s"v$id"))
-        .getModificationTime <= epochMs
+      publishInstant(name, id).getOrElse(
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, s"v$id"))
+          .getModificationTime) <= epochMs
     }
     require(at.nonEmpty,
       s"[GRAFT] Table [$name] has no snapshot published at or before " +

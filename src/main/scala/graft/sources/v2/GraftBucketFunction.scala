@@ -30,43 +30,51 @@ object GraftBucketFunction extends UnboundFunction {
       "layout bucket id (matches Spark hash()/HashPartitioning on BIGINT)"
 
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length == 2,
-      s"[GRAFT] bucket takes (numBuckets INT, key BIGINT), got " +
+    require(inputType.fields.length >= 2 && inputType.fields.length <= 5,
+      s"[GRAFT] bucket takes (numBuckets INT, key BIGINT [, ...]), got " +
         s"${inputType.simpleString}")
     require(inputType.fields(0).dataType == IntegerType,
       s"[GRAFT] bucket's first argument is the INT bucket count, got " +
         inputType.fields(0).dataType.simpleString)
-    require(inputType.fields(1).dataType == LongType,
-      s"[GRAFT] bucket keys are BIGINT (the declared-layout restriction), " +
-        s"got ${inputType.fields(1).dataType.simpleString}")
-    BucketLong
+    inputType.fields.drop(1).foreach(f =>
+      require(f.dataType == LongType,
+        s"[GRAFT] bucket keys are BIGINT (the declared-layout " +
+          s"restriction), got ${f.dataType.simpleString}"))
+    new BucketLongs(inputType.fields.length - 1)
   }
 
-  object BucketLong extends ScalarFunction[Integer] {
-    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+  class BucketLongs(arity: Int) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] =
+      IntegerType +: Array.fill[DataType](arity)(LongType)
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
-    override def canonicalName(): String = "graft.bucket(bigint)"
+    override def canonicalName(): String =
+      s"graft.bucket(${Seq.fill(arity)("bigint").mkString(",")})"
     override def isResultNullable: Boolean = false
     override def produceResult(input: InternalRow): Integer = {
       val n = input.getInt(0)
-      Integer.valueOf(GraftBucketFunction.bucketId(
-        if (input.isNullAt(1)) None else Some(input.getLong(1)), n))
+      val keys = (1 to arity).map(i =>
+        if (input.isNullAt(i)) None else Some(input.getLong(i)))
+      Integer.valueOf(GraftBucketFunction.bucketId(keys, n))
     }
   }
 
   /** The shared arithmetic: Spark's Murmur3 long hash at seed 42
-    * (what `hash()` and HashPartitioning compute for a BIGINT),
-    * floor-mod'd into [0, n). A null key leaves the seed untouched,
+    * folded across the key columns (what `hash(c1, c2, ...)` and a
+    * multi-column HashPartitioning compute for BIGINTs), floor-mod'd
+    * into [0, n). A null key leaves the running seed untouched,
     * exactly as Spark's hash(null) does.
     */
-  def bucketId(key: Option[Long], n: Int): Int = {
-    val h = key match {
-      case Some(v) =>
-        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
-      case None => 42
+  def bucketId(keys: Seq[Option[Long]], n: Int): Int = {
+    val h = keys.foldLeft(42) {
+      case (seed, Some(v)) =>
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, seed)
+      case (seed, None) => seed
     }
     val m = h % n
     if (m < 0) m + n else m
   }
+
+  /** Single-key convenience (the pre-multi-column signature). */
+  def bucketId(key: Option[Long], n: Int): Int = bucketId(Seq(key), n)
 }

@@ -100,7 +100,7 @@ case class GraftTable(path: String, tableSchema: StructType,
     morDv: Seq[String] = Seq.empty,
     morEq: Seq[String] = Seq.empty,
     morSeqm: Seq[String] = Seq.empty,
-    layoutBucket: Option[(String, Int)] = None,
+    layoutBucket: Option[(Seq[String], Int)] = None,
     layoutSpec: Option[String] = None) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -221,9 +221,11 @@ case class GraftTable(path: String, tableSchema: StructType,
     * co-located joins with ZERO exchange.
     */
   override def partitioning(): Array[Transform] =
-    layoutBucket.map { case (k, n) =>
-      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, k)
-        : Transform
+    layoutBucket.toSeq.flatMap { case (ks, n) =>
+      // one single-column transform per key (grid semantics) — the
+      // only bucket shape Spark's SPJ resolution accepts
+      ks.map(k => org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(n, k): Transform)
     }.toArray
 }
 
@@ -234,7 +236,7 @@ class GraftScanBuilder(path: String, fullSchema: StructType,
     morDv: Seq[String] = Seq.empty,
     morEq: Seq[String] = Seq.empty,
     morSeqm: Seq[String] = Seq.empty,
-    layoutBucket: Option[(String, Int)] = None) extends ScanBuilder
+    layoutBucket: Option[(Seq[String], Int)] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
@@ -372,9 +374,10 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     morDv: Seq[String] = Seq.empty,
     morEq: Seq[String] = Seq.empty,
     morSeqm: Seq[String] = Seq.empty,
-    bucket: Option[(String, Int)] = None)
+    bucket: Option[(Seq[String], Int)] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** A65: the (file → bucket id) parse — a file written by the shaped
     * insert sits exactly one `bucket=N` dir below the table root.
@@ -384,19 +387,31 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     * degradation (values stay right, the free co-location is lost
     * until a re-bucketing rewrite), never a silently-wrong join.
     */
-  private def bucketIdOf(file: String): Option[Int] = {
-    val root = new Path(path).toUri.getPath
-    val rel = new Path(file).toUri.getPath.stripPrefix(root).stripPrefix("/")
-    val segs = rel.split('/')
-    if (segs.length == 2 &&
-        segs(0).startsWith(GraftLayout.BucketDirCol + "="))
-      scala.util.Try(segs(0).substring(
-        GraftLayout.BucketDirCol.length + 1).toInt).toOption
-    else None
-  }
+  private def bucketIdOf(file: String): Option[Int] =
+    GraftLayout.bucketIdOf(path, file)
 
   private lazy val scanFiles: Seq[String] =
     if (pinnedFiles.nonEmpty) pinnedFiles else GraftV2.dataFiles(path, conf.value)
+
+  /** Per-scan footer-blocks memo: estimateStatistics and
+    * planInputPartitions both walk surviving files' footers on the
+    * driver — one read serves both. Capped so a very wide table
+    * (100k+ files) never pins hundreds of MB of block metadata on the
+    * driver; past the cap the second consumer re-reads (the pre-memo
+    * behavior).
+    */
+  private val footerMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[BlockMetaData]]()
+  private val FooterMemoCap = 10000
+
+  private def footerBlocks(file: String): Array[BlockMetaData] = {
+    val hit = footerMemo.get(file)
+    if (hit != null) return hit
+    val blocks = GraftV2.withReader(file, conf.value)(
+      _.getFooter.getBlocks.asScala.toArray)
+    if (footerMemo.size < FooterMemoCap) footerMemo.put(file, blocks)
+    blocks
+  }
 
   /** Bucket count when EVERY scanned file honors the declared bucket
     * layout (and the scan shape allows grouping); None degrades to
@@ -406,19 +421,33 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     * only worth paying when `spark.sql.sources.v2.bucketing.enabled`
     * says the planner will actually use the co-location.
     */
+  /** Physical cell count of the declared grid: perCol^k. */
+  private def totalCells(ks: Seq[String], n: Int): Int =
+    GraftLayout.totalBuckets(GraftLayout.Layout("bucket", ks, n))
+
   private lazy val groupedBuckets: Option[Int] = bucket.collect {
-    case (_, n) if agg.isEmpty && sample.isEmpty &&
+    case (ks, n) if agg.isEmpty && sample.isEmpty &&
       org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
-      scanFiles.forall(f => bucketIdOf(f).exists(b => b >= 0 && b < n)) => n
+      scanFiles.forall(f =>
+        bucketIdOf(f).exists(b => b >= 0 && b < totalCells(ks, n))) => n
   }
 
+  /** A65: the reported partitioning is ONE `bucket(n, col)` transform
+    * PER key column over buckets^k grid cells (the Iceberg
+    * multi-field shape) — Spark's SPJ machinery resolves single-column
+    * bucket transforms only, so this is the representation that
+    * actually plans exchange-free multi-key joins.
+    */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     (bucket, groupedBuckets) match {
-      case (Some((k, _)), Some(n)) =>
+      case (Some((ks, _)), Some(n)) =>
         new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(Array(
-            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, k)), n)
+          .KeyGroupedPartitioning(
+            ks.map(k => org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, k): org.apache.spark.sql.connector.expressions
+              .Expression).toArray,
+            totalCells(ks, n))
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
@@ -443,6 +472,73 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
   override def filter(filters: Array[Filter]): Unit = { runtimeFilters = filters }
 
   override def readSchema(): StructType = agg.map(_.outSchema).getOrElse(required)
+
+  /** Table statistics to Spark's planner — the lever that makes every
+    * `graft.` SQL join plannable: a DSv2 relation WITHOUT stats plans
+    * at `spark.sql.defaultSizeInBytes` (Long.MaxValue), so a 1 MB
+    * dimension table never auto-broadcasts and every dim×fact join
+    * becomes a sort-merge shuffle of the fact. The reference plans its
+    * splits from table-distribution metadata for the same reason
+    * (ArgodbMapreduceInputFormat.java:104-199).
+    *
+    * sizeInBytes = compressed bytes of the row groups that SURVIVE the
+    * pushed filters (partition pruning by directory values, row-group
+    * pruning by footer min/max) — so a pruned scan shrinks below the
+    * broadcast threshold exactly when its output does. numRows = the
+    * surviving footer row counts minus position-masked rows from the
+    * pinned dv sidecars (A25's metadata-only discipline: footers and
+    * sidecar indexes, never a data page). Computed once per Scan
+    * (lazy), O(surviving files) footer reads on the driver — the same
+    * metadata planInputPartitions reads anyway.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = scanStats
+
+  private lazy val scanStats: org.apache.spark.sql.connector.read.Statistics = {
+    def stat(bytes: Long, rows: Long) =
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(math.max(bytes, 1L))
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(math.max(rows, 0L))
+      }
+    if (agg.isDefined) {
+      // a pushed footer-stats aggregate emits ONE row per file before
+      // Spark's final merge — tiny by construction
+      val rows = scanFiles.size.toLong
+      val width = agg.get.outSchema.map(_.dataType.defaultSize).sum + 8L
+      stat(rows * width, rows)
+    } else {
+      val listed = GraftV2.dataFileSizes(path, conf.value).toMap
+      val survivors = scanFiles.filter { f =>
+        val pv = GraftV2.partitionValues(path, f, partSchema)
+        pv.isEmpty || !GraftV2.excludedByPartition(pv, filters)
+      }
+      var bytes = 0L
+      var rows = 0L
+      survivors.foreach { f =>
+        val blocks = footerBlocks(f)
+        val live = blocks.zipWithIndex
+          .filterNot { case (b, _) => GraftV2.canSkipRowGroup(b, filters) }
+          .filter { case (_, i) => GraftV2.inSample(f, i, sample) }
+          .map(_._1)
+        // when the whole file survives, the listing length is the
+        // honest size (block sums miss footer/header overhead on tiny
+        // files); a pruned file contributes its live blocks only
+        bytes +=
+          (if (live.length == blocks.length)
+             math.max(live.map(_.getCompressedSize).sum,
+               listed.getOrElse(f, 0L))
+           else live.map(_.getCompressedSize).sum)
+        rows += live.map(_.getRowCount).sum
+      }
+      val masked =
+        if (morDv.isEmpty) 0L
+        else GraftMorMask.load(morDv, conf.value)
+          .values.iterator.map(_.length.toLong).sum
+      stat(bytes, rows - masked)
+    }
+  }
 
   override def description(): String = agg match {
     case Some(a) =>
@@ -513,8 +609,7 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
       val partValues = GraftV2.partitionValues(path, file, partSchema)
       if (partValues.nonEmpty && GraftV2.excludedByPartition(partValues, all)) Nil
       else {
-        val footer = GraftV2.withReader(file, conf.value)(_.getFooter)
-        val blocks = footer.getBlocks.asScala.toArray
+        val blocks = footerBlocks(file)
         // file-global row index at which each row group starts — the
         // coordinate space of `_metadata.row_index` (what the masks
         // tombstone on)
@@ -547,7 +642,9 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
                 starts(i),
                 java.util.Arrays.copyOfRange(fileMask, lo, hi),
                 seqmMap.getOrElse(
-                  GraftMorMask.norm(new Path(file).toUri.getPath), 0L)))
+                  GraftMorMask.norm(new Path(file).toUri.getPath), 0L),
+                rgOffset = b.getStartingPos,
+                rgLength = b.getCompressedSize))
             }
           }.toSeq
       }
@@ -560,9 +657,19 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
       // happened above, inside each bucket.
       case slices if groupedBuckets.isDefined =>
         val n = groupedBuckets.get
+        val k = bucket.get._1.size
+        val total = totalCells(bucket.get._1, n)
         val byBucket = slices.groupBy(p => bucketIdOf(p.path).get)
-        (0 until n).map(b => GraftBucketPartition(b,
-          byBucket.getOrElse(b, Array.empty)): InputPartition).toArray
+        // flat dir id → per-column grid ids, row-major (first declared
+        // column most significant) — the inverse of the shaped write
+        (0 until total).map { flat =>
+          val ids = new Array[Int](k)
+          var rest = flat
+          var d = k - 1
+          while (d >= 0) { ids(d) = rest % n; rest /= n; d -= 1 }
+          GraftBucketPartition(ids,
+            byBucket.getOrElse(flat, Array.empty)): InputPartition
+        }.toArray
       case slices => slices.map(p => p: InputPartition)
     }
   }
@@ -584,9 +691,21 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
       if (eqKeyCols.length == 1)
         (eqMap.map { case (k, v) => k.head -> v }, Map.empty[Seq[Any], Long])
       else (Map.empty[Any, Long], eqMap)
+    // VECTORIZED eligibility, decided scan-wide on the driver: a clean
+    // table (no mutation sidecars pinned) whose projection asks no
+    // per-row metadata coordinates reads ColumnarBatches through
+    // Spark's own vectorized parquet engine (the A9 scale fix); any
+    // mask keeps the row-based reader where dv/eq tombstones apply.
+    val columnar = morDv.isEmpty && morEq.isEmpty && morSeqm.isEmpty &&
+      sample.isEmpty &&
+      !required.fieldNames.contains(GraftRowLevel.FileCol) &&
+      !required.fieldNames.contains(GraftRowLevel.PosCol)
+    val sessionTz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    val capacity = org.apache.spark.sql.internal.SQLConf.get.parquetVectorizedReaderBatchSize
     agg.map(a => GraftAggReaderFactory(a, conf): PartitionReaderFactory)
       .getOrElse(GraftReaderFactory(required, conf, eqKeyCols,
-        eqMulti, eqSingle))
+        eqMulti, eqSingle, columnar = columnar, sessionTz = sessionTz,
+        batchCapacity = capacity))
   }
 }
 
@@ -663,14 +782,19 @@ class GraftAggReader(path: String, spec: GraftAggSpec,
 /** `rowGroupStart` is the file-global row index of this row group's
   * first row; `masked` is the (sorted, absolute) slice of the table's
   * A42 deletion vector that falls inside this row group — the reader
-  * skips exactly those rows, split-locally.
+  * skips exactly those rows, split-locally. `rgOffset`/`rgLength` are
+  * the row group's byte coordinates from the footer (free at planning)
+  * — what the VECTORIZED reader's file split addresses; rgLength <= 0
+  * means unknown and forces the row-based reader.
   */
 case class GraftInputPartition(path: String, rowGroup: Int,
     hosts: Array[String] = Array.empty,
     partValues: Map[String, Any] = Map.empty,
     rowGroupStart: Long = 0L,
     masked: Array[Long] = Array.empty,
-    fileSeq: Long = 0L) extends InputPartition {
+    fileSeq: Long = 0L,
+    rgOffset: Long = 0L,
+    rgLength: Long = -1L) extends InputPartition {
   override def preferredLocations(): Array[String] = hosts
 }
 
@@ -681,13 +805,18 @@ case class GraftInputPartition(path: String, rowGroup: Int,
   * An empty bucket still plans (zero slices, a no-row task) so both
   * join sides always present the complete key set.
   */
-case class GraftBucketPartition(bucketId: Int,
+/** One grid cell of a bucket-layout scan: `bucketIds` carries the
+  * per-column bucket id in declared-column order — one value per
+  * reported `bucket(n, col)` transform, which is what Spark's SPJ
+  * matches across the two join sides.
+  */
+case class GraftBucketPartition(bucketIds: Array[Int],
     slices: Array[GraftInputPartition]) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def preferredLocations(): Array[String] =
     slices.flatMap(_.hosts).distinct
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](bucketId))
+    new GenericInternalRow(bucketIds.map(_.asInstanceOf[Any]))
 }
 
 /** `eqKeyCols`/`eqMap`: the A44/A45 equality mask (key tuple → max
@@ -699,7 +828,28 @@ case class GraftReaderFactory(required: StructType,
     conf: SerializableConfiguration,
     eqKeyCols: Seq[String] = Seq.empty,
     eqMap: Map[Seq[Any], Long] = Map.empty,
-    eqSingle: Map[Any, Long] = Map.empty) extends PartitionReaderFactory {
+    eqSingle: Map[Any, Long] = Map.empty,
+    columnar: Boolean = false,
+    sessionTz: String = "UTC",
+    batchCapacity: Int = 4096) extends PartitionReaderFactory {
+
+  /** Scan-wide columnar answer (DSv2 refuses mixed partitions): the
+    * driver decided `columnar` from the pinned sidecar state and the
+    * projection — every split of a clean table takes the vectorized
+    * path, any mutation mask keeps the whole scan row-based.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case b: GraftBucketPartition =>
+        GraftColumnarReader.bucket(b, required, conf.value, sessionTz,
+          batchCapacity)
+      case p: GraftInputPartition =>
+        GraftColumnarReader(p, required, conf.value, sessionTz, batchCapacity)
+    }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     partition match {
       case b: GraftBucketPartition =>
@@ -991,28 +1141,96 @@ object GraftV2 {
     * structure preserved), drop the staging dir and its `_staging`
     * shell when empty. Callers order their METADATA writes around this
     * (marker-first for ALTER, marker-unchanged for rebucket).
+    *
+    * Crash safety: the FULL swap intent (every retire + every move-in)
+    * is journaled inside the staging dir BEFORE the first live file is
+    * touched, then [[completeStagedSwap]] replays it idempotently. A
+    * crash anywhere mid-swap leaves the journal behind, so the table
+    * is detectably mid-swap (not silently empty/partial) and the next
+    * [[recoverStagedSwaps]] — run on catalog table load — finishes the
+    * swap instead of losing the rewrite under `_staging`.
     */
   def swapStagedFiles(fs: org.apache.hadoop.fs.FileSystem,
       tableRoot: Path, stageDir: Path, op: String): Unit = {
     val staged = dataFilesRelative(fs, stageDir)
     val old = dataFilesRelative(fs, tableRoot)
-    old.foreach { rel =>
-      if (!fs.delete(new Path(tableRoot, rel), false))
+    val journal = new Path(stageDir, SwapJournal)
+    val body = (old.map("retire\t" + _) ++ staged.map("movein\t" + _))
+      .mkString("\n")
+    val out = fs.create(journal, true)
+    out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    completeStagedSwap(fs, tableRoot, stageDir, op)
+  }
+
+  /** Staged-swap journal file name (inside the staging dir; `_`-prefixed
+    * so data-file walks skip it). Presence = the swap started mutating
+    * live files (or is about to) and must run to completion.
+    */
+  val SwapJournal = "_SWAP_JOURNAL"
+
+  /** Replay a journaled swap to completion. Idempotent: a retire of an
+    * already-deleted file is a no-op, a move-in whose source is gone
+    * but destination exists already happened (rename is atomic), so a
+    * crashed swap can be resumed any number of times.
+    */
+  def completeStagedSwap(fs: org.apache.hadoop.fs.FileSystem,
+      tableRoot: Path, stageDir: Path, op: String): Unit = {
+    val journal = new Path(stageDir, SwapJournal)
+    val in = fs.open(journal)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val entries = body.split('\n').filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      (line.substring(0, i), line.substring(i + 1))
+    }
+    entries.collect { case ("retire", rel) => rel }.foreach { rel =>
+      val p = new Path(tableRoot, rel)
+      if (fs.exists(p) && !fs.delete(p, false))
         throw new IllegalStateException(
           s"[GRAFT] $op failed to retire $tableRoot/$rel")
     }
-    staged.foreach { rel =>
+    entries.collect { case ("movein", rel) => rel }.foreach { rel =>
       val src = new Path(stageDir, rel)
       val dst = new Path(tableRoot, rel)
-      fs.mkdirs(dst.getParent)
-      if (!fs.rename(src, dst))
+      if (fs.exists(src)) {
+        fs.mkdirs(dst.getParent)
+        if (fs.exists(dst)) fs.delete(dst, false) // partial pre-atomic copy
+        if (!fs.rename(src, dst))
+          throw new IllegalStateException(
+            s"[GRAFT] $op move-in failed: rename($src -> $dst)")
+      } else if (!fs.exists(dst))
         throw new IllegalStateException(
-          s"[GRAFT] $op move-in failed: rename($src -> $dst)")
+          s"[GRAFT] $op move-in lost $rel: neither staged nor in place")
     }
+    fs.delete(journal, false)
     fs.delete(stageDir, true)
     val shell = stageDir.getParent
     if (fs.exists(shell) && fs.listStatus(shell).isEmpty)
       fs.delete(shell, false)
+  }
+
+  /** Finish any swap a prior process crashed through: a staging dir
+    * carrying a journal had already declared its full intent, so
+    * replaying it is the ONLY state-restoring move (the live dir may
+    * be mid-retire); a staging dir WITHOUT a journal never touched
+    * live files — abandoned work, left for vacuum. Costs one exists()
+    * when the table has no `_staging` shell.
+    */
+  def recoverStagedSwaps(fs: org.apache.hadoop.fs.FileSystem,
+      tableRoot: Path): Unit = {
+    val shell = new Path(tableRoot, "_staging")
+    if (!fs.exists(shell)) return
+    fs.listStatus(shell).filter(_.isDirectory).foreach { st =>
+      val j = new Path(st.getPath, SwapJournal)
+      if (fs.exists(j))
+        completeStagedSwap(fs, tableRoot, st.getPath, "swap recovery")
+    }
   }
 
   def dataFileSizes(path: String, conf: Configuration): Seq[(String, Long)] = {

@@ -270,8 +270,14 @@ class GraftFeedStream(root: String, schema: StructType,
       segs.lastOption
         .map(s => (s.seq, s.files.map { case (f, l, _) => (f, l) }, false))
         .orElse(
-          if (foldedUpTo >= 0L && foldedSentinel.nonEmpty)
-            Some((foldedUpTo, foldedSentinel, true))
+          // keep the sentinel even when the newest folded segment
+          // recorded ZERO files: a committed empty segment is a valid
+          // index entry, and a reset whose new tip reaches the indexed
+          // sequence would otherwise go undetected in exactly this
+          // case — an existing seq dir must then list zero data files
+          // (non-empty on-disk vs empty recorded is drift/reset); only
+          // an ABSENT dir is legitimate retirement.
+          if (foldedUpTo >= 0L) Some((foldedUpTo, foldedSentinel, true))
           else None)
     sentinel.foreach { case (seq, recorded, foldedOnly) =>
       val dir = s"$root/segments/seq=$seq"

@@ -29,9 +29,25 @@ import org.apache.spark.sql.types.{LongType, StructType}
 object GraftLayout {
 
   /** kind ∈ {"sort", "zorder", "bucket"}; cols in declared order;
-    * `buckets` > 0 only for bucket layouts (A65).
+    * `buckets` > 0 only for bucket layouts (A65) — the PER-COLUMN
+    * bucket count (grid semantics: a k-column declaration makes
+    * buckets^k physical cells).
     */
   final case class Layout(kind: String, cols: Seq[String], buckets: Int = 0)
+
+  /** Physical cell count of a bucket layout: buckets^cols (the grid).
+    * The declared per-column count is what each `bucket(n, col)`
+    * transform reports; this is the dir/partition count.
+    */
+  def totalBuckets(l: Layout): Int = {
+    require(l.kind == "bucket", s"[GRAFT] totalBuckets on '${l.kind}' layout")
+    l.cols.foldLeft(1L)((acc, _) => acc * l.buckets) match {
+      case t if t >= 1 && t <= 65536 => t.toInt
+      case t => throw new IllegalStateException(
+        s"[GRAFT] bucket grid of ${l.cols.size} x ${l.buckets} = $t cells " +
+          "is out of [1, 65536]")
+    }
+  }
 
   /** The synthetic directory column a bucket layout writes
     * (`bucket=N/` dirs) — structural, never part of the declared
@@ -42,6 +58,25 @@ object GraftLayout {
   private def markerPath(tablePath: String) = new org.apache.hadoop.fs.Path(
     s"$tablePath/${graft.sources.GraftMor.SchemaDir}/layout")
 
+  /** The ONE (tableRoot, file) → bucket-id parse every surface shares —
+    * scan co-location (GraftScan), advisor stray-file detection
+    * (GraftAdvisor): a conforming file sits EXACTLY one `bucket=N` dir
+    * below the table root, N >= 0. Centralized because drift between
+    * hand-rolled copies of this rule would make the advisor report a
+    * clean layout while the scan silently degrades to shuffled joins
+    * (or flag rebucket forever on a layout the scan accepts).
+    */
+  def bucketIdOf(tableRoot: String, file: String): Option[Int] = {
+    val root = new org.apache.hadoop.fs.Path(tableRoot).toUri.getPath
+    val rel = new org.apache.hadoop.fs.Path(file).toUri.getPath
+      .stripPrefix(root).stripPrefix("/")
+    val segs = rel.split('/')
+    if (segs.length == 2 && segs(0).startsWith(BucketDirCol + "="))
+      scala.util.Try(segs(0).substring(BucketDirCol.length + 1).toInt)
+        .toOption.filter(_ >= 0)
+    else None
+  }
+
   private val Shape = """^\s*(sort|zorder|bucket)\s*\(\s*([^)]+?)\s*\)\s*$""".r
 
   /** The declaration string a layout round-trips to (what
@@ -51,42 +86,67 @@ object GraftLayout {
     s"${l.kind}(${l.cols.mkString(",")}" +
       (if (l.kind == "bucket") s",${l.buckets})" else ")")
 
+  /** The types a zorder key may have: anything with an exact monotone
+    * map to a 64-bit integer — BIGINT identity, TIMESTAMP/TIMESTAMP_NTZ
+    * as epoch micros, DATE as epoch days. Real tables cluster on
+    * (tenant, ts); restricting zorder to BIGINT pairs would shut out
+    * exactly that shape.
+    */
+  private def zorderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case LongType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.TimestampNTZType => true
+      case org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }
+
   /** Parse + validate a `layout` table property against the declared
     * schema. Refusals BY NAME: unknown shape, missing columns,
     * partition columns (hive layout already clusters them into
     * directories — a second declaration would be a contradiction),
-    * zorder arity/type (exactly two BIGINT columns — the Morton
-    * interleave is integer bit arithmetic), bucket arity/type/count
-    * (one BIGINT column + a literal bucket count — the A65 hash is
-    * integer arithmetic and the count is the table's co-location
-    * contract).
+    * zorder arity/type (2–4 columns, each BIGINT/TIMESTAMP/DATE — the
+    * interleave is integer bit arithmetic over a monotone 64-bit map),
+    * bucket arity/type/count (1–4 BIGINT key columns + a literal
+    * bucket count — the A65 hash is integer arithmetic and the count
+    * is the table's co-location contract).
     */
   def parse(spec: String, schema: StructType, partCols: Seq[String]): Layout = {
     val (kind, colsRaw) = spec match {
       case Shape(k, cs) => (k, cs)
       case _ => throw new IllegalArgumentException(
         s"[GRAFT] bad layout property '$spec': expected " +
-          "'sort(c1,c2,...)', 'zorder(a,b)' or 'bucket(k,N)'")
+          "'sort(c1,c2,...)', 'zorder(c1,c2,...)' or 'bucket(k1,...,N)'")
     }
     val parts = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     if (kind == "bucket") {
-      require(parts.size == 2,
-        s"[GRAFT] bucket layout takes (column, bucketCount), got '$spec'")
-      val c = parts.head
-      val n = try parts(1).toInt catch {
+      require(parts.size >= 2,
+        s"[GRAFT] bucket layout takes (column[, ...], bucketCount), got '$spec'")
+      val cols = parts.init
+      require(cols.size <= 4,
+        s"[GRAFT] bucket layout takes at most 4 key columns, got " +
+          s"${cols.size} in '$spec'")
+      require(cols.distinct.size == cols.size,
+        s"[GRAFT] layout '$spec' repeats a column")
+      val n = try parts.last.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
-          s"[GRAFT] bucket count must be a literal INT, got '${parts(1)}'")
+          s"[GRAFT] bucket count must be a literal INT, got '${parts.last}'")
       }
       require(n > 0 && n <= 65536,
         s"[GRAFT] bucket count must be in [1, 65536], got $n")
-      require(schema.fieldNames.contains(c),
-        s"[GRAFT] layout column '$c' is not in the table schema")
-      require(!partCols.contains(c),
-        s"[GRAFT] layout column '$c' is a partition column - the hive " +
-          "directory layout already clusters it; declare data columns only")
-      require(schema(c).dataType == LongType,
-        s"[GRAFT] bucket column '$c' must be BIGINT (the A65 bucket hash " +
-          s"is integer arithmetic), got ${schema(c).dataType.simpleString}")
+      require(cols.foldLeft(1L)((acc, _) => acc * n) <= 65536L,
+        s"[GRAFT] bucket grid ${cols.size} x $n exceeds 65536 physical " +
+          "cells - lower the per-column count")
+      cols.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"[GRAFT] layout column '$c' is not in the table schema")
+        require(!partCols.contains(c),
+          s"[GRAFT] layout column '$c' is a partition column - the hive " +
+            "directory layout already clusters it; declare data columns only")
+        require(schema(c).dataType == LongType,
+          s"[GRAFT] bucket column '$c' must be BIGINT (the A65 bucket hash " +
+            s"is integer arithmetic), got ${schema(c).dataType.simpleString}")
+      }
       require(!schema.fieldNames.contains(BucketDirCol),
         s"[GRAFT] a bucket-layout table cannot declare a column named " +
           s"'$BucketDirCol' (reserved for the bucket directory layout)")
@@ -94,7 +154,7 @@ object GraftLayout {
         "[GRAFT] bucket layout on a hive-partitioned table is not " +
           "supported - a bucket split would span partition directories; " +
           "declare one or the other")
-      return Layout(kind, Seq(c), n)
+      return Layout(kind, cols, n)
     }
     val cols = parts
     require(cols.nonEmpty, s"[GRAFT] layout '$spec' names no columns")
@@ -108,13 +168,14 @@ object GraftLayout {
           "directory layout already clusters it; declare data columns only")
     }
     if (kind == "zorder") {
-      require(cols.size == 2,
-        s"[GRAFT] zorder layout takes exactly two columns, got " +
+      require(cols.size >= 2 && cols.size <= 4,
+        s"[GRAFT] zorder layout takes 2 to 4 columns, got " +
           s"${cols.size} in '$spec'")
       cols.foreach { c =>
-        require(schema(c).dataType == LongType,
-          s"[GRAFT] zorder column '$c' must be BIGINT (Morton interleave " +
-            s"is integer bit arithmetic), got ${schema(c).dataType.simpleString}")
+        require(zorderable(schema(c).dataType),
+          s"[GRAFT] zorder column '$c' must be BIGINT, TIMESTAMP or DATE " +
+            "(the interleave needs a monotone 64-bit integer map), got " +
+            schema(c).dataType.simpleString)
       }
     }
     Layout(kind, cols)
@@ -224,38 +285,84 @@ object GraftLayout {
     * function) — sorted within by the key, so each bucket dir gets ONE
     * sorted file per insert.
     */
+  /** Monotone 64-bit integer view of a zorder key column: BIGINT
+    * as-is, TIMESTAMP/TIMESTAMP_NTZ as epoch micros, DATE as epoch
+    * days. Monotonicity is the only property the interleave needs —
+    * the NTZ cast's session-zone interpretation shifts every value by
+    * the same constant, so clustering is unaffected.
+    */
+  private def longKey(data: DataFrame, c: String) = {
+    import org.apache.spark.sql.functions.{unix_date, unix_micros}
+    data.schema(c).dataType match {
+      case LongType => col(c)
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("long")
+      case other => throw new IllegalStateException(
+        s"[GRAFT] zorder column '$c' has unzorderable type " +
+          other.simpleString)
+    }
+  }
+
   def shape(data: DataFrame, layout: Layout): DataFrame = layout match {
-    case Layout("bucket", Seq(k), n) =>
+    case Layout("bucket", cols, n) =>
       import org.apache.spark.sql.functions.{hash, lit, pmod}
-      data.repartition(n, col(k))
-        .sortWithinPartitions(col(k))
-        .withColumn(BucketDirCol, pmod(hash(col(k)), lit(n)))
+      // GRID bucketing: each key column buckets INDEPENDENTLY into n
+      // cells and the flat dir id row-majors the per-column ids
+      // (first column most significant) — the Iceberg multi-field
+      // shape. This is deliberate: Spark's storage-partitioned join
+      // resolves only single-column bucket transforms (a multi-ref
+      // bucket falls to a generic transform whose numBuckets literal
+      // fails ClusteredDistribution matching), so a composite-hash
+      // bucket could never co-locate; one bucket(n, col) transform
+      // per column can. Single column: flat == the one id, the
+      // original layout unchanged.
+      val flat = cols.map(c => pmod(hash(col(c)), lit(n)))
+        .reduceLeft((acc, b) => acc * n + b)
+      val total = totalBuckets(Layout("bucket", cols, n))
+      // all rows of a cell share the flat id, so the repartition puts
+      // each cell in exactly one task; partitionBy(BucketDirCol) then
+      // writes one key-sorted file per cell dir
+      data.withColumn(BucketDirCol, flat)
+        .repartition(total, col(BucketDirCol))
+        .sortWithinPartitions(cols.map(col): _*)
     case Layout("sort", cols, _) =>
       data.repartitionByRange(cols.map(col): _*)
         .sortWithinPartitions(cols.map(col): _*)
-    case Layout("zorder", Seq(a, b), _) =>
-      val bounds = data.agg(min(a), max(a), min(b), max(b)).first()
-      if (bounds.isNullAt(0) || bounds.isNullAt(2))
+    case Layout("zorder", zcols, _) =>
+      val k = zcols.size
+      // one O(batch) bounds aggregate over every key dim
+      val aggCols = zcols.flatMap(c =>
+        Seq(min(longKey(data, c)), max(longKey(data, c))))
+      val bounds = data.agg(aggCols.head, aggCols.tail: _*).first()
+      if ((0 until k).forall(d => bounds.isNullAt(2 * d)))
         return data // empty or all-null batch: nothing to cluster
       // scale ENTIRELY in DOUBLE: both the Long subtraction
       // (col - lo) and the Long span (hi - lo) overflow when the key
       // domain spans more than half the Long range (hash-valued keys)
       // — the 16-bit target makes double precision exact enough
       def scaled(c: String, lo: Long, hi: Long) =
-        ((col(c).cast("double") - lo.toDouble) * 65535.0 /
+        ((longKey(data, c).cast("double") - lo.toDouble) * 65535.0 /
           math.max(hi.toDouble - lo.toDouble, 1.0)).cast("long")
-      data
-        .withColumn("__graft_zc",
-          scaled(a, bounds.getLong(0), bounds.getLong(1)))
-        .withColumn("__graft_zo",
-          scaled(b, bounds.getLong(2), bounds.getLong(3)))
+      val withDims = zcols.zipWithIndex.foldLeft(data) { case (df, (c, d)) =>
+        // an all-null dim keeps lo=hi=0: its (null) bits null the key
+        // and those rows range-sort together — harmless
+        val lo = if (bounds.isNullAt(2 * d)) 0L else bounds.getLong(2 * d)
+        val hi = if (bounds.isNullAt(2 * d + 1)) 0L else bounds.getLong(2 * d + 1)
+        df.withColumn(s"__graft_zd$d", scaled(c, lo, hi))
+      }
+      // generalized Morton interleave: bit i of dim d lands at
+      // position k*i + (k-1-d) — 16 bits per dim, <= 64 bits total
+      val terms = (0 until k).map(d =>
+        s"shiftleft((shiftright(__graft_zd$d, i) & 1), $k * i + ${k - 1 - d})")
+        .mkString(" + ")
+      withDims
         .withColumn("__graft_z", expr(
-          """aggregate(sequence(0, 15), 0L, (acc, i) ->
-               acc + shiftleft((shiftright(__graft_zc, i) & 1), 2 * i + 1)
-                   + shiftleft((shiftright(__graft_zo, i) & 1), 2 * i))"""))
+          s"aggregate(sequence(0, 15), 0L, (acc, i) -> acc + ($terms))"))
         .repartitionByRange(col("__graft_z"))
         .sortWithinPartitions("__graft_z")
-        .drop("__graft_z", "__graft_zc", "__graft_zo")
+        .drop("__graft_z" +: (0 until k).map(d => s"__graft_zd$d"): _*)
     case other => throw new IllegalStateException(
       s"[GRAFT] unknown layout marker kind '${other.kind}'")
   }

@@ -547,6 +547,25 @@ class GraftLogStream(path: String, schema: StructType,
         // treats as out-of-range (harmless; the retried fold
         // recreates them)
         val d = foldedDir(p)
+        if (!ckFs.exists(d) && st.base.count > 0L) {
+          // first fold since the marker upgrade on a checkpoint that
+          // already folded segments pre-marker: seed the dir with every
+          // on-disk name inside the committed range. Those names were
+          // accepted by every pre-marker poll (the dir-absent skip), so
+          // they are provably legitimate folds — without seeding, the
+          // moment this fold creates the dir they would sort inside
+          // [base.firstName, base.lastName] with no marker and brick a
+          // healthy stream with a false 'never indexed' refusal.
+          ckFs.mkdirs(d)
+          GraftV2.dataFileSizes(s"$path/partition=$p", conf.value)
+            .foreach { case (f, _) =>
+              val n = new Path(f).getName
+              if (n <= st.base.lastName) {
+                ckFs.create(new Path(d, n), true).close()
+                st.folded += n
+              }
+            }
+        }
         ckFs.mkdirs(d)
         st.segs.take(i).foreach { seg =>
           val out = ckFs.create(new Path(d, seg.name), true)

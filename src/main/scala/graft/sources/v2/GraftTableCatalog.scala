@@ -120,7 +120,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
       val layout = GraftLayout.readMarker(hadoopFs, tablePath)
       GraftTable(tablePath, full, Seq.empty, partSchema,
         layoutBucket = layout.filter(_.kind == "bucket")
-          .map(l => (l.cols.head, l.buckets)),
+          .map(l => (l.cols, l.buckets)),
         layoutSpec = layout.map(GraftLayout.describe))
     }
 
@@ -169,8 +169,13 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table =
     tables.getOrElseUpdate((ident.namespace.mkString("/"), ident.name), {
       val nsCat = catalogFor(ident.namespace)
-      val files = nsCat.snapshotFiles(ident.name).map(_._1)
       val createdPath = s"${nsDir(ident.namespace)}/${ident.name}.parquet"
+      // a crashed staged swap (ALTER rewrite / rebucket) left a journal
+      // behind: finish it BEFORE pinning the file listing, or the pin
+      // would capture the mid-retire partial state
+      GraftV2.recoverStagedSwaps(hadoopFs,
+        new org.apache.hadoop.fs.Path(createdPath))
+      val files = nsCat.snapshotFiles(ident.name).map(_._1)
       if (files.isEmpty)
         return emptyCreatedTable(createdPath)
           .getOrElse(throw new NoSuchTableException(ident))
@@ -217,7 +222,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         org.apache.spark.sql.types.StructType(fileSchema.fields ++ partSchema.fields),
         files, partSchema, morDv = morDv, morEq = morEq, morSeqm = morSeqm,
         layoutBucket = layout.filter(_.kind == "bucket")
-          .map(l => (l.cols.head, l.buckets)),
+          .map(l => (l.cols, l.buckets)),
         layoutSpec = layout.map(GraftLayout.describe))
     })
 
@@ -696,10 +701,32 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
           org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
           bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
         } finally in.close()
+        // prefix-anchored per-line rewrite: a manifest line carries its
+        // path as the LAST tab field (`len\tpath`, `#sidecar\t..\tpath`);
+        // only that field, and only when it IS the old root or starts
+        // with it as a path prefix, is rewritten — a blanket
+        // body.replace would corrupt any future field that happened to
+        // contain the root as a substring (e.g. a schema comment)
+        val oldPrefix = oldPath + "/"
+        val rewritten = body.split("\n", -1).map { line =>
+          val i = line.lastIndexOf('\t')
+          if (i < 0) line
+          else {
+            val p = line.substring(i + 1)
+            // stored paths may carry a scheme (`file:/...`): anchor on
+            // the URI path portion, preserve the scheme prefix as-is
+            val uriPath = scala.util.Try(
+              new org.apache.hadoop.fs.Path(p).toUri.getPath).getOrElse("")
+            if (uriPath == oldPath || uriPath.startsWith(oldPrefix)) {
+              val scheme = p.substring(0, p.length - uriPath.length)
+              line.substring(0, i + 1) + scheme + newPath +
+                uriPath.substring(oldPath.length)
+            } else line
+          }
+        }.mkString("\n")
         val out = hadoopFs.create(
           new org.apache.hadoop.fs.Path(newMan, st.getPath.getName), true)
-        try out.write(body.replace(oldPath, newPath)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try out.write(rewritten.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
       }
     }

@@ -84,6 +84,49 @@ class SimilaritySpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters"), plan.take(400))
   }
 
+  test("SQL TVFs: graft_knn is exact from pure SQL; graft_knn_ivf probes the persisted index (pruned scan) and equals the Scala path") {
+    // brute-force TVF over one literal query vector: the vector itself
+    // must come back first at cos 1.0, k rows, sorted best-first
+    val q0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
+    val vecSql = q0.map(d => java.lang.Double.toString(d))
+      .mkString("array(", ",", ")")
+    val knn = spark.sql(
+      s"SELECT * FROM graft_knn('$sfDir/embeddings.parquet', $vecSql, 11)")
+    val rows = knn.collect()
+    assert(rows.length === 11)
+    assert(rows.head.getLong(0) === 0L && rows.head.getDouble(1) === 1.0,
+      s"self must rank first: ${rows.head}")
+    assert(rows.map(_.getDouble(1)).toSeq === rows.map(_.getDouble(1)).sorted.reverse.toSeq)
+    // the brute-force TVF plans a TakeOrdered selection, not a global sort
+    val knnPlan = knn.queryExecution.executedPlan.toString
+    assert(knnPlan.contains("TakeOrderedAndProject"), knnPlan.take(600))
+    // the ivf TVF (driven via sim_sql_topk) equals the persisted Scala
+    // path value-for-value: same centroid artifact, same probe rule,
+    // same scoring
+    val sqlRes = Similarity.sqlTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val scalaRes = Similarity.ivfPersistedTopk(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sqlRes === scalaRes,
+      s"sql=${sqlRes.take(5)} scala=${scalaRes.take(5)}")
+    // and the probe is an INDEX read: partition-pruned, not a corpus scan
+    val idx = graft.sources.GraftSink.scratchDir + "/ivf_index_sql"
+    val probe = spark.sql(
+      s"SELECT * FROM graft_knn_ivf('$idx', $vecSql, 10, 4)")
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters") &&
+      probePlan.contains("centroid_id"), probePlan.take(800))
+    val scan = probe.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    probe.count()
+    assert(scan.metrics("numFiles").value <
+      spark.read.parquet(idx).inputFiles.length,
+      "probe must read fewer files than the full index")
+  }
+
   test("IVF results are a subset of valid neighbors (no self matches)") {
     val out = Similarity.ivfTopk(spark, sfDir).collect()
     assert(out.forall(r => r.getLong(0) != r.getLong(1)))

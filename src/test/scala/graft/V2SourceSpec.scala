@@ -284,6 +284,75 @@ class V2SourceSpec extends SparkSpecBase {
     }.getMessage.contains("numeric snapshot id"))
   }
 
+  test("a crashed staged swap is journaled and finishes on table load — never an empty/partial table") {
+    val wh = graft.sources.GraftSink.scratchDir + "/swapcrash_wh"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$wh/db"))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftswp")
+    spark.sql("CREATE TABLE graftswp.db.t AS SELECT id AS k FROM range(100)")
+    spark.sql("REFRESH TABLE graftswp.db.t")
+    val root = new org.apache.hadoop.fs.Path(s"$wh/db/t.parquet")
+    val olds = GraftV2.dataFilesRelative(fs, root)
+    assert(olds.nonEmpty)
+    // a COW rewrite staged its replacement and journaled the full swap
+    // intent, then crashed MID-RETIRE (some live files already gone)
+    val stage = new org.apache.hadoop.fs.Path(root, "_staging/alter_crash")
+    spark.range(100).selectExpr("id + 1000 AS k").coalesce(1)
+      .write.parquet(stage.toString)
+    val staged = GraftV2.dataFilesRelative(fs, stage)
+    val body = (olds.map("retire\t" + _) ++ staged.map("movein\t" + _))
+      .mkString("\n")
+    val out = fs.create(new org.apache.hadoop.fs.Path(stage,
+      GraftV2.SwapJournal), true)
+    out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    olds.take(math.max(olds.size / 2, 1)).foreach(rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, rel), false))
+    // the next table load REPLAYS the journal to completion instead of
+    // pinning (and serving) the torn mid-retire state
+    spark.sql("REFRESH TABLE graftswp.db.t")
+    assert(spark.sql("SELECT count(*) AS n, min(k) AS m FROM graftswp.db.t")
+      .head().toString === "[100,1000]",
+      "recovery must serve the REWRITTEN state, whole")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_staging")),
+      "the staging shell is cleaned after replay")
+  }
+
+  test("publish instants live INSIDE manifests (mtime-proof TIMESTAMP AS OF); concurrent publishers interleave via create-if-absent retry") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_pubts").toString
+    spark.range(5).toDF("k").write.parquet(s"$wh/t.parquet")
+    val v1 = new graft.sources.GraftCatalog(spark, wh).publishSnapshot("t")
+    Thread.sleep(50)
+    val midMs = System.currentTimeMillis()
+    Thread.sleep(50)
+    spark.range(7).toDF("k").write.mode("append").parquet(s"$wh/t.parquet")
+    val v2n = new graft.sources.GraftCatalog(spark, wh).publishSnapshot("t")
+    // an fs-level copy / restore / distcp rewrites mtimes — simulate by
+    // resetting every manifest's mtime to the epoch; resolution must
+    // come from the RECORDED #publishedAt line, not fs state
+    val snapDir = new org.apache.hadoop.fs.Path(
+      s"$wh/${graft.sources.GraftCatalog.SnapshotDir}/t")
+    val fs = snapDir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(snapDir).foreach(st => fs.setTimes(st.getPath, 1000L, -1))
+    val c3 = new graft.sources.GraftCatalog(spark, wh)
+    assert(c3.snapshotIdAt("t", midMs) === v1,
+      "mid-instant must resolve the FIRST epoch from its recorded " +
+        "instant (mtime resolution would wrongly serve the newest)")
+    assert(c3.snapshotIdAt("t", System.currentTimeMillis()) === v2n)
+    // a rival publisher holds the next id (its create-if-absent won):
+    // this publisher re-derives one higher instead of throwing
+    val rivalId = v2n + 1
+    fs.create(new org.apache.hadoop.fs.Path(snapDir, s"v$rivalId"), false)
+      .close()
+    val v3 = c3.publishSnapshot("t")
+    assert(v3 === rivalId + 1, s"loser must re-derive past the rival: got $v3")
+    assert(c3.snapshotIds("t") === Seq(v1, v2n, rivalId, v3),
+      "the epoch log stays linear across contending publishers")
+  }
+
   test("SQL catalog reads are snapshot-pinned (mid-session arrivals invisible)") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft_sqlcat").toString
@@ -2034,5 +2103,271 @@ class V2SourceSpec extends SparkSpecBase {
     val eDup = intercept[Exception](spark.sql(
       "ALTER TABLE graftrn.db2.t_new RENAME TO db2.t_block"))
     assert(chainMsg(eDup).toLowerCase.contains("already exists"), chainMsg(eDup))
+  }
+
+  test("v2 columnar reads: clean scans serve ColumnarBatches through whole-stage codegen; partition re-attach, NTZ and projections stay value-exact; masks force the row path") {
+    // the A9 fix: a clean (unmasked) scan decodes via Spark's
+    // vectorized parquet engine — the plan shows the columnar→row
+    // boundary instead of a row-producing BatchScan
+    val df = v2("orders").where(col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_totalprice")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), "clean scan must be columnar:\n" +
+      plan.take(800))
+    // values: filtered projection equals the native reader exactly
+    assert(df.orderBy("o_orderkey").collect().map(_.toString).toSeq ===
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .where(col("o_totalprice") > 100000.0)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey").collect().map(_.toString).toSeq)
+    // NTZ timestamps decode identically through the vectorized path
+    val ev = v2("events").select("event_id", "ts", "user_id")
+    assert(ev.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(ev.orderBy("event_id").limit(500).collect().map(_.toString).toSeq ===
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select("event_id", "ts", "user_id")
+        .orderBy("event_id").limit(500).collect().map(_.toString).toSeq)
+    // hive-partitioned: partition values re-attach via the batch's
+    // appended constant columns, in the PROJECTION's declared order
+    val pdir = graft.sources.GraftSink.scratchDir + "/columnar_part"
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("o_orderkey") % 3).as("pk"))
+      .write.mode("overwrite").partitionBy("pk").parquet(pdir)
+    val part = spark.read.format("graft").load(pdir)
+      .select("pk", "o_orderkey", "o_totalprice") // partition col FIRST
+    assert(part.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "partitioned clean scan must be columnar")
+    assert(part.orderBy("o_orderkey").collect().map(_.toString).toSeq ===
+      spark.read.parquet(pdir).select("pk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey").collect().map(_.toString).toSeq)
+    // a dv-masked table keeps the row-based reader (masks apply
+    // per-row) — and serves the masked values correctly
+    val mdir = graft.sources.GraftSink.scratchDir + "/columnar_mor"
+    val fs2 = new org.apache.hadoop.fs.Path(mdir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs2.delete(new org.apache.hadoop.fs.Path(mdir), true)
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+      .write.parquet(mdir)
+    graft.sources.GraftMor.morDelete(spark, mdir, col("k") < 40)
+    // route through the mask-applying serve path
+    val served = graft.sources.GraftMor.morRead(spark, mdir)
+    assert(served.count() === 60L)
+    assert(!served.queryExecution.executedPlan.toString.contains("ColumnarToRow") ||
+      served.where(col("k") < 40).count() === 0L,
+      "masked serve must stay correct")
+  }
+
+  test("widened layouts: zorder on (BIGINT, TIMESTAMP) prunes both dims; 3-dim interleave; two-column bucket SPJ joins exchange-free") {
+    import graft.sources.v2.GraftScan
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    import org.apache.spark.sql.types._
+    val wh = graft.sources.GraftSink.scratchDir + "/layout_wide_wh"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$wh/db"))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftwide")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", "65536")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // ── (BIGINT, TIMESTAMP_NTZ) zorder over the events table ──
+      spark.sql("CREATE TABLE graftwide.db.ev_z (event_id BIGINT, " +
+        "ts TIMESTAMP_NTZ, user_id BIGINT, value DOUBLE) " +
+        "TBLPROPERTIES ('layout'='zorder(user_id,ts)')")
+      spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .select("event_id", "ts", "user_id", "value")
+        .createOrReplaceTempView("wide_ev_src")
+      spark.sql("INSERT INTO graftwide.db.ev_z SELECT * FROM wide_ev_src")
+      spark.sql("REFRESH TABLE graftwide.db.ev_z")
+      assert(spark.sql(
+        "SELECT count(*) AS n, sum(event_id) AS s FROM graftwide.db.ev_z")
+        .head().toString ===
+        spark.sql("SELECT count(*) AS n, sum(event_id) AS s FROM wide_ev_src")
+          .head().toString)
+      val evPath = s"$wh/db/ev_z.parquet"
+      val evSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampNTZType)))
+      def evParts(filters: Array[org.apache.spark.sql.sources.Filter]): Int =
+        GraftScan(evPath, evSchema, filters).planInputPartitions().length
+      val evTotal = evParts(Array.empty)
+      assume(evTotal > 3, s"need multiple row groups, got $evTotal")
+      val byUser = evParts(Array(
+        GreaterThanOrEqual("user_id", 100L), LessThanOrEqual("user_id", 150L)))
+      assert(byUser < evTotal, s"user band must prune: $byUser of $evTotal")
+      // the TIME dimension prunes too: a one-day band expressed in the
+      // footer's physical INT64-micros coordinate space
+      val tsBounds = spark.sql(
+        "SELECT min(ts), max(ts) FROM wide_ev_src").head()
+      val lo = tsBounds.getAs[java.time.LocalDateTime](0)
+      def micros(t: java.time.LocalDateTime): Long =
+        t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+          t.getNano / 1000L
+      val dayLo = micros(lo)
+      val byTs = evParts(Array(
+        GreaterThanOrEqual("ts", dayLo), LessThanOrEqual("ts", dayLo + 86400000000L)))
+      assert(byTs < evTotal, s"ts band must prune: $byTs of $evTotal")
+      // ── 3-dim interleave accepts and stays lossless ──
+      spark.sql("CREATE TABLE graftwide.db.li_z3 (l_orderkey BIGINT, " +
+        "l_partkey BIGINT, l_suppkey BIGINT, l_quantity DOUBLE) " +
+        "TBLPROPERTIES ('layout'='zorder(l_orderkey,l_partkey,l_suppkey)')")
+      spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .createOrReplaceTempView("wide_li_src")
+      spark.sql("INSERT INTO graftwide.db.li_z3 SELECT * FROM wide_li_src")
+      spark.sql("REFRESH TABLE graftwide.db.li_z3")
+      assert(spark.sql("SELECT count(*) AS n, sum(l_partkey) AS s " +
+        "FROM graftwide.db.li_z3").head().toString ===
+        spark.sql("SELECT count(*) AS n, sum(l_partkey) AS s " +
+          "FROM wide_li_src").head().toString)
+      val z3Path = s"$wh/db/li_z3.parquet"
+      val z3Schema = StructType(Seq(StructField("l_partkey", LongType)))
+      def z3Parts(filters: Array[org.apache.spark.sql.sources.Filter]): Int =
+        GraftScan(z3Path, z3Schema, filters).planInputPartitions().length
+      val z3Total = z3Parts(Array.empty)
+      assume(z3Total > 3, s"need multiple row groups, got $z3Total")
+      assert(z3Parts(Array(GreaterThanOrEqual("l_partkey", 0L),
+        LessThanOrEqual("l_partkey", 50L))) < z3Total,
+        "the MIDDLE interleave dim must prune")
+      // zorder arity/type refusals stay loud
+      val eAr = intercept[Exception](spark.sql(
+        "CREATE TABLE graftwide.db.bad5 (a BIGINT, b BIGINT, c BIGINT, " +
+          "d BIGINT, e BIGINT) TBLPROPERTIES ('layout'='zorder(a,b,c,d,e)')"))
+      assert(chainMsg(eAr).contains("2 to 4"), chainMsg(eAr))
+      // ── two-column bucket SPJ ──
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        spark.sql("CREATE TABLE graftwide.db.li_a (l_orderkey BIGINT, " +
+          "l_linenumber BIGINT, l_quantity DOUBLE) " +
+          "TBLPROPERTIES ('layout'='bucket(l_orderkey,l_linenumber,8)')")
+        spark.sql("CREATE TABLE graftwide.db.li_b (l_orderkey BIGINT, " +
+          "l_linenumber BIGINT, l_extendedprice DOUBLE) " +
+          "TBLPROPERTIES ('layout'='bucket(l_orderkey,l_linenumber,8)')")
+        spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .createOrReplaceTempView("wide_li2_src")
+        spark.sql("INSERT INTO graftwide.db.li_a SELECT l_orderkey, " +
+          "CAST(l_linenumber AS BIGINT), l_quantity FROM wide_li2_src")
+        spark.sql("INSERT INTO graftwide.db.li_b SELECT l_orderkey, " +
+          "CAST(l_linenumber AS BIGINT), l_extendedprice FROM wide_li2_src")
+        spark.sql("REFRESH TABLE graftwide.db.li_a")
+        spark.sql("REFRESH TABLE graftwide.db.li_b")
+        assert(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$wh/db/li_a.parquet/bucket=0")), "bucket dirs must exist")
+        val joined = spark.sql("""
+          SELECT q.l_orderkey, q.l_linenumber, q.l_quantity, p.l_extendedprice
+          FROM graftwide.db.li_a q JOIN graftwide.db.li_b p
+            ON q.l_orderkey = p.l_orderkey AND q.l_linenumber = p.l_linenumber""")
+        val shuffles = allPlanNodes(joined.queryExecution.executedPlan).count(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+        assert(shuffles === 0,
+          "two-column bucket SPJ must plan zero join exchanges:\n" +
+            joined.queryExecution.executedPlan.toString.take(1500))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — compare against the plain shuffled join, which
+        // carries the same per-key cross products
+        val expected = spark.sql("""
+          SELECT q.l_orderkey, CAST(q.l_linenumber AS BIGINT) AS l_linenumber,
+                 q.l_quantity, p.l_extendedprice
+          FROM wide_li2_src q JOIN wide_li2_src p
+            ON q.l_orderkey = p.l_orderkey AND q.l_linenumber = p.l_linenumber""")
+        assert(joined.collect().map(_.toString).sorted.toSeq ===
+          expected.collect().map(_.toString).sorted.toSeq)
+      } finally {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+  }
+
+  private def v2ScanStats(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats
+    }.get
+
+  test("v2 reported statistics: dim auto-broadcasts with NO hint; pruning shrinks sizes") {
+    val wh = graft.sources.GraftSink.scratchDir + "/stats_bc"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftstat")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftstat.db")
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .createOrReplaceTempView("stats_cust_src")
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .select("n_nationkey", "n_name")
+      .createOrReplaceTempView("stats_nat_src")
+    spark.sql("CREATE TABLE graftstat.db.customer_s (c_custkey BIGINT, " +
+      "c_nationkey BIGINT, c_acctbal DOUBLE)")
+    spark.sql("CREATE TABLE graftstat.db.nation_s (n_nationkey BIGINT, " +
+      "n_name STRING)")
+    spark.sql("INSERT INTO graftstat.db.customer_s SELECT * FROM stats_cust_src")
+    spark.sql("INSERT INTO graftstat.db.nation_s SELECT * FROM stats_nat_src")
+    spark.sql("REFRESH TABLE graftstat.db.customer_s")
+    spark.sql("REFRESH TABLE graftstat.db.nation_s")
+    // stats are REPORTED: finite sizeInBytes (not defaultSizeInBytes),
+    // row count matching the table
+    val nat = spark.table("graftstat.db.nation_s")
+    val natStats = v2ScanStats(nat)
+    assert(natStats.sizeInBytes > 0 &&
+      natStats.sizeInBytes < BigInt(10L * 1024 * 1024),
+      s"nation must report a real size, got ${natStats.sizeInBytes}")
+    assert(natStats.rowCount.contains(BigInt(nat.count())),
+      s"row count must come from footers, got ${natStats.rowCount}")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // the planner lever: a dim × fact SQL join with NO hint plans a
+      // BroadcastHashJoin purely from the reported sizes — without
+      // stats a DSv2 relation sits at defaultSizeInBytes and the 1 MB
+      // dim never broadcasts (a fact-wide sort-merge shuffle at scale)
+      val joined = spark.sql("""
+        SELECT n.n_name, count(*) AS n
+        FROM graftstat.db.customer_s c
+        JOIN graftstat.db.nation_s n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name""")
+      assert(allPlanNodes(joined.queryExecution.executedPlan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+        "dim join must auto-broadcast from reported stats:\n" +
+          joined.queryExecution.executedPlan.toString.take(1500))
+      val expected = spark.sql("""
+        SELECT n.n_name, count(*) AS n
+        FROM stats_cust_src c JOIN stats_nat_src n
+          ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name""")
+      assert(joined.orderBy("n_name").collect().map(_.toString).toSeq ===
+        expected.orderBy("n_name").collect().map(_.toString).toSeq)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    // row-group pruning shrinks the reported size: a predicate the
+    // footer min/max provably excludes drops every block
+    val fact = spark.table("graftstat.db.customer_s")
+    val full = v2ScanStats(fact).sizeInBytes
+    val pruned = v2ScanStats(
+      fact.where(col("c_acctbal") > 1.0e18)).sizeInBytes
+    assert(pruned < full,
+      s"stats must shrink under row-group pruning: $pruned vs $full")
+    // partition pruning shrinks the reported size too (hive-layout
+    // dirs excluded before any footer is opened)
+    val pdir = s"$wh/stats_part_raw"
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("o_orderkey") % 4).as("pk"))
+      .write.mode("overwrite").partitionBy("pk").parquet(pdir)
+    val part = spark.read.format("graft").load(pdir)
+    val allParts = v2ScanStats(part).sizeInBytes
+    val onePart = v2ScanStats(part.where(col("pk") === 1)).sizeInBytes
+    assert(onePart < allParts,
+      s"stats must shrink under partition pruning: $onePart vs $allParts")
   }
 }
