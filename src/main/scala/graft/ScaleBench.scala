@@ -608,7 +608,7 @@ object ScaleBench {
       s""""sum_sf01":${fmt(rows.map(_._2).sum)},"sum_sf1":${fmt(rows.map(_._3).sum)}}"""
     println(line)
     val w = new java.io.PrintWriter(
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_r14.json"))
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_r15.json"))
     try w.println(line) finally w.close()
     spark.stop()
   }

@@ -1318,7 +1318,7 @@ object Relational {
     * co-location fact tables need (a split column-family re-join on
     * (l_orderkey, l_linenumber) here). The insert hash-buckets on
     * `hash(k1, k2)` (Spark's own multi-column HashPartitioning fold),
-    * both scans report per-column `bucket(8, k)` KeyGroupedPartitioning (the grid),
+    * both scans report per-column `bucket(4, k)` KeyGroupedPartitioning (a 16-cell grid),
     * and the storage-partitioned join plans with zero join-input
     * exchange. Values hash-match the oracle's plain join.
     */
@@ -1335,11 +1335,11 @@ object Relational {
     s.sql("""
       CREATE TABLE graftbkmq.db.li_qty (
         l_orderkey BIGINT, l_linenumber BIGINT, l_quantity DOUBLE)
-      TBLPROPERTIES ('layout'='bucket(l_orderkey,l_linenumber,8)')""")
+      TBLPROPERTIES ('layout'='bucket(l_orderkey,l_linenumber,4)')""")
     s.sql("""
       CREATE TABLE graftbkmq.db.li_price (
         l_orderkey BIGINT, l_linenumber BIGINT, l_extendedprice DOUBLE)
-      TBLPROPERTIES ('layout'='bucket(l_orderkey,l_linenumber,8)')""")
+      TBLPROPERTIES ('layout'='bucket(l_orderkey,l_linenumber,4)')""")
     s.sql("""
       INSERT INTO graftbkmq.db.li_qty
       SELECT l_orderkey, CAST(l_linenumber AS BIGINT), l_quantity

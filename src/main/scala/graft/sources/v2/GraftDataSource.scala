@@ -696,10 +696,15 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     // per-row metadata coordinates reads ColumnarBatches through
     // Spark's own vectorized parquet engine (the A9 scale fix); any
     // mask keeps the row-based reader where dv/eq tombstones apply.
+    // (row-group sampling composes: the sampled split set is decided at
+    // planning, and each split decodes columnar exactly like a full scan)
+    // `spark.graft.columnar.enabled=false` is the operational escape
+    // hatch (and the A/B lever the bench comparison uses)
     val columnar = morDv.isEmpty && morEq.isEmpty && morSeqm.isEmpty &&
-      sample.isEmpty &&
       !required.fieldNames.contains(GraftRowLevel.FileCol) &&
-      !required.fieldNames.contains(GraftRowLevel.PosCol)
+      !required.fieldNames.contains(GraftRowLevel.PosCol) &&
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.columnar.enabled", "true").toBoolean
     val sessionTz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
     val capacity = org.apache.spark.sql.internal.SQLConf.get.parquetVectorizedReaderBatchSize
     agg.map(a => GraftAggReaderFactory(a, conf): PartitionReaderFactory)

@@ -1588,4 +1588,70 @@ class StreamingSpec extends SparkSpecBase {
     run() // removing the violation heals the stream
     assert(summary().map(_(1).asInstanceOf[Long]).sum === expN)
   }
+
+  test("G28 pre-marker checkpoints: the first post-upgrade fold SEEDS markers for on-disk folded history — a healthy stream never bricks on its own past") {
+    val base = graft.sources.GraftSink.scratchDir + "/log_premark"
+    val log = s"$base/ingest_log"
+    val root = s"$base/summary"
+    val cp = s"$base/cp"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val events = new graft.sources.GraftCatalog(spark, sfDir).table("events")
+      .select("event_id", "event_type", "value")
+    def writeSegment(df: org.apache.spark.sql.DataFrame, segName: String): Unit = {
+      val tmp = s"$base/tmp_seg"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$log/partition=0"))
+      assert(fs.rename(part,
+        new org.apache.hadoop.fs.Path(s"$log/partition=0/$segName")))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-log")
+        .option("rowsPerBatch", "97").load(log)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.streaming.Events.applySummaryBatch(
+              b.select("event_id", "event_type", "value"), id, root)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def totalN() = spark.read.parquet(s"$root/summary.parquet")
+      .agg(sum("n")).head().getLong(0)
+    // two segments consumed and folded, then simulate a checkpoint
+    // written BEFORE fold markers existed: delete the marker dir (the
+    // #base line keeps the fold, the per-name set is gone)
+    writeSegment(events.where(col("event_id") % 4 === 0), "seg-00000.parquet")
+    writeSegment(events.where(col("event_id") % 4 === 1), "seg-00001.parquet")
+    run()
+    val markerDir = new org.apache.hadoop.fs.Path(
+      graft.sources.v2.GraftLogIndex.manifestPath(s"$cp/sources/0", 0)
+        .toString + ".folded")
+    assert(fs.exists(markerDir))
+    fs.delete(markerDir, true) // the pre-upgrade checkpoint state
+    val n2 = totalN()
+    // the first post-upgrade fold recreates the marker dir; the two
+    // EARLIER-folded segments are still on disk (retention never ran)
+    // and sort inside the folded range — seeding must mark them as
+    // legitimate history, or the next poll refuses a healthy stream
+    writeSegment(events.where(col("event_id") % 4 === 2), "seg-00002.parquet")
+    run()
+    assert(totalN() > n2, "the new segment folds")
+    run() // the poll that would brick without seeding: old names
+          // in-range, dir exists, set must now contain them
+    writeSegment(events.where(col("event_id") % 4 === 3), "seg-00003.parquet")
+    run()
+    assert(totalN() === events.count(),
+      "all four segments fold exactly once across the marker upgrade")
+    // the seeded markers keep the straggler refusal alive
+    writeSegment(events.limit(5), "seg-00000a.parquet")
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " || " + chain(t.getCause)
+    val e = intercept[Exception](run())
+    assert(chain(e).contains("INSIDE the folded committed range"), chain(e))
+  }
 }
