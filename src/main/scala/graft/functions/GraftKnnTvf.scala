@@ -137,4 +137,34 @@ object GraftKnnTvf {
       .where(col("centroid_id").isin(probeIds.toIndexedSeq.map(Int.box): _*))
     topkPlan(lists, q, k)
   }
+
+  /** `graft_knn_hnsw(indexDir, queryVec, k[, ef])` — probes the
+    * persisted HNSW index (the `Hnsw.buildHnswIndex` layout): the
+    * bounded routing artifact reloads driver-side, the literal query
+    * beam-searches the routing graph exactly as the Scala serve path
+    * does, and the scan reads ONLY the beam's `entry_id=` shard
+    * partitions — a probe touches ef/m of the corpus.
+    */
+  def knnHnsw(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 3 || exprs.length == 4,
+      "[GRAFT] graft_knn_hnsw takes (indexDir STRING, queryVec ARRAY, " +
+        "k INT[, ef INT])")
+    val idx = litString(exprs(0), "graft_knn_hnsw index dir")
+    val q = litVector(exprs(1), "graft_knn_hnsw query vector")
+    val k = litIntArg(exprs(2), "graft_knn_hnsw k")
+    val ef =
+      if (exprs.length == 4) litIntArg(exprs(3), "graft_knn_hnsw ef")
+      else graft.operators.Hnsw.EfSearch
+    val s = SparkSession.active
+    val routing = graft.operators.Hnsw.loadRouting(s, idx)
+    require(routing.nonEmpty,
+      s"[GRAFT] graft_knn_hnsw: no routing artifact under $idx - build " +
+        "the index with Hnsw.buildHnswIndex first")
+    val entries = graft.operators.Hnsw.beamSearch(
+      graft.operators.Hnsw.buildGraph(routing), q.toArray, ef)
+    val shards = s.read.parquet(s"$idx/shards")
+      .where(col("entry_id").isin(entries.toIndexedSeq.map(Long.box): _*))
+      .dropDuplicates("vec_id") // R-way fan-out: a vector may sit in 2+ probed shards
+    topkPlan(shards, q, k)
+  }
 }

@@ -90,7 +90,7 @@ object GraftColumnarReader {
       if (di >= 0) di else dataFields.length + partFields.indexWhere(_.name == f.name)
     }
     val identity = perm.zipWithIndex.forall { case (v, i) => v == i }
-    new PartitionReader[ColumnarBatch] {
+    val base: PartitionReader[ColumnarBatch] = new PartitionReader[ColumnarBatch] {
       override def next(): Boolean = reader.nextKeyValue()
       override def get(): ColumnarBatch = {
         val b = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
@@ -104,6 +104,90 @@ object GraftColumnarReader {
       }
       override def close(): Unit = reader.close()
     }
+    if (p.masked.isEmpty) base
+    else new DvMaskedReader(base, p.masked, p.rowGroupStart)
+  }
+
+  /** A42 deletion vectors on the COLUMNAR path: each batch covering
+    * file rows [cur, cur+n) drops its masked positions through an
+    * int row-id mapping — every column vector is WRAPPED, never
+    * copied (the Iceberg ColumnVectorWithFilter shape), so a
+    * position-deleted table keeps the vectorized reader instead of
+    * paying the row-path tax until compaction. `masked` is sorted and
+    * batches arrive in file order, so one advancing pointer suffices.
+    */
+  private final class DvMaskedReader(delegate: PartitionReader[ColumnarBatch],
+      masked: Array[Long], rowGroupStart: Long)
+      extends PartitionReader[ColumnarBatch] {
+    private var cur = rowGroupStart
+    private var maskPtr = 0
+    private var out: ColumnarBatch = _
+    override def next(): Boolean = {
+      while (delegate.next()) {
+        val b = delegate.get()
+        val n = b.numRows()
+        val lo = cur
+        cur += n
+        // advance to this batch's mask slice
+        while (maskPtr < masked.length && masked(maskPtr) < lo) maskPtr += 1
+        var mEnd = maskPtr
+        while (mEnd < masked.length && masked(mEnd) < lo + n) mEnd += 1
+        if (mEnd == maskPtr) { out = b; return true } // untouched batch
+        val kept = new Array[Int](n - (mEnd - maskPtr))
+        var i = 0; var k = 0; var m = maskPtr
+        while (i < n) {
+          if (m < mEnd && masked(m) == lo + i) m += 1
+          else { kept(k) = i; k += 1 }
+          i += 1
+        }
+        maskPtr = mEnd
+        if (k > 0) {
+          val cols = new Array[ColumnVector](b.numCols())
+          var c = 0
+          while (c < b.numCols()) {
+            cols(c) = new MappedColumnVector(b.column(c), kept); c += 1
+          }
+          out = new ColumnarBatch(cols, k)
+          return true
+        } // else: fully-masked batch, keep draining
+      }
+      false
+    }
+    override def get(): ColumnarBatch = out
+    override def close(): Unit = delegate.close()
+  }
+
+  /** Row-id-mapping view over a ColumnVector: getter i reads the
+    * delegate at map(i). Wrapping is allocation-per-batch O(columns),
+    * never a data copy; children of nested types share the same map.
+    * close() is a no-op — the delegate belongs to the reader's reused
+    * batch.
+    */
+  private final class MappedColumnVector(d: ColumnVector, map: Array[Int])
+      extends ColumnVector(d.dataType()) {
+    override def close(): Unit = ()
+    override def hasNull: Boolean = d.hasNull
+    override def numNulls(): Int = d.numNulls()
+    override def isNullAt(i: Int): Boolean = d.isNullAt(map(i))
+    override def getBoolean(i: Int): Boolean = d.getBoolean(map(i))
+    override def getByte(i: Int): Byte = d.getByte(map(i))
+    override def getShort(i: Int): Short = d.getShort(map(i))
+    override def getInt(i: Int): Int = d.getInt(map(i))
+    override def getLong(i: Int): Long = d.getLong(map(i))
+    override def getFloat(i: Int): Float = d.getFloat(map(i))
+    override def getDouble(i: Int): Double = d.getDouble(map(i))
+    override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+      d.getArray(map(i))
+    override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+      d.getMap(map(i))
+    override def getDecimal(i: Int, precision: Int, scale: Int)
+        : org.apache.spark.sql.types.Decimal =
+      d.getDecimal(map(i), precision, scale)
+    override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+      d.getUTF8String(map(i))
+    override def getBinary(i: Int): Array[Byte] = d.getBinary(map(i))
+    override def getChild(ordinal: Int): ColumnVector =
+      new MappedColumnVector(d.getChild(ordinal), map)
   }
 
   /** Concatenated columnar read of a bucket cell's slices. */

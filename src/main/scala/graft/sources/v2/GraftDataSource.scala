@@ -691,16 +691,19 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
       if (eqKeyCols.length == 1)
         (eqMap.map { case (k, v) => k.head -> v }, Map.empty[Seq[Any], Long])
       else (Map.empty[Any, Long], eqMap)
-    // VECTORIZED eligibility, decided scan-wide on the driver: a clean
-    // table (no mutation sidecars pinned) whose projection asks no
-    // per-row metadata coordinates reads ColumnarBatches through
-    // Spark's own vectorized parquet engine (the A9 scale fix); any
-    // mask keeps the row-based reader where dv/eq tombstones apply.
+    // VECTORIZED eligibility, decided scan-wide on the driver: a table
+    // whose projection asks no per-row metadata coordinates reads
+    // ColumnarBatches through Spark's own vectorized parquet engine
+    // (the A9 scale fix). A42 POSITION masks ride the columnar path
+    // too — per-batch row-id mapping vectors, the Iceberg DV shape —
+    // so a position-deleted table never pays the row tax; EQUALITY
+    // masks (value probes against file-side key columns) keep the
+    // row-based reader until compaction folds them.
     // (row-group sampling composes: the sampled split set is decided at
     // planning, and each split decodes columnar exactly like a full scan)
     // `spark.graft.columnar.enabled=false` is the operational escape
     // hatch (and the A/B lever the bench comparison uses)
-    val columnar = morDv.isEmpty && morEq.isEmpty && morSeqm.isEmpty &&
+    val columnar = morEq.isEmpty && morSeqm.isEmpty &&
       !required.fieldNames.contains(GraftRowLevel.FileCol) &&
       !required.fieldNames.contains(GraftRowLevel.PosCol) &&
       org.apache.spark.sql.internal.SQLConf.get

@@ -125,6 +125,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(scan.metrics("numFiles").value <
       spark.read.parquet(idx).inputFiles.length,
       "probe must read fewer files than the full index")
+    // the HNSW twin: graft_knn_hnsw beam-probes the persisted graph
+    // index and equals the Scala serve path for the same query vector
+    val hidx = graft.sources.GraftSink.scratchDir + "/hnsw_index_sql"
+    graft.operators.Hnsw.buildHnswIndex(spark, sfDir, hidx)
+    val scalaHnsw = graft.operators.Hnsw.hnswPersistedTopk(spark, sfDir,
+      Some(hidx)).where(col("query_id") === 0)
+      .select("neighbor_id", "cos").collect().map(_.toString).toSeq
+    val tvfHnsw = spark.sql(
+      s"SELECT * FROM graft_knn_hnsw('$hidx', $vecSql, 11)")
+      .where(col("neighbor_id") =!= 0)
+      .orderBy(col("cos").desc, col("neighbor_id")).limit(10)
+      .orderBy("neighbor_id")
+      .collect().map(_.toString).toSeq
+    assert(tvfHnsw === scalaHnsw,
+      s"tvf=${tvfHnsw.take(5)} scala=${scalaHnsw.take(5)}")
+    val hPlan = spark.sql(s"SELECT * FROM graft_knn_hnsw('$hidx', $vecSql, 10)")
+      .queryExecution.executedPlan.toString
+    assert(hPlan.contains("PartitionFilters") && hPlan.contains("entry_id"),
+      hPlan.take(800))
   }
 
   test("IVF results are a subset of valid neighbors (no self matches)") {

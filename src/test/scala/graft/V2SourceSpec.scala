@@ -2105,7 +2105,7 @@ class V2SourceSpec extends SparkSpecBase {
     assert(chainMsg(eDup).toLowerCase.contains("already exists"), chainMsg(eDup))
   }
 
-  test("v2 columnar reads: clean scans serve ColumnarBatches through whole-stage codegen; partition re-attach, NTZ and projections stay value-exact; masks force the row path") {
+  test("v2 columnar reads: scans serve ColumnarBatches through whole-stage codegen; partition re-attach, NTZ, projections and dv masks stay value-exact; eq masks keep the row path") {
     // the A9 fix: a clean (unmasked) scan decodes via Spark's
     // vectorized parquet engine — the plan shows the columnar→row
     // boundary instead of a row-producing BatchScan
@@ -2141,21 +2141,35 @@ class V2SourceSpec extends SparkSpecBase {
     assert(part.orderBy("o_orderkey").collect().map(_.toString).toSeq ===
       spark.read.parquet(pdir).select("pk", "o_orderkey", "o_totalprice")
         .orderBy("o_orderkey").collect().map(_.toString).toSeq)
-    // a dv-masked table keeps the row-based reader (masks apply
-    // per-row) — and serves the masked values correctly
+    // A42 POSITION masks ride the columnar path (per-batch row-id
+    // mapping vectors — never a row-path downgrade, never a copy):
+    // the v2 serve stays columnar AND masked
     val mdir = graft.sources.GraftSink.scratchDir + "/columnar_mor"
     val fs2 = new org.apache.hadoop.fs.Path(mdir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs2.delete(new org.apache.hadoop.fs.Path(mdir), true)
     spark.range(100).selectExpr("id AS k", "id * 2 AS v")
-      .write.parquet(mdir)
-    graft.sources.GraftMor.morDelete(spark, mdir, col("k") < 40)
-    // route through the mask-applying serve path
-    val served = graft.sources.GraftMor.morRead(spark, mdir)
-    assert(served.count() === 60L)
-    assert(!served.queryExecution.executedPlan.toString.contains("ColumnarToRow") ||
-      served.where(col("k") < 40).count() === 0L,
-      "masked serve must stay correct")
+      .repartition(4).write.parquet(mdir)
+    graft.sources.GraftMor.morDelete(spark, mdir, col("k") % 3 === 0)
+    val v2m = spark.read.format("graft").load(mdir)
+    assert(v2m.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "dv-masked scan must STAY columnar")
+    assert(v2m.count() === 66L)
+    assert(v2m.where(col("k") % 3 === 0).count() === 0L,
+      "masked rows must not serve")
+    assert(v2m.agg(sum("v")).head().getLong(0) ===
+      (0L until 100L).filter(_ % 3 != 0).map(_ * 2).sum)
+    // EQUALITY masks (file-side key probes) keep the row-based reader
+    val edir = graft.sources.GraftSink.scratchDir + "/columnar_mor_eq"
+    fs2.delete(new org.apache.hadoop.fs.Path(edir), true)
+    spark.range(50).selectExpr("id AS k", "id * 2 AS v")
+      .write.parquet(edir)
+    graft.sources.GraftMor.morErase(spark, edir,
+      spark.range(1, 3).selectExpr("id AS k"), Seq("k"))
+    val v2e = spark.read.format("graft").load(edir)
+    assert(!v2e.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "eq-masked scan keeps the row path")
+    assert(v2e.count() === 48L)
   }
 
   test("widened layouts: zorder on (BIGINT, TIMESTAMP) prunes both dims; 3-dim interleave; two-column bucket SPJ joins exchange-free") {
