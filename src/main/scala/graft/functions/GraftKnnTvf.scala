@@ -56,7 +56,6 @@ object GraftKnnTvf {
               case d: java.lang.Double => d.doubleValue()
               case f: java.lang.Float => f.doubleValue()
               case n: java.lang.Number => n.doubleValue()
-              case v: java.math.BigDecimal => v.doubleValue()
               case v: Decimal => v.toDouble
               case other => throw new IllegalArgumentException(
                 s"[GRAFT] $what element $i is not numeric: $other")
@@ -84,15 +83,25 @@ object GraftKnnTvf {
     scored.queryExecution.logical
   }
 
-  /** `graft_knn(embeddingsDir, queryVec, k)` — exact brute force. */
+  /** `graft_knn(embeddings, queryVec, k)` — exact brute force.
+    * `embeddings` is a parquet dir OR a catalog table name
+    * (`graft.db.embeddings`) — no-slash strings resolve through the
+    * session catalog, so the SQL-catalog user never handles paths.
+    */
   def knn(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length == 3,
-      "[GRAFT] graft_knn takes (embeddingsDir STRING, queryVec ARRAY, k INT)")
-    val path = litString(exprs(0), "graft_knn embeddings dir")
+      "[GRAFT] graft_knn takes (embeddings STRING, queryVec ARRAY, k INT)")
+    val src = litString(exprs(0), "graft_knn embeddings table/dir")
     val q = litVector(exprs(1), "graft_knn query vector")
     val k = litIntArg(exprs(2), "graft_knn k")
     val s = SparkSession.active
-    val e = s.read.parquet(path)
+    // name resolution only when the string IS a resolvable table/view
+    // (a single-segment relative dir must keep meaning a path); index
+    // dirs of the _ivf/_hnsw forms are paths by nature and stay paths
+    val e =
+      if (src.contains("/")) s.read.parquet(src)
+      else if (s.catalog.tableExists(src)) s.table(src)
+      else s.read.parquet(src)
     val emb =
       if (e.schema.fieldNames.contains("emb")) e.select(col("vec_id"), col("emb"))
       else e.select(col("vec_id"), VF.toDoubleArray(col("embedding")).as("emb"))
@@ -122,16 +131,10 @@ object GraftKnnTvf {
     require(cents.nonEmpty,
       s"[GRAFT] graft_knn_ivf: no _centroids artifact under $idx - build " +
         "the index with Similarity.buildIvfIndex first")
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      // sqrt(na)*sqrt(nb), matching CosineSimilarityExpr bit-for-bit so
-      // probe selection can never tie-break differently from the engine
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probeIds = cents.map { case (id, c) => (cos(q, c), id) }
+    // VectorFns.dcos matches CosineSimilarityExpr bit-for-bit, so
+    // probe selection can never tie-break differently from the engine
+    val qa = q.toArray
+    val probeIds = cents.map { case (id, c) => (VF.dcos(qa, c.toArray), id) }
       .sortBy { case (c, id) => (-c, id) }.take(nprobe).map(_._2).sorted
     val lists = s.read.parquet(idx)
       .where(col("centroid_id").isin(probeIds.toIndexedSeq.map(Int.box): _*))

@@ -28,6 +28,21 @@ object VectorFns {
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarityExpr(Bridge.expression(a), Bridge.expression(b)))
 
+
+  /** Driver-side cosine, BIT-IDENTICAL to [[CosineSimilarityExpr]]
+    * (same accumulation order, same dot/(sqrt(na)*sqrt(nb)) form, no
+    * zero-norm guard) — the ONE implementation every driver-side probe
+    * selection (IVF centroid pick, HNSW beam) shares, so selection can
+    * never tie-break differently from the engine's scoring.
+    */
+  def dcos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Deterministic pseudo-random hyperplane component (no RNG state:
     * derived from a splitmix64-style integer mix so every engine/run
     * agrees).

@@ -63,11 +63,8 @@ object Hnsw {
     l
   }
 
-  private def dcos(a: Array[Double], b: Array[Double]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  private def dcos(a: Array[Double], b: Array[Double]): Double =
+    graft.functions.VectorFns.dcos(a, b)
 
   /** The layered routing graph: per layer, every node with level ≥ l
     * links to its M nearest (cos desc, id asc) peers at that layer.

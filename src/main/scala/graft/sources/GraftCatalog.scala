@@ -295,11 +295,20 @@ final class GraftCatalog(spark: SparkSession, root: String) {
         (pin.files.map { case (p, l) => s"$l\t$p" } ++ sidecarLines))
         .mkString("\n")
       // only the CREATE participates in the race; a failure of the
-      // body write itself (disk full) must propagate, not retry
+      // body write itself (disk full) must propagate, not retry.
+      // Retry ONLY on the actual collision signal — the manifest
+      // exists (FileAlreadyExists, or any IOException while the path
+      // is observably present); a persistent fault (permissions,
+      // quota) propagates immediately instead of spinning 100 blind
+      // rounds into a misleading 'publisher storm'.
+      val manifest = new org.apache.hadoop.fs.Path(dir, s"v$id")
       val created =
-        try Some(fs.create(new org.apache.hadoop.fs.Path(dir, s"v$id"), false))
+        try Some(fs.create(manifest, false))
         catch {
-          case e: java.io.IOException =>
+          case e: java.io.IOException
+              if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+                e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+                fs.exists(manifest) =>
             attempt += 1 // lost the race: re-derive one higher
             if (attempt >= 100) throw new IllegalStateException(
               s"[GRAFT] publishSnapshot($name) contended $attempt times - " +

@@ -46,9 +46,32 @@ object GraftColumnarReader {
   private val ReadSupportClass =
     "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport"
 
+  /** The session SQL confs ParquetReadSupport consults, captured on
+    * the DRIVER at factory build (this connector cannot assume the
+    * executor-side Hadoop conf carries them): hardcoding defaults here
+    * would silently diverge the columnar path from the row path in any
+    * session that overrides one (e.g. this repo's own
+    * `nanosAsLong=true` for the nanos testdata).
+    */
+  def sessionSqlKeys(): Map[String, String] = {
+    val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+    Seq("spark.sql.parquet.binaryAsString" -> "false",
+      "spark.sql.parquet.int96AsTimestamp" -> "true",
+      "spark.sql.caseSensitive" -> "false",
+      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "true",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "false",
+      "spark.sql.parquet.fieldId.read.enabled" -> "false",
+      "spark.sql.session.timeZone" ->
+        java.util.TimeZone.getDefault.getID).map { case (k, d) =>
+      k -> sqlConf.getConfString(k, d)
+    }.toMap
+  }
+
   def apply(p: GraftInputPartition, required: StructType,
-      hadoopConf: Configuration, sessionTz: String,
+      hadoopConf: Configuration, sqlKeys: Map[String, String],
       capacity: Int): PartitionReader[ColumnarBatch] = {
+    val sessionTz = sqlKeys.getOrElse("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
     val partFields = required.fields.filter(f => p.partValues.contains(f.name))
     val dataFields = required.fields.filterNot(f => p.partValues.contains(f.name))
     val dataSchema = StructType(dataFields)
@@ -56,12 +79,7 @@ object GraftColumnarReader {
     c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       ReadSupportClass)
     c.set(RequestedSchemaKey, dataSchema.json)
-    c.set("spark.sql.parquet.binaryAsString", "false")
-    c.set("spark.sql.parquet.int96AsTimestamp", "true")
-    c.set("spark.sql.caseSensitive", "false")
-    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    c.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    c.set("spark.sql.session.timeZone", sessionTz)
+    sqlKeys.foreach { case (k, v) => c.set(k, v) }
     // the OLD-API split class: SpecificParquetRecordReaderBase casts to
     // mapred.FileSplit (which subclasses the mapreduce one)
     val split = new org.apache.hadoop.mapred.FileSplit(
@@ -192,7 +210,7 @@ object GraftColumnarReader {
 
   /** Concatenated columnar read of a bucket cell's slices. */
   def bucket(b: GraftBucketPartition, required: StructType,
-      hadoopConf: Configuration, sessionTz: String,
+      hadoopConf: Configuration, sqlKeys: Map[String, String],
       capacity: Int): PartitionReader[ColumnarBatch] =
     new PartitionReader[ColumnarBatch] {
       private var i = 0
@@ -203,7 +221,7 @@ object GraftColumnarReader {
           if (cur != null) { cur.close(); cur = null }
           if (i >= b.slices.length) return false
           cur = GraftColumnarReader(b.slices(i), required, hadoopConf,
-            sessionTz, capacity)
+            sqlKeys, capacity)
           i += 1
         }
         false

@@ -514,29 +514,36 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
         val pv = GraftV2.partitionValues(path, f, partSchema)
         pv.isEmpty || !GraftV2.excludedByPartition(pv, filters)
       }
+      val dvMask: Map[String, Array[Long]] =
+        if (morDv.isEmpty) Map.empty else GraftMorMask.load(morDv, conf.value)
       var bytes = 0L
       var rows = 0L
       survivors.foreach { f =>
         val blocks = footerBlocks(f)
-        val live = blocks.zipWithIndex
-          .filterNot { case (b, _) => GraftV2.canSkipRowGroup(b, filters) }
-          .filter { case (_, i) => GraftV2.inSample(f, i, sample) }
-          .map(_._1)
+        val starts = blocks.scanLeft(0L)(_ + _.getRowCount)
+        val fileMask = dvMask.getOrElse(
+          GraftMorMask.norm(new Path(f).toUri.getPath), Array.empty[Long])
+        val liveIdx = blocks.indices
+          .filterNot(i => GraftV2.canSkipRowGroup(blocks(i), filters))
+          .filter(i => GraftV2.inSample(f, i, sample))
         // when the whole file survives, the listing length is the
         // honest size (block sums miss footer/header overhead on tiny
         // files); a pruned file contributes its live blocks only
         bytes +=
-          (if (live.length == blocks.length)
-             math.max(live.map(_.getCompressedSize).sum,
+          (if (liveIdx.length == blocks.length)
+             math.max(liveIdx.map(blocks(_).getCompressedSize).sum,
                listed.getOrElse(f, 0L))
-           else live.map(_.getCompressedSize).sum)
-        rows += live.map(_.getRowCount).sum
+           else liveIdx.map(blocks(_).getCompressedSize).sum)
+        // dv-masked rows come off PER SURVIVING ROW GROUP (the same
+        // slicing planInputPartitions serves): a table-wide subtraction
+        // would under-report any filtered scan of a masked table
+        liveIdx.foreach { i =>
+          val lo = lowerBound(fileMask, starts(i))
+          val hi = lowerBound(fileMask, starts(i) + blocks(i).getRowCount)
+          rows += blocks(i).getRowCount - (hi - lo)
+        }
       }
-      val masked =
-        if (morDv.isEmpty) 0L
-        else GraftMorMask.load(morDv, conf.value)
-          .values.iterator.map(_.length.toLong).sum
-      stat(bytes, rows - masked)
+      stat(bytes, rows)
     }
   }
 
@@ -708,11 +715,11 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
       !required.fieldNames.contains(GraftRowLevel.PosCol) &&
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.graft.columnar.enabled", "true").toBoolean
-    val sessionTz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
     val capacity = org.apache.spark.sql.internal.SQLConf.get.parquetVectorizedReaderBatchSize
     agg.map(a => GraftAggReaderFactory(a, conf): PartitionReaderFactory)
       .getOrElse(GraftReaderFactory(required, conf, eqKeyCols,
-        eqMulti, eqSingle, columnar = columnar, sessionTz = sessionTz,
+        eqMulti, eqSingle, columnar = columnar,
+        sqlKeys = GraftColumnarReader.sessionSqlKeys(),
         batchCapacity = capacity))
   }
 }
@@ -838,7 +845,7 @@ case class GraftReaderFactory(required: StructType,
     eqMap: Map[Seq[Any], Long] = Map.empty,
     eqSingle: Map[Any, Long] = Map.empty,
     columnar: Boolean = false,
-    sessionTz: String = "UTC",
+    sqlKeys: Map[String, String] = Map.empty,
     batchCapacity: Int = 4096) extends PartitionReaderFactory {
 
   /** Scan-wide columnar answer (DSv2 refuses mixed partitions): the
@@ -853,10 +860,10 @@ case class GraftReaderFactory(required: StructType,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     partition match {
       case b: GraftBucketPartition =>
-        GraftColumnarReader.bucket(b, required, conf.value, sessionTz,
+        GraftColumnarReader.bucket(b, required, conf.value, sqlKeys,
           batchCapacity)
       case p: GraftInputPartition =>
-        GraftColumnarReader(p, required, conf.value, sessionTz, batchCapacity)
+        GraftColumnarReader(p, required, conf.value, sqlKeys, batchCapacity)
     }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     partition match {
@@ -1185,7 +1192,12 @@ object GraftV2 {
   def completeStagedSwap(fs: org.apache.hadoop.fs.FileSystem,
       tableRoot: Path, stageDir: Path, op: String): Unit = {
     val journal = new Path(stageDir, SwapJournal)
-    val in = fs.open(journal)
+    // the journal vanishing means the owning swap finished (it deletes
+    // the journal last) — a concurrent recoverer backs off quietly
+    // instead of failing a healthy writer
+    val in = try fs.open(journal) catch {
+      case _: java.io.FileNotFoundException => return
+    }
     val body = try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
@@ -1229,14 +1241,28 @@ object GraftV2 {
     * be mid-retire); a staging dir WITHOUT a journal never touched
     * live files — abandoned work, left for vacuum. Costs one exists()
     * when the table has no `_staging` shell.
+    *
+    * LIVENESS: a journal younger than the grace window is presumed to
+    * belong to a swap IN FLIGHT in another session (the journal is
+    * written immediately before the retire/move-in, which completes in
+    * seconds) — replaying it would race the healthy owner (delete its
+    * journal under it, contend its renames). Only stale journals —
+    * crashed swaps — replay. `spark.graft.swap.recoveryGraceMs`
+    * overrides the 10-minute default (specs use 0).
     */
   def recoverStagedSwaps(fs: org.apache.hadoop.fs.FileSystem,
       tableRoot: Path): Unit = {
     val shell = new Path(tableRoot, "_staging")
     if (!fs.exists(shell)) return
+    val grace = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.swap.recoveryGraceMs", "600000").toLong
+    val now = System.currentTimeMillis()
     fs.listStatus(shell).filter(_.isDirectory).foreach { st =>
       val j = new Path(st.getPath, SwapJournal)
-      if (fs.exists(j))
+      val stale =
+        try fs.getFileStatus(j).getModificationTime + grace <= now
+        catch { case _: java.io.FileNotFoundException => false }
+      if (stale)
         completeStagedSwap(fs, tableRoot, st.getPath, "swap recovery")
     }
   }

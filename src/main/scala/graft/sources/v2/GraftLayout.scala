@@ -134,9 +134,17 @@ object GraftLayout {
       }
       require(n > 0 && n <= 65536,
         s"[GRAFT] bucket count must be in [1, 65536], got $n")
-      require(cols.foldLeft(1L)((acc, _) => acc * n) <= 65536L,
-        s"[GRAFT] bucket grid ${cols.size} x $n exceeds 65536 physical " +
-          "cells - lower the per-column count")
+      // stepwise guard: the k-fold product can wrap Long (65536^4 ≡ 0),
+      // so check the bound as each factor lands — the refusal must fire
+      // at CREATE, never as a late INSERT surprise
+      require(cols.foldLeft(1L) { (acc, _) =>
+        val next = acc * n
+        require(next >= acc && next <= 65536L,
+          s"[GRAFT] bucket grid ${cols.size} x $n exceeds 65536 physical " +
+            "cells - lower the per-column count")
+        next
+      } <= 65536L,
+        s"[GRAFT] bucket grid ${cols.size} x $n exceeds 65536 physical cells")
       cols.foreach { c =>
         require(schema.fieldNames.contains(c),
           s"[GRAFT] layout column '$c' is not in the table schema")
@@ -321,11 +329,13 @@ object GraftLayout {
       val flat = cols.map(c => pmod(hash(col(c)), lit(n)))
         .reduceLeft((acc, b) => acc * n + b)
       val total = totalBuckets(Layout("bucket", cols, n))
-      // all rows of a cell share the flat id, so the repartition puts
-      // each cell in exactly one task; partitionBy(BucketDirCol) then
+      // all rows of a cell share the flat id; RANGE-partitioning on the
+      // id places cells ~1:1 onto tasks (hash-repartition on the id
+      // would collide 2-3 cells per task and leave others empty — a
+      // write-parallelism skew), and partitionBy(BucketDirCol) then
       // writes one key-sorted file per cell dir
       data.withColumn(BucketDirCol, flat)
-        .repartition(total, col(BucketDirCol))
+        .repartitionByRange(total, col(BucketDirCol))
         .sortWithinPartitions(cols.map(col): _*)
     case Layout("sort", cols, _) =>
       data.repartitionByRange(cols.map(col): _*)

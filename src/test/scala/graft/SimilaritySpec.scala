@@ -102,6 +102,12 @@ class SimilaritySpec extends SparkSpecBase {
     // the brute-force TVF plans a TakeOrdered selection, not a global sort
     val knnPlan = knn.queryExecution.executedPlan.toString
     assert(knnPlan.contains("TakeOrderedAndProject"), knnPlan.take(600))
+    // a no-slash source resolves as a catalog/view NAME — the
+    // SQL-catalog user never handles paths
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .createOrReplaceTempView("knn_src_view")
+    assert(spark.sql(s"SELECT * FROM graft_knn('knn_src_view', $vecSql, 11)")
+      .collect().map(_.toString).toSeq === rows.map(_.toString).toSeq)
     // the ivf TVF (driven via sim_sql_topk) equals the persisted Scala
     // path value-for-value: same centroid artifact, same probe rule,
     // same scoring

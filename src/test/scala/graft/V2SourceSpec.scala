@@ -310,14 +310,24 @@ class V2SourceSpec extends SparkSpecBase {
     out.close()
     olds.take(math.max(olds.size / 2, 1)).foreach(rel =>
       fs.delete(new org.apache.hadoop.fs.Path(root, rel), false))
-    // the next table load REPLAYS the journal to completion instead of
-    // pinning (and serving) the torn mid-retire state
+    // a FRESH journal is presumed in flight (another session's live
+    // swap): recovery must back off and the torn state stays visible
+    // rather than racing the owner
     spark.sql("REFRESH TABLE graftswp.db.t")
-    assert(spark.sql("SELECT count(*) AS n, min(k) AS m FROM graftswp.db.t")
-      .head().toString === "[100,1000]",
-      "recovery must serve the REWRITTEN state, whole")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_staging")),
-      "the staging shell is cleaned after replay")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(stage,
+      GraftV2.SwapJournal)), "a fresh journal must NOT be replayed")
+    // past the grace window the journal is a crash: the next table
+    // load REPLAYS it to completion instead of pinning (and serving)
+    // the torn mid-retire state
+    spark.conf.set("spark.graft.swap.recoveryGraceMs", "0")
+    try {
+      spark.sql("REFRESH TABLE graftswp.db.t")
+      assert(spark.sql("SELECT count(*) AS n, min(k) AS m FROM graftswp.db.t")
+        .head().toString === "[100,1000]",
+        "recovery must serve the REWRITTEN state, whole")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_staging")),
+        "the staging shell is cleaned after replay")
+    } finally spark.conf.unset("spark.graft.swap.recoveryGraceMs")
   }
 
   test("publish instants live INSIDE manifests (mtime-proof TIMESTAMP AS OF); concurrent publishers interleave via create-if-absent retry") {
@@ -2159,6 +2169,11 @@ class V2SourceSpec extends SparkSpecBase {
       "masked rows must not serve")
     assert(v2m.agg(sum("v")).head().getLong(0) ===
       (0L until 100L).filter(_ % 3 != 0).map(_ * 2).sum)
+    // reported statistics subtract the masked rows PER SURVIVING row
+    // group (a table-wide subtraction would under-report filtered
+    // scans of masked tables)
+    assert(v2ScanStats(v2m).rowCount.contains(BigInt(66)),
+      s"masked stats: ${v2ScanStats(v2m).rowCount}")
     // EQUALITY masks (file-side key probes) keep the row-based reader
     val edir = graft.sources.GraftSink.scratchDir + "/columnar_mor_eq"
     fs2.delete(new org.apache.hadoop.fs.Path(edir), true)
