@@ -134,8 +134,15 @@ object GraftKnnTvf {
     // VectorFns.dcos matches CosineSimilarityExpr bit-for-bit, so
     // probe selection can never tie-break differently from the engine
     val qa = q.toArray
+    // Double.compare is Spark's total order (NaN greatest): a zero-norm
+    // centroid scores NaN and must rank exactly where the engine's
+    // `ORDER BY c_cos DESC` would put it, or probe selection drifts
+    // from the Scala serve path
     val probeIds = cents.map { case (id, c) => (VF.dcos(qa, c.toArray), id) }
-      .sortBy { case (c, id) => (-c, id) }.take(nprobe).map(_._2).sorted
+      .sortWith { (x, y) =>
+        val c = java.lang.Double.compare(x._1, y._1)
+        if (c != 0) c > 0 else x._2 < y._2
+      }.take(nprobe).map(_._2).sorted
     val lists = s.read.parquet(idx)
       .where(col("centroid_id").isin(probeIds.toIndexedSeq.map(Int.box): _*))
     topkPlan(lists, q, k)

@@ -36,8 +36,9 @@ object VectorFns {
     * never tie-break differently from the engine's scoring.
     */
   def dcos(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length) // the expression's min(numElements)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < a.length) {
+    while (i < n) {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))

@@ -305,10 +305,16 @@ final class GraftCatalog(spark: SparkSession, root: String) {
       val created =
         try Some(fs.create(manifest, false))
         catch {
-          case e: java.io.IOException
-              if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+          case e: java.io.IOException =>
+            // the existence probe lives in the BODY, not a pattern
+            // guard: a guard-thrown IOException would escape the match
+            // and mask the informative create failure
+            val collided =
+              e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
                 e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
-                fs.exists(manifest) =>
+                (try fs.exists(manifest)
+                 catch { case _: java.io.IOException => false })
+            if (!collided) throw e
             attempt += 1 // lost the race: re-derive one higher
             if (attempt >= 100) throw new IllegalStateException(
               s"[GRAFT] publishSnapshot($name) contended $attempt times - " +

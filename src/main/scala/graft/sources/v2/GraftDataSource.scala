@@ -404,6 +404,17 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     new java.util.concurrent.ConcurrentHashMap[String, Array[BlockMetaData]]()
   private val FooterMemoCap = 10000
 
+  /** Per-file dv-mask coordinates — row-group start indices plus this
+    * file's sorted mask slice — the ONE rule the stats pass and the
+    * planner share (a drift between them would report row counts the
+    * served splits don't match).
+    */
+  private def maskCoords(file: String, blocks: Array[BlockMetaData],
+      dvMask: Map[String, Array[Long]]): (Array[Long], Array[Long]) =
+    (blocks.scanLeft(0L)(_ + _.getRowCount),
+      dvMask.getOrElse(
+        GraftMorMask.norm(new Path(file).toUri.getPath), Array.empty[Long]))
+
   private def footerBlocks(file: String): Array[BlockMetaData] = {
     val hit = footerMemo.get(file)
     if (hit != null) return hit
@@ -520,28 +531,32 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
       var rows = 0L
       survivors.foreach { f =>
         val blocks = footerBlocks(f)
-        val starts = blocks.scanLeft(0L)(_ + _.getRowCount)
-        val fileMask = dvMask.getOrElse(
-          GraftMorMask.norm(new Path(f).toUri.getPath), Array.empty[Long])
+        val (starts, fileMask) = maskCoords(f, blocks, dvMask)
         val liveIdx = blocks.indices
           .filterNot(i => GraftV2.canSkipRowGroup(blocks(i), filters))
           .filter(i => GraftV2.inSample(f, i, sample))
+        // dv-masked rows come off PER SURVIVING ROW GROUP (the same
+        // slicing planInputPartitions serves — shared via maskCoords):
+        // a table-wide subtraction would under-report filtered scans,
+        // and a FULLY-masked group contributes neither rows nor bytes
+        // (the planner emits no task for it)
+        var fileBytes = 0L
+        var wholeFile = liveIdx.length == blocks.length
+        liveIdx.foreach { i =>
+          val rc = blocks(i).getRowCount
+          val lo = lowerBound(fileMask, starts(i))
+          val hi = lowerBound(fileMask, starts(i) + rc)
+          if (rc - (hi - lo) > 0) {
+            rows += rc - (hi - lo)
+            fileBytes += blocks(i).getCompressedSize
+          } else wholeFile = false
+        }
         // when the whole file survives, the listing length is the
         // honest size (block sums miss footer/header overhead on tiny
         // files); a pruned file contributes its live blocks only
         bytes +=
-          (if (liveIdx.length == blocks.length)
-             math.max(liveIdx.map(blocks(_).getCompressedSize).sum,
-               listed.getOrElse(f, 0L))
-           else liveIdx.map(blocks(_).getCompressedSize).sum)
-        // dv-masked rows come off PER SURVIVING ROW GROUP (the same
-        // slicing planInputPartitions serves): a table-wide subtraction
-        // would under-report any filtered scan of a masked table
-        liveIdx.foreach { i =>
-          val lo = lowerBound(fileMask, starts(i))
-          val hi = lowerBound(fileMask, starts(i) + blocks(i).getRowCount)
-          rows += blocks(i).getRowCount - (hi - lo)
-        }
+          (if (wholeFile) math.max(fileBytes, listed.getOrElse(f, 0L))
+           else fileBytes)
       }
       stat(bytes, rows)
     }
@@ -617,12 +632,10 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
       if (partValues.nonEmpty && GraftV2.excludedByPartition(partValues, all)) Nil
       else {
         val blocks = footerBlocks(file)
-        // file-global row index at which each row group starts — the
-        // coordinate space of `_metadata.row_index` (what the masks
-        // tombstone on)
-        val starts = blocks.scanLeft(0L)(_ + _.getRowCount)
-        val fileMask = dvMask.getOrElse(
-          GraftMorMask.norm(new Path(file).toUri.getPath), Array.empty[Long])
+        // file-global row-group starts (the `_metadata.row_index`
+        // coordinate space the masks tombstone on) + this file's mask
+        // slice — shared with the stats pass via maskCoords
+        val (starts, fileMask) = maskCoords(file, blocks, dvMask)
         // locality: hosts holding each row group's byte range, the analog
         // of the reference's ArgodbMapreduceInputSplit.java:49-60
         // getLocations(). Spark's scheduler uses these for NODE_LOCAL
@@ -1259,11 +1272,24 @@ object GraftV2 {
     val now = System.currentTimeMillis()
     fs.listStatus(shell).filter(_.isDirectory).foreach { st =>
       val j = new Path(st.getPath, SwapJournal)
-      val stale =
-        try fs.getFileStatus(j).getModificationTime + grace <= now
-        catch { case _: java.io.FileNotFoundException => false }
-      if (stale)
-        completeStagedSwap(fs, tableRoot, st.getPath, "swap recovery")
+      val age =
+        try Some(now - fs.getFileStatus(j).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      age.foreach { a =>
+        if (a >= grace)
+          completeStagedSwap(fs, tableRoot, st.getPath, "swap recovery")
+        else
+          // a fresh journal = a swap in flight (or a crash seconds
+          // ago): REFUSE LOUDLY rather than pin the mid-retire state —
+          // serving half a table silently is strictly worse than a
+          // retriable unavailability for the seconds a swap runs
+          throw new IllegalStateException(
+            s"[GRAFT] $tableRoot has an in-flight staged swap " +
+              s"(journal ${j.getName} age ${a}ms < grace ${grace}ms) - " +
+              "retry when the swap completes, or lower " +
+              "spark.graft.swap.recoveryGraceMs to force recovery of a " +
+              "known crash")
+      }
     }
   }
 

@@ -137,14 +137,13 @@ object GraftLayout {
       // stepwise guard: the k-fold product can wrap Long (65536^4 ≡ 0),
       // so check the bound as each factor lands — the refusal must fire
       // at CREATE, never as a late INSERT surprise
-      require(cols.foldLeft(1L) { (acc, _) =>
+      cols.foldLeft(1L) { (acc, _) =>
         val next = acc * n
         require(next >= acc && next <= 65536L,
           s"[GRAFT] bucket grid ${cols.size} x $n exceeds 65536 physical " +
             "cells - lower the per-column count")
         next
-      } <= 65536L,
-        s"[GRAFT] bucket grid ${cols.size} x $n exceeds 65536 physical cells")
+      }
       cols.foreach { c =>
         require(schema.fieldNames.contains(c),
           s"[GRAFT] layout column '$c' is not in the table schema")
@@ -333,7 +332,11 @@ object GraftLayout {
       // id places cells ~1:1 onto tasks (hash-repartition on the id
       // would collide 2-3 cells per task and leave others empty — a
       // write-parallelism skew), and partitionBy(BucketDirCol) then
-      // writes one key-sorted file per cell dir
+      // writes one key-sorted file per cell dir. Known cost: the range
+      // partitioner's boundary SAMPLING pass re-evaluates the input
+      // once before the shuffle — cache an expensive CTAS source if
+      // that matters; placement exactness and bounded file counts win
+      // for the standing insert path
       data.withColumn(BucketDirCol, flat)
         .repartitionByRange(total, col(BucketDirCol))
         .sortWithinPartitions(cols.map(col): _*)

@@ -311,9 +311,12 @@ class V2SourceSpec extends SparkSpecBase {
     olds.take(math.max(olds.size / 2, 1)).foreach(rel =>
       fs.delete(new org.apache.hadoop.fs.Path(root, rel), false))
     // a FRESH journal is presumed in flight (another session's live
-    // swap): recovery must back off and the torn state stays visible
-    // rather than racing the owner
-    spark.sql("REFRESH TABLE graftswp.db.t")
+    // swap): recovery must neither race the owner NOR serve the torn
+    // state — the table refuses LOUDLY, by name (REFRESH itself
+    // reloads, so the refusal fires right there)
+    val eFresh = intercept[Exception](
+      spark.sql("REFRESH TABLE graftswp.db.t"))
+    assert(chainMsg(eFresh).contains("staged swap"), chainMsg(eFresh))
     assert(fs.exists(new org.apache.hadoop.fs.Path(stage,
       GraftV2.SwapJournal)), "a fresh journal must NOT be replayed")
     // past the grace window the journal is a crash: the next table
