@@ -73,6 +73,7 @@ object SparkEntry {
     "src_sql_bucket_join"        -> Relational.srcSqlBucketJoin _,
     "src_sql_join_broadcast"     -> Relational.srcSqlJoinBroadcast _,
     "src_sql_layout_ts"          -> Relational.srcSqlLayoutTs _,
+    "src_sql_layout_str"         -> Relational.srcSqlLayoutStr _,
     "src_sql_bucket_join_multi"  -> Relational.srcSqlBucketJoinMulti _,
     "src_incremental_agg"        -> Relational.srcIncrementalAgg _,
     // §2.B relational core
@@ -1243,6 +1244,15 @@ object SparkEntry {
              round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM events WHERE user_id BETWEEN 100 AND 299
       GROUP BY event_type ORDER BY event_type""",
+
+    // string zorder key: the table arrives clustered on the priority
+    // prefix — the band filter prunes row groups, the values match
+    // the raw table
+    "src_sql_layout_str" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM orders WHERE o_orderpriority BETWEEN '1-URGENT' AND '2-HIGH'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // the two-column bucket layout co-locates the composite-key join
     // physically — values match the plain oracle join

@@ -1314,6 +1314,42 @@ object Relational {
       ORDER BY event_type""")
   }
 
+  /** A62 breadth (r15 late): a STRING zorder key — o_orderpriority
+    * maps through its zero-padded 7-byte UTF-8 prefix (monotone wrt
+    * both Spark's string order and parquet binary min/max), so the
+    * priority-band filter prunes row groups on the clustered footer
+    * stats (pruning spec'd in V2SourceSpec); values hash-match the
+    * oracle over the raw table.
+    */
+  def srcSqlLayoutStr(s: SparkSession, dir: String): DataFrame = {
+    val wh = graft.sources.GraftSink.scratchDir + "/sqllayout_str_q"
+    val f = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    f.mkdirs(new org.apache.hadoop.fs.Path(wh))
+    graft.sources.v2.GraftTableCatalog.register(s, wh, "graftlaysq")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftlaysq.db")
+    s.sql("DROP TABLE IF EXISTS graftlaysq.db.orders_z")
+    cat(s, dir).table("orders").createOrReplaceTempView("orders_src_zs")
+    s.sql("""
+      CREATE TABLE graftlaysq.db.orders_z (
+        o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        o_totalprice DOUBLE, o_orderpriority STRING)
+      TBLPROPERTIES ('layout'='zorder(o_orderpriority,o_orderkey)')""")
+    s.sql("""
+      INSERT INTO graftlaysq.db.orders_z
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority
+      FROM orders_src_zs""")
+    s.sql("REFRESH TABLE graftlaysq.db.orders_z")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
+      FROM graftlaysq.db.orders_z
+      WHERE o_orderpriority BETWEEN '1-URGENT' AND '2-HIGH'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
   /** A65 breadth: TWO-column bucket keys — the composite-key
     * co-location fact tables need (a split column-family re-join on
     * (l_orderkey, l_linenumber) here). The insert hash-buckets on

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.PartitionReader
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
 /** VECTORIZED read path for clean splits (the A9 scale fix): one
@@ -21,11 +21,20 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * reads columnar as well (its RowSetsGroup sections,
   * ArgodbMapreduceRecordReader.java:74-219, decode column blocks).
   *
-  * Scope: splits with NO mutation masks and no metadata-column
-  * projection (decided scan-wide so Spark sees a uniform columnar
-  * answer — DSv2 refuses mixed row/columnar partitions). Masked
-  * splits keep the row-based reader, where dv/eq masks apply
-  * per-row; compaction returns a table to the fast path.
+  * Scope: splits with no metadata-column projection (decided
+  * scan-wide so Spark sees a uniform columnar answer — DSv2 refuses
+  * mixed row/columnar partitions). BOTH mutation-mask families ride
+  * the columnar path: A42 POSITION masks as per-batch row-id mapping
+  * vectors (the Iceberg DV shape), A44/A45 EQUALITY masks as a
+  * vectorized per-batch key probe against the driver-loaded
+  * tombstone map — key columns the projection pruned are appended to
+  * the read schema (the Iceberg equality-delete read shape) and
+  * dropped by the output projection, and each row's canonical key
+  * (Long / Long-micros / String / BigDecimal, bit-identical to
+  * [[GraftMorMask.canonicalKeyGetter]]) probes under the Iceberg-v2
+  * rule (masked iff the tombstone sequence outranks the file's).
+  * Only key TYPES outside the canonical set (and metadata-column
+  * projections) keep the row-based reader.
   *
   * Mechanics mirror Spark's `ParquetPartitionReaderFactory`: the
   * split addresses the row group's byte range (footer coordinates
@@ -69,12 +78,31 @@ object GraftColumnarReader {
 
   def apply(p: GraftInputPartition, required: StructType,
       hadoopConf: Configuration, sqlKeys: Map[String, String],
-      capacity: Int): PartitionReader[ColumnarBatch] = {
+      capacity: Int,
+      eqKeyCols: Seq[String] = Seq.empty,
+      eqKeyTypes: Seq[DataType] = Seq.empty,
+      eqSingle: Map[Any, Long] = Map.empty,
+      eqMulti: Map[Seq[Any], Long] = Map.empty): PartitionReader[ColumnarBatch] = {
     val sessionTz = sqlKeys.getOrElse("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID)
+    val eqActive = eqKeyCols.nonEmpty && (eqSingle.nonEmpty || eqMulti.nonEmpty)
     val partFields = required.fields.filter(f => p.partValues.contains(f.name))
     val dataFields = required.fields.filterNot(f => p.partValues.contains(f.name))
-    val dataSchema = StructType(dataFields)
+    // equality-mask key columns the projection pruned still must be
+    // READ (the Iceberg equality-delete read shape): appended to the
+    // requested schema, dropped by the output projection below. A key
+    // column this file predates null-fills through the reader's own
+    // missing-column handling — null keys never match (sidecar keys
+    // are non-null by contract), mirroring the row path.
+    val extraFields: Array[StructField] =
+      if (!eqActive) Array.empty
+      else eqKeyCols.zip(eqKeyTypes).collect {
+        case (c, t) if !p.partValues.contains(c) &&
+            !dataFields.exists(_.name == c) =>
+          StructField(c, t, nullable = true)
+      }.toArray
+    val readFields = dataFields ++ extraFields
+    val dataSchema = StructType(readFields)
     val c = new Configuration(hadoopConf)
     c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       ReadSupportClass)
@@ -101,29 +129,164 @@ object GraftColumnarReader {
         p.partValues(f.name), f.dataType)).toArray[Any])
     reader.initBatch(StructType(partFields), partRow)
     reader.enableReturningBatches()
-    // batch columns come out [dataFields..., partFields...]; permute to
-    // the projection's declared order (zero-copy — vectors are shared)
+    // batch columns come out [dataFields..., extraFields..., partFields...];
+    // the output projection permutes to the projection's declared order
+    // and drops the mask-only extras (zero-copy — vectors are shared)
     val perm: Array[Int] = required.fields.map { f =>
       val di = dataFields.indexWhere(_.name == f.name)
-      if (di >= 0) di else dataFields.length + partFields.indexWhere(_.name == f.name)
+      if (di >= 0) di
+      else readFields.length + partFields.indexWhere(_.name == f.name)
     }
-    val identity = perm.zipWithIndex.forall { case (v, i) => v == i }
-    val base: PartitionReader[ColumnarBatch] = new PartitionReader[ColumnarBatch] {
+    val identity = extraFields.isEmpty &&
+      perm.zipWithIndex.forall { case (v, i) => v == i }
+    val raw: PartitionReader[ColumnarBatch] = new PartitionReader[ColumnarBatch] {
       override def next(): Boolean = reader.nextKeyValue()
-      override def get(): ColumnarBatch = {
-        val b = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
-        if (identity) b
-        else {
-          val cols = new Array[ColumnVector](perm.length)
-          var i = 0
-          while (i < perm.length) { cols(i) = b.column(perm(i)); i += 1 }
-          new ColumnarBatch(cols, b.numRows())
-        }
-      }
+      override def get(): ColumnarBatch =
+        reader.getCurrentValue.asInstanceOf[ColumnarBatch]
       override def close(): Unit = reader.close()
     }
-    if (p.masked.isEmpty) base
-    else new DvMaskedReader(base, p.masked, p.rowGroupStart)
+    val dvMasked =
+      if (p.masked.isEmpty) raw
+      else new DvMaskedReader(raw, p.masked, p.rowGroupStart)
+    val eqMasked =
+      if (!eqActive) dvMasked
+      else {
+        val getters: Array[(ColumnarBatch, Int) => Any] =
+          eqKeyCols.toArray.zip(eqKeyTypes).map { case (c, t) =>
+            if (p.partValues.contains(c)) {
+              // partition-valued key: a per-split constant (Long or
+              // String, exactly the row path's accepted shapes)
+              val const: Any = p.partValues(c) match {
+                case n: java.lang.Long => n
+                case s: String => s
+                case other => throw new IllegalStateException(
+                  s"[GRAFT] equality-mask key '$c' rides an unsupported " +
+                    s"partition value $other")
+              }
+              (_: ColumnarBatch, _: Int) => const
+            } else {
+              val di = dataFields.indexWhere(_.name == c)
+              val ci = if (di >= 0) di
+                else dataFields.length + extraFields.indexWhere(_.name == c)
+              canonicalVectorGetter(t, ci, c)
+            }
+          }
+        new EqMaskedReader(dvMasked, getters, eqSingle, eqMulti, p.fileSeq)
+      }
+    if (identity) eqMasked
+    else new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = eqMasked.next()
+      override def get(): ColumnarBatch = {
+        val b = eqMasked.get()
+        val cols = new Array[ColumnVector](perm.length)
+        var i = 0
+        while (i < perm.length) { cols(i) = b.column(perm(i)); i += 1 }
+        new ColumnarBatch(cols, b.numRows())
+      }
+      override def close(): Unit = eqMasked.close()
+    }
+  }
+
+  /** Catalyst types whose equality-mask key canonicalizes losslessly
+    * from a ColumnVector — the columnar twin of the parquet-side set
+    * [[GraftMorMask.canonicalKeyGetter]] serves (integral/date →
+    * Long, timestamps → Long micros, string, decimal). A scan whose
+    * eq keys fall outside keeps the row-based reader.
+    */
+  def columnarEqKeyType(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | StringType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Canonical per-row key getter over batch column `ci` — the SAME
+    * JVM representations the sidecar loader produced, so map probes
+    * hit across physical encodings: the vectorized reader already
+    * normalizes timestamps (any INT64 unit, legacy INT96) to catalyst
+    * micros and dates to epoch days. Null key values return null and
+    * never match.
+    */
+  private def canonicalVectorGetter(t: DataType, ci: Int,
+      name: String): (ColumnarBatch, Int) => Any = {
+    val get: (ColumnVector, Int) => Any = t match {
+      case ByteType => (v, i) => java.lang.Long.valueOf(v.getByte(i).toLong)
+      case ShortType => (v, i) => java.lang.Long.valueOf(v.getShort(i).toLong)
+      case IntegerType | DateType =>
+        (v, i) => java.lang.Long.valueOf(v.getInt(i).toLong)
+      case LongType | TimestampType | TimestampNTZType =>
+        (v, i) => java.lang.Long.valueOf(v.getLong(i))
+      case d: DecimalType =>
+        (v, i) => v.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+      case StringType => (v, i) => v.getUTF8String(i).toString
+      case other => throw new IllegalStateException(
+        s"[GRAFT] equality-mask key '$name' has an unservable columnar " +
+          s"type ($other) - the scan gate should have kept the row path")
+    }
+    (b: ColumnarBatch, i: Int) => {
+      val v = b.column(ci)
+      if (v.isNullAt(i)) null else get(v, i)
+    }
+  }
+
+  /** A44/A45 equality masks on the COLUMNAR path: each batch probes
+    * its rows' canonical key tuples against the driver-loaded
+    * tombstone map and drops outranked rows through the same row-id
+    * mapping vectors the DV path uses (wrap, never copy). Masked iff
+    * the key's max tombstone sequence outranks this file's sequence
+    * (Iceberg-v2 rule; erases stamp Long.MaxValue = masked forever).
+    * Single-key masks (the common case: one long GDPR key) probe the
+    * flat map with zero per-row allocation.
+    */
+  private final class EqMaskedReader(delegate: PartitionReader[ColumnarBatch],
+      getters: Array[(ColumnarBatch, Int) => Any],
+      eqSingle: Map[Any, Long], eqMulti: Map[Seq[Any], Long], fileSeq: Long)
+      extends PartitionReader[ColumnarBatch] {
+    private var out: ColumnarBatch = _
+    private val single = getters.length == 1 && eqSingle.nonEmpty
+    private def masked(b: ColumnarBatch, i: Int): Boolean = {
+      if (single) {
+        val k = getters(0)(b, i)
+        if (k == null) return false
+        eqSingle.get(k) match {
+          case Some(maxSeq) => fileSeq < maxSeq
+          case None => false
+        }
+      } else {
+        val key = new Array[Any](getters.length)
+        var j = 0
+        while (j < getters.length) { key(j) = getters(j)(b, i); j += 1 }
+        eqMulti.get(key.toSeq) match {
+          case Some(maxSeq) => fileSeq < maxSeq
+          case None => false
+        }
+      }
+    }
+    override def next(): Boolean = {
+      while (delegate.next()) {
+        val b = delegate.get()
+        val n = b.numRows()
+        val kept = new Array[Int](n)
+        var i = 0; var k = 0
+        while (i < n) {
+          if (!masked(b, i)) { kept(k) = i; k += 1 }
+          i += 1
+        }
+        if (k == n) { out = b; return true } // untouched batch
+        if (k > 0) {
+          val map = java.util.Arrays.copyOf(kept, k)
+          val cols = new Array[ColumnVector](b.numCols())
+          var c = 0
+          while (c < b.numCols()) {
+            cols(c) = new MappedColumnVector(b.column(c), map); c += 1
+          }
+          out = new ColumnarBatch(cols, k)
+          return true
+        } // else: fully-masked batch, keep draining
+      }
+      false
+    }
+    override def get(): ColumnarBatch = out
+    override def close(): Unit = delegate.close()
   }
 
   /** A42 deletion vectors on the COLUMNAR path: each batch covering
@@ -208,10 +371,17 @@ object GraftColumnarReader {
       new MappedColumnVector(d.getChild(ordinal), map)
   }
 
-  /** Concatenated columnar read of a bucket cell's slices. */
+  /** Concatenated columnar read of a bucket cell's slices — each
+    * slice keeps its own masks/sequence exactly as an ungrouped split
+    * would.
+    */
   def bucket(b: GraftBucketPartition, required: StructType,
       hadoopConf: Configuration, sqlKeys: Map[String, String],
-      capacity: Int): PartitionReader[ColumnarBatch] =
+      capacity: Int,
+      eqKeyCols: Seq[String] = Seq.empty,
+      eqKeyTypes: Seq[DataType] = Seq.empty,
+      eqSingle: Map[Any, Long] = Map.empty,
+      eqMulti: Map[Seq[Any], Long] = Map.empty): PartitionReader[ColumnarBatch] =
     new PartitionReader[ColumnarBatch] {
       private var i = 0
       private var cur: PartitionReader[ColumnarBatch] = _
@@ -221,7 +391,7 @@ object GraftColumnarReader {
           if (cur != null) { cur.close(); cur = null }
           if (i >= b.slices.length) return false
           cur = GraftColumnarReader(b.slices(i), required, hadoopConf,
-            sqlKeys, capacity)
+            sqlKeys, capacity, eqKeyCols, eqKeyTypes, eqSingle, eqMulti)
           i += 1
         }
         false

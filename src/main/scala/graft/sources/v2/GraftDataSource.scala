@@ -339,7 +339,7 @@ class GraftScanBuilder(path: String, fullSchema: StructType,
   override def build(): Scan = GraftScan(path, required, pushed,
     pinnedFiles = pinnedFiles, partSchema = partSchema, agg = aggSpec,
     sample = sample, morDv = morDv, morEq = morEq, morSeqm = morSeqm,
-    bucket = layoutBucket)
+    bucket = layoutBucket, tableSchema = fullSchema)
 }
 
 /** A pushed footer-stats aggregation: partition group columns + the
@@ -374,7 +374,8 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     morDv: Seq[String] = Seq.empty,
     morEq: Seq[String] = Seq.empty,
     morSeqm: Seq[String] = Seq.empty,
-    bucket: Option[(Seq[String], Int)] = None)
+    bucket: Option[(Seq[String], Int)] = None,
+    tableSchema: StructType = new StructType())
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -506,12 +507,18 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
       : org.apache.spark.sql.connector.read.Statistics = scanStats
 
   private lazy val scanStats: org.apache.spark.sql.connector.read.Statistics = {
-    def stat(bytes: Long, rows: Long) =
+    def stat(bytes: Long, rows: Long,
+        cols: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+          java.util.Collections.emptyMap()) =
       new org.apache.spark.sql.connector.read.Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(math.max(bytes, 1L))
         override def numRows(): java.util.OptionalLong =
           java.util.OptionalLong.of(math.max(rows, 0L))
+        override def columnStats(): java.util.Map[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
       }
     if (agg.isDefined) {
       // a pushed footer-stats aggregate emits ONE row per file before
@@ -529,12 +536,52 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
         if (morDv.isEmpty) Map.empty else GraftMorMask.load(morDv, conf.value)
       var bytes = 0L
       var rows = 0L
+      // A67 column-level statistics ride the SAME memoized footer
+      // pass: min/max/nullCount merged across surviving row groups,
+      // for the footer-exact column types only (the A29 discipline —
+      // integral/date/decimal; string bounds may be writer-truncated,
+      // fp stats NaN-polluted, timestamp stats unit-ambiguous across
+      // writers). Consumed by Spark's CBO (filter selectivity, join
+      // estimation) when spark.sql.cbo.enabled is on; estimates only,
+      // so dv-masked rows leaving bounds un-tight is fine — a column
+      // whose ANY surviving chunk lacks usable stats claims nothing.
+      final class ColAcc {
+        var min: Any = null; var max: Any = null
+        var rows = 0L; var nulls = 0L
+        var nullsKnown = true; var ok = true
+      }
+      val statFields = required.fields.filter { f =>
+        !partSchema.fieldNames.contains(f.name) && (f.dataType match {
+          case IntegerType | LongType | DateType | _: DecimalType => true
+          case _ => false
+        })
+      }
+      val colAccs: Array[(String, ColAcc)] =
+        statFields.map(f => f.name -> new ColAcc)
+      def cmpNum(a: Any, b: Any): Int =
+        new java.math.BigDecimal(a.toString)
+          .compareTo(new java.math.BigDecimal(b.toString))
       survivors.foreach { f =>
         val blocks = footerBlocks(f)
         val (starts, fileMask) = maskCoords(f, blocks, dvMask)
         val liveIdx = blocks.indices
           .filterNot(i => GraftV2.canSkipRowGroup(blocks(i), filters))
           .filter(i => GraftV2.inSample(f, i, sample))
+        liveIdx.foreach { i =>
+          colAccs.foreach { case (name, a) =>
+            if (a.ok) GraftV2.chunkBounds(blocks(i), name) match {
+              case Some((mn, mx)) =>
+                if (a.min == null || cmpNum(mn, a.min) < 0) a.min = mn
+                if (a.max == null || cmpNum(mx, a.max) > 0) a.max = mx
+                a.rows += blocks(i).getRowCount
+                GraftV2.chunkNullCount(blocks(i), name) match {
+                  case Some(nc) => a.nulls += nc
+                  case None => a.nullsKnown = false
+                }
+              case None => a.ok = false
+            }
+          }
+        }
         // dv-masked rows come off PER SURVIVING ROW GROUP (the same
         // slicing planInputPartitions serves — shared via maskCoords):
         // a table-wide subtraction would under-report filtered scans,
@@ -558,7 +605,50 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
           (if (wholeFile) math.max(fileBytes, listed.getOrElse(f, 0L))
            else fileBytes)
       }
-      stat(bytes, rows)
+      val colStatsMap = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      colAccs.foreach { case (name, a) =>
+        if (a.ok && a.min != null) {
+          val (mn, mx) = (a.min, a.max)
+          val nulls =
+            if (a.nullsKnown) java.util.OptionalLong.of(a.nulls)
+            else java.util.OptionalLong.empty()
+          // distinctCount: a PROVABLE upper bound for integral/date
+          // columns — min(non-null rows, integer span of [min, max])
+          // — exact for dense domains (a 0..24 nationkey) and for
+          // unique keys (span ≈ rows); FilterEstimation refuses to
+          // act on min/max without an ndv at all, so a documented
+          // bound beats claiming nothing. Decimals claim no ndv
+          // (a fractional span bounds nothing).
+          val ndv: java.util.OptionalLong =
+            statFields.find(_.name == name).get.dataType match {
+              case IntegerType | LongType | DateType =>
+                val span = new java.math.BigDecimal(mx.toString)
+                  .subtract(new java.math.BigDecimal(mn.toString))
+                  .add(java.math.BigDecimal.ONE)
+                val nonNull = math.max(
+                  a.rows - (if (a.nullsKnown) a.nulls else 0L), 1L)
+                val cap =
+                  if (span.compareTo(java.math.BigDecimal
+                    .valueOf(Long.MaxValue)) > 0) nonNull
+                  else math.min(nonNull, span.longValueExact())
+                java.util.OptionalLong.of(cap)
+              case _ => java.util.OptionalLong.empty()
+            }
+          colStatsMap.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def min(): java.util.Optional[Object] =
+                java.util.Optional.of(mn.asInstanceOf[Object])
+              override def max(): java.util.Optional[Object] =
+                java.util.Optional.of(mx.asInstanceOf[Object])
+              override def nullCount(): java.util.OptionalLong = nulls
+              override def distinctCount(): java.util.OptionalLong = ndv
+            })
+        }
+      }
+      stat(bytes, rows, colStatsMap)
     }
   }
 
@@ -714,16 +804,34 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     // VECTORIZED eligibility, decided scan-wide on the driver: a table
     // whose projection asks no per-row metadata coordinates reads
     // ColumnarBatches through Spark's own vectorized parquet engine
-    // (the A9 scale fix). A42 POSITION masks ride the columnar path
-    // too — per-batch row-id mapping vectors, the Iceberg DV shape —
-    // so a position-deleted table never pays the row tax; EQUALITY
-    // masks (value probes against file-side key columns) keep the
-    // row-based reader until compaction folds them.
+    // (the A9 scale fix). BOTH mutation-mask families ride the
+    // columnar path: A42 POSITION masks as per-batch row-id mapping
+    // vectors (the Iceberg DV shape), A44/A45 EQUALITY masks as a
+    // vectorized per-batch key probe (pruned key columns re-read, the
+    // Iceberg equality-delete shape) — so a mutated table never pays
+    // the row tax. The ONLY eq downgrade is a key column whose type
+    // falls outside the canonical probe set (nested/fp/raw binary —
+    // the same set the row path refuses by name). seqm manifests only
+    // feed each split's fileSeq, which rides the partition either way.
     // (row-group sampling composes: the sampled split set is decided at
     // planning, and each split decodes columnar exactly like a full scan)
     // `spark.graft.columnar.enabled=false` is the operational escape
     // hatch (and the A/B lever the bench comparison uses)
-    val columnar = morEq.isEmpty && morSeqm.isEmpty &&
+    val eqColumnarOk = morEq.isEmpty || (eqKeyCols.nonEmpty &&
+      eqKeyCols.forall { c =>
+        if (partSchema.fieldNames.contains(c))
+          // partition-valued keys serve as per-split constants; the
+          // row path accepts exactly Long/String partition values
+          partSchema(c).dataType == LongType ||
+            partSchema(c).dataType == StringType
+        else tableSchema.fields.find(_.name == c)
+          .exists(f => GraftColumnarReader.columnarEqKeyType(f.dataType))
+      })
+    val eqKeyTypes: Seq[DataType] =
+      if (morEq.isEmpty || !eqColumnarOk) Seq.empty
+      else eqKeyCols.map(c => partSchema.fields.find(_.name == c)
+        .orElse(tableSchema.fields.find(_.name == c)).get.dataType)
+    val columnar = eqColumnarOk &&
       !required.fieldNames.contains(GraftRowLevel.FileCol) &&
       !required.fieldNames.contains(GraftRowLevel.PosCol) &&
       org.apache.spark.sql.internal.SQLConf.get
@@ -733,7 +841,7 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
       .getOrElse(GraftReaderFactory(required, conf, eqKeyCols,
         eqMulti, eqSingle, columnar = columnar,
         sqlKeys = GraftColumnarReader.sessionSqlKeys(),
-        batchCapacity = capacity))
+        batchCapacity = capacity, eqKeyTypes = eqKeyTypes))
   }
 }
 
@@ -859,12 +967,13 @@ case class GraftReaderFactory(required: StructType,
     eqSingle: Map[Any, Long] = Map.empty,
     columnar: Boolean = false,
     sqlKeys: Map[String, String] = Map.empty,
-    batchCapacity: Int = 4096) extends PartitionReaderFactory {
+    batchCapacity: Int = 4096,
+    eqKeyTypes: Seq[DataType] = Seq.empty) extends PartitionReaderFactory {
 
   /** Scan-wide columnar answer (DSv2 refuses mixed partitions): the
-    * driver decided `columnar` from the pinned sidecar state and the
-    * projection — every split of a clean table takes the vectorized
-    * path, any mutation mask keeps the whole scan row-based.
+    * driver decided `columnar` from the projection and the eq-key
+    * types — dv AND eq masks both serve vectorized; only metadata
+    * projections and non-canonical key types keep the scan row-based.
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     columnar
@@ -874,9 +983,10 @@ case class GraftReaderFactory(required: StructType,
     partition match {
       case b: GraftBucketPartition =>
         GraftColumnarReader.bucket(b, required, conf.value, sqlKeys,
-          batchCapacity)
+          batchCapacity, eqKeyCols, eqKeyTypes, eqSingle, eqMap)
       case p: GraftInputPartition =>
-        GraftColumnarReader(p, required, conf.value, sqlKeys, batchCapacity)
+        GraftColumnarReader(p, required, conf.value, sqlKeys, batchCapacity,
+          eqKeyCols, eqKeyTypes, eqSingle, eqMap)
     }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     partition match {
@@ -1620,6 +1730,44 @@ object GraftV2 {
       s"[GRAFT] Unsupported partition constant $other for type $t")
   }
 
+  /** Scaled [min, max] bounds of one column chunk — the ONE footer
+    * value-extraction rule shared by row-group pruning (canSkip) and
+    * the A67 column statistics (a second hand-rolled copy of the
+    * decimal rescale would drift). None when the chunk has no usable
+    * stats (or the column is absent — schema evolution). Decimal
+    * stats are UNSCALED (int32/int64/binary two's complement);
+    * comparing them raw against a scaled BigDecimal would mis-prune
+    * by 10^scale — rescale here so every consumer sees true values.
+    */
+  def chunkBounds(block: BlockMetaData, col: String): Option[(Any, Any)] =
+    block.getColumns.asScala
+      .find(_.getPath.toDotString == col)
+      .flatMap { c =>
+        val st = c.getStatistics
+        if (st == null || !st.hasNonNullValue) None
+        else c.getPrimitiveType.getLogicalTypeAnnotation match {
+          case d: DecimalLogicalTypeAnnotation =>
+            def scaled(v: Any): Any = v match {
+              case n: java.lang.Integer => java.math.BigDecimal.valueOf(n.longValue, d.getScale)
+              case n: java.lang.Long => java.math.BigDecimal.valueOf(n.longValue, d.getScale)
+              case b: org.apache.parquet.io.api.Binary =>
+                new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.getScale)
+              case other => other
+            }
+            Some((scaled(st.genericGetMin), scaled(st.genericGetMax)))
+          case _ => Some((st.genericGetMin, st.genericGetMax))
+        }
+      }
+
+  /** One chunk's null count, when the writer recorded it. */
+  def chunkNullCount(block: BlockMetaData, col: String): Option[Long] =
+    block.getColumns.asScala
+      .find(_.getPath.toDotString == col)
+      .flatMap { c =>
+        val st = c.getStatistics
+        if (st != null && st.isNumNullsSet) Some(st.getNumNulls) else None
+      }
+
   /** Row-group elimination from footer statistics: skip when the
     * pushed filter provably matches nothing in [min, max]. Conservative
     * (unknown types/stats → keep).
@@ -1628,29 +1776,7 @@ object GraftV2 {
     filters.exists(f => canSkip(block, f))
 
   private def canSkip(block: BlockMetaData, filter: Filter): Boolean = {
-    def bounds(col: String): Option[(Any, Any)] =
-      block.getColumns.asScala
-        .find(_.getPath.toDotString == col)
-        .flatMap { c =>
-          val st = c.getStatistics
-          if (st == null || !st.hasNonNullValue) None
-          else c.getPrimitiveType.getLogicalTypeAnnotation match {
-            // decimal stats are UNSCALED (int32/int64/binary two's
-            // complement); comparing them raw against the filter's
-            // scaled BigDecimal would mis-prune by 10^scale — rescale
-            // here so cmp sees true values.
-            case d: DecimalLogicalTypeAnnotation =>
-              def scaled(v: Any): Any = v match {
-                case n: java.lang.Integer => java.math.BigDecimal.valueOf(n.longValue, d.getScale)
-                case n: java.lang.Long => java.math.BigDecimal.valueOf(n.longValue, d.getScale)
-                case b: org.apache.parquet.io.api.Binary =>
-                  new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.getScale)
-                case other => other
-              }
-              Some((scaled(st.genericGetMin), scaled(st.genericGetMax)))
-            case _ => Some((st.genericGetMin, st.genericGetMax))
-          }
-        }
+    def bounds(col: String): Option[(Any, Any)] = chunkBounds(block, col)
     // exact decimal comparison regardless of the stat/filter type mix:
     // a fractional filter value (l_quantity > 45.5) against integral
     // stats must NOT be truncated to 45 (a latent wrong prune), and

@@ -86,11 +86,15 @@ object GraftLayout {
     s"${l.kind}(${l.cols.mkString(",")}" +
       (if (l.kind == "bucket") s",${l.buckets})" else ")")
 
-  /** The types a zorder key may have: anything with an exact monotone
-    * map to a 64-bit integer — BIGINT identity, TIMESTAMP/TIMESTAMP_NTZ
-    * as epoch micros, DATE as epoch days. Real tables cluster on
-    * (tenant, ts); restricting zorder to BIGINT pairs would shut out
-    * exactly that shape.
+  /** The types a zorder key may have: anything with a monotone map to
+    * a 64-bit integer — BIGINT identity, TIMESTAMP/TIMESTAMP_NTZ as
+    * epoch micros, DATE as epoch days, STRING as its 7-byte UTF-8
+    * prefix read big-endian (Spark string order IS unsigned UTF-8
+    * byte order, so the prefix map is monotone; parquet binary
+    * min/max stats order the same way, which is what makes the
+    * clustered footer stats prunable). Real tables cluster on
+    * (tenant, ts) or (category, id); restricting zorder to BIGINT
+    * pairs would shut out exactly those shapes.
     */
   private def zorderable(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
@@ -98,6 +102,7 @@ object GraftLayout {
       case org.apache.spark.sql.types.TimestampType => true
       case org.apache.spark.sql.types.TimestampNTZType => true
       case org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.StringType => true
       case _ => false
     }
 
@@ -105,8 +110,9 @@ object GraftLayout {
     * schema. Refusals BY NAME: unknown shape, missing columns,
     * partition columns (hive layout already clusters them into
     * directories — a second declaration would be a contradiction),
-    * zorder arity/type (2–4 columns, each BIGINT/TIMESTAMP/DATE — the
-    * interleave is integer bit arithmetic over a monotone 64-bit map),
+    * zorder arity/type (2–4 columns, each BIGINT/TIMESTAMP/DATE/STRING
+    * — the interleave is integer bit arithmetic over a monotone
+    * 64-bit map),
     * bucket arity/type/count (1–4 BIGINT key columns + a literal
     * bucket count — the A65 hash is integer arithmetic and the count
     * is the table's co-location contract).
@@ -180,9 +186,9 @@ object GraftLayout {
           s"${cols.size} in '$spec'")
       cols.foreach { c =>
         require(zorderable(schema(c).dataType),
-          s"[GRAFT] zorder column '$c' must be BIGINT, TIMESTAMP or DATE " +
-            "(the interleave needs a monotone 64-bit integer map), got " +
-            schema(c).dataType.simpleString)
+          s"[GRAFT] zorder column '$c' must be BIGINT, TIMESTAMP, DATE " +
+            "or STRING (the interleave needs a monotone 64-bit integer " +
+            s"map), got ${schema(c).dataType.simpleString}")
       }
     }
     Layout(kind, cols)
@@ -294,18 +300,26 @@ object GraftLayout {
     */
   /** Monotone 64-bit integer view of a zorder key column: BIGINT
     * as-is, TIMESTAMP/TIMESTAMP_NTZ as epoch micros, DATE as epoch
-    * days. Monotonicity is the only property the interleave needs —
-    * the NTZ cast's session-zone interpretation shifts every value by
-    * the same constant, so clustering is unaffected.
+    * days, STRING as its zero-padded 7-byte UTF-8 prefix read as a
+    * big-endian unsigned integer (2^56 fits a long; shorter strings
+    * right-pad with 0x00 so "b" sorts after "aa" exactly as the
+    * string comparison does; longer strings truncate — ties beyond
+    * the prefix cluster together, which is all the interleave needs).
+    * Monotonicity is the only property required — the NTZ cast's
+    * session-zone interpretation shifts every value by the same
+    * constant, so clustering is unaffected.
     */
   private def longKey(data: DataFrame, c: String) = {
-    import org.apache.spark.sql.functions.{unix_date, unix_micros}
+    import org.apache.spark.sql.functions.{conv, hex, rpad, unix_date, unix_micros}
     data.schema(c).dataType match {
       case LongType => col(c)
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
       case org.apache.spark.sql.types.TimestampNTZType =>
         unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
       case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("long")
+      case org.apache.spark.sql.types.StringType =>
+        conv(hex(rpad(col(c).cast(org.apache.spark.sql.types.BinaryType), 7,
+          Array[Byte](0))), 16, 10).cast(LongType)
       case other => throw new IllegalStateException(
         s"[GRAFT] zorder column '$c' has unzorderable type " +
           other.simpleString)

@@ -1751,7 +1751,7 @@ class V2SourceSpec extends SparkSpecBase {
         "TBLPROPERTIES ('layout'='zorder(a,nope)')"))
     assert(chain(eCol).contains("not in the table schema"), chain(eCol))
     val eTyp = intercept[Exception](spark.sql(
-      "CREATE TABLE graftlay.db.t_bad2 (a BIGINT, s STRING) " +
+      "CREATE TABLE graftlay.db.t_bad2 (a BIGINT, s DOUBLE) " +
         "TBLPROPERTIES ('layout'='zorder(a,s)')"))
     assert(chain(eTyp).contains("must be BIGINT"), chain(eTyp))
     val ePart = intercept[Exception](spark.sql(
@@ -2118,7 +2118,7 @@ class V2SourceSpec extends SparkSpecBase {
     assert(chainMsg(eDup).toLowerCase.contains("already exists"), chainMsg(eDup))
   }
 
-  test("v2 columnar reads: scans serve ColumnarBatches through whole-stage codegen; partition re-attach, NTZ, projections and dv masks stay value-exact; eq masks keep the row path") {
+  test("v2 columnar reads: scans serve ColumnarBatches through whole-stage codegen; partition re-attach, NTZ, projections, dv AND eq masks stay value-exact") {
     // the A9 fix: a clean (unmasked) scan decodes via Spark's
     // vectorized parquet engine — the plan shows the columnar→row
     // boundary instead of a row-producing BatchScan
@@ -2177,7 +2177,10 @@ class V2SourceSpec extends SparkSpecBase {
     // scans of masked tables)
     assert(v2ScanStats(v2m).rowCount.contains(BigInt(66)),
       s"masked stats: ${v2ScanStats(v2m).rowCount}")
-    // EQUALITY masks (file-side key probes) keep the row-based reader
+    // A44/A45 EQUALITY masks ride the columnar path too: a vectorized
+    // per-batch canonical-key probe against the driver-loaded
+    // tombstone map — never a row-path downgrade for canonical key
+    // types
     val edir = graft.sources.GraftSink.scratchDir + "/columnar_mor_eq"
     fs2.delete(new org.apache.hadoop.fs.Path(edir), true)
     spark.range(50).selectExpr("id AS k", "id * 2 AS v")
@@ -2185,9 +2188,69 @@ class V2SourceSpec extends SparkSpecBase {
     graft.sources.GraftMor.morErase(spark, edir,
       spark.range(1, 3).selectExpr("id AS k"), Seq("k"))
     val v2e = spark.read.format("graft").load(edir)
-    assert(!v2e.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
-      "eq-masked scan keeps the row path")
+    assert(v2e.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "eq-masked scan must STAY columnar")
     assert(v2e.count() === 48L)
+    assert(v2e.agg(sum("k")).head().getLong(0) === (0L until 50L).sum - 3L)
+    // the PRUNED-key projection re-reads the key column (the Iceberg
+    // equality-delete read shape): a projection of only `v` must
+    // still drop the erased keys' rows
+    val vOnly = spark.read.format("graft").load(edir).select("v")
+    assert(vOnly.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(vOnly.agg(sum("v")).head().getLong(0) ===
+      (0L until 50L).filterNot(k => k == 1L || k == 2L).map(_ * 2).sum)
+    // columnar ≡ row path ≡ morRead, value-exact (the A/B lever)
+    val viaRow = try {
+      spark.conf.set("spark.graft.columnar.enabled", "false")
+      val d = spark.read.format("graft").load(edir)
+      assert(!d.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      d.orderBy("k").collect().map(_.toString).toSeq
+    } finally spark.conf.unset("spark.graft.columnar.enabled")
+    assert(v2e.orderBy("k").collect().map(_.toString).toSeq === viaRow)
+    assert(v2e.orderBy("k").collect().map(_.toString).toSeq ===
+      graft.sources.GraftMor.morRead(spark, edir)
+        .orderBy("k").collect().map(_.toString).toSeq)
+    // dv + eq masks COMPOSE on one columnar scan; upsert sequences
+    // (seqm) outrank per the Iceberg-v2 rule — newly upserted rows
+    // carrying an erased key still serve (their file outranks the
+    // tombstone), and STRING keys probe canonically
+    val cdir = graft.sources.GraftSink.scratchDir + "/columnar_mor_eq_dv"
+    fs2.delete(new org.apache.hadoop.fs.Path(cdir), true)
+    spark.range(40).selectExpr("id AS k", "concat('u', id) AS who", "id * 3 AS v")
+      .write.parquet(cdir)
+    graft.sources.GraftMor.morDelete(spark, cdir, col("k") === 5L)
+    graft.sources.GraftMor.morErase(spark, cdir,
+      spark.createDataFrame(Seq(Tuple1("u7"), Tuple1("u8"))).toDF("who"),
+      Seq("who"))
+    val both = spark.read.format("graft").load(cdir)
+    assert(both.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "dv+eq masked scan must STAY columnar")
+    assert(both.count() === 37L) // 40 - dv(5) - eq(u7, u8)
+    assert(both.where(col("who").isin("u7", "u8")).count() === 0L)
+    assert(both.orderBy("k").collect().map(_.toString).toSeq ===
+      graft.sources.GraftMor.morRead(spark, cdir)
+        .orderBy("k").collect().map(_.toString).toSeq)
+    // seqm outranking: an eq-UPSERT appends a new version whose file
+    // sequence outranks its own tombstone — the columnar probe serves
+    // the NEW row and masks the old one. An upsert of an ERASED key
+    // stays masked (erases stamp Long.MaxValue: that key never serves
+    // again), which is the GDPR forever-rule, not a probe miss.
+    graft.sources.GraftMor.morUpsertEq(spark, cdir,
+      spark.createDataFrame(Seq((9L, "u9", 9999L), (7L, "u7", 777L)))
+        .toDF("k", "who", "v"),
+      Seq("who"))
+    val after = spark.read.format("graft").load(cdir)
+    assert(after.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "seqm-sequenced scan must STAY columnar")
+    assert(after.count() === 37L) // u9 replaced in place, u7 still erased
+    val u9 = after.where(col("who") === "u9").collect()
+    assert(u9.length === 1 && u9.head.getLong(2) === 9999L,
+      s"upserted version must outrank its own tombstone: ${u9.mkString(",")}")
+    assert(after.where(col("who") === "u7").count() === 0L,
+      "an erased key stays masked through later upserts (MaxValue rule)")
+    assert(after.orderBy("k", "v").collect().map(_.toString).toSeq ===
+      graft.sources.GraftMor.morRead(spark, cdir)
+        .orderBy("k", "v").collect().map(_.toString).toSeq)
   }
 
   test("widened layouts: zorder on (BIGINT, TIMESTAMP) prunes both dims; 3-dim interleave; two-column bucket SPJ joins exchange-free") {
@@ -2263,6 +2326,31 @@ class V2SourceSpec extends SparkSpecBase {
       assert(z3Parts(Array(GreaterThanOrEqual("l_partkey", 0L),
         LessThanOrEqual("l_partkey", 50L))) < z3Total,
         "the MIDDLE interleave dim must prune")
+      // ── (STRING, BIGINT) zorder: the string dim maps through its
+      // 7-byte UTF-8 prefix and prunes via the clustered binary
+      // footer stats ──
+      spark.sql("CREATE TABLE graftwide.db.ord_zs (o_orderpriority STRING, " +
+        "o_orderkey BIGINT, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('layout'='zorder(o_orderpriority,o_orderkey)')")
+      spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("wide_ord_src")
+      spark.sql("INSERT INTO graftwide.db.ord_zs SELECT * FROM wide_ord_src")
+      spark.sql("REFRESH TABLE graftwide.db.ord_zs")
+      assert(spark.sql("SELECT count(*) AS n, sum(o_orderkey) AS s " +
+        "FROM graftwide.db.ord_zs").head().toString ===
+        spark.sql("SELECT count(*) AS n, sum(o_orderkey) AS s " +
+          "FROM wide_ord_src").head().toString)
+      val zsPath = s"$wh/db/ord_zs.parquet"
+      val zsSchema = StructType(Seq(StructField("o_orderpriority", StringType)))
+      def zsParts(filters: Array[org.apache.spark.sql.sources.Filter]): Int =
+        GraftScan(zsPath, zsSchema, filters).planInputPartitions().length
+      val zsTotal = zsParts(Array.empty)
+      assume(zsTotal > 3, s"need multiple row groups, got $zsTotal")
+      assert(zsParts(Array(
+        org.apache.spark.sql.sources.EqualTo("o_orderpriority", "3-MEDIUM")))
+        < zsTotal,
+        "the STRING dim must prune on its clustered binary stats")
       // zorder arity/type refusals stay loud
       val eAr = intercept[Exception](spark.sql(
         "CREATE TABLE graftwide.db.bad5 (a BIGINT, b BIGINT, c BIGINT, " +
@@ -2325,7 +2413,7 @@ class V2SourceSpec extends SparkSpecBase {
         r.stats
     }.get
 
-  test("v2 reported statistics: dim auto-broadcasts with NO hint; pruning shrinks sizes") {
+  test("v2 reported statistics: dim auto-broadcasts with NO hint; pruning shrinks sizes; column stats feed CBO") {
     val wh = graft.sources.GraftSink.scratchDir + "/stats_bc"
     val fs = new org.apache.hadoop.fs.Path(wh)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -2401,5 +2489,34 @@ class V2SourceSpec extends SparkSpecBase {
     val onePart = v2ScanStats(part.where(col("pk") === 1)).sizeInBytes
     assert(onePart < allParts,
       s"stats must shrink under partition pruning: $onePart vs $allParts")
+    // A67 column statistics: footer min/max/nullCount flow to catalyst
+    // attribute stats — integral/date/decimal columns only (the A29
+    // exactness discipline: string/fp/timestamp footer stats are not
+    // trustworthy across writers); estimates CBO can act on
+    val colTruth = spark.sql(
+      "SELECT min(c_custkey), max(c_custkey) FROM stats_cust_src").head()
+    val attrStats = v2ScanStats(fact).attributeStats
+    val ckStat = attrStats.find(_._1.name == "c_custkey").map(_._2)
+    assert(ckStat.isDefined,
+      s"c_custkey must carry column stats, got keys " +
+        attrStats.keysIterator.map(_.name).mkString(","))
+    assert(ckStat.get.min.contains(colTruth.getLong(0)) &&
+      ckStat.get.max.contains(colTruth.getLong(1)),
+      s"footer bounds must match the data: ${ckStat.get}")
+    assert(ckStat.get.nullCount.contains(BigInt(0)), s"${ckStat.get}")
+    assert(!attrStats.exists(_._1.name == "c_acctbal"),
+      "fp columns must claim nothing (unreliable footer stats)")
+    // CBO consumes them: a half-range filter's estimated row count
+    // lands strictly between zero and the full count
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val mid = (colTruth.getLong(0) + colTruth.getLong(1)) / 2
+      val est = spark.table("graftstat.db.customer_s")
+        .where(col("c_custkey") <= mid)
+        .queryExecution.optimizedPlan.stats.rowCount
+      val total = BigInt(spark.table("graftstat.db.customer_s").count())
+      assert(est.isDefined && est.get > 0 && est.get < total,
+        s"CBO must estimate selectivity from footer bounds: $est of $total")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 }
