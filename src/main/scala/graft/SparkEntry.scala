@@ -186,6 +186,7 @@ object SparkEntry {
     "sim_ivf_topk"               -> ((s: SparkSession, d: String) => Similarity.ivfTopk(s, d)),
     "sim_ivf_persisted"          -> ((s: SparkSession, d: String) => Similarity.ivfPersistedTopk(s, d)),
     "sim_sql_topk"               -> ((s: SparkSession, d: String) => Similarity.sqlTopk(s, d)),
+    "sim_sql_pq_topk"            -> ((s: SparkSession, d: String) => Similarity.sqlPqTopk(s, d)),
     "sim_lsh_topk"               -> Similarity.lshTopk _,
     "sim_pq_topk"                -> ((s: SparkSession, d: String) => Similarity.pqTopk(s, d)),
     "sim_hnsw_topk"              -> Hnsw.hnswTopk _,

@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_knn_hnsw"),
       new ExpressionInfo("graft", "graft_knn_hnsw"),
       (exprs: Seq[Expression]) => GraftKnnTvf.knnHnsw(exprs)))
+    e.injectTableFunction((
+      FunctionIdentifier("graft_knn_pq"),
+      new ExpressionInfo("graft", "graft_knn_pq"),
+      (exprs: Seq[Expression]) => GraftKnnTvf.knnPq(exprs)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     // B68: rewrite aggregates over a registered base table onto its

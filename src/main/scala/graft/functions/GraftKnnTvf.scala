@@ -148,6 +148,31 @@ object GraftKnnTvf {
     topkPlan(lists, q, k)
   }
 
+  /** `graft_knn_pq(indexDir, queryVec, k[, shortlist])` — serves the
+    * persisted PQ index (the `Similarity.buildPqIndex` layout): the
+    * m×ksub codebook artifact reloads driver-side, ADC tables for the
+    * literal query are computed there, the codes scan TakeOrders the
+    * shortlist (reading only the ~16× narrower code table), and the
+    * exact-cosine rerank broadcast-joins it against the source
+    * embeddings. Wraps `Similarity.pqPersistedTopk`'s plan exactly —
+    * value-identical by construction.
+    */
+  def knnPq(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 3 || exprs.length == 4,
+      "[GRAFT] graft_knn_pq takes (indexDir STRING, queryVec ARRAY, " +
+        "k INT[, shortlist INT])")
+    val idx = litString(exprs(0), "graft_knn_pq index dir")
+    val q = litVector(exprs(1), "graft_knn_pq query vector")
+    val k = litIntArg(exprs(2), "graft_knn_pq k")
+    val s = SparkSession.active
+    val df =
+      if (exprs.length == 4)
+        graft.operators.Similarity.pqPersistedTopk(s, idx, q, k,
+          litIntArg(exprs(3), "graft_knn_pq shortlist"))
+      else graft.operators.Similarity.pqPersistedTopk(s, idx, q, k)
+    df.queryExecution.logical
+  }
+
   /** `graft_knn_hnsw(indexDir, queryVec, k[, ef])` — probes the
     * persisted HNSW index (the `Hnsw.buildHnswIndex` layout): the
     * bounded routing artifact reloads driver-side, the literal query

@@ -967,6 +967,117 @@ object Similarity {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** D6 (persisted form, r15 late): train-once PQ index — the
+    * subspace codebooks AND the corpus's code table persist under
+    * `indexPath`, so a later session (or the `graft_knn_pq` SQL TVF)
+    * serves ADC top-k with ZERO training or encode work per query.
+    * The codes table IS the compression story: m small ints per
+    * vector instead of the 64-dim embedding, so the per-query corpus
+    * pass reads a ~16× narrower artifact; exact-cosine rerank then
+    * touches only the shortlist (broadcast-joined back against the
+    * source embeddings, projected to (vec_id, emb)). Layout:
+    * `codes/` (vec_id, codes ARRAY<INT>), `_codebooks/` (sub, code,
+    * c_emb), `_meta/` (source, m, sub_dim) — `_`-dirs invisible to
+    * list readers, the A31/_centroids sidecar convention.
+    */
+  def buildPqIndex(s: SparkSession, dir: String, indexPath: String,
+      m: Int = 4, ksub: Int = 16): Unit = {
+    val subDim = 64 / m
+    val e = emb(s, dir)
+      .withColumn("nemb", transform(col("emb"),
+        x => x / VectorFns.norm(col("emb"))))
+      .grainCache()
+    val books = trainSubspaceCodebooks(e, m, subDim, ksub, iters = 3)
+    val coded = (0 until m).foldLeft(e) { (df, mi) =>
+      assignCentroidsL2(
+        df.withColumn("emb", slice(col("nemb"), mi * subDim + 1, subDim)),
+        books(mi)).withColumnRenamed("centroid_id", s"code_$mi")
+    }.select(col("vec_id"),
+      array((0 until m).map(mi => col(s"code_$mi")): _*).as("codes"))
+    coded.write.mode("overwrite").parquet(s"$indexPath/codes")
+    import s.implicits._
+    books.zipWithIndex.toSeq
+      .flatMap { case (book, mi) => book.map { case (cid, c) => (mi, cid, c) } }
+      .toDF("sub", "code", "c_emb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_codebooks")
+    Seq((dir, m, subDim)).toDF("source", "m", "sub_dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/_meta")
+    e.unpersist()
+  }
+
+  /** Serve ONE literal query from the persisted PQ index: the m×ksub
+    * codebook artifact reloads driver-side (bounded — no corpus job
+    * at plan time), ADC tables for the normalized query are computed
+    * there, the codes scan TakeOrders the `shortlist` best ADC scores
+    * (map-side lookup arithmetic only), and the exact-cosine rerank
+    * broadcast-joins the shortlist against the source embeddings.
+    * Same output contract as the other persisted serves:
+    * (neighbor_id, cos round 4), best-first, ties by id. The
+    * `graft_knn_pq` TVF wraps exactly this plan.
+    */
+  def pqPersistedTopk(s: SparkSession, indexPath: String, q: Seq[Double],
+      k: Int, shortlist: Int = 10 * K): DataFrame = {
+    val meta = s.read.parquet(s"$indexPath/_meta").head()
+    val source = meta.getString(0)
+    val m = meta.getInt(1)
+    val subDim = meta.getInt(2)
+    require(q.length == m * subDim,
+      s"[GRAFT] pqPersistedTopk: query dim ${q.length} != ${m * subDim}")
+    val books = s.read.parquet(s"$indexPath/_codebooks")
+      .select("sub", "code", "c_emb").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(books.nonEmpty,
+      s"[GRAFT] pqPersistedTopk: no _codebooks artifact under $indexPath " +
+        "- build the index with Similarity.buildPqIndex first")
+    // codebooks were trained on NORMALIZED vectors; the ADC tables
+    // must slice the normalized query or scores drift from training
+    val qn = {
+      val n = math.sqrt(q.map(x => x * x).sum)
+      if (n == 0.0) q else q.map(_ / n)
+    }
+    val tables: Seq[Seq[Double]] = (0 until m).map { mi =>
+      val qs = qn.slice(mi * subDim, (mi + 1) * subDim)
+      books.filter(_._1 == mi).sortBy(_._2).map { case (_, _, c) =>
+        qs.zip(c).map { case (a, b) => a * b }.sum
+      }.toSeq
+    }
+    val short = s.read.parquet(s"$indexPath/codes")
+      .withColumn("adc_score",
+        aggregate(zip_with(typedlit(tables), col("codes"),
+          (t, c) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x))
+      .orderBy(col("adc_score").desc, col("vec_id")).limit(shortlist)
+      .select(col("vec_id"))
+    emb(s, source)
+      .join(broadcast(short), Seq("vec_id"))
+      .select(col("vec_id").cast("long").as("neighbor_id"),
+        VectorFns.cosine(col("emb"), typedlit(q)).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id")).limit(k)
+      .select(col("neighbor_id"), round(col("cos_raw"), 4).as("cos"))
+  }
+
+  /** The D6 SQL-surface driver query (rows-only): build the PQ index
+    * once in scratch, then serve every standard query through
+    * `graft_knn_pq` — spec'd VALUE-IDENTICAL to `pqPersistedTopk`
+    * and recall-banded vs brute force.
+    */
+  def sqlPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.sources.GraftSink.scratchDir + "/pq_index_sql"
+    buildPqIndex(s, dir, idx)
+    val qs = emb(s, dir).where(col("vec_id") < NQueries)
+      .select("vec_id", "emb").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    qs.map { case (qid, v) =>
+      val vecSql = v.map(d => java.lang.Double.toString(d))
+        .mkString("array(", ",", ")")
+      s.sql(s"SELECT CAST($qid AS BIGINT) AS query_id, neighbor_id, cos " +
+          s"FROM graft_knn_pq('$idx', $vecSql, ${K + 1})")
+        .where(col("neighbor_id") =!= qid)
+        .orderBy(col("cos").desc, col("neighbor_id")).limit(K)
+    }.reduce(_ unionByName _)
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** D3: random-hyperplane LSH ANN — 8-bit signatures (256 buckets);
     * queries search only their own bucket.
     */

@@ -541,26 +541,31 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
       // for the footer-exact column types only (the A29 discipline —
       // integral/date/decimal; string bounds may be writer-truncated,
       // fp stats NaN-polluted, timestamp stats unit-ambiguous across
-      // writers). Consumed by Spark's CBO (filter selectivity, join
-      // estimation) when spark.sql.cbo.enabled is on; estimates only,
-      // so dv-masked rows leaving bounds un-tight is fine — a column
+      // writers). GATED on the session's CBO switch: the per-chunk
+      // accumulation is O(chunks × columns) driver work whose output
+      // only the CBO estimators read — the default-off path must not
+      // pay it. Estimates only, so dv-masked rows leaving bounds
+      // un-tight is fine — but COUNT-type claims (nullCount, ndv) are
+      // skipped on dv-masked scans: numRows subtracts masked rows
+      // while chunk counts cannot, and a nullCount above rowCount
+      // drives FilterEstimation to negative selectivities. A column
       // whose ANY surviving chunk lacks usable stats claims nothing.
       final class ColAcc {
         var min: Any = null; var max: Any = null
         var rows = 0L; var nulls = 0L
         var nullsKnown = true; var ok = true
       }
-      val statFields = required.fields.filter { f =>
-        !partSchema.fieldNames.contains(f.name) && (f.dataType match {
-          case IntegerType | LongType | DateType | _: DecimalType => true
-          case _ => false
-        })
-      }
+      val statFields: Array[StructField] =
+        if (!org.apache.spark.sql.internal.SQLConf.get.cboEnabled)
+          Array.empty
+        else required.fields.filter { f =>
+          !partSchema.fieldNames.contains(f.name) && (f.dataType match {
+            case IntegerType | LongType | DateType | _: DecimalType => true
+            case _ => false
+          })
+        }
       val colAccs: Array[(String, ColAcc)] =
         statFields.map(f => f.name -> new ColAcc)
-      def cmpNum(a: Any, b: Any): Int =
-        new java.math.BigDecimal(a.toString)
-          .compareTo(new java.math.BigDecimal(b.toString))
       survivors.foreach { f =>
         val blocks = footerBlocks(f)
         val (starts, fileMask) = maskCoords(f, blocks, dvMask)
@@ -571,12 +576,22 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
           colAccs.foreach { case (name, a) =>
             if (a.ok) GraftV2.chunkBounds(blocks(i), name) match {
               case Some((mn, mx)) =>
-                if (a.min == null || cmpNum(mn, a.min) < 0) a.min = mn
-                if (a.max == null || cmpNum(mx, a.max) > 0) a.max = mx
-                a.rows += blocks(i).getRowCount
-                GraftV2.chunkNullCount(blocks(i), name) match {
-                  case Some(nc) => a.nulls += nc
-                  case None => a.nullsKnown = false
+                // ONE comparison discipline with the pruning path
+                // (GraftV2.cmpStat); a non-comparable stat value
+                // (shouldn't happen for the gated types) claims nothing
+                val lt = if (a.min == null) Some(-1)
+                         else GraftV2.cmpStat(mn, a.min)
+                val gt = if (a.max == null) Some(1)
+                         else GraftV2.cmpStat(mx, a.max)
+                if (lt.isEmpty || gt.isEmpty) a.ok = false
+                else {
+                  if (lt.get < 0) a.min = mn
+                  if (gt.get > 0) a.max = mx
+                  a.rows += blocks(i).getRowCount
+                  GraftV2.chunkNullCount(blocks(i), name) match {
+                    case Some(nc) => a.nulls += nc
+                    case None => a.nullsKnown = false
+                  }
                 }
               case None => a.ok = false
             }
@@ -611,8 +626,12 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
       colAccs.foreach { case (name, a) =>
         if (a.ok && a.min != null) {
           val (mn, mx) = (a.min, a.max)
+          // count-type claims only when NO dv mask skews them: chunk
+          // counts cannot subtract masked rows, and a nullCount above
+          // the reported rowCount turns CBO selectivities negative
           val nulls =
-            if (a.nullsKnown) java.util.OptionalLong.of(a.nulls)
+            if (a.nullsKnown && morDv.isEmpty)
+              java.util.OptionalLong.of(a.nulls)
             else java.util.OptionalLong.empty()
           // distinctCount: a PROVABLE upper bound for integral/date
           // columns — min(non-null rows, integer span of [min, max])
@@ -623,7 +642,7 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
           // (a fractional span bounds nothing).
           val ndv: java.util.OptionalLong =
             statFields.find(_.name == name).get.dataType match {
-              case IntegerType | LongType | DateType =>
+              case (IntegerType | LongType | DateType) if morDv.isEmpty =>
                 val span = new java.math.BigDecimal(mx.toString)
                   .subtract(new java.math.BigDecimal(mn.toString))
                   .add(java.math.BigDecimal.ONE)
@@ -1759,13 +1778,19 @@ object GraftV2 {
         }
       }
 
-  /** One chunk's null count, when the writer recorded it. */
+  /** One chunk's null count, when the writer recorded it. The
+    * `>= 0` guard matters: parquet-mr serves -1 for an OMITTED count
+    * with the set-flag still true on some legacy writers (the same
+    * sentinel the A29 nullCount helper refuses loudly).
+    */
   def chunkNullCount(block: BlockMetaData, col: String): Option[Long] =
     block.getColumns.asScala
       .find(_.getPath.toDotString == col)
       .flatMap { c =>
         val st = c.getStatistics
-        if (st != null && st.isNumNullsSet) Some(st.getNumNulls) else None
+        if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+          Some(st.getNumNulls)
+        else None
       }
 
   /** Row-group elimination from footer statistics: skip when the
@@ -1775,23 +1800,39 @@ object GraftV2 {
   def canSkipRowGroup(block: BlockMetaData, filters: Array[Filter]): Boolean =
     filters.exists(f => canSkip(block, f))
 
+  /** Exact cross-type stat comparison — the ONE comparison discipline
+    * shared by row-group pruning and the A67 column-stat accumulation
+    * (a second hand-rolled copy would drift, the chunkBounds lesson):
+    * a fractional filter value (l_quantity > 45.5) against integral
+    * stats must NOT be truncated to 45 (a latent wrong prune), and
+    * int64 stats above 2^53 must not round through double — BigDecimal
+    * over the decimal string repr is exact for every JVM number type;
+    * non-finite doubles (NaN/Inf) decline to compare (→ callers stay
+    * conservative). String filters compare against binary stats in the
+    * stats' OWN byte space (unsigned UTF-8 lexicographic — also
+    * Spark's UTF8String order): Java String.compareTo is UTF-16
+    * code-unit order, which diverges for [U+E000, U+FFFF] vs
+    * supplementary characters and would wrongly prune groups
+    * containing matching rows.
+    */
+  def cmpStat(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      try Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
+      catch { case _: NumberFormatException => None }
+    case (x: org.apache.parquet.io.api.Binary, y: String) =>
+      val xa = x.getBytes
+      val ya = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(xa.length, ya.length)
+      var i = 0
+      var r = 0
+      while (r == 0 && i < n) { r = (xa(i) & 0xff) - (ya(i) & 0xff); i += 1 }
+      Some(if (r != 0) r else xa.length - ya.length)
+    case _ => None
+  }
+
   private def canSkip(block: BlockMetaData, filter: Filter): Boolean = {
     def bounds(col: String): Option[(Any, Any)] = chunkBounds(block, col)
-    // exact decimal comparison regardless of the stat/filter type mix:
-    // a fractional filter value (l_quantity > 45.5) against integral
-    // stats must NOT be truncated to 45 (a latent wrong prune), and
-    // int64 stats above 2^53 must not round through double. BigDecimal
-    // over the decimal string repr is exact for every JVM number type;
-    // non-finite doubles (NaN/Inf) decline to compare (→ keep the
-    // row group, pruning stays conservative).
-    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-      case (x: java.lang.Number, y: java.lang.Number) =>
-        try Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
-        catch { case _: NumberFormatException => None }
-      case (x: org.apache.parquet.io.api.Binary, y: String) =>
-        Some(x.toStringUsingUTF8.compareTo(y))
-      case _ => None
-    }
+    def cmp(a: Any, b: Any): Option[Int] = cmpStat(a, b)
     filter match {
       case EqualTo(c, v) => bounds(c).exists { case (mn, mx) =>
         cmp(mn, v).exists(_ > 0) || cmp(mx, v).exists(_ < 0) }

@@ -22,6 +22,7 @@ class ContractSpec extends AnyFunSuite {
     "sim_hnsw_persisted", "sim_hnsw_topk", "sim_ivf_incremental",
     "sim_ivf_persisted", "sim_ivf_topk", "sim_lsh_topk", "sim_pq_topk",
     "sim_sql_topk", // SQL TVF over the IVF index — spec'd ≡ ivfPersistedTopk
+    "sim_sql_pq_topk", // SQL TVF over the persisted PQ index — spec'd ≡ pqPersistedTopk
     "text_decontaminate_semantic_lsh", "text_fingerprint")
 
   test("every query has an oracle unless explicitly rows-only; no orphan oracles") {

@@ -150,6 +150,25 @@ class SimilaritySpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(hPlan.contains("PartitionFilters") && hPlan.contains("entry_id"),
       hPlan.take(800))
+    // the PQ twin: graft_knn_pq serves the persisted codes+codebooks
+    // artifact — ADC shortlist over the ~16x narrower code table,
+    // exact-cosine rerank of the broadcast shortlist — and equals the
+    // Scala pqPersistedTopk value-for-value
+    val pidx = graft.sources.GraftSink.scratchDir + "/pq_index_sql_spec"
+    Similarity.buildPqIndex(spark, sfDir, pidx)
+    val scalaPq = Similarity.pqPersistedTopk(spark, pidx, q0, 11)
+      .collect().map(_.toString).toSeq
+    val tvfPq = spark.sql(s"SELECT * FROM graft_knn_pq('$pidx', $vecSql, 11)")
+      .collect().map(_.toString).toSeq
+    assert(tvfPq === scalaPq, s"tvf=${tvfPq.take(3)} scala=${scalaPq.take(3)}")
+    // self ranks first at cos 1.0 (the ADC shortlist must surface it)
+    assert(scalaPq.head === "[0,1.0]", scalaPq.head)
+    // recall vs brute force (excluding self) — the pqTopk band
+    val exact0 = Similarity.bruteForceTopk(spark, sfDir).collect()
+      .filter(_.getLong(0) == 0L).map(_.getLong(1)).toSet
+    val pqIds = tvfPq.drop(1).map(_.drop(1).takeWhile(_ != ',').toLong).toSet
+    val recall = (exact0 intersect pqIds).size.toDouble / exact0.size
+    assert(recall > 0.5, s"pq tvf recall=$recall")
   }
 
   test("IVF results are a subset of valid neighbors (no self matches)") {

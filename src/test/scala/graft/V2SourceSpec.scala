@@ -2489,27 +2489,32 @@ class V2SourceSpec extends SparkSpecBase {
     val onePart = v2ScanStats(part.where(col("pk") === 1)).sizeInBytes
     assert(onePart < allParts,
       s"stats must shrink under partition pruning: $onePart vs $allParts")
-    // A67 column statistics: footer min/max/nullCount flow to catalyst
-    // attribute stats — integral/date/decimal columns only (the A29
-    // exactness discipline: string/fp/timestamp footer stats are not
-    // trustworthy across writers); estimates CBO can act on
+    // A67 column statistics: footer min/max/nullCount/ndv-bound flow
+    // to catalyst attribute stats — integral/date/decimal columns only
+    // (the A29 exactness discipline: string/fp/timestamp footer stats
+    // are not trustworthy across writers), GATED on the CBO switch
+    // (the only consumer; the default-off path must not pay the
+    // per-chunk accumulation)
     val colTruth = spark.sql(
       "SELECT min(c_custkey), max(c_custkey) FROM stats_cust_src").head()
-    val attrStats = v2ScanStats(fact).attributeStats
-    val ckStat = attrStats.find(_._1.name == "c_custkey").map(_._2)
-    assert(ckStat.isDefined,
-      s"c_custkey must carry column stats, got keys " +
-        attrStats.keysIterator.map(_.name).mkString(","))
-    assert(ckStat.get.min.contains(colTruth.getLong(0)) &&
-      ckStat.get.max.contains(colTruth.getLong(1)),
-      s"footer bounds must match the data: ${ckStat.get}")
-    assert(ckStat.get.nullCount.contains(BigInt(0)), s"${ckStat.get}")
-    assert(!attrStats.exists(_._1.name == "c_acctbal"),
-      "fp columns must claim nothing (unreliable footer stats)")
-    // CBO consumes them: a half-range filter's estimated row count
-    // lands strictly between zero and the full count
+    assert(v2ScanStats(fact).attributeStats.isEmpty,
+      "column stats must not be computed with CBO off")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try {
+      val attrStats = v2ScanStats(
+        spark.table("graftstat.db.customer_s")).attributeStats
+      val ckStat = attrStats.find(_._1.name == "c_custkey").map(_._2)
+      assert(ckStat.isDefined,
+        s"c_custkey must carry column stats, got keys " +
+          attrStats.keysIterator.map(_.name).mkString(","))
+      assert(ckStat.get.min.contains(colTruth.getLong(0)) &&
+        ckStat.get.max.contains(colTruth.getLong(1)),
+        s"footer bounds must match the data: ${ckStat.get}")
+      assert(ckStat.get.nullCount.contains(BigInt(0)), s"${ckStat.get}")
+      assert(!attrStats.exists(_._1.name == "c_acctbal"),
+        "fp columns must claim nothing (unreliable footer stats)")
+      // CBO consumes them: a half-range filter's estimated row count
+      // lands strictly between zero and the full count
       val mid = (colTruth.getLong(0) + colTruth.getLong(1)) / 2
       val est = spark.table("graftstat.db.customer_s")
         .where(col("c_custkey") <= mid)
@@ -2517,6 +2522,55 @@ class V2SourceSpec extends SparkSpecBase {
       val total = BigInt(spark.table("graftstat.db.customer_s").count())
       assert(est.isDefined && est.get > 0 && est.get < total,
         s"CBO must estimate selectivity from footer bounds: $est of $total")
+      // a dv-masked table keeps min/max but SKIPS count-type claims
+      // (chunk counts cannot subtract masked rows — a nullCount above
+      // rowCount would drive selectivities negative)
+      val mdir2 = graft.sources.GraftSink.scratchDir + "/stats_cols_mor"
+      fs.delete(new org.apache.hadoop.fs.Path(mdir2), true)
+      spark.range(200).selectExpr("id AS k", "id * 2 AS v")
+        .coalesce(1).write.parquet(mdir2)
+      graft.sources.GraftMor.morDelete(spark, mdir2, col("k") < 100L)
+      val mAttr = v2ScanStats(
+        spark.read.format("graft").load(mdir2)).attributeStats
+      val mk = mAttr.find(_._1.name == "k").map(_._2)
+      assert(mk.isDefined && mk.get.min.contains(0L) &&
+        mk.get.max.contains(199L), s"masked table keeps bounds: $mk")
+      assert(mk.get.nullCount.isEmpty && mk.get.distinctCount.isEmpty,
+        s"masked table must skip count-type claims: $mk")
     } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
+  test("string row-group pruning compares in UTF-8 byte order: supplementary characters never wrongly prune") {
+    import graft.sources.v2.GraftScan
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.types._
+    // U+E000 (private use, 3-byte UTF-8 0xEE...) vs U+1F600 (emoji,
+    // 4-byte 0xF0...): Java String.compareTo (UTF-16 code units) says
+    // "" > emoji because 0xE000 > 0xD83D (the surrogate), but
+    // parquet binary stats order by UNSIGNED UTF-8 bytes where
+    // 0xEE < 0xF0 — a code-unit comparator would prune the group that
+    // CONTAINS the emoji row
+    val dir = graft.sources.GraftSink.scratchDir + "/utf8_prune"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val privateUse = "\uE000"
+    val emoji = new String(Character.toChars(0x1F600))
+    spark.createDataFrame(Seq(Tuple1(privateUse), Tuple1(emoji))).toDF("s")
+      .coalesce(1).write.parquet(dir)
+    val schema = StructType(Seq(StructField("s", StringType)))
+    def parts(f: Array[org.apache.spark.sql.sources.Filter]): Int =
+      GraftScan(dir, schema, f).planInputPartitions().length
+    assert(parts(Array.empty) >= 1)
+    assert(parts(Array(EqualTo("s", emoji))) === parts(Array.empty),
+      "the group containing the emoji row must NOT be pruned")
+    // and the read itself serves the row
+    assert(spark.read.format("graft").load(dir)
+      .where(col("s") === emoji).count() === 1L)
+    // pruning still WORKS in byte order: U+10FFFF (UTF-8 0xF4...) is
+    // above both rows' bytes, so its equality provably matches nothing
+    val aboveAll = new String(Character.toChars(0x10FFFF))
+    assert(parts(Array(EqualTo("s", aboveAll))) === 0,
+      "byte-order pruning must still fire for provably-absent values")
   }
 }
