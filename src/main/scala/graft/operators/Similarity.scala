@@ -747,6 +747,18 @@ object Similarity {
   def sqlTopk(s: SparkSession, dir: String): DataFrame = {
     val idx = graft.sources.GraftSink.scratchDir + "/ivf_index_sql"
     buildIvfIndex(s, dir, 16, idx)
+    sqlTopkDriver(s, dir,
+      (vecSql, k) => s"graft_knn_ivf('$idx', $vecSql, $k, 4)")
+  }
+
+  /** Shared driver for the SQL-TVF serve queries: the standard query
+    * vectors run one at a time through the given TVF call (a TVF's
+    * arguments are literals by contract), self-matches drop, results
+    * union — ONE formatting/drop-self/ordering rule for every
+    * index-family TVF (ivf, pq, ...), never a per-family copy.
+    */
+  private def sqlTopkDriver(s: SparkSession, dir: String,
+      tvfCall: (String, Int) => String): DataFrame = {
     val qs = emb(s, dir).where(col("vec_id") < NQueries)
       .select("vec_id", "emb").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
@@ -755,7 +767,7 @@ object Similarity {
       val vecSql = v.map(d => java.lang.Double.toString(d))
         .mkString("array(", ",", ")")
       s.sql(s"SELECT CAST($qid AS BIGINT) AS query_id, neighbor_id, cos " +
-          s"FROM graft_knn_ivf('$idx', $vecSql, ${K + 1}, 4)")
+          s"FROM ${tvfCall(vecSql, K + 1)}")
         .where(col("neighbor_id") =!= qid)
         .orderBy(col("cos").desc, col("neighbor_id")).limit(K)
     }.reduce(_ unionByName _)
@@ -906,13 +918,36 @@ object Similarity {
     } finally graft.GraftSession.releaseCheckpoint(sub)
   }
 
+  /** nemb = emb / ‖emb‖ with the norm HOISTED to its own column: a
+    * `transform` lambda re-evaluates any subexpression per ELEMENT
+    * (codegen does not hoist out of higher-order functions), so
+    * dividing by `VectorFns.norm(col)` inline is O(d²) per row on a
+    * corpus pass — 64×64 multiply-adds instead of 64+64.
+    */
+  private def withNormalized(e: DataFrame): DataFrame =
+    e.withColumn("__graft_norm", VectorFns.norm(col("emb")))
+      .withColumn("nemb", transform(col("emb"), x => x / col("__graft_norm")))
+      .drop("__graft_norm")
+
+  /** Per-subspace ADC lookup tables for ONE normalized query: table
+    * position j (consumed as `element_at(t, code + 1)`) =
+    * dot(query subslice, the codebook centroid with code j) — codes
+    * sorted ascending, the ONE positional convention both PQ serve
+    * paths share (a second hand-rolled copy would drift).
+    */
+  private def adcTables(books: Array[Array[(Int, Seq[Double])]],
+      qn: Seq[Double], m: Int, subDim: Int): Seq[Seq[Double]] =
+    (0 until m).map { mi =>
+      val qs = qn.slice(mi * subDim, (mi + 1) * subDim)
+      books(mi).sortBy(_._1).map { case (_, c) =>
+        qs.zip(c).map { case (a, b) => a * b }.sum
+      }.toSeq
+    }
+
   def pqTopk(s: SparkSession, dir: String,
              m: Int = 4, ksub: Int = 16, shortlist: Int = 10 * K): DataFrame = {
     val subDim = 64 / m
-    val e = emb(s, dir)
-      .withColumn("nemb", transform(col("emb"),
-        x => x / VectorFns.norm(col("emb"))))
-      .grainCache()
+    val e = withNormalized(emb(s, dir)).grainCache()
     // per-subspace L2 codebooks, trained on the ~10% hash sample —
     // ALL subspaces per Lloyd round in ONE job (rows exploded to
     // (vec_id, sub, subvector), codebook looked up per-row from a
@@ -934,13 +969,7 @@ object Similarity {
     val qRows = e.where(col("vec_id") < NQueries)
       .select(col("vec_id"), col("nemb")).as[(Long, Seq[Double])].collect()
     val adc = qRows.toSeq.map { case (qid, q) =>
-      val tables = (0 until m).map { mi =>
-        val qs = q.slice(mi * subDim, (mi + 1) * subDim)
-        books(mi).sortBy(_._1).map { case (_, c) =>
-          qs.zip(c).map { case (a, b) => a * b }.sum
-        }.toSeq
-      }
-      (qid, q, tables)
+      (qid, q, adcTables(books, q, m, subDim))
     }
     val queries = adc.toDF("query_id", "q_emb", "adc")
     // codebooks + ADC tables are built (all driver-side consumers of
@@ -983,10 +1012,7 @@ object Similarity {
   def buildPqIndex(s: SparkSession, dir: String, indexPath: String,
       m: Int = 4, ksub: Int = 16): Unit = {
     val subDim = 64 / m
-    val e = emb(s, dir)
-      .withColumn("nemb", transform(col("emb"),
-        x => x / VectorFns.norm(col("emb"))))
-      .grainCache()
+    val e = withNormalized(emb(s, dir)).grainCache()
     val books = trainSubspaceCodebooks(e, m, subDim, ksub, iters = 3)
     val coded = (0 until m).foldLeft(e) { (df, mi) =>
       assignCentroidsL2(
@@ -1016,36 +1042,37 @@ object Similarity {
     * `graft_knn_pq` TVF wraps exactly this plan.
     */
   def pqPersistedTopk(s: SparkSession, indexPath: String, q: Seq[Double],
-      k: Int, shortlist: Int = 10 * K): DataFrame = {
+      k: Int, shortlist: Int = 0): DataFrame = {
+    // the shortlist must SCALE with the requested k (a fixed 100-cap
+    // would silently return fewer than k rows for k > 100 and degrade
+    // recall near it); 0 = the default 10× oversampling rule
+    val sl = if (shortlist > 0) shortlist else math.max(10 * K, 10 * k)
     val meta = s.read.parquet(s"$indexPath/_meta").head()
     val source = meta.getString(0)
     val m = meta.getInt(1)
     val subDim = meta.getInt(2)
     require(q.length == m * subDim,
       s"[GRAFT] pqPersistedTopk: query dim ${q.length} != ${m * subDim}")
-    val books = s.read.parquet(s"$indexPath/_codebooks")
+    val flat = s.read.parquet(s"$indexPath/_codebooks")
       .select("sub", "code", "c_emb").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-    require(books.nonEmpty,
+    require(flat.nonEmpty,
       s"[GRAFT] pqPersistedTopk: no _codebooks artifact under $indexPath " +
         "- build the index with Similarity.buildPqIndex first")
+    val books: Array[Array[(Int, Seq[Double])]] = (0 until m).toArray.map {
+      mi => flat.filter(_._1 == mi).map(t => (t._2, t._3)) }
     // codebooks were trained on NORMALIZED vectors; the ADC tables
     // must slice the normalized query or scores drift from training
     val qn = {
       val n = math.sqrt(q.map(x => x * x).sum)
       if (n == 0.0) q else q.map(_ / n)
     }
-    val tables: Seq[Seq[Double]] = (0 until m).map { mi =>
-      val qs = qn.slice(mi * subDim, (mi + 1) * subDim)
-      books.filter(_._1 == mi).sortBy(_._2).map { case (_, _, c) =>
-        qs.zip(c).map { case (a, b) => a * b }.sum
-      }.toSeq
-    }
+    val tables = adcTables(books, qn, m, subDim)
     val short = s.read.parquet(s"$indexPath/codes")
       .withColumn("adc_score",
         aggregate(zip_with(typedlit(tables), col("codes"),
           (t, c) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x))
-      .orderBy(col("adc_score").desc, col("vec_id")).limit(shortlist)
+      .orderBy(col("adc_score").desc, col("vec_id")).limit(sl)
       .select(col("vec_id"))
     emb(s, source)
       .join(broadcast(short), Seq("vec_id"))
@@ -1063,19 +1090,8 @@ object Similarity {
   def sqlPqTopk(s: SparkSession, dir: String): DataFrame = {
     val idx = graft.sources.GraftSink.scratchDir + "/pq_index_sql"
     buildPqIndex(s, dir, idx)
-    val qs = emb(s, dir).where(col("vec_id") < NQueries)
-      .select("vec_id", "emb").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    qs.map { case (qid, v) =>
-      val vecSql = v.map(d => java.lang.Double.toString(d))
-        .mkString("array(", ",", ")")
-      s.sql(s"SELECT CAST($qid AS BIGINT) AS query_id, neighbor_id, cos " +
-          s"FROM graft_knn_pq('$idx', $vecSql, ${K + 1})")
-        .where(col("neighbor_id") =!= qid)
-        .orderBy(col("cos").desc, col("neighbor_id")).limit(K)
-    }.reduce(_ unionByName _)
-      .orderBy("query_id", "neighbor_id")
+    sqlTopkDriver(s, dir,
+      (vecSql, k) => s"graft_knn_pq('$idx', $vecSql, $k)")
   }
 
   /** D3: random-hyperplane LSH ANN — 8-bit signatures (256 buckets);

@@ -1713,13 +1713,12 @@ object GraftV2 {
     * filter on the rows anyway.
     */
   def excludedByPartition(values: Map[String, Any], filters: Array[Filter]): Boolean = {
-    def cmpv(a: Any, b: Any): Option[Int] = (a, b) match {
-      case (x: java.lang.Number, y: java.lang.Number) =>
-        try Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
-        catch { case _: NumberFormatException => None }
-      case (x: String, y: String) => Some(x.compareTo(y))
-      case _ => None
-    }
+    // the ONE comparison discipline (cmpStat): string partition values
+    // compare in unsigned UTF-8 byte order — the engine's UTF8String
+    // order — never Java's UTF-16 code units, which diverge for
+    // [U+E000, U+FFFF] vs supplementary characters and would wrongly
+    // exclude files holding matching rows
+    def cmpv(a: Any, b: Any): Option[Int] = cmpStat(a, b)
     filters.exists {
       case EqualTo(c, v) if values.contains(c) =>
         values(c) == null || cmpv(values(c), v).exists(_ != 0)
@@ -1820,14 +1819,20 @@ object GraftV2 {
       try Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
       catch { case _: NumberFormatException => None }
     case (x: org.apache.parquet.io.api.Binary, y: String) =>
-      val xa = x.getBytes
-      val ya = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val n = math.min(xa.length, ya.length)
-      var i = 0
-      var r = 0
-      while (r == 0 && i < n) { r = (xa(i) & 0xff) - (ya(i) & 0xff); i += 1 }
-      Some(if (r != 0) r else xa.length - ya.length)
+      Some(utf8ByteCmp(x.getBytes,
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case (x: String, y: String) =>
+      Some(utf8ByteCmp(x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     case _ => None
+  }
+
+  private def utf8ByteCmp(xa: Array[Byte], ya: Array[Byte]): Int = {
+    val n = math.min(xa.length, ya.length)
+    var i = 0
+    var r = 0
+    while (r == 0 && i < n) { r = (xa(i) & 0xff) - (ya(i) & 0xff); i += 1 }
+    if (r != 0) r else xa.length - ya.length
   }
 
   private def canSkip(block: BlockMetaData, filter: Filter): Boolean = {

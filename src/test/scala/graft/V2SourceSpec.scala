@@ -2572,5 +2572,15 @@ class V2SourceSpec extends SparkSpecBase {
     val aboveAll = new String(Character.toChars(0x10FFFF))
     assert(parts(Array(EqualTo("s", aboveAll))) === 0,
       "byte-order pruning must still fire for provably-absent values")
+    // the same rule guards PARTITION pruning (one comparator, cmpStat):
+    // an emoji partition value must survive a > U+E000 band — UTF-16
+    // code units would wrongly exclude the file holding matching rows
+    import org.apache.spark.sql.sources.GreaterThan
+    assert(!graft.sources.v2.GraftV2.excludedByPartition(
+      Map("tag" -> emoji), Array(GreaterThan("tag", privateUse))),
+      "emoji partition must survive a > U+E000 filter")
+    assert(graft.sources.v2.GraftV2.excludedByPartition(
+      Map("tag" -> privateUse), Array(GreaterThan("tag", emoji))),
+      "U+E000 partition is provably excluded by a > emoji filter")
   }
 }
