@@ -925,7 +925,16 @@ object Similarity {
     * corpus pass — 64×64 multiply-adds instead of 64+64.
     */
   private def withNormalized(e: DataFrame): DataFrame =
-    e.withColumn("__graft_norm", VectorFns.norm(col("emb")))
+    // zero-norm guard via greatest(norm, minPositiveDouble): a zero
+    // vector divides 0/4.9e-324 = 0 and stays all-zero instead of
+    // going NaN — the same degradation the query-side normalize in
+    // pqPersistedTopk applies. The guard references the norm ONCE:
+    // a when(norm===0).otherwise(norm) form mentions it twice and
+    // MEASURED 1.6× slower on the sf0.1 corpus pass (projection
+    // collapsing inlines every mention into the per-element lambda).
+    e.withColumn("__graft_norm",
+        greatest(VectorFns.norm(col("emb")),
+          lit(java.lang.Double.MIN_VALUE)))
       .withColumn("nemb", transform(col("emb"), x => x / col("__graft_norm")))
       .drop("__graft_norm")
 
@@ -1042,11 +1051,15 @@ object Similarity {
     * `graft_knn_pq` TVF wraps exactly this plan.
     */
   def pqPersistedTopk(s: SparkSession, indexPath: String, q: Seq[Double],
-      k: Int, shortlist: Int = 0): DataFrame = {
-    // the shortlist must SCALE with the requested k (a fixed 100-cap
-    // would silently return fewer than k rows for k > 100 and degrade
-    // recall near it); 0 = the default 10× oversampling rule
-    val sl = if (shortlist > 0) shortlist else math.max(10 * K, 10 * k)
+      k: Int, shortlist: Int = -1): DataFrame = {
+    // the shortlist must SCALE with the requested k (a fixed cap
+    // would silently return fewer than k rows past it and degrade
+    // recall near it): default -1 = 10× oversampling with a floor of
+    // 100 candidates; an explicit non-positive value refuses loudly
+    // rather than silently meaning "default"
+    require(shortlist == -1 || shortlist > 0,
+      s"[GRAFT] pqPersistedTopk: shortlist must be positive, got $shortlist")
+    val sl = if (shortlist > 0) shortlist else math.max(100, 10 * k)
     val meta = s.read.parquet(s"$indexPath/_meta").head()
     val source = meta.getString(0)
     val m = meta.getInt(1)

@@ -1713,25 +1713,25 @@ object GraftV2 {
     * filter on the rows anyway.
     */
   def excludedByPartition(values: Map[String, Any], filters: Array[Filter]): Boolean = {
-    // the ONE comparison discipline (cmpStat): string partition values
-    // compare in unsigned UTF-8 byte order — the engine's UTF8String
-    // order — never Java's UTF-16 code units, which diverge for
-    // [U+E000, U+FFFF] vs supplementary characters and would wrongly
-    // exclude files holding matching rows
-    def cmpv(a: Any, b: Any): Option[Int] = cmpStat(a, b)
+    // the ONE comparison discipline (cmpStat, shared with row-group
+    // pruning): string partition values compare in unsigned UTF-8
+    // byte order — the engine's UTF8String order — never Java's
+    // UTF-16 code units, which diverge for [U+E000, U+FFFF] vs
+    // supplementary characters and would wrongly exclude files
+    // holding matching rows
     filters.exists {
       case EqualTo(c, v) if values.contains(c) =>
-        values(c) == null || cmpv(values(c), v).exists(_ != 0)
+        values(c) == null || cmpStat(values(c), v).exists(_ != 0)
       case In(c, vs) if values.contains(c) =>
-        values(c) == null || vs.forall(v => cmpv(values(c), v).exists(_ != 0))
+        values(c) == null || vs.forall(v => cmpStat(values(c), v).exists(_ != 0))
       case GreaterThan(c, v) if values.contains(c) =>
-        values(c) == null || cmpv(values(c), v).exists(_ <= 0)
+        values(c) == null || cmpStat(values(c), v).exists(_ <= 0)
       case GreaterThanOrEqual(c, v) if values.contains(c) =>
-        values(c) == null || cmpv(values(c), v).exists(_ < 0)
+        values(c) == null || cmpStat(values(c), v).exists(_ < 0)
       case LessThan(c, v) if values.contains(c) =>
-        values(c) == null || cmpv(values(c), v).exists(_ >= 0)
+        values(c) == null || cmpStat(values(c), v).exists(_ >= 0)
       case LessThanOrEqual(c, v) if values.contains(c) =>
-        values(c) == null || cmpv(values(c), v).exists(_ > 0)
+        values(c) == null || cmpStat(values(c), v).exists(_ > 0)
       case IsNull(c) if values.contains(c) => values(c) != null
       case IsNotNull(c) if values.contains(c) => values(c) == null
       case _ => false
