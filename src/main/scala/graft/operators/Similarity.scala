@@ -277,6 +277,24 @@ object Similarity {
       keys.toDF("vec_id"), Seq("vec_id"), "centroid_id")
   }
 
+  /** The hash-bucket dir column of the persisted PQ code table. */
+  private[graft] val PqBucketCol = "pq_bucket"
+
+  /** D13 forget leg for the persisted PQ index: COW rewrite of only
+    * the hash buckets holding the purged vec_ids (the `ivfDelete`
+    * affected-partition discipline over the ~16× narrow code table).
+    * A forgotten id can then never reach the ADC shortlist, so the
+    * exact rerank never fetches its embedding — the serve path is
+    * clean even before the source table's own erase folds. Deletes of
+    * absent keys are no-ops (idempotent retries converge).
+    */
+  private[graft] def pqDelete(s: SparkSession, indexPath: String,
+      keys: Seq[Long]): Unit = {
+    import s.implicits._
+    graft.sources.GraftSink.mergeDelete(s, s"$indexPath/codes",
+      keys.toDF("vec_id"), Seq("vec_id"), PqBucketCol)
+  }
+
   /** G19: STREAMING vector-index maintenance — the persisted IVF
     * index absorbs an embedding STREAM: each micro-batch is
     * anti-joined against the lists' vec_id column (one column-pruned
@@ -1029,7 +1047,14 @@ object Similarity {
         books(mi)).withColumnRenamed("centroid_id", s"code_$mi")
     }.select(col("vec_id"),
       array((0 until m).map(mi => col(s"code_$mi")): _*).as("codes"))
-    coded.write.mode("overwrite").parquet(s"$indexPath/codes")
+    // the code table lands in 16 hash(vec_id) bucket dirs: serving
+    // reads them all (the ADC pass is a full code-table scan by
+    // design), but the D13 forget leg (`pqDelete`) COW-rewrites only
+    // the AFFECTED buckets — O(churn/16 of the narrow table), never
+    // the whole index
+    coded.withColumn(PqBucketCol, pmod(hash(col("vec_id")), lit(16)))
+      .write.mode("overwrite").partitionBy(PqBucketCol)
+      .parquet(s"$indexPath/codes")
     import s.implicits._
     books.zipWithIndex.toSeq
       .flatMap { case (book, mi) => book.map { case (cid, c) => (mi, cid, c) } }

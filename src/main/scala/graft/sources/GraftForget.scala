@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
   *                   segment compaction folds it physically;
   *   - IVF INDEX   → D13 `ivfDelete`: COW rewrite of only the
   *                   affected centroid lists;
-  *   - HNSW INDEX  → D13 `hnswDelete`: shard purge + routing repair.
+  *   - HNSW INDEX  → D13 `hnswDelete`: shard purge + routing repair;
+  *   - PQ INDEX    → D13 `pqDelete`: COW rewrite of only the affected
+  *                   hash buckets of the narrow code table (a purged
+  *                   id can never reach the ADC shortlist, so the
+  *                   rerank never fetches its embedding).
   *
   * Every leg is independently idempotent (erase tombstones dedup,
   * COW deletes of absent keys are no-ops), so re-running a forget —
@@ -36,10 +40,12 @@ object GraftForget {
       tablePath: Option[String] = None, keyCol: String = "doc_id",
       bm25Root: Option[String] = None,
       ivfIndex: Option[String] = None,
-      hnswIndex: Option[String] = None): Seq[(String, String)] = {
+      hnswIndex: Option[String] = None,
+      pqIndex: Option[String] = None): Seq[(String, String)] = {
     require(ids.nonEmpty, "[GRAFT] forgetDocs called with no keys")
     require(tablePath.nonEmpty || bm25Root.nonEmpty || ivfIndex.nonEmpty ||
-      hnswIndex.nonEmpty, "[GRAFT] forgetDocs called with no stores attached")
+      hnswIndex.nonEmpty || pqIndex.nonEmpty,
+      "[GRAFT] forgetDocs called with no stores attached")
     import s.implicits._
     val out = Seq.newBuilder[(String, String)]
     tablePath.foreach { t =>
@@ -66,6 +72,10 @@ object GraftForget {
     hnswIndex.foreach { i =>
       graft.operators.Hnsw.hnswDelete(s, i, ids)
       out += (("hnsw", s"shard purge + routing repair at $i"))
+    }
+    pqIndex.foreach { i =>
+      graft.operators.Similarity.pqDelete(s, i, ids)
+      out += (("pq", s"affected-bucket COW purge at $i/codes"))
     }
     out.result()
   }

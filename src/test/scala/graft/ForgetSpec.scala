@@ -17,18 +17,23 @@ class ForgetSpec extends SparkSpecBase {
     hfs(p).delete(new org.apache.hadoop.fs.Path(p), true); p
   }
 
-  test("A47: forgetDocs erases across table, BM25 index, IVF and HNSW; reruns converge; compaction folds the BM25 tombstones") {
+  test("A47: forgetDocs erases across table, BM25 index, IVF, HNSW and PQ; reruns converge; compaction folds the BM25 tombstones") {
     val scratch = graft.sources.GraftSink.scratchDir
     val tbl = wipe(s"$scratch/forget_tbl")
     val bm = wipe(s"$scratch/forget_bm25")
     val ivf = wipe(s"$scratch/forget_ivf")
     val hn = wipe(s"$scratch/forget_hnsw")
+    val pq = wipe(s"$scratch/forget_pq")
     val docs = new graft.sources.GraftCatalog(spark, sfDir)
       .table("documents").select("doc_id", "text")
     docs.write.parquet(tbl)
     Bm25.applyIndexBatch(docs, 0L, bm)
     Similarity.ivfIncrementalTopk(spark, sfDir, indexPath = Some(ivf)).count()
     Hnsw.hnswPersistedTopk(spark, sfDir, indexPath = Some(hn)).count()
+    Similarity.buildPqIndex(spark, sfDir, pq)
+    val q0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") === 0).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble)
     // victims: one doc each store demonstrably SERVES right now
     val bmVictim = Bm25.serveIndexedBm25(spark, bm)
       .head().getAs[Long]("doc_id")
@@ -36,13 +41,15 @@ class ForgetSpec extends SparkSpecBase {
       .head().getAs[Long]("neighbor_id")
     val hnVictim = Hnsw.serveHnsw(spark, sfDir, hn)
       .head().getAs[Long]("neighbor_id")
-    val victims = Seq(bmVictim, ivfVictim, hnVictim).distinct
+    val pqVictim = Similarity.pqPersistedTopk(spark, pq, q0, 2)
+      .where(col("neighbor_id") =!= 0L).head().getAs[Long]("neighbor_id")
+    val victims = Seq(bmVictim, ivfVictim, hnVictim, pqVictim).distinct
     val vAny = victims.map(x => x: Any)
     val report = GraftForget.forgetDocs(spark, victims,
       tablePath = Some(tbl), bm25Root = Some(bm),
-      ivfIndex = Some(ivf), hnswIndex = Some(hn))
+      ivfIndex = Some(ivf), hnswIndex = Some(hn), pqIndex = Some(pq))
     assert(report.map(_._1) ===
-      Seq("table", "table-residual", "bm25", "ivf", "hnsw"))
+      Seq("table", "table-residual", "bm25", "ivf", "hnsw", "pq"))
     assert(report.find(_._1 == "table-residual").get._2.contains("morCompact"),
       "the audit trail must name the raw-read residual surface")
     // every store forgot
@@ -54,6 +61,11 @@ class ForgetSpec extends SparkSpecBase {
       .where(col("neighbor_id").isin(vAny: _*)).count() === 0, "ivf leg")
     assert(Hnsw.serveHnsw(spark, sfDir, hn)
       .where(col("neighbor_id").isin(vAny: _*)).count() === 0, "hnsw leg")
+    assert(Similarity.pqPersistedTopk(spark, pq, q0, 10)
+      .where(col("neighbor_id").isin(vAny: _*)).count() === 0, "pq leg")
+    assert(spark.read.parquet(s"$pq/codes")
+      .where(col("vec_id").isin(vAny: _*)).count() === 0,
+      "the code table physically forgot")
     // the BM25 stats are the purged corpus's own: the masked sidecar
     // lost exactly the victims present in it
     val nDocs = spark.read.parquet(s"$bm/doclen").count()
@@ -63,8 +75,8 @@ class ForgetSpec extends SparkSpecBase {
     // a rerun (crashed compliance job's retry) converges
     val report2 = GraftForget.forgetDocs(spark, victims,
       tablePath = Some(tbl), bm25Root = Some(bm),
-      ivfIndex = Some(ivf), hnswIndex = Some(hn))
-    assert(report2.length === 5)
+      ivfIndex = Some(ivf), hnswIndex = Some(hn), pqIndex = Some(pq))
+    assert(report2.length === 6)
     assert(Bm25.serveIndexedBm25(spark, bm).collect().map(_.toSeq).toSeq
       === bmPost.collect().map(_.toSeq).toSeq, "rerun is serve-identical")
     // compaction folds the BM25 tombstones physically: sidecar gone,
