@@ -132,7 +132,10 @@ object Bench {
     // insert+band read, the two-column bucket grid SPJ, and the
     // SQL-TVF IVF probe (index build + 5 pruned TVF reads)
     "src_sql_join_broadcast", "src_sql_layout_ts",
-    "src_sql_bucket_join_multi", "sim_sql_topk")
+    "src_sql_bucket_join_multi", "sim_sql_topk",
+    // round-16 addition: the streaming table tail (build + publish ×2
+    // + two AvailableNow runs resuming one checkpoint)
+    "stream_table_tail")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

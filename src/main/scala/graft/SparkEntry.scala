@@ -252,6 +252,9 @@ object SparkEntry {
     "stream_click_purchase_outer" -> graft.streaming.Events.clickToPurchaseOuterBatch _,
     "stream_dedup_first"         -> graft.streaming.Events.dedupFirstBatch _,
     "stream_top_users"           -> ((s: SparkSession, d: String) => graft.streaming.Events.topUsersBatch(s, d)),
+    // the REAL stream runs inside (two AvailableNow runs over the
+    // snapshot log; result = the resumed run's epoch diff)
+    "stream_table_tail"          -> graft.streaming.TableTail.demo _,
   )
 
   /** DuckDB-runnable oracle SQL per query (omitted → rows-only check). */
@@ -3321,6 +3324,12 @@ object SparkEntry {
              count(*) AS n,
              round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    // the tail's RESUMED run emits exactly epoch 2's appended keys
+    "stream_table_tail" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1000
+      ORDER BY o_orderkey""",
 
     // G6: first event per (user, type, hour) — the ingestion dedup's
     // batch twin; the streaming form (dropDuplicatesWithinWatermark)

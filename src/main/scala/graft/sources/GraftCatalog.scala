@@ -279,6 +279,20 @@ final class GraftCatalog(spark: SparkSession, root: String) {
       sc.eq.map { case (p, l) => s"#sidecar\teq\t$l\t$p" } ++
       sc.seqm.map { case (p, l) => s"#sidecar\tseqm\t$l\t$p" } ++
       sc.schemaDdl.map(d => s"#schema\t$d").toSeq
+    // per-file, per-row-group planning stats (`#rgf`/`#rg` extension
+    // lines — row counts, byte ranges, prunable-column min/max): ONE
+    // bounded-parallel footer pass at publish buys ZERO-footer scan
+    // planning for every later read of these files (the reference's
+    // one-metadata-read split planning,
+    // ArgodbMapreduceInputFormat.java:104-199). Computed once outside
+    // the id-collision retry loop; files are immutable so the stats
+    // can never go stale. `spark.graft.publish.rgStats=false` skips
+    // recording (readers then fall back to the parallel footer pool).
+    val statsLines =
+      if (!spark.conf.get("spark.graft.publish.rgStats", "true").toBoolean)
+        Seq.empty[String]
+      else graft.sources.v2.GraftPlanStats.statsLines(pin.files,
+        spark.sessionState.newHadoopConf())
     // the PUBLISH INSTANT lives INSIDE the manifest body (second line,
     // so TIMESTAMP-AS-OF resolution needs only a bounded head read):
     // file mtime is fs-level state an fs copy / restore / distcp
@@ -290,9 +304,12 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     var committed = -1L
     while (committed < 0) {
       val id = snapshotIds(name).lastOption.getOrElse(0L) + 1L
+      // stats lines go LAST so the `#publishedAt` head read (bounded
+      // 512-byte probe) keeps finding the instant near the top
       val body = (Seq(s"rootIsDir=${pin.rootIsDir}",
         s"#publishedAt\t${System.currentTimeMillis()}") ++
-        (pin.files.map { case (p, l) => s"$l\t$p" } ++ sidecarLines))
+        (pin.files.map { case (p, l) => s"$l\t$p" } ++ sidecarLines) ++
+        statsLines)
         .mkString("\n")
       // only the CREATE participates in the race; a failure of the
       // body write itself (disk full) must propagate, not retry.

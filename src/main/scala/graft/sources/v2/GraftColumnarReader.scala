@@ -155,8 +155,13 @@ object GraftColumnarReader {
           eqKeyCols.toArray.zip(eqKeyTypes).map { case (c, t) =>
             if (p.partValues.contains(c)) {
               // partition-valued key: a per-split constant (Long or
-              // String, exactly the row path's accepted shapes)
+              // String, exactly the row path's accepted shapes). A NULL
+              // partition value (`__HIVE_DEFAULT_PARTITION__` dir) is a
+              // never-matching key — sidecar keys are non-null by
+              // contract — mirroring the missing-column rule, NOT an
+              // executor-time failure of the whole query.
               val const: Any = p.partValues(c) match {
+                case null => null
                 case n: java.lang.Long => n
                 case s: String => s
                 case other => throw new IllegalStateException(
@@ -216,7 +221,11 @@ object GraftColumnarReader {
       case LongType | TimestampType | TimestampNTZType =>
         (v, i) => java.lang.Long.valueOf(v.getLong(i))
       case d: DecimalType =>
-        (v, i) => v.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+        // stripTrailingZeros: the sidecar loader canonicalizes with the
+        // FILE's own scale, this getter with the TABLE schema's — both
+        // strip, so BigDecimal's scale-sensitive equals compares values
+        (v, i) => v.getDecimal(i, d.precision, d.scale)
+          .toJavaBigDecimal.stripTrailingZeros()
       case StringType => (v, i) => v.getUTF8String(i).toString
       case other => throw new IllegalStateException(
         s"[GRAFT] equality-mask key '$name' has an unservable columnar " +

@@ -109,12 +109,20 @@ case class GraftTable(path: String, tableSchema: StructType,
   override def name(): String = s"graft:$path"
   override def schema(): StructType = tableSchema
 
-  /** `SHOW TBLPROPERTIES graft.db.t` serves the declared layout —
-    * the clustering contract is discoverable, not just enforced.
+  /** `SHOW TBLPROPERTIES graft.db.t` / `DESCRIBE EXTENDED` serve the
+    * declared layout and (when `CALL graft.system.analyze` ran) the
+    * persisted table statistics — the contract is discoverable, not
+    * just enforced.
     */
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     layoutSpec.foreach(m.put("layout", _))
+    GraftTableStats.read(path, GraftV2.sessionConf().value).foreach { ts =>
+      m.put("stats.rows", ts.rows.toString)
+      m.put("stats.files", ts.files.toString)
+      m.put("stats.analyzedAt",
+        java.time.Instant.ofEpochMilli(ts.analyzedAtMs).toString)
+    }
     m
   }
 
@@ -182,6 +190,9 @@ case class GraftTable(path: String, tableSchema: StructType,
       pinnedFiles, partSchema, morDv, morEq, morSeqm)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      // streaming TABLE TAIL (readStream.table / readStream.format):
+      // the snapshot log as micro-batches — see GraftTableTailStream
+      TableCapability.MICRO_BATCH_READ,
       // SQL DML through the A38 write-audit-publish gate (V1 fallback,
       // the JDBC-connector pattern) — see GraftSqlWrite. OVERWRITE/
       // TRUNCATE admit the static-mode INSERT OVERWRITE plan, which
@@ -394,25 +405,61 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
   private lazy val scanFiles: Seq[String] =
     if (pinnedFiles.nonEmpty) pinnedFiles else GraftV2.dataFiles(path, conf.value)
 
-  /** Per-scan footer-blocks memo: estimateStatistics and
-    * planInputPartitions both walk surviving files' footers on the
-    * driver — one read serves both. Capped so a very wide table
-    * (100k+ files) never pins hundreds of MB of block metadata on the
-    * driver; past the cap the second consumer re-reads (the pre-memo
-    * behavior).
+  /** Manifest-recorded planning stats (the newest published epoch's
+    * `#rg` lines): files covered here plan with ZERO footer opens —
+    * the reference's one-metadata-read split planning
+    * (ArgodbMapreduceInputFormat.java:104-199), lakehouse-shaped.
+    * One manifest read per scan (session-cached by epoch id).
+    */
+  private lazy val manifestStats: Map[String, GraftPlanStats.FileStats] =
+    GraftPlanStats.forTable(path, conf.value,
+      c => tableSchema.fields.find(_.name == c)
+        .orElse(required.fields.find(_.name == c)).map(_.dataType))
+
+  /** Per-scan footer-blocks memo — the FALLBACK for files the newest
+    * manifest does not cover (appends since the last publish,
+    * never-published tables), filled by a bounded PARALLEL pool
+    * (prefetchFooters), never the serial walk. Capped so a very wide
+    * table (100k+ files) never pins hundreds of MB of block metadata
+    * on the driver; past the cap the second consumer re-reads.
     */
   private val footerMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[BlockMetaData]]()
   private val FooterMemoCap = 10000
+
+  /** Planning stats of one file: recorded when published, footer
+    * otherwise — one shape for pruning, stats and split construction.
+    */
+  private def rgStats(file: String): IndexedSeq[GraftPlanStats.Rg] =
+    manifestStats.get(file) match {
+      case Some(fsStats) => scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(fsStats.rgs)
+      case None => scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(footerBlocks(file))
+        .map(new GraftPlanStats.FooterRg(_))
+    }
+
+  /** Fill the footer memo for every survivor the manifest does not
+    * cover, through a bounded parallel pool — at object-store
+    * latencies the unpublished-file fallback is pool-parallel, not a
+    * serial driver walk.
+    */
+  private def prefetchFooters(files: Seq[String]): Unit = {
+    val missing = files.filterNot(f =>
+      manifestStats.contains(f) || footerMemo.containsKey(f))
+    if (missing.sizeIs <= 1) { missing.foreach(footerBlocks); return }
+    GraftPlanStats.mapParallel(missing)(footerBlocks)
+    ()
+  }
 
   /** Per-file dv-mask coordinates — row-group start indices plus this
     * file's sorted mask slice — the ONE rule the stats pass and the
     * planner share (a drift between them would report row counts the
     * served splits don't match).
     */
-  private def maskCoords(file: String, blocks: Array[BlockMetaData],
+  private def maskCoords(file: String, rgs: IndexedSeq[GraftPlanStats.Rg],
       dvMask: Map[String, Array[Long]]): (Array[Long], Array[Long]) =
-    (blocks.scanLeft(0L)(_ + _.getRowCount),
+    (rgs.scanLeft(0L)(_ + _.rowCount).toArray,
       dvMask.getOrElse(
         GraftMorMask.norm(new Path(file).toUri.getPath), Array.empty[Long]))
 
@@ -566,15 +613,16 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
         }
       val colAccs: Array[(String, ColAcc)] =
         statFields.map(f => f.name -> new ColAcc)
+      prefetchFooters(survivors)
       survivors.foreach { f =>
-        val blocks = footerBlocks(f)
+        val blocks = rgStats(f)
         val (starts, fileMask) = maskCoords(f, blocks, dvMask)
         val liveIdx = blocks.indices
-          .filterNot(i => GraftV2.canSkipRowGroup(blocks(i), filters))
+          .filterNot(i => GraftV2.canSkipRowGroup(blocks(i).bounds(_), filters))
           .filter(i => GraftV2.inSample(f, i, sample))
         liveIdx.foreach { i =>
           colAccs.foreach { case (name, a) =>
-            if (a.ok) GraftV2.chunkBounds(blocks(i), name) match {
+            if (a.ok) blocks(i).bounds(name) match {
               case Some((mn, mx)) =>
                 // ONE comparison discipline with the pruning path
                 // (GraftV2.cmpStat); a non-comparable stat value
@@ -587,8 +635,8 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
                 else {
                   if (lt.get < 0) a.min = mn
                   if (gt.get > 0) a.max = mx
-                  a.rows += blocks(i).getRowCount
-                  GraftV2.chunkNullCount(blocks(i), name) match {
+                  a.rows += blocks(i).rowCount
+                  blocks(i).nullCount(name) match {
                     case Some(nc) => a.nulls += nc
                     case None => a.nullsKnown = false
                   }
@@ -605,12 +653,12 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
         var fileBytes = 0L
         var wholeFile = liveIdx.length == blocks.length
         liveIdx.foreach { i =>
-          val rc = blocks(i).getRowCount
+          val rc = blocks(i).rowCount
           val lo = lowerBound(fileMask, starts(i))
           val hi = lowerBound(fileMask, starts(i) + rc)
           if (rc - (hi - lo) > 0) {
             rows += rc - (hi - lo)
-            fileBytes += blocks(i).getCompressedSize
+            fileBytes += blocks(i).length
           } else wholeFile = false
         }
         // when the whole file survives, the listing length is the
@@ -623,6 +671,24 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
       val colStatsMap = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      // persisted ANALYZE statistics (GraftTableStats, CALL
+      // graft.system.analyze): HLL NDV + null counts computed from the
+      // DATA through the masked read path — they fill what the
+      // footer-exact pass honestly cannot claim (string NDV above all,
+      // the CBO join-estimation lever), as ESTIMATES capped at this
+      // scan's reported row count (a pruned scan must never see
+      // nullCount > rowCount — negative selectivities). Same CBO gate
+      // as statFields: the default-off path pays nothing.
+      val persisted: Map[String, GraftTableStats.ColStats] =
+        if (!org.apache.spark.sql.internal.SQLConf.get.cboEnabled) Map.empty
+        else GraftTableStats.read(path, conf.value)
+          .map(_.cols).getOrElse(Map.empty)
+      def persistedNdv(name: String): java.util.OptionalLong =
+        persisted.get(name) match {
+          case Some(cs) => java.util.OptionalLong.of(
+            math.max(1L, math.min(cs.ndv, math.max(rows, 1L))))
+          case None => java.util.OptionalLong.empty()
+        }
       colAccs.foreach { case (name, a) =>
         if (a.ok && a.min != null) {
           val (mn, mx) = (a.min, a.max)
@@ -638,23 +704,34 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
           // — exact for dense domains (a 0..24 nationkey) and for
           // unique keys (span ≈ rows); FilterEstimation refuses to
           // act on min/max without an ndv at all, so a documented
-          // bound beats claiming nothing. Decimals claim no ndv
-          // (a fractional span bounds nothing).
+          // bound beats claiming nothing. Claimed ONLY when the span
+          // is within 4× the non-null rows (near-dense domains and
+          // unique keys): a SPARSE domain (two values a billion
+          // apart) would cap at ~rowCount, under-estimating 1/ndv
+          // equality selectivity by orders of magnitude and flipping
+          // join-strategy choices — claim nothing there. Decimals
+          // claim no ndv (a fractional span bounds nothing).
           val ndv: java.util.OptionalLong =
             statFields.find(_.name == name).get.dataType match {
               case (IntegerType | LongType | DateType) if morDv.isEmpty =>
-                val span = new java.math.BigDecimal(mx.toString)
-                  .subtract(new java.math.BigDecimal(mn.toString))
+                val span = new java.math.BigDecimal(mn.toString)
+                  .negate.add(new java.math.BigDecimal(mx.toString))
                   .add(java.math.BigDecimal.ONE)
                 val nonNull = math.max(
                   a.rows - (if (a.nullsKnown) a.nulls else 0L), 1L)
-                val cap =
-                  if (span.compareTo(java.math.BigDecimal
-                    .valueOf(Long.MaxValue)) > 0) nonNull
-                  else math.min(nonNull, span.longValueExact())
-                java.util.OptionalLong.of(cap)
+                val dense = span.compareTo(java.math.BigDecimal
+                  .valueOf(nonNull).multiply(
+                    java.math.BigDecimal.valueOf(4L))) <= 0
+                if (dense)
+                  java.util.OptionalLong.of(
+                    math.min(nonNull, span.longValueExact()))
+                else java.util.OptionalLong.empty()
               case _ => java.util.OptionalLong.empty()
             }
+          // a footer claim that declined NDV (sparse span, decimal)
+          // still serves the persisted HLL NDV when analyzed
+          val ndvOrPersisted =
+            if (ndv.isPresent) ndv else persistedNdv(name)
           colStatsMap.put(
             org.apache.spark.sql.connector.expressions.Expressions.column(name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -663,9 +740,38 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
               override def max(): java.util.Optional[Object] =
                 java.util.Optional.of(mx.asInstanceOf[Object])
               override def nullCount(): java.util.OptionalLong = nulls
-              override def distinctCount(): java.util.OptionalLong = ndv
+              override def distinctCount(): java.util.OptionalLong = ndvOrPersisted
             })
         }
+      }
+      // columns the footer pass claimed NOTHING for (strings, fp,
+      // timestamps, masked tables) get NDV/nullCount-only entries from
+      // the persisted ANALYZE marker — no min/max (estimation uses
+      // 1/ndv selectivity and join-cardinality math, which need no
+      // bounds)
+      if (persisted.nonEmpty) {
+        val claimed = new java.util.HashSet[String]()
+        colStatsMap.keySet().forEach(r => { claimed.add(r.fieldNames.head); () })
+        required.fields.filterNot(f => partSchema.fieldNames.contains(f.name))
+          .filterNot(f => claimed.contains(f.name)).foreach { f =>
+            persisted.get(f.name).foreach { cs =>
+              val ndvP = math.max(1L, math.min(cs.ndv, math.max(rows, 1L)))
+              val nullsP = math.max(0L, math.min(cs.nulls, rows))
+              colStatsMap.put(
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .column(f.name),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def min(): java.util.Optional[Object] =
+                    java.util.Optional.empty()
+                  override def max(): java.util.Optional[Object] =
+                    java.util.Optional.empty()
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(nullsP)
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(ndvP)
+                })
+            }
+          }
       }
       stat(bytes, rows, colStatsMap)
     }
@@ -683,6 +789,19 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
   }
 
   override def toBatch: Batch = this
+
+  /** Streaming table tail (readStream.table / readStream.format over
+    * this table): the published snapshot log becomes micro-batches.
+    * Pushed aggregates / row-group sampling make no sense per-epoch
+    * and refuse by name.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(agg.isEmpty && sample.isEmpty,
+      s"[GRAFT] the table-tail stream of $path serves plain projections " +
+        "only (no pushed aggregates / row-group sampling)")
+    new GraftTableTailStream(path, required, partSchema, tableSchema, conf)
+  }
 
   /** One split per surviving (file, row group): the table path may be
     * a single parquet file or a whole directory — the directory case
@@ -729,51 +848,70 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     val seqmMap: Map[String, Long] =
       if (morSeqm.isEmpty) Map.empty
       else GraftMorMask.loadSeqm(morSeqm, conf.value)
-    fileSet.flatMap { file =>
-      // hive-layout partition values of THIS file (empty for flat
-      // tables) — evaluated against the pushed/runtime filters BEFORE
-      // the footer is even opened: a `col=value` filter on a
-      // partitioned table skips whole directories' files, the
-      // reference's section pruning
-      // (ArgodbMapreduceInputFormat.java:208-255), and the surviving
-      // values ride on each split like its partition define.
-      val partValues = GraftV2.partitionValues(path, file, partSchema)
-      if (partValues.nonEmpty && GraftV2.excludedByPartition(partValues, all)) Nil
-      else {
-        val blocks = footerBlocks(file)
+    // hive-layout partition values of each file (empty for flat
+    // tables) — evaluated against the pushed/runtime filters BEFORE
+    // any stats source is consulted: a `col=value` filter on a
+    // partitioned table skips whole directories' files, the
+    // reference's section pruning
+    // (ArgodbMapreduceInputFormat.java:208-255), and the surviving
+    // values ride on each split like its partition define.
+    val survivors = fileSet.map { file =>
+      (file, GraftV2.partitionValues(path, file, partSchema))
+    }.filterNot { case (_, pv) =>
+      pv.nonEmpty && GraftV2.excludedByPartition(pv, all)
+    }
+    // published files plan from the manifest's recorded stats with
+    // ZERO footer opens; the rest fill the memo through the bounded
+    // parallel pool here, so even the fallback is never a serial walk
+    prefetchFooters(survivors.map(_._1))
+    survivors.flatMap { case (file, partValues) =>
+      {
+        val blocks = rgStats(file)
         // file-global row-group starts (the `_metadata.row_index`
         // coordinate space the masks tombstone on) + this file's mask
         // slice — shared with the stats pass via maskCoords
         val (starts, fileMask) = maskCoords(file, blocks, dvMask)
+        val live = blocks.zipWithIndex
+          .filterNot { case (b, _) => GraftV2.canSkipRowGroup(b.bounds(_), all) }
+          .filter { case (_, i) => GraftV2.inSample(file, i, sample) }
         // locality: hosts holding each row group's byte range, the analog
         // of the reference's ArgodbMapreduceInputSplit.java:49-60
-        // getLocations(). Spark's scheduler uses these for NODE_LOCAL
-        // placement on a real cluster; on local FS the listing is empty
-        // or localhost and is simply ignored.
-        val p = new Path(file)
-        val fs = p.getFileSystem(conf.value)
-        val status = fs.getFileStatus(p)
-        blocks.zipWithIndex
-          .filterNot { case (b, _) => GraftV2.canSkipRowGroup(b, all) }
-          .filter { case (_, i) => GraftV2.inSample(file, i, sample) }
-          .flatMap { case (b, i) =>
+        // getLocations(). ONE getFileBlockLocations RPC per file with
+        // live groups — sliced locally per row group (the r15 shape was
+        // one RPC PER ROW GROUP: O(row groups) namenode calls per scan).
+        // Spark's scheduler uses these for NODE_LOCAL placement on a
+        // real cluster; on local FS the listing is localhost and ignored.
+        val fileLocs: Array[org.apache.hadoop.fs.BlockLocation] =
+          if (live.isEmpty) Array.empty
+          else {
+            val span = live.map(lb => lb._1.offset + lb._1.length).max
+            try new Path(file).getFileSystem(conf.value)
+              .getFileBlockLocations(new Path(file), 0L, span)
+            catch { case _: java.io.IOException =>
+              Array.empty[org.apache.hadoop.fs.BlockLocation] }
+          }
+        def hostsFor(off: Long, len: Long): Array[String] =
+          fileLocs.filter(bl =>
+              bl.getOffset < off + len && bl.getOffset + bl.getLength > off)
+            .flatMap(bl =>
+              try bl.getHosts catch {
+                case _: java.io.IOException => Array.empty[String] })
+            .distinct
+        live.flatMap { case (b, i) =>
             // this split's slice of the file mask ([start, start+rows))
             val lo = lowerBound(fileMask, starts(i))
-            val hi = lowerBound(fileMask, starts(i) + b.getRowCount)
+            val hi = lowerBound(fileMask, starts(i) + b.rowCount)
             // fully-tombstoned row group: no task at all
-            if (hi - lo == b.getRowCount.toInt) None
+            if (hi - lo == b.rowCount.toInt) None
             else {
-              val hosts =
-                try fs.getFileBlockLocations(status, b.getStartingPos, b.getCompressedSize)
-                  .flatMap(_.getHosts).distinct
-                catch { case _: java.io.IOException => Array.empty[String] }
-              Some(GraftInputPartition(file, i, hosts, partValues,
+              Some(GraftInputPartition(file, i, hostsFor(b.offset, b.length),
+                partValues,
                 starts(i),
                 java.util.Arrays.copyOfRange(fileMask, lo, hi),
                 seqmMap.getOrElse(
                   GraftMorMask.norm(new Path(file).toUri.getPath), 0L),
-                rgOffset = b.getStartingPos,
-                rgLength = b.getCompressedSize))
+                rgOffset = b.offset,
+                rgLength = b.length))
             }
           }.toSeq
       }
@@ -1133,7 +1271,11 @@ class GraftPartitionReader(path: String, rowGroup: Int, required: StructType,
     if (eqMap.isEmpty && eqSingle.isEmpty) Array.empty
     else eqKeyCols.toArray.map { c =>
       if (partValues.contains(c)) {
+        // a NULL partition value (`__HIVE_DEFAULT_PARTITION__` dir) is
+        // a never-matching key — sidecar keys are non-null by contract
+        // — mirroring the missing-column rule below, not a failure
         val const: Any = partValues(c) match {
+          case null => null
           case n: java.lang.Long => n
           case s: String => s
           case other => throw new IllegalStateException(
@@ -1482,8 +1624,16 @@ object GraftV2 {
           "GraftMor.morRead / GraftCatalog.table")
   }
 
+  /** Footer opens through [[withReader]] — instrumentation for the
+    * zero-footer-planning contract: planning a scan of a PUBLISHED
+    * table must not open any footer (manifest-recorded stats serve),
+    * spec-counted. Executor-side data reads don't route through here.
+    */
+  val footerOpens = new java.util.concurrent.atomic.AtomicLong()
+
   def withReader[T](path: String, conf: Configuration = new Configuration())(
       f: ParquetFileReader => T): T = {
+    footerOpens.incrementAndGet()
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(path), conf),
       HadoopReadOptions.builder(conf).build())
@@ -1797,7 +1947,15 @@ object GraftV2 {
     * (unknown types/stats → keep).
     */
   def canSkipRowGroup(block: BlockMetaData, filters: Array[Filter]): Boolean =
-    filters.exists(f => canSkip(block, f))
+    canSkipRowGroup(chunkBounds(block, _), filters)
+
+  /** The same elimination over ANY bounds source — the manifest-
+    * recorded stats path and the footer path share this one rule, so
+    * recorded and fallback planning cannot drift.
+    */
+  def canSkipRowGroup(boundsOf: String => Option[(Any, Any)],
+      filters: Array[Filter]): Boolean =
+    filters.exists(f => canSkip(boundsOf, f))
 
   /** Exact cross-type stat comparison — the ONE comparison discipline
     * shared by row-group pruning and the A67 column-stat accumulation
@@ -1835,8 +1993,8 @@ object GraftV2 {
     if (r != 0) r else xa.length - ya.length
   }
 
-  private def canSkip(block: BlockMetaData, filter: Filter): Boolean = {
-    def bounds(col: String): Option[(Any, Any)] = chunkBounds(block, col)
+  private def canSkip(bounds: String => Option[(Any, Any)],
+      filter: Filter): Boolean = {
     def cmp(a: Any, b: Any): Option[Int] = cmpStat(a, b)
     filter match {
       case EqualTo(c, v) => bounds(c).exists { case (mn, mx) =>

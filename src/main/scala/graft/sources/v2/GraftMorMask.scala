@@ -117,8 +117,15 @@ object GraftMorMask {
   def canonicalKeyGetter(t: Type, gi: Int): Option[Group => Any] = {
     if (!t.isPrimitive) return None
     val p = t.asPrimitiveType()
+    // decimals canonicalize SCALE-INSENSITIVELY (stripTrailingZeros):
+    // java.math.BigDecimal.equals is scale-sensitive, and a file whose
+    // decimal scale diverges from the table schema (schema evolution)
+    // would otherwise probe-miss on whichever path took its scale from
+    // the other source. Every producer of eq-probe keys (this loader,
+    // the row-path data getter through here, the columnar getter in
+    // GraftColumnarReader) strips, so equality is value equality.
     def dec(d: DecimalLogicalTypeAnnotation, unscaled: Group => java.math.BigInteger): Group => Any =
-      g => new java.math.BigDecimal(unscaled(g), d.getScale)
+      g => new java.math.BigDecimal(unscaled(g), d.getScale).stripTrailingZeros()
     p.getPrimitiveTypeName match {
       case BINARY => p.getLogicalTypeAnnotation match {
         case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>

@@ -35,7 +35,7 @@ import scala.jdk.CollectionConverters._
   * reference connector is — DDL/DML throw.
   */
 class GraftTableCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -297,6 +297,39 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     * mid-session (scratch/backfill flows). Other tables keep their
     * snapshots.
     */
+  // ── ProcedureCatalog (SQL maintenance: CALL graft.system.*) ──
+
+  /** `CALL graft.system.compact('db.t')` etc — see [[GraftProcedures]].
+    * The `table` argument is the catalog-relative name
+    * (`<namespace...>.<table>`, catalog prefix tolerated); resolution
+    * refuses unknown namespaces/tables by name.
+    */
+  private def procedureCtx: GraftProcedures.Ctx = GraftProcedures.Ctx(
+    spark,
+    resolve = { arg =>
+      val segs0 = arg.split('.').toSeq.filter(_.nonEmpty)
+      val segs = if (segs0.headOption.contains(catalogName)) segs0.tail else segs0
+      require(segs.length >= 2,
+        s"[GRAFT] procedure table argument must be '<namespace>.<table>', got '$arg'")
+      val ns = segs.dropRight(1).toArray
+      val name = segs.last
+      if (!nsExists(ns)) throw new NoSuchNamespaceException(ns)
+      val path = s"${nsDir(ns)}/$name.parquet"
+      if (!hadoopFs.exists(new org.apache.hadoop.fs.Path(path)))
+        throw new NoSuchTableException(Identifier.of(ns, name))
+      (ns, name, path)
+    },
+    catalogFor = catalogFor,
+    invalidate = (ns, name) => invalidateTable(Identifier.of(ns, name)),
+    partColsOf = readPartCols)
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(procedureCtx, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
+
   override def invalidateTable(ident: Identifier): Unit = {
     tables.remove((ident.namespace.mkString("/"), ident.name))
     // snapshot-keyed memos (`name@v<id>`) hold the epoch's absolute

@@ -1654,4 +1654,80 @@ class StreamingSpec extends SparkSpecBase {
     val e = intercept[Exception](run())
     assert(chain(e).contains("INSIDE the folded committed range"), chain(e))
   }
+
+  test("table tail: readStream.table over the snapshot log — appends become batches, restart resumes, mutation and COW epochs refuse by name") {
+    import org.apache.spark.sql.streaming.Trigger
+    val wh = graft.sources.GraftSink.scratchDir + "/tail_spec_wh"
+    val db = s"$wh/db"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(db))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "grafttail")
+    val tbl = s"$db/t.parquet"
+    val ckpt = s"$wh/_ckpt"
+    import spark.implicits._
+    (0L until 100L).map(i => (i, i * 2)).toDF("k", "v")
+      .coalesce(2).write.parquet(tbl)
+    val cat = new graft.sources.GraftCatalog(spark, db)
+    cat.publishSnapshot("t")
+    val out = s"$wh/_out"
+    def runOnce(): Unit = {
+      val q = spark.readStream.table("grafttail.db.t")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sunk(): org.apache.spark.sql.DataFrame = spark.read.parquet(out)
+    // run 1: the whole published epoch becomes the first batch
+    runOnce()
+    assert(sunk().count() === 100L)
+    // appended but UNPUBLISHED files stay invisible (publish is the
+    // commit point, same as the batch snapshot surfaces)
+    (100L until 150L).map(i => (i, i * 2)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(tbl)
+    runOnce()
+    assert(sunk().count() === 100L,
+      "unpublished files must not stream")
+    cat.invalidate("t"); cat.publishSnapshot("t")
+    // run 3 with the SAME checkpoint: exactly the new epoch's rows
+    runOnce()
+    val served = sunk()
+    assert(served.count() === 150L, "the resumed run emits the epoch diff")
+    assert(served.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+      === (0L until 150L).map(_ * 2).sum)
+    // a mutation epoch refuses BY NAME, pointing at the A49 feed
+    graft.sources.GraftMor.morDelete(spark, tbl,
+      org.apache.spark.sql.functions.col("k") === 7L)
+    cat.invalidate("t"); cat.publishSnapshot("t")
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " || " + chain(t.getCause)
+    val e1 = intercept[Exception](runOnce())
+    assert(chain(e1).contains("publishMorFeed"), chain(e1))
+    // a COW rewrite between consumed epochs is NOT an append diff:
+    // refuse pointing at a re-seed (fresh table — the mutation arm
+    // above left an uncommitted WAL batch pinned at its epoch)
+    val tbl2 = s"$db/t2.parquet"
+    (0L until 60L).map(i => (i, i)).toDF("k", "v")
+      .repartition(3).write.parquet(tbl2)
+    cat.publishSnapshot("t2")
+    def runTwo(): Unit = {
+      val q = spark.readStream.table("grafttail.db.t2")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$wh/_out2"); () }
+        .option("checkpointLocation", s"$wh/_ckpt2")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runTwo()
+    assert(spark.read.parquet(s"$wh/_out2").count() === 60L)
+    graft.sources.GraftSink.compactTable(spark, tbl2)
+    cat.invalidate("t2"); cat.publishSnapshot("t2")
+    val e2 = intercept[Exception](runTwo())
+    assert(chain(e2).contains("re-seed"), chain(e2))
+  }
 }

@@ -2583,4 +2583,136 @@ class V2SourceSpec extends SparkSpecBase {
       Map("tag" -> privateUse), Array(GreaterThan("tag", emoji))),
       "U+E000 partition is provably excluded by a > emoji filter")
   }
+
+  test("decimal equality keys canonicalize scale-insensitively; null partition values never match an eq key") {
+    import spark.implicits._
+    import graft.sources.GraftMor
+    val wh = graft.sources.GraftSink.scratchDir + "/eq_edge_wh"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    // (1) decimal key written at scale 2; the erase batch arrives at
+    // scale 3 (an upstream cast drift) — BigDecimal.equals is
+    // scale-sensitive, so without stripTrailingZeros the mask would
+    // silently MISS (a GDPR erase that doesn't erase). Both read
+    // paths must mask, and agree.
+    val dtbl = s"$wh/db/t_dec.parquet"
+    Seq(("1.10", 10L), ("2.20", 20L), ("3.30", 30L)).toDF("ks", "v")
+      .select(col("ks").cast("decimal(12,2)").as("k"), col("v"))
+      .coalesce(1).write.parquet(dtbl)
+    GraftMor.morErase(spark, dtbl,
+      Seq("1.10").toDF("ks").select(col("ks").cast("decimal(12,3)").as("k")),
+      Seq("k"))
+    def decServed(columnar: Boolean): Set[Long] = {
+      spark.conf.set("spark.graft.columnar.enabled", columnar.toString)
+      try spark.read.format("graft").load(dtbl)
+        .select("v").collect().map(_.getLong(0)).toSet
+      finally spark.conf.unset("spark.graft.columnar.enabled")
+    }
+    assert(decServed(columnar = true) === Set(20L, 30L),
+      "columnar path: the scale-drifted erase must still mask k=1.10")
+    assert(decServed(columnar = false) === Set(20L, 30L),
+      "row path: the scale-drifted erase must still mask k=1.10")
+    // (2) an eq key riding a PARTITION column, with one null-partition
+    // directory: the null value is a never-matching key (sidecar keys
+    // are non-null by contract) — the query must SERVE, not fail
+    val ptbl = s"$wh/db/t_part.parquet"
+    Seq((java.lang.Long.valueOf(1L), 10L), (java.lang.Long.valueOf(2L), 20L),
+        (null.asInstanceOf[java.lang.Long], 30L))
+      .toDF("pk", "v").write.partitionBy("pk").parquet(ptbl)
+    GraftMor.morErase(spark, ptbl, Seq(1L).toDF("pk"), Seq("pk"))
+    def partServed(columnar: Boolean): Set[Long] = {
+      spark.conf.set("spark.graft.columnar.enabled", columnar.toString)
+      try spark.read.format("graft").load(ptbl)
+        .select("v").collect().map(_.getLong(0)).toSet
+      finally spark.conf.unset("spark.graft.columnar.enabled")
+    }
+    assert(partServed(columnar = true) === Set(20L, 30L),
+      "columnar: erased partition key masked, null partition SERVES")
+    assert(partServed(columnar = false) === Set(20L, 30L),
+      "row path: erased partition key masked, null partition SERVES")
+  }
+
+  test("published tables plan with ZERO footer opens; manifest stats match the footer path exactly") {
+    import graft.sources.v2.GraftScan
+    import org.apache.spark.sql.sources.{Filter, GreaterThan}
+    import org.apache.spark.sql.types._
+    val wh = graft.sources.GraftSink.scratchDir + "/planstats_wh"
+    val dir = s"$wh/t.parquet"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    // several files × several row groups, sorted so bounds prune
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .orderBy("o_orderkey").repartitionByRange(3, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.option("parquet.block.size", "65536").parquet(dir)
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    val epoch = cat.publishSnapshot("t")
+    assert(epoch >= 1L)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = GraftV2.dataFiles(dir, conf)
+    val schema = spark.read.parquet(dir).schema
+    def splits(scan: GraftScan) = scan.planInputPartitions().map {
+      case p: graft.sources.v2.GraftInputPartition =>
+        (p.path, p.rowGroup, p.rowGroupStart, p.rgOffset, p.rgLength)
+    }.toSeq.sorted
+    def stat(scan: GraftScan) = {
+      val s = scan.estimateStatistics()
+      (s.sizeInBytes.getAsLong, s.numRows.getAsLong)
+    }
+    val filters: Array[Filter] = Array(
+      GreaterThan("o_totalprice", 150000.0),
+      GreaterThan("o_orderkey", 900L),
+      LessThan("o_orderpriority", "3-MEDIUM"))
+    def mk(fl: Array[Filter]) = GraftScan(dir, schema, fl,
+      pinnedFiles = files, tableSchema = schema)
+    // THE contract: planning + stats of a published table opens no
+    // footer — splits come from the manifest's recorded #rg lines
+    val before = GraftV2.footerOpens.get()
+    val recordedAll = splits(mk(Array.empty))
+    val recordedPruned = splits(mk(filters))
+    val recordedStat = stat(mk(filters))
+    assert(GraftV2.footerOpens.get() === before,
+      "planning a published table must open ZERO parquet footers")
+    assert(recordedPruned.nonEmpty && recordedPruned.size < recordedAll.size,
+      s"filters must prune recorded row groups: ${recordedPruned.size} of ${recordedAll.size}")
+    // parity: the footer path (escape hatch) plans IDENTICAL splits
+    // and identical statistics — one pruning rule, two stats sources
+    spark.conf.set("spark.graft.plan.manifestStats", "false")
+    try {
+      assert(splits(mk(Array.empty)) === recordedAll)
+      assert(splits(mk(filters)) === recordedPruned)
+      assert(stat(mk(filters)) === recordedStat)
+    } finally spark.conf.unset("spark.graft.plan.manifestStats")
+    // values through the full read path stay exact
+    val got = spark.read.format("graft").load(dir)
+      .where(col("o_totalprice") > 150000.0)
+      .agg(count(lit(1)), sum("o_orderkey")).head()
+    val exp = spark.read.parquet(dir)
+      .where(col("o_totalprice") > 150000.0)
+      .agg(count(lit(1)), sum("o_orderkey")).head()
+    assert(got === exp)
+    // a file appended AFTER the publish falls back to the bounded
+    // parallel footer pool — its footer (and only its) is opened
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("o_orderkey"),
+        col("c_custkey").cast("long").as("o_custkey"),
+        lit("O").as("o_orderstatus"),
+        col("c_acctbal").as("o_totalprice"),
+        lit(java.sql.Date.valueOf("2026-01-01")).as("o_orderdate"),
+        lit("1-URGENT").as("o_orderpriority"),
+        lit("x").as("o_clerk"), lit(0).as("o_shippriority"),
+        lit("y").as("o_comment"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val files2 = GraftV2.dataFiles(dir, conf)
+    assert(files2.size === files.size + 1)
+    val before2 = GraftV2.footerOpens.get()
+    val mixed = splits(GraftScan(dir, schema, Array.empty,
+      pinnedFiles = files2, tableSchema = schema))
+    val opened = GraftV2.footerOpens.get() - before2
+    assert(opened === 1L,
+      s"only the appended (unpublished) file's footer may open, got $opened")
+    assert(mixed.size > recordedAll.size, "the appended file must plan splits")
+  }
 }
