@@ -42,6 +42,7 @@ object GraftProcedures {
     */
   final case class Ctx(spark: SparkSession,
       resolve: String => (Array[String], String, String),
+      resolveNs: String => String,
       catalogFor: Array[String] => graft.sources.GraftCatalog,
       invalidate: (Array[String], String) => Unit,
       partColsOf: String => Seq[String])
@@ -49,7 +50,8 @@ object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   private val names = Seq("compact", "vacuum", "expire_snapshots",
-    "restore", "rebucket", "mor_compact", "publish_snapshot", "analyze")
+    "restore", "rebucket", "mor_compact", "publish_snapshot", "analyze",
+    "advise")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Namespace))
@@ -114,6 +116,7 @@ object GraftProcedures {
         val id = c.catalogFor(ns).publishSnapshot(name)
         Seq(utf8(s"${ns.mkString(".")}.$name"), id)
       }
+      case "advise" => adviseProc(ctx)
       case "analyze" => proc(ctx, "analyze",
         out = Seq("table" -> StringType, "row_count" -> LongType,
           "columns_analyzed" -> LongType)) { (c, ns, name, path) =>
@@ -124,6 +127,44 @@ object GraftProcedures {
   }
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** `CALL graft.system.advise(namespace => 'db')` — the A34/A37
+    * advisor's signals as a SQL result relation, one row per
+    * (table, rule, metric, detail): the FLAG half of the
+    * flag→act→clear loop, so a SQL-only operator can read the signals
+    * and act on them with the maintenance CALLs above without ever
+    * leaving SQL.
+    */
+  private def adviseProc(ctx: Ctx): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "advise"
+    override def description(): String =
+      "graft maintenance advisor: one row per (table, rule, metric, detail)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "advise"
+      override def description(): String =
+        "graft maintenance advisor: one row per (table, rule, metric, detail)"
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("namespace", StringType).build())
+      override def isDeterministic: Boolean = false // reads live fs state
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val nsArg = input.getUTF8String(0)
+        require(nsArg != null, "[GRAFT] advise: namespace must be set")
+        val root = ctx.resolveNs(nsArg.toString)
+        val advice = graft.sources.GraftAdvisor.advise(ctx.spark, root)
+        val schema = StructType(Seq(
+          StructField("table", StringType), StructField("rule", StringType),
+          StructField("metric", LongType), StructField("detail", StringType)))
+        val scan: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = advice.map(a =>
+            new GenericInternalRow(Array[Any](utf8(a.table), utf8(a.rule),
+              a.metric, utf8(a.detail)))).toArray
+          override def readSchema(): StructType = schema
+          override def description(): String = "graft procedure advise"
+        }
+        java.util.Collections.singletonList(scan).iterator()
+      }
+    }
+  }
 
   /** A one-table procedure with no extra parameters. */
   private def proc(ctx: Ctx, procName: String,

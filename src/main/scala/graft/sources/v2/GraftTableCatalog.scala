@@ -319,6 +319,15 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         throw new NoSuchTableException(Identifier.of(ns, name))
       (ns, name, path)
     },
+    resolveNs = { arg =>
+      val segs0 = arg.split('.').toSeq.filter(_.nonEmpty)
+      val segs = if (segs0.headOption.contains(catalogName)) segs0.tail else segs0
+      require(segs.nonEmpty,
+        s"[GRAFT] procedure namespace argument must be non-empty, got '$arg'")
+      val ns = segs.toArray
+      if (!nsExists(ns)) throw new NoSuchNamespaceException(ns)
+      nsDir(ns)
+    },
     catalogFor = catalogFor,
     invalidate = (ns, name) => invalidateTable(Identifier.of(ns, name)),
     partColsOf = readPartCols)

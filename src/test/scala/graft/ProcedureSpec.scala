@@ -25,12 +25,22 @@ class ProcedureSpec extends SparkSpecBase {
     spark.read.parquet(s"$sfDir/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .repartition(12).write.parquet(tPath)
-    // ── compact ──
+    // ── compact (flag read through SQL too: CALL advise) ──
     assert(advice(db).exists(_.rule == "compact"), "advisor must flag compact")
+    def sqlAdvice(): Set[String] = spark.sql(
+      "CALL graftproc.system.advise(namespace => 'db')")
+      .collect().map(_.getString(1)).toSet
+    assert(sqlAdvice().contains("compact"),
+      "the advisor's flags must be SQL-readable")
     val res = spark.sql("CALL graftproc.system.compact(table => 'db.t')").head()
     assert(res.getLong(1) === 12L && res.getLong(2) < 12L,
       s"compact must shrink the file count: $res")
     assert(!advice(db).exists(_.rule == "compact"), "compact advice must clear")
+    assert(!sqlAdvice().contains("compact"), "the SQL flag must clear too")
+    // the procedure surface is discoverable
+    val procs = spark.sql("SHOW PROCEDURES IN graftproc.system")
+      .collect().map(_.mkString(",")).mkString(";")
+    assert(procs.contains("compact") && procs.contains("advise"), procs)
     // values intact through the catalog (pins dropped by the CALL)
     assert(spark.sql("SELECT count(*) FROM graftproc.db.t").head().getLong(0) ===
       spark.read.parquet(s"$sfDir/orders.parquet").count())
