@@ -58,6 +58,16 @@ object GraftAdvisor {
           out += Advice(name, "vacuum", orphans.length.toLong,
             s"${orphans.length} listed files referenced by no published epoch - run vacuum")
       }
+      // A69: a many-file table with no stats-bearing manifest plans
+      // every scan through the footer pool — one publish records the
+      // per-row-group stats and planning drops to one manifest read.
+      // Act-clears-it (CALL graft.system.publish_snapshot).
+      if (files.length >= minFilesForCompaction &&
+          graft.sources.v2.GraftPlanStats.rawForTable(tableDir, conf).isEmpty)
+        out += Advice(name, "publish-stats", files.length.toLong,
+          s"${files.length} data files and no stats-bearing snapshot " +
+            "manifest: every scan plans through footer reads - run " +
+            "publishSnapshot to record planning stats")
       // bloom sidecar coverage
       val dir = new Path(tableDir)
       val fs = dir.getFileSystem(conf)

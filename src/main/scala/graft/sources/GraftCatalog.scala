@@ -280,19 +280,23 @@ final class GraftCatalog(spark: SparkSession, root: String) {
       sc.seqm.map { case (p, l) => s"#sidecar\tseqm\t$l\t$p" } ++
       sc.schemaDdl.map(d => s"#schema\t$d").toSeq
     // per-file, per-row-group planning stats (`#rgf`/`#rg` extension
-    // lines — row counts, byte ranges, prunable-column min/max): ONE
-    // bounded-parallel footer pass at publish buys ZERO-footer scan
-    // planning for every later read of these files (the reference's
-    // one-metadata-read split planning,
-    // ArgodbMapreduceInputFormat.java:104-199). Computed once outside
-    // the id-collision retry loop; files are immutable so the stats
-    // can never go stale. `spark.graft.publish.rgStats=false` skips
-    // recording (readers then fall back to the parallel footer pool).
+    // lines — row counts, byte ranges, prunable-column min/max): one
+    // footer pass per NEW file at publish buys ZERO-footer scan
+    // planning for every later read (the reference's one-metadata-read
+    // split planning, ArgodbMapreduceInputFormat.java:104-199). Files
+    // the PRIOR epoch already recorded re-emit their lines verbatim
+    // (parquet immutability — publish cost is O(new files), never
+    // O(table)); uncovered files take the bounded parallel footer
+    // pool. Computed once outside the id-collision retry loop.
+    // `spark.graft.publish.rgStats=false` skips recording (readers
+    // then fall back to the parallel footer pool).
     val statsLines =
       if (!spark.conf.get("spark.graft.publish.rgStats", "true").toBoolean)
         Seq.empty[String]
       else graft.sources.v2.GraftPlanStats.statsLines(pin.files,
-        spark.sessionState.newHadoopConf())
+        spark.sessionState.newHadoopConf(),
+        prior = graft.sources.v2.GraftPlanStats.rawForTable(
+          s"$root/$name.parquet", spark.sessionState.newHadoopConf()))
     // the PUBLISH INSTANT lives INSIDE the manifest body (second line,
     // so TIMESTAMP-AS-OF resolution needs only a bounded head read):
     // file mtime is fs-level state an fs copy / restore / distcp
@@ -304,12 +308,17 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     var committed = -1L
     while (committed < 0) {
       val id = snapshotIds(name).lastOption.getOrElse(0L) + 1L
-      // stats lines go LAST so the `#publishedAt` head read (bounded
-      // 512-byte probe) keeps finding the instant near the top
+      // stats lines go LAST-but-one so the `#publishedAt` head read
+      // (bounded 512-byte probe) keeps finding the instant near the
+      // top; the `#complete` TERMINATOR is the final line — the body
+      // streams AFTER the create() that makes the file lister-visible,
+      // so consumers that plan live work from a manifest (scan stats,
+      // the table-tail stream) require the terminator and treat its
+      // absence as in-flight/torn, never a silently-partial read
       val body = (Seq(s"rootIsDir=${pin.rootIsDir}",
         s"#publishedAt\t${System.currentTimeMillis()}") ++
         (pin.files.map { case (p, l) => s"$l\t$p" } ++ sidecarLines) ++
-        statsLines)
+        statsLines :+ graft.sources.v2.GraftPlanStats.Complete)
         .mkString("\n")
       // only the CREATE participates in the race; a failure of the
       // body write itself (disk full) must propagate, not retry.
@@ -464,7 +473,21 @@ final class GraftCatalog(spark: SparkSession, root: String) {
       org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
       bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
     } finally in.close()
-    body.split("\n").toSeq
+    val lines = body.split("\n").toSeq
+    // torn-read guard: the body streams AFTER the create() that makes
+    // the manifest lister-visible; a body carrying recorded stats
+    // (`#rgf`) but no `#complete` terminator is an in-flight or
+    // crashed publish — refuse rather than serve a partial file list.
+    // (Terminator-less bodies WITHOUT stats lines are grandfathered:
+    // manifests written before the terminator existed.)
+    if (lines.exists(_.startsWith("#rgf\t")) &&
+        !lines.lastOption.exists(_.startsWith(
+          graft.sources.v2.GraftPlanStats.Complete)))
+      throw new IllegalStateException(
+        s"[GRAFT] Snapshot v$id of [$name] is in-flight or torn (stats " +
+          "lines present but no completeness terminator) - retry when " +
+          "the publish completes, or republish if the publisher crashed")
+    lines
   }
 
   private def readManifest(name: String, id: Long): (Boolean, Seq[String]) = {

@@ -411,7 +411,7 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     * (ArgodbMapreduceInputFormat.java:104-199), lakehouse-shaped.
     * One manifest read per scan (session-cached by epoch id).
     */
-  private lazy val manifestStats: Map[String, GraftPlanStats.FileStats] =
+  private lazy val manifestStats: Map[String, IndexedSeq[GraftPlanStats.Rg]] =
     GraftPlanStats.forTable(path, conf.value,
       c => tableSchema.fields.find(_.name == c)
         .orElse(required.fields.find(_.name == c)).map(_.dataType))
@@ -431,13 +431,9 @@ case class GraftScan(path: String, required: StructType, filters: Array[Filter],
     * otherwise — one shape for pruning, stats and split construction.
     */
   private def rgStats(file: String): IndexedSeq[GraftPlanStats.Rg] =
-    manifestStats.get(file) match {
-      case Some(fsStats) => scala.collection.immutable.ArraySeq
-        .unsafeWrapArray(fsStats.rgs)
-      case None => scala.collection.immutable.ArraySeq
-        .unsafeWrapArray(footerBlocks(file))
-        .map(new GraftPlanStats.FooterRg(_))
-    }
+    manifestStats.getOrElse(file,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(footerBlocks(file))
+        .map(new GraftPlanStats.FooterRg(_)))
 
   /** Fill the footer memo for every survivor the manifest does not
     * cover, through a bounded parallel pool — at object-store

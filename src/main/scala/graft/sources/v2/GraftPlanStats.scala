@@ -29,10 +29,13 @@ import scala.jdk.CollectionConverters._
   * footer pool instead of the serial walk.
   *
   * Line grammar (inside the `v<id>` manifest body, after the file and
-  * sidecar lines so the `#publishedAt` head read stays bounded):
+  * sidecar lines so the `#publishedAt` head read stays bounded; the
+  * body ENDS with a `#complete` terminator — the torn-read guard, see
+  * [[Complete]]):
   *
   *   #rgf\t<fileLen>\t<path>                       one per file
   *   #rg\t<rows>\t<offset>\t<len>\t<colstats>      one per row group
+  *   #complete                                     last line
   *
   * `colstats` is `;`-joined `name=<bounds>:<nulls>` where bounds is
   * `n:<min>:<max>` (numbers as plain decimal strings — decimals
@@ -44,6 +47,16 @@ import scala.jdk.CollectionConverters._
   * are bit-identical between the recorded and the fallback path.
   */
 object GraftPlanStats {
+
+  /** Manifest terminator line. `publishSnapshot` allocates the
+    * manifest with create-if-absent (the id race) and only then
+    * streams the body, so a LISTER can see the file before the body
+    * is durable; every consumer that plans live work from a manifest
+    * (scan stats, the table-tail stream) treats a body without this
+    * terminator as IN-FLIGHT/TORN and falls back or waits — never a
+    * silently-partial read.
+    */
+  val Complete = "#complete"
 
   /** One row group's planning-time stats — the ONE surface row-group
     * pruning, the A67 stats pass and split construction consume, so
@@ -74,15 +87,24 @@ object GraftPlanStats {
     def nullCount(col: String): Option[Long] = GraftV2.chunkNullCount(block, col)
   }
 
-  /** Manifest-backed stats, decoded lazily per column against the
-    * table schema's declared types (the decode table below).
+  /** One parsed row group, typeOf-free (what the session cache holds —
+    * binding a caller's schema closure into the cache would leak one
+    * scan's types into another's attribute stats).
     */
-  final class ManifestRg(val rowCount: Long, val offset: Long,
-      val length: Long, cols: Map[String, ColRec],
+  final case class RawRg(rowCount: Long, offset: Long, length: Long,
+      cols: Map[String, ColRec])
+
+  /** Manifest-backed stats: a RawRg viewed through the calling scan's
+    * declared types (the decode table below).
+    */
+  final class ManifestRg(raw: RawRg,
       typeOf: String => Option[DataType]) extends Rg {
+    def rowCount: Long = raw.rowCount
+    def offset: Long = raw.offset
+    def length: Long = raw.length
     def bounds(col: String): Option[(Any, Any)] =
-      cols.get(col).flatMap(_.decodeBounds(typeOf(col)))
-    def nullCount(col: String): Option[Long] = cols.get(col).flatMap(_.nulls)
+      raw.cols.get(col).flatMap(_.decodeBounds(typeOf(col)))
+    def nullCount(col: String): Option[Long] = raw.cols.get(col).flatMap(_.nulls)
   }
 
   /** One column's recorded stats: `kind` ∈ n/s/-, raw encoded min/max
@@ -121,12 +143,28 @@ object GraftPlanStats {
             dec.decode(rawMax))))
       case _ => None
     }
+
+    def encode: String = {
+      val n = nulls.map(_.toString).getOrElse("?")
+      if (kind == '-') s"-:$n" else s"$kind:$rawMin:$rawMax:$n"
+    }
   }
 
   /** Recorded stats of one file: listing length (diagnostic + the
     * block-locations span) and the per-row-group stats in file order.
     */
-  final case class FileStats(len: Long, rgs: Array[ManifestRg])
+  final case class FileStats(len: Long, rgs: Array[RawRg]) {
+    /** Back to the exact manifest lines — what lets a later publish
+      * REUSE a prior epoch's recorded stats for unchanged (immutable)
+      * files instead of re-opening their footers.
+      */
+    def reencode(path: String): Seq[String] =
+      s"#rgf\t$len\t$path" +: rgs.toSeq.map { rg =>
+        val colstats = rg.cols.toSeq.sortBy(_._1)
+          .map { case (n, c) => s"$n=${c.encode}" }.mkString(";")
+        s"#rg\t${rg.rowCount}\t${rg.offset}\t${rg.length}\t$colstats"
+      }
+  }
 
   /** Binary bounds longer than this are not recorded (conservative
     * fallback to "no stats" — a lost prune, never a wrong one); keeps
@@ -136,18 +174,25 @@ object GraftPlanStats {
 
   // ── encode (publish side) ───────────────────────────────────────────
 
-  /** `#rgf`/`#rg` lines for the given files, footers read through a
-    * bounded parallel pool (`spark.graft.plan.footerThreads`, default
-    * 16) — the ONE footer pass per epoch that buys zero-footer
-    * planning for every later scan. Line order is deterministic
-    * (caller's file order, each file's groups contiguous).
+  /** `#rgf`/`#rg` lines for the given files. Files the PRIOR epoch's
+    * manifest already covers re-emit their recorded lines verbatim
+    * (parquet immutability — publish cost is O(new files), not
+    * O(table)); only uncovered files take the bounded parallel footer
+    * pool (`spark.graft.plan.footerThreads`, default 16). Line order
+    * is deterministic (caller's file order, each file's groups
+    * contiguous).
     */
-  def statsLines(files: Seq[(String, Long)], conf: Configuration): Seq[String] = {
+  def statsLines(files: Seq[(String, Long)], conf: Configuration,
+      prior: Map[String, FileStats] = Map.empty): Seq[String] = {
     if (files.isEmpty) return Seq.empty
-    val perFile = mapParallel(files)(f =>
-      encodeFile(f._1, f._2, GraftV2.withReader(f._1, conf)(
-        _.getFooter.getBlocks.asScala.toArray)))
-    perFile.flatten
+    val (covered, fresh) = files.partition(f => prior.contains(f._1))
+    val freshLines: Map[String, Seq[String]] =
+      mapParallel(fresh)(f =>
+        f._1 -> encodeFile(f._1, f._2, GraftV2.withReader(f._1, conf)(
+          _.getFooter.getBlocks.asScala.toArray))).toMap
+    files.flatMap { case (p, _) =>
+      prior.get(p).map(_.reencode(p)).getOrElse(freshLines(p))
+    }
   }
 
   /** Bounded-pool parallel map preserving input order; first failure
@@ -229,15 +274,12 @@ object GraftPlanStats {
 
   // ── decode (scan side) ──────────────────────────────────────────────
 
-  /** Parse a manifest body's stats lines. `typeOf` resolves a column
-    * name to the table's declared type (decode table above).
-    */
-  def parseLines(lines: Seq[String],
-      typeOf: String => Option[DataType]): Map[String, FileStats] = {
+  /** Parse a manifest body's stats lines into typeOf-free RawRgs. */
+  def parseLines(lines: Seq[String]): Map[String, FileStats] = {
     val out = Map.newBuilder[String, FileStats]
     var curPath: String = null
     var curLen = 0L
-    var curRgs = Vector.empty[ManifestRg]
+    var curRgs = Vector.empty[RawRg]
     def flush(): Unit = if (curPath != null) {
       out += curPath -> FileStats(curLen, curRgs.toArray)
       curRgs = Vector.empty
@@ -251,8 +293,8 @@ object GraftPlanStats {
         val parts = l.split("\t", 5)
         val cols = if (parts.length < 5 || parts(4).isEmpty) Map.empty[String, ColRec]
           else parts(4).split(';').iterator.flatMap(parseCol).toMap
-        curRgs :+= new ManifestRg(parts(1).toLong, parts(2).toLong,
-          parts(3).toLong, cols, typeOf)
+        curRgs :+= RawRg(parts(1).toLong, parts(2).toLong,
+          parts(3).toLong, cols)
       case _ => ()
     }
     flush()
@@ -282,61 +324,113 @@ object GraftPlanStats {
 
   // ── discovery + cache ───────────────────────────────────────────────
 
-  /** `(snapshot dir, newest id)` cache of parsed stats — manifests are
-    * immutable once written, so the newest id IS the cache key; one
-    * listing per lookup decides freshness. Bounded: a new entry past
-    * the cap evicts the map (sessions touch few tables; correctness
-    * never depends on a hit).
+  /** `(snapshot dir, newest id)` cache of parsed stats — a COMPLETE
+    * manifest is immutable, so the newest id IS the cache key; one
+    * listing per lookup decides freshness. Only successful reads of
+    * terminated bodies are cached (a torn/in-flight manifest or a
+    * transient IO failure must not pin "no stats" for the session).
+    * Bounded: a new entry past the cap evicts the map.
     */
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), Map[String, FileStats]]()
   private val CacheCap = 64
 
-  /** The newest published manifest's recorded stats for the table at
-    * `tablePath` (`<root>/<name>.parquet` → `<root>/_snapshots/<name>`),
-    * empty when nothing was published or recording is disabled
-    * (`spark.graft.plan.manifestStats=false` is the read-side escape
-    * hatch; every file then takes the parallel footer pool). Stats are
-    * per-FILE and parquet files are immutable, so the newest manifest
-    * serves any scan — including AS-OF reads of older epochs — for
-    * exactly the files it covers.
+  /** The snapshot-manifest directory of a table path
+    * (`<root>/<name>.parquet` → `<root>/_snapshots/<name>`) — the ONE
+    * derivation every manifest consumer shares.
     */
-  def forTable(tablePath: String, conf: Configuration,
-      typeOf: String => Option[DataType]): Map[String, FileStats] = {
+  def snapshotsDirFor(tablePath: String): Path = {
+    val p = new Path(tablePath)
+    new Path(p.getParent,
+      s"${graft.sources.GraftCatalog.SnapshotDir}/${p.getName.stripSuffix(".parquet")}")
+  }
+
+  /** Published epoch ids under a snapshots dir, ascending; non-numeric
+    * `v*` entries ignored, IO failures → empty.
+    */
+  def epochIds(snapDir: Path, conf: Configuration): Seq[Long] =
+    try {
+      val fs = snapDir.getFileSystem(conf)
+      if (!fs.exists(snapDir)) Seq.empty
+      else fs.listStatus(snapDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") =>
+          try n.drop(1).toLong catch { case _: NumberFormatException => -1L } }
+        .filter(_ >= 0).sorted
+    } catch { case _: java.io.IOException => Seq.empty }
+
+  /** One manifest body as lines, None on IO failure. */
+  def readBody(snapDir: Path, id: Long,
+      conf: Configuration): Option[Seq[String]] =
+    try {
+      val fs = snapDir.getFileSystem(conf)
+      val in = fs.open(new Path(snapDir, s"v$id"))
+      val body = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+        bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
+      } finally in.close()
+      Some(body.split("\n").toSeq)
+    } catch { case _: java.io.IOException => None }
+
+  /** Whether a manifest body carries the completeness terminator —
+    * bodies written before the terminator existed (or torn/in-flight
+    * ones) don't, and every LIVE-planning consumer then falls back.
+    */
+  def isComplete(lines: Seq[String]): Boolean =
+    lines.lastOption.exists(_.startsWith(Complete))
+
+  /** The newest COMPLETE published manifest's recorded stats for the
+    * table at `tablePath`, raw (typeOf-free); empty when nothing was
+    * published, the newest manifest is torn/in-flight/unreadable, or
+    * recording is disabled (`spark.graft.plan.manifestStats=false` is
+    * the read-side escape hatch; every file then takes the parallel
+    * footer pool). Stats are per-FILE and parquet files are immutable,
+    * so the newest manifest serves any scan — including AS-OF reads of
+    * older epochs — for exactly the files it covers.
+    */
+  def rawForTable(tablePath: String,
+      conf: Configuration): Map[String, FileStats] = {
     val enabled =
       try org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.graft.plan.manifestStats", "true").toBoolean
       catch { case _: Exception => true }
     if (!enabled) return Map.empty
-    val p = new Path(tablePath)
-    val base = p.getName.stripSuffix(".parquet")
-    val snapDir = new Path(p.getParent,
-      s"${graft.sources.GraftCatalog.SnapshotDir}/$base")
-    val fs = snapDir.getFileSystem(conf)
-    val newest =
-      try {
-        if (!fs.exists(snapDir)) -1L
-        else fs.listStatus(snapDir).iterator.map(_.getPath.getName)
-          .collect { case n if n.startsWith("v") =>
-            try n.drop(1).toLong catch { case _: NumberFormatException => -1L } }
-          .foldLeft(-1L)(math.max)
-      } catch { case _: java.io.IOException => -1L }
-    if (newest < 0) return Map.empty
-    val key = (snapDir.toString, newest)
-    val hit = cache.get(key)
-    if (hit != null) return hit
-    val parsed =
-      try {
-        val in = fs.open(new Path(snapDir, s"v$newest"))
-        val body = try {
-          val bytes = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
-          bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
-        } finally in.close()
-        parseLines(body.split("\n").toSeq, typeOf)
-      } catch { case _: java.io.IOException => Map.empty[String, FileStats] }
-    if (cache.size >= CacheCap) cache.clear()
-    cache.put(key, parsed)
-    parsed
+    val snapDir = snapshotsDirFor(tablePath)
+    // newest COMPLETE manifest wins: a torn/in-flight newest (publish
+    // racing this plan, or a crashed publisher) falls back to the
+    // prior epoch's stats — per-file stats of immutable files are
+    // valid from ANY epoch that recorded them
+    // bounded descent (3): a log of exclusively terminator-less bodies
+    // (pre-terminator manifests) must not re-read O(epochs) manifests
+    // on every scan — past the bound, plan from footers
+    epochIds(snapDir, conf).reverseIterator.take(3).foreach { id =>
+      val key = (snapDir.toString, id)
+      val hit = cache.get(key)
+      if (hit != null) return hit
+      readBody(snapDir, id, conf) match {
+        case Some(lines) if isComplete(lines) =>
+          val parsed =
+            try parseLines(lines)
+            catch { case _: RuntimeException =>
+              // a malformed stats section in a TERMINATED manifest is
+              // a writer bug, but planning must stay correct: footers
+              return Map.empty
+            }
+          if (cache.size >= CacheCap) cache.clear()
+          cache.put(key, parsed)
+          return parsed
+        case _ => () // torn/in-flight/unreadable: try the next older
+      }
+    }
+    Map.empty
   }
+
+  /** [[rawForTable]] viewed through the calling scan's declared types. */
+  def forTable(tablePath: String, conf: Configuration,
+      typeOf: String => Option[DataType])
+      : Map[String, IndexedSeq[Rg]] =
+    rawForTable(tablePath, conf).map { case (p, fsStats) =>
+      p -> (fsStats.rgs.toIndexedSeq.map(raw =>
+        new ManifestRg(raw, typeOf): Rg))
+    }
 }

@@ -67,27 +67,41 @@ object GraftTableStats {
     val dir = new Path(tablePath, StatsDir)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    val out = fs.create(new Path(dir, "summary"), true)
+    // STAGED write (the engine's swap discipline): a truncate-in-place
+    // would expose a torn body to a concurrent reader — stage to a tmp
+    // name, then delete + rename; the reader's worst case is a clean
+    // miss (None), never a partial parse
+    val tmp = new Path(dir, s".summary_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val dst = new Path(dir, "summary")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"[GRAFT] analyze($tablePath): rename($tmp -> $dst) failed")
     cache.clear() // next read re-loads the fresh marker
     (rows, fields.length.toLong)
   }
 
-  /** (marker path, mtime)-keyed cache — one small read per (table,
-    * analyze), not per scan.
+  /** (marker path, mtime, length)-keyed cache — one small read per
+    * (table, analyze), not per scan. Length rides the key so a
+    * rewrite landing within one mtime tick still misses.
     */
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), TableStats]()
+    (String, Long, Long), TableStats]()
 
-  /** The persisted statistics, or None when never analyzed. */
+  /** The persisted statistics, or None when never analyzed (or the
+    * marker is unreadable/malformed — stats are estimates; a read
+    * problem degrades to "no stats", never a failed query).
+    */
   def read(tablePath: String, conf: Configuration): Option[TableStats] = {
     val p = new Path(s"$tablePath/$StatsDir/summary")
     val fs = p.getFileSystem(conf)
-    val mtime =
-      try fs.getFileStatus(p).getModificationTime
+    val st =
+      try fs.getFileStatus(p)
       catch { case _: java.io.IOException => return None }
-    val key = (p.toString, mtime)
+    val key = (p.toString, st.getModificationTime, st.getLen)
     val hit = cache.get(key)
     if (hit != null) return Some(hit)
     val body = try {
@@ -100,7 +114,7 @@ object GraftTableStats {
     } catch { case _: java.io.IOException => return None }
     var rows = 0L; var files = 0L; var at = 0L
     val cols = Map.newBuilder[String, ColStats]
-    body.split("\n").foreach { l =>
+    try body.split("\n").foreach { l =>
       val ps = l.split("\t", 4)
       ps(0) match {
         case "rows" if ps.length > 1 => rows = ps(1).toLong
@@ -110,7 +124,7 @@ object GraftTableStats {
           cols += ps(3) -> ColStats(ps(1).toLong, ps(2).toLong)
         case _ => ()
       }
-    }
+    } catch { case _: NumberFormatException => return None }
     val ts = TableStats(rows, files, at, cols.result())
     if (cache.size > 256) cache.clear()
     cache.put(key, ts)

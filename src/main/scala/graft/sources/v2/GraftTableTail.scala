@@ -38,38 +38,51 @@ class GraftTableTailStream(path: String, required: StructType,
     conf: SerializableConfiguration) extends MicroBatchStream
     with SupportsTriggerAvailableNow {
 
-  private def snapDir: Path = {
-    val p = new Path(path)
-    new Path(p.getParent,
-      s"${graft.sources.GraftCatalog.SnapshotDir}/${p.getName.stripSuffix(".parquet")}")
+  private def snapDir: Path = GraftPlanStats.snapshotsDirFor(path)
+
+  /** Only epochs whose manifest carries the `#complete` terminator are
+    * offset-addressable: publishSnapshot makes the file LISTER-VISIBLE
+    * before the body is durable, and committing an offset into a
+    * half-written epoch would permanently skip the rows its body had
+    * not yet named. An in-flight publish simply waits for the next
+    * trigger. Completeness is cached per id — a complete manifest is
+    * immutable.
+    */
+  private val completeIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+  private def isCompleteEpoch(id: Long): Boolean = {
+    if (completeIds.contains(id)) return true
+    val ok = GraftPlanStats.readBody(snapDir, id, conf.value)
+      .exists(GraftPlanStats.isComplete)
+    if (ok) completeIds.add(id)
+    ok
   }
 
-  private def fs = snapDir.getFileSystem(conf.value)
+  private def epochIds(): Seq[Long] =
+    GraftPlanStats.epochIds(snapDir, conf.value)
 
-  private def epochIds(): Seq[Long] = {
-    if (!fs.exists(snapDir)) return Seq.empty
-    fs.listStatus(snapDir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") => n.drop(1).toLong }.sorted
-  }
+  private def newestComplete(): Long =
+    epochIds().reverseIterator.find(isCompleteEpoch).getOrElse(0L)
 
   /** One epoch's manifest: data files + whether it records mutation
-    * sidecar state.
+    * sidecar state. A missing manifest refuses by name (retention
+    * outran the checkpoint); a torn one refuses as in-flight — the
+    * offsets only ever ADDRESS complete epochs, so hitting either on
+    * a committed id is an external mutation of the log.
     */
   private def readEpoch(id: Long): (Seq[String], Boolean) = {
-    val p = new Path(snapDir, s"v$id")
-    if (!fs.exists(p))
+    val lines = GraftPlanStats.readBody(snapDir, id, conf.value).getOrElse(
       throw new IllegalStateException(
         s"[GRAFT] table tail of $path cannot resume: epoch v$id was " +
           "expired (retention outran the stream checkpoint) - re-seed " +
           "the consumer from a full read + a fresh checkpoint, and keep " +
-          "expire_snapshots' keep_last above the consumer lag")
-    val in = fs.open(p)
-    val body = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
-      bytes.toString(java.nio.charset.StandardCharsets.UTF_8.name())
-    } finally in.close()
-    val lines = body.split("\n").toSeq
+          "expire_snapshots' keep_last above the consumer lag"))
+    if (!GraftPlanStats.isComplete(lines))
+      throw new IllegalStateException(
+        s"[GRAFT] table tail of $path: epoch v$id's manifest carries no " +
+          "completeness terminator (in-flight or torn publish) - it is " +
+          "not consumable; if the publisher crashed, republish")
     val files = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(_.split("\t", 2)(1))
     (files, lines.exists(_.startsWith("#sidecar\t")))
@@ -95,7 +108,7 @@ class GraftTableTailStream(path: String, required: StructType,
   private var availableNowTarget: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(epochIds().lastOption.getOrElse(0L))
+    availableNowTarget = Some(newestComplete())
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -105,8 +118,7 @@ class GraftTableTailStream(path: String, required: StructType,
   override def reportLatestOffset(): Offset = latestOffset()
 
   override def latestOffset(): Offset =
-    GraftEpochOffset(availableNowTarget.getOrElse(
-      epochIds().lastOption.getOrElse(0L)))
+    GraftEpochOffset(availableNowTarget.getOrElse(newestComplete()))
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
@@ -150,10 +162,8 @@ class GraftTableTailStream(path: String, required: StructType,
       }.toMap
     fresh.flatMap { f =>
       val partValues = GraftV2.partitionValues(path, f, partSchema)
-      val rgs: IndexedSeq[GraftPlanStats.Rg] = recorded.get(f)
-        .map(s => scala.collection.immutable.ArraySeq
-          .unsafeWrapArray(s.rgs): IndexedSeq[GraftPlanStats.Rg])
-        .getOrElse(footers(f))
+      val rgs: IndexedSeq[GraftPlanStats.Rg] =
+        recorded.getOrElse(f, footers(f))
       val starts = rgs.scanLeft(0L)(_ + _.rowCount)
       rgs.zipWithIndex.map { case (b, i) =>
         GraftInputPartition(f, i, Array.empty, partValues, starts(i),

@@ -36,7 +36,9 @@ class AdvisorSpec extends SparkSpecBase {
     val byTable = advice.groupBy(_.table).view.mapValues(_.map(_.rule).toSet).toMap
 
     assert(!byTable.contains("healthy"), advice.toString)
-    assert(byTable("fragged") === Set("compact"))
+    // 16 unpublished files also flag A69 footer-planning (no
+    // stats-bearing manifest) — cleared by publishSnapshot
+    assert(byTable("fragged") === Set("compact", "publish-stats"))
     assert(byTable("bloat") === Set("expire-snapshots", "vacuum"))
     assert(byTable("stale") === Set("reindex-bloom"))
 

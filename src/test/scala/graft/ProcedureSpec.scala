@@ -48,6 +48,16 @@ class ProcedureSpec extends SparkSpecBase {
     val sid = spark.sql(
       "CALL graftproc.system.publish_snapshot(table => 'db.t')").head().getLong(1)
     assert(sid >= 1L)
+    // ── A69 publish-stats flag: a many-file table with no
+    // stats-bearing manifest plans every scan from footers — the CALL
+    // publish records the stats and the flag clears ──
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .repartition(9).write.parquet(s"$db/t3.parquet")
+    assert(advice(db).exists(a => a.rule == "publish-stats" && a.table == "t3"),
+      "advisor must flag footer-planned tables")
+    spark.sql("CALL graftproc.system.publish_snapshot(table => 'db.t3')")
+    assert(!advice(db).exists(a => a.rule == "publish-stats" && a.table == "t3"),
+      "publish-stats advice must clear once a manifest records stats")
     // an unpublished straggler file → vacuum advice → CALL clears it
     spark.range(5).selectExpr("id AS o_orderkey", "id AS o_custkey",
       "cast(id as double) AS o_totalprice")

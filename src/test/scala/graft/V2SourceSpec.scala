@@ -2584,6 +2584,63 @@ class V2SourceSpec extends SparkSpecBase {
       "U+E000 partition is provably excluded by a > emoji filter")
   }
 
+  test("torn manifests never serve: incomplete bodies refuse/skip; re-publish reuses prior recorded stats") {
+    import graft.sources.v2.GraftPlanStats
+    val wh = graft.sources.GraftSink.scratchDir + "/torn_wh"
+    val dir = s"$wh/t.parquet"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.read.parquet(s"$sfDir/nation.parquet").repartition(2).write.parquet(dir)
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    val v1 = cat.publishSnapshot("t")
+    val conf = spark.sessionState.newHadoopConf()
+    // (1) a RE-publish after one append re-reads ONLY the new file's
+    // footer — prior files' stats re-emit from the v1 manifest
+    spark.read.parquet(s"$sfDir/nation.parquet").limit(5)
+      .coalesce(1).write.mode("append").parquet(dir)
+    cat.invalidate("t")
+    val before = GraftV2.footerOpens.get()
+    val v2 = cat.publishSnapshot("t")
+    val publishOpens = GraftV2.footerOpens.get() - before
+    assert(publishOpens === 1L,
+      s"re-publish must only open the appended file's footer, got $publishOpens")
+    // the reused lines still plan zero-footer and value-exact
+    val snapDir = GraftPlanStats.snapshotsDirFor(dir)
+    val raw = GraftPlanStats.rawForTable(dir, conf)
+    assert(raw.size === 3, s"v$v2 must record all 3 files: ${raw.keys}")
+    assert(spark.read.format("graft").load(dir).count() ===
+      spark.read.parquet(dir).count())
+    // (2) a manifest WITH stats lines but WITHOUT the terminator is
+    // torn: rawForTable ignores it (no cache), tableAsOf refuses,
+    // the tail never addresses it
+    val full = GraftPlanStats.readBody(snapDir, v2, conf).get
+    assert(GraftPlanStats.isComplete(full))
+    val tornId = v2 + 1
+    val out = fs.create(new org.apache.hadoop.fs.Path(snapDir, s"v$tornId"), false)
+    try out.write(full.dropRight(1).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    assert(GraftPlanStats.rawForTable(dir, conf).size === 3,
+      "a torn newest manifest must fall back to the newest COMPLETE " +
+        "epoch's stats, never serve the torn prefix")
+    val e = intercept[Exception](cat.tableAsOf("t", tornId).count())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " || " + chain(t.getCause)
+    assert(chain(e).contains("in-flight or torn"), chain(e))
+    // the torn epoch is not offset-addressable by the tail
+    val stream = new graft.sources.v2.GraftTableTailStream(dir,
+      spark.read.parquet(dir).schema, new org.apache.spark.sql.types.StructType(),
+      spark.read.parquet(dir).schema,
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    assert(stream.latestOffset().asInstanceOf[graft.sources.v2.GraftEpochOffset]
+      .epoch === v2, "the tail must stop at the newest COMPLETE epoch")
+    // cleanup: drop the torn manifest so later reads of this scratch
+    // table (none today) see a clean log
+    fs.delete(new org.apache.hadoop.fs.Path(snapDir, s"v$tornId"), false)
+    assert(v1 >= 1L)
+  }
+
   test("decimal equality keys canonicalize scale-insensitively; null partition values never match an eq key") {
     import spark.implicits._
     import graft.sources.GraftMor
