@@ -121,8 +121,12 @@ object GraftSqlWrite {
     // hash-bucket into `bucket=N/` dirs), so every staged file — and
     // hence every table file, forever — carries the declared physical
     // contract.
+    // declared CHAR/VARCHAR lengths enforce FIRST (error past n, CHAR
+    // right-pads) — before shaping/staging, so a violating batch fails
+    // with the table untouched, like every A38 refusal
+    val checked = GraftCharVarchar.enforce(data, fs, tablePath)
     val layout = GraftLayout.readMarker(fs, tablePath)
-    val shaped = layout.map(GraftLayout.shape(data, _)).getOrElse(data)
+    val shaped = layout.map(GraftLayout.shape(checked, _)).getOrElse(checked)
     val writeCols = partCols ++ layout.map(GraftLayout.writeDirCols)
       .getOrElse(Seq.empty)
     val batchId = s"batch_${System.nanoTime()}"

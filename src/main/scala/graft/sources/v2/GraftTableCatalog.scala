@@ -417,6 +417,14 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally pout.close()
     }
+    // CHAR(n)/VARCHAR(n) length semantics: Spark hands the catalog
+    // StringType + raw-type metadata; the DDL marker cannot carry it
+    // (toDDL drops metadata), so the declared lengths persist in their
+    // own marker and the INSERT surface enforces them (error past n,
+    // CHAR right-pads to n — the Hive/Spark write discipline). Reads
+    // serve STRING, the reference's own mapping
+    // (ArgodbSerdeUtils.java:71-102 via HiveTypeMapping).
+    GraftCharVarchar.writeMarker(hadoopFs, tablePath, schema)
     // a stale "no such table" pin must not shadow the newborn
     pinned.get(ident.namespace.mkString("/")).foreach(_.invalidate(ident.name))
     emptyCreatedTable(tablePath).get

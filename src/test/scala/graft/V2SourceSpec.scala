@@ -2584,6 +2584,49 @@ class V2SourceSpec extends SparkSpecBase {
       "U+E000 partition is provably excluded by a > emoji filter")
   }
 
+  test("CHAR/VARCHAR write semantics: over-length refuses with the table untouched, CHAR right-pads, VARCHAR trims trailing-space overflow") {
+    val wh = graft.sources.GraftSink.scratchDir + "/charvc_wh"
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$wh/db"))
+    graft.sources.v2.GraftTableCatalog.register(spark, wh, "graftcv")
+    spark.sql("CREATE TABLE graftcv.db.t_cv " +
+      "(k BIGINT, c CHAR(4), v VARCHAR(6))")
+    spark.sql("INSERT INTO graftcv.db.t_cv VALUES " +
+      "(1, 'ab', 'abc'), (2, 'wxyz', 'sixsix'), (3, NULL, NULL), " +
+      "(4, 'ab  ', 'abcd   ')") // trailing-space overflow trims, not errors
+    spark.sql("REFRESH TABLE graftcv.db.t_cv")
+    val served = spark.sql(
+      "SELECT k, c, v FROM graftcv.db.t_cv ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(served === Seq(
+      (1L, "ab  ", "abc"),      // CHAR right-pads to 4
+      (2L, "wxyz", "sixsix"),   // exactly-n passes unchanged
+      (3L, null, null),         // nulls pass through
+      (4L, "ab  ", "abcd  ")),  // overflow past n is all spaces: trim to n
+      served.toString)
+    // a genuinely over-length value refuses BY NAME, table untouched
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " || " + chain(t.getCause)
+    // Spark's own resolver enforces when the served schema carries the
+    // raw type (the marker DDL round-trips CHAR/VARCHAR); the engine's
+    // marker-based enforcement is the backstop for writes that bypass
+    // the resolver — either refusal is the declared semantics
+    def lengthError(m: String): Boolean =
+      m.contains("exceeds the declared length") ||
+        m.contains("EXCEED_LIMIT_LENGTH")
+    val e1 = intercept[Exception](spark.sql(
+      "INSERT INTO graftcv.db.t_cv VALUES (9, 'toolong', 'ok')"))
+    assert(lengthError(chain(e1)), chain(e1))
+    val e2 = intercept[Exception](spark.sql(
+      "INSERT INTO graftcv.db.t_cv VALUES (9, 'ok', 'seven77')"))
+    assert(lengthError(chain(e2)), chain(e2))
+    spark.sql("REFRESH TABLE graftcv.db.t_cv")
+    assert(spark.sql("SELECT count(*) FROM graftcv.db.t_cv").head().getLong(0)
+      === 4L, "failed inserts must leave the table untouched")
+  }
+
   test("torn manifests never serve: incomplete bodies refuse/skip; re-publish reuses prior recorded stats") {
     import graft.sources.v2.GraftPlanStats
     val wh = graft.sources.GraftSink.scratchDir + "/torn_wh"
