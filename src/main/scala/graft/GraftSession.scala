@@ -29,6 +29,10 @@ object GraftSession {
     // filtered build side prunes the probe-side scan before the shuffle
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "false")
+    // local file:// without permission-materializing forks or .crc
+    // sidecar doubling (see GraftLocalFileSystem); inert on cluster
+    // filesystems, which keep their own impls
+    .config("spark.hadoop.fs.file.impl", "graft.sources.GraftLocalFileSystem")
     .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
@@ -42,9 +46,11 @@ object GraftSession {
     s
   }
 
-  /** Load a named table from an sf directory (TESTDATA.md layout). */
+  /** Load a named table from an sf directory (TESTDATA.md layout).
+    * Schema resolves driver-side from one footer (no inference job).
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    graft.sources.GraftIO.readParquet(spark, s"$sfDir/$name.parquet")
 
   /** Frees the storage blocks behind a localCheckpoint'd Dataset.
     * `Dataset.unpersist` only clears CacheManager entries and is a

@@ -96,7 +96,7 @@ object ScaleBench {
     def write(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
 
-    def rd(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
+    def rd(name: String) = graft.sources.GraftIO.readParquet(spark, s"$srcDir/$name.parquet")
 
     // dimension constants stay 1x
     write("nation", rd("nation"))

@@ -99,9 +99,9 @@ object GraftKnnTvf {
     // (a single-segment relative dir must keep meaning a path); index
     // dirs of the _ivf/_hnsw forms are paths by nature and stay paths
     val e =
-      if (src.contains("/")) s.read.parquet(src)
+      if (src.contains("/")) graft.sources.GraftIO.readParquet(s, src)
       else if (s.catalog.tableExists(src)) s.table(src)
-      else s.read.parquet(src)
+      else graft.sources.GraftIO.readParquet(s, src)
     val emb =
       if (e.schema.fieldNames.contains("emb")) e.select(col("vec_id"), col("emb"))
       else e.select(col("vec_id"), VF.toDoubleArray(col("embedding")).as("emb"))
@@ -124,7 +124,7 @@ object GraftKnnTvf {
     val s = SparkSession.active
     // the centroid artifact is k×dim — the bounded driver-side read
     // that makes probe selection free (no corpus job at analysis time)
-    val cents = s.read.parquet(s"$idx/_centroids")
+    val cents = graft.sources.GraftIO.readParquet(s, s"$idx/_centroids")
       .select(col("centroid_id"), col("c_emb"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
@@ -143,7 +143,7 @@ object GraftKnnTvf {
         val c = java.lang.Double.compare(x._1, y._1)
         if (c != 0) c > 0 else x._2 < y._2
       }.take(nprobe).map(_._2).sorted
-    val lists = s.read.parquet(idx)
+    val lists = graft.sources.GraftIO.readParquet(s, idx)
       .where(col("centroid_id").isin(probeIds.toIndexedSeq.map(Int.box): _*))
     topkPlan(lists, q, k)
   }
@@ -197,7 +197,7 @@ object GraftKnnTvf {
         "the index with Hnsw.buildHnswIndex first")
     val entries = graft.operators.Hnsw.beamSearch(
       graft.operators.Hnsw.buildGraph(routing), q.toArray, ef)
-    val shards = s.read.parquet(s"$idx/shards")
+    val shards = graft.sources.GraftIO.readParquet(s, s"$idx/shards")
       .where(col("entry_id").isin(entries.toIndexedSeq.map(Long.box): _*))
       .dropDuplicates("vec_id") // R-way fan-out: a vector may sit in 2+ probed shards
     topkPlan(shards, q, k)

@@ -715,7 +715,7 @@ object Analytic {
         "cnt_tax" -> GraftMv.MvCountCol("l_tax")))
     GraftMv.buildAndRegister(s, d)
     try {
-      val out = s.read.parquet(base)
+      val out = graft.sources.GraftIO.readParquet(s, base)
         .where(col("l_returnflag") =!= "N")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),

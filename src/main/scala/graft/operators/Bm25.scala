@@ -186,7 +186,7 @@ object Bm25 {
     val qterms = Queries.toDF("query_id", "term")
     val terms = qterms.select(col("term").as("word")).distinct()
     val matched = s.table("graft_postings").join(broadcast(terms), Seq("word"))
-    val sidecar = s.read.parquet(dlPath)
+    val sidecar = graft.sources.GraftIO.readParquet(s, dlPath)
     val dls = sidecar.where(col("dl") > 0L)
     val stats = sidecar.agg(count(lit(1)).as("n_docs"))
       .crossJoin(sidecar.agg(sum("dl").as("l_tokens")))
@@ -272,7 +272,7 @@ object Bm25 {
   private def deletedFrame(s: SparkSession, root: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/_deleted")
     if (!p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)) None
-    else Some(s.read.parquet(s"$root/_deleted").select("doc_id").distinct())
+    else Some(graft.sources.GraftIO.readParquet(s, s"$root/_deleted").select("doc_id").distinct())
   }
 
   /** G14 compaction — the Lucene segment-merge analog: fold the
@@ -304,7 +304,7 @@ object Bm25 {
           !fs.rename(path(stage), path(live)))
         throw new IllegalStateException(
           s"[GRAFT] index-compaction adoption failed: rename($stage -> $live)")
-      val df0 = s.read.parquet(live).drop("batch_id")
+      val df0 = graft.sources.GraftIO.readParquet(s, live).drop("batch_id")
       // A47: fold doc tombstones physically while the segments merge
       val df = deletedFrame(s, root) match {
         case None      => df0
@@ -340,10 +340,10 @@ object Bm25 {
       case None    => df
       case Some(d) => df.join(broadcast(d), Seq("doc_id"), "left_anti")
     }
-    val matched = masked(s.read.parquet(s"$root/postings")
+    val matched = masked(graft.sources.GraftIO.readParquet(s, s"$root/postings")
       .join(broadcast(terms), Seq("word"))
       .select("word", "doc_id", "tf"))
-    val sidecar = masked(s.read.parquet(s"$root/doclen").select("doc_id", "dl"))
+    val sidecar = masked(graft.sources.GraftIO.readParquet(s, s"$root/doclen").select("doc_id", "dl"))
     val dls = sidecar.where(col("dl") > 0L)
     val stats = sidecar.agg(count(lit(1)).as("n_docs"))
       .crossJoin(sidecar.agg(sum("dl").as("l_tokens")))

@@ -284,7 +284,7 @@ object BpeTokenizer {
 
   /** Reload the frozen codec (rank order restored explicitly). */
   def bpeModelLoad(s: SparkSession, modelPath: String): BpeCodec =
-    BpeCodec(s.read.parquet(s"$modelPath/merges").orderBy("rank")
+    BpeCodec(graft.sources.GraftIO.readParquet(s, s"$modelPath/merges").orderBy("rank")
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
 
   /** Encode ARBITRARY (doc_id, text) rows with the frozen artifact —

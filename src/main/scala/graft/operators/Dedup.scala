@@ -918,7 +918,7 @@ object Dedup {
     // epoch-0 build (in production this already exists on disk)
     g.where(!isNewEpoch).select("gh").distinct()
       .write.mode("overwrite").parquet(idxPath)
-    val idx = s.read.parquet(idxPath).withColumn("seen", lit(1L))
+    val idx = graft.sources.GraftIO.readParquet(s, idxPath).withColumn("seen", lit(1L))
     val probed = g.where(isNewEpoch)
       .join(idx, Seq("gh"), "left")
       .groupBy("doc_id")
@@ -946,7 +946,7 @@ object Dedup {
   private[graft] def updateSpanIndex(s: SparkSession, idxPath: String,
       newBatch: DataFrame): Unit = {
     val fresh = wordGramHashesOf(newBatch).select("gh").distinct()
-      .join(s.read.parquet(idxPath), Seq("gh"), "left_anti")
+      .join(graft.sources.GraftIO.readParquet(s, idxPath), Seq("gh"), "left_anti")
       .localCheckpoint(true) // append writes into the path it reads
     try fresh.write.mode("append").parquet(idxPath)
     finally graft.GraftSession.releaseCheckpoint(fresh)
@@ -984,7 +984,7 @@ object Dedup {
       .getFileSystem(s.sessionState.newHadoopConf())
     val haveIdx = fs.exists(new org.apache.hadoop.fs.Path(idxPath))
     val idx =
-      if (haveIdx) s.read.parquet(idxPath)
+      if (haveIdx) graft.sources.GraftIO.readParquet(s, idxPath)
       else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("gh",

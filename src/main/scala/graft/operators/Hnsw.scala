@@ -337,7 +337,7 @@ object Hnsw {
   private[graft] def loadRouting(s: SparkSession,
       idx: String): Seq[(Long, Array[Double])] = {
     import s.implicits._
-    s.read.parquet(s"$idx/routing")
+    graft.sources.GraftIO.readParquet(s, s"$idx/routing")
       .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])]
       .collect().toSeq.sortBy(_._1).map { case (id, v) => (id, v.toArray) }
   }
@@ -353,7 +353,7 @@ object Hnsw {
     val probes = beamProbes(emb(s, dir), routing, ef, probeAll)
     val probedIds = probes.select("entry_id").distinct()
       .collect().map(_.getLong(0)).sorted
-    val shards = s.read.parquet(s"$idx/shards")
+    val shards = graft.sources.GraftIO.readParquet(s, s"$idx/shards")
       .where(col("entry_id").isin(probedIds.toIndexedSeq.map(Long.box): _*))
     topkFromShards(shards, probes)
   }
@@ -418,7 +418,7 @@ object Hnsw {
     import s.implicits._
     graft.sources.GraftSink.mergeDelete(s, s"$indexPath/shards",
       keys.toDF("vec_id"), Seq("vec_id"), "entry_id")
-    val routing = s.read.parquet(s"$indexPath/routing")
+    val routing = graft.sources.GraftIO.readParquet(s, s"$indexPath/routing")
     val routedDeleted = routing.select("vec_id")
       .where(col("vec_id").isin(keys.map(Long.box): _*))
       .collect().map(_.getLong(0))
@@ -432,7 +432,7 @@ object Hnsw {
       // residents of the doomed shards, captured BEFORE the drop (the
       // purged keys are already gone from them via mergeDelete above).
       // Bounded by the dropped shards' size — churn, never the index.
-      val evicted = s.read.parquet(s"$indexPath/shards")
+      val evicted = graft.sources.GraftIO.readParquet(s, s"$indexPath/shards")
         .where(col("entry_id").isin(routedDeleted.toIndexedSeq.map(Long.box): _*))
         .select(col("vec_id"), col("emb")).dropDuplicates("vec_id")
         .localCheckpoint(true)
@@ -450,7 +450,7 @@ object Hnsw {
       // restoring full R fan-out for exactly the affected vectors.
       try {
         val orphans = evicted.join(
-          s.read.parquet(s"$indexPath/shards").select("vec_id"),
+          graft.sources.GraftIO.readParquet(s, s"$indexPath/shards").select("vec_id"),
           Seq("vec_id"), "left_anti")
         if (!orphans.isEmpty) {
           val newRouting = loadRouting(s, indexPath)
@@ -530,7 +530,7 @@ object Hnsw {
     val shards = s"$indexPath/shards"
     val fresh0 =
       if (!exists(shards)) once
-      else once.join(s.read.parquet(shards).select("vec_id"),
+      else once.join(graft.sources.GraftIO.readParquet(s, shards).select("vec_id"),
         Seq("vec_id"), "left_anti")
     val fresh = fresh0
       .localCheckpoint(true) // the append writes into the path this reads
@@ -560,7 +560,7 @@ object Hnsw {
         .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
       .map(_.getPath.getName.stripPrefix("entry_id=").toLong)
     if (fragmented.isEmpty) return Nil
-    val staged = s.read.parquet(shards)
+    val staged = graft.sources.GraftIO.readParquet(s, shards)
       .where(col("entry_id").isin(fragmented.map(Long.box): _*))
       .repartition(col("entry_id"))
       .localCheckpoint(true) // the swap deletes the files it reads

@@ -432,10 +432,10 @@ object Relational {
     // hash-repartition on the partition column: each status lands in
     // exactly one task → one file per directory, statuses written in
     // parallel (repartition(1) would serialize the whole rewrite).
-    s.read.parquet(fragmented)
+    graft.sources.GraftIO.readParquet(s, fragmented)
       .repartition(col("o_orderstatus"))
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(compacted)
-    s.read.parquet(compacted)
+    graft.sources.GraftIO.readParquet(s, compacted)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
       .orderBy("o_orderstatus")
@@ -738,7 +738,7 @@ object Relational {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("o_orderstatus").parquet(path)
-    s.read.parquet(path)
+    graft.sources.GraftIO.readParquet(s, path)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
       .orderBy("o_orderstatus")
@@ -773,7 +773,7 @@ object Relational {
     graft.sources.GraftSink.mergeUpsert(
       s, path, priceBumps.unionByName(moves).unionByName(inserts),
       Seq("o_orderkey"), "o_orderstatus")
-    s.read.parquet(path)
+    graft.sources.GraftIO.readParquet(s, path)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
       .orderBy("o_orderstatus")
@@ -798,7 +798,7 @@ object Relational {
       (col("o_orderstatus") === "F" && col("o_orderkey") % 100 === 7))
     graft.sources.GraftSink.mergeDelete(
       s, path, doomed, Seq("o_orderkey"), "o_orderstatus")
-    s.read.parquet(path)
+    graft.sources.GraftIO.readParquet(s, path)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))
       .orderBy("o_orderstatus")
@@ -1630,7 +1630,7 @@ object Relational {
     orders.where(col("o_orderstatus") === "F")
       .write.mode("append").parquet(tbl)
     val delta = partialAgg(new GraftCatalog(s, root).diffTable("orders", catOld))
-    s.read.parquet(summaryPath)
+    graft.sources.GraftIO.readParquet(s, summaryPath)
       .unionByName(delta)
       .groupBy("o_orderpriority")
       .agg(sum(col("n")).as("n"),
@@ -1658,7 +1658,7 @@ object Relational {
     */
   def srcZorderScan(s: SparkSession, dir: String): DataFrame = {
     val path = writeZordered(s, dir)
-    s.read.parquet(path)
+    graft.sources.GraftIO.readParquet(s, path)
       .where(col("o_custkey").between(100, 199))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("total"))

@@ -246,7 +246,7 @@ object Similarity {
   private[graft] def ivfAppend(s: SparkSession, indexPath: String,
       newVecs: DataFrame): Unit = {
     import s.implicits._
-    val trained = s.read.parquet(s"$indexPath/centroids")
+    val trained = graft.sources.GraftIO.readParquet(s, s"$indexPath/centroids")
       .select(col("centroid_id"), col("c_emb")).as[(Int, Seq[Double])]
       .collect().sortBy(_._1)
     assignCentroids(newVecs, trained)
@@ -343,7 +343,7 @@ object Similarity {
     // row is fresh (bootstrap append), not a path-not-found failure
     val fresh0 =
       if (!exists(lists)) once
-      else once.join(s.read.parquet(lists).select("vec_id"), Seq("vec_id"), "left_anti")
+      else once.join(graft.sources.GraftIO.readParquet(s, lists).select("vec_id"), Seq("vec_id"), "left_anti")
     fresh0.localCheckpoint(true)
   }
 
@@ -397,7 +397,7 @@ object Similarity {
       val trained = readCentroids(s, indexPath)
       val probe = listAlignment(assignCentroids(fresh, trained),
         trained, "n_batch", "batch_align_micro")
-      if (batchDrifts(s.read.parquet(basePath), probe, thresholdPct))
+      if (batchDrifts(graft.sources.GraftIO.readParquet(s, basePath), probe, thresholdPct))
         fresh.write.mode("overwrite")
           .parquet(s"$indexPath/_quarantine/batch_id=$batchId")
       else ivfAppend(s, indexPath, fresh)
@@ -425,7 +425,7 @@ object Similarity {
         .sorted
     val out = batches.map { id =>
       val dir = s"$indexPath/_quarantine/batch_id=$id"
-      val fresh = freshVectors(s.read.parquet(dir), indexPath, "reabsorbQuarantine")
+      val fresh = freshVectors(graft.sources.GraftIO.readParquet(s, dir), indexPath, "reabsorbQuarantine")
       try {
         if (fresh.isEmpty) {
           // every vector already served (absorbed through another
@@ -439,7 +439,7 @@ object Similarity {
           val probe = listAlignment(assignCentroids(fresh, trained),
             trained, "n_batch", "batch_align_micro")
           val drifts = batchDrifts(
-            s.read.parquet(s"$indexPath/drift_baseline"), probe, thresholdPct)
+            graft.sources.GraftIO.readParquet(s, s"$indexPath/drift_baseline"), probe, thresholdPct)
           val n = fresh.count()
           if (drifts) (id, n, "retained")
           else {
@@ -485,7 +485,7 @@ object Similarity {
   private[graft] def readCentroids(s: SparkSession, indexPath: String)
       : Array[(Int, Seq[Double])] = {
     import s.implicits._
-    s.read.parquet(s"$indexPath/centroids")
+    graft.sources.GraftIO.readParquet(s, s"$indexPath/centroids")
       .select(col("centroid_id"), col("c_emb")).as[(Int, Seq[Double])]
       .collect().sortBy(_._1)
   }
@@ -540,7 +540,7 @@ object Similarity {
       batch: DataFrame, thresholdPct: Int = 30,
       minListBatch: Int = 20): DataFrame = {
     val trained = readCentroids(s, indexPath)
-    val base = listAlignment(s.read.parquet(s"$indexPath/lists"),
+    val base = listAlignment(graft.sources.GraftIO.readParquet(s, s"$indexPath/lists"),
       trained, "n_base", "base_align_micro")
     val probe = listAlignment(assignCentroids(batch, trained),
       trained, "n_batch", "batch_align_micro")
@@ -584,7 +584,7 @@ object Similarity {
     */
   def ivfDriftBaseline(s: SparkSession, indexPath: String): Unit = {
     val trained = readCentroids(s, indexPath)
-    listAlignment(s.read.parquet(s"$indexPath/lists"),
+    listAlignment(graft.sources.GraftIO.readParquet(s, s"$indexPath/lists"),
       trained, "n_base", "base_align_micro")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexPath/drift_baseline")
@@ -612,7 +612,7 @@ object Similarity {
         .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
       .map(_.getPath.getName.stripPrefix("centroid_id=").toInt)
     if (fragmented.isEmpty) return Nil
-    val staged = s.read.parquet(lists)
+    val staged = graft.sources.GraftIO.readParquet(s, lists)
       .where(col("centroid_id").isin(fragmented.map(Int.box): _*))
       .repartition(col("centroid_id"))
       .localCheckpoint(true) // the swap deletes the files it reads
@@ -654,7 +654,7 @@ object Similarity {
   private[graft] def serveIvf(s: SparkSession, dir: String, idx: String,
       nProbe: Int): DataFrame = {
     import s.implicits._
-    val centroids = broadcast(s.read.parquet(s"$idx/centroids"))
+    val centroids = broadcast(graft.sources.GraftIO.readParquet(s, s"$idx/centroids"))
     val q = emb(s, dir).where(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val probes = q.join(centroids, expr("true"))
@@ -666,7 +666,7 @@ object Similarity {
       .select(col("query_id"), col("q_emb"), col("centroid_id"))
     val probedIds = probed.select("centroid_id").distinct()
       .collect().map(_.getAs[Number](0).intValue).sorted
-    val lists = s.read.parquet(s"$idx/lists")
+    val lists = graft.sources.GraftIO.readParquet(s, s"$idx/lists")
       .where(col("centroid_id").isin(probedIds.toIndexedSeq.map(Int.box): _*))
     val scored = probed.join(lists, Seq("centroid_id"))
       .where(col("vec_id") =!= col("query_id"))
@@ -742,7 +742,7 @@ object Similarity {
       .select(col("query_id"), col("q_emb"), col("centroid_id"))
     val probedIds = probed.select("centroid_id").distinct()
       .collect().map(_.getInt(0)).sorted
-    val lists = s.read.parquet(idx)
+    val lists = graft.sources.GraftIO.readParquet(s, idx)
       .where(col("centroid_id").isin(probedIds.toIndexedSeq.map(Int.box): _*))
     val scored = probed.join(lists, Seq("centroid_id"))
       .where(col("vec_id") =!= col("query_id"))
@@ -1085,13 +1085,13 @@ object Similarity {
     require(shortlist == -1 || shortlist > 0,
       s"[GRAFT] pqPersistedTopk: shortlist must be positive, got $shortlist")
     val sl = if (shortlist > 0) shortlist else math.max(100, 10 * k)
-    val meta = s.read.parquet(s"$indexPath/_meta").head()
+    val meta = graft.sources.GraftIO.readParquet(s, s"$indexPath/_meta").head()
     val source = meta.getString(0)
     val m = meta.getInt(1)
     val subDim = meta.getInt(2)
     require(q.length == m * subDim,
       s"[GRAFT] pqPersistedTopk: query dim ${q.length} != ${m * subDim}")
-    val flat = s.read.parquet(s"$indexPath/_codebooks")
+    val flat = graft.sources.GraftIO.readParquet(s, s"$indexPath/_codebooks")
       .select("sub", "code", "c_emb").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     require(flat.nonEmpty,
@@ -1106,7 +1106,7 @@ object Similarity {
       if (n == 0.0) q else q.map(_ / n)
     }
     val tables = adcTables(books, qn, m, subDim)
-    val short = s.read.parquet(s"$indexPath/codes")
+    val short = graft.sources.GraftIO.readParquet(s, s"$indexPath/codes")
       .withColumn("adc_score",
         aggregate(zip_with(typedlit(tables), col("codes"),
           (t, c) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x))

@@ -367,14 +367,14 @@ object TextAnalysis {
     */
   def perplexityModelScore(s: SparkSession, modelPath: String,
       in: DataFrame): DataFrame = {
-    val meta = s.read.parquet(s"$modelPath/meta").head()
+    val meta = graft.sources.GraftIO.readParquet(s, s"$modelPath/meta").head()
     val oov = meta.getAs[Long]("oov_lp_micro")
     val c1 = meta.getAs[Long]("cut_tail_micro")
     val c2 = meta.getAs[Long]("cut_head_micro")
     val words = expr("filter(split(trim(lower(text)), '\\\\s+'), w -> length(w) > 0)")
     val toks = in.select(col("doc_id"), explode(words).as("word"))
     toks.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
-      .join(s.read.parquet(s"$modelPath/words"), Seq("word"), "left")
+      .join(graft.sources.GraftIO.readParquet(s, s"$modelPath/words"), Seq("word"), "left")
       .select(col("doc_id"), col("n"),
         coalesce(col("lp_micro"), lit(oov)).as("lp_micro"))
       .groupBy("doc_id")
@@ -872,7 +872,7 @@ object TextAnalysis {
     */
   def qualityModelScore(s: SparkSession, modelPath: String,
       in: DataFrame): DataFrame = {
-    val meta = s.read.parquet(s"$modelPath/meta").head()
+    val meta = graft.sources.GraftIO.readParquet(s, s"$modelPath/meta").head()
     val prior = meta.getAs[Long]("prior_delta")
     val stop = meta.getAs[String]("stop_words").split(",").toSeq
     val thr = meta.getAs[Long]("thr_stop_ratio_micro")
@@ -887,7 +887,7 @@ object TextAnalysis {
     val perDoc = base
       .select(col("doc_id"), explode(col("ws")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
-      .join(s.read.parquet(s"$modelPath/words"), Seq("word"))
+      .join(graft.sources.GraftIO.readParquet(s, s"$modelPath/words"), Seq("word"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_scored"), sum(col("w_micro") * col("n")).as("delta_words"))
     base.select(col("doc_id"), col("label"))

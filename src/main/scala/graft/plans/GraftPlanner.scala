@@ -83,7 +83,7 @@ object GraftPlanner {
   def joinWithStats(s: SparkSession, fact: DataFrame, dimPath: String,
       keys: Seq[String], budgetBytes: Long = 32L * 1024 * 1024,
       joinType: String = "inner"): DataFrame = {
-    val dim = s.read.parquet(dimPath)
+    val dim = graft.sources.GraftIO.readParquet(s, dimPath)
     if (tableBytes(s, dimPath) <= budgetBytes)
       fact.join(broadcast(dim), keys, joinType)
     else fact.join(dim, keys, joinType)

@@ -104,7 +104,7 @@ object GraftMv {
   }
 
   def mvFrame(spark: SparkSession, d: MvDef): DataFrame =
-    mvFrameOf(spark.read.parquet(d.basePath), d)
+    mvFrameOf(graft.sources.GraftIO.readParquet(spark, d.basePath), d)
 
   /** Maintain a rollup from an A30 CHANGE FEED (delete+insert rows
     * tagged `change_type`): inserts contribute +1-signed measures,
@@ -189,7 +189,7 @@ object GraftMv {
     * maintenance swaps of the MV files).
     */
   private[plans] def resolveRelation(spark: SparkSession, d: MvDef): LogicalRelation = {
-    val analyzed = spark.read.parquet(d.mvPath).queryExecution.analyzed
+    val analyzed = graft.sources.GraftIO.readParquet(spark, d.mvPath).queryExecution.analyzed
     analyzed.collectFirst { case l: LogicalRelation => l }.getOrElse(
       throw new IllegalStateException(s"[GRAFT] MV at ${d.mvPath} did not analyze to a relation"))
   }

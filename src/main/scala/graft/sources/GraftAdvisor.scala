@@ -97,14 +97,10 @@ object GraftAdvisor {
           val sub = new Path(dir, d)
           if (!fs.exists(sub)) 0L
           else {
-            val fsFiles = Seq.newBuilder[String]
-            val it = fs.listFiles(sub, true)
-            while (it.hasNext) {
-              val f = it.next()
-              if (f.getPath.getName.endsWith(".parquet"))
-                fsFiles += f.getPath.toString
-            }
-            GraftBloomIndex.footerRowCounts(s, fsFiles.result()).values.sum
+            val fsFiles = GraftIO.walkFiles(fs, sub)
+              .collect { case f if f.getPath.getName.endsWith(".parquet") =>
+                f.getPath.toString }
+            GraftBloomIndex.footerRowCounts(s, fsFiles).values.sum
           }
         }.sum
         if (morRows > morTombstoneBudget)
@@ -161,7 +157,7 @@ object GraftAdvisor {
     */
   def clusteringDepth(s: SparkSession, tablePath: String, col: String): Double = {
     val c = s.sessionState.newHadoopConf()
-    val dt = s.read.parquet(tablePath).schema(col).dataType
+    val dt = graft.sources.GraftIO.readParquet(s, tablePath).schema(col).dataType
     val v2 = graft.sources.v2.GraftV2
     val bounds = v2.dataFiles(tablePath, c).flatMap { f =>
       import scala.jdk.CollectionConverters._
@@ -311,7 +307,7 @@ object GraftAdvisor {
         s"no recall measurement on record - run $audit so " +
           "serving quality is a measured number"))
     else {
-      val r = s.read.parquet(s"$indexPath/_recall").head()
+      val r = graft.sources.GraftIO.readParquet(s, s"$indexPath/_recall").head()
       val rm = r.getAs[Long]("recall_micro")
       if (rm >= minRecallMicro) Seq.empty
       else Seq(Advice(idxName, "rebuild-index", rm,

@@ -87,14 +87,14 @@ object GraftBloomIndex {
     // counting pass over the rows (distributed — see footerRowCounts)
     val rowCounts: Map[String, Long] = footerRowCounts(s, files)
     val bcCounts = s.sparkContext.broadcast(rowCounts)
-    val dt = s.read.parquet(tablePath).schema(keyCol).dataType
+    val dt = graft.sources.GraftIO.readParquet(s, tablePath).schema(keyCol).dataType
     val isString = dt match {
       case StringType => true
       case LongType | IntegerType | ShortType | ByteType => false
       case other => throw new IllegalArgumentException(
         s"[GRAFT] bloom index supports integral and string keys, got $other")
     }
-    val kv = s.read.parquet(tablePath)
+    val kv = graft.sources.GraftIO.readParquet(s, tablePath)
       .select(input_file_name().as("_f"),
         (if (isString) col(keyCol) else col(keyCol).cast("long")).as("_k"))
       .rdd.mapPartitions { it =>
@@ -232,7 +232,7 @@ object GraftBloomIndex {
     val probe = col(keyCol).isin(values: _*)
     val sc = GraftMor.sidecars(s, tablePath)
     if (surviving.isEmpty)
-      s.read.parquet(tablePath).where(probe).where(lit(false))
+      graft.sources.GraftIO.readParquet(s, tablePath).where(probe).where(lit(false))
     else {
       val reader = s.read.option("basePath", tablePath)
       sc.schemaDdl.foreach(d =>

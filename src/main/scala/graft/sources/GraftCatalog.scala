@@ -146,8 +146,22 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     require(pin.files.nonEmpty, s"[GRAFT] Table [$name] has no data files under $root")
     val sc = morPin(name)
     val reader = spark.read
-    sc.schemaDdl.foreach(d =>
-      reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
+    sc.schemaDdl match {
+      case Some(d) =>
+        reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d))
+      case None =>
+        // no declared schema: resolve it DRIVER-SIDE from the first
+        // pinned file's footer instead of paying Spark's
+        // schema-inference JOB per construction (r16 optimization;
+        // identical schema — GraftIO reads the same footer key /
+        // converter Spark's inference uses). Hive-partitioned layouts
+        // keep inference: a user-supplied schema would drop the
+        // partition columns.
+        val partitioned = pin.rootIsDir && pin.files.exists(_._1.contains("="))
+        if (!partitioned)
+          GraftIO.parquetSchema(spark, pin.files.map(_._1).min)
+            .foreach(reader.schema)
+    }
     if (pin.rootIsDir) reader.option("basePath", s"$root/$name.parquet")
     val base = reader.parquet(pin.files.map(_._1): _*)
     val masked = if (sc.any) GraftMor.applyMasks(spark, base, sc) else base
@@ -170,6 +184,12 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     if (newFiles.isEmpty) table(name).limit(0)
     else {
       val reader = spark.read
+      // driver-side footer schema (no inference job); see table()
+      val partitioned = pinned(name).rootIsDir &&
+        newFiles.exists(_._1.contains("="))
+      if (!partitioned)
+        GraftIO.parquetSchema(spark, newFiles.map(_._1).min)
+          .foreach(reader.schema)
       if (pinned(name).rootIsDir) reader.option("basePath", s"$root/$name.parquet")
       // the GDPR forward mask applies to increments too: an erased
       // key's straggler arrival must not ride the diff downstream
@@ -221,6 +241,9 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     val added = (f2.toSet -- f1.toSet).toSeq.sorted
     def readSide(files: Seq[String], rootIsDir: Boolean): DataFrame = {
       val reader = spark.read
+      // driver-side footer schema (no inference job); see table()
+      if (!(rootIsDir && files.exists(_.contains("="))))
+        GraftIO.parquetSchema(spark, files.min).foreach(reader.schema)
       if (rootIsDir) reader.option("basePath", s"$root/$name.parquet")
       reader.parquet(files: _*)
     }
@@ -450,8 +473,14 @@ final class GraftCatalog(spark: SparkSession, root: String) {
           "republish after morCompact for addressable history")
     }
     val reader = spark.read
-    sc.schemaDdl.foreach(d =>
-      reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
+    sc.schemaDdl match {
+      case Some(d) =>
+        reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d))
+      case None =>
+        // driver-side footer schema (no inference job); see table()
+        if (!(rootIsDir && files.exists(_.contains("="))))
+          GraftIO.parquetSchema(spark, files.min).foreach(reader.schema)
+    }
     if (rootIsDir) reader.option("basePath", s"$root/$name.parquet")
     val base = reader.parquet(files: _*)
     val masked = if (sc.any) GraftMor.applyMasks(spark, base, sc) else base
@@ -888,20 +917,11 @@ object GraftCatalog {
     if (!fs.exists(path)) return PinnedTable(rootIsDir = false, Seq.empty)
     val status = fs.getFileStatus(path)
     if (status.isFile) return PinnedTable(rootIsDir = false, Seq((path.toString, status.getLen)))
-    val rootPath = path.toUri.getPath
-    val out = Seq.newBuilder[(String, Long)]
-    val it = fs.listFiles(path, true)
-    while (it.hasNext) {
-      val f = it.next()
-      // check every segment below the root: recursive listing descends
-      // into hidden bookkeeping dirs (`_bloom_*` sidecar indexes) whose
-      // files carry unremarkable names
-      val rel = f.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
-      val hidden = rel.split('/').exists(seg =>
-        seg.startsWith("_") || seg.startsWith("."))
-      if (!hidden) out += ((f.getPath.toString, f.getLen))
-    }
-    PinnedTable(rootIsDir = true, out.result())
+    // check every segment below the root: recursive listing descends
+    // into hidden bookkeeping dirs (`_bloom_*` sidecar indexes) whose
+    // files carry unremarkable names
+    PinnedTable(rootIsDir = true,
+      GraftIO.walkVisibleFiles(fs, path).map(f => (f.getPath.toString, f.getLen)))
   }
 
   /** Directory (under a catalog root) holding published snapshot

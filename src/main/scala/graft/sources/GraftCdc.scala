@@ -51,7 +51,7 @@ object GraftCdc {
     val base: Long =
       if (!fs.exists(new org.apache.hadoop.fs.Path(logDir))) 0L
       else {
-        val r = s.read.parquet(logDir)
+        val r = graft.sources.GraftIO.readParquet(s, logDir)
           .where(col("epoch") =!= epoch)
           .agg(max("seq")).head()
         if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -83,7 +83,7 @@ object GraftCdc {
     */
   def readPublishedSegment(s: SparkSession, logDir: String,
       fromSeq: Long, toSeq: Long): DataFrame =
-    s.read.parquet(logDir)
+    graft.sources.GraftIO.readParquet(s, logDir)
       .where(col("seq") > fromSeq && col("seq") <= toSeq)
       .drop("seq", "epoch")
 
@@ -154,7 +154,7 @@ object GraftCdc {
     val tip = maxSeq(s, table)
     if (tip <= watermark) return watermark
     val mv =
-      if (fs.exists(path(mvPath))) s.read.parquet(mvPath)
+      if (fs.exists(path(mvPath))) graft.sources.GraftIO.readParquet(s, mvPath)
       else graft.plans.GraftMv.mvFrameOf(
         readFeedSegment(s, table, watermark, tip, numPartitions)
           .drop("change_type").limit(0), d)

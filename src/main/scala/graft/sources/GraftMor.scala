@@ -107,16 +107,10 @@ object GraftMor {
     val p = new org.apache.hadoop.fs.Path(s"$tablePath/$dir")
     val f = fs(s, tablePath)
     if (!f.exists(p)) Seq.empty
-    else {
-      val out = Seq.newBuilder[(String, Long)]
-      val it = f.listFiles(p, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet"))
-          out += ((st.getPath.toString, st.getLen))
-      }
-      out.result().sortBy(_._1)
-    }
+    else GraftIO.walkFiles(f, p)
+      .collect { case st if st.getPath.getName.endsWith(".parquet") =>
+        (st.getPath.toString, st.getLen) }
+      .sortBy(_._1)
   }
 
   /** Record externally-appended files (a SQL INSERT's stage) in the
@@ -211,8 +205,14 @@ object GraftMor {
   private[sources] def readTable(s: SparkSession, tablePath: String,
       sc: Sidecars): DataFrame = {
     val reader = s.read
-    sc.schemaDdl.foreach(d =>
-      reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
+    sc.schemaDdl match {
+      case Some(d) =>
+        reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d))
+      case None =>
+        // driver-side footer schema (no inference job, r16); flat
+        // layouts only — partitioned dirs keep Spark inference
+        GraftIO.flatParquetSchema(s, tablePath).foreach(reader.schema)
+    }
     reader.parquet(tablePath)
   }
 
@@ -401,16 +401,7 @@ object GraftMor {
   private def listDataFiles(s: SparkSession, tablePath: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val f = fs(s, tablePath)
-    val rootPath = root.toUri.getPath
-    val out = Seq.newBuilder[String]
-    val it = f.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
-      if (!rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith(".")))
-        out += st.getPath.toUri.getPath
-    }
-    out.result()
+    GraftIO.walkVisibleFiles(f, root).map(_.getPath.toUri.getPath)
   }
 
   /** Key-column consistency against the existing eq sidecar: every
@@ -1010,7 +1001,7 @@ object GraftMor {
       else {
         val in = f.open(marker(statePath))
         val (sq, a) = try (in.readLong(), in.readInt()) finally in.close()
-        val st = s.read.parquet(s"$statePath/files")
+        val st = graft.sources.GraftIO.readParquet(s, s"$statePath/files")
           .collect().map(_.getString(0)).toSet
         (sq, a, st)
       }
@@ -1043,7 +1034,12 @@ object GraftMor {
       // compaction folded only empty epochs and bumped the HWM): the
       // consumed-state still advances below, with nothing to subtract
       if (curEpochs > applied && scNow.dv.nonEmpty) {
-        val dv = s.read.parquet(dvPath(tablePath))
+        val dv = s.read
+          // dv layout is fixed (epoch=N partition dirs of coordinate
+          // files); declaring it skips the schema-inference job (r16).
+          // epoch is INT: partition discovery types small values so
+          .schema("dv_file STRING, dv_pos BIGINT, epoch INT")
+          .parquet(dvPath(tablePath))
           .where(col("epoch") >= applied).select("dv_file", "dv_pos")
           .localCheckpoint(true)
         try {
@@ -1101,7 +1097,7 @@ object GraftMor {
     */
   def readMorFeed(s: SparkSession, feedRoot: String,
       fromSeq: Long, toSeq: Long): DataFrame =
-    s.read.parquet(s"$feedRoot/segments")
+    graft.sources.GraftIO.readParquet(s, s"$feedRoot/segments")
       .where(col("seq") > fromSeq && col("seq") <= toSeq)
       .drop("seq")
 
@@ -1176,10 +1172,10 @@ object GraftMor {
         val in = f.open(marker(livePath))
         try in.readLong() finally in.close()
       }
-    if (tip <= watermark) return s.read.parquet(livePath) // no-op
+    if (tip <= watermark) return graft.sources.GraftIO.readParquet(s, livePath) // no-op
     val seg = readMorFeed(s, feedRoot, watermark, tip)
     val parts = Seq.newBuilder[DataFrame]
-    if (f.exists(hp(livePath))) parts += s.read.parquet(livePath)
+    if (f.exists(hp(livePath))) parts += graft.sources.GraftIO.readParquet(s, livePath)
     parts += partialAgg(seg.where(col("change_type") === "I")
       .drop("change_type"))
     parts += negatePartials(
@@ -1197,7 +1193,7 @@ object GraftMor {
           s"[GRAFT] consumeMorFeed commit swap failed: " +
             s"rename($stagePath -> $livePath) returned false")
     } finally graft.GraftSession.releaseCheckpoint(merged)
-    s.read.parquet(livePath)
+    graft.sources.GraftIO.readParquet(s, livePath)
   }
 
   /** Pending tombstone rows across both sidecar flavors — the
@@ -1210,14 +1206,10 @@ object GraftMor {
       val sub = new org.apache.hadoop.fs.Path(s"$tablePath/$d")
       if (!f.exists(sub)) 0L
       else {
-        val files = Seq.newBuilder[String]
-        val it = f.listFiles(sub, true)
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.getPath.getName.endsWith(".parquet"))
-            files += st.getPath.toString
-        }
-        GraftBloomIndex.footerRowCounts(s, files.result()).values.sum
+        val files = GraftIO.walkFiles(f, sub)
+          .collect { case st if st.getPath.getName.endsWith(".parquet") =>
+            st.getPath.toString }
+        GraftBloomIndex.footerRowCounts(s, files).values.sum
       }
     }.sum
   }
@@ -1272,7 +1264,7 @@ object GraftMor {
       else {
         val in = f.open(marker(summaryPath))
         val a = try in.readInt() finally in.close()
-        val st = s.read.parquet(s"$summaryPath/_state/files")
+        val st = graft.sources.GraftIO.readParquet(s, s"$summaryPath/_state/files")
           .collect().map(_.getString(0)).toSet
         // rewritten history (compaction, overwrite) cannot be diffed
         ((st -- curFiles).nonEmpty || curEpochs < a, a, st)
@@ -1281,7 +1273,7 @@ object GraftMor {
     var dvHeld: Option[DataFrame] = None
     if (rebuild) parts += partialAgg(morRead(s, tablePath))
     else {
-      val summary = s.read.parquet(summaryPath)
+      val summary = graft.sources.GraftIO.readParquet(s, summaryPath)
       if (curFiles == stored && curEpochs == applied) return summary // no-op
       parts += summary
       val newFiles = (curFiles -- stored).toSeq
@@ -1296,7 +1288,12 @@ object GraftMor {
         // checkpointed because the coordinate list is reused (file
         // discovery + the semi-join); released after `merged`
         // materializes below
-        val dv = s.read.parquet(dvPath(tablePath))
+        val dv = s.read
+          // dv layout is fixed (epoch=N partition dirs of coordinate
+          // files); declaring it skips the schema-inference job (r16).
+          // epoch is INT: partition discovery types small values so
+          .schema("dv_file STRING, dv_pos BIGINT, epoch INT")
+          .parquet(dvPath(tablePath))
           .where(col("epoch") >= applied).select("dv_file", "dv_pos")
           .localCheckpoint(true)
         dvHeld = Some(dv)
@@ -1333,7 +1330,7 @@ object GraftMor {
       graft.GraftSession.releaseCheckpoint(merged)
       dvHeld.foreach(graft.GraftSession.releaseCheckpoint)
     }
-    s.read.parquet(summaryPath)
+    graft.sources.GraftIO.readParquet(s, summaryPath)
   }
 
   /** Drop the folded sidecars, FIRST persisting each flavor's epoch

@@ -98,7 +98,7 @@ object GraftSchemaPolicy {
     */
   def enforceAppend(s: SparkSession, df: DataFrame, path: String,
       allowBreaking: Boolean = false): Seq[Change] = {
-    val current = s.read.parquet(path).schema
+    val current = graft.sources.GraftIO.readParquet(s, path).schema
     val changes = diff(current, df.schema)
     val broken = changes.filter(_.breaking)
     if (broken.nonEmpty && !allowBreaking)

@@ -31,7 +31,7 @@ object GraftSink {
     * scan).
     */
   def readPartitioned(s: SparkSession, name: String): DataFrame =
-    s.read.parquet(s"$scratchDir/$name")
+    graft.sources.GraftIO.readParquet(s, s"$scratchDir/$name")
 
   /** Copy-on-write MERGE (upsert) into a hive-partitioned parquet
     * table — the key-level analog of the partition-level dynamic
@@ -94,7 +94,7 @@ object GraftSink {
     // reference's share-lock conflict, GraftLease doc)
     GraftLease.failIfLeased(s, targetPath, "mergeUpsert")
     GraftMor.failIfMutationSidecars(s, targetPath, "mergeUpsert")
-    val target = s.read.parquet(targetPath)
+    val target = graft.sources.GraftIO.readParquet(s, targetPath)
     val keys = updates.select(keyCols.map(col): _*)
     val affected = target
       .join(broadcast(keys), keyCols, "left_semi")
@@ -181,7 +181,7 @@ object GraftSink {
     import org.apache.spark.sql.functions.{broadcast, col}
     GraftLease.failIfLeased(s, targetPath, "mergeDelete")
     GraftMor.failIfMutationSidecars(s, targetPath, "mergeDelete")
-    val target = s.read.parquet(targetPath)
+    val target = graft.sources.GraftIO.readParquet(s, targetPath)
     val keys = deleteKeys.select(keyCols.map(col): _*)
     val affected = target
       .join(broadcast(keys), keyCols, "left_semi")
@@ -222,7 +222,7 @@ object GraftSink {
     import org.apache.spark.sql.functions.col
     GraftLease.failIfLeased(s, tablePath, "compactTable")
     GraftMor.failIfMutationSidecars(s, tablePath, "compactTable")
-    val df = s.read.parquet(tablePath)
+    val df = graft.sources.GraftIO.readParquet(s, tablePath)
     val staged = (if (partitionCols.nonEmpty)
         df.repartition(partitionCols.map(col): _*)
       else {

@@ -1419,16 +1419,10 @@ object GraftV2 {
       dir: Path): Seq[String] = {
     if (!fs.exists(dir)) return Seq.empty
     val rootPath = dir.toUri.getPath
-    val out = Seq.newBuilder[String]
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val rel = f.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
-      if (!rel.split('/').exists(seg =>
-          seg.startsWith("_") || seg.startsWith(".")) && f.getLen > 0)
-        out += rel
-    }
-    out.result().sorted
+    graft.sources.GraftIO.walkVisibleFiles(fs, dir)
+      .collect { case f if f.getLen > 0 =>
+        f.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/") }
+      .sorted
   }
 
   /** The staged-swap tail every COW rewrite shares: retire the current
@@ -1566,21 +1560,12 @@ object GraftV2 {
     val st = fs.getFileStatus(p)
     if (st.isFile) Seq((path, st.getLen))
     else {
-      val rootPath = p.toUri.getPath
-      val out = Seq.newBuilder[(String, Long)]
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val f = it.next()
-        // every path segment below the root must be non-hidden: a
-        // recursive listing descends into `_bloom_*`/`_snapshots`-style
-        // bookkeeping dirs whose FILES have unremarkable names
-        val rel = f.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
-        val hidden = rel.split('/').exists(seg =>
-          seg.startsWith("_") || seg.startsWith("."))
-        if (!hidden && f.getLen > 0)
-          out += ((f.getPath.toString, f.getLen))
-      }
-      out.result().sortBy(_._1)
+      // every path segment below the root must be non-hidden: a
+      // recursive listing descends into `_bloom_*`/`_snapshots`-style
+      // bookkeeping dirs whose FILES have unremarkable names
+      graft.sources.GraftIO.walkVisibleFiles(fs, p)
+        .collect { case f if f.getLen > 0 => (f.getPath.toString, f.getLen) }
+        .sortBy(_._1)
     }
   }
 
@@ -1593,15 +1578,10 @@ object GraftV2 {
     val p = new Path(s"$tablePath/$dir")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty
-    else {
-      val out = Seq.newBuilder[String]
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toString
-      }
-      out.result().sorted
-    }
+    else graft.sources.GraftIO.walkFiles(fs, p)
+      .collect { case f if f.getPath.getName.endsWith(".parquet") =>
+        f.getPath.toString }
+      .sorted
   }
 
   /** Refuse BY NAME when a table carries an unmerged equality sidecar:

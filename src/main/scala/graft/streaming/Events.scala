@@ -318,7 +318,7 @@ object Events {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,6)")).as("total_d"))
     val merged =
-      (if (exists(sumPath)) s.read.parquet(sumPath).unionByName(partial) else partial)
+      (if (exists(sumPath)) graft.sources.GraftIO.readParquet(s, sumPath).unionByName(partial) else partial)
         .groupBy("event_type")
         .agg(sum(col("n")).as("n"), sum(col("total_d")).cast("decimal(28,6)").as("total_d"))
         .localCheckpoint(true) // the swap deletes the path it reads
@@ -381,7 +381,7 @@ object Events {
       }
     if (batchId <= maxApplied) return // replayed batch: already applied
     val parts = Seq.newBuilder[DataFrame]
-    if (fs.exists(path(livePath))) parts += s.read.parquet(livePath)
+    if (fs.exists(path(livePath))) parts += graft.sources.GraftIO.readParquet(s, livePath)
     parts += partialAgg(batch.where(col("change_type") === "I")
       .drop("change_type"))
     parts += graft.sources.GraftMor.negatePartials(
@@ -450,7 +450,7 @@ object Events {
     val partial = graft.plans.GraftMv.mvFrameOf(batch.toDF(), d)
     val merged =
       (if (fs.exists(path(mvPath)))
-        graft.plans.GraftMv.mergeRollups(s.read.parquet(mvPath), partial, d)
+        graft.plans.GraftMv.mergeRollups(graft.sources.GraftIO.readParquet(s, mvPath), partial, d)
       else partial)
         .localCheckpoint(true) // the swap deletes the path it reads
     try {
@@ -864,7 +864,7 @@ object Events {
     val changed = batch.select(col("user_id"), col("n"))
     val merged =
       (if (fs.exists(path(cntPath)))
-        s.read.parquet(cntPath)
+        graft.sources.GraftIO.readParquet(s, cntPath)
           .join(changed.select(col("user_id").as("cu")),
             col("user_id") === col("cu"), "left_anti")
           .unionByName(changed)
@@ -993,7 +993,7 @@ object Events {
       evalSpanHashes: Array[Long], sinkDir: String, filesPerTrigger: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // one driver-side batch peek for the schema (incl. partition cols)
-    val schema = s.read.parquet(layoutDir).schema
+    val schema = graft.sources.GraftIO.readParquet(s, layoutDir).schema
     val docs = s.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger)

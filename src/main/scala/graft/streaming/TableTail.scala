@@ -24,7 +24,7 @@ object TableTail {
     val fs = new org.apache.hadoop.fs.Path(wh)
       .getFileSystem(s.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(wh), true)
-    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val orders = graft.sources.GraftIO.readParquet(s, s"$dir/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
     orders.where(col("o_orderkey") < 500).coalesce(2).write.parquet(tbl)
     val cat = new graft.sources.GraftCatalog(s, wh)
@@ -40,7 +40,7 @@ object TableTail {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.read.parquet(out).count()
+      graft.sources.GraftIO.readParquet(s, out).count()
     }
     val firstCount = runOnce() // consumes epoch 1 (keys < 500)
     orders.where(col("o_orderkey") >= 500 && col("o_orderkey") < 1000)
@@ -48,7 +48,7 @@ object TableTail {
     cat.invalidate("t")
     cat.publishSnapshot("t")
     val total = runOnce() // resumes past the checkpointed epoch: the diff
-    val secondRun = s.read.parquet(out)
+    val secondRun = graft.sources.GraftIO.readParquet(s, out)
       .where(col("o_orderkey") >= 500)
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
