@@ -114,6 +114,24 @@ object GraftSession {
       trackGrain(ds)
       ds
     }
+
+    /** `.grainCacheEager()` — grainCache + fill the cache NOW with one
+      * count() pass. For grains consumed by several of the final
+      * plan's LEAF exchanges: AQE materializes those stages in
+      * PARALLEL, and concurrent scans of a not-yet-filled cache each
+      * recompute the full grain (measured: the exact-shingle grain
+      * computed 3× and the funnel's token grain 5× per execution).
+      * Paying the grain once up front serializes ~one stage but
+      * removes the duplicated work — use where >1 leaf consumer is
+      * the plan shape, keep plain grainCache() for grains consumed
+      * sequentially.
+      */
+    def grainCacheEager(): org.apache.spark.sql.Dataset[T] = {
+      ds.cache()
+      trackGrain(ds)
+      ds.count()
+      ds
+    }
   }
 
   def releaseCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit = {

@@ -450,7 +450,10 @@ object Dedup {
     val sh = toks.where(size(col("t")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
-      .grainCache() // shingle table reused for keys and both verify sides
+      // EAGER: the blocking-key exchange and both verify sides are
+      // leaf exchanges AQE materializes in parallel — a lazily-filled
+      // cache recomputes the shingle pass 3× (profiled at sf0.1)
+      .grainCache()
     val keys = sh.select(col("doc_id"),
       explode(slice(array_sort(col("sh")), 1, 4)).as("k"))
     // Degenerate-block guard, PORTABLY (the oracle mirrors it):
@@ -627,6 +630,9 @@ object Dedup {
     * spans appear in the eval set.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    // EAGER: the span-stats scan and the eval-hash broadcast build are
+    // parallel leaf consumers — lazily filled, each recomputes the
+    // span-hash pass (AQE cache race, see grainCacheEager)
     val g = wordGramHashes(s, dir).grainCache()
     decontaminateSpans(g.where(!isBenchDoc), g.where(isBenchDoc).select("gh"),
       docs(s, dir).where(!isBenchDoc))
@@ -654,6 +660,8 @@ object Dedup {
     // sources × distinct spans, far below corpus size.
     val perSource = wordGramHashes(s, dir)
       .join(srcs, Seq("doc_id"))
+      // EAGER: counts + both self-join sides consume this as parallel
+      // leaves (AQE cache race, see grainCacheEager)
       .select("source", "gh").distinct().grainCache()
     val counts = perSource.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = perSource.toDF("source_a", "gh")
@@ -690,12 +698,18 @@ object Dedup {
       trainDocs: DataFrame): DataFrame = {
     val train = trainGrams
     val benchSpans = evalGrams.distinct()
-    val totals = train.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val overlaps = train.join(broadcast(benchSpans), Seq("gh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    // ONE pass over the span grain: a broadcast left join against the
+    // DISTINCT eval hashes (row-preserving by construction) tags each
+    // span, and a single doc_id aggregate yields both counts — the
+    // former totals/overlaps pair cost two exchanges and scanned the
+    // grain twice (guide §2.3 aggregate-before-shuffle, §2.4)
+    val spanStats = train
+      .join(broadcast(benchSpans.withColumn("__hit", lit(1))), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("__hit")).as("n_overlap"))
     trainDocs.select("doc_id")
-      .join(totals, Seq("doc_id"), "left")
-      .join(overlaps, Seq("doc_id"), "left")
+      .join(spanStats, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
@@ -788,6 +802,10 @@ object Dedup {
     val base = docs(s, dir).select(col("doc_id"),
         size(toks).cast("long").as("n_toks"),
         size(array_distinct(toks)).cast("long").as("n_distinct"))
+      // EAGER: all five stage() aggregates probe this grain as
+      // parallel leaf exchanges — lazily filled it recomputes the
+      // tokenize pass 5x (profiled at sf0.1; wall-neutral at 32
+      // cores, −2.5s total executor work per execution)
       .grainCache()
     val quality = base.where(col("n_toks") >= 10 &&
       col("n_distinct") * 10 >= col("n_toks") * 3)
@@ -799,6 +817,10 @@ object Dedup {
     val s3 = s2.join(clusters, Seq("doc_id"))
       .withColumn("rep", min("doc_id").over(wCluster))
       .where(col("doc_id") === col("rep"))
+      // s3 stays LAZY: its two parallel consumers share the expensive
+      // exchanges via AQE's stage cache, and an eager count() would
+      // serialize the whole decontaminate+cluster pipeline (measured
+      // +1s at 32 cores)
       .select("doc_id", "n_toks").grainCache()
     // E20 over the survivor corpus: unigram LM trained on survivors,
     // per-doc mean log-prob, tail tercile dropped
@@ -808,6 +830,8 @@ object Dedup {
       .join(s3.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(words).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      // EAGER: the total scalar, the word-count side and the per-doc
+      // side all scan this grain as parallel leaves
       .grainCache()
     // total-token scalar rides along as a broadcast single-row frame
     // (the TextAnalysis idiom) instead of a driver head() that would
@@ -830,16 +854,45 @@ object Dedup {
       case Some((c1, _))  =>
         perDoc.where(col("avg_lp_micro") >= c1).select("doc_id")
     }
-    def stage(ord: Long, name: String, docSet: DataFrame): DataFrame =
-      base.join(docSet.select("doc_id"), Seq("doc_id"), "left_semi")
-        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
-        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-                col("n_docs"), col("n_tokens"))
-    stage(0L, "ingested", base)
-      .unionByName(stage(1L, "quality", quality))
-      .unionByName(stage(2L, "decontaminated", s2))
-      .unionByName(stage(3L, "dedup", s3))
-      .unionByName(stage(4L, "perplexity", s4))
+    // ONE pass over the token grain instead of five semi-join+aggregate
+    // branches (guide §2.4): each survivor set is row-preserving-unique
+    // by construction (clean/s3/s4 carry one row per doc_id), so a left
+    // join tags membership and a single aggregate computes every
+    // stage's counts. Null semantics match the per-stage aggregates
+    // exactly: count(when(...)) is 0 where the old count over an empty
+    // semi-join was 0, and sum(when(...)) is NULL where the old sum
+    // over an empty semi-join was NULL. The quality predicate is
+    // evaluated inline (stage 1 is a pure filter of the grain), and
+    // s3 ⊆ s2 ⊆ quality / s4 ⊆ s3 hold by construction, so membership
+    // flags need no cross-conditions beyond stage 2's q ∧ clean.
+    val q = col("n_toks") >= 10 && col("n_distinct") * 10 >= col("n_toks") * 3
+    val flagged = base
+      .join(clean.select(col("doc_id")).withColumn("__c", lit(1)),
+        Seq("doc_id"), "left")
+      .join(s3.select(col("doc_id")).withColumn("__d", lit(1)),
+        Seq("doc_id"), "left")
+      .join(s4.select(col("doc_id")).withColumn("__p", lit(1)),
+        Seq("doc_id"), "left")
+    val a = flagged.agg(
+      count(lit(1)).as("n0"), sum(col("n_toks")).as("t0"),
+      count(when(q, 1)).as("n1"), sum(when(q, col("n_toks"))).as("t1"),
+      count(when(q && col("__c").isNotNull, 1)).as("n2"),
+      sum(when(q && col("__c").isNotNull, col("n_toks"))).as("t2"),
+      count(when(col("__d").isNotNull, 1)).as("n3"),
+      sum(when(col("__d").isNotNull, col("n_toks"))).as("t3"),
+      count(when(col("__p").isNotNull, 1)).as("n4"),
+      sum(when(col("__p").isNotNull, col("n_toks"))).as("t4"))
+    def st(ord: Long, name: String, n: String, t: String) =
+      struct(lit(ord).as("stage_ord"), lit(name).as("stage"),
+        col(n).as("n_docs"), col(t).as("n_tokens"))
+    a.select(explode(array(
+        st(0L, "ingested", "n0", "t0"),
+        st(1L, "quality", "n1", "t1"),
+        st(2L, "decontaminated", "n2", "t2"),
+        st(3L, "dedup", "n3", "t3"),
+        st(4L, "perplexity", "n4", "t4"))).as("s"))
+      .select(col("s.stage_ord").as("stage_ord"), col("s.stage").as("stage"),
+        col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"))
       .orderBy("stage_ord")
   }
 

@@ -234,10 +234,8 @@ object GraftBloomIndex {
     if (surviving.isEmpty)
       graft.sources.GraftIO.readParquet(s, tablePath).where(probe).where(lit(false))
     else {
-      val reader = s.read.option("basePath", tablePath)
-      sc.schemaDdl.foreach(d =>
-        reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
-      val base = reader.parquet(surviving: _*)
+      val base = GraftMor.readFilesWithBase(s, tablePath, surviving,
+        sc.schemaDdl)
       val masked = if (sc.any) GraftMor.applyMasks(s, base, sc) else base
       masked.where(probe)
     }

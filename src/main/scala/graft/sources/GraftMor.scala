@@ -216,6 +216,31 @@ object GraftMor {
     reader.parquet(tablePath)
   }
 
+  /** basePath read of table data FILES with the schema resolved
+    * without a Spark inference job where possible: the declared
+    * (evolved) DDL when the caller holds one, else — on flat layouts
+    * only — the subset's first-lex file footer driver-side, which is
+    * byte-identical to what mergeSchema=false inference would return
+    * for these files. Partitioned layouts without a DDL keep plain
+    * inference (a user schema would drop the partition columns).
+    */
+  private[sources] def readFilesWithBase(s: SparkSession, tablePath: String,
+      files: Seq[String], ddl: Option[String] = None): DataFrame = {
+    val reader = s.read.option("basePath", tablePath)
+    ddl match {
+      case Some(d) =>
+        reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d))
+      case None =>
+        val root = new org.apache.hadoop.fs.Path(tablePath).toUri.getPath
+        val flat = files.nonEmpty && files.forall { f =>
+          val par = new org.apache.hadoop.fs.Path(f).getParent
+          par != null && par.toUri.getPath == root
+        }
+        if (flat) GraftIO.parquetSchema(s, files.min).foreach(reader.schema)
+    }
+    reader.parquet(files: _*)
+  }
+
   private def dvPath(tablePath: String) = s"$tablePath/$DvDir"
   private def eqPath(tablePath: String) = s"$tablePath/$EqDir"
   private def seqmPath(tablePath: String) = s"$tablePath/$SeqDir"
@@ -810,10 +835,7 @@ object GraftMor {
       if (affected.nonEmpty) {
         // basePath keeps hive partition columns attached when the
         // affected FILES are addressed directly
-        val affectedReader = s.read.option("basePath", tablePath)
-        sc.schemaDdl.foreach(d => affectedReader.schema(
-          org.apache.spark.sql.types.StructType.fromDDL(d)))
-        val scanned = affectedReader.parquet(affected: _*)
+        val scanned = readFilesWithBase(s, tablePath, affected, sc.schemaDdl)
           .withColumn("dv_file", normPath(col("_metadata.file_path")))
           .withColumn("dv_pos", col("_metadata.row_index"))
           .withColumn("__fn", normPath(col("_metadata.file_path")))
@@ -936,8 +958,7 @@ object GraftMor {
     if (straddling.nonEmpty) {
       // scoped discovery: ONLY the straddling files' old rows, minus
       // already-tombstoned coordinates (the true-delta rule)
-      val coords0 = s.read.option("basePath", tablePath)
-        .parquet(straddling.toIndexedSeq: _*)
+      val coords0 = readFilesWithBase(s, tablePath, straddling.toIndexedSeq)
         .select(col(tsCol).as("__ts"),
           normPath(col("_metadata.file_path")).as("dv_file"),
           col("_metadata.row_index").as("dv_pos"))
@@ -1028,7 +1049,7 @@ object GraftMor {
     } else {
       val newFiles = (curFiles -- stored).toSeq
       if (newFiles.nonEmpty)
-        parts += s.read.option("basePath", tablePath).parquet(newFiles: _*)
+        parts += readFilesWithBase(s, tablePath, newFiles)
           .select(dataCols.map(col): _*).withColumn("change_type", lit("I"))
       // the sidecar dir may be GONE past the watermark (a zero-rewrite
       // compaction folded only empty epochs and bumped the HWM): the
@@ -1050,8 +1071,7 @@ object GraftMor {
           if (doomedFiles.nonEmpty) {
             // eager checkpoint: materializes NOW, so dv can release in
             // the finally; the frame itself releases after the write
-            val d = s.read.option("basePath", tablePath)
-              .parquet(doomedFiles.toIndexedSeq: _*)
+            val d = readFilesWithBase(s, tablePath, doomedFiles.toIndexedSeq)
               .withColumn("dv_file", normPath(col("_metadata.file_path")))
               .withColumn("dv_pos", col("_metadata.row_index"))
               .join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_semi")
@@ -1279,7 +1299,7 @@ object GraftMor {
       val newFiles = (curFiles -- stored).toSeq
       if (newFiles.nonEmpty)
         parts += partialAgg(
-          s.read.option("basePath", tablePath).parquet(newFiles: _*))
+          readFilesWithBase(s, tablePath, newFiles))
       // dir-existence guard: a zero-rewrite compaction can bump the
       // HWM past `applied` with the sidecar dir already cleared
       if (curEpochs > applied &&
@@ -1302,8 +1322,7 @@ object GraftMor {
         // zero-coordinate epochs (a delete that matched nothing)
         // advance the watermark but subtract no partials
         if (doomedFiles.nonEmpty) {
-          val doomed = s.read.option("basePath", tablePath)
-            .parquet(doomedFiles.toIndexedSeq: _*)
+          val doomed = readFilesWithBase(s, tablePath, doomedFiles.toIndexedSeq)
             .withColumn("dv_file", normPath(col("_metadata.file_path")))
             .withColumn("dv_pos", col("_metadata.row_index"))
             .join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_semi")

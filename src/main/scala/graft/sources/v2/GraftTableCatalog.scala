@@ -627,8 +627,14 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces
     // the re-projection reads the SERVED state (marker schema wins,
     // evolved columns null-fill) and writes the new declaration
     val reader = spark.read.option("basePath", tablePath)
-    graft.sources.GraftMor.readSchemaDdl(spark, tablePath).foreach(d =>
-      reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d)))
+    graft.sources.GraftMor.readSchemaDdl(spark, tablePath) match {
+      case Some(d) =>
+        reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d))
+      case None =>
+        // driver-side footer schema on flat layouts (no inference job)
+        graft.sources.GraftIO.flatParquetSchema(spark, tablePath)
+          .foreach(reader.schema)
+    }
     val projected = reader.parquet(tablePath).select(
       current.fields.toSeq.filterNot(f => dropped(f.name)).map { f =>
         renamed.get(f.name)

@@ -320,9 +320,16 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("decontamination joins the eval spans by BROADCAST (no wide shuffle)") {
+    // r16: the semi-join + second aggregate pair folded into ONE
+    // broadcast LEFT OUTER tag join + a single doc_id aggregate (one
+    // exchange over the span grain instead of two). The invariant this
+    // spec protects is unchanged: the eval-span set BROADCASTS into
+    // the corpus probe — the corpus is never shuffled by span hash.
     val plan = Dedup.decontaminate(spark, sfDir).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      "the eval-span set must broadcast into a semi join: " + plan.take(1000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the eval-span set must broadcast into the span probe: " + plan.take(1000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the corpus side must not shuffle wide for the eval join: " + plan.take(1000))
   }
 
   test("cross-source overlap matrix matches a driver-side set computation and is complete") {
