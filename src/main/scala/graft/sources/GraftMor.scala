@@ -1116,10 +1116,18 @@ object GraftMor {
     * the consumer half of [[publishMorFeed]].
     */
   def readMorFeed(s: SparkSession, feedRoot: String,
-      fromSeq: Long, toSeq: Long): DataFrame =
-    graft.sources.GraftIO.readParquet(s, s"$feedRoot/segments")
+      fromSeq: Long, toSeq: Long): DataFrame = {
+    val seg = s"$feedRoot/segments"
+    val reader = s.read
+    // data schema from one segment footer driver-side + the seq=N
+    // partition column (small ints — discovery types them INT): skips
+    // the schema-inference job without losing partition pruning
+    GraftIO.parquetSchema(s, seg).foreach(sch =>
+      reader.schema(sch.add("seq", org.apache.spark.sql.types.IntegerType)))
+    reader.parquet(seg)
       .where(col("seq") > fromSeq && col("seq") <= toSeq)
       .drop("seq")
+  }
 
   /** Merge additive partial frames: sum every non-group measure
     * (types preserved) and drop groups whose row count reached zero —

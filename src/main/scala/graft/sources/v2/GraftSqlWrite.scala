@@ -153,8 +153,8 @@ object GraftSqlWrite {
     // via basePath against the staging dir's hive layout)
     val tableRules = rules.getOrElse(norm(tablePath), Seq.empty)
     if (tableRules.nonEmpty) {
-      val batch = s.read.option("basePath", stageDir.toString)
-        .parquet(staged.map(r => s"$stageDir/$r"): _*)
+      val batch = graft.sources.GraftMor.readFilesWithBase(
+        s, stageDir.toString, staged.map(r => s"$stageDir/$r"))
       val fired = tableRules.map(r => when(r.violation, lit(r.name)))
       val quarantine = batch
         .withColumn("reasons", concat_ws(",", fired: _*))
