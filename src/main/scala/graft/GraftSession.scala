@@ -33,6 +33,16 @@ object GraftSession {
     // sidecar doubling (see GraftLocalFileSystem); inert on cluster
     // filesystems, which keep their own impls
     .config("spark.hadoop.fs.file.impl", "graft.sources.GraftLocalFileSystem")
+    // shuffle/spill + parquet codecs, env-parameterised so scale A/Bs
+    // (guide §2.3/§6) run without harness edits; defaults = Spark's
+    // own (lz4 shuffle, snappy parquet) — see the r17 sf1 A/B in
+    // OPTIMIZATION_r17.md for the measured local verdict and the
+    // cluster recommendation (zstd's ratio pays where shuffle bytes
+    // cross NICs; locally there is no network to save).
+    .config("spark.io.compression.codec",
+      sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
+    .config("spark.sql.parquet.compression.codec",
+      sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
     .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
@@ -130,6 +140,40 @@ object GraftSession {
       ds.cache()
       trackGrain(ds)
       ds.count()
+      ds
+    }
+
+    /** `.grainCacheAuto(consumers)` — grainCache, count()-filled
+      * eagerly ONLY when the executor pool is saturated enough that
+      * the AQE cache race's duplicated grain compute costs wall time.
+      * The race: AQE materializes a plan's leaf exchanges in PARALLEL,
+      * and `consumers` concurrent scans of a not-yet-filled cache each
+      * recompute the full grain. Whether that duplication matters is a
+      * saturation question, measured both ways in r16/r17:
+      *  - wide pool (local[32], sf0.1): the duplicated work hides in
+      *    idle cores while an eager count() SERIALIZES one stage —
+      *    eager fill was a wall REGRESSION (text_decontaminate
+      *    0.28→0.76 s), so the r16 call sites were reverted to lazy;
+      *  - narrow pool (8 cores or a busy cluster): every duplicated
+      *    grain pass steals occupied cores, so paying the grain once
+      *    up front wins (−2.5 s executor work on the funnel alone).
+      * Heuristic: eager iff defaultParallelism ≤ consumers ×
+      * `spark.graft.grain.eagerCoreFactor` (default 6 — lazy at 32
+      * cores for every current ≤5-consumer grain, eager at ≤8 cores
+      * for every ≥2-consumer grain; 0 disables eager fill entirely).
+      */
+    def grainCacheAuto(consumers: Int): org.apache.spark.sql.Dataset[T] = {
+      ds.cache()
+      trackGrain(ds)
+      // conf wins; the env fallback exists so a bench A/B can flip the
+      // gate without editing the session builder (0 = never eager)
+      val dflt = sys.env.getOrElse("SPARK_GRAFT_GRAIN_EAGER_FACTOR", "6")
+      val factor = try ds.sparkSession.conf
+        .get("spark.graft.grain.eagerCoreFactor", dflt).toInt
+      catch { case _: NumberFormatException => 6 }
+      if (factor > 0 &&
+          ds.sparkSession.sparkContext.defaultParallelism <= consumers.toLong * factor)
+        ds.count()
       ds
     }
   }

@@ -450,10 +450,14 @@ object Dedup {
     val sh = toks.where(size(col("t")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
-      // EAGER: the blocking-key exchange and both verify sides are
-      // leaf exchanges AQE materializes in parallel — a lazily-filled
-      // cache recomputes the shingle pass 3× (profiled at sf0.1)
-      .grainCache()
+      // KNOWN RACE, deliberately adaptive: the blocking-key exchange
+      // and both verify sides are leaf exchanges AQE materializes in
+      // parallel — lazily filled, the shingle pass recomputes 3×
+      // (profiled at sf0.1). The duplication hides in idle cores at
+      // local[32] (an unconditional eager fill measured as a wall
+      // regression — see grainCacheAuto), so the fill is saturation-
+      // gated: eager only on narrow pools.
+      .grainCacheAuto(consumers = 3)
     val keys = sh.select(col("doc_id"),
       explode(slice(array_sort(col("sh")), 1, 4)).as("k"))
     // Degenerate-block guard, PORTABLY (the oracle mirrors it):
@@ -630,10 +634,13 @@ object Dedup {
     * spans appear in the eval set.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    // EAGER: the span-stats scan and the eval-hash broadcast build are
-    // parallel leaf consumers — lazily filled, each recomputes the
-    // span-hash pass (AQE cache race, see grainCacheEager)
-    val g = wordGramHashes(s, dir).grainCache()
+    // KNOWN RACE, deliberately adaptive: the span-stats scan and the
+    // eval-hash broadcast build are parallel leaf consumers — lazily
+    // filled, each recomputes the span-hash pass. The duplication
+    // hides in idle cores at local[32] (eager fill measured 0.28→0.76 s
+    // on text_decontaminate), so the fill is saturation-gated
+    // (see grainCacheAuto).
+    val g = wordGramHashes(s, dir).grainCacheAuto(consumers = 2)
     decontaminateSpans(g.where(!isBenchDoc), g.where(isBenchDoc).select("gh"),
       docs(s, dir).where(!isBenchDoc))
   }
@@ -660,9 +667,11 @@ object Dedup {
     // sources × distinct spans, far below corpus size.
     val perSource = wordGramHashes(s, dir)
       .join(srcs, Seq("doc_id"))
-      // EAGER: counts + both self-join sides consume this as parallel
-      // leaves (AQE cache race, see grainCacheEager)
-      .select("source", "gh").distinct().grainCache()
+      // KNOWN RACE, deliberately adaptive: counts + both self-join
+      // sides consume this as parallel leaves; duplication hides in
+      // idle cores at local[32], so the fill is saturation-gated
+      // (see grainCacheAuto).
+      .select("source", "gh").distinct().grainCacheAuto(consumers = 3)
     val counts = perSource.groupBy("source").agg(count(lit(1)).as("n"))
     val shared = perSource.toDF("source_a", "gh")
       .join(perSource.toDF("source_b", "gh"), Seq("gh"))
@@ -758,8 +767,13 @@ object Dedup {
   private[graft] def curatedDocs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(trim(col("text")), "\\s+")
+    // cached + filled on a second driver thread: overlaps the
+    // decontamination sub-pipeline with the cluster construction's
+    // driver-side phases (same §2.6 overlap as curationFunnel).
     val clean = decontaminate(s, dir)
-      .where(col("contaminated") === 0).select("doc_id")
+      .where(col("contaminated") === 0).select("doc_id").grainCache()
+    val cleanFill = scala.concurrent.Future(clean.count())(
+      scala.concurrent.ExecutionContext.global)
     val quality = docs(s, dir)
       .withColumn("n_toks", size(toks))
       .withColumn("n_distinct", size(array_distinct(toks)))
@@ -767,6 +781,8 @@ object Dedup {
              col("n_distinct") * 10 >= col("n_toks") * 3)
       .join(clean, Seq("doc_id"), "left_semi")
     val clusters = nearDupClustersExact(s, dir)
+    scala.concurrent.Await.result(cleanFill,
+      scala.concurrent.duration.Duration.Inf)
     val wCluster = Window.partitionBy("cluster")
     quality.join(clusters, Seq("doc_id"))
       .withColumn("rep", min("doc_id").over(wCluster))
@@ -802,17 +818,36 @@ object Dedup {
     val base = docs(s, dir).select(col("doc_id"),
         size(toks).cast("long").as("n_toks"),
         size(array_distinct(toks)).cast("long").as("n_distinct"))
-      // EAGER: all five stage() aggregates probe this grain as
-      // parallel leaf exchanges — lazily filled it recomputes the
-      // tokenize pass 5x (profiled at sf0.1; wall-neutral at 32
-      // cores, −2.5s total executor work per execution)
-      .grainCache()
+      // KNOWN RACE, deliberately adaptive: all five stage aggregates
+      // probe this grain as parallel leaf exchanges — lazily filled it
+      // recomputes the tokenize pass 5× (profiled at sf0.1;
+      // wall-neutral at 32 cores, −2.5 s total executor work per
+      // execution, so a saturated pool pays it). Fill is saturation-
+      // gated (see grainCacheAuto).
+      .grainCacheAuto(consumers = 5)
     val quality = base.where(col("n_toks") >= 10 &&
       col("n_distinct") * 10 >= col("n_toks") * 3)
+    // cached: consumed by the s2 semi-join AND the final accounting
+    // pass's membership tag — and eagerly filled on a SECOND driver
+    // thread below, overlapping the cluster sub-pipeline.
     val clean = decontaminate(s, dir)
-      .where(col("contaminated") === 0).select("doc_id")
+      .where(col("contaminated") === 0).select("doc_id").grainCache()
     val s2 = quality.join(clean, Seq("doc_id"), "left_semi")
+    // Overlap the two independent sub-pipelines (guide §2.6): cluster
+    // construction runs driver-side actions (edge checkpoint + exact
+    // count + union-find collect) during which executors drain, while
+    // the decontamination gate depends on nothing cluster-side — so
+    // its grain fills CONCURRENTLY instead of serializing inside the
+    // first tercile collect (funnel construction measured ~5.2 s of
+    // the 5.4 s total at sf0.1, the two sub-pipelines back to back).
+    // Unlike an eager in-line count() (the measured-regressive shape
+    // grainCacheAuto gates), this fill back-fills cores the cluster
+    // pipeline's driver phases leave idle.
+    val cleanFill = scala.concurrent.Future(clean.count())(
+      scala.concurrent.ExecutionContext.global)
     val clusters = nearDupClustersExact(s, dir)
+    scala.concurrent.Await.result(cleanFill,
+      scala.concurrent.duration.Duration.Inf)
     val wCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
     val s3 = s2.join(clusters, Seq("doc_id"))
       .withColumn("rep", min("doc_id").over(wCluster))
@@ -830,9 +865,10 @@ object Dedup {
       .join(s3.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(words).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
-      // EAGER: the total scalar, the word-count side and the per-doc
-      // side all scan this grain as parallel leaves
-      .grainCache()
+      // KNOWN RACE, deliberately adaptive: the total scalar, the
+      // word-count side and the per-doc side all scan this grain as
+      // parallel leaves; fill is saturation-gated (see grainCacheAuto).
+      .grainCacheAuto(consumers = 3)
     // total-token scalar rides along as a broadcast single-row frame
     // (the TextAnalysis idiom) instead of a driver head() that would
     // force an extra job over the cached grain mid-pipeline.

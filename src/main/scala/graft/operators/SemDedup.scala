@@ -72,12 +72,30 @@ object SemDedup {
     * `cluster`.
     */
   private[graft] def assignNearest(e: DataFrame,
-      centroids: Seq[(Int, Seq[Long])]): DataFrame = {
-    val cArr = typedlit(centroids)
+      centroids: Seq[(Int, Seq[Long])]): DataFrame =
+    e.withColumn("cluster", nearestCluster(typedlit(centroids)))
+
+  private def nearestCluster(cArr: Column): Column = {
     val best = array_min(transform(cArr, c =>
       struct(l2sqL(col("em"), c.getField("_2")).as("d"),
         c.getField("_1").as("cid"))))
-    e.withColumn("cluster", best.getField("cid"))
+    best.getField("cid")
+  }
+
+  /** Lloyd-ROUND flavor: the centroid table rides as a one-row
+    * broadcast LocalRelation instead of a per-round plan literal, so
+    * the round plan's text — and its codegen — is round-invariant
+    * (the Similarity.assignCentroidsRound story). Integer-exact
+    * arithmetic makes the result provably identical; the baked
+    * Sf001Centroids spec guards it anyway.
+    */
+  private[graft] def assignNearestRound(e: DataFrame,
+      centroids: Seq[(Int, Seq[Long])]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.crossJoin(broadcast(Seq(Tuple1(centroids)).toDF("__cents")))
+      .withColumn("cluster", nearestCluster(col("__cents")))
+      .drop("__cents")
   }
 
   /** Lloyd's k-means in fixed point over the ~10% hash sample.
@@ -100,7 +118,7 @@ object SemDedup {
       .select(col("em")).as[Seq[Long]].collect()
       .zipWithIndex.map { case (v, i) => (i, v) }
     for (_ <- 0 until iters) {
-      val updated = assignNearest(sample, centroids.toSeq)
+      val updated = assignNearestRound(sample, centroids.toSeq)
         .select(col("cluster"), posexplode(col("em")).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
         .agg(sum("v").as("sm"), count(lit(1)).as("n"))

@@ -110,12 +110,45 @@ object Similarity {
     */
   private[graft] def assignCentroids(
       e: DataFrame, centroids: Array[(Int, Seq[Double])],
-      score: (Column, Column) => Column = VectorFns.cosine(_, _)): DataFrame = {
-    val cArr = typedlit(centroids.toSeq)
+      score: (Column, Column) => Column = VectorFns.cosine(_, _)): DataFrame =
+    e.withColumn("centroid_id",
+      argmaxCentroid(typedlit(centroids.toSeq), score))
+
+  /** The per-row argmax over a centroid-array COLUMN (either a literal
+    * or a broadcast-joined attribute — the expression, and therefore
+    * the per-row float arithmetic, is identical either way). */
+  private def argmaxCentroid(cArr: Column,
+      score: (Column, Column) => Column): Column = {
     val best = array_max(transform(cArr, c =>
       struct(score(col("emb"), c.getField("_2")).as("cos"),
         (-c.getField("_1")).as("nid"))))
-    e.withColumn("centroid_id", (-best.getField("nid")).cast("int"))
+    (-best.getField("nid")).cast("int")
+  }
+
+  /** Lloyd-ROUND flavor of the map-side argmax: the per-round centroid
+    * table rides as a ONE-ROW broadcast LocalRelation (data in the
+    * broadcast, not a literal in the plan) crossJoined onto the input.
+    * A `typedlit` embeds k×dim doubles in the expression tree, so
+    * every round analyzed, optimized and CODEGEN-COMPILED a fresh plan
+    * (~0.15 s/round measured on sim_pq_topk — the whole training cost
+    * at sf0.1); as data, the plan text is round-invariant and the
+    * codegen cache hits from round 2 on. Per-row arithmetic is the
+    * SAME expression over the same values in the same partition order
+    * (BroadcastNestedLoopJoin with one row preserves left partitions
+    * and order), so results are bit-identical — spec-asserted against
+    * the literal path. The FINAL full-corpus assignment keeps the
+    * literal form: it runs once, and zero-join map-side assignment is
+    * the at-scale story documented on assignCentroids.
+    */
+  private[graft] def assignCentroidsRound(
+      e: DataFrame, centroids: Array[(Int, Seq[Double])],
+      score: (Column, Column) => Column = VectorFns.cosine(_, _)): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cents = Seq(Tuple1(centroids.toSeq)).toDF("__cents")
+    e.crossJoin(broadcast(cents))
+      .withColumn("centroid_id", argmaxCentroid(col("__cents"), score))
+      .drop("__cents")
   }
 
   /** L2 flavor of the map-side argmax (PQ subspace codebooks): same
@@ -137,8 +170,11 @@ object Similarity {
     */
   private[graft] def kmeansCentroids(
       e: DataFrame, k: Int, iters: Int,
+      // rounds default to the broadcast-LocalRelation assignment so the
+      // per-round plan is codegen-cacheable (see assignCentroidsRound);
+      // injectable so the spec can assert bit-identity vs the literal
       assign: (DataFrame, Array[(Int, Seq[Double])]) => DataFrame =
-        assignCentroids(_, _)): Array[(Int, Seq[Double])] = {
+        assignCentroidsRound(_, _)): Array[(Int, Seq[Double])] = {
     import e.sparkSession.implicits._
     var centroids = e.orderBy("vec_id").limit(k)
       .select(col("emb")).as[Seq[Double]].collect()
@@ -895,7 +931,11 @@ object Similarity {
     * kmeansCentroids); an empty cluster keeps its previous centroid.
     */
   private[graft] def trainSubspaceCodebooks(e: DataFrame, m: Int, subDim: Int,
-      ksub: Int, iters: Int): Array[Array[(Int, Seq[Double])]] = {
+      ksub: Int, iters: Int,
+      // rounds default to the broadcast-LocalRelation codebook carrier
+      // (codegen-cacheable plan text — the assignCentroidsRound story);
+      // the literal path stays injectable for the bit-identity spec
+      literalRounds: Boolean = false): Array[Array[(Int, Seq[Double])]] = {
     import e.sparkSession.implicits._
     val sub = trainingSample(e).select(col("vec_id"),
       explode(array((0 until m).map(mi =>
@@ -914,11 +954,20 @@ object Similarity {
           .map { case ((_, _, v), i) => (i, v) }
       }
       for (_ <- 0 until iters) {
-        val bookArr = typedlit(books.map(_.toSeq).toSeq)
+        // the array-of-codebooks rides either as a plan literal (spec
+        // reference) or as a one-row broadcast LocalRelation (default:
+        // round-invariant plan text, so analysis + codegen are paid
+        // once, not per round). Same expression over the same values
+        // in the same row order either way — bit-identical codebooks.
+        val booksSeq = books.map(_.toSeq).toSeq
+        val (roundIn, bookArr) =
+          if (literalRounds) (sub, typedlit(booksSeq))
+          else (sub.crossJoin(broadcast(
+            Seq(Tuple1(booksSeq)).toDF("__books"))), col("__books"))
         val best = array_max(transform(element_at(bookArr, col("sub") + 1), c =>
           struct((-VectorFns.l2sq(col("emb"), c.getField("_2"))).as("nd"),
             (-c.getField("_1")).as("nid"))))
-        val updated = sub
+        val updated = roundIn
           .withColumn("code", (-best.getField("nid")).cast("int"))
           .select(col("sub"), col("code"), posexplode(col("emb")).as(Seq("dim", "v")))
           .groupBy("sub", "code", "dim").agg(avg("v").as("mn"))
@@ -1004,18 +1053,37 @@ object Similarity {
     // normalize projection in one pass, which is cheaper than holding
     // corpus-sized storage memory across a multi-query session.
     e.unpersist()
-    val scored = coded.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    // ADC scan + shortlist carry ONLY the proxy (guide §2.3 project-
+    // before-the-exchange, §8 move-heavy-bytes-once): the former plan
+    // pushed corpus×queries rows still carrying nemb + q_emb + the ADC
+    // tables (~1.5 KB/row — at 10× data that exchange IS the query,
+    // r15/r16 ScaleBench 17.3 s) through the shortlist window. The
+    // shortlist DECISION needs (query_id, vec_id, adc_score) — ~24
+    // B/row; the vectors re-attach to the 10·K-per-query sliver via
+    // broadcast joins (zero corpus shuffle — one extra narrow corpus
+    // scan for the rerank side, the same two-artifact shape
+    // pqPersistedTopk already serves). Scores, tie-breaks and the
+    // rerank arithmetic are the same expressions over the same values
+    // — output-identical.
+    val scored = coded.select(col("vec_id"), col("codes"))
+      .join(broadcast(queries.select(col("query_id"), col("adc"))),
+        col("vec_id") =!= col("query_id"))
       .withColumn("adc_score",
         aggregate(zip_with(col("adc"), col("codes"),
           (t, c) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x))
-    // ADC shortlist, then exact-cosine rerank
+      .select(col("query_id"), col("vec_id"), col("adc_score"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc_score").desc, col("vec_id"))
     val wExact = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(wAdc))
+    val short = scored.withColumn("rn", row_number().over(wAdc))
       .where(col("rn") <= shortlist)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    e.select(col("vec_id").as("neighbor_id"), col("nemb"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("query_id"), col("q_emb"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
         VectorFns.dot(col("q_emb"), col("nemb")).as("cos_raw"))
       .withColumn("rk", row_number().over(wExact))
       .where(col("rk") <= K)

@@ -124,6 +124,25 @@ final class GraftCatalog(spark: SparkSession, root: String) {
       GraftLease.release(spark, s"$root/$name.parquet", _)))
   }
 
+  /** True when any file sits in a hive-partitioned sub-directory of
+    * the table root — i.e. '=' appears in the path segment BELOW
+    * `$root/$name.parquet/`. Testing the ABSOLUTE path would mark
+    * every table of a warehouse whose own path contains '='
+    * (e.g. /data/run=3/wh) partitioned and silently disable the
+    * footer-schema fast path. If the root prefix cannot be located in
+    * a path (scheme-qualified vs bare), that file falls back to the
+    * whole-path test — the conservative direction (inference, never a
+    * dropped partition column).
+    */
+  private def partitionedBelowRoot(name: String,
+      files: Iterable[String]): Boolean = {
+    val prefix = s"$root/$name.parquet/"
+    files.exists { f =>
+      val i = f.indexOf(prefix)
+      (if (i >= 0) f.substring(i + prefix.length) else f).contains("=")
+    }
+  }
+
   /** Full-table scan against the pinned snapshot: the read names the
     * pinned files explicitly instead of re-listing the directory, so
     * Catalyst's FileIndex never sees later arrivals. `basePath` keeps
@@ -157,7 +176,8 @@ final class GraftCatalog(spark: SparkSession, root: String) {
         // converter Spark's inference uses). Hive-partitioned layouts
         // keep inference: a user-supplied schema would drop the
         // partition columns.
-        val partitioned = pin.rootIsDir && pin.files.exists(_._1.contains("="))
+        val partitioned = pin.rootIsDir &&
+          partitionedBelowRoot(name, pin.files.map(_._1))
         if (!partitioned)
           GraftIO.parquetSchema(spark, pin.files.map(_._1).min)
             .foreach(reader.schema)
@@ -186,7 +206,7 @@ final class GraftCatalog(spark: SparkSession, root: String) {
       val reader = spark.read
       // driver-side footer schema (no inference job); see table()
       val partitioned = pinned(name).rootIsDir &&
-        newFiles.exists(_._1.contains("="))
+        partitionedBelowRoot(name, newFiles.map(_._1))
       if (!partitioned)
         GraftIO.parquetSchema(spark, newFiles.map(_._1).min)
           .foreach(reader.schema)
@@ -242,7 +262,7 @@ final class GraftCatalog(spark: SparkSession, root: String) {
     def readSide(files: Seq[String], rootIsDir: Boolean): DataFrame = {
       val reader = spark.read
       // driver-side footer schema (no inference job); see table()
-      if (!(rootIsDir && files.exists(_.contains("="))))
+      if (!(rootIsDir && partitionedBelowRoot(name, files)))
         GraftIO.parquetSchema(spark, files.min).foreach(reader.schema)
       if (rootIsDir) reader.option("basePath", s"$root/$name.parquet")
       reader.parquet(files: _*)
@@ -478,7 +498,7 @@ final class GraftCatalog(spark: SparkSession, root: String) {
         reader.schema(org.apache.spark.sql.types.StructType.fromDDL(d))
       case None =>
         // driver-side footer schema (no inference job); see table()
-        if (!(rootIsDir && files.exists(_.contains("="))))
+        if (!(rootIsDir && partitionedBelowRoot(name, files)))
           GraftIO.parquetSchema(spark, files.min).foreach(reader.schema)
     }
     if (rootIsDir) reader.option("basePath", s"$root/$name.parquet")

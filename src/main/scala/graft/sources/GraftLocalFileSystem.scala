@@ -28,6 +28,20 @@ import org.apache.hadoop.fs.permission.FsPermission
   *
   * Wired via `spark.hadoop.fs.file.impl` in GraftSession.tune; inert
   * on cluster filesystems (hdfs/s3a keep their own impls).
+  *
+  * CONTRACT CAVEATS (deliberate, local-mode only):
+  *  - Statuses carry FABRICATED metadata: default permissions, EMPTY
+  *    owner/group, zero access time. Nothing in this engine or in
+  *    Spark's file index reads them — but Hadoop's FileSystem cache is
+  *    keyed by (scheme, authority, ugi), NOT by conf, so any same-JVM
+  *    consumer resolving `file://` through the cache after this impl
+  *    is installed sees the fabricated values too. A consumer that
+  *    needs real permission/owner bits must use its own conf with the
+  *    stock `fs.file.impl` and `FileSystem.newInstance`.
+  *  - `setPermission` maps only the LOW 9 PERMISSION BITS to java.nio
+  *    POSIX permissions and REJECTS setuid/setgid/sticky requests
+  *    (java.nio cannot express them; silently dropping them would turn
+  *    a security request into a no-op).
   */
 class GraftLocalFileSystem extends LocalFileSystem(new GraftRawLocalFileSystem) {
   override def initialize(uri: java.net.URI,
@@ -64,7 +78,12 @@ class GraftRawLocalFileSystem extends RawLocalFileSystem {
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     val perms = new java.util.HashSet[java.nio.file.attribute.PosixFilePermission]()
     import java.nio.file.attribute.PosixFilePermission._
-    val m = permission.toShort
+    // only the low 9 bits are expressible via java.nio; refuse special
+    // bits loudly rather than silently dropping a security request
+    require((permission.toShort & ~0x1FF) == 0,
+      s"[GRAFT] GraftRawLocalFileSystem.setPermission cannot express " +
+        s"setuid/setgid/sticky bits (requested $permission on $p)")
+    val m = permission.toShort & 0x1FF
     if ((m & 0x100) != 0) perms.add(OWNER_READ)
     if ((m & 0x080) != 0) perms.add(OWNER_WRITE)
     if ((m & 0x040) != 0) perms.add(OWNER_EXECUTE)

@@ -1058,8 +1058,10 @@ object GraftMor {
         val dv = s.read
           // dv layout is fixed (epoch=N partition dirs of coordinate
           // files); declaring it skips the schema-inference job (r16).
-          // epoch is INT: partition discovery types small values so
-          .schema("dv_file STRING, dv_pos BIGINT, epoch INT")
+          // epoch is declared BIGINT: the epoch counter is Long in the
+          // API, and partition-value parsing to the wider declared
+          // type is still inference-job-free (r17, ADVICE).
+          .schema("dv_file STRING, dv_pos BIGINT, epoch BIGINT")
           .parquet(dvPath(tablePath))
           .where(col("epoch") >= applied).select("dv_file", "dv_pos")
           .localCheckpoint(true)
@@ -1120,10 +1122,11 @@ object GraftMor {
     val seg = s"$feedRoot/segments"
     val reader = s.read
     // data schema from one segment footer driver-side + the seq=N
-    // partition column (small ints — discovery types them INT): skips
-    // the schema-inference job without losing partition pruning
+    // partition column declared LONG (the fromSeq/toSeq API type, so a
+    // counter past Int.MaxValue still parses): skips the
+    // schema-inference job without losing partition pruning
     GraftIO.parquetSchema(s, seg).foreach(sch =>
-      reader.schema(sch.add("seq", org.apache.spark.sql.types.IntegerType)))
+      reader.schema(sch.add("seq", org.apache.spark.sql.types.LongType)))
     reader.parquet(seg)
       .where(col("seq") > fromSeq && col("seq") <= toSeq)
       .drop("seq")
@@ -1319,8 +1322,10 @@ object GraftMor {
         val dv = s.read
           // dv layout is fixed (epoch=N partition dirs of coordinate
           // files); declaring it skips the schema-inference job (r16).
-          // epoch is INT: partition discovery types small values so
-          .schema("dv_file STRING, dv_pos BIGINT, epoch INT")
+          // epoch is declared BIGINT: the epoch counter is Long in the
+          // API, and partition-value parsing to the wider declared
+          // type is still inference-job-free (r17, ADVICE).
+          .schema("dv_file STRING, dv_pos BIGINT, epoch BIGINT")
           .parquet(dvPath(tablePath))
           .where(col("epoch") >= applied).select("dv_file", "dv_pos")
           .localCheckpoint(true)

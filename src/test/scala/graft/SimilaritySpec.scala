@@ -226,6 +226,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got === 1)
   }
 
+  test("Lloyd rounds with the broadcast codebook carrier are bit-identical to the literal plan") {
+    import graft.sources.GraftCatalog
+    // single partition: the claim under test is EXPRESSION identity
+    // (broadcast-carried centroid arrays evaluate the same arithmetic
+    // as plan literals). One input partition pins the only other
+    // degree of freedom — float merge order of avg() partials across
+    // shuffle fetch arrival — so any bit difference here is the
+    // carrier's fault, not the shuffle's.
+    val e = new GraftCatalog(spark, sfDir).table("embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
+      .coalesce(1)
+    def bits(cs: Array[(Int, Seq[Double])]) =
+      cs.toVector.map { case (i, v) =>
+        (i, v.toVector.map(java.lang.Double.doubleToRawLongBits)) }
+    val sample = Similarity.trainingSample(e)
+    val viaLiteral = Similarity.kmeansCentroids(sample, k = 6, iters = 2,
+      assign = Similarity.assignCentroids(_, _))
+    val viaBroadcast = Similarity.kmeansCentroids(sample, k = 6, iters = 2)
+    assert(bits(viaLiteral) === bits(viaBroadcast))
+    // PQ subspace codebooks, same invariant via the literalRounds flag
+    val e2 = e.withColumn("nemb", col("emb"))
+    val viaLitBooks = Similarity.trainSubspaceCodebooks(
+      e2, m = 4, subDim = 16, ksub = 8, iters = 2, literalRounds = true)
+    val viaBcBooks = Similarity.trainSubspaceCodebooks(
+      e2, m = 4, subDim = 16, ksub = 8, iters = 2)
+    assert(viaLitBooks.length === viaBcBooks.length)
+    viaLitBooks.zip(viaBcBooks).foreach { case (a, b) =>
+      assert(bits(a) === bits(b))
+    }
+  }
+
   test("label centroids are exact integers and invariant to partition layout") {
     val base = Similarity.labelCentroids(spark, sfDir).collect()
     assert(base.length === 10) // labels 0-9
