@@ -157,20 +157,29 @@ object GraftSession {
       *  - narrow pool (8 cores or a busy cluster): every duplicated
       *    grain pass steals occupied cores, so paying the grain once
       *    up front wins (−2.5 s executor work on the funnel alone).
-      * Heuristic: eager iff defaultParallelism ≤ consumers ×
-      * `spark.graft.grain.eagerCoreFactor` (default 6 — lazy at 32
-      * cores for every current ≤5-consumer grain, eager at ≤8 cores
-      * for every ≥2-consumer grain; 0 disables eager fill entirely).
+      * Gate: eager iff defaultParallelism ≤ consumers ×
+      * `spark.graft.grain.eagerCoreFactor`. DEFAULT 0 = never eager:
+      * the r17 A/B measured the LAZY path wall-optimal at every
+      * corner of this box — 32c/sf0.1 (r16: 0.28→0.76 s regression),
+      * 32c/sf1 (funnel 15.7 lazy vs 19.2 eager; cluster_split
+      * wall-neutral at half the executor work), AND 8c/sf0.1 (funnel
+      * 5.2-6.2 lazy vs 7.0 eager ×2 interleaved pairs) — because the
+      * eager count() adds a SERIAL stage to an action chain while the
+      * duplicated leaf compute back-fills scheduling slack. The knob
+      * exists for genuinely contended multi-tenant executors where
+      * duplicated CPU is billed even when wall time hides it; set the
+      * conf (or SPARK_GRAFT_GRAIN_EAGER_FACTOR) to ~6 there and
+      * re-measure.
       */
     def grainCacheAuto(consumers: Int): org.apache.spark.sql.Dataset[T] = {
       ds.cache()
       trackGrain(ds)
       // conf wins; the env fallback exists so a bench A/B can flip the
       // gate without editing the session builder (0 = never eager)
-      val dflt = sys.env.getOrElse("SPARK_GRAFT_GRAIN_EAGER_FACTOR", "6")
+      val dflt = sys.env.getOrElse("SPARK_GRAFT_GRAIN_EAGER_FACTOR", "0")
       val factor = try ds.sparkSession.conf
         .get("spark.graft.grain.eagerCoreFactor", dflt).toInt
-      catch { case _: NumberFormatException => 6 }
+      catch { case _: NumberFormatException => 0 }
       if (factor > 0 &&
           ds.sparkSession.sparkContext.defaultParallelism <= consumers.toLong * factor)
         ds.count()

@@ -134,6 +134,13 @@ object TextFns {
   def spanOverlapCount(spans: Column, set: Array[Long]): Column =
     Bridge.column(ArrayOverlapCountExpr(Bridge.expression(spans), set.sorted))
 
+  /** k-token STRING shingles (the oracle-portable exact-dedup form) —
+    * native single pass; bit-identical to the
+    * transform(sequence)+concat_ws HOF it replaces (spec-asserted).
+    */
+  def wordShingleStrings(words: Column, k: Int): Column =
+    Bridge.column(WordShingleStringsExpr(Bridge.expression(words), k))
+
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
     val grams = when(length(text) >= k,
       transform(sequence(lit(0), length(text) - k),

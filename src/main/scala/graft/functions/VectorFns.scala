@@ -9,13 +9,34 @@ import org.apache.spark.sql.graft.Bridge
   */
 object VectorFns {
 
-  /** Cast an array<float> to array<double> for stable double math. */
-  def toDoubleArray(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast an array<float> to array<double> for stable double math —
+    * Spark's own array Cast (codegen'd element widening, exact
+    * float→double); the former `transform(v, _.cast("double"))`
+    * interpreted one lambda per element (r17).
+    */
+  def toDoubleArray(v: Column): Column = v.cast("array<double>")
 
+  /** Native single-loop dot product (see DotProductExpr) —
+    * bit-identical to [[dotHof]], spec-asserted.
+    */
   def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** The higher-order-function twin of [[dot]] — kept ONLY as the
+    * bit-identity reference for the spec (interpreted: two boxed
+    * lambda calls per element).
+    */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Native L2 normalize with the zero-norm guard (one loop, norm
+    * computed once — see L2NormalizeExpr); bit-identical to the
+    * hoisted-norm HOF shape it replaces, spec-asserted.
+    */
+  def normalize(a: Column): Column =
+    Bridge.column(L2NormalizeExpr(Bridge.expression(a)))
 
   /** Squared L2 distance — single fused pass over both arrays. */
   def l2sq(a: Column, b: Column): Column =

@@ -525,3 +525,309 @@ case class ArrayOverlapCountExpr(child: Expression, sortedSet: Array[Long])
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Native dot product over two array<double> columns — the primitive-
+  * loop twin of `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, +)`
+  * (r17: the HOF form interprets two boxed lambdas per element in the
+  * ANN rerank/scoring hot paths). Bit-identical on the used domain
+  * (equal-length, non-null elements: same multiplies, same
+  * left-to-right accumulation); mirrors the HOF's null semantics —
+  * length mismatch or a null element yields NULL (zip_with pads the
+  * short side with nulls, and the running sum absorbs them).
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na != nb) return null
+    var acc = 0.0
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("dotExpr", this, classOf[DotProductExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+        java.lang.Double $r = $self.compute($a, $b);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $r.doubleValue(); }
+      """
+    })
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Native L2 normalize with the zero-norm guard — the single-loop twin
+  * of `transform(emb, x => x / greatest(norm(emb-hoisted), MIN_VALUE))`
+  * (the withNormalized shape: norm hoisted so it is computed once).
+  * Same arithmetic in the same order: norm = sqrt of the left-to-right
+  * sum of squares, each element divided by max(norm, Double.MIN_VALUE).
+  * Null-element semantics mirror the HOF chain: a null element makes
+  * the norm NULL, `greatest` then substitutes MIN_VALUE, non-null
+  * elements divide by it and null elements stay null.
+  */
+case class L2NormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "l2_normalize"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var hasNull = false
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) hasNull = true
+      else { val x = arr.getDouble(i); ss += x * x }
+      i += 1
+    }
+    // HOF twin: any null element nulls the whole running sum
+    val norm = if (hasNull) java.lang.Double.MIN_VALUE
+               else math.max(math.sqrt(ss), java.lang.Double.MIN_VALUE)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = if (arr.isNullAt(i)) null
+               else java.lang.Double.valueOf(arr.getDouble(i) / norm)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("normExpr", this, classOf[L2NormalizeExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.compute($arr);")
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Native nearest-centroid argmax against a FIXED (driver-side)
+  * centroid table — the primitive twin of the literal-array HOF form
+  *   array_max(transform(cents, c => struct(score(emb, c._2), -c._1)))
+  * used by the full-corpus assignment (IVF lists, PQ encode). Scores
+  * are computed with the exact arithmetic of the HOF path: cosine =
+  * CosineSimilarityExpr's loop (min-length, dot/(sqrt·sqrt));
+  * negL2 = the negated left-to-right sum of squared diffs. The
+  * comparison replicates Spark's struct ordering over (score, -id):
+  * doubles compare NaN-as-largest with -0.0 == 0.0 (SQLOrderingUtil),
+  * ties go to the SMALLEST centroid id. Bit-identity is spec-asserted
+  * against the HOF form on the real corpus.
+  */
+case class NearestCentroidExpr(child: Expression,
+    ids: Array[Int], cents: Array[Array[Double]], useCosine: Boolean)
+    extends UnaryExpression {
+  require(ids.length == cents.length && ids.nonEmpty)
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  private def score(v: ArrayData, c: Array[Double]): Double =
+    if (useCosine) {
+      val n = math.min(v.numElements(), c.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        val xv = v.getDouble(i); val yv = c(i)
+        dot += xv * yv; nx += xv * xv; ny += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    } else {
+      val n = math.min(v.numElements(), c.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { val d = v.getDouble(i) - c(i); acc += d * d; i += 1 }
+      -acc
+    }
+
+  def compute(v: ArrayData): Int = {
+    var bestId = ids(0)
+    var bestS = score(v, cents(0))
+    var j = 1
+    while (j < ids.length) {
+      val s = score(v, cents(j))
+      // SQLOrderingUtil.compareDoubles: primitive == first (-0.0 == 0.0),
+      // else java.lang.Double.compare (NaN largest, NaN == NaN)
+      val cmp = if (s == bestS) 0 else java.lang.Double.compare(s, bestS)
+      if (cmp > 0 || (cmp == 0 && ids(j) < bestId)) { bestId = ids(j); bestS = s }
+      j += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ncExpr", this, classOf[NearestCentroidExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.compute($arr);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Native ADC table lookup-sum — the primitive twin of
+  *   aggregate(zip_with(tables, codes, (t, c) => element_at(t, c+1)),
+  *             0.0, +)
+  * (per corpus×query row in the PQ compressed scan). Same 1-based
+  * element_at addressing, same left-to-right accumulation; mirrors the
+  * HOF's null semantics (length mismatch, null entry or an
+  * out-of-range code yields NULL).
+  */
+case class AdcScoreExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_score"
+
+  def compute(tables: ArrayData, codes: ArrayData): java.lang.Double = {
+    val n = tables.numElements()
+    if (n != codes.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (tables.isNullAt(i) || codes.isNullAt(i)) return null
+      val t = tables.getArray(i)
+      val c = codes.getInt(i)
+      if (c < 0 || c >= t.numElements() || t.isNullAt(c)) return null
+      acc += t.getDouble(c)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("adcExpr", this, classOf[AdcScoreExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+        java.lang.Double $r = $self.compute($a, $b);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $r.doubleValue(); }
+      """
+    })
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Per-SUBSPACE nearest-centroid argmax against a fixed array of
+  * codebooks — the native twin of the PQ Lloyd-round HOF
+  *   array_max(transform(element_at(books, sub + 1),
+  *             c => struct(-l2sq(emb, c._2), -c._1)))
+  * where `sub` selects the row's codebook. Same negL2 arithmetic,
+  * same (score, -id) ordering semantics as [[NearestCentroidExpr]].
+  * The codebook tables ride the codegen references array (constants
+  * outside the generated source), so the per-round plan text — and
+  * the compiled code — is round-invariant.
+  */
+case class SubspaceNearestExpr(left: Expression, right: Expression,
+    ids: Array[Array[Int]], cents: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+  require(ids.length == cents.length && ids.nonEmpty)
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "subspace_nearest"
+
+  def compute(v: ArrayData, sub: Int): Int = {
+    val bids = ids(sub); val bc = cents(sub)
+    var bestId = bids(0)
+    var bestS = negL2(v, bc(0))
+    var j = 1
+    while (j < bids.length) {
+      val s = negL2(v, bc(j))
+      val cmp = if (s == bestS) 0 else java.lang.Double.compare(s, bestS)
+      if (cmp > 0 || (cmp == 0 && bids(j) < bestId)) { bestId = bids(j); bestS = s }
+      j += 1
+    }
+    bestId
+  }
+
+  private def negL2(v: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { val d = v.getDouble(i) - c(i); acc += d * d; i += 1 }
+    -acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("snExpr", this, classOf[SubspaceNearestExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.compute($a, $b);")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Integer.valueOf(compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Int]))
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** k-token STRING shingles from a token array — the native twin of
+  *   transform(sequence(0, size(t)-k), i ->
+  *            concat_ws(" ", t[i], ..., t[i+k-1]))
+  * (the ORACLE-PORTABLE shingle form of the exact near-dup family;
+  * the strings must stay strings so DuckDB reproduces them, unlike
+  * the XXH64 lanes of the C2 pipeline). Same separator, same
+  * concat_ws null-skipping; fewer than k tokens → empty array
+  * (callers guard size >= k, where the HOF and this form agree).
+  * One UTF8String concat per shingle instead of an interpreted
+  * lambda + boxed sequence element per shingle.
+  */
+case class WordShingleStringsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingle_strings"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(new Array[Any](0))
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i < out.length) {
+      // concat_ws semantics: null inputs are skipped
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var j = 0
+      while (j < k) {
+        parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingleStrExpr", this,
+      classOf[WordShingleStringsExpr].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $self.compute($arr);")
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

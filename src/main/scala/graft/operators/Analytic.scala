@@ -262,6 +262,16 @@ object Analytic {
       .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(8)))
     val ordersExploded = c.table("orders")
       .withColumn("salt", explode(sequence(lit(0), lit(7))))
+      // the salted SHUFFLE join is the declared pattern — without the
+      // hint the planner broadcasts the ×8-EXPLODED orders side (its
+      // size estimate predates the explode), which rebuilds the whole
+      // hot-key-spreading design into a single-threaded driver hash
+      // build (measured at sf1: an 8 s no-job gap, 57% of the query)
+      // and an OOM at real scale where orders×8 exceeds any driver.
+      // Same inner equi-join rows either way; the exact DECIMAL sum is
+      // order-insensitive, so the result is bit-identical (guide §3.1:
+      // pick the strategy deliberately).
+      .hint("shuffle_merge")
     salted.join(ordersExploded,
         col("l_orderkey") === col("o_orderkey") && salted("salt") === ordersExploded("salt"))
       .groupBy("o_orderpriority")

@@ -260,8 +260,9 @@ object Dedup {
       .where(pmod(col("doc_id") * 2654435761L, lit(1000)) < 100)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
     val sh = toks.where(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
+      // native shingle strings — same strings as the HOF form (spec)
+      .select(col("doc_id"),
+        array_distinct(TextFns.wordShingleStrings(col("t"), 3)).as("sh"))
       .grainCache() // tiny (sampled); reused as both join sides
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -448,15 +449,20 @@ object Dedup {
     val toks = docs(s, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
     val sh = toks.where(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("sh"))
+      // native shingle strings (WordShingleStringsExpr): same strings
+      // as the transform(sequence)+concat_ws HOF (spec-asserted), one
+      // primitive pass instead of an interpreted lambda per shingle —
+      // this grain is the top cost of the whole exact-cluster family
+      // at sf1 (computed up to 3× per execution by the AQE race below)
+      .select(col("doc_id"),
+        array_distinct(TextFns.wordShingleStrings(col("t"), 3)).as("sh"))
       // KNOWN RACE, deliberately adaptive: the blocking-key exchange
       // and both verify sides are leaf exchanges AQE materializes in
       // parallel — lazily filled, the shingle pass recomputes 3×
       // (profiled at sf0.1). The duplication hides in idle cores at
       // local[32] (an unconditional eager fill measured as a wall
-      // regression — see grainCacheAuto), so the fill is saturation-
-      // gated: eager only on narrow pools.
+      // regression — see grainCacheAuto), so the fill stays LAZY by
+      // default and is conf-gated for contended clusters.
       .grainCacheAuto(consumers = 3)
     val keys = sh.select(col("doc_id"),
       explode(slice(array_sort(col("sh")), 1, 4)).as("k"))

@@ -1,11 +1,12 @@
 package graft.operators
 
 import graft.GraftSession.GrainOps
-import graft.functions.VectorFns
+import graft.functions.{AdcScoreExpr, NearestCentroidExpr, VectorFns}
 import graft.sources.GraftCatalog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** §2.D similarity search over the `embeddings` table.
   *
@@ -110,6 +111,25 @@ object Similarity {
     */
   private[graft] def assignCentroids(
       e: DataFrame, centroids: Array[(Int, Seq[Double])],
+      useCosine: Boolean = true): DataFrame =
+    // r17: single native loop per row (NearestCentroidExpr). The
+    // former literal-array HOF form — array_max over transform(cents,
+    // struct(score, -id)) — interpreted one boxed struct per centroid
+    // per row; bit-identity with it (scores, NaN/-0.0 ordering, ties
+    // to smallest id) is spec-asserted on the real corpus. Kept as
+    // [[assignCentroidsHof]] for that spec and for the Lloyd-round
+    // column-carrier path.
+    e.withColumn("centroid_id", Bridge.column(NearestCentroidExpr(
+      Bridge.expression(col("emb")),
+      centroids.map(_._1), centroids.map(_._2.toArray), useCosine)))
+
+  /** The HOF twin of [[assignCentroids]] — the spec's bit-identity
+    * reference, and the shape the broadcast-carrier Lloyd rounds use
+    * (there the centroid table is a COLUMN, which a driver-side-table
+    * native expression cannot consume).
+    */
+  private[graft] def assignCentroidsHof(
+      e: DataFrame, centroids: Array[(Int, Seq[Double])],
       score: (Column, Column) => Column = VectorFns.cosine(_, _)): DataFrame =
     e.withColumn("centroid_id",
       argmaxCentroid(typedlit(centroids.toSeq), score))
@@ -156,7 +176,7 @@ object Similarity {
     */
   private[graft] def assignCentroidsL2(
       e: DataFrame, centroids: Array[(Int, Seq[Double])]): DataFrame =
-    assignCentroids(e, centroids, (a, b) => -VectorFns.l2sq(a, b))
+    assignCentroids(e, centroids, useCosine = false)
 
   /** Lloyd's k-means over a (sampled) embedding table: deterministic
     * init (k lowest vec_ids present in the input), `iters`
@@ -170,11 +190,14 @@ object Similarity {
     */
   private[graft] def kmeansCentroids(
       e: DataFrame, k: Int, iters: Int,
-      // rounds default to the broadcast-LocalRelation assignment so the
-      // per-round plan is codegen-cacheable (see assignCentroidsRound);
-      // injectable so the spec can assert bit-identity vs the literal
+      // rounds default to the NATIVE assignment (NearestCentroidExpr):
+      // the centroid table rides the codegen references array, so the
+      // per-round generated code is round-invariant (codegen cache
+      // hits) AND the per-row argmax is one primitive loop. Injectable
+      // so the spec can assert bit-identity vs the HOF literal AND the
+      // HOF broadcast-carrier forms.
       assign: (DataFrame, Array[(Int, Seq[Double])]) => DataFrame =
-        assignCentroidsRound(_, _)): Array[(Int, Seq[Double])] = {
+        assignCentroids(_, _)): Array[(Int, Seq[Double])] = {
     import e.sparkSession.implicits._
     var centroids = e.orderBy("vec_id").limit(k)
       .select(col("emb")).as[Seq[Double]].collect()
@@ -954,21 +977,24 @@ object Similarity {
           .map { case ((_, _, v), i) => (i, v) }
       }
       for (_ <- 0 until iters) {
-        // the array-of-codebooks rides either as a plan literal (spec
-        // reference) or as a one-row broadcast LocalRelation (default:
-        // round-invariant plan text, so analysis + codegen are paid
-        // once, not per round). Same expression over the same values
-        // in the same row order either way — bit-identical codebooks.
-        val booksSeq = books.map(_.toSeq).toSeq
-        val (roundIn, bookArr) =
-          if (literalRounds) (sub, typedlit(booksSeq))
-          else (sub.crossJoin(broadcast(
-            Seq(Tuple1(booksSeq)).toDF("__books"))), col("__books"))
-        val best = array_max(transform(element_at(bookArr, col("sub") + 1), c =>
-          struct((-VectorFns.l2sq(col("emb"), c.getField("_2"))).as("nd"),
-            (-c.getField("_1")).as("nid"))))
-        val updated = roundIn
-          .withColumn("code", (-best.getField("nid")).cast("int"))
+        // default: NATIVE per-subspace argmin (SubspaceNearestExpr) —
+        // the codebooks ride the codegen references array, so the
+        // round plan's generated code is round-invariant (codegen
+        // cache hits) and the argmin is one primitive loop. The
+        // literal HOF form stays reachable as the spec's bit-identity
+        // reference: same negL2 arithmetic, same (score, -id) order.
+        val code: Column =
+          if (literalRounds) {
+            val bookArr = typedlit(books.map(_.toSeq).toSeq)
+            val best = array_max(transform(element_at(bookArr, col("sub") + 1), c =>
+              struct((-VectorFns.l2sq(col("emb"), c.getField("_2"))).as("nd"),
+                (-c.getField("_1")).as("nid"))))
+            (-best.getField("nid")).cast("int")
+          } else Bridge.column(graft.functions.SubspaceNearestExpr(
+            Bridge.expression(col("emb")), Bridge.expression(col("sub")),
+            books.map(_.map(_._1)), books.map(_.map(_._2.toArray))))
+        val updated = sub
+          .withColumn("code", code)
           .select(col("sub"), col("code"), posexplode(col("emb")).as(Seq("dim", "v")))
           .groupBy("sub", "code", "dim").agg(avg("v").as("mn"))
           .groupBy("sub", "code")
@@ -992,18 +1018,14 @@ object Similarity {
     * corpus pass — 64×64 multiply-adds instead of 64+64.
     */
   private def withNormalized(e: DataFrame): DataFrame =
-    // zero-norm guard via greatest(norm, minPositiveDouble): a zero
-    // vector divides 0/4.9e-324 = 0 and stays all-zero instead of
-    // going NaN — the same degradation the query-side normalize in
-    // pqPersistedTopk applies. The guard references the norm ONCE:
-    // a when(norm===0).otherwise(norm) form mentions it twice and
-    // MEASURED 1.6× slower on the sf0.1 corpus pass (projection
-    // collapsing inlines every mention into the per-element lambda).
-    e.withColumn("__graft_norm",
-        greatest(VectorFns.norm(col("emb")),
-          lit(java.lang.Double.MIN_VALUE)))
-      .withColumn("nemb", transform(col("emb"), x => x / col("__graft_norm")))
-      .drop("__graft_norm")
+    // zero-norm guard via max(norm, minPositiveDouble): a zero vector
+    // divides 0/4.9e-324 = 0 and stays all-zero instead of going NaN —
+    // the same degradation the query-side normalize in pqPersistedTopk
+    // applies. r17: one native loop (L2NormalizeExpr — norm computed
+    // once, then the divides), replacing the hoisted-norm HOF chain it
+    // is spec-asserted bit-identical to; the HOF form interpreted ~130
+    // boxed lambda calls per row on every corpus pass.
+    e.withColumn("nemb", VectorFns.normalize(col("emb")))
 
   /** Per-subspace ADC lookup tables for ONE normalized query: table
     * position j (consumed as `element_at(t, code + 1)`) =
@@ -1068,9 +1090,11 @@ object Similarity {
     val scored = coded.select(col("vec_id"), col("codes"))
       .join(broadcast(queries.select(col("query_id"), col("adc"))),
         col("vec_id") =!= col("query_id"))
+      // native lookup-sum (AdcScoreExpr), bit-identical to the
+      // aggregate(zip_with(element_at)) HOF it replaces (spec)
       .withColumn("adc_score",
-        aggregate(zip_with(col("adc"), col("codes"),
-          (t, c) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x))
+        Bridge.column(AdcScoreExpr(Bridge.expression(col("adc")),
+          Bridge.expression(col("codes")))))
       .select(col("query_id"), col("vec_id"), col("adc_score"))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc_score").desc, col("vec_id"))
@@ -1175,9 +1199,12 @@ object Similarity {
     }
     val tables = adcTables(books, qn, m, subDim)
     val short = graft.sources.GraftIO.readParquet(s, s"$indexPath/codes")
+      // native lookup-sum (AdcScoreExpr) over the literal tables —
+      // bit-identical to the aggregate(zip_with(element_at)) HOF
       .withColumn("adc_score",
-        aggregate(zip_with(typedlit(tables), col("codes"),
-          (t, c) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x))
+        Bridge.column(AdcScoreExpr(
+          Bridge.expression(typedlit(tables)),
+          Bridge.expression(col("codes")))))
       .orderBy(col("adc_score").desc, col("vec_id")).limit(sl)
       .select(col("vec_id"))
     emb(s, source)

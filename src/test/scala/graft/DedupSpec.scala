@@ -319,6 +319,19 @@ class DedupSpec extends SparkSpecBase {
     assert(removed(12L) === ((0L, "completely unrelated text with no shared span at all okay")))
   }
 
+  test("native shingle strings are identical to the transform+concat_ws HOF on the real corpus") {
+    val toks = new graft.sources.GraftCatalog(spark, sfDir).table("documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .where(size(col("t")) >= 3)
+    val native = toks.select(col("doc_id"),
+      graft.functions.TextFns.wordShingleStrings(col("t"), 3).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toVector)).sortBy(_._1).toVector
+    val hof = toks.select(col("doc_id"), expr(
+      "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))").as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toVector)).sortBy(_._1).toVector
+    assert(native === hof)
+  }
+
   test("decontamination joins the eval spans by BROADCAST (no wide shuffle)") {
     // r16: the semi-join + second aggregate pair folded into ONE
     // broadcast LEFT OUTER tag join + a single doc_id aggregate (one

@@ -241,10 +241,16 @@ class SimilaritySpec extends SparkSpecBase {
       cs.toVector.map { case (i, v) =>
         (i, v.toVector.map(java.lang.Double.doubleToRawLongBits)) }
     val sample = Similarity.trainingSample(e)
+    // three round-assignment carriers must train identical centroids:
+    // the HOF literal plan (reference), the HOF one-row broadcast
+    // carrier, and the default native expression
     val viaLiteral = Similarity.kmeansCentroids(sample, k = 6, iters = 2,
-      assign = Similarity.assignCentroids(_, _))
-    val viaBroadcast = Similarity.kmeansCentroids(sample, k = 6, iters = 2)
+      assign = Similarity.assignCentroidsHof(_, _))
+    val viaBroadcast = Similarity.kmeansCentroids(sample, k = 6, iters = 2,
+      assign = Similarity.assignCentroidsRound(_, _))
+    val viaNative = Similarity.kmeansCentroids(sample, k = 6, iters = 2)
     assert(bits(viaLiteral) === bits(viaBroadcast))
+    assert(bits(viaLiteral) === bits(viaNative))
     // PQ subspace codebooks, same invariant via the literalRounds flag
     val e2 = e.withColumn("nemb", col("emb"))
     val viaLitBooks = Similarity.trainSubspaceCodebooks(
@@ -255,6 +261,59 @@ class SimilaritySpec extends SparkSpecBase {
     viaLitBooks.zip(viaBcBooks).foreach { case (a, b) =>
       assert(bits(a) === bits(b))
     }
+  }
+
+  test("native vector expressions are bit-identical to their HOF twins on the real corpus") {
+    import graft.sources.GraftCatalog
+    import org.apache.spark.sql.functions.{aggregate, element_at, greatest, lit, transform, typedlit, zip_with}
+    val e = new GraftCatalog(spark, sfDir).table("embeddings")
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
+    def lbits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))).sortBy(_._1).toVector
+    // dot: native vs aggregate(zip_with) — same accumulation order
+    val dotN = lbits(e.select(col("vec_id"), VectorFns.dot(col("emb"), col("emb"))))
+    val dotH = lbits(e.select(col("vec_id"), VectorFns.dotHof(col("emb"), col("emb"))))
+    assert(dotN === dotH)
+    // normalize: native one-loop vs the hoisted-norm HOF chain
+    def abits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).map(java.lang.Double.doubleToRawLongBits).toVector))
+        .sortBy(_._1).toVector
+    val normN = abits(e.select(col("vec_id"), VectorFns.normalize(col("emb"))))
+    val hofNorm = e
+      .withColumn("__n", greatest(VectorFns.norm(col("emb")),
+        lit(java.lang.Double.MIN_VALUE)))
+      .select(col("vec_id"), transform(col("emb"), x => x / col("__n")).as("nemb"))
+    assert(normN === abits(hofNorm))
+    // zero vector: guard degrades to all-zero, not NaN (both forms)
+    import spark.implicits._
+    val z = Seq((0L, Seq(0.0, 0.0, 0.0))).toDF("vec_id", "emb")
+    assert(z.select(VectorFns.normalize(col("emb"))).head().getSeq[Double](0)
+      === Seq(0.0, 0.0, 0.0))
+    // nearest-centroid: native vs the literal-array HOF argmax, both
+    // metrics, on every corpus row (ties/NaN ordering included)
+    val cents = Similarity.kmeansCentroids(Similarity.trainingSample(e), k = 7, iters = 1)
+    def ibits(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "centroid_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toVector
+    assert(ibits(Similarity.assignCentroids(e, cents)) ===
+      ibits(Similarity.assignCentroidsHof(e, cents)))
+    assert(ibits(Similarity.assignCentroids(e, cents, useCosine = false)) ===
+      ibits(Similarity.assignCentroidsHof(e, cents,
+        (a, b) => -VectorFns.l2sq(a, b))))
+    // ADC lookup-sum: native vs aggregate(zip_with(element_at))
+    val tabs = Seq(Seq(0.25, -1.5, 3.0), Seq(2.0, 0.125, -7.0))
+    val codes = Seq((1L, Seq(0, 2)), (2L, Seq(2, 1)), (3L, Seq(1, 0)))
+    val cdf = codes.toDF("vec_id", "codes")
+    val adcN = lbits(cdf.select(col("vec_id"),
+      org.apache.spark.sql.graft.Bridge.column(graft.functions.AdcScoreExpr(
+        org.apache.spark.sql.graft.Bridge.expression(typedlit(tabs)),
+        org.apache.spark.sql.graft.Bridge.expression(col("codes"))))))
+    val adcH = lbits(cdf.select(col("vec_id"),
+      aggregate(zip_with(typedlit(tabs), col("codes"),
+        (t, c) => element_at(t, c + 1)), lit(0.0), (acc, x) => acc + x)))
+    assert(adcN === adcH)
   }
 
   test("label centroids are exact integers and invariant to partition layout") {
